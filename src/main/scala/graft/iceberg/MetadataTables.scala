@@ -1,0 +1,88 @@
+package graft.iceberg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BoundDecode
+
+/** Iceberg metadata tables as DataFrames — the analytics surface over the
+  * table-metadata document + manifest scans, modeled on Iceberg's public
+  * metadata-table set (`snapshots`, `history`, `refs`, `manifests`, `files`,
+  * `partitions`). The reference exposes none of these (it prints raw JSON);
+  * they are the natural Spark-first shape of its data model (SURVEY.md §2.2
+  * "Iceberg table ops").
+  *
+  * The document-derived tables are driver-built (`createDataFrame` over a
+  * KB-sized document — broadcastable dimension tables in any join). `files`
+  * runs the distributed manifest scan.
+  */
+object MetadataTables {
+
+  def snapshots(spark: SparkSession, meta: TableMetadata): DataFrame = {
+    import spark.implicits._
+    meta.snapshots.map(s => (s.snapshotId, s.parentSnapshotId, s.timestampMs,
+      s.operation, s.manifestList, s.schemaId, s.summary))
+      .toDF("snapshot_id", "parent_id", "committed_at_ms", "operation",
+        "manifest_list", "schema_id", "summary")
+  }
+
+  def history(spark: SparkSession, meta: TableMetadata): DataFrame = {
+    import spark.implicits._
+    meta.snapshotLog.map(e => (e.timestampMs, e.snapshotId,
+      meta.currentSnapshotId.contains(e.snapshotId)))
+      .toDF("made_current_at_ms", "snapshot_id", "is_current")
+  }
+
+  def refs(spark: SparkSession, meta: TableMetadata): DataFrame = {
+    import spark.implicits._
+    meta.refs.map(r => (r.name, r.refType, r.snapshotId))
+      .toDF("name", "type", "snapshot_id")
+  }
+
+  def schemaFields(spark: SparkSession, meta: TableMetadata): DataFrame = {
+    import spark.implicits._
+    (meta.topLevelSchema.toSeq ++ meta.schemas)
+      .distinctBy(_.schemaId)
+      .flatMap(s => s.fields.map(f => (s.schemaId, f.id, f.name, f.required, f.fieldType)))
+      .toDF("schema_id", "field_id", "name", "required", "type")
+  }
+
+  def partitionSpecs(spark: SparkSession, meta: TableMetadata): DataFrame = {
+    import spark.implicits._
+    meta.partitionSpecs
+      .flatMap(s => s.fields.map(f => (s.specId, f.fieldId, f.name, f.transform, f.sourceId)))
+      .toDF("spec_id", "field_id", "name", "transform", "source_id")
+  }
+
+  /** The `files` metadata table: one row per data file across the given
+    * manifests, with decoded bound statistics. */
+  def files(spark: SparkSession, meta: TableMetadata, manifestPaths: Seq[String]): DataFrame = {
+    val entries = ManifestReader.entries(spark, manifestPaths)
+    BoundDecode.withDecodedBounds(entries, meta.fieldTypes)
+      .select(
+        col("status"),
+        col("snapshot_id"),
+        col("data_file.file_path").as("file_path"),
+        col("data_file.file_format").as("file_format"),
+        col("data_file.partition").as("partition"),
+        col("data_file.record_count").as("record_count"),
+        col("data_file.file_size_in_bytes").as("file_size_in_bytes"),
+        col("data_file.column_sizes").as("column_sizes"),
+        col("data_file.value_counts").as("value_counts"),
+        col("data_file.null_value_counts").as("null_value_counts"),
+        col("data_file.nan_value_counts").as("nan_value_counts"),
+        col("data_file.lower_bounds").as("lower_bounds"),
+        col("data_file.upper_bounds").as("upper_bounds"),
+        col("data_file.split_offsets").as("split_offsets"),
+        col("data_file.sort_order_id").as("sort_order_id"))
+  }
+
+  /** Per-partition rollup of the files table. */
+  def partitions(spark: SparkSession, meta: TableMetadata, manifestPaths: Seq[String]): DataFrame =
+    files(spark, meta, manifestPaths)
+      .groupBy(col("partition"))
+      .agg(
+        count(lit(1)).as("file_count"),
+        sum(col("record_count")).as("record_count"),
+        sum(col("file_size_in_bytes")).as("total_size_in_bytes"))
+}

@@ -1,0 +1,154 @@
+package graft.iceberg
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Iceberg table-metadata document model (v1/v2), parsed driver-side — the
+  * document is KB-sized; distributing its parse would be overhead for
+  * nothing. The field-id→type dictionary it yields is what gets broadcast
+  * to executors for bound decoding.
+  *
+  * Parity target: `parseMetaData`
+  * (/root/reference/src/main/java/dev/liliwei/iceberg/tool/ManifestFileReadTool.java:170-197)
+  * — prefer the top-level `schema`, else resolve `schemas[]` by
+  * `current-schema-id` — but we retain the full document (snapshots,
+  * partition specs, sort orders, refs, logs) for the metadata tables the
+  * reference never surfaces.
+  */
+final case class IcebergField(id: Int, name: String, required: Boolean, fieldType: String)
+final case class IcebergSchema(schemaId: Int, fields: Seq[IcebergField])
+final case class PartitionField(name: String, transform: String, sourceId: Int, fieldId: Int)
+final case class PartitionSpec(specId: Int, fields: Seq[PartitionField])
+final case class SortField(transform: String, sourceId: Int, direction: String, nullOrder: String)
+final case class SortOrder(orderId: Int, fields: Seq[SortField])
+final case class SnapshotRef(name: String, refType: String, snapshotId: Long)
+final case class Snapshot(
+    snapshotId: Long,
+    parentSnapshotId: Option[Long],
+    timestampMs: Long,
+    operation: Option[String],
+    summary: Map[String, String],
+    manifestList: Option[String],
+    schemaId: Option[Int])
+final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
+final case class MetadataLogEntry(timestampMs: Long, metadataFile: String)
+
+final case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    lastUpdatedMs: Long,
+    topLevelSchema: Option[IcebergSchema],
+    currentSchemaId: Option[Int],
+    schemas: Seq[IcebergSchema],
+    partitionSpecs: Seq[PartitionSpec],
+    defaultSpecId: Int,
+    sortOrders: Seq[SortOrder],
+    defaultSortOrderId: Int,
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    refs: Seq[SnapshotRef],
+    snapshots: Seq[Snapshot],
+    snapshotLog: Seq[SnapshotLogEntry],
+    metadataLog: Seq[MetadataLogEntry]) {
+
+  /** Current schema: top-level `schema` wins, else `schemas[]` entry whose
+    * schema-id equals current-schema-id (reference parity, see scaladoc). */
+  def currentSchema: IcebergSchema =
+    topLevelSchema.orElse(currentSchemaId.flatMap(id => schemas.find(_.schemaId == id)))
+      .getOrElse(throw new IllegalArgumentException(
+        "metadata has neither a top-level schema nor a resolvable current-schema-id"))
+
+  /** The field-id → type-string dictionary driving bound decoding. */
+  def fieldTypes: Map[Int, String] =
+    currentSchema.fields.map(f => f.id -> f.fieldType).toMap
+
+  def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+
+  def currentSnapshot: Option[Snapshot] = currentSnapshotId.flatMap(snapshot)
+
+  /** Snapshot current as of a wall-clock time (time travel over the
+    * snapshot-log, latest entry at-or-before ts). */
+  def snapshotAsOf(timestampMs: Long): Option[Snapshot] =
+    snapshotLog.filter(_.timestampMs <= timestampMs)
+      .sortBy(_.timestampMs).lastOption.flatMap(e => snapshot(e.snapshotId))
+}
+
+object TableMetadata {
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): TableMetadata = fromNode(mapper.readTree(json))
+
+  def parseFile(path: String): TableMetadata =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  private def optNode(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull)
+
+  private def strMap(n: JsonNode): Map[String, String] =
+    n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+
+  private def parseSchema(n: JsonNode): IcebergSchema = IcebergSchema(
+    schemaId = optNode(n, "schema-id").map(_.asInt).getOrElse(0),
+    fields = n.get("fields").elements().asScala.map { f =>
+      // Non-primitive (nested) types come through as JSON objects; keep
+      // their canonical JSON so callers can detect and skip them.
+      val t = f.get("type")
+      IcebergField(f.get("id").asInt, f.get("name").asText,
+        f.get("required").asBoolean, if (t.isTextual) t.asText else t.toString)
+    }.toSeq)
+
+  private def parsePartitionFields(n: JsonNode): Seq[PartitionField] =
+    n.elements().asScala.map { f =>
+      PartitionField(f.get("name").asText, f.get("transform").asText,
+        f.get("source-id").asInt, f.get("field-id").asInt)
+    }.toSeq
+
+  def fromNode(root: JsonNode): TableMetadata = TableMetadata(
+    formatVersion = optNode(root, "format-version").map(_.asInt).getOrElse(1),
+    tableUuid = optNode(root, "table-uuid").map(_.asText).getOrElse(""),
+    location = optNode(root, "location").map(_.asText).getOrElse(""),
+    lastUpdatedMs = optNode(root, "last-updated-ms").map(_.asLong).getOrElse(0L),
+    topLevelSchema = optNode(root, "schema").map(parseSchema),
+    currentSchemaId = optNode(root, "current-schema-id").map(_.asInt),
+    schemas = optNode(root, "schemas").map(_.elements().asScala.map(parseSchema).toSeq).getOrElse(Nil),
+    partitionSpecs = optNode(root, "partition-specs").map(_.elements().asScala.map { s =>
+      PartitionSpec(s.get("spec-id").asInt, parsePartitionFields(s.get("fields")))
+    }.toSeq).getOrElse {
+      // v1 tables may carry only the flat `partition-spec` list.
+      optNode(root, "partition-spec").map(f => Seq(PartitionSpec(0, parsePartitionFields(f)))).getOrElse(Nil)
+    },
+    defaultSpecId = optNode(root, "default-spec-id").map(_.asInt).getOrElse(0),
+    sortOrders = optNode(root, "sort-orders").map(_.elements().asScala.map { o =>
+      SortOrder(o.get("order-id").asInt,
+        optNode(o, "fields").map(_.elements().asScala.map { f =>
+          SortField(f.get("transform").asText, f.get("source-id").asInt,
+            f.get("direction").asText, f.get("null-order").asText)
+        }.toSeq).getOrElse(Nil))
+    }.toSeq).getOrElse(Nil),
+    defaultSortOrderId = optNode(root, "default-sort-order-id").map(_.asInt).getOrElse(0),
+    properties = optNode(root, "properties").map(strMap).getOrElse(Map.empty),
+    currentSnapshotId = optNode(root, "current-snapshot-id").map(_.asLong).filter(_ != -1L),
+    refs = optNode(root, "refs").map(_.properties().asScala.map { e =>
+      SnapshotRef(e.getKey, e.getValue.get("type").asText, e.getValue.get("snapshot-id").asLong)
+    }.toSeq).getOrElse(Nil),
+    snapshots = optNode(root, "snapshots").map(_.elements().asScala.map { s =>
+      val summary = optNode(s, "summary").map(strMap).getOrElse(Map.empty)
+      Snapshot(
+        s.get("snapshot-id").asLong,
+        optNode(s, "parent-snapshot-id").map(_.asLong),
+        s.get("timestamp-ms").asLong,
+        summary.get("operation"),
+        summary - "operation",
+        optNode(s, "manifest-list").map(_.asText),
+        optNode(s, "schema-id").map(_.asInt))
+    }.toSeq).getOrElse(Nil),
+    snapshotLog = optNode(root, "snapshot-log").map(_.elements().asScala.map { e =>
+      SnapshotLogEntry(e.get("timestamp-ms").asLong, e.get("snapshot-id").asLong)
+    }.toSeq).getOrElse(Nil),
+    metadataLog = optNode(root, "metadata-log").map(_.elements().asScala.map { e =>
+      MetadataLogEntry(e.get("timestamp-ms").asLong, e.get("metadata-file").asText)
+    }.toSeq).getOrElse(Nil))
+}

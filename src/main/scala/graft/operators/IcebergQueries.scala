@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.iceberg.{ManifestReader, MetadataTables, ScanPlanning, TableMetadata}
+
+/** Iceberg-metadata analytics queries over the reference's own golden
+  * fixtures (read-only at /root/reference/src/test/resources — the same
+  * inputs its tests use, FIXTURES.md §1-2). These are rows-only correctness
+  * entries: DuckDB cannot read Avro manifests, so the driver records the
+  * weaker rows>0 check while the ScalaTest suite asserts the decoded ground
+  * truth (status, snapshot_id, bound values) from FIXTURES.md.
+  */
+object IcebergQueries {
+
+  val FixtureManifest = "/root/reference/src/test/resources/1702989a-f66f-423a-aaf1-a01b9a699685-m0.avro"
+  val FixtureMetadata = "/root/reference/src/test/resources/v1.metadata.json"
+
+  private def meta: TableMetadata = TableMetadata.parseFile(FixtureMetadata)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The files metadata table with decoded bound statistics — the engine's
+    * equivalent of the reference's `manifest2json` output. */
+  val i01ManifestFiles: Q = (spark, _) =>
+    MetadataTables.files(spark, meta, Seq(FixtureManifest))
+      .select(col("status"), col("snapshot_id"), col("file_path"),
+        col("file_format"), col("partition.data").as("partition_data"),
+        col("record_count"), col("file_size_in_bytes"),
+        col("lower_bounds").getItem(1).as("lower_id"),
+        col("lower_bounds").getItem(2).as("lower_data"),
+        col("upper_bounds").getItem(1).as("upper_id"),
+        col("upper_bounds").getItem(2).as("upper_data"))
+      .orderBy(col("file_path"))
+
+  /** Snapshots metadata table (flattened summary counters). */
+  val i02Snapshots: Q = (spark, _) =>
+    MetadataTables.snapshots(spark, meta)
+      .select(col("snapshot_id"), col("committed_at_ms"), col("operation"),
+        element_at(col("summary"), "added-data-files").cast("long").as("added_data_files"),
+        element_at(col("summary"), "added-records").cast("long").as("added_records"),
+        element_at(col("summary"), "total-files-size").cast("long").as("total_files_size"))
+      .orderBy(col("snapshot_id"))
+
+  /** Stats-based file pruning: predicate id >= 2 keeps only the data file
+    * whose upper bound reaches 2 (FIXTURES.md: file 2). */
+  val i03PrunedScan: Q = (spark, _) =>
+    ScanPlanning.pruneFiles(
+      ManifestReader.entries(spark, Seq(FixtureManifest)), meta,
+      fieldId = 1, lower = Some(2L), upper = None)
+      .select(col("data_file.file_path").as("file_path"),
+        col("data_file.record_count").as("record_count"))
+      .orderBy(col("file_path"))
+
+  /** Per-partition file rollup. */
+  val i04Partitions: Q = (spark, _) =>
+    MetadataTables.partitions(spark, meta, Seq(FixtureManifest))
+      .select(col("partition.data").as("partition_data"), col("file_count"),
+        col("record_count"), col("total_size_in_bytes"))
+      .orderBy(col("partition_data"))
+
+  /** Schema + partition-spec + refs joined into one lineage view. */
+  val i05SchemaLineage: Q = (spark, _) => {
+    val fields = MetadataTables.schemaFields(spark, meta)
+    val specs = MetadataTables.partitionSpecs(spark, meta)
+      .select(col("source_id"), col("transform"))
+    fields.join(specs, fields("field_id") === specs("source_id"), "left")
+      .select(col("schema_id"), col("field_id"), col("name"), col("required"),
+        col("type"), coalesce(col("transform"), lit("none")).as("partition_transform"))
+      .orderBy(col("schema_id"), col("field_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "i01_manifest_files" -> i01ManifestFiles,
+    "i02_snapshots" -> i02Snapshots,
+    "i03_pruned_scan" -> i03PrunedScan,
+    "i04_partitions" -> i04Partitions,
+    "i05_schema_lineage" -> i05SchemaLineage)
+}

@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text/dedup kernels — preferred over
+  * Scala UDFs (SURVEY.md §2.2 "UDF/UDAF surface"): `doGenCode` emits a
+  * direct static call into TextAlgos, so evaluation stays inside
+  * whole-stage codegen with no closure serialization, no Row boxing and no
+  * null-handling overhead beyond the generated null check.
+  */
+abstract class TextKernelExpression extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+}
+
+/** fingerprint64(text): rolling-hash document fingerprint. */
+case class Fingerprint64(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextAlgos.fingerprint64(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgos.fingerprint64($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(c)
+}
+
+/** simhash64(text, k): 64-bit SimHash over k-token shingles. */
+case class SimHash64(child: Expression, shingleK: Int) extends TextKernelExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextAlgos.simHash64(v.asInstanceOf[UTF8String].toString, shingleK)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextAlgos.simHash64($c.toString(), $shingleK)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** minhash_sig(text, k, n): MinHash signature (array<long> of n hashes). */
+case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
+    extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextAlgos.minHashSignature(v.asInstanceOf[UTF8String].toString, shingleK, numHashes))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgos.minHashSignature($c.toString(), $shingleK, $numHashes))")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** shingle_hashes(text, k): distinct k-token shingle hashes (array<long>). */
+case class ShingleHashes(child: Expression, shingleK: Int) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextAlgos.shingleHashes(v.asInstanceOf[UTF8String].toString, shingleK))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgos.shingleHashes($c.toString(), $shingleK))")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+/** chargram_hashes(text, n): distinct character n-gram hashes. */
+case class CharGramHashes(child: Expression, n: Int) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextAlgos.charGramHashes(v.asInstanceOf[UTF8String].toString, n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgos.charGramHashes($c.toString(), $n))")
+  override protected def withNewChildInternal(c: Expression): CharGramHashes = copy(child = c)
+}
+
+/** minhash_bands(text, k, n, b): LSH band keys (array<long> of b keys). */
+case class MinHashBands(child: Expression, shingleK: Int, numHashes: Int, bands: Int)
+    extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextAlgos.minHashBandKeys(
+      v.asInstanceOf[UTF8String].toString, shingleK, numHashes, bands))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgos.minHashBandKeys($c.toString(), $shingleK, $numHashes, $bands))")
+  override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
+}
+
+/** lang_id(text): heuristic language identification. */
+case class LangId(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(TextAlgos.langId(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.TextAlgos.langId($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): LangId = copy(c)
+}
+
+/** Session registration + Column-API wrappers (via the public function
+  * registry, so both SQL text and the Column API reach the same codegen'd
+  * expressions). */
+object GraftFunctions {
+  @volatile private var registered = Set.empty[SparkSession]
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = synchronized {
+    if (registered.contains(spark)) return
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_fingerprint64",
+      es => Fingerprint64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      es => SimHash64(es.head, intLit(es(1), "shingleK")), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      es => MinHashSig(es.head, intLit(es(1), "shingleK"), intLit(es(2), "numHashes")), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      es => ShingleHashes(es.head, intLit(es(1), "shingleK")), "built-in")
+    reg.createOrReplaceTempFunction("graft_chargram_hashes",
+      es => CharGramHashes(es.head, intLit(es(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_bands",
+      es => MinHashBands(es.head, intLit(es(1), "shingleK"),
+        intLit(es(2), "numHashes"), intLit(es(3), "bands")), "built-in")
+    reg.createOrReplaceTempFunction("graft_lang_id",
+      es => LangId(es.head), "built-in")
+    registered += spark
+  }
+
+  def fingerprint64(spark: SparkSession, c: Column): Column =
+    { register(spark); call_function("graft_fingerprint64", c) }
+  def simhash64(spark: SparkSession, c: Column, k: Int): Column =
+    { register(spark); call_function("graft_simhash64", c, org.apache.spark.sql.functions.lit(k)) }
+  def minhashSig(spark: SparkSession, c: Column, k: Int, n: Int): Column =
+    { register(spark); call_function("graft_minhash_sig", c,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(n)) }
+  def shingleHashes(spark: SparkSession, c: Column, k: Int): Column =
+    { register(spark); call_function("graft_shingle_hashes", c, org.apache.spark.sql.functions.lit(k)) }
+  def chargramHashes(spark: SparkSession, c: Column, n: Int): Column =
+    { register(spark); call_function("graft_chargram_hashes", c, org.apache.spark.sql.functions.lit(n)) }
+  def minhashBands(spark: SparkSession, c: Column, k: Int, n: Int, b: Int): Column =
+    { register(spark); call_function("graft_minhash_bands", c,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(b)) }
+  def langId(spark: SparkSession, c: Column): Column =
+    { register(spark); call_function("graft_lang_id", c) }
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for training-data pipelines — exact, normalized,
+  * MinHash+LSH, SimHash and n-gram-Jaccard, each over the `documents` table.
+  *
+  * Scale design: no operator here ever compares all pairs. Exact/normalized
+  * dedup are hash aggregations (one shuffle on the hash). MinHash-LSH
+  * shuffles only (doc_id, band_key) pairs — `bands` longs per document —
+  * and meets candidates in a band-bucket join, the standard sub-quadratic
+  * near-dup plan at 100 TB. Verification joins fetch shingle sets for
+  * candidate pairs only. Skewed buckets (boilerplate-heavy corpora) are
+  * handled by AQE skew-join (enabled in Sessions).
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id.
+    * A plain hash aggregation — Spark's partial aggregation dedups map-side
+    * before the shuffle. */
+  val exactDedup: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5($"text").as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keep_doc_id"))
+      .orderBy($"text_md5")
+  }
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS text_md5, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin
+
+  /** Formatting-insensitive dedup: case-fold, strip non-alphanumerics,
+    * collapse whitespace, then exact-dedup the normalized text. */
+  val normalizedDedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val norm = trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5(norm).as("norm_md5"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keep_doc_id"))
+      .orderBy($"norm_md5")
+  }
+
+  val normalizedDedupSql: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+      |  COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY 1 ORDER BY norm_md5""".stripMargin
+
+  /** MinHash + LSH near-dup pairs, verified with exact shingle Jaccard.
+    *
+    * Plan: 64-hash signature → 16 bands × 4 rows (inside one codegen'd
+    * expression, nothing materialized but 16 band keys/doc) → explode →
+    * self-join on (band_idx, key) → distinct candidate pairs → exact
+    * verify via array_intersect on the candidates' shingle sets → j ≥ 0.8.
+    *
+    * With the planted near-dups at j ≥ 0.97, P[miss] = (1-j⁴)¹⁶ < 1e-14,
+    * so the LSH output equals the brute-force oracle exactly — approximate
+    * recall, exact precision.
+    */
+  val minhashDedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text")
+    val withShingles = docs
+      .withColumn("shingles", GraftFunctions.shingleHashes(spark, $"text", 3))
+      .select($"doc_id", $"shingles")
+    val bands = docs
+      .select($"doc_id",
+        posexplode(GraftFunctions.minhashBands(spark, $"text", 3, 64, 16)))
+      .toDF("doc_id", "band_idx", "band_key")
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    candidates
+      .join(withShingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+      .join(withShingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+      .withColumn("n_inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard",
+        $"n_inter".cast(DoubleType) / (size($"sh_a") + size($"sh_b") - $"n_inter"))
+      .filter($"jaccard" >= 0.8)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Brute-force exact-Jaccard oracle (the ground truth LSH must match). */
+  val minhashDedupSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])) s FROM w),
+      |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT ida AS doc_a, idb AS doc_b,
+      |  CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+      |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash near-dup pairs: 64-bit fingerprint, banded into 4 × 16-bit
+    * chunks (Hamming ≤ 3 ⇒ at least one chunk equal, pigeonhole), verified
+    * by exact Hamming distance. Rows-only gate: the hash family is
+    * engine-specific, so no SQL oracle — covered by ScalaTest instead. */
+  val simhashPairs: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", GraftFunctions.simhash64(spark, $"text", 3).as("sh"))
+    val chunks = docs.select($"doc_id", $"sh",
+      posexplode(array((0 until 4).map(i =>
+        $"sh".bitwiseAND(lit(0xffffL << (i * 16)))): _*)))
+      .toDF("doc_id", "sh", "chunk_idx", "chunk")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk" === $"b.chunk" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.sh".as("sh_a"), $"b.sh".as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+      .filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Character-n-gram Jaccard near-dups via an exact inverted-index join
+    * (explode distinct 8-gram hashes → equi-join → per-pair intersection
+    * counts): the non-probabilistic exact plan, sub-quadratic as long as
+    * posting lists stay bounded; for boilerplate-heavy corpora the LSH
+    * variant (minhashDedup) is the scale path. */
+  val chargramJaccard: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", GraftFunctions.chargramHashes(spark, $"text", 8).as("grams"))
+    val counts = docs.select($"doc_id", size($"grams").as("n"))
+    val postings = docs.select($"doc_id", explode($"grams").as("g"))
+    val inter = postings.as("a")
+      .join(postings.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", $"i".cast(DoubleType) / ($"na" + $"nb" - $"i"))
+      .filter($"jaccard" >= 0.8)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val chargramJaccardSql: String =
+    """WITH sh AS (SELECT doc_id, unnest(list_distinct([text[i:i+7] for i in range(1, length(text) - 6)])) s FROM documents),
+      |cnt AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT ida AS doc_a, idb AS doc_b,
+      |  CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+      |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Embedding near-dup: top-20 most-similar within-label pairs by exact
+    * cosine. Label blocking keeps the pair space linear-ish (near-dups
+    * co-cluster); at 100 TB the blocking key comes from coarse quantization
+    * (IVF) instead of a label column — same plan shape. */
+  val embeddingNearDup: Q = (spark, dir) => {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding")
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x)
+    emb.as("a")
+      .join(emb.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        (dot($"a.embedding", $"b.embedding") /
+          (sqrt(dot($"a.embedding", $"a.embedding")) * sqrt(dot($"b.embedding", $"b.embedding")))).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_a", $"vec_b")
+      .limit(20)
+  }
+
+  val embeddingNearDupSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(a.embedding) + 1)]) /
+      |  (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE for i in range(1, len(a.embedding) + 1)])) *
+      |   sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1, len(b.embedding) + 1)]))) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      |ORDER BY cosine DESC, vec_a, vec_b
+      |LIMIT 20""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "d01_exact_dedup" -> exactDedup,
+    "d02_normalized_dedup" -> normalizedDedup,
+    "d03_minhash_dedup" -> minhashDedup,
+    "d04_simhash_pairs" -> simhashPairs,
+    "d05_chargram_jaccard" -> chargramJaccard,
+    "d06_embedding_neardup" -> embeddingNearDup)
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" -> exactDedupSql,
+    "d02_normalized_dedup" -> normalizedDedupSql,
+    "d03_minhash_dedup" -> minhashDedupSql,
+    "d05_chargram_jaccard" -> chargramJaccardSql,
+    "d06_embedding_neardup" -> embeddingNearDupSql)
+}

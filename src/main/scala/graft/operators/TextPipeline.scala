@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID and document fingerprinting over the
+  * `documents` table. All per-row scalar work — embarrassingly parallel,
+  * evaluated inside the parquet scan stage (builtins + codegen'd custom
+  * expressions; zero shuffles except the final presentation sort).
+  */
+object TextPipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token statistics via whitespace tokenization (split is codegen'd). */
+  val tokenStats: Q = (spark, dir) => {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq_tokens"),
+        (aggregate(transform(toks, w => length(w)), lit(0), (acc, x) => acc + x).cast(DoubleType)
+          / size(toks)).as("mean_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq_tokens,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS mean_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality heuristics: stopword ratio, alphabetic ratio, type-token
+    * ratio — the usual cheap pre-training filters. */
+  val qualityScore: Q = (spark, dir) => {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val stopHits = size(filter(toks, w => w.isin("the", "a", "of", "and", "is", "to", "in")))
+    val alpha = length(regexp_replace($"text", "[^a-z]", ""))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        (stopHits.cast(DoubleType) / size(toks)).as("stopword_ratio"),
+        (alpha.cast(DoubleType) / length($"text")).as("alpha_ratio"),
+        (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("type_token_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stopword_ratio,
+      |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS type_token_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Heuristic language ID vs. the labeled lang column. Rows-only gate
+    * (the n-gram profile is engine-specific); asserted in ScalaTest. */
+  val langIdQuery: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        GraftFunctions.langId(spark, $"text").as("lang_pred"))
+      .withColumn("agree", $"lang" === $"lang_pred")
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprints: rolling-hash fingerprint (formatting-
+    * insensitive), SimHash and the first MinHash component, all codegen'd.
+    * Rows-only gate; determinism asserted in ScalaTest. */
+  val fingerprints: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        GraftFunctions.fingerprint64(spark, $"text").as("fingerprint"),
+        GraftFunctions.simhash64(spark, $"text", 3).as("simhash"),
+        element_at(GraftFunctions.minhashSig(spark, $"text", 3, 64), 1).as("minhash_0"))
+      .orderBy($"doc_id")
+  }
+
+  /** BPE-ish token estimate: letter runs, digit runs and single
+    * punctuation each count as one token (match-count formulation — no
+    * lookarounds, so the same regex runs on Java regex and RE2 alike). */
+  val tokenBudget: Q = (spark, dir) => {
+    import spark.implicits._
+    val pieces = regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    Tables.load(spark, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(pieces)).as("est_tokens"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"source")
+  }
+
+  val tokenBudgetSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS est_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "t01_token_stats" -> tokenStats,
+    "t02_quality_score" -> qualityScore,
+    "t03_lang_id" -> langIdQuery,
+    "t04_fingerprints" -> fingerprints,
+    "t05_token_budget" -> tokenBudget)
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" -> tokenStatsSql,
+    "t02_quality_score" -> qualityScoreSql,
+    "t05_token_budget" -> tokenBudgetSql)
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextAlgos
+
+/** Training-data operator specs: kernel determinism + plan-level behavior
+  * at sf0.001 (the documents/embeddings tables are identical across sf). */
+class PipelineSpec extends SparkSpec {
+
+  test("kernels are deterministic and shingle-sensitive") {
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "the quick brown fox jumps over the lazy cat"
+    assert(TextAlgos.fingerprint64(a) == TextAlgos.fingerprint64(a))
+    assert(TextAlgos.fingerprint64(a) != TextAlgos.fingerprint64(b))
+    // formatting-insensitive fingerprint
+    assert(TextAlgos.fingerprint64("The  Quick\tBrown fox JUMPS over the lazy dog ") ==
+      TextAlgos.fingerprint64(a))
+    assert(TextAlgos.simHash64(a, 3) != TextAlgos.simHash64(b, 3))
+    assert(TextAlgos.hammingDistance(TextAlgos.simHash64(a, 3), TextAlgos.simHash64(b, 3)) < 24,
+      "one-word edit should stay simhash-close")
+    val sigA = TextAlgos.minHashSignature(a, 3, 64)
+    assert(sigA.length == 64 && sigA.sameElements(TextAlgos.minHashSignature(a, 3, 64)))
+  }
+
+  test("minhash estimates jaccard: identical docs agree on all hashes") {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val sigA = TextAlgos.minHashSignature(a, 3, 64)
+    val sigA2 = TextAlgos.minHashSignature(a, 3, 64)
+    assert(sigA.zip(sigA2).count { case (x, y) => x == y } == 64)
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"
+    val sigB = TextAlgos.minHashSignature(b, 3, 64)
+    val agree = sigA.zip(sigB).count { case (x, y) => x == y }
+    assert(agree > 20 && agree < 64, s"partial overlap should partially agree, got $agree/64")
+  }
+
+  test("lang_id: CJK detection and stopword profiles") {
+    assert(TextAlgos.langId("你好 世界 这是 一个 测试 文本 再见") == "zh")
+    assert(TextAlgos.langId("the cat is on the roof and the dog is in the yard") == "en")
+    assert(TextAlgos.langId("le chat est sur le toit et les chiens") == "fr")
+    assert(TextAlgos.langId("") == "und")
+  }
+
+  test("minhash-LSH dedup finds exactly the brute-force pairs (recall 1.0)") {
+    val lsh = Dedup.minhashDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force within Spark: exact jaccard over all pairs via the same
+    // shingle sets (500 docs -> 125k pairs, fine locally)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", graft.functions.GraftFunctions.shingleHashes(spark, $"text", 3).as("sh"))
+    val brute = docs.as("a").join(docs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .withColumn("i", size(array_intersect($"a.sh", $"b.sh")))
+      .withColumn("j", $"i".cast("double") / (size($"a.sh") + size($"b.sh") - $"i"))
+      .filter($"j" >= 0.8)
+      .select($"a.doc_id", $"b.doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"LSH found ${lsh.size}, brute force ${brute.size}")
+    assert(brute.nonEmpty, "testdata should contain planted near-dup pairs")
+  }
+
+  test("simhash pairs: near-dups fall within hamming<=3 and pairs are found") {
+    val rows = Dedup.simhashPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("ann lsh recall@5 vs brute force (uniform-random worst case)") {
+    val exact = Similarity.annBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.annLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // uniform-random vectors (neighbors at cosine ~0.4) are the LSH
+    // adversarial case; Hamming-2 probing scans ~1/3 of the corpus
+    assert(recall >= 0.4, s"recall@5 = $recall")
+  }
+
+  test("brute-force ann: 5 queries x 5 ranked neighbors, no self-matches") {
+    val rows = Similarity.annBruteForce(spark, sfDir).collect()
+    assert(rows.length == 25)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val cosines = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("multimodal stub pipeline is deterministic and schema-complete") {
+    val a = Multimodal.mediaRecords(spark, sfDir).collect()
+    val b = Multimodal.mediaRecords(spark, sfDir).collect()
+    assert(a.length == 500)
+    assert(a.map(_.getAs[Long]("feature_hash")).toSeq == b.map(_.getAs[Long]("feature_hash")).toSeq)
+    assert(a.forall(r => Set("png", "jpeg", "wav").contains(r.getAs[String]("format"))))
+    assert(a.forall(r => r.getAs[Int]("byte_len") > 0))
+  }
+
+  test("codegen: custom expressions evaluate inside whole-stage codegen") {
+    import spark.implicits._
+    val df = graft.Tables.load(spark, sfDir, "documents")
+      .select(graft.functions.GraftFunctions.fingerprint64(spark, $"text").as("fp"))
+    // the "*(n)" operator prefix is the WholeStageCodegen marker in the
+    // compact plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [fingerprint64"), s"expected codegen'd projection in:\n$plan")
+  }
+}

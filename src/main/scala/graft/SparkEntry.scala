@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Dedup, IcebergQueries, Multimodal, Relational, Similarity, TextPipeline}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +22,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ IcebergQueries.queries ++ Dedup.queries ++
-      TextPipeline.queries ++ Similarity.queries ++ Multimodal.queries
+      TextPipeline.queries ++ Similarity.queries ++ Multimodal.queries ++
+      EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ TextPipeline.oracles ++
-      Similarity.oracles
+      Similarity.oracles ++ EventStreams.oracles
 }

@@ -95,6 +95,21 @@ case class MinHashBands(child: Expression, shingleK: Int, numHashes: Int, bands:
   override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
 }
 
+/** chargram_bands(text, n, numHashes, b): LSH band keys over the char
+  * n-gram set. */
+case class CharGramBands(child: Expression, n: Int, numHashes: Int, bands: Int)
+    extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextAlgos.charGramBandKeys(
+      v.asInstanceOf[UTF8String].toString, n, numHashes, bands))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgos.charGramBandKeys($c.toString(), $n, $numHashes, $bands))")
+  override protected def withNewChildInternal(c: Expression): CharGramBands = copy(child = c)
+}
+
 /** lang_id(text): heuristic language identification. */
 case class LangId(child: Expression) extends TextKernelExpression {
   override def dataType: DataType = StringType
@@ -131,6 +146,9 @@ object GraftFunctions {
       es => ShingleHashes(es.head, intLit(es(1), "shingleK")), "built-in")
     reg.createOrReplaceTempFunction("graft_chargram_hashes",
       es => CharGramHashes(es.head, intLit(es(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction("graft_chargram_bands",
+      es => CharGramBands(es.head, intLit(es(1), "n"),
+        intLit(es(2), "numHashes"), intLit(es(3), "bands")), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       es => MinHashBands(es.head, intLit(es(1), "shingleK"),
         intLit(es(2), "numHashes"), intLit(es(3), "bands")), "built-in")
@@ -150,6 +168,10 @@ object GraftFunctions {
     { register(spark); call_function("graft_shingle_hashes", c, org.apache.spark.sql.functions.lit(k)) }
   def chargramHashes(spark: SparkSession, c: Column, n: Int): Column =
     { register(spark); call_function("graft_chargram_hashes", c, org.apache.spark.sql.functions.lit(n)) }
+  def chargramBands(spark: SparkSession, c: Column, n: Int, nh: Int, b: Int): Column =
+    { register(spark); call_function("graft_chargram_bands", c,
+      org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(nh),
+      org.apache.spark.sql.functions.lit(b)) }
   def minhashBands(spark: SparkSession, c: Column, k: Int, n: Int, b: Int): Column =
     { register(spark); call_function("graft_minhash_bands", c,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(n),

@@ -71,15 +71,14 @@ object TextAlgos {
     out
   }
 
-  /** MinHash signature over k-token shingles: numHashes permutations
-    * h_i(x) = splitmix64(x + i·golden) — one pass over the shingle set,
-    * O(#shingles × numHashes), no data blowup. */
-  def minHashSignature(text: String, shingleK: Int, numHashes: Int): Array[Long] = {
-    val shingles = shingleHashes(text, shingleK)
+  /** MinHash signature from a pre-hashed element set: numHashes
+    * permutations h_i(x) = splitmix64(x + i·golden) — one pass,
+    * O(#elements × numHashes), no data blowup. */
+  def minHashFromHashes(hashes: Array[Long], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var s = 0
-    while (s < shingles.length) {
-      val base = shingles(s)
+    while (s < hashes.length) {
+      val base = hashes(s)
       var i = 0
       while (i < numHashes) {
         val h = splitmix64(base + i * 0x9e3779b97f4a7c15L)
@@ -90,6 +89,10 @@ object TextAlgos {
     }
     sig
   }
+
+  /** MinHash signature over k-token shingles. */
+  def minHashSignature(text: String, shingleK: Int, numHashes: Int): Array[Long] =
+    minHashFromHashes(shingleHashes(text, shingleK), numHashes)
 
   /** LSH band keys: signature split into `bands` groups of `rows` hashes,
     * each group hashed to one band key. Two docs sharing any band key are
@@ -114,6 +117,11 @@ object TextAlgos {
     * ever shuffles. */
   def minHashBandKeys(text: String, shingleK: Int, numHashes: Int, bands: Int): Array[Long] =
     lshBandKeys(minHashSignature(text, shingleK, numHashes), bands, numHashes / bands)
+
+  /** LSH band keys over the character-n-gram set (candidate generation for
+    * chargram-Jaccard dedup). */
+  def charGramBandKeys(text: String, n: Int, numHashes: Int, bands: Int): Array[Long] =
+    lshBandKeys(minHashFromHashes(charGramHashes(text, n), numHashes), bands, numHashes / bands)
 
   /** 64-bit SimHash over k-token shingles. */
   def simHash64(text: String, shingleK: Int): Long = {

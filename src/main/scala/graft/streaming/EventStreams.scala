@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table: the same DataFrame model as
+  * batch (`readStream` → transforms → `writeStream`), with event-time
+  * watermarks, tumbling windows and arbitrary stateful processing
+  * (`mapGroupsWithState`).
+  *
+  * The entries below drive the streams with Trigger.AvailableNow against
+  * the parquet file source and land results in a memory sink, so the
+  * correctness harness can treat them like any other query; in production
+  * the identical pipeline tails a directory/Kafka source continuously.
+  * The reference has no streaming at all (SURVEY.md §2.2) — this is
+  * north-star surface.
+  */
+object EventStreams {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events.parquet carries TIMESTAMP(NANOS): the stream reads the raw
+    * nanos long (nanosAsLong) and converts to micros TimestampType. */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      // the file source wants a directory/glob, not a bare file path
+      .parquet(s"$dir/*events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  private def runToMemory(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Tumbling 1-hour event-time windows with a 30-minute watermark —
+    * the streaming twin of the batch hourly rollup (Relational.q20), and
+    * hash-matched against the same DuckDB oracle: AvailableNow over one
+    * file is a single micro-batch, so the watermark drops nothing and
+    * streaming output == batch output. */
+  val streamHourly: Q = (spark, dir) => {
+    import spark.implicits._
+    val windowed = eventsStream(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast(DecimalType(12, 2))), 2).cast(DoubleType).as("total_value"))
+    // Complete mode: Append would hold back windows the watermark hasn't
+    // passed when AvailableNow terminates (the trailing 30 minutes), so
+    // the finite-drive harness would miss the newest windows.
+    runToMemory(spark, windowed, OutputMode.Complete())
+      .select(date_format($"window.start", "yyyy-MM-dd HH:00:00").as("hour"),
+        $"event_type", $"n_events", $"total_value")
+      .orderBy($"hour", $"event_type")
+  }
+
+  val streamHourlySql: String =
+    """SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  final case class SessionEvent(user_id: Long, ts_us: Long, event_id: Long)
+  final case class SessionState(nSessions: Long, nEvents: Long, lastTsUs: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Arbitrary stateful processing: per-user sessionization (30-minute
+    * gap) via mapGroupsWithState — the streaming twin of the batch
+    * lag/cumsum sessionizer (Relational.q21), hash-matched against the
+    * same oracle.
+    *
+    * Events are sorted in-group per batch; state carries (session count,
+    * event count, last timestamp) across batches. At production scale the
+    * state store shards by user_id — memory per key is O(1).
+    */
+  val streamSessions: Q = (spark, dir) => {
+    import spark.implicits._
+    val events = eventsStream(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+      .as[SessionEvent]
+    val gapUs = 1800L * 1000000L
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (userId, batch, state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          sorted.foreach { e =>
+            val newSession = s.lastTsUs == Long.MinValue || e.ts_us - s.lastTsUs > gapUs
+            s = SessionState(s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1, e.ts_us)
+          }
+          state.update(s)
+          UserSessions(userId, s.nSessions, s.nEvents)
+      }
+    runToMemory(spark, sessions.toDF(), OutputMode.Update())
+      .orderBy($"user_id")
+  }
+
+  val streamSessionsSql: String =
+    """SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts_us,
+      |      CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+      |    FROM (
+      |      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |        LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |      FROM events) a) b) c
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "st01_stream_hourly" -> streamHourly,
+    "st02_stream_sessions" -> streamSessions)
+
+  val oracles: Map[String, String] = Map(
+    "st01_stream_hourly" -> streamHourlySql,
+    "st02_stream_sessions" -> streamSessionsSql)
+}

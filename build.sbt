@@ -11,6 +11,8 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forward stdin to forked `run` so `manifest2json -` (stdin source) works
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -66,7 +66,18 @@ class ManifestToJsonTool extends Tool {
       err.println("Usage: manifest2json [--pretty] [--head[=X]] [--reader-schema[-file] S] <manifest.avro> <metadata.json>")
       return 1
     }
-    val Seq(manifestPath, metadataPath) = positional.take(2).toSeq
+    val Seq(manifestArg, metadataPath) = positional.take(2).toSeq
+
+    // "-" reads the manifest from stdin (parity with Util.fileOrStdin,
+    // /root/reference/src/main/java/dev/liliwei/iceberg/tool/Util.java:41-44).
+    // stdin has no distributed analog: spool to a temp file the tasks read.
+    val manifestPath =
+      if (manifestArg == "-") {
+        val tmp = Files.createTempFile("graft-manifest-", ".avro")
+        Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        tmp.toFile.deleteOnExit()
+        tmp.toString
+      } else manifestArg
 
     val meta = TableMetadata.parseFile(metadataPath)
     val entries = ManifestReader.entriesHead(spark,

@@ -73,7 +73,9 @@ object ManifestReader {
               new Schema.Parser().parse(effectiveJson))
         val in = open(p, new Configuration())
         val stream = new DataFileStream[GenericRecord](in, reader)
-        val schema = stream.getSchema // resolved reader schema
+        // Convert with the reader (expected) schema: DataFileStream.getSchema
+        // reports the writer schema, but records resolve to the reader's.
+        val schema = new Schema.Parser().parse(effectiveJson)
         // Manifests are small (KB–MB): buffering one file per task is the
         // right trade vs. keeping a stream open past the flatMap.
         try {

@@ -89,6 +89,30 @@ class IcebergSpec extends SparkSpec {
     assert(headTree.isArray && headTree.size() == 1)
   }
 
+  test("manifest from stdin ('-') matches the file-path read") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(IcebergQueries.FixtureManifest))
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val rc = new ManifestToJsonTool().run(spark,
+      new java.io.ByteArrayInputStream(bytes),
+      new java.io.PrintStream(outBuf, true, "UTF-8"), System.err,
+      Seq("-", IcebergQueries.FixtureMetadata))
+    assert(rc == 0)
+    val tree = new ObjectMapper().readTree(outBuf.toString("UTF-8"))
+    assert(tree.isArray && tree.size() == 2)
+  }
+
+  test("reader-schema projection narrows the output columns") {
+    // project manifest_entry to just status via an Avro reader schema
+    val readerSchema =
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int","field-id":0}]}""".stripMargin
+    val df = ManifestReader.entries(spark,
+      Seq(IcebergQueries.FixtureManifest), Some(readerSchema))
+    assert(df.columns.toSeq == Seq("status"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 1))
+  }
+
   test("CLI dispatch: unknown tool prints listing and exits 1") {
     val errBuf = new java.io.ByteArrayOutputStream()
     val rc = Main.run(spark, new java.io.PrintStream(errBuf),

@@ -131,11 +131,48 @@ object EventStreams {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Gap-based sessions via the built-in `session_window` (dynamic-gap
+    * merging windows) — the third independent implementation of the same
+    * semantics (batch lag/cumsum = q21, mapGroupsWithState = st02), all
+    * hash-matched against one oracle. */
+  val streamSessionWindow: Q = (spark, dir) => {
+    import spark.implicits._
+    val sessions = eventsStream(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(spark, sessions, OutputMode.Complete())
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** q21's oracle, reused: session_window(gap) merges any events within
+    * 30 minutes of each other — identical partitioning to the lag>gap
+    * cumulative-flag formulation. */
+  val streamSessionWindowSql: String =
+    """SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts_us,
+      |      CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+      |    FROM (
+      |      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |        LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |      FROM events) a) b) c
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st01_stream_hourly" -> streamHourly,
-    "st02_stream_sessions" -> streamSessions)
+    "st02_stream_sessions" -> streamSessions,
+    "st03_session_window" -> streamSessionWindow)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_hourly" -> streamHourlySql,
-    "st02_stream_sessions" -> streamSessionsSql)
+    "st02_stream_sessions" -> streamSessionsSql,
+    "st03_session_window" -> streamSessionWindowSql)
 }

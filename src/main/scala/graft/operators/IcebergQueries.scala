@@ -71,7 +71,18 @@ object IcebergQueries {
       .orderBy(col("schema_id"), col("field_id"))
   }
 
+  /** The DataSource V2 route: `format("graft-manifest")` — Catalyst plans
+    * the scan, one partition per manifest, column pruning pushed into the
+    * Avro decode as a reader-schema projection. */
+  val i06Dsv2Scan: Q = (spark, _) =>
+    spark.read.format("graft-manifest").load(FixtureManifest)
+      .select(col("status"), col("snapshot_id"),
+        col("data_file.file_path").as("file_path"),
+        col("data_file.record_count").as("record_count"))
+      .orderBy(col("file_path"))
+
   val queries: Map[String, Q] = Map(
+    "i06_dsv2_scan" -> i06Dsv2Scan,
     "i01_manifest_files" -> i01ManifestFiles,
     "i02_snapshots" -> i02Snapshots,
     "i03_pruned_scan" -> i03PrunedScan,

@@ -113,6 +113,20 @@ class IcebergSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 1))
   }
 
+  test("DSv2 source: reads entries and prunes columns into the Avro decode") {
+    val df = spark.read.format("graft-manifest").load(IcebergQueries.FixtureManifest)
+    assert(df.schema.fieldNames.toSeq == Seq("status", "snapshot_id", "data_file"))
+    val pruned = df.select("status")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("graft-manifest scan, ReadSchema: struct<status:int>"),
+      s"expected pruned v2 scan in:\n$scanDesc")
+    assert(pruned.collect().map(_.getInt(0)).toSeq == Seq(1, 1))
+    // full read through v2 matches the v1 reader
+    val v2 = IcebergQueries.i06Dsv2Scan(spark, sfDir).collect()
+    assert(v2.length == 2)
+    assert(v2.map(_.getAs[Long]("record_count")).toSeq == Seq(1L, 1L))
+  }
+
   test("CLI dispatch: unknown tool prints listing and exits 1") {
     val errBuf = new java.io.ByteArrayOutputStream()
     val rc = Main.run(spark, new java.io.PrintStream(errBuf),

@@ -124,7 +124,8 @@ case class LangId(child: Expression) extends TextKernelExpression {
 
 /** Session registration + Column-API wrappers (via the public function
   * registry, so both SQL text and the Column API reach the same codegen'd
-  * expressions). */
+  * expressions). Also injectable through SparkSessionExtensions — see
+  * [[graft.GraftExtensions]]. */
 object GraftFunctions {
   @volatile private var registered = Set.empty[SparkSession]
 
@@ -133,27 +134,27 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  /** name → expression builder, the single source for both registration
+    * routes (temp-function registry and SparkSessionExtensions). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_fingerprint64" -> (es => Fingerprint64(es.head)),
+    "graft_simhash64" -> (es => SimHash64(es.head, intLit(es(1), "shingleK"))),
+    "graft_minhash_sig" -> (es => MinHashSig(es.head,
+      intLit(es(1), "shingleK"), intLit(es(2), "numHashes"))),
+    "graft_shingle_hashes" -> (es => ShingleHashes(es.head, intLit(es(1), "shingleK"))),
+    "graft_chargram_hashes" -> (es => CharGramHashes(es.head, intLit(es(1), "n"))),
+    "graft_chargram_bands" -> (es => CharGramBands(es.head, intLit(es(1), "n"),
+      intLit(es(2), "numHashes"), intLit(es(3), "bands"))),
+    "graft_minhash_bands" -> (es => MinHashBands(es.head, intLit(es(1), "shingleK"),
+      intLit(es(2), "numHashes"), intLit(es(3), "bands"))),
+    "graft_lang_id" -> (es => LangId(es.head)))
+
   def register(spark: SparkSession): Unit = synchronized {
     if (registered.contains(spark)) return
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_fingerprint64",
-      es => Fingerprint64(es.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash64",
-      es => SimHash64(es.head, intLit(es(1), "shingleK")), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      es => MinHashSig(es.head, intLit(es(1), "shingleK"), intLit(es(2), "numHashes")), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      es => ShingleHashes(es.head, intLit(es(1), "shingleK")), "built-in")
-    reg.createOrReplaceTempFunction("graft_chargram_hashes",
-      es => CharGramHashes(es.head, intLit(es(1), "n")), "built-in")
-    reg.createOrReplaceTempFunction("graft_chargram_bands",
-      es => CharGramBands(es.head, intLit(es(1), "n"),
-        intLit(es(2), "numHashes"), intLit(es(3), "bands")), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_bands",
-      es => MinHashBands(es.head, intLit(es(1), "shingleK"),
-        intLit(es(2), "numHashes"), intLit(es(3), "bands")), "built-in")
-    reg.createOrReplaceTempFunction("graft_lang_id",
-      es => LangId(es.head), "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
     registered += spark
   }
 

@@ -95,6 +95,28 @@ class PipelineSpec extends SparkSpec {
     assert(a.forall(r => r.getAs[Int]("byte_len") > 0))
   }
 
+  test("extensions: graft functions resolve from pure SQL") {
+    val r = spark.sql(
+      "SELECT graft_lang_id('the cat is on the roof and the dog is here') AS lang, " +
+        "graft_fingerprint64('hello world') AS fp").collect().head
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == graft.functions.TextAlgos.fingerprint64("hello world"))
+  }
+
+  test("partitioned parquet sink roundtrip (directory layout by column)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.exists(_.startsWith("lang=")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // partition pruning: a lang filter must prune to one directory
+    val plan = back.filter($"lang" === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), s"no partition filter in:\n$plan")
+  }
+
   test("codegen: custom expressions evaluate inside whole-stage codegen") {
     import spark.implicits._
     val df = graft.Tables.load(spark, sfDir, "documents")

@@ -110,15 +110,100 @@ object Relational2 {
       |WHERE o_orderkey = first_key
       |ORDER BY o_custkey""".stripMargin
 
+  /** TPC-H Q4-style: order-priority counts where a qualifying lineitem
+    * exists (semi join feeding an aggregation). */
+  val priorityWithLate: Q = (spark, dir) => {
+    import spark.implicits._
+    val ord = Tables.load(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast(TimestampType) &&
+        $"o_orderdate" < lit("1996-07-01").cast(TimestampType))
+    val lateItems = Tables.load(spark, dir, "lineitem")
+      .filter($"l_quantity" >= 30)
+      .select($"l_orderkey")
+    ord.join(lateItems, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val priorityWithLateSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 30)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q12-style: dual conditional counts per group (high/low priority
+    * split per linestatus). */
+  val shipmodeSplit: Q = (spark, dir) => {
+    import spark.implicits._
+    val ord = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
+        $"l_shipdate" < lit("1997-01-01").cast(TimestampType))
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(
+        count(when($"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH", lit(1)))
+          .as("high_line_count"),
+        count(when($"o_orderpriority" =!= "1-URGENT" && $"o_orderpriority" =!= "2-HIGH", lit(1)))
+          .as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  val shipmodeSplitSql: String =
+    """SELECT l_linestatus,
+      |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+      |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q14-style: promo revenue share — a ratio of two conditional
+    * decimal sums, divided in double (bit-identical both engines). */
+  val promoShare: Q = (spark, dir) => {
+    import spark.implicits._
+    val part = Tables.load(spark, dir, "part").select($"p_partkey", $"p_type")
+    val rev = $"l_extendedprice".cast(DecimalType(12, 2)) *
+      (lit(1).cast(DecimalType(4, 2)) - $"l_discount".cast(DecimalType(4, 2)))
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-03-01").cast(TimestampType) &&
+        $"l_shipdate" < lit("1996-04-01").cast(TimestampType))
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .agg(
+        (sum(when($"p_type" === "PROMO", rev).otherwise(lit(0).cast(DecimalType(12, 2)))).cast(DoubleType) * 100.0 /
+          sum(rev).cast(DoubleType)).as("promo_revenue_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val promoShareSql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0 /
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS promo_revenue_pct,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_order_count_dist" -> orderCountDist,
     "q30_full_outer" -> fullOuterYears,
     "q31_explode_words" -> explodeWords,
-    "q32_first_last" -> firstLastOrder)
+    "q32_first_last" -> firstLastOrder,
+    "q33_priority_exists" -> priorityWithLate,
+    "q34_priority_split" -> shipmodeSplit,
+    "q35_promo_share" -> promoShare)
 
   val oracles: Map[String, String] = Map(
     "q29_order_count_dist" -> orderCountDistSql,
     "q30_full_outer" -> fullOuterYearsSql,
     "q31_explode_words" -> explodeWordsSql,
-    "q32_first_last" -> firstLastOrderSql)
+    "q32_first_last" -> firstLastOrderSql,
+    "q33_priority_exists" -> priorityWithLateSql,
+    "q34_priority_split" -> shipmodeSplitSql,
+    "q35_promo_share" -> promoShareSql)
 }

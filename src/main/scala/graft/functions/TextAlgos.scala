@@ -28,9 +28,12 @@ object TextAlgos {
     x ^ (x >>> 31)
   }
 
-  def tokenize(text: String): Array[String] =
-    if (text == null || text.isEmpty) Array.empty
-    else text.trim.split("\\s+")
+  def tokenize(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val t = text.trim
+    // "".split(regex) returns Array("") — guard blank inputs explicitly
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
 
   /** Distinct k-token shingle hashes — the dedup unit. Hashing the joined
     * shingle string keeps memory O(#shingles × 8 bytes) regardless of

@@ -77,6 +77,24 @@ object MetadataTables {
         col("data_file.sort_order_id").as("sort_order_id"))
   }
 
+  /** The `manifests` metadata table: one row per manifest file, read from
+    * a snapshot's manifest-list Avro (itself just another Avro container —
+    * the generic reader handles it). */
+  def manifests(spark: SparkSession, manifestListPath: String): DataFrame =
+    ManifestReader.entries(spark, Seq(manifestListPath))
+
+  /** All data files reachable from a snapshot: manifest-list → manifest
+    * paths (driver-side collect of a KB-scale list) → distributed manifest
+    * scan. This is Iceberg's two-level planning chain; at 100 TB the fan-out
+    * is thousands of manifests → one task each. */
+  def filesForSnapshot(spark: SparkSession, meta: TableMetadata, snapshot: Snapshot): DataFrame = {
+    val listPath = snapshot.manifestList.getOrElse(
+      throw new IllegalArgumentException(s"snapshot ${snapshot.snapshotId} has no manifest-list"))
+    val manifestPaths = manifests(spark, listPath)
+      .select(col("manifest_path")).collect().map(_.getString(0)).toSeq
+    files(spark, meta, manifestPaths)
+  }
+
   /** Per-partition rollup of the files table. */
   def partitions(spark: SparkSession, meta: TableMetadata, manifestPaths: Seq[String]): DataFrame =
     files(spark, meta, manifestPaths)

@@ -189,7 +189,67 @@ object Relational2 {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
 
+  /** Funnel conversion: first signup per user, first purchase strictly
+    * after it — conditional aggregation over event sequences in exact
+    * integer epoch-micros. Nulls (non-converters) coalesced to -1 so the
+    * compare never sorts/hashes null keys. */
+  val funnel: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts_us").as("first_signup_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts_us".as("p_ts"))
+    signups
+      .join(purchases, $"user_id" === $"p_user" && $"p_ts" > $"first_signup_us", "left_outer")
+      .groupBy($"user_id", $"first_signup_us")
+      .agg(coalesce(min($"p_ts"), lit(-1L)).as("first_purchase_after_us"))
+      .withColumn("converted", $"first_purchase_after_us" =!= -1L)
+      .orderBy($"user_id")
+  }
+
+  val funnelSql: String =
+    """SELECT s.user_id, s.first_signup_us,
+      |  COALESCE(MIN(p.p_ts), -1) AS first_purchase_after_us,
+      |  COALESCE(MIN(p.p_ts), -1) <> -1 AS converted
+      |FROM (SELECT user_id, MIN(epoch_us(ts)) AS first_signup_us
+      |      FROM events WHERE event_type = 'signup' GROUP BY user_id) s
+      |LEFT OUTER JOIN (SELECT user_id AS p_user, epoch_us(ts) AS p_ts
+      |      FROM events WHERE event_type = 'purchase') p
+      |  ON s.user_id = p_user AND p_ts > s.first_signup_us
+      |GROUP BY s.user_id, s.first_signup_us
+      |ORDER BY s.user_id""".stripMargin
+
+  /** NTILE deciles over customer balances (deterministic via unique
+    * tiebreak), rolled up to per-decile stats. */
+  val balanceDeciles: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.load(spark, dir, "customer")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        dec10($"c_acctbal", min).as("min_bal"),
+        dec10($"c_acctbal", max).as("max_bal"))
+      .orderBy($"decile")
+  }
+
+  private def dec10(c: org.apache.spark.sql.Column,
+      agg: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    agg(c.cast(DecimalType(12, 2))).cast("double")
+
+  val balanceDecilesSql: String =
+    """SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n_customers,
+      |  CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_bal,
+      |  CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
+      |FROM (SELECT c_acctbal, NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+      |      FROM customer) t
+      |GROUP BY decile ORDER BY decile""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q36_funnel" -> funnel,
+    "q37_balance_deciles" -> balanceDeciles,
     "q29_order_count_dist" -> orderCountDist,
     "q30_full_outer" -> fullOuterYears,
     "q31_explode_words" -> explodeWords,
@@ -199,6 +259,8 @@ object Relational2 {
     "q35_promo_share" -> promoShare)
 
   val oracles: Map[String, String] = Map(
+    "q36_funnel" -> funnelSql,
+    "q37_balance_deciles" -> balanceDecilesSql,
     "q29_order_count_dist" -> orderCountDistSql,
     "q30_full_outer" -> fullOuterYearsSql,
     "q31_explode_words" -> explodeWordsSql,

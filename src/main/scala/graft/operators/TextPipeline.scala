@@ -106,15 +106,39 @@ object TextPipeline {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Stopword-removal transform (the cleaning step of a pre-training
+    * pipeline): higher-order filter + rejoin, no UDF. Cleaned text is
+    * md5'd for the compare to keep the output compact. */
+  val cleanText: Q = (spark, dir) => {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val kept = filter(toks, w => !w.isin("the", "a", "of", "and", "is", "to", "in"))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        md5(array_join(kept, " ")).as("clean_md5"),
+        (size(toks) - size(kept)).as("n_removed"))
+      .orderBy($"doc_id")
+  }
+
+  val cleanTextSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_filter(string_split(text, ' '),
+      |    w -> w NOT IN ('the', 'a', 'of', 'and', 'is', 'to', 'in')), ' ')) AS clean_md5,
+      |  CAST(len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '),
+      |    w -> w NOT IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS INTEGER) AS n_removed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> tokenStats,
     "t02_quality_score" -> qualityScore,
     "t03_lang_id" -> langIdQuery,
     "t04_fingerprints" -> fingerprints,
-    "t05_token_budget" -> tokenBudget)
+    "t05_token_budget" -> tokenBudget,
+    "t06_clean_text" -> cleanText)
 
   val oracles: Map[String, String] = Map(
     "t01_token_stats" -> tokenStatsSql,
     "t02_quality_score" -> qualityScoreSql,
-    "t05_token_budget" -> tokenBudgetSql)
+    "t05_token_budget" -> tokenBudgetSql,
+    "t06_clean_text" -> cleanTextSql)
 }

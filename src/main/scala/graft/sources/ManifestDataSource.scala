@@ -32,6 +32,9 @@ import graft.iceberg.AvroConversions
   */
 class ManifestDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest"
+  // nothing below is manifest-specific: the schema comes from the
+  // container header, so this provider reads ANY Avro object-container
+  // file (see AvroContainerDataSource for the generic-name registration)
 
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).map(_.split(",").toSeq).getOrElse(Nil)
@@ -54,6 +57,15 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def supportsExternalMetadata(): Boolean = false
+}
+
+/** Generic Avro container source: `spark.read.format("graft-avro")` — the
+  * environment ships no spark-avro jar (SURVEY.md §7 constraints), so this
+  * provider fills the gap for any Avro object-container file using the
+  * core avro jar, with the same per-file partitioning and reader-schema
+  * column pruning as the manifest source. */
+class AvroContainerDataSource extends ManifestDataSource {
+  override def shortName(): String = "graft-avro"
 }
 
 class ManifestTable(schema: StructType, paths: Seq[String], writerSchemaJson: String)

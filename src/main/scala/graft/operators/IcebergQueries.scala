@@ -81,8 +81,21 @@ object IcebergQueries {
         col("data_file.record_count").as("record_count"))
       .orderBy(col("file_path"))
 
+  /** Metadata document through the JSON source (multiLine — the document
+    * is one object): snapshot summaries as a DataFrame. Rows-only gate
+    * (the oracle tables don't include the metadata document). */
+  val i07JsonMetadata: Q = (spark, _) =>
+    spark.read.option("multiLine", "true").json(FixtureMetadata)
+      .select(explode(col("snapshots")).as("s"))
+      .select(col("s.snapshot-id").as("snapshot_id"),
+        col("s.timestamp-ms").as("timestamp_ms"),
+        col("s.summary.operation").as("operation"),
+        col("s.summary.added-records").cast("long").as("added_records"))
+      .orderBy(col("snapshot_id"))
+
   val queries: Map[String, Q] = Map(
     "i06_dsv2_scan" -> i06Dsv2Scan,
+    "i07_json_metadata" -> i07JsonMetadata,
     "i01_manifest_files" -> i01ManifestFiles,
     "i02_snapshots" -> i02Snapshots,
     "i03_pruned_scan" -> i03PrunedScan,

@@ -247,7 +247,73 @@ object Relational2 {
       |      FROM customer) t
       |GROUP BY decile ORDER BY decile""".stripMargin
 
+  /** TPC-H Q18-style: customers whose single orders accumulate large
+    * lineitem quantity (grouped-HAVING feeding an IN-style semi join). */
+  val bigOrders: Q = (spark, dir) => {
+    import spark.implicits._
+    val bigKeys = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum(dec2($"l_quantity")).as("total_qty"))
+      .filter($"total_qty" > 150)
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    ord.join(bigKeys, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        $"o_orderdate".cast(DateType).as("o_orderdate"),
+        $"total_qty".cast(DoubleType).as("total_qty"))
+      .orderBy($"total_qty".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  val bigOrdersSql: String =
+    """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  CAST(total_qty AS DOUBLE) AS total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150) b
+      |  ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q22-style: positive-balance customers above the positive-only
+    * average with no 1997 orders — anti join + exact-decimal avg
+    * comparison (bal·n > sum avoids engine-specific division). */
+  val globalSales: Q = (spark, dir) => {
+    import spark.implicits._
+    val cust = Tables.load(spark, dir, "customer")
+    val positive = cust.filter($"c_acctbal" > 0.0)
+    val stats = positive.agg(sum(dec2($"c_acctbal")).as("s"), count(lit(1)).as("n"))
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(year($"o_orderdate") === 1997)
+      .select($"o_custkey")
+    positive.crossJoin(broadcast(stats))
+      .filter(dec2($"c_acctbal") * $"n" > $"s")
+      .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(dec2($"c_acctbal")), 2).cast(DoubleType).as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val globalSalesSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_custs,
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
+      |FROM customer, (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s, COUNT(*) AS n
+      |                FROM customer WHERE c_acctbal > 0.0) st
+      |WHERE c_acctbal > 0.0
+      |  AND CAST(c_acctbal AS DECIMAL(12,2)) * n > s
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND EXTRACT(year FROM o_orderdate) = 1997)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q38_big_orders" -> bigOrders,
+    "q39_rich_inactive" -> globalSales,
     "q36_funnel" -> funnel,
     "q37_balance_deciles" -> balanceDeciles,
     "q29_order_count_dist" -> orderCountDist,
@@ -259,6 +325,8 @@ object Relational2 {
     "q35_promo_share" -> promoShare)
 
   val oracles: Map[String, String] = Map(
+    "q38_big_orders" -> bigOrdersSql,
+    "q39_rich_inactive" -> globalSalesSql,
     "q36_funnel" -> funnelSql,
     "q37_balance_deciles" -> balanceDecilesSql,
     "q29_order_count_dist" -> orderCountDistSql,

@@ -128,7 +128,33 @@ object TextPipeline {
       |    w -> w NOT IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS INTEGER) AS n_removed
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  final case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+  final case class SourceStats(source: String, n_docs: Long, max_chars: Long, total_chars: Long)
+
+  /** Typed Dataset surface: groupByKey + mapGroups with case-class
+    * Encoders — compile-checked fields, deterministic per-group fold.
+    * (The untyped twin would be a plain groupBy; this entry exists to keep
+    * the typed API under the same oracle gate.) */
+  val typedSourceStats: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").as[Doc]
+      .groupByKey(_.source)
+      .mapGroups { (src, docs) =>
+        var n = 0L; var mx = 0L; var tot = 0L
+        docs.foreach { d => n += 1; mx = math.max(mx, d.n_chars); tot += d.n_chars }
+        SourceStats(src, n, mx, tot)
+      }
+      .toDF()
+      .orderBy(col("source"))
+  }
+
+  val typedSourceStatsSql: String =
+    """SELECT source, COUNT(*) AS n_docs, MAX(n_chars) AS max_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t07_typed_source_stats" -> typedSourceStats,
     "t01_token_stats" -> tokenStats,
     "t02_quality_score" -> qualityScore,
     "t03_lang_id" -> langIdQuery,
@@ -137,6 +163,7 @@ object TextPipeline {
     "t06_clean_text" -> cleanText)
 
   val oracles: Map[String, String] = Map(
+    "t07_typed_source_stats" -> typedSourceStatsSql,
     "t01_token_stats" -> tokenStatsSql,
     "t02_quality_score" -> qualityScoreSql,
     "t05_token_budget" -> tokenBudgetSql,

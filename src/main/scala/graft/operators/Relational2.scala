@@ -311,7 +311,75 @@ object Relational2 {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Multiset set operations (ALL variants keep duplicates — a different
+    * physical plan from the distinct forms: aggregate-count + replicate). */
+  val multisetOps: Q = (spark, dir) => {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+    val a = li.filter($"l_returnflag" === "R").select($"l_suppkey")
+    val b = li.filter($"l_linestatus" === "F").select($"l_suppkey")
+    val inter = a.intersectAll(b).agg(count(lit(1)).as("n_intersect_all"))
+    val exc = a.exceptAll(b).agg(count(lit(1)).as("n_except_all"))
+    val uni = a.union(b).agg(count(lit(1)).as("n_union_all"))
+    inter.crossJoin(exc).crossJoin(uni)
+  }
+
+  val multisetOpsSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM (
+      |    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      |    INTERSECT ALL
+      |    SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F')) AS n_intersect_all,
+      |  (SELECT COUNT(*) FROM (
+      |    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      |    EXCEPT ALL
+      |    SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F')) AS n_except_all,
+      |  (SELECT COUNT(*) FROM (
+      |    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      |    UNION ALL
+      |    SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F')) AS n_union_all""".stripMargin
+
+  /** Null-handling + map-function battery: props JSON lifted to a real
+    * map column (str_to_map), element_at/cardinality over it, and the
+    * nullif/nvl/coalesce family on derived nullables. */
+  val nullMapFns: Q = (spark, dir) => {
+    import spark.implicits._
+    val kv = str_to_map(regexp_replace($"props", "[{}\" ]", ""), lit(","), lit(":"))
+    Tables.load(spark, dir, "events")
+      .withColumn("kv", kv)
+      .select($"event_id",
+        element_at($"kv", "k").cast(IntegerType).as("k_val"),
+        size($"kv").as("n_keys"),
+        nullif($"event_type", lit("view")).as("type_or_null"))
+      .withColumn("type_filled", coalesce($"type_or_null", lit("filtered")))
+      .groupBy($"type_filled")
+      .agg(count(lit(1)).as("n"),
+        count($"type_or_null").as("n_nonnull"),
+        sum(when($"k_val" > 50, 1).otherwise(0)).as("n_high_k"),
+        max($"n_keys").as("max_keys"))
+      .orderBy($"type_filled")
+  }
+
+  val nullMapFnsSql: String =
+    """SELECT type_filled, COUNT(*) AS n, COUNT(type_or_null) AS n_nonnull,
+      |  CAST(SUM(CASE WHEN k_val > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_k,
+      |  MAX(n_keys) AS max_keys
+      |FROM (
+      |  SELECT event_id,
+      |    CAST(map_extract(kv, 'k')[1] AS INTEGER) AS k_val,
+      |    CAST(cardinality(kv) AS INTEGER) AS n_keys,
+      |    NULLIF(event_type, 'view') AS type_or_null,
+      |    COALESCE(NULLIF(event_type, 'view'), 'filtered') AS type_filled
+      |  FROM (SELECT event_id, event_type,
+      |          map_from_entries([struct_pack(k := string_split(p, ':')[1], v := string_split(p, ':')[2])
+      |            for p in string_split(regexp_replace(props, '[{}" ]', '', 'g'), ',')]) AS kv
+      |        FROM events) a) b
+      |GROUP BY type_filled
+      |ORDER BY type_filled""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q40_multiset_ops" -> multisetOps,
+    "q41_null_map_fns" -> nullMapFns,
     "q38_big_orders" -> bigOrders,
     "q39_rich_inactive" -> globalSales,
     "q36_funnel" -> funnel,
@@ -325,6 +393,8 @@ object Relational2 {
     "q35_promo_share" -> promoShare)
 
   val oracles: Map[String, String] = Map(
+    "q40_multiset_ops" -> multisetOpsSql,
+    "q41_null_map_fns" -> nullMapFnsSql,
     "q38_big_orders" -> bigOrdersSql,
     "q39_rich_inactive" -> globalSalesSql,
     "q36_funnel" -> funnelSql,

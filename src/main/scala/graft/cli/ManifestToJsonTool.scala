@@ -32,6 +32,17 @@ class ManifestToJsonTool extends Tool {
   private val mapper = new ObjectMapper()
 
   override def run(spark: SparkSession, in: InputStream, out: PrintStream,
+      err: PrintStream, args: Seq[String]): Int =
+    try runChecked(spark, in, out, err, args)
+    catch {
+      // graceful failure on bad inputs (missing/corrupt files): message +
+      // rc=1, never a stack trace on the user's console
+      case e: Exception =>
+        err.println(s"manifest2json: ${e.getMessage}")
+        1
+    }
+
+  private def runChecked(spark: SparkSession, in: InputStream, out: PrintStream,
       err: PrintStream, args: Seq[String]): Int = {
     var pretty = false
     var head = Long.MaxValue

@@ -377,7 +377,37 @@ object Relational2 {
       |GROUP BY type_filled
       |ORDER BY type_filled""".stripMargin
 
+  /** Remaining ranking-function variants in one pass: dense_rank,
+    * percent_rank, cume_dist (double ratios of ints — identical IEEE
+    * division both engines), lag/lead with defaults. */
+  val rankVariants: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.load(spark, dir, "customer")
+      .filter($"c_custkey" < 200)
+      .select($"c_mktsegment", $"c_custkey",
+        dense_rank().over(w).as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        lag($"c_custkey", 1, -1L).over(w).as("prev_cust"),
+        lead($"c_custkey", 2, -1L).over(w).as("next2_cust"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  val rankVariantsSql: String =
+    """SELECT c_mktsegment, c_custkey,
+      |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
+      |  PERCENT_RANK() OVER w AS prank,
+      |  CUME_DIST() OVER w AS cdist,
+      |  LAG(c_custkey, 1, -1) OVER w AS prev_cust,
+      |  LEAD(c_custkey, 2, -1) OVER w AS next2_cust
+      |FROM customer
+      |WHERE c_custkey < 200
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q42_rank_variants" -> rankVariants,
     "q40_multiset_ops" -> multisetOps,
     "q41_null_map_fns" -> nullMapFns,
     "q38_big_orders" -> bigOrders,
@@ -393,6 +423,7 @@ object Relational2 {
     "q35_promo_share" -> promoShare)
 
   val oracles: Map[String, String] = Map(
+    "q42_rank_variants" -> rankVariantsSql,
     "q40_multiset_ops" -> multisetOpsSql,
     "q41_null_map_fns" -> nullMapFnsSql,
     "q38_big_orders" -> bigOrdersSql,

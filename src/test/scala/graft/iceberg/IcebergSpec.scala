@@ -135,6 +135,15 @@ class IcebergSpec extends SparkSpec {
     assert(errBuf.toString.contains("manifest2json"))
   }
 
+  test("missing metadata/manifest files fail gracefully with rc=1") {
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val rc = new ManifestToJsonTool().run(spark, System.in,
+      new java.io.PrintStream(errBuf), new java.io.PrintStream(errBuf),
+      Seq("/nope/manifest.avro", "/nope/metadata.json"))
+    assert(rc == 1)
+    assert(errBuf.toString.contains("manifest2json:"))
+  }
+
   test("negative --head is rejected with exit 1") {
     val errBuf = new java.io.ByteArrayOutputStream()
     val rc = new ManifestToJsonTool().run(spark, System.in,

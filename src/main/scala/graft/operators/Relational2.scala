@@ -406,7 +406,32 @@ object Relational2 {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  /** TPC-H Q17-style: revenue from small-quantity lineitems, threshold
+    * 20% of the per-part average quantity. The comparison is kept in
+    * exact integer-scaled decimals (5·qty·cnt < sum ⇔ qty < 0.2·avg),
+    * avoiding engine-specific division entirely. */
+  val smallQtyRevenue: Q = (spark, dir) => {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+    val stats = li.groupBy($"l_partkey".as("pk"))
+      .agg(sum(dec2($"l_quantity")).as("qty_sum"), count(lit(1)).as("qty_cnt"))
+    li.join(broadcast(stats), $"l_partkey" === $"pk")
+      .filter(dec2($"l_quantity") * 5 * $"qty_cnt" < $"qty_sum")
+      .agg(round(sum(dec2($"l_extendedprice")), 2).cast(DoubleType).as("small_qty_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS small_qty_revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l JOIN (
+      |  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum, COUNT(*) AS qty_cnt
+      |  FROM lineitem GROUP BY l_partkey) s
+      |ON l.l_partkey = pk
+      |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * qty_cnt < qty_sum""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q43_small_qty_revenue" -> smallQtyRevenue,
     "q42_rank_variants" -> rankVariants,
     "q40_multiset_ops" -> multisetOps,
     "q41_null_map_fns" -> nullMapFns,
@@ -423,6 +448,7 @@ object Relational2 {
     "q35_promo_share" -> promoShare)
 
   val oracles: Map[String, String] = Map(
+    "q43_small_qty_revenue" -> smallQtyRevenueSql,
     "q42_rank_variants" -> rankVariantsSql,
     "q40_multiset_ops" -> multisetOpsSql,
     "q41_null_map_fns" -> nullMapFnsSql,

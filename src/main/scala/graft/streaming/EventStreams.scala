@@ -166,13 +166,51 @@ object EventStreams {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Stream-stream inner join with event-time range condition: each error
+    * joined to purchases of the same user in the preceding hour. Both
+    * sides watermarked (bounds the join state); AvailableNow processes the
+    * single file in one batch, so the result equals the batch interval
+    * join and shares its oracle. Output keyed deterministically and
+    * aggregated per error event. */
+  val streamIntervalJoin: Q = (spark, dir) => {
+    import spark.implicits._
+    val errors = eventsStream(spark, dir)
+      .filter($"event_type" === "error")
+      .select($"event_id".as("e_id"), $"user_id".as("e_user"), $"ts".as("e_ts"))
+      .withWatermark("e_ts", "30 minutes")
+    val purchases = eventsStream(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val joined = errors.join(purchases,
+      $"e_user" === $"p_user" &&
+        $"p_ts" >= $"e_ts" - expr("INTERVAL 1 HOUR") && $"p_ts" < $"e_ts")
+    runToMemory(spark, joined, OutputMode.Append())
+      .groupBy($"e_id")
+      .agg(count(lit(1)).as("n_recent_purchases"), max(unix_micros($"p_ts")).as("last_purchase_us"))
+      .orderBy($"e_id")
+  }
+
+  val streamIntervalJoinSql: String =
+    """SELECT e.event_id AS e_id, COUNT(*) AS n_recent_purchases,
+      |  MAX(epoch_us(p.ts)) AS last_purchase_us
+      |FROM events e JOIN events p
+      |  ON e.event_type = 'error' AND p.event_type = 'purchase'
+      |  AND e.user_id = p.user_id
+      |  AND epoch_us(p.ts) >= epoch_us(e.ts) - CAST(3600 AS BIGINT) * 1000000
+      |  AND epoch_us(p.ts) < epoch_us(e.ts)
+      |GROUP BY e.event_id
+      |ORDER BY e_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st01_stream_hourly" -> streamHourly,
     "st02_stream_sessions" -> streamSessions,
-    "st03_session_window" -> streamSessionWindow)
+    "st03_session_window" -> streamSessionWindow,
+    "st04_stream_interval_join" -> streamIntervalJoin)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_hourly" -> streamHourlySql,
     "st02_stream_sessions" -> streamSessionsSql,
-    "st03_session_window" -> streamSessionWindowSql)
+    "st03_session_window" -> streamSessionWindowSql,
+    "st04_stream_interval_join" -> streamIntervalJoinSql)
 }

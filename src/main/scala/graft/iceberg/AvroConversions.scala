@@ -117,4 +117,29 @@ object AvroConversions {
 
   def toRow(schema: Schema, record: GenericRecord): Row =
     toRowValue(schema, record).asInstanceOf[Row]
+
+  /** Derive an Avro reader schema keeping only the fields of `required`,
+    * recursively through nested records (and through null-unions). Feeding
+    * this to Avro schema resolution makes nested column pruning happen at
+    * decode time — skipped fields are never materialized. */
+  def pruneAvroSchema(writer: Schema, required: StructType): Schema = {
+    def pruneFieldSchema(w: Schema, dt: DataType): Schema = (w.getType, dt) match {
+      case (Schema.Type.UNION, _) =>
+        val branches = w.getTypes.asScala
+        Schema.createUnion(branches.map { b =>
+          if (b.getType == Schema.Type.NULL) b else pruneFieldSchema(b, dt)
+        }.asJava)
+      case (Schema.Type.RECORD, st: StructType) => pruneRecord(w, st)
+      case _ => w
+    }
+    def pruneRecord(w: Schema, st: StructType): Schema = {
+      val fields = st.fields.toSeq.map { rf =>
+        val wf = Option(w.getField(rf.name)).getOrElse(
+          throw new IllegalArgumentException(s"field ${rf.name} not in writer schema $w"))
+        new Schema.Field(wf.name(), pruneFieldSchema(wf.schema(), rf.dataType), wf.doc(), wf.defaultVal())
+      }
+      Schema.createRecord(w.getName, w.getDoc, w.getNamespace, false, fields.asJava)
+    }
+    pruneRecord(writer, required)
+  }
 }

@@ -83,9 +83,10 @@ class ManifestScanBuilder(fullSchema: StructType, paths: Seq[String], writerSche
   private var required: StructType = fullSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // keep writer field order; prune top-level fields not required
-    required = StructType(fullSchema.fields.filter(f =>
-      requiredSchema.fieldNames.contains(f.name)))
+    // keep Catalyst's pruned schema verbatim — including NESTED pruning
+    // (e.g. data_file.file_path only); the reader derives a matching Avro
+    // reader schema so skipped fields are never decoded
+    required = requiredSchema
 
   override def build(): Scan = new ManifestScan(required, paths, writerSchemaJson)
 }
@@ -119,14 +120,8 @@ class ManifestPartitionReader(path: String, required: StructType, writerSchemaJs
     extends PartitionReader[InternalRow] {
 
   private val writerSchema = new Schema.Parser().parse(writerSchemaJson)
-  private val readerSchema: Schema = {
-    val keep = required.fieldNames.toSet
-    val fields = writerSchema.getFields.asScala
-      .filter(f => keep.contains(f.name()))
-      .map(f => new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal()))
-    Schema.createRecord(writerSchema.getName, writerSchema.getDoc,
-      writerSchema.getNamespace, false, fields.toList.asJava)
-  }
+  private val readerSchema: Schema =
+    AvroConversions.pruneAvroSchema(writerSchema, required)
 
   private val in = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -127,6 +127,17 @@ class IcebergSpec extends SparkSpec {
     assert(v2.map(_.getAs[Long]("record_count")).toSeq == Seq(1L, 1L))
   }
 
+  test("DSv2 source: NESTED pruning reaches into data_file") {
+    val df = spark.read.format("graft-manifest").load(IcebergQueries.FixtureManifest)
+      .select(org.apache.spark.sql.functions.col("data_file.file_path"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the pruned read schema must contain only file_path inside data_file
+    assert(plan.contains("struct<data_file:struct<file_path:string>>"),
+      s"nested pruning missing in:\n$plan")
+    val paths = df.collect().map(_.getString(0))
+    assert(paths.length == 2 && paths.forall(_.endsWith(".parquet")))
+  }
+
   test("CLI dispatch: unknown tool prints listing and exits 1") {
     val errBuf = new java.io.ByteArrayOutputStream()
     val rc = Main.run(spark, new java.io.PrintStream(errBuf),

@@ -110,6 +110,19 @@ case class CharGramBands(child: Expression, n: Int, numHashes: Int, bands: Int)
   override protected def withNewChildInternal(c: Expression): CharGramBands = copy(child = c)
 }
 
+/** normalize_text(text): one-pass case-fold + strip + space-collapse +
+  * trim (see TextAlgos.normalize) — the dedup pre-hash normalizer. */
+case class NormalizeText(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(TextAlgos.normalize(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.TextAlgos.normalize($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): NormalizeText = copy(c)
+}
+
 /** lang_id(text): heuristic language identification. */
 case class LangId(child: Expression) extends TextKernelExpression {
   override def dataType: DataType = StringType
@@ -147,7 +160,8 @@ object GraftFunctions {
       intLit(es(2), "numHashes"), intLit(es(3), "bands"))),
     "graft_minhash_bands" -> (es => MinHashBands(es.head, intLit(es(1), "shingleK"),
       intLit(es(2), "numHashes"), intLit(es(3), "bands"))),
-    "graft_lang_id" -> (es => LangId(es.head)))
+    "graft_lang_id" -> (es => LangId(es.head)),
+    "graft_normalize_text" -> (es => NormalizeText(es.head)))
 
   def register(spark: SparkSession): Unit = synchronized {
     if (registered.contains(spark)) return
@@ -179,4 +193,6 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(b)) }
   def langId(spark: SparkSession, c: Column): Column =
     { register(spark); call_function("graft_lang_id", c) }
+  def normalizeText(spark: SparkSession, c: Column): Column =
+    { register(spark); call_function("graft_normalize_text", c) }
 }

@@ -39,12 +39,17 @@ class MisraGries(capacity: Int)
   override def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
     b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
     if (a.size > capacity) {
-      // shrink back to capacity: subtract the (size-capacity)-th largest count
+      // Shrink back to capacity (Agarwal et al., "Mergeable Summaries"):
+      // subtract the capacity-th largest count from EVERY counter and drop
+      // the non-positive ones. At least `capacity` counters carry >= cut
+      // mass, so the total mass removed per shrink is >= capacity * cut;
+      // summed over the sketch's lifetime that bounds every key's
+      // undercount by n / capacity.
       val cut = a.values.toSeq.sorted(Ordering[Long].reverse).apply(capacity - 1)
       val dead = a.collect { case (k, v) if v - cut <= 0 => k }.toSeq
       val cutKeep = a.keySet -- dead
       dead.foreach(a.remove)
-      cutKeep.foreach(k => a.update(k, a(k)))
+      cutKeep.foreach(k => a.update(k, a(k) - cut))
     }
     a
   }

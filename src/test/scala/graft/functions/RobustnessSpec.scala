@@ -36,6 +36,21 @@ class RobustnessSpec extends SparkSpec {
     assert(TextAlgos.charGramHashes("abc", 8).isEmpty)
   }
 
+  test("normalize_text equals the regex formulation on edge strings and real documents") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edge = Seq("", "   ", "a", "  Hello,   World!! 42 ", "a!b", "a ! b",
+      "tabs\tand\nnewlines", "MiXeD CaSe-42", "!!!", "a  b   c")
+    val docs = graft.Tables.load(spark, sfDir, "documents").select($"text")
+      .union(edge.toDF("text"))
+    val regexNorm = trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+    val mismatches = docs
+      .select(GraftFunctions.normalizeText(spark, $"text").as("fast"), regexNorm.as("slow"))
+      .filter(not($"fast" <=> $"slow"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("v2 metadata document parses (sequence numbers, parent snapshots, no top-level schema)") {
     val v2 =
       """{

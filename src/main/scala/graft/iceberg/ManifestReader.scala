@@ -46,6 +46,12 @@ object ManifestReader {
 
   /** All `manifest_entry` records of the given manifest files as a DataFrame.
     *
+    * Each container resolves with its OWN header schema as the writer
+    * schema (DataFileStream hands it to the reader), against one common
+    * reader schema — so a manifest set spanning a schema evolution
+    * (v1 + v2 manifests of the same table) decodes correctly file by file.
+    * The common reader schema defaults to the first file's writer schema.
+    *
     * @param readerSchemaJson optional Avro reader schema (projection /
     *   schema evolution via Avro schema resolution — parity with
     *   `--reader-schema`, ManifestFileReadTool.java:114-119,137-139).
@@ -55,22 +61,19 @@ object ManifestReader {
       paths: Seq[String],
       readerSchemaJson: Option[String] = None): DataFrame = {
     require(paths.nonEmpty, "no manifest paths given")
-    val writerJson = avroSchema(paths.head,
-      spark.sparkContext.hadoopConfiguration).toString
-    val effectiveJson = readerSchemaJson.getOrElse(writerJson)
+    val effectiveJson = readerSchemaJson.getOrElse(
+      avroSchema(paths.head, spark.sparkContext.hadoopConfiguration).toString)
     val structType = AvroConversions.toStructType(new Schema.Parser().parse(effectiveJson))
 
     val rdd = spark.sparkContext
       .parallelize(paths, paths.size)
       .flatMap { p =>
         // Schemas are not serializable across tasks: re-parse per task.
-        val reader =
-          if (writerJson == effectiveJson)
-            new GenericDatumReader[GenericRecord](new Schema.Parser().parse(writerJson))
-          else
-            new GenericDatumReader[GenericRecord](
-              new Schema.Parser().parse(writerJson),
-              new Schema.Parser().parse(effectiveJson))
+        // Writer schema deliberately unset — DataFileStream fills it in
+        // from THIS container's header, then Avro schema resolution maps
+        // it onto the common reader schema (per-file evolution).
+        val reader = new GenericDatumReader[GenericRecord](
+          null: Schema, new Schema.Parser().parse(effectiveJson))
         val in = open(p, new Configuration())
         val stream = new DataFileStream[GenericRecord](in, reader)
         // Convert with the reader (expected) schema: DataFileStream.getSchema

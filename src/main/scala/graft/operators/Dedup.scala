@@ -209,13 +209,61 @@ object Dedup {
       |ORDER BY cosine DESC, vec_a, vec_b
       |LIMIT 20""".stripMargin
 
+  /** IVF-bucketed candidate pairs: corpus hashed once into 2^nBits
+    * sign-random-projection buckets (the coarse quantizer), pairs meet iff
+    * their codes differ in ≤ `maxFlips` bits — a banded bucket self-join,
+    * never all-pairs. Shuffles only (vec_id, bucket) plus the static probe
+    * fan-out; embeddings are re-joined for the exact verify on candidates
+    * only (same shape as the MinHash verify stage). */
+  private[graft] def ivfCandidatePairs(
+      emb: DataFrame, nBits: Int, maxFlips: Int, dim: Int): DataFrame = {
+    val planes = Similarity.hyperplanes(nBits, dim)
+    val hashed = emb.select(emb("vec_id"),
+      Similarity.bucketOf(emb("embedding"), planes).as("bucket"))
+    val subsets = (1 to maxFlips).flatMap(sz => (0 until nBits).combinations(sz).toSeq)
+    val masks: Seq[Int] = 0 +: subsets.map(_.map(1 << _).reduce(_ | _))
+    val probes = hashed.select(col("vec_id").as("vec_b"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+    hashed.join(probes, col("bucket") === col("probe") && col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"))
+      .distinct()
+  }
+
+  /** Embedding near-dup, IVF-blocked (the 100 TB scale path d06's scaladoc
+    * promises): coarse-quantizer bucket join generates candidates — ~56 of
+    * 1024 buckets per vector ≈ 5% of the pair space here, shrinking
+    * geometrically as nBits tracks log2(n) — then exact cosine re-ranks
+    * and keeps the top 20. Approximate by design on the uniform-random
+    * testdata (top-of-noise pairs at cosine ≈ 0.4 don't co-bucket
+    * reliably); planted near-dups at cosine ≥ 0.99 are recovered with
+    * recall 1.0 — asserted in SimilaritySpec — which is the semantics a
+    * dedup pipeline needs. Deterministic output pinned by a golden VALUES
+    * oracle; d06 keeps the exact within-label plan for exact-ranking
+    * semantics. */
+  val embeddingIvfNearDup: Q = (spark, dir) => {
+    import spark.implicits._
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", sqrt(dot($"embedding", $"embedding")).as("norm"))
+    val cands = ivfCandidatePairs(emb, nBits = 10, maxFlips = 2, dim = 64)
+    cands
+      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("e_a"), $"norm".as("n_a")), "vec_a")
+      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("e_b"), $"norm".as("n_b")), "vec_b")
+      .select($"vec_a", $"vec_b", (dot($"e_a", $"e_b") / ($"n_a" * $"n_b")).as("cosine"))
+      .orderBy($"cosine".desc, $"vec_a", $"vec_b")
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> exactDedup,
     "d02_normalized_dedup" -> normalizedDedup,
     "d03_minhash_dedup" -> minhashDedup,
     "d04_simhash_pairs" -> simhashPairs,
     "d05_chargram_jaccard" -> chargramJaccard,
-    "d06_embedding_neardup" -> embeddingNearDup)
+    "d06_embedding_neardup" -> embeddingNearDup,
+    "d07_embedding_ivf" -> embeddingIvfNearDup)
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" -> exactDedupSql,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.iceberg.{ManifestReader, MetadataTables, ScanPlanning, TableMetadata}
+import graft.iceberg.{ManifestListWriter, ManifestReader, MetadataTables, ScanPlanning, TableMetadata}
 
 /** Iceberg-metadata analytics queries over the reference's own golden
   * fixtures (read-only at /root/reference/src/test/resources — the same
@@ -43,12 +43,20 @@ object IcebergQueries {
         element_at(col("summary"), "total-files-size").cast("long").as("total_files_size"))
       .orderBy(col("snapshot_id"))
 
-  /** Stats-based file pruning: predicate id >= 2 keeps only the data file
-    * whose upper bound reaches 2 (FIXTURES.md: file 2). */
+  /** Stats-based file pruning through the DSv2 route: predicate id >= 2
+    * keeps only the data file whose upper bound reaches 2 (FIXTURES.md:
+    * file 2). `option("metadata", …)` grows typed virtual stat columns
+    * (`upper_id` here) and the filter pushes into the source
+    * (`SupportsPushDownFilters`): rows are skipped at Avro-decode time and
+    * all-pruned manifests produce no InputPartition at all — the isNull arm
+    * keeps stats-less files, pruning must be conservative. Same result as
+    * the programmatic `ScanPlanning.pruneFiles` (which remains the
+    * planFiles API surface). */
   val i03PrunedScan: Q = (spark, _) =>
-    ScanPlanning.pruneFiles(
-      ManifestReader.entries(spark, Seq(FixtureManifest)), meta,
-      fieldId = 1, lower = Some(2L), upper = None)
+    spark.read.format("graft-manifest")
+      .option("metadata", FixtureMetadata)
+      .load(FixtureManifest)
+      .filter(col("upper_id") >= 2 || col("upper_id").isNull)
       .select(col("data_file.file_path").as("file_path"),
         col("data_file.record_count").as("record_count"))
       .orderBy(col("file_path"))
@@ -93,7 +101,30 @@ object IcebergQueries {
         col("s.summary.added-records").cast("long").as("added_records"))
       .orderBy(col("snapshot_id"))
 
+  /** Time travel: `snapshotAsOf(ts)` over the snapshot-log, then the full
+    * two-level planning chain snapshot → manifest-list → manifests → files
+    * with decoded bounds. The fixture's recorded manifest-list path is a
+    * dead /tmp location from the reference's own test run, so the entry
+    * first (re)writes that KB-sized list container from the metadata —
+    * deterministic content, same rows every run. */
+  val i08TimeTravel: Q = (spark, _) => {
+    val m = meta
+    val snap = m.snapshotAsOf(1647666383113L).getOrElse(
+      throw new IllegalStateException("fixture snapshot-log empty"))
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-i08"))
+    val listPath = s"$dir/snap-${snap.snapshotId}.avro"
+    ManifestListWriter.write(listPath, Seq(FixtureManifest), snap.snapshotId)
+    MetadataTables.filesForSnapshot(spark, m, snap.copy(manifestList = Some(listPath)))
+      .select(col("status"), col("snapshot_id"), col("file_path"),
+        col("record_count"),
+        col("lower_bounds").getItem(1).as("lower_id"),
+        col("upper_bounds").getItem(1).as("upper_id"))
+      .orderBy(col("file_path"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "i08_time_travel" -> i08TimeTravel,
     "i06_dsv2_scan" -> i06Dsv2Scan,
     "i07_json_metadata" -> i07JsonMetadata,
     "i01_manifest_files" -> i01ManifestFiles,

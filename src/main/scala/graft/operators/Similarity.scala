@@ -13,10 +13,15 @@ import graft.Tables
   *   - brute-force exact top-k (the correctness baseline): broadcast the
   *     query set against the corpus — one scan, no corpus shuffle, linear
   *     in corpus size; the right plan whenever |queries| is small;
-  *   - LSH-bucketed (the scale path): sign-random-projection bucketing
-  *     with Hamming-1 multi-probe, so the corpus is hashed once and each
-  *     query only meets its bucket neighborhood — sub-linear per query,
-  *     the IVF-style plan for 100 TB embedding stores.
+  *   - multi-probe LSH (the scale path): sign-random-projection bucketing
+  *     (Charikar, STOC'02) with query-directed multi-probe (Lv et al.,
+  *     VLDB'07) — the corpus is hashed once into 2^nBits buckets and each
+  *     query probes only the buckets reachable by flipping its
+  *     lowest-|margin| sign bits, so the candidate set is a fixed number
+  *     of buckets ≈ probes/2^nBits of the corpus. nBits scales as
+  *     log2(corpus/targetBucketSize): at 100 TB the probe count stays
+  *     constant while the probed fraction shrinks geometrically —
+  *     sub-linear per query, the IVF nlist/nprobe plan shape.
   *
   * Cosine math is double-precision left-to-right folds (zip_with +
   * aggregate, both codegen'd) — bit-identical to the DuckDB oracle's list
@@ -75,41 +80,98 @@ object Similarity {
       }
     }
 
-  /** LSH bucket id: sign bits against `nPlanes` hyperplanes. */
-  private def bucketCol(emb: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
-      when(aggregate(zip_with(emb, planeCol, (x, p) => x.cast(DoubleType) * p),
-        lit(0.0), (acc, x) => acc + x) > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  /** Raw hyperplane projections as one array column (nBits doubles). */
+  private def projections(emb: Column, planes: Array[Array[Double]]): Column =
+    array(planes.map(p => dot(emb, array(p.map(lit): _*))): _*)
+
+  /** Bucket id from a projections array: the sign-bit code. */
+  private def bucketOfProjs(projs: Column, nBits: Int): Column =
+    aggregate(
+      zip_with(projs, sequence(lit(0), lit(nBits - 1)),
+        (p, i) => when(p > 0, call_function("shiftleft", lit(1), i)).otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
+
+  /** Bucket id straight from an embedding (corpus side). */
+  private[operators] def bucketOf(emb: Column, planes: Array[Array[Double]]): Column =
+    bucketOfProjs(projections(emb, planes), planes.length)
+
+  /** Query-directed probe masks: every XOR mask formed by flipping at most
+    * `maxFlips` of the query's `lowBits` lowest-|projection| sign bits —
+    * the buckets a true near neighbor most plausibly landed in (a neighbor
+    * disagrees first on the bits where the query sits closest to the
+    * hyperplane). 0-mask first, so the query's own bucket is always probed.
+    */
+  private def probeMasksOf(projs: Column, nBits: Int, lowBits: Int, maxFlips: Int): Column = {
+    // rank bit indices by |projection| ascending (idx tiebreak → determinism)
+    val ranked = array_sort(zip_with(projs, sequence(lit(0), lit(nBits - 1)),
+      (p, i) => struct(abs(p).as("m"), i.as("i"))))
+    val low = slice(transform(ranked, r => r.getField("i")), 1, lowBits)
+    def single(k: Int): Column = call_function("shiftleft", lit(1), element_at(low, k + 1))
+    val subsets = (1 to maxFlips).flatMap(sz => (0 until lowBits).combinations(sz).toSeq)
+    val masks: Seq[Column] = lit(0) +: subsets.map(s => s.map(single).reduce(_.bitwiseOR(_)))
+    array(masks: _*)
   }
 
-  /** LSH ANN: 6-bit sign-random-projection buckets with Hamming-≤2
-    * multi-probe (22 of 64 buckets ≈ a third of the corpus per query),
-    * exact cosine re-rank within the probed buckets. Uniform-random
-    * embeddings are LSH's adversarial case — neighbors sit at cosine
-    * ≈ 0.4, so per-bit agreement is weak; real embedding corpora cluster
-    * far more tightly and need fewer probes for the same recall. Rows-only
-    * gate; recall vs. brute force is asserted in ScalaTest. */
-  val annLsh: Q = (spark, dir) => {
-    import spark.implicits._
-    val nPlanes = 6
-    val planes = hyperplanes(nPlanes, 64)
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select($"vec_id", $"embedding", bucketCol($"embedding", planes).as("bucket"))
-    val probeMasks: Seq[Long] = 0L +: ((0 until nPlanes).map(i => 1L << i) ++
-      (for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes } yield (1L << i) | (1L << j)))
-    val queries = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"),
-        explode(array(probeMasks.map(f => $"bucket".bitwiseXOR(lit(f))): _*)).as("probe"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    emb.join(broadcast(queries), $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id", cosine($"query_emb", $"embedding").as("cos"))
+  /** Candidate pairs (query_id, query_emb, vec_id, embedding) examined by
+    * multi-probe LSH — exposed so tests can assert the probed-candidate
+    * fraction. `corpus`/`queries` carry (vec_id, embedding) /
+    * (query_id, query_emb). */
+  private[graft] def lshCandidates(
+      corpus: DataFrame, queries: DataFrame,
+      nBits: Int, lowBits: Int, maxFlips: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val hashed = corpus.select(col("vec_id"), col("embedding"),
+      bucketOf(col("embedding"), planes).as("bucket"))
+    // Stage the query side (projs → bucket+masks → explode) so each stage's
+    // expressions stay small; Spark's subexpression elimination keeps the
+    // nBits×dim projection fold computed once per row even after projection
+    // collapse.
+    val qProjs = queries.select(col("query_id"), col("query_emb"),
+      projections(col("query_emb"), planes).as("projs"))
+    val qProbes = qProjs.select(col("query_id"), col("query_emb"),
+      explode(transform(
+        probeMasksOf(col("projs"), nBits, lowBits, maxFlips),
+        m => bucketOfProjs(col("projs"), nBits).bitwiseXOR(m))).as("probe"))
+    // |queries| × probes rows broadcast against the hashed corpus: the
+    // corpus is scanned once, never shuffled, and only bucket-matching rows
+    // survive the join — the probed fraction ≈ (#masks)/2^nBits.
+    hashed.join(broadcast(qProbes), col("bucket") === col("probe") &&
+      col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_emb"), col("vec_id"), col("embedding"))
+      .distinct()
+  }
+
+  /** Multi-probe LSH ANN: candidates from `lshCandidates`, exact cosine
+    * re-rank, top-k per query. */
+  private[graft] def annLshGeneric(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int, lowBits: Int, maxFlips: Int, dim: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    lshCandidates(corpus, queries, nBits, lowBits, maxFlips, dim)
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("query_emb"), col("embedding")).as("cos"))
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos".as("approx_cosine"))
-      .orderBy($"query_id", $"rank")
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos").as("approx_cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Multi-probe LSH ANN over the embeddings table: 10 sign bits (1024
+    * buckets for the 500-row corpus — nBits tracks log2(n), so a 100 TB
+    * store uses ~30 bits with the SAME probe budget), probing ≤3 flips of
+    * the 6 lowest-margin bits = 42 of 1024 buckets ≈ 4% of the corpus per
+    * query, exact cosine re-rank. Deterministic output (splitmix64-seeded
+    * hyperplanes) pinned by a golden VALUES oracle; recall ≥ 0.8 vs. brute
+    * force and candidate fraction < 5% are asserted on planted clustered
+    * data in SimilaritySpec — the uniform-random testdata embeddings
+    * (neighbors at cosine ≈ 0.4) are LSH's adversarial case, real corpora
+    * cluster far more tightly. */
+  val annLsh: Q = (spark, dir) => {
+    val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+    annLshGeneric(emb, queries, k = 5, nBits = 10, lowBits = 6, maxFlips = 3, dim = 64)
   }
 
   val queries: Map[String, Q] = Map(

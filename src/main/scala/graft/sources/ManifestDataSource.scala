@@ -13,22 +13,31 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.iceberg.AvroConversions
+import graft.iceberg.{AvroConversions, IcebergType, IcebergTypes, SingleValueCodec, TableMetadata}
 
 /** DataSource V2 connector for Iceberg manifest files:
   * `spark.read.format("graft-manifest").load(path, ...)`.
   *
   * The v2 upgrade of ManifestReader (SURVEY.md §7 M4 "optional DSv2"):
-  * Catalyst now drives the scan — one InputPartition per manifest file
-  * (Iceberg's own planning granularity), and column pruning
-  * (`SupportsPushDownRequiredColumns`) is implemented as an Avro
-  * reader-schema projection, so pruned fields are never even decoded
-  * (the mechanism the reference exposes as `--reader-schema`,
-  * ManifestFileReadTool.java:114-119,137-139).
+  * Catalyst drives the scan — one InputPartition per manifest file
+  * (Iceberg's own planning granularity), column pruning
+  * (`SupportsPushDownRequiredColumns`) is an Avro reader-schema projection
+  * so pruned fields are never even decoded (the mechanism the reference
+  * exposes as `--reader-schema`, ManifestFileReadTool.java:114-119,137-139),
+  * and with `option("metadata", <metadata.json>)` the table grows TYPED
+  * virtual stat columns `lower_<col>`/`upper_<col>` (Iceberg's
+  * readable_metrics idea) decoded from the binary bound blobs
+  * (IcebergDatumWriter.java:194-202). Filters on those columns — and on
+  * entry columns — push down (`SupportsPushDownFilters`): rows are skipped
+  * during Avro decode and whole manifests whose entries ALL fail the
+  * predicate are dropped at planning time (fewer InputPartitions), which is
+  * exactly Iceberg's stats-based scan pruning, now reachable as
+  * `df.filter($"upper_id" >= 2)` with no manual planFiles call.
   */
 class ManifestDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest"
@@ -37,23 +46,32 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
   // file (see AvroContainerDataSource for the generic-name registration)
 
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
-    val multi = Option(options.get("paths")).map(_.split(",").toSeq).getOrElse(Nil)
+    // multi-path load() hands the source a JSON-encoded string array
+    val multi = Option(options.get("paths")).map { s =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(s, classOf[Array[String]]).toSeq
+    }.getOrElse(Nil)
     val single = Option(options.get("path")).toSeq
     val all = (multi ++ single).filter(_.nonEmpty)
     require(all.nonEmpty, "graft-manifest requires a path")
     all
   }
 
+  private def virtuals(options: CaseInsensitiveStringMap): Seq[VirtualBoundCol] =
+    Option(options.get("metadata")).map(VirtualBoundCol.fromMetadata).getOrElse(Nil)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val writer = graft.iceberg.ManifestReader.avroSchema(paths(options).head)
-    AvroConversions.toStructType(writer)
+    val base = AvroConversions.toStructType(writer)
+    StructType(base.fields ++ virtuals(options).map(v =>
+      StructField(v.name, v.icebergType.sparkType, nullable = true)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new ManifestTable(schema, paths(opts),
-      graft.iceberg.ManifestReader.avroSchema(paths(opts).head).toString)
+      graft.iceberg.ManifestReader.avroSchema(paths(opts).head).toString, virtuals(opts))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -68,19 +86,40 @@ class AvroContainerDataSource extends ManifestDataSource {
   override def shortName(): String = "graft-avro"
 }
 
-class ManifestTable(schema: StructType, paths: Seq[String], writerSchemaJson: String)
+/** A typed virtual stat column `lower_<col>` / `upper_<col>` decoded from
+  * the manifest's bound blobs against the table schema's field id. */
+case class VirtualBoundCol(name: String, fieldId: Int, isLower: Boolean, icebergType: IcebergType)
+
+object VirtualBoundCol {
+  /** One lower/upper pair per primitive column of the table's current
+    * schema (nested/unsupported types carry no usable single-value bound). */
+  def fromMetadata(metadataPath: String): Seq[VirtualBoundCol] = {
+    val meta = TableMetadata.parseFile(metadataPath)
+    meta.currentSchema.fields.flatMap { f =>
+      IcebergTypes.fromStringOpt(f.fieldType).toSeq.flatMap { t =>
+        Seq(VirtualBoundCol(s"lower_${f.name}", f.id, isLower = true, t),
+          VirtualBoundCol(s"upper_${f.name}", f.id, isLower = false, t))
+      }
+    }
+  }
+}
+
+class ManifestTable(schema: StructType, paths: Seq[String], writerSchemaJson: String,
+    virtuals: Seq[VirtualBoundCol])
     extends Table with SupportsRead {
   override def name(): String = s"graft-manifest(${paths.mkString(",")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(schema, paths, writerSchemaJson)
+    new ManifestScanBuilder(schema, paths, writerSchemaJson, virtuals)
 }
 
-class ManifestScanBuilder(fullSchema: StructType, paths: Seq[String], writerSchemaJson: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+class ManifestScanBuilder(fullSchema: StructType, paths: Seq[String], writerSchemaJson: String,
+    virtuals: Seq[VirtualBoundCol])
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep Catalyst's pruned schema verbatim — including NESTED pruning
@@ -88,57 +127,271 @@ class ManifestScanBuilder(fullSchema: StructType, paths: Seq[String], writerSche
     // reader schema so skipped fields are never decoded
     required = requiredSchema
 
-  override def build(): Scan = new ManifestScan(required, paths, writerSchemaJson)
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(EntryFilterEval.supported(_, fullSchema, virtuals))
+    // everything stays residual: the source's evaluation is a best-effort
+    // skip (conservative three-valued logic), Spark re-checks post-scan
+    filters
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan =
+    new ManifestScan(required, paths, writerSchemaJson, virtuals, pushed)
 }
 
-class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: String)
+class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: String,
+    virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graft-manifest scan, ReadSchema: ${required.catalogString}"
+    s"graft-manifest scan, ReadSchema: ${required.catalogString}" +
+      (if (filters.nonEmpty) s", PushedFilters: ${filters.mkString("[", ", ", "]")}" else "")
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => ManifestInputPartition(p): InputPartition).toArray
+  /** Manifests where no entry can satisfy the pushed filters produce no
+    * partition at all — stats-based scan pruning at planning time. The
+    * driver-side pass mirrors Iceberg's own planning (manifests are
+    * KB-sized; at larger manifest counts this pass itself is a Spark job —
+    * see ScanPlanning.planFiles for the distributed form). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val survivors =
+      if (filters.isEmpty) paths
+      else paths.filter { p =>
+        val probe = new ManifestPartitionReader(p,
+          EntryFilterEval.schemaForRefs(filters.flatMap(_.references).toSet,
+            AvroConversions.toStructType(new Schema.Parser().parse(writerSchemaJson)), virtuals),
+          writerSchemaJson, virtuals, filters)
+        try probe.next() finally probe.close()
+      }
+    survivors.map(p => ManifestInputPartition(p): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(required, writerSchemaJson)
+    new ManifestReaderFactory(required, writerSchemaJson, virtuals, filters)
 }
 
 case class ManifestInputPartition(path: String) extends InputPartition
 
-class ManifestReaderFactory(required: StructType, writerSchemaJson: String)
+class ManifestReaderFactory(required: StructType, writerSchemaJson: String,
+    virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ManifestPartitionReader(
-      partition.asInstanceOf[ManifestInputPartition].path, required, writerSchemaJson)
+      partition.asInstanceOf[ManifestInputPartition].path, required, writerSchemaJson,
+      virtuals, filters)
+}
+
+/** Conservative three-valued evaluation of v1 `sources.Filter`s over
+  * decoded manifest entries: Some(true/false) when decidable, None when a
+  * referenced value is missing or the comparison is type-unsupported —
+  * None keeps the row/partition (pruning must never be wrong, only
+  * incomplete). */
+object EntryFilterEval {
+
+  private val comparableOps = Set("EqualTo", "GreaterThan", "GreaterThanOrEqual",
+    "LessThan", "LessThanOrEqual", "IsNull", "IsNotNull", "In", "And", "Or", "Not")
+
+  def supported(f: sources.Filter, schema: StructType,
+      virtuals: Seq[VirtualBoundCol]): Boolean = {
+    val known = virtuals.map(_.name).toSet
+    def resolvable(ref: String): Boolean =
+      known.contains(ref) || resolvePath(schema, ref.split('.').toList).isDefined
+    comparableOps.contains(f.getClass.getSimpleName) && f.references.forall(resolvable)
+  }
+
+  private def resolvePath(dt: DataType, path: List[String]): Option[DataType] = (dt, path) match {
+    case (t, Nil) => Some(t)
+    case (st: StructType, h :: rest) =>
+      st.fields.find(_.name == h).flatMap(f => resolvePath(f.dataType, rest))
+    case _ => None
+  }
+
+  /** Minimal read schema covering the filter references (virtual columns
+    * and dotted entry paths) — what the planning-time probe decodes. */
+  def schemaForRefs(refs: Set[String], full: StructType,
+      virtuals: Seq[VirtualBoundCol]): StructType = {
+    val byName = virtuals.map(v => v.name -> v).toMap
+    val (virtRefs, realRefs) = refs.partition(byName.contains)
+    def mergePath(acc: StructType, path: List[String], from: StructType): StructType = path match {
+      case Nil => acc
+      case h :: rest =>
+        val fromField = from.fields.find(_.name == h).getOrElse(return acc)
+        val sub: StructField = (fromField.dataType, rest) match {
+          case (st: StructType, _ :: _) =>
+            val existing = acc.fields.find(_.name == h).map(_.dataType.asInstanceOf[StructType])
+              .getOrElse(new StructType())
+            fromField.copy(dataType = mergePath(existing, rest, st))
+          case _ => fromField
+        }
+        StructType(acc.fields.filterNot(_.name == h) :+ sub)
+    }
+    val real = realRefs.foldLeft(new StructType())((acc, r) => mergePath(acc, r.split('.').toList, full))
+    StructType(real.fields ++ virtRefs.toSeq.sorted.map(n =>
+      StructField(n, byName(n).icebergType.sparkType, nullable = true)))
+  }
+
+  /** `get` returns None = unresolvable, Some(null) = SQL NULL. */
+  def eval(f: sources.Filter, get: String => Option[Any]): Option[Boolean] = f match {
+    case sources.EqualTo(a, v) => cmp(get(a), v).map(_ == 0)
+    case sources.GreaterThan(a, v) => cmp(get(a), v).map(_ > 0)
+    case sources.GreaterThanOrEqual(a, v) => cmp(get(a), v).map(_ >= 0)
+    case sources.LessThan(a, v) => cmp(get(a), v).map(_ < 0)
+    case sources.LessThanOrEqual(a, v) => cmp(get(a), v).map(_ <= 0)
+    case sources.IsNull(a) => get(a).map(_ == null)
+    case sources.IsNotNull(a) => get(a).map(_ != null)
+    case sources.In(a, vs) =>
+      val results = vs.map(v => cmp(get(a), v))
+      if (results.exists(_.contains(0))) Some(true)
+      else if (results.forall(r => r.isDefined && !r.contains(0))) Some(false)
+      else None
+    case sources.And(l, r) => (eval(l, get), eval(r, get)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case sources.Or(l, r) => (eval(l, get), eval(r, get)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case sources.Not(c) => eval(c, get).map(!_)
+    case _ => None
+  }
+
+  /** Null-safe ordering across the value families a bound can take;
+    * numerics widen through BigDecimal. */
+  private def cmp(left: Option[Any], right: Any): Option[Int] = left.flatMap { lv =>
+    if (lv == null || right == null) None
+    else (lv, right) match {
+      case (a: Number, b: Number) =>
+        Some(new java.math.BigDecimal(a.toString).compareTo(new java.math.BigDecimal(b.toString)))
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
+      case (a: java.time.LocalDate, b: java.sql.Date) => Some(a.compareTo(b.toLocalDate))
+      case (a: java.time.LocalDate, b: java.time.LocalDate) => Some(a.compareTo(b))
+      case (a: java.time.Instant, b: java.sql.Timestamp) => Some(a.compareTo(b.toInstant))
+      case (a: java.time.Instant, b: java.time.Instant) => Some(a.compareTo(b))
+      case _ => None
+    }
+  }
 }
 
 /** Streams one manifest file; projection happens inside Avro decode via a
-  * derived reader schema containing only the required top-level fields. */
-class ManifestPartitionReader(path: String, required: StructType, writerSchemaJson: String)
+  * derived reader schema containing only the required REAL fields (plus
+  * the bound maps when virtual stat columns are in play); pushed filters
+  * skip rows before they are materialized to Catalyst. */
+class ManifestPartitionReader(path: String, required: StructType, writerSchemaJson: String,
+    virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter])
     extends PartitionReader[InternalRow] {
 
   private val writerSchema = new Schema.Parser().parse(writerSchemaJson)
+  private val byName = virtuals.map(v => v.name -> v).toMap
+  private val virtualFields: Seq[StructField] = required.fields.filter(f => byName.contains(f.name)).toSeq
+  private val realRequired = StructType(required.fields.filterNot(f => byName.contains(f.name)))
+
+  /** Avro-decoded shape: the real required fields, with data_file's bound
+    * maps merged in when any virtual column must be computed. */
+  private val avroRequired: StructType =
+    if (virtualFields.isEmpty) realRequired
+    else {
+      val full = AvroConversions.toStructType(writerSchema)
+      val dfFull = full.fields.find(_.name == "data_file").getOrElse(
+        throw new IllegalArgumentException(
+          s"virtual bound columns need a data_file field; not a manifest? $path"))
+      val boundFields = dfFull.dataType.asInstanceOf[StructType].fields
+        .filter(f => f.name == "lower_bounds" || f.name == "upper_bounds")
+      realRequired.fields.find(_.name == "data_file") match {
+        case Some(df) =>
+          val cur = df.dataType.asInstanceOf[StructType]
+          val merged = StructType(cur.fields ++ boundFields.filterNot(b => cur.fieldNames.contains(b.name)))
+          StructType(realRequired.fields.map(f =>
+            if (f.name == "data_file") f.copy(dataType = merged) else f))
+        case None =>
+          StructType(realRequired.fields :+ dfFull.copy(dataType = StructType(boundFields)))
+      }
+    }
+
   private val readerSchema: Schema =
-    AvroConversions.pruneAvroSchema(writerSchema, required)
+    AvroConversions.pruneAvroSchema(writerSchema, avroRequired)
 
   private val in = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, new Configuration())
     new java.io.BufferedInputStream(fs.open(p))
   }
+  // writer schema comes from THIS container's header (per-file schema
+  // evolution); records resolve onto the derived reader schema
   private val stream = new DataFileStream[GenericRecord](in,
-    new GenericDatumReader[GenericRecord](writerSchema, readerSchema))
+    new GenericDatumReader[GenericRecord](null: Schema, readerSchema))
   private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (stream.hasNext) {
+  private def resolve(row: org.apache.spark.sql.Row, name: String): Option[Any] =
+    byName.get(name) match {
+      case Some(v) => Some(decodeVirtual(row, v))
+      case None =>
+        def walk(r: org.apache.spark.sql.Row, st: StructType, path: List[String]): Option[Any] =
+          path match {
+            case h :: rest =>
+              st.fields.zipWithIndex.find(_._1.name == h).flatMap { case (f, i) =>
+                val v = r.get(i)
+                rest match {
+                  case Nil => Some(v)
+                  case _ => (v, f.dataType) match {
+                    case (null, _) => Some(null)
+                    case (sub: org.apache.spark.sql.Row, sst: StructType) => walk(sub, sst, rest)
+                    case _ => None
+                  }
+                }
+              }
+            case Nil => None
+          }
+        walk(row, avroRequired, name.split('.').toList)
+    }
+
+  private def decodeVirtual(row: org.apache.spark.sql.Row, v: VirtualBoundCol): Any = {
+    val dfIdx = avroRequired.fieldIndex("data_file")
+    val df = row.get(dfIdx).asInstanceOf[org.apache.spark.sql.Row]
+    if (df == null) return null
+    val dfType = avroRequired.fields(dfIdx).dataType.asInstanceOf[StructType]
+    val boundsName = if (v.isLower) "lower_bounds" else "upper_bounds"
+    val m = df.get(dfType.fieldIndex(boundsName)).asInstanceOf[Map[Int, Array[Byte]]]
+    if (m == null) null
+    else m.get(v.fieldId).map(SingleValueCodec.decode(v.icebergType, _)).orNull
+  }
+
+  /** Project a decoded value from the avro shape down to the (possibly
+    * narrower) required shape — data_file may carry extra bound maps that
+    * only existed to feed the virtual columns. */
+  private def project(value: Any, from: DataType, to: DataType): Any = (value, from, to) match {
+    case (null, _, _) => null
+    case (r: org.apache.spark.sql.Row, f: StructType, t: StructType) if f != t =>
+      org.apache.spark.sql.Row.fromSeq(t.fields.toSeq.map { tf =>
+        project(r.get(f.fieldIndex(tf.name)), f(tf.name).dataType, tf.dataType)
+      })
+    case _ => value
+  }
+
+  override def next(): Boolean = {
+    while (stream.hasNext) {
       val row = AvroConversions.toRow(readerSchema, stream.next())
-      current = toCatalyst(row).asInstanceOf[InternalRow]
-      true
-    } else false
+      val keep = filters.forall(f => EntryFilterEval.eval(f, resolve(row, _)).getOrElse(true))
+      if (keep) {
+        val out = org.apache.spark.sql.Row.fromSeq(required.fields.toSeq.map { f =>
+          byName.get(f.name) match {
+            case Some(v) => decodeVirtual(row, v)
+            case None =>
+              val i = avroRequired.fieldIndex(f.name)
+              project(row.get(i), avroRequired.fields(i).dataType, f.dataType)
+          }
+        })
+        current = toCatalyst(out).asInstanceOf[InternalRow]
+        return true
+      }
+    }
+    false
+  }
 
   override def get(): InternalRow = current
 

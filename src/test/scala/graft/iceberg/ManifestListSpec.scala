@@ -1,9 +1,5 @@
 package graft.iceberg
 
-import org.apache.avro.SchemaBuilder
-import org.apache.avro.file.DataFileWriter
-import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
-
 import graft.SparkSpec
 import graft.operators.IcebergQueries
 
@@ -13,28 +9,8 @@ import graft.operators.IcebergQueries
   * graft-avro DSv2 source on a non-manifest container. */
 class ManifestListSpec extends SparkSpec {
 
-  private val manifestFileSchema = SchemaBuilder.record("manifest_file").fields()
-    .name("manifest_path").`type`().stringType().noDefault()
-    .name("manifest_length").`type`().longType().noDefault()
-    .name("partition_spec_id").`type`().intType().noDefault()
-    .name("added_snapshot_id").`type`().longType().noDefault()
-    .name("added_data_files_count").`type`().intType().noDefault()
-    .endRecord()
-
-  private def writeManifestList(path: String, manifestPaths: Seq[String]): Unit = {
-    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](manifestFileSchema))
-    w.create(manifestFileSchema, new java.io.File(path))
-    manifestPaths.foreach { p =>
-      val r = new GenericData.Record(manifestFileSchema)
-      r.put("manifest_path", p)
-      r.put("manifest_length", new java.io.File(p).length())
-      r.put("partition_spec_id", 0)
-      r.put("added_snapshot_id", 8115727803695877401L)
-      r.put("added_data_files_count", 2)
-      w.append(r)
-    }
-    w.close()
-  }
+  private def writeManifestList(path: String, manifestPaths: Seq[String]): Unit =
+    ManifestListWriter.write(path, manifestPaths, 8115727803695877401L)
 
   test("snapshot -> manifest-list -> manifests -> files chain resolves") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mlist").toString

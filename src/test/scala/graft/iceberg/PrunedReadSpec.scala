@@ -97,4 +97,63 @@ class PrunedReadSpec extends SparkSpec {
     val edge = ScanPlanning.planFiles(spark, meta, Seq(manifestPath), 1, Some(199L), None)
     assert(edge.toSet == Set(dataPaths(1)._1, dataPaths(2)._1))
   }
+
+  test("DSv2 filter pushdown on virtual stat columns drops all-pruned manifests at planning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2-push").toString
+
+    def writeManifest(path: String, files: Seq[(String, Long, Long)]): Unit = {
+      val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
+      writer.create(entrySchema, new java.io.File(path))
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val boundsSchema = dfSchema.getField("lower_bounds").schema()
+      def kvArr(id: Int, v: Long) = {
+        val rec = new GenericData.Record(boundsSchema.getElementType)
+        rec.put("key", id)
+        rec.put("value", ByteBuffer.wrap(SingleValueCodec.encode(TLong, v)))
+        new GenericData.Array[GenericRecord](boundsSchema, Seq(rec.asInstanceOf[GenericRecord]).asJava)
+      }
+      files.foreach { case (p, lo, hi) =>
+        val df = new GenericData.Record(dfSchema)
+        df.put("file_path", p); df.put("record_count", hi - lo + 1)
+        df.put("lower_bounds", kvArr(1, lo)); df.put("upper_bounds", kvArr(1, hi))
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1); e.put("data_file", df)
+        writer.append(e)
+      }
+      writer.close()
+    }
+    writeManifest(s"$dir/mA.avro", Seq(("a0.parquet", 0L, 99L), ("a1.parquet", 100L, 199L)))
+    writeManifest(s"$dir/mB.avro", Seq(("b0.parquet", 1000L, 1999L)))
+
+    val metaPath = s"$dir/metadata.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath),
+      """{"format-version":1,"schema":{"type":"struct","schema-id":0,"fields":[
+        |  {"id":1,"name":"v","required":true,"type":"long"}]}}""".stripMargin)
+
+    import org.apache.spark.sql.functions.col
+    val base = spark.read.format("graft-manifest")
+      .option("metadata", metaPath)
+      .load(s"$dir/mA.avro", s"$dir/mB.avro")
+
+    // virtual columns are typed and decoded from the bound blobs
+    val all = base.select(col("data_file.file_path"), col("lower_v"), col("upper_v"))
+      .orderBy(col("lower_v")).collect()
+    assert(all.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a0.parquet", 0L, 99L), ("a1.parquet", 100L, 199L), ("b0.parquet", 1000L, 1999L)))
+
+    // selective predicate: only manifest B can match → one InputPartition
+    val pruned = base.filter(col("upper_v") >= 1000 || col("upper_v").isNull)
+      .select(col("data_file.file_path").as("file_path"))
+    assert(pruned.rdd.getNumPartitions == 1,
+      s"expected planning-time manifest pruning, got ${pruned.rdd.getNumPartitions} partitions")
+    assert(pruned.collect().map(_.getString(0)).toSeq == Seq("b0.parquet"))
+    // the pushed filter is visible in the scan description
+    assert(pruned.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      pruned.queryExecution.executedPlan.toString)
+
+    // row-level skip inside a surviving manifest: a1 matches, a0 filtered at decode
+    val rows = base.filter(col("lower_v") >= 100 && col("upper_v") <= 199)
+      .select(col("data_file.file_path").as("file_path")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a1.parquet"))
+  }
 }

@@ -105,6 +105,46 @@ class SyntheticManifestSpec extends SparkSpec {
     assert(decoded(1).getAs[Map[Int, String]]("dec")(1) == "value:2025-01-01;type:date")
   }
 
+  test("manifest set spanning a writer-schema evolution resolves per file") {
+    // v1 writer: (status, file_path); v2 adds record_count with a default —
+    // each container must resolve with its OWN header schema against the
+    // common reader schema (a head-file-only writer schema mis-decodes the
+    // other vintage).
+    val v1 = SchemaBuilder.record("manifest_entry").fields()
+      .name("status").`type`().intType().noDefault()
+      .name("file_path").`type`().stringType().noDefault()
+      .endRecord()
+    val v2 = SchemaBuilder.record("manifest_entry").fields()
+      .name("status").`type`().intType().noDefault()
+      .name("file_path").`type`().stringType().noDefault()
+      .name("record_count").`type`().longType().longDefault(-1L)
+      .endRecord()
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    def writeWith(schema: Schema, path: String, fp: String, rc: Option[Long]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(path))
+      val r = new GenericData.Record(schema)
+      r.put("status", 1); r.put("file_path", fp)
+      rc.foreach(v => r.put("record_count", v))
+      w.append(r); w.close()
+    }
+    writeWith(v1, s"$dir/old.avro", "old.parquet", None)
+    writeWith(v2, s"$dir/new.avro", "new.parquet", Some(42L))
+
+    import org.apache.spark.sql.functions.col
+    // head file = NEW vintage: old file must still decode, default filling in
+    val up = ManifestReader.entries(spark, Seq(s"$dir/new.avro", s"$dir/old.avro"))
+      .orderBy(col("file_path")).collect()
+    assert(up.map(_.getAs[String]("file_path")).toSeq == Seq("new.parquet", "old.parquet"))
+    assert(up.map(_.getAs[Long]("record_count")).toSeq == Seq(42L, -1L))
+
+    // head file = OLD vintage: new file's extra field projects away cleanly
+    val down = ManifestReader.entries(spark, Seq(s"$dir/old.avro", s"$dir/new.avro"))
+      .orderBy(col("file_path")).collect()
+    assert(down.map(_.getAs[String]("file_path")).toSeq == Seq("new.parquet", "old.parquet"))
+    assert(!down.head.schema.fieldNames.contains("record_count"))
+  }
+
   test("typed pruning works on date bounds from the synthetic manifest") {
     val dir = java.nio.file.Files.createTempDirectory("graft-synth2").toString
     writeManifest(s"$dir/m.avro", Seq(

@@ -65,15 +65,29 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("hamming") <= 3))
   }
 
-  test("ann lsh recall@5 vs brute force (uniform-random worst case)") {
-    val exact = Similarity.annBruteForce(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val approx = Similarity.annLsh(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    // uniform-random vectors (neighbors at cosine ~0.4) are the LSH
-    // adversarial case; Hamming-2 probing scans ~1/3 of the corpus
-    assert(recall >= 0.4, s"recall@5 = $recall")
+  test("ann lsh on testdata: deterministic, exact re-rank, no self-matches") {
+    // Recall is asserted on planted CLUSTERED data in SimilaritySpec (>=0.8
+    // with <5% of the corpus probed); the testdata embeddings are
+    // uniform-random — LSH's adversarial case — so here we assert the
+    // operator's structural contract instead: cosines are exact re-ranks
+    // (match brute force per pair), ranks descend, output is stable.
+    val exactByPair = Similarity.annBruteForce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val rows = Similarity.annLsh(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val cosines = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+    }
+    // any (query, neighbor) pair also in the exact top-5 must carry the
+    // identical double — the re-rank computes true cosine, not an estimate
+    rows.foreach { r =>
+      exactByPair.get((r.getLong(0), r.getLong(2)))
+        .foreach(c => assert(c == r.getDouble(3)))
+    }
+    val again = Similarity.annLsh(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
   test("brute-force ann: 5 queries x 5 ranked neighbors, no self-matches") {

@@ -26,6 +26,10 @@ def lit(v):
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, float):
+        # NaN: repr gives 'nan', which DuckDB parses but the driver's
+        # normalizer renders as 'NaN' — emit the normalized spelling
+        if v != v:
+            return "'NaN'"
         # quoted: a bare literal would parse as DECIMAL and round-trip to a
         # different double; VARCHAR -> DOUBLE casts exactly
         return "'" + repr(v) + "'"
@@ -38,6 +42,15 @@ def main():
     out_dir = sys.argv[1]
     for name in sys.argv[2:]:
         t = pads.dataset(f"{out_dir}/{name}").to_table()
+        if t.num_rows == 0:
+            sys.exit(f"{name}: zero rows — 'FROM (VALUES )' is invalid SQL; "
+                     "a zero-row entry cannot be pinned as a golden oracle")
+        unsupported = [f"{f.name}: {f.type}" for f in t.schema
+                       if str(f.type) not in DUCK_TYPE]
+        if unsupported:
+            sys.exit(f"{name}: column types without a DUCK_TYPE mapping "
+                     f"({', '.join(unsupported)}) — extend DUCK_TYPE with the "
+                     "matching DuckDB cast before pinning")
         cols = t.column_names
         types = [DUCK_TYPE[str(f.type)] for f in t.schema]
         data = [t.column(c).to_pylist() for c in cols]

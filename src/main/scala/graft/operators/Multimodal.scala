@@ -83,9 +83,62 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  final case class FrameSample(
+      doc_id: Long, n_frames: Int, n_sampled: Int, first_frame_hash: Long,
+      sampled_hash: Long)
+
+  /** "Video" frame sampling over the binary payload: fixed-size frames
+    * (256 B stand-ins for decoded frames), keep every 4th (the uniform
+    * temporal subsample a vision-pretraining pipeline takes), per-frame
+    * rolling hash folded into a sample digest. Runs inside the partition
+    * iterator — the frame loop touches each payload byte once, no per-row
+    * task setup, no shuffle until the final sort. The real ffmpeg frame
+    * decode would replace `frameHash` per the declared-stub contract;
+    * the batching, sampling arithmetic, and schema are the real pipeline. */
+  val frameSamples: Q = (spark, dir) => {
+    import spark.implicits._
+    val FrameBytes = 256
+    val Stride = 4
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("format"),
+        encode($"text", "UTF-8").as("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        def frameHash(start: Int, end: Int): Long = {
+          var h = graft.functions.TextAlgos.FnvOffset
+          var i = start
+          while (i < end) {
+            h ^= (r.payload(i) & 0xffL); h *= graft.functions.TextAlgos.FnvPrime
+            i += 1
+          }
+          h
+        }
+        val n = (r.payload.length + FrameBytes - 1) / FrameBytes
+        var sampled = 0
+        var digest = graft.functions.TextAlgos.FnvOffset
+        var first = 0L
+        var f = 0
+        while (f < n) {
+          if (f % Stride == 0) {
+            val h = frameHash(f * FrameBytes, math.min((f + 1) * FrameBytes, r.payload.length))
+            if (sampled == 0) first = h
+            digest ^= java.lang.Long.rotateLeft(h, sampled % 64)
+            sampled += 1
+          }
+          f += 1
+        }
+        FrameSample(r.doc_id, n, sampled, first, digest)
+      })
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_media_features" -> mediaFeatures,
-    "m02_media_records" -> mediaRecords)
+    "m02_media_records" -> mediaRecords,
+    "m03_frame_samples" -> frameSamples)
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Third relational batch: banded range join, correlated lateral top-k,
+  * time-based RANGE window frames — the remaining join/window shapes a
+  * reference user reaches for that q01-q43 don't yet pin.
+  */
+object Relational3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  // ---------------------------------------------------------------- q44
+  /** Range join, banded: for every purchase, count the same user's clicks
+    * in the preceding hour.
+    *
+    * A naive `a.ts BETWEEN b.ts - 1h AND b.ts` join has no equi-key — at
+    * scale Spark would broadcast-nested-loop it. Banding restores an
+    * equi-join: bucket timestamps into 1-hour bands, a click within an
+    * hour of a purchase lies in the purchase's band or the one before, so
+    * joining on (user_id, band ∈ {b, b-1}) bounds each row's join fan-out
+    * to two bands, then the exact range predicate filters within the
+    * band-matched pairs. Shuffle is on (user_id, band) — co-located,
+    * skew-safe with AQE, the standard interval-join plan Spark's streaming
+    * engine uses internally for stream-stream joins. */
+  val rangeJoinClicks: Q = (spark, dir) => {
+    import spark.implicits._
+    val BandUs = 3600L * 1000000L
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("ts_us", unix_micros($"ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts_us".as("p_us"),
+        floor($"ts_us" / BandUs).as("band"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts_us".as("c_us"),
+        explode(array(floor($"ts_us" / BandUs), floor($"ts_us" / BandUs) + 1)).as("band"))
+    purchases
+      .join(clicks,
+        $"user_id" === $"c_user" && purchases("band") === clicks("band") &&
+          $"c_us" >= $"p_us" - BandUs && $"c_us" <= $"p_us",
+        "left_outer")
+      .groupBy($"user_id", $"purchase_id")
+      .agg(count($"c_us").as("clicks_before"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"), sum($"clicks_before").as("clicks_before_total"))
+      .orderBy($"user_id")
+  }
+
+  val rangeJoinClicksSql: String =
+    """SELECT user_id, COUNT(*) AS n_purchases, CAST(SUM(clicks_before) AS BIGINT) AS clicks_before_total
+      |FROM (
+      |  SELECT p.user_id, p.event_id, COUNT(c.c_us) AS clicks_before
+      |  FROM (SELECT user_id, event_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase') p
+      |  LEFT OUTER JOIN (SELECT user_id AS c_user, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click') c
+      |    ON p.user_id = c.c_user AND c.c_us >= p.p_us - 3600000000 AND c.c_us <= p.p_us
+      |  GROUP BY p.user_id, p.event_id) t
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  /** Correlated LATERAL top-k join: each nation's two richest customers,
+    * via a correlated subquery with ORDER BY + LIMIT (Catalyst
+    * decorrelates it into a ranked window join — `.explain` shows the same
+    * plan a hand-written row_number filter yields, so the scale shape is a
+    * single shuffle on the correlation key). */
+  val lateralTopCustomers: Q = (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT n_name, c.c_name, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        |  FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name
+        |  LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+  }
+
+  val lateralTopCustomersSql: String =
+    """SELECT n_name, c.c_name, c.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      |  FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name
+      |  LIMIT 2) c
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  /** Time-based RANGE window frame: each order's trailing-30-day customer
+    * spend. RANGE frames (value-based, tie-inclusive) are a different
+    * engine path from q07's ROWS frames; the frame key is integer epoch
+    * days so both engines see identical arithmetic. One shuffle on
+    * custkey; the frame scan is sort-local. */
+  val trailingSpend: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"day".cast(LongType))
+      .rangeBetween(-30L, 0L)
+    Tables.load(spark, dir, "orders")
+      .withColumn("day", datediff($"o_orderdate", lit("1970-01-01")))
+      .withColumn("trailing_spend",
+        round(sum(dec($"o_totalprice")).over(w), 2).cast(DoubleType))
+      .select($"o_orderkey", $"o_custkey", $"day".cast(IntegerType).as("day"),
+        $"trailing_spend")
+      .orderBy($"o_orderkey")
+  }
+
+  val trailingSpendSql: String =
+    """SELECT o_orderkey, o_custkey, CAST(day AS INTEGER) AS day,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY day
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing_spend
+      |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+      |        datediff('day', DATE '1970-01-01', o_orderdate) AS day
+      |      FROM orders) t
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q44_range_join" -> rangeJoinClicks,
+    "q45_lateral_topk" -> lateralTopCustomers,
+    "q46_trailing_spend" -> trailingSpend)
+
+  val oracles: Map[String, String] = Map(
+    "q44_range_join" -> rangeJoinClicksSql,
+    "q45_lateral_topk" -> lateralTopCustomersSql,
+    "q46_trailing_spend" -> trailingSpendSql)
+}

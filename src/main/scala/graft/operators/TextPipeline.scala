@@ -153,7 +153,39 @@ object TextPipeline {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Corpus vocabulary head: top 20 words by document frequency. The
+    * Zipf-head report every corpus QA pipeline runs — explode is map-side,
+    * the (word, doc) dedup and the document-frequency count are ONE
+    * partial-aggregated shuffle each, and the top-k is a
+    * TakeOrderedAndProject, so the plan is two shuffles regardless of
+    * corpus size. Normalization is the codegen'd one-pass kernel; the
+    * oracle replicates it with the equivalent regex pipeline (same
+    * equivalence d02 pins). */
+  val topWords: Q = (spark, dir) => {
+    import spark.implicits._
+    val norm = graft.functions.GraftFunctions.normalizeText(spark, $"text")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(split(norm, " ")).as("word"))
+      .filter(length($"word") > 0)
+      .distinct()
+      .groupBy($"word")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy($"doc_freq".desc, $"word")
+      .limit(20)
+  }
+
+  val topWordsSql: String =
+    """SELECT word, COUNT(*) AS doc_freq FROM (
+      |  SELECT DISTINCT doc_id, unnest(string_split(trim(regexp_replace(
+      |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS word
+      |  FROM documents) t
+      |WHERE length(word) > 0
+      |GROUP BY word
+      |ORDER BY doc_freq DESC, word
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t08_top_words" -> topWords,
     "t07_typed_source_stats" -> typedSourceStats,
     "t01_token_stats" -> tokenStats,
     "t02_quality_score" -> qualityScore,
@@ -163,6 +195,7 @@ object TextPipeline {
     "t06_clean_text" -> cleanText)
 
   val oracles: Map[String, String] = Map(
+    "t08_top_words" -> topWordsSql,
     "t07_typed_source_stats" -> typedSourceStatsSql,
     "t01_token_stats" -> tokenStatsSql,
     "t02_quality_score" -> qualityScoreSql,

@@ -106,10 +106,15 @@ object Similarity {
     val ranked = array_sort(zip_with(projs, sequence(lit(0), lit(nBits - 1)),
       (p, i) => struct(abs(p).as("m"), i.as("i"))))
     val low = slice(transform(ranked, r => r.getField("i")), 1, lowBits)
-    def single(k: Int): Column = call_function("shiftleft", lit(1), element_at(low, k + 1))
-    val subsets = (1 to maxFlips).flatMap(sz => (0 until lowBits).combinations(sz).toSeq)
-    val masks: Seq[Column] = lit(0) +: subsets.map(s => s.map(single).reduce(_.bitwiseOR(_)))
-    array(masks: _*)
+    // flip-index subsets are a LITERAL array-of-arrays folded per row —
+    // keeps the expression tree O(1) in the probe count instead of
+    // materializing #masks × maxFlips element_at chains (analysis/codegen
+    // cost, not correctness: identical masks come out)
+    val subsets: Seq[Seq[Int]] =
+      Seq(Seq.empty[Int]) ++ (1 to maxFlips).flatMap(sz => (0 until lowBits).combinations(sz).map(_.toSeq))
+    transform(typedlit(subsets), s =>
+      aggregate(s, lit(0), (acc, k) =>
+        acc + call_function("shiftleft", lit(1), element_at(low, k + lit(1)))))
   }
 
   /** Candidate pairs (query_id, query_emb, vec_id, embedding) examined by

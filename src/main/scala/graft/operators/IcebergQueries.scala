@@ -123,7 +123,14 @@ object IcebergQueries {
       .orderBy(col("file_path"))
   }
 
+  /** The history metadata table (snapshot-log with is-current flags) —
+    * Iceberg's `table$history` surface. */
+  val i09History: Q = (spark, _) =>
+    MetadataTables.history(spark, meta)
+      .orderBy(col("made_current_at_ms"))
+
   val queries: Map[String, Q] = Map(
+    "i09_history" -> i09History,
     "i08_time_travel" -> i08TimeTravel,
     "i06_dsv2_scan" -> i06Dsv2Scan,
     "i07_json_metadata" -> i07JsonMetadata,

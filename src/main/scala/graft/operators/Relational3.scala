@@ -123,12 +123,44 @@ object Relational3 {
       |      FROM orders) t
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Exact quartiles per order priority via `percentile` (the
+    * sort-and-interpolate exact form, distinct from q27's HLL sketch and
+    * q37's ntile buckets). Both engines interpolate lower + frac·(upper −
+    * lower) over doubles at rank p·(n−1) — bit-identical. Exact percentile
+    * shuffles all values of a group to one reducer: fine for bounded group
+    * cardinality (5 priorities); an unbounded-cardinality profile would
+    * use approx_percentile's mergeable sketch instead. */
+  val quartiles: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        percentile($"o_totalprice", lit(0.25)).as("p25"),
+        percentile($"o_totalprice", lit(0.5)).as("p50"),
+        percentile($"o_totalprice", lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val quartilesSql: String =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.25) AS p25,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.75) AS p75,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q47_quartiles" -> quartiles,
     "q44_range_join" -> rangeJoinClicks,
     "q45_lateral_topk" -> lateralTopCustomers,
     "q46_trailing_spend" -> trailingSpend)
 
   val oracles: Map[String, String] = Map(
+    "q47_quartiles" -> quartilesSql,
     "q44_range_join" -> rangeJoinClicksSql,
     "q45_lateral_topk" -> lateralTopCustomersSql,
     "q46_trailing_spend" -> trailingSpendSql)

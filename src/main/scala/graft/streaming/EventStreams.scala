@@ -202,15 +202,41 @@ object EventStreams {
       |GROUP BY e.event_id
       |ORDER BY e_id""".stripMargin
 
+  /** Streaming deduplication: `dropDuplicatesWithinWatermark` keeps one
+    * row per (user_id, event_type) with state evicted as the watermark
+    * advances — the streaming twin of d01's exact dedup and the state-
+    * bounded form a continuous ingest pipeline needs (plain dropDuplicates
+    * without event-time keys grows state forever). Which row survives per
+    * key is batch-order-dependent, so the entry aggregates to the
+    * key-level count — deterministic and oracle-checkable. */
+  val streamDedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val dedup = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    runToMemory(spark, dedup, OutputMode.Append())
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_distinct_users"))
+      .orderBy($"event_type")
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st01_stream_hourly" -> streamHourly,
     "st02_stream_sessions" -> streamSessions,
     "st03_session_window" -> streamSessionWindow,
-    "st04_stream_interval_join" -> streamIntervalJoin)
+    "st04_stream_interval_join" -> streamIntervalJoin,
+    "st05_stream_dedup" -> streamDedup)
 
   val oracles: Map[String, String] = Map(
     "st01_stream_hourly" -> streamHourlySql,
     "st02_stream_sessions" -> streamSessionsSql,
     "st03_session_window" -> streamSessionWindowSql,
-    "st04_stream_interval_join" -> streamIntervalJoinSql)
+    "st04_stream_interval_join" -> streamIntervalJoinSql,
+    "st05_stream_dedup" -> streamDedupSql)
 }

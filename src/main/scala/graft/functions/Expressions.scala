@@ -161,7 +161,14 @@ object GraftFunctions {
     "graft_minhash_bands" -> (es => MinHashBands(es.head, intLit(es(1), "shingleK"),
       intLit(es(2), "numHashes"), intLit(es(3), "bands"))),
     "graft_lang_id" -> (es => LangId(es.head)),
-    "graft_normalize_text" -> (es => NormalizeText(es.head)))
+    "graft_normalize_text" -> (es => NormalizeText(es.head)),
+    // Spark's own runtime-filter expressions, surfaced for user-level
+    // bloom pre-join pruning (Catalyst registers them internal-only; the
+    // classes are public and codegen'd)
+    "graft_bloom_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es.head)),
+    "graft_might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1))))
 
   def register(spark: SparkSession): Unit = synchronized {
     if (registered.contains(spark)) return
@@ -195,4 +202,9 @@ object GraftFunctions {
     { register(spark); call_function("graft_lang_id", c) }
   def normalizeText(spark: SparkSession, c: Column): Column =
     { register(spark); call_function("graft_normalize_text", c) }
+  /** Bloom sketch over a LONG key column (use xxhash64 for other types). */
+  def bloomAgg(spark: SparkSession, c: Column): Column =
+    { register(spark); call_function("graft_bloom_agg", c) }
+  def mightContain(spark: SparkSession, bloom: Column, key: Column): Column =
+    { register(spark); call_function("graft_might_contain", bloom, key) }
 }

@@ -256,7 +256,41 @@ object Dedup {
       .limit(20)
   }
 
+  /** Bloom pre-join pruning — the runtime-filter pattern for 100 TB
+    * joins, surfaced as an operator: build a bloom sketch of the
+    * reference-side keys (one mergeable aggregate → a KB-scale binary),
+    * broadcast it, drop probe-side rows that cannot match BEFORE the
+    * shuffle join, then an exact semi join removes the bloom's false
+    * positives so the result is exactly the plain semi join (the oracle).
+    * Here: customers who placed a high-value order — the bloom prunes the
+    * customer scan down to ~|matches| rows pre-shuffle. */
+  val bloomPrefilter: Q = (spark, dir) => {
+    GraftFunctions.register(spark)
+    graft.Tables.registerAll(spark, dir)
+    // the bloom must reach might_contain as a scalar subquery (analyzer
+    // constraint on BloomFilterMightContain); Catalyst evaluates it once
+    // and broadcasts the KB-scale sketch into the probe-side scan filter
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE) AS c_acctbal
+        |FROM customer
+        |WHERE graft_might_contain(
+        |    (SELECT graft_bloom_agg(xxhash64(o_custkey))
+        |     FROM orders WHERE o_totalprice > 400000.0),
+        |    xxhash64(c_custkey))
+        |  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val bloomPrefilterSql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)), 2) AS DOUBLE) AS c_acctbal
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d08_bloom_prefilter" -> bloomPrefilter,
     "d01_exact_dedup" -> exactDedup,
     "d02_normalized_dedup" -> normalizedDedup,
     "d03_minhash_dedup" -> minhashDedup,
@@ -266,6 +300,7 @@ object Dedup {
     "d07_embedding_ivf" -> embeddingIvfNearDup)
 
   val oracles: Map[String, String] = Map(
+    "d08_bloom_prefilter" -> bloomPrefilterSql,
     "d01_exact_dedup" -> exactDedupSql,
     "d02_normalized_dedup" -> normalizedDedupSql,
     "d03_minhash_dedup" -> minhashDedupSql,

@@ -111,4 +111,21 @@ class AdvancedSpec extends SparkSpec {
     assert(rows.length == 3)
     assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
+
+  test("bloom sketch: no false negatives, low false-positive rate, SQL-resolvable") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    (0L until 1000L).toDF("k").createOrReplaceTempView("bloom_keys")
+    (0L until 2000L).toDF("k").createOrReplaceTempView("bloom_probes")
+    val hits = spark.sql(
+      """SELECT k FROM bloom_probes
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(k)) FROM bloom_keys),
+        |  xxhash64(k))""".stripMargin).collect().map(_.getLong(0)).toSet
+    // every inserted key must hit (bloom has no false negatives)
+    assert((0L until 1000L).forall(hits.contains))
+    // false positives among the 1000 non-inserted probes stay low
+    val fp = hits.count(_ >= 1000L)
+    assert(fp < 50, s"false-positive count $fp")
+  }
 }

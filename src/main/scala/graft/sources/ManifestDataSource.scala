@@ -157,12 +157,30 @@ class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: S
   override def planInputPartitions(): Array[InputPartition] = {
     val survivors =
       if (filters.isEmpty) paths
-      else paths.filter { p =>
-        val probe = new ManifestPartitionReader(p,
-          EntryFilterEval.schemaForRefs(filters.flatMap(_.references).toSet,
-            AvroConversions.toStructType(new Schema.Parser().parse(writerSchemaJson)), virtuals),
-          writerSchemaJson, virtuals, filters)
-        try probe.next() finally probe.close()
+      else {
+        val probeSchema = EntryFilterEval.schemaForRefs(
+          filters.flatMap(_.references).toSet,
+          AvroConversions.toStructType(new Schema.Parser().parse(writerSchemaJson)), virtuals)
+        // probe manifests concurrently — each is an independent KB-scale
+        // read, so planning latency stays flat as the manifest count grows
+        // (the driver-side analog of Iceberg's planning thread pool)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, math.max(1, paths.size)))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          val checks = paths.map { p =>
+            scala.concurrent.Future {
+              val probe = new ManifestPartitionReader(
+                p, probeSchema, writerSchemaJson, virtuals, filters)
+              try (p, probe.next()) finally probe.close()
+            }
+          }
+          scala.concurrent.Await
+            .result(scala.concurrent.Future.sequence(checks),
+              scala.concurrent.duration.Duration.Inf)
+            .collect { case (p, true) => p }
+        } finally pool.shutdown()
       }
     survivors.map(p => ManifestInputPartition(p): InputPartition).toArray
   }

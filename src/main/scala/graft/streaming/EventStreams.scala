@@ -39,13 +39,23 @@ object EventStreams {
 
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful streaming ops keep ONE state store per shuffle partition,
+    // each paying per-batch snapshot/commit overhead — at this input scale
+    // 32 stores are pure fixed cost (a production deployment sizes this to
+    // state volume, and it's fixed at the FIRST run of a checkpoint). The
+    // result is partitioning-independent; restored after the drive.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 

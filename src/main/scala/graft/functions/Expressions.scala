@@ -123,6 +123,68 @@ case class NormalizeText(child: Expression) extends TextKernelExpression {
   override protected def withNewChildInternal(c: Expression): NormalizeText = copy(c)
 }
 
+/** Vector kernels shared by the interpreted and codegen'd paths of
+  * DotProduct. The accumulation is the SAME left-to-right IEEE-754 double
+  * fold as `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and as DuckDB's list
+  * comprehension sum — bit-identical results, so swapping the interpreted
+  * higher-order functions for this codegen'd kernel preserves every
+  * hash-pinned oracle. */
+object VectorKernels {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData, aFloat: Boolean,
+      b: org.apache.spark.sql.catalyst.util.ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+}
+
+/** dot(a, b) over array<float|double> — embedding similarity's innermost
+  * loop as ONE whole-stage-codegen call instead of interpreted zip_with +
+  * aggregate (higher-order functions never codegen). */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def elemFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], elemFloat(left),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], elemFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.dot($a, ${elemFloat(left)}, $b, ${elemFloat(right)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
 /** lang_id(text): heuristic language identification. */
 case class LangId(child: Expression) extends TextKernelExpression {
   override def dataType: DataType = StringType
@@ -168,7 +230,8 @@ object GraftFunctions {
     "graft_bloom_agg" -> (es =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es.head)),
     "graft_might_contain" -> (es =>
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1))))
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1))),
+    "graft_dot" -> (es => DotProduct(es.head, es(1))))
 
   def register(spark: SparkSession): Unit = synchronized {
     if (registered.contains(spark)) return
@@ -207,4 +270,6 @@ object GraftFunctions {
     { register(spark); call_function("graft_bloom_agg", c) }
   def mightContain(spark: SparkSession, bloom: Column, key: Column): Column =
     { register(spark); call_function("graft_might_contain", bloom, key) }
+  def dot(spark: SparkSession, a: Column, b: Column): Column =
+    { register(spark); call_function("graft_dot", a, b) }
 }

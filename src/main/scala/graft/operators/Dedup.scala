@@ -183,9 +183,10 @@ object Dedup {
     * (IVF) instead of a label column — same plan shape. */
   val embeddingNearDup: Q = (spark, dir) => {
     import spark.implicits._
+    // codegen'd dot kernel — same IEEE fold as the zip_with+aggregate form
+    // (bit-identical, see graft.functions.DotProduct), no interpreter
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-        lit(0.0), (acc, x) => acc + x)
+      GraftFunctions.dot(spark, a, b)
     // Hoist each row's norm out of the pair join: O(n) norms instead of
     // O(pairs) — same double values (identical computation, done once),
     // so oracle parity is preserved while flops drop ~3×.
@@ -217,6 +218,7 @@ object Dedup {
     * only (same shape as the MinHash verify stage). */
   private[graft] def ivfCandidatePairs(
       emb: DataFrame, nBits: Int, maxFlips: Int, dim: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val planes = Similarity.hyperplanes(nBits, dim)
     val hashed = emb.select(emb("vec_id"),
       Similarity.bucketOf(emb("embedding"), planes).as("bucket"))
@@ -243,8 +245,7 @@ object Dedup {
   val embeddingIvfNearDup: Q = (spark, dir) => {
     import spark.implicits._
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-        lit(0.0), (acc, x) => acc + x)
+      GraftFunctions.dot(spark, a, b)
     val emb = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"embedding", sqrt(dot($"embedding", $"embedding")).as("norm"))
     val cands = ivfCandidatePairs(emb, nBits = 10, maxFlips = 2, dim = 64)

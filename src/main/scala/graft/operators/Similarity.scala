@@ -31,9 +31,13 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Codegen'd dot product (graft.functions.DotProduct) — the same
+    * left-to-right IEEE double fold as the zip_with+aggregate formulation
+    * it replaced (bit-identical, oracle-pinned) but inside whole-stage
+    * codegen instead of the higher-order-function interpreter. Callers
+    * must GraftFunctions.register the session before building the plan. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -41,6 +45,7 @@ object Similarity {
   /** Exact top-5 cosine neighbors for query vectors vec_id < 5. */
   val annBruteForce: Q = (spark, dir) => {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
@@ -124,6 +129,7 @@ object Similarity {
   private[graft] def lshCandidates(
       corpus: DataFrame, queries: DataFrame,
       nBits: Int, lowBits: Int, maxFlips: Int, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val planes = hyperplanes(nBits, dim)
     val hashed = corpus.select(col("vec_id"), col("embedding"),
       bucketOf(col("embedding"), planes).as("bucket"))

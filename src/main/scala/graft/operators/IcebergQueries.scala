@@ -129,7 +129,21 @@ object IcebergQueries {
     MetadataTables.history(spark, meta)
       .orderBy(col("made_current_at_ms"))
 
+  /** The readable-metrics surface: typed lower/upper stat columns decoded
+    * straight off the DSv2 scan (`option("metadata", …)` grows
+    * lower_/upper_<col> virtual columns; see ManifestDataSource). What
+    * i01 renders as display strings, this exposes as TYPED values a
+    * filter can push down on. */
+  val i10ReadableMetrics: Q = (spark, _) =>
+    spark.read.format("graft-manifest")
+      .option("metadata", FixtureMetadata)
+      .load(FixtureManifest)
+      .select(col("data_file.file_path").as("file_path"),
+        col("lower_id"), col("upper_id"), col("lower_data"), col("upper_data"))
+      .orderBy(col("file_path"))
+
   val queries: Map[String, Q] = Map(
+    "i10_readable_metrics" -> i10ReadableMetrics,
     "i09_history" -> i09History,
     "i08_time_travel" -> i08TimeTravel,
     "i06_dsv2_scan" -> i06Dsv2Scan,

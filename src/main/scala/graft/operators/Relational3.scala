@@ -153,13 +153,48 @@ object Relational3 {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Wide→long reshape via `Dataset.unpivot` (the MELT operator): per-
+    * nation metrics unpivoted into (nation, metric, value) rows. Unpivot
+    * is a zero-shuffle projection — each input row explodes into
+    * #value-columns output rows map-side. */
+  val unpivotMetrics: Q = (spark, dir) => {
+    import spark.implicits._
+    val nat = Tables.load(spark, dir, "nation").select($"n_nationkey", $"n_name")
+    Tables.load(spark, dir, "customer")
+      .join(nat, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n_customers"),
+        round(sum(dec($"c_acctbal")), 2).cast(DoubleType).as("total_acctbal"),
+        (sum(dec($"c_acctbal")).cast(DoubleType) / count(lit(1))).as("avg_acctbal"))
+      .unpivot(Array($"n_name"), "metric", "value")
+      .orderBy($"n_name", $"metric")
+  }
+
+  val unpivotMetricsSql: String =
+    """WITH m AS (
+      |  SELECT n_name,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_customers,
+      |    CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_acctbal,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name, metric, value FROM (
+      |  SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM m
+      |  UNION ALL SELECT n_name, 'total_acctbal', total_acctbal FROM m
+      |  UNION ALL SELECT n_name, 'avg_acctbal', avg_acctbal FROM m) u
+      |ORDER BY n_name, metric""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q48_unpivot" -> unpivotMetrics,
     "q47_quartiles" -> quartiles,
     "q44_range_join" -> rangeJoinClicks,
     "q45_lateral_topk" -> lateralTopCustomers,
     "q46_trailing_spend" -> trailingSpend)
 
   val oracles: Map[String, String] = Map(
+    "q48_unpivot" -> unpivotMetricsSql,
     "q47_quartiles" -> quartilesSql,
     "q44_range_join" -> rangeJoinClicksSql,
     "q45_lateral_topk" -> lateralTopCustomersSql,

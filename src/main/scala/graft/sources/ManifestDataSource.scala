@@ -117,9 +117,17 @@ class ManifestTable(schema: StructType, paths: Seq[String], writerSchemaJson: St
 
 class ManifestScanBuilder(fullSchema: StructType, paths: Seq[String], writerSchemaJson: String,
     virtuals: Seq[VirtualBoundCol])
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
   private var required: StructType = fullSchema
   private var pushed: Array[sources.Filter] = Array.empty
+  private var limit: Int = Int.MaxValue
+
+  /** `--head` parity through Catalyst (ManifestFileReadTool.java:145-147):
+    * each partition reader stops decoding after `n` surviving rows —
+    * per-partition is the safe over-approximation, Spark's global limit
+    * still applies on top. */
+  override def pushLimit(n: Int): Boolean = { limit = n; false }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep Catalyst's pruned schema verbatim — including NESTED pruning
@@ -137,16 +145,18 @@ class ManifestScanBuilder(fullSchema: StructType, paths: Seq[String], writerSche
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan =
-    new ManifestScan(required, paths, writerSchemaJson, virtuals, pushed)
+    new ManifestScan(required, paths, writerSchemaJson, virtuals, pushed, limit)
 }
 
 class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: String,
-    virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter])
+    virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter],
+    limit: Int = Int.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-manifest scan, ReadSchema: ${required.catalogString}" +
-      (if (filters.nonEmpty) s", PushedFilters: ${filters.mkString("[", ", ", "]")}" else "")
+      (if (filters.nonEmpty) s", PushedFilters: ${filters.mkString("[", ", ", "]")}" else "") +
+      (if (limit != Int.MaxValue) s", PushedLimit: $limit" else "")
   override def toBatch: Batch = this
 
   /** Manifests where no entry can satisfy the pushed filters produce no
@@ -186,18 +196,18 @@ class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: S
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(required, writerSchemaJson, virtuals, filters)
+    new ManifestReaderFactory(required, writerSchemaJson, virtuals, filters, limit)
 }
 
 case class ManifestInputPartition(path: String) extends InputPartition
 
 class ManifestReaderFactory(required: StructType, writerSchemaJson: String,
-    virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter])
+    virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter], limit: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ManifestPartitionReader(
       partition.asInstanceOf[ManifestInputPartition].path, required, writerSchemaJson,
-      virtuals, filters)
+      virtuals, filters, limit)
 }
 
 /** Conservative three-valued evaluation of v1 `sources.Filter`s over
@@ -300,8 +310,11 @@ object EntryFilterEval {
   * the bound maps when virtual stat columns are in play); pushed filters
   * skip rows before they are materialized to Catalyst. */
 class ManifestPartitionReader(path: String, required: StructType, writerSchemaJson: String,
-    virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter])
+    virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter],
+    limit: Int = Int.MaxValue)
     extends PartitionReader[InternalRow] {
+
+  private var emitted = 0
 
   private val writerSchema = new Schema.Parser().parse(writerSchemaJson)
   private val byName = virtuals.map(v => v.name -> v).toMap
@@ -392,6 +405,7 @@ class ManifestPartitionReader(path: String, required: StructType, writerSchemaJs
   }
 
   override def next(): Boolean = {
+    if (emitted >= limit) return false
     while (stream.hasNext) {
       val row = AvroConversions.toRow(readerSchema, stream.next())
       val keep = filters.forall(f => EntryFilterEval.eval(f, resolve(row, _)).getOrElse(true))
@@ -405,6 +419,7 @@ class ManifestPartitionReader(path: String, required: StructType, writerSchemaJs
           }
         })
         current = toCatalyst(out).asInstanceOf[InternalRow]
+        emitted += 1
         return true
       }
     }

@@ -155,5 +155,12 @@ class PrunedReadSpec extends SparkSpec {
     val rows = base.filter(col("lower_v") >= 100 && col("upper_v") <= 199)
       .select(col("data_file.file_path").as("file_path")).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("a1.parquet"))
+
+    // limit pushdown (--head parity): the scan stops decoding per
+    // partition and advertises the pushed limit
+    val limited = base.select(col("data_file.file_path")).limit(1)
+    assert(limited.queryExecution.executedPlan.toString.contains("PushedLimit: 1"),
+      limited.queryExecution.executedPlan.toString)
+    assert(limited.collect().length == 1)
   }
 }

@@ -290,7 +290,62 @@ object Dedup {
       |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    * graph, each doc labeled with its component's minimum doc_id — the
+    * step that turns a pair list into canonical dedup groups (keep one
+    * representative per cluster).
+    *
+    * Min-label propagation to fixpoint: every iteration is one
+    * shuffle-join (labels ⋈ edges → min neighbor label), converging in
+    * O(component diameter) rounds — near-dup components are tiny (pairs/
+    * triples), so 2-3 rounds in practice. The driver loop only checks the
+    * convergence count; at web scale the same loop is the large-star/
+    * small-star algorithm (Kiveris et al., "Connected Components in
+    * MapReduce"), identical join shape. */
+  val neardupClusters: Q = (spark, dir) => {
+    import spark.implicits._
+    val pairs = minhashDedup(spark, dir).select($"doc_a", $"doc_b")
+    val edges = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("lbl", $"doc_id")
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("lbl", "n_lbl"), "dst")
+        .groupBy($"src".as("doc_id")).agg(min($"n_lbl").as("n_lbl"))
+      val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
+        .select($"doc_id", least($"lbl", coalesce($"n_lbl", $"lbl")).as("lbl"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter($"lbl" =!= $"old").count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select($"doc_id", $"lbl".as("cluster_rep")).orderBy($"doc_id")
+  }
+
+  /** Oracle: transitive closure via recursive CTE over the same
+    * brute-force pair graph, min reachable id per node. */
+  val neardupClustersSql: String = {
+    val pairBody = minhashDedupSql
+      .replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE lsh_pairs AS ($pairBody),
+       |nodes AS (SELECT doc_a AS id FROM lsh_pairs UNION SELECT doc_b FROM lsh_pairs),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+       |          UNION SELECT doc_b, doc_a FROM lsh_pairs),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "d09_neardup_clusters" -> neardupClusters,
     "d08_bloom_prefilter" -> bloomPrefilter,
     "d01_exact_dedup" -> exactDedup,
     "d02_normalized_dedup" -> normalizedDedup,
@@ -301,6 +356,7 @@ object Dedup {
     "d07_embedding_ivf" -> embeddingIvfNearDup)
 
   val oracles: Map[String, String] = Map(
+    "d09_neardup_clusters" -> neardupClustersSql,
     "d08_bloom_prefilter" -> bloomPrefilterSql,
     "d01_exact_dedup" -> exactDedupSql,
     "d02_normalized_dedup" -> normalizedDedupSql,

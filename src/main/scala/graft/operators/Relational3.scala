@@ -186,7 +186,55 @@ object Relational3 {
       |  UNION ALL SELECT n_name, 'avg_acctbal', avg_acctbal FROM m) u
       |ORDER BY n_name, metric""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Correlated scalar subquery in the SELECT list — Catalyst decorrelates
+    * it into a left-outer aggregate join (one shuffle on the correlation
+    * key), the same plan a hand-written join+agg yields; no per-row
+    * subquery execution. Same SQL runs on both engines. */
+  val correlatedScalar: Q = (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.sql(correlatedScalarSql)
+  }
+
+  val correlatedScalarSql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0) AS n_big_orders
+      |FROM customer c
+      |WHERE c_custkey <= 200
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** Distinct count over a running window: distinct order priorities each
+    * customer has used up to each order. Spark has no DISTINCT window
+    * aggregate, so the operator composes size(collect_set() OVER w) —
+    * set semantics make it order-insensitive, hence engine-portable
+    * (DuckDB runs the native COUNT(DISTINCT) OVER). */
+  val windowedDistinct: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"day", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .withColumn("day", datediff($"o_orderdate", lit("1970-01-01")))
+      .withColumn("n_distinct_priorities",
+        size(collect_set($"o_orderpriority").over(w)).cast(LongType))
+      .select($"o_orderkey", $"o_custkey", $"n_distinct_priorities")
+      .orderBy($"o_orderkey")
+  }
+
+  val windowedDistinctSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(COUNT(DISTINCT o_orderpriority) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY datediff('day', DATE '1970-01-01', o_orderdate), o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_distinct_priorities
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q49_correlated_scalar" -> correlatedScalar,
+    "q50_windowed_distinct" -> windowedDistinct,
     "q48_unpivot" -> unpivotMetrics,
     "q47_quartiles" -> quartiles,
     "q44_range_join" -> rangeJoinClicks,
@@ -194,6 +242,8 @@ object Relational3 {
     "q46_trailing_spend" -> trailingSpend)
 
   val oracles: Map[String, String] = Map(
+    "q49_correlated_scalar" -> correlatedScalarSql,
+    "q50_windowed_distinct" -> windowedDistinctSql,
     "q48_unpivot" -> unpivotMetricsSql,
     "q47_quartiles" -> quartilesSql,
     "q44_range_join" -> rangeJoinClicksSql,

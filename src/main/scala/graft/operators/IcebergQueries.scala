@@ -142,7 +142,27 @@ object IcebergQueries {
         col("lower_id"), col("upper_id"), col("lower_data"), col("upper_data"))
       .orderBy(col("file_path"))
 
+  /** Per-column data-quality stats across the table's files: explode the
+    * value_counts / null_value_counts maps, roll up per field id, emit the
+    * null fraction — the column-health report Iceberg surfaces as part of
+    * readable_metrics, computed as plain map-explode analytics over the
+    * distributed manifest scan. */
+  val i11NullStats: Q = (spark, _) => {
+    val files = MetadataTables.files(spark, meta, Seq(FixtureManifest))
+    val vals = files.select(explode(col("value_counts")).as(Seq("field_id", "n_values")))
+    val nulls = files.select(explode(col("null_value_counts")).as(Seq("field_id", "n_nulls")))
+    val v = vals.groupBy(col("field_id")).agg(sum(col("n_values")).as("n_values"))
+    val n = nulls.groupBy(col("field_id")).agg(sum(col("n_nulls")).as("n_nulls"))
+    v.join(n, Seq("field_id"), "left_outer")
+      .select(col("field_id"), col("n_values"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        (coalesce(col("n_nulls"), lit(0L)).cast("double") /
+          col("n_values").cast("double")).as("null_fraction"))
+      .orderBy(col("field_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "i11_null_stats" -> i11NullStats,
     "i10_readable_metrics" -> i10ReadableMetrics,
     "i09_history" -> i09History,
     "i08_time_travel" -> i08TimeTravel,

@@ -135,10 +135,45 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  final case class Thumb(doc_id: Long, orig_len: Int, thumb_len: Int, thumb_hash: Long)
+
+  /** "Resize" plumbing: downsample each payload to a ≤64-byte thumbnail by
+    * striding (the real image resize would sit where `stride` sampling
+    * does, per the declared-stub contract); per-record work stays inside
+    * the partition iterator, output is a fixed small schema regardless of
+    * input payload size — the shape that keeps a 100 TB media resize
+    * shuffle-free and output-bounded. */
+  val thumbnails: Q = (spark, dir) => {
+    import spark.implicits._
+    val Target = 64
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          (pmod($"doc_id", lit(3)) + 1).cast("int")).as("format"),
+        encode($"text", "UTF-8").as("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val n = r.payload.length
+        val stride = math.max(1, n / Target)
+        var h = graft.functions.TextAlgos.FnvOffset
+        var count = 0
+        var i = 0
+        while (i < n && count < Target) {
+          h ^= (r.payload(i) & 0xffL); h *= graft.functions.TextAlgos.FnvPrime
+          count += 1
+          i += stride
+        }
+        Thumb(r.doc_id, n, count, h)
+      })
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_media_features" -> mediaFeatures,
     "m02_media_records" -> mediaRecords,
-    "m03_frame_samples" -> frameSamples)
+    "m03_frame_samples" -> frameSamples,
+    "m04_thumbnails" -> thumbnails)
 
   val oracles: Map[String, String] = Map.empty
 }

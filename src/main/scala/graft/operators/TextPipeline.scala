@@ -184,7 +184,51 @@ object TextPipeline {
       |ORDER BY doc_freq DESC, word
       |LIMIT 20""".stripMargin
 
+  /** Bigram language-model head: top 20 bigrams by corpus count with the
+    * conditional probability P(w2|w1). Two hash aggregations (bigram
+    * counts, unigram continuation counts) + a broadcast-size join of the
+    * head — the n-gram-LM statistics pass of a pretraining corpus QA
+    * pipeline. The division is one IEEE double op, bit-identical across
+    * engines. */
+  val bigramModel: Q = (spark, dir) => {
+    import spark.implicits._
+    val norm = graft.functions.GraftFunctions.normalizeText(spark, $"text")
+    val words = Tables.load(spark, dir, "documents")
+      .select(split(norm, " ").as("ws"))
+      .filter(size($"ws") >= 2)
+    val bigrams = words
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
+      .select($"b.w1", $"b.w2")
+      .filter(length($"w1") > 0 && length($"w2") > 0)
+    val counts = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
+    val context = counts.groupBy($"w1").agg(sum($"n").as("n_ctx"))
+    counts.join(context, "w1")
+      .select($"w1", $"w2", $"n",
+        ($"n".cast(DoubleType) / $"n_ctx".cast(DoubleType)).as("p_cond"))
+      .orderBy($"n".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
+  val bigramModelSql: String =
+    """WITH ws AS (
+      |  SELECT string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT b[1] AS w1, b[2] AS w2 FROM (
+      |    SELECT unnest([[ws[i], ws[i+1]] for i in range(1, len(ws))]) AS b
+      |    FROM ws WHERE len(ws) >= 2) t
+      |  WHERE length(b[1]) > 0 AND length(b[2]) > 0),
+      |counts AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2),
+      |ctx AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_ctx FROM counts GROUP BY w1)
+      |SELECT counts.w1, w2, n, CAST(n AS DOUBLE) / CAST(n_ctx AS DOUBLE) AS p_cond
+      |FROM counts JOIN ctx ON counts.w1 = ctx.w1
+      |ORDER BY n DESC, counts.w1, w2
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t09_bigram_model" -> bigramModel,
     "t08_top_words" -> topWords,
     "t07_typed_source_stats" -> typedSourceStats,
     "t01_token_stats" -> tokenStats,
@@ -195,6 +239,7 @@ object TextPipeline {
     "t06_clean_text" -> cleanText)
 
   val oracles: Map[String, String] = Map(
+    "t09_bigram_model" -> bigramModelSql,
     "t08_top_words" -> topWordsSql,
     "t07_typed_source_stats" -> typedSourceStatsSql,
     "t01_token_stats" -> tokenStatsSql,

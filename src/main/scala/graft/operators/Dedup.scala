@@ -320,11 +320,17 @@ object Dedup {
         .cache()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
         .filter($"lbl" =!= $"old").count()
+      if (rounds > 0) labels.unpersist() // previous round's cache
       labels = next
       converged = changed == 0
       rounds += 1
     }
-    labels.select($"doc_id", $"lbl".as("cluster_rep")).orderBy($"doc_id")
+    edges.unpersist()
+    // the final labels stay cached only until the plan is consumed; make
+    // the result independent of the iteration caches
+    val out = labels.select($"doc_id", $"lbl".as("cluster_rep")).orderBy($"doc_id").localCheckpoint()
+    labels.unpersist()
+    out
   }
 
   /** Oracle: transitive closure via recursive CTE over the same

@@ -232,7 +232,35 @@ object Relational3 {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Top-3 orders per priority through the custom TopKPerKey operator
+    * (graft.plans): bounded per-key heaps prune each partition to ≤ k rows
+    * per key BEFORE the shuffle, where the row_number window idiom (the
+    * oracle's formulation) shuffles and sorts every row. Same rows out —
+    * top-k is a semigroup — so the window-based oracle pins it exactly. */
+  val topKCustomOperator: Q = (spark, dir) => {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+    graft.plans.GraftPlans.topKPerKey(
+      base,
+      keyCols = Seq("o_orderpriority"),
+      orderBy = Seq(("o_totalprice", true), ("o_orderkey", false)),
+      k = 3)
+      .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+  }
+
+  val topKCustomOperatorSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q51_topk_per_key" -> topKCustomOperator,
     "q49_correlated_scalar" -> correlatedScalar,
     "q50_windowed_distinct" -> windowedDistinct,
     "q48_unpivot" -> unpivotMetrics,
@@ -242,6 +270,7 @@ object Relational3 {
     "q46_trailing_spend" -> trailingSpend)
 
   val oracles: Map[String, String] = Map(
+    "q51_topk_per_key" -> topKCustomOperatorSql,
     "q49_correlated_scalar" -> correlatedScalarSql,
     "q50_windowed_distinct" -> windowedDistinctSql,
     "q48_unpivot" -> unpivotMetricsSql,

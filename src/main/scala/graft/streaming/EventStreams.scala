@@ -236,7 +236,65 @@ object EventStreams {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  final case class SessionRow(
+      user_id: Long, session_idx: Long, n_events: Long, start_us: Long, end_us: Long)
+
+  /** flatMapGroupsWithState — the multi-output arbitrary-stateful API
+    * (mapGroupsWithState's one-row-per-key sibling, st02): each user's
+    * group emits one row PER SESSION (30-minute gap), not one rollup row.
+    * Events are sorted in-group before folding so the output is
+    * deterministic; state would carry the open session across batches in
+    * a continuous run (AvailableNow delivers one batch, so every session
+    * closes at end-of-group). Oracle: the per-session batch rollup of the
+    * q21 sessionizer. */
+  val streamSessionDetail: Q = (spark, dir) => {
+    import spark.implicits._
+    val events = eventsStream(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+      .as[SessionEvent]
+    val gapUs = 1800L * 1000000L
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId, batch, state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = Seq.newBuilder[SessionRow]
+          var idx = 0L; var n = 0L; var start = Long.MinValue; var last = Long.MinValue
+          sorted.foreach { e =>
+            if (last != Long.MinValue && e.ts_us - last > gapUs) {
+              out += SessionRow(userId, idx, n, start, last)
+              idx += 1; n = 0L; start = e.ts_us
+            } else if (last == Long.MinValue) start = e.ts_us
+            n += 1; last = e.ts_us
+          }
+          if (n > 0) out += SessionRow(userId, idx, n, start, last)
+          state.update(SessionState(idx + 1, n, last))
+          out.result().iterator
+      }
+    runToMemory(spark, sessions.toDF(), OutputMode.Append())
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  val streamSessionDetailSql: String =
+    """SELECT user_id, CAST(session_id - 1 AS BIGINT) AS session_idx,
+      |  COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      |FROM (
+      |  SELECT user_id, ts_us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts_us,
+      |      CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+      |    FROM (
+      |      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |        LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |      FROM events) a) b) c
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st06_session_detail" -> streamSessionDetail,
     "st01_stream_hourly" -> streamHourly,
     "st02_stream_sessions" -> streamSessions,
     "st03_session_window" -> streamSessionWindow,
@@ -244,6 +302,7 @@ object EventStreams {
     "st05_stream_dedup" -> streamDedup)
 
   val oracles: Map[String, String] = Map(
+    "st06_session_detail" -> streamSessionDetailSql,
     "st01_stream_hourly" -> streamHourlySql,
     "st02_stream_sessions" -> streamSessionsSql,
     "st03_session_window" -> streamSessionWindowSql,

@@ -1,0 +1,96 @@
+package graft.iceberg
+
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.SchemaBuilder
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+/** Manifest sink: writes `manifest_entry` records — core v1 fields plus
+  * the binary bound-statistics maps in Iceberg's map-as-array-of-k/v-
+  * records encoding (`logicalType: map`, the same shape the reference
+  * decodes, IcebergDatumWriter.java:149-160) — completing the engine's
+  * read/write symmetry: SingleValueCodec encodes the bounds this module's
+  * reader+BoundDecode decode.
+  *
+  * Manifests are KB-scale metadata; like Iceberg's own writers this runs
+  * one container per call (a distributed commit writes one manifest per
+  * task and lists them in a manifest-list — see ManifestListWriter).
+  */
+object ManifestWriter {
+
+  final case class EntryData(
+      status: Int,
+      snapshotId: Long,
+      filePath: String,
+      recordCount: Long,
+      fileSizeInBytes: Long,
+      lowerBounds: Map[Int, Array[Byte]],
+      upperBounds: Map[Int, Array[Byte]])
+
+  private def boundsSchema(name: String, keyId: Int, valueId: Int): Schema = {
+    val kv = SchemaBuilder.record(s"k${keyId}_v$valueId").fields()
+      .name("key").prop(AvroConversions.FieldIdKey, keyId.toString)
+      .`type`().intType().noDefault()
+      .name("value").prop(AvroConversions.FieldIdKey, valueId.toString)
+      .`type`().bytesType().noDefault()
+      .endRecord()
+    val arr = Schema.createArray(kv)
+    arr.addProp("logicalType", "map")
+    arr
+  }
+
+  val entrySchema: Schema = SchemaBuilder.record("manifest_entry").fields()
+    .name("status").prop(AvroConversions.FieldIdKey, "0").`type`().intType().noDefault()
+    .name("snapshot_id").prop(AvroConversions.FieldIdKey, "1")
+    .`type`().unionOf().nullType().and().longType().endUnion().nullDefault()
+    .name("data_file").prop(AvroConversions.FieldIdKey, "2").`type`(
+      SchemaBuilder.record("r2").fields()
+        .name("file_path").prop(AvroConversions.FieldIdKey, "100").`type`().stringType().noDefault()
+        .name("record_count").prop(AvroConversions.FieldIdKey, "103").`type`().longType().noDefault()
+        .name("file_size_in_bytes").prop(AvroConversions.FieldIdKey, "104").`type`().longType().noDefault()
+        .name("lower_bounds").prop(AvroConversions.FieldIdKey, "125")
+        .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), boundsSchema("lower", 126, 127)))
+        .withDefault(null)
+        .name("upper_bounds").prop(AvroConversions.FieldIdKey, "128")
+        .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), boundsSchema("upper", 129, 130)))
+        .withDefault(null)
+        .endRecord()).noDefault()
+    .endRecord()
+
+  private def boundsArray(schema: Schema, m: Map[Int, Array[Byte]]): GenericData.Array[GenericRecord] = {
+    val arr = new GenericData.Array[GenericRecord](schema, java.util.Collections.emptyList[GenericRecord]())
+    // deterministic container bytes: entries in key order
+    m.toSeq.sortBy(_._1).foreach { case (id, bytes) =>
+      val rec = new GenericData.Record(schema.getElementType)
+      rec.put("key", id)
+      rec.put("value", ByteBuffer.wrap(bytes))
+      arr.add(rec)
+    }
+    arr
+  }
+
+  def write(path: String, entries: Seq[EntryData]): Unit = {
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val lower = dfSchema.getField("lower_bounds").schema().getTypes.get(1)
+    val upper = dfSchema.getField("upper_bounds").schema().getTypes.get(1)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
+    w.create(entrySchema, new java.io.File(path))
+    try entries.foreach { e =>
+      val df = new GenericData.Record(dfSchema)
+      df.put("file_path", e.filePath)
+      df.put("record_count", e.recordCount)
+      df.put("file_size_in_bytes", e.fileSizeInBytes)
+      df.put("lower_bounds", boundsArray(lower, e.lowerBounds))
+      df.put("upper_bounds", boundsArray(upper, e.upperBounds))
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", e.status)
+      rec.put("snapshot_id", e.snapshotId)
+      rec.put("data_file", df)
+      w.append(rec)
+    } finally w.close()
+  }
+}

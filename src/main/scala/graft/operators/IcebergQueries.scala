@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.iceberg.{ManifestListWriter, ManifestReader, MetadataTables, ScanPlanning, TableMetadata}
+import graft.iceberg.{ManifestListWriter, ManifestReader, ManifestWriter, MetadataTables, ScanPlanning, TableMetadata}
 
 /** Iceberg-metadata analytics queries over the reference's own golden
   * fixtures (read-only at /root/reference/src/test/resources — the same
@@ -161,7 +161,45 @@ object IcebergQueries {
       .orderBy(col("field_id"))
   }
 
+  /** Write/read roundtrip: decode the fixture manifest, re-encode its
+    * entries (binary bound blobs pass through SingleValueCodec's wire
+    * format) into a NEW manifest via ManifestWriter, then run the files
+    * metadata table over the rewritten container — output must equal the
+    * original fixture's decode, proving the sink and the scan are exact
+    * inverses. The 2-entry collect is metadata-scale (same boundary as
+    * Iceberg's own manifest rewrite). */
+  val i12RoundTrip: Q = (spark, _) => {
+    val src = ManifestReader.entries(spark, Seq(FixtureManifest))
+      .select(col("status"), col("snapshot_id"),
+        col("data_file.file_path"), col("data_file.record_count"),
+        col("data_file.file_size_in_bytes"),
+        col("data_file.lower_bounds"), col("data_file.upper_bounds"))
+      .collect()
+    val entries = src.map { r =>
+      ManifestWriter.EntryData(
+        r.getAs[Int]("status"), r.getAs[Long]("snapshot_id"),
+        r.getAs[String]("file_path"), r.getAs[Long]("record_count"),
+        r.getAs[Long]("file_size_in_bytes"),
+        r.getAs[Map[Int, Array[Byte]]]("lower_bounds"),
+        r.getAs[Map[Int, Array[Byte]]]("upper_bounds"))
+    }.toSeq
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-i12"))
+    val path = s"$dir/rewritten.avro"
+    ManifestWriter.write(path, entries)
+    graft.functions.BoundDecode.withDecodedBounds(
+      ManifestReader.entries(spark, Seq(path)), meta.fieldTypes)
+      .select(col("status"), col("snapshot_id"),
+        col("data_file.file_path").as("file_path"),
+        col("data_file.record_count").as("record_count"),
+        col("data_file.file_size_in_bytes").as("file_size_in_bytes"),
+        col("data_file.lower_bounds").getItem(1).as("lower_id"),
+        col("data_file.upper_bounds").getItem(2).as("upper_data"))
+      .orderBy(col("file_path"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "i12_roundtrip" -> i12RoundTrip,
     "i11_null_stats" -> i11NullStats,
     "i10_readable_metrics" -> i10ReadableMetrics,
     "i09_history" -> i09History,

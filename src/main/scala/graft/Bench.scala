@@ -27,10 +27,15 @@ object Bench {
       val a = time(SparkEntry.queries(n)); val b = time(SparkEntry.queries(n))
       n -> math.min(a, b)
     }
-    // One compact line (3-decimal secs): the driver keeps only a stdout
-    // tail, so an over-long line gets front-truncated and fails to parse.
+    // One compact line: the driver keeps only the LAST 2000 chars of
+    // stdout (verified against BENCH_r02's tail), and sbt appends ~90
+    // chars after us — a long line front-truncates and fails to parse
+    // (r02's did). 93 full entry names alone exceed the budget, so keys
+    // are the unique entry prefixes (q01..q51, d01-d09, i01-i12, t01-t09,
+    // m01-m04, st01-st06, s01-s02) at 3-decimal secs: ~1.3 KB total.
     def f(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    def shortKey(name: String): String = name.split("_").head
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

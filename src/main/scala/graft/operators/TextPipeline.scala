@@ -227,7 +227,42 @@ object TextPipeline {
       |ORDER BY n DESC, counts.w1, w2
       |LIMIT 20""".stripMargin
 
+  /** PII survey: per-source counts of email-, URL- and phone-shaped
+    * spans — the scrub-planning pass a pretraining pipeline runs before
+    * redaction. Match-count formulation (regexp_extract_all) with
+    * RE2-compatible patterns so the identical regexes run on both
+    * engines; per-row scalar work, one rollup shuffle. */
+  val piiSurvey: Q = (spark, dir) => {
+    import spark.implicits._
+    val emails = size(regexp_extract_all($"text",
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+    val urls = size(regexp_extract_all($"text",
+      lit("https?://[^\\s]+"), lit(0)))
+    val phones = size(regexp_extract_all($"text",
+      lit("\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"), lit(0)))
+    Tables.load(spark, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(emails.cast(LongType)).as("n_emails"),
+        sum(urls.cast(LongType)).as("n_urls"),
+        sum(phones.cast(LongType)).as("n_phones"),
+        sum(when(emails + urls + phones > 0, 1L).otherwise(0L)).as("n_docs_with_pii"))
+      .orderBy($"source")
+  }
+
+  val piiSurveySql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+      |  CAST(SUM(len(regexp_extract_all(text, 'https?://[^\s]+'))) AS BIGINT) AS n_urls,
+      |  CAST(SUM(len(regexp_extract_all(text, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))) AS BIGINT) AS n_phones,
+      |  CAST(SUM(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    + len(regexp_extract_all(text, 'https?://[^\s]+'))
+      |    + len(regexp_extract_all(text, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t10_pii_survey" -> piiSurvey,
     "t09_bigram_model" -> bigramModel,
     "t08_top_words" -> topWords,
     "t07_typed_source_stats" -> typedSourceStats,
@@ -239,6 +274,7 @@ object TextPipeline {
     "t06_clean_text" -> cleanText)
 
   val oracles: Map[String, String] = Map(
+    "t10_pii_survey" -> piiSurveySql,
     "t09_bigram_model" -> bigramModelSql,
     "t08_top_words" -> topWordsSql,
     "t07_typed_source_stats" -> typedSourceStatsSql,

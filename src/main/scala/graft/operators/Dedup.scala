@@ -350,7 +350,38 @@ object Dedup {
        |GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  /** Incremental-ingest dedup: which documents of a NEW batch are novel
+    * against the existing corpus, by normalized-text hash — the admission
+    * check every continuously-ingesting training pipeline runs. One
+    * anti-join on the hash (both sides hash-partitioned, map-side
+    * pre-aggregated); at 100 TB the corpus side is a bucketed hash table
+    * so only the new batch shuffles. */
+  val incrementalIngest: Q = (spark, dir) => {
+    import spark.implicits._
+    val norm = GraftFunctions.normalizeText(spark, $"text")
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", md5(norm).as("h"))
+    val corpus = docs.filter($"doc_id" < 400).select($"h").distinct()
+    docs.filter($"doc_id" >= 400)
+      .join(corpus, Seq("h"), "left_anti")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_novel"), min($"doc_id").as("first_novel"))
+      .orderBy($"source")
+  }
+
+  val incrementalIngestSql: String =
+    """WITH h AS (SELECT doc_id, source,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_novel, MIN(doc_id) AS first_novel
+      |FROM h
+      |WHERE doc_id >= 400
+      |  AND h NOT IN (SELECT h FROM h WHERE doc_id < 400)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d10_incremental_ingest" -> incrementalIngest,
     "d09_neardup_clusters" -> neardupClusters,
     "d08_bloom_prefilter" -> bloomPrefilter,
     "d01_exact_dedup" -> exactDedup,
@@ -362,6 +393,7 @@ object Dedup {
     "d07_embedding_ivf" -> embeddingIvfNearDup)
 
   val oracles: Map[String, String] = Map(
+    "d10_incremental_ingest" -> incrementalIngestSql,
     "d09_neardup_clusters" -> neardupClustersSql,
     "d08_bloom_prefilter" -> bloomPrefilterSql,
     "d01_exact_dedup" -> exactDedupSql,

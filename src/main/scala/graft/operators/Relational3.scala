@@ -259,7 +259,35 @@ object Relational3 {
       |WHERE rn <= 3
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Conditional aggregation inside a running window: each order's
+    * cumulative count of URGENT-priority orders for that customer so far —
+    * sum(CASE) OVER, the windowed-conditional shape (distinct from q07's
+    * plain running sums and q18's groupwise CASE aggregation). */
+  val windowedConditional: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"day", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .withColumn("day", datediff($"o_orderdate", lit("1970-01-01")))
+      .withColumn("urgent_so_far",
+        sum(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L)).over(w))
+      .select($"o_orderkey", $"o_custkey", $"urgent_so_far")
+      .orderBy($"o_orderkey")
+  }
+
+  val windowedConditionalSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY datediff('day', DATE '1970-01-01', o_orderdate), o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS urgent_so_far
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q52_windowed_conditional" -> windowedConditional,
     "q51_topk_per_key" -> topKCustomOperator,
     "q49_correlated_scalar" -> correlatedScalar,
     "q50_windowed_distinct" -> windowedDistinct,
@@ -270,6 +298,7 @@ object Relational3 {
     "q46_trailing_spend" -> trailingSpend)
 
   val oracles: Map[String, String] = Map(
+    "q52_windowed_conditional" -> windowedConditionalSql,
     "q51_topk_per_key" -> topKCustomOperatorSql,
     "q49_correlated_scalar" -> correlatedScalarSql,
     "q50_windowed_distinct" -> windowedDistinctSql,

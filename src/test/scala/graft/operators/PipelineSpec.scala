@@ -140,4 +140,45 @@ class PipelineSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [fingerprint64"), s"expected codegen'd projection in:\n$plan")
   }
+
+  test("codegen: the dot-product kernel stays inside whole-stage codegen") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val df = emb.select(
+      graft.functions.GraftFunctions.dot(spark, $"embedding", $"embedding").as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_dot"), s"dot fell out of codegen:\n$plan")
+    // sanity: self-dot equals the squared norm computed driver-side
+    val row = emb.select($"embedding").head.getSeq[Float](0)
+    val expect = row.map(x => x.toDouble * x.toDouble).sum
+    assert(df.head.getDouble(0) == expect)
+  }
+
+  test("AQE splits a skewed join at runtime (skew-safe shape)") {
+    import spark.implicits._
+    // one hot key carrying ~all rows (with a payload so the partition has
+    // real bytes) vs a flat build side; no aligned aggregation downstream,
+    // or AQE would refuse to split the partitioning the agg relies on
+    val pad = "x" * 100
+    val hot = (0 until 60000).map(i => (if (i % 100 == 0) i.toLong else 7L, pad + i))
+      .toDF("k", "v")
+    val dim = (0L until 1000L).map(k => (k, s"d$k")).toDF("k", "name")
+    val prev = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // keep the payload in the join output, else column pruning empties
+      // the skewed partition back below the threshold
+      val joined = hot.join(dim, "k").select($"k", $"v", $"name")
+      joined.collect() // AQE decides at runtime — materialize first
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), s"no skew split in final plan:\n$finalPlan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

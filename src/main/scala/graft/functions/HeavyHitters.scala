@@ -47,7 +47,7 @@ class MisraGries(capacity: Int)
       // undercount by n / capacity.
       val cut = a.values.toSeq.sorted(Ordering[Long].reverse).apply(capacity - 1)
       val dead = a.collect { case (k, v) if v - cut <= 0 => k }.toSeq
-      val cutKeep = a.keySet -- dead
+      val cutKeep = a.keySet.toSet -- dead
       dead.foreach(a.remove)
       cutKeep.foreach(k => a.update(k, a(k) - cut))
     }

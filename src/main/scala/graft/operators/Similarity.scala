@@ -23,9 +23,10 @@ import graft.Tables
   *     constant while the probed fraction shrinks geometrically —
   *     sub-linear per query, the IVF nlist/nprobe plan shape.
   *
-  * Cosine math is double-precision left-to-right folds (zip_with +
-  * aggregate, both codegen'd) — bit-identical to the DuckDB oracle's list
-  * comprehension folds, verified in-session.
+  * Cosine math is the codegen'd DotProduct kernel — a left-to-right
+  * IEEE-754 double fold, bit-identical to the DuckDB oracle's list
+  * comprehension folds (verified in-session) and to the zip_with +
+  * aggregate formulation it replaced.
   */
 object Similarity {
 
@@ -87,7 +88,7 @@ object Similarity {
 
   /** Raw hyperplane projections as one array column (nBits doubles). */
   private def projections(emb: Column, planes: Array[Array[Double]]): Column =
-    array(planes.map(p => dot(emb, array(p.map(lit): _*))): _*)
+    array(planes.toIndexedSeq.map(p => dot(emb, array(p.toIndexedSeq.map(lit): _*))): _*)
 
   /** Bucket id from a projections array: the sign-bit code. */
   private def bucketOfProjs(projs: Column, nBits: Int): Column =

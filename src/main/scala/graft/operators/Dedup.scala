@@ -309,6 +309,10 @@ object Dedup {
       .toDF("src", "dst").cache()
     var labels = edges.select($"src".as("doc_id")).distinct()
       .withColumn("lbl", $"doc_id")
+    // min-label propagation is monotone non-increasing, so the label sum
+    // is a fixpoint detector: one cheap aggregate per round instead of a
+    // join-based diff
+    var prevSum = Long.MaxValue
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -318,11 +322,12 @@ object Dedup {
       val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
         .select($"doc_id", least($"lbl", coalesce($"n_lbl", $"lbl")).as("lbl"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter($"lbl" =!= $"old").count()
+      val sumRow = next.agg(org.apache.spark.sql.functions.sum($"lbl")).head
+      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0) // null ⟺ no pairs at this sf
       if (rounds > 0) labels.unpersist() // previous round's cache
       labels = next
-      converged = changed == 0
+      converged = sum == prevSum
+      prevSum = sum
       rounds += 1
     }
     edges.unpersist()

@@ -25,6 +25,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * k=3 that's the difference between shuffling 100 TB and shuffling
   * megabytes. Algebraically safe because top-k is a semigroup:
   * topK(A ∪ B) = topK(topK(A) ∪ topK(B)).
+  *
+  * Memory: k × (distinct keys per partition) retained rows — the same
+  * class as a non-spilling hash aggregate. For ultra-high-cardinality
+  * keys size partitions accordingly (or fall back to the window idiom,
+  * which sorts but spills); for the common case — modest key counts,
+  * huge row counts — this operator wins outright.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: LogicalPlan)
     extends UnaryNode {

@@ -30,11 +30,14 @@ object Bench {
     // One compact line: the driver keeps only the LAST 2000 chars of
     // stdout (verified against BENCH_r02's tail), and sbt appends ~90
     // chars after us — a long line front-truncates and fails to parse
-    // (r02's did). 93 full entry names alone exceed the budget, so keys
-    // are the unique entry prefixes (q01..q51, d01-d09, i01-i12, t01-t09,
-    // m01-m04, st01-st06, s01-s02) at 3-decimal secs: ~1.3 KB total.
+    // (r02's did). Full entry names alone exceed the budget, so keys are
+    // the unique entry prefixes (q01.., d01.., i01.., t01.., m01.., st01..,
+    // s01..) at 3-decimal secs — ~13 chars/entry, so the ~1900-char budget
+    // holds to ~135 entries; the require below guards prefix uniqueness.
     def f(v: Double): String = "%.3f".format(v)
     def shortKey(name: String): String = name.split("_").head
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "entry prefixes must stay unique — a colliding prefix would drop a timing")
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

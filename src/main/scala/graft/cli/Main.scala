@@ -36,8 +36,14 @@ object Main {
     args.headOption.flatMap(tools.get) match {
       case Some(tool) => tool.run(spark, System.in, out, err, args.tail)
       case None =>
-        err.print(s"Version $version of ")
-        noticeHead.foreach(err.println)
+        val head = noticeHead
+        if (head.isEmpty)
+          // shaded deployments may strip META-INF — keep a complete line
+          err.println(s"Version $version of graft iceberg-tools (Spark-native)")
+        else {
+          err.print(s"Version $version of ")
+          head.foreach(err.println)
+        }
         err.println("----------------")
         err.println("Available tools:")
         tools.values.foreach(t => err.println(f"  ${t.name}%-18s ${t.shortDescription}"))

@@ -132,7 +132,7 @@ case class NormalizeText(child: Expression) extends TextKernelExpression {
 object VectorKernels {
   def dot(a: org.apache.spark.sql.catalyst.util.ArrayData, aFloat: Boolean,
       b: org.apache.spark.sql.catalyst.util.ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -172,14 +172,26 @@ case class DotProduct(left: Expression, right: Expression)
           s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dot(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], elemFloat(left),
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], elemFloat(right))
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bd = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // ragged inputs yield NULL — matching the zip_with+aggregate
+    // formulation this kernel replaced (zip_with null-pads, poisoning the
+    // fold), never a silently truncated score
+    if (ad.numElements() != bd.numElements()) null
+    else VectorKernels.dot(ad, elemFloat(left), bd, elemFloat(right))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorKernels.dot($a, ${elemFloat(left)}, $b, ${elemFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorKernels.dot(
+         |    $a, ${elemFloat(left)}, $b, ${elemFloat(right)});
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)

@@ -23,6 +23,16 @@ object ManifestListWriter {
       .name("added_data_files_count").`type`().intType().noDefault()
       .endRecord()
 
+  /** Manifest size for the manifest_length field — `file:` URIs resolve
+    * through java.net.URI (a plain java.io.File on "file:/x" silently
+    * reports 0 bytes). */
+  private def manifestLength(p: String): Long =
+    try {
+      val uri = new java.net.URI(p)
+      if (uri.getScheme == "file") new java.io.File(uri).length()
+      else new java.io.File(p).length()
+    } catch { case _: Exception => new java.io.File(p).length() }
+
   def write(path: String, manifestPaths: Seq[String], snapshotId: Long,
       addedDataFilesCount: Int = 2): Unit = {
     val w = new DataFileWriter[GenericRecord](
@@ -31,7 +41,7 @@ object ManifestListWriter {
     try manifestPaths.foreach { p =>
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", p)
-      r.put("manifest_length", new java.io.File(p).length())
+      r.put("manifest_length", manifestLength(p))
       r.put("partition_spec_id", 0)
       r.put("added_snapshot_id", snapshotId)
       r.put("added_data_files_count", addedDataFilesCount)

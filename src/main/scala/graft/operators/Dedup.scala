@@ -330,6 +330,10 @@ object Dedup {
       prevSum = sum
       rounds += 1
     }
+    // propagation covers one hop per round: a component with diameter
+    // beyond the cap would emit wrong labels — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"neardup clustering did not converge in $rounds rounds — component diameter exceeds cap")
     edges.unpersist()
     // the final labels stay cached only until the plan is consumed; make
     // the result independent of the iteration caches
@@ -374,14 +378,17 @@ object Dedup {
       .orderBy($"source")
   }
 
+  /** NOT EXISTS, not NOT IN: a NULL hash in the corpus would turn NOT IN
+    * into zero rows (three-valued logic) while Spark's left_anti keeps
+    * non-matching rows — NOT EXISTS matches left_anti's null semantics. */
   val incrementalIngestSql: String =
     """WITH h AS (SELECT doc_id, source,
       |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
       |  FROM documents)
       |SELECT source, COUNT(*) AS n_novel, MIN(doc_id) AS first_novel
-      |FROM h
+      |FROM h b
       |WHERE doc_id >= 400
-      |  AND h NOT IN (SELECT h FROM h WHERE doc_id < 400)
+      |  AND NOT EXISTS (SELECT 1 FROM h c WHERE c.doc_id < 400 AND c.h = b.h)
       |GROUP BY source
       |ORDER BY source""".stripMargin
 

@@ -111,8 +111,11 @@ object IcebergQueries {
     val m = meta
     val snap = m.snapshotAsOf(1647666383113L).getOrElse(
       throw new IllegalStateException("fixture snapshot-log empty"))
+    // per-process dir: concurrent graft sessions must not truncate a list
+    // file another session's tasks are mid-read on
     val dir = java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-i08"))
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-i08-${ProcessHandle.current().pid()}"))
     val listPath = s"$dir/snap-${snap.snapshotId}.avro"
     ManifestListWriter.write(listPath, Seq(FixtureManifest), snap.snapshotId)
     MetadataTables.filesForSnapshot(spark, m, snap.copy(manifestList = Some(listPath)))
@@ -184,7 +187,8 @@ object IcebergQueries {
         r.getAs[Map[Int, Array[Byte]]]("upper_bounds"))
     }.toSeq
     val dir = java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-i12"))
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-i12-${ProcessHandle.current().pid()}"))
     val path = s"$dir/rewritten.avro"
     ManifestWriter.write(path, entries)
     graft.functions.BoundDecode.withDecodedBounds(

@@ -288,12 +288,15 @@ object EntryFilterEval {
   }
 
   /** Null-safe ordering across the value families a bound can take;
-    * numerics widen through BigDecimal. */
+    * numerics widen through BigDecimal — except NaN/Infinity, which
+    * BigDecimal cannot represent: those yield None (row conservatively
+    * kept), never an exception. */
   private def cmp(left: Option[Any], right: Any): Option[Int] = left.flatMap { lv =>
     if (lv == null || right == null) None
     else (lv, right) match {
       case (a: Number, b: Number) =>
-        Some(new java.math.BigDecimal(a.toString).compareTo(new java.math.BigDecimal(b.toString)))
+        try Some(new java.math.BigDecimal(a.toString).compareTo(new java.math.BigDecimal(b.toString)))
+        catch { case _: NumberFormatException => None }
       case (a: String, b: String) => Some(a.compareTo(b))
       case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
       case (a: java.time.LocalDate, b: java.sql.Date) => Some(a.compareTo(b.toLocalDate))
@@ -352,9 +355,12 @@ class ManifestPartitionReader(path: String, required: StructType, writerSchemaJs
     new java.io.BufferedInputStream(fs.open(p))
   }
   // writer schema comes from THIS container's header (per-file schema
-  // evolution); records resolve onto the derived reader schema
-  private val stream = new DataFileStream[GenericRecord](in,
-    new GenericDatumReader[GenericRecord](null: Schema, readerSchema))
+  // evolution); records resolve onto the derived reader schema. A corrupt
+  // container fails the constructor — close the stream we opened first.
+  private val stream =
+    try new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord](null: Schema, readerSchema))
+    catch { case e: Throwable => in.close(); throw e }
   private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
   private var current: InternalRow = _
 
@@ -408,14 +414,19 @@ class ManifestPartitionReader(path: String, required: StructType, writerSchemaJs
     if (emitted >= limit) return false
     while (stream.hasNext) {
       val row = AvroConversions.toRow(readerSchema, stream.next())
-      val keep = filters.forall(f => EntryFilterEval.eval(f, resolve(row, _)).getOrElse(true))
+      // decode each required virtual column once, shared by filter eval
+      // and output construction
+      val virtVals: Map[String, Any] =
+        virtualFields.map(f => f.name -> decodeVirtual(row, byName(f.name))).toMap
+      def get(name: String): Option[Any] =
+        if (virtVals.contains(name)) Some(virtVals(name)) else resolve(row, name)
+      val keep = filters.forall(f => EntryFilterEval.eval(f, get).getOrElse(true))
       if (keep) {
         val out = org.apache.spark.sql.Row.fromSeq(required.fields.toSeq.map { f =>
-          byName.get(f.name) match {
-            case Some(v) => decodeVirtual(row, v)
-            case None =>
-              val i = avroRequired.fieldIndex(f.name)
-              project(row.get(i), avroRequired.fields(i).dataType, f.dataType)
+          if (virtVals.contains(f.name)) virtVals(f.name)
+          else {
+            val i = avroRequired.fieldIndex(f.name)
+            project(row.get(i), avroRequired.fields(i).dataType, f.dataType)
           }
         })
         current = toCatalyst(out).asInstanceOf[InternalRow]

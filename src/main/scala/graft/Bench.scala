@@ -22,6 +22,11 @@ object Bench {
     // long-lived cluster session never repays per query); pass 2 is the
     // steady-state measurement. Report min(two timed runs) per query.
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // fail fast on a prefix collision BEFORE spending ~3 timed passes:
+    // a colliding shortKey would silently drop a timing from the JSON line
+    def shortKey(name: String): String = name.split("_").head
+    require(names.map(shortKey).distinct.size == names.size,
+      "entry prefixes must stay unique — a colliding prefix would drop a timing")
     names.foreach(n => time(SparkEntry.queries(n)))
     val results = names.map { n =>
       val a = time(SparkEntry.queries(n)); val b = time(SparkEntry.queries(n))
@@ -35,9 +40,6 @@ object Bench {
     // s01..) at 3-decimal secs — ~13 chars/entry, so the ~1900-char budget
     // holds to ~135 entries; the require below guards prefix uniqueness.
     def f(v: Double): String = "%.3f".format(v)
-    def shortKey(name: String): String = name.split("_").head
-    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
-      "entry prefixes must stay unique — a colliding prefix would drop a timing")
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

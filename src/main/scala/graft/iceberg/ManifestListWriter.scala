@@ -14,24 +14,38 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
   */
 object ManifestListWriter {
 
+  /** The spec field-ids (500-504) ride on every field as `field-id`
+    * props — real Iceberg readers resolve manifest-list columns by id,
+    * not name, so a list file without them is only readable by name-based
+    * readers like our own MetadataTables. Same interop posture as
+    * ManifestWriter.entrySchema. */
   val manifestFileSchema: org.apache.avro.Schema =
     SchemaBuilder.record("manifest_file").fields()
-      .name("manifest_path").`type`().stringType().noDefault()
-      .name("manifest_length").`type`().longType().noDefault()
-      .name("partition_spec_id").`type`().intType().noDefault()
-      .name("added_snapshot_id").`type`().longType().noDefault()
-      .name("added_data_files_count").`type`().intType().noDefault()
+      .name("manifest_path").prop(AvroConversions.FieldIdKey, "500")
+      .`type`().stringType().noDefault()
+      .name("manifest_length").prop(AvroConversions.FieldIdKey, "501")
+      .`type`().longType().noDefault()
+      .name("partition_spec_id").prop(AvroConversions.FieldIdKey, "502")
+      .`type`().intType().noDefault()
+      .name("added_snapshot_id").prop(AvroConversions.FieldIdKey, "503")
+      .`type`().longType().noDefault()
+      .name("added_data_files_count").prop(AvroConversions.FieldIdKey, "504")
+      .`type`().intType().noDefault()
       .endRecord()
 
-  /** Manifest size for the manifest_length field — `file:` URIs resolve
-    * through java.net.URI (a plain java.io.File on "file:/x" silently
-    * reports 0 bytes). */
-  private def manifestLength(p: String): Long =
-    try {
-      val uri = new java.net.URI(p)
-      if (uri.getScheme == "file") new java.io.File(uri).length()
-      else new java.io.File(p).length()
-    } catch { case _: Exception => new java.io.File(p).length() }
+  /** Manifest size for the manifest_length field, resolved through the
+    * Hadoop FileSystem like every other path in this module — so
+    * hdfs:// / s3a:// manifests record their true length instead of the
+    * silent 0 a java.io.File fallback would produce. */
+  private def manifestLength(p: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = org.apache.hadoop.fs.FileSystem.get(path.toUri match {
+      case u if u.getScheme == null => new java.net.URI("file:///")
+      case u => u
+    }, conf)
+    fs.getFileStatus(path).getLen
+  }
 
   def write(path: String, manifestPaths: Seq[String], snapshotId: Long,
       addedDataFilesCount: Int = 2): Unit = {

@@ -148,6 +148,13 @@ class ManifestScanBuilder(fullSchema: StructType, paths: Seq[String], writerSche
     new ManifestScan(required, paths, writerSchemaJson, virtuals, pushed, limit)
 }
 
+object ManifestScan {
+  /** Shared deadline for the planning-time pruning probes: generous for
+    * KB-scale manifest reads, small next to a query's execution time. */
+  val ProbeTimeout: scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.Duration(30, java.util.concurrent.TimeUnit.SECONDS)
+}
+
 class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: String,
     virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter],
     limit: Int = Int.MaxValue)
@@ -180,17 +187,24 @@ class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: S
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.fromExecutorService(pool)
           val checks = paths.map { p =>
-            scala.concurrent.Future {
+            p -> scala.concurrent.Future {
               val probe = new ManifestPartitionReader(
                 p, probeSchema, writerSchemaJson, virtuals, filters)
-              try (p, probe.next()) finally probe.close()
+              try probe.next() finally probe.close()
             }
           }
-          scala.concurrent.Await
-            .result(scala.concurrent.Future.sequence(checks),
-              scala.concurrent.duration.Duration.Inf)
-            .collect { case (p, true) => p }
-        } finally pool.shutdown()
+          // Bounded wait: one hung filesystem must not stall planning
+          // forever. A probe that misses the shared deadline keeps its
+          // manifest un-pruned — pruning is conservative, so a timeout
+          // safely degrades to no-prune for that file. Non-timeout probe
+          // failures still propagate (the scan would fail on them anyway).
+          val deadline = System.nanoTime() + ManifestScan.ProbeTimeout.toNanos
+          checks.collect { case (p, fut)
+              if (try scala.concurrent.Await.result(fut,
+                    scala.concurrent.duration.Duration.fromNanos(
+                      math.max(0L, deadline - System.nanoTime())))
+                  catch { case _: java.util.concurrent.TimeoutException => true }) => p }
+        } finally pool.shutdownNow()
       }
     survivors.map(p => ManifestInputPartition(p): InputPartition).toArray
   }

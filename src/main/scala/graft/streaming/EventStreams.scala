@@ -37,6 +37,11 @@ object EventStreams {
       .parquet(s"$dir/*events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
+  /** Micro-batches that carried input rows in the most recent
+    * [[runToMemory]] drive — lets specs pin the single-batch assumption
+    * some oracles depend on (see [[streamDedup]]). */
+  @volatile private[streaming] var lastDriveInputBatches: Int = -1
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
     // Stateful streaming ops keep ONE state store per shuffle partition,
@@ -55,6 +60,7 @@ object EventStreams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      lastDriveInputBatches = q.recentProgress.count(_.numInputRows > 0)
     } finally spark.conf.set(key, prev)
     spark.table(name)
   }
@@ -218,7 +224,14 @@ object EventStreams {
     * bounded form a continuous ingest pipeline needs (plain dropDuplicates
     * without event-time keys grows state forever). Which row survives per
     * key is batch-order-dependent, so the entry aggregates to the
-    * key-level count — deterministic and oracle-checkable. */
+    * key-level count — deterministic and oracle-checkable.
+    *
+    * SINGLE-BATCH ASSUMPTION: the COUNT(DISTINCT) oracle equality holds
+    * because AvailableNow over one file delivers all input in one
+    * micro-batch; with the 1-hour watermark, input split across batches
+    * (e.g. maxFilesPerTrigger) could re-emit a key whose duplicate
+    * arrives > 1h of event time after state eviction. StreamingSpec pins
+    * the one-batch drive via [[lastDriveInputBatches]]. */
   val streamDedup: Q = (spark, dir) => {
     import spark.implicits._
     val dedup = eventsStream(spark, dir)

@@ -28,6 +28,16 @@ class ManifestListSpec extends SparkSpec {
       .orderBy(org.apache.spark.sql.functions.col("file_path")).collect()
     assert(files.length == 2)
     assert(files(0).getAs[Map[Int, String]]("lower_bounds")(1) == "value:1;type:long")
+
+    // manifest_length must be the real byte size (Hadoop FS stat), and the
+    // written schema must carry the spec field-ids (500-504) so id-based
+    // Iceberg readers can resolve the columns
+    val len = manifestsDf.select("manifest_length").head.getLong(0)
+    assert(len == new java.io.File(IcebergQueries.FixtureManifest).length() && len > 0,
+      s"manifest_length $len != on-disk size")
+    val fieldIds = ManifestListWriter.manifestFileSchema.getFields
+    assert((0 until fieldIds.size).map(i => fieldIds.get(i).getProp(AvroConversions.FieldIdKey)) ==
+      Seq("500", "501", "502", "503", "504"))
   }
 
   test("graft-avro DSv2 source reads arbitrary Avro containers with pruning") {

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Iceberg v2 merge-on-read semantics + hidden partitioning — the
+  * lakehouse write/maintenance surface the reference's read-only decoder
+  * implies but never implements (its manifests carry `status` columns for
+  * ADDED/EXISTING/DELETED files, ManifestFileReadTool.java:89-161; v2
+  * tables additionally carry row-level delete files the scan must apply).
+  *
+  * - i13: position deletes — a delete file of (file_path, pos) pairs
+  *   anti-joined against the scan on parquet's native `_metadata`
+  *   (file_path, row_index) columns, exactly Iceberg's position-delete
+  *   key. Deletes are KB-to-MB per data file, so the apply side
+  *   broadcasts; at 100 TB the scan stays a plain parquet scan + one
+  *   broadcast hash anti-join — no shuffle of the fact table.
+  * - i14: full MOR scan — position deletes and equality deletes layered,
+  *   as a v2 reader must (position first is observationally equivalent
+  *   here; Iceberg orders by sequence number).
+  * - i15: hidden-partitioning summary: spec-correct partition tuples
+  *   (bucket/truncate/temporal ordinal — PartitionTransforms, pinned to
+  *   the spec's test vectors) computed inside whole-stage codegen.
+  */
+object Lakehouse {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  /** orders + its parquet physical address columns — (file_path, row
+    * position), the join key Iceberg position deletes use. */
+  private def ordersWithPos(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("*"),
+        col("_metadata.file_path").as("_file"),
+        col("_metadata.row_index").as("_pos"))
+
+  /** Synthesized position-delete file: every 101st row position of each
+    * data file, round-tripped through parquet like a real delete file
+    * (written once per process, then read back — the entry's scan side
+    * only ever sees the parquet). */
+  private def positionDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val delDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-i13-${ProcessHandle.current().pid()}",
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(delDir))) {
+      ordersWithPos(spark, dir)
+        .filter(col("_pos") % 101 === 0)
+        .select(col("_file").as("file_path"), col("_pos").as("pos"))
+        .write.mode("overwrite").parquet(delDir)
+    }
+    spark.read.parquet(delDir)
+  }
+
+  /** Merge-on-read apply: survivors = data rows whose (file, pos) has no
+    * delete-file entry. Broadcast anti-join — deletes are metadata-scale
+    * next to the fact table. */
+  def applyPositionDeletes(data: DataFrame, deletes: DataFrame): DataFrame =
+    data.join(broadcast(deletes),
+      data("_file") === deletes("file_path") && data("_pos") === deletes("pos"),
+      "left_anti")
+
+  // ---------------------------------------------------------------- i13
+  /** Position-delete merge-on-read over orders: delete every 101st row
+    * position, aggregate the survivors. The oracle recomputes positions
+    * as rank-by-key (valid because the testdata files are written sorted
+    * by o_orderkey — single file, one row group; asserted monotonic at
+    * every sf in-session), making the physical row_index semantics
+    * oracle-checkable in pure SQL. */
+  val positionDeleteScan: Q = (spark, dir) => {
+    val live = applyPositionDeletes(ordersWithPos(spark, dir), positionDeletes(spark, dir))
+    live.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("live_totalprice"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val positionDeleteScanSql: String =
+    """WITH pos AS (
+      |  SELECT o_orderstatus, o_totalprice,
+      |    row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+      |  FROM orders)
+      |SELECT o_orderstatus, COUNT(*) AS n_live,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS live_totalprice
+      |FROM pos WHERE pos % 101 <> 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- i14
+  /** Full v2 merge-on-read scan: position deletes AND equality deletes
+    * layered. The equality-delete file carries o_custkey values (keys of
+    * customers with deeply negative balances — a deterministic,
+    * content-defined delete set); equality deletes apply by key anti-join,
+    * position deletes by (file, pos) anti-join. Both delete sides
+    * broadcast; the orders scan is never shuffled. */
+  val morScan: Q = (spark, dir) => {
+    val eqDeletes = Tables.load(spark, dir, "customer")
+      .filter(col("c_acctbal") < -900)
+      .select(col("c_custkey").as("del_custkey"))
+    val posApplied = applyPositionDeletes(ordersWithPos(spark, dir), positionDeletes(spark, dir))
+    posApplied
+      .join(broadcast(eqDeletes), posApplied("o_custkey") === eqDeletes("del_custkey"), "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_live"),
+        countDistinct(col("o_custkey")).as("n_custkeys"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val morScanSql: String =
+    """WITH pos AS (
+      |  SELECT o_orderpriority, o_custkey,
+      |    row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n_live,
+      |  COUNT(DISTINCT o_custkey) AS n_custkeys
+      |FROM pos o
+      |WHERE pos % 101 <> 0
+      |  AND NOT EXISTS (SELECT 1 FROM customer c
+      |                  WHERE c.c_acctbal < -900 AND c.c_custkey = o.o_custkey)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- i15
+  /** Hidden-partitioning summary: the partition tuple a spec-correct
+    * Iceberg writer would assign each orders row —
+    * (bucket[8](o_custkey), year(o_orderdate), truncate[3](o_orderpriority))
+    * — with row counts per partition. bucket is the codegen'd
+    * murmur3_x86_32 expression (spec test vectors pinned in
+    * PartitionTransformsSpec); year is the 1970-relative ordinal; the
+    * truncate width covers ASCII so substring == codepoint prefix. DuckDB
+    * has no murmur3, so the oracle is a pinned golden (sf0.01). */
+  val partitionSummary: Q = (spark, dir) => {
+    val o = Tables.load(spark, dir, "orders")
+    o.select(
+        GraftFunctions.icebergBucket(spark, col("o_custkey"), 8).as("custkey_bucket"),
+        (year(col("o_orderdate")) - 1970).as("order_year"),
+        substring(col("o_orderpriority"), 1, 3).as("priority_trunc"))
+      .groupBy(col("custkey_bucket"), col("order_year"), col("priority_trunc"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("custkey_bucket"), col("order_year"), col("priority_trunc"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "i13_position_deletes" -> positionDeleteScan,
+    "i14_mor_scan" -> morScan,
+    "i15_partition_transforms" -> partitionSummary)
+
+  val oracles: Map[String, String] = Map(
+    "i13_position_deletes" -> positionDeleteScanSql,
+    "i14_mor_scan" -> morScanSql)
+  // i15's golden oracle lives in GoldenOracles (sf-pinned)
+}

@@ -286,7 +286,44 @@ object Relational3 {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Deterministic stratified sampling — the reproducible train/eval
+    * split a data pipeline needs where `TABLESAMPLE`/`df.sample` would
+    * give engine- and partitioning-dependent rows. Membership is a pure
+    * function of the key: the first 8 hex digits of md5(key) as an
+    * integer, mod 10 — a ~10% Bernoulli sample that is identical on any
+    * engine with md5 (the oracle recomputes it in DuckDB), stable under
+    * repartitioning, and map-side-only until the final rollup (no
+    * shuffle of the unsampled fact table; the filter sits on the scan).
+    * Per-stratum (order status) sampled vs total counts verify the rate
+    * lands near 10% everywhere. */
+  val hashSample: Q = (spark, dir) => {
+    import spark.implicits._
+    val bucket = conv(substring(md5($"o_orderkey".cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType) % 10
+    Tables.load(spark, dir, "orders")
+      .withColumn("in_sample", (bucket === 0).cast(LongType))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_total"), sum($"in_sample").as("n_sampled"),
+        sum(when($"in_sample" === 1, dec($"o_totalprice"))).cast(DoubleType)
+          .as("sampled_totalprice"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val hashSampleSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_total,
+      |  CAST(SUM(in_sample) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN in_sample = 1
+      |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sampled_totalprice
+      |FROM (
+      |  SELECT o_orderstatus, o_totalprice,
+      |    CASE WHEN ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+      |      THEN 1 ELSE 0 END AS in_sample
+      |  FROM orders) t
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q53_hash_sample" -> hashSample,
     "q52_windowed_conditional" -> windowedConditional,
     "q51_topk_per_key" -> topKCustomOperator,
     "q49_correlated_scalar" -> correlatedScalar,
@@ -298,6 +335,7 @@ object Relational3 {
     "q46_trailing_spend" -> trailingSpend)
 
   val oracles: Map[String, String] = Map(
+    "q53_hash_sample" -> hashSampleSql,
     "q52_windowed_conditional" -> windowedConditionalSql,
     "q51_topk_per_key" -> topKCustomOperatorSql,
     "q49_correlated_scalar" -> correlatedScalarSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -261,7 +262,55 @@ object TextPipeline {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** TF-IDF top terms: the 3 most document-distinctive terms per doc.
+    * tf = in-doc term count, weighted by inverse document frequency as
+    * the exact ratio `tf * N / df` (one integer product, one IEEE double
+    * division — bit-identical across engines; the usual log() weighting
+    * would hinge on libm rounding that Java does not guarantee). Plan:
+    * explode is map-side, tf and df are each one partial-aggregated
+    * shuffle, df (vocabulary-sized) broadcasts back onto tf, and the
+    * per-doc top-3 is a bounded window — the same shape at 100 TB, with
+    * the corpus-size scalar computed as an aggregate, not driver-side. */
+  val tfidfTopTerms: Q = (spark, dir) => {
+    import spark.implicits._
+    val norm = graft.functions.GraftFunctions.normalizeText(spark, $"text")
+    val docs = Tables.load(spark, dir, "documents")
+    val nDocs = docs.agg(countDistinct($"doc_id").as("n_docs"))
+    val tf = docs
+      .select($"doc_id", explode(split(norm, " ")).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", ($"tf" * $"n_docs").cast(DoubleType) / $"df")
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"term", $"score", $"rnk")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(regexp_replace(
+      |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |       WHERE length(term) > 0 GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id, t.term, CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score
+      |  FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM scored)
+      |SELECT doc_id, term, score, CAST(rnk AS INTEGER) AS rnk
+      |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t11_tfidf_terms" -> tfidfTopTerms,
     "t10_pii_survey" -> piiSurvey,
     "t09_bigram_model" -> bigramModel,
     "t08_top_words" -> topWords,
@@ -274,6 +323,7 @@ object TextPipeline {
     "t06_clean_text" -> cleanText)
 
   val oracles: Map[String, String] = Map(
+    "t11_tfidf_terms" -> tfidfTopTermsSql,
     "t10_pii_survey" -> piiSurveySql,
     "t09_bigram_model" -> bigramModelSql,
     "t08_top_words" -> topWordsSql,

@@ -306,7 +306,66 @@ object EventStreams {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_idx""".stripMargin
 
+  final case class UserEvent(user_id: Long, event_type: String, ts_us: Long)
+  final case class UserStats(user_id: Long, n_events: Long, n_purchase: Long, last_event_us: Long)
+
+  /** transformWithState processor: ValueState accumulator per user.
+    * Counts and max are order-independent, so the emitted row is
+    * deterministic whatever order the batch iterator yields. */
+  private class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserStats] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserStats] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserStats]("agg",
+        org.apache.spark.sql.Encoders.product[UserStats],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStats] = {
+      val prev = Option(state.get()).getOrElse(UserStats(key, 0L, 0L, Long.MinValue))
+      var n = prev.n_events; var p = prev.n_purchase; var last = prev.last_event_us
+      rows.foreach { e =>
+        n += 1
+        if (e.event_type == "purchase") p += 1
+        if (e.ts_us > last) last = e.ts_us
+      }
+      val agg = UserStats(key, n, p, last)
+      state.update(agg)
+      Iterator.single(agg)
+    }
+  }
+
+  /** transformWithState — Spark 4's arbitrary-stateful successor to
+    * map/flatMapGroupsWithState (st02/st06): typed ValueState with an
+    * explicit StatefulProcessor lifecycle, TTL support and the RocksDB
+    * state store (required by the API; HDFS-backed stores are not
+    * supported for it). Per-user running totals emitted once per batch —
+    * AvailableNow drives one batch, so the output equals the batch GROUP
+    * BY and shares its oracle. */
+  val streamTransformWithState: Q = (spark, dir) => {
+    import spark.implicits._
+    val events = eventsStream(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+      .as[UserEvent]
+    val stats = events.groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToMemory(spark, stats.toDF(), OutputMode.Append()).orderBy($"user_id")
+    finally spark.conf.set(key, prev)
+  }
+
+  val streamTransformWithStateSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  MAX(epoch_us(ts)) AS last_event_us
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st07_transform_with_state" -> streamTransformWithState,
     "st06_session_detail" -> streamSessionDetail,
     "st01_stream_hourly" -> streamHourly,
     "st02_stream_sessions" -> streamSessions,
@@ -315,6 +374,7 @@ object EventStreams {
     "st05_stream_dedup" -> streamDedup)
 
   val oracles: Map[String, String] = Map(
+    "st07_transform_with_state" -> streamTransformWithStateSql,
     "st06_session_detail" -> streamSessionDetailSql,
     "st01_stream_hourly" -> streamHourlySql,
     "st02_stream_sessions" -> streamSessionsSql,

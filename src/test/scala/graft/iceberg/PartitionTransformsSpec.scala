@@ -1,0 +1,48 @@
+package graft.iceberg
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins PartitionTransforms against the Iceberg table-spec's own published
+  * bucket-transform test vectors (spec Appendix B) plus the documented
+  * truncate/temporal examples — the ground truth a real Iceberg reader
+  * would hold our partition values to. */
+class PartitionTransformsSpec extends AnyFunSuite {
+
+  test("bucket hash matches the spec's published vectors") {
+    // int/long 34 hash as the same 8-byte little-endian long
+    assert(PartitionTransforms.hashLong(34L) == 2017239379)
+    // date 2017-11-16 = 17486 epoch days, hashed as a long
+    assert(PartitionTransforms.hashLong(17486L) == -653330422)
+    // timestamp 2017-11-16T22:31:08 = 1510871468000000 micros
+    assert(PartitionTransforms.hashLong(1510871468000000L) == -2047944441)
+    // string "iceberg" hashes its UTF-8 bytes
+    assert(PartitionTransforms.hashString("iceberg") == 1210000089)
+    // decimal 14.20 hashes minimal big-endian unscaled bytes (1420)
+    assert(PartitionTransforms.hashDecimal(java.math.BigInteger.valueOf(1420)) == -500754589)
+  }
+
+  test("bucket value is (hash & MaxInt) % n") {
+    assert(PartitionTransforms.bucketLong(34L, 16) == (2017239379 & Int.MaxValue) % 16)
+    val b = PartitionTransforms.bucketLong(-1L, 8)
+    assert(b >= 0 && b < 8, "negative hashes must still land in [0, n)")
+  }
+
+  test("truncate uses floored modulus for integers, codepoints for strings") {
+    assert(PartitionTransforms.truncateLong(1L, 10L) == 0L)
+    assert(PartitionTransforms.truncateLong(-1L, 10L) == -10L) // spec example
+    assert(PartitionTransforms.truncateLong(99L, 10L) == 90L)
+    assert(PartitionTransforms.truncateString("iceberg", 3) == "ice")
+    assert(PartitionTransforms.truncateString("ab", 5) == "ab")
+    // surrogate pair counts as ONE codepoint
+    assert(PartitionTransforms.truncateString("😀xyz", 2) == "😀x")
+  }
+
+  test("temporal ordinals are relative to 1970") {
+    val d20171116 = java.time.LocalDate.of(2017, 11, 16).toEpochDay.toInt
+    assert(PartitionTransforms.yearOrdinal(d20171116) == 47)
+    assert(PartitionTransforms.monthOrdinal(d20171116) == 47 * 12 + 10)
+    assert(PartitionTransforms.dayOrdinal(d20171116) == 17486)
+    assert(PartitionTransforms.yearOrdinal(0) == 0)
+    assert(PartitionTransforms.monthOrdinal(-1) == -1) // 1969-12-31
+  }
+}

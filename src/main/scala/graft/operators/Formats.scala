@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Source/sink format battery beyond parquet + the custom Avro container:
+  * CSV and line-JSON round-trips and a partitioned parquet sink with
+  * partition-pruned re-read — the remaining cells of SURVEY.md §2.2's
+  * "Scans/sources | Sinks" row. Each entry writes to a per-process temp
+  * location once, then reads back through the normal scan path, so the
+  * oracle checks the WHOLE write→read→query cycle against the original
+  * table.
+  */
+object Formats {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  private def tmpDir(tag: String, dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-$tag-${ProcessHandle.current().pid()}",
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+
+  // ---------------------------------------------------------------- q54
+  /** CSV round-trip: orders → CSV (header, explicit timestamp format) →
+    * read back with an explicit schema (no inference job at scale) →
+    * rollup. CSV is the interchange format every pipeline still meets;
+    * the explicit schema + format keep the cycle lossless for every
+    * column type involved. */
+  val csvRoundtrip: Q = (spark, dir) => {
+    val out = tmpDir("q54", dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+      Tables.load(spark, dir, "orders")
+        // render the timestamp explicitly: the parquet column is NTZ, and
+        // CSV write would otherwise pick the NTZ default (ISO 'T' form)
+        // regardless of timestampFormat
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+          col("o_orderpriority"))
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(out)
+    }
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("total_price"),
+        max(col("o_orderdate")).cast(DateType).cast(StringType).as("last_order_day"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+      |  CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS last_order_day
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  /** Line-JSON round-trip: a projection of lineitem → JSONL → read back
+    * with explicit schema → filter + rollup. Verifies the JSON sink/source
+    * pair preserves numerics exactly (doubles survive via Jackson's
+    * shortest-round-trip rendering). */
+  val jsonRoundtrip: Q = (spark, dir) => {
+    val out = tmpDir("q55", dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").json(out)
+    }
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_returnflag", StringType),
+      StructField("l_quantity", DoubleType), StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType)))
+    spark.read.schema(schema).json(out)
+      .filter(col("l_discount") >= 0.05)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem WHERE l_discount >= 0.05
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** Partitioned parquet sink + partition-pruned re-read: orders written
+    * `partitionBy(o_orderstatus)`, then one partition queried back. The
+    * re-read's filter is a PARTITION filter — Spark prunes directories at
+    * planning, reading only the o_orderstatus=F files (asserted in
+    * FormatsSpec via the plan's partition count). This is the layout/
+    * lifecycle story a 100 TB table lives by: partition on the predicate
+    * column and scans never touch the other partitions' bytes. */
+  val partitionedWrite: Q = (spark, dir) => {
+    val out = tmpDir("q56", dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+      Tables.load(spark, dir, "orders")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    }
+    spark.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val partitionedWriteSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q54_csv_roundtrip" -> csvRoundtrip,
+    "q55_json_roundtrip" -> jsonRoundtrip,
+    "q56_partitioned_write" -> partitionedWrite)
+
+  val oracles: Map[String, String] = Map(
+    "q54_csv_roundtrip" -> csvRoundtripSql,
+    "q55_json_roundtrip" -> jsonRoundtripSql,
+    "q56_partitioned_write" -> partitionedWriteSql)
+}

@@ -364,7 +364,37 @@ object EventStreams {
       |  MAX(epoch_us(ts)) AS last_event_us
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Stream-static join — the enrichment shape of every production
+    * ingest: the unbounded stream joins a bounded dimension that is
+    * re-read per micro-batch (so dim updates are picked up) and
+    * broadcast (the stream side is never shuffled for the join). Events
+    * whose user_id matches a customer key gain the nation dimension;
+    * rollup per nation. Inner join keeps the result append-safe without
+    * watermark bookkeeping on the static side. */
+  val streamStaticJoin: Q = (spark, dir) => {
+    import spark.implicits._
+    val dim = graft.Tables.load(spark, dir, "customer")
+      .join(graft.Tables.load(spark, dir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    val enriched = eventsStream(spark, dir)
+      .join(broadcast(dim), $"user_id" === $"c_custkey")
+    runToMemory(spark, enriched, OutputMode.Append())
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"n_name")
+  }
+
+  val streamStaticJoinSql: String =
+    """SELECT n_name, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st08_stream_static_join" -> streamStaticJoin,
     "st07_transform_with_state" -> streamTransformWithState,
     "st06_session_detail" -> streamSessionDetail,
     "st01_stream_hourly" -> streamHourly,
@@ -374,6 +404,7 @@ object EventStreams {
     "st05_stream_dedup" -> streamDedup)
 
   val oracles: Map[String, String] = Map(
+    "st08_stream_static_join" -> streamStaticJoinSql,
     "st07_transform_with_state" -> streamTransformWithStateSql,
     "st06_session_detail" -> streamSessionDetailSql,
     "st01_stream_hourly" -> streamHourlySql,

@@ -392,7 +392,62 @@ object Dedup {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- d11
+  /** Duplicate-passage contamination report: positional 8-token shingles,
+    * a shingle occurring in ≥2 documents is "duplicated", and each doc is
+    * scored by how many of its positions sit inside duplicated passages —
+    * the passage-level (CCNet-style) complement of the whole-document
+    * dedups d01-d05. All output columns are integers, so the entry is
+    * bit-deterministic with no float conventions needed.
+    *
+    * Scale shape: shingling is map-side (transform+explode inside the
+    * scan), document frequency is one partial-aggregated shuffle keyed by
+    * shingle, and the count-back join is shuffle-on-shingle with AQE free
+    * to broadcast the (rare) duplicated-shingle side — at 100 TB the
+    * duplicated subset is orders of magnitude smaller than the corpus. */
+  val dupPassages: Q = (spark, dir) => {
+    import spark.implicits._
+    val K = 8
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= K)
+    val sh = docs.select($"doc_id",
+      explode(transform(sequence(lit(0), size($"t") - K),
+        i => concat_ws(" ", slice($"t", i + lit(1), lit(K))))).as("s"))
+    val dupShingles = sh.select($"doc_id", $"s").distinct()
+      .groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2)
+    val perDoc = sh.join(dupShingles, "s")
+      .groupBy($"doc_id").agg(count(lit(1)).as("dup_positions"))
+    docs.select($"doc_id", (size($"t") - (K - 1)).cast(LongType).as("total_positions"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("dup_positions"))
+      .select($"doc_id", $"dup_positions", $"total_positions")
+      .orderBy($"dup_positions".desc, $"doc_id")
+      .limit(20)
+  }
+
+  val dupPassagesSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]) AS s
+      |  FROM toks),
+      |dfreq AS (
+      |  SELECT s FROM (SELECT DISTINCT doc_id, s FROM sh)
+      |  GROUP BY s HAVING COUNT(*) >= 2),
+      |per_doc AS (
+      |  SELECT sh.doc_id, COUNT(*) AS dup_positions
+      |  FROM sh JOIN dfreq ON sh.s = dfreq.s GROUP BY sh.doc_id)
+      |SELECT t.doc_id, CAST(COALESCE(p.dup_positions, 0) AS BIGINT) AS dup_positions,
+      |  CAST(len(t.t) - 7 AS BIGINT) AS total_positions
+      |FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+      |ORDER BY dup_positions DESC, t.doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d11_dup_passages" -> dupPassages,
     "d10_incremental_ingest" -> incrementalIngest,
     "d09_neardup_clusters" -> neardupClusters,
     "d08_bloom_prefilter" -> bloomPrefilter,
@@ -405,6 +460,7 @@ object Dedup {
     "d07_embedding_ivf" -> embeddingIvfNearDup)
 
   val oracles: Map[String, String] = Map(
+    "d11_dup_passages" -> dupPassagesSql,
     "d10_incremental_ingest" -> incrementalIngestSql,
     "d09_neardup_clusters" -> neardupClustersSql,
     "d08_bloom_prefilter" -> bloomPrefilterSql,

@@ -186,10 +186,55 @@ object Similarity {
     annLshGeneric(emb, queries, k = 5, nBits = 10, lowBits = 6, maxFlips = 3, dim = 64)
   }
 
+  /** K-means assignment step (the inner loop of embedding-space corpus
+    * clustering): every vector is assigned to its nearest of k=8 fixed
+    * centroids (the vectors with the smallest ids — a deterministic seed
+    * choice, exactly k-means++ round 0 with a fixed sample). Centroids
+    * broadcast; the corpus is scanned once and never shuffled until the
+    * per-cluster rollup — the identical plan at a billion vectors. The
+    * per-cluster similarity mass sums in DECIMAL so the result is
+    * independent of aggregation order. */
+  val kmeansAssign: Q = (spark, dir) => {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("c_emb"))
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"centroid_id")
+    emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"centroid_id", cosine($"embedding", $"c_emb").as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" === 1)
+      .groupBy($"centroid_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"sim".cast(DecimalType(18, 12))).cast(DoubleType).as("sim_mass"))
+      .orderBy($"centroid_id")
+  }
+
+  val kmeansAssignSql: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+      |sims AS (
+      |  SELECT e.vec_id, c.centroid_id,
+      |    list_sum([e.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]) /
+      |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])) *
+      |     sqrt(list_sum([c.c_emb[i]::DOUBLE * c.c_emb[i]::DOUBLE for i in range(1, len(c.c_emb) + 1)]))) AS sim
+      |  FROM embeddings e CROSS JOIN cents c),
+      |best AS (
+      |  SELECT vec_id, centroid_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rnk
+      |  FROM sims)
+      |SELECT centroid_id, COUNT(*) AS n_members,
+      |  CAST(SUM(CAST(sim AS DECIMAL(18,12))) AS DOUBLE) AS sim_mass
+      |FROM best WHERE rnk = 1
+      |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s01_ann_brute_force" -> annBruteForce,
-    "s02_ann_lsh" -> annLsh)
+    "s02_ann_lsh" -> annLsh,
+    "s03_kmeans_assign" -> kmeansAssign)
 
   val oracles: Map[String, String] = Map(
-    "s01_ann_brute_force" -> annBruteForceSql)
+    "s01_ann_brute_force" -> annBruteForceSql,
+    "s03_kmeans_assign" -> kmeansAssignSql)
 }

@@ -309,7 +309,68 @@ object TextPipeline {
       |SELECT doc_id, term, score, CAST(rnk AS INTEGER) AS rnk
       |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** C4-style quality-filter funnel: four independent heuristics per doc
+    * (too short, implausible mean word length, low stopword ratio, low
+    * vocabulary diversity), reported per source as rule-level rejection
+    * counts plus the docs passing all rules. Every ratio test is written
+    * as an INTEGER cross-multiplication (`n_stop * 20 < n_tok` instead of
+    * `n_stop / n_tok < 0.05`), so the funnel is bit-deterministic with no
+    * float rounding anywhere. Per-row work only (array HOFs inside the
+    * scan stage) until the one rollup shuffle — the shape of a filtering
+    * pass over 100 TB of raw crawl. */
+  val filterFunnel: Q = (spark, dir) => {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val d = Tables.load(spark, dir, "documents")
+      .select($"source", split($"text", " ").as("t"))
+      .withColumn("n_tok", size($"t").cast(LongType))
+      .withColumn("sum_len",
+        aggregate($"t", lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("n_stop",
+        size(filter($"t", x => x.isin(stop: _*))).cast(LongType))
+      .withColumn("n_distinct", size(array_distinct($"t")).cast(LongType))
+      .withColumn("r_short", ($"n_tok" < 50).cast(LongType))
+      .withColumn("r_wordlen",
+        ($"sum_len" < $"n_tok" * 3 || $"sum_len" > $"n_tok" * 10).cast(LongType))
+      .withColumn("r_lowstop", ($"n_stop" * 20 < $"n_tok").cast(LongType))
+      .withColumn("r_repetitive", ($"n_distinct" * 10 < $"n_tok" * 3).cast(LongType))
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"r_short").as("n_short"),
+        sum($"r_wordlen").as("n_wordlen"),
+        sum($"r_lowstop").as("n_lowstop"),
+        sum($"r_repetitive").as("n_repetitive"),
+        sum(when($"r_short" + $"r_wordlen" + $"r_lowstop" + $"r_repetitive" === 0, 1L)
+          .otherwise(0L)).as("n_clean"))
+      .orderBy($"source")
+  }
+
+  val filterFunnelSql: String =
+    """WITH scored AS (
+      |  SELECT source,
+      |    CAST(len(t) AS BIGINT) AS n_tok,
+      |    CAST(list_sum([len(x) for x in t]) AS BIGINT) AS sum_len,
+      |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+      |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+      |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)),
+      |flags AS (
+      |  SELECT source,
+      |    CASE WHEN n_tok < 50 THEN 1 ELSE 0 END AS r_short,
+      |    CASE WHEN sum_len < n_tok * 3 OR sum_len > n_tok * 10 THEN 1 ELSE 0 END AS r_wordlen,
+      |    CASE WHEN n_stop * 20 < n_tok THEN 1 ELSE 0 END AS r_lowstop,
+      |    CASE WHEN n_distinct * 10 < n_tok * 3 THEN 1 ELSE 0 END AS r_repetitive
+      |  FROM scored)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(r_short) AS BIGINT) AS n_short,
+      |  CAST(SUM(r_wordlen) AS BIGINT) AS n_wordlen,
+      |  CAST(SUM(r_lowstop) AS BIGINT) AS n_lowstop,
+      |  CAST(SUM(r_repetitive) AS BIGINT) AS n_repetitive,
+      |  CAST(SUM(CASE WHEN r_short + r_wordlen + r_lowstop + r_repetitive = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+      |FROM flags GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t12_filter_funnel" -> filterFunnel,
     "t11_tfidf_terms" -> tfidfTopTerms,
     "t10_pii_survey" -> piiSurvey,
     "t09_bigram_model" -> bigramModel,
@@ -323,6 +384,7 @@ object TextPipeline {
     "t06_clean_text" -> cleanText)
 
   val oracles: Map[String, String] = Map(
+    "t12_filter_funnel" -> filterFunnelSql,
     "t11_tfidf_terms" -> tfidfTopTermsSql,
     "t10_pii_survey" -> piiSurveySql,
     "t09_bigram_model" -> bigramModelSql,

@@ -57,6 +57,18 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** pos_shingle_hashes(text, k): ALL positional k-token shingle hashes. */
+case class PosShingleHashes(child: Expression, shingleK: Int) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextAlgos.posShingleHashes(v.asInstanceOf[UTF8String].toString, shingleK))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextAlgos.posShingleHashes($c.toString(), $shingleK))")
+  override protected def withNewChildInternal(c: Expression): PosShingleHashes = copy(child = c)
+}
+
 /** shingle_hashes(text, k): distinct k-token shingle hashes (array<long>). */
 case class ShingleHashes(child: Expression, shingleK: Int) extends TextKernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -265,6 +277,7 @@ object GraftFunctions {
     "graft_minhash_sig" -> (es => MinHashSig(es.head,
       intLit(es(1), "shingleK"), intLit(es(2), "numHashes"))),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head, intLit(es(1), "shingleK"))),
+    "graft_pos_shingle_hashes" -> (es => PosShingleHashes(es.head, intLit(es(1), "shingleK"))),
     "graft_chargram_hashes" -> (es => CharGramHashes(es.head, intLit(es(1), "n"))),
     "graft_chargram_bands" -> (es => CharGramBands(es.head, intLit(es(1), "n"),
       intLit(es(2), "numHashes"), intLit(es(3), "bands"))),
@@ -300,6 +313,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(n)) }
   def shingleHashes(spark: SparkSession, c: Column, k: Int): Column =
     { register(spark); call_function("graft_shingle_hashes", c, org.apache.spark.sql.functions.lit(k)) }
+  def posShingleHashes(spark: SparkSession, c: Column, k: Int): Column =
+    { register(spark); call_function("graft_pos_shingle_hashes", c, org.apache.spark.sql.functions.lit(k)) }
   def chargramHashes(spark: SparkSession, c: Column, n: Int): Column =
     { register(spark); call_function("graft_chargram_hashes", c, org.apache.spark.sql.functions.lit(n)) }
   def chargramBands(spark: SparkSession, c: Column, n: Int, nh: Int, b: Int): Column =

@@ -35,6 +35,25 @@ object TextAlgos {
     if (t.isEmpty) Array.empty else t.split("\\s+")
   }
 
+  /** ALL positional k-token shingle hashes (non-distinct, document order)
+    * — the passage stream d11 scores: one rolling pass, no per-window
+    * array allocation, so 100 TB of text shingles inside the scan stage
+    * at memcpy-ish cost. Empty when the document has fewer than k tokens. */
+  def posShingleHashes(text: String, k: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < k) return Array.empty
+    val out = new Array[Long](toks.length - k + 1)
+    var i = 0
+    while (i + k <= toks.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      out(i) = fnv1a64(sb.toString)
+      i += 1
+    }
+    out
+  }
+
   /** Distinct k-token shingle hashes — the dedup unit. Hashing the joined
     * shingle string keeps memory O(#shingles × 8 bytes) regardless of
     * document length (at 100 TB the signature, not the text, is what

@@ -408,18 +408,29 @@ object Dedup {
   val dupPassages: Q = (spark, dir) => {
     import spark.implicits._
     val K = 8
+    // shingles come from the codegen'd rolling kernel (one static call per
+    // row, no per-window array allocation) and are 64-bit hashes, so the
+    // shuffle carries 8 bytes per position instead of ~50-char strings; a
+    // cross-shingle hash collision (P ≈ S²/2⁶⁵) would surface as a
+    // mismatch against the string-exact oracle, same argument as d03/d05
     val docs = Tables.load(spark, dir, "documents")
-      .select($"doc_id", split($"text", " ").as("t"))
-      .filter(size($"t") >= K)
-    val sh = docs.select($"doc_id",
-      explode(transform(sequence(lit(0), size($"t") - K),
-        i => concat_ws(" ", slice($"t", i + lit(1), lit(K))))).as("s"))
-    val dupShingles = sh.select($"doc_id", $"s").distinct()
-      .groupBy($"s").agg(count(lit(1)).as("df"))
+      .select($"doc_id",
+        GraftFunctions.posShingleHashes(spark, $"text", K).as("hs"))
+      .filter(size($"hs") > 0)
+    val sh = docs.select($"doc_id", explode($"hs").as("s"))
+    // one pass over the shingle stream: positions per (shingle, doc) in
+    // one partially-aggregated shuffle, then document frequency as an
+    // unordered window over the (much smaller) per-pair rollup — no
+    // second corpus scan and no join back. The window sorts rather than
+    // materializes per-shingle lists, so a pathologically common passage
+    // (boilerplate in millions of docs) spills instead of OOMing.
+    val perPair = sh.groupBy($"s", $"doc_id").agg(count(lit(1)).as("n_pos"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy($"s")
+    val perDoc = perPair
+      .withColumn("df", count(lit(1)).over(wS))
       .filter($"df" >= 2)
-    val perDoc = sh.join(dupShingles, "s")
-      .groupBy($"doc_id").agg(count(lit(1)).as("dup_positions"))
-    docs.select($"doc_id", (size($"t") - (K - 1)).cast(LongType).as("total_positions"))
+      .groupBy($"doc_id").agg(sum($"n_pos").as("dup_positions"))
+    docs.select($"doc_id", size($"hs").cast(LongType).as("total_positions"))
       .join(perDoc, Seq("doc_id"), "left_outer")
       .na.fill(0L, Seq("dup_positions"))
       .select($"doc_id", $"dup_positions", $"total_positions")

@@ -7,6 +7,7 @@ object PerfProbe {
     val spark = Sessions.local("perf", "32")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val targets = Seq(
+      "d11_dup_passages" -> operators.Dedup.dupPassages,
       "d02_normalized_dedup" -> operators.Dedup.normalizedDedup,
       "q03_join_topk" -> operators.Relational.q03JoinTopkRevenue,
       "d04_simhash_pairs" -> operators.Dedup.simhashPairs,

@@ -34,6 +34,13 @@ class RobustnessSpec extends SparkSpec {
     assert(TextAlgos.simHash64("", 3) == 0L)
     assert(TextAlgos.fingerprint64("héllo wörld") == TextAlgos.fingerprint64(" héllo  wörld "))
     assert(TextAlgos.charGramHashes("abc", 8).isEmpty)
+    // positional shingles: n-k+1 hashes in document order, non-distinct,
+    // each equal to the hash of the joined window
+    val pos = TextAlgos.posShingleHashes("a b c a b c", 2)
+    assert(pos.length == 5)
+    assert(pos(0) == TextAlgos.fnv1a64("a b") && pos(0) == pos(3)) // repeats kept
+    assert(pos.toSet == TextAlgos.shingleHashes("a b c a b c", 2).toSet)
+    assert(TextAlgos.posShingleHashes("a b", 3).isEmpty) // shorter than k
   }
 
   test("normalize_text equals the regex formulation on edge strings and real documents") {

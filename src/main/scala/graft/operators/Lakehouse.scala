@@ -143,7 +143,38 @@ object Lakehouse {
       .orderBy(col("custkey_bucket"), col("order_year"), col("priority_trunc"))
   }
 
+  // ---------------------------------------------------------------- i16
+  /** Compaction planning (the planning step of Iceberg's
+    * rewrite_data_files maintenance): files ordered by path are packed
+    * into target-size bins by cumulative start offset — a deterministic,
+    * windowable approximation of greedy bin-packing — and each bin is the
+    * rewrite task (files, bytes, records it would merge). The window is
+    * global here because a table's file list is metadata-scale (KB per
+    * manifest); a petabyte table partitions the window by partition value,
+    * which is also the correct rewrite boundary. Target size is 500 bytes
+    * against the fixture's two ~650-byte files so the plan demonstrably
+    * splits; production uses 512 MB. */
+  val compactionPlan: Q = (spark, _) => {
+    val target = 500L
+    val files = graft.iceberg.MetadataTables.files(spark,
+      graft.iceberg.TableMetadata.parseFile(IcebergQueries.FixtureMetadata),
+      Seq(IcebergQueries.FixtureManifest))
+      .select(col("file_path"), col("file_size_in_bytes"), col("record_count"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("file_path"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    files
+      .withColumn("cum_end", sum(col("file_size_in_bytes")).over(w))
+      .withColumn("bin", floor((col("cum_end") - col("file_size_in_bytes")) / target))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("file_size_in_bytes")).as("total_bytes"),
+        sum(col("record_count")).as("total_records"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "i16_compaction_plan" -> compactionPlan,
     "i13_position_deletes" -> positionDeleteScan,
     "i14_mor_scan" -> morScan,
     "i15_partition_transforms" -> partitionSummary)

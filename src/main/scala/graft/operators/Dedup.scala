@@ -430,7 +430,10 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(wS))
       .filter($"df" >= 2)
       .groupBy($"doc_id").agg(sum($"n_pos").as("dup_positions"))
-    docs.select($"doc_id", size($"hs").cast(LongType).as("total_positions"))
+    // total positions come from the same per-pair rollup — the corpus
+    // (and the shingle kernel) is scanned exactly once
+    val perDocTotal = perPair.groupBy($"doc_id").agg(sum($"n_pos").as("total_positions"))
+    perDocTotal
       .join(perDoc, Seq("doc_id"), "left_outer")
       .na.fill(0L, Seq("dup_positions"))
       .select($"doc_id", $"dup_positions", $"total_positions")

@@ -181,4 +181,15 @@ class PipelineSpec extends SparkSpec {
       assert(finalPlan.contains("skew=true"), s"no skew split in final plan:\n$finalPlan")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("d11 reuses the per-pair shuffle: corpus scanned once at runtime") {
+    // both output branches (dup positions, total positions) hang off the
+    // same (shingle, doc) rollup — AQE must reuse that shuffle stage
+    // rather than re-running the scan + kernel + partial aggregate
+    val df = Dedup.dupPassages(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert("(?i)reused".r.findFirstIn(finalPlan).isDefined,
+      s"no reused exchange/stage in final plan:\n$finalPlan")
+  }
 }

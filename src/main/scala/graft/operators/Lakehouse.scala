@@ -16,9 +16,10 @@ import graft.functions.GraftFunctions
   * - i13: position deletes — a delete file of (file_path, pos) pairs
   *   anti-joined against the scan on parquet's native `_metadata`
   *   (file_path, row_index) columns, exactly Iceberg's position-delete
-  *   key. Deletes are KB-to-MB per data file, so the apply side
-  *   broadcasts; at 100 TB the scan stays a plain parquet scan + one
-  *   broadcast hash anti-join — no shuffle of the fact table.
+  *   key. Deletes are typically KB-to-MB per data file, so AQE broadcasts
+  *   the apply side and the 100 TB scan stays a plain parquet scan + one
+  *   broadcast hash anti-join with no fact-table shuffle; an unbounded
+  *   delete set degrades to a co-partitioned shuffle anti-join instead.
   * - i14: full MOR scan — position deletes and equality deletes layered,
   *   as a v2 reader must (position first is observationally equivalent
   *   here; Iceberg orders by sequence number).
@@ -58,10 +59,14 @@ object Lakehouse {
   }
 
   /** Merge-on-read apply: survivors = data rows whose (file, pos) has no
-    * delete-file entry. Broadcast anti-join — deletes are metadata-scale
-    * next to the fact table. */
+    * delete-file entry. The join strategy is deliberately left to the
+    * optimizer: delete sets are usually metadata-scale (AQE broadcasts
+    * them from runtime stats), but a mass-delete over a 100 TB table can
+    * be arbitrarily large — then this becomes a co-partitioned shuffle
+    * anti-join on (file, pos), which a forced broadcast() hint would
+    * instead OOM on. */
   def applyPositionDeletes(data: DataFrame, deletes: DataFrame): DataFrame =
-    data.join(broadcast(deletes),
+    data.join(deletes,
       data("_file") === deletes("file_path") && data("_pos") === deletes("pos"),
       "left_anti")
 
@@ -95,15 +100,18 @@ object Lakehouse {
     * layered. The equality-delete file carries o_custkey values (keys of
     * customers with deeply negative balances — a deterministic,
     * content-defined delete set); equality deletes apply by key anti-join,
-    * position deletes by (file, pos) anti-join. Both delete sides
-    * broadcast; the orders scan is never shuffled. */
+    * position deletes by (file, pos) anti-join. Join strategies left to
+    * the optimizer (see applyPositionDeletes): at this scale both delete
+    * sides broadcast from AQE's runtime stats and the orders scan is
+    * never shuffled; a huge delete set degrades to a shuffle anti-join
+    * instead of a forced-broadcast OOM. */
   val morScan: Q = (spark, dir) => {
     val eqDeletes = Tables.load(spark, dir, "customer")
       .filter(col("c_acctbal") < -900)
       .select(col("c_custkey").as("del_custkey"))
     val posApplied = applyPositionDeletes(ordersWithPos(spark, dir), positionDeletes(spark, dir))
     posApplied
-      .join(broadcast(eqDeletes), posApplied("o_custkey") === eqDeletes("del_custkey"), "left_anti")
+      .join(eqDeletes, posApplied("o_custkey") === eqDeletes("del_custkey"), "left_anti")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_live"),
         countDistinct(col("o_custkey")).as("n_custkeys"))

@@ -282,7 +282,10 @@ object TextPipeline {
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "term")
+    // df (vocabulary-sized) vs tf: broadcast-vs-shuffle is left to AQE —
+    // a unigram vocab broadcasts; a web-scale vocabulary would shuffle
+    // co-partitioned on term rather than OOM on a forced hint
+    val scored = tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", ($"tf" * $"n_docs").cast(DoubleType) / $"df")
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")

@@ -322,7 +322,7 @@ object Dedup {
       val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
         .select($"doc_id", least($"lbl", coalesce($"n_lbl", $"lbl")).as("lbl"))
         .cache()
-      val sumRow = next.agg(org.apache.spark.sql.functions.sum($"lbl")).head
+      val sumRow = next.agg(org.apache.spark.sql.functions.sum($"lbl")).head()
       val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0) // null ⟺ no pairs at this sf
       if (rounds > 0) labels.unpersist() // previous round's cache
       labels = next

@@ -13,9 +13,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // a failure must not abort the whole bench, but it must be VISIBLE —
+      // a silently-swallowed error would report a normal-looking time
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Pass 1 warms JVM/codegen/parquet-footer caches (one-shot costs that a
@@ -27,9 +31,9 @@ object Bench {
     def shortKey(name: String): String = name.split("_").head
     require(names.map(shortKey).distinct.size == names.size,
       "entry prefixes must stay unique — a colliding prefix would drop a timing")
-    names.foreach(n => time(SparkEntry.queries(n)))
+    names.foreach(n => time(n, SparkEntry.queries(n)))
     val results = names.map { n =>
-      val a = time(SparkEntry.queries(n)); val b = time(SparkEntry.queries(n))
+      val a = time(n, SparkEntry.queries(n)); val b = time(n, SparkEntry.queries(n))
       n -> math.min(a, b)
     }
     // One compact line: the driver keeps only the LAST 2000 chars of

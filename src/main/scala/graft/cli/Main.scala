@@ -30,7 +30,8 @@ object Main {
     resource("META-INF/NOTICE").toSeq.flatMap(_.linesIterator.take(5))
 
   def tools: TreeMap[String, Tool] =
-    TreeMap(Seq[Tool](new ManifestToJsonTool).map(t => t.name -> t): _*)
+    TreeMap(Seq[Tool](new ManifestToJsonTool, new MetadataToJsonTool)
+      .map(t => t.name -> t): _*)
 
   def run(spark: SparkSession, out: PrintStream, err: PrintStream, args: Seq[String]): Int =
     args.headOption.flatMap(tools.get) match {

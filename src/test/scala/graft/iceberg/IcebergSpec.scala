@@ -3,7 +3,7 @@ package graft.iceberg
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import graft.SparkSpec
-import graft.cli.{Main, ManifestToJsonTool}
+import graft.cli.{Main, ManifestToJsonTool, MetadataToJsonTool}
 import graft.operators.IcebergQueries
 
 /** Golden-fixture assertions against the reference's own test inputs —
@@ -144,6 +144,23 @@ class IcebergSpec extends SparkSpec {
       new java.io.PrintStream(errBuf), Seq("nosuchtool"))
     assert(rc == 1)
     assert(errBuf.toString.contains("manifest2json"))
+  }
+
+  test("metadata2json: snapshots table as valid JSON; unknown table rejected") {
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val rc = Main.run(spark, new java.io.PrintStream(outBuf),
+      new java.io.PrintStream(outBuf),
+      Seq("metadata2json", graft.operators.IcebergQueries.FixtureMetadata))
+    assert(rc == 0)
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(outBuf.toString)
+    assert(tree.isArray && tree.size() == 1, s"expected 1 snapshot: $tree")
+    assert(tree.get(0).get("snapshot_id").asLong() == 8115727803695877401L)
+
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val rc2 = new MetadataToJsonTool().run(spark, System.in,
+      new java.io.PrintStream(errBuf), new java.io.PrintStream(errBuf),
+      Seq("--table", "nope", graft.operators.IcebergQueries.FixtureMetadata))
+    assert(rc2 == 1 && errBuf.toString.contains("Unknown metadata table"))
   }
 
   test("missing metadata/manifest files fail gracefully with rc=1") {

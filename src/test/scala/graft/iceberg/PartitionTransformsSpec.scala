@@ -21,6 +21,20 @@ class PartitionTransformsSpec extends AnyFunSuite {
     assert(PartitionTransforms.hashDecimal(java.math.BigInteger.valueOf(1420)) == -500754589)
   }
 
+  test("murmur3 over LE-8-byte longs equals Spark's own Murmur3_x86_32.hashLong") {
+    // independent cross-validation: Spark's hashLong mixes (lo, hi) ints,
+    // which is by construction murmur3_x86_32 over the little-endian
+    // 8-byte encoding — the exact layout the Iceberg spec fixes. 1000
+    // deterministic pseudo-random longs + edge values.
+    val edge = Seq(0L, 1L, -1L, 34L, Long.MaxValue, Long.MinValue, 17486L)
+    val rnd = edge ++ (0 until 1000).map(i => graft.functions.TextAlgos.splitmix64(i.toLong))
+    rnd.foreach { v =>
+      assert(PartitionTransforms.hashLong(v) ==
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 0),
+        s"divergence at $v")
+    }
+  }
+
   test("bucket value is (hash & MaxInt) % n") {
     assert(PartitionTransforms.bucketLong(34L, 16) == (2017239379 & Int.MaxValue) % 16)
     val b = PartitionTransforms.bucketLong(-1L, 8)

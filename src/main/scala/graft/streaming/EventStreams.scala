@@ -46,12 +46,13 @@ object EventStreams {
     val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
     // Stateful streaming ops keep ONE state store per shuffle partition,
     // each paying per-batch snapshot/commit overhead — at this input scale
-    // 32 stores are pure fixed cost (a production deployment sizes this to
-    // state volume, and it's fixed at the FIRST run of a checkpoint). The
-    // result is partitioning-independent; restored after the drive.
+    // anything beyond a handful of stores is pure fixed cost (a production
+    // deployment sizes this to state volume, and it's fixed at the FIRST
+    // run of a checkpoint). The result is partitioning-independent;
+    // restored after the drive.
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "4")
     try {
       val q = df.writeStream
         .format("memory")

@@ -7,6 +7,8 @@ object PerfProbe {
     val spark = Sessions.local("perf", "32")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val targets = Seq(
+      "st04_interval_join" -> streaming.EventStreams.streamIntervalJoin,
+      "st03_session_window" -> streaming.EventStreams.streamSessionWindow,
       "d11_dup_passages" -> operators.Dedup.dupPassages,
       "d02_normalized_dedup" -> operators.Dedup.normalizedDedup,
       "q03_join_topk" -> operators.Relational.q03JoinTopkRevenue,

@@ -158,8 +158,32 @@ object ManifestScan {
 class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: String,
     virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter],
     limit: Int = Int.MaxValue)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Size estimate from the container file lengths (one KB-scale FS stat
+    * per manifest, cached for the scan's lifetime) — lets Catalyst treat
+    * a manifest relation as the small side of a join (broadcast) instead
+    * of assuming the conservative default. Row count stays unknown: it
+    * would need a decode pass, which planning must not pay. */
+  private lazy val totalBytes: Long = {
+    val conf = new Configuration()
+    paths.map { p =>
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = org.apache.hadoop.fs.FileSystem.get(path.toUri match {
+          case u if u.getScheme == null => new java.net.URI("file:///")
+          case u => u
+        }, conf)
+        fs.getFileStatus(path).getLen
+      } catch { case _: Exception => 0L }
+    }.sum
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(totalBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
   override def description(): String =
     s"graft-manifest scan, ReadSchema: ${required.catalogString}" +
       (if (filters.nonEmpty) s", PushedFilters: ${filters.mkString("[", ", ", "]")}" else "") +

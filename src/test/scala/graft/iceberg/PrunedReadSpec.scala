@@ -20,6 +20,24 @@ import graft.iceberg.IcebergTypes._
   */
 class PrunedReadSpec extends SparkSpec {
 
+  test("DSv2 scan reports file-length statistics to Catalyst") {
+    val df = spark.read.format("graft-manifest")
+      .option("metadata", graft.operators.IcebergQueries.FixtureMetadata)
+      .load(graft.operators.IcebergQueries.FixtureManifest)
+    val stats = df.queryExecution.optimizedPlan.stats
+    val onDisk = new java.io.File(graft.operators.IcebergQueries.FixtureManifest).length()
+    assert(stats.sizeInBytes.toLong == onDisk,
+      s"sizeInBytes ${stats.sizeInBytes} != manifest length $onDisk")
+    // metadata-sized relation ⇒ joins against it broadcast without hints
+    val joined = spark.range(1000).toDF("id")
+      .join(df.select(org.apache.spark.sql.functions.col("status")),
+        org.apache.spark.sql.functions.col("id") ===
+          org.apache.spark.sql.functions.col("status"))
+    joined.collect()
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "manifest side should broadcast from reported stats")
+  }
+
   private val entrySchema: Schema = {
     val kv = SchemaBuilder.record("kv").fields()
       .name("key").`type`().intType().noDefault()

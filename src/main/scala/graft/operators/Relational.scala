@@ -608,6 +608,39 @@ object Relational {
 
   // -------------------------------------------------------------- registry
 
+  // ---------------------------------------------------------------- q57
+  /** TPC-H Q19 pattern: disjunction of conjunctive brand/size/quantity
+    * arms over a part⋈lineitem join. The OR-of-ANDs is the canonical
+    * "can the optimizer still push and prune?" predicate: Catalyst
+    * extracts the common `l_quantity < 35` / `p_size >= 1` bounds, pushes
+    * the part-side conjuncts below the join, and the dimension side
+    * broadcasts — the fact table is filtered in its scan stage, never
+    * shuffled. Revenue in DECIMAL per the money conventions. */
+  val q57DisjunctiveFilter: Q = (spark, dir) => {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+    val pt = Tables.load(spark, dir, "part")
+    li.join(broadcast(pt), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) && $"l_quantity" < 15) ||
+          ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) && $"l_quantity" < 25) ||
+          ($"p_brand" === "Brand#16" && $"p_size".between(1, 15) && $"l_quantity" < 35))
+      .agg(
+        money(sum(dec($"l_extendedprice") *
+          (lit(BigDecimal(1)).cast(DecimalType(4, 2)) - dec($"l_discount", 4, 2)))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q57Sql: String =
+    """SELECT
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity < 15)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity < 25)
+      |   OR (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 15 AND l_quantity < 35)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_agg" -> q01Agg,
     "q02_filter_revenue" -> q02FilterRevenue,
@@ -631,9 +664,11 @@ object Relational {
     "q20_events_hourly" -> q20EventsHourly,
     "q21_sessionize" -> q21Sessionize,
     "q22_above_avg" -> q22AboveAvg,
-    "q23_array_norm" -> q23ArrayNorm)
+    "q23_array_norm" -> q23ArrayNorm,
+    "q57_disjunctive_filter" -> q57DisjunctiveFilter)
 
   val oracles: Map[String, String] = Map(
+    "q57_disjunctive_filter" -> q57Sql,
     "q01_agg" -> q01Sql,
     "q02_filter_revenue" -> q02Sql,
     "q03_join_topk" -> q03Sql,

@@ -394,7 +394,46 @@ object EventStreams {
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** foreachBatch sink — the production escape hatch for sinks Spark has
+    * no native writer for (JDBC upserts, Iceberg commits): each
+    * micro-batch lands as an idempotent `batch=<id>` parquet directory
+    * (mode Overwrite ⇒ replays of the same batch id rewrite, not
+    * duplicate — the exactly-once recipe), then the landed data is read
+    * back and aggregated, putting the whole sink round-trip under the
+    * oracle gate (ForeachBatchSpec additionally drives the multi-batch
+    * case). */
+  val streamForeachBatchSink: Q = (spark, dir) => {
+    import spark.implicits._
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-st09-${ProcessHandle.current().pid()}",
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+      val purchases = eventsStream(spark, dir)
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"value")
+      val q = purchases.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/batch=$id")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$out/batch=*")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"value".cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
+      .orderBy($"user_id")
+  }
+
+  val streamForeachBatchSinkSql: String =
+    """SELECT user_id, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st09_foreach_batch_sink" -> streamForeachBatchSink,
     "st08_stream_static_join" -> streamStaticJoin,
     "st07_transform_with_state" -> streamTransformWithState,
     "st06_session_detail" -> streamSessionDetail,
@@ -405,6 +444,7 @@ object EventStreams {
     "st05_stream_dedup" -> streamDedup)
 
   val oracles: Map[String, String] = Map(
+    "st09_foreach_batch_sink" -> streamForeachBatchSinkSql,
     "st08_stream_static_join" -> streamStaticJoinSql,
     "st07_transform_with_state" -> streamTransformWithStateSql,
     "st06_session_detail" -> streamSessionDetailSql,

@@ -112,9 +112,14 @@ class PipelineSpec extends SparkSpec {
   test("extensions: graft functions resolve from pure SQL") {
     val r = spark.sql(
       "SELECT graft_lang_id('the cat is on the roof and the dog is here') AS lang, " +
-        "graft_fingerprint64('hello world') AS fp").collect().head
+        "graft_fingerprint64('hello world') AS fp, " +
+        "graft_iceberg_bucket(34L, 16) AS bl, " +
+        "graft_iceberg_bucket('iceberg', 16) AS bs").collect().head
     assert(r.getString(0) == "en")
     assert(r.getLong(1) == graft.functions.TextAlgos.fingerprint64("hello world"))
+    // Iceberg spec vectors through the codegen'd SQL path (long + string)
+    assert(r.getInt(2) == (2017239379 & Int.MaxValue) % 16)
+    assert(r.getInt(3) == (1210000089 & Int.MaxValue) % 16)
   }
 
   test("partitioned parquet sink roundtrip (directory layout by column)") {

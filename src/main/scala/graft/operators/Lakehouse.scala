@@ -181,7 +181,49 @@ object Lakehouse {
       .orderBy(col("bin"))
   }
 
+  // ---------------------------------------------------------------- i17
+  /** Snapshot-expiry planning (expire_snapshots): removable manifests =
+    * those reachable from expired snapshots but NOT from any retained
+    * one — a set difference over the two snapshots' manifest-list
+    * closures, i.e. exactly the reachability computation Iceberg's
+    * maintenance runs before deleting files. Demonstrated on a
+    * synthesized two-snapshot history (the fixture table has one): the
+    * old snapshot holds the fixture manifest, the current one a
+    * compacted rewrite, so expiring the old snapshot frees the fixture
+    * manifest and its 2 entries. EXCEPT is a distributed anti-join —
+    * the same plan at a million manifests. */
+  val snapshotExpiry: Q = (spark, _) => {
+    import graft.iceberg.{ManifestListWriter, ManifestReader, ManifestWriter, MetadataTables}
+    val dir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-i17-${ProcessHandle.current().pid()}")).toString
+    val rewritten = s"$dir/rewritten-m0.avro"
+    val listOld = s"$dir/snap-1-list.avro"
+    val listCur = s"$dir/snap-2-list.avro"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(listCur))) {
+      // current snapshot = a compacted rewrite: the fixture's 2 one-row
+      // files merged into 1 manifest entry of 2 records
+      ManifestWriter.write(rewritten, Seq(ManifestWriter.EntryData(
+        status = 1, snapshotId = 2L, filePath = s"$dir/compacted-00000.parquet",
+        recordCount = 2L, fileSizeInBytes = 1315L,
+        lowerBounds = Map(1 -> Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)),
+        upperBounds = Map(1 -> Array[Byte](2, 0, 0, 0, 0, 0, 0, 0)))))
+      ManifestListWriter.write(listOld, Seq(IcebergQueries.FixtureManifest), 1L)
+      ManifestListWriter.write(listCur, Seq(rewritten), 2L)
+    }
+    val reachableOld = MetadataTables.manifests(spark, listOld).select(col("manifest_path"))
+    val reachableCur = MetadataTables.manifests(spark, listCur).select(col("manifest_path"))
+    val expired = reachableOld.except(reachableCur)
+    val expiredEntries = ManifestReader
+      .entries(spark, expired.collect().map(_.getString(0)).toSeq) // metadata-scale path list
+      .agg(count(lit(1)).as("n_expired_entries"),
+        sum(col("data_file.record_count")).as("expired_records"))
+    reachableCur.agg(count(lit(1)).as("n_retained_manifests"))
+      .crossJoin(expired.agg(count(lit(1)).as("n_expired_manifests")))
+      .crossJoin(expiredEntries)
+  }
+
   val queries: Map[String, Q] = Map(
+    "i17_snapshot_expiry" -> snapshotExpiry,
     "i16_compaction_plan" -> compactionPlan,
     "i13_position_deletes" -> positionDeleteScan,
     "i14_mor_scan" -> morScan,

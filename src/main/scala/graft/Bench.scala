@@ -1,6 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Keys in the JSON line are the unique entry prefixes (q01.., st01..):
+    * the driver keeps only the LAST 2000 chars of stdout and sbt appends
+    * ~90 chars after us, so the line must stay ~1.2 KB. */
+  def shortKey(name: String): String = name.split("_").head
+
+  /** min over the passes that succeeded; None (→ JSON null) if every pass
+    * failed — a failed entry must never surface as a normal-looking time. */
+  def best(passes: Seq[Option[Double]]): Option[Double] =
+    passes.flatten.reduceOption((a, b) => math.min(a, b))
+
+  /** One compact JSON line; failed entries carry null and are excluded
+    * from the total (BenchSpec pins this). */
+  def renderLine(results: Seq[(String, Option[Double])], sfDir: String): String = {
+    def f(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) =>
+      "\"" + shortKey(k) + "\":" + v.map(f).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -13,41 +35,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failure must not abort the whole bench, but it must be VISIBLE:
+    // stderr gets the stack head, and the entry's time becomes None → null.
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      // a failure must not abort the whole bench, but it must be VISIBLE —
-      // a silently-swallowed error would report a normal-looking time
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // Pass 1 warms JVM/codegen/parquet-footer caches (one-shot costs that a
-    // long-lived cluster session never repays per query); pass 2 is the
-    // steady-state measurement. Report min(two timed runs) per query.
+    // long-lived cluster session never repays per query); passes 2-3 are the
+    // steady-state measurement. Report min of the successful timed runs.
     val names = SparkEntry.queries.keys.toSeq.sorted
     // fail fast on a prefix collision BEFORE spending ~3 timed passes:
     // a colliding shortKey would silently drop a timing from the JSON line
-    def shortKey(name: String): String = name.split("_").head
     require(names.map(shortKey).distinct.size == names.size,
       "entry prefixes must stay unique — a colliding prefix would drop a timing")
     names.foreach(n => time(n, SparkEntry.queries(n)))
     val results = names.map { n =>
-      val a = time(n, SparkEntry.queries(n)); val b = time(n, SparkEntry.queries(n))
-      n -> math.min(a, b)
+      n -> best(Seq(time(n, SparkEntry.queries(n)), time(n, SparkEntry.queries(n))))
     }
-    // One compact line: the driver keeps only the LAST 2000 chars of
-    // stdout (verified against BENCH_r02's tail), and sbt appends ~90
-    // chars after us — a long line front-truncates and fails to parse
-    // (r02's did). Full entry names alone exceed the budget, so keys are
-    // the unique entry prefixes (q01.., d01.., i01.., t01.., m01.., st01..,
-    // s01..) at 3-decimal secs — ~13 chars/entry, so the ~1900-char budget
-    // holds to ~135 entries; the require below guards prefix uniqueness.
-    def f(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(renderLine(results, sfDir))
     spark.stop()
   }
 }

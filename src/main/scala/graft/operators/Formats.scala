@@ -33,7 +33,7 @@ object Formats {
     * column type involved. */
   val csvRoundtrip: Q = (spark, dir) => {
     val out = tmpDir("q54", dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+    graft.TmpOutputs.ensure(out) {
       Tables.load(spark, dir, "orders")
         // render the timestamp explicitly: the parquet column is NTZ, and
         // CSV write would otherwise pick the NTZ default (ISO 'T' form)
@@ -74,7 +74,7 @@ object Formats {
     * shortest-round-trip rendering). */
   val jsonRoundtrip: Q = (spark, dir) => {
     val out = tmpDir("q55", dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+    graft.TmpOutputs.ensure(out) {
       Tables.load(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"))
@@ -108,7 +108,7 @@ object Formats {
     * column and scans never touch the other partitions' bytes. */
   val partitionedWrite: Q = (spark, dir) => {
     val out = tmpDir("q56", dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+    graft.TmpOutputs.ensure(out) {
       Tables.load(spark, dir, "orders")
         .write.mode("overwrite")
         .partitionBy("o_orderstatus")
@@ -143,6 +143,10 @@ object Formats {
       val wh = tmpDir("q58", dir)
       spark.sql(s"DROP TABLE IF EXISTS $to")
       spark.sql(s"DROP TABLE IF EXISTS $tl")
+      // DROP TABLE on an EXTERNAL table leaves its files: a crash between
+      // the two saveAsTable calls below would otherwise overlay stale data
+      // at the same per-pid path on the retry (duplicate rows)
+      graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(wh))
       Tables.load(spark, dir, "orders")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$wh/$to").saveAsTable(to)

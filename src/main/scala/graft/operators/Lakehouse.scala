@@ -49,7 +49,7 @@ object Lakehouse {
     val delDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-i13-${ProcessHandle.current().pid()}",
       dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(delDir))) {
+    graft.TmpOutputs.ensure(delDir) {
       ordersWithPos(spark, dir)
         .filter(col("_pos") % 101 === 0)
         .select(col("_file").as("file_path"), col("_pos").as("pos"))
@@ -199,7 +199,7 @@ object Lakehouse {
     val rewritten = s"$dir/rewritten-m0.avro"
     val listOld = s"$dir/snap-1-list.avro"
     val listCur = s"$dir/snap-2-list.avro"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(listCur))) {
+    graft.TmpOutputs.ensure(dir) {
       // current snapshot = a compacted rewrite: the fixture's 2 one-row
       // files merged into 1 manifest entry of 2 records
       ManifestWriter.write(rewritten, Seq(ManifestWriter.EntryData(

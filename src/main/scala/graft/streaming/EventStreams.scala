@@ -407,7 +407,7 @@ object EventStreams {
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-st09-${ProcessHandle.current().pid()}",
       dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) {
+    graft.TmpOutputs.ensure(out) {
       val purchases = eventsStream(spark, dir)
         .filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"value")

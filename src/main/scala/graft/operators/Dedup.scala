@@ -177,10 +177,21 @@ object Dedup {
       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Embedding near-dup: top-20 most-similar within-label pairs by exact
-    * cosine. Label blocking keeps the pair space linear-ish (near-dups
-    * co-cluster); at 100 TB the blocking key comes from coarse quantization
-    * (IVF) instead of a label column — same plan shape. */
+  /** How many rows a block may hold before [[embeddingNearDup]]'s exact
+    * all-pairs verify refuses to run (10k rows ⇒ ≤ 50M pair evals per
+    * block — minutes of one executor core, the intended ceiling). */
+  val ExactVerifyMaxBlock = 10000L
+
+  /** Exact-verify near-dup ranking over BOUNDED blocks: top-20
+    * most-similar within-block pairs by exact cosine. This operator is the
+    * verify/re-rank stage of a blocked dedup pipeline — the blocking key
+    * here is the label column; at 100 TB it is d07's IVF coarse-quantizer
+    * bucket (which bounds block sizes geometrically) feeding this same
+    * exact stage. All-pairs within a block is the contract, NOT a scale
+    * accident, so the bound is enforced IN-PLAN: a raise_error filter
+    * (lazy, distributed, no driver action) fails the job loudly if any
+    * block exceeds [[ExactVerifyMaxBlock]] instead of silently going
+    * quadratic — callers with unbounded blocks belong on d07. */
   val embeddingNearDup: Q = (spark, dir) => {
     import spark.implicits._
     // codegen'd dot kernel — same IEEE fold as the zip_with+aggregate form
@@ -193,12 +204,30 @@ object Dedup {
     val emb = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"label", $"embedding",
         sqrt(dot($"embedding", $"embedding")).as("norm"))
-    emb.as("a")
-      .join(emb.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+    val guarded = boundedBlocks(emb, $"label", ExactVerifyMaxBlock, "d06")
+    guarded.as("a")
+      .join(guarded.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         (dot($"a.embedding", $"b.embedding") / ($"a.norm" * $"b.norm")).as("cosine"))
       .orderBy($"cosine".desc, $"vec_a", $"vec_b")
       .limit(20)
+  }
+
+  /** Enforce a block-size bound inside the plan: per-key counts (one
+    * map-side-combined agg, KB-scale result) broadcast back onto the rows,
+    * and a filter whose predicate raises when a block is over `maxBlock`
+    * and passes every row otherwise. The filter USES the count column, so
+    * Catalyst cannot prune the guard away, and no rows are dropped when
+    * the bound holds — downstream results are unchanged (oracle-safe). */
+  private[graft] def boundedBlocks(df: DataFrame, key: org.apache.spark.sql.Column,
+      maxBlock: Long, tag: String): DataFrame = {
+    val sizes = df.groupBy(key.as("_block_key")).agg(count(lit(1)).as("_block_n"))
+    df.join(broadcast(sizes), key === col("_block_key"))
+      .filter(when(col("_block_n") > maxBlock,
+        raise_error(concat(lit(s"$tag: block over exact-verify bound $maxBlock rows: "),
+          col("_block_key").cast("string"))))
+        .otherwise(lit(true)))
+      .drop("_block_key", "_block_n")
   }
 
   val embeddingNearDupSql: String =

@@ -222,12 +222,46 @@ object Relational2 {
       |ORDER BY s.user_id""".stripMargin
 
   /** NTILE deciles over customer balances (deterministic via unique
-    * tiebreak), rolled up to per-decile stats. */
+    * tiebreak), rolled up to per-decile stats — WITHOUT the global
+    * single-partition window a naive `ntile(10).over(orderBy(...))` costs.
+    *
+    * Distributed exact global rank: range-partition on the sort key +
+    * local sort, then `monotonically_increasing_id`'s documented bit
+    * layout (partition id in the upper 31 bits, per-partition record
+    * number in the lower 33) yields (pid, local row number) with ZERO
+    * extra shuffle; per-partition counts (≤ shuffle-partition rows,
+    * metadata-scale) become broadcast offsets, and global rank = offset +
+    * local + 1. Range partitions are ordered (AQE only coalesces adjacent
+    * ranges), so the rank is exact regardless of where boundaries fall.
+    * The decile is then pure arithmetic on (rank, n) replicating NTILE's
+    * larger-buckets-first split — same output as the windowed form, one
+    * O(n) range shuffle instead of a sort into a single task. */
   val balanceDeciles: Q = (spark, dir) => {
     import spark.implicits._
-    val w = Window.orderBy($"c_acctbal".desc, $"c_custkey")
-    Tables.load(spark, dir, "customer")
-      .withColumn("decile", ntile(10).over(w))
+    val sortKeys = Seq($"c_acctbal".desc, $"c_custkey")
+    val sorted = Tables.load(spark, dir, "customer")
+      .select($"c_acctbal", $"c_custkey")
+      .repartitionByRange(sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", shiftright($"mid", 33))
+      .withColumn("local_rn", $"mid".bitwiseAND(lit((1L << 33) - 1)))
+    val counts = sorted.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+    // window over ≤ |shuffle partitions| rows — metadata-scale by
+    // construction, the same shape as q47's broadcast cutpoints
+    val wOff = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum($"cnt").over(wOff), lit(0L)))
+      .crossJoin(counts.agg(sum($"cnt").as("n_total")))
+    sorted.join(broadcast(offsets), Seq("pid"))
+      .withColumn("rnk", $"offset" + $"local_rn" + 1)
+      // NTILE(10): base-size buckets, the first (n % 10) buckets one larger
+      .withColumn("decile", expr(
+        """CAST(CASE WHEN rnk <= (n_total % 10) * (n_total DIV 10 + 1)
+          |  THEN (rnk - 1) DIV (n_total DIV 10 + 1) + 1
+          |  ELSE n_total % 10 + (rnk - (n_total % 10) * (n_total DIV 10 + 1) - 1)
+          |         DIV (n_total DIV 10) + 1
+          |END AS INT)""".stripMargin))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_customers"),
         dec10($"c_acctbal", min).as("min_bal"),

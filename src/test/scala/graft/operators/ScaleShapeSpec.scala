@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins the round-5 scale-shape fixes: q37's deciles without a global
+  * single-partition window, and d06's in-plan block-size guard. */
+class ScaleShapeSpec extends SparkSpec {
+
+  test("q37 deciles: no ntile window, range-partitioned rank, same answer") {
+    import spark.implicits._
+    val df = Relational2.balanceDeciles(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("ntile"),
+      "the global NTILE window must be gone")
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      "expected the distributed range-partitioned rank")
+    // the distributed rank must reproduce the windowed NTILE exactly
+    val w = Window.orderBy($"c_acctbal".desc, $"c_custkey")
+    val reference = graft.Tables.load(spark, sfDir, "customer")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        min($"c_acctbal".cast("decimal(12,2)")).cast("double").as("min_bal"),
+        max($"c_acctbal".cast("decimal(12,2)")).cast("double").as("max_bal"))
+      .orderBy($"decile")
+    assert(df.collect().toSeq === reference.collect().toSeq)
+  }
+
+  test("d06 block guard: bounded blocks pass rows through, oversized raise") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("vec_id", "label")
+    val ok = Dedup.boundedBlocks(df, col("label"), maxBlock = 3, tag = "spec")
+    assert(ok.count() === 4, "a bound that holds must not drop or alter rows")
+    assert(ok.columns.toSeq === Seq("vec_id", "label"))
+    val boom = intercept[Exception] {
+      Dedup.boundedBlocks(df, col("label"), maxBlock = 2, tag = "spec").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(boom).exists(_.contains("block over exact-verify bound")),
+      s"expected the guard's raise_error, got: $boom")
+  }
+}

@@ -34,18 +34,12 @@ object ManifestListWriter {
       .endRecord()
 
   /** Manifest size for the manifest_length field, resolved through the
-    * Hadoop FileSystem like every other path in this module — so
-    * hdfs:// / s3a:// manifests record their true length instead of the
-    * silent 0 a java.io.File fallback would produce. */
-  private def manifestLength(p: String): Long = {
-    val path = new org.apache.hadoop.fs.Path(p)
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val fs = org.apache.hadoop.fs.FileSystem.get(path.toUri match {
-      case u if u.getScheme == null => new java.net.URI("file:///")
-      case u => u
-    }, conf)
-    fs.getFileStatus(path).getLen
-  }
+    * session's Hadoop FileSystem conf (HadoopConfs) — so hdfs:// / s3a://
+    * manifests see the session's credentials/settings and record their
+    * true length instead of the silent 0 a java.io.File fallback would
+    * produce. */
+  private def manifestLength(p: String): Long =
+    HadoopConfs.fileSystemFor(p).getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
 
   def write(path: String, manifestPaths: Seq[String], snapshotId: Long,
       addedDataFilesCount: Int = 2): Unit = {

@@ -1,0 +1,164 @@
+package graft.iceberg
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** Table-metadata sink + snapshot commit — the write half of table
+  * maintenance. [[commitSnapshot]] produces the successor metadata a
+  * maintenance operation (append, compaction rewrite, expiry) publishes:
+  * new snapshot appended, `current-snapshot-id` advanced, the main branch
+  * ref moved, the snapshot-log extended, and the superseded metadata file
+  * recorded in the metadata-log. [[toJson]] renders the document in the
+  * layout of the reference fixture
+  * (/root/reference/src/test/resources/v1.metadata.json:38-95): same keys,
+  * summary with `operation` first, v1 flat `partition-spec` alongside
+  * `partition-specs`.
+  *
+  * Commit here is single-writer: producing the new document and moving the
+  * pointer is the engine's job, while multi-writer atomicity (compare-and-
+  * swap on the current-metadata pointer) belongs to the catalog layer by
+  * design — same split as Iceberg itself.
+  */
+object MetadataWriter {
+
+  private val mapper = new ObjectMapper()
+
+  /** Successor metadata for a newly produced snapshot. `previousFile`, when
+    * given, is the path of the metadata document `base` was read from —
+    * recorded in the metadata-log the way Iceberg keeps its lineage of
+    * superseded documents. */
+  def commitSnapshot(base: TableMetadata, snap: Snapshot,
+      previousFile: Option[String] = None): TableMetadata = {
+    require(!base.snapshots.exists(_.snapshotId == snap.snapshotId),
+      s"snapshot id ${snap.snapshotId} already committed")
+    base.copy(
+      lastUpdatedMs = snap.timestampMs,
+      currentSnapshotId = Some(snap.snapshotId),
+      refs = {
+        val main = SnapshotRef("main", "branch", snap.snapshotId)
+        if (base.refs.exists(_.name == "main"))
+          base.refs.map(r => if (r.name == "main") main else r)
+        else base.refs :+ main
+      },
+      snapshots = base.snapshots :+ snap,
+      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(snap.timestampMs, snap.snapshotId),
+      metadataLog = base.metadataLog ++
+        previousFile.map(f => MetadataLogEntry(base.lastUpdatedMs, f)))
+  }
+
+  def write(path: String, meta: TableMetadata): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      toJson(meta).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def toJson(meta: TableMetadata): String = {
+    val root = mapper.createObjectNode()
+    root.put("format-version", meta.formatVersion)
+    root.put("table-uuid", meta.tableUuid)
+    root.put("location", meta.location)
+    root.put("last-updated-ms", meta.lastUpdatedMs)
+    meta.topLevelSchema.foreach(s => root.set[JsonNode]("schema", schemaNode(s)))
+    meta.currentSchemaId.foreach(root.put("current-schema-id", _))
+    if (meta.schemas.nonEmpty) {
+      val arr = root.putArray("schemas")
+      meta.schemas.foreach(s => arr.add(schemaNode(s)))
+    }
+    // v1 compatibility: the default spec also rides flat as partition-spec
+    meta.partitionSpecs.find(_.specId == meta.defaultSpecId).foreach { spec =>
+      root.set[JsonNode]("partition-spec", partitionFieldsNode(spec.fields))
+    }
+    root.put("default-spec-id", meta.defaultSpecId)
+    val specs = root.putArray("partition-specs")
+    meta.partitionSpecs.foreach { s =>
+      val n = mapper.createObjectNode()
+      n.put("spec-id", s.specId)
+      n.set[JsonNode]("fields", partitionFieldsNode(s.fields))
+      specs.add(n)
+    }
+    root.put("default-sort-order-id", meta.defaultSortOrderId)
+    val orders = root.putArray("sort-orders")
+    meta.sortOrders.foreach { o =>
+      val n = mapper.createObjectNode()
+      n.put("order-id", o.orderId)
+      val fs = n.putArray("fields")
+      o.fields.foreach { f =>
+        val fn = mapper.createObjectNode()
+        fn.put("transform", f.transform)
+        fn.put("source-id", f.sourceId)
+        fn.put("direction", f.direction)
+        fn.put("null-order", f.nullOrder)
+        fs.add(fn)
+      }
+      orders.add(n)
+    }
+    val props = root.putObject("properties")
+    meta.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    meta.currentSnapshotId.foreach(root.put("current-snapshot-id", _))
+    if (meta.refs.nonEmpty) {
+      val refs = root.putObject("refs")
+      meta.refs.foreach { r =>
+        val n = refs.putObject(r.name)
+        n.put("type", r.refType)
+        n.put("snapshot-id", r.snapshotId)
+      }
+    }
+    val snaps = root.putArray("snapshots")
+    meta.snapshots.foreach { s =>
+      val n = mapper.createObjectNode()
+      n.put("snapshot-id", s.snapshotId)
+      s.parentSnapshotId.foreach(n.put("parent-snapshot-id", _))
+      n.put("timestamp-ms", s.timestampMs)
+      val summary = n.putObject("summary")
+      s.operation.foreach(summary.put("operation", _))
+      s.summary.toSeq.sortBy(_._1).foreach { case (k, v) => summary.put(k, v) }
+      s.manifestList.foreach(n.put("manifest-list", _))
+      s.schemaId.foreach(n.put("schema-id", _))
+      snaps.add(n)
+    }
+    val slog = root.putArray("snapshot-log")
+    meta.snapshotLog.foreach { e =>
+      val n = mapper.createObjectNode()
+      n.put("timestamp-ms", e.timestampMs)
+      n.put("snapshot-id", e.snapshotId)
+      slog.add(n)
+    }
+    val mlog = root.putArray("metadata-log")
+    meta.metadataLog.foreach { e =>
+      val n = mapper.createObjectNode()
+      n.put("timestamp-ms", e.timestampMs)
+      n.put("metadata-file", e.metadataFile)
+      mlog.add(n)
+    }
+    root.toPrettyString
+  }
+
+  private def schemaNode(s: IcebergSchema): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", "struct")
+    n.put("schema-id", s.schemaId)
+    val fields = n.putArray("fields")
+    s.fields.foreach { f =>
+      val fn = mapper.createObjectNode()
+      fn.put("id", f.id)
+      fn.put("name", f.name)
+      fn.put("required", f.required)
+      // nested types were retained as canonical JSON — re-embed as a tree
+      if (f.fieldType.startsWith("{")) fn.set[JsonNode]("type", mapper.readTree(f.fieldType))
+      else fn.put("type", f.fieldType)
+      fields.add(fn)
+    }
+    n
+  }
+
+  private def partitionFieldsNode(fields: Seq[PartitionField]): ArrayNode = {
+    val arr = mapper.createArrayNode()
+    fields.foreach { f =>
+      val n = mapper.createObjectNode()
+      n.put("name", f.name)
+      n.put("transform", f.transform)
+      n.put("source-id", f.sourceId)
+      n.put("field-id", f.fieldId)
+      arr.add(n)
+    }
+    arr
+  }
+}

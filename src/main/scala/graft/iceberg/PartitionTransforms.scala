@@ -76,18 +76,28 @@ object PartitionTransforms {
     * unscaled bytes (scale comes from the type, not the value). */
   def hashDecimal(unscaled: java.math.BigInteger): Int = murmur3(unscaled.toByteArray)
 
-  def bucketLong(v: Long, n: Int): Int = (hashLong(v) & Integer.MAX_VALUE) % n
+  def bucketLong(v: Long, n: Int): Int = {
+    require(n > 0, s"bucket count must be positive, got $n")
+    (hashLong(v) & Integer.MAX_VALUE) % n
+  }
 
-  def bucketString(s: String, n: Int): Int = (hashString(s) & Integer.MAX_VALUE) % n
+  def bucketString(s: String, n: Int): Int = {
+    require(n > 0, s"bucket count must be positive, got $n")
+    (hashString(s) & Integer.MAX_VALUE) % n
+  }
 
   /** truncate[W] for integers: `v - (v mod W)` with FLOORED modulus, so
     * negative values truncate toward negative infinity (spec example:
     * truncate(-1, 10) = -10, not 0). */
-  def truncateLong(v: Long, w: Long): Long = v - java.lang.Math.floorMod(v, w)
+  def truncateLong(v: Long, w: Long): Long = {
+    require(w > 0, s"truncate width must be positive, got $w")
+    v - java.lang.Math.floorMod(v, w)
+  }
 
   /** truncate[W] for strings: first W Unicode codepoints (not chars —
     * a surrogate pair counts once). */
   def truncateString(s: String, w: Int): String = {
+    require(w > 0, s"truncate width must be positive, got $w")
     val cps = s.codePointCount(0, s.length)
     if (cps <= w) s else s.substring(0, s.offsetByCodePoints(0, w))
   }

@@ -95,23 +95,49 @@ object Lakehouse {
       |FROM pos WHERE pos % 101 <> 0
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Synthesized equality-delete FILE: the delete set (customers with
+    * deeply negative balances — deterministic, content-defined) written
+    * once per process to parquet whose schema IS the equality columns, as
+    * in Iceberg v2 where a delete file's rows carry the values of its
+    * `equality_ids` columns. Real readers resolve those columns by field
+    * id from the manifest entry; the testdata parquet has no field ids, so
+    * resolution here is by the same column names. The scan side below only
+    * ever sees this file — never the defining filter. */
+  private def equalityDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val delDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-i14eq-${ProcessHandle.current().pid()}",
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    graft.TmpOutputs.ensure(delDir) {
+      Tables.load(spark, dir, "customer")
+        .filter(col("c_acctbal") < -900)
+        // delete-file schema = the TARGET table's equality columns
+        .select(col("c_custkey").as("o_custkey"))
+        .write.mode("overwrite").parquet(delDir)
+    }
+    spark.read.parquet(delDir)
+  }
+
+  /** Equality-delete apply: survivors = data rows whose equality-column
+    * tuple has no row in the delete file. The delete file's own schema
+    * names the join keys (every delete-file column is an equality column),
+    * so the apply generalizes to multi-column equality ids unchanged. */
+  def applyEqualityDeletes(data: DataFrame, deletes: DataFrame): DataFrame = {
+    val cond = deletes.columns.map(c => data(c) === deletes(c)).reduce(_ && _)
+    data.join(deletes, cond, "left_anti")
+  }
+
   // ---------------------------------------------------------------- i14
   /** Full v2 merge-on-read scan: position deletes AND equality deletes
-    * layered. The equality-delete file carries o_custkey values (keys of
-    * customers with deeply negative balances — a deterministic,
-    * content-defined delete set); equality deletes apply by key anti-join,
-    * position deletes by (file, pos) anti-join. Join strategies left to
-    * the optimizer (see applyPositionDeletes): at this scale both delete
-    * sides broadcast from AQE's runtime stats and the orders scan is
-    * never shuffled; a huge delete set degrades to a shuffle anti-join
-    * instead of a forced-broadcast OOM. */
+    * layered, BOTH round-tripped through storage like real delete files
+    * (the scan side reads parquet it did not compute). Equality deletes
+    * apply by key anti-join, position deletes by (file, pos) anti-join.
+    * Join strategies left to the optimizer (see applyPositionDeletes): at
+    * this scale both delete sides broadcast from AQE's runtime stats and
+    * the orders scan is never shuffled; a huge delete set degrades to a
+    * shuffle anti-join instead of a forced-broadcast OOM. */
   val morScan: Q = (spark, dir) => {
-    val eqDeletes = Tables.load(spark, dir, "customer")
-      .filter(col("c_acctbal") < -900)
-      .select(col("c_custkey").as("del_custkey"))
     val posApplied = applyPositionDeletes(ordersWithPos(spark, dir), positionDeletes(spark, dir))
-    posApplied
-      .join(eqDeletes, posApplied("o_custkey") === eqDeletes("del_custkey"), "left_anti")
+    applyEqualityDeletes(posApplied, equalityDeletes(spark, dir))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_live"),
         countDistinct(col("o_custkey")).as("n_custkeys"))
@@ -222,7 +248,79 @@ object Lakehouse {
       .crossJoin(expiredEntries)
   }
 
+  // ---------------------------------------------------------------- i18
+  /** Snapshot COMMIT — the write half i16/i17 plan for: execute the
+    * compaction rewrite (new manifest + manifest-list), then publish a new
+    * `metadata.json` via MetadataWriter.commitSnapshot (snapshot appended,
+    * current-snapshot-id advanced, main ref moved, snapshot-log extended,
+    * superseded document recorded in the metadata-log — the structure of
+    * /root/reference/src/test/resources/v1.metadata.json:38-95). The gate:
+    * everything after the commit re-reads ONLY the committed document and
+    * the containers it references — per-snapshot lineage and file rollups
+    * come from storage, not from in-memory state. The fixture's recorded
+    * manifest-list is a dead /tmp path from the reference's own test run,
+    * so the old snapshot's KB-sized list is first rewritten (same content)
+    * and repointed, as in i08. */
+  val snapshotCommit: Q = (spark, _) => {
+    import graft.iceberg._
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-i18-${ProcessHandle.current().pid()}").toString
+    val committedPath = s"$dir/v2.metadata.json"
+    graft.TmpOutputs.ensure(dir) {
+      val base0 = TableMetadata.parseFile(IcebergQueries.FixtureMetadata)
+      val oldSnap = base0.currentSnapshot.getOrElse(
+        throw new IllegalStateException("fixture has no current snapshot"))
+      val listOld = s"$dir/snap-${oldSnap.snapshotId}-list.avro"
+      ManifestListWriter.write(listOld, Seq(IcebergQueries.FixtureManifest), oldSnap.snapshotId)
+      val base = base0.copy(snapshots = base0.snapshots.map(s =>
+        if (s.snapshotId == oldSnap.snapshotId) s.copy(manifestList = Some(listOld)) else s))
+      // EXECUTE the i16 plan: the fixture's 2 one-row files merged into 1
+      val newId = oldSnap.snapshotId + 1
+      val rewritten = s"$dir/compacted-m0.avro"
+      ManifestWriter.write(rewritten, Seq(ManifestWriter.EntryData(
+        status = 1, snapshotId = newId, filePath = s"$dir/compacted-00000.parquet",
+        recordCount = 2L, fileSizeInBytes = 1315L,
+        lowerBounds = Map(1 -> Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)),
+        upperBounds = Map(1 -> Array[Byte](2, 0, 0, 0, 0, 0, 0, 0)))))
+      val listNew = s"$dir/snap-$newId-list.avro"
+      ManifestListWriter.write(listNew, Seq(rewritten), newId, addedDataFilesCount = 1)
+      val newSnap = Snapshot(newId, Some(oldSnap.snapshotId),
+        oldSnap.timestampMs + 1000, Some("replace"),
+        Map("added-data-files" -> "1", "deleted-data-files" -> "2",
+          "total-data-files" -> "1", "total-records" -> "2"),
+        Some(listNew), oldSnap.schemaId)
+      MetadataWriter.write(committedPath,
+        MetadataWriter.commitSnapshot(base, newSnap, Some(IcebergQueries.FixtureMetadata)))
+    }
+    // commit gate: storage only from here on
+    val committed = TableMetadata.parseFile(committedPath)
+    val snaps = MetadataTables.snapshots(spark, committed)
+      .select(col("snapshot_id"),
+        coalesce(col("parent_id"), lit(-1L)).as("parent_id"),
+        col("committed_at_ms"), col("operation"),
+        element_at(col("summary"), "total-data-files").cast("long").as("total_data_files"))
+    val hist = MetadataTables.history(spark, committed)
+      .select(col("snapshot_id"), col("is_current"))
+    val rollup = committed.snapshots
+      .map { s =>
+        // two-level planning from the committed document: manifest-list →
+        // manifest paths (KB-scale collect) → distributed entry scan
+        val manifestPaths = MetadataTables
+          .manifests(spark, s.manifestList.getOrElse(
+            throw new IllegalStateException(s"snapshot ${s.snapshotId} has no manifest-list")))
+          .select(col("manifest_path")).collect().map(_.getString(0)).toSeq
+        ManifestReader.entries(spark, manifestPaths)
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("data_file.record_count")).as("n_records"))
+          .select(lit(s.snapshotId).as("snapshot_id"), col("n_files"), col("n_records"))
+      }
+      .reduce(_ unionByName _)
+    snaps.join(hist, Seq("snapshot_id")).join(rollup, Seq("snapshot_id"))
+      .orderBy(col("committed_at_ms"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "i18_commit" -> snapshotCommit,
     "i17_snapshot_expiry" -> snapshotExpiry,
     "i16_compaction_plan" -> compactionPlan,
     "i13_position_deletes" -> positionDeleteScan,

@@ -166,22 +166,21 @@ class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: S
     * a manifest relation as the small side of a join (broadcast) instead
     * of assuming the conservative default. Row count stays unknown: it
     * would need a decode pass, which planning must not pay. */
-  private lazy val totalBytes: Long = {
-    val conf = new Configuration()
-    paths.map { p =>
-      try {
-        val path = new org.apache.hadoop.fs.Path(p)
-        val fs = org.apache.hadoop.fs.FileSystem.get(path.toUri match {
-          case u if u.getScheme == null => new java.net.URI("file:///")
-          case u => u
-        }, conf)
-        fs.getFileStatus(path).getLen
-      } catch { case _: Exception => 0L }
-    }.sum
+  // None when any stat fails: an unknown size must stay unknown — summing
+  // failures as 0 would understate sizeInBytes and bias Catalyst toward
+  // broadcasting a relation whose size it cannot actually see.
+  private lazy val totalBytes: Option[Long] = {
+    val lens = paths.map { p =>
+      try Some(graft.iceberg.HadoopConfs.fileSystemFor(p)
+        .getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen)
+      catch { case _: Exception => None }
+    }
+    if (lens.forall(_.isDefined)) Some(lens.flatten.sum) else None
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(totalBytes)
+    override def sizeInBytes(): java.util.OptionalLong =
+      totalBytes.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
   override def description(): String =

@@ -59,4 +59,14 @@ class PartitionTransformsSpec extends AnyFunSuite {
     assert(PartitionTransforms.yearOrdinal(0) == 0)
     assert(PartitionTransforms.monthOrdinal(-1) == -1) // 1969-12-31
   }
+
+  test("kernels reject non-positive bucket counts / truncate widths") {
+    // direct (non-SQL) callers must fail with a clear message, not an
+    // ArithmeticException from % 0 or a silently negative bucket
+    intercept[IllegalArgumentException](PartitionTransforms.bucketLong(34L, 0))
+    intercept[IllegalArgumentException](PartitionTransforms.bucketLong(34L, -8))
+    intercept[IllegalArgumentException](PartitionTransforms.bucketString("x", 0))
+    intercept[IllegalArgumentException](PartitionTransforms.truncateLong(5L, 0L))
+    intercept[IllegalArgumentException](PartitionTransforms.truncateString("x", -1))
+  }
 }

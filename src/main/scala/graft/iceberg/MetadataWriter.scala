@@ -46,6 +46,31 @@ object MetadataWriter {
         previousFile.map(f => MetadataLogEntry(base.lastUpdatedMs, f)))
   }
 
+  /** Rollback: move the current pointer (and main ref) back to an
+    * existing snapshot — no snapshot is removed (expiry handles physical
+    * cleanup separately, see i17), the snapshot-log records the pointer
+    * move so history shows the rollback as its own event, exactly
+    * Iceberg's `rollback_to_snapshot` semantics. */
+  def rollbackTo(base: TableMetadata, snapshotId: Long, timestampMs: Long,
+      previousFile: Option[String] = None): TableMetadata = {
+    require(base.snapshots.exists(_.snapshotId == snapshotId),
+      s"cannot roll back to unknown snapshot $snapshotId")
+    require(!base.currentSnapshotId.contains(snapshotId),
+      s"snapshot $snapshotId is already current")
+    base.copy(
+      lastUpdatedMs = timestampMs,
+      currentSnapshotId = Some(snapshotId),
+      refs = {
+        val main = SnapshotRef("main", "branch", snapshotId)
+        if (base.refs.exists(_.name == "main"))
+          base.refs.map(r => if (r.name == "main") main else r)
+        else base.refs :+ main
+      },
+      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(timestampMs, snapshotId),
+      metadataLog = base.metadataLog ++
+        previousFile.map(f => MetadataLogEntry(base.lastUpdatedMs, f)))
+  }
+
   def write(path: String, meta: TableMetadata): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       toJson(meta).getBytes(java.nio.charset.StandardCharsets.UTF_8))

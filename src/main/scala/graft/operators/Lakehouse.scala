@@ -261,37 +261,47 @@ object Lakehouse {
     * manifest-list is a dead /tmp path from the reference's own test run,
     * so the old snapshot's KB-sized list is first rewritten (same content)
     * and repointed, as in i08. */
+  /** Builds the committed fixture-compaction table into `dir` (no
+    * caching — callers wrap with TmpOutputs.ensure): rewrites the old
+    * snapshot's manifest-list (the fixture's recorded one is a dead /tmp
+    * path from the reference's own run, as in i08), executes the i16 plan
+    * (2 one-row files merged into 1 manifest entry), and commits the new
+    * snapshot via MetadataWriter. Returns the committed metadata path. */
+  private def buildFixtureCompactionCommit(dir: String): String = {
+    import graft.iceberg._
+    val committedPath = s"$dir/v2.metadata.json"
+    val base0 = TableMetadata.parseFile(IcebergQueries.FixtureMetadata)
+    val oldSnap = base0.currentSnapshot.getOrElse(
+      throw new IllegalStateException("fixture has no current snapshot"))
+    val listOld = s"$dir/snap-${oldSnap.snapshotId}-list.avro"
+    ManifestListWriter.write(listOld, Seq(IcebergQueries.FixtureManifest), oldSnap.snapshotId)
+    val base = base0.copy(snapshots = base0.snapshots.map(s =>
+      if (s.snapshotId == oldSnap.snapshotId) s.copy(manifestList = Some(listOld)) else s))
+    val newId = oldSnap.snapshotId + 1
+    val rewritten = s"$dir/compacted-m0.avro"
+    ManifestWriter.write(rewritten, Seq(ManifestWriter.EntryData(
+      status = 1, snapshotId = newId, filePath = s"$dir/compacted-00000.parquet",
+      recordCount = 2L, fileSizeInBytes = 1315L,
+      lowerBounds = Map(1 -> Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)),
+      upperBounds = Map(1 -> Array[Byte](2, 0, 0, 0, 0, 0, 0, 0)))))
+    val listNew = s"$dir/snap-$newId-list.avro"
+    ManifestListWriter.write(listNew, Seq(rewritten), newId, addedDataFilesCount = 1)
+    val newSnap = Snapshot(newId, Some(oldSnap.snapshotId),
+      oldSnap.timestampMs + 1000, Some("replace"),
+      Map("added-data-files" -> "1", "deleted-data-files" -> "2",
+        "total-data-files" -> "1", "total-records" -> "2"),
+      Some(listNew), oldSnap.schemaId)
+    MetadataWriter.write(committedPath,
+      MetadataWriter.commitSnapshot(base, newSnap, Some(IcebergQueries.FixtureMetadata)))
+    committedPath
+  }
+
   val snapshotCommit: Q = (spark, _) => {
     import graft.iceberg._
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-i18-${ProcessHandle.current().pid()}").toString
     val committedPath = s"$dir/v2.metadata.json"
-    graft.TmpOutputs.ensure(dir) {
-      val base0 = TableMetadata.parseFile(IcebergQueries.FixtureMetadata)
-      val oldSnap = base0.currentSnapshot.getOrElse(
-        throw new IllegalStateException("fixture has no current snapshot"))
-      val listOld = s"$dir/snap-${oldSnap.snapshotId}-list.avro"
-      ManifestListWriter.write(listOld, Seq(IcebergQueries.FixtureManifest), oldSnap.snapshotId)
-      val base = base0.copy(snapshots = base0.snapshots.map(s =>
-        if (s.snapshotId == oldSnap.snapshotId) s.copy(manifestList = Some(listOld)) else s))
-      // EXECUTE the i16 plan: the fixture's 2 one-row files merged into 1
-      val newId = oldSnap.snapshotId + 1
-      val rewritten = s"$dir/compacted-m0.avro"
-      ManifestWriter.write(rewritten, Seq(ManifestWriter.EntryData(
-        status = 1, snapshotId = newId, filePath = s"$dir/compacted-00000.parquet",
-        recordCount = 2L, fileSizeInBytes = 1315L,
-        lowerBounds = Map(1 -> Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)),
-        upperBounds = Map(1 -> Array[Byte](2, 0, 0, 0, 0, 0, 0, 0)))))
-      val listNew = s"$dir/snap-$newId-list.avro"
-      ManifestListWriter.write(listNew, Seq(rewritten), newId, addedDataFilesCount = 1)
-      val newSnap = Snapshot(newId, Some(oldSnap.snapshotId),
-        oldSnap.timestampMs + 1000, Some("replace"),
-        Map("added-data-files" -> "1", "deleted-data-files" -> "2",
-          "total-data-files" -> "1", "total-records" -> "2"),
-        Some(listNew), oldSnap.schemaId)
-      MetadataWriter.write(committedPath,
-        MetadataWriter.commitSnapshot(base, newSnap, Some(IcebergQueries.FixtureMetadata)))
-    }
+    graft.TmpOutputs.ensure(dir) { buildFixtureCompactionCommit(dir) }
     // commit gate: storage only from here on
     val committed = TableMetadata.parseFile(committedPath)
     val snaps = MetadataTables.snapshots(spark, committed)
@@ -319,7 +329,43 @@ object Lakehouse {
       .orderBy(col("committed_at_ms"))
   }
 
+  // ---------------------------------------------------------------- i19
+  /** Rollback — the recovery half of pointer management: after the i18
+    * compaction commit, `rollback_to_snapshot(parent)` publishes a THIRD
+    * metadata document whose current pointer and main ref move back to the
+    * pre-compaction snapshot while both snapshots stay (expiry, i17, owns
+    * physical cleanup). The read-back builds the history table from the
+    * rolled-back document only: the original snapshot appears twice
+    * (made current at commit time AND at rollback time, both flagged
+    * current), the compaction snapshot once, superseded — exactly the
+    * lineage a user audits after an undo. */
+  val snapshotRollback: Q = (spark, _) => {
+    import graft.iceberg._
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-i19-${ProcessHandle.current().pid()}").toString
+    val rolledBackPath = s"$dir/v3.metadata.json"
+    graft.TmpOutputs.ensure(dir) {
+      val committedPath = buildFixtureCompactionCommit(dir)
+      val committed = TableMetadata.parseFile(committedPath)
+      val cur = committed.currentSnapshot.get
+      val parent = cur.parentSnapshotId.getOrElse(
+        throw new IllegalStateException("compaction snapshot has no parent"))
+      MetadataWriter.write(rolledBackPath, MetadataWriter.rollbackTo(
+        committed, parent, cur.timestampMs + 1000, Some(committedPath)))
+    }
+    // rollback gate: storage only from here on
+    val meta = TableMetadata.parseFile(rolledBackPath)
+    val ops = MetadataTables.snapshots(spark, meta)
+      .select(col("snapshot_id"), col("operation"))
+    MetadataTables.history(spark, meta)
+      .join(ops, Seq("snapshot_id"))
+      .select(col("made_current_at_ms"), col("snapshot_id"),
+        col("operation"), col("is_current"))
+      .orderBy(col("made_current_at_ms"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "i19_rollback" -> snapshotRollback,
     "i18_commit" -> snapshotCommit,
     "i17_snapshot_expiry" -> snapshotExpiry,
     "i16_compaction_plan" -> compactionPlan,

@@ -33,4 +33,24 @@ class MetadataWriterSpec extends AnyFunSuite {
     // a second commit of the same id must refuse
     intercept[IllegalArgumentException](MetadataWriter.commitSnapshot(next, snap))
   }
+
+  test("rollbackTo moves pointer and ref back, keeps all snapshots, logs the move") {
+    val base = TableMetadata.parseFile(fixture)
+    val old = base.currentSnapshot.get
+    val snap = Snapshot(old.snapshotId + 1, Some(old.snapshotId),
+      old.timestampMs + 1000, Some("replace"), Map.empty, Some("/tmp/list.avro"), old.schemaId)
+    val committed = MetadataWriter.commitSnapshot(base, snap)
+    val rolled = MetadataWriter.rollbackTo(committed, old.snapshotId, snap.timestampMs + 1000)
+    assert(rolled.currentSnapshotId === Some(old.snapshotId))
+    assert(rolled.refs.find(_.name == "main").map(_.snapshotId) === Some(old.snapshotId))
+    assert(rolled.snapshots.map(_.snapshotId) === committed.snapshots.map(_.snapshotId),
+      "rollback must not remove snapshots — expiry owns cleanup")
+    assert(rolled.snapshotLog.map(_.snapshotId) ===
+      Seq(old.snapshotId, snap.snapshotId, old.snapshotId))
+    assert(TableMetadata.parse(MetadataWriter.toJson(rolled)) === rolled)
+    // unknown target and no-op rollback both refuse
+    intercept[IllegalArgumentException](MetadataWriter.rollbackTo(committed, 42L, 0L))
+    intercept[IllegalArgumentException](
+      MetadataWriter.rollbackTo(committed, snap.snapshotId, 0L))
+  }
 }

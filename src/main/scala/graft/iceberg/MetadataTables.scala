@@ -33,6 +33,14 @@ object MetadataTables {
       .toDF("made_current_at_ms", "snapshot_id", "is_current")
   }
 
+  /** The `metadata_log_entries` table: lineage of superseded metadata
+    * documents (populated by MetadataWriter commits/rollbacks). */
+  def metadataLog(spark: SparkSession, meta: TableMetadata): DataFrame = {
+    import spark.implicits._
+    meta.metadataLog.map(e => (e.timestampMs, e.metadataFile))
+      .toDF("superseded_at_ms", "metadata_file")
+  }
+
   def refs(spark: SparkSession, meta: TableMetadata): DataFrame = {
     import spark.implicits._
     meta.refs.map(r => (r.name, r.refType, r.snapshotId))

@@ -364,7 +364,35 @@ object Lakehouse {
       .orderBy(col("made_current_at_ms"))
   }
 
+  // ---------------------------------------------------------------- i20
+  /** Metadata-document lineage — Iceberg's `metadata_log_entries` table
+    * over the commit → rollback chain of i18/i19: each superseded document
+    * (the fixture v1, the compaction commit v2) with the time it was
+    * superseded, read from the final rolled-back document only. Paths are
+    * process-local temp files, so the output projects the stable version
+    * basename (`vN.metadata.json`) instead of the full path. */
+  val metadataLineage: Q = (spark, _) => {
+    import graft.iceberg._
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-i20-${ProcessHandle.current().pid()}").toString
+    val rolledBackPath = s"$dir/v3.metadata.json"
+    graft.TmpOutputs.ensure(dir) {
+      val committedPath = buildFixtureCompactionCommit(dir)
+      val committed = TableMetadata.parseFile(committedPath)
+      val cur = committed.currentSnapshot.get
+      MetadataWriter.write(rolledBackPath, MetadataWriter.rollbackTo(
+        committed, cur.parentSnapshotId.get, cur.timestampMs + 1000, Some(committedPath)))
+    }
+    val meta = TableMetadata.parseFile(rolledBackPath)
+    MetadataTables.metadataLog(spark, meta)
+      .select(col("superseded_at_ms"),
+        regexp_extract(col("metadata_file"), "v(\\d+)\\.metadata\\.json$", 0)
+          .as("metadata_file_version"))
+      .orderBy(col("superseded_at_ms"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "i20_metadata_log" -> metadataLineage,
     "i19_rollback" -> snapshotRollback,
     "i18_commit" -> snapshotCommit,
     "i17_snapshot_expiry" -> snapshotExpiry,

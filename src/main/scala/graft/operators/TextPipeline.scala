@@ -372,7 +372,45 @@ object TextPipeline {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
       |FROM flags GROUP BY source ORDER BY source""".stripMargin
 
+  /** Repetition metrics — the Gopher-style repetition filter signal: a
+    * document whose token stream is dominated by few distinct words is
+    * boilerplate/spam. Per doc: total words, distinct words, the top
+    * word's count, and the duplicate-word fraction
+    * (n_words - n_distinct) / n_words; top-20 most-repetitive surfaced.
+    * Plan shape at 100 TB: explode → two hash aggregations, all map-side
+    * partial before each shuffle, then a global top-k
+    * (TakeOrderedAndProject) — no windows, no skew sensitivity (the
+    * per-(doc, word) key space is near-unique). The ratio is a single
+    * IEEE double division of two exact longs — bit-identical across
+    * engines. */
+  val repetitionMetrics: Q = (spark, dir) => {
+    val words = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("c")).as("top_word_count"))
+      .withColumn("dup_ratio",
+        (col("n_words") - col("n_distinct_words")).cast("double") /
+          col("n_words").cast("double"))
+      .orderBy(col("dup_ratio").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val repetitionMetricsSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+      |  COUNT(*) AS n_distinct_words,
+      |  CAST(MAX(c) AS BIGINT) AS top_word_count,
+      |  CAST(CAST(SUM(c) AS BIGINT) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_ratio
+      |FROM wc GROUP BY doc_id
+      |ORDER BY dup_ratio DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t13_repetition" -> repetitionMetrics,
     "t12_filter_funnel" -> filterFunnel,
     "t11_tfidf_terms" -> tfidfTopTerms,
     "t10_pii_survey" -> piiSurvey,
@@ -387,6 +425,7 @@ object TextPipeline {
     "t06_clean_text" -> cleanText)
 
   val oracles: Map[String, String] = Map(
+    "t13_repetition" -> repetitionMetricsSql,
     "t12_filter_funnel" -> filterFunnelSql,
     "t11_tfidf_terms" -> tfidfTopTermsSql,
     "t10_pii_survey" -> piiSurveySql,

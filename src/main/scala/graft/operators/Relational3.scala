@@ -322,7 +322,71 @@ object Relational3 {
       |  FROM orders) t
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** TPC-H Q16 pattern: supplier variety per part attribute, with an
+    * excluded-supplier anti-join BEFORE the distinct count. Scale shape:
+    * the exclusion set is dim-scale (broadcast anti-join, no fact
+    * shuffle); COUNT(DISTINCT) plans as the two-phase partial-distinct
+    * expansion; final top-k is TakeOrderedAndProject. */
+  val supplierVariety: Q = (spark, dir) => {
+    import spark.implicits._
+    val excluded = Tables.load(spark, dir, "supplier")
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    val li = Tables.load(spark, dir, "lineitem")
+      .join(excluded, $"l_suppkey" === $"s_suppkey", "left_anti")
+    li.join(broadcast(Tables.load(spark, dir, "part")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+      .limit(20)
+  }
+
+  val supplierVarietySql: String =
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE NOT EXISTS (SELECT 1 FROM supplier s
+      |                  WHERE s.s_acctbal < 0 AND s.s_suppkey = l.l_suppkey)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** LAG inter-event gaps: per-customer order cadence (days between
+    * consecutive orders via lag over a per-key window, rolled up to
+    * count/max/mean gap). The window partitions on the natural key —
+    * a hash shuffle, spill-safe sort within partitions, no global stage;
+    * the gap mean is one IEEE double division of exact integers. */
+  val orderGaps: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .withColumn("prev_date", lag($"o_orderdate", 1).over(w))
+      .filter($"prev_date".isNotNull)
+      .select($"o_custkey",
+        datediff($"o_orderdate".cast(DateType), $"prev_date".cast(DateType)).as("gap_days"))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_gaps"),
+        max($"gap_days").as("max_gap_days"),
+        (sum($"gap_days").cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avg_gap_days"))
+      .orderBy($"o_custkey")
+  }
+
+  val orderGapsSql: String =
+    """WITH gaps AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day',
+      |      CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |      CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+      |  FROM orders)
+      |SELECT o_custkey, COUNT(*) AS n_gaps,
+      |  MAX(gap_days) AS max_gap_days,
+      |  CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_gap_days
+      |FROM gaps WHERE gap_days IS NOT NULL
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q59_supplier_variety" -> supplierVariety,
+    "q60_order_gaps" -> orderGaps,
     "q53_hash_sample" -> hashSample,
     "q52_windowed_conditional" -> windowedConditional,
     "q51_topk_per_key" -> topKCustomOperator,
@@ -335,6 +399,8 @@ object Relational3 {
     "q46_trailing_spend" -> trailingSpend)
 
   val oracles: Map[String, String] = Map(
+    "q59_supplier_variety" -> supplierVarietySql,
+    "q60_order_gaps" -> orderGapsSql,
     "q53_hash_sample" -> hashSampleSql,
     "q52_windowed_conditional" -> windowedConditionalSql,
     "q51_topk_per_key" -> topKCustomOperatorSql,

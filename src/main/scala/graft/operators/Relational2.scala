@@ -235,7 +235,15 @@ object Relational2 {
     * ranges), so the rank is exact regardless of where boundaries fall.
     * The decile is then pure arithmetic on (rank, n) replicating NTILE's
     * larger-buckets-first split — same output as the windowed form, one
-    * O(n) range shuffle instead of a sort into a single task. */
+    * O(n) range shuffle instead of a sort into a single task.
+    *
+    * CORRECTNESS INVARIANT: `sorted` is referenced twice (rows + counts);
+    * both references MUST read the SAME range exchange — independent
+    * evaluations could sample different range boundaries and the offsets
+    * would not match the rows' pids. Spark's exchange reuse
+    * (spark.sql.exchange.reuse, default on) guarantees this for identical
+    * subtrees; ScaleShapeSpec asserts the ReusedExchange is present in the
+    * executed plan. */
   val balanceDeciles: Q = (spark, dir) => {
     import spark.implicits._
     val sortKeys = Seq($"c_acctbal".desc, $"c_custkey")

@@ -11,11 +11,18 @@ class ScaleShapeSpec extends SparkSpec {
   test("q37 deciles: no ntile window, range-partitioned rank, same answer") {
     import spark.implicits._
     val df = Relational2.balanceDeciles(spark, sfDir)
+    // materialize first: exchange reuse is an AQE runtime decision and only
+    // shows in the executed plan after an action
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("ntile"),
       "the global NTILE window must be gone")
     assert(plan.toLowerCase.contains("rangepartitioning"),
       "expected the distributed range-partitioned rank")
+    // both references to the sorted relation must read ONE range exchange:
+    // independently-sampled boundaries would desync offsets from pids
+    assert(plan.contains("ReusedExchange"),
+      "counts/offsets must reuse the rows' range exchange")
     // the distributed rank must reproduce the windowed NTILE exactly
     val w = Window.orderBy($"c_acctbal".desc, $"c_custkey")
     val reference = graft.Tables.load(spark, sfDir, "customer")

@@ -432,7 +432,30 @@ object EventStreams {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Complete-mode streaming rollup — the live-dashboard semantic: every
+    * trigger rewrites the FULL result table in the sink (no watermark, no
+    * append finalization; state is the whole aggregate, which is why
+    * complete mode only fits bounded-cardinality keys). After an
+    * AvailableNow drive the sink table equals the batch aggregate exactly,
+    * putting the mode's replace-on-trigger contract under the oracle
+    * gate. */
+  val streamCompleteRollup: Q = (spark, dir) => {
+    import spark.implicits._
+    val agg = eventsStream(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
+    runToMemory(spark, agg, OutputMode.Complete())
+      .orderBy($"event_type")
+  }
+
+  val streamCompleteRollupSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st10_complete_rollup" -> streamCompleteRollup,
     "st09_foreach_batch_sink" -> streamForeachBatchSink,
     "st08_stream_static_join" -> streamStaticJoin,
     "st07_transform_with_state" -> streamTransformWithState,
@@ -444,6 +467,7 @@ object EventStreams {
     "st05_stream_dedup" -> streamDedup)
 
   val oracles: Map[String, String] = Map(
+    "st10_complete_rollup" -> streamCompleteRollupSql,
     "st09_foreach_batch_sink" -> streamForeachBatchSinkSql,
     "st08_stream_static_join" -> streamStaticJoinSql,
     "st07_transform_with_state" -> streamTransformWithStateSql,

@@ -16,11 +16,19 @@ object Bench {
     * from the total (BenchSpec pins this). */
   def renderLine(results: Seq[(String, Option[Double])], sfDir: String): String = {
     def f(v: Double): String = "%.3f".format(v)
+    // sfDir is environment-supplied: escape it, or a quote/backslash in the
+    // path yields exactly the unparseable line this format exists to avoid
+    val sf = sfDir.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val qs = results.map { case (k, v) =>
       "\"" + shortKey(k) + "\":" + v.map(f).getOrElse("null")
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -42,10 +42,12 @@ object ManifestListWriter {
     HadoopConfs.fileSystemFor(p).getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
 
   def write(path: String, manifestPaths: Seq[String], snapshotId: Long,
-      addedDataFilesCount: Int = 2): Unit = {
+      addedDataFilesCount: Int = 2, codec: String = "deflate"): Unit = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
-    w.create(manifestFileSchema, new java.io.File(path))
+    w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
+    w.create(manifestFileSchema, HadoopConfs.fileSystemFor(path)
+      .create(new org.apache.hadoop.fs.Path(path), true))
     try manifestPaths.foreach { p =>
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", p)

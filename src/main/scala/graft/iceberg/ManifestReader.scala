@@ -27,7 +27,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 object ManifestReader {
 
   /** Writer schema from the container header (driver-side, first file). */
-  def avroSchema(path: String, conf: Configuration = new Configuration()): Schema = {
+  def avroSchema(path: String, conf: Configuration = HadoopConfs.active()): Schema = {
     val in = open(path, conf)
     try {
       val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
@@ -62,9 +62,12 @@ object ManifestReader {
       readerSchemaJson: Option[String] = None): DataFrame = {
     require(paths.nonEmpty, "no manifest paths given")
     val effectiveJson = readerSchemaJson.getOrElse(
-      avroSchema(paths.head, spark.sparkContext.hadoopConfiguration).toString)
+      avroSchema(paths.head, spark.sessionState.newHadoopConf()).toString)
     val structType = AvroConversions.toStructType(new Schema.Parser().parse(effectiveJson))
 
+    // session Hadoop conf shipped into the tasks — executor-side opens
+    // must see the session's fs.* settings/credentials, not a default conf
+    val sconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val rdd = spark.sparkContext
       .parallelize(paths, paths.size)
       .flatMap { p =>
@@ -74,7 +77,7 @@ object ManifestReader {
         // it onto the common reader schema (per-file evolution).
         val reader = new GenericDatumReader[GenericRecord](
           null: Schema, new Schema.Parser().parse(effectiveJson))
-        val in = open(p, new Configuration())
+        val in = open(p, sconf.value)
         val stream = new DataFileStream[GenericRecord](in, reader)
         // Convert with the reader (expected) schema: DataFileStream.getSchema
         // reports the writer schema, but records resolve to the reader's.

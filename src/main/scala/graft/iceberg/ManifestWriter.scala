@@ -73,12 +73,20 @@ object ManifestWriter {
     arr
   }
 
-  def write(path: String, entries: Seq[EntryData]): Unit = {
+  /** Writes one manifest container. `codec` is any Avro container codec
+    * name — "null", "deflate" (default, matching Iceberg's own manifest
+    * default), "snappy", "zstandard" — the reference wires the same codec
+    * set (pom.xml:52-67); readers are codec-transparent (the container
+    * header names the codec). Output goes through the session's Hadoop
+    * FileSystem so hdfs:// / s3a:// manifest locations resolve. */
+  def write(path: String, entries: Seq[EntryData], codec: String = "deflate"): Unit = {
     val dfSchema = entrySchema.getField("data_file").schema()
     val lower = dfSchema.getField("lower_bounds").schema().getTypes.get(1)
     val upper = dfSchema.getField("upper_bounds").schema().getTypes.get(1)
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
-    w.create(entrySchema, new java.io.File(path))
+    w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
+    w.create(entrySchema, HadoopConfs.fileSystemFor(path)
+      .create(new org.apache.hadoop.fs.Path(path), true))
     try entries.foreach { e =>
       val df = new GenericData.Record(dfSchema)
       df.put("file_path", e.filePath)

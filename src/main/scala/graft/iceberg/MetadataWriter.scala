@@ -71,9 +71,15 @@ object MetadataWriter {
         previousFile.map(f => MetadataLogEntry(base.lastUpdatedMs, f)))
   }
 
-  def write(path: String, meta: TableMetadata): Unit =
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      toJson(meta).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  /** Writes through the session's Hadoop FileSystem (like the manifest
+    * writers) so hdfs:// / s3a:// metadata locations resolve with the
+    * session's credentials — not just the local filesystem. */
+  def write(path: String, meta: TableMetadata): Unit = {
+    val out = HadoopConfs.fileSystemFor(path)
+      .create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(toJson(meta).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   def toJson(meta: TableMetadata): String = {
     val root = mapper.createObjectNode()

@@ -365,8 +365,14 @@ object Dedup {
       s"neardup clustering did not converge in $rounds rounds — component diameter exceeds cap")
     edges.unpersist()
     // the final labels stay cached only until the plan is consumed; make
-    // the result independent of the iteration caches
-    val out = labels.select($"doc_id", $"lbl".as("cluster_rep")).orderBy($"doc_id").localCheckpoint()
+    // the result independent of the iteration caches. RELIABLE checkpoint
+    // (session checkpoint dir), not localCheckpoint: executor-local blocks
+    // vanish with a lost executor, and an iterative result must survive
+    // executor churn at cluster scale. Local runs fall back to a tmpdir.
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft-ckpt-${ProcessHandle.current().pid()}").toString)
+    val out = labels.select($"doc_id", $"lbl".as("cluster_rep")).orderBy($"doc_id").checkpoint()
     labels.unpersist()
     out
   }

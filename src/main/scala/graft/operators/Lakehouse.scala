@@ -122,7 +122,9 @@ object Lakehouse {
     * names the join keys (every delete-file column is an equality column),
     * so the apply generalizes to multi-column equality ids unchanged. */
   def applyEqualityDeletes(data: DataFrame, deletes: DataFrame): DataFrame = {
-    val cond = deletes.columns.map(c => data(c) === deletes(c)).reduce(_ && _)
+    // null-safe <=>: Iceberg equality deletes match null equality-field
+    // values (null equals null) — `===` would never delete a null-keyed row
+    val cond = deletes.columns.map(c => data(c) <=> deletes(c)).reduce(_ && _)
     data.join(deletes, cond, "left_anti")
   }
 

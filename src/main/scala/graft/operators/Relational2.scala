@@ -246,6 +246,13 @@ object Relational2 {
     * executed plan. */
   val balanceDeciles: Q = (spark, dir) => {
     import spark.implicits._
+    // The invariant above is only guaranteed while exchange reuse is on:
+    // with it disabled the two consumers of `sorted` re-sample range
+    // boundaries independently and ranks silently desync — refuse to build
+    // a query that could be silently wrong instead of relying on a test.
+    require(spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "balanceDeciles requires spark.sql.exchange.reuse=true: both consumers " +
+        "of the range-partitioned relation must read one exchange or ranks desync")
     val sortKeys = Seq($"c_acctbal".desc, $"c_custkey")
     val sorted = Tables.load(spark, dir, "customer")
       .select($"c_acctbal", $"c_custkey")

@@ -161,6 +161,13 @@ class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: S
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
 
+  /** Session Hadoop conf captured at scan build (driver-side) and shipped
+    * to the partition readers — executor-side manifest opens must see the
+    * session's fs.* settings and credentials (s3a://, hdfs://), which a
+    * fresh `new Configuration()` at the open site would silently drop. */
+  private val hadoopConf = new graft.iceberg.SerializableHadoopConf(
+    graft.iceberg.HadoopConfs.active())
+
   /** Size estimate from the container file lengths (one KB-scale FS stat
     * per manifest, cached for the scan's lifetime) — lets Catalyst treat
     * a manifest relation as the small side of a join (broadcast) instead
@@ -212,7 +219,8 @@ class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: S
           val checks = paths.map { p =>
             p -> scala.concurrent.Future {
               val probe = new ManifestPartitionReader(
-                p, probeSchema, writerSchemaJson, virtuals, filters)
+                p, probeSchema, writerSchemaJson, virtuals, filters,
+                hadoopConf = hadoopConf.value)
               try probe.next() finally probe.close()
             }
           }
@@ -233,18 +241,19 @@ class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: S
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(required, writerSchemaJson, virtuals, filters, limit)
+    new ManifestReaderFactory(required, writerSchemaJson, virtuals, filters, limit, hadoopConf)
 }
 
 case class ManifestInputPartition(path: String) extends InputPartition
 
 class ManifestReaderFactory(required: StructType, writerSchemaJson: String,
-    virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter], limit: Int)
+    virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter], limit: Int,
+    hadoopConf: graft.iceberg.SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ManifestPartitionReader(
       partition.asInstanceOf[ManifestInputPartition].path, required, writerSchemaJson,
-      virtuals, filters, limit)
+      virtuals, filters, limit, hadoopConf.value)
 }
 
 /** Conservative three-valued evaluation of v1 `sources.Filter`s over
@@ -351,7 +360,8 @@ object EntryFilterEval {
   * skip rows before they are materialized to Catalyst. */
 class ManifestPartitionReader(path: String, required: StructType, writerSchemaJson: String,
     virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter],
-    limit: Int = Int.MaxValue)
+    limit: Int = Int.MaxValue,
+    hadoopConf: Configuration = graft.iceberg.HadoopConfs.active())
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0
@@ -388,7 +398,10 @@ class ManifestPartitionReader(path: String, required: StructType, writerSchemaJs
 
   private val in = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, new Configuration())
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri match {
+      case u if u.getScheme == null => new java.net.URI("file:///")
+      case u => u
+    }, hadoopConf)
     new java.io.BufferedInputStream(fs.open(p))
   }
   // writer schema comes from THIS container's header (per-file schema

@@ -41,4 +41,15 @@ class LakehouseSpec extends SparkSpec {
     // file B's positions 0 and 2 must SURVIVE (the file component matters)
     assert(live.contains("b10") && live.contains("b12"))
   }
+
+  test("equality deletes match null equality-field values (Iceberg null-equals-null)") {
+    import spark.implicits._
+    val data = Seq((Some(1), "keep1"), (None, "nullkeyed"), (Some(2), "dropped"))
+      .toDF("k", "v")
+    // a delete-file row carrying NULL must delete the null-keyed data row
+    val deletes = Seq(Option.empty[Int], Some(2)).toDF("k")
+    val live = Lakehouse.applyEqualityDeletes(data, deletes)
+      .select(col("v")).as[String].collect().toSet
+    assert(live == Set("keep1"), s"null-safe equality must drop 'nullkeyed': $live")
+  }
 }

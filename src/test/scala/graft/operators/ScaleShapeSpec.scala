@@ -35,6 +35,15 @@ class ScaleShapeSpec extends SparkSpec {
     assert(df.collect().toSeq === reference.collect().toSeq)
   }
 
+  test("q37 deciles refuse to build when exchange reuse is disabled") {
+    // the rank's correctness RIDES on exchange reuse (both consumers of the
+    // range-shuffled relation must read one exchange); with it off the
+    // operator must fail loudly at build time, not desync silently
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try intercept[IllegalArgumentException] { Relational2.balanceDeciles(spark, sfDir) }
+    finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
   test("d06 block guard: bounded blocks pass rows through, oversized raise") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))

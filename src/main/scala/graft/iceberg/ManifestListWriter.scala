@@ -31,6 +31,11 @@ object ManifestListWriter {
       .`type`().longType().noDefault()
       .name("added_data_files_count").prop(AvroConversions.FieldIdKey, "504")
       .`type`().intType().noDefault()
+      // v2 routing field (spec id 517): 0 = data manifests, 1 = delete
+      // manifests — scan planning reads THIS to know which manifests hold
+      // position/equality delete files (the i22 DML write path)
+      .name("content").prop(AvroConversions.FieldIdKey, "517")
+      .`type`().intType().intDefault(0)
       .endRecord()
 
   /** Manifest size for the manifest_length field, resolved through the
@@ -41,8 +46,11 @@ object ManifestListWriter {
   private def manifestLength(p: String): Long =
     HadoopConfs.fileSystemFor(p).getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
 
+  /** `contents` marks delete manifests (path → 1); unlisted paths default
+    * to 0 = data, so existing data-only call sites are unchanged. */
   def write(path: String, manifestPaths: Seq[String], snapshotId: Long,
-      addedDataFilesCount: Int = 2, codec: String = "deflate"): Unit = {
+      addedDataFilesCount: Int = 2, codec: String = "deflate",
+      contents: Map[String, Int] = Map.empty): Unit = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
     w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
@@ -55,6 +63,7 @@ object ManifestListWriter {
       r.put("partition_spec_id", 0)
       r.put("added_snapshot_id", snapshotId)
       r.put("added_data_files_count", addedDataFilesCount)
+      r.put("content", contents.getOrElse(p, 0))
       w.append(r)
     } finally w.close()
   }

@@ -74,6 +74,53 @@ object MetadataWriter {
   /** Writes through the session's Hadoop FileSystem (like the manifest
     * writers) so hdfs:// / s3a:// metadata locations resolve with the
     * session's credentials — not just the local filesystem. */
+  /** Expiry: REMOVE a non-current snapshot from the document (its
+    * snapshot-log entries go with it — Iceberg prunes history of expired
+    * snapshots). Physical file deletion is the caller's job: reachability
+    * says what is safe to delete (see snapshotExpiry/i23), the metadata
+    * rewrite here makes the expired snapshot unresolvable. */
+  def expireSnapshot(base: TableMetadata, snapshotId: Long, timestampMs: Long,
+      previousFile: Option[String] = None): TableMetadata = {
+    require(base.snapshots.exists(_.snapshotId == snapshotId),
+      s"cannot expire unknown snapshot $snapshotId")
+    require(!base.currentSnapshotId.contains(snapshotId),
+      s"cannot expire the current snapshot $snapshotId")
+    require(!base.refs.exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId is still referenced by a branch/tag ref")
+    base.copy(
+      lastUpdatedMs = timestampMs,
+      snapshots = base.snapshots.filterNot(_.snapshotId == snapshotId),
+      snapshotLog = base.snapshotLog.filterNot(_.snapshotId == snapshotId),
+      metadataLog = base.metadataLog ++
+        previousFile.map(f => MetadataLogEntry(base.lastUpdatedMs, f)))
+  }
+
+  /** Schema evolution: append a new schema version and advance
+    * `current-schema-id` — the versioned-schema model of the reference
+    * fixture (v1.metadata.json:7-37; resolution parity
+    * ManifestFileReadTool.java:176-188). Old data files keep their schema
+    * id; readers project them through the new schema with null-fill. */
+  def evolveSchema(base: TableMetadata, schema: IcebergSchema,
+      timestampMs: Long): TableMetadata = {
+    require(!base.schemas.exists(_.schemaId == schema.schemaId),
+      s"schema id ${schema.schemaId} already exists")
+    base.copy(
+      lastUpdatedMs = timestampMs,
+      topLevelSchema = None, // versioned schemas[] is the single source now
+      currentSchemaId = Some(schema.schemaId),
+      schemas = base.schemas :+ schema)
+  }
+
+  /** Tag creation: an immutable named ref pinning a snapshot — the
+    * foundation of ref-based time travel (`AS OF <tag>`) and the
+    * write-audit-publish pattern. */
+  def createTag(base: TableMetadata, name: String, snapshotId: Long): TableMetadata = {
+    require(base.snapshots.exists(_.snapshotId == snapshotId),
+      s"cannot tag unknown snapshot $snapshotId")
+    require(!base.refs.exists(_.name == name), s"ref '$name' already exists")
+    base.copy(refs = base.refs :+ SnapshotRef(name, "tag", snapshotId))
+  }
+
   def write(path: String, meta: TableMetadata): Unit = {
     val out = HadoopConfs.fileSystemFor(path)
       .create(new org.apache.hadoop.fs.Path(path), true)

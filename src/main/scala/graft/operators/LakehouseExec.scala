@@ -1,0 +1,486 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.iceberg._
+import graft.iceberg.IcebergTypes.{TInt, TString}
+
+/** Table-maintenance EXECUTION — the write half that i16/i17 only planned.
+  *
+  * Each entry builds a real local Iceberg-shaped table from the round's
+  * testdata (nation: fixed 25 rows, bit-identical at every sf — so the
+  * oracle is plain SQL over the same parquet, no goldens): data files are
+  * genuinely written parquet, every manifest stat (record_count,
+  * file_size_in_bytes, lower/upper bounds) is DERIVED from the files on
+  * disk — never pinned literals — and commits go through
+  * MetadataWriter.commitSnapshot, the structure of the reference fixture
+  * (/root/reference/src/test/resources/v1.metadata.json:38-95). After the
+  * commit, every read resolves ONLY the committed document and the
+  * containers it references (the same storage gate as i18).
+  *
+  * - i21: compaction executed — bin-pack plan over real file sizes, the
+  *   compacted parquet physically rewritten, stats re-derived from it,
+  *   replace-snapshot committed; pre- and post-compaction scans must agree.
+  * - i22: row-level DELETE — predicate → (file_path, row_index) capture on
+  *   parquet `_metadata` → position-delete parquet file → delete-manifest
+  *   routed by manifest_file.content=1 (spec field 517) → delete-snapshot
+  *   commit → merge-on-read scan.
+  * - i23: snapshot expiry executed — i17's reachability difference, then
+  *   the unreachable manifests/list/data files are physically deleted and
+  *   the metadata rewritten without the expired snapshot.
+  * - i24: schema evolution — add-column commit (schemas[] grows,
+  *   current-schema-id advances, v1.metadata.json:7-37 model); old and new
+  *   data files read through the evolved schema with null-fill.
+  * - i25: ref-based time travel — a tag pins the pre-compaction snapshot;
+  *   `AS OF <tag>` resolves through the committed refs map.
+  *
+  * Scale notes: manifest/list handling is metadata-scale by construction
+  * (KB per document — the same driver-side boundary Iceberg's planner
+  * uses); every data read/write is a distributed parquet job. Compaction
+  * writes one file per bin via coalesce(1) because a bin IS the rewrite
+  * task — at 100 TB there are thousands of bins, each an independent task,
+  * parallelism lives across bins, not inside one.
+  */
+object LakehouseExec {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed commit epoch: synthetic timestamps must be deterministic for
+    * the oracle (never wall-clock). */
+  private val T0 = 1700000000000L
+
+  private val schema0 = IcebergSchema(0, Seq(
+    IcebergField(1, "n_nationkey", required = false, "int"),
+    IcebergField(2, "n_name", required = false, "string"),
+    IcebergField(3, "n_regionkey", required = false, "int")))
+
+  /** Evolution target of i24: field 4 added by the add-column commit. */
+  private val schema1 = IcebergSchema(1,
+    schema0.fields :+ IcebergField(4, "n_name_len", required = false, "int"))
+
+  private def entryDir(tag: String, sfDir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-$tag-${ProcessHandle.current().pid()}",
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+
+  private def fileLen(p: String): Long =
+    HadoopConfs.fileSystemFor(p).getFileStatus(new Path(p)).getLen
+
+  /** Single-parquet-file sink: a data/delete FILE is the unit Iceberg
+    * manifests track, so each write lands as exactly one file with a
+    * stable name (Spark's directory output is renamed to it). */
+  private def writeOneParquet(df: DataFrame, outFile: String): Unit = {
+    val tmp = outFile + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = HadoopConfs.fileSystemFor(outFile)
+    val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    if (!fs.rename(part, new Path(outFile)))
+      throw new IllegalStateException(s"rename $part -> $outFile failed")
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** Manifest entry with every stat DERIVED from the written file: row
+    * count and per-column bounds from a scan of the parquet itself,
+    * file size from the filesystem — the honesty gate the fabricated
+    * stats of the old i18 fixture path lacked. */
+  private def deriveEntry(spark: SparkSession, file: String,
+      snapshotId: Long): ManifestWriter.EntryData = {
+    val row = spark.read.parquet(file).agg(
+      count(lit(1)),
+      min(col("n_nationkey")), max(col("n_nationkey")),
+      min(col("n_name")), max(col("n_name")),
+      min(col("n_regionkey")), max(col("n_regionkey"))).head()
+    val lower = Map(
+      1 -> SingleValueCodec.encode(TInt, row.getInt(1)),
+      2 -> SingleValueCodec.encode(TString, row.getString(3)),
+      3 -> SingleValueCodec.encode(TInt, row.getInt(5)))
+    val upper = Map(
+      1 -> SingleValueCodec.encode(TInt, row.getInt(2)),
+      2 -> SingleValueCodec.encode(TString, row.getString(4)),
+      3 -> SingleValueCodec.encode(TInt, row.getInt(6)))
+    ManifestWriter.EntryData(1, snapshotId, file,
+      row.getLong(0), fileLen(file), lower, upper)
+  }
+
+  private def baseMetadata(dir: String): TableMetadata = TableMetadata(
+    formatVersion = 2, tableUuid = "b6b9a6a1-0000-4000-8000-000000000021",
+    location = dir, lastUpdatedMs = T0,
+    topLevelSchema = None, currentSchemaId = Some(0), schemas = Seq(schema0),
+    partitionSpecs = Seq(PartitionSpec(0, Nil)), defaultSpecId = 0,
+    sortOrders = Seq(SortOrder(0, Nil)), defaultSortOrderId = 0,
+    properties = Map.empty, currentSnapshotId = None, refs = Nil,
+    snapshots = Nil, snapshotLog = Nil, metadataLog = Nil)
+
+  /** Builds the base table: nation split into 3 key-range parquet files,
+    * one manifest with derived stats, a manifest-list, and a committed
+    * v1 metadata document. Returns the metadata path. */
+  private def buildBase(spark: SparkSession, sfDir: String, dir: String): String = {
+    val nation = Tables.load(spark, sfDir, "nation")
+    val ranges = Seq((0, 10), (10, 20), (20, 25))
+    val files = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      val f = s"$dir/data/nation-0000$i.parquet"
+      writeOneParquet(
+        nation.filter(col("n_nationkey") >= lo && col("n_nationkey") < hi)
+          .orderBy(col("n_nationkey")), f)
+      f
+    }
+    val entries = files.map(f => deriveEntry(spark, f, snapshotId = 1L))
+    val manifest = s"$dir/m-0.avro"
+    ManifestWriter.write(manifest, entries)
+    val list1 = s"$dir/snap-1-list.avro"
+    ManifestListWriter.write(list1, Seq(manifest), 1L, addedDataFilesCount = files.size)
+    val snap1 = Snapshot(1L, None, T0 + 1000, Some("append"),
+      Map("added-data-files" -> files.size.toString,
+        "total-data-files" -> files.size.toString,
+        "total-records" -> entries.map(_.recordCount).sum.toString),
+      Some(list1), Some(0))
+    val v1 = s"$dir/v1.metadata.json"
+    MetadataWriter.write(v1, MetadataWriter.commitSnapshot(baseMetadata(dir), snap1, None))
+    v1
+  }
+
+  /** Data-file entries reachable from a snapshot, from storage only:
+    * manifest-list (filtered on the v2 `content` routing field) →
+    * distributed manifest scan. */
+  private def fileEntries(spark: SparkSession, snap: Snapshot,
+      content: Int = 0): DataFrame = {
+    val list = snap.manifestList.getOrElse(
+      throw new IllegalStateException(s"snapshot ${snap.snapshotId} has no manifest-list"))
+    val manifestPaths = MetadataTables.manifests(spark, list)
+      .filter(col("content") === content)
+      .select(col("manifest_path")).collect().map(_.getString(0)).toSeq // KB-scale
+    require(manifestPaths.nonEmpty, s"no content=$content manifests in $list")
+    ManifestReader.entries(spark, manifestPaths)
+      .select(col("data_file.file_path").as("file_path"),
+        col("data_file.record_count").as("record_count"),
+        col("data_file.file_size_in_bytes").as("file_size_in_bytes"),
+        col("data_file.lower_bounds").as("lower_bounds"),
+        col("data_file.upper_bounds").as("upper_bounds"))
+  }
+
+  private def filePaths(spark: SparkSession, snap: Snapshot, content: Int = 0): Seq[String] =
+    fileEntries(spark, snap, content).select("file_path")
+      .collect().map(_.getString(0)).toSeq
+
+  /** Executes the i16 bin-pack plan against the committed v1 table:
+    * cumulative-offset binning over REAL file sizes, one physical parquet
+    * rewrite per bin, stats re-derived from the compacted files, and a
+    * replace-snapshot commit. Returns the new metadata path. */
+  private def execCompaction(spark: SparkSession, dir: String, v1Path: String,
+      target: Long = 512L * 1024 * 1024): String = {
+    val base = TableMetadata.parseFile(v1Path)
+    val snap1 = base.currentSnapshot.getOrElse(
+      throw new IllegalStateException("base table has no current snapshot"))
+    val w = Window.orderBy(col("file_path"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val planned = fileEntries(spark, snap1)
+      .withColumn("cum_end", sum(col("file_size_in_bytes")).over(w))
+      .withColumn("bin", floor((col("cum_end") - col("file_size_in_bytes")) / target))
+      .select(col("bin"), col("file_path"))
+      .collect() // metadata-scale: one row per data file
+    val bins = planned.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    val newEntries = bins.map { case (bin, rows) =>
+      val out = s"$dir/data/compacted-%05d.parquet".format(bin)
+      // the rewrite itself: a distributed read of the bin's files merged
+      // into one sorted output file (the bin IS the parallelism unit)
+      writeOneParquet(
+        spark.read.parquet(rows.map(_.getString(1)).toIndexedSeq: _*)
+          .orderBy(col("n_nationkey")), out)
+      deriveEntry(spark, out, snapshotId = 2L)
+    }
+    val manifest = s"$dir/m-1.avro"
+    ManifestWriter.write(manifest, newEntries)
+    val list2 = s"$dir/snap-2-list.avro"
+    ManifestListWriter.write(list2, Seq(manifest), 2L, addedDataFilesCount = newEntries.size)
+    val snap2 = Snapshot(2L, Some(1L), snap1.timestampMs + 1000, Some("replace"),
+      Map("added-data-files" -> newEntries.size.toString,
+        "deleted-data-files" -> planned.length.toString,
+        "total-data-files" -> newEntries.size.toString,
+        "total-records" -> newEntries.map(_.recordCount).sum.toString),
+      Some(list2), Some(0))
+    val v2 = s"$dir/v2.metadata.json"
+    MetadataWriter.write(v2, MetadataWriter.commitSnapshot(base, snap2, Some(v1Path)))
+    v2
+  }
+
+  // ---------------------------------------------------------------- i21
+  /** Compaction executed on real data. The read-back rolls up BOTH
+    * snapshots from the committed document: per snapshot, the manifest's
+    * derived stats (file count, record sum, decoded n_nationkey bounds)
+    * and a fresh distributed scan of the referenced parquet — metadata
+    * stats and physical data must tell the same story, and the compacted
+    * snapshot must preserve the original content exactly. */
+  val compactionExec: Q = (spark, sfDir) => {
+    val dir = entryDir("i21", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      execCompaction(spark, dir, buildBase(spark, sfDir, dir)); ()
+    }
+    val committed = TableMetadata.parseFile(s"$dir/v2.metadata.json")
+    committed.snapshots.sortBy(_.snapshotId).map { s =>
+      val entries = fileEntries(spark, s).collect() // metadata-scale
+      val paths = entries.map(_.getAs[String]("file_path")).toIndexedSeq
+      val minBound = entries.map(r => SingleValueCodec.decode(TInt,
+        r.getAs[scala.collection.Map[Int, Array[Byte]]]("lower_bounds")(1)).asInstanceOf[Int]).min
+      val maxBound = entries.map(r => SingleValueCodec.decode(TInt,
+        r.getAs[scala.collection.Map[Int, Array[Byte]]]("upper_bounds")(1)).asInstanceOf[Int]).max
+      spark.read.parquet(paths: _*)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey")).cast("long").as("sum_key"),
+          countDistinct(col("n_regionkey")).as("n_regions"))
+        .select(lit(s.snapshotId).as("snapshot_id"),
+          lit(s.operation.getOrElse("")).as("operation"),
+          lit(entries.length).cast("long").as("n_files"),
+          lit(entries.map(_.getAs[Long]("record_count")).sum).as("n_records_meta"),
+          lit(minBound).as("min_key_bound"), lit(maxBound).as("max_key_bound"),
+          col("n_rows"), col("sum_key"), col("n_regions"))
+    }.reduce(_ unionByName _).orderBy(col("snapshot_id"))
+  }
+
+  val compactionExecSql: String =
+    """SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation,
+      |  CAST(3 AS BIGINT) AS n_files, COUNT(*) AS n_records_meta,
+      |  CAST(MIN(n_nationkey) AS INTEGER) AS min_key_bound,
+      |  CAST(MAX(n_nationkey) AS INTEGER) AS max_key_bound,
+      |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS n_regions
+      |FROM nation
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'replace', CAST(1 AS BIGINT), COUNT(*),
+      |  CAST(MIN(n_nationkey) AS INTEGER), CAST(MAX(n_nationkey) AS INTEGER),
+      |  COUNT(*), CAST(SUM(n_nationkey) AS BIGINT),
+      |  CAST(COUNT(DISTINCT n_regionkey) AS BIGINT)
+      |FROM nation
+      |ORDER BY snapshot_id""".stripMargin
+
+  // ---------------------------------------------------------------- i22
+  /** Row-level DELETE writing a position-delete file (the v2 MOR write
+    * path): DELETE WHERE n_regionkey = 2 captures (file_path, row_index)
+    * from parquet `_metadata`, lands them as a position-delete parquet in
+    * the i13 schema, commits a delete snapshot whose manifest-list routes
+    * the delete manifest via content=1 — then the merge-on-read scan
+    * reassembles everything from storage. */
+  val deleteDml: Q = (spark, sfDir) => {
+    val dir = entryDir("i22", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val v1 = buildBase(spark, sfDir, dir)
+      val base = TableMetadata.parseFile(v1)
+      val snap1 = base.currentSnapshot.get
+      val paths = filePaths(spark, snap1)
+      val delFile = s"$dir/data/delete-00000.parquet"
+      // predicate → physical row addresses; sorted so the delete file is
+      // deterministic (Iceberg requires position deletes sorted by
+      // file_path, pos)
+      writeOneParquet(
+        spark.read.parquet(paths: _*)
+          .select(col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("pos"), col("n_regionkey"))
+          .filter(col("n_regionkey") === 2)
+          .select(col("file_path"), col("pos"))
+          .orderBy(col("file_path"), col("pos")), delFile)
+      val delManifest = s"$dir/m-del.avro"
+      ManifestWriter.write(delManifest, Seq(ManifestWriter.EntryData(
+        1, 2L, delFile, spark.read.parquet(delFile).count(), fileLen(delFile),
+        Map.empty, Map.empty)))
+      val list2 = s"$dir/snap-2-list.avro"
+      ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", delManifest), 2L,
+        addedDataFilesCount = 0, contents = Map(delManifest -> 1))
+      val snap2 = Snapshot(2L, Some(1L), snap1.timestampMs + 1000, Some("delete"),
+        Map("added-delete-files" -> "1", "total-data-files" -> paths.size.toString,
+          "total-delete-files" -> "1"),
+        Some(list2), Some(0))
+      MetadataWriter.write(s"$dir/v2.metadata.json",
+        MetadataWriter.commitSnapshot(base, snap2, Some(v1)))
+    }
+    // merge-on-read, storage only: data manifests + delete manifests both
+    // resolved through the committed document's manifest-list routing
+    val committed = TableMetadata.parseFile(s"$dir/v2.metadata.json")
+    val cur = committed.currentSnapshot.get
+    val data = spark.read.parquet(filePaths(spark, cur, content = 0): _*)
+      .select(col("*"),
+        col("_metadata.file_path").as("_file"),
+        col("_metadata.row_index").as("_pos"))
+    val deletes = spark.read.parquet(filePaths(spark, cur, content = 1): _*)
+      .select(col("file_path"), col("pos"))
+    Lakehouse.applyPositionDeletes(data, deletes)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val deleteDmlSql: String =
+    """SELECT n_regionkey, COUNT(*) AS n_live,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_regionkey <> 2
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // ---------------------------------------------------------------- i23
+  /** Snapshot expiry EXECUTED: i17's reachability difference (manifests
+    * and data files of the expired snapshot not reachable from any
+    * retained one), the unreachable artifacts physically deleted, and the
+    * metadata rewritten without the expired snapshot. The read-back
+    * proves both halves: survivors scan to exactly the original content,
+    * and every expired artifact is gone from disk and from the document. */
+  val expireExec: Q = (spark, sfDir) => {
+    val dir = entryDir("i23", sfDir)
+    val v3 = s"$dir/v3.metadata.json"
+    graft.TmpOutputs.ensure(dir) {
+      val v2 = execCompaction(spark, dir, buildBase(spark, sfDir, dir))
+      val committed = TableMetadata.parseFile(v2)
+      val snap1 = committed.snapshot(1L).get
+      val snap2 = committed.currentSnapshot.get
+      // reachability difference — EXCEPT is the distributed anti-join (at
+      // a million manifests this runs as the same plan, un-collected)
+      val expiredManifests = MetadataTables.manifests(spark, snap1.manifestList.get)
+        .select(col("manifest_path"))
+        .except(MetadataTables.manifests(spark, snap2.manifestList.get)
+          .select(col("manifest_path")))
+        .collect().map(_.getString(0)).toSeq
+      val expiredFiles = fileEntries(spark, snap1).select(col("file_path"))
+        .except(fileEntries(spark, snap2).select(col("file_path")))
+        .collect().map(_.getString(0)).toSeq
+      (expiredManifests ++ expiredFiles :+ snap1.manifestList.get).foreach { p =>
+        HadoopConfs.fileSystemFor(p).delete(new Path(p), false)
+      }
+      MetadataWriter.write(v3, MetadataWriter.expireSnapshot(
+        committed, 1L, snap2.timestampMs + 1000, Some(v2)))
+    }
+    val meta = TableMetadata.parseFile(v3)
+    val cur = meta.currentSnapshot.get
+    // by construction these were snapshot 1's artifacts — all must be gone
+    val expiredArtifacts = Seq(s"$dir/m-0.avro", s"$dir/snap-1-list.avro") ++
+      (0 until 3).map(i => s"$dir/data/nation-0000$i.parquet")
+    val nLeft = expiredArtifacts.count(p =>
+      HadoopConfs.fileSystemFor(p).exists(new Path(p)))
+    spark.read.parquet(filePaths(spark, cur): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(lit(meta.snapshots.size).as("n_snapshots"),
+        lit(meta.snapshot(1L).isDefined).as("expired_resolvable"),
+        lit(nLeft).cast("long").as("n_expired_artifacts_left"),
+        lit(cur.snapshotId).as("current_snapshot_id"),
+        col("n_rows"), col("sum_key"))
+  }
+
+  val expireExecSql: String =
+    """SELECT CAST(1 AS INTEGER) AS n_snapshots, FALSE AS expired_resolvable,
+      |  CAST(0 AS BIGINT) AS n_expired_artifacts_left,
+      |  CAST(2 AS BIGINT) AS current_snapshot_id,
+      |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation""".stripMargin
+
+  // ---------------------------------------------------------------- i24
+  /** Schema-evolution commit: snapshot 1 appends a 3-column file under
+    * schema 0; an add-column commit appends schema 1 (field 4,
+    * n_name_len) and advances current-schema-id; snapshot 2 appends a
+    * 4-column file under schema 1. The read-back projects BOTH files
+    * through the evolved schema (old file null-fills the new column) —
+    * the versioned-schema model of v1.metadata.json:7-37 /
+    * ManifestFileReadTool.java:176-188. */
+  val schemaEvolution: Q = (spark, sfDir) => {
+    val dir = entryDir("i24", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      val fA = s"$dir/data/nation-v0-00000.parquet"
+      writeOneParquet(nation.filter(col("n_nationkey") < 13).orderBy(col("n_nationkey")), fA)
+      val mA = s"$dir/m-0.avro"
+      ManifestWriter.write(mA, Seq(deriveEntry(spark, fA, 1L)))
+      val list1 = s"$dir/snap-1-list.avro"
+      ManifestListWriter.write(list1, Seq(mA), 1L, addedDataFilesCount = 1)
+      val snap1 = Snapshot(1L, None, T0 + 1000, Some("append"),
+        Map("added-data-files" -> "1"), Some(list1), Some(0))
+      val v1 = s"$dir/v1.metadata.json"
+      MetadataWriter.write(v1, MetadataWriter.commitSnapshot(baseMetadata(dir), snap1, None))
+      // the add-column commit, then an append THROUGH the evolved schema
+      val evolved = MetadataWriter.evolveSchema(TableMetadata.parseFile(v1), schema1, T0 + 1500)
+      val fB = s"$dir/data/nation-v1-00000.parquet"
+      writeOneParquet(nation.filter(col("n_nationkey") >= 13)
+        .withColumn("n_name_len", length(col("n_name")).cast("int"))
+        .orderBy(col("n_nationkey")), fB)
+      val mB = s"$dir/m-1.avro"
+      ManifestWriter.write(mB, Seq(deriveEntry(spark, fB, 2L)))
+      val list2 = s"$dir/snap-2-list.avro"
+      ManifestListWriter.write(list2, Seq(mA, mB), 2L, addedDataFilesCount = 1)
+      val snap2 = Snapshot(2L, Some(1L), T0 + 2000, Some("append"),
+        Map("added-data-files" -> "1", "total-data-files" -> "2"), Some(list2), Some(1))
+      MetadataWriter.write(s"$dir/v2.metadata.json",
+        MetadataWriter.commitSnapshot(evolved, snap2, Some(v1)))
+    }
+    val meta = TableMetadata.parseFile(s"$dir/v2.metadata.json")
+    // Spark read schema derived from the document's CURRENT schema — the
+    // null-fill projection a v2 reader applies to pre-evolution files
+    val sparkSchema = StructType(meta.currentSchema.fields.map(f =>
+      StructField(f.name, IcebergTypes.fromStringOpt(f.fieldType).getOrElse(
+        throw new IllegalStateException(s"unsupported type ${f.fieldType}")).sparkType,
+        nullable = true)))
+    spark.read.schema(sparkSchema).parquet(filePaths(spark, meta.currentSnapshot.get): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("n_name_len")).as("n_with_len"),
+        sum(col("n_name_len")).cast("long").as("sum_len"))
+      .select(lit(meta.schemas.size).as("n_schemas"),
+        lit(meta.currentSchemaId.get).as("current_schema_id"),
+        col("n_rows"), col("n_with_len"), col("sum_len"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT CAST(2 AS INTEGER) AS n_schemas, CAST(1 AS INTEGER) AS current_schema_id,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(CASE WHEN n_nationkey >= 13 THEN 1 END) AS n_with_len,
+      |  CAST(SUM(CASE WHEN n_nationkey >= 13 THEN length(n_name) END) AS BIGINT) AS sum_len
+      |FROM nation""".stripMargin
+
+  // ---------------------------------------------------------------- i25
+  /** Ref-based time travel: the compaction commit carries a tag pinning
+    * the pre-compaction snapshot; the read resolves `AS OF
+    * 'pre-compaction'` through the committed document's refs map
+    * (TableMetadata.refs) to the ORIGINAL 3 files — unchanged content
+    * even though the current snapshot is the compacted rewrite. */
+  val tagTravel: Q = (spark, sfDir) => {
+    val dir = entryDir("i25", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val v2 = execCompaction(spark, dir, buildBase(spark, sfDir, dir))
+      MetadataWriter.write(s"$dir/v3.metadata.json",
+        MetadataWriter.createTag(TableMetadata.parseFile(v2), "pre-compaction", 1L))
+    }
+    val meta = TableMetadata.parseFile(s"$dir/v3.metadata.json")
+    val ref = meta.refs.find(_.name == "pre-compaction").getOrElse(
+      throw new IllegalStateException("tag 'pre-compaction' not committed"))
+    val snap = meta.snapshot(ref.snapshotId).getOrElse(
+      throw new IllegalStateException(s"tagged snapshot ${ref.snapshotId} missing"))
+    val paths = filePaths(spark, snap)
+    spark.read.parquet(paths: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(lit(ref.name).as("ref_name"), lit(ref.refType).as("ref_type"),
+        lit(ref.snapshotId).as("snapshot_id"),
+        lit(paths.size).cast("long").as("n_files"),
+        col("n_rows"), col("sum_key"))
+  }
+
+  val tagTravelSql: String =
+    """SELECT 'pre-compaction' AS ref_name, 'tag' AS ref_type,
+      |  CAST(1 AS BIGINT) AS snapshot_id, CAST(3 AS BIGINT) AS n_files,
+      |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "i21_compaction_exec" -> compactionExec,
+    "i22_delete_dml" -> deleteDml,
+    "i23_expire_exec" -> expireExec,
+    "i24_schema_evolution" -> schemaEvolution,
+    "i25_tag_travel" -> tagTravel)
+
+  val oracles: Map[String, String] = Map(
+    "i21_compaction_exec" -> compactionExecSql,
+    "i22_delete_dml" -> deleteDmlSql,
+    "i23_expire_exec" -> expireExecSql,
+    "i24_schema_evolution" -> schemaEvolutionSql,
+    "i25_tag_travel" -> tagTravelSql)
+}

@@ -61,6 +61,45 @@ object ManifestWriter {
         .endRecord()).noDefault()
     .endRecord()
 
+  /** Driver-side read of the core entry fields back out of a manifest —
+    * the inverse of [[write]], via Avro schema resolution (the container's
+    * writer schema may carry many more fields; ours projects the core
+    * subset by name). KB-scale metadata: this is the same driver-side
+    * boundary Iceberg's planner uses; the distributed path is
+    * ManifestReader.entries. */
+  def read(path: String): Seq[EntryData] = {
+    import org.apache.avro.file.DataFileStream
+    import org.apache.avro.generic.GenericDatumReader
+    val in = new java.io.BufferedInputStream(
+      HadoopConfs.fileSystemFor(path).open(new org.apache.hadoop.fs.Path(path)))
+    val stream =
+      try new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord](null: Schema, entrySchema))
+      catch { case e: Throwable => in.close(); throw e }
+    try {
+      val buf = Seq.newBuilder[EntryData]
+      while (stream.hasNext) {
+        val r = stream.next()
+        val df = r.get("data_file").asInstanceOf[GenericRecord]
+        def bounds(name: String): Map[Int, Array[Byte]] =
+          Option(df.get(name)).map(_.asInstanceOf[java.util.Collection[GenericRecord]]
+            .asScala.map { kv =>
+              val bb = kv.get("value").asInstanceOf[ByteBuffer].duplicate()
+              val arr = new Array[Byte](bb.remaining()); bb.get(arr)
+              kv.get("key").asInstanceOf[Int] -> arr
+            }.toMap).getOrElse(Map.empty)
+        buf += EntryData(
+          r.get("status").asInstanceOf[Int],
+          Option(r.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
+          df.get("file_path").toString,
+          df.get("record_count").asInstanceOf[Long],
+          df.get("file_size_in_bytes").asInstanceOf[Long],
+          bounds("lower_bounds"), bounds("upper_bounds"))
+      }
+      buf.result()
+    } finally { stream.close(); in.close() }
+  }
+
   private def boundsArray(schema: Schema, m: Map[Int, Array[Byte]]): GenericData.Array[GenericRecord] = {
     val arr = new GenericData.Array[GenericRecord](schema, java.util.Collections.emptyList[GenericRecord]())
     // deterministic container bytes: entries in key order

@@ -228,13 +228,13 @@ object Lakehouse {
     val listOld = s"$dir/snap-1-list.avro"
     val listCur = s"$dir/snap-2-list.avro"
     graft.TmpOutputs.ensure(dir) {
-      // current snapshot = a compacted rewrite: the fixture's 2 one-row
-      // files merged into 1 manifest entry of 2 records
-      ManifestWriter.write(rewritten, Seq(ManifestWriter.EntryData(
-        status = 1, snapshotId = 2L, filePath = s"$dir/compacted-00000.parquet",
-        recordCount = 2L, fileSizeInBytes = 1315L,
-        lowerBounds = Map(1 -> Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)),
-        upperBounds = Map(1 -> Array[Byte](2, 0, 0, 0, 0, 0, 0, 0)))))
+      // current snapshot = a manifest rewrite (rewrite_manifests): the
+      // fixture manifest's entries re-listed in one new manifest, every
+      // stat READ from the source container — no fabricated files/stats.
+      // (Data compaction on real files is i21, LakehouseExec; the fixture's
+      // data paths are dead /tmp files from the reference's own test run.)
+      ManifestWriter.write(rewritten, ManifestWriter.read(IcebergQueries.FixtureManifest)
+        .map(e => e.copy(status = 0, snapshotId = 2L)))
       ManifestListWriter.write(listOld, Seq(IcebergQueries.FixtureManifest), 1L)
       ManifestListWriter.write(listCur, Seq(rewritten), 2L)
     }
@@ -251,8 +251,8 @@ object Lakehouse {
   }
 
   // ---------------------------------------------------------------- i18
-  /** Snapshot COMMIT — the write half i16/i17 plan for: execute the
-    * compaction rewrite (new manifest + manifest-list), then publish a new
+  /** Snapshot COMMIT — the write half i16/i17 plan for: execute a
+    * manifest rewrite (new manifest + manifest-list), then publish a new
     * `metadata.json` via MetadataWriter.commitSnapshot (snapshot appended,
     * current-snapshot-id advanced, main ref moved, snapshot-log extended,
     * superseded document recorded in the metadata-log — the structure of
@@ -263,12 +263,15 @@ object Lakehouse {
     * manifest-list is a dead /tmp path from the reference's own test run,
     * so the old snapshot's KB-sized list is first rewritten (same content)
     * and repointed, as in i08. */
-  /** Builds the committed fixture-compaction table into `dir` (no
+  /** Builds the committed fixture-maintenance table into `dir` (no
     * caching — callers wrap with TmpOutputs.ensure): rewrites the old
     * snapshot's manifest-list (the fixture's recorded one is a dead /tmp
-    * path from the reference's own run, as in i08), executes the i16 plan
-    * (2 one-row files merged into 1 manifest entry), and commits the new
-    * snapshot via MetadataWriter. Returns the committed metadata path. */
+    * path from the reference's own run, as in i08), executes a MANIFEST
+    * rewrite (rewrite_manifests: the fixture's entries re-listed in one
+    * new manifest, stats read from the source container — the fixture's
+    * data paths are dead, so data compaction on real files lives in i21/
+    * LakehouseExec), and commits the new snapshot via MetadataWriter.
+    * Returns the committed metadata path. */
   private def buildFixtureCompactionCommit(dir: String): String = {
     import graft.iceberg._
     val committedPath = s"$dir/v2.metadata.json"
@@ -280,18 +283,16 @@ object Lakehouse {
     val base = base0.copy(snapshots = base0.snapshots.map(s =>
       if (s.snapshotId == oldSnap.snapshotId) s.copy(manifestList = Some(listOld)) else s))
     val newId = oldSnap.snapshotId + 1
+    val src = ManifestWriter.read(IcebergQueries.FixtureManifest)
     val rewritten = s"$dir/compacted-m0.avro"
-    ManifestWriter.write(rewritten, Seq(ManifestWriter.EntryData(
-      status = 1, snapshotId = newId, filePath = s"$dir/compacted-00000.parquet",
-      recordCount = 2L, fileSizeInBytes = 1315L,
-      lowerBounds = Map(1 -> Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)),
-      upperBounds = Map(1 -> Array[Byte](2, 0, 0, 0, 0, 0, 0, 0)))))
+    ManifestWriter.write(rewritten, src.map(e => e.copy(status = 0, snapshotId = newId)))
     val listNew = s"$dir/snap-$newId-list.avro"
-    ManifestListWriter.write(listNew, Seq(rewritten), newId, addedDataFilesCount = 1)
+    ManifestListWriter.write(listNew, Seq(rewritten), newId, addedDataFilesCount = 0)
     val newSnap = Snapshot(newId, Some(oldSnap.snapshotId),
       oldSnap.timestampMs + 1000, Some("replace"),
-      Map("added-data-files" -> "1", "deleted-data-files" -> "2",
-        "total-data-files" -> "1", "total-records" -> "2"),
+      Map("manifests-created" -> "1", "manifests-replaced" -> "1",
+        "total-data-files" -> src.size.toString,
+        "total-records" -> src.map(_.recordCount).sum.toString),
       Some(listNew), oldSnap.schemaId)
     MetadataWriter.write(committedPath,
       MetadataWriter.commitSnapshot(base, newSnap, Some(IcebergQueries.FixtureMetadata)))

@@ -37,7 +37,7 @@ class ManifestListSpec extends SparkSpec {
       s"manifest_length $len != on-disk size")
     val fieldIds = ManifestListWriter.manifestFileSchema.getFields
     assert((0 until fieldIds.size).map(i => fieldIds.get(i).getProp(AvroConversions.FieldIdKey)) ==
-      Seq("500", "501", "502", "503", "504"))
+      Seq("500", "501", "502", "503", "504", "517"))
   }
 
   test("graft-avro DSv2 source reads arbitrary Avro containers with pruning") {

@@ -53,4 +53,75 @@ class MetadataWriterSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       MetadataWriter.rollbackTo(committed, snap.snapshotId, 0L))
   }
+
+  test("expireSnapshot removes the snapshot and its history, guards current/refs") {
+    val base = TableMetadata.parseFile(fixture)
+    val old = base.currentSnapshot.get
+    val snap = Snapshot(old.snapshotId + 1, Some(old.snapshotId),
+      old.timestampMs + 1000, Some("replace"), Map.empty, Some("/tmp/list.avro"), old.schemaId)
+    val committed = MetadataWriter.commitSnapshot(base, snap)
+    val expired = MetadataWriter.expireSnapshot(committed, old.snapshotId,
+      snap.timestampMs + 1000, Some("/tmp/v2.metadata.json"))
+    assert(expired.snapshot(old.snapshotId).isEmpty, "expired snapshot must be unresolvable")
+    assert(expired.snapshotLog.forall(_.snapshotId != old.snapshotId),
+      "history of the expired snapshot must be pruned")
+    assert(expired.currentSnapshotId === Some(snap.snapshotId))
+    assert(TableMetadata.parse(MetadataWriter.toJson(expired)) === expired)
+    // the CURRENT snapshot must refuse to expire
+    intercept[IllegalArgumentException](
+      MetadataWriter.expireSnapshot(committed, snap.snapshotId, 0L))
+    // a snapshot pinned by a tag must refuse to expire
+    val tagged = MetadataWriter.createTag(committed, "keep", old.snapshotId)
+    intercept[IllegalArgumentException](
+      MetadataWriter.expireSnapshot(tagged, old.snapshotId, 0L))
+  }
+
+  test("evolveSchema appends a version and advances current-schema-id") {
+    val base = TableMetadata.parseFile(fixture)
+    val next = IcebergSchema(base.currentSchema.schemaId + 1,
+      base.currentSchema.fields :+ IcebergField(99, "added", required = false, "int"))
+    val evolved = MetadataWriter.evolveSchema(base, next, base.lastUpdatedMs + 1000)
+    assert(evolved.currentSchemaId === Some(next.schemaId))
+    assert(evolved.currentSchema === next)
+    assert(evolved.schemas.map(_.schemaId).contains(base.currentSchema.schemaId),
+      "old schema versions must remain resolvable for old data files")
+    assert(TableMetadata.parse(MetadataWriter.toJson(evolved)) === evolved)
+    intercept[IllegalArgumentException](MetadataWriter.evolveSchema(evolved, next, 0L))
+  }
+
+  test("createTag pins a snapshot; duplicate names and unknown ids refuse") {
+    val base = TableMetadata.parseFile(fixture)
+    val old = base.currentSnapshot.get
+    val tagged = MetadataWriter.createTag(base, "v1.0", old.snapshotId)
+    assert(tagged.refs.exists(r => r.name == "v1.0" && r.refType == "tag" &&
+      r.snapshotId == old.snapshotId))
+    // refs serialize as a name-keyed JSON object: iteration order on
+    // re-parse is not semantic — compare as a set, rest exactly
+    val rt = TableMetadata.parse(MetadataWriter.toJson(tagged))
+    assert(rt.refs.toSet === tagged.refs.toSet)
+    assert(rt.copy(refs = Nil) === tagged.copy(refs = Nil))
+    intercept[IllegalArgumentException](MetadataWriter.createTag(tagged, "v1.0", old.snapshotId))
+    intercept[IllegalArgumentException](MetadataWriter.createTag(base, "x", 42L))
+  }
+
+  test("ManifestWriter.read inverts write and projects the reference fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mwread").toString
+    val entries = Seq(
+      ManifestWriter.EntryData(1, 7L, "a.parquet", 3L, 111L,
+        Map(1 -> Array[Byte](1, 0, 0, 0)), Map(1 -> Array[Byte](9, 0, 0, 0))),
+      ManifestWriter.EntryData(0, 6L, "b.parquet", 2L, 95L, Map.empty, Map.empty))
+    ManifestWriter.write(s"$dir/m.avro", entries)
+    val back = ManifestWriter.read(s"$dir/m.avro")
+    assert(back.map(e => (e.status, e.snapshotId, e.filePath, e.recordCount, e.fileSizeInBytes)) ===
+      entries.map(e => (e.status, e.snapshotId, e.filePath, e.recordCount, e.fileSizeInBytes)))
+    assert(back.head.lowerBounds(1).toSeq === Seq[Byte](1, 0, 0, 0))
+    assert(back.head.upperBounds(1).toSeq === Seq[Byte](9, 0, 0, 0))
+    // and the REFERENCE manifest (a much wider writer schema) projects
+    // onto the core subset by Avro schema resolution
+    val fixtureEntries = ManifestWriter.read(
+      "/root/reference/src/test/resources/1702989a-f66f-423a-aaf1-a01b9a699685-m0.avro")
+    assert(fixtureEntries.size === 2)
+    assert(fixtureEntries.forall(_.recordCount === 1L))
+    assert(fixtureEntries.forall(_.lowerBounds.contains(1)))
+  }
 }

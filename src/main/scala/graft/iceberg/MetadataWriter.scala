@@ -74,6 +74,57 @@ object MetadataWriter {
   /** Writes through the session's Hadoop FileSystem (like the manifest
     * writers) so hdfs:// / s3a:// metadata locations resolve with the
     * session's credentials — not just the local filesystem. */
+  /** Branch commit — the staging half of write-audit-publish: the
+    * snapshot is appended and ONLY the named branch ref moves; the main
+    * pointer, its log, and every other ref stay untouched, so readers of
+    * `main` never see unaudited data. */
+  def commitToBranch(base: TableMetadata, snap: Snapshot, branch: String,
+      previousFile: Option[String] = None): TableMetadata = {
+    require(branch != "main", "main commits go through commitSnapshot")
+    require(!base.snapshots.exists(_.snapshotId == snap.snapshotId),
+      s"snapshot id ${snap.snapshotId} already committed")
+    base.copy(
+      lastUpdatedMs = snap.timestampMs,
+      refs = base.refs.filterNot(_.name == branch) :+
+        SnapshotRef(branch, "branch", snap.snapshotId),
+      snapshots = base.snapshots :+ snap,
+      metadataLog = base.metadataLog ++
+        previousFile.map(f => MetadataLogEntry(base.lastUpdatedMs, f)))
+  }
+
+  /** Fast-forward publish — the publish half of write-audit-publish: move
+    * main (pointer + ref + snapshot-log) onto an already-committed
+    * snapshot that DESCENDS from the current main head. Refuses
+    * non-descendants: that would silently drop main history (that's a
+    * rollback, which has its own explicit operation). */
+  def fastForward(base: TableMetadata, snapshotId: Long, timestampMs: Long,
+      previousFile: Option[String] = None): TableMetadata = {
+    require(base.snapshots.exists(_.snapshotId == snapshotId),
+      s"cannot fast-forward to unknown snapshot $snapshotId")
+    require(!base.currentSnapshotId.contains(snapshotId),
+      s"snapshot $snapshotId is already main's head")
+    def descendsFromMain(id: Long): Boolean = base.currentSnapshotId match {
+      case None => true // empty main fast-forwards to anything
+      case Some(head) =>
+        Iterator.iterate(Option(id))(_.flatMap(base.snapshot).flatMap(_.parentSnapshotId))
+          .takeWhile(_.isDefined).flatten.contains(head)
+    }
+    require(descendsFromMain(snapshotId),
+      s"fast-forward target $snapshotId does not descend from main's head")
+    base.copy(
+      lastUpdatedMs = timestampMs,
+      currentSnapshotId = Some(snapshotId),
+      refs = {
+        val main = SnapshotRef("main", "branch", snapshotId)
+        if (base.refs.exists(_.name == "main"))
+          base.refs.map(r => if (r.name == "main") main else r)
+        else base.refs :+ main
+      },
+      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(timestampMs, snapshotId),
+      metadataLog = base.metadataLog ++
+        previousFile.map(f => MetadataLogEntry(base.lastUpdatedMs, f)))
+  }
+
   /** Expiry: REMOVE a non-current snapshot from the document (its
     * snapshot-log entries go with it — Iceberg prunes history of expired
     * snapshots). Physical file deletion is the caller's job: reachability

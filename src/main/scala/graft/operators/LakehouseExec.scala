@@ -38,6 +38,11 @@ import graft.iceberg.IcebergTypes.{TInt, TString}
   *   data files read through the evolved schema with null-fill.
   * - i25: ref-based time travel — a tag pins the pre-compaction snapshot;
   *   `AS OF <tag>` resolves through the committed refs map.
+  * - i26: MERGE INTO, copy-on-write — only files containing matched keys
+  *   are rewritten; untouched files carry forward as EXISTING entries.
+  * - i27: write-audit-publish — staged rows commit to a branch (main
+  *   pointer untouched), the audit reads the branch from storage, publish
+  *   fast-forwards main onto the audited snapshot.
   *
   * Scale notes: manifest/list handling is metadata-scale by construction
   * (KB per document — the same driver-side boundary Iceberg's planner
@@ -470,17 +475,180 @@ object LakehouseExec {
       |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i26
+  /** MERGE INTO, copy-on-write: a source of updates (keys 1-3, name gets
+    * a '*' suffix) and inserts (two new nations) merges into the table.
+    * Only the files that CONTAIN matched keys are rewritten (located via
+    * `_metadata.file_path`, exactly Iceberg's COW file granularity) —
+    * here keys 1-3 live in one of the three range files, so the other
+    * two ride into the new snapshot as untouched EXISTING entries read
+    * from the old manifest; inserts land in their own new file. The
+    * read-back scans the committed overwrite snapshot only. */
+  val mergeDml: Q = (spark, sfDir) => {
+    val dir = entryDir("i26", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val v1 = buildBase(spark, sfDir, dir)
+      val base = TableMetadata.parseFile(v1)
+      val snap1 = base.currentSnapshot.get
+      val paths = filePaths(spark, snap1)
+      import spark.implicits._
+      val updates = Tables.load(spark, sfDir, "nation")
+        .filter(col("n_nationkey").isin(1, 2, 3))
+        .select(col("n_nationkey"),
+          concat(col("n_name"), lit("*")).as("u_name"))
+      val inserts = Seq((25, "ATLANTIS", 4), (26, "VALYRIA", 0))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+      // COW: which files hold matched keys? (file list is metadata-scale)
+      val withFile = spark.read.parquet(paths: _*)
+        .select(col("*"), col("_metadata.file_path").as("_file"))
+      val affected = withFile.join(updates, Seq("n_nationkey"), "left_semi")
+        .select(col("_file")).distinct().collect().map(_.getString(0)).toSet
+      // `_metadata.file_path` is a URI (file:///...), manifest entries hold
+      // plain paths — compare on the normalized path component
+      def uriPath(p: String): String = new Path(p).toUri.getPath
+      val affectedPaths = affected.map(uriPath)
+      // rewrite each affected file in place of its old entry: unmatched
+      // rows pass through, matched rows take the update
+      val rewrittenEntries = affected.toSeq.sorted.zipWithIndex.map { case (f, i) =>
+        val out = s"$dir/data/merged-%05d.parquet".format(i)
+        writeOneParquet(
+          withFile.filter(col("_file") === f)
+            .join(updates, Seq("n_nationkey"), "left_outer")
+            .select(col("n_nationkey"),
+              coalesce(col("u_name"), col("n_name")).as("n_name"),
+              col("n_regionkey"))
+            .orderBy(col("n_nationkey")), out)
+        deriveEntry(spark, out, snapshotId = 2L)
+      }
+      val insertFile = s"$dir/data/merge-insert-00000.parquet"
+      writeOneParquet(inserts.orderBy(col("n_nationkey")), insertFile)
+      // untouched files carry forward as EXISTING entries, stats straight
+      // from the previous manifest (never recomputed, never fabricated)
+      val oldEntries = ManifestWriter.read(s"$dir/m-0.avro")
+      val untouched = oldEntries
+        .filterNot(e => affectedPaths.contains(uriPath(e.filePath)))
+        .map(e => e.copy(status = 0, snapshotId = 2L))
+      require(oldEntries.size - untouched.size == affectedPaths.size,
+        "every COW-affected file must match exactly one manifest entry — " +
+          "a path-format mismatch here would silently duplicate rows")
+      val manifest = s"$dir/m-merge.avro"
+      ManifestWriter.write(manifest,
+        untouched ++ rewrittenEntries :+ deriveEntry(spark, insertFile, 2L))
+      val list2 = s"$dir/snap-2-list.avro"
+      ManifestListWriter.write(list2, Seq(manifest), 2L,
+        addedDataFilesCount = rewrittenEntries.size + 1)
+      val snap2 = Snapshot(2L, Some(1L), snap1.timestampMs + 1000, Some("overwrite"),
+        Map("added-data-files" -> (rewrittenEntries.size + 1).toString,
+          "deleted-data-files" -> affected.size.toString),
+        Some(list2), Some(0))
+      MetadataWriter.write(s"$dir/v2.metadata.json",
+        MetadataWriter.commitSnapshot(base, snap2, Some(v1)))
+    }
+    val committed = TableMetadata.parseFile(s"$dir/v2.metadata.json")
+    val cur = committed.currentSnapshot.get
+    val paths = filePaths(spark, cur)
+    spark.read.parquet(paths: _*)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        count(when(col("n_name").endsWith("*"), 1)).as("n_updated"))
+      .select(col("n_regionkey"), lit(paths.size).cast("long").as("n_files"),
+        col("n_rows"), col("sum_key"), col("n_updated"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  /** Oracle replays the merge in SQL: updates to keys 1-3, two inserts;
+    * n_files pins the COW granularity (3 original − 1 rewritten-in-place
+    * + 1 insert file = 4). */
+  val mergeDmlSql: String =
+    """WITH merged AS (
+      |  SELECT n_nationkey,
+      |    CASE WHEN n_nationkey IN (1,2,3) THEN n_name || '*' ELSE n_name END AS n_name,
+      |    n_regionkey
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT * FROM (VALUES (25, 'ATLANTIS', 4), (26, 'VALYRIA', 0))
+      |    v(n_nationkey, n_name, n_regionkey))
+      |SELECT n_regionkey, CAST(4 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  COUNT(CASE WHEN n_name LIKE '%*' THEN 1 END) AS n_updated
+      |FROM merged GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // ---------------------------------------------------------------- i27
+  /** Write-audit-publish over a branch: staged rows commit to branch
+    * `audit` (main pointer untouched — readers of main cannot see them),
+    * the audit step validates the branch scan FROM STORAGE, and the
+    * publish step fast-forwards main onto the audited snapshot. The
+    * read-back proves the final state: main and audit resolve to the same
+    * head and the main scan now contains the staged rows. */
+  val wapPublish: Q = (spark, sfDir) => {
+    val dir = entryDir("i27", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val v1 = buildBase(spark, sfDir, dir)
+      val base = TableMetadata.parseFile(v1)
+      val snap1 = base.currentSnapshot.get
+      import spark.implicits._
+      // stage: append two rows on branch `audit`
+      val staged = s"$dir/data/staged-00000.parquet"
+      writeOneParquet(Seq((25, "ATLANTIS", 4), (26, "VALYRIA", 0))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .orderBy(col("n_nationkey")), staged)
+      val mStage = s"$dir/m-stage.avro"
+      ManifestWriter.write(mStage, Seq(deriveEntry(spark, staged, 2L)))
+      val list2 = s"$dir/snap-2-list.avro"
+      ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", mStage), 2L,
+        addedDataFilesCount = 1)
+      val snap2 = Snapshot(2L, Some(1L), snap1.timestampMs + 1000, Some("append"),
+        Map("added-data-files" -> "1"), Some(list2), Some(0))
+      val v2 = s"$dir/v2.metadata.json"
+      MetadataWriter.write(v2, MetadataWriter.commitToBranch(base, snap2, "audit", Some(v1)))
+      // audit: main must NOT see staged rows yet; the branch must. Both
+      // checks read the staged document from storage.
+      val stagedMeta = TableMetadata.parseFile(v2)
+      require(stagedMeta.currentSnapshotId.contains(1L),
+        "WAP staging must leave the main pointer untouched")
+      val auditRef = stagedMeta.refs.find(_.name == "audit").get
+      val auditRows = spark.read
+        .parquet(filePaths(spark, stagedMeta.snapshot(auditRef.snapshotId).get): _*)
+      require(auditRows.filter(col("n_nationkey").isNull).isEmpty,
+        "audit failed: staged data has null keys")
+      // publish: fast-forward main onto the audited snapshot
+      MetadataWriter.write(s"$dir/v3.metadata.json", MetadataWriter.fastForward(
+        stagedMeta, auditRef.snapshotId, snap2.timestampMs + 1000, Some(v2)))
+    }
+    val meta = TableMetadata.parseFile(s"$dir/v3.metadata.json")
+    val mainAt = meta.currentSnapshot.get
+    val auditAt = meta.refs.find(_.name == "audit").get.snapshotId
+    val paths = filePaths(spark, mainAt)
+    spark.read.parquet(paths: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(lit(mainAt.snapshotId).as("main_at"), lit(auditAt).as("audit_at"),
+        lit(paths.size).cast("long").as("n_files"),
+        col("n_rows"), col("sum_key"))
+  }
+
+  val wapPublishSql: String =
+    """SELECT CAST(2 AS BIGINT) AS main_at, CAST(2 AS BIGINT) AS audit_at,
+      |  CAST(4 AS BIGINT) AS n_files, COUNT(*) + 2 AS n_rows,
+      |  CAST(SUM(n_nationkey) + 51 AS BIGINT) AS sum_key
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "i21_compaction_exec" -> compactionExec,
     "i22_delete_dml" -> deleteDml,
     "i23_expire_exec" -> expireExec,
     "i24_schema_evolution" -> schemaEvolution,
-    "i25_tag_travel" -> tagTravel)
+    "i25_tag_travel" -> tagTravel,
+    "i26_merge_dml" -> mergeDml,
+    "i27_wap_publish" -> wapPublish)
 
   val oracles: Map[String, String] = Map(
     "i21_compaction_exec" -> compactionExecSql,
     "i22_delete_dml" -> deleteDmlSql,
     "i23_expire_exec" -> expireExecSql,
     "i24_schema_evolution" -> schemaEvolutionSql,
-    "i25_tag_travel" -> tagTravelSql)
+    "i25_tag_travel" -> tagTravelSql,
+    "i26_merge_dml" -> mergeDmlSql,
+    "i27_wap_publish" -> wapPublishSql)
 }

@@ -89,6 +89,35 @@ class MetadataWriterSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MetadataWriter.evolveSchema(evolved, next, 0L))
   }
 
+  test("commitToBranch stages without moving main; fastForward publishes descendants only") {
+    val base = TableMetadata.parseFile(fixture)
+    val old = base.currentSnapshot.get
+    val snap = Snapshot(old.snapshotId + 1, Some(old.snapshotId),
+      old.timestampMs + 1000, Some("append"), Map.empty, Some("/tmp/list.avro"), old.schemaId)
+    val staged = MetadataWriter.commitToBranch(base, snap, "audit")
+    assert(staged.currentSnapshotId === base.currentSnapshotId,
+      "branch commit must not move the main pointer")
+    assert(staged.refs.find(_.name == "audit").map(_.snapshotId) === Some(snap.snapshotId))
+    assert(staged.snapshotLog === base.snapshotLog,
+      "main's history must not record a branch commit")
+    assert(staged.snapshot(snap.snapshotId).isDefined)
+    // publish: main fast-forwards onto the audited descendant
+    val published = MetadataWriter.fastForward(staged, snap.snapshotId, snap.timestampMs + 1000)
+    assert(published.currentSnapshotId === Some(snap.snapshotId))
+    assert(published.refs.find(_.name == "main").map(_.snapshotId) === Some(snap.snapshotId))
+    assert(published.snapshotLog.last.snapshotId === snap.snapshotId)
+    // a snapshot NOT descending from main's head must refuse (that would
+    // silently drop history — rollback is its own explicit operation)
+    val orphan = Snapshot(old.snapshotId + 2, None, old.timestampMs + 3000,
+      Some("append"), Map.empty, Some("/tmp/l2.avro"), old.schemaId)
+    val withOrphan = MetadataWriter.commitToBranch(staged, orphan, "other")
+    intercept[IllegalArgumentException](
+      MetadataWriter.fastForward(withOrphan, orphan.snapshotId, 0L))
+    // and main commits must not go through the branch path
+    intercept[IllegalArgumentException](
+      MetadataWriter.commitToBranch(base, snap, "main"))
+  }
+
   test("createTag pins a snapshot; duplicate names and unknown ids refuse") {
     val base = TableMetadata.parseFile(fixture)
     val old = base.currentSnapshot.get

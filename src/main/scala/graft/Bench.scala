@@ -15,7 +15,10 @@ object Bench {
   /** One compact JSON line; failed entries carry null and are excluded
     * from the total (BenchSpec pins this). */
   def renderLine(results: Seq[(String, Option[Double])], sfDir: String): String = {
-    def f(v: Double): String = "%.3f".format(v)
+    // 2 decimals: 10 ms resolution is far below run-to-run noise, and the
+    // saved char per entry keeps the line under the driver's 2000-char
+    // stdout tail as the entry count grows
+    def f(v: Double): String = "%.2f".format(v)
     // sfDir is environment-supplied: escape it, or a quote/backslash in the
     // path yields exactly the unparseable line this format exists to avoid
     val sf = sfDir.flatMap {

@@ -22,6 +22,10 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
   */
 object ManifestWriter {
 
+  /** `content` is the spec's data_file routing field (id 134): 0 = data,
+    * 1 = position deletes, 2 = equality deletes — how a v2 MOR reader
+    * tells delete-file kinds apart. Defaults to 0, and manifests written
+    * before the field existed read back as 0 via Avro field defaults. */
   final case class EntryData(
       status: Int,
       snapshotId: Long,
@@ -29,7 +33,8 @@ object ManifestWriter {
       recordCount: Long,
       fileSizeInBytes: Long,
       lowerBounds: Map[Int, Array[Byte]],
-      upperBounds: Map[Int, Array[Byte]])
+      upperBounds: Map[Int, Array[Byte]],
+      content: Int = 0)
 
   private def boundsSchema(name: String, keyId: Int, valueId: Int): Schema = {
     val kv = SchemaBuilder.record(s"k${keyId}_v$valueId").fields()
@@ -49,6 +54,8 @@ object ManifestWriter {
     .`type`().unionOf().nullType().and().longType().endUnion().nullDefault()
     .name("data_file").prop(AvroConversions.FieldIdKey, "2").`type`(
       SchemaBuilder.record("r2").fields()
+        .name("content").prop(AvroConversions.FieldIdKey, "134")
+        .`type`().intType().intDefault(0)
         .name("file_path").prop(AvroConversions.FieldIdKey, "100").`type`().stringType().noDefault()
         .name("record_count").prop(AvroConversions.FieldIdKey, "103").`type`().longType().noDefault()
         .name("file_size_in_bytes").prop(AvroConversions.FieldIdKey, "104").`type`().longType().noDefault()
@@ -94,7 +101,8 @@ object ManifestWriter {
           df.get("file_path").toString,
           df.get("record_count").asInstanceOf[Long],
           df.get("file_size_in_bytes").asInstanceOf[Long],
-          bounds("lower_bounds"), bounds("upper_bounds"))
+          bounds("lower_bounds"), bounds("upper_bounds"),
+          df.get("content").asInstanceOf[Int])
       }
       buf.result()
     } finally { stream.close(); in.close() }
@@ -128,6 +136,7 @@ object ManifestWriter {
       .create(new org.apache.hadoop.fs.Path(path), true))
     try entries.foreach { e =>
       val df = new GenericData.Record(dfSchema)
+      df.put("content", e.content)
       df.put("file_path", e.filePath)
       df.put("record_count", e.recordCount)
       df.put("file_size_in_bytes", e.fileSizeInBytes)

@@ -164,6 +164,7 @@ object LakehouseExec {
     require(manifestPaths.nonEmpty, s"no content=$content manifests in $list")
     ManifestReader.entries(spark, manifestPaths)
       .select(col("data_file.file_path").as("file_path"),
+        col("data_file.content").as("content"),
         col("data_file.record_count").as("record_count"),
         col("data_file.file_size_in_bytes").as("file_size_in_bytes"),
         col("data_file.lower_bounds").as("lower_bounds"),
@@ -634,6 +635,85 @@ object LakehouseExec {
       |  CAST(SUM(n_nationkey) + 51 AS BIGINT) AS sum_key
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i28
+  /** Full v2 MOR DML: ONE delete snapshot carrying BOTH delete-file
+    * kinds, routed by the spec's data_file.content field (134) — a
+    * position-delete file (rows of n_regionkey=2, addressed by
+    * (file_path, row_index)) and an equality-delete file (schema = the
+    * equality column n_name, carrying the names of nations 0 and 14).
+    * The merge-on-read scan reassembles everything from the committed
+    * document: data manifests (list content=0), delete manifests (list
+    * content=1), then entry-level routing 1=position / 2=equality, then
+    * both delete kinds layered — the complete v2 read contract, with the
+    * complete v2 WRITE path producing its inputs. */
+  val morDml: Q = (spark, sfDir) => {
+    val dir = entryDir("i28", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val v1 = buildBase(spark, sfDir, dir)
+      val base = TableMetadata.parseFile(v1)
+      val snap1 = base.currentSnapshot.get
+      val paths = filePaths(spark, snap1)
+      val withMeta = spark.read.parquet(paths: _*)
+        .select(col("*"),
+          col("_metadata.file_path").as("_file"),
+          col("_metadata.row_index").as("_pos"))
+      // position deletes: DELETE WHERE n_regionkey = 2
+      val posFile = s"$dir/data/pos-delete-00000.parquet"
+      writeOneParquet(withMeta.filter(col("n_regionkey") === 2)
+        .select(col("_file").as("file_path"), col("_pos").as("pos"))
+        .orderBy(col("file_path"), col("pos")), posFile)
+      // equality deletes: DELETE WHERE n_name IN (names of nations 0, 14)
+      // — the file's schema IS the equality column list
+      val eqFile = s"$dir/data/eq-delete-00000.parquet"
+      writeOneParquet(withMeta.filter(col("n_nationkey").isin(0, 14))
+        .select(col("n_name")).orderBy(col("n_name")), eqFile)
+      val delManifest = s"$dir/m-del.avro"
+      ManifestWriter.write(delManifest, Seq(
+        ManifestWriter.EntryData(1, 2L, posFile,
+          spark.read.parquet(posFile).count(), fileLen(posFile),
+          Map.empty, Map.empty, content = 1),
+        ManifestWriter.EntryData(1, 2L, eqFile,
+          spark.read.parquet(eqFile).count(), fileLen(eqFile),
+          Map.empty, Map.empty, content = 2)))
+      val list2 = s"$dir/snap-2-list.avro"
+      ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", delManifest), 2L,
+        addedDataFilesCount = 0, contents = Map(delManifest -> 1))
+      val snap2 = Snapshot(2L, Some(1L), snap1.timestampMs + 1000, Some("delete"),
+        Map("added-delete-files" -> "2", "total-delete-files" -> "2"),
+        Some(list2), Some(0))
+      MetadataWriter.write(s"$dir/v2.metadata.json",
+        MetadataWriter.commitSnapshot(base, snap2, Some(v1)))
+    }
+    val committed = TableMetadata.parseFile(s"$dir/v2.metadata.json")
+    val cur = committed.currentSnapshot.get
+    // entry-level routing: position vs equality delete files
+    val delEntries = fileEntries(spark, cur, content = 1)
+      .select(col("file_path"), col("content")).collect()
+    def delPaths(kind: Int): Seq[String] =
+      delEntries.filter(_.getInt(1) == kind).map(_.getString(0)).toIndexedSeq
+    val data = spark.read.parquet(filePaths(spark, cur, content = 0): _*)
+      .select(col("*"),
+        col("_metadata.file_path").as("_file"),
+        col("_metadata.row_index").as("_pos"))
+    val posApplied = Lakehouse.applyPositionDeletes(data,
+      spark.read.parquet(delPaths(1): _*).select(col("file_path"), col("pos")))
+    Lakehouse.applyEqualityDeletes(posApplied,
+      spark.read.parquet(delPaths(2): _*))
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val morDmlSql: String =
+    """SELECT n_regionkey, COUNT(*) AS n_live,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation o
+      |WHERE n_regionkey <> 2
+      |  AND NOT EXISTS (SELECT 1 FROM nation d
+      |                  WHERE d.n_nationkey IN (0, 14) AND d.n_name = o.n_name)
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "i21_compaction_exec" -> compactionExec,
     "i22_delete_dml" -> deleteDml,
@@ -641,7 +721,8 @@ object LakehouseExec {
     "i24_schema_evolution" -> schemaEvolution,
     "i25_tag_travel" -> tagTravel,
     "i26_merge_dml" -> mergeDml,
-    "i27_wap_publish" -> wapPublish)
+    "i27_wap_publish" -> wapPublish,
+    "i28_mor_dml" -> morDml)
 
   val oracles: Map[String, String] = Map(
     "i21_compaction_exec" -> compactionExecSql,
@@ -650,5 +731,6 @@ object LakehouseExec {
     "i24_schema_evolution" -> schemaEvolutionSql,
     "i25_tag_travel" -> tagTravelSql,
     "i26_merge_dml" -> mergeDmlSql,
-    "i27_wap_publish" -> wapPublishSql)
+    "i27_wap_publish" -> wapPublishSql,
+    "i28_mor_dml" -> morDmlSql)
 }

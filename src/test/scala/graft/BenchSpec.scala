@@ -13,9 +13,9 @@ class BenchSpec extends AnyFunSuite {
         "d03_minhash_dedup" -> Some(0.5)),
       "/root/testdata/sf0.1")
     assert(line.contains("\"st09\":null"))
-    assert(line.contains("\"q01\":1.250"))
-    assert(line.contains("\"d03\":0.500"))
-    assert(line.contains("\"value\":1.750")) // 1.25 + 0.5, null excluded
+    assert(line.contains("\"q01\":1.25"))
+    assert(line.contains("\"d03\":0.50"))
+    assert(line.contains("\"value\":1.75")) // 1.25 + 0.5, null excluded
     // the line must stay parseable JSON (driver front-truncates long lines)
     assert(line.startsWith("{") && line.endsWith("}"))
   }

@@ -1,0 +1,27 @@
+package graft.iceberg
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Single-parquet-file sink: a data/delete FILE is the unit Iceberg
+  * manifests track, so maintenance/DML/ingest writes land as exactly one
+  * file with a stable name (Spark's directory output renamed into place,
+  * through the session's Hadoop FileSystem). */
+object ParquetFiles {
+
+  def writeOne(df: DataFrame, outFile: String): Unit = {
+    val tmp = outFile + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = HadoopConfs.fileSystemFor(outFile)
+    val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    fs.delete(new Path(outFile), false) // replays overwrite, never duplicate
+    if (!fs.rename(part, new Path(outFile)))
+      throw new IllegalStateException(s"rename $part -> $outFile failed")
+    fs.delete(new Path(tmp), true)
+  }
+
+  def length(p: String): Long =
+    HadoopConfs.fileSystemFor(p).getFileStatus(new Path(p)).getLen
+}

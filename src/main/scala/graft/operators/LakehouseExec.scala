@@ -73,23 +73,10 @@ object LakehouseExec {
       s"graft-$tag-${ProcessHandle.current().pid()}",
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
 
-  private def fileLen(p: String): Long =
-    HadoopConfs.fileSystemFor(p).getFileStatus(new Path(p)).getLen
+  private def fileLen(p: String): Long = ParquetFiles.length(p)
 
-  /** Single-parquet-file sink: a data/delete FILE is the unit Iceberg
-    * manifests track, so each write lands as exactly one file with a
-    * stable name (Spark's directory output is renamed to it). */
-  private def writeOneParquet(df: DataFrame, outFile: String): Unit = {
-    val tmp = outFile + ".tmpdir"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = HadoopConfs.fileSystemFor(outFile)
-    val part = fs.listStatus(new Path(tmp)).map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-    if (!fs.rename(part, new Path(outFile)))
-      throw new IllegalStateException(s"rename $part -> $outFile failed")
-    fs.delete(new Path(tmp), true)
-  }
+  private def writeOneParquet(df: DataFrame, outFile: String): Unit =
+    ParquetFiles.writeOne(df, outFile)
 
   /** Manifest entry with every stat DERIVED from the written file: row
     * count and per-column bounds from a scan of the parquet itself,

@@ -454,7 +454,122 @@ object EventStreams {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** One micro-batch of table ingest (the foreachBatch body of st11,
+    * separated so the replay contract is spec-testable): land the batch
+    * as one parquet file, derive manifest stats from it, extend the
+    * manifest-list with the previous snapshot's manifests READ FROM
+    * STORAGE, and commit snapshot id+1 onto metadata version `version`.
+    * A replayed batch id finds its snapshot committed and only re-lands
+    * the (same-named, overwritten) file — exactly-once. Returns the new
+    * metadata version. */
+  private[streaming] def ingestBatch(spark: SparkSession, out: String,
+      df: DataFrame, id: Long, version: Int): Int = {
+    import spark.implicits._
+    import graft.iceberg._
+    val T0 = 1700000000000L
+    val prevPath = s"$out/v$version.metadata.json"
+    val cur = TableMetadata.parseFile(prevPath)
+    val snapId = id + 1
+    val f = s"$out/data/batch-%05d.parquet".format(id)
+    ParquetFiles.writeOne(df.orderBy($"event_id"), f)
+    if (cur.snapshots.exists(_.snapshotId == snapId)) return version // replayed
+    val stats = spark.read.parquet(f)
+      .agg(count(lit(1)), min($"event_id"), max($"event_id")).head()
+    val manifest = s"$out/m-%05d.avro".format(id)
+    ManifestWriter.write(manifest, Seq(ManifestWriter.EntryData(
+      1, snapId, f, stats.getLong(0), ParquetFiles.length(f),
+      Map(1 -> SingleValueCodec.encode(IcebergTypes.TLong, stats.getLong(1))),
+      Map(1 -> SingleValueCodec.encode(IcebergTypes.TLong, stats.getLong(2))))))
+    val prevManifests = cur.currentSnapshot.toSeq.flatMap(s =>
+      MetadataTables.manifests(spark, s.manifestList.get)
+        .select(col("manifest_path")).collect().map(_.getString(0)))
+    val list = s"$out/snap-$snapId-list.avro"
+    ManifestListWriter.write(list, prevManifests :+ manifest, snapId,
+      addedDataFilesCount = 1)
+    val snap = Snapshot(snapId, cur.currentSnapshotId,
+      T0 + 1000 * snapId, Some("append"),
+      Map("added-data-files" -> "1"), Some(list), Some(0))
+    MetadataWriter.write(s"$out/v${version + 1}.metadata.json",
+      MetadataWriter.commitSnapshot(cur, snap, Some(prevPath)))
+    version + 1
+  }
+
+  // ---------------------------------------------------------------- st11
+  /** Streaming ingest INTO the lakehouse table: each micro-batch lands as
+    * one parquet data file and commits one append snapshot through the
+    * same MetadataWriter path as the batch maintenance ops (i21-i28) —
+    * stats derived from the written file, manifest-list extended with the
+    * previous snapshot's manifests read back from storage, parent chain
+    * linked. Exactly-once: a replayed batch id finds its snapshot already
+    * committed and only re-lands the (idempotent, same-named) file. The
+    * read-back proves the whole chain from the FINAL committed document:
+    * the table scan equals the stream input, the snapshot parent chain is
+    * linear, and the manifests' record counts reconcile with the scan —
+    * regardless of how many micro-batches the source chose. */
+  val streamTableIngest: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.iceberg._
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-st11-${ProcessHandle.current().pid()}",
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val T0 = 1700000000000L
+    graft.TmpOutputs.ensure(out) {
+      val schema = IcebergSchema(0, Seq(
+        IcebergField(1, "event_id", required = false, "long"),
+        IcebergField(2, "event_type", required = false, "string"),
+        IcebergField(3, "value", required = false, "double")))
+      MetadataWriter.write(s"$out/v1.metadata.json", TableMetadata(
+        2, "b6b9a6a1-0000-4000-8000-0000000000s1", out, T0, None, Some(0),
+        Seq(schema), Seq(PartitionSpec(0, Nil)), 0, Seq(SortOrder(0, Nil)), 0,
+        Map.empty, None, Nil, Nil, Nil, Nil))
+      var version = 1 // foreachBatch runs sequentially on the driver
+      val q = eventsStream(spark, dir)
+        .select($"event_id", $"event_type", $"value")
+        .writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          version = ingestBatch(spark, out, df, id, version); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // read-back: newest committed document only
+    import graft.iceberg._
+    val fs = HadoopConfs.fileSystemFor(out)
+    val latest = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+      .maxBy(n => n.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+    val meta = TableMetadata.parseFile(s"$out/$latest")
+    val cur = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("ingest committed no snapshot"))
+    val manifestPaths = MetadataTables.manifests(spark, cur.manifestList.get)
+      .select(col("manifest_path")).collect().map(_.getString(0)).toSeq
+    val entries = ManifestReader.entries(spark, manifestPaths)
+      .select(col("data_file.file_path").as("file_path"),
+        col("data_file.record_count").as("record_count")).collect()
+    val chainOk = meta.snapshots.sortBy(_.snapshotId).sliding(2).forall {
+      case Seq(a, b) => b.parentSnapshotId.contains(a.snapshotId)
+      case _ => true
+    }
+    val scan = spark.read.parquet(entries.map(_.getString(0)).toIndexedSeq: _*)
+    val statsOk = scan.count() == entries.map(_.getLong(1)).sum
+    scan.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
+      .select($"event_type", $"n_events", $"total_value",
+        lit(chainOk).as("chain_ok"), lit(statsOk).as("stats_ok"))
+      .orderBy($"event_type")
+  }
+
+  val streamTableIngestSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  TRUE AS chain_ok, TRUE AS stats_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st11_table_ingest" -> streamTableIngest,
     "st10_complete_rollup" -> streamCompleteRollup,
     "st09_foreach_batch_sink" -> streamForeachBatchSink,
     "st08_stream_static_join" -> streamStaticJoin,
@@ -467,6 +582,7 @@ object EventStreams {
     "st05_stream_dedup" -> streamDedup)
 
   val oracles: Map[String, String] = Map(
+    "st11_table_ingest" -> streamTableIngestSql,
     "st10_complete_rollup" -> streamCompleteRollupSql,
     "st09_foreach_batch_sink" -> streamForeachBatchSinkSql,
     "st08_stream_static_join" -> streamStaticJoinSql,

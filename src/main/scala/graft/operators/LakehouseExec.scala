@@ -701,6 +701,63 @@ object LakehouseExec {
       |                  WHERE d.n_nationkey IN (0, 14) AND d.n_name = o.n_name)
       |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // ---------------------------------------------------------------- i29
+  /** Partition-pruned scan EXECUTED: the table is written identity-
+    * partitioned by n_regionkey (one file per region, the partition spec
+    * recorded in the committed metadata), and the scan for one region
+    * plans through the DSv2 manifest source's typed bound columns —
+    * `lower_n_regionkey <= 3 <= upper_n_regionkey` decided from manifest
+    * stats DERIVED from the written files, so 4 of 5 files are skipped
+    * without ever being opened. This is Iceberg's metadata file-skipping
+    * read path end-to-end on a real written table (i03 proves the same
+    * pruning on the reference fixture); for identity partitioning the
+    * bounds ARE the partition tuple, which is why Iceberg can treat
+    * partitioning as just another stats dimension. The data read is the
+    * distributed parquet scan of the surviving file list. */
+  val partitionPrunedExec: Q = (spark, sfDir) => {
+    val dir = entryDir("i29", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      val files = (0 until 5).map { r =>
+        val f = s"$dir/data/region-$r.parquet"
+        writeOneParquet(nation.filter(col("n_regionkey") === r)
+          .orderBy(col("n_nationkey")), f)
+        f
+      }
+      val entries = files.map(f => deriveEntry(spark, f, snapshotId = 1L))
+      ManifestWriter.write(s"$dir/m-0.avro", entries)
+      val list1 = s"$dir/snap-1-list.avro"
+      ManifestListWriter.write(list1, Seq(s"$dir/m-0.avro"), 1L,
+        addedDataFilesCount = files.size)
+      val snap1 = Snapshot(1L, None, T0 + 1000, Some("append"),
+        Map("added-data-files" -> files.size.toString), Some(list1), Some(0))
+      // the hidden-partitioning contract lives in the committed spec
+      val withSpec = baseMetadata(dir).copy(partitionSpecs = Seq(PartitionSpec(0,
+        Seq(PartitionField("n_regionkey", "identity", 3, 1000)))))
+      MetadataWriter.write(s"$dir/v1.metadata.json",
+        MetadataWriter.commitSnapshot(withSpec, snap1, None))
+    }
+    // scan planning: typed bound columns + filter pushdown over the
+    // manifest (KB-scale); only the surviving file list reaches the
+    // distributed parquet read
+    val survivors = spark.read.format("graft-manifest")
+      .option("metadata", s"$dir/v1.metadata.json")
+      .load(s"$dir/m-0.avro")
+      .filter(col("lower_n_regionkey") <= 3 && col("upper_n_regionkey") >= 3)
+      .select(col("data_file.file_path"))
+      .collect().map(_.getString(0)).toIndexedSeq
+    spark.read.parquet(survivors: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(lit(survivors.size).as("n_files_scanned"), lit(5).as("n_files_total"),
+        col("n_rows"), col("sum_key"))
+  }
+
+  val partitionPrunedExecSql: String =
+    """SELECT CAST(1 AS INTEGER) AS n_files_scanned, CAST(5 AS INTEGER) AS n_files_total,
+      |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_regionkey = 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "i21_compaction_exec" -> compactionExec,
     "i22_delete_dml" -> deleteDml,
@@ -709,7 +766,8 @@ object LakehouseExec {
     "i25_tag_travel" -> tagTravel,
     "i26_merge_dml" -> mergeDml,
     "i27_wap_publish" -> wapPublish,
-    "i28_mor_dml" -> morDml)
+    "i28_mor_dml" -> morDml,
+    "i29_partition_pruned_exec" -> partitionPrunedExec)
 
   val oracles: Map[String, String] = Map(
     "i21_compaction_exec" -> compactionExecSql,
@@ -719,5 +777,6 @@ object LakehouseExec {
     "i25_tag_travel" -> tagTravelSql,
     "i26_merge_dml" -> mergeDmlSql,
     "i27_wap_publish" -> wapPublishSql,
-    "i28_mor_dml" -> morDmlSql)
+    "i28_mor_dml" -> morDmlSql,
+    "i29_partition_pruned_exec" -> partitionPrunedExecSql)
 }

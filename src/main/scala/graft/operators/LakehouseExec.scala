@@ -110,12 +110,12 @@ object LakehouseExec {
     properties = Map.empty, currentSnapshotId = None, refs = Nil,
     snapshots = Nil, snapshotLog = Nil, metadataLog = Nil)
 
-  /** Builds the base table: nation split into 3 key-range parquet files,
+  /** Builds the base table: nation split into key-range parquet files,
     * one manifest with derived stats, a manifest-list, and a committed
     * v1 metadata document. Returns the metadata path. */
-  private def buildBase(spark: SparkSession, sfDir: String, dir: String): String = {
+  private def buildBase(spark: SparkSession, sfDir: String, dir: String,
+      ranges: Seq[(Int, Int)] = Seq((0, 10), (10, 20), (20, 25))): String = {
     val nation = Tables.load(spark, sfDir, "nation")
-    val ranges = Seq((0, 10), (10, 20), (20, 25))
     val files = ranges.zipWithIndex.map { case ((lo, hi), i) =>
       val f = s"$dir/data/nation-0000$i.parquet"
       writeOneParquet(
@@ -758,7 +758,111 @@ object LakehouseExec {
       |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation WHERE n_regionkey = 3""".stripMargin
 
+  // ---------------------------------------------------------------- i30
+  /** Incremental append scan (Iceberg's incremental consumption / CDC
+    * read): snapshot 1 holds keys <20, snapshot 2 appends keys >=20; the
+    * incremental reader consumes ONLY the files ADDED by snapshot 2 —
+    * selected by the manifest entries' (snapshot_id, status=ADDED)
+    * fields, exactly the metadata an incremental planner uses — and never
+    * rescans the base data. */
+  val incrementalScan: Q = (spark, sfDir) => {
+    val dir = entryDir("i30", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val v1 = buildBase(spark, sfDir, dir, ranges = Seq((0, 10), (10, 20)))
+      val base = TableMetadata.parseFile(v1)
+      val snap1 = base.currentSnapshot.get
+      val nation = Tables.load(spark, sfDir, "nation")
+      val f = s"$dir/data/nation-append-00000.parquet"
+      writeOneParquet(nation.filter(col("n_nationkey") >= 20)
+        .orderBy(col("n_nationkey")), f)
+      val m1 = s"$dir/m-1.avro"
+      ManifestWriter.write(m1, Seq(deriveEntry(spark, f, snapshotId = 2L)))
+      val list2 = s"$dir/snap-2-list.avro"
+      ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", m1), 2L,
+        addedDataFilesCount = 1)
+      val snap2 = Snapshot(2L, Some(1L), snap1.timestampMs + 1000, Some("append"),
+        Map("added-data-files" -> "1", "total-data-files" -> "3"),
+        Some(list2), Some(0))
+      MetadataWriter.write(s"$dir/v2.metadata.json",
+        MetadataWriter.commitSnapshot(base, snap2, Some(v1)))
+    }
+    val meta = TableMetadata.parseFile(s"$dir/v2.metadata.json")
+    val cur = meta.currentSnapshot.get
+    val manifestPaths = MetadataTables.manifests(spark, cur.manifestList.get)
+      .select(col("manifest_path")).collect().map(_.getString(0)).toSeq
+    // incremental selection: entries ADDED by snapshot 2, nothing else
+    val added = ManifestReader.entries(spark, manifestPaths)
+      .filter(col("snapshot_id") === cur.snapshotId && col("status") === 1)
+      .select(col("data_file.file_path"))
+      .collect().map(_.getString(0)).toIndexedSeq
+    spark.read.parquet(added: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("n_nationkey")).as("min_key"), max(col("n_nationkey")).as("max_key"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(lit(added.size).as("n_added_files"), col("n_rows"),
+        col("min_key"), col("max_key"), col("sum_key"))
+  }
+
+  val incrementalScanSql: String =
+    """SELECT CAST(1 AS INTEGER) AS n_added_files, COUNT(*) AS n_rows,
+      |  MIN(n_nationkey) AS min_key, MAX(n_nationkey) AS max_key,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_nationkey >= 20""".stripMargin
+
+  // ---------------------------------------------------------------- i31
+  /** Orphan-file cleanup executed (remove_orphan_files): debris files in
+    * the data directory that NO snapshot references — failed-write
+    * leftovers — are found by differencing the directory listing against
+    * the union of every snapshot's reachable file set, then deleted. The
+    * read-back proves the table is intact (scan equals nation) and the
+    * directory holds exactly the referenced files. */
+  val orphanCleanup: Q = (spark, sfDir) => {
+    val dir = entryDir("i31", sfDir)
+    val orphans = Seq(s"$dir/data/orphan-00000.parquet", s"$dir/data/orphan-00001.parquet")
+    graft.TmpOutputs.ensure(dir) {
+      val v1 = buildBase(spark, sfDir, dir)
+      // simulate failed-write debris: parquet in the data dir, never
+      // committed to any snapshot
+      orphans.foreach(p => writeOneParquet(
+        Tables.load(spark, sfDir, "nation").limit(3), p))
+      val meta = TableMetadata.parseFile(v1)
+      def uriPath(p: String): String = new Path(p).toUri.getPath
+      val referenced = meta.snapshots
+        .flatMap(s => filePaths(spark, s)).map(uriPath).toSet
+      val fs = HadoopConfs.fileSystemFor(dir)
+      val listed = fs.listStatus(new Path(s"$dir/data")).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      val toDelete = listed.filterNot(p => referenced.contains(uriPath(p.toString)))
+      require(toDelete.length == orphans.size,
+        s"orphan sweep found ${toDelete.length} files, expected ${orphans.size} — " +
+          "a path-normalization bug here would delete live data")
+      toDelete.foreach(p => fs.delete(p, false))
+    }
+    val meta = TableMetadata.parseFile(s"$dir/v1.metadata.json")
+    val cur = meta.currentSnapshot.get
+    val paths = filePaths(spark, cur)
+    val fs = HadoopConfs.fileSystemFor(dir)
+    val onDisk = fs.listStatus(new Path(s"$dir/data")).map(_.getPath.getName)
+      .count(_.endsWith(".parquet"))
+    val orphansLeft = orphans.count(p => fs.exists(new Path(p)))
+    spark.read.parquet(paths: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(lit(onDisk).as("n_files_on_disk"),
+        lit(paths.size).as("n_referenced"),
+        lit(orphansLeft).as("orphans_left"),
+        col("n_rows"), col("sum_key"))
+  }
+
+  val orphanCleanupSql: String =
+    """SELECT CAST(3 AS INTEGER) AS n_files_on_disk, CAST(3 AS INTEGER) AS n_referenced,
+      |  CAST(0 AS INTEGER) AS orphans_left,
+      |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i30_incremental_scan" -> incrementalScan,
+    "i31_orphan_cleanup" -> orphanCleanup,
     "i21_compaction_exec" -> compactionExec,
     "i22_delete_dml" -> deleteDml,
     "i23_expire_exec" -> expireExec,
@@ -770,6 +874,8 @@ object LakehouseExec {
     "i29_partition_pruned_exec" -> partitionPrunedExec)
 
   val oracles: Map[String, String] = Map(
+    "i30_incremental_scan" -> incrementalScanSql,
+    "i31_orphan_cleanup" -> orphanCleanupSql,
     "i21_compaction_exec" -> compactionExecSql,
     "i22_delete_dml" -> deleteDmlSql,
     "i23_expire_exec" -> expireExecSql,

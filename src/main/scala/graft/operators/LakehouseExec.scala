@@ -75,6 +75,25 @@ object LakehouseExec {
 
   private def fileLen(p: String): Long = ParquetFiles.length(p)
 
+  /** Runs independent rewrite tasks concurrently: each bin/file rewrite
+    * is its own Spark job, submitted from a small driver pool (Spark's
+    * scheduler interleaves their stages across executors), so wall-clock
+    * scales with the slowest task instead of the task count — the shape
+    * that matters when a 100 TB compaction has thousands of bins.
+    * Results keep `items` order. */
+  private def inParallel[A, B](items: Seq[A], slots: Int = 8)(f: A => B): Seq[B] =
+    if (items.size <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(slots, items.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(items.map(i => scala.concurrent.Future(f(i)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+
   private def writeOneParquet(df: DataFrame, outFile: String): Unit =
     ParquetFiles.writeOne(df, outFile)
 
@@ -116,14 +135,14 @@ object LakehouseExec {
   private def buildBase(spark: SparkSession, sfDir: String, dir: String,
       ranges: Seq[(Int, Int)] = Seq((0, 10), (10, 20), (20, 25))): String = {
     val nation = Tables.load(spark, sfDir, "nation")
-    val files = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+    val files = inParallel(ranges.zipWithIndex) { case ((lo, hi), i) =>
       val f = s"$dir/data/nation-0000$i.parquet"
       writeOneParquet(
         nation.filter(col("n_nationkey") >= lo && col("n_nationkey") < hi)
           .orderBy(col("n_nationkey")), f)
       f
     }
-    val entries = files.map(f => deriveEntry(spark, f, snapshotId = 1L))
+    val entries = inParallel(files)(f => deriveEntry(spark, f, snapshotId = 1L))
     val manifest = s"$dir/m-0.avro"
     ManifestWriter.write(manifest, entries)
     val list1 = s"$dir/snap-1-list.avro"
@@ -179,7 +198,7 @@ object LakehouseExec {
       .select(col("bin"), col("file_path"))
       .collect() // metadata-scale: one row per data file
     val bins = planned.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-    val newEntries = bins.map { case (bin, rows) =>
+    val newEntries = inParallel(bins) { case (bin, rows) =>
       val out = s"$dir/data/compacted-%05d.parquet".format(bin)
       // the rewrite itself: a distributed read of the bin's files merged
       // into one sorted output file (the bin IS the parallelism unit)
@@ -497,7 +516,7 @@ object LakehouseExec {
       val affectedPaths = affected.map(uriPath)
       // rewrite each affected file in place of its old entry: unmatched
       // rows pass through, matched rows take the update
-      val rewrittenEntries = affected.toSeq.sorted.zipWithIndex.map { case (f, i) =>
+      val rewrittenEntries = inParallel(affected.toSeq.sorted.zipWithIndex) { case (f, i) =>
         val out = s"$dir/data/merged-%05d.parquet".format(i)
         writeOneParquet(
           withFile.filter(col("_file") === f)
@@ -718,13 +737,13 @@ object LakehouseExec {
     val dir = entryDir("i29", sfDir)
     graft.TmpOutputs.ensure(dir) {
       val nation = Tables.load(spark, sfDir, "nation")
-      val files = (0 until 5).map { r =>
+      val files = inParallel(0 until 5) { r =>
         val f = s"$dir/data/region-$r.parquet"
         writeOneParquet(nation.filter(col("n_regionkey") === r)
           .orderBy(col("n_nationkey")), f)
         f
       }
-      val entries = files.map(f => deriveEntry(spark, f, snapshotId = 1L))
+      val entries = inParallel(files)(f => deriveEntry(spark, f, snapshotId = 1L))
       ManifestWriter.write(s"$dir/m-0.avro", entries)
       val list1 = s"$dir/snap-1-list.avro"
       ManifestListWriter.write(list1, Seq(s"$dir/m-0.avro"), 1L,

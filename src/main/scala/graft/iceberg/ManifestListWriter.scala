@@ -46,11 +46,15 @@ object ManifestListWriter {
   private def manifestLength(p: String): Long =
     HadoopConfs.fileSystemFor(p).getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
 
-  /** `contents` marks delete manifests (path → 1); unlisted paths default
-    * to 0 = data, so existing data-only call sites are unchanged. */
+  /** `contents` marks delete manifests (path → 1); `specIds` records each
+    * manifest's partition-spec id (spec evolution leaves manifests written
+    * under older specs in place — readers must know which spec shaped each
+    * manifest's partition data). Unlisted paths default to 0, so existing
+    * call sites are unchanged. */
   def write(path: String, manifestPaths: Seq[String], snapshotId: Long,
       addedDataFilesCount: Int = 2, codec: String = "deflate",
-      contents: Map[String, Int] = Map.empty): Unit = {
+      contents: Map[String, Int] = Map.empty,
+      specIds: Map[String, Int] = Map.empty): Unit = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
     w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
@@ -60,7 +64,7 @@ object ManifestListWriter {
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", p)
       r.put("manifest_length", manifestLength(p))
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", specIds.getOrElse(p, 0))
       r.put("added_snapshot_id", snapshotId)
       r.put("added_data_files_count", addedDataFilesCount)
       r.put("content", contents.getOrElse(p, 0))

@@ -162,6 +162,21 @@ object MetadataWriter {
       schemas = base.schemas :+ schema)
   }
 
+  /** Partition-spec evolution: append a new spec and advance
+    * `default-spec-id`. Existing manifests/files keep their old spec id
+    * (recorded per manifest in the manifest-list, field 502) — readers
+    * must treat pre-evolution files as unprunable by the new partition
+    * fields, which is exactly what makes Iceberg's partitioning "hidden". */
+  def evolvePartitionSpec(base: TableMetadata, spec: PartitionSpec,
+      timestampMs: Long): TableMetadata = {
+    require(!base.partitionSpecs.exists(_.specId == spec.specId),
+      s"spec id ${spec.specId} already exists")
+    base.copy(
+      lastUpdatedMs = timestampMs,
+      partitionSpecs = base.partitionSpecs :+ spec,
+      defaultSpecId = spec.specId)
+  }
+
   /** Tag creation: an immutable named ref pinning a snapshot — the
     * foundation of ref-based time travel (`AS OF <tag>`) and the
     * write-audit-publish pattern. */

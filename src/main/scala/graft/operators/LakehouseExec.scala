@@ -879,7 +879,95 @@ object LakehouseExec {
       |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i32
+  /** Partition-spec evolution with the mixed-spec scan it forces:
+    * snapshot 1 appends one UNPARTITIONED file (spec 0, keys <13); the
+    * spec evolves to identity(n_regionkey) (spec 1, default-spec-id
+    * advanced, old spec retained); snapshot 2 appends one file per region
+    * under spec 1 (keys >=13), each manifest's spec id recorded in the
+    * manifest-list (field 502). A region-3 scan must then do what a real
+    * mixed-spec reader does: files under spec 1 prune by partition (only
+    * the region-3 file survives), while the pre-evolution file CANNOT be
+    * partition-pruned and is read with the residual predicate — the
+    * subtlety that makes partition evolution safe in Iceberg. */
+  val specEvolution: Q = (spark, sfDir) => {
+    val dir = entryDir("i32", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      val fA = s"$dir/data/unpart-00000.parquet"
+      writeOneParquet(nation.filter(col("n_nationkey") < 13).orderBy(col("n_nationkey")), fA)
+      val mA = s"$dir/m-0.avro"
+      ManifestWriter.write(mA, Seq(deriveEntry(spark, fA, 1L)))
+      val list1 = s"$dir/snap-1-list.avro"
+      ManifestListWriter.write(list1, Seq(mA), 1L, addedDataFilesCount = 1)
+      val snap1 = Snapshot(1L, None, T0 + 1000, Some("append"),
+        Map("added-data-files" -> "1"), Some(list1), Some(0))
+      val v1 = s"$dir/v1.metadata.json"
+      MetadataWriter.write(v1, MetadataWriter.commitSnapshot(baseMetadata(dir), snap1, None))
+      // evolve: identity(n_regionkey) becomes the default spec
+      val evolved = MetadataWriter.evolvePartitionSpec(TableMetadata.parseFile(v1),
+        PartitionSpec(1, Seq(PartitionField("n_regionkey", "identity", 3, 1000))),
+        T0 + 1500)
+      // append under the NEW spec: one file per region present in keys >=13
+      val regions = Tables.load(spark, sfDir, "nation")
+        .filter(col("n_nationkey") >= 13).select(col("n_regionkey"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq
+      val entriesB = inParallel(regions) { r =>
+        val f = s"$dir/data/spec1-region-$r.parquet"
+        writeOneParquet(nation.filter(col("n_nationkey") >= 13 && col("n_regionkey") === r)
+          .orderBy(col("n_nationkey")), f)
+        deriveEntry(spark, f, 2L)
+      }
+      val mB = s"$dir/m-1.avro"
+      ManifestWriter.write(mB, entriesB)
+      val list2 = s"$dir/snap-2-list.avro"
+      ManifestListWriter.write(list2, Seq(mA, mB), 2L,
+        addedDataFilesCount = entriesB.size, specIds = Map(mA -> 0, mB -> 1))
+      val snap2 = Snapshot(2L, Some(1L), T0 + 2000, Some("append"),
+        Map("added-data-files" -> entriesB.size.toString), Some(list2), Some(0))
+      MetadataWriter.write(s"$dir/v2.metadata.json",
+        MetadataWriter.commitSnapshot(evolved, snap2, Some(v1)))
+    }
+    val meta = TableMetadata.parseFile(s"$dir/v2.metadata.json")
+    val cur = meta.currentSnapshot.get
+    // mixed-spec planning: route each manifest by its recorded spec id
+    val manifests = MetadataTables.manifests(spark, cur.manifestList.get)
+      .select(col("manifest_path"), col("partition_spec_id"))
+      .collect() // KB-scale
+    var total = 0
+    val survivors = manifests.flatMap { r =>
+      val entries = ManifestWriter.read(r.getString(0))
+      total += entries.size
+      if (r.getInt(1) == 0) entries.map(_.filePath) // pre-evolution: unprunable
+      else entries.filter { e =>
+        val lo = SingleValueCodec.decode(TInt, e.lowerBounds(3)).asInstanceOf[Int]
+        val hi = SingleValueCodec.decode(TInt, e.upperBounds(3)).asInstanceOf[Int]
+        lo <= 3 && 3 <= hi
+      }.map(_.filePath)
+    }.toIndexedSeq
+    spark.read.parquet(survivors: _*)
+      .filter(col("n_regionkey") === 3) // residual: the spec-0 file is mixed
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(lit(meta.partitionSpecs.size).as("n_specs"),
+        lit(meta.defaultSpecId).as("default_spec_id"),
+        lit(total).cast("long").as("n_files_total"),
+        lit(survivors.size).cast("long").as("n_files_scanned"),
+        col("n_rows"), col("sum_key"))
+  }
+
+  val specEvolutionSql: String =
+    """SELECT CAST(2 AS INTEGER) AS n_specs, CAST(1 AS INTEGER) AS default_spec_id,
+      |  CAST(1 + (SELECT COUNT(DISTINCT n_regionkey) FROM nation WHERE n_nationkey >= 13)
+      |    AS BIGINT) AS n_files_total,
+      |  CAST(1 + (SELECT COUNT(DISTINCT n_regionkey) FROM nation
+      |            WHERE n_nationkey >= 13 AND n_regionkey = 3)
+      |    AS BIGINT) AS n_files_scanned,
+      |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_regionkey = 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i32_spec_evolution" -> specEvolution,
     "i30_incremental_scan" -> incrementalScan,
     "i31_orphan_cleanup" -> orphanCleanup,
     "i21_compaction_exec" -> compactionExec,
@@ -893,6 +981,7 @@ object LakehouseExec {
     "i29_partition_pruned_exec" -> partitionPrunedExec)
 
   val oracles: Map[String, String] = Map(
+    "i32_spec_evolution" -> specEvolutionSql,
     "i30_incremental_scan" -> incrementalScanSql,
     "i31_orphan_cleanup" -> orphanCleanupSql,
     "i21_compaction_exec" -> compactionExecSql,

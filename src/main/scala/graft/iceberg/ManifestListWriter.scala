@@ -1,5 +1,8 @@
 package graft.iceberg
 
+import java.nio.ByteBuffer
+
+import org.apache.avro.Schema
 import org.apache.avro.SchemaBuilder
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -13,6 +16,25 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
   * list file is absent, and doubles as the library's Avro container sink.
   */
 object ManifestListWriter {
+
+  /** One per partition-spec field, in spec-field order: the manifest-level
+    * partition summary (spec fields 509-511) a planner consults to skip an
+    * ENTIRE manifest — and every file it lists — without opening it. This
+    * is the top level of Iceberg's two-level pruning: at 100 TB a scan
+    * touches thousands of manifests, and list-level summaries keep the
+    * metadata read proportional to the matching manifests, not the table. */
+  final case class FieldSummary(
+      containsNull: Boolean, lower: Array[Byte], upper: Array[Byte])
+
+  private val fieldSummarySchema: Schema =
+    SchemaBuilder.record("r508").fields()
+      .name("contains_null").prop(AvroConversions.FieldIdKey, "509")
+      .`type`().booleanType().noDefault()
+      .name("lower_bound").prop(AvroConversions.FieldIdKey, "510")
+      .`type`().unionOf().nullType().and().bytesType().endUnion().nullDefault()
+      .name("upper_bound").prop(AvroConversions.FieldIdKey, "511")
+      .`type`().unionOf().nullType().and().bytesType().endUnion().nullDefault()
+      .endRecord()
 
   /** The spec field-ids (500-504) ride on every field as `field-id`
     * props — real Iceberg readers resolve manifest-list columns by id,
@@ -36,6 +58,11 @@ object ManifestListWriter {
       // position/equality delete files (the i22 DML write path)
       .name("content").prop(AvroConversions.FieldIdKey, "517")
       .`type`().intType().intDefault(0)
+      // partition summaries (spec field 507): one field_summary per
+      // partition-spec field, the list-level pruning dimension
+      .name("partitions").prop(AvroConversions.FieldIdKey, "507")
+      .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL),
+        Schema.createArray(fieldSummarySchema))).withDefault(null)
       .endRecord()
 
   /** Manifest size for the manifest_length field, resolved through the
@@ -54,7 +81,8 @@ object ManifestListWriter {
   def write(path: String, manifestPaths: Seq[String], snapshotId: Long,
       addedDataFilesCount: Int = 2, codec: String = "deflate",
       contents: Map[String, Int] = Map.empty,
-      specIds: Map[String, Int] = Map.empty): Unit = {
+      specIds: Map[String, Int] = Map.empty,
+      summaries: Map[String, Seq[FieldSummary]] = Map.empty): Unit = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
     w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
@@ -68,6 +96,20 @@ object ManifestListWriter {
       r.put("added_snapshot_id", snapshotId)
       r.put("added_data_files_count", addedDataFilesCount)
       r.put("content", contents.getOrElse(p, 0))
+      summaries.get(p).foreach { fs =>
+        val arrSchema = manifestFileSchema.getField("partitions")
+          .schema().getTypes.get(1)
+        val arr = new GenericData.Array[GenericRecord](
+          arrSchema, java.util.Collections.emptyList[GenericRecord]())
+        fs.foreach { s =>
+          val rec = new GenericData.Record(fieldSummarySchema)
+          rec.put("contains_null", s.containsNull)
+          rec.put("lower_bound", ByteBuffer.wrap(s.lower))
+          rec.put("upper_bound", ByteBuffer.wrap(s.upper))
+          arr.add(rec)
+        }
+        r.put("partitions", arr)
+      }
       w.append(r)
     } finally w.close()
   }

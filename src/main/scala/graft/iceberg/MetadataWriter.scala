@@ -177,6 +177,21 @@ object MetadataWriter {
       defaultSpecId = spec.specId)
   }
 
+  /** Sort-order evolution: append a new sort order and advance
+    * `default-sort-order-id`. Like spec evolution, existing files keep
+    * whatever order they were written with (data_file.sort_order_id tracks
+    * it per file); only a clustering REWRITE makes old data actually
+    * sorted — the metadata change alone just declares the target layout. */
+  def evolveSortOrder(base: TableMetadata, order: SortOrder,
+      timestampMs: Long): TableMetadata = {
+    require(!base.sortOrders.exists(_.orderId == order.orderId),
+      s"sort-order id ${order.orderId} already exists")
+    base.copy(
+      lastUpdatedMs = timestampMs,
+      sortOrders = base.sortOrders :+ order,
+      defaultSortOrderId = order.orderId)
+  }
+
   /** Tag creation: an immutable named ref pinning a snapshot — the
     * foundation of ref-based time travel (`AS OF <tag>`) and the
     * write-audit-publish pattern. */

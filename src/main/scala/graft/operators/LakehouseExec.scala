@@ -57,7 +57,7 @@ object LakehouseExec {
 
   /** Fixed commit epoch: synthetic timestamps must be deterministic for
     * the oracle (never wall-clock). */
-  private val T0 = 1700000000000L
+  private[operators] val T0 = 1700000000000L
 
   private val schema0 = IcebergSchema(0, Seq(
     IcebergField(1, "n_nationkey", required = false, "int"),
@@ -68,12 +68,12 @@ object LakehouseExec {
   private val schema1 = IcebergSchema(1,
     schema0.fields :+ IcebergField(4, "n_name_len", required = false, "int"))
 
-  private def entryDir(tag: String, sfDir: String): String =
+  private[operators] def entryDir(tag: String, sfDir: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-$tag-${ProcessHandle.current().pid()}",
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
 
-  private def fileLen(p: String): Long = ParquetFiles.length(p)
+  private[operators] def fileLen(p: String): Long = ParquetFiles.length(p)
 
   /** Runs independent rewrite tasks concurrently: each bin/file rewrite
     * is its own Spark job, submitted from a small driver pool (Spark's
@@ -81,7 +81,7 @@ object LakehouseExec {
     * scales with the slowest task instead of the task count — the shape
     * that matters when a 100 TB compaction has thousands of bins.
     * Results keep `items` order. */
-  private def inParallel[A, B](items: Seq[A], slots: Int = 8)(f: A => B): Seq[B] =
+  private[operators] def inParallel[A, B](items: Seq[A], slots: Int = 8)(f: A => B): Seq[B] =
     if (items.size <= 1) items.map(f)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -94,14 +94,14 @@ object LakehouseExec {
       finally pool.shutdown()
     }
 
-  private def writeOneParquet(df: DataFrame, outFile: String): Unit =
+  private[operators] def writeOneParquet(df: DataFrame, outFile: String): Unit =
     ParquetFiles.writeOne(df, outFile)
 
   /** Manifest entry with every stat DERIVED from the written file: row
     * count and per-column bounds from a scan of the parquet itself,
     * file size from the filesystem — the honesty gate the fabricated
     * stats of the old i18 fixture path lacked. */
-  private def deriveEntry(spark: SparkSession, file: String,
+  private[operators] def deriveEntry(spark: SparkSession, file: String,
       snapshotId: Long): ManifestWriter.EntryData = {
     val row = spark.read.parquet(file).agg(
       count(lit(1)),
@@ -120,7 +120,7 @@ object LakehouseExec {
       row.getLong(0), fileLen(file), lower, upper)
   }
 
-  private def baseMetadata(dir: String): TableMetadata = TableMetadata(
+  private[operators] def baseMetadata(dir: String): TableMetadata = TableMetadata(
     formatVersion = 2, tableUuid = "b6b9a6a1-0000-4000-8000-000000000021",
     location = dir, lastUpdatedMs = T0,
     topLevelSchema = None, currentSchemaId = Some(0), schemas = Seq(schema0),
@@ -132,7 +132,7 @@ object LakehouseExec {
   /** Builds the base table: nation split into key-range parquet files,
     * one manifest with derived stats, a manifest-list, and a committed
     * v1 metadata document. Returns the metadata path. */
-  private def buildBase(spark: SparkSession, sfDir: String, dir: String,
+  private[operators] def buildBase(spark: SparkSession, sfDir: String, dir: String,
       ranges: Seq[(Int, Int)] = Seq((0, 10), (10, 20), (20, 25))): String = {
     val nation = Tables.load(spark, sfDir, "nation")
     val files = inParallel(ranges.zipWithIndex) { case ((lo, hi), i) =>
@@ -160,7 +160,7 @@ object LakehouseExec {
   /** Data-file entries reachable from a snapshot, from storage only:
     * manifest-list (filtered on the v2 `content` routing field) →
     * distributed manifest scan. */
-  private def fileEntries(spark: SparkSession, snap: Snapshot,
+  private[operators] def fileEntries(spark: SparkSession, snap: Snapshot,
       content: Int = 0): DataFrame = {
     val list = snap.manifestList.getOrElse(
       throw new IllegalStateException(s"snapshot ${snap.snapshotId} has no manifest-list"))
@@ -177,7 +177,7 @@ object LakehouseExec {
         col("data_file.upper_bounds").as("upper_bounds"))
   }
 
-  private def filePaths(spark: SparkSession, snap: Snapshot, content: Int = 0): Seq[String] =
+  private[operators] def filePaths(spark: SparkSession, snap: Snapshot, content: Int = 0): Seq[String] =
     fileEntries(spark, snap, content).select("file_path")
       .collect().map(_.getString(0)).toSeq
 

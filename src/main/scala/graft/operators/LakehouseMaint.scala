@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.iceberg._
+import graft.iceberg.IcebergTypes.TInt
+import graft.operators.LakehouseExec._
+
+/** Second wave of table-maintenance execution — the pruning and layout
+  * operations that decide how much of a 100 TB table a query ever touches.
+  *
+  * - i33: manifest-list partition-summary pruning — the TOP level of
+  *   Iceberg's two-level pruning. Each manifest_file row carries a
+  *   partition summary (spec field 507: contains_null/lower/upper per
+  *   partition field); a planner evaluates the predicate against the
+  *   summary and skips non-matching manifests WITHOUT OPENING THEM. At
+  *   scale this is what keeps planning proportional to matching manifests
+  *   (thousands) instead of listed files (millions).
+  * - i34: equality→position delete rewrite (rewrite_position_delete_files'
+  *   convert step): equality deletes are cheap to WRITE (the writer never
+  *   reads the table) but expensive to READ (every scan re-resolves the
+  *   predicate); maintenance resolves them once into position deletes and
+  *   commits a replace, restoring cheap MOR reads.
+  * - i35: sort-order evolution + clustering rewrite — the metadata commit
+  *   declares the target layout (sort-orders[] grows, default advances),
+  *   the rewrite makes it physical, and the read-back PROVES the payoff:
+  *   a key-range predicate overlaps every pre-rewrite file's bounds but
+  *   exactly one post-rewrite file's. Clustering is a pure win at scale:
+  *   same bytes, far fewer files scanned.
+  *
+  * Same honesty gate as LakehouseExec: every stat is derived from files on
+  * disk, every read resolves only committed documents and the containers
+  * they reference, timestamps are fixed (T0), and oracles are plain SQL
+  * over nation (25 rows, bit-identical at every sf).
+  */
+object LakehouseMaint {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- i33
+  /** List-level pruning: one manifest per region (5 manifests), each
+    * carrying a partition summary derived from its entries' bounds. The
+    * region-3 scan consults ONLY the manifest-list: 4 manifests are
+    * skipped unopened, the surviving manifest yields the file list, and
+    * the data read is the distributed parquet scan of that list. */
+  val listPruning: Q = (spark, sfDir) => {
+    val dir = entryDir("i33", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      val manifests = inParallel(0 until 5) { r =>
+        val f = s"$dir/data/region-$r.parquet"
+        writeOneParquet(nation.filter(col("n_regionkey") === r)
+          .orderBy(col("n_nationkey")), f)
+        val entry = deriveEntry(spark, f, snapshotId = 1L)
+        val m = s"$dir/m-$r.avro"
+        ManifestWriter.write(m, Seq(entry))
+        // summary derived from the manifest's OWN entry bounds (field 3 =
+        // n_regionkey, the partition source column) — never hand-pinned
+        m -> ManifestListWriter.FieldSummary(containsNull = false,
+          entry.lowerBounds(3), entry.upperBounds(3))
+      }
+      val list1 = s"$dir/snap-1-list.avro"
+      ManifestListWriter.write(list1, manifests.map(_._1), 1L,
+        addedDataFilesCount = 1,
+        summaries = manifests.map { case (m, s) => m -> Seq(s) }.toMap)
+      val snap1 = Snapshot(1L, None, T0 + 1000, Some("append"),
+        Map("added-data-files" -> "5"), Some(list1), Some(0))
+      val withSpec = baseMetadata(dir).copy(partitionSpecs = Seq(PartitionSpec(0,
+        Seq(PartitionField("n_regionkey", "identity", 3, 1000)))))
+      MetadataWriter.write(s"$dir/v1.metadata.json",
+        MetadataWriter.commitSnapshot(withSpec, snap1, None))
+    }
+    val meta = TableMetadata.parseFile(s"$dir/v1.metadata.json")
+    val cur = meta.currentSnapshot.get
+    // planning reads ONLY the list (KB-scale): predicate vs summary
+    val listed = MetadataTables.manifests(spark, cur.manifestList.get)
+      .select(col("manifest_path"), col("partitions"))
+      .collect()
+    val surviving = listed.filter { r =>
+      val s = r.getSeq[org.apache.spark.sql.Row](1).head
+      val lo = SingleValueCodec.decode(TInt, s.getAs[Array[Byte]]("lower_bound")).asInstanceOf[Int]
+      val hi = SingleValueCodec.decode(TInt, s.getAs[Array[Byte]]("upper_bound")).asInstanceOf[Int]
+      lo <= 3 && 3 <= hi
+    }.map(_.getString(0)).toIndexedSeq
+    // only survivors are ever opened; the skipped manifests' files stay
+    // unknown to this scan entirely
+    val files = surviving.flatMap(m => ManifestWriter.read(m).map(_.filePath))
+    spark.read.parquet(files: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(lit(listed.length).as("n_manifests_total"),
+        lit(surviving.size).as("n_manifests_opened"),
+        lit(files.size).as("n_files_scanned"),
+        col("n_rows"), col("sum_key"))
+  }
+
+  val listPruningSql: String =
+    """SELECT CAST(5 AS INTEGER) AS n_manifests_total,
+      |  CAST(1 AS INTEGER) AS n_manifests_opened,
+      |  CAST(1 AS INTEGER) AS n_files_scanned,
+      |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_regionkey = 3""".stripMargin
+
+  // ---------------------------------------------------------------- i34
+  /** Equality→position delete rewrite: snapshot 2 commits an equality
+    * delete (schema = the equality column n_name, values = the names of
+    * nations 4, 11, 21 — one per data file). Maintenance resolves the
+    * values against the data files ONCE — semi-join to (file_path,
+    * row_index) — writes a position-delete file, and commits a replace
+    * snapshot whose delete manifest carries ONLY position deletes. The
+    * read-back proves both halves: zero equality-delete files remain
+    * reachable, and the position-only MOR scan equals the original
+    * equality semantics. */
+  val eqToPosRewrite: Q = (spark, sfDir) => {
+    val dir = entryDir("i34", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val v1 = buildBase(spark, sfDir, dir)
+      val base = TableMetadata.parseFile(v1)
+      val snap1 = base.currentSnapshot.get
+      val paths = filePaths(spark, snap1)
+      // the equality-delete commit: values only, no table read — the cheap
+      // write that makes equality deletes attractive to writers
+      val eqFile = s"$dir/data/eq-delete-00000.parquet"
+      writeOneParquet(Tables.load(spark, sfDir, "nation")
+        .filter(col("n_nationkey").isin(4, 11, 21))
+        .select(col("n_name")).orderBy(col("n_name")), eqFile)
+      val mEq = s"$dir/m-del-eq.avro"
+      ManifestWriter.write(mEq, Seq(ManifestWriter.EntryData(
+        1, 2L, eqFile, spark.read.parquet(eqFile).count(), fileLen(eqFile),
+        Map.empty, Map.empty, content = 2)))
+      val list2 = s"$dir/snap-2-list.avro"
+      ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", mEq), 2L,
+        addedDataFilesCount = 0, contents = Map(mEq -> 1))
+      val snap2 = Snapshot(2L, Some(1L), snap1.timestampMs + 1000, Some("delete"),
+        Map("added-delete-files" -> "1"), Some(list2), Some(0))
+      val v2 = s"$dir/v2.metadata.json"
+      MetadataWriter.write(v2, MetadataWriter.commitSnapshot(base, snap2, Some(v1)))
+      // the rewrite: resolve equality values to physical row addresses
+      // (one distributed semi-join — the cost every SCAN was paying)
+      val committed = TableMetadata.parseFile(v2)
+      val eqValues = spark.read.parquet(eqFile)
+      val posFile = s"$dir/data/pos-delete-00000.parquet"
+      writeOneParquet(spark.read.parquet(paths: _*)
+        .select(col("n_name"),
+          col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"))
+        .join(eqValues, Seq("n_name"), "left_semi")
+        .select(col("file_path"), col("pos"))
+        .orderBy(col("file_path"), col("pos")), posFile)
+      val mPos = s"$dir/m-del-pos.avro"
+      ManifestWriter.write(mPos, Seq(ManifestWriter.EntryData(
+        1, 3L, posFile, spark.read.parquet(posFile).count(), fileLen(posFile),
+        Map.empty, Map.empty, content = 1)))
+      val list3 = s"$dir/snap-3-list.avro"
+      ManifestListWriter.write(list3, Seq(s"$dir/m-0.avro", mPos), 3L,
+        addedDataFilesCount = 0, contents = Map(mPos -> 1))
+      val snap3 = Snapshot(3L, Some(2L), snap2.timestampMs + 1000, Some("replace"),
+        Map("added-delete-files" -> "1", "removed-delete-files" -> "1"),
+        Some(list3), Some(0))
+      MetadataWriter.write(s"$dir/v3.metadata.json",
+        MetadataWriter.commitSnapshot(committed, snap3, Some(v2)))
+    }
+    val meta = TableMetadata.parseFile(s"$dir/v3.metadata.json")
+    val cur = meta.currentSnapshot.get
+    val delEntries = fileEntries(spark, cur, content = 1)
+      .select(col("file_path"), col("content")).collect()
+    val nEq = delEntries.count(_.getInt(1) == 2)
+    val nPos = delEntries.count(_.getInt(1) == 1)
+    val data = spark.read.parquet(filePaths(spark, cur, content = 0): _*)
+      .select(col("*"),
+        col("_metadata.file_path").as("_file"),
+        col("_metadata.row_index").as("_pos"))
+    val posDeletes = spark.read
+      .parquet(delEntries.filter(_.getInt(1) == 1).map(_.getString(0)).toIndexedSeq: _*)
+      .select(col("file_path"), col("pos"))
+    Lakehouse.applyPositionDeletes(data, posDeletes)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(col("n_regionkey"), lit(nEq).as("n_eq_files"),
+        lit(nPos).as("n_pos_files"), col("n_live"), col("sum_key"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val eqToPosRewriteSql: String =
+    """SELECT n_regionkey, CAST(0 AS INTEGER) AS n_eq_files,
+      |  CAST(1 AS INTEGER) AS n_pos_files,
+      |  COUNT(*) AS n_live, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_nationkey NOT IN (4, 11, 21)
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // ---------------------------------------------------------------- i35
+  /** Sort-order evolution + clustering rewrite. Snapshot 1 writes nation
+    * interleaved (n_nationkey % 3 → every file's key bounds span nearly
+    * the whole table); the commit appends sort order 1
+    * (identity(n_nationkey) asc) and advances the default; the rewrite
+    * sorts and re-splits into key ranges; snapshot 2 replaces the files.
+    * The read-back measures what clustering bought: the predicate
+    * `n_nationkey BETWEEN 5 AND 9` overlaps ALL 3 pre-rewrite files'
+    * bounds but exactly 1 post-rewrite file's — same bytes, 3× fewer
+    * files scanned, straight from the committed manifests' stats. */
+  val sortOrderRewrite: Q = (spark, sfDir) => {
+    val dir = entryDir("i35", sfDir)
+    def overlap(e: ManifestWriter.EntryData): Boolean = {
+      val lo = SingleValueCodec.decode(TInt, e.lowerBounds(1)).asInstanceOf[Int]
+      val hi = SingleValueCodec.decode(TInt, e.upperBounds(1)).asInstanceOf[Int]
+      lo <= 9 && 5 <= hi
+    }
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      // interleaved layout: a hash-ish split, the unclustered worst case
+      val filesA = inParallel(0 until 3) { i =>
+        val f = s"$dir/data/mod-$i.parquet"
+        writeOneParquet(nation.filter(col("n_nationkey") % 3 === i)
+          .orderBy(col("n_nationkey")), f)
+        f
+      }
+      val entriesA = inParallel(filesA)(f => deriveEntry(spark, f, 1L))
+      ManifestWriter.write(s"$dir/m-0.avro", entriesA)
+      val list1 = s"$dir/snap-1-list.avro"
+      ManifestListWriter.write(list1, Seq(s"$dir/m-0.avro"), 1L,
+        addedDataFilesCount = filesA.size)
+      val snap1 = Snapshot(1L, None, T0 + 1000, Some("append"),
+        Map("added-data-files" -> filesA.size.toString), Some(list1), Some(0))
+      val v1 = s"$dir/v1.metadata.json"
+      MetadataWriter.write(v1, MetadataWriter.commitSnapshot(baseMetadata(dir), snap1, None))
+      // declare the target layout, then make it physical
+      val evolved = MetadataWriter.evolveSortOrder(TableMetadata.parseFile(v1),
+        SortOrder(1, Seq(SortField("identity", 1, "asc", "nulls-first"))), T0 + 1500)
+      val old = spark.read.parquet(filesA: _*)
+      val entriesB = inParallel(Seq((0, 10), (10, 20), (20, 25)).zipWithIndex) {
+        case ((lo, hi), i) =>
+          val f = s"$dir/data/sorted-0000$i.parquet"
+          writeOneParquet(old.filter(col("n_nationkey") >= lo && col("n_nationkey") < hi)
+            .orderBy(col("n_nationkey")), f)
+          deriveEntry(spark, f, 2L)
+      }
+      ManifestWriter.write(s"$dir/m-1.avro", entriesB)
+      val list2 = s"$dir/snap-2-list.avro"
+      ManifestListWriter.write(list2, Seq(s"$dir/m-1.avro"), 2L,
+        addedDataFilesCount = entriesB.size)
+      val snap2 = Snapshot(2L, Some(1L), T0 + 2000, Some("replace"),
+        Map("added-data-files" -> entriesB.size.toString,
+          "deleted-data-files" -> filesA.size.toString), Some(list2), Some(0))
+      MetadataWriter.write(s"$dir/v2.metadata.json",
+        MetadataWriter.commitSnapshot(evolved, snap2, Some(v1)))
+    }
+    val meta = TableMetadata.parseFile(s"$dir/v2.metadata.json")
+    val before = ManifestWriter.read(s"$dir/m-0.avro")
+    val after = ManifestWriter.read(s"$dir/m-1.avro")
+    val survivors = after.filter(overlap).map(_.filePath)
+    spark.read.parquet(survivors: _*)
+      .filter(col("n_nationkey").between(5, 9)) // residual within the file
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(lit(meta.sortOrders.size).as("n_orders"),
+        lit(meta.defaultSortOrderId).as("default_order_id"),
+        lit(before.count(overlap)).as("files_overlap_before"),
+        lit(survivors.size).as("files_overlap_after"),
+        col("n_rows"), col("sum_key"))
+  }
+
+  val sortOrderRewriteSql: String =
+    """SELECT CAST(2 AS INTEGER) AS n_orders, CAST(1 AS INTEGER) AS default_order_id,
+      |  CAST(3 AS INTEGER) AS files_overlap_before,
+      |  CAST(1 AS INTEGER) AS files_overlap_after,
+      |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_nationkey BETWEEN 5 AND 9""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "i33_list_pruning" -> listPruning,
+    "i34_eq_to_pos_rewrite" -> eqToPosRewrite,
+    "i35_sort_order_rewrite" -> sortOrderRewrite)
+
+  val oracles: Map[String, String] = Map(
+    "i33_list_pruning" -> listPruningSql,
+    "i34_eq_to_pos_rewrite" -> eqToPosRewriteSql,
+    "i35_sort_order_rewrite" -> sortOrderRewriteSql)
+}

@@ -76,13 +76,20 @@ object ManifestListWriter {
   /** `contents` marks delete manifests (path → 1); `specIds` records each
     * manifest's partition-spec id (spec evolution leaves manifests written
     * under older specs in place — readers must know which spec shaped each
-    * manifest's partition data). Unlisted paths default to 0, so existing
-    * call sites are unchanged. */
+    * manifest's partition data). `addedSnapshotIds`/`addedCounts` preserve
+    * per-manifest provenance: a carried-forward manifest keeps the snapshot
+    * that originally added it (spec field 503), so list-level incremental
+    * planning (filter manifests by added_snapshot_id) stays sound across
+    * commits that re-list older manifests. Unlisted paths fall back to the
+    * committing snapshot / uniform count, so append-only call sites are
+    * unchanged. */
   def write(path: String, manifestPaths: Seq[String], snapshotId: Long,
       addedDataFilesCount: Int = 2, codec: String = "deflate",
       contents: Map[String, Int] = Map.empty,
       specIds: Map[String, Int] = Map.empty,
-      summaries: Map[String, Seq[FieldSummary]] = Map.empty): Unit = {
+      summaries: Map[String, Seq[FieldSummary]] = Map.empty,
+      addedSnapshotIds: Map[String, Long] = Map.empty,
+      addedCounts: Map[String, Int] = Map.empty): Unit = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
     w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
@@ -93,8 +100,8 @@ object ManifestListWriter {
       r.put("manifest_path", p)
       r.put("manifest_length", manifestLength(p))
       r.put("partition_spec_id", specIds.getOrElse(p, 0))
-      r.put("added_snapshot_id", snapshotId)
-      r.put("added_data_files_count", addedDataFilesCount)
+      r.put("added_snapshot_id", addedSnapshotIds.getOrElse(p, snapshotId))
+      r.put("added_data_files_count", addedCounts.getOrElse(p, addedDataFilesCount))
       r.put("content", contents.getOrElse(p, 0))
       summaries.get(p).foreach { fs =>
         val arrSchema = manifestFileSchema.getField("partitions")

@@ -25,7 +25,14 @@ object ManifestWriter {
   /** `content` is the spec's data_file routing field (id 134): 0 = data,
     * 1 = position deletes, 2 = equality deletes — how a v2 MOR reader
     * tells delete-file kinds apart. Defaults to 0, and manifests written
-    * before the field existed read back as 0 via Avro field defaults. */
+    * before the field existed read back as 0 via Avro field defaults.
+    *
+    * `sequenceNumber` is the v2 DATA sequence number (manifest_entry
+    * field 3): the commit-order coordinate that scopes delete
+    * applicability — a position delete applies to data files with seq <=
+    * its own, an equality delete to files with seq STRICTLY lower. None
+    * reads back from pre-field manifests (Avro null default); real
+    * Iceberg inherits the manifest-list's sequence number in that case. */
   final case class EntryData(
       status: Int,
       snapshotId: Long,
@@ -34,7 +41,8 @@ object ManifestWriter {
       fileSizeInBytes: Long,
       lowerBounds: Map[Int, Array[Byte]],
       upperBounds: Map[Int, Array[Byte]],
-      content: Int = 0)
+      content: Int = 0,
+      sequenceNumber: Option[Long] = None)
 
   private def boundsSchema(name: String, keyId: Int, valueId: Int): Schema = {
     val kv = SchemaBuilder.record(s"k${keyId}_v$valueId").fields()
@@ -51,6 +59,10 @@ object ManifestWriter {
   val entrySchema: Schema = SchemaBuilder.record("manifest_entry").fields()
     .name("status").prop(AvroConversions.FieldIdKey, "0").`type`().intType().noDefault()
     .name("snapshot_id").prop(AvroConversions.FieldIdKey, "1")
+    .`type`().unionOf().nullType().and().longType().endUnion().nullDefault()
+    // data sequence number (spec field 3): null = inherit from the
+    // manifest-list entry, as v2 writers do for ADDED entries
+    .name("sequence_number").prop(AvroConversions.FieldIdKey, "3")
     .`type`().unionOf().nullType().and().longType().endUnion().nullDefault()
     .name("data_file").prop(AvroConversions.FieldIdKey, "2").`type`(
       SchemaBuilder.record("r2").fields()
@@ -102,7 +114,8 @@ object ManifestWriter {
           df.get("record_count").asInstanceOf[Long],
           df.get("file_size_in_bytes").asInstanceOf[Long],
           bounds("lower_bounds"), bounds("upper_bounds"),
-          df.get("content").asInstanceOf[Int])
+          df.get("content").asInstanceOf[Int],
+          Option(r.get("sequence_number")).map(_.asInstanceOf[Long]))
       }
       buf.result()
     } finally { stream.close(); in.close() }
@@ -145,6 +158,7 @@ object ManifestWriter {
       val rec = new GenericData.Record(entrySchema)
       rec.put("status", e.status)
       rec.put("snapshot_id", e.snapshotId)
+      rec.put("sequence_number", e.sequenceNumber.map(Long.box).orNull)
       rec.put("data_file", df)
       w.append(rec)
     } finally w.close()

@@ -368,10 +368,17 @@ object Dedup {
     // the result independent of the iteration caches. RELIABLE checkpoint
     // (session checkpoint dir), not localCheckpoint: executor-local blocks
     // vanish with a lost executor, and an iterative result must survive
-    // executor churn at cluster scale. Local runs fall back to a tmpdir.
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
+    // executor churn at cluster scale. The tmpdir fallback is only valid
+    // when driver and executors share a filesystem (local master) — on a
+    // cluster an unshared driver tmpdir would scatter checkpoint blocks,
+    // so require an explicit shared checkpoint dir instead.
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      if (!spark.sparkContext.isLocal) throw new IllegalStateException(
+        "neardup clustering needs a RELIABLE checkpoint on shared storage: " +
+          "set spark.sparkContext.setCheckpointDir to an HDFS/S3 path")
       spark.sparkContext.setCheckpointDir(java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), s"graft-ckpt-${ProcessHandle.current().pid()}").toString)
+    }
     val out = labels.select($"doc_id", $"lbl".as("cluster_rep")).orderBy($"doc_id").checkpoint()
     labels.unpersist()
     out

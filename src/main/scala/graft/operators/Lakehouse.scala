@@ -22,7 +22,10 @@ import graft.functions.GraftFunctions
   *   delete set degrades to a co-partitioned shuffle anti-join instead.
   * - i14: full MOR scan — position deletes and equality deletes layered,
   *   as a v2 reader must (position first is observationally equivalent
-  *   here; Iceberg orders by sequence number).
+  *   here because data and deletes share one commit). Commit-order
+  *   scoping — a delete never applies to files appended after it — is the
+  *   `*Scoped` variants below, keyed on the manifest entries' data
+  *   sequence numbers (i36 proves it end-to-end).
   * - i15: hidden-partitioning summary: spec-correct partition tuples
   *   (bucket/truncate/temporal ordinal — PartitionTransforms, pinned to
   *   the spec's test vectors) computed inside whole-stage codegen.
@@ -125,6 +128,34 @@ object Lakehouse {
     // null-safe <=>: Iceberg equality deletes match null equality-field
     // values (null equals null) — `===` would never delete a null-keyed row
     val cond = deletes.columns.map(c => data(c) <=> deletes(c)).reduce(_ && _)
+    data.join(deletes, cond, "left_anti")
+  }
+
+  /** Sequence-scoped position-delete apply (the v2 applicability rule):
+    * data rows carry `_seq` — their file's DATA sequence number from the
+    * manifest entry — and delete rows carry `_del_seq`. A position delete
+    * applies only to data files with sequence number <= its own, so a
+    * file appended after the delete commit is never touched even if its
+    * (path, pos) were ever reused. Same optimizer-chosen join shape as
+    * the unscoped apply: the extra predicate is a per-row comparison of
+    * two already-present columns, no new shuffle dimension. */
+  def applyPositionDeletesScoped(data: DataFrame, deletes: DataFrame): DataFrame =
+    data.join(deletes,
+      data("_file") === deletes("file_path") && data("_pos") === deletes("pos") &&
+        data("_seq") <= deletes("_del_seq"),
+      "left_anti")
+
+  /** Sequence-scoped equality-delete apply: an equality delete applies
+    * only to data files with STRICTLY lower data sequence number — a row
+    * appended in or after the delete's own commit survives even when its
+    * equality tuple matches (the spec's strict inequality is what lets a
+    * writer delete-then-reinsert a key in one transaction). `_del_seq` is
+    * carried on the delete rows; every other delete column is an equality
+    * column. */
+  def applyEqualityDeletesScoped(data: DataFrame, deletes: DataFrame): DataFrame = {
+    val eqCols = deletes.columns.filterNot(_ == "_del_seq")
+    val cond = eqCols.map(c => data(c) <=> deletes(c)).reduce(_ && _) &&
+      data("_seq") < deletes("_del_seq")
     data.join(deletes, cond, "left_anti")
   }
 

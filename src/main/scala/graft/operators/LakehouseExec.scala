@@ -174,7 +174,8 @@ object LakehouseExec {
         col("data_file.record_count").as("record_count"),
         col("data_file.file_size_in_bytes").as("file_size_in_bytes"),
         col("data_file.lower_bounds").as("lower_bounds"),
-        col("data_file.upper_bounds").as("upper_bounds"))
+        col("data_file.upper_bounds").as("upper_bounds"),
+        col("sequence_number"))
   }
 
   private[operators] def filePaths(spark: SparkSession, snap: Snapshot, content: Int = 0): Seq[String] =
@@ -297,12 +298,16 @@ object LakehouseExec {
           .select(col("file_path"), col("pos"))
           .orderBy(col("file_path"), col("pos")), delFile)
       val delManifest = s"$dir/m-del.avro"
+      // content=1 (spec field 134): the file IS a position-delete file —
+      // entry-level routing must agree with the list-level content=1
       ManifestWriter.write(delManifest, Seq(ManifestWriter.EntryData(
         1, 2L, delFile, spark.read.parquet(delFile).count(), fileLen(delFile),
-        Map.empty, Map.empty)))
+        Map.empty, Map.empty, content = 1)))
       val list2 = s"$dir/snap-2-list.avro"
       ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", delManifest), 2L,
-        addedDataFilesCount = 0, contents = Map(delManifest -> 1))
+        addedDataFilesCount = 0, contents = Map(delManifest -> 1),
+        addedSnapshotIds = Map(s"$dir/m-0.avro" -> 1L),
+        addedCounts = Map(s"$dir/m-0.avro" -> paths.size))
       val snap2 = Snapshot(2L, Some(1L), snap1.timestampMs + 1000, Some("delete"),
         Map("added-delete-files" -> "1", "total-data-files" -> paths.size.toString,
           "total-delete-files" -> "1"),
@@ -419,7 +424,8 @@ object LakehouseExec {
       val mB = s"$dir/m-1.avro"
       ManifestWriter.write(mB, Seq(deriveEntry(spark, fB, 2L)))
       val list2 = s"$dir/snap-2-list.avro"
-      ManifestListWriter.write(list2, Seq(mA, mB), 2L, addedDataFilesCount = 1)
+      ManifestListWriter.write(list2, Seq(mA, mB), 2L, addedDataFilesCount = 1,
+        addedSnapshotIds = Map(mA -> 1L))
       val snap2 = Snapshot(2L, Some(1L), T0 + 2000, Some("append"),
         Map("added-data-files" -> "1", "total-data-files" -> "2"), Some(list2), Some(1))
       MetadataWriter.write(s"$dir/v2.metadata.json",
@@ -604,7 +610,9 @@ object LakehouseExec {
       ManifestWriter.write(mStage, Seq(deriveEntry(spark, staged, 2L)))
       val list2 = s"$dir/snap-2-list.avro"
       ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", mStage), 2L,
-        addedDataFilesCount = 1)
+        addedDataFilesCount = 1,
+        addedSnapshotIds = Map(s"$dir/m-0.avro" -> 1L),
+        addedCounts = Map(s"$dir/m-0.avro" -> 3))
       val snap2 = Snapshot(2L, Some(1L), snap1.timestampMs + 1000, Some("append"),
         Map("added-data-files" -> "1"), Some(list2), Some(0))
       val v2 = s"$dir/v2.metadata.json"
@@ -683,7 +691,9 @@ object LakehouseExec {
           Map.empty, Map.empty, content = 2)))
       val list2 = s"$dir/snap-2-list.avro"
       ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", delManifest), 2L,
-        addedDataFilesCount = 0, contents = Map(delManifest -> 1))
+        addedDataFilesCount = 0, contents = Map(delManifest -> 1),
+        addedSnapshotIds = Map(s"$dir/m-0.avro" -> 1L),
+        addedCounts = Map(s"$dir/m-0.avro" -> paths.size))
       val snap2 = Snapshot(2L, Some(1L), snap1.timestampMs + 1000, Some("delete"),
         Map("added-delete-files" -> "2", "total-delete-files" -> "2"),
         Some(list2), Some(0))
@@ -798,7 +808,9 @@ object LakehouseExec {
       ManifestWriter.write(m1, Seq(deriveEntry(spark, f, snapshotId = 2L)))
       val list2 = s"$dir/snap-2-list.avro"
       ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", m1), 2L,
-        addedDataFilesCount = 1)
+        addedDataFilesCount = 1,
+        addedSnapshotIds = Map(s"$dir/m-0.avro" -> 1L),
+        addedCounts = Map(s"$dir/m-0.avro" -> 2))
       val snap2 = Snapshot(2L, Some(1L), snap1.timestampMs + 1000, Some("append"),
         Map("added-data-files" -> "1", "total-data-files" -> "3"),
         Some(list2), Some(0))
@@ -922,7 +934,8 @@ object LakehouseExec {
       ManifestWriter.write(mB, entriesB)
       val list2 = s"$dir/snap-2-list.avro"
       ManifestListWriter.write(list2, Seq(mA, mB), 2L,
-        addedDataFilesCount = entriesB.size, specIds = Map(mA -> 0, mB -> 1))
+        addedDataFilesCount = entriesB.size, specIds = Map(mA -> 0, mB -> 1),
+        addedSnapshotIds = Map(mA -> 1L), addedCounts = Map(mA -> 1))
       val snap2 = Snapshot(2L, Some(1L), T0 + 2000, Some("append"),
         Map("added-data-files" -> entriesB.size.toString), Some(list2), Some(0))
       MetadataWriter.write(s"$dir/v2.metadata.json",

@@ -132,7 +132,9 @@ object LakehouseMaint {
         Map.empty, Map.empty, content = 2)))
       val list2 = s"$dir/snap-2-list.avro"
       ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", mEq), 2L,
-        addedDataFilesCount = 0, contents = Map(mEq -> 1))
+        addedDataFilesCount = 0, contents = Map(mEq -> 1),
+        addedSnapshotIds = Map(s"$dir/m-0.avro" -> 1L),
+        addedCounts = Map(s"$dir/m-0.avro" -> paths.size))
       val snap2 = Snapshot(2L, Some(1L), snap1.timestampMs + 1000, Some("delete"),
         Map("added-delete-files" -> "1"), Some(list2), Some(0))
       val v2 = s"$dir/v2.metadata.json"
@@ -155,7 +157,9 @@ object LakehouseMaint {
         Map.empty, Map.empty, content = 1)))
       val list3 = s"$dir/snap-3-list.avro"
       ManifestListWriter.write(list3, Seq(s"$dir/m-0.avro", mPos), 3L,
-        addedDataFilesCount = 0, contents = Map(mPos -> 1))
+        addedDataFilesCount = 0, contents = Map(mPos -> 1),
+        addedSnapshotIds = Map(s"$dir/m-0.avro" -> 1L),
+        addedCounts = Map(s"$dir/m-0.avro" -> paths.size))
       val snap3 = Snapshot(3L, Some(2L), snap2.timestampMs + 1000, Some("replace"),
         Map("added-delete-files" -> "1", "removed-delete-files" -> "1"),
         Some(list3), Some(0))
@@ -269,13 +273,115 @@ object LakehouseMaint {
       |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation WHERE n_nationkey BETWEEN 5 AND 9""".stripMargin
 
+  // ---------------------------------------------------------------- i36
+  /** Sequence-number-scoped delete applicability — the v2 rule that makes
+    * MOR sound across commits. Timeline (data sequence numbers = commit
+    * order): seq 1 appends keys <13; seq 2 commits an EQUALITY delete
+    * whose values name nation 2 (present, in the seq-1 file) AND nation
+    * 20 (not yet in the table); seq 3 appends keys >=13 — including
+    * nation 20, whose name matches the older delete. A reader applying
+    * every reachable delete to every data file would wrongly drop nation
+    * 20; the spec scopes an equality delete to data files with STRICTLY
+    * LOWER data sequence number, so the late row survives. Sequence
+    * numbers ride the manifest entries (field 3) from the write path and
+    * drive the scoped anti-join in the read path — the oracle's
+    * `n_late_key_present = 1` is the proof the scoping executed. */
+  val seqScopedScan: Q = (spark, sfDir) => {
+    val dir = entryDir("i36", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      // seq 1: append keys < 13
+      val fA = s"$dir/data/early-00000.parquet"
+      writeOneParquet(nation.filter(col("n_nationkey") < 13)
+        .orderBy(col("n_nationkey")), fA)
+      val mA = s"$dir/m-0.avro"
+      ManifestWriter.write(mA,
+        Seq(deriveEntry(spark, fA, 1L).copy(sequenceNumber = Some(1L))))
+      val list1 = s"$dir/snap-1-list.avro"
+      ManifestListWriter.write(list1, Seq(mA), 1L, addedDataFilesCount = 1)
+      val snap1 = Snapshot(1L, None, T0 + 1000, Some("append"),
+        Map("added-data-files" -> "1"), Some(list1), Some(0))
+      val v1 = s"$dir/v1.metadata.json"
+      MetadataWriter.write(v1, MetadataWriter.commitSnapshot(baseMetadata(dir), snap1, None))
+      // seq 2: equality delete naming nations 2 (present) and 20 (future)
+      val eqFile = s"$dir/data/eq-delete-00000.parquet"
+      writeOneParquet(nation.filter(col("n_nationkey").isin(2, 20))
+        .select(col("n_name")).orderBy(col("n_name")), eqFile)
+      val mDel = s"$dir/m-del.avro"
+      ManifestWriter.write(mDel, Seq(ManifestWriter.EntryData(
+        1, 2L, eqFile, spark.read.parquet(eqFile).count(), fileLen(eqFile),
+        Map.empty, Map.empty, content = 2, sequenceNumber = Some(2L))))
+      val list2 = s"$dir/snap-2-list.avro"
+      ManifestListWriter.write(list2, Seq(mA, mDel), 2L,
+        addedDataFilesCount = 0, contents = Map(mDel -> 1),
+        addedSnapshotIds = Map(mA -> 1L), addedCounts = Map(mA -> 1))
+      val snap2 = Snapshot(2L, Some(1L), T0 + 2000, Some("delete"),
+        Map("added-delete-files" -> "1"), Some(list2), Some(0))
+      val v2 = s"$dir/v2.metadata.json"
+      MetadataWriter.write(v2, MetadataWriter.commitSnapshot(TableMetadata.parseFile(v1), snap2, Some(v1)))
+      // seq 3: append keys >= 13 — nation 20 arrives AFTER the delete
+      val fB = s"$dir/data/late-00000.parquet"
+      writeOneParquet(nation.filter(col("n_nationkey") >= 13)
+        .orderBy(col("n_nationkey")), fB)
+      val mB = s"$dir/m-1.avro"
+      ManifestWriter.write(mB,
+        Seq(deriveEntry(spark, fB, 3L).copy(sequenceNumber = Some(3L))))
+      val list3 = s"$dir/snap-3-list.avro"
+      ManifestListWriter.write(list3, Seq(mA, mDel, mB), 3L,
+        addedDataFilesCount = 1, contents = Map(mDel -> 1),
+        addedSnapshotIds = Map(mA -> 1L, mDel -> 2L),
+        addedCounts = Map(mA -> 1, mDel -> 0))
+      val snap3 = Snapshot(3L, Some(2L), T0 + 3000, Some("append"),
+        Map("added-data-files" -> "1"), Some(list3), Some(0))
+      MetadataWriter.write(s"$dir/v3.metadata.json",
+        MetadataWriter.commitSnapshot(TableMetadata.parseFile(v2), snap3, Some(v2)))
+    }
+    val meta = TableMetadata.parseFile(s"$dir/v3.metadata.json")
+    val cur = meta.currentSnapshot.get
+    // planning: (path, data-sequence-number) pairs per content kind —
+    // KB-scale metadata, same driver boundary as Iceberg's planner
+    def entriesOf(content: Int): Seq[(String, Long)] =
+      fileEntries(spark, cur, content)
+        .select(col("file_path"), col("sequence_number")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // one scan per sequence number (= per commit): the file group shares
+    // its seq constant, exactly how a scan task carries it at scale
+    val data = entriesOf(0).groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, es) =>
+      spark.read.parquet(es.map(_._1): _*)
+        .select(col("*"),
+          col("_metadata.file_path").as("_file"),
+          col("_metadata.row_index").as("_pos"),
+          lit(seq).as("_seq"))
+    }.reduce(_ unionByName _)
+    val eqDeletes = entriesOf(1).groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, es) =>
+      spark.read.parquet(es.map(_._1): _*).withColumn("_del_seq", lit(seq))
+    }.reduce(_ unionByName _)
+    Lakehouse.applyEqualityDeletesScoped(data, eqDeletes)
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        count(when(col("n_nationkey") === 2, 1)).as("n_deleted_key_present"),
+        count(when(col("n_nationkey") === 20, 1)).as("n_late_key_present"))
+      .select(lit(meta.snapshots.size).as("n_snapshots"),
+        col("n_live"), col("sum_key"),
+        col("n_deleted_key_present"), col("n_late_key_present"))
+  }
+
+  val seqScopedScanSql: String =
+    """SELECT CAST(3 AS INTEGER) AS n_snapshots, COUNT(*) AS n_live,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  COUNT(CASE WHEN n_nationkey = 2 THEN 1 END) AS n_deleted_key_present,
+      |  COUNT(CASE WHEN n_nationkey = 20 THEN 1 END) AS n_late_key_present
+      |FROM nation WHERE n_nationkey <> 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "i33_list_pruning" -> listPruning,
     "i34_eq_to_pos_rewrite" -> eqToPosRewrite,
-    "i35_sort_order_rewrite" -> sortOrderRewrite)
+    "i35_sort_order_rewrite" -> sortOrderRewrite,
+    "i36_seq_scoped_scan" -> seqScopedScan)
 
   val oracles: Map[String, String] = Map(
     "i33_list_pruning" -> listPruningSql,
     "i34_eq_to_pos_rewrite" -> eqToPosRewriteSql,
-    "i35_sort_order_rewrite" -> sortOrderRewriteSql)
+    "i35_sort_order_rewrite" -> sortOrderRewriteSql,
+    "i36_seq_scoped_scan" -> seqScopedScanSql)
 }

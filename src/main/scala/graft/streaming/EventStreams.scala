@@ -480,12 +480,19 @@ object EventStreams {
       1, snapId, f, stats.getLong(0), ParquetFiles.length(f),
       Map(1 -> SingleValueCodec.encode(IcebergTypes.TLong, stats.getLong(1))),
       Map(1 -> SingleValueCodec.encode(IcebergTypes.TLong, stats.getLong(2))))))
+    // carried-forward manifests keep their ORIGINAL provenance (spec field
+    // 503/504) read back from the previous list — list-level incremental
+    // planning on added_snapshot_id stays sound across micro-batches
     val prevManifests = cur.currentSnapshot.toSeq.flatMap(s =>
       MetadataTables.manifests(spark, s.manifestList.get)
-        .select(col("manifest_path")).collect().map(_.getString(0)))
+        .select(col("manifest_path"), col("added_snapshot_id"),
+          col("added_data_files_count"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))))
     val list = s"$out/snap-$snapId-list.avro"
-    ManifestListWriter.write(list, prevManifests :+ manifest, snapId,
-      addedDataFilesCount = 1)
+    ManifestListWriter.write(list, prevManifests.map(_._1) :+ manifest, snapId,
+      addedDataFilesCount = 1,
+      addedSnapshotIds = prevManifests.map(p => p._1 -> p._2).toMap,
+      addedCounts = prevManifests.map(p => p._1 -> p._3).toMap)
     val snap = Snapshot(snapId, cur.currentSnapshotId,
       T0 + 1000 * snapId, Some("append"),
       Map("added-data-files" -> "1"), Some(list), Some(0))

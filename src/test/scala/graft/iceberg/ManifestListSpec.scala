@@ -37,7 +37,26 @@ class ManifestListSpec extends SparkSpec {
       s"manifest_length $len != on-disk size")
     val fieldIds = ManifestListWriter.manifestFileSchema.getFields
     assert((0 until fieldIds.size).map(i => fieldIds.get(i).getProp(AvroConversions.FieldIdKey)) ==
-      Seq("500", "501", "502", "503", "504", "517"))
+      Seq("500", "501", "502", "503", "504", "517", "507"))
+  }
+
+  test("partition summaries (field 507) round-trip through the manifests table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlist-507").toString
+    val listPath = s"$dir/snap-list.avro"
+    val m = IcebergQueries.FixtureManifest
+    ManifestListWriter.write(listPath, Seq(m), 1L,
+      summaries = Map(m -> Seq(ManifestListWriter.FieldSummary(
+        containsNull = true,
+        lower = Array[Byte](1, 0, 0, 0),
+        upper = Array[Byte](9, 0, 0, 0)))))
+
+    val row = MetadataTables.manifests(spark, listPath)
+      .selectExpr("partitions[0].contains_null as cn",
+        "partitions[0].lower_bound as lo", "partitions[0].upper_bound as hi")
+      .head()
+    assert(row.getBoolean(0))
+    assert(row.getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 0, 0, 0))
+    assert(row.getAs[Array[Byte]](2).toSeq == Seq[Byte](9, 0, 0, 0))
   }
 
   test("graft-avro DSv2 source reads arbitrary Avro containers with pruning") {

@@ -13,12 +13,12 @@ object Bench {
     passes.flatten.reduceOption((a, b) => math.min(a, b))
 
   /** One compact JSON line; failed entries carry null and are excluded
-    * from the total (BenchSpec pins this). */
+    * from the total (BenchSpec pins this). Starts at 2 decimals (10 ms
+    * resolution, far below run-to-run noise) and degrades to 1 then 0
+    * decimals if the line would overflow the driver's 2000-char stdout
+    * tail — a front-truncated line is unparseable, so less precision
+    * always beats more characters. */
   def renderLine(results: Seq[(String, Option[Double])], sfDir: String): String = {
-    // 2 decimals: 10 ms resolution is far below run-to-run noise, and the
-    // saved char per entry keeps the line under the driver's 2000-char
-    // stdout tail as the entry count grows
-    def f(v: Double): String = "%.2f".format(v)
     // sfDir is environment-supplied: escape it, or a quote/backslash in the
     // path yields exactly the unparseable line this format exists to avoid
     val sf = sfDir.flatMap {
@@ -27,11 +27,16 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val qs = results.map { case (k, v) =>
-      "\"" + shortKey(k) + "\":" + v.map(f).getOrElse("null")
-    }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
-    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    def render(dec: Int): String = {
+      def f(v: Double): String = s"%.${dec}f".format(v)
+      val qs = results.map { case (k, v) =>
+        "\"" + shortKey(k) + "\":" + v.map(f).getOrElse("null")
+      }.mkString("{", ",", "}")
+      val total = results.flatMap(_._2).sum
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    }
+    Iterator(2, 1, 0).map(render).find(_.length < 1900)
+      .getOrElse(render(0))
   }
 
   def main(args: Array[String]): Unit = {

@@ -14,10 +14,10 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * summary with `operation` first, v1 flat `partition-spec` alongside
   * `partition-specs`.
   *
-  * Commit here is single-writer: producing the new document and moving the
-  * pointer is the engine's job, while multi-writer atomicity (compare-and-
-  * swap on the current-metadata pointer) belongs to the catalog layer by
-  * design — same split as Iceberg itself.
+  * The functions here are pure document transforms (single-writer by
+  * themselves); multi-writer atomicity — compare-and-swap on the
+  * versioned metadata pointer, with refresh-and-reapply on conflict — is
+  * [[OptimisticCommit]], which wraps these transforms in the CAS loop.
   */
 object MetadataWriter {
 

@@ -51,6 +51,74 @@ object ScanPlanning {
     entries.filter(keepUpper && keepLower)
   }
 
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
+
+  /** A source-column equality value converted into a partition-transform's
+    * value space — what makes Iceberg's partitioning "hidden": the reader
+    * never names partition columns, the planner derives them. Returns the
+    * transformed value and its type, or None for transforms that cannot
+    * serve an equality predicate (e.g. `void`, or a type the transform
+    * does not apply to) — unprunable, never wrong. */
+  def transformValue(transform: String, sourceType: IcebergType, value: Any): Option[(IcebergType, Any)] =
+    (transform, sourceType, value) match {
+      case ("identity", t, v) => Some((t, v))
+      case (BucketRe(n), TInt, v: Int) =>
+        Some((TInt, PartitionTransforms.bucketLong(v.toLong, n.toInt)))
+      case (BucketRe(n), TLong, v: Long) =>
+        Some((TInt, PartitionTransforms.bucketLong(v, n.toInt)))
+      case (BucketRe(n), TString, v: String) =>
+        Some((TInt, PartitionTransforms.bucketString(v, n.toInt)))
+      case (TruncateRe(w), TInt, v: Int) =>
+        Some((TInt, PartitionTransforms.truncateLong(v.toLong, w.toLong).toInt))
+      case (TruncateRe(w), TLong, v: Long) =>
+        Some((TLong, PartitionTransforms.truncateLong(v, w.toLong)))
+      case (TruncateRe(w), TString, v: String) =>
+        Some((TString, PartitionTransforms.truncateString(v, w.toInt)))
+      case ("year", TDate, v: Int) => Some((TInt, PartitionTransforms.yearOrdinal(v)))
+      case ("month", TDate, v: Int) => Some((TInt, PartitionTransforms.monthOrdinal(v)))
+      case ("day", TDate, v: Int) => Some((TInt, PartitionTransforms.dayOrdinal(v)))
+      case _ => None
+    }
+
+  private def cmpValues(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Number, y: Number) =>
+      Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Manifest-level hidden-partition pruning: convert `sourceFieldId = value`
+    * into each manifest's partition-transform space and test it against the
+    * manifest-list's field-507 summaries — manifests whose summary interval
+    * cannot contain the transformed value are skipped WITHOUT BEING OPENED.
+    * Spec-id aware (each manifest prunes under ITS spec, the i32 mixed-spec
+    * rule); a manifest with no summary, an unknown transform, or an
+    * undecodable bound survives — pruning is conservative. Driver cost is
+    * one KB-scale list read, the same boundary as Iceberg's planner. */
+  def pruneManifestsByTransform(listPath: String, meta: TableMetadata,
+      sourceFieldId: Int, value: Any): Seq[ManifestListReader.ManifestFileInfo] = {
+    val sourceType = IcebergTypes.fromString(meta.fieldTypes(sourceFieldId))
+    ManifestListReader.read(listPath).filter { info =>
+      val keep = for {
+        spec <- meta.partitionSpecs.find(_.specId == info.specId)
+        sums <- info.summaries
+      } yield spec.fields.zip(sums).forall { case (pf, s) =>
+        if (pf.sourceId != sourceFieldId) true
+        else transformValue(pf.transform, sourceType, value) match {
+          case Some((tType, tv)) =>
+            val loOk = s.lower.flatMap(b =>
+              cmpValues(SingleValueCodec.decode(tType, b), tv)).forall(_ <= 0)
+            val hiOk = s.upper.flatMap(b =>
+              cmpValues(SingleValueCodec.decode(tType, b), tv)).forall(_ >= 0)
+            loOk && hiOk
+          case None => true
+        }
+      }
+      keep.getOrElse(true)
+    }
+  }
+
   /** Surviving data-file paths for an equality/range predicate — feed for
     * `spark.read.parquet(paths: _*)`. */
   def planFiles(

@@ -74,24 +74,25 @@ object LakehouseMaint {
     }
     val meta = TableMetadata.parseFile(s"$dir/v1.metadata.json")
     val cur = meta.currentSnapshot.get
-    // planning reads ONLY the list (KB-scale): predicate vs summary
-    val listed = MetadataTables.manifests(spark, cur.manifestList.get)
-      .select(col("manifest_path"), col("partitions"))
-      .collect()
-    val surviving = listed.filter { r =>
-      val s = r.getSeq[org.apache.spark.sql.Row](1).head
-      val lo = SingleValueCodec.decode(TInt, s.getAs[Array[Byte]]("lower_bound")).asInstanceOf[Int]
-      val hi = SingleValueCodec.decode(TInt, s.getAs[Array[Byte]]("upper_bound")).asInstanceOf[Int]
-      lo <= 3 && 3 <= hi
-    }.map(_.getString(0)).toIndexedSeq
-    // only survivors are ever opened; the skipped manifests' files stay
-    // unknown to this scan entirely
-    val files = surviving.flatMap(m => ManifestWriter.read(m).map(_.filePath))
+    val listPath = cur.manifestList.get
+    val nTotal = ManifestListReader.read(listPath).size
+    // the DSv2 two-level route: `manifest-list` resolves the manifest set
+    // and its field-507 summaries; the pushed bound filters prune
+    // non-matching manifests at the LIST level (never opened), survivors
+    // get the entry-level probe — one InputPartition per opened manifest
+    val survivors = spark.read.format("graft-manifest")
+      .option("metadata", s"$dir/v1.metadata.json")
+      .option("manifest-list", listPath)
+      .load()
+      .filter(col("lower_n_regionkey") <= 3 && col("upper_n_regionkey") >= 3)
+      .select(col("data_file.file_path"))
+    val nOpened = survivors.rdd.getNumPartitions
+    val files = survivors.collect().map(_.getString(0)).toIndexedSeq
     spark.read.parquet(files: _*)
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))
-      .select(lit(listed.length).as("n_manifests_total"),
-        lit(surviving.size).as("n_manifests_opened"),
+      .select(lit(nTotal).as("n_manifests_total"),
+        lit(nOpened).as("n_manifests_opened"),
         lit(files.size).as("n_files_scanned"),
         col("n_rows"), col("sum_key"))
   }
@@ -373,15 +374,190 @@ object LakehouseMaint {
       |  COUNT(CASE WHEN n_nationkey = 20 THEN 1 END) AS n_late_key_present
       |FROM nation WHERE n_nationkey <> 2""".stripMargin
 
+  // ---------------------------------------------------------------- i37
+  /** Hidden-partition transform pruning at scan time. The table is
+    * written bucket[4](n_nationkey)-partitioned — one file+manifest per
+    * bucket, the spec recorded in the committed metadata, each manifest's
+    * field-507 summary carrying its bucket ordinal (partition summaries
+    * live in TRANSFORM space, that's what makes them prunable without
+    * reading data). The scan for `n_nationkey = 17` never names a
+    * partition column: planning converts 17 through the spec's transform
+    * (murmur3 bucket — ScanPlanning.transformValue), tests the bucket
+    * ordinal against each summary, and opens exactly 1 of 4 manifests;
+    * a key-BOUNDS check could never prune here because every bucket file
+    * spans nearly the full key range — that is precisely what hidden
+    * partitioning adds over min/max stats. Residual `n_nationkey = 17`
+    * still applies in the data scan (bucket membership is necessary, not
+    * sufficient). */
+  val transformPrunedScan: Q = (spark, sfDir) => {
+    val dir = entryDir("i37", sfDir)
+    val NBuckets = 4
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      val bucketed = nation.withColumn("_bucket",
+        graft.functions.GraftFunctions.icebergBucket(spark, col("n_nationkey"), NBuckets))
+      val manifests = inParallel(0 until NBuckets) { b =>
+        val f = s"$dir/data/bucket-$b.parquet"
+        writeOneParquet(bucketed.filter(col("_bucket") === b)
+          .drop("_bucket").orderBy(col("n_nationkey")), f)
+        val m = s"$dir/m-$b.avro"
+        ManifestWriter.write(m, Seq(deriveEntry(spark, f, snapshotId = 1L)))
+        // summary in transform space: this manifest holds exactly bucket b
+        m -> ManifestListWriter.FieldSummary(containsNull = false,
+          SingleValueCodec.encode(TInt, b), SingleValueCodec.encode(TInt, b))
+      }
+      val list1 = s"$dir/snap-1-list.avro"
+      ManifestListWriter.write(list1, manifests.map(_._1), 1L,
+        addedDataFilesCount = 1,
+        summaries = manifests.map { case (m, s) => m -> Seq(s) }.toMap)
+      val snap1 = Snapshot(1L, None, T0 + 1000, Some("append"),
+        Map("added-data-files" -> NBuckets.toString), Some(list1), Some(0))
+      val withSpec = baseMetadata(dir).copy(partitionSpecs = Seq(PartitionSpec(0,
+        Seq(PartitionField("n_nationkey_bucket", s"bucket[$NBuckets]", 1, 1000)))))
+      MetadataWriter.write(s"$dir/v1.metadata.json",
+        MetadataWriter.commitSnapshot(withSpec, snap1, None))
+    }
+    val meta = TableMetadata.parseFile(s"$dir/v1.metadata.json")
+    val cur = meta.currentSnapshot.get
+    // hidden-partition planning: source predicate → transform space →
+    // summary test; only the matching bucket's manifest is ever opened
+    val surviving = ScanPlanning.pruneManifestsByTransform(
+      cur.manifestList.get, meta, sourceFieldId = 1, value = 17)
+    val files = surviving.flatMap(i => ManifestWriter.read(i.path).map(_.filePath))
+    spark.read.parquet(files: _*)
+      .filter(col("n_nationkey") === 17) // residual within the bucket
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(lit(NBuckets).as("n_manifests_total"),
+        lit(surviving.size).as("n_manifests_opened"),
+        col("n_rows"), col("sum_key"))
+  }
+
+  val transformPrunedScanSql: String =
+    """SELECT CAST(4 AS INTEGER) AS n_manifests_total,
+      |  CAST(1 AS INTEGER) AS n_manifests_opened,
+      |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_nationkey = 17""".stripMargin
+
+  // ---------------------------------------------------------------- i38
+  /** Delete-aware incremental scan — the CDC changelog read that completes
+    * i30 (append-only consumption). Timeline: snapshot 1 appends keys <20
+    * (two files); snapshot 2 is a position-delete DML (region 2); snapshot
+    * 3 appends keys >=20. The changelog over (1, 3] emits one (op, row)
+    * stream per snapshot, all resolved from the committed documents:
+    * INSERTs are the rows of data files whose manifest entry is
+    * (status=ADDED, snapshot_id=s); DELETEs are the data rows addressed by
+    * the position-delete files the snapshot added — materialized by an
+    * inner join of (file_path, pos) against the parquet `_metadata`
+    * address of the PRE-DELETE file set, exactly how a changelog reader
+    * turns physical delete vectors back into logical rows. Both sides are
+    * distributed scans; the only driver state is the KB-scale file lists. */
+  val changelogScan: Q = (spark, sfDir) => {
+    val dir = entryDir("i38", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val v1 = buildBase(spark, sfDir, dir, ranges = Seq((0, 10), (10, 20)))
+      val base = TableMetadata.parseFile(v1)
+      val snap1 = base.currentSnapshot.get
+      val paths = filePaths(spark, snap1)
+      // snapshot 2: position-delete DML (the i22 write path)
+      val delFile = s"$dir/data/delete-00000.parquet"
+      writeOneParquet(
+        spark.read.parquet(paths: _*)
+          .select(col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("pos"), col("n_regionkey"))
+          .filter(col("n_regionkey") === 2)
+          .select(col("file_path"), col("pos"))
+          .orderBy(col("file_path"), col("pos")), delFile)
+      val delManifest = s"$dir/m-del.avro"
+      ManifestWriter.write(delManifest, Seq(ManifestWriter.EntryData(
+        1, 2L, delFile, spark.read.parquet(delFile).count(), fileLen(delFile),
+        Map.empty, Map.empty, content = 1, sequenceNumber = Some(2L))))
+      val list2 = s"$dir/snap-2-list.avro"
+      ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", delManifest), 2L,
+        addedDataFilesCount = 0, contents = Map(delManifest -> 1),
+        addedSnapshotIds = Map(s"$dir/m-0.avro" -> 1L),
+        addedCounts = Map(s"$dir/m-0.avro" -> paths.size))
+      val snap2 = Snapshot(2L, Some(1L), snap1.timestampMs + 1000, Some("delete"),
+        Map("added-delete-files" -> "1"), Some(list2), Some(0))
+      val v2 = s"$dir/v2.metadata.json"
+      MetadataWriter.write(v2, MetadataWriter.commitSnapshot(base, snap2, Some(v1)))
+      // snapshot 3: late append (keys >= 20)
+      val f3 = s"$dir/data/nation-append-00000.parquet"
+      writeOneParquet(Tables.load(spark, sfDir, "nation")
+        .filter(col("n_nationkey") >= 20).orderBy(col("n_nationkey")), f3)
+      val m3 = s"$dir/m-1.avro"
+      ManifestWriter.write(m3, Seq(deriveEntry(spark, f3, 3L)
+        .copy(sequenceNumber = Some(3L))))
+      val list3 = s"$dir/snap-3-list.avro"
+      ManifestListWriter.write(list3, Seq(s"$dir/m-0.avro", delManifest, m3), 3L,
+        addedDataFilesCount = 1, contents = Map(delManifest -> 1),
+        addedSnapshotIds = Map(s"$dir/m-0.avro" -> 1L, delManifest -> 2L),
+        addedCounts = Map(s"$dir/m-0.avro" -> paths.size, delManifest -> 0))
+      val snap3 = Snapshot(3L, Some(2L), snap1.timestampMs + 2000, Some("append"),
+        Map("added-data-files" -> "1"), Some(list3), Some(0))
+      MetadataWriter.write(s"$dir/v3.metadata.json",
+        MetadataWriter.commitSnapshot(TableMetadata.parseFile(v2), snap3, Some(v2)))
+    }
+    val meta = TableMetadata.parseFile(s"$dir/v3.metadata.json")
+    val changes = meta.snapshots.filter(_.snapshotId > 1L).sortBy(_.snapshotId).map { s =>
+      val entries = ManifestReader.entries(spark,
+        MetadataTables.manifests(spark, s.manifestList.get)
+          .select(col("manifest_path")).collect().map(_.getString(0)).toSeq)
+        .filter(col("snapshot_id") === s.snapshotId && col("status") === 1)
+        .select(col("data_file.file_path").as("file_path"),
+          col("data_file.content").as("content"))
+        .collect() // KB-scale: the files THIS snapshot added
+      val added = entries.filter(_.getInt(1) == 0).map(_.getString(0)).toIndexedSeq
+      val posDeletes = entries.filter(_.getInt(1) == 1).map(_.getString(0)).toIndexedSeq
+      val inserts =
+        if (added.isEmpty) None
+        else Some(spark.read.parquet(added: _*)
+          .select(lit(s.snapshotId).as("snapshot_id"), lit("insert").as("op"),
+            col("n_nationkey"), col("n_regionkey")))
+      val deletes =
+        if (posDeletes.isEmpty) None
+        else {
+          // resolve delete addresses against the PRE-snapshot data files
+          val preSnap = meta.snapshot(s.parentSnapshotId.get).get
+          val data = spark.read.parquet(filePaths(spark, preSnap): _*)
+            .select(col("*"),
+              col("_metadata.file_path").as("_file"),
+              col("_metadata.row_index").as("_pos"))
+          val del = spark.read.parquet(posDeletes: _*)
+          Some(data.join(del,
+            data("_file") === del("file_path") && data("_pos") === del("pos"))
+            .select(lit(s.snapshotId).as("snapshot_id"), lit("delete").as("op"),
+              col("n_nationkey"), col("n_regionkey")))
+        }
+      (inserts.toSeq ++ deletes.toSeq).reduceOption(_ unionByName _)
+    }
+    changes.flatten.reduce(_ unionByName _)
+      .orderBy(col("snapshot_id"), col("n_nationkey"))
+  }
+
+  val changelogScanSql: String =
+    """SELECT * FROM (
+      |  SELECT CAST(2 AS BIGINT) AS snapshot_id, 'delete' AS op,
+      |    n_nationkey, n_regionkey
+      |  FROM nation WHERE n_regionkey = 2 AND n_nationkey < 20
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'insert', n_nationkey, n_regionkey
+      |  FROM nation WHERE n_nationkey >= 20)
+      |ORDER BY snapshot_id, n_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i38_changelog_scan" -> changelogScan,
     "i33_list_pruning" -> listPruning,
     "i34_eq_to_pos_rewrite" -> eqToPosRewrite,
     "i35_sort_order_rewrite" -> sortOrderRewrite,
-    "i36_seq_scoped_scan" -> seqScopedScan)
+    "i36_seq_scoped_scan" -> seqScopedScan,
+    "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i38_changelog_scan" -> changelogScanSql,
     "i33_list_pruning" -> listPruningSql,
     "i34_eq_to_pos_rewrite" -> eqToPosRewriteSql,
     "i35_sort_order_rewrite" -> sortOrderRewriteSql,
-    "i36_seq_scoped_scan" -> seqScopedScanSql)
+    "i36_seq_scoped_scan" -> seqScopedScanSql,
+    "i37_transform_pruned_scan" -> transformPrunedScanSql)
 }

@@ -46,19 +46,55 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
   // file (see AvroContainerDataSource for the generic-name registration)
 
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    // `manifest-list` resolves the manifest set FROM the snapshot's list
+    // container (one KB-scale driver read) — the two-level planning entry
+    // point; explicit load() paths are the direct route
+    val fromList = Option(options.get("manifest-list")).toSeq
+      .flatMap(l => graft.iceberg.ManifestListReader.read(l).map(_.path))
     // multi-path load() hands the source a JSON-encoded string array
     val multi = Option(options.get("paths")).map { s =>
       new com.fasterxml.jackson.databind.ObjectMapper()
         .readValue(s, classOf[Array[String]]).toSeq
     }.getOrElse(Nil)
     val single = Option(options.get("path")).toSeq
-    val all = (multi ++ single).filter(_.nonEmpty)
-    require(all.nonEmpty, "graft-manifest requires a path")
+    val all = (fromList ++ multi ++ single).filter(_.nonEmpty).distinct
+    require(all.nonEmpty, "graft-manifest requires a path or a manifest-list")
     all
   }
 
   private def virtuals(options: CaseInsensitiveStringMap): Seq[VirtualBoundCol] =
     Option(options.get("metadata")).map(VirtualBoundCol.fromMetadata).getOrElse(Nil)
+
+  /** Per-manifest aggregate partition bounds decoded from the list's
+    * field-507 summaries, keyed by the same virtual column names filters
+    * push on: `lower_<col>` → min-over-files lower bound, `upper_<col>` →
+    * max-over-files upper. Only identity-transform spec fields map to a
+    * source column's value domain; others stay unpruned (conservative).
+    * Needs both the list (summaries) and the metadata (spec + types). */
+  private def listBounds(options: CaseInsensitiveStringMap): Map[String, Map[String, Any]] =
+    (Option(options.get("manifest-list")), Option(options.get("metadata"))) match {
+      case (Some(list), Some(metaPath)) =>
+        val meta = TableMetadata.parseFile(metaPath)
+        val fieldsById = meta.currentSchema.fields.map(f => f.id -> f).toMap
+        graft.iceberg.ManifestListReader.read(list).flatMap { info =>
+          val spec = meta.partitionSpecs.find(_.specId == info.specId)
+          (spec, info.summaries) match {
+            case (Some(sp), Some(sums)) =>
+              val bounds = sp.fields.zip(sums).flatMap { case (pf, s) =>
+                if (pf.transform != "identity") Nil
+                else fieldsById.get(pf.sourceId).toSeq.flatMap { f =>
+                  IcebergTypes.fromStringOpt(f.fieldType).toSeq.flatMap { t =>
+                    s.lower.map(b => s"lower_${f.name}" -> SingleValueCodec.decode(t, b)).toSeq ++
+                      s.upper.map(b => s"upper_${f.name}" -> SingleValueCodec.decode(t, b)).toSeq
+                  }
+                }
+              }.toMap
+              if (bounds.isEmpty) Nil else Seq(info.path -> bounds)
+            case _ => Nil
+          }
+        }.toMap
+      case _ => Map.empty
+    }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val writer = graft.iceberg.ManifestReader.avroSchema(paths(options).head)
@@ -71,7 +107,8 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new ManifestTable(schema, paths(opts),
-      graft.iceberg.ManifestReader.avroSchema(paths(opts).head).toString, virtuals(opts))
+      graft.iceberg.ManifestReader.avroSchema(paths(opts).head).toString, virtuals(opts),
+      listBounds(opts))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -105,18 +142,20 @@ object VirtualBoundCol {
 }
 
 class ManifestTable(schema: StructType, paths: Seq[String], writerSchemaJson: String,
-    virtuals: Seq[VirtualBoundCol])
+    virtuals: Seq[VirtualBoundCol],
+    listBounds: Map[String, Map[String, Any]] = Map.empty)
     extends Table with SupportsRead {
   override def name(): String = s"graft-manifest(${paths.mkString(",")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(schema, paths, writerSchemaJson, virtuals)
+    new ManifestScanBuilder(schema, paths, writerSchemaJson, virtuals, listBounds)
 }
 
 class ManifestScanBuilder(fullSchema: StructType, paths: Seq[String], writerSchemaJson: String,
-    virtuals: Seq[VirtualBoundCol])
+    virtuals: Seq[VirtualBoundCol],
+    listBounds: Map[String, Map[String, Any]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit {
   private var required: StructType = fullSchema
@@ -145,7 +184,7 @@ class ManifestScanBuilder(fullSchema: StructType, paths: Seq[String], writerSche
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan =
-    new ManifestScan(required, paths, writerSchemaJson, virtuals, pushed, limit)
+    new ManifestScan(required, paths, writerSchemaJson, virtuals, pushed, limit, listBounds)
 }
 
 object ManifestScan {
@@ -157,7 +196,8 @@ object ManifestScan {
 
 class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: String,
     virtuals: Seq[VirtualBoundCol], filters: Array[sources.Filter],
-    limit: Int = Int.MaxValue)
+    limit: Int = Int.MaxValue,
+    listBounds: Map[String, Map[String, Any]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
 
@@ -197,13 +237,22 @@ class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: S
   override def toBatch: Batch = this
 
   /** Manifests where no entry can satisfy the pushed filters produce no
-    * partition at all — stats-based scan pruning at planning time. The
-    * driver-side pass mirrors Iceberg's own planning (manifests are
-    * KB-sized; at larger manifest counts this pass itself is a Spark job —
-    * see ScanPlanning.planFiles for the distributed form). */
+    * partition at all — stats-based scan pruning at planning time, in the
+    * two Iceberg levels. Level 1 (list): manifests whose partition
+    * summaries prove the filters unsatisfiable are dropped WITHOUT EVER
+    * BEING OPENED — at millions of files this keeps planning proportional
+    * to matching manifests. Level 2 (entry): survivors are probed by
+    * decoding their entries against the filters. The driver-side pass
+    * mirrors Iceberg's own planning (manifests are KB-sized; at larger
+    * manifest counts this pass itself is a Spark job — see
+    * ScanPlanning.planFiles for the distributed form). */
   override def planInputPartitions(): Array[InputPartition] = {
+    val listSurvivors =
+      if (filters.isEmpty || listBounds.isEmpty) paths
+      else paths.filterNot(p =>
+        ListPruneEval.skippable(filters, listBounds.getOrElse(p, Map.empty)))
     val survivors =
-      if (filters.isEmpty) paths
+      if (filters.isEmpty) listSurvivors
       else {
         val probeSchema = EntryFilterEval.schemaForRefs(
           filters.flatMap(_.references).toSet,
@@ -212,11 +261,11 @@ class ManifestScan(required: StructType, paths: Seq[String], writerSchemaJson: S
         // read, so planning latency stays flat as the manifest count grows
         // (the driver-side analog of Iceberg's planning thread pool)
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(8, math.max(1, paths.size)))
+          math.min(8, math.max(1, listSurvivors.size)))
         try {
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.fromExecutorService(pool)
-          val checks = paths.map { p =>
+          val checks = listSurvivors.map { p =>
             p -> scala.concurrent.Future {
               val probe = new ManifestPartitionReader(
                 p, probeSchema, writerSchemaJson, virtuals, filters,
@@ -337,7 +386,7 @@ object EntryFilterEval {
     * numerics widen through BigDecimal — except NaN/Infinity, which
     * BigDecimal cannot represent: those yield None (row conservatively
     * kept), never an exception. */
-  private def cmp(left: Option[Any], right: Any): Option[Int] = left.flatMap { lv =>
+  private[sources] def cmp(left: Option[Any], right: Any): Option[Int] = left.flatMap { lv =>
     if (lv == null || right == null) None
     else (lv, right) match {
       case (a: Number, b: Number) =>
@@ -352,6 +401,77 @@ object EntryFilterEval {
       case _ => None
     }
   }
+}
+
+/** List-level (manifest-skipping) filter evaluation — EXISTENTIAL
+  * semantics, distinct from EntryFilterEval's per-row logic: the question
+  * is "can ANY entry in this manifest satisfy the filter?", answered from
+  * the manifest-list's aggregate partition summaries. `bounds` maps
+  * `lower_<col>` to the manifest's MIN over file lower bounds and
+  * `upper_<col>` to its MAX over file uppers, so:
+  *   - `lower_c <= v` is satisfiable iff min-lower <= v (exact);
+  *   - `upper_c >= v` is satisfiable iff max-upper >= v (exact);
+  *   - the reverse directions (`lower_c >= v`, `upper_c <= v`) are only
+  *     one-sided — the aggregate can prove satisfiable, never empty;
+  *   - And must NOT conjoin existentials (a manifest can satisfy A and B
+  *     in different files) — only a definitely-false side skips;
+  *   - Not is never decidable from aggregates.
+  * Some(false) = provably no matching entry (safe to skip unopened);
+  * anything else keeps the manifest for the entry-level probe. */
+object ListPruneEval {
+
+  def sat(f: sources.Filter, bounds: Map[String, Any]): Option[Boolean] = {
+    def minLower(a: String): Option[Any] =
+      if (a.startsWith("lower_")) bounds.get(a) else None
+    def maxUpper(a: String): Option[Any] =
+      if (a.startsWith("upper_")) bounds.get(a) else None
+    f match {
+      case sources.LessThan(a, v) =>
+        minLower(a).flatMap(lo => EntryFilterEval.cmp(Some(lo), v).map(_ < 0))
+          .orElse(maxUpper(a).flatMap(hi =>
+            EntryFilterEval.cmp(Some(hi), v).flatMap(c => if (c < 0) Some(true) else None)))
+      case sources.LessThanOrEqual(a, v) =>
+        minLower(a).flatMap(lo => EntryFilterEval.cmp(Some(lo), v).map(_ <= 0))
+          .orElse(maxUpper(a).flatMap(hi =>
+            EntryFilterEval.cmp(Some(hi), v).flatMap(c => if (c <= 0) Some(true) else None)))
+      case sources.GreaterThan(a, v) =>
+        maxUpper(a).flatMap(hi => EntryFilterEval.cmp(Some(hi), v).map(_ > 0))
+          .orElse(minLower(a).flatMap(lo =>
+            EntryFilterEval.cmp(Some(lo), v).flatMap(c => if (c > 0) Some(true) else None)))
+      case sources.GreaterThanOrEqual(a, v) =>
+        maxUpper(a).flatMap(hi => EntryFilterEval.cmp(Some(hi), v).map(_ >= 0))
+          .orElse(minLower(a).flatMap(lo =>
+            EntryFilterEval.cmp(Some(lo), v).flatMap(c => if (c >= 0) Some(true) else None)))
+      case sources.EqualTo(a, v) =>
+        // lower_c = v needs a file-lower equal to v: impossible when even
+        // the minimum exceeds v; upper_c = v: impossible when the maximum
+        // is below v. Equality at the aggregate itself proves existence.
+        minLower(a).flatMap(lo => EntryFilterEval.cmp(Some(lo), v).flatMap(c =>
+          if (c > 0) Some(false) else if (c == 0) Some(true) else None))
+          .orElse(maxUpper(a).flatMap(hi => EntryFilterEval.cmp(Some(hi), v).flatMap(c =>
+            if (c < 0) Some(false) else if (c == 0) Some(true) else None)))
+      case sources.In(a, vs) =>
+        val results = vs.toSeq.map(v => sat(sources.EqualTo(a, v), bounds))
+        if (results.exists(_.contains(true))) Some(true)
+        else if (results.nonEmpty && results.forall(_.contains(false))) Some(false)
+        else None
+      case sources.And(l, r) => (sat(l, bounds), sat(r, bounds)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case _ => None
+      }
+      case sources.Or(l, r) => (sat(l, bounds), sat(r, bounds)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** True when any pushed filter is provably unsatisfiable over the whole
+    * manifest (pushed filters are conjunctive at the top level). */
+  def skippable(filters: Array[sources.Filter], bounds: Map[String, Any]): Boolean =
+    bounds.nonEmpty && filters.exists(f => sat(f, bounds).contains(false))
 }
 
 /** Streams one manifest file; projection happens inside Avro decode via a

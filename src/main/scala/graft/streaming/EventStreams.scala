@@ -513,33 +513,41 @@ object EventStreams {
     * the table scan equals the stream input, the snapshot parent chain is
     * linear, and the manifests' record counts reconcile with the scan —
     * regardless of how many micro-batches the source chose. */
+  /** The st11 build: an empty lakehouse table at `out`, then the whole
+    * events stream ingested through foreachBatch — one append snapshot
+    * per micro-batch. Shared by st11 (ingest alone) and st12 (ingest
+    * composed with maintenance). */
+  private def runIngest(spark: SparkSession, dir: String, out: String): Unit = {
+    import spark.implicits._
+    import graft.iceberg._
+    val T0 = 1700000000000L
+    val schema = IcebergSchema(0, Seq(
+      IcebergField(1, "event_id", required = false, "long"),
+      IcebergField(2, "event_type", required = false, "string"),
+      IcebergField(3, "value", required = false, "double")))
+    MetadataWriter.write(s"$out/v1.metadata.json", TableMetadata(
+      2, "b6b9a6a1-0000-4000-8000-0000000000s1", out, T0, None, Some(0),
+      Seq(schema), Seq(PartitionSpec(0, Nil)), 0, Seq(SortOrder(0, Nil)), 0,
+      Map.empty, None, Nil, Nil, Nil, Nil))
+    var version = 1 // foreachBatch runs sequentially on the driver
+    val q = eventsStream(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        version = ingestBatch(spark, out, df, id, version); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   val streamTableIngest: Q = (spark, dir) => {
     import spark.implicits._
     import graft.iceberg._
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-st11-${ProcessHandle.current().pid()}",
       dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    val T0 = 1700000000000L
-    graft.TmpOutputs.ensure(out) {
-      val schema = IcebergSchema(0, Seq(
-        IcebergField(1, "event_id", required = false, "long"),
-        IcebergField(2, "event_type", required = false, "string"),
-        IcebergField(3, "value", required = false, "double")))
-      MetadataWriter.write(s"$out/v1.metadata.json", TableMetadata(
-        2, "b6b9a6a1-0000-4000-8000-0000000000s1", out, T0, None, Some(0),
-        Seq(schema), Seq(PartitionSpec(0, Nil)), 0, Seq(SortOrder(0, Nil)), 0,
-        Map.empty, None, Nil, Nil, Nil, Nil))
-      var version = 1 // foreachBatch runs sequentially on the driver
-      val q = eventsStream(spark, dir)
-        .select($"event_id", $"event_type", $"value")
-        .writeStream
-        .foreachBatch { (df: DataFrame, id: Long) =>
-          version = ingestBatch(spark, out, df, id, version); ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    graft.TmpOutputs.ensure(out) { runIngest(spark, dir, out) }
     // read-back: newest committed document only
     import graft.iceberg._
     val fs = HadoopConfs.fileSystemFor(out)
@@ -575,7 +583,84 @@ object EventStreams {
       |  TRUE AS chain_ok, TRUE AS stats_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- st12
+  /** Streaming ingest COMPOSED with table maintenance: the st11 ingest
+    * leaves one small file and one manifest per micro-batch — the classic
+    * streaming-table pathology — and this entry proves the i21-style
+    * compaction runs over that streaming-created metadata. All data files
+    * of the streamed table are rewritten into one, stats re-derived from
+    * the compacted file, and the replace snapshot commits through
+    * [[graft.iceberg.OptimisticCommit]] — the CAS loop a maintenance
+    * process on a LIVE streaming table needs, because the ingest may race
+    * it with another append (here the snapshot id and parent are derived
+    * from the REFRESHED base inside the update, so a retry lands on
+    * whatever the stream committed meanwhile). The read-back resolves the
+    * newest committed document only: one data file, a `replace` head
+    * snapshot, and the full stream content intact. */
+  val streamCompaction: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.iceberg._
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-st12-${ProcessHandle.current().pid()}",
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    graft.TmpOutputs.ensure(out) {
+      runIngest(spark, dir, out)
+      // compaction: every data file of the streamed head -> one sorted file
+      val preMeta = TableMetadata.parseFile(
+        OptimisticCommit.metadataPath(out, OptimisticCommit.currentVersion(out)))
+      val preSnap = preMeta.currentSnapshot.getOrElse(
+        throw new IllegalStateException("ingest committed no snapshot"))
+      val preFiles = MetadataTables.manifests(spark, preSnap.manifestList.get)
+        .select(col("manifest_path")).collect().map(_.getString(0)).toSeq
+        .flatMap(m => ManifestWriter.read(m).map(_.filePath)).distinct
+      val compacted = s"$out/data/compacted-00000.parquet"
+      ParquetFiles.writeOne(
+        spark.read.parquet(preFiles: _*).orderBy($"event_id"), compacted)
+      val stats = spark.read.parquet(compacted)
+        .agg(count(lit(1)), min($"event_id"), max($"event_id")).head()
+      OptimisticCommit.commit(out, (base, basePath) => {
+        val snapId = base.snapshots.map(_.snapshotId).max + 1
+        val manifest = s"$out/m-compacted-$snapId.avro"
+        ManifestWriter.write(manifest, Seq(ManifestWriter.EntryData(
+          1, snapId, compacted, stats.getLong(0), ParquetFiles.length(compacted),
+          Map(1 -> SingleValueCodec.encode(IcebergTypes.TLong, stats.getLong(1))),
+          Map(1 -> SingleValueCodec.encode(IcebergTypes.TLong, stats.getLong(2))))))
+        val list = s"$out/snap-$snapId-list.avro"
+        ManifestListWriter.write(list, Seq(manifest), snapId, addedDataFilesCount = 1)
+        MetadataWriter.commitSnapshot(base,
+          Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+            Some("replace"),
+            Map("added-data-files" -> "1",
+              "deleted-data-files" -> preFiles.size.toString),
+            Some(list), Some(0)),
+          Some(basePath))
+      })
+    }
+    // read-back: newest committed document only
+    val meta = TableMetadata.parseFile(
+      OptimisticCommit.metadataPath(out, OptimisticCommit.currentVersion(out)))
+    val cur = meta.currentSnapshot.get
+    val files = MetadataTables.manifests(spark, cur.manifestList.get)
+      .select(col("manifest_path")).collect().map(_.getString(0)).toSeq
+      .flatMap(m => ManifestWriter.read(m).map(_.filePath)).distinct
+    spark.read.parquet(files: _*)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
+      .select($"event_type", $"n_events", $"total_value",
+        lit(files.size).as("n_files_after"),
+        lit(cur.operation.getOrElse("")).as("op"))
+      .orderBy($"event_type")
+  }
+
+  val streamCompactionSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  CAST(1 AS INTEGER) AS n_files_after, 'replace' AS op
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st12_stream_compaction" -> streamCompaction,
     "st11_table_ingest" -> streamTableIngest,
     "st10_complete_rollup" -> streamCompleteRollup,
     "st09_foreach_batch_sink" -> streamForeachBatchSink,
@@ -589,6 +674,7 @@ object EventStreams {
     "st05_stream_dedup" -> streamDedup)
 
   val oracles: Map[String, String] = Map(
+    "st12_stream_compaction" -> streamCompactionSql,
     "st11_table_ingest" -> streamTableIngestSql,
     "st10_complete_rollup" -> streamCompleteRollupSql,
     "st09_foreach_batch_sink" -> streamForeachBatchSinkSql,

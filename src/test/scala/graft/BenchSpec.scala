@@ -27,8 +27,15 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("all-entries line stays under the driver's 2000-char stdout tail") {
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Some(123.456))
-    val line = Bench.renderLine(results, "/root/testdata/sf0.1")
-    assert(line.length < 1900, s"bench line too long: ${line.length}")
+    // worst case: every entry takes 100+ seconds — precision degrades
+    // rather than overflowing the driver's tail
+    val wide = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Some(123.456))
+    val wideLine = Bench.renderLine(wide, "/root/testdata/sf0.1")
+    assert(wideLine.length < 1900, s"bench line too long: ${wideLine.length}")
+    // normal case: sub-10s entries keep the full 2-decimal resolution
+    val typical = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Some(1.234))
+    val typicalLine = Bench.renderLine(typical, "/root/testdata/sf0.1")
+    assert(typicalLine.length < 1900)
+    assert(typicalLine.contains(":1.23"), "typical line must keep 2 decimals")
   }
 }

@@ -39,15 +39,35 @@ object OptimisticCommit {
   def metadataPath(tableDir: String, version: Int): String =
     s"$tableDir/v$version.metadata.json"
 
-  /** Latest committed version by listing the table dir (0 = uninitialized).
-    * One KB-scale directory listing — the refresh step's cost. */
+  private def hintPath(tableDir: String) = new Path(s"$tableDir/version-hint.text")
+
+  /** Latest committed version. The `version-hint.text` a winner drops
+    * (HadoopCatalog's layout) makes refresh O(1): read the hint, walk
+    * FORWARD while the next version exists — the hint may be stale (it is
+    * written best-effort after the claim), never wrong as a lower bound.
+    * No/garbage hint falls back to one directory listing. */
   def currentVersion(tableDir: String): Int = {
     val fs = HadoopConfs.fileSystemFor(tableDir)
     val dir = new Path(tableDir)
-    if (!fs.exists(dir)) 0
-    else fs.listStatus(dir).map(_.getPath.getName).collect {
-      case VersionRe(n) => n.toInt
-    }.foldLeft(0)(math.max)
+    if (!fs.exists(dir)) return 0
+    val hinted =
+      try {
+        val in = fs.open(hintPath(tableDir))
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        val v = txt.toInt
+        if (v > 0 && fs.exists(new Path(metadataPath(tableDir, v)))) Some(v) else None
+      } catch { case _: Exception => None }
+    hinted match {
+      case Some(v0) =>
+        var v = v0
+        while (fs.exists(new Path(metadataPath(tableDir, v + 1)))) v += 1
+        v
+      case None =>
+        fs.listStatus(dir).map(_.getPath.getName).collect {
+          case VersionRe(n) => n.toInt
+        }.foldLeft(0)(math.max)
+    }
   }
 
   /** Atomically claim `target` with the fully-written `tmp` content.
@@ -96,7 +116,17 @@ object OptimisticCommit {
       finally out.close()
       val won = claim(tableDir, tmp, target)
       fs.delete(tmp, false) // claimed content lives at target (hard link) or not at all
-      if (won) return CommitResult(baseV + 1, target.toString, next, attempt)
+      if (won) {
+        // best-effort refresh hint (HadoopCatalog's version-hint.text):
+        // stale-on-race is fine — readers walk forward from it
+        try {
+          val out = fs.create(hintPath(tableDir), true)
+          try out.write((baseV + 1).toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch { case _: Exception => () }
+        return CommitResult(baseV + 1, target.toString, next, attempt)
+      }
     }
     throw CommitConflictException(
       s"commit on $tableDir lost the version race $maxAttempts times — " +

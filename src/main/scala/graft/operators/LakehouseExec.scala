@@ -819,9 +819,12 @@ object LakehouseExec {
     }
     val meta = TableMetadata.parseFile(s"$dir/v2.metadata.json")
     val cur = meta.currentSnapshot.get
-    val manifestPaths = MetadataTables.manifests(spark, cur.manifestList.get)
-      .select(col("manifest_path")).collect().map(_.getString(0)).toSeq
-    // incremental selection: entries ADDED by snapshot 2, nothing else
+    // incremental selection in BOTH Iceberg levels: the manifest-list's
+    // added_snapshot_id (field 503) picks only the manifests this commit
+    // added — carried-forward manifests are never opened — then the
+    // entries' (snapshot_id, status=ADDED) fields select the files
+    val manifestPaths = ManifestListReader.read(cur.manifestList.get)
+      .filter(_.addedSnapshotId == cur.snapshotId).map(_.path)
     val added = ManifestReader.entries(spark, manifestPaths)
       .filter(col("snapshot_id") === cur.snapshotId && col("status") === 1)
       .select(col("data_file.file_path"))

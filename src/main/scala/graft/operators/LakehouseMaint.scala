@@ -500,13 +500,21 @@ object LakehouseMaint {
     }
     val meta = TableMetadata.parseFile(s"$dir/v3.metadata.json")
     val changes = meta.snapshots.filter(_.snapshotId > 1L).sortBy(_.snapshotId).map { s =>
-      val entries = ManifestReader.entries(spark,
-        MetadataTables.manifests(spark, s.manifestList.get)
-          .select(col("manifest_path")).collect().map(_.getString(0)).toSeq)
-        .filter(col("snapshot_id") === s.snapshotId && col("status") === 1)
-        .select(col("data_file.file_path").as("file_path"),
-          col("data_file.content").as("content"))
-        .collect() // KB-scale: the files THIS snapshot added
+      // LIST-level incremental selection first: only manifests the list
+      // records as added by THIS snapshot (field 503 — carried-forward
+      // manifests keep their original adding snapshot) are ever opened;
+      // entry-level (snapshot_id, status=ADDED) stays as the inner filter.
+      // At a million-manifest table this is what keeps a changelog step
+      // proportional to the commit, not the table.
+      val addedManifests = ManifestListReader.read(s.manifestList.get)
+        .filter(_.addedSnapshotId == s.snapshotId).map(_.path)
+      val entries =
+        if (addedManifests.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else ManifestReader.entries(spark, addedManifests)
+          .filter(col("snapshot_id") === s.snapshotId && col("status") === 1)
+          .select(col("data_file.file_path").as("file_path"),
+            col("data_file.content").as("content"))
+          .collect() // KB-scale: the files THIS snapshot added
       val added = entries.filter(_.getInt(1) == 0).map(_.getString(0)).toIndexedSeq
       val posDeletes = entries.filter(_.getInt(1) == 1).map(_.getString(0)).toIndexedSeq
       val inserts =

@@ -620,13 +620,29 @@ object EventStreams {
         .agg(count(lit(1)), min($"event_id"), max($"event_id")).head()
       OptimisticCommit.commit(out, (base, basePath) => {
         val snapId = base.snapshots.map(_.snapshotId).max + 1
+        // revalidate against the REFRESHED base — the CAS loop may hand us
+        // a different head than the one the rewrite read. Conflicting file
+        // sets abort: if a concurrent commit removed any source file, the
+        // compacted bytes would resurrect deleted data. Concurrent APPENDS
+        // are compatible: their files carry forward beside the compacted
+        // one, statuses/stats straight from the current manifests.
+        val curEntries = base.currentSnapshot.toSeq
+          .flatMap(s => ManifestListReader.read(s.manifestList.get))
+          .flatMap(i => ManifestWriter.read(i.path))
+        val missing = preFiles.filterNot(curEntries.map(_.filePath).toSet)
+        if (missing.nonEmpty) throw OptimisticCommit.CommitConflictException(
+          s"compaction sources removed by a concurrent commit: ${missing.mkString(", ")}")
+        val carried = curEntries.filterNot(e => preFiles.contains(e.filePath))
+          .map(_.copy(status = 0, snapshotId = snapId)) // EXISTING
         val manifest = s"$out/m-compacted-$snapId.avro"
-        ManifestWriter.write(manifest, Seq(ManifestWriter.EntryData(
+        ManifestWriter.write(manifest, ManifestWriter.EntryData(
           1, snapId, compacted, stats.getLong(0), ParquetFiles.length(compacted),
           Map(1 -> SingleValueCodec.encode(IcebergTypes.TLong, stats.getLong(1))),
-          Map(1 -> SingleValueCodec.encode(IcebergTypes.TLong, stats.getLong(2))))))
+          Map(1 -> SingleValueCodec.encode(IcebergTypes.TLong, stats.getLong(2))))
+          +: carried)
         val list = s"$out/snap-$snapId-list.avro"
-        ManifestListWriter.write(list, Seq(manifest), snapId, addedDataFilesCount = 1)
+        ManifestListWriter.write(list, Seq(manifest),
+          snapId, addedDataFilesCount = 1)
         MetadataWriter.commitSnapshot(base,
           Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
             Some("replace"),

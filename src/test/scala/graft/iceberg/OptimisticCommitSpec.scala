@@ -74,6 +74,41 @@ class OptimisticCommitSpec extends SparkSpec {
     assert(OptimisticCommit.currentVersion(dir) == 4)
   }
 
+  test("version-hint.text accelerates refresh and tolerates staleness") {
+    val dir = freshTable("cas4")
+    val r = OptimisticCommit.commit(dir, appendUpdate(50L))
+    assert(r.version == 2)
+    val hint = java.nio.file.Paths.get(dir, "version-hint.text")
+    assert(java.nio.file.Files.readString(hint).trim == "2")
+    // stale hint: points at v1 while v2 exists — refresh walks forward
+    java.nio.file.Files.writeString(hint, "1")
+    assert(OptimisticCommit.currentVersion(dir) == 2)
+    // garbage hint: falls back to the directory listing
+    java.nio.file.Files.writeString(hint, "not-a-number")
+    assert(OptimisticCommit.currentVersion(dir) == 2)
+    // hint ahead of reality (crashed writer): ignored, listing wins
+    java.nio.file.Files.writeString(hint, "99")
+    assert(OptimisticCommit.currentVersion(dir) == 2)
+  }
+
+  test("an update that finds its sources gone aborts instead of retrying") {
+    val dir = freshTable("cas5")
+    // a rewrite-style update validates its planned inputs against the
+    // refreshed base and must ABORT (throw through the CAS loop, no
+    // retry) when a concurrent commit invalidated them
+    var attempts = 0
+    val e = intercept[OptimisticCommit.CommitConflictException] {
+      OptimisticCommit.commit(dir, (base, basePath) => {
+        attempts += 1
+        throw OptimisticCommit.CommitConflictException(
+          "compaction sources removed by a concurrent commit: data/f1.parquet")
+      })
+    }
+    assert(attempts == 1, "validation failure must abort, not burn retries")
+    assert(e.getMessage.contains("sources removed"))
+    assert(OptimisticCommit.currentVersion(dir) == 1) // nothing published
+  }
+
   test("eight racing committers all land; the log is linear") {
     val dir = freshTable("cas3")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)

@@ -553,7 +553,103 @@ object LakehouseMaint {
       |  FROM nation WHERE n_nationkey >= 20)
       |ORDER BY snapshot_id, n_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- i39
+  /** The one-call table read (GraftTable.read) over a four-commit table
+    * that exercises every read-path layer at once: seq 1 appends keys
+    * <13; seq 2 equality-deletes the names of nations 2 and 20 (20 not
+    * yet in the table); seq 3 appends keys >=13 (nation 20 arrives and
+    * must ESCAPE the older equality delete); seq 4 position-deletes
+    * nation 5's physical row. One API call resolves the head snapshot,
+    * routes data vs delete manifests, groups scans by data sequence
+    * number, and applies both delete kinds with spec scoping — expected
+    * content: nation minus {2, 5}, with 20 present. */
+  val tableRead: Q = (spark, sfDir) => {
+    val dir = entryDir("i39", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      // seq 1: keys < 13
+      val fA = s"$dir/data/early-00000.parquet"
+      writeOneParquet(nation.filter(col("n_nationkey") < 13)
+        .orderBy(col("n_nationkey")), fA)
+      val mA = s"$dir/m-0.avro"
+      ManifestWriter.write(mA,
+        Seq(deriveEntry(spark, fA, 1L).copy(sequenceNumber = Some(1L))))
+      val list1 = s"$dir/snap-1-list.avro"
+      ManifestListWriter.write(list1, Seq(mA), 1L, addedDataFilesCount = 1)
+      val snap1 = Snapshot(1L, None, T0 + 1000, Some("append"),
+        Map("added-data-files" -> "1"), Some(list1), Some(0))
+      val v1 = s"$dir/v1.metadata.json"
+      MetadataWriter.write(v1, MetadataWriter.commitSnapshot(baseMetadata(dir), snap1, None))
+      // seq 2: equality delete naming nations 2 (present) and 20 (future)
+      val eqFile = s"$dir/data/eq-delete-00000.parquet"
+      writeOneParquet(nation.filter(col("n_nationkey").isin(2, 20))
+        .select(col("n_name")).orderBy(col("n_name")), eqFile)
+      val mEq = s"$dir/m-del-eq.avro"
+      ManifestWriter.write(mEq, Seq(ManifestWriter.EntryData(
+        1, 2L, eqFile, spark.read.parquet(eqFile).count(), fileLen(eqFile),
+        Map.empty, Map.empty, content = 2, sequenceNumber = Some(2L))))
+      val list2 = s"$dir/snap-2-list.avro"
+      ManifestListWriter.write(list2, Seq(mA, mEq), 2L,
+        addedDataFilesCount = 0, contents = Map(mEq -> 1),
+        addedSnapshotIds = Map(mA -> 1L), addedCounts = Map(mA -> 1))
+      val snap2 = Snapshot(2L, Some(1L), T0 + 2000, Some("delete"),
+        Map("added-delete-files" -> "1"), Some(list2), Some(0))
+      val v2 = s"$dir/v2.metadata.json"
+      MetadataWriter.write(v2,
+        MetadataWriter.commitSnapshot(TableMetadata.parseFile(v1), snap2, Some(v1)))
+      // seq 3: keys >= 13 arrive AFTER the equality delete
+      val fB = s"$dir/data/late-00000.parquet"
+      writeOneParquet(nation.filter(col("n_nationkey") >= 13)
+        .orderBy(col("n_nationkey")), fB)
+      val mB = s"$dir/m-1.avro"
+      ManifestWriter.write(mB,
+        Seq(deriveEntry(spark, fB, 3L).copy(sequenceNumber = Some(3L))))
+      val list3 = s"$dir/snap-3-list.avro"
+      ManifestListWriter.write(list3, Seq(mA, mEq, mB), 3L,
+        addedDataFilesCount = 1, contents = Map(mEq -> 1),
+        addedSnapshotIds = Map(mA -> 1L, mEq -> 2L),
+        addedCounts = Map(mA -> 1, mEq -> 0))
+      val snap3 = Snapshot(3L, Some(2L), T0 + 3000, Some("append"),
+        Map("added-data-files" -> "1"), Some(list3), Some(0))
+      val v3 = s"$dir/v3.metadata.json"
+      MetadataWriter.write(v3,
+        MetadataWriter.commitSnapshot(TableMetadata.parseFile(v2), snap3, Some(v2)))
+      // seq 4: position-delete nation 5's physical row (in the seq-1 file)
+      val posFile = s"$dir/data/pos-delete-00000.parquet"
+      writeOneParquet(spark.read.parquet(fA)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"), col("n_nationkey"))
+        .filter(col("n_nationkey") === 5)
+        .select(col("file_path"), col("pos")), posFile)
+      val mPos = s"$dir/m-del-pos.avro"
+      ManifestWriter.write(mPos, Seq(ManifestWriter.EntryData(
+        1, 4L, posFile, spark.read.parquet(posFile).count(), fileLen(posFile),
+        Map.empty, Map.empty, content = 1, sequenceNumber = Some(4L))))
+      val list4 = s"$dir/snap-4-list.avro"
+      ManifestListWriter.write(list4, Seq(mA, mEq, mB, mPos), 4L,
+        addedDataFilesCount = 0, contents = Map(mEq -> 1, mPos -> 1),
+        addedSnapshotIds = Map(mA -> 1L, mEq -> 2L, mB -> 3L),
+        addedCounts = Map(mA -> 1, mEq -> 0, mB -> 1))
+      val snap4 = Snapshot(4L, Some(3L), T0 + 4000, Some("delete"),
+        Map("added-delete-files" -> "1"), Some(list4), Some(0))
+      MetadataWriter.write(s"$dir/v4.metadata.json",
+        MetadataWriter.commitSnapshot(TableMetadata.parseFile(v3), snap4, Some(v3)))
+    }
+    GraftTable.read(spark, s"$dir/v4.metadata.json")
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        count(when(col("n_nationkey") === 20, 1)).as("n_late_key_present"),
+        count(when(col("n_nationkey").isin(2, 5), 1)).as("n_deleted_present"))
+  }
+
+  val tableReadSql: String =
+    """SELECT COUNT(*) AS n_live, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  COUNT(CASE WHEN n_nationkey = 20 THEN 1 END) AS n_late_key_present,
+      |  COUNT(CASE WHEN n_nationkey IN (2, 5) THEN 1 END) AS n_deleted_present
+      |FROM nation WHERE n_nationkey NOT IN (2, 5)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i39_table_read" -> tableRead,
     "i38_changelog_scan" -> changelogScan,
     "i33_list_pruning" -> listPruning,
     "i34_eq_to_pos_rewrite" -> eqToPosRewrite,
@@ -562,6 +658,7 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i39_table_read" -> tableReadSql,
     "i38_changelog_scan" -> changelogScanSql,
     "i33_list_pruning" -> listPruningSql,
     "i34_eq_to_pos_rewrite" -> eqToPosRewriteSql,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.iceberg.{GraftTable, MetadataWriter, TableMetadata}
+
+/** The one-call table read: head resolution, snapshot-id and ref time
+  * travel, and the composed sequence-scoped MOR semantics (i39's table:
+  * seq1 append <13, seq2 equality-delete {2,20}, seq3 append >=13, seq4
+  * position-delete key 5). */
+class GraftTableSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    LakehouseMaint.tableRead(spark, sfDir).collect() // builds + commits
+    LakehouseExec.entryDir("i39", sfDir)
+  }
+
+  test("head read composes both delete kinds with sequence scoping") {
+    val row = LakehouseMaint.tableRead(spark, sfDir).head()
+    assert(row.getAs[Long]("n_live") == 23L) // 25 - {2, 5}
+    assert(row.getAs[Long]("n_late_key_present") == 1L)
+    assert(row.getAs[Long]("n_deleted_present") == 0L)
+  }
+
+  test("snapshot-id time travel reads the table as of that commit") {
+    val asOf1 = GraftTable.read(spark, s"$dir/v4.metadata.json", snapshotId = Some(1L))
+    val keys = asOf1.select("n_nationkey").collect().map(_.getInt(0)).sorted
+    assert(keys.toSeq == (0 until 13)) // pre-delete, pre-late-append
+  }
+
+  test("ref time travel resolves tags through the committed refs map") {
+    val v4 = TableMetadata.parseFile(s"$dir/v4.metadata.json")
+    val v5 = s"$dir/v5.metadata.json"
+    MetadataWriter.write(v5, MetadataWriter.createTag(v4, "before-pos-delete", 3L))
+    val atTag = GraftTable.read(spark, v5, ref = Some("before-pos-delete"))
+    // snapshot 3: equality delete applied (2 gone, 20 escaped), position
+    // delete of key 5 not yet committed
+    assert(atTag.count() == 24L)
+    assert(atTag.filter(col("n_nationkey") === 5).count() == 1L)
+    intercept[IllegalArgumentException] {
+      GraftTable.read(spark, v5, ref = Some("no-such-ref")).collect()
+    }
+  }
+}

@@ -101,4 +101,142 @@ object GraftTable {
       }
     eqApplied.select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
+
+  // ------------------------------------------------------------ writes
+  // The write half of the one-call API: create / append / deleteWhere,
+  // every commit through the OptimisticCommit CAS loop so concurrent
+  // writers serialize onto one linear history. Data sequence number =
+  // the snapshot id of a linear history — derived INSIDE the update from
+  // the refreshed base, so a retried commit re-sequences correctly.
+
+  /** Latest committed metadata path (refresh). */
+  def latestMetadataPath(tableDir: String): String =
+    OptimisticCommit.metadataPath(tableDir, OptimisticCommit.currentVersion(tableDir))
+
+  /** Create an empty v2 table: writes v1.metadata.json. */
+  def create(tableDir: String, schema: IcebergSchema, tableUuid: String,
+      timestampMs: Long): String = {
+    require(OptimisticCommit.currentVersion(tableDir) == 0,
+      s"table already exists under $tableDir")
+    val path = OptimisticCommit.metadataPath(tableDir, 1)
+    MetadataWriter.write(path, TableMetadata(
+      formatVersion = 2, tableUuid = tableUuid, location = tableDir,
+      lastUpdatedMs = timestampMs, topLevelSchema = None,
+      currentSchemaId = Some(schema.schemaId), schemas = Seq(schema),
+      partitionSpecs = Seq(PartitionSpec(0, Nil)), defaultSpecId = 0,
+      sortOrders = Seq(SortOrder(0, Nil)), defaultSortOrderId = 0,
+      properties = Map.empty, currentSnapshotId = None, refs = Nil,
+      snapshots = Nil, snapshotLog = Nil, metadataLog = Nil))
+    path
+  }
+
+  /** Min/max bound stats for every primitive schema field, derived from
+    * the written file in ONE distributed aggregate — never fabricated. */
+  private def deriveStats(spark: SparkSession, file: String, meta: TableMetadata)
+      : (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+    val typed = meta.currentSchema.fields.flatMap(f =>
+      IcebergTypes.fromStringOpt(f.fieldType).map(t => (f, t)))
+    val aggs = count(lit(1)) +: typed.flatMap { case (f, _) =>
+      Seq(min(col(f.name)), max(col(f.name))) }
+    val row = spark.read.parquet(file).agg(aggs.head, aggs.tail: _*).head()
+    def enc(t: IcebergType, v: Any): Option[Array[Byte]] = v match {
+      case null => None
+      case d: java.sql.Date => Some(SingleValueCodec.encode(t, d.toLocalDate))
+      case ts: java.sql.Timestamp => Some(SingleValueCodec.encode(t, ts.toLocalDateTime))
+      case other => Some(SingleValueCodec.encode(t, other))
+    }
+    val bounds = typed.zipWithIndex.flatMap { case ((f, t), i) =>
+      for (lo <- enc(t, row.get(1 + 2 * i)); hi <- enc(t, row.get(2 + 2 * i)))
+        yield (f.id, lo, hi)
+    }
+    (row.getLong(0),
+      bounds.map(b => b._1 -> b._2).toMap,
+      bounds.map(b => b._1 -> b._3).toMap)
+  }
+
+  /** Previous manifests with their original provenance, read from the
+    * refreshed base's list — what a commit carries forward. */
+  private def carryForward(base: TableMetadata)
+      : Seq[ManifestListReader.ManifestFileInfo] =
+    base.currentSnapshot.toSeq.flatMap(s => ManifestListReader.read(s.manifestList.get))
+
+  private def writeList(path: String, carried: Seq[ManifestListReader.ManifestFileInfo],
+      newManifest: String, newCount: Int, newContent: Int, snapId: Long): Unit =
+    ManifestListWriter.write(path, carried.map(_.path) :+ newManifest, snapId,
+      addedDataFilesCount = newCount,
+      contents = (carried.map(i => i.path -> i.content) :+ (newManifest -> newContent)).toMap,
+      specIds = carried.map(i => i.path -> i.specId).toMap,
+      addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
+      addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap)
+
+  /** Append `df` as one data file + one CAS-committed append snapshot.
+    * The file lands once (before the loop); sequencing, provenance, and
+    * the snapshot chain re-derive from the refreshed base on retry. */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame): OptimisticCommit.CommitResult = {
+    val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    val schema = sparkSchema(meta0)
+    val file = s"$tableDir/data/append-${java.util.UUID.randomUUID()}.parquet"
+    ParquetFiles.writeOne(
+      df.select(schema.fieldNames.map(col).toIndexedSeq: _*), file)
+    val (n, lower, upper) = deriveStats(spark, file, meta0)
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
+      // manifest/list names carry a per-attempt uuid (Iceberg's own
+      // snap-<id>-<attempt>-<uuid> convention): two racing committers may
+      // both prepare "snapshot 2", and fixed names would let the loser
+      // clobber the winner's just-committed files before its retry
+      val attempt = java.util.UUID.randomUUID()
+      val manifest = s"$tableDir/m-append-$snapId-$attempt.avro"
+      ManifestWriter.write(manifest, Seq(ManifestWriter.EntryData(
+        1, snapId, file, n, ParquetFiles.length(file), lower, upper,
+        content = 0, sequenceNumber = Some(snapId))))
+      val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+      writeList(list, carryForward(base), manifest, 1, 0, snapId)
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some("append"), Map("added-data-files" -> "1", "added-records" -> n.toString),
+          Some(list), base.currentSchemaId),
+        Some(basePath))
+    })
+  }
+
+  /** Row-level DELETE: capture (file_path, pos) of matching rows across
+    * the current data files, land them as ONE position-delete file, and
+    * CAS-commit a delete snapshot. The predicate is an ordinary Column
+    * over the table's schema — evaluated in one distributed scan. */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+      predicate: org.apache.spark.sql.Column): OptimisticCommit.CommitResult = {
+    val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    val snap = resolveSnapshot(meta0, None, None)
+    val dataFiles = ManifestListReader.read(snap.manifestList.get)
+      .filter(_.content == 0).flatMap(i => ManifestWriter.read(i.path))
+      .filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+    require(dataFiles.nonEmpty, "deleteWhere on a table with no data files")
+    val delFile = s"$tableDir/data/delete-${java.util.UUID.randomUUID()}.parquet"
+    // Iceberg requires position deletes sorted by (file_path, pos)
+    ParquetFiles.writeOne(
+      spark.read.schema(sparkSchema(meta0)).parquet(dataFiles: _*)
+        .select(col("*"),
+          col("_metadata.file_path").as("_gf"), col("_metadata.row_index").as("_gp"))
+        .filter(predicate)
+        .select(col("_gf").as("file_path"), col("_gp").as("pos"))
+        .orderBy(col("file_path"), col("pos")), delFile)
+    val nDeletes = spark.read.parquet(delFile).count()
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
+      val attempt = java.util.UUID.randomUUID() // see append: racing-safe names
+      val manifest = s"$tableDir/m-delete-$snapId-$attempt.avro"
+      ManifestWriter.write(manifest, Seq(ManifestWriter.EntryData(
+        1, snapId, delFile, nDeletes, ParquetFiles.length(delFile),
+        Map.empty, Map.empty, content = 1, sequenceNumber = Some(snapId))))
+      val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+      writeList(list, carryForward(base), manifest, 0, 1, snapId)
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some("delete"),
+          Map("added-delete-files" -> "1", "added-position-deletes" -> nDeletes.toString),
+          Some(list), base.currentSchemaId),
+        Some(basePath))
+    })
+  }
 }

@@ -648,7 +648,52 @@ object LakehouseMaint {
       |  COUNT(CASE WHEN n_nationkey IN (2, 5) THEN 1 END) AS n_deleted_present
       |FROM nation WHERE n_nationkey NOT IN (2, 5)""".stripMargin
 
+  // ---------------------------------------------------------------- i40
+  /** The write half of the one-call API: create → two CONCURRENT appends
+    * → row-level DELETE, every commit through the OptimisticCommit CAS
+    * loop. The two appends race deliberately: one loses the version
+    * claim, refreshes, and re-applies — re-deriving its snapshot id,
+    * sequence number, parent, and carried-forward manifests from the
+    * winner's document — so both land on one linear history regardless
+    * of order. The read-back is the composed GraftTable.read, so the
+    * oracle checks the WHOLE create/append/delete/read lifecycle through
+    * the public API only. */
+  val tableDml: Q = (spark, sfDir) => {
+    val dir = entryDir("i40", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000040", timestampMs = T0)
+      inParallel(Seq(
+        nation.filter(col("n_nationkey") < 13),
+        nation.filter(col("n_nationkey") >= 13)), slots = 2) { part =>
+        GraftTable.append(spark, dir, part.orderBy(col("n_nationkey")))
+      }
+      GraftTable.deleteWhere(spark, dir, col("n_regionkey") === 2)
+    }
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(col("n_regionkey"), col("n_live"), col("sum_key"),
+        lit(meta.snapshots.size).as("n_snapshots"),
+        lit(OptimisticCommit.currentVersion(dir)).as("metadata_version"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val tableDmlSql: String =
+    """SELECT n_regionkey, COUNT(*) AS n_live,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  CAST(3 AS INTEGER) AS n_snapshots, CAST(4 AS INTEGER) AS metadata_version
+      |FROM nation WHERE n_regionkey <> 2
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i40_table_dml" -> tableDml,
     "i39_table_read" -> tableRead,
     "i38_changelog_scan" -> changelogScan,
     "i33_list_pruning" -> listPruning,
@@ -658,6 +703,7 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i40_table_dml" -> tableDmlSql,
     "i39_table_read" -> tableReadSql,
     "i38_changelog_scan" -> changelogScanSql,
     "i33_list_pruning" -> listPruningSql,

@@ -29,6 +29,27 @@ class GraftTableSpec extends SparkSpec {
     assert(keys.toSeq == (0 until 13)) // pre-delete, pre-late-append
   }
 
+  test("i40: create/append/deleteWhere through the CAS loop, racing appends land linearly") {
+    val row = LakehouseMaint.tableDml(spark, sfDir)
+      .filter(col("n_regionkey") === 0).head()
+    assert(row.getAs[Int]("n_snapshots") == 3)       // 2 appends + 1 delete
+    assert(row.getAs[Int]("metadata_version") == 4)  // create + 3 commits
+    val dir = LakehouseExec.entryDir("i40", sfDir)
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    // linear chain regardless of which racing append won
+    val log = meta.snapshotLog.map(_.snapshotId)
+    assert(log.size == 3)
+    log.sliding(2).foreach { case Seq(p, c) =>
+      assert(meta.snapshot(c).get.parentSnapshotId.contains(p))
+    case _ => () }
+    // data sequence numbers follow commit order: every entry's seq equals
+    // its snapshot id in a linear history
+    val entries = meta.currentSnapshot.toSeq
+      .flatMap(s => graft.iceberg.ManifestListReader.read(s.manifestList.get))
+      .flatMap(i => graft.iceberg.ManifestWriter.read(i.path))
+    assert(entries.nonEmpty && entries.forall(e => e.sequenceNumber.contains(e.snapshotId)))
+  }
+
   test("ref time travel resolves tags through the committed refs map") {
     val v4 = TableMetadata.parseFile(s"$dir/v4.metadata.json")
     val v5 = s"$dir/v5.metadata.json"

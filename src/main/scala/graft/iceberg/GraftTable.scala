@@ -56,7 +56,15 @@ object GraftTable {
   def read(spark: SparkSession, metadataPath: String,
       snapshotId: Option[Long] = None, ref: Option[String] = None): DataFrame = {
     val meta = TableMetadata.parseFile(metadataPath)
-    val snap = resolveSnapshot(meta, snapshotId, ref)
+    readWithAddress(spark, meta, resolveSnapshot(meta, snapshotId, ref))
+      .select(sparkSchema(meta).fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** The MOR-resolved live rows WITH their physical address columns
+    * (`_file`, `_pos`, `_seq`) — what COW rewrites (merge/compact) need
+    * to locate and regroup rows by source file. */
+  private def readWithAddress(spark: SparkSession, meta: TableMetadata,
+      snap: Snapshot): DataFrame = {
     val listPath = snap.manifestList.getOrElse(
       throw new IllegalArgumentException(s"snapshot ${snap.snapshotId} has no manifest-list"))
     val infos = ManifestListReader.read(listPath)
@@ -69,7 +77,11 @@ object GraftTable {
     val dataEntries = entriesOf(0)
     if (dataEntries.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields ++ Seq(
+          StructField("_file", org.apache.spark.sql.types.StringType),
+          StructField("_pos", org.apache.spark.sql.types.LongType),
+          StructField("_seq", org.apache.spark.sql.types.LongType))))
     // one distributed scan per data sequence number: the group shares its
     // `_seq` constant (how a scan task carries it at cluster scale)
     def bySeq(entries: Seq[ManifestWriter.EntryData]): Seq[(Long, Seq[String])] =
@@ -94,12 +106,11 @@ object GraftTable {
     }
     // equality deletes may differ in schema file-to-file (each file's
     // schema IS its equality-column set) — apply per sequence group
-    val eqApplied = bySeq(deleteEntries.filter(_.content == 2))
+    bySeq(deleteEntries.filter(_.content == 2))
       .foldLeft(posApplied) { case (acc, (seq, files)) =>
         Lakehouse.applyEqualityDeletesScoped(acc,
           spark.read.parquet(files: _*).withColumn("_del_seq", lit(seq)))
       }
-    eqApplied.select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   // ------------------------------------------------------------ writes
@@ -195,6 +206,155 @@ object GraftTable {
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("append"), Map("added-data-files" -> "1", "added-records" -> n.toString),
+          Some(list), base.currentSchemaId),
+        Some(basePath))
+    })
+  }
+
+  private def uriPath(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Current non-deleted entries of the head snapshot, by list content. */
+  private def currentEntries(base: TableMetadata, listContent: Int): Seq[ManifestWriter.EntryData] =
+    base.currentSnapshot.toSeq
+      .flatMap(s => ManifestListReader.read(s.manifestList.get))
+      .filter(_.content == listContent)
+      .flatMap(i => ManifestWriter.read(i.path)).filter(_.status != 2)
+
+  /** MERGE INTO, copy-on-write: source rows matched on `keyCols` REPLACE
+    * the live row (whole-row update), unmatched source rows insert — a
+    * key whose row was previously deleted counts as unmatched and
+    * re-inserts. Only data files CONTAINING matched keys are rewritten;
+    * the rewrite materializes any pending deletes for those files (their
+    * old position deletes address old paths, and older equality deletes
+    * are out-sequenced — both correctly inert against the new files under
+    * scoped reads), while untouched files carry forward as EXISTING
+    * entries with their ORIGINAL sequence numbers, so pending deletes
+    * still apply to them. Commit re-validates on the refreshed base and
+    * aborts if a concurrent commit removed an affected file. */
+  def merge(spark: SparkSession, tableDir: String, source: DataFrame,
+      keyCols: Seq[String]): OptimisticCommit.CommitResult = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    val schema = sparkSchema(meta0)
+    val cols = schema.fieldNames.toIndexedSeq
+    val src = source.select(cols.map(col): _*)
+    val live = readWithAddress(spark, meta0, resolveSnapshot(meta0, None, None))
+    // COW granularity: which files hold matched keys? (file list is KB-scale)
+    val affected = live.join(src, keyCols, "left_semi")
+      .select(col("_file")).distinct().collect().map(r => uriPath(r.getString(0))).toSet
+    // `_metadata.file_path` is a URI, manifest entries hold plain paths —
+    // compare on the normalized path component (the i26/i31 rule)
+    val normFile = regexp_replace(col("_file"), "^[a-z0-9+.-]+:(//)?", "")
+    val mergeUuid = java.util.UUID.randomUUID()
+    val rewritten = affected.toSeq.sorted.zipWithIndex.map { case (f, i) =>
+      val out = s"$tableDir/data/merged-$mergeUuid-%05d.parquet".format(i)
+      ParquetFiles.writeOne(
+        live.filter(normFile === f)
+          .join(src.select(keyCols.map(col) :+ struct(cols.map(col): _*).as("_src"): _*),
+            keyCols, "left_outer")
+          .select(cols.map(c =>
+            when(col("_src").isNotNull, col(s"_src.$c")).otherwise(col(c)).as(c)): _*)
+          .orderBy(keyCols.map(col): _*), out)
+      out
+    }
+    val inserts = src.join(live, keyCols, "left_anti")
+    val insertFile = s"$tableDir/data/merge-insert-$mergeUuid.parquet"
+    val nInserts = inserts.count()
+    if (nInserts > 0)
+      ParquetFiles.writeOne(inserts.orderBy(keyCols.map(col): _*), insertFile)
+    val newFiles = rewritten ++ (if (nInserts > 0) Seq(insertFile) else Nil)
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
+      val attempt = java.util.UUID.randomUUID()
+      val curData = currentEntries(base, 0).filter(_.content == 0)
+      val missing = affected.filterNot(curData.map(e => uriPath(e.filePath)).toSet)
+      if (missing.nonEmpty) throw OptimisticCommit.CommitConflictException(
+        s"merge sources removed by a concurrent commit: ${missing.mkString(", ")}")
+      // untouched files: EXISTING entries, ORIGINAL sequence preserved
+      val untouched = curData.filterNot(e => affected.contains(uriPath(e.filePath)))
+        .map(_.copy(status = 0, snapshotId = snapId))
+      val newEntries = newFiles.map { f =>
+        val (n, lower, upper) = deriveStats(spark, f, base)
+        ManifestWriter.EntryData(1, snapId, f, n, ParquetFiles.length(f),
+          lower, upper, content = 0, sequenceNumber = Some(snapId))
+      }
+      val manifest = s"$tableDir/m-merge-$snapId-$attempt.avro"
+      ManifestWriter.write(manifest, untouched ++ newEntries)
+      // delete manifests carry forward: they still apply to untouched files
+      val carriedDeletes = carryForward(base).filter(_.content == 1)
+      val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+      ManifestListWriter.write(list, carriedDeletes.map(_.path) :+ manifest, snapId,
+        addedDataFilesCount = newFiles.size,
+        contents = carriedDeletes.map(i => i.path -> 1).toMap,
+        specIds = carriedDeletes.map(i => i.path -> i.specId).toMap,
+        addedSnapshotIds = carriedDeletes.map(i => i.path -> i.addedSnapshotId).toMap,
+        addedCounts = carriedDeletes.map(i => i.path -> i.addedDataFilesCount).toMap)
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some("overwrite"),
+          Map("added-data-files" -> newFiles.size.toString,
+            "deleted-data-files" -> affected.size.toString),
+          Some(list), base.currentSchemaId),
+        Some(basePath))
+    })
+  }
+
+  /** Compaction (rewrite_data_files + delete materialization in one):
+    * the table's MOR-resolved content is rewritten into target-size data
+    * files, pending deletes are materialized away (position deletes
+    * address the dead paths; equality deletes are out-sequenced), and a
+    * replace snapshot carrying ONLY the new manifest commits through the
+    * CAS loop — aborting if the file set changed concurrently. */
+  def compact(spark: SparkSession, tableDir: String,
+      targetBytes: Long = 512L * 1024 * 1024): OptimisticCommit.CommitResult = {
+    val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    val schema = sparkSchema(meta0)
+    val live = readWithAddress(spark, meta0, resolveSnapshot(meta0, None, None))
+    val preData = currentEntries(meta0, 0).filter(_.content == 0)
+    require(preData.nonEmpty, "compact on a table with no data files")
+    // bin-pack by cumulative REAL file size; each bin is one rewrite task
+    val bins = preData.sortBy(_.filePath)
+      .foldLeft(Seq.empty[(Long, Seq[ManifestWriter.EntryData])]) { case (acc, e) =>
+        acc.lastOption match {
+          case Some((sz, es)) if sz + e.fileSizeInBytes <= targetBytes =>
+            acc.init :+ (sz + e.fileSizeInBytes, es :+ e)
+          case _ => acc :+ (e.fileSizeInBytes, Seq(e))
+        }
+      }.map(_._2)
+    val compactUuid = java.util.UUID.randomUUID()
+    val outFiles = bins.zipWithIndex.map { case (es, i) =>
+      val out = s"$tableDir/data/compacted-$compactUuid-%05d.parquet".format(i)
+      val paths = es.map(e => uriPath(e.filePath)).toSet
+      ParquetFiles.writeOne(
+        live.filter(regexp_replace(col("_file"), "^[a-z0-9+.-]+:(//)?", "")
+          .isin(paths.toSeq: _*))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .orderBy(col(schema.fieldNames.head)), out)
+      out
+    }
+    val preSet = preData.map(e => uriPath(e.filePath)).toSet
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
+      val attempt = java.util.UUID.randomUUID()
+      val nowSet = currentEntries(base, 0).filter(_.content == 0)
+        .map(e => uriPath(e.filePath)).toSet
+      if (nowSet != preSet) throw OptimisticCommit.CommitConflictException(
+        "table file set changed while compacting — rerun compaction")
+      val entries = outFiles.map { f =>
+        val (n, lower, upper) = deriveStats(spark, f, base)
+        ManifestWriter.EntryData(1, snapId, f, n, ParquetFiles.length(f),
+          lower, upper, content = 0, sequenceNumber = Some(snapId))
+      }
+      val manifest = s"$tableDir/m-compact-$snapId-$attempt.avro"
+      ManifestWriter.write(manifest, entries)
+      val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+      ManifestListWriter.write(list, Seq(manifest), snapId,
+        addedDataFilesCount = outFiles.size)
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some("replace"),
+          Map("added-data-files" -> outFiles.size.toString,
+            "deleted-data-files" -> preData.size.toString),
           Some(list), base.currentSchemaId),
         Some(basePath))
     })

@@ -692,7 +692,107 @@ object LakehouseMaint {
       |FROM nation WHERE n_regionkey <> 2
       |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // ---------------------------------------------------------------- i41
+  /** MERGE INTO through the public API, on a table that already carries
+    * a pending position delete (region 2 rows). The source updates keys
+    * 1 and 3 (live → whole-row replace), re-targets key 8 (DELETED →
+    * counts as unmatched, re-inserts), and inserts key 25. COW semantics
+    * under MOR: only the file holding matched keys is rewritten — with
+    * its pending deletes materialized — while untouched files carry
+    * forward with their ORIGINAL sequence numbers so the old delete
+    * still applies to them. The oracle replays the merge in SQL. */
+  val mergeApi: Q = (spark, sfDir) => {
+    val dir = entryDir("i41", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      import spark.implicits._
+      val nation = Tables.load(spark, sfDir, "nation")
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000041", timestampMs = T0)
+      GraftTable.append(spark, dir, nation.filter(col("n_nationkey") < 13)
+        .orderBy(col("n_nationkey")))
+      GraftTable.append(spark, dir, nation.filter(col("n_nationkey") >= 13)
+        .orderBy(col("n_nationkey")))
+      GraftTable.deleteWhere(spark, dir, col("n_regionkey") === 2)
+      GraftTable.merge(spark, dir,
+        Seq((1, "ARGENTINA*", 1), (3, "CANADA*", 1), (8, "INDIA*", 2),
+          (25, "ATLANTIS", 4))
+          .toDF("n_nationkey", "n_name", "n_regionkey"),
+        keyCols = Seq("n_nationkey"))
+    }
+    GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        count(when(col("n_name").endsWith("*"), 1)).as("n_updated"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val mergeApiSql: String =
+    """WITH src(n_nationkey, n_name, n_regionkey) AS (
+      |  SELECT * FROM (VALUES (1,'ARGENTINA*',1),(3,'CANADA*',1),
+      |                        (8,'INDIA*',2),(25,'ATLANTIS',4))),
+      |live AS (SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |         WHERE n_regionkey <> 2),
+      |merged AS (
+      |  SELECT l.n_nationkey,
+      |    COALESCE(s.n_name, l.n_name) AS n_name,
+      |    COALESCE(s.n_regionkey, l.n_regionkey) AS n_regionkey
+      |  FROM live l LEFT JOIN src s ON l.n_nationkey = s.n_nationkey
+      |  UNION ALL
+      |  SELECT s.n_nationkey, s.n_name, s.n_regionkey FROM src s
+      |  WHERE s.n_nationkey NOT IN (SELECT n_nationkey FROM live))
+      |SELECT n_regionkey, COUNT(*) AS n_live,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  COUNT(CASE WHEN n_name LIKE '%*' THEN 1 END) AS n_updated
+      |FROM merged GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // ---------------------------------------------------------------- i42
+  /** Compaction through the public API, over a table with a pending
+    * position delete: rewrite_data_files and delete materialization in
+    * one — the MOR-resolved content lands in one target-size file, the
+    * replace list carries NO delete manifests (the deletes are
+    * physically gone, not just inert), and the scan equals the
+    * pre-compaction scan. */
+  val compactApi: Q = (spark, sfDir) => {
+    val dir = entryDir("i42", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000042", timestampMs = T0)
+      GraftTable.append(spark, dir, nation.filter(col("n_nationkey") < 13)
+        .orderBy(col("n_nationkey")))
+      GraftTable.append(spark, dir, nation.filter(col("n_nationkey") >= 13)
+        .orderBy(col("n_nationkey")))
+      GraftTable.deleteWhere(spark, dir, col("n_regionkey") === 2)
+      GraftTable.compact(spark, dir)
+    }
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val infos = ManifestListReader.read(meta.currentSnapshot.get.manifestList.get)
+    GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(
+        lit(infos.count(_.content == 0)).as("n_data_manifests"),
+        lit(infos.count(_.content == 1)).as("n_delete_manifests"),
+        lit(meta.currentSnapshot.get.operation.getOrElse("")).as("op"),
+        col("n_live"), col("sum_key"))
+  }
+
+  val compactApiSql: String =
+    """SELECT CAST(1 AS INTEGER) AS n_data_manifests,
+      |  CAST(0 AS INTEGER) AS n_delete_manifests, 'replace' AS op,
+      |  COUNT(*) AS n_live, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_regionkey <> 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i41_merge_api" -> mergeApi,
+    "i42_compact_api" -> compactApi,
     "i40_table_dml" -> tableDml,
     "i39_table_read" -> tableRead,
     "i38_changelog_scan" -> changelogScan,
@@ -703,6 +803,8 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i41_merge_api" -> mergeApiSql,
+    "i42_compact_api" -> compactApiSql,
     "i40_table_dml" -> tableDmlSql,
     "i39_table_read" -> tableReadSql,
     "i38_changelog_scan" -> changelogScanSql,

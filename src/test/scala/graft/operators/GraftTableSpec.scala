@@ -50,6 +50,26 @@ class GraftTableSpec extends SparkSpec {
     assert(entries.nonEmpty && entries.forall(e => e.sequenceNumber.contains(e.snapshotId)))
   }
 
+  test("i41: COW merge updates, re-inserts a deleted key, preserves untouched-file deletes") {
+    val rows = LakehouseMaint.mergeApi(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // region 2 has exactly the re-inserted INDIA* row; regions keep sums
+    val r2 = rows.find(_._1 == 2).get
+    assert(r2._2 == 1L && r2._3 == 8L && r2._4 == 1L)
+    val r1 = rows.find(_._1 == 1).get
+    assert(r1._4 == 2L) // ARGENTINA* and CANADA* updated in place
+    val r4 = rows.find(_._1 == 4).get
+    assert(r4._2 == 5L + 1L) // ATLANTIS inserted into region 4
+  }
+
+  test("i42: compact materializes deletes away and drops delete manifests") {
+    val row = LakehouseMaint.compactApi(spark, sfDir).head()
+    assert(row.getAs[Int]("n_data_manifests") == 1)
+    assert(row.getAs[Int]("n_delete_manifests") == 0)
+    assert(row.getAs[String]("op") == "replace")
+    assert(row.getAs[Long]("n_live") == 20L) // 25 - 5 region-2 rows
+  }
+
   test("ref time travel resolves tags through the committed refs map") {
     val v4 = TableMetadata.parseFile(s"$dir/v4.metadata.json")
     val v5 = s"$dir/v5.metadata.json"

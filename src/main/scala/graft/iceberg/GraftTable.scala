@@ -124,9 +124,10 @@ object GraftTable {
   def latestMetadataPath(tableDir: String): String =
     OptimisticCommit.metadataPath(tableDir, OptimisticCommit.currentVersion(tableDir))
 
-  /** Create an empty v2 table: writes v1.metadata.json. */
+  /** Create an empty v2 table: writes v1.metadata.json. `spec` declares
+    * the hidden-partitioning layout appends will write under. */
   def create(tableDir: String, schema: IcebergSchema, tableUuid: String,
-      timestampMs: Long): String = {
+      timestampMs: Long, spec: PartitionSpec = PartitionSpec(0, Nil)): String = {
     require(OptimisticCommit.currentVersion(tableDir) == 0,
       s"table already exists under $tableDir")
     val path = OptimisticCommit.metadataPath(tableDir, 1)
@@ -134,7 +135,7 @@ object GraftTable {
       formatVersion = 2, tableUuid = tableUuid, location = tableDir,
       lastUpdatedMs = timestampMs, topLevelSchema = None,
       currentSchemaId = Some(schema.schemaId), schemas = Seq(schema),
-      partitionSpecs = Seq(PartitionSpec(0, Nil)), defaultSpecId = 0,
+      partitionSpecs = Seq(spec), defaultSpecId = spec.specId,
       sortOrders = Seq(SortOrder(0, Nil)), defaultSortOrderId = 0,
       properties = Map.empty, currentSnapshotId = None, refs = Nil,
       snapshots = Nil, snapshotLog = Nil, metadataLog = Nil))
@@ -180,16 +181,76 @@ object GraftTable {
       addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
       addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap)
 
-  /** Append `df` as one data file + one CAS-committed append snapshot.
-    * The file lands once (before the loop); sequencing, provenance, and
-    * the snapshot chain re-derive from the refreshed base on retry. */
+  /** The partition-transform of a source column as a Column expression,
+    * consistent with the read side's ScanPlanning.transformValue (bucket
+    * is the codegen'd spec-pinned murmur3 expression). Write support is
+    * deliberately limited to the transforms whose Column form matches the
+    * scalar kernels bit-for-bit — a silent mismatch would mis-partition
+    * data and break pruning, so anything else fails loudly. */
+  private def transformColumn(spark: SparkSession, transform: String,
+      source: org.apache.spark.sql.Column, t: IcebergType): (IcebergType, org.apache.spark.sql.Column) =
+    transform match {
+      case "identity" => (t, source)
+      case s if s.startsWith("bucket[") =>
+        val n = s.stripPrefix("bucket[").stripSuffix("]").toInt
+        (IcebergTypes.TInt, graft.functions.GraftFunctions.icebergBucket(spark, source, n))
+      case other => throw new IllegalArgumentException(
+        s"unsupported write transform '$other' — supported: identity, bucket[N]")
+    }
+
+  /** Append `df` as one CAS-committed append snapshot. Unpartitioned
+    * tables land ONE data file; a table with a default partition spec
+    * lands one file PER partition tuple, one manifest per file, each
+    * manifest's field-507 summary carrying its transform-space tuple —
+    * so API-written tables are list-level prunable (i33/i37) with no
+    * extra step. Files land once (before the CAS loop); sequencing,
+    * provenance, and the chain re-derive from the refreshed base. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame): OptimisticCommit.CommitResult = {
     val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
     val schema = sparkSchema(meta0)
-    val file = s"$tableDir/data/append-${java.util.UUID.randomUUID()}.parquet"
-    ParquetFiles.writeOne(
-      df.select(schema.fieldNames.map(col).toIndexedSeq: _*), file)
-    val (n, lower, upper) = deriveStats(spark, file, meta0)
+    val projected = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val spec = meta0.partitionSpecs.find(_.specId == meta0.defaultSpecId)
+      .getOrElse(PartitionSpec(0, Nil))
+    val fieldsById = meta0.currentSchema.fields.map(f => f.id -> f).toMap
+    val appendUuid = java.util.UUID.randomUUID()
+    // (file, stats, optional transform-space partition tuple)
+    val written: Seq[(String, (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]),
+        Option[Seq[ManifestListWriter.FieldSummary]])] =
+      if (spec.fields.isEmpty) {
+        val file = s"$tableDir/data/append-$appendUuid.parquet"
+        ParquetFiles.writeOne(projected, file)
+        Seq((file, deriveStats(spark, file, meta0), None))
+      } else {
+        val tcols = spec.fields.map { pf =>
+          val f = fieldsById.getOrElse(pf.sourceId, throw new IllegalArgumentException(
+            s"partition source field ${pf.sourceId} not in current schema"))
+          val t = IcebergTypes.fromStringOpt(f.fieldType).getOrElse(
+            throw new IllegalArgumentException(s"unsupported type ${f.fieldType}"))
+          (pf, transformColumn(spark, pf.transform, col(f.name), t))
+        }
+        val withT = projected.select(col("*") +: tcols.zipWithIndex.map {
+          case ((_, (_, c)), i) => c.as(s"_p$i") }: _*)
+        // distinct partition tuples: metadata-scale by design (partition
+        // cardinality is what makes partitioning useful); at extreme
+        // cardinality a writer would use a partitioned shuffle instead
+        val tuples = withT.select(tcols.indices.map(i => col(s"_p$i")): _*)
+          .distinct().collect()
+        tuples.zipWithIndex.map { case (tuple, i) =>
+          val file = s"$tableDir/data/append-$appendUuid-%05d.parquet".format(i)
+          val cond = tcols.indices.map(j => col(s"_p$j") <=> lit(tuple.get(j))).reduce(_ && _)
+          ParquetFiles.writeOne(
+            withT.filter(cond).select(schema.fieldNames.map(col).toIndexedSeq: _*), file)
+          val summaries = tcols.zipWithIndex.map { case ((_, (tt, _)), j) =>
+            tuple.get(j) match {
+              case null => ManifestListWriter.FieldSummary(containsNull = true,
+                Array.empty[Byte], Array.empty[Byte])
+              case v => val b = SingleValueCodec.encode(tt, v)
+                ManifestListWriter.FieldSummary(containsNull = false, b, b)
+            }
+          }
+          (file, deriveStats(spark, file, meta0), Some(summaries))
+        }.toSeq
+      }
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       // manifest/list names carry a per-attempt uuid (Iceberg's own
@@ -197,18 +258,60 @@ object GraftTable {
       // both prepare "snapshot 2", and fixed names would let the loser
       // clobber the winner's just-committed files before its retry
       val attempt = java.util.UUID.randomUUID()
-      val manifest = s"$tableDir/m-append-$snapId-$attempt.avro"
-      ManifestWriter.write(manifest, Seq(ManifestWriter.EntryData(
-        1, snapId, file, n, ParquetFiles.length(file), lower, upper,
-        content = 0, sequenceNumber = Some(snapId))))
+      val manifests = written.zipWithIndex.map { case ((file, (n, lower, upper), sums), i) =>
+        val manifest = s"$tableDir/m-append-$snapId-$attempt-%05d.avro".format(i)
+        ManifestWriter.write(manifest, Seq(ManifestWriter.EntryData(
+          1, snapId, file, n, ParquetFiles.length(file), lower, upper,
+          content = 0, sequenceNumber = Some(snapId))))
+        (manifest, sums)
+      }
+      val carried = carryForward(base)
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
-      writeList(list, carryForward(base), manifest, 1, 0, snapId)
+      ManifestListWriter.write(list, carried.map(_.path) ++ manifests.map(_._1), snapId,
+        addedDataFilesCount = 1,
+        contents = carried.map(i => i.path -> i.content).toMap,
+        specIds = carried.map(i => i.path -> i.specId).toMap ++
+          manifests.map(_._1 -> spec.specId),
+        summaries = manifests.collect { case (m, Some(s)) => m -> s }.toMap,
+        addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
+        addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap)
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
-          Some("append"), Map("added-data-files" -> "1", "added-records" -> n.toString),
+          Some("append"),
+          Map("added-data-files" -> written.size.toString,
+            "added-records" -> written.map(_._2._1).sum.toString),
           Some(list), base.currentSchemaId),
         Some(basePath))
     })
+  }
+
+  /** Hidden-partition pruned read: `sourceFieldId = value` converts into
+    * the spec's transform space (ScanPlanning.transformValue) and prunes
+    * manifests against their list summaries WITHOUT opening them; the
+    * residual predicate still applies in the scan. Returns the filtered
+    * live rows plus how many manifests planning opened vs listed. */
+  def readWhere(spark: SparkSession, metadataPath: String,
+      sourceFieldId: Int, value: Any): (DataFrame, Int, Int) = {
+    val meta = TableMetadata.parseFile(metadataPath)
+    val snap = resolveSnapshot(meta, None, None)
+    val all = ManifestListReader.read(snap.manifestList.get)
+    // fail loudly rather than silently resurrect deleted rows: the pruned
+    // fast path skips the MOR apply, so it refuses tables with deletes
+    require(all.forall(_.content == 0),
+      "readWhere does not apply delete files — compact() first, or use read()")
+    val surviving = ScanPlanning.pruneManifestsByTransform(
+      snap.manifestList.get, meta, sourceFieldId, value)
+    val fieldName = meta.currentSchema.fields.find(_.id == sourceFieldId).get.name
+    val schema = sparkSchema(meta)
+    val files = surviving.filter(_.content == 0)
+      .flatMap(i => ManifestWriter.read(i.path))
+      .filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+    val df =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+        .filter(col(fieldName) <=> lit(value)) // residual
+    (df, surviving.size, all.size)
   }
 
   private def uriPath(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath

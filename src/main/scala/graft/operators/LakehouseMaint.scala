@@ -790,7 +790,46 @@ object LakehouseMaint {
       |  COUNT(*) AS n_live, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation WHERE n_regionkey <> 2""".stripMargin
 
+  // ---------------------------------------------------------------- i43
+  /** Hidden-partitioned writes through the public API: the table is
+    * CREATED with spec bucket[4](n_nationkey), and a plain `append`
+    * lands one file per bucket with each manifest's field-507 summary
+    * carrying its transform-space bucket ordinal — the API writes
+    * prunable metadata with no extra step. `readWhere(n_nationkey = 17)`
+    * then converts the key through the spec's transform and opens 1 of 4
+    * manifests, never touching the rest. Write and read sides share the
+    * same murmur3 kernel (the spec-pinned codegen'd expression), which
+    * is what makes the round trip safe. */
+  val partitionedWrite: Q = (spark, sfDir) => {
+    val dir = entryDir("i43", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000043", timestampMs = T0,
+        spec = PartitionSpec(0,
+          Seq(PartitionField("n_nationkey_bucket", "bucket[4]", 1, 1000))))
+      GraftTable.append(spark, dir,
+        Tables.load(spark, sfDir, "nation").orderBy(col("n_nationkey")))
+    }
+    val (df, opened, total) = GraftTable.readWhere(
+      spark, GraftTable.latestMetadataPath(dir), sourceFieldId = 1, value = 17)
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(lit(total).as("n_manifests_total"),
+        lit(opened).as("n_manifests_opened"),
+        col("n_rows"), col("sum_key"))
+  }
+
+  val partitionedWriteSql: String =
+    """SELECT CAST(4 AS INTEGER) AS n_manifests_total,
+      |  CAST(1 AS INTEGER) AS n_manifests_opened,
+      |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_nationkey = 17""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i43_partitioned_write" -> partitionedWrite,
     "i41_merge_api" -> mergeApi,
     "i42_compact_api" -> compactApi,
     "i40_table_dml" -> tableDml,
@@ -803,6 +842,7 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i43_partitioned_write" -> partitionedWriteSql,
     "i41_merge_api" -> mergeApiSql,
     "i42_compact_api" -> compactApiSql,
     "i40_table_dml" -> tableDmlSql,

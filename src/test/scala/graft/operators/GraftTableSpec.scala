@@ -70,6 +70,27 @@ class GraftTableSpec extends SparkSpec {
     assert(row.getAs[Long]("n_live") == 20L) // 25 - 5 region-2 rows
   }
 
+  test("i43: partitioned append writes prunable summaries; readWhere opens 1 of 4") {
+    val row = LakehouseMaint.partitionedWrite(spark, sfDir).head()
+    assert(row.getAs[Int]("n_manifests_total") == 4)
+    assert(row.getAs[Int]("n_manifests_opened") == 1)
+    assert(row.getAs[Long]("n_rows") == 1L)
+    assert(row.getAs[Long]("sum_key") == 17L)
+    // readWhere refuses tables carrying deletes (it skips the MOR apply);
+    // a fresh table so the shared i43 artifact stays untouched
+    val fresh = java.nio.file.Files.createTempDirectory("graft-readwhere").toString
+    GraftTable.create(fresh, graft.iceberg.IcebergSchema(0, Seq(
+      graft.iceberg.IcebergField(1, "n_nationkey", required = false, "int"),
+      graft.iceberg.IcebergField(2, "n_name", required = false, "string"),
+      graft.iceberg.IcebergField(3, "n_regionkey", required = false, "int"))),
+      tableUuid = "b6b9a6a1-0000-4000-8000-0000000000t1", timestampMs = 1700000000000L)
+    GraftTable.append(spark, fresh, graft.Tables.load(spark, sfDir, "nation"))
+    GraftTable.deleteWhere(spark, fresh, col("n_regionkey") === 2)
+    intercept[IllegalArgumentException] {
+      GraftTable.readWhere(spark, GraftTable.latestMetadataPath(fresh), 1, 17)
+    }
+  }
+
   test("ref time travel resolves tags through the committed refs map") {
     val v4 = TableMetadata.parseFile(s"$dir/v4.metadata.json")
     val v5 = s"$dir/v5.metadata.json"

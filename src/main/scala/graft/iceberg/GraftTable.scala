@@ -463,6 +463,45 @@ object GraftTable {
     })
   }
 
+  /** Snapshot expiry with physical cleanup: retain the newest `keepLast`
+    * snapshots, CAS-commit the metadata WITHOUT the expired ones (refs
+    * pinning an expired snapshot make the commit abort — drop the tag
+    * first), then delete every manifest-list, manifest, and data/delete
+    * file reachable ONLY from the expired set. Cleanup runs after the
+    * commit wins, so a crash between the two leaves orphans — exactly
+    * what remove_orphan_files (i31) reclaims — never a corrupt table. */
+  def expireSnapshots(spark: SparkSession, tableDir: String,
+      keepLast: Int = 1): OptimisticCommit.CommitResult = {
+    require(keepLast >= 1, "must retain at least one snapshot")
+    var expiredIds: Set[Long] = Set.empty
+    val result = OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val retained = base.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
+        .map(_.snapshotId).toSet
+      val toExpire = base.snapshots.map(_.snapshotId).filterNot(retained)
+      expiredIds = toExpire.toSet
+      require(toExpire.nonEmpty, s"nothing to expire (<= $keepLast snapshots)")
+      val afterExpiry = toExpire.foldLeft(base)((m, id) =>
+        MetadataWriter.expireSnapshot(m, id, base.lastUpdatedMs + 1000, None))
+      afterExpiry.copy(metadataLog =
+        afterExpiry.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
+    })
+    // reachability difference over the snapshot closures (lists →
+    // manifests → files), computed BEFORE anything is deleted
+    def closure(snaps: Seq[Snapshot]): Set[String] = {
+      val lists = snaps.flatMap(_.manifestList)
+      val manifests = lists.flatMap(l => ManifestListReader.read(l).map(_.path))
+      val files = manifests.flatMap(m => ManifestWriter.read(m).map(_.filePath))
+      (lists ++ manifests ++ files).toSet
+    }
+    val oldMeta = TableMetadata.parseFile(
+      OptimisticCommit.metadataPath(tableDir, result.version - 1))
+    val doomed = closure(oldMeta.snapshots.filter(s => expiredIds(s.snapshotId))) --
+      closure(result.metadata.snapshots)
+    doomed.foreach(p =>
+      HadoopConfs.fileSystemFor(p).delete(new org.apache.hadoop.fs.Path(p), false))
+    result
+  }
+
   /** Row-level DELETE: capture (file_path, pos) of matching rows across
     * the current data files, land them as ONE position-delete file, and
     * CAS-commit a delete snapshot. The predicate is an ordinary Column

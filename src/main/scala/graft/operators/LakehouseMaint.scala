@@ -828,7 +828,52 @@ object LakehouseMaint {
       |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation WHERE n_nationkey = 17""".stripMargin
 
+  // ---------------------------------------------------------------- i44
+  /** The full lifecycle through the public API, ending in expiry: create
+    * → two appends → DELETE → compact (4 snapshots) → expireSnapshots
+    * keeping only the compacted head. The metadata drops the expired
+    * snapshots, and every artifact reachable only from them — the
+    * pre-compaction data files, the position-delete file, their
+    * manifests and lists — is physically deleted; the data directory
+    * ends up holding exactly the one compacted file, and the scan still
+    * equals the logical table. */
+  val expireApi: Q = (spark, sfDir) => {
+    val dir = entryDir("i44", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000044", timestampMs = T0)
+      GraftTable.append(spark, dir, nation.filter(col("n_nationkey") < 13)
+        .orderBy(col("n_nationkey")))
+      GraftTable.append(spark, dir, nation.filter(col("n_nationkey") >= 13)
+        .orderBy(col("n_nationkey")))
+      GraftTable.deleteWhere(spark, dir, col("n_regionkey") === 2)
+      GraftTable.compact(spark, dir)
+      GraftTable.expireSnapshots(spark, dir, keepLast = 1)
+    }
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val fs = HadoopConfs.fileSystemFor(dir)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/data"))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .select(lit(meta.snapshots.size).as("n_snapshots"),
+        lit(onDisk).as("n_files_on_disk"),
+        col("n_rows"), col("sum_key"))
+  }
+
+  val expireApiSql: String =
+    """SELECT CAST(1 AS INTEGER) AS n_snapshots,
+      |  CAST(1 AS INTEGER) AS n_files_on_disk,
+      |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_regionkey <> 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i44_expire_api" -> expireApi,
     "i43_partitioned_write" -> partitionedWrite,
     "i41_merge_api" -> mergeApi,
     "i42_compact_api" -> compactApi,
@@ -842,6 +887,7 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i44_expire_api" -> expireApiSql,
     "i43_partitioned_write" -> partitionedWriteSql,
     "i41_merge_api" -> mergeApiSql,
     "i42_compact_api" -> compactApiSql,

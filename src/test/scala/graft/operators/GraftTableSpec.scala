@@ -91,6 +91,13 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("i44: expiry drops snapshots and physically deletes only-expired artifacts") {
+    val row = LakehouseMaint.expireApi(spark, sfDir).head()
+    assert(row.getAs[Int]("n_snapshots") == 1)
+    assert(row.getAs[Int]("n_files_on_disk") == 1)
+    assert(row.getAs[Long]("n_rows") == 20L)
+  }
+
   test("ref time travel resolves tags through the committed refs map") {
     val v4 = TableMetadata.parseFile(s"$dir/v4.metadata.json")
     val v5 = s"$dir/v5.metadata.json"

@@ -39,7 +39,9 @@ object PlanDump {
     "i36_seq_scoped_scan" -> "sequence-scoped MOR: per-commit file groups carry their data sequence number as a scan constant; the equality delete applies through a strict-inequality anti-join, so later appends pass untouched",
     "i37_transform_pruned_scan" -> "hidden-partition pruning: planning converted the key predicate to murmur3-bucket space and opened 1 of 4 manifests; the plan is the residual filter over the single surviving bucket file",
     "i38_changelog_scan" -> "CDC changelog: insert stream scans only snapshot-added files; delete stream materializes rows via an inner join of delete (file,pos) addresses against the pre-delete file set (broadcast from AQE stats)",
-    "st12_stream_compaction" -> "streamed-table compaction read-back: one compacted file scanned, rollup after the replace commit (the rewrite + CAS commit already ran)")
+    "st12_stream_compaction" -> "streamed-table compaction read-back: one compacted file scanned, rollup after the replace commit (the rewrite + CAS commit already ran)",
+    "i41_merge_api" -> "public-API COW merge read-back: the composed GraftTable.read over the post-merge table — per-sequence scan groups, carried delete manifests applying only to untouched files",
+    "i43_partitioned_write" -> "API-written hidden partitioning: residual key filter over the single bucket file readWhere's transform-space pruning left (3 of 4 manifests never opened)")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-plandump", cores = "4")

@@ -39,6 +39,26 @@ object Bench {
       .getOrElse(render(0))
   }
 
+  /** Full-precision per-entry timings as a JSON file next to the compact
+    * stdout line — the stdout tail is capped at 2000 chars (which already
+    * forced the decimal-degradation hack above), so the FILE is the
+    * mechanically-parseable record; the line stays the driver contract. */
+  def writeFullJson(path: String, results: Seq[(String, Option[Double])],
+      sfDir: String, totalSec: Double): Unit = {
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(d => f"$d%.4f").getOrElse("null")
+    }.mkString("{", ",", "}")
+    val sf = sfDir.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val json =
+      s"""{"metric":"total","value":${f"$totalSec%.4f"},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,7 +85,13 @@ object Bench {
     // Pass 1 warms JVM/codegen/parquet-footer caches (one-shot costs that a
     // long-lived cluster session never repays per query); passes 2-3 are the
     // steady-state measurement. Report min of the successful timed runs.
+    // SPARK_GRAFT_ONLY=i21,i22,... runs a subset (by shortKey prefix) — the
+    // isolation harness for regression bisects; unset = the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(shortKey(n))))
+    require(names.nonEmpty, "SPARK_GRAFT_ONLY matched no entries")
     // fail fast on a prefix collision BEFORE spending ~3 timed passes:
     // a colliding shortKey would silently drop a timing from the JSON line
     require(names.map(shortKey).distinct.size == names.size,
@@ -74,6 +100,8 @@ object Bench {
     val results = names.map { n =>
       n -> best(Seq(time(n, SparkEntry.queries(n)), time(n, SparkEntry.queries(n))))
     }
+    sys.env.get("SPARK_GRAFT_BENCH_JSON").foreach(p =>
+      writeFullJson(p, results, sfDir, results.flatMap(_._2).sum))
     println(renderLine(results, sfDir))
     spark.stop()
   }

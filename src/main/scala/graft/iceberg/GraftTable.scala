@@ -21,12 +21,13 @@ import graft.operators.Lakehouse
   *      lower — commit order decides applicability, not reachability.
   *
   * Planning state is KB-scale (the same driver boundary Iceberg's own
-  * planner keeps); every data read is a distributed parquet scan, one
-  * scan per data sequence number (the per-commit group whose `_seq`
-  * constant the MOR join needs — bounded by the snapshot count, and in
-  * practice by compaction). Delete sides stay optimizer-chosen joins:
-  * AQE broadcasts metadata-scale delete sets, mass deletes degrade to
-  * shuffle anti-joins instead of forced-broadcast OOMs.
+  * planner keeps) and opens manifests CONCURRENTLY; the data read is ONE
+  * distributed parquet scan whatever the snapshot count — each row's
+  * `_seq` (the MOR coordinate) attaches via a broadcast join against the
+  * file→sequence lookup instead of one scan per sequence group. Delete
+  * sides stay optimizer-chosen joins: AQE broadcasts metadata-scale
+  * delete sets, mass deletes degrade to shuffle anti-joins instead of
+  * forced-broadcast OOMs.
   */
 object GraftTable {
 
@@ -39,24 +40,41 @@ object GraftTable {
         nullable = true)))
 
   private def resolveSnapshot(meta: TableMetadata,
-      snapshotId: Option[Long], ref: Option[String]): Snapshot = {
-    require(snapshotId.isEmpty || ref.isEmpty, "pass snapshotId OR ref, not both")
-    val id = snapshotId.orElse(ref.map { r =>
-      meta.refs.find(_.name == r).getOrElse(
-        throw new IllegalArgumentException(s"unknown ref '$r'")).snapshotId
-    }).orElse(meta.currentSnapshotId).getOrElse(
-      throw new IllegalArgumentException("table has no current snapshot"))
-    meta.snapshot(id).getOrElse(
-      throw new IllegalArgumentException(s"unknown snapshot $id"))
+      snapshotId: Option[Long], ref: Option[String],
+      asOfTimestampMs: Option[Long] = None): Snapshot = {
+    require(Seq(snapshotId, ref, asOfTimestampMs).count(_.isDefined) <= 1,
+      "pass at most one of snapshotId, ref, asOfTimestampMs")
+    asOfTimestampMs match {
+      case Some(ts) =>
+        meta.snapshotAsOf(ts).getOrElse(throw new IllegalArgumentException(
+          s"no snapshot current as of $ts (snapshot-log starts later)"))
+      case None =>
+        val id = snapshotId.orElse(ref.map { r =>
+          meta.refs.find(_.name == r).getOrElse(
+            throw new IllegalArgumentException(s"unknown ref '$r'")).snapshotId
+        }).orElse(meta.currentSnapshotId).getOrElse(
+          throw new IllegalArgumentException("table has no current snapshot"))
+        meta.snapshot(id).getOrElse(
+          throw new IllegalArgumentException(s"unknown snapshot $id"))
+    }
   }
+
+  /** Snapshot selection for external planners (the DSv2 `graft-table`
+    * source) — same resolution rules as [[read]]. */
+  private[graft] def resolveForScan(meta: TableMetadata, snapshotId: Option[Long],
+      ref: Option[String], asOfTimestampMs: Option[Long]): Snapshot =
+    resolveSnapshot(meta, snapshotId, ref, asOfTimestampMs)
 
   /** Read a committed table. `metadataPath` is the document to trust —
     * callers wanting "latest" resolve it first (OptimisticCommit
-    * .currentVersion); `snapshotId`/`ref` select a non-head snapshot. */
+    * .currentVersion); `snapshotId`/`ref` select a non-head snapshot and
+    * `asOfTimestampMs` time-travels through the snapshot-log (the latest
+    * snapshot made current at-or-before the instant — i08's rule). */
   def read(spark: SparkSession, metadataPath: String,
-      snapshotId: Option[Long] = None, ref: Option[String] = None): DataFrame = {
+      snapshotId: Option[Long] = None, ref: Option[String] = None,
+      asOfTimestampMs: Option[Long] = None): DataFrame = {
     val meta = TableMetadata.parseFile(metadataPath)
-    readWithAddress(spark, meta, resolveSnapshot(meta, snapshotId, ref))
+    readWithAddress(spark, meta, resolveSnapshot(meta, snapshotId, ref, asOfTimestampMs))
       .select(sparkSchema(meta).fieldNames.map(col).toIndexedSeq: _*)
   }
 
@@ -67,14 +85,49 @@ object GraftTable {
       snap: Snapshot): DataFrame = {
     val listPath = snap.manifestList.getOrElse(
       throw new IllegalArgumentException(s"snapshot ${snap.snapshotId} has no manifest-list"))
-    val infos = ManifestListReader.read(listPath)
-    // (path, content, seq) per live file, routed by list- then entry-level
-    // content; DELETED entries (status 2) drop out of the live set
-    def entriesOf(listContent: Int): Seq[ManifestWriter.EntryData] =
-      infos.filter(_.content == listContent).flatMap(i => ManifestWriter.read(i.path))
-        .filter(_.status != 2)
+    readFromInfos(spark, meta, ManifestListReader.read(listPath))
+  }
+
+  /** Strip the URI scheme+authority off a file-path column: manifest
+    * entries hold plain paths, `_metadata.file_path` is a URI — joins and
+    * comparisons happen on the normalized path component (the i26/i31
+    * rule). Stays inside whole-stage codegen. */
+  private def normPathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^[a-z0-9+.-]+:(//)?", "")
+
+  /** MOR read over an explicit manifest set (readWhere hands a PRUNED
+    * set; readWithAddress hands the whole list). Planning shape, built
+    * for 10⁴+ manifests:
+    *
+    *   - every manifest opens CONCURRENTLY (Par.inParallel) — planning
+    *     wall-clock tracks the slowest manifest, not the manifest count;
+    *   - an entry-level null sequence number INHERITS the manifest-list's
+    *     field-515 number (the v2 inheritance rule — foreign tables leave
+    *     ADDED entries null and let the list carry the commit's number);
+    *   - ONE distributed scan reads all live data files; each row's
+    *     `_seq` attaches via a broadcast join against the KB-scale
+    *     file→sequence lookup — plan width stays O(1) in snapshot count
+    *     (the old shape unioned one scan per sequence group);
+    *   - position deletes: ONE scan over all position-delete files, each
+    *     row's `_del_seq` from the same lookup trick, ONE anti-join;
+    *   - equality deletes: files group by their column set (a delete
+    *     file's schema IS its equality-column list), one anti-join per
+    *     distinct column set — tables with one equality-id list (the
+    *     overwhelmingly common case) get exactly one anti-join, however
+    *     many delete commits are pending. */
+  private def readFromInfos(spark: SparkSession, meta: TableMetadata,
+      infos: Seq[ManifestListReader.ManifestFileInfo]): DataFrame = {
+    val byManifest = Par.inParallel(infos)(i => (i, ManifestWriter.read(i.path)))
+    // live (entry, sequence) per list-content route; DELETED entries
+    // (status 2) drop out; sequence inherits list field 515 when null
+    def live(listContent: Int, entryContent: Int): Seq[(ManifestWriter.EntryData, Long)] =
+      (for {
+        (i, es) <- byManifest if i.content == listContent
+        e <- es if e.status != 2 && e.content == entryContent
+      } yield (e, e.sequenceNumber.getOrElse(i.sequenceNumber)))
+        .distinctBy(x => uriPath(x._1.filePath))
     val schema = sparkSchema(meta)
-    val dataEntries = entriesOf(0)
+    val dataEntries = live(0, 0)
     if (dataEntries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -82,35 +135,44 @@ object GraftTable {
           StructField("_file", org.apache.spark.sql.types.StringType),
           StructField("_pos", org.apache.spark.sql.types.LongType),
           StructField("_seq", org.apache.spark.sql.types.LongType))))
-    // one distributed scan per data sequence number: the group shares its
-    // `_seq` constant (how a scan task carries it at cluster scale)
-    def bySeq(entries: Seq[ManifestWriter.EntryData]): Seq[(Long, Seq[String])] =
-      entries.groupBy(_.sequenceNumber.getOrElse(0L)).toSeq.sortBy(_._1)
-        .map { case (s, es) => (s, es.map(_.filePath)) }
-    val data = bySeq(dataEntries).map { case (seq, files) =>
-      spark.read.schema(schema).parquet(files: _*)
-        .select(col("*"),
-          col("_metadata.file_path").as("_file"),
-          col("_metadata.row_index").as("_pos"),
-          lit(seq).as("_seq"))
-    }.reduce(_ unionByName _)
-    val deleteEntries = entriesOf(1)
-    val posApplied = bySeq(deleteEntries.filter(_.content == 1)) match {
-      case Nil => data
-      case groups =>
-        val deletes = groups.map { case (seq, files) =>
-          spark.read.parquet(files: _*)
-            .select(col("file_path"), col("pos"), lit(seq).as("_del_seq"))
-        }.reduce(_ unionByName _)
+    import spark.implicits._
+    // file→sequence lookup: one row per FILE (metadata-scale, broadcast)
+    def seqLookup(entries: Seq[(ManifestWriter.EntryData, Long)], seqName: String): DataFrame =
+      broadcast(entries.map { case (e, s) => (uriPath(e.filePath), s) }
+        .toDF("_lk_file", seqName))
+    val data = spark.read.schema(schema)
+      .parquet(dataEntries.map(_._1.filePath).sorted: _*)
+      .select(col("*"),
+        col("_metadata.file_path").as("_file"),
+        col("_metadata.row_index").as("_pos"))
+      .join(seqLookup(dataEntries, "_seq"), normPathCol(col("_file")) === col("_lk_file"))
+      .drop("_lk_file")
+    val posEntries = live(1, 1)
+    val posApplied =
+      if (posEntries.isEmpty) data
+      else {
+        val deletes = spark.read.parquet(posEntries.map(_._1.filePath).sorted: _*)
+          .select(col("file_path"), col("pos"),
+            col("_metadata.file_path").as("_dfile"))
+          .join(seqLookup(posEntries, "_del_seq"),
+            normPathCol(col("_dfile")) === col("_lk_file"))
+          .select(col("file_path"), col("pos"), col("_del_seq"))
         Lakehouse.applyPositionDeletesScoped(data, deletes)
-    }
-    // equality deletes may differ in schema file-to-file (each file's
-    // schema IS its equality-column set) — apply per sequence group
-    bySeq(deleteEntries.filter(_.content == 2))
-      .foldLeft(posApplied) { case (acc, (seq, files)) =>
-        Lakehouse.applyEqualityDeletesScoped(acc,
-          spark.read.parquet(files: _*).withColumn("_del_seq", lit(seq)))
       }
+    val eqEntries = live(1, 2)
+    // column set per delete file: KB-scale footer reads, also concurrent
+    val eqGroups = Par.inParallel(eqEntries)(e =>
+        (spark.read.parquet(e._1.filePath).schema.fieldNames.toSeq, e))
+      .groupBy(_._1).toSeq.sortBy(_._1.mkString(","))
+      .map { case (_, g) => g.map(_._2) }
+    eqGroups.foldLeft(posApplied) { case (acc, group) =>
+      val dels = spark.read.parquet(group.map(_._1.filePath).sorted: _*)
+        .select(col("*"), col("_metadata.file_path").as("_dfile"))
+        .join(seqLookup(group, "_del_seq"),
+          normPathCol(col("_dfile")) === col("_lk_file"))
+        .drop("_lk_file", "_dfile")
+      Lakehouse.applyEqualityDeletesScoped(acc, dels)
+    }
   }
 
   // ------------------------------------------------------------ writes
@@ -172,6 +234,15 @@ object GraftTable {
       : Seq[ManifestListReader.ManifestFileInfo] =
     base.currentSnapshot.toSeq.flatMap(s => ManifestListReader.read(s.manifestList.get))
 
+  /** Carried manifests keep their field-507 partition summaries — a
+    * commit that re-lists them must not erase the pruning metadata (a
+    * delete commit would otherwise turn every pruned read unprunable). */
+  private def carriedSummaries(carried: Seq[ManifestListReader.ManifestFileInfo])
+      : Map[String, Seq[ManifestListWriter.FieldSummary]] =
+    carried.flatMap(i => i.summaries.map(ss => i.path -> ss.map(s =>
+      ManifestListWriter.FieldSummary(s.containsNull,
+        s.lower.getOrElse(Array.empty), s.upper.getOrElse(Array.empty))))).toMap
+
   private def writeList(path: String, carried: Seq[ManifestListReader.ManifestFileInfo],
       newManifest: String, newCount: Int, newContent: Int, snapId: Long): Unit =
     ManifestListWriter.write(path, carried.map(_.path) :+ newManifest, snapId,
@@ -179,7 +250,12 @@ object GraftTable {
       contents = (carried.map(i => i.path -> i.content) :+ (newManifest -> newContent)).toMap,
       specIds = carried.map(i => i.path -> i.specId).toMap,
       addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
-      addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap)
+      addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
+      summaries = carriedSummaries(carried),
+      // carried manifests keep their ORIGINAL sequence numbers (515/516);
+      // the new manifest defaults to snapId — this library's sequence
+      seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
+      minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
 
   /** The partition-transform of a source column as a Column expression,
     * consistent with the read side's ScanPlanning.transformValue (bucket
@@ -272,9 +348,12 @@ object GraftTable {
         contents = carried.map(i => i.path -> i.content).toMap,
         specIds = carried.map(i => i.path -> i.specId).toMap ++
           manifests.map(_._1 -> spec.specId),
-        summaries = manifests.collect { case (m, Some(s)) => m -> s }.toMap,
+        summaries = carriedSummaries(carried) ++
+          manifests.collect { case (m, Some(s)) => m -> s },
         addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
-        addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap)
+        addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
+        seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
+        minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("append"),
@@ -285,43 +364,41 @@ object GraftTable {
     })
   }
 
-  /** Hidden-partition pruned read: `sourceFieldId = value` converts into
-    * the spec's transform space (ScanPlanning.transformValue) and prunes
-    * manifests against their list summaries WITHOUT opening them; the
-    * residual predicate still applies in the scan. Returns the filtered
-    * live rows plus how many manifests planning opened vs listed. */
+  /** Hidden-partition pruned read WITH merge-on-read: `sourceFieldId =
+    * value` converts into the spec's transform space (ScanPlanning
+    * .transformValue) and prunes DATA manifests against their list
+    * summaries WITHOUT opening them; pending deletes still apply — every
+    * delete manifest is kept (a delete landed anywhere may target a
+    * surviving file; at partition-scoped delete volume, summary-pruning
+    * the delete side too is the same rule applied symmetrically), the
+    * sequence-scoped MOR runs over the pruned data set, and the residual
+    * predicate applies in the scan. Returns the filtered live rows plus
+    * how many DATA manifests planning kept vs listed. */
   def readWhere(spark: SparkSession, metadataPath: String,
       sourceFieldId: Int, value: Any): (DataFrame, Int, Int) = {
     val meta = TableMetadata.parseFile(metadataPath)
     val snap = resolveSnapshot(meta, None, None)
     val all = ManifestListReader.read(snap.manifestList.get)
-    // fail loudly rather than silently resurrect deleted rows: the pruned
-    // fast path skips the MOR apply, so it refuses tables with deletes
-    require(all.forall(_.content == 0),
-      "readWhere does not apply delete files — compact() first, or use read()")
-    val surviving = ScanPlanning.pruneManifestsByTransform(
-      snap.manifestList.get, meta, sourceFieldId, value)
+    val survivingData = ScanPlanning.pruneManifestsByTransform(
+      snap.manifestList.get, meta, sourceFieldId, value).filter(_.content == 0)
+    val deletes = all.filter(_.content == 1)
     val fieldName = meta.currentSchema.fields.find(_.id == sourceFieldId).get.name
-    val schema = sparkSchema(meta)
-    val files = surviving.filter(_.content == 0)
-      .flatMap(i => ManifestWriter.read(i.path))
-      .filter(e => e.status != 2 && e.content == 0).map(_.filePath)
-    val df =
-      if (files.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
-        .filter(col(fieldName) <=> lit(value)) // residual
-    (df, surviving.size, all.size)
+    val df = readFromInfos(spark, meta, survivingData ++ deletes)
+      .filter(col(fieldName) <=> lit(value)) // residual
+      .select(sparkSchema(meta).fieldNames.map(col).toIndexedSeq: _*)
+    (df, survivingData.size, all.count(_.content == 0))
   }
 
   private def uriPath(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
 
-  /** Current non-deleted entries of the head snapshot, by list content. */
+  /** Current non-deleted entries of the head snapshot, by list content —
+    * manifests open concurrently (same planning shape as readFromInfos). */
   private def currentEntries(base: TableMetadata, listContent: Int): Seq[ManifestWriter.EntryData] =
-    base.currentSnapshot.toSeq
-      .flatMap(s => ManifestListReader.read(s.manifestList.get))
-      .filter(_.content == listContent)
-      .flatMap(i => ManifestWriter.read(i.path)).filter(_.status != 2)
+    Par.inParallel(
+      base.currentSnapshot.toSeq
+        .flatMap(s => ManifestListReader.read(s.manifestList.get))
+        .filter(_.content == listContent))(i => ManifestWriter.read(i.path))
+      .flatten.filter(_.status != 2)
 
   /** MERGE INTO, copy-on-write: source rows matched on `keyCols` REPLACE
     * the live row (whole-row update), unmatched source rows insert — a
@@ -391,7 +468,10 @@ object GraftTable {
         contents = carriedDeletes.map(i => i.path -> 1).toMap,
         specIds = carriedDeletes.map(i => i.path -> i.specId).toMap,
         addedSnapshotIds = carriedDeletes.map(i => i.path -> i.addedSnapshotId).toMap,
-        addedCounts = carriedDeletes.map(i => i.path -> i.addedDataFilesCount).toMap)
+        addedCounts = carriedDeletes.map(i => i.path -> i.addedDataFilesCount).toMap,
+        summaries = carriedSummaries(carriedDeletes),
+        seqNums = carriedDeletes.map(i => i.path -> i.sequenceNumber).toMap,
+        minSeqNums = carriedDeletes.map(i => i.path -> i.minSequenceNumber).toMap)
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("overwrite"),
@@ -510,9 +590,10 @@ object GraftTable {
       predicate: org.apache.spark.sql.Column): OptimisticCommit.CommitResult = {
     val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
     val snap = resolveSnapshot(meta0, None, None)
-    val dataFiles = ManifestListReader.read(snap.manifestList.get)
-      .filter(_.content == 0).flatMap(i => ManifestWriter.read(i.path))
-      .filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+    val dataFiles = Par.inParallel(
+        ManifestListReader.read(snap.manifestList.get).filter(_.content == 0))(
+        i => ManifestWriter.read(i.path))
+      .flatten.filter(e => e.status != 2 && e.content == 0).map(_.filePath)
     require(dataFiles.nonEmpty, "deleteWhere on a table with no data files")
     val delFile = s"$tableDir/data/delete-${java.util.UUID.randomUUID()}.parquet"
     // Iceberg requires position deletes sorted by (file_path, pos)

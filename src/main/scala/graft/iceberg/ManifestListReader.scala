@@ -22,6 +22,9 @@ object ManifestListReader {
   final case class FieldSummary(
       containsNull: Boolean, lower: Option[Array[Byte]], upper: Option[Array[Byte]])
 
+  /** `sequenceNumber`/`minSequenceNumber` are the v2 list-level numbers
+    * (spec fields 515/516) — an entry-level null sequence number inherits
+    * `sequenceNumber`; both read 0 from pre-field lists (Avro defaults). */
   final case class ManifestFileInfo(
       path: String,
       length: Long,
@@ -29,7 +32,9 @@ object ManifestListReader {
       addedSnapshotId: Long,
       addedDataFilesCount: Int,
       content: Int,
-      summaries: Option[Seq[FieldSummary]])
+      summaries: Option[Seq[FieldSummary]],
+      sequenceNumber: Long = 0L,
+      minSequenceNumber: Long = 0L)
 
   private def bytesOf(v: AnyRef): Option[Array[Byte]] = Option(v).map { b =>
     val bb = b.asInstanceOf[ByteBuffer].duplicate()
@@ -61,7 +66,9 @@ object ManifestListReader {
           r.get("added_snapshot_id").asInstanceOf[Long],
           r.get("added_data_files_count").asInstanceOf[Int],
           r.get("content").asInstanceOf[Int],
-          summaries)
+          summaries,
+          r.get("sequence_number").asInstanceOf[Long],
+          r.get("min_sequence_number").asInstanceOf[Long])
       }
       buf.result()
     } finally { stream.close(); in.close() }

@@ -58,6 +58,16 @@ object ManifestListWriter {
       // position/equality delete files (the i22 DML write path)
       .name("content").prop(AvroConversions.FieldIdKey, "517")
       .`type`().intType().intDefault(0)
+      // v2 sequence numbers (spec ids 515/516): the manifest's own data
+      // sequence number — what an entry-level null `sequence_number`
+      // INHERITS (a v2 writer leaves ADDED entries null and lets the list
+      // carry the commit's number) — and the minimum across its live
+      // entries, the coordinate delete-manifest pruning compares against.
+      // Default 0 keeps pre-field lists readable (Avro field defaults).
+      .name("sequence_number").prop(AvroConversions.FieldIdKey, "515")
+      .`type`().longType().longDefault(0)
+      .name("min_sequence_number").prop(AvroConversions.FieldIdKey, "516")
+      .`type`().longType().longDefault(0)
       // partition summaries (spec field 507): one field_summary per
       // partition-spec field, the list-level pruning dimension
       .name("partitions").prop(AvroConversions.FieldIdKey, "507")
@@ -83,13 +93,22 @@ object ManifestListWriter {
     * commits that re-list older manifests. Unlisted paths fall back to the
     * committing snapshot / uniform count, so append-only call sites are
     * unchanged. */
+  /** `seqNums`/`minSeqNums` carry each manifest's v2 sequence numbers
+    * (fields 515/516): a carried-forward manifest keeps its ORIGINAL
+    * commit's number so entry-level inheritance stays correct across
+    * re-listing commits. Unlisted paths default to `snapshotId` — this
+    * library assigns sequence numbers equal to snapshot ids (a strictly
+    * increasing linear history), so the committing snapshot's id IS the
+    * new manifest's sequence number. */
   def write(path: String, manifestPaths: Seq[String], snapshotId: Long,
       addedDataFilesCount: Int = 2, codec: String = "deflate",
       contents: Map[String, Int] = Map.empty,
       specIds: Map[String, Int] = Map.empty,
       summaries: Map[String, Seq[FieldSummary]] = Map.empty,
       addedSnapshotIds: Map[String, Long] = Map.empty,
-      addedCounts: Map[String, Int] = Map.empty): Unit = {
+      addedCounts: Map[String, Int] = Map.empty,
+      seqNums: Map[String, Long] = Map.empty,
+      minSeqNums: Map[String, Long] = Map.empty): Unit = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
     w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
@@ -103,6 +122,9 @@ object ManifestListWriter {
       r.put("added_snapshot_id", addedSnapshotIds.getOrElse(p, snapshotId))
       r.put("added_data_files_count", addedCounts.getOrElse(p, addedDataFilesCount))
       r.put("content", contents.getOrElse(p, 0))
+      r.put("sequence_number", seqNums.getOrElse(p, snapshotId))
+      r.put("min_sequence_number",
+        minSeqNums.getOrElse(p, seqNums.getOrElse(p, snapshotId)))
       summaries.get(p).foreach { fs =>
         val arrSchema = manifestFileSchema.getField("partitions")
           .schema().getTypes.get(1)

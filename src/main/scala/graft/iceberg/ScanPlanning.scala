@@ -107,11 +107,13 @@ object ScanPlanning {
         if (pf.sourceId != sourceFieldId) true
         else transformValue(pf.transform, sourceType, value) match {
           case Some((tType, tv)) =>
-            val loOk = s.lower.flatMap(b =>
-              cmpValues(SingleValueCodec.decode(tType, b), tv)).forall(_ <= 0)
-            val hiOk = s.upper.flatMap(b =>
-              cmpValues(SingleValueCodec.decode(tType, b), tv)).forall(_ >= 0)
-            loOk && hiOk
+            // empty/undecodable bounds (a null-valued partition's summary
+            // writes zero bytes) mean "no bound" — keep, never throw
+            def cmp(bound: Option[Array[Byte]]): Option[Int] =
+              bound.filter(_.nonEmpty)
+                .flatMap(b => scala.util.Try(SingleValueCodec.decode(tType, b)).toOption)
+                .flatMap(cmpValues(_, tv))
+            cmp(s.lower).forall(_ <= 0) && cmp(s.upper).forall(_ >= 0)
           case None => true
         }
       }

@@ -80,19 +80,9 @@ object LakehouseExec {
     * scheduler interleaves their stages across executors), so wall-clock
     * scales with the slowest task instead of the task count — the shape
     * that matters when a 100 TB compaction has thousands of bins.
-    * Results keep `items` order. */
+    * Results keep `items` order (shared with scan planning — Par). */
   private[operators] def inParallel[A, B](items: Seq[A], slots: Int = 8)(f: A => B): Seq[B] =
-    if (items.size <= 1) items.map(f)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(slots, items.size))
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(items.map(i => scala.concurrent.Future(f(i)))),
-        scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
-    }
+    graft.iceberg.Par.inParallel(items, slots)(f)
 
   private[operators] def writeOneParquet(df: DataFrame, outFile: String): Unit =
     ParquetFiles.writeOne(df, outFile)

@@ -872,7 +872,93 @@ object LakehouseMaint {
       |  COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation WHERE n_regionkey <> 2""".stripMargin
 
+  // ---------------------------------------------------------------- i45
+  /** Pruned read COMPOSED with merge-on-read (the r7 refusal, resolved):
+    * a bucket[4](n_nationkey)-partitioned table holds a LIVE position
+    * delete (key 17), and `readWhere` both prunes — each key predicate
+    * converts into bucket space and opens 1 of 4 data manifests, the
+    * delete manifest always applies — and hides the deleted row. The
+    * deleted key's partition IS scanned (its manifest summary matches)
+    * yet returns nothing: the sequence-scoped anti-join runs inside the
+    * pruned plan. A second read of a live key in another bucket returns
+    * its row, also from one opened manifest. */
+  val prunedMorRead: Q = (spark, sfDir) => {
+    val dir = entryDir("i45", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000045", timestampMs = T0,
+        spec = PartitionSpec(0,
+          Seq(PartitionField("n_nationkey_bucket", "bucket[4]", 1, 1000))))
+      GraftTable.append(spark, dir,
+        Tables.load(spark, sfDir, "nation").orderBy(col("n_nationkey")))
+      GraftTable.deleteWhere(spark, dir, col("n_nationkey") === 17)
+    }
+    val path = GraftTable.latestMetadataPath(dir)
+    val (gone, openedGone, total) = GraftTable.readWhere(spark, path, 1, 17)
+    val (kept, openedKept, _) = GraftTable.readWhere(spark, path, 1, 18)
+    gone.agg(count(lit(1)).as("n_deleted_rows"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_live_rows"),
+        sum(col("n_nationkey")).cast("long").as("live_key")))
+      .select(lit(total).as("n_manifests_total"),
+        lit(openedGone).as("opened_deleted_key"),
+        lit(openedKept).as("opened_live_key"),
+        col("n_deleted_rows"), col("n_live_rows"), col("live_key"))
+  }
+
+  val prunedMorReadSql: String =
+    """SELECT CAST(4 AS INTEGER) AS n_manifests_total,
+      |  CAST(1 AS INTEGER) AS opened_deleted_key,
+      |  CAST(1 AS INTEGER) AS opened_live_key,
+      |  COUNT(CASE WHEN 1 = 0 THEN 1 END) AS n_deleted_rows,
+      |  COUNT(CASE WHEN n_nationkey = 18 THEN 1 END) AS n_live_rows,
+      |  CAST(SUM(CASE WHEN n_nationkey = 18 THEN n_nationkey END) AS BIGINT) AS live_key
+      |FROM nation""".stripMargin
+
+  // ---------------------------------------------------------------- i46
+  /** Timestamp time travel through the public read: the snapshot-log
+    * maps each commit's wall-clock instant to its snapshot (i08's rule —
+    * latest entry at-or-before the asked instant), so `read(asOf =
+    * T0+2500)` sees both appends but not the later delete, and `read(asOf
+    * = T0+1500)` sees only the first append. Commit timestamps are
+    * deterministic (base.lastUpdatedMs + 1000 per commit), making the
+    * travel points stable at every sf. */
+  val asofRead: Q = (spark, sfDir) => {
+    val dir = entryDir("i46", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000046", timestampMs = T0)
+      GraftTable.append(spark, dir, nation.filter(col("n_nationkey") < 13)
+        .orderBy(col("n_nationkey")))                          // T0+1000
+      GraftTable.append(spark, dir, nation.filter(col("n_nationkey") >= 13)
+        .orderBy(col("n_nationkey")))                          // T0+2000
+      GraftTable.deleteWhere(spark, dir, col("n_regionkey") === 2) // T0+3000
+    }
+    val path = GraftTable.latestMetadataPath(dir)
+    val early = GraftTable.read(spark, path, asOfTimestampMs = Some(T0 + 1500))
+    val mid = GraftTable.read(spark, path, asOfTimestampMs = Some(T0 + 2500))
+    early.agg(count(lit(1)).as("n_rows_early"),
+        sum(col("n_nationkey")).cast("long").as("sum_early"))
+      .crossJoin(mid.agg(count(lit(1)).as("n_rows_mid"),
+        sum(col("n_nationkey")).cast("long").as("sum_mid")))
+  }
+
+  val asofReadSql: String =
+    """SELECT COUNT(CASE WHEN n_nationkey < 13 THEN 1 END) AS n_rows_early,
+      |  CAST(SUM(CASE WHEN n_nationkey < 13 THEN n_nationkey END) AS BIGINT) AS sum_early,
+      |  COUNT(*) AS n_rows_mid,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_mid
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i45_pruned_mor_read" -> prunedMorRead,
+    "i46_asof_read" -> asofRead,
     "i44_expire_api" -> expireApi,
     "i43_partitioned_write" -> partitionedWrite,
     "i41_merge_api" -> mergeApi,
@@ -887,6 +973,8 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i45_pruned_mor_read" -> prunedMorReadSql,
+    "i46_asof_read" -> asofReadSql,
     "i44_expire_api" -> expireApiSql,
     "i43_partitioned_write" -> partitionedWriteSql,
     "i41_merge_api" -> mergeApiSql,

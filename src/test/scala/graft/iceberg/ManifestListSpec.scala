@@ -37,7 +37,7 @@ class ManifestListSpec extends SparkSpec {
       s"manifest_length $len != on-disk size")
     val fieldIds = ManifestListWriter.manifestFileSchema.getFields
     assert((0 until fieldIds.size).map(i => fieldIds.get(i).getProp(AvroConversions.FieldIdKey)) ==
-      Seq("500", "501", "502", "503", "504", "517", "507"))
+      Seq("500", "501", "502", "503", "504", "517", "515", "516", "507"))
   }
 
   test("partition summaries (field 507) round-trip through the manifests table") {

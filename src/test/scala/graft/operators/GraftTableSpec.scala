@@ -76,8 +76,9 @@ class GraftTableSpec extends SparkSpec {
     assert(row.getAs[Int]("n_manifests_opened") == 1)
     assert(row.getAs[Long]("n_rows") == 1L)
     assert(row.getAs[Long]("sum_key") == 17L)
-    // readWhere refuses tables carrying deletes (it skips the MOR apply);
-    // a fresh table so the shared i43 artifact stays untouched
+    // readWhere COMPOSES pruning with the MOR apply: on a table with a
+    // live position delete, a pruned read must still hide deleted rows
+    // (this used to be a documented refusal — SURVEY §2.3 i43)
     val fresh = java.nio.file.Files.createTempDirectory("graft-readwhere").toString
     GraftTable.create(fresh, graft.iceberg.IcebergSchema(0, Seq(
       graft.iceberg.IcebergField(1, "n_nationkey", required = false, "int"),
@@ -86,9 +87,13 @@ class GraftTableSpec extends SparkSpec {
       tableUuid = "b6b9a6a1-0000-4000-8000-0000000000t1", timestampMs = 1700000000000L)
     GraftTable.append(spark, fresh, graft.Tables.load(spark, sfDir, "nation"))
     GraftTable.deleteWhere(spark, fresh, col("n_regionkey") === 2)
-    intercept[IllegalArgumentException] {
-      GraftTable.readWhere(spark, GraftTable.latestMetadataPath(fresh), 1, 17)
-    }
+    val path = GraftTable.latestMetadataPath(fresh)
+    // synthetic nation: n_regionkey = key % 5 — key 17 is region 2
+    // (deleted), key 18 is region 3 (live)
+    val (gone, _, _) = GraftTable.readWhere(spark, path, 1, 17)
+    assert(gone.count() == 0L)
+    val (kept, _, _) = GraftTable.readWhere(spark, path, 1, 18)
+    assert(kept.count() == 1L && kept.head().getAs[Int]("n_nationkey") == 18)
   }
 
   test("i44: expiry drops snapshots and physically deletes only-expired artifacts") {
@@ -96,6 +101,56 @@ class GraftTableSpec extends SparkSpec {
     assert(row.getAs[Int]("n_snapshots") == 1)
     assert(row.getAs[Int]("n_files_on_disk") == 1)
     assert(row.getAs[Long]("n_rows") == 20L)
+  }
+
+  test("i45: pruned MOR read hides the deleted key and opens 1 of 4 manifests") {
+    val row = LakehouseMaint.prunedMorRead(spark, sfDir).head()
+    assert(row.getAs[Int]("n_manifests_total") == 4)
+    assert(row.getAs[Int]("opened_deleted_key") == 1)
+    assert(row.getAs[Int]("opened_live_key") == 1)
+    assert(row.getAs[Long]("n_deleted_rows") == 0L)
+    assert(row.getAs[Long]("n_live_rows") == 1L)
+    assert(row.getAs[Long]("live_key") == 18L)
+  }
+
+  test("i46: timestamp time travel resolves through the snapshot-log") {
+    val row = LakehouseMaint.asofRead(spark, sfDir).head()
+    assert(row.getAs[Long]("n_rows_early") == 13L)
+    assert(row.getAs[Long]("sum_early") == 78L)
+    assert(row.getAs[Long]("n_rows_mid") == 25L)
+    assert(row.getAs[Long]("sum_mid") == 300L)
+    // an instant before the first commit resolves to no snapshot
+    intercept[IllegalArgumentException] {
+      GraftTable.read(spark,
+        GraftTable.latestMetadataPath(LakehouseExec.entryDir("i46", sfDir)),
+        asOfTimestampMs = Some(0L))
+    }
+  }
+
+  test("MOR plan stays O(1) scans and one anti-join however many snapshots") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val fresh = java.nio.file.Files.createTempDirectory("graft-planshape").toString
+    GraftTable.create(fresh, graft.iceberg.IcebergSchema(0, Seq(
+      graft.iceberg.IcebergField(1, "n_nationkey", required = false, "int"),
+      graft.iceberg.IcebergField(2, "n_name", required = false, "string"),
+      graft.iceberg.IcebergField(3, "n_regionkey", required = false, "int"))),
+      tableUuid = "b6b9a6a1-0000-4000-8000-0000000000t2", timestampMs = 1700000000000L)
+    val nation = graft.Tables.load(spark, sfDir, "nation")
+    // five append snapshots (five distinct data sequence numbers), then a delete
+    (0 until 5).foreach(r =>
+      GraftTable.append(spark, fresh, nation.filter(col("n_regionkey") === r)))
+    GraftTable.deleteWhere(spark, fresh, col("n_nationkey") === 3)
+    val df = GraftTable.read(spark, GraftTable.latestMetadataPath(fresh))
+    val plan = df.queryExecution.optimizedPlan
+    // ONE relation for all five appends' files + ONE for the delete file —
+    // the old shape grew one scan per sequence group
+    val rels = plan.collect { case l: LogicalRelation => l }
+    assert(rels.size == 2, s"expected 2 scans, got ${rels.size}:\n$plan")
+    val antis = plan.collect { case j: Join if j.joinType == LeftAnti => j }
+    assert(antis.size == 1, s"expected 1 anti-join, got ${antis.size}")
+    assert(df.count() == 24L)
   }
 
   test("ref time travel resolves tags through the committed refs map") {

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.iceberg.ManifestWriter
+import graft.iceberg.{GraftTable, ManifestListWriter, ManifestWriter,
+  MetadataWriter, ParquetFiles, Snapshot}
 
 /** Sequence-number-scoped delete applicability (Iceberg v2 rule):
   * position deletes apply to data files with seq <= delete seq, equality
@@ -49,6 +50,39 @@ class SequenceScopeSpec extends SparkSpec {
       .select($"_file", $"_pos").orderBy($"_file", $"_pos").collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(live.toSeq == Seq(("f1", 1L), ("f2", 0L)))
+  }
+
+  test("entry-level null sequence number inherits the list's field 515") {
+    // A foreign v2 writer leaves ADDED entries' sequence_number null and
+    // lets the manifest-list carry the commit's number (field 515). The
+    // data file here sits at INHERITED seq 2; an equality delete at seq 2
+    // must NOT apply (strict rule: 2 < 2 fails). Under the old
+    // getOrElse(0) fallback the row read as seq 0 and was wrongly deleted.
+    val dir = java.nio.file.Files.createTempDirectory("graft-inherit").toString
+    val one = graft.Tables.load(spark, sfDir, "nation")
+      .filter(col("n_nationkey") === 3)
+    val f = s"$dir/data/d.parquet"
+    ParquetFiles.writeOne(one, f)
+    val mData = s"$dir/m-data.avro"
+    ManifestWriter.write(mData, Seq(ManifestWriter.EntryData(
+      1, 2L, f, 1L, ParquetFiles.length(f), Map.empty, Map.empty,
+      content = 0, sequenceNumber = None))) // null → must inherit 2
+    val eqF = s"$dir/data/eq.parquet"
+    ParquetFiles.writeOne(one.select(col("n_name")), eqF)
+    val mEq = s"$dir/m-eq.avro"
+    ManifestWriter.write(mEq, Seq(ManifestWriter.EntryData(
+      1, 2L, eqF, 1L, ParquetFiles.length(eqF), Map.empty, Map.empty,
+      content = 2, sequenceNumber = Some(2L))))
+    val list = s"$dir/snap-2-list.avro"
+    ManifestListWriter.write(list, Seq(mData, mEq), 2L,
+      contents = Map(mEq -> 1), seqNums = Map(mData -> 2L, mEq -> 2L))
+    val snap = Snapshot(2L, None, 1700000001000L, Some("append"),
+      Map.empty, Some(list), Some(0))
+    val v1 = s"$dir/v1.metadata.json"
+    MetadataWriter.write(v1,
+      MetadataWriter.commitSnapshot(LakehouseExec.baseMetadata(dir), snap, None))
+    val rows = GraftTable.read(spark, v1).collect()
+    assert(rows.length == 1 && rows.head.getAs[Int]("n_nationkey") == 3)
   }
 
   test("i36: a row appended after an equality-delete commit escapes the delete") {

@@ -604,14 +604,31 @@ object GraftTable {
         .filter(predicate)
         .select(col("_gf").as("file_path"), col("_gp").as("pos"))
         .orderBy(col("file_path"), col("pos")), delFile)
-    val nDeletes = spark.read.parquet(delFile).count()
+    // (count, file_path/pos bounds): the bounds land under Iceberg's
+    // RESERVED position-delete field ids, so planners can skip this
+    // delete file for data files outside its [min,max] file_path range
+    val statRow = spark.read.parquet(delFile).agg(
+      count(lit(1)), min(col("file_path")), max(col("file_path")),
+      min(col("pos")), max(col("pos"))).head()
+    val nDeletes = statRow.getLong(0)
+    val (delLower, delUpper) =
+      if (nDeletes == 0) (Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]])
+      else (
+        Map(ManifestWriter.PosDeleteFilePathId ->
+              SingleValueCodec.encode(IcebergTypes.TString, statRow.getString(1)),
+            ManifestWriter.PosDeletePosId ->
+              SingleValueCodec.encode(IcebergTypes.TLong, statRow.getLong(3))),
+        Map(ManifestWriter.PosDeleteFilePathId ->
+              SingleValueCodec.encode(IcebergTypes.TString, statRow.getString(2)),
+            ManifestWriter.PosDeletePosId ->
+              SingleValueCodec.encode(IcebergTypes.TLong, statRow.getLong(4))))
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID() // see append: racing-safe names
       val manifest = s"$tableDir/m-delete-$snapId-$attempt.avro"
       ManifestWriter.write(manifest, Seq(ManifestWriter.EntryData(
         1, snapId, delFile, nDeletes, ParquetFiles.length(delFile),
-        Map.empty, Map.empty, content = 1, sequenceNumber = Some(snapId))))
+        delLower, delUpper, content = 1, sequenceNumber = Some(snapId))))
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       writeList(list, carryForward(base), manifest, 0, 1, snapId)
       MetadataWriter.commitSnapshot(base,

@@ -22,6 +22,14 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
   */
 object ManifestWriter {
 
+  /** Iceberg's RESERVED field ids for the position-delete file columns
+    * (spec §Position Delete Files): bound stats keyed on these let a
+    * planner skip delete files whose [min,max] file_path range cannot
+    * address a given data file — the mechanism that keeps per-task delete
+    * loads proportional to RELEVANT deletes at 10⁵ delete files. */
+  val PosDeleteFilePathId: Int = 2147483546
+  val PosDeletePosId: Int = 2147483545
+
   /** `content` is the spec's data_file routing field (id 134): 0 = data,
     * 1 = position deletes, 2 = equality deletes — how a v2 MOR reader
     * tells delete-file kinds apart. Defaults to 0, and manifests written

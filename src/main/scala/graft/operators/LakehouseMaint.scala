@@ -956,7 +956,80 @@ object LakehouseMaint {
       |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_mid
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i47
+  /** Whole-table DSv2 read: `spark.read.format("graft-table")` over a
+    * committed table with a LIVE position delete. The connector plans
+    * from the metadata document (list → manifests, concurrent, sequence
+    * inheritance) and applies the position deletes INSIDE each file's
+    * partition reader — task-local MOR with no join in the plan, which is
+    * how a production v2 reader ships deletes to a 1000-executor scan.
+    * The aggregate proves region 2's rows never surface. */
+  val dsv2TableRead: Q = (spark, sfDir) => {
+    val dir = entryDir("i47", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000047", timestampMs = T0)
+      GraftTable.append(spark, dir,
+        Tables.load(spark, sfDir, "nation").orderBy(col("n_nationkey")))
+      GraftTable.deleteWhere(spark, dir, col("n_regionkey") === 2)
+    }
+    spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir)).load()
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val dsv2TableReadSql: String =
+    """SELECT n_regionkey, COUNT(*) AS n_live,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_regionkey <> 2
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // ---------------------------------------------------------------- i48
+  /** Catalyst-driven manifest pruning through the DSv2 route: the caller
+    * writes an ordinary `.filter`, the connector pushes the equality into
+    * bucket space and prunes the manifest-list's field-507 summaries. The
+    * proof is destructive: every manifest the predicate must prune is
+    * OVERWRITTEN WITH GARBAGE in setup — the read returns the right row
+    * only if planning never opens them (the i33 corrupted-manifest
+    * technique, now behind `spark.read.format("graft-table")`). */
+  val dsv2TablePruned: Q = (spark, sfDir) => {
+    val dir = entryDir("i48", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000048", timestampMs = T0,
+        spec = PartitionSpec(0,
+          Seq(PartitionField("n_nationkey_bucket", "bucket[4]", 1, 1000))))
+      GraftTable.append(spark, dir,
+        Tables.load(spark, sfDir, "nation").orderBy(col("n_nationkey")))
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      val listPath = meta.currentSnapshot.get.manifestList.get
+      val keep = ScanPlanning.pruneManifestsByTransform(listPath, meta, 1, 18)
+        .map(_.path).toSet
+      ManifestListReader.read(listPath).filterNot(i => keep(i.path)).foreach(i =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(i.path),
+          "corrupted: planning must never open this manifest".getBytes))
+    }
+    spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir)).load()
+      .filter(col("n_nationkey") === 18)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
+  val dsv2TablePrunedSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey = 18"
+
   val queries: Map[String, Q] = Map(
+    "i47_dsv2_table_read" -> dsv2TableRead,
+    "i48_dsv2_table_pruned" -> dsv2TablePruned,
     "i45_pruned_mor_read" -> prunedMorRead,
     "i46_asof_read" -> asofRead,
     "i44_expire_api" -> expireApi,
@@ -973,6 +1046,8 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i47_dsv2_table_read" -> dsv2TableReadSql,
+    "i48_dsv2_table_pruned" -> dsv2TablePrunedSql,
     "i45_pruned_mor_read" -> prunedMorReadSql,
     "i46_asof_read" -> asofReadSql,
     "i44_expire_api" -> expireApiSql,

@@ -1,0 +1,364 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.iceberg.{GraftTable, ManifestListReader, ManifestWriter, Par,
+  ScanPlanning, SingleValueCodec, IcebergTypes, TableMetadata}
+
+/** DataSource V2 connector for whole-TABLE reads:
+  * `spark.read.format("graft-table").option("metadata", <metadata.json>)`.
+  *
+  * The Catalyst-integrated route to GraftTable's planning — the caller
+  * writes `df.filter($"k" === v)` and the FILTER drives the metadata
+  * pruning instead of a hand-called readWhere:
+  *
+  *   - level 1 (manifest-list): pushed equality predicates convert into
+  *     each spec's partition-transform space and prune DATA manifests
+  *     against their field-507 summaries WITHOUT OPENING THEM (i33/i37's
+  *     rule, now behind `spark.read.format`);
+  *   - level 2 (manifest entry): surviving files prune against their
+  *     decoded column bounds (fields 125/128) — both levels conservative,
+  *     and every pushed filter stays residual for Spark to re-check;
+  *   - surviving manifests open CONCURRENTLY (Par), entry-level null
+  *     sequence numbers inherit the list's field 515;
+  *   - POSITION deletes apply INSIDE each file's reader — the partition
+  *     carries the delete files scoped to its sequence number (data seq
+  *     <= delete seq), the reader loads the positions addressing its file
+  *     and skips those row indexes while streaming: Iceberg's production
+  *     MOR shape, where delete application is task-local and no join
+  *     appears in the plan. Equality deletes need a value anti-join the
+  *     row-reader cannot express — those tables read via GraftTable.read
+  *     (the planner fails loudly, never resurrects rows);
+  *   - `snapshot-id` / `ref` / `as-of-timestamp-ms` options time-travel
+  *     with GraftTable.read's resolution rules.
+  *
+  * Scale notes: planning I/O is list + surviving manifests (concurrent,
+  * KB-scale each); statistics report the EXACT byte size from manifest
+  * entries so Catalyst can broadcast small tables. One InputPartition per
+  * data file (the manifest's granularity); a production reader would
+  * additionally split by row group and use a vectorized decoder — this
+  * reader streams record-at-a-time via parquet's Group API, trading
+  * per-row speed for zero dependence on Spark internals. */
+class TableDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  private def metadataPath(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("metadata")
+    require(p != null && p.nonEmpty, "graft-table requires option(\"metadata\", <metadata.json>)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTable.sparkSchema(TableMetadata.parseFile(metadataPath(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftSparkTable(schema, metadataPath(opts),
+      Option(opts.get("snapshot-id")).map(_.toLong),
+      Option(opts.get("ref")),
+      Option(opts.get("as-of-timestamp-ms")).map(_.toLong))
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+class GraftSparkTable(tableSchema: StructType, metadataPath: String,
+    snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-table($metadataPath)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftTableScanBuilder(tableSchema, metadataPath, snapshotId, ref, asOfTimestampMs)
+}
+
+class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
+    snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long])
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = tableSchema
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    // accept what the two pruning levels can use; EVERYTHING stays
+    // residual — pruning is a best-effort skip, Spark re-checks rows
+    pushed = filters.filter(FileBoundsEval.supported(_, tableSchema))
+    filters
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan =
+    new GraftTableScan(required, pushed, metadataPath, snapshotId, ref, asOfTimestampMs)
+}
+
+class GraftTableScan(required: StructType, filters: Array[sources.Filter],
+    metadataPath: String, snapshotId: Option[Long], ref: Option[String],
+    asOfTimestampMs: Option[Long])
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-table scan $metadataPath, ReadSchema: ${required.catalogString}" +
+      (if (filters.nonEmpty) s", PushedFilters: ${filters.mkString("[", ", ", "]")}" else "")
+
+  private val hadoopConf = new graft.iceberg.SerializableHadoopConf(
+    graft.iceberg.HadoopConfs.active())
+
+  /** (surviving data entries with sequence, position-delete entries with
+    * sequence) — the driver-side planning pass, shared by partitions and
+    * statistics. Runs once per scan. */
+  private lazy val planned: (Seq[(ManifestWriter.EntryData, Long)],
+      Seq[(ManifestWriter.EntryData, Long)]) = {
+    val meta = TableMetadata.parseFile(metadataPath)
+    val snap = GraftTable.resolveForScan(meta, snapshotId, ref, asOfTimestampMs)
+    val listPath = snap.manifestList.getOrElse(throw new IllegalArgumentException(
+      s"snapshot ${snap.snapshotId} has no manifest-list"))
+    val infos = ManifestListReader.read(listPath)
+    val dataInfos0 = infos.filter(_.content == 0)
+    // level 1: each pushed equality on a schema column prunes manifests in
+    // the spec's transform space (summaries consulted, manifests unopened)
+    val eqPairs = filters.collect {
+      case sources.EqualTo(c, v) =>
+        meta.currentSchema.fields.find(_.name == c).map(f => (f.id, v))
+    }.flatten
+    val surviving = eqPairs.foldLeft(dataInfos0.map(_.path).toSet) {
+      case (acc, (fid, v)) =>
+        acc.intersect(ScanPlanning.pruneManifestsByTransform(listPath, meta, fid, v)
+          .map(_.path).toSet)
+    }
+    def entriesOf(set: Seq[ManifestListReader.ManifestFileInfo], entryContent: Int) =
+      Par.inParallel(set)(i => (i, ManifestWriter.read(i.path))).flatMap { case (i, es) =>
+        es.filter(e => e.status != 2 && e.content == entryContent)
+          .map(e => (e, e.sequenceNumber.getOrElse(i.sequenceNumber)))
+      }
+    val dataEntries = entriesOf(dataInfos0.filter(i => surviving(i.path)), 0)
+    // level 2: entry bound stats prune files the filters cannot match
+    val kept = dataEntries.filterNot { case (e, _) =>
+      filters.exists(f => FileBoundsEval.skippable(f, e, meta)) }
+    val delInfos = infos.filter(_.content == 1)
+    val delEntries = Par.inParallel(delInfos)(i => (i, ManifestWriter.read(i.path)))
+      .flatMap { case (i, es) => es.filter(_.status != 2)
+        .map(e => (e, e.sequenceNumber.getOrElse(i.sequenceNumber))) }
+    val eq = delEntries.filter(_._1.content == 2)
+    if (eq.nonEmpty) throw new UnsupportedOperationException(
+      "graft-table scans apply position deletes in-reader; this table has " +
+        s"${eq.size} equality-delete file(s) — read it via GraftTable.read, " +
+        "or compact() to materialize the deletes")
+    (kept, delEntries.filter(_._1.content == 1))
+  }
+
+  /** Does this position-delete file possibly address `dataFile`? Bound
+    * stats under the RESERVED file_path field id (written by deleteWhere)
+    * answer without opening the delete file — missing bounds keep it.
+    * This is what bounds per-task delete loads at 10⁵ delete files. */
+  private def mayAddress(del: ManifestWriter.EntryData, dataFile: String): Boolean = {
+    def norm(p: String) = p.replaceFirst("^[a-z0-9+.-]+:(//)?", "")
+    def decode(m: Map[Int, Array[Byte]]): Option[String] =
+      m.get(ManifestWriter.PosDeleteFilePathId).filter(_.nonEmpty)
+        .flatMap(b => scala.util.Try(
+          SingleValueCodec.decode(IcebergTypes.TString, b).asInstanceOf[String]).toOption)
+    val me = norm(dataFile)
+    decode(del.lowerBounds).forall(lo => norm(lo) <= me) &&
+      decode(del.upperBounds).forall(hi => norm(hi) >= me)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (kept, posDeletes) = planned
+    kept.map { case (e, seq) =>
+      GraftTableInputPartition(e.filePath, seq,
+        // v2 applicability: a position delete addresses data files with
+        // sequence <= its own (later-sequence delete files only), further
+        // scoped by the delete file's file_path bound stats
+        posDeletes.filter { case (d, dseq) => dseq >= seq && mayAddress(d, e.filePath) }
+          .map(_._1.filePath)): InputPartition
+    }.toArray
+  }
+
+  /** Exact size from manifest stats (what they exist for); row count only
+    * when no deletes are pending (deleted rows are unknowable unscanned). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(planned._1.map(_._1.fileSizeInBytes).sum)
+    override def numRows(): util.OptionalLong =
+      if (planned._2.isEmpty) util.OptionalLong.of(planned._1.map(_._1.recordCount).sum)
+      else util.OptionalLong.empty()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTableReaderFactory(required, hadoopConf)
+}
+
+case class GraftTableInputPartition(filePath: String, sequenceNumber: Long,
+    posDeleteFiles: Seq[String]) extends InputPartition
+
+class GraftTableReaderFactory(required: StructType,
+    hadoopConf: graft.iceberg.SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftTableInputPartition]
+    new GraftTablePartitionReader(p.filePath, p.posDeleteFiles, required, hadoopConf.value)
+  }
+}
+
+/** Conservative bound-stat evaluation over a single manifest entry: can
+  * the file's [lower, upper] interval for the filtered column contain a
+  * matching row? Missing/undecodable bounds keep the file. */
+object FileBoundsEval {
+
+  private val ops = Set("EqualTo", "GreaterThan", "GreaterThanOrEqual",
+    "LessThan", "LessThanOrEqual", "In", "IsNull", "IsNotNull", "And", "Or", "Not")
+
+  def supported(f: sources.Filter, schema: StructType): Boolean =
+    ops.contains(f.getClass.getSimpleName) &&
+      f.references.forall(r => schema.fieldNames.contains(r))
+
+  /** True only when the entry PROVABLY holds no matching row. */
+  def skippable(f: sources.Filter, e: ManifestWriter.EntryData, meta: TableMetadata): Boolean = {
+    def bound(col: String, lower: Boolean): Option[Any] = for {
+      field <- meta.currentSchema.fields.find(_.name == col)
+      t <- IcebergTypes.fromStringOpt(field.fieldType)
+      bytes <- (if (lower) e.lowerBounds else e.upperBounds).get(field.id)
+      if bytes.nonEmpty
+      v <- scala.util.Try(SingleValueCodec.decode(t, bytes)).toOption
+    } yield v
+    def cmpLo(col: String, v: Any): Option[Int] =
+      bound(col, lower = true).flatMap(lo => EntryFilterEval.cmp(Some(lo), v))
+    def cmpHi(col: String, v: Any): Option[Int] =
+      bound(col, lower = false).flatMap(hi => EntryFilterEval.cmp(Some(hi), v))
+    f match {
+      case sources.EqualTo(c, v) =>
+        cmpLo(c, v).exists(_ > 0) || cmpHi(c, v).exists(_ < 0)
+      case sources.GreaterThan(c, v) => cmpHi(c, v).exists(_ <= 0)
+      case sources.GreaterThanOrEqual(c, v) => cmpHi(c, v).exists(_ < 0)
+      case sources.LessThan(c, v) => cmpLo(c, v).exists(_ >= 0)
+      case sources.LessThanOrEqual(c, v) => cmpLo(c, v).exists(_ > 0)
+      case sources.In(c, vs) =>
+        vs.nonEmpty && vs.forall(v => skippable(sources.EqualTo(c, v), e, meta))
+      case sources.And(l, r) => skippable(l, e, meta) || skippable(r, e, meta)
+      case sources.Or(l, r) => skippable(l, e, meta) && skippable(r, e, meta)
+      case _ => false
+    }
+  }
+}
+
+/** Streams one data file through parquet's Group API with column
+  * projection, applying its position deletes by row index. Row index ==
+  * record order: the reader decodes every row group in file order with no
+  * predicate skipping, the same coordinate system `_metadata.row_index`
+  * (and Iceberg's `pos`) addresses. */
+class GraftTablePartitionReader(filePath: String, posDeleteFiles: Seq[String],
+    required: StructType, conf: Configuration) extends PartitionReader[InternalRow] {
+
+  private def normPath(p: String): String = p.replaceFirst("^[a-z0-9+.-]+:(//)?", "")
+
+  private def fileSchema(path: String): MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), conf))
+    try r.getFileMetaData.getSchema finally r.close()
+  }
+
+  /** Projection = the file's own fields restricted to the required
+    * columns (requested schemas must structurally match the file); a
+    * required column the file predates null-fills in [[rowOf]]. An empty
+    * projection (count(*), or all-columns-evolved) still needs one field
+    * to drive row iteration. */
+  private def projected(full: MessageType, names: Seq[String]): MessageType = {
+    val sel = full.getFields.asScala.filter(f => names.contains(f.getName))
+    new MessageType(full.getName, (if (sel.nonEmpty) sel else full.getFields.asScala.take(1)).asJava)
+  }
+
+  private def openGroups(path: String, names: Seq[String]): ParquetReader[Group] = {
+    val c = new Configuration(conf)
+    c.set(ReadSupport.PARQUET_READ_SCHEMA, projected(fileSchema(path), names).toString)
+    ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
+      .withConf(c).build()
+  }
+
+  /** Deleted row indexes addressing THIS file, loaded once per task from
+    * the sequence-scoped delete files (Iceberg's task-local delete apply;
+    * a production reader narrows the load with the delete files'
+    * file_path bounds before opening them). */
+  private val deleted: java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    val me = normPath(filePath)
+    posDeleteFiles.foreach { del =>
+      val r = openGroups(del, Seq("file_path", "pos"))
+      try {
+        var g = r.read()
+        while (g != null) {
+          if (normPath(g.getBinary("file_path", 0).toStringUsingUTF8) == me)
+            set.add(g.getLong("pos", 0))
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    set
+  }
+
+  private val reader = openGroups(filePath, required.fieldNames.toSeq)
+  private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
+  private var rowIndex: Long = -1
+  private var current: InternalRow = _
+
+  private def valueOf(g: Group, name: String, dt: DataType): Any = {
+    val t = g.getType
+    if (!t.containsField(name)) return null // pre-evolution file: null-fill
+    val i = t.getFieldIndex(name)
+    if (g.getFieldRepetitionCount(i) == 0) return null
+    dt match {
+      case IntegerType => g.getInteger(i, 0)
+      case LongType => g.getLong(i, 0)
+      case DoubleType => g.getDouble(i, 0)
+      case FloatType => g.getFloat(i, 0)
+      case BooleanType => g.getBoolean(i, 0)
+      case StringType => g.getBinary(i, 0).toStringUsingUTF8
+      case DateType => java.time.LocalDate.ofEpochDay(g.getInteger(i, 0).toLong)
+      case TimestampType =>
+        val us = g.getLong(i, 0)
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L)
+      case other => throw new UnsupportedOperationException(
+        s"graft-table reader does not decode $other (column $name) — " +
+          "read via GraftTable.read for full-type support")
+    }
+  }
+
+  private def rowOf(g: Group): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row.fromSeq(
+      required.fields.toSeq.map(f => valueOf(g, f.name, f.dataType)))
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    rowIndex += 1
+    while (g != null && deleted.contains(rowIndex)) { g = reader.read(); rowIndex += 1 }
+    if (g == null) false
+    else { current = toCatalyst(rowOf(g)).asInstanceOf[InternalRow]; true }
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = reader.close()
+}

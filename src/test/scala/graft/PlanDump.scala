@@ -40,8 +40,12 @@ object PlanDump {
     "i37_transform_pruned_scan" -> "hidden-partition pruning: planning converted the key predicate to murmur3-bucket space and opened 1 of 4 manifests; the plan is the residual filter over the single surviving bucket file",
     "i38_changelog_scan" -> "CDC changelog: insert stream scans only snapshot-added files; delete stream materializes rows via an inner join of delete (file,pos) addresses against the pre-delete file set (broadcast from AQE stats)",
     "st12_stream_compaction" -> "streamed-table compaction read-back: one compacted file scanned, rollup after the replace commit (the rewrite + CAS commit already ran)",
-    "i41_merge_api" -> "public-API COW merge read-back: the composed GraftTable.read over the post-merge table — per-sequence scan groups, carried delete manifests applying only to untouched files",
-    "i43_partitioned_write" -> "API-written hidden partitioning: residual key filter over the single bucket file readWhere's transform-space pruning left (3 of 4 manifests never opened)")
+    "i41_merge_api" -> "public-API COW merge read-back: the composed GraftTable.read over the post-merge table — ONE data scan with the broadcast file→sequence lookup attaching _seq, carried delete manifests applying only to untouched files",
+    "i43_partitioned_write" -> "API-written hidden partitioning: residual key filter over the single bucket file readWhere's transform-space pruning left (3 of 4 manifests never opened)",
+    "i39_table_read" -> "the one-call table read, O(1)-scan shape: ONE data scan over all sequence groups (broadcast file→sequence lookup), one position-delete anti-join, one equality-delete anti-join per distinct column set — plan width flat in snapshot count",
+    "i45_pruned_mor_read" -> "pruned read composed with MOR: transform-space pruning opened 1 of 4 manifests per key, and the surviving scan still anti-joins the sequence-scoped position deletes — the deleted key's partition scans and returns nothing",
+    "i47_dsv2_table_read" -> "DSv2 graft-table scan: position deletes applied INSIDE the partition readers (task-local MOR) — the plan is a bare BatchScan + aggregate, NO delete join anywhere",
+    "i48_dsv2_table_pruned" -> "Catalyst-pushed equality through the DSv2 table source: PushedFilters visible on the scan, manifests pruned in bucket-transform space at planning (the pruned ones are garbage on disk — reading proves they never open)")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-plandump", cores = "4")

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.iceberg._
+
+/** The DSv2 `graft-table` route: whole-table reads with in-reader
+  * position-delete MOR, Catalyst-pushed filters pruning manifests and
+  * files, column pruning with schema-evolution null-fill, and time travel
+  * via options. */
+class TableSourceSpec extends SparkSpec {
+
+  private val nationSchema = IcebergSchema(0, Seq(
+    IcebergField(1, "n_nationkey", required = false, "int"),
+    IcebergField(2, "n_name", required = false, "string"),
+    IcebergField(3, "n_regionkey", required = false, "int")))
+
+  test("i47: DSv2 read applies position deletes inside the partition readers") {
+    val rows = LakehouseMaint.dsv2TableRead(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // synthetic nation: region = key % 5, 5 keys per region, region 2 gone
+    assert(rows == Seq((0, 5L), (1, 5L), (3, 5L), (4, 5L)))
+  }
+
+  test("i48: pushed filter prunes manifests that are provably corrupt-unopened") {
+    val df = LakehouseMaint.dsv2TablePruned(spark, sfDir)
+    val row = df.head()
+    assert(row.getInt(0) == 18 && row.getInt(2) == 3)
+    // the filter must actually reach the source (v2 pushdown)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("column pruning and count(*) survive an empty projection") {
+    val dir = LakehouseExec.entryDir("i47", sfDir)
+    LakehouseMaint.dsv2TableRead(spark, sfDir).collect() // ensure table built
+    val df = spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir)).load()
+    assert(df.select("n_name").distinct().count() == 20L)
+    assert(df.count() == 20L) // empty required schema still iterates rows
+  }
+
+  test("snapshot-id and as-of-timestamp options time-travel the scan") {
+    val dir = LakehouseExec.entryDir("i47", sfDir)
+    LakehouseMaint.dsv2TableRead(spark, sfDir).collect()
+    val path = GraftTable.latestMetadataPath(dir)
+    // snapshot 1 = the append before the delete commit
+    val atAppend = spark.read.format("graft-table")
+      .option("metadata", path).option("snapshot-id", "1").load()
+    assert(atAppend.count() == 25L)
+    val asOf = spark.read.format("graft-table")
+      .option("metadata", path)
+      .option("as-of-timestamp-ms", (LakehouseExec.T0 + 1500).toString).load()
+    assert(asOf.count() == 25L)
+  }
+
+  test("a required column the data file predates null-fills") {
+    // table schema has a column the parquet never carried — the v2
+    // reader's projection must null-fill instead of failing
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    val f = s"$dir/data/d.parquet"
+    ParquetFiles.writeOne(graft.Tables.load(spark, sfDir, "nation")
+      .filter(col("n_nationkey") === 3)
+      .select(col("n_nationkey"), col("n_name")), f)
+    val m = s"$dir/m.avro"
+    ManifestWriter.write(m, Seq(ManifestWriter.EntryData(
+      1, 1L, f, 1L, ParquetFiles.length(f), Map.empty, Map.empty,
+      content = 0, sequenceNumber = Some(1L))))
+    val list = s"$dir/snap-1-list.avro"
+    ManifestListWriter.write(list, Seq(m), 1L)
+    val snap = Snapshot(1L, None, 1700000001000L, Some("append"),
+      Map.empty, Some(list), Some(0))
+    val v1 = s"$dir/v1.metadata.json"
+    MetadataWriter.write(v1, MetadataWriter.commitSnapshot(
+      LakehouseExec.baseMetadata(dir).copy(schemas = Seq(nationSchema)), snap, None))
+    val row = spark.read.format("graft-table").option("metadata", v1).load().head()
+    assert(row.getInt(0) == 3 && row.isNullAt(2))
+  }
+
+  test("position-delete file_path bounds scope delete loads per data file") {
+    import graft.iceberg.IcebergTypes.{TInt, TString}
+    val dir = java.nio.file.Files.createTempDirectory("graft-delscope").toString
+    GraftTable.create(dir, nationSchema,
+      tableUuid = "b6b9a6a1-0000-4000-8000-0000000000s1", timestampMs = 1700000000000L)
+    val nation = graft.Tables.load(spark, sfDir, "nation")
+    GraftTable.append(spark, dir, nation.filter(col("n_nationkey") < 13))  // file A
+    GraftTable.append(spark, dir, nation.filter(col("n_nationkey") >= 13)) // file B
+    GraftTable.deleteWhere(spark, dir, col("n_nationkey") === 3)  // addresses A only
+    GraftTable.deleteWhere(spark, dir, col("n_nationkey") === 18) // addresses B only
+    val path = GraftTable.latestMetadataPath(dir)
+    val meta = TableMetadata.parseFile(path)
+    def norm(p: String) = p.replaceFirst("^[a-z0-9+.-]+:(//)?", "")
+    val entries = ManifestListReader.read(meta.currentSnapshot.get.manifestList.get)
+      .flatMap(i => ManifestWriter.read(i.path))
+    val fileB = entries.find(e => e.content == 0 &&
+      SingleValueCodec.decode(TInt, e.lowerBounds(1)) == 13).get.filePath
+    // the delete file whose bounds DON'T cover file B gets corrupted: reads
+    // over file B succeed only if its bound stats kept it unopened
+    val delA = entries.find(e => e.content == 1 &&
+      norm(SingleValueCodec.decode(TString,
+        e.lowerBounds(ManifestWriter.PosDeleteFilePathId)).asInstanceOf[String])
+        != norm(fileB)).get.filePath
+    java.nio.file.Files.write(java.nio.file.Paths.get(delA),
+      "corrupted: path-bound scoping must keep this unopened".getBytes)
+    val df = spark.read.format("graft-table").option("metadata", path).load()
+    assert(df.filter(col("n_nationkey") === 18).count() == 0L) // deleted in B
+    assert(df.filter(col("n_nationkey") === 14).count() == 1L) // alive in B
+  }
+
+  test("equality deletes fail loudly instead of resurrecting rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-eqrefuse").toString
+    GraftTable.create(dir, nationSchema,
+      tableUuid = "b6b9a6a1-0000-4000-8000-0000000000e1", timestampMs = 1700000000000L)
+    GraftTable.append(spark, dir, graft.Tables.load(spark, sfDir, "nation"))
+    // hand-commit an equality-delete file (deleteWhere only writes positions)
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val eqF = s"$dir/data/eq.parquet"
+    ParquetFiles.writeOne(graft.Tables.load(spark, sfDir, "nation")
+      .filter(col("n_nationkey") === 3).select(col("n_name")), eqF)
+    val mEq = s"$dir/m-eq.avro"
+    ManifestWriter.write(mEq, Seq(ManifestWriter.EntryData(
+      1, 2L, eqF, 1L, ParquetFiles.length(eqF), Map.empty, Map.empty,
+      content = 2, sequenceNumber = Some(2L))))
+    val carried = ManifestListReader.read(meta.currentSnapshot.get.manifestList.get)
+    val list2 = s"$dir/snap-2-list.avro"
+    ManifestListWriter.write(list2, carried.map(_.path) :+ mEq, 2L,
+      contents = Map(mEq -> 1), seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap)
+    val v = s"$dir/v2x.metadata.json"
+    MetadataWriter.write(v, MetadataWriter.commitSnapshot(meta,
+      Snapshot(2L, meta.currentSnapshotId, 1700000002000L, Some("delete"),
+        Map.empty, Some(list2), Some(0)), None))
+    val e = intercept[Exception] {
+      spark.read.format("graft-table").option("metadata", v).load().count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[UnsupportedOperationException]),
+      s"expected UnsupportedOperationException, got $e")
+  }
+}

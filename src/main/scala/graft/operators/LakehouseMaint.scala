@@ -563,7 +563,17 @@ object LakehouseMaint {
     * routes data vs delete manifests, groups scans by data sequence
     * number, and applies both delete kinds with spec scoping — expected
     * content: nation minus {2, 5}, with 20 present. */
-  val tableRead: Q = (spark, sfDir) => {
+  val tableRead: Q = (spark, sfDir) =>
+    GraftTable.read(spark, s"${i39Table(spark, sfDir)}/v4.metadata.json")
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        count(when(col("n_nationkey") === 20, 1)).as("n_late_key_present"),
+        count(when(col("n_nationkey").isin(2, 5), 1)).as("n_deleted_present"))
+
+  /** Builds (once per process) the i39 four-commit table — every
+    * read-path layer in one fixture; shared by i39 and the i49 DSv2
+    * full-MOR read. Returns the table dir (head document: v4). */
+  private def i39Table(spark: SparkSession, sfDir: String): String = {
     val dir = entryDir("i39", sfDir)
     graft.TmpOutputs.ensure(dir) {
       val nation = Tables.load(spark, sfDir, "nation")
@@ -635,11 +645,7 @@ object LakehouseMaint {
       MetadataWriter.write(s"$dir/v4.metadata.json",
         MetadataWriter.commitSnapshot(TableMetadata.parseFile(v3), snap4, Some(v3)))
     }
-    GraftTable.read(spark, s"$dir/v4.metadata.json")
-      .agg(count(lit(1)).as("n_live"),
-        sum(col("n_nationkey")).cast("long").as("sum_key"),
-        count(when(col("n_nationkey") === 20, 1)).as("n_late_key_present"),
-        count(when(col("n_nationkey").isin(2, 5), 1)).as("n_deleted_present"))
+    dir
   }
 
   val tableReadSql: String =
@@ -1027,9 +1033,32 @@ object LakehouseMaint {
   val dsv2TablePrunedSql: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey = 18"
 
+  // ---------------------------------------------------------------- i49
+  /** The COMPLETE v2 read contract through the DSv2 route: the i39
+    * four-commit table (both delete kinds, sequence scoping, a late
+    * append that must escape the older equality delete) read via
+    * `spark.read.format("graft-table")`. Both delete kinds apply INSIDE
+    * the partition readers — position deletes as row-index skips,
+    * equality deletes as task-local value sets under the STRICT
+    * lower-sequence rule — so the plan is a bare BatchScan even though
+    * the table carries two kinds of pending deletes. Same oracle as i39:
+    * the two routes must agree row-for-row. */
+  val dsv2FullMor: Q = (spark, sfDir) => {
+    val dir = i39Table(spark, sfDir)
+    spark.read.format("graft-table")
+      .option("metadata", s"$dir/v4.metadata.json").load()
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        count(when(col("n_nationkey") === 20, 1)).as("n_late_key_present"),
+        count(when(col("n_nationkey").isin(2, 5), 1)).as("n_deleted_present"))
+  }
+
+  val dsv2FullMorSql: String = tableReadSql
+
   val queries: Map[String, Q] = Map(
     "i47_dsv2_table_read" -> dsv2TableRead,
     "i48_dsv2_table_pruned" -> dsv2TablePruned,
+    "i49_dsv2_full_mor" -> dsv2FullMor,
     "i45_pruned_mor_read" -> prunedMorRead,
     "i46_asof_read" -> asofRead,
     "i44_expire_api" -> expireApi,
@@ -1048,6 +1077,7 @@ object LakehouseMaint {
   val oracles: Map[String, String] = Map(
     "i47_dsv2_table_read" -> dsv2TableReadSql,
     "i48_dsv2_table_pruned" -> dsv2TablePrunedSql,
+    "i49_dsv2_full_mor" -> dsv2FullMorSql,
     "i45_pruned_mor_read" -> prunedMorReadSql,
     "i46_asof_read" -> asofReadSql,
     "i44_expire_api" -> expireApiSql,

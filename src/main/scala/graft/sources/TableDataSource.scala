@@ -40,14 +40,14 @@ import graft.iceberg.{GraftTable, ManifestListReader, ManifestWriter, Par,
   *     and every pushed filter stays residual for Spark to re-check;
   *   - surviving manifests open CONCURRENTLY (Par), entry-level null
   *     sequence numbers inherit the list's field 515;
-  *   - POSITION deletes apply INSIDE each file's reader — the partition
-  *     carries the delete files scoped to its sequence number (data seq
-  *     <= delete seq), the reader loads the positions addressing its file
-  *     and skips those row indexes while streaming: Iceberg's production
-  *     MOR shape, where delete application is task-local and no join
-  *     appears in the plan. Equality deletes need a value anti-join the
-  *     row-reader cannot express — those tables read via GraftTable.read
-  *     (the planner fails loudly, never resurrects rows);
+  *   - BOTH delete kinds apply INSIDE each file's reader — the partition
+  *     carries its sequence-scoped delete files (position: data seq <=
+  *     delete seq, narrowed by the delete file's file_path bound stats;
+  *     equality: strictly lower data seq only), and the reader loads
+  *     positions into an index set and equality tuples into value sets,
+  *     skipping matching rows while streaming: Iceberg's production MOR
+  *     shape, where delete application is task-local and NO join appears
+  *     in the plan;
   *   - `snapshot-id` / `ref` / `as-of-timestamp-ms` options time-travel
   *     with GraftTable.read's resolution rules.
   *
@@ -128,11 +128,11 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   private val hadoopConf = new graft.iceberg.SerializableHadoopConf(
     graft.iceberg.HadoopConfs.active())
 
-  /** (surviving data entries with sequence, position-delete entries with
-    * sequence) — the driver-side planning pass, shared by partitions and
-    * statistics. Runs once per scan. */
+  /** (surviving data entries, position-delete entries, equality-delete
+    * entries — each with sequence) — the driver-side planning pass,
+    * shared by partitions and statistics. Runs once per scan. */
   private lazy val planned: (Seq[(ManifestWriter.EntryData, Long)],
-      Seq[(ManifestWriter.EntryData, Long)]) = {
+      Seq[(ManifestWriter.EntryData, Long)], Seq[(ManifestWriter.EntryData, Long)]) = {
     val meta = TableMetadata.parseFile(metadataPath)
     val snap = GraftTable.resolveForScan(meta, snapshotId, ref, asOfTimestampMs)
     val listPath = snap.manifestList.getOrElse(throw new IllegalArgumentException(
@@ -163,12 +163,7 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     val delEntries = Par.inParallel(delInfos)(i => (i, ManifestWriter.read(i.path)))
       .flatMap { case (i, es) => es.filter(_.status != 2)
         .map(e => (e, e.sequenceNumber.getOrElse(i.sequenceNumber))) }
-    val eq = delEntries.filter(_._1.content == 2)
-    if (eq.nonEmpty) throw new UnsupportedOperationException(
-      "graft-table scans apply position deletes in-reader; this table has " +
-        s"${eq.size} equality-delete file(s) — read it via GraftTable.read, " +
-        "or compact() to materialize the deletes")
-    (kept, delEntries.filter(_._1.content == 1))
+    (kept, delEntries.filter(_._1.content == 1), delEntries.filter(_._1.content == 2))
   }
 
   /** Does this position-delete file possibly address `dataFile`? Bound
@@ -187,14 +182,18 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (kept, posDeletes) = planned
+    val (kept, posDeletes, eqDeletes) = planned
+    val tableSchema = GraftTable.sparkSchema(TableMetadata.parseFile(metadataPath))
     kept.map { case (e, seq) =>
       GraftTableInputPartition(e.filePath, seq,
         // v2 applicability: a position delete addresses data files with
         // sequence <= its own (later-sequence delete files only), further
-        // scoped by the delete file's file_path bound stats
+        // scoped by the delete file's file_path bound stats; an equality
+        // delete applies only to STRICTLY lower data sequence numbers
         posDeletes.filter { case (d, dseq) => dseq >= seq && mayAddress(d, e.filePath) }
-          .map(_._1.filePath)): InputPartition
+          .map(_._1.filePath),
+        eqDeletes.filter(_._2 > seq).map(_._1.filePath),
+        tableSchema): InputPartition
     }.toArray
   }
 
@@ -204,7 +203,8 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.of(planned._1.map(_._1.fileSizeInBytes).sum)
     override def numRows(): util.OptionalLong =
-      if (planned._2.isEmpty) util.OptionalLong.of(planned._1.map(_._1.recordCount).sum)
+      if (planned._2.isEmpty && planned._3.isEmpty)
+        util.OptionalLong.of(planned._1.map(_._1.recordCount).sum)
       else util.OptionalLong.empty()
   }
 
@@ -213,13 +213,15 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
 }
 
 case class GraftTableInputPartition(filePath: String, sequenceNumber: Long,
-    posDeleteFiles: Seq[String]) extends InputPartition
+    posDeleteFiles: Seq[String], eqDeleteFiles: Seq[String],
+    tableSchema: StructType) extends InputPartition
 
 class GraftTableReaderFactory(required: StructType,
     hadoopConf: graft.iceberg.SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftTableInputPartition]
-    new GraftTablePartitionReader(p.filePath, p.posDeleteFiles, required, hadoopConf.value)
+    new GraftTablePartitionReader(p.filePath, p.posDeleteFiles, p.eqDeleteFiles,
+      p.tableSchema, required, hadoopConf.value)
   }
 }
 
@@ -265,11 +267,17 @@ object FileBoundsEval {
 }
 
 /** Streams one data file through parquet's Group API with column
-  * projection, applying its position deletes by row index. Row index ==
-  * record order: the reader decodes every row group in file order with no
-  * predicate skipping, the same coordinate system `_metadata.row_index`
-  * (and Iceberg's `pos`) addresses. */
+  * projection, applying its position AND equality deletes task-locally.
+  * Row index == record order: the reader decodes every row group in file
+  * order with no predicate skipping, the same coordinate system
+  * `_metadata.row_index` (and Iceberg's `pos`) addresses. Equality
+  * deletes load once per task into value sets keyed by the delete file's
+  * own column list (its schema IS the equality ids), and rows whose
+  * tuple is in a set are skipped — null matches null, the spec's rule.
+  * The parquet projection widens to cover the equality columns even when
+  * the query never selects them; output rows stay on `required`. */
 class GraftTablePartitionReader(filePath: String, posDeleteFiles: Seq[String],
+    eqDeleteFiles: Seq[String], tableSchema: StructType,
     required: StructType, conf: Configuration) extends PartitionReader[InternalRow] {
 
   private def normPath(p: String): String = p.replaceFirst("^[a-z0-9+.-]+:(//)?", "")
@@ -318,7 +326,34 @@ class GraftTablePartitionReader(filePath: String, posDeleteFiles: Seq[String],
     set
   }
 
-  private val reader = openGroups(filePath, required.fieldNames.toSeq)
+  private def tableType(name: String): DataType =
+    tableSchema.fields.find(_.name == name).map(_.dataType).getOrElse(
+      throw new IllegalArgumentException(s"equality column '$name' not in table schema"))
+
+  /** Equality-delete value sets, one per distinct column list — loaded
+    * once per task (Iceberg's task-local eq-delete apply). Values decode
+    * through the TABLE schema's types so they compare equal to data-row
+    * values; a null equality value matches a null data value. */
+  private val eqSets: Seq[(Seq[String], java.util.HashSet[Vector[Any]])] = {
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[String], java.util.HashSet[Vector[Any]]]
+    eqDeleteFiles.foreach { del =>
+      val cols = fileSchema(del).getFields.asScala.map(_.getName).toSeq
+      val set = acc.getOrElseUpdate(cols, new java.util.HashSet[Vector[Any]]())
+      val r = openGroups(del, cols)
+      try {
+        var g = r.read()
+        while (g != null) {
+          set.add(cols.map(c => valueOf(g, c, tableType(c))).toVector)
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    acc.toSeq
+  }
+
+  private val reader = openGroups(filePath,
+    (required.fieldNames.toSeq ++ eqSets.flatMap(_._1)).distinct)
   private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
   private var rowIndex: Long = -1
   private var current: InternalRow = _
@@ -350,10 +385,16 @@ class GraftTablePartitionReader(filePath: String, posDeleteFiles: Seq[String],
     org.apache.spark.sql.Row.fromSeq(
       required.fields.toSeq.map(f => valueOf(g, f.name, f.dataType)))
 
+  private def equalityDeleted(g: Group): Boolean =
+    eqSets.exists { case (cols, set) =>
+      set.contains(cols.map(c => valueOf(g, c, tableType(c))).toVector) }
+
   override def next(): Boolean = {
     var g = reader.read()
     rowIndex += 1
-    while (g != null && deleted.contains(rowIndex)) { g = reader.read(); rowIndex += 1 }
+    while (g != null && (deleted.contains(rowIndex) || equalityDeleted(g))) {
+      g = reader.read(); rowIndex += 1
+    }
     if (g == null) false
     else { current = toCatalyst(rowOf(g)).asInstanceOf[InternalRow]; true }
   }

@@ -109,34 +109,41 @@ class TableSourceSpec extends SparkSpec {
     assert(df.filter(col("n_nationkey") === 14).count() == 1L) // alive in B
   }
 
-  test("equality deletes fail loudly instead of resurrecting rows") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-eqrefuse").toString
+  test("equality deletes apply in-reader with strict sequence scoping") {
+    // seq 1: keys < 13; seq 2: equality delete on names of 3 (present) and
+    // 20 (future); seq 3: keys >= 13 — nation 20 arrives AFTER the delete
+    // and must escape (strict rule); the delete never selects n_name in
+    // the query, so the reader's projection must widen to cover it
+    val dir = java.nio.file.Files.createTempDirectory("graft-eqdsv2").toString
+    val nation = graft.Tables.load(spark, sfDir, "nation")
     GraftTable.create(dir, nationSchema,
       tableUuid = "b6b9a6a1-0000-4000-8000-0000000000e1", timestampMs = 1700000000000L)
-    GraftTable.append(spark, dir, graft.Tables.load(spark, sfDir, "nation"))
+    GraftTable.append(spark, dir, nation.filter(col("n_nationkey") < 13))
     // hand-commit an equality-delete file (deleteWhere only writes positions)
     val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
     val eqF = s"$dir/data/eq.parquet"
-    ParquetFiles.writeOne(graft.Tables.load(spark, sfDir, "nation")
-      .filter(col("n_nationkey") === 3).select(col("n_name")), eqF)
+    ParquetFiles.writeOne(nation.filter(col("n_nationkey").isin(3, 20))
+      .select(col("n_name")).orderBy(col("n_name")), eqF)
     val mEq = s"$dir/m-eq.avro"
     ManifestWriter.write(mEq, Seq(ManifestWriter.EntryData(
-      1, 2L, eqF, 1L, ParquetFiles.length(eqF), Map.empty, Map.empty,
+      1, 2L, eqF, 2L, ParquetFiles.length(eqF), Map.empty, Map.empty,
       content = 2, sequenceNumber = Some(2L))))
     val carried = ManifestListReader.read(meta.currentSnapshot.get.manifestList.get)
     val list2 = s"$dir/snap-2-list.avro"
     ManifestListWriter.write(list2, carried.map(_.path) :+ mEq, 2L,
       contents = Map(mEq -> 1), seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap)
-    val v = s"$dir/v2x.metadata.json"
-    MetadataWriter.write(v, MetadataWriter.commitSnapshot(meta,
+    val v2 = s"$dir/v2.metadata.json"
+    MetadataWriter.write(v2, MetadataWriter.commitSnapshot(meta,
       Snapshot(2L, meta.currentSnapshotId, 1700000002000L, Some("delete"),
         Map.empty, Some(list2), Some(0)), None))
-    val e = intercept[Exception] {
-      spark.read.format("graft-table").option("metadata", v).load().count()
-    }
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: causes(t.getCause)
-    assert(causes(e).exists(_.isInstanceOf[UnsupportedOperationException]),
-      s"expected UnsupportedOperationException, got $e")
+    // seq 3 lands through the CAS loop on top of the hand-written v2
+    // (refresh walks the version chain forward, stale hints tolerated)
+    GraftTable.append(spark, dir, nation.filter(col("n_nationkey") >= 13))
+    val df = spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir)).load()
+    val keys = df.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq
+    assert(!keys.contains(3), "equality-deleted key leaked")
+    assert(keys.contains(20), "strictly-later append must escape the delete")
+    assert(keys.size == 24)
   }
 }

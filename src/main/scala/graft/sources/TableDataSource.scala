@@ -6,10 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
-import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
@@ -76,25 +76,29 @@ class TableDataSource extends TableProvider with DataSourceRegister {
     new GraftSparkTable(schema, metadataPath(opts),
       Option(opts.get("snapshot-id")).map(_.toLong),
       Option(opts.get("ref")),
-      Option(opts.get("as-of-timestamp-ms")).map(_.toLong))
+      Option(opts.get("as-of-timestamp-ms")).map(_.toLong),
+      Option(opts.get("split-size")).map(_.toLong).getOrElse(128L * 1024 * 1024))
   }
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
 class GraftSparkTable(tableSchema: StructType, metadataPath: String,
-    snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long])
+    snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long],
+    splitSize: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft-table($metadataPath)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftTableScanBuilder(tableSchema, metadataPath, snapshotId, ref, asOfTimestampMs)
+    new GraftTableScanBuilder(tableSchema, metadataPath, snapshotId, ref,
+      asOfTimestampMs, splitSize)
 }
 
 class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
-    snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long])
+    snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long],
+    splitSize: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = tableSchema
   private var pushed: Array[sources.Filter] = Array.empty
@@ -112,12 +116,13 @@ class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan =
-    new GraftTableScan(required, pushed, metadataPath, snapshotId, ref, asOfTimestampMs)
+    new GraftTableScan(required, pushed, metadataPath, snapshotId, ref,
+      asOfTimestampMs, splitSize)
 }
 
 class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     metadataPath: String, snapshotId: Option[Long], ref: Option[String],
-    asOfTimestampMs: Option[Long])
+    asOfTimestampMs: Option[Long], splitSize: Long = 128L * 1024 * 1024)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -184,7 +189,8 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   override def planInputPartitions(): Array[InputPartition] = {
     val (kept, posDeletes, eqDeletes) = planned
     val tableSchema = GraftTable.sparkSchema(TableMetadata.parseFile(metadataPath))
-    kept.map { case (e, seq) =>
+    def partition(e: ManifestWriter.EntryData, seq: Long,
+        rowGroup: Int, rowStart: Long): GraftTableInputPartition =
       GraftTableInputPartition(e.filePath, seq,
         // v2 applicability: a position delete addresses data files with
         // sequence <= its own (later-sequence delete files only), further
@@ -193,8 +199,23 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
         posDeletes.filter { case (d, dseq) => dseq >= seq && mayAddress(d, e.filePath) }
           .map(_._1.filePath),
         eqDeletes.filter(_._2 > seq).map(_._1.filePath),
-        tableSchema): InputPartition
-    }.toArray
+        tableSchema, rowGroup, rowStart)
+    // files above the split threshold fan out ONE PARTITION PER ROW GROUP
+    // (footer read at planning, concurrent, only for big files — the
+    // manifest's fileSizeInBytes decides, so small files cost nothing);
+    // each split carries its absolute first-row index so position deletes
+    // keep addressing file-absolute row numbers
+    Par.inParallel(kept) { case (e, seq) =>
+      if (e.fileSizeInBytes <= splitSize) Seq(partition(e, seq, -1, 0L))
+      else {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(e.filePath), hadoopConf.value))
+        val counts = try r.getRowGroups.asScala.map(_.getRowCount).toSeq
+          finally r.close()
+        counts.scanLeft(0L)(_ + _).zip(counts.indices)
+          .map { case (start, rg) => partition(e, seq, rg, start) }
+      }
+    }.flatten.map(p => p: InputPartition).toArray
   }
 
   /** Exact size from manifest stats (what they exist for); row count only
@@ -212,17 +233,19 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     new GraftTableReaderFactory(required, hadoopConf)
 }
 
+/** `rowGroup` == -1 reads the whole file (the un-split case); otherwise
+  * exactly that row group, with `rowStart` its absolute first-row index
+  * (what keeps file-absolute position deletes correct on a split). */
 case class GraftTableInputPartition(filePath: String, sequenceNumber: Long,
     posDeleteFiles: Seq[String], eqDeleteFiles: Seq[String],
-    tableSchema: StructType) extends InputPartition
+    tableSchema: StructType, rowGroup: Int = -1, rowStart: Long = 0L)
+    extends InputPartition
 
 class GraftTableReaderFactory(required: StructType,
     hadoopConf: graft.iceberg.SerializableHadoopConf) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftTableInputPartition]
-    new GraftTablePartitionReader(p.filePath, p.posDeleteFiles, p.eqDeleteFiles,
-      p.tableSchema, required, hadoopConf.value)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftTablePartitionReader(
+      partition.asInstanceOf[GraftTableInputPartition], required, hadoopConf.value)
 }
 
 /** Conservative bound-stat evaluation over a single manifest entry: can
@@ -276,17 +299,14 @@ object FileBoundsEval {
   * tuple is in a set are skipped — null matches null, the spec's rule.
   * The parquet projection widens to cover the equality columns even when
   * the query never selects them; output rows stay on `required`. */
-class GraftTablePartitionReader(filePath: String, posDeleteFiles: Seq[String],
-    eqDeleteFiles: Seq[String], tableSchema: StructType,
+class GraftTablePartitionReader(part: GraftTableInputPartition,
     required: StructType, conf: Configuration) extends PartitionReader[InternalRow] {
 
   private def normPath(p: String): String = p.replaceFirst("^[a-z0-9+.-]+:(//)?", "")
 
-  private def fileSchema(path: String): MessageType = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+  private def open(path: String): ParquetFileReader =
+    ParquetFileReader.open(HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path), conf))
-    try r.getFileMetaData.getSchema finally r.close()
-  }
 
   /** Projection = the file's own fields restricted to the required
     * columns (requested schemas must structurally match the file); a
@@ -298,36 +318,40 @@ class GraftTablePartitionReader(filePath: String, posDeleteFiles: Seq[String],
     new MessageType(full.getName, (if (sel.nonEmpty) sel else full.getFields.asScala.take(1)).asJava)
   }
 
-  private def openGroups(path: String, names: Seq[String]): ParquetReader[Group] = {
-    val c = new Configuration(conf)
-    c.set(ReadSupport.PARQUET_READ_SCHEMA, projected(fileSchema(path), names).toString)
-    ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
-      .withConf(c).build()
+  /** Stream every row of an OPEN reader (all row groups) through `fn`,
+    * decoding only `cols`. Used for the delete-file loads. */
+  private def readRows(r: ParquetFileReader, cols: Seq[String])(fn: Group => Unit): Unit = {
+    val full = r.getFileMetaData.getSchema
+    val req = projected(full, cols)
+    r.setRequestedSchema(req)
+    val io = new ColumnIOFactory().getColumnIO(req, full, false)
+    var pages = r.readNextRowGroup()
+    while (pages != null) {
+      val rr = io.getRecordReader(pages, new GroupRecordConverter(req))
+      var i = 0L
+      while (i < pages.getRowCount) { fn(rr.read()); i += 1 }
+      pages = r.readNextRowGroup()
+    }
   }
 
   /** Deleted row indexes addressing THIS file, loaded once per task from
-    * the sequence-scoped delete files (Iceberg's task-local delete apply;
-    * a production reader narrows the load with the delete files'
-    * file_path bounds before opening them). */
+    * the sequence-scoped, path-bound-scoped delete files (Iceberg's
+    * task-local delete apply). */
   private val deleted: java.util.HashSet[java.lang.Long] = {
     val set = new java.util.HashSet[java.lang.Long]()
-    val me = normPath(filePath)
-    posDeleteFiles.foreach { del =>
-      val r = openGroups(del, Seq("file_path", "pos"))
-      try {
-        var g = r.read()
-        while (g != null) {
-          if (normPath(g.getBinary("file_path", 0).toStringUsingUTF8) == me)
-            set.add(g.getLong("pos", 0))
-          g = r.read()
-        }
+    val me = normPath(part.filePath)
+    part.posDeleteFiles.foreach { del =>
+      val r = open(del)
+      try readRows(r, Seq("file_path", "pos")) { g =>
+        if (normPath(g.getBinary("file_path", 0).toStringUsingUTF8) == me)
+          set.add(g.getLong("pos", 0))
       } finally r.close()
     }
     set
   }
 
   private def tableType(name: String): DataType =
-    tableSchema.fields.find(_.name == name).map(_.dataType).getOrElse(
+    part.tableSchema.fields.find(_.name == name).map(_.dataType).getOrElse(
       throw new IllegalArgumentException(s"equality column '$name' not in table schema"))
 
   /** Equality-delete value sets, one per distinct column list — loaded
@@ -337,26 +361,51 @@ class GraftTablePartitionReader(filePath: String, posDeleteFiles: Seq[String],
   private val eqSets: Seq[(Seq[String], java.util.HashSet[Vector[Any]])] = {
     val acc = scala.collection.mutable.LinkedHashMap
       .empty[Seq[String], java.util.HashSet[Vector[Any]]]
-    eqDeleteFiles.foreach { del =>
-      val cols = fileSchema(del).getFields.asScala.map(_.getName).toSeq
-      val set = acc.getOrElseUpdate(cols, new java.util.HashSet[Vector[Any]]())
-      val r = openGroups(del, cols)
+    part.eqDeleteFiles.foreach { del =>
+      val r = open(del)
       try {
-        var g = r.read()
-        while (g != null) {
-          set.add(cols.map(c => valueOf(g, c, tableType(c))).toVector)
-          g = r.read()
-        }
+        val cols = r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+        val set = acc.getOrElseUpdate(cols, new java.util.HashSet[Vector[Any]]())
+        readRows(r, cols)(g => set.add(cols.map(c => valueOf(g, c, tableType(c))).toVector))
       } finally r.close()
     }
     acc.toSeq
   }
 
-  private val reader = openGroups(filePath,
+  // ------------------------------------------------------- the data file
+  // Low-level row-group iteration: a split partition (rowGroup >= 0)
+  // skips straight to its group and reads ONLY it; the un-split case
+  // streams every group. `rowIndex` stays FILE-absolute (rowStart is the
+  // split's first-row index), which is what position deletes address.
+  private val dataReader = open(part.filePath)
+  private val dataFull = dataReader.getFileMetaData.getSchema
+  private val dataReq = projected(dataFull,
     (required.fieldNames.toSeq ++ eqSets.flatMap(_._1)).distinct)
+  dataReader.setRequestedSchema(dataReq)
+  private val dataIO = new ColumnIOFactory().getColumnIO(dataReq, dataFull, false)
+  if (part.rowGroup > 0) (0 until part.rowGroup).foreach(_ => dataReader.skipNextRowGroup())
+  private var pages = dataReader.readNextRowGroup()
+  private var recordReader =
+    if (pages == null) null else dataIO.getRecordReader(pages, new GroupRecordConverter(dataReq))
+  private var remaining: Long = if (pages == null) 0L else pages.getRowCount
   private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
-  private var rowIndex: Long = -1
+  private var rowIndex: Long = part.rowStart - 1
   private var current: InternalRow = _
+
+  /** Next raw record, crossing row-group boundaries in the un-split case;
+    * null at end of the split/file. */
+  private def advance(): Group = {
+    if (remaining == 0) {
+      if (part.rowGroup >= 0) return null // a split reads exactly one group
+      pages = dataReader.readNextRowGroup()
+      if (pages == null) return null
+      recordReader = dataIO.getRecordReader(pages, new GroupRecordConverter(dataReq))
+      remaining = pages.getRowCount
+      return advance()
+    }
+    remaining -= 1
+    recordReader.read()
+  }
 
   private def valueOf(g: Group, name: String, dt: DataType): Any = {
     val t = g.getType
@@ -390,10 +439,10 @@ class GraftTablePartitionReader(filePath: String, posDeleteFiles: Seq[String],
       set.contains(cols.map(c => valueOf(g, c, tableType(c))).toVector) }
 
   override def next(): Boolean = {
-    var g = reader.read()
+    var g = advance()
     rowIndex += 1
     while (g != null && (deleted.contains(rowIndex) || equalityDeleted(g))) {
-      g = reader.read(); rowIndex += 1
+      g = advance(); rowIndex += 1
     }
     if (g == null) false
     else { current = toCatalyst(rowOf(g)).asInstanceOf[InternalRow]; true }
@@ -401,5 +450,5 @@ class GraftTablePartitionReader(filePath: String, posDeleteFiles: Seq[String],
 
   override def get(): InternalRow = current
 
-  override def close(): Unit = reader.close()
+  override def close(): Unit = dataReader.close()
 }

@@ -109,6 +109,66 @@ class TableSourceSpec extends SparkSpec {
     assert(df.filter(col("n_nationkey") === 14).count() == 1L) // alive in B
   }
 
+  test("row-group splits fan out partitions; position deletes stay file-absolute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rgsplit").toString
+    // one physical file, MANY row groups (tiny block size)
+    val tmp = s"$dir/tmpdir"
+    spark.range(0, 20000).orderBy(col("id")).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write
+      .option("parquet.block.size", "16384").option("parquet.page.size", "4096")
+      .mode("overwrite").parquet(tmp)
+    val fs = HadoopConfs.fileSystemFor(dir)
+    val partFile = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet")).get
+    val f = s"$dir/data/d.parquet"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
+    fs.rename(partFile, new org.apache.hadoop.fs.Path(f))
+    // position delete addressing rows 100 and 15000 — the second lands in
+    // a LATER row group, so a wrong rowStart would delete the wrong row
+    val delF = s"$dir/data/del.parquet"
+    import spark.implicits._
+    ParquetFiles.writeOne(Seq((f, 100L), (f, 15000L)).toDF("file_path", "pos")
+      .orderBy(col("pos")), delF)
+    // data and delete entries in separate manifests (list-level content
+    // routing is per manifest)
+    val mData = s"$dir/m-data.avro"
+    ManifestWriter.write(mData, Seq(ManifestWriter.EntryData(
+      1, 1L, f, 20000L, ParquetFiles.length(f),
+      Map.empty, Map.empty, content = 0, sequenceNumber = Some(1L))))
+    val mDel = s"$dir/m-del.avro"
+    ManifestWriter.write(mDel, Seq(ManifestWriter.EntryData(
+      1, 2L, delF, 2L, ParquetFiles.length(delF),
+      Map.empty, Map.empty, content = 1, sequenceNumber = Some(2L))))
+    val list2 = s"$dir/snap-1b-list.avro"
+    ManifestListWriter.write(list2, Seq(mData, mDel), 1L, contents = Map(mDel -> 1))
+    val schema = IcebergSchema(0, Seq(
+      IcebergField(1, "id", required = false, "long"),
+      IcebergField(2, "v", required = false, "long")))
+    val meta = TableMetadata(
+      formatVersion = 2, tableUuid = "b6b9a6a1-0000-4000-8000-0000000000r1",
+      location = dir, lastUpdatedMs = 1700000000000L, topLevelSchema = None,
+      currentSchemaId = Some(0), schemas = Seq(schema),
+      partitionSpecs = Seq(PartitionSpec(0, Nil)), defaultSpecId = 0,
+      sortOrders = Seq(SortOrder(0, Nil)), defaultSortOrderId = 0,
+      properties = Map.empty, currentSnapshotId = None, refs = Nil,
+      snapshots = Nil, snapshotLog = Nil, metadataLog = Nil)
+    val v1 = s"$dir/v1.metadata.json"
+    MetadataWriter.write(v1, MetadataWriter.commitSnapshot(meta,
+      Snapshot(1L, None, 1700000001000L, Some("append"), Map.empty,
+        Some(list2), Some(0)), None))
+    val df = spark.read.format("graft-table")
+      .option("metadata", v1).option("split-size", "1").load()
+    assert(df.rdd.getNumPartitions > 1,
+      s"expected row-group fan-out, got ${df.rdd.getNumPartitions} partition(s)")
+    assert(df.count() == 19998L)
+    assert(df.filter(col("id").isin(100L, 15000L)).count() == 0L)
+    val expected = (0L until 20000L).sum - 100L - 15000L
+    assert(df.agg(sum(col("id"))).head().getLong(0) == expected)
+    // un-split route agrees
+    val whole = spark.read.format("graft-table").option("metadata", v1).load()
+    assert(whole.rdd.getNumPartitions == 1 && whole.count() == 19998L)
+  }
+
   test("equality deletes apply in-reader with strict sequence scoping") {
     // seq 1: keys < 13; seq 2: equality delete on names of 3 (present) and
     // 20 (future); seq 3: keys >= 13 — nation 20 arrives AFTER the delete

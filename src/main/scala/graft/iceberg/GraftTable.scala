@@ -311,7 +311,11 @@ object GraftTable {
         // cardinality a writer would use a partitioned shuffle instead
         val tuples = withT.select(tcols.indices.map(i => col(s"_p$i")): _*)
           .distinct().collect()
-        tuples.zipWithIndex.map { case (tuple, i) =>
+        // one file write + stat derivation per partition tuple, submitted
+        // CONCURRENTLY (independent Spark jobs from a bounded driver pool
+        // — the LakehouseExec maintenance shape): wall-clock tracks the
+        // largest partition, not the partition count
+        Par.inParallel(tuples.zipWithIndex.toSeq) { case (tuple, i) =>
           val file = s"$tableDir/data/append-$appendUuid-%05d.parquet".format(i)
           val cond = tcols.indices.map(j => col(s"_p$j") <=> lit(tuple.get(j))).reduce(_ && _)
           ParquetFiles.writeOne(
@@ -325,7 +329,7 @@ object GraftTable {
             }
           }
           (file, deriveStats(spark, file, meta0), Some(summaries))
-        }.toSeq
+        }
       }
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
@@ -426,7 +430,9 @@ object GraftTable {
     // compare on the normalized path component (the i26/i31 rule)
     val normFile = regexp_replace(col("_file"), "^[a-z0-9+.-]+:(//)?", "")
     val mergeUuid = java.util.UUID.randomUUID()
-    val rewritten = affected.toSeq.sorted.zipWithIndex.map { case (f, i) =>
+    // per-file COW rewrites are independent Spark jobs — submit them
+    // concurrently (a 100 TB merge touches thousands of files)
+    val rewritten = Par.inParallel(affected.toSeq.sorted.zipWithIndex) { case (f, i) =>
       val out = s"$tableDir/data/merged-$mergeUuid-%05d.parquet".format(i)
       ParquetFiles.writeOne(
         live.filter(normFile === f)
@@ -453,7 +459,7 @@ object GraftTable {
       // untouched files: EXISTING entries, ORIGINAL sequence preserved
       val untouched = curData.filterNot(e => affected.contains(uriPath(e.filePath)))
         .map(_.copy(status = 0, snapshotId = snapId))
-      val newEntries = newFiles.map { f =>
+      val newEntries = Par.inParallel(newFiles) { f =>
         val (n, lower, upper) = deriveStats(spark, f, base)
         ManifestWriter.EntryData(1, snapId, f, n, ParquetFiles.length(f),
           lower, upper, content = 0, sequenceNumber = Some(snapId))
@@ -505,7 +511,10 @@ object GraftTable {
         }
       }.map(_._2)
     val compactUuid = java.util.UUID.randomUUID()
-    val outFiles = bins.zipWithIndex.map { case (es, i) =>
+    // one rewrite job per bin, submitted concurrently — at thousands of
+    // bins this is the difference between a compaction bounded by the
+    // biggest bin and one bounded by the bin count
+    val outFiles = Par.inParallel(bins.zipWithIndex) { case (es, i) =>
       val out = s"$tableDir/data/compacted-$compactUuid-%05d.parquet".format(i)
       val paths = es.map(e => uriPath(e.filePath)).toSet
       ParquetFiles.writeOne(
@@ -523,7 +532,7 @@ object GraftTable {
         .map(e => uriPath(e.filePath)).toSet
       if (nowSet != preSet) throw OptimisticCommit.CommitConflictException(
         "table file set changed while compacting — rerun compaction")
-      val entries = outFiles.map { f =>
+      val entries = Par.inParallel(outFiles) { f =>
         val (n, lower, upper) = deriveStats(spark, f, base)
         ManifestWriter.EntryData(1, snapId, f, n, ParquetFiles.length(f),
           lower, upper, content = 0, sequenceNumber = Some(snapId))
@@ -577,10 +586,31 @@ object GraftTable {
       OptimisticCommit.metadataPath(tableDir, result.version - 1))
     val doomed = closure(oldMeta.snapshots.filter(s => expiredIds(s.snapshotId))) --
       closure(result.metadata.snapshots)
-    doomed.foreach(p =>
+    // deletes are independent FS calls — latency-bound, run concurrently
+    Par.inParallel(doomed.toSeq.sorted)(p =>
       HadoopConfs.fileSystemFor(p).delete(new org.apache.hadoop.fs.Path(p), false))
     result
   }
+
+  /** Schema evolution through the CAS loop: `schemas[]` grows by
+    * `schema` and `current-schema-id` advances — a metadata-only commit
+    * (no snapshot). Files written under older schemas null-fill through
+    * the new current schema on every read path (the i24 rule); the next
+    * `append` projects to the evolved columns automatically. */
+  def evolveSchema(tableDir: String, schema: IcebergSchema): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) =>
+      MetadataWriter.evolveSchema(base, schema, base.lastUpdatedMs + 1000).copy(
+        metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
+
+  /** Partition-spec evolution through the CAS loop: `partition-specs[]`
+    * grows and `default-spec-id` advances. Existing manifests keep their
+    * old spec id (list field 502, the i32 mixed-spec rule); subsequent
+    * `append`s lay out files — and write field-507 summaries — under the
+    * new spec with no further ceremony. */
+  def evolvePartitionSpec(tableDir: String, spec: PartitionSpec): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) =>
+      MetadataWriter.evolvePartitionSpec(base, spec, base.lastUpdatedMs + 1000).copy(
+        metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
 
   /** Row-level DELETE: capture (file_path, pos) of matching rows across
     * the current data files, land them as ONE position-delete file, and

@@ -1055,10 +1055,55 @@ object LakehouseMaint {
 
   val dsv2FullMorSql: String = tableReadSql
 
+  // ---------------------------------------------------------------- i50
+  /** Schema evolution through the public API: create (3 columns) →
+    * append → `evolveSchema` adds n_comment and advances
+    * current-schema-id (a CAS-committed, metadata-only change) → the
+    * NEXT append carries the new column with no further ceremony. The
+    * read projects everything through the evolved schema: pre-evolution
+    * rows null-fill n_comment, post-evolution rows carry real values —
+    * both facts pinned in one aggregate. */
+  val schemaEvolutionApi: Q = (spark, sfDir) => {
+    val dir = entryDir("i50", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000050", timestampMs = T0)
+      GraftTable.append(spark, dir, nation.filter(col("n_nationkey") < 13)
+        .orderBy(col("n_nationkey")))
+      GraftTable.evolveSchema(dir, IcebergSchema(1, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"),
+        IcebergField(4, "n_comment", required = false, "string"))))
+      GraftTable.append(spark, dir, nation.filter(col("n_nationkey") >= 13)
+        .withColumn("n_comment", concat(lit("c-"), col("n_name")))
+        .orderBy(col("n_nationkey")))
+    }
+    GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("n_comment").isNull, 1)).as("n_null_comment"),
+        count(col("n_comment")).as("n_with_comment"),
+        min(col("n_comment")).as("first_comment"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+  }
+
+  val schemaEvolutionApiSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  COUNT(CASE WHEN n_nationkey < 13 THEN 1 END) AS n_null_comment,
+      |  COUNT(CASE WHEN n_nationkey >= 13 THEN 1 END) AS n_with_comment,
+      |  MIN(CASE WHEN n_nationkey >= 13 THEN 'c-' || n_name END) AS first_comment,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "i47_dsv2_table_read" -> dsv2TableRead,
     "i48_dsv2_table_pruned" -> dsv2TablePruned,
     "i49_dsv2_full_mor" -> dsv2FullMor,
+    "i50_schema_evolution_api" -> schemaEvolutionApi,
     "i45_pruned_mor_read" -> prunedMorRead,
     "i46_asof_read" -> asofRead,
     "i44_expire_api" -> expireApi,
@@ -1078,6 +1123,7 @@ object LakehouseMaint {
     "i47_dsv2_table_read" -> dsv2TableReadSql,
     "i48_dsv2_table_pruned" -> dsv2TablePrunedSql,
     "i49_dsv2_full_mor" -> dsv2FullMorSql,
+    "i50_schema_evolution_api" -> schemaEvolutionApiSql,
     "i45_pruned_mor_read" -> prunedMorReadSql,
     "i46_asof_read" -> asofReadSql,
     "i44_expire_api" -> expireApiSql,

@@ -153,6 +153,42 @@ class GraftTableSpec extends SparkSpec {
     assert(df.count() == 24L)
   }
 
+  test("i50: schema evolution through the API — old rows null-fill, new rows carry values") {
+    val row = LakehouseMaint.schemaEvolutionApi(spark, sfDir).head()
+    assert(row.getAs[Long]("n_rows") == 25L)
+    assert(row.getAs[Long]("n_null_comment") == 13L)
+    assert(row.getAs[Long]("n_with_comment") == 12L)
+    assert(row.getAs[String]("first_comment") == "c-NATION_13")
+  }
+
+  test("partition-spec evolution through the API: later appends write prunable summaries") {
+    val fresh = java.nio.file.Files.createTempDirectory("graft-specevolve").toString
+    val nation = graft.Tables.load(spark, sfDir, "nation")
+    GraftTable.create(fresh, graft.iceberg.IcebergSchema(0, Seq(
+      graft.iceberg.IcebergField(1, "n_nationkey", required = false, "int"),
+      graft.iceberg.IcebergField(2, "n_name", required = false, "string"),
+      graft.iceberg.IcebergField(3, "n_regionkey", required = false, "int"))),
+      tableUuid = "b6b9a6a1-0000-4000-8000-0000000000t3", timestampMs = 1700000000000L)
+    GraftTable.append(spark, fresh, nation.filter(col("n_nationkey") < 13))
+    GraftTable.evolvePartitionSpec(fresh, graft.iceberg.PartitionSpec(1,
+      Seq(graft.iceberg.PartitionField("n_regionkey_id", "identity", 3, 1001))))
+    GraftTable.append(spark, fresh, nation.filter(col("n_nationkey") >= 13))
+    val path = GraftTable.latestMetadataPath(fresh)
+    val infos = graft.iceberg.ManifestListReader.read(
+      TableMetadata.parseFile(path).currentSnapshot.get.manifestList.get)
+    // pre-evolution manifest keeps spec 0 / no summary; post-evolution
+    // manifests carry spec 1 with identity summaries (one per region)
+    assert(infos.exists(i => i.specId == 0 && i.summaries.isEmpty))
+    assert(infos.count(i => i.specId == 1 && i.summaries.isDefined) == 5)
+    // mixed-spec pruned read: spec-1 manifests prune to region 4, the
+    // spec-0 manifest survives unprunable (the i32 rule)
+    val (df, opened, total) = GraftTable.readWhere(spark, path, 3, 4)
+    assert(total == 6 && opened == 2, s"opened $opened of $total")
+    // region 4 = keys {4, 9} (pre-evolution file) + {14, 19, 24}
+    assert(df.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(4, 9, 14, 19, 24))
+  }
+
   test("ref time travel resolves tags through the committed refs map") {
     val v4 = TableMetadata.parseFile(s"$dir/v4.metadata.json")
     val v5 = s"$dir/v5.metadata.json"

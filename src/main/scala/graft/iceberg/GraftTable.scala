@@ -368,6 +368,35 @@ object GraftTable {
     })
   }
 
+  /** Commit PRE-WRITTEN data files as one append snapshot — the driver
+    * half of the DSv2 write route, where tasks already wrote the parquet
+    * and derived the bound stats inline. One manifest carries every
+    * entry; carried manifests keep their provenance; the CAS loop makes
+    * concurrent writers (either route) land on one linear history.
+    * `files` = (path, recordCount, sizeBytes, lowerBounds, upperBounds). */
+  private[graft] def commitAppendFiles(tableDir: String,
+      files: Seq[(String, Long, Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]])])
+      : OptimisticCommit.CommitResult = {
+    require(files.nonEmpty, "no files to commit")
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
+      val attempt = java.util.UUID.randomUUID()
+      val manifest = s"$tableDir/m-append-$snapId-$attempt.avro"
+      ManifestWriter.write(manifest, files.map { case (f, n, sz, lo, hi) =>
+        ManifestWriter.EntryData(1, snapId, f, n, sz, lo, hi, content = 0,
+          sequenceNumber = Some(snapId)) })
+      val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+      writeList(list, carryForward(base), manifest, files.size, 0, snapId)
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some("append"),
+          Map("added-data-files" -> files.size.toString,
+            "added-records" -> files.map(_._2).sum.toString),
+          Some(list), base.currentSchemaId),
+        Some(basePath))
+    })
+  }
+
   /** Hidden-partition pruned read WITH merge-on-read: `sourceFieldId =
     * value` converts into the spec's transform space (ScanPlanning
     * .transformValue) and prunes DATA manifests against their list

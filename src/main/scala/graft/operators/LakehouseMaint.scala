@@ -1099,7 +1099,54 @@ object LakehouseMaint {
       |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i51
+  /** Distributed writes through Spark's native writer API:
+    * `df.write.format("graft-table").mode("append").save()`. Each task
+    * streams its rows into its own parquet file and derives bound stats
+    * INLINE; the driver's commit lands one append snapshot through the
+    * CAS loop — two saves → two snapshots on one linear history. The
+    * proof that task-written stats are real: the low-key data file is
+    * OVERWRITTEN WITH GARBAGE after the writes, and the filtered read
+    * still answers — file-level bound pruning (manifest stats, no file
+    * open) never touches it. */
+  val dsv2Write: Q = (spark, sfDir) => {
+    val dir = entryDir("i51", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      val nation = Tables.load(spark, sfDir, "nation")
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000051", timestampMs = T0)
+      def save(df: org.apache.spark.sql.DataFrame): Unit =
+        df.orderBy(col("n_nationkey")).coalesce(1)
+          .write.format("graft-table")
+          .option("metadata", GraftTable.latestMetadataPath(dir))
+          .mode("append").save()
+      save(nation.filter(col("n_nationkey") < 13))
+      save(nation.filter(col("n_nationkey") >= 13))
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      val lowFile = ManifestListReader.read(meta.currentSnapshot.get.manifestList.get)
+        .filter(_.content == 0).flatMap(i => ManifestWriter.read(i.path))
+        .filter(e => e.status != 2 && e.content == 0)
+        .find(e => SingleValueCodec.decode(TInt, e.upperBounds(1)) == 12).get.filePath
+      java.nio.file.Files.write(java.nio.file.Paths.get(lowFile),
+        "corrupted: task-written bound stats must prune this unopened".getBytes)
+    }
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir)).load()
+      .filter(col("n_nationkey") === 18)
+      .select(lit(meta.snapshots.size).as("n_snapshots"),
+        col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
+  val dsv2WriteSql: String =
+    """SELECT CAST(2 AS INTEGER) AS n_snapshots, n_nationkey, n_name, n_regionkey
+      |FROM nation WHERE n_nationkey = 18""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i51_dsv2_write" -> dsv2Write,
     "i47_dsv2_table_read" -> dsv2TableRead,
     "i48_dsv2_table_pruned" -> dsv2TablePruned,
     "i49_dsv2_full_mor" -> dsv2FullMor,
@@ -1120,6 +1167,7 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i51_dsv2_write" -> dsv2WriteSql,
     "i47_dsv2_table_read" -> dsv2TableReadSql,
     "i48_dsv2_table_pruned" -> dsv2TablePrunedSql,
     "i49_dsv2_full_mor" -> dsv2FullMorSql,

@@ -86,14 +86,19 @@ class TableDataSource extends TableProvider with DataSourceRegister {
 class GraftSparkTable(tableSchema: StructType, metadataPath: String,
     snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long],
     splitSize: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-table($metadataPath)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTableScanBuilder(tableSchema, metadataPath, snapshotId, ref,
       asOfTimestampMs, splitSize)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftTableWriteBuilder(metadataPath, info)
 }
 
 class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,

@@ -169,6 +169,33 @@ class TableSourceSpec extends SparkSpec {
     assert(whole.rdd.getNumPartitions == 1 && whole.count() == 19998L)
   }
 
+  test("i51: DSv2 writes commit CAS snapshots with task-derived prunable stats") {
+    val row = LakehouseMaint.dsv2Write(spark, sfDir).head()
+    assert(row.getAs[Int]("n_snapshots") == 2)
+    assert(row.getAs[Int]("n_nationkey") == 18 && row.getAs[Int]("n_regionkey") == 3)
+  }
+
+  test("DSv2 writes and native DML land on one linear history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-w2").toString
+    GraftTable.create(dir, nationSchema,
+      tableUuid = "b6b9a6a1-0000-4000-8000-0000000000w2", timestampMs = 1700000000000L)
+    graft.Tables.load(spark, sfDir, "nation")
+      .write.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir))
+      .mode("append").save()
+    // native row-level DELETE over files the DSv2 writer produced
+    GraftTable.deleteWhere(spark, dir, col("n_regionkey") === 2)
+    val back = GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+    assert(back.count() == 20L)
+    assert(back.filter(col("n_regionkey") === 2).count() == 0L)
+    // and the DSv2 read route agrees (in-reader MOR over the same files)
+    val dsv2 = spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir)).load()
+    assert(dsv2.count() == 20L)
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    assert(meta.snapshots.map(_.snapshotId).sorted == Seq(1L, 2L))
+  }
+
   test("equality deletes apply in-reader with strict sequence scoping") {
     // seq 1: keys < 13; seq 2: equality delete on names of 3 (present) and
     // 20 (future); seq 3: keys >= 13 — nation 20 arrives AFTER the delete

@@ -375,7 +375,8 @@ object GraftTable {
     * concurrent writers (either route) land on one linear history.
     * `files` = (path, recordCount, sizeBytes, lowerBounds, upperBounds). */
   private[graft] def commitAppendFiles(tableDir: String,
-      files: Seq[(String, Long, Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]])])
+      files: Seq[(String, Long, Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]])],
+      extraSummary: Map[String, String] = Map.empty)
       : OptimisticCommit.CommitResult = {
     require(files.nonEmpty, "no files to commit")
     OptimisticCommit.commit(tableDir, (base, basePath) => {
@@ -391,7 +392,7 @@ object GraftTable {
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("append"),
           Map("added-data-files" -> files.size.toString,
-            "added-records" -> files.map(_._2).sum.toString),
+            "added-records" -> files.map(_._2).sum.toString) ++ extraSummary,
           Some(list), base.currentSchemaId),
         Some(basePath))
     })

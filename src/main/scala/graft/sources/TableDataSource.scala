@@ -91,7 +91,8 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
   override def name(): String = s"graft-table($metadataPath)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTableScanBuilder(tableSchema, metadataPath, snapshotId, ref,
       asOfTimestampMs, splitSize)

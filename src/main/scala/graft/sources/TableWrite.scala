@@ -40,25 +40,92 @@ import graft.iceberg.{GraftTable, IcebergType, IcebergTypes, SingleValueCodec,
   * DSv2 writes would add a `RequiresDistributionAndOrdering` clause. */
 class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo)
     extends WriteBuilder {
+
+  /** (tableDir, table schema, (field id, name, type) triples) after the
+    * shared validation — batch and streaming writes check the same
+    * contract. */
+  private def validated(): (String, StructType, Seq[(Int, String, IcebergType)]) = {
+    val meta = TableMetadata.parseFile(metadataPath)
+    require(meta.partitionSpecs.find(_.specId == meta.defaultSpecId)
+        .forall(_.fields.isEmpty),
+      "graft-table DSv2 writes support unpartitioned tables — use " +
+        "GraftTable.append for hidden-partitioned layouts")
+    val tableSchema = GraftTable.sparkSchema(meta)
+    val given = info.schema().fieldNames.toSeq
+    require(given == tableSchema.fieldNames.toSeq,
+      s"schema mismatch: table has ${tableSchema.fieldNames.mkString(",")}, " +
+        s"write has ${given.mkString(",")}")
+    val tableDir = new org.apache.hadoop.fs.Path(metadataPath).getParent.toString
+    val fields = meta.currentSchema.fields.flatMap(f =>
+      IcebergTypes.fromStringOpt(f.fieldType).map(t => (f.id, f.name, t)))
+    (tableDir, tableSchema, fields)
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      val meta = TableMetadata.parseFile(metadataPath)
-      require(meta.partitionSpecs.find(_.specId == meta.defaultSpecId)
-          .forall(_.fields.isEmpty),
-        "graft-table DSv2 writes support unpartitioned tables — use " +
-          "GraftTable.append for hidden-partitioned layouts")
-      val tableSchema = GraftTable.sparkSchema(meta)
-      val given = info.schema().fieldNames.toSeq
-      require(given == tableSchema.fieldNames.toSeq,
-        s"schema mismatch: table has ${tableSchema.fieldNames.mkString(",")}, " +
-          s"write has ${given.mkString(",")}")
-      val tableDir = new org.apache.hadoop.fs.Path(metadataPath).getParent.toString
-      val fields = meta.currentSchema.fields.flatMap(f =>
-        IcebergTypes.fromStringOpt(f.fieldType).map(t => (f.id, f.name, t)))
+      val (tableDir, tableSchema, fields) = validated()
       new GraftTableBatchWrite(tableDir, tableSchema, fields,
         new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active()))
     }
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      val (tableDir, tableSchema, fields) = validated()
+      new GraftTableStreamingWrite(tableDir, tableSchema, fields, info.queryId(),
+        new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active()))
+    }
   }
+}
+
+/** Streaming sink: `df.writeStream.format("graft-table")` — every
+  * micro-batch (epoch) lands as ONE CAS-committed append snapshot whose
+  * summary carries `streaming-query-epoch = <queryId>/<epochId>`. On an
+  * epoch REPLAY (restart re-runs the last uncommitted-to-the-source
+  * batch), the committed snapshot is found by that tag, the re-written
+  * task files are deleted, and NO duplicate snapshot lands — the
+  * exactly-once contract, per-epoch idempotent like Iceberg's own
+  * streaming writer. Empty epochs commit nothing. */
+class GraftTableStreamingWrite(tableDir: String, schema: StructType,
+    fields: Seq[(Int, String, IcebergType)], queryId: String,
+    hadoopConf: graft.iceberg.SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftTableStreamingWriterFactory(tableDir, queryId, schema, fields, hadoopConf)
+
+  private def drop(ms: Seq[GraftWriteMessage]): Unit =
+    ms.foreach(m => graft.iceberg.HadoopConfs.fileSystemFor(m.path)
+      .delete(new org.apache.hadoop.fs.Path(m.path), false))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val all = messages.toSeq.map(_.asInstanceOf[GraftWriteMessage])
+    val files = all.filter(_.rows > 0)
+    val tag = s"$queryId/$epochId"
+    val base = TableMetadata.parseFile(GraftTable.latestMetadataPath(tableDir))
+    val replayed = base.snapshots.exists(
+      _.summary.get("streaming-query-epoch").contains(tag))
+    if (files.isEmpty || replayed) drop(all)
+    else {
+      GraftTable.commitAppendFiles(tableDir,
+        files.map(m => (m.path, m.rows, m.bytes, m.lower, m.upper)),
+        extraSummary = Map("streaming-query-epoch" -> tag))
+      drop(all.filter(_.rows == 0))
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    drop(messages.toSeq.collect { case m: GraftWriteMessage => m })
+}
+
+class GraftTableStreamingWriterFactory(tableDir: String, queryId: String,
+    schema: StructType, fields: Seq[(Int, String, IcebergType)],
+    hadoopConf: graft.iceberg.SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new GraftTableDataWriter(
+      s"$tableDir/data/w-$queryId-e$epochId-p%05d-t$taskId.parquet".format(partitionId),
+      schema, fields, hadoopConf.value)
 }
 
 /** (field id, value domain) per written column — what the commit message

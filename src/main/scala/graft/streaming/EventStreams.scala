@@ -675,7 +675,55 @@ object EventStreams {
       |  CAST(1 AS INTEGER) AS n_files_after, 'replace' AS op
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- st13
+  /** Streaming ingest through Spark's NATIVE sink API —
+    * `writeStream.format("graft-table")` — no foreachBatch escape hatch
+    * (contrast st11): the connector's StreamingWrite lands each
+    * micro-batch as one CAS-committed append snapshot tagged
+    * `streaming-query-epoch`, which is what makes an epoch REPLAY after
+    * restart idempotent (the tag is found, the re-written files are
+    * dropped, no duplicate snapshot — spec-proven in TableSourceSpec).
+    * The read-back is the composed GraftTable.read over whatever
+    * snapshots the engine's triggers produced, so the oracle pins the
+    * whole stream→commit→read lifecycle through public APIs only. */
+  val streamTableSink: Q = (spark, dir) => {
+    import spark.implicits._
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-st13-${ProcessHandle.current().pid()}",
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    graft.TmpOutputs.ensure(out) {
+      graft.iceberg.GraftTable.create(out, graft.iceberg.IcebergSchema(0, Seq(
+        graft.iceberg.IcebergField(1, "event_id", required = false, "long"),
+        graft.iceberg.IcebergField(2, "user_id", required = false, "long"),
+        graft.iceberg.IcebergField(3, "value", required = false, "double"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000130",
+        timestampMs = 1700000000000L)
+      val q = eventsStream(spark, dir)
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"value")
+        .writeStream.format("graft-table")
+        .option("metadata", s"$out/v1.metadata.json")
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.iceberg.GraftTable.read(spark,
+        graft.iceberg.GraftTable.latestMetadataPath(out))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"value".cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
+      .orderBy($"user_id")
+  }
+
+  val streamTableSinkSql: String =
+    """SELECT user_id, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st13_table_sink" -> streamTableSink,
     "st12_stream_compaction" -> streamCompaction,
     "st11_table_ingest" -> streamTableIngest,
     "st10_complete_rollup" -> streamCompleteRollup,
@@ -690,6 +738,7 @@ object EventStreams {
     "st05_stream_dedup" -> streamDedup)
 
   val oracles: Map[String, String] = Map(
+    "st13_table_sink" -> streamTableSinkSql,
     "st12_stream_compaction" -> streamCompactionSql,
     "st11_table_ingest" -> streamTableIngestSql,
     "st10_complete_rollup" -> streamCompleteRollupSql,

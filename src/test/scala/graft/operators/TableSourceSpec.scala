@@ -196,6 +196,51 @@ class TableSourceSpec extends SparkSpec {
     assert(meta.snapshots.map(_.snapshotId).sorted == Seq(1L, 2L))
   }
 
+  test("st13: streaming sink entry commits epoch-tagged snapshots") {
+    val rows = graft.streaming.EventStreams.queries("st13_table_sink")(spark, sfDir)
+    assert(rows.count() > 0)
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-st13-${ProcessHandle.current().pid()}",
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(out))
+    assert(meta.snapshots.nonEmpty)
+    assert(meta.snapshots.forall(_.summary.contains("streaming-query-epoch")))
+  }
+
+  test("streaming epoch replay is idempotent: same epoch never commits twice") {
+    import graft.sources.{GraftTableStreamingWrite, GraftWriteMessage}
+    val dir = java.nio.file.Files.createTempDirectory("graft-epoch").toString
+    GraftTable.create(dir, nationSchema,
+      tableUuid = "b6b9a6a1-0000-4000-8000-0000000000ep", timestampMs = 1700000000000L)
+    val fields = Seq((1, "n_nationkey", graft.iceberg.IcebergTypes.TInt: graft.iceberg.IcebergType),
+      (2, "n_name", graft.iceberg.IcebergTypes.TString: graft.iceberg.IcebergType),
+      (3, "n_regionkey", graft.iceberg.IcebergTypes.TInt: graft.iceberg.IcebergType))
+    val w = new GraftTableStreamingWrite(dir, GraftTable.sparkSchema(
+      TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))), fields, "q-test",
+      new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active()))
+    def landFile(name: String): String = {
+      val f = s"$dir/data/$name.parquet"
+      ParquetFiles.writeOne(graft.Tables.load(spark, sfDir, "nation")
+        .filter(col("n_nationkey") < 5), f)
+      f
+    }
+    def msg(f: String) = GraftWriteMessage(f, 5L, ParquetFiles.length(f), Map.empty, Map.empty)
+    w.commit(0L, Array(msg(landFile("e0-a"))))
+    assert(TableMetadata.parseFile(GraftTable.latestMetadataPath(dir)).snapshots.size == 1)
+    // the replayed epoch re-writes its file under a new attempt name —
+    // commit must find the epoch tag, drop the file, add NO snapshot
+    val replayFile = landFile("e0-b")
+    w.commit(0L, Array(msg(replayFile)))
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    assert(meta.snapshots.size == 1)
+    assert(!HadoopConfs.fileSystemFor(replayFile)
+      .exists(new org.apache.hadoop.fs.Path(replayFile)))
+    // the NEXT epoch commits normally
+    w.commit(1L, Array(msg(landFile("e1-a"))))
+    assert(TableMetadata.parseFile(GraftTable.latestMetadataPath(dir)).snapshots.size == 2)
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == 10L)
+  }
+
   test("equality deletes apply in-reader with strict sequence scoping") {
     // seq 1: keys < 13; seq 2: equality delete on names of 3 (present) and
     // 20 (future); seq 3: keys >= 13 — nation 20 arrives AFTER the delete

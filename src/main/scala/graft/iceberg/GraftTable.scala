@@ -374,25 +374,59 @@ object GraftTable {
     * entry; carried manifests keep their provenance; the CAS loop makes
     * concurrent writers (either route) land on one linear history.
     * `files` = (path, recordCount, sizeBytes, lowerBounds, upperBounds). */
-  private[graft] def commitAppendFiles(tableDir: String,
-      files: Seq[(String, Long, Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]])],
+  /** One pre-written file with task-derived stats; `partitionSummary`
+    * (set for partitioned writes) is the file's transform-space tuple —
+    * it earns the file its OWN manifest with a field-507 summary under
+    * `specId`, so DSv2-written partitioned data is list-level prunable
+    * exactly like append's. */
+  private[graft] final case class PendingFile(path: String, rows: Long, bytes: Long,
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      partitionSummary: Option[Seq[ManifestListWriter.FieldSummary]] = None,
+      specId: Int = 0)
+
+  private[graft] def commitAppendFiles(tableDir: String, files: Seq[PendingFile],
       extraSummary: Map[String, String] = Map.empty)
       : OptimisticCommit.CommitResult = {
     require(files.nonEmpty, "no files to commit")
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
-      val manifest = s"$tableDir/m-append-$snapId-$attempt.avro"
-      ManifestWriter.write(manifest, files.map { case (f, n, sz, lo, hi) =>
-        ManifestWriter.EntryData(1, snapId, f, n, sz, lo, hi, content = 0,
-          sequenceNumber = Some(snapId)) })
+      // un-summarized files share one manifest; each summarized file gets
+      // its own (a manifest-list summary describes the WHOLE manifest)
+      val (plain, summarized) = files.partition(_.partitionSummary.isEmpty)
+      def entry(f: PendingFile) = ManifestWriter.EntryData(1, snapId, f.path,
+        f.rows, f.bytes, f.lower, f.upper, content = 0, sequenceNumber = Some(snapId))
+      val plainManifest =
+        if (plain.isEmpty) Nil
+        else {
+          val m = s"$tableDir/m-append-$snapId-$attempt.avro"
+          ManifestWriter.write(m, plain.map(entry))
+          Seq((m, None: Option[Seq[ManifestListWriter.FieldSummary]], 0))
+        }
+      val perFile = summarized.zipWithIndex.map { case (f, i) =>
+        val m = s"$tableDir/m-append-$snapId-$attempt-%05d.avro".format(i)
+        ManifestWriter.write(m, Seq(entry(f)))
+        (m, f.partitionSummary, f.specId)
+      }
+      val manifests = plainManifest ++ perFile
+      val carried = carryForward(base)
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
-      writeList(list, carryForward(base), manifest, files.size, 0, snapId)
+      ManifestListWriter.write(list, carried.map(_.path) ++ manifests.map(_._1), snapId,
+        addedDataFilesCount = files.size,
+        contents = carried.map(i => i.path -> i.content).toMap,
+        specIds = carried.map(i => i.path -> i.specId).toMap ++
+          manifests.map(m => m._1 -> m._3),
+        summaries = carriedSummaries(carried) ++
+          manifests.collect { case (m, Some(s), _) => m -> s },
+        addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
+        addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
+        seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
+        minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("append"),
           Map("added-data-files" -> files.size.toString,
-            "added-records" -> files.map(_._2).sum.toString) ++ extraSummary,
+            "added-records" -> files.map(_.rows).sum.toString) ++ extraSummary,
           Some(list), base.currentSchemaId),
         Some(basePath))
     })

@@ -1145,7 +1145,52 @@ object LakehouseMaint {
     """SELECT CAST(2 AS INTEGER) AS n_snapshots, n_nationkey, n_name, n_regionkey
       |FROM nation WHERE n_nationkey = 18""".stripMargin
 
+  // ---------------------------------------------------------------- i52
+  /** Hidden-partitioned writes through Spark's native writer API: the
+    * Write declares a clustered distribution on the partition source
+    * column (`RequiresDistributionAndOrdering` — Catalyst inserts the
+    * shuffle), each task splits its rows into one file per murmur3-bucket
+    * tuple, and every file commits under its own manifest with the
+    * tuple's field-507 summary — so the NATIVE pruned read (readWhere)
+    * prunes data another engine route wrote. The proof is destructive
+    * again: every manifest the key predicate must prune is overwritten
+    * with garbage; the read answers only because planning never opens
+    * them. File/manifest COUNTS vary with the cluster's task layout, so
+    * the pinned facts are the surviving row and that pruning happened. */
+  val dsv2PartitionedWrite: Q = (spark, sfDir) => {
+    val dir = entryDir("i52", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000052", timestampMs = T0,
+        spec = PartitionSpec(0,
+          Seq(PartitionField("n_nationkey_bucket", "bucket[4]", 1, 1000))))
+      Tables.load(spark, sfDir, "nation").orderBy(col("n_nationkey"))
+        .write.format("graft-table")
+        .option("metadata", GraftTable.latestMetadataPath(dir))
+        .mode("append").save()
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      val listPath = meta.currentSnapshot.get.manifestList.get
+      val keep = ScanPlanning.pruneManifestsByTransform(listPath, meta, 1, 18)
+        .map(_.path).toSet
+      ManifestListReader.read(listPath).filterNot(i => keep(i.path)).foreach(i =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(i.path),
+          "corrupted: planning must never open this manifest".getBytes))
+    }
+    val (df, opened, total) = GraftTable.readWhere(
+      spark, GraftTable.latestMetadataPath(dir), 1, 18)
+    df.select(lit(opened < total).as("pruned"),
+      col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
+  val dsv2PartitionedWriteSql: String =
+    """SELECT TRUE AS pruned, n_nationkey, n_name, n_regionkey
+      |FROM nation WHERE n_nationkey = 18""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i52_dsv2_partitioned_write" -> dsv2PartitionedWrite,
     "i51_dsv2_write" -> dsv2Write,
     "i47_dsv2_table_read" -> dsv2TableRead,
     "i48_dsv2_table_pruned" -> dsv2TablePruned,
@@ -1167,6 +1212,7 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i52_dsv2_partitioned_write" -> dsv2PartitionedWriteSql,
     "i51_dsv2_write" -> dsv2WriteSql,
     "i47_dsv2_table_read" -> dsv2TableReadSql,
     "i48_dsv2_table_pruned" -> dsv2TablePrunedSql,

@@ -11,45 +11,54 @@ import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions => VExpr,
+  SortOrder => VSortOrder}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 
-import graft.iceberg.{GraftTable, IcebergType, IcebergTypes, SingleValueCodec,
-  TableMetadata}
+import graft.iceberg.{GraftTable, IcebergType, IcebergTypes, ManifestListWriter,
+  PartitionTransforms, SingleValueCodec, TableMetadata}
 
 /** The write half of the DSv2 `graft-table` route:
   * `df.write.format("graft-table").option("metadata", <path>).mode("append").save()`.
   *
   * Spark's native distributed write protocol drives it: every TASK
-  * streams its rows into its own parquet file (parquet's example Group
-  * writer — snappy, one file per task attempt, attempt-unique names so
-  * speculative or retried attempts never collide), tracking per-column
-  * min/max AS IT WRITES; the task's commit message carries (path, rows,
-  * bytes, encoded bound stats). The DRIVER's commit lands ONE append
-  * snapshot through the OptimisticCommit CAS loop — the same linear
-  * history any concurrent GraftTable writer joins — with a manifest
-  * whose entries carry the task-derived bounds, so files written through
-  * Spark are immediately stats-prunable. Aborts delete the orphaned
-  * task files. The CAS loop refreshes internally: writing against a
-  * stale metadata document is safe (the commit re-derives sequence
-  * numbers and carried manifests from the refreshed head).
+  * streams its rows into parquet files (parquet's example Group writer —
+  * snappy, attempt-unique names so speculative or retried attempts never
+  * collide), tracking per-column min/max AS IT WRITES; the task's commit
+  * message carries (path, rows, bytes, encoded bound stats) per file.
+  * The DRIVER's commit lands ONE append snapshot through the
+  * OptimisticCommit CAS loop — the same linear history any concurrent
+  * GraftTable writer joins — with manifests whose entries carry the
+  * task-derived bounds, so files written through Spark are immediately
+  * stats-prunable. Aborts delete the orphaned task files. The CAS loop
+  * refreshes internally: writing against a stale metadata document is
+  * safe (the commit re-derives sequence numbers and carried manifests
+  * from the refreshed head).
   *
-  * Partitioned tables refuse loudly (hidden-partition layout needs the
-  * transform-space grouping GraftTable.append performs) — at 100 TB the
-  * unpartitioned fast path is the bulk-ingest shape; partition-aware
-  * DSv2 writes would add a `RequiresDistributionAndOrdering` clause. */
+  * HIDDEN-PARTITIONED tables work too: the Write declares a clustered
+  * distribution on the partition SOURCE columns
+  * (`RequiresDistributionAndOrdering` — Spark shuffles rows so one
+  * task sees one cluster), and each task splits its rows into one file
+  * PER transform-space tuple computed row-by-row with the same scalar
+  * kernels the read side prunes with; each tuple file commits under its
+  * own manifest carrying the field-507 summary, so DSv2-written
+  * partitioned data is list-level prunable exactly like
+  * GraftTable.append's. Correctness never depends on the distribution —
+  * un-clustered rows just mean more (still single-tuple) files. */
 class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo)
     extends WriteBuilder {
 
-  /** (tableDir, table schema, (field id, name, type) triples) after the
-    * shared validation — batch and streaming writes check the same
-    * contract. */
-  private def validated(): (String, StructType, Seq[(Int, String, IcebergType)]) = {
+  private val BucketRe = """bucket\[(\d+)\]""".r
+
+  /** Partition info per spec field: (schema index of the source column,
+    * source Iceberg type, transform, transform OUTPUT type — the
+    * summary's value domain). */
+
+  private def validated(): (String, StructType, Seq[(Int, String, IcebergType)],
+      Option[(Int, Seq[(Int, IcebergType, String, IcebergType)])]) = {
     val meta = TableMetadata.parseFile(metadataPath)
-    require(meta.partitionSpecs.find(_.specId == meta.defaultSpecId)
-        .forall(_.fields.isEmpty),
-      "graft-table DSv2 writes support unpartitioned tables — use " +
-        "GraftTable.append for hidden-partitioned layouts")
     val tableSchema = GraftTable.sparkSchema(meta)
     val given = info.schema().fieldNames.toSeq
     require(given == tableSchema.fieldNames.toSeq,
@@ -58,22 +67,94 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo)
     val tableDir = new org.apache.hadoop.fs.Path(metadataPath).getParent.toString
     val fields = meta.currentSchema.fields.flatMap(f =>
       IcebergTypes.fromStringOpt(f.fieldType).map(t => (f.id, f.name, t)))
-    (tableDir, tableSchema, fields)
+    val spec = meta.partitionSpecs.find(_.specId == meta.defaultSpecId)
+      .getOrElse(graft.iceberg.PartitionSpec(0, Nil))
+    val part =
+      if (spec.fields.isEmpty) None
+      else Some((spec.specId, spec.fields.map { pf =>
+        val f = meta.currentSchema.fields.find(_.id == pf.sourceId).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition source field ${pf.sourceId} not in current schema"))
+        val t = IcebergTypes.fromString(f.fieldType)
+        val out = pf.transform match {
+          case "identity" => t
+          case BucketRe(_) => IcebergTypes.TInt
+          case other => throw new IllegalArgumentException(
+            s"unsupported write transform '$other' — supported: identity, bucket[N]")
+        }
+        (tableSchema.fieldIndex(f.name), t, pf.transform, out)
+      }))
+    (tableDir, tableSchema, fields, part)
   }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
-      val (tableDir, tableSchema, fields) = validated()
-      new GraftTableBatchWrite(tableDir, tableSchema, fields,
-        new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active()))
-    }
-    override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      val (tableDir, tableSchema, fields) = validated()
-      new GraftTableStreamingWrite(tableDir, tableSchema, fields, info.queryId(),
-        new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active()))
+  override def build(): Write = {
+    val (tableDir, tableSchema, fields, part) = validated()
+    val conf = new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active())
+    new Write with RequiresDistributionAndOrdering {
+      // cluster by the partition SOURCE columns: same source value →
+      // same task → fewer (never wrong) per-tuple files. Unpartitioned
+      // writes declare no constraint.
+      override def requiredDistribution(): Distribution = part match {
+        case Some((_, sf)) =>
+          Distributions.clustered(sf.map(f =>
+            VExpr.column(tableSchema.fieldNames(f._1))).toArray)
+        case None => Distributions.unspecified()
+      }
+      override def requiredOrdering(): Array[VSortOrder] = Array.empty
+      override def toBatch: BatchWrite =
+        new GraftTableBatchWrite(tableDir, tableSchema, fields, part, conf)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new GraftTableStreamingWrite(tableDir, tableSchema, fields, part,
+          info.queryId(), conf)
     }
   }
+}
+
+/** One written file in a task's commit message. `summary` (partitioned
+  * writes) is the file's transform-space tuple as field summaries. */
+case class GraftFileMessage(path: String, rows: Long, bytes: Long,
+    lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+    summary: Option[Seq[ManifestListWriter.FieldSummary]], specId: Int)
+
+case class GraftWriteMessage(files: Seq[GraftFileMessage]) extends WriterCommitMessage
+
+object GraftTableWrites {
+  type PartInfo = Option[(Int, Seq[(Int, IcebergType, String, IcebergType)])]
+
+  private[sources] def drop(ms: Seq[GraftFileMessage]): Unit =
+    ms.foreach(m => graft.iceberg.HadoopConfs.fileSystemFor(m.path)
+      .delete(new org.apache.hadoop.fs.Path(m.path), false))
+
+  private[sources] def filesOf(messages: Array[WriterCommitMessage]): Seq[GraftFileMessage] =
+    messages.toSeq.flatMap(_.asInstanceOf[GraftWriteMessage].files)
+
+  private[sources] def commit(tableDir: String, files: Seq[GraftFileMessage],
+      extraSummary: Map[String, String] = Map.empty): Unit =
+    GraftTable.commitAppendFiles(tableDir,
+      files.map(m => GraftTable.PendingFile(
+        m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId)),
+      extraSummary)
+}
+
+class GraftTableBatchWrite(tableDir: String, schema: StructType,
+    fields: Seq[(Int, String, IcebergType)], part: GraftTableWrites.PartInfo,
+    hadoopConf: graft.iceberg.SerializableHadoopConf) extends BatchWrite {
+
+  private val writeUuid = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftTableWriterFactory(tableDir, writeUuid, schema, fields, part, hadoopConf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val all = GraftTableWrites.filesOf(messages)
+    val files = all.filter(_.rows > 0) // empty task partitions add no file
+    GraftTableWrites.commit(tableDir, files)
+    GraftTableWrites.drop(all.filter(_.rows == 0))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftTableWrites.drop(GraftTableWrites.filesOf(messages))
 }
 
 /** Streaming sink: `df.writeStream.format("graft-table")` — every
@@ -85,97 +166,174 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo)
   * exactly-once contract, per-epoch idempotent like Iceberg's own
   * streaming writer. Empty epochs commit nothing. */
 class GraftTableStreamingWrite(tableDir: String, schema: StructType,
-    fields: Seq[(Int, String, IcebergType)], queryId: String,
-    hadoopConf: graft.iceberg.SerializableHadoopConf)
+    fields: Seq[(Int, String, IcebergType)], part: GraftTableWrites.PartInfo,
+    queryId: String, hadoopConf: graft.iceberg.SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new GraftTableStreamingWriterFactory(tableDir, queryId, schema, fields, hadoopConf)
-
-  private def drop(ms: Seq[GraftWriteMessage]): Unit =
-    ms.foreach(m => graft.iceberg.HadoopConfs.fileSystemFor(m.path)
-      .delete(new org.apache.hadoop.fs.Path(m.path), false))
+    new GraftTableStreamingWriterFactory(tableDir, queryId, schema, fields, part,
+      hadoopConf)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val all = messages.toSeq.map(_.asInstanceOf[GraftWriteMessage])
+    val all = GraftTableWrites.filesOf(messages)
     val files = all.filter(_.rows > 0)
     val tag = s"$queryId/$epochId"
     val base = TableMetadata.parseFile(GraftTable.latestMetadataPath(tableDir))
     val replayed = base.snapshots.exists(
       _.summary.get("streaming-query-epoch").contains(tag))
-    if (files.isEmpty || replayed) drop(all)
+    if (files.isEmpty || replayed) GraftTableWrites.drop(all)
     else {
-      GraftTable.commitAppendFiles(tableDir,
-        files.map(m => (m.path, m.rows, m.bytes, m.lower, m.upper)),
+      GraftTableWrites.commit(tableDir, files,
         extraSummary = Map("streaming-query-epoch" -> tag))
-      drop(all.filter(_.rows == 0))
+      GraftTableWrites.drop(all.filter(_.rows == 0))
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    drop(messages.toSeq.collect { case m: GraftWriteMessage => m })
-}
-
-class GraftTableStreamingWriterFactory(tableDir: String, queryId: String,
-    schema: StructType, fields: Seq[(Int, String, IcebergType)],
-    hadoopConf: graft.iceberg.SerializableHadoopConf)
-    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
-      : DataWriter[InternalRow] =
-    new GraftTableDataWriter(
-      s"$tableDir/data/w-$queryId-e$epochId-p%05d-t$taskId.parquet".format(partitionId),
-      schema, fields, hadoopConf.value)
-}
-
-/** (field id, value domain) per written column — what the commit message
-  * carries back to the driver. */
-case class GraftWriteMessage(path: String, rows: Long, bytes: Long,
-    lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
-    extends WriterCommitMessage
-
-class GraftTableBatchWrite(tableDir: String, schema: StructType,
-    fields: Seq[(Int, String, IcebergType)],
-    hadoopConf: graft.iceberg.SerializableHadoopConf) extends BatchWrite {
-
-  private val writeUuid = java.util.UUID.randomUUID().toString
-
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftTableWriterFactory(tableDir, writeUuid, schema, fields, hadoopConf)
-
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.toSeq.map(_.asInstanceOf[GraftWriteMessage])
-      .filter(_.rows > 0) // empty task partitions add no file
-    GraftTable.commitAppendFiles(tableDir,
-      files.map(m => (m.path, m.rows, m.bytes, m.lower, m.upper)))
-    // files from empty partitions were still created — remove them
-    messages.toSeq.map(_.asInstanceOf[GraftWriteMessage]).filter(_.rows == 0)
-      .foreach(m => graft.iceberg.HadoopConfs.fileSystemFor(m.path)
-        .delete(new org.apache.hadoop.fs.Path(m.path), false))
-  }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.toSeq.collect { case m: GraftWriteMessage => m }.foreach(m =>
-      graft.iceberg.HadoopConfs.fileSystemFor(m.path)
-        .delete(new org.apache.hadoop.fs.Path(m.path), false))
+    GraftTableWrites.drop(GraftTableWrites.filesOf(messages))
 }
 
 class GraftTableWriterFactory(tableDir: String, writeUuid: String,
     schema: StructType, fields: Seq[(Int, String, IcebergType)],
+    part: GraftTableWrites.PartInfo,
     hadoopConf: graft.iceberg.SerializableHadoopConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftTableDataWriter(
-      s"$tableDir/data/w-$writeUuid-p%05d-t$taskId.parquet".format(partitionId),
-      schema, fields, hadoopConf.value)
+    GraftTableDataWriter.create(
+      ord => s"$tableDir/data/w-$writeUuid-p%05d-t$taskId-f%03d.parquet"
+        .format(partitionId, ord),
+      schema, fields, part, hadoopConf.value)
 }
 
-/** Per-task parquet writer: streams rows into one file, tracking
-  * min/max per column inline (the stats Iceberg manifests carry — no
-  * second derive pass over the written file, unlike the driver-side
-  * append path). */
-class GraftTableDataWriter(path: String, schema: StructType,
+class GraftTableStreamingWriterFactory(tableDir: String, queryId: String,
+    schema: StructType, fields: Seq[(Int, String, IcebergType)],
+    part: GraftTableWrites.PartInfo,
+    hadoopConf: graft.iceberg.SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    GraftTableDataWriter.create(
+      ord => s"$tableDir/data/w-$queryId-e$epochId-p%05d-t$taskId-f%03d.parquet"
+        .format(partitionId, ord),
+      schema, fields, part, hadoopConf.value)
+}
+
+object GraftTableDataWriter {
+  def create(pathFor: Int => String, schema: StructType,
+      fields: Seq[(Int, String, IcebergType)], part: GraftTableWrites.PartInfo,
+      conf: Configuration): DataWriter[InternalRow] = part match {
+    case None =>
+      new GraftTableUnpartitionedWriter(pathFor(0), schema, fields, conf)
+    case Some((specId, specFields)) =>
+      new GraftTablePartitionedWriter(pathFor, schema, fields, specId, specFields, conf)
+  }
+
+  /** Raw tracked value → the Iceberg single-value-codec input domain
+    * (Spark internal representations: DateType = epoch days,
+    * TimestampType = epoch micros). */
+  private[sources] def encode(t: IcebergType, dt: DataType, v: Any): Array[Byte] =
+    (dt, v) match {
+      case (DateType, days: Int) =>
+        SingleValueCodec.encode(t, java.time.LocalDate.ofEpochDay(days.toLong))
+      case (TimestampType, us: Long) => t match {
+        case IcebergTypes.TTimestamptz => SingleValueCodec.encode(t,
+          java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L) * 1000L))
+        case _ => SingleValueCodec.encode(t,
+          java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+      }
+      case _ => SingleValueCodec.encode(t, v)
+    }
+}
+
+/** Unpartitioned task writer: one file per task. */
+class GraftTableUnpartitionedWriter(path: String, schema: StructType,
     fields: Seq[(Int, String, IcebergType)], conf: Configuration)
     extends DataWriter[InternalRow] {
+  private val fw = new GraftFileWriter(path, schema, fields, None, 0, conf)
+  override def write(row: InternalRow): Unit = fw.write(row)
+  override def commit(): WriterCommitMessage = GraftWriteMessage(Seq(fw.finish()))
+  override def abort(): Unit = fw.abort()
+  override def close(): Unit = ()
+}
+
+/** Partitioned task writer: rows split into one file PER transform-space
+  * tuple (computed row-by-row with the read side's scalar kernels —
+  * murmur3 bucket, identity); each file's summary is its exact tuple.
+  * Open-writer count per task = tuples seen by the task, which the
+  * clustered distribution keeps small. */
+class GraftTablePartitionedWriter(pathFor: Int => String, schema: StructType,
+    fields: Seq[(Int, String, IcebergType)], specId: Int,
+    specFields: Seq[(Int, IcebergType, String, IcebergType)], conf: Configuration)
+    extends DataWriter[InternalRow] {
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val writers = scala.collection.mutable.LinkedHashMap
+    .empty[Vector[Any], GraftFileWriter]
+
+  private def rawValue(row: InternalRow, idx: Int): Any =
+    if (row.isNullAt(idx)) null
+    else schema.fields(idx).dataType match {
+      case IntegerType | DateType => row.getInt(idx)
+      case LongType | TimestampType => row.getLong(idx)
+      case StringType => row.getUTF8String(idx).toString
+      case DoubleType => row.getDouble(idx)
+      case FloatType => row.getFloat(idx)
+      case BooleanType => row.getBoolean(idx)
+      case other => throw new UnsupportedOperationException(other.toString)
+    }
+
+  private def transformed(transform: String, srcType: IcebergType, v: Any): Any =
+    if (v == null) null
+    else (transform, srcType, v) match {
+      case ("identity", _, x) => x
+      case (BucketRe(n), IcebergTypes.TInt, x: Int) =>
+        PartitionTransforms.bucketLong(x.toLong, n.toInt)
+      case (BucketRe(n), IcebergTypes.TLong, x: Long) =>
+        PartitionTransforms.bucketLong(x, n.toInt)
+      case (BucketRe(n), IcebergTypes.TString, x: String) =>
+        PartitionTransforms.bucketString(x, n.toInt)
+      case (t, st, _) => throw new UnsupportedOperationException(
+        s"transform $t over $st")
+    }
+
+  private def summaryOf(tuple: Vector[Any]): Seq[ManifestListWriter.FieldSummary] =
+    specFields.zip(tuple).map { case ((idx, _, transform, outType), v) =>
+      v match {
+        case null => ManifestListWriter.FieldSummary(containsNull = true,
+          Array.empty[Byte], Array.empty[Byte])
+        case value =>
+          // identity tuples stay in Spark's raw domain (days/micros) —
+          // encode through the same conversion the bound stats use
+          val dt = if (transform == "identity") schema.fields(idx).dataType
+            else IntegerType
+          val b = GraftTableDataWriter.encode(outType, dt, value)
+          ManifestListWriter.FieldSummary(containsNull = false, b, b)
+      }
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val tuple = specFields.map { case (idx, srcType, transform, _) =>
+      transformed(transform, srcType, rawValue(row, idx)) }.toVector
+    writers.getOrElseUpdate(tuple, new GraftFileWriter(
+      pathFor(writers.size), schema, fields, Some(summaryOf(tuple)), specId, conf))
+      .write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    GraftWriteMessage(writers.values.map(_.finish()).toSeq)
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = ()
+}
+
+/** One parquet file: streams rows, tracking min/max per column inline
+  * (the stats Iceberg manifests carry — no second derive pass over the
+  * written file, unlike the driver-side append path). */
+class GraftFileWriter(path: String, schema: StructType,
+    fields: Seq[(Int, String, IcebergType)],
+    summary: Option[Seq[ManifestListWriter.FieldSummary]], specId: Int,
+    conf: Configuration) {
 
   private val msgType: MessageType = {
     val ts = schema.fields.map { f =>
@@ -223,7 +381,7 @@ class GraftTableDataWriter(path: String, schema: StructType,
     case _ => 0
   }
 
-  override def write(row: InternalRow): Unit = {
+  def write(row: InternalRow): Unit = {
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (!row.isNullAt(i)) {
@@ -252,43 +410,27 @@ class GraftTableDataWriter(path: String, schema: StructType,
     rows += 1
   }
 
-  /** Raw tracked value → the Iceberg single-value-codec input domain. */
-  private def encode(t: IcebergType, dt: DataType, v: Any): Array[Byte] = (dt, v) match {
-    case (DateType, days: Int) =>
-      SingleValueCodec.encode(t, java.time.LocalDate.ofEpochDay(days.toLong))
-    case (TimestampType, us: Long) => t match {
-      case IcebergTypes.TTimestamptz => SingleValueCodec.encode(t,
-        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
-          Math.floorMod(us, 1000000L) * 1000L))
-      case _ => SingleValueCodec.encode(t,
-        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
-          (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
-    }
-    case _ => SingleValueCodec.encode(t, v)
-  }
-
-  override def commit(): WriterCommitMessage = {
+  def finish(): GraftFileMessage = {
     writer.close()
-    val bounds = fields.zipWithIndex.flatMap { case ((id, name, t), _) =>
+    val bounds = fields.flatMap { case (id, name, t) =>
       val i = schema.fieldIndex(name)
       (Option(mins(i)), Option(maxs(i))) match {
         case (Some(lo), Some(hi)) =>
-          Seq((id, encode(t, schema.fields(i).dataType, lo),
-            encode(t, schema.fields(i).dataType, hi)))
+          Seq((id, GraftTableDataWriter.encode(t, schema.fields(i).dataType, lo),
+            GraftTableDataWriter.encode(t, schema.fields(i).dataType, hi)))
         case _ => Nil
       }
     }
-    GraftWriteMessage(path, rows,
+    GraftFileMessage(path, rows,
       graft.iceberg.HadoopConfs.fileSystemFor(path)
         .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen,
-      bounds.map(b => b._1 -> b._2).toMap, bounds.map(b => b._1 -> b._3).toMap)
+      bounds.map(b => b._1 -> b._2).toMap, bounds.map(b => b._1 -> b._3).toMap,
+      summary, specId)
   }
 
-  override def abort(): Unit = {
+  def abort(): Unit = {
     writer.close()
     graft.iceberg.HadoopConfs.fileSystemFor(path)
       .delete(new org.apache.hadoop.fs.Path(path), false)
   }
-
-  override def close(): Unit = ()
 }

@@ -196,6 +196,33 @@ class TableSourceSpec extends SparkSpec {
     assert(meta.snapshots.map(_.snapshotId).sorted == Seq(1L, 2L))
   }
 
+  test("i52: partitioned DSv2 writes land per-tuple files with prunable summaries") {
+    val row = LakehouseMaint.dsv2PartitionedWrite(spark, sfDir).head()
+    assert(row.getBoolean(0), "pruning must skip at least one manifest")
+    assert(row.getAs[Int]("n_nationkey") == 18)
+    // every DSv2-written manifest carries a single-tuple summary, and the
+    // table content survives the per-tuple split intact... verified over a
+    // FRESH table (the entry's table has corrupted pruned manifests)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-pwrite").toString
+    GraftTable.create(fresh, nationSchema,
+      tableUuid = "b6b9a6a1-0000-4000-8000-0000000000p2", timestampMs = 1700000000000L,
+      spec = PartitionSpec(0,
+        Seq(PartitionField("n_nationkey_bucket", "bucket[4]", 1, 1000))))
+    graft.Tables.load(spark, sfDir, "nation")
+      .write.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(fresh))
+      .mode("append").save()
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(fresh))
+    val infos = graft.iceberg.ManifestListReader.read(
+      meta.currentSnapshot.get.manifestList.get)
+    assert(infos.nonEmpty && infos.forall(_.summaries.isDefined))
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(fresh)).count() == 25L)
+    val (kept, opened, total) = GraftTable.readWhere(
+      spark, GraftTable.latestMetadataPath(fresh), 1, 17)
+    assert(opened < total)
+    assert(kept.select("n_nationkey").collect().map(_.getInt(0)).toSeq == Seq(17))
+  }
+
   test("st13: streaming sink entry commits epoch-tagged snapshots") {
     val rows = graft.streaming.EventStreams.queries("st13_table_sink")(spark, sfDir)
     assert(rows.count() > 0)
@@ -208,7 +235,7 @@ class TableSourceSpec extends SparkSpec {
   }
 
   test("streaming epoch replay is idempotent: same epoch never commits twice") {
-    import graft.sources.{GraftTableStreamingWrite, GraftWriteMessage}
+    import graft.sources.{GraftFileMessage, GraftTableStreamingWrite, GraftWriteMessage}
     val dir = java.nio.file.Files.createTempDirectory("graft-epoch").toString
     GraftTable.create(dir, nationSchema,
       tableUuid = "b6b9a6a1-0000-4000-8000-0000000000ep", timestampMs = 1700000000000L)
@@ -216,7 +243,8 @@ class TableSourceSpec extends SparkSpec {
       (2, "n_name", graft.iceberg.IcebergTypes.TString: graft.iceberg.IcebergType),
       (3, "n_regionkey", graft.iceberg.IcebergTypes.TInt: graft.iceberg.IcebergType))
     val w = new GraftTableStreamingWrite(dir, GraftTable.sparkSchema(
-      TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))), fields, "q-test",
+      TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))), fields, None,
+      "q-test",
       new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active()))
     def landFile(name: String): String = {
       val f = s"$dir/data/$name.parquet"
@@ -224,7 +252,8 @@ class TableSourceSpec extends SparkSpec {
         .filter(col("n_nationkey") < 5), f)
       f
     }
-    def msg(f: String) = GraftWriteMessage(f, 5L, ParquetFiles.length(f), Map.empty, Map.empty)
+    def msg(f: String) = GraftWriteMessage(Seq(
+      GraftFileMessage(f, 5L, ParquetFiles.length(f), Map.empty, Map.empty, None, 0)))
     w.commit(0L, Array(msg(landFile("e0-a"))))
     assert(TableMetadata.parseFile(GraftTable.latestMetadataPath(dir)).snapshots.size == 1)
     // the replayed epoch re-writes its file under a new attempt name —

@@ -384,8 +384,13 @@ object GraftTable {
       partitionSummary: Option[Seq[ManifestListWriter.FieldSummary]] = None,
       specId: Int = 0)
 
+  /** `replace = true` commits TRUNCATE-overwrite semantics: the new
+    * snapshot lists ONLY the written files — previous data AND delete
+    * manifests drop out (their files stay on disk for time travel until
+    * expiry). */
   private[graft] def commitAppendFiles(tableDir: String, files: Seq[PendingFile],
-      extraSummary: Map[String, String] = Map.empty)
+      extraSummary: Map[String, String] = Map.empty,
+      replace: Boolean = false)
       : OptimisticCommit.CommitResult = {
     require(files.nonEmpty, "no files to commit")
     OptimisticCommit.commit(tableDir, (base, basePath) => {
@@ -409,7 +414,7 @@ object GraftTable {
         (m, f.partitionSummary, f.specId)
       }
       val manifests = plainManifest ++ perFile
-      val carried = carryForward(base)
+      val carried = if (replace) Nil else carryForward(base)
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       ManifestListWriter.write(list, carried.map(_.path) ++ manifests.map(_._1), snapId,
         addedDataFilesCount = files.size,
@@ -424,7 +429,7 @@ object GraftTable {
         minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
-          Some("append"),
+          Some(if (replace) "overwrite" else "append"),
           Map("added-data-files" -> files.size.toString,
             "added-records" -> files.map(_.rows).sum.toString) ++ extraSummary,
           Some(list), base.currentSchemaId),

@@ -1189,7 +1189,41 @@ object LakehouseMaint {
     """SELECT TRUE AS pruned, n_nationkey, n_name, n_regionkey
       |FROM nation WHERE n_nationkey = 18""".stripMargin
 
+  // ---------------------------------------------------------------- i53
+  /** Plain SQL end-to-end through the GraftCatalog: CREATE TABLE with a
+    * hidden bucket partition, INSERT INTO (the DSv2 write path — shuffle
+    * by the clustered distribution, per-tuple files, CAS append), DELETE
+    * FROM (SupportsDelete → position-delete merge-on-read commit), and a
+    * SELECT aggregate (the DSv2 scan, task-local MOR). No programmatic
+    * API in sight — a SQL user of any lakehouse engine could run exactly
+    * these statements. Catalog state is nothing but table directories. */
+  val sqlLifecycle: Q = (spark, sfDir) => {
+    val wh = entryDir("i53", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_sql",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sql.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i53_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_sql.db.nations
+        (n_nationkey INT, n_name STRING, n_regionkey INT)
+        PARTITIONED BY (bucket(4, n_nationkey))""")
+      spark.sql("""INSERT INTO graft_sql.db.nations
+        SELECT n_nationkey, n_name, n_regionkey FROM i53_nation_src""")
+      spark.sql("DELETE FROM graft_sql.db.nations WHERE n_regionkey = 2")
+    }
+    spark.sql("""SELECT n_regionkey, COUNT(*) AS n_live,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      FROM graft_sql.db.nations GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+
+  val sqlLifecycleSql: String =
+    """SELECT n_regionkey, COUNT(*) AS n_live,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_regionkey <> 2
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i53_sql_lifecycle" -> sqlLifecycle,
     "i52_dsv2_partitioned_write" -> dsv2PartitionedWrite,
     "i51_dsv2_write" -> dsv2Write,
     "i47_dsv2_table_read" -> dsv2TableRead,
@@ -1212,6 +1246,7 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i53_sql_lifecycle" -> sqlLifecycleSql,
     "i52_dsv2_partitioned_write" -> dsv2PartitionedWriteSql,
     "i51_dsv2_write" -> dsv2WriteSql,
     "i47_dsv2_table_read" -> dsv2TableReadSql,

@@ -87,12 +87,13 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
     snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long],
     splitSize: Long)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-table($metadataPath)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTableScanBuilder(tableSchema, metadataPath, snapshotId, ref,
       asOfTimestampMs, splitSize)
@@ -100,6 +101,43 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftTableWriteBuilder(metadataPath, info)
+
+  /** SQL `DELETE FROM ... WHERE ...`: the pushed predicate translates to
+    * a Column and lands as GraftTable.deleteWhere's position-delete
+    * commit — merge-on-read row-level delete, no rewrite, CAS-serialized
+    * with every other writer. */
+  private def toColumn(f: sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case sources.Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case sources.Not(c) => toColumn(c).map(not)
+      case _: sources.AlwaysTrue => Some(lit(true))
+      case _: sources.AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cond = filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(lit(true))
+    val tableDir = new org.apache.hadoop.fs.Path(metadataPath).getParent.toString
+    GraftTable.deleteWhere(
+      org.apache.spark.sql.SparkSession.active, tableDir, cond)
+  }
 }
 
 class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,

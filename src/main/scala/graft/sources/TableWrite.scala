@@ -48,9 +48,14 @@ import graft.iceberg.{GraftTable, IcebergType, IcebergTypes, ManifestListWriter,
   * GraftTable.append's. Correctness never depends on the distribution —
   * un-clustered rows just mean more (still single-tuple) files. */
 class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo)
-    extends WriteBuilder {
+    extends WriteBuilder with SupportsTruncate {
 
   private val BucketRe = """bucket\[(\d+)\]""".r
+
+  // mode("overwrite") reaches the connector as truncate-then-append —
+  // committed as ONE atomic replace snapshot (never a visible empty table)
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
 
   /** Partition info per spec field: (schema index of the source column,
     * source Iceberg type, transform, transform OUTPUT type — the
@@ -102,11 +107,14 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo)
       }
       override def requiredOrdering(): Array[VSortOrder] = Array.empty
       override def toBatch: BatchWrite =
-        new GraftTableBatchWrite(tableDir, tableSchema, fields, part, conf)
+        new GraftTableBatchWrite(tableDir, tableSchema, fields, part, replace, conf)
       override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        require(!replace, "graft-table streaming writes are append-only " +
+          "(complete/truncate output modes are not supported)")
         new GraftTableStreamingWrite(tableDir, tableSchema, fields, part,
           info.queryId(), conf)
+      }
     }
   }
 }
@@ -130,15 +138,17 @@ object GraftTableWrites {
     messages.toSeq.flatMap(_.asInstanceOf[GraftWriteMessage].files)
 
   private[sources] def commit(tableDir: String, files: Seq[GraftFileMessage],
-      extraSummary: Map[String, String] = Map.empty): Unit =
+      extraSummary: Map[String, String] = Map.empty,
+      replace: Boolean = false): Unit =
     GraftTable.commitAppendFiles(tableDir,
       files.map(m => GraftTable.PendingFile(
         m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId)),
-      extraSummary)
+      extraSummary, replace)
 }
 
 class GraftTableBatchWrite(tableDir: String, schema: StructType,
     fields: Seq[(Int, String, IcebergType)], part: GraftTableWrites.PartInfo,
+    replace: Boolean,
     hadoopConf: graft.iceberg.SerializableHadoopConf) extends BatchWrite {
 
   private val writeUuid = java.util.UUID.randomUUID().toString
@@ -149,7 +159,7 @@ class GraftTableBatchWrite(tableDir: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val all = GraftTableWrites.filesOf(messages)
     val files = all.filter(_.rows > 0) // empty task partitions add no file
-    GraftTableWrites.commit(tableDir, files)
+    GraftTableWrites.commit(tableDir, files, replace = replace)
     GraftTableWrites.drop(all.filter(_.rows == 0))
   }
 

@@ -223,6 +223,46 @@ class TableSourceSpec extends SparkSpec {
     assert(kept.select("n_nationkey").collect().map(_.getInt(0)).toSeq == Seq(17))
   }
 
+  test("i53: SQL lifecycle entry — CREATE/INSERT/DELETE/SELECT via catalog") {
+    val rows = LakehouseMaint.sqlLifecycle(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0, 5L), (1, 5L), (3, 5L), (4, 5L)))
+  }
+
+  test("SQL catalog: overwrite mode, ALTER TABLE ADD COLUMN, drop/list") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.graft_t",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_t.warehouse", wh)
+    spark.sql("CREATE TABLE graft_t.db.n (k INT, name STRING, r INT)")
+    graft.Tables.load(spark, sfDir, "nation")
+      .selectExpr("n_nationkey AS k", "n_name AS name", "n_regionkey AS r")
+      .createOrReplaceTempView("cat_src")
+    spark.sql("INSERT INTO graft_t.db.n SELECT * FROM cat_src")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_t.db.n").head().getLong(0) == 25L)
+    // mode("overwrite") = one atomic replace snapshot (truncate semantics)
+    spark.sql("SELECT * FROM cat_src WHERE r = 4").write
+      .format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(s"$wh/db/n"))
+      .mode("overwrite").save()
+    assert(spark.sql("SELECT COUNT(*) FROM graft_t.db.n").head().getLong(0) == 5L)
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/n"))
+    assert(meta.currentSnapshot.get.operation.contains("overwrite"))
+    // pre-overwrite history intact (time travel still sees 25 rows)
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(s"$wh/db/n"),
+      snapshotId = Some(1L)).count() == 25L)
+    // schema evolution through SQL
+    spark.sql("ALTER TABLE graft_t.db.n ADD COLUMN note STRING")
+    val after = spark.sql("SELECT * FROM graft_t.db.n")
+    assert(after.schema.fieldNames.toSeq == Seq("k", "name", "r", "note"))
+    assert(after.filter(col("note").isNotNull).count() == 0L)
+    // catalog surface: list + drop
+    val idents = spark.sql("SHOW TABLES IN graft_t.db").collect().map(_.getString(1))
+    assert(idents.contains("n"))
+    spark.sql("DROP TABLE graft_t.db.n")
+    assert(spark.sql("SHOW TABLES IN graft_t.db").count() == 0L)
+  }
+
   test("st13: streaming sink entry commits epoch-tagged snapshots") {
     val rows = graft.streaming.EventStreams.queries("st13_table_sink")(spark, sfDir)
     assert(rows.count() > 0)

@@ -45,7 +45,8 @@ object PlanDump {
     "i39_table_read" -> "the one-call table read, O(1)-scan shape: ONE data scan over all sequence groups (broadcast file→sequence lookup), one position-delete anti-join, one equality-delete anti-join per distinct column set — plan width flat in snapshot count",
     "i45_pruned_mor_read" -> "pruned read composed with MOR: transform-space pruning opened 1 of 4 manifests per key, and the surviving scan still anti-joins the sequence-scoped position deletes — the deleted key's partition scans and returns nothing",
     "i47_dsv2_table_read" -> "DSv2 graft-table scan: position deletes applied INSIDE the partition readers (task-local MOR) — the plan is a bare BatchScan + aggregate, NO delete join anywhere",
-    "i48_dsv2_table_pruned" -> "Catalyst-pushed equality through the DSv2 table source: PushedFilters visible on the scan, manifests pruned in bucket-transform space at planning (the pruned ones are garbage on disk — reading proves they never open)")
+    "i48_dsv2_table_pruned" -> "Catalyst-pushed equality through the DSv2 table source: PushedFilters visible on the scan, manifests pruned in bucket-transform space at planning (the pruned ones are garbage on disk — reading proves they never open)",
+    "i53_sql_lifecycle" -> "plain SQL over the GraftCatalog: the SELECT aggregate plans as the same bare BatchScan + two-phase agg as the programmatic route — DELETE already applied as position-delete MOR inside the readers, no join")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-plandump", cores = "4")

@@ -66,11 +66,74 @@ class GraftCatalog extends TableCatalog {
       .filter(tableExists)
   }
 
+  /** Metadata-table names resolvable as `<table>.<name>` (the Iceberg
+    * identifier convention: `SELECT * FROM graft.db.t.snapshots`). */
+  private val MetadataTableNames =
+    Set("snapshots", "history", "refs", "metadata_log_entries", "manifests", "files")
+
+  private def loadMetadataTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace().isEmpty || !MetadataTableNames.contains(ident.name())) return None
+    val baseIdent = Identifier.of(ident.namespace().init, ident.namespace().last)
+    if (!tableExists(baseIdent)) return None
+    val spark = org.apache.spark.sql.SparkSession.active
+    val meta = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(tableDir(baseIdent)))
+    import graft.iceberg.MetadataTables
+    val df = ident.name() match {
+      case "snapshots" => MetadataTables.snapshots(spark, meta)
+      case "history" => MetadataTables.history(spark, meta)
+      case "refs" => MetadataTables.refs(spark, meta)
+      case "metadata_log_entries" => MetadataTables.metadataLog(spark, meta)
+      case "manifests" =>
+        val list = meta.currentSnapshot.flatMap(_.manifestList).getOrElse(
+          throw new IllegalArgumentException("table has no current snapshot"))
+        MetadataTables.manifests(spark, list)
+      case "files" =>
+        // built from the core entry fields OUR manifests carry (the
+        // generic files table projects columns a reduced-schema manifest
+        // lacks); one concurrent driver read per manifest, KB-scale
+        import spark.implicits._
+        val infos = meta.currentSnapshot.flatMap(_.manifestList).toSeq
+          .flatMap(graft.iceberg.ManifestListReader.read)
+        graft.iceberg.Par.inParallel(infos)(i =>
+            (i, graft.iceberg.ManifestWriter.read(i.path)))
+          .flatMap { case (i, es) => es.filter(_.status != 2).map(e =>
+            (i.path, e.content, e.filePath, e.recordCount, e.fileSizeInBytes,
+              e.sequenceNumber.getOrElse(i.sequenceNumber))) }
+          .toDF("manifest_path", "content", "file_path", "record_count",
+            "file_size_in_bytes", "sequence_number")
+    }
+    Some(new GraftLocalTable(s"$catalogName.${ident.toString}", df))
+  }
+
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      loadMetadataTable(ident) match {
+        case Some(t) => return t
+        case None => throw new NoSuchTableException(ident)
+      }
+    }
     val metaPath = GraftTable.latestMetadataPath(tableDir(ident))
     new GraftSparkTable(GraftTable.sparkSchema(TableMetadata.parseFile(metaPath)),
       metaPath, None, None, None, 128L * 1024 * 1024)
+  }
+
+  /** SQL `VERSION AS OF <snapshot-id>` — the version string is the
+    * snapshot id (Iceberg's convention). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val metaPath = GraftTable.latestMetadataPath(tableDir(ident))
+    new GraftSparkTable(GraftTable.sparkSchema(TableMetadata.parseFile(metaPath)),
+      metaPath, Some(version.toLong), None, None, 128L * 1024 * 1024)
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch;
+    * snapshot-log resolution wants millis. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val metaPath = GraftTable.latestMetadataPath(tableDir(ident))
+    new GraftSparkTable(GraftTable.sparkSchema(TableMetadata.parseFile(metaPath)),
+      metaPath, None, None, Some(timestampMicros / 1000L), 128L * 1024 * 1024)
   }
 
   private def icebergTypeName(dt: DataType): String = dt match {
@@ -150,4 +213,28 @@ class GraftCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft catalog does not rename tables (paths ARE the identity)")
+}
+
+/** A metadata table served as a V2 `LocalScan`: the rows are KB-scale
+  * driver state (the same boundary the planner itself keeps), so Spark
+  * executes them as a LocalTableScan — broadcast-friendly, no tasks. */
+class GraftLocalTable(tableName: String, df: org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+  private val tableSchema = df.schema
+  private val collected: Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(tableSchema)
+    df.collect().map(conv(_).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+  }
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = collected
+      override def readSchema(): StructType = tableSchema
+      override def description(): String = s"graft metadata table $tableName"
+    }
 }

@@ -263,6 +263,59 @@ class TableSourceSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN graft_t.db").count() == 0L)
   }
 
+  test("SQL time travel and TRUNCATE TABLE through the catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    spark.conf.set("spark.sql.catalog.graft_tt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tt.warehouse", wh)
+    spark.sql("CREATE TABLE graft_tt.db.n (k INT, name STRING, r INT)")
+    graft.Tables.load(spark, sfDir, "nation")
+      .selectExpr("n_nationkey AS k", "n_name AS name", "n_regionkey AS r")
+      .createOrReplaceTempView("tt_src")
+    spark.sql("INSERT INTO graft_tt.db.n SELECT * FROM tt_src WHERE k < 13")
+    spark.sql("INSERT INTO graft_tt.db.n SELECT * FROM tt_src WHERE k >= 13")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_tt.db.n").head().getLong(0) == 25L)
+    // VERSION AS OF <snapshot-id>
+    assert(spark.sql("SELECT COUNT(*) FROM graft_tt.db.n VERSION AS OF 1")
+      .head().getLong(0) == 13L)
+    // TIMESTAMP AS OF — commit timestamps are deterministic from the
+    // catalog's fixed T0 (1700000000000L): snap1 at +1000, snap2 at +2000
+    assert(spark.sql( // session TZ is UTC; T0+1500ms
+      "SELECT COUNT(*) FROM graft_tt.db.n TIMESTAMP AS OF '2023-11-14 22:13:21.5'")
+      .head().getLong(0) == 13L)
+    // TRUNCATE = SupportsDelete's delete-everything (MOR, history intact)
+    spark.sql("TRUNCATE TABLE graft_tt.db.n")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_tt.db.n").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_tt.db.n VERSION AS OF 2")
+      .head().getLong(0) == 25L)
+  }
+
+  test("SQL metadata tables: t.snapshots / t.files / t.history resolve via the catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mt").toString
+    spark.conf.set("spark.sql.catalog.graft_mt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mt.warehouse", wh)
+    spark.sql("CREATE TABLE graft_mt.db.n (k INT, name STRING, r INT)")
+    graft.Tables.load(spark, sfDir, "nation")
+      .selectExpr("n_nationkey AS k", "n_name AS name", "n_regionkey AS r")
+      .createOrReplaceTempView("mt_src")
+    spark.sql("INSERT INTO graft_mt.db.n SELECT * FROM mt_src WHERE k < 13")
+    spark.sql("DELETE FROM graft_mt.db.n WHERE k = 3")
+    val snaps = spark.sql(
+      "SELECT snapshot_id, operation FROM graft_mt.db.n.snapshots ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snaps == Seq((1L, "append"), (2L, "delete")))
+    assert(spark.sql("SELECT COUNT(*) FROM graft_mt.db.n.history").head().getLong(0) == 2L)
+    val files = spark.sql(
+      "SELECT content, record_count FROM graft_mt.db.n.files ORDER BY content")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(files == Seq((0, 13L), (1, 1L))) // one data file, one pos-delete file
+    // the local scan shape: metadata rows never launch tasks
+    val plan = spark.sql("SELECT * FROM graft_mt.db.n.snapshots")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
+  }
+
   test("st13: streaming sink entry commits epoch-tagged snapshots") {
     val rows = graft.streaming.EventStreams.queries("st13_table_sink")(spark, sfDir)
     assert(rows.count() > 0)

@@ -462,6 +462,29 @@ object GraftTable {
     (df, survivingData.size, all.count(_.content == 0))
   }
 
+  /** Range variant of [[readWhere]]: `lower <= sourceField <= upper`
+    * (either side optional) prunes data manifests through the spec's
+    * MONOTONIC transforms (ScanPlanning.pruneManifestsByRange), composes
+    * the sequence-scoped MOR apply, and re-applies the residual range in
+    * the scan. */
+  def readWhereRange(spark: SparkSession, metadataPath: String,
+      sourceFieldId: Int, lower: Option[Any], upper: Option[Any])
+      : (DataFrame, Int, Int) = {
+    val meta = TableMetadata.parseFile(metadataPath)
+    val snap = resolveSnapshot(meta, None, None)
+    val all = ManifestListReader.read(snap.manifestList.get)
+    val survivingData = ScanPlanning.pruneManifestsByRange(
+      snap.manifestList.get, meta, sourceFieldId, lower, upper).filter(_.content == 0)
+    val deletes = all.filter(_.content == 1)
+    val fieldName = meta.currentSchema.fields.find(_.id == sourceFieldId).get.name
+    val residual = (lower.map(col(fieldName) >= lit(_)) ++
+      upper.map(col(fieldName) <= lit(_))).reduceOption(_ && _).getOrElse(lit(true))
+    val df = readFromInfos(spark, meta, survivingData ++ deletes)
+      .filter(residual)
+      .select(sparkSchema(meta).fieldNames.map(col).toIndexedSeq: _*)
+    (df, survivingData.size, all.count(_.content == 0))
+  }
+
   private def uriPath(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   /** Current non-deleted entries of the head snapshot, by list content —

@@ -121,6 +121,50 @@ object ScanPlanning {
     }
   }
 
+  /** Transforms that preserve ordering — a VALUE range [lo, hi] maps to
+    * the transform range [t(lo), t(hi)], so summaries prune range
+    * predicates too. Bucket hashes are non-monotonic: never range-prunable. */
+  private def isMonotonic(transform: String): Boolean = transform match {
+    case "identity" | "year" | "month" | "day" => true
+    case TruncateRe(_) => true
+    case _ => false
+  }
+
+  /** Manifest-level pruning for a VALUE RANGE `lower <= field <= upper`
+    * (either side optional): the range converts through each spec's
+    * MONOTONIC transforms and manifests whose field-507 summary interval
+    * cannot overlap it are skipped WITHOUT BEING OPENED. Equality is the
+    * degenerate range; bucket specs stay unpruned here (see
+    * pruneManifestsByTransform for the equality-in-bucket-space rule).
+    * Conservative on every missing/undecodable piece. */
+  def pruneManifestsByRange(listPath: String, meta: TableMetadata,
+      sourceFieldId: Int, lower: Option[Any], upper: Option[Any])
+      : Seq[ManifestListReader.ManifestFileInfo] = {
+    val sourceType = IcebergTypes.fromString(meta.fieldTypes(sourceFieldId))
+    ManifestListReader.read(listPath).filter { info =>
+      val keep = for {
+        spec <- meta.partitionSpecs.find(_.specId == info.specId)
+        sums <- info.summaries
+      } yield spec.fields.zip(sums).forall { case (pf, s) =>
+        if (pf.sourceId != sourceFieldId || !isMonotonic(pf.transform)) true
+        else {
+          def summaryBound(b: Option[Array[Byte]], tt: IcebergType): Option[Any] =
+            b.filter(_.nonEmpty).flatMap(bytes =>
+              scala.util.Try(SingleValueCodec.decode(tt, bytes)).toOption)
+          // overlap test: summary.max >= t(lower) AND summary.min <= t(upper)
+          val loOk = lower.flatMap(v => transformValue(pf.transform, sourceType, v))
+            .forall { case (tt, tv) =>
+              summaryBound(s.upper, tt).flatMap(cmpValues(_, tv)).forall(_ >= 0) }
+          val hiOk = upper.flatMap(v => transformValue(pf.transform, sourceType, v))
+            .forall { case (tt, tv) =>
+              summaryBound(s.lower, tt).flatMap(cmpValues(_, tv)).forall(_ <= 0) }
+          loOk && hiOk
+        }
+      }
+      keep.getOrElse(true)
+    }
+  }
+
   /** Surviving data-file paths for an equality/range predicate — feed for
     * `spark.read.parquet(paths: _*)`. */
   def planFiles(

@@ -1222,7 +1222,54 @@ object LakehouseMaint {
       |FROM nation WHERE n_regionkey <> 2
       |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // ---------------------------------------------------------------- i54
+  /** RANGE predicates prune manifests at the list level: an
+    * identity-partitioned table (one manifest per region, each summary an
+    * exact identity interval) read through the DSv2 source with a plain
+    * `>=` filter — the value range maps through the monotonic transform
+    * and planning skips every manifest whose summary interval cannot
+    * overlap it. Proof is destructive as usual: the prunable manifests
+    * are garbage on disk, the scan answers only because they never open.
+    * Equality pruning (i48) covers bucket space; this covers the
+    * monotonic family (identity/truncate/year/month/day) where RANGES —
+    * the most common analytic predicate — prune too. */
+  val rangePrunedScan: Q = (spark, sfDir) => {
+    val dir = entryDir("i54", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000054", timestampMs = T0,
+        spec = PartitionSpec(0,
+          Seq(PartitionField("n_regionkey_id", "identity", 3, 1000))))
+      GraftTable.append(spark, dir,
+        Tables.load(spark, sfDir, "nation").orderBy(col("n_nationkey")))
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      val listPath = meta.currentSnapshot.get.manifestList.get
+      val keep = ScanPlanning.pruneManifestsByRange(listPath, meta, 3, Some(3), None)
+        .map(_.path).toSet
+      ManifestListReader.read(listPath).filterNot(i => keep(i.path)).foreach(i =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(i.path),
+          "corrupted: range pruning must never open this manifest".getBytes))
+    }
+    spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir)).load()
+      .filter(col("n_regionkey") >= 3)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val rangePrunedScanSql: String =
+    """SELECT n_regionkey, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_regionkey >= 3
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i54_range_pruned_scan" -> rangePrunedScan,
     "i53_sql_lifecycle" -> sqlLifecycle,
     "i52_dsv2_partitioned_write" -> dsv2PartitionedWrite,
     "i51_dsv2_write" -> dsv2Write,
@@ -1246,6 +1293,7 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i54_range_pruned_scan" -> rangePrunedScanSql,
     "i53_sql_lifecycle" -> sqlLifecycleSql,
     "i52_dsv2_partitioned_write" -> dsv2PartitionedWriteSql,
     "i51_dsv2_write" -> dsv2WriteSql,

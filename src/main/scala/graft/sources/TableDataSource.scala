@@ -188,16 +188,31 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
       s"snapshot ${snap.snapshotId} has no manifest-list"))
     val infos = ManifestListReader.read(listPath)
     val dataInfos0 = infos.filter(_.content == 0)
-    // level 1: each pushed equality on a schema column prunes manifests in
-    // the spec's transform space (summaries consulted, manifests unopened)
+    // level 1: pushed predicates prune manifests in the spec's transform
+    // space (summaries consulted, manifests unopened). Equality prunes
+    // through EVERY transform incl. bucket; comparisons fold into a value
+    // range per column and prune through the monotonic transforms.
+    def fieldId(c: String): Option[Int] =
+      meta.currentSchema.fields.find(_.name == c).map(_.id)
     val eqPairs = filters.collect {
-      case sources.EqualTo(c, v) =>
-        meta.currentSchema.fields.find(_.name == c).map(f => (f.id, v))
-    }.flatten
-    val surviving = eqPairs.foldLeft(dataInfos0.map(_.path).toSet) {
+      case sources.EqualTo(c, v) => fieldId(c).map((_, v)) }.flatten
+    val ranges = filters.collect {
+        case sources.GreaterThan(c, v) => (c, Some(v), None)
+        case sources.GreaterThanOrEqual(c, v) => (c, Some(v), None)
+        case sources.LessThan(c, v) => (c, None, Some(v))
+        case sources.LessThanOrEqual(c, v) => (c, None, Some(v))
+      }.groupBy(_._1).toSeq.flatMap { case (c, bs) =>
+        fieldId(c).map(fid =>
+          (fid, bs.flatMap(_._2).lastOption, bs.flatMap(_._3).lastOption))
+      }
+    val afterEq = eqPairs.foldLeft(dataInfos0.map(_.path).toSet) {
       case (acc, (fid, v)) =>
         acc.intersect(ScanPlanning.pruneManifestsByTransform(listPath, meta, fid, v)
           .map(_.path).toSet)
+    }
+    val surviving = ranges.foldLeft(afterEq) { case (acc, (fid, lo, hi)) =>
+      acc.intersect(ScanPlanning.pruneManifestsByRange(listPath, meta, fid, lo, hi)
+        .map(_.path).toSet)
     }
     def entriesOf(set: Seq[ManifestListReader.ManifestFileInfo], entryContent: Int) =
       Par.inParallel(set)(i => (i, ManifestWriter.read(i.path))).flatMap { case (i, es) =>

@@ -316,6 +316,35 @@ class TableSourceSpec extends SparkSpec {
     assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
   }
 
+  test("i54: range predicates prune manifests through monotonic transforms") {
+    val rows = LakehouseMaint.rangePrunedScan(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rows == Seq((3, 5L), (4, 5L)))
+    // the pure pruning function: truncate is monotonic, bucket is not
+    import graft.iceberg.ScanPlanning
+    val dir = LakehouseExec.entryDir("i54", sfDir)
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val listPath = meta.currentSnapshot.get.manifestList.get
+    assert(ScanPlanning.pruneManifestsByRange(listPath, meta, 3, Some(3), None).size == 2)
+    assert(ScanPlanning.pruneManifestsByRange(listPath, meta, 3, None, Some(1)).size == 2)
+    assert(ScanPlanning.pruneManifestsByRange(listPath, meta, 3, Some(1), Some(3)).size == 3)
+    // a range on a non-partition column keeps everything (conservative)
+    assert(ScanPlanning.pruneManifestsByRange(listPath, meta, 1, Some(3), None).size == 5)
+    // the programmatic range read over a FRESH table (the entry's table
+    // has corrupted pruned manifests) — pruning + MOR + residual composed
+    val fresh = java.nio.file.Files.createTempDirectory("graft-rrange").toString
+    GraftTable.create(fresh, nationSchema,
+      tableUuid = "b6b9a6a1-0000-4000-8000-0000000000r2", timestampMs = 1700000000000L,
+      spec = PartitionSpec(0, Seq(PartitionField("n_regionkey_id", "identity", 3, 1000))))
+    GraftTable.append(spark, fresh, graft.Tables.load(spark, sfDir, "nation"))
+    GraftTable.deleteWhere(spark, fresh, col("n_nationkey") === 19) // region 4
+    val (df, opened, total) = GraftTable.readWhereRange(
+      spark, GraftTable.latestMetadataPath(fresh), 3, Some(3), None)
+    assert(opened == 2 && total == 5)
+    val keys = df.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq
+    assert(keys == Seq(3, 4, 8, 9, 13, 14, 18, 23, 24)) // regions 3,4 minus 19
+  }
+
   test("st13: streaming sink entry commits epoch-tagged snapshots") {
     val rows = graft.streaming.EventStreams.queries("st13_table_sink")(spark, sfDir)
     assert(rows.count() > 0)

@@ -88,9 +88,27 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
     splitSize: Long)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft-table($metadataPath)"
   override def schema(): StructType = tableSchema
+
+  /** Iceberg's inspection columns: `_file` (the data file serving the
+    * row) and `_pos` (its file-absolute row index — the coordinate
+    * position deletes address). Selectable like any column; never in
+    * `SELECT *`. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+    })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
@@ -490,8 +508,15 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
   }
 
   private def rowOf(g: Group): org.apache.spark.sql.Row =
-    org.apache.spark.sql.Row.fromSeq(
-      required.fields.toSeq.map(f => valueOf(g, f.name, f.dataType)))
+    org.apache.spark.sql.Row.fromSeq(required.fields.toSeq.map { f =>
+      f.name match {
+        // metadata columns (SupportsMetadataColumns): served by the
+        // reader, never decoded from the file
+        case "_file" => part.filePath
+        case "_pos" => rowIndex
+        case _ => valueOf(g, f.name, f.dataType)
+      }
+    })
 
   private def equalityDeleted(g: Group): Boolean =
     eqSets.exists { case (cols, set) =>

@@ -345,6 +345,56 @@ class TableSourceSpec extends SparkSpec {
     assert(keys == Seq(3, 4, 8, 9, 13, 14, 18, 23, 24)) // regions 3,4 minus 19
   }
 
+  test("metadata columns _file and _pos are selectable through the DSv2 scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-metacols").toString
+    GraftTable.create(dir, nationSchema,
+      tableUuid = "b6b9a6a1-0000-4000-8000-0000000000mc", timestampMs = 1700000000000L)
+    GraftTable.append(spark, dir, graft.Tables.load(spark, sfDir, "nation")
+      .filter(col("n_nationkey") < 13).orderBy(col("n_nationkey")))
+    GraftTable.append(spark, dir, graft.Tables.load(spark, sfDir, "nation")
+      .filter(col("n_nationkey") >= 13).orderBy(col("n_nationkey")))
+    val df = spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir)).load()
+    // never in SELECT *
+    assert(df.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    val rows = df.select(col("n_nationkey"), col("_file"), col("_pos"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._2).distinct.length == 2) // two physical files
+    // _pos is the file-absolute row index (files written key-ordered)
+    assert(rows.find(_._1 == 0).get._3 == 0L)
+    assert(rows.find(_._1 == 14).get._3 == 1L) // second row of the second file
+  }
+
+  test("cross-route racing commits serialize onto one linear history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-race").toString
+    GraftTable.create(dir, nationSchema,
+      tableUuid = "b6b9a6a1-0000-4000-8000-0000000000rc", timestampMs = 1700000000000L)
+    val nation = graft.Tables.load(spark, sfDir, "nation")
+    val lo = nation.filter(col("n_nationkey") < 13)
+    val hi = nation.filter(col("n_nationkey") >= 13)
+    // one DSv2 writer and one programmatic append race on the CAS loop
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val f1 = scala.concurrent.Future {
+      lo.write.format("graft-table")
+        .option("metadata", GraftTable.latestMetadataPath(dir))
+        .mode("append").save()
+    }
+    val f2 = scala.concurrent.Future { GraftTable.append(spark, dir, hi) }
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(f1, f2)),
+      scala.concurrent.duration.Duration(120, "s"))
+    finally pool.shutdown()
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    assert(meta.snapshots.map(_.snapshotId).sorted == Seq(1L, 2L))
+    meta.snapshotLog.map(_.snapshotId).sliding(2).foreach {
+      case Seq(p, c) => assert(meta.snapshot(c).get.parentSnapshotId.contains(p))
+      case _ => ()
+    }
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == 25L)
+  }
+
   test("st13: streaming sink entry commits epoch-tagged snapshots") {
     val rows = graft.streaming.EventStreams.queries("st13_table_sink")(spark, sfDir)
     assert(rows.count() > 0)

@@ -437,6 +437,52 @@ object GraftTable {
     })
   }
 
+  /** Commit a group-based (copy-on-write) REPLACE: `replacedPaths` (the
+    * files the row-level scan served) drop out, `files` (the rewritten
+    * content of exactly those groups) come in, untouched files carry
+    * forward as EXISTING entries with their ORIGINAL sequence numbers so
+    * pending deletes still apply to them — the commit shape behind SQL
+    * UPDATE and MERGE INTO. Validates on the refreshed base: a replaced
+    * file removed by a concurrent commit aborts instead of resurrecting
+    * data. */
+  private[graft] def commitReplaceFiles(tableDir: String, files: Seq[PendingFile],
+      replacedPaths: Set[String]): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
+      val attempt = java.util.UUID.randomUUID()
+      val curData = currentEntries(base, 0).filter(_.content == 0)
+      val replacedNorm = replacedPaths.map(uriPath)
+      val missing = replacedNorm -- curData.map(e => uriPath(e.filePath)).toSet
+      if (missing.nonEmpty) throw OptimisticCommit.CommitConflictException(
+        s"row-level operation sources removed by a concurrent commit: ${missing.mkString(", ")}")
+      val untouched = curData.filterNot(e => replacedNorm.contains(uriPath(e.filePath)))
+        .map(_.copy(status = 0, snapshotId = snapId))
+      val newEntries = files.map(f => ManifestWriter.EntryData(1, snapId, f.path,
+        f.rows, f.bytes, f.lower, f.upper, content = 0, sequenceNumber = Some(snapId)))
+      val manifest = s"$tableDir/m-rowlevel-$snapId-$attempt.avro"
+      ManifestWriter.write(manifest, untouched ++ newEntries)
+      // delete manifests carry forward: they still scope to untouched
+      // files; rewritten groups were materialized post-MOR at a new seq
+      val carriedDeletes = carryForward(base).filter(_.content == 1)
+      val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+      ManifestListWriter.write(list, carriedDeletes.map(_.path) :+ manifest, snapId,
+        addedDataFilesCount = files.size,
+        contents = carriedDeletes.map(i => i.path -> 1).toMap,
+        specIds = carriedDeletes.map(i => i.path -> i.specId).toMap,
+        summaries = carriedSummaries(carriedDeletes),
+        addedSnapshotIds = carriedDeletes.map(i => i.path -> i.addedSnapshotId).toMap,
+        addedCounts = carriedDeletes.map(i => i.path -> i.addedDataFilesCount).toMap,
+        seqNums = carriedDeletes.map(i => i.path -> i.sequenceNumber).toMap,
+        minSeqNums = carriedDeletes.map(i => i.path -> i.minSequenceNumber).toMap)
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some("overwrite"),
+          Map("added-data-files" -> files.size.toString,
+            "deleted-data-files" -> replacedPaths.size.toString),
+          Some(list), base.currentSchemaId),
+        Some(basePath))
+    })
+
   /** Hidden-partition pruned read WITH merge-on-read: `sourceFieldId =
     * value` converts into the spec's transform space (ScanPlanning
     * .transformValue) and prunes DATA manifests against their list

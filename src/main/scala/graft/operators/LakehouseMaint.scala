@@ -1268,7 +1268,52 @@ object LakehouseMaint {
       |FROM nation WHERE n_regionkey >= 3
       |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // ---------------------------------------------------------------- i55
+  /** SQL UPDATE and MERGE INTO — group-based copy-on-write through
+    * SupportsRowLevelOperations: Spark scans the AFFECTED groups through
+    * the operation's scan (condition pushdown prunes untouched files at
+    * both metadata levels), computes replacement rows, and the commit
+    * swaps exactly the scanned files in one CAS replace snapshot;
+    * untouched files carry forward as EXISTING entries with original
+    * sequence numbers. The `_file` metadata attribute rides along so the
+    * engine's row projection applies before rows reach the task writers.
+    * UPDATE rewrites one key in place; MERGE upserts a matched key and
+    * inserts an unmatched one — the full DML surface, in SQL. */
+  val sqlUpdateMerge: Q = (spark, sfDir) => {
+    val wh = entryDir("i55", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_dml",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dml.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i55_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_dml.db.nations
+        (n_nationkey INT, n_name STRING, n_regionkey INT)""")
+      spark.sql("""INSERT INTO graft_dml.db.nations
+        SELECT n_nationkey, n_name, n_regionkey FROM i55_nation_src""")
+      spark.sql("""UPDATE graft_dml.db.nations
+        SET n_name = concat('upd-', n_name) WHERE n_nationkey = 3""")
+      spark.sql("""MERGE INTO graft_dml.db.nations t
+        USING (SELECT 5 AS n_nationkey, CAST('MERGED_5' AS STRING) AS n_name, 0 AS n_regionkey
+               UNION ALL SELECT 99, 'NEW_99', 4) s
+        ON t.n_nationkey = s.n_nationkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    spark.sql("""SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_k,
+      MAX(CASE WHEN n_nationkey = 3 THEN n_name END) AS name_3,
+      MAX(CASE WHEN n_nationkey = 5 THEN n_name END) AS name_5,
+      MAX(CASE WHEN n_nationkey = 99 THEN n_name END) AS name_99
+      FROM graft_dml.db.nations""")
+  }
+
+  val sqlUpdateMergeSql: String =
+    """SELECT COUNT(*) + 1 AS n_rows,
+      |  CAST(SUM(n_nationkey) + 99 AS BIGINT) AS sum_k,
+      |  'upd-NATION_3' AS name_3, 'MERGED_5' AS name_5, 'NEW_99' AS name_99
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i55_sql_update_merge" -> sqlUpdateMerge,
     "i54_range_pruned_scan" -> rangePrunedScan,
     "i53_sql_lifecycle" -> sqlLifecycle,
     "i52_dsv2_partitioned_write" -> dsv2PartitionedWrite,
@@ -1293,6 +1338,7 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i55_sql_update_merge" -> sqlUpdateMergeSql,
     "i54_range_pruned_scan" -> rangePrunedScanSql,
     "i53_sql_lifecycle" -> sqlLifecycleSql,
     "i52_dsv2_partitioned_write" -> dsv2PartitionedWriteSql,

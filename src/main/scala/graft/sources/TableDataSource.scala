@@ -89,7 +89,20 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE and MERGE INTO, group-based copy-on-write: Spark reads
+    * the AFFECTED groups through the operation's scan (pushed conditions
+    * prune unaffected files at both metadata levels — those carry
+    * forward untouched), computes the replacement rows, writes them
+    * through the operation's write, and the commit swaps exactly the
+    * scanned files in one CAS replace snapshot (untouched files keep
+    * their original sequence numbers, so pending deletes still apply). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(info.command(), tableSchema, metadataPath, splitSize)
   override def name(): String = s"graft-table($metadataPath)"
   override def schema(): StructType = tableSchema
 
@@ -160,7 +173,7 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
 
 class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
     snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long],
-    splitSize: Long)
+    splitSize: Long, onPlanned: Seq[String] => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = tableSchema
   private var pushed: Array[sources.Filter] = Array.empty
@@ -179,12 +192,13 @@ class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
 
   override def build(): Scan =
     new GraftTableScan(required, pushed, metadataPath, snapshotId, ref,
-      asOfTimestampMs, splitSize)
+      asOfTimestampMs, splitSize, onPlanned)
 }
 
 class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     metadataPath: String, snapshotId: Option[Long], ref: Option[String],
-    asOfTimestampMs: Option[Long], splitSize: Long = 128L * 1024 * 1024)
+    asOfTimestampMs: Option[Long], splitSize: Long = 128L * 1024 * 1024,
+    onPlanned: Seq[String] => Unit = _ => ())
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -265,6 +279,9 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (kept, posDeletes, eqDeletes) = planned
+    // row-level (UPDATE/MERGE) scans record the served group set — the
+    // files the replace commit must swap
+    onPlanned(kept.map(_._1.filePath))
     val tableSchema = GraftTable.sparkSchema(TableMetadata.parseFile(metadataPath))
     def partition(e: ManifestWriter.EntryData, seq: Long,
         rowGroup: Int, rowStart: Long): GraftTableInputPartition =
@@ -308,6 +325,81 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftTableReaderFactory(required, hadoopConf)
+}
+
+/** One SQL UPDATE / MERGE INTO execution: the scan and the write share
+  * THIS instance, which is how the group set flows from planning to
+  * commit (the scan's `onPlanned` records the files it served; the
+  * write's commit swaps exactly those). Scan-level condition pushdown
+  * keeps the rewrite proportional to the AFFECTED files — a pruned file
+  * provably holds no matching row and carries forward untouched. */
+class GraftRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    tableSchema: StructType, metadataPath: String, splitSize: Long)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  private val scannedFiles =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  /** `_file` must ride along: Spark only applies the ReplaceData row
+    * projection (stripping its internal operation column before rows
+    * reach the writer) when the operation declares metadata attributes —
+    * and carrying the file also gives the rewrite its group identity. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftTableScanBuilder(tableSchema, metadataPath, None, None, None,
+      splitSize, paths => scannedFiles.set(paths))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val delegate = new GraftTableWriteBuilder(metadataPath, info)
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          // task writers, distribution, and stat derivation come from the
+          // ordinary write; only the COMMIT differs (replace, not append)
+          private val inner = delegate.build()
+            .asInstanceOf[org.apache.spark.sql.connector.write.Write
+              with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            inner.requiredDistribution()
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            inner.requiredOrdering()
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+            val appendLike = inner.toBatch
+            new org.apache.spark.sql.connector.write.BatchWrite {
+              override def createBatchWriterFactory(
+                  pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+                  : org.apache.spark.sql.connector.write.DataWriterFactory =
+                appendLike.createBatchWriterFactory(pinfo)
+              override def commit(
+                  messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+                val all = GraftTableWrites.filesOf(messages)
+                val files = all.filter(_.rows > 0)
+                val tableDir = new org.apache.hadoop.fs.Path(metadataPath).getParent.toString
+                GraftTable.commitReplaceFiles(tableDir,
+                  files.map(m => GraftTable.PendingFile(
+                    m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId)),
+                  scannedFiles.get().toSet)
+                GraftTableWrites.drop(all.filter(_.rows == 0))
+              }
+              override def abort(
+                  messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+                appendLike.abort(messages)
+            }
+          }
+        }
+    }
+  }
 }
 
 /** `rowGroup` == -1 reads the whole file (the un-split case); otherwise

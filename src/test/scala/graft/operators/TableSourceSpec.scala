@@ -395,6 +395,48 @@ class TableSourceSpec extends SparkSpec {
     assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == 25L)
   }
 
+  test("SQL UPDATE and MERGE INTO: group-based copy-on-write through the catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dml").toString
+    spark.conf.set("spark.sql.catalog.graft_dml",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dml.warehouse", wh)
+    spark.sql("CREATE TABLE graft_dml.db.n (k INT, name STRING, r INT)")
+    graft.Tables.load(spark, sfDir, "nation")
+      .selectExpr("n_nationkey AS k", "n_name AS name", "n_regionkey AS r")
+      .createOrReplaceTempView("dml_src")
+    // two appends → two files, so the UPDATE below can prune one
+    spark.sql("INSERT INTO graft_dml.db.n SELECT * FROM dml_src WHERE k < 13")
+    spark.sql("INSERT INTO graft_dml.db.n SELECT * FROM dml_src WHERE k >= 13")
+    spark.sql("UPDATE graft_dml.db.n SET name = concat('upd-', name) WHERE k = 3")
+    val updated = spark.sql("SELECT name FROM graft_dml.db.n WHERE k = 3")
+      .head().getString(0)
+    assert(updated == "upd-NATION_3")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_dml.db.n").head().getLong(0) == 25L)
+    // the replace swapped only the affected group: the high-key file
+    // carried forward (still EXISTING after the overwrite snapshot)
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/n"))
+    assert(meta.currentSnapshot.get.operation.contains("overwrite"))
+    val entries = graft.iceberg.ManifestListReader.read(
+        meta.currentSnapshot.get.manifestList.get)
+      .filter(_.content == 0).flatMap(i => ManifestWriter.read(i.path))
+      .filter(_.status != 2)
+    assert(entries.exists(_.sequenceNumber.contains(2L)),
+      "untouched file must keep its original sequence number")
+    // MERGE INTO: update one key, insert a new one
+    spark.sql("""SELECT 5 AS k, CAST('MERGED_5' AS STRING) AS name, 0 AS r
+      UNION ALL SELECT 99, 'NEW_99', 4""").createOrReplaceTempView("dml_merge_src")
+    spark.sql("""MERGE INTO graft_dml.db.n t USING dml_merge_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT name FROM graft_dml.db.n WHERE k = 5")
+      .head().getString(0) == "MERGED_5")
+    assert(spark.sql("SELECT name FROM graft_dml.db.n WHERE k = 99")
+      .head().getString(0) == "NEW_99")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_dml.db.n").head().getLong(0) == 26L)
+    assert(spark.sql("SELECT name FROM graft_dml.db.n WHERE k = 3")
+      .head().getString(0) == "upd-NATION_3") // earlier update survives
+  }
+
   test("st13: streaming sink entry commits epoch-tagged snapshots") {
     val rows = graft.streaming.EventStreams.queries("st13_table_sink")(spark, sfDir)
     assert(rows.count() > 0)

@@ -437,6 +437,27 @@ class TableSourceSpec extends SparkSpec {
       .head().getString(0) == "upd-NATION_3") // earlier update survives
   }
 
+  test("SQL CTAS and INSERT OVERWRITE route through the catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ctas").toString
+    spark.conf.set("spark.sql.catalog.graft_ct",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ct.warehouse", wh)
+    graft.Tables.load(spark, sfDir, "nation")
+      .selectExpr("n_nationkey AS k", "n_name AS name", "n_regionkey AS r")
+      .createOrReplaceTempView("ctas_src")
+    // CREATE TABLE AS SELECT: create + append in one statement
+    spark.sql("CREATE TABLE graft_ct.db.n AS SELECT * FROM ctas_src WHERE r <> 2")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ct.db.n").head().getLong(0) == 20L)
+    // INSERT OVERWRITE = truncate + append as ONE atomic replace snapshot
+    spark.sql("INSERT OVERWRITE graft_ct.db.n SELECT * FROM ctas_src WHERE r = 2")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ct.db.n").head().getLong(0) == 5L)
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/n"))
+    assert(meta.currentSnapshot.get.operation.contains("overwrite"))
+    // pre-overwrite content still time-travelable
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ct.db.n VERSION AS OF 1")
+      .head().getLong(0) == 20L)
+  }
+
   test("st13: streaming sink entry commits epoch-tagged snapshots") {
     val rows = graft.streaming.EventStreams.queries("st13_table_sink")(spark, sfDir)
     assert(rows.count() > 0)

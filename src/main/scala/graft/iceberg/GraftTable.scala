@@ -126,8 +126,19 @@ object GraftTable {
         e <- es if e.status != 2 && e.content == entryContent
       } yield (e, e.sequenceNumber.getOrElse(i.sequenceNumber)))
         .distinctBy(x => uriPath(x._1.filePath))
+    readFromEntries(spark, meta, live(0, 0), live(1, 1), live(1, 2))
+  }
+
+  /** MOR read over EXPLICIT (entry, sequence) sets — the granular form
+    * behind readFromInfos, and what per-file/per-bin COW rewrite jobs use
+    * to read ONLY their target files (plus the delete entries that can
+    * address them) instead of filtering a full-table frame: K rewrite
+    * jobs cost O(affected bytes) total I/O, not O(K · table). */
+  private def readFromEntries(spark: SparkSession, meta: TableMetadata,
+      dataEntries: Seq[(ManifestWriter.EntryData, Long)],
+      posEntries0: Seq[(ManifestWriter.EntryData, Long)],
+      eqEntries0: Seq[(ManifestWriter.EntryData, Long)]): DataFrame = {
     val schema = sparkSchema(meta)
-    val dataEntries = live(0, 0)
     if (dataEntries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -135,6 +146,17 @@ object GraftTable {
           StructField("_file", org.apache.spark.sql.types.StringType),
           StructField("_pos", org.apache.spark.sql.types.LongType),
           StructField("_seq", org.apache.spark.sql.types.LongType))))
+    // delete-FILE pruning against the data set being read: a position
+    // delete with sequence below every data file's, or whose file_path
+    // bounds overlap none of them, can't apply (binary search over the
+    // sorted path set keeps this O(D log N) at 10⁵ × 10⁵ scale); an
+    // equality delete needs a strictly-lower data sequence to exist.
+    // The scoped applies below re-check per row — this only skips reads.
+    val sortedPaths = dataEntries.map(e => uriPath(e._1.filePath)).toArray.sorted
+    val minSeq = dataEntries.map(_._2).min
+    val posEntries = posEntries0.filter { case (e, s) =>
+      s >= minSeq && posDeleteOverlaps(e, sortedPaths) }
+    val eqEntries = eqEntries0.filter(_._2 > minSeq)
     import spark.implicits._
     // file→sequence lookup: one row per FILE (metadata-scale, broadcast)
     def seqLookup(entries: Seq[(ManifestWriter.EntryData, Long)], seqName: String): DataFrame =
@@ -147,7 +169,6 @@ object GraftTable {
         col("_metadata.row_index").as("_pos"))
       .join(seqLookup(dataEntries, "_seq"), normPathCol(col("_file")) === col("_lk_file"))
       .drop("_lk_file")
-    val posEntries = live(1, 1)
     val posApplied =
       if (posEntries.isEmpty) data
       else {
@@ -159,7 +180,6 @@ object GraftTable {
           .select(col("file_path"), col("pos"), col("_del_seq"))
         Lakehouse.applyPositionDeletesScoped(data, deletes)
       }
-    val eqEntries = live(1, 2)
     // column set per delete file: KB-scale footer reads, also concurrent
     val eqGroups = Par.inParallel(eqEntries)(e =>
         (spark.read.parquet(e._1.filePath).schema.fieldNames.toSeq, e))
@@ -207,8 +227,13 @@ object GraftTable {
   /** Min/max bound stats for every primitive schema field, derived from
     * the written file in ONE distributed aggregate — never fabricated. */
   private def deriveStats(spark: SparkSession, file: String, meta: TableMetadata)
+      : (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]) =
+    deriveStatsFor(spark, file, meta.currentSchema.fields)
+
+  private def deriveStatsFor(spark: SparkSession, file: String,
+      fields: Seq[IcebergField])
       : (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
-    val typed = meta.currentSchema.fields.flatMap(f =>
+    val typed = fields.flatMap(f =>
       IcebergTypes.fromStringOpt(f.fieldType).map(t => (f, t)))
     val aggs = count(lit(1)) +: typed.flatMap { case (f, _) =>
       Seq(min(col(f.name)), max(col(f.name))) }
@@ -257,115 +282,32 @@ object GraftTable {
       seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
       minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
 
-  /** The partition-transform of a source column as a Column expression,
-    * consistent with the read side's ScanPlanning.transformValue (bucket
-    * is the codegen'd spec-pinned murmur3 expression). Write support is
-    * deliberately limited to the transforms whose Column form matches the
-    * scalar kernels bit-for-bit — a silent mismatch would mis-partition
-    * data and break pruning, so anything else fails loudly. */
-  private def transformColumn(spark: SparkSession, transform: String,
-      source: org.apache.spark.sql.Column, t: IcebergType): (IcebergType, org.apache.spark.sql.Column) =
-    transform match {
-      case "identity" => (t, source)
-      case s if s.startsWith("bucket[") =>
-        val n = s.stripPrefix("bucket[").stripSuffix("]").toInt
-        (IcebergTypes.TInt, graft.functions.GraftFunctions.icebergBucket(spark, source, n))
-      case other => throw new IllegalArgumentException(
-        s"unsupported write transform '$other' — supported: identity, bucket[N]")
-    }
-
-  /** Append `df` as one CAS-committed append snapshot. Unpartitioned
-    * tables land ONE data file; a table with a default partition spec
-    * lands one file PER partition tuple, one manifest per file, each
-    * manifest's field-507 summary carrying its transform-space tuple —
-    * so API-written tables are list-level prunable (i33/i37) with no
-    * extra step. Files land once (before the CAS loop); sequencing,
-    * provenance, and the chain re-derive from the refreshed base. */
+  /** Append `df` as one CAS-committed append snapshot, routed through
+    * the DSv2 task-writer machinery (the round-8 `TableWrite` path): the
+    * input is read ONCE. An unpartitioned table writes one file from a
+    * single task (the convenience-API shape — parallel multi-file writes
+    * ARE the `df.write.format("graft-table")` route); a partitioned
+    * table shuffles ONCE on the clustered partition-source columns and
+    * each task splits its cluster into one file per transform-space
+    * tuple, carrying its field-507 summary — list-level prunable
+    * (i33/i37) with no extra step. Task writers track bound stats INLINE
+    * while writing (no second derive pass), and the commit lands through
+    * the same CAS loop every other writer uses. (The previous shape
+    * scanned the input once per distinct partition tuple and re-read
+    * each written file to derive stats.) */
   def append(spark: SparkSession, tableDir: String, df: DataFrame): OptimisticCommit.CommitResult = {
-    val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    val metaPath = latestMetadataPath(tableDir)
+    val meta0 = TableMetadata.parseFile(metaPath)
     val schema = sparkSchema(meta0)
-    val projected = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val spec = meta0.partitionSpecs.find(_.specId == meta0.defaultSpecId)
       .getOrElse(PartitionSpec(0, Nil))
-    val fieldsById = meta0.currentSchema.fields.map(f => f.id -> f).toMap
-    val appendUuid = java.util.UUID.randomUUID()
-    // (file, stats, optional transform-space partition tuple)
-    val written: Seq[(String, (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]),
-        Option[Seq[ManifestListWriter.FieldSummary]])] =
-      if (spec.fields.isEmpty) {
-        val file = s"$tableDir/data/append-$appendUuid.parquet"
-        ParquetFiles.writeOne(projected, file)
-        Seq((file, deriveStats(spark, file, meta0), None))
-      } else {
-        val tcols = spec.fields.map { pf =>
-          val f = fieldsById.getOrElse(pf.sourceId, throw new IllegalArgumentException(
-            s"partition source field ${pf.sourceId} not in current schema"))
-          val t = IcebergTypes.fromStringOpt(f.fieldType).getOrElse(
-            throw new IllegalArgumentException(s"unsupported type ${f.fieldType}"))
-          (pf, transformColumn(spark, pf.transform, col(f.name), t))
-        }
-        val withT = projected.select(col("*") +: tcols.zipWithIndex.map {
-          case ((_, (_, c)), i) => c.as(s"_p$i") }: _*)
-        // distinct partition tuples: metadata-scale by design (partition
-        // cardinality is what makes partitioning useful); at extreme
-        // cardinality a writer would use a partitioned shuffle instead
-        val tuples = withT.select(tcols.indices.map(i => col(s"_p$i")): _*)
-          .distinct().collect()
-        // one file write + stat derivation per partition tuple, submitted
-        // CONCURRENTLY (independent Spark jobs from a bounded driver pool
-        // — the LakehouseExec maintenance shape): wall-clock tracks the
-        // largest partition, not the partition count
-        Par.inParallel(tuples.zipWithIndex.toSeq) { case (tuple, i) =>
-          val file = s"$tableDir/data/append-$appendUuid-%05d.parquet".format(i)
-          val cond = tcols.indices.map(j => col(s"_p$j") <=> lit(tuple.get(j))).reduce(_ && _)
-          ParquetFiles.writeOne(
-            withT.filter(cond).select(schema.fieldNames.map(col).toIndexedSeq: _*), file)
-          val summaries = tcols.zipWithIndex.map { case ((_, (tt, _)), j) =>
-            tuple.get(j) match {
-              case null => ManifestListWriter.FieldSummary(containsNull = true,
-                Array.empty[Byte], Array.empty[Byte])
-              case v => val b = SingleValueCodec.encode(tt, v)
-                ManifestListWriter.FieldSummary(containsNull = false, b, b)
-            }
-          }
-          (file, deriveStats(spark, file, meta0), Some(summaries))
-        }
-      }
-    OptimisticCommit.commit(tableDir, (base, basePath) => {
-      val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
-      // manifest/list names carry a per-attempt uuid (Iceberg's own
-      // snap-<id>-<attempt>-<uuid> convention): two racing committers may
-      // both prepare "snapshot 2", and fixed names would let the loser
-      // clobber the winner's just-committed files before its retry
-      val attempt = java.util.UUID.randomUUID()
-      val manifests = written.zipWithIndex.map { case ((file, (n, lower, upper), sums), i) =>
-        val manifest = s"$tableDir/m-append-$snapId-$attempt-%05d.avro".format(i)
-        ManifestWriter.write(manifest, Seq(ManifestWriter.EntryData(
-          1, snapId, file, n, ParquetFiles.length(file), lower, upper,
-          content = 0, sequenceNumber = Some(snapId))))
-        (manifest, sums)
-      }
-      val carried = carryForward(base)
-      val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
-      ManifestListWriter.write(list, carried.map(_.path) ++ manifests.map(_._1), snapId,
-        addedDataFilesCount = 1,
-        contents = carried.map(i => i.path -> i.content).toMap,
-        specIds = carried.map(i => i.path -> i.specId).toMap ++
-          manifests.map(_._1 -> spec.specId),
-        summaries = carriedSummaries(carried) ++
-          manifests.collect { case (m, Some(s)) => m -> s },
-        addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
-        addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
-        seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
-        minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
-      MetadataWriter.commitSnapshot(base,
-        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
-          Some("append"),
-          Map("added-data-files" -> written.size.toString,
-            "added-records" -> written.map(_._2._1).sum.toString),
-          Some(list), base.currentSchemaId),
-        Some(basePath))
-    })
+    val projected = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val shaped = if (spec.fields.isEmpty) projected.coalesce(1) else projected
+    shaped.write.format("graft-table").option("metadata", metaPath)
+      .mode("append").save()
+    val v = OptimisticCommit.currentVersion(tableDir)
+    val path = OptimisticCommit.metadataPath(tableDir, v)
+    OptimisticCommit.CommitResult(v, path, TableMetadata.parseFile(path), 1)
   }
 
   /** Commit PRE-WRITTEN data files as one append snapshot — the driver
@@ -392,7 +334,9 @@ object GraftTable {
       extraSummary: Map[String, String] = Map.empty,
       replace: Boolean = false)
       : OptimisticCommit.CommitResult = {
-    require(files.nonEmpty, "no files to commit")
+    // an empty REPLACE is meaningful (overwrite-from-empty truncates);
+    // an empty append is the caller's no-op to skip
+    require(files.nonEmpty || replace, "no files to commit")
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
@@ -437,16 +381,75 @@ object GraftTable {
     })
   }
 
+  /** Could `del` (a position-delete entry) address any of `paths`
+    * (normalized)? Its file_path bound stats — written under the RESERVED
+    * position-delete field ids — answer without opening the file; missing
+    * or undecodable bounds keep it (conservative). */
+  private def posDeleteMayAddress(del: ManifestWriter.EntryData,
+      paths: Set[String]): Boolean = {
+    def decode(m: Map[Int, Array[Byte]]): Option[String] =
+      m.get(ManifestWriter.PosDeleteFilePathId).filter(_.nonEmpty)
+        .flatMap(b => scala.util.Try(
+          SingleValueCodec.decode(IcebergTypes.TString, b).asInstanceOf[String]).toOption)
+    (decode(del.lowerBounds), decode(del.upperBounds)) match {
+      case (Some(lo), Some(hi)) =>
+        paths.exists(p => uriPath(lo) <= p && p <= uriPath(hi))
+      case _ => true
+    }
+  }
+
+  /** [[posDeleteMayAddress]] against a SORTED normalized-path array —
+    * binary search for the first path >= the lower bound, then one
+    * compare against the upper: O(log N) per delete entry. */
+  private def posDeleteOverlaps(del: ManifestWriter.EntryData,
+      sortedPaths: Array[String]): Boolean = {
+    def decode(m: Map[Int, Array[Byte]]): Option[String] =
+      m.get(ManifestWriter.PosDeleteFilePathId).filter(_.nonEmpty)
+        .flatMap(b => scala.util.Try(
+          SingleValueCodec.decode(IcebergTypes.TString, b).asInstanceOf[String]).toOption)
+    (decode(del.lowerBounds), decode(del.upperBounds)) match {
+      case (Some(lo), Some(hi)) =>
+        val at = {
+          val i = java.util.Arrays.binarySearch(
+            sortedPaths.asInstanceOf[Array[AnyRef]], uriPath(lo))
+          if (i >= 0) i else -i - 1
+        }
+        at < sortedPaths.length && sortedPaths(at) <= uriPath(hi)
+      case _ => true
+    }
+  }
+
+  /** Serializable-isolation check for copy-on-write row-level commits: a
+    * delete file committed between the operation's scan and its replace
+    * commit is silently lost for rewritten rows (its position deletes
+    * address the dropped old paths; its equality deletes are out-sequenced
+    * by the rewritten files' new sequence) — so any delete file NOT seen
+    * at scan time that could address a replaced file aborts the commit.
+    * Equality deletes carry no per-file address and always conflict. */
+  private def validateNoNewDeletes(base: TableMetadata,
+      scannedDeletePaths: Set[String], replacedNorm: Set[String]): Unit = {
+    val seen = scannedDeletePaths.map(uriPath) // idempotent on plain paths
+    val fresh = currentEntries(base, 1)
+      .filterNot(e => seen.contains(uriPath(e.filePath)))
+    val conflicting = fresh.filter(e =>
+      e.content == 2 || posDeleteMayAddress(e, replacedNorm))
+    if (conflicting.nonEmpty) throw OptimisticCommit.CommitConflictException(
+      "delete files committed concurrently address rewritten data: " +
+        conflicting.map(_.filePath).mkString(", "))
+  }
+
   /** Commit a group-based (copy-on-write) REPLACE: `replacedPaths` (the
     * files the row-level scan served) drop out, `files` (the rewritten
     * content of exactly those groups) come in, untouched files carry
     * forward as EXISTING entries with their ORIGINAL sequence numbers so
     * pending deletes still apply to them — the commit shape behind SQL
     * UPDATE and MERGE INTO. Validates on the refreshed base: a replaced
-    * file removed by a concurrent commit aborts instead of resurrecting
-    * data. */
+    * file removed by a concurrent commit — or a delete file added by one
+    * (`scannedDeletePaths` = the delete files the scan DID apply) —
+    * aborts instead of resurrecting data. */
   private[graft] def commitReplaceFiles(tableDir: String, files: Seq[PendingFile],
-      replacedPaths: Set[String]): OptimisticCommit.CommitResult =
+      replacedPaths: Set[String], scannedDeletePaths: Set[String])
+      : OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
@@ -455,6 +458,7 @@ object GraftTable {
       val missing = replacedNorm -- curData.map(e => uriPath(e.filePath)).toSet
       if (missing.nonEmpty) throw OptimisticCommit.CommitConflictException(
         s"row-level operation sources removed by a concurrent commit: ${missing.mkString(", ")}")
+      validateNoNewDeletes(base, scannedDeletePaths, replacedNorm)
       val untouched = curData.filterNot(e => replacedNorm.contains(uriPath(e.filePath)))
         .map(_.copy(status = 0, snapshotId = snapId))
       val newEntries = files.map(f => ManifestWriter.EntryData(1, snapId, f.path,
@@ -534,12 +538,19 @@ object GraftTable {
   private def uriPath(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   /** Current non-deleted entries of the head snapshot, by list content —
-    * manifests open concurrently (same planning shape as readFromInfos). */
+    * manifests open concurrently (same planning shape as readFromInfos).
+    * An entry relying on list-level sequence inheritance (null sequence,
+    * field 515 carries the number) gets the sequence MATERIALIZED here:
+    * the spec restricts inheritance to ADDED entries, so an entry carried
+    * forward into a NEW manifest (whose list sequence is the new commit's)
+    * must hold its original number explicitly or it would out-sequence
+    * pending equality deletes. */
   private def currentEntries(base: TableMetadata, listContent: Int): Seq[ManifestWriter.EntryData] =
     Par.inParallel(
       base.currentSnapshot.toSeq
         .flatMap(s => ManifestListReader.read(s.manifestList.get))
-        .filter(_.content == listContent))(i => ManifestWriter.read(i.path))
+        .filter(_.content == listContent))(i => ManifestWriter.read(i.path).map(e =>
+          e.copy(sequenceNumber = Some(e.sequenceNumber.getOrElse(i.sequenceNumber)))))
       .flatten.filter(_.status != 2)
 
   /** MERGE INTO, copy-on-write: source rows matched on `keyCols` REPLACE
@@ -560,20 +571,60 @@ object GraftTable {
     val schema = sparkSchema(meta0)
     val cols = schema.fieldNames.toIndexedSeq
     val src = source.select(cols.map(col): _*)
-    val live = readWithAddress(spark, meta0, resolveSnapshot(meta0, None, None))
-    // COW granularity: which files hold matched keys? (file list is KB-scale)
-    val affected = live.join(src, keyCols, "left_semi")
+    // planning state: entries with MATERIALIZED sequences (KB-scale)
+    val dataEntries = currentEntries(meta0, 0).filter(_.content == 0)
+    val delEntries = currentEntries(meta0, 1)
+    val posEntries = delEntries.filter(_.content == 1).map(e => (e, e.sequenceNumber.get))
+    val eqEntries = delEntries.filter(_.content == 2).map(e => (e, e.sequenceNumber.get))
+    // metadata-level candidate pruning: one small agg derives the
+    // source's [min,max] per key column; a data file whose key-column
+    // bound stats can't overlap that range provably holds no match and
+    // is NEVER READ — neither for match detection nor for rewrite (the
+    // manifest stats exist exactly for this)
+    val keyFields = keyCols.map(k => meta0.currentSchema.fields.find(_.name == k)
+      .getOrElse(throw new IllegalArgumentException(s"key column $k not in schema")))
+    val rangeAggs = keyCols.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val rangeRow = src.agg(rangeAggs.head, rangeAggs.tail: _*).head()
+    val srcEmpty = rangeRow.isNullAt(0) && rangeRow.isNullAt(1)
+    def decodeBound(e: ManifestWriter.EntryData, fieldId: Int,
+        fieldType: String, lower: Boolean): Option[Any] = for {
+      t <- IcebergTypes.fromStringOpt(fieldType)
+      bytes <- (if (lower) e.lowerBounds else e.upperBounds).get(fieldId)
+      if bytes.nonEmpty
+      v <- scala.util.Try(SingleValueCodec.decode(t, bytes)).toOption
+    } yield v
+    def entryMayMatch(e: ManifestWriter.EntryData): Boolean =
+      keyFields.zipWithIndex.forall { case (f, i) =>
+        val (srcMin, srcMax) = (rangeRow.get(2 * i), rangeRow.get(2 * i + 1))
+        // provably disjoint only when bounds decode AND compare; missing
+        // stats keep the file (conservative)
+        val below = graft.sources.EntryFilterEval
+          .cmp(decodeBound(e, f.id, f.fieldType, lower = false), srcMin).exists(_ < 0)
+        val above = graft.sources.EntryFilterEval
+          .cmp(decodeBound(e, f.id, f.fieldType, lower = true), srcMax).exists(_ > 0)
+        !(below || above)
+      }
+    val candEntries =
+      (if (srcEmpty) Nil else dataEntries.filter(entryMayMatch))
+        .map(e => (e, e.sequenceNumber.get))
+    val candByPath = candEntries.map { case (e, s) => uriPath(e.filePath) -> (e, s) }.toMap
+    // the MOR frame over CANDIDATE files only — non-candidates can't
+    // hold a source key, so match detection and the insert anti-join
+    // are both complete over this subset
+    val candLive = readFromEntries(spark, meta0, candEntries, posEntries, eqEntries)
+    val affected = candLive.join(src, keyCols, "left_semi")
       .select(col("_file")).distinct().collect().map(r => uriPath(r.getString(0))).toSet
-    // `_metadata.file_path` is a URI, manifest entries hold plain paths —
-    // compare on the normalized path component (the i26/i31 rule)
-    val normFile = regexp_replace(col("_file"), "^[a-z0-9+.-]+:(//)?", "")
     val mergeUuid = java.util.UUID.randomUUID()
-    // per-file COW rewrites are independent Spark jobs — submit them
-    // concurrently (a 100 TB merge touches thousands of files)
+    // per-file COW rewrites are independent Spark jobs — submitted
+    // concurrently, and each reads ONLY its target file plus the delete
+    // files that can address it (readFromEntries scopes by sequence and
+    // file_path bounds): K affected files cost O(affected bytes) total,
+    // not K full-table scans
     val rewritten = Par.inParallel(affected.toSeq.sorted.zipWithIndex) { case (f, i) =>
       val out = s"$tableDir/data/merged-$mergeUuid-%05d.parquet".format(i)
+      val fileLive = readFromEntries(spark, meta0, Seq(candByPath(f)), posEntries, eqEntries)
       ParquetFiles.writeOne(
-        live.filter(normFile === f)
+        fileLive
           .join(src.select(keyCols.map(col) :+ struct(cols.map(col): _*).as("_src"): _*),
             keyCols, "left_outer")
           .select(cols.map(c =>
@@ -581,12 +632,15 @@ object GraftTable {
           .orderBy(keyCols.map(col): _*), out)
       out
     }
-    val inserts = src.join(live, keyCols, "left_anti")
+    val inserts = src.join(candLive, keyCols, "left_anti")
     val insertFile = s"$tableDir/data/merge-insert-$mergeUuid.parquet"
     val nInserts = inserts.count()
     if (nInserts > 0)
       ParquetFiles.writeOne(inserts.orderBy(keyCols.map(col): _*), insertFile)
     val newFiles = rewritten ++ (if (nInserts > 0) Seq(insertFile) else Nil)
+    // the delete files the scan applied — a delete committed AFTER this
+    // set was read conflicts with the rewrite (validateNoNewDeletes)
+    val scannedDeletes = currentEntries(meta0, 1).map(e => uriPath(e.filePath)).toSet
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
@@ -594,6 +648,7 @@ object GraftTable {
       val missing = affected.filterNot(curData.map(e => uriPath(e.filePath)).toSet)
       if (missing.nonEmpty) throw OptimisticCommit.CommitConflictException(
         s"merge sources removed by a concurrent commit: ${missing.mkString(", ")}")
+      validateNoNewDeletes(base, scannedDeletes, affected)
       // untouched files: EXISTING entries, ORIGINAL sequence preserved
       val untouched = curData.filterNot(e => affected.contains(uriPath(e.filePath)))
         .map(_.copy(status = 0, snapshotId = snapId))
@@ -636,9 +691,11 @@ object GraftTable {
       targetBytes: Long = 512L * 1024 * 1024): OptimisticCommit.CommitResult = {
     val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
     val schema = sparkSchema(meta0)
-    val live = readWithAddress(spark, meta0, resolveSnapshot(meta0, None, None))
     val preData = currentEntries(meta0, 0).filter(_.content == 0)
     require(preData.nonEmpty, "compact on a table with no data files")
+    val delEntries = currentEntries(meta0, 1)
+    val posEntries = delEntries.filter(_.content == 1).map(e => (e, e.sequenceNumber.get))
+    val eqEntries = delEntries.filter(_.content == 2).map(e => (e, e.sequenceNumber.get))
     // bin-pack by cumulative REAL file size; each bin is one rewrite task
     val bins = preData.sortBy(_.filePath)
       .foldLeft(Seq.empty[(Long, Seq[ManifestWriter.EntryData])]) { case (acc, e) =>
@@ -651,13 +708,15 @@ object GraftTable {
     val compactUuid = java.util.UUID.randomUUID()
     // one rewrite job per bin, submitted concurrently — at thousands of
     // bins this is the difference between a compaction bounded by the
-    // biggest bin and one bounded by the bin count
+    // biggest bin and one bounded by the bin count. Each bin reads ONLY
+    // its own files (plus the delete files that can address them) via the
+    // entry-granular MOR read — total rewrite I/O is one pass over the
+    // table, not bins × table
     val outFiles = Par.inParallel(bins.zipWithIndex) { case (es, i) =>
       val out = s"$tableDir/data/compacted-$compactUuid-%05d.parquet".format(i)
-      val paths = es.map(e => uriPath(e.filePath)).toSet
       ParquetFiles.writeOne(
-        live.filter(regexp_replace(col("_file"), "^[a-z0-9+.-]+:(//)?", "")
-          .isin(paths.toSeq: _*))
+        readFromEntries(spark, meta0,
+          es.map(e => (e, e.sequenceNumber.get)), posEntries, eqEntries)
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
           .orderBy(col(schema.fieldNames.head)), out)
       out
@@ -756,13 +815,20 @@ object GraftTable {
     * over the table's schema — evaluated in one distributed scan. */
   def deleteWhere(spark: SparkSession, tableDir: String,
       predicate: org.apache.spark.sql.Column): OptimisticCommit.CommitResult = {
-    val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
-    val snap = resolveSnapshot(meta0, None, None)
-    val dataFiles = Par.inParallel(
-        ManifestListReader.read(snap.manifestList.get).filter(_.content == 0))(
-        i => ManifestWriter.read(i.path))
-      .flatten.filter(e => e.status != 2 && e.content == 0).map(_.filePath)
-    require(dataFiles.nonEmpty, "deleteWhere on a table with no data files")
+    val metaPath0 = latestMetadataPath(tableDir)
+    val meta0 = TableMetadata.parseFile(metaPath0)
+    val dataFiles = meta0.currentSnapshotId.toSeq.flatMap { _ =>
+      val snap = resolveSnapshot(meta0, None, None)
+      Par.inParallel(
+          ManifestListReader.read(snap.manifestList.get).filter(_.content == 0))(
+          i => ManifestWriter.read(i.path))
+        .flatten.filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+    }
+    // nothing to delete FROM (fresh or truncated table): a no-op, not an
+    // error — SQL TRUNCATE/DELETE on an empty table must succeed
+    if (dataFiles.isEmpty)
+      return OptimisticCommit.CommitResult(
+        OptimisticCommit.currentVersion(tableDir), metaPath0, meta0, 0)
     val delFile = s"$tableDir/data/delete-${java.util.UUID.randomUUID()}.parquet"
     // Iceberg requires position deletes sorted by (file_path, pos)
     ParquetFiles.writeOne(
@@ -803,6 +869,68 @@ object GraftTable {
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("delete"),
           Map("added-delete-files" -> "1", "added-position-deletes" -> nDeletes.toString),
+          Some(list), base.currentSchemaId),
+        Some(basePath))
+    })
+  }
+
+  /** Streaming-upsert commit (the shape that makes EQUALITY deletes in
+    * practice — Flink's and Iceberg's upsert writers): ONE snapshot lands
+    * an equality-delete file on `keyCols` (one row per upserted key — the
+    * file's schema IS its equality-id list) plus the new data file. Both
+    * carry the SAME new sequence number, and the spec's strict rule does
+    * the rest: the equality delete applies only to STRICTLY LOWER data
+    * sequences, so every pre-existing row with an upserted key dies while
+    * the same-commit replacement rows survive. No read of existing data,
+    * no rewrite — an upsert is pure O(input) write I/O, which is why this
+    * shape (not COW merge) is what a high-frequency CDC stream uses.
+    * Readers on every route (native, pruned, DSv2 task-local) already
+    * implement the scoping. */
+  def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
+      keyCols: Seq[String]): OptimisticCommit.CommitResult = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    val schema = sparkSchema(meta0)
+    val keyFields = keyCols.map(k => meta0.currentSchema.fields.find(_.name == k)
+      .getOrElse(throw new IllegalArgumentException(s"key column $k not in schema")))
+    val projected = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val upsertUuid = java.util.UUID.randomUUID()
+    val eqFile = s"$tableDir/data/eqdel-$upsertUuid.parquet"
+    ParquetFiles.writeOne(projected.select(keyCols.map(col): _*).distinct()
+      .orderBy(keyCols.map(col): _*), eqFile)
+    val dataFile = s"$tableDir/data/upsert-$upsertUuid.parquet"
+    ParquetFiles.writeOne(projected.orderBy(keyCols.map(col): _*), dataFile)
+    val (nRows, dLower, dUpper) = deriveStats(spark, dataFile, meta0)
+    // key-column bounds on the delete file: what lets a future delete-side
+    // pruner skip this eq-delete for key ranges it can't touch
+    val (nKeys, eqLower, eqUpper) = deriveStatsFor(spark, eqFile, keyFields)
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
+      val attempt = java.util.UUID.randomUUID()
+      val mData = s"$tableDir/m-upsert-data-$snapId-$attempt.avro"
+      ManifestWriter.write(mData, Seq(ManifestWriter.EntryData(
+        1, snapId, dataFile, nRows, ParquetFiles.length(dataFile),
+        dLower, dUpper, content = 0, sequenceNumber = Some(snapId))))
+      val mEq = s"$tableDir/m-upsert-del-$snapId-$attempt.avro"
+      ManifestWriter.write(mEq, Seq(ManifestWriter.EntryData(
+        1, snapId, eqFile, nKeys, ParquetFiles.length(eqFile),
+        eqLower, eqUpper, content = 2, sequenceNumber = Some(snapId))))
+      val carried = carryForward(base)
+      val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+      ManifestListWriter.write(list, carried.map(_.path) ++ Seq(mData, mEq), snapId,
+        addedDataFilesCount = 1,
+        contents = carried.map(i => i.path -> i.content).toMap + (mEq -> 1),
+        specIds = carried.map(i => i.path -> i.specId).toMap,
+        summaries = carriedSummaries(carried),
+        addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
+        addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
+        seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
+        minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some("overwrite"),
+          Map("added-data-files" -> "1", "added-records" -> nRows.toString,
+            "added-delete-files" -> "1", "added-equality-deletes" -> nKeys.toString),
           Some(list), base.currentSchemaId),
         Some(basePath))
     })

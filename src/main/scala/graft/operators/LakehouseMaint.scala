@@ -1312,7 +1312,89 @@ object LakehouseMaint {
       |  'upd-NATION_3' AS name_3, 'MERGED_5' AS name_5, 'NEW_99' AS name_99
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i56
+  /** DECIMAL through the SQL route (round-9): CREATE TABLE with a
+    * DECIMAL(12,2) money column through the catalog, INSERT through the
+    * DSv2 task writers (FIXED_LEN_BYTE_ARRAY per the Iceberg parquet
+    * mapping — the type set `IcebergDatumWriter.java:195-197` carries —
+    * with bound stats tracked inline through the single-value codec's
+    * big-endian unscaled encoding), and SELECT back through the DSv2
+    * reader with a pushed decimal range predicate. The two INSERTs split
+    * the rows by price band, so the filter's entry-level bound pruning
+    * has a file to skip — and the aggregate hash-matches DuckDB doing
+    * the same decimal arithmetic on the raw parquet. */
+  val sqlDecimal: Q = (spark, sfDir) => {
+    val wh = entryDir("i56", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_dec2",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dec2.warehouse", wh)
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("i56_orders_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_dec2.db.orders
+        (o_orderkey BIGINT, o_totalprice DECIMAL(12,2))""")
+      spark.sql("""INSERT INTO graft_dec2.db.orders
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM i56_orders_src WHERE o_totalprice < 250000""")
+      spark.sql("""INSERT INTO graft_dec2.db.orders
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM i56_orders_src WHERE o_totalprice >= 250000""")
+    }
+    spark.sql("""SELECT COUNT(*) AS n_big,
+      CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS sum_price,
+      CAST(MIN(o_totalprice) AS DECIMAL(12,2)) AS min_price,
+      CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS max_price
+      FROM graft_dec2.db.orders WHERE o_totalprice > 300000.00""")
+  }
+
+  val sqlDecimalSql: String =
+    """SELECT COUNT(*) AS n_big,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+      |  CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS min_price,
+      |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_price
+      |FROM orders WHERE CAST(o_totalprice AS DECIMAL(12,2)) > 300000.00""".stripMargin
+
+  // ---------------------------------------------------------------- i57
+  /** Equality-delete WRITES through the public API (round-9): the
+    * streaming-upsert shape — one commit lands an equality-delete file on
+    * the key columns plus the replacement data file at the SAME sequence
+    * number, so the spec's strict rule (equality deletes hit strictly
+    * LOWER sequences only) kills every older row with an upserted key
+    * while the same-commit replacements survive. No read of existing
+    * data, no rewrite: O(input) write I/O — the CDC-stream shape, and
+    * the first producer of equality deletes outside fixture builders.
+    * Keys 3 and 5 are replaced, key 99 is net-new; the read-back is the
+    * composed MOR read. */
+  val upsertApi: Q = (spark, sfDir) => {
+    val dir = entryDir("i57", sfDir)
+    graft.TmpOutputs.ensure(dir) {
+      GraftTable.create(dir, IcebergSchema(0, Seq(
+        IcebergField(1, "n_nationkey", required = false, "int"),
+        IcebergField(2, "n_name", required = false, "string"),
+        IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000057", timestampMs = T0)
+      GraftTable.append(spark, dir, Tables.load(spark, sfDir, "nation"))
+      import spark.implicits._
+      val changes = Seq((3, "UPS_3", 3), (5, "UPS_5", 0), (99, "NEW_99", 4))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+      GraftTable.upsert(spark, dir, changes, Seq("n_nationkey"))
+    }
+    GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_k"),
+        max(when(col("n_nationkey") === 3, col("n_name"))).as("name_3"),
+        max(when(col("n_nationkey") === 5, col("n_name"))).as("name_5"),
+        max(when(col("n_nationkey") === 99, col("n_name"))).as("name_99"))
+  }
+
+  val upsertApiSql: String =
+    """SELECT COUNT(*) + 1 AS n_rows,
+      |  CAST(SUM(n_nationkey) + 99 AS BIGINT) AS sum_k,
+      |  'UPS_3' AS name_3, 'UPS_5' AS name_5, 'NEW_99' AS name_99
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i57_upsert_api" -> upsertApi,
+    "i56_sql_decimal" -> sqlDecimal,
     "i55_sql_update_merge" -> sqlUpdateMerge,
     "i54_range_pruned_scan" -> rangePrunedScan,
     "i53_sql_lifecycle" -> sqlLifecycle,
@@ -1338,6 +1420,8 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i57_upsert_api" -> upsertApiSql,
+    "i56_sql_decimal" -> sqlDecimalSql,
     "i55_sql_update_merge" -> sqlUpdateMergeSql,
     "i54_range_pruned_scan" -> rangePrunedScanSql,
     "i53_sql_lifecycle" -> sqlLifecycleSql,

@@ -3,7 +3,8 @@ package graft.sources
 import java.util
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Literal, Transform}
 import org.apache.spark.sql.types._
@@ -37,7 +38,7 @@ import graft.iceberg.{GraftTable, HadoopConfs, IcebergField, IcebergSchema,
   * state is NOTHING but the table directories — concurrent engines
   * coordinate through the versioned metadata documents alone, exactly
   * the HadoopCatalog model. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -145,6 +146,7 @@ class GraftCatalog extends TableCatalog {
     case BooleanType => "boolean"
     case DateType => "date"
     case TimestampType => "timestamptz"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new UnsupportedOperationException(
       s"graft catalog does not support column type $other")
   }
@@ -176,10 +178,11 @@ class GraftCatalog extends TableCatalog {
           s"unsupported partition transform $other — supported: identity, bucket(N, col)")
       }
     }
-    // fixed default timestamp keeps catalog DDL deterministic for the
-    // oracle fixtures; real deployments pass commit-timestamp-ms
+    // default to the real clock so SQL `TIMESTAMP AS OF <wall-clock>`
+    // resolves correctly on catalog-created tables; tests and oracle
+    // fixtures opt into determinism via the commit-timestamp-ms property
     val t0 = Option(properties.get("commit-timestamp-ms")).map(_.toLong)
-      .getOrElse(1700000000000L)
+      .getOrElse(System.currentTimeMillis())
     GraftTable.create(tableDir(ident), IcebergSchema(0, fields),
       tableUuid = java.util.UUID.randomUUID().toString, timestampMs = t0,
       spec = PartitionSpec(0, specFields))
@@ -210,9 +213,164 @@ class GraftCatalog extends TableCatalog {
     tableExists(ident) && HadoopConfs.fileSystemFor(tableDir(ident))
       .delete(new Path(tableDir(ident)), true)
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+  /** RENAME = one atomic directory move + a metadata-scale path rewrite.
+    * Iceberg documents embed ABSOLUTE paths (metadata-log entries,
+    * manifest-list locations, manifest paths, data-file paths), so a bare
+    * move would strand every reference — after the move, every metadata
+    * document, manifest list, and manifest under the table is rewritten
+    * with the old prefix mapped to the new (KB-scale planning artifacts;
+    * the data files themselves moved with the directory and are not
+    * touched). The move is the atomic claim — a concurrent writer against
+    * the old path fails its CAS refresh; readers between move and rewrite
+    * retry (same boundary Iceberg's HadoopCatalog draws by refusing
+    * rename outright — we choose the useful semantics instead). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(
+      (newIdent.namespace() :+ newIdent.name()).toSeq)
+    val oldPrefix = tableDir(oldIdent)
+    val newPrefix = tableDir(newIdent)
+    val fs = HadoopConfs.fileSystemFor(oldPrefix)
+    val dst = new Path(newPrefix)
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(new Path(oldPrefix), dst),
+      s"filesystem refused to move $oldPrefix to $dst")
+    rewritePathPrefix(newPrefix, oldPrefix, newPrefix)
+  }
+
+  /** Rewrite every absolute path under `dir`'s metadata closure mapping
+    * `oldPrefix` → `newPrefix`. Each shared artifact rewrites once.
+    * Position-delete files embed DATA-FILE paths in their rows (and the
+    * entry's file_path bound stats) — those rewrite too; equality-delete
+    * files carry only column values and move untouched. */
+  private def rewritePathPrefix(dir: String, oldPrefix: String, newPrefix: String): Unit = {
+    // delete-file rows hold `_metadata.file_path` URIs ("file:/x/...")
+    // while manifests hold plain paths — substring replacement covers both
+    def map(p: String): String = p.replace(oldPrefix, newPrefix)
+    import graft.iceberg.{ManifestListReader, ManifestListWriter, ManifestWriter,
+      MetadataWriter, ParquetFiles, SingleValueCodec, IcebergTypes}
+    val versions = 1 to OptimisticCommit.currentVersion(dir)
+    val metas = versions.map(v =>
+      (v, TableMetadata.parseFile(OptimisticCommit.metadataPath(dir, v))))
+    val listPaths = metas.flatMap(_._2.snapshots.flatMap(_.manifestList))
+      .distinct.map(map)
+    val byList = listPaths.map(l => l -> ManifestListReader.read(l))
+    val manifests = byList.flatMap(_._2.map(i => map(i.path))).distinct
+      .map(m => m -> ManifestWriter.read(m))
+    // position-delete FILE contents first (read original, swap in place)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fs = HadoopConfs.fileSystemFor(dir)
+    manifests.flatMap(_._2).filter(_.content == 1)
+      .map(e => map(e.filePath)).distinct.foreach { f =>
+        import org.apache.spark.sql.functions.{col, lit, replace}
+        val tmp = s"$f.rename-tmp"
+        ParquetFiles.writeOne(spark.read.parquet(f)
+          .withColumn("file_path", replace(col("file_path"),
+            lit(oldPrefix), lit(newPrefix))), tmp)
+        fs.delete(new Path(f), false)
+        require(fs.rename(new Path(tmp), new Path(f)), s"swap failed for $f")
+      }
+    def mapBound(b: Map[Int, Array[Byte]]): Map[Int, Array[Byte]] =
+      b.map { case (id, bytes) =>
+        if (id == ManifestWriter.PosDeleteFilePathId && bytes.nonEmpty)
+          id -> SingleValueCodec.encode(IcebergTypes.TString,
+            map(SingleValueCodec.decode(IcebergTypes.TString, bytes).asInstanceOf[String]))
+        else id -> bytes
+      }
+    // manifests (data-file paths + delete-entry path bounds), then lists
+    // (manifest paths), then the documents (list + log paths)
+    manifests.foreach { case (m, entries) =>
+      ManifestWriter.write(m, entries.map { e =>
+        val mapped = e.copy(filePath = map(e.filePath))
+        if (e.content == 1) mapped.copy(lowerBounds = mapBound(e.lowerBounds),
+          upperBounds = mapBound(e.upperBounds))
+        else mapped
+      })
+    }
+    byList.foreach { case (l, infos) =>
+      ManifestListWriter.write(l, infos.map(i => map(i.path)),
+        infos.headOption.map(_.addedSnapshotId).getOrElse(0L),
+        contents = infos.map(i => map(i.path) -> i.content).toMap,
+        specIds = infos.map(i => map(i.path) -> i.specId).toMap,
+        summaries = infos.flatMap(i => i.summaries.map(ss => map(i.path) -> ss.map(s =>
+          ManifestListWriter.FieldSummary(s.containsNull,
+            s.lower.getOrElse(Array.empty), s.upper.getOrElse(Array.empty))))).toMap,
+        addedSnapshotIds = infos.map(i => map(i.path) -> i.addedSnapshotId).toMap,
+        addedCounts = infos.map(i => map(i.path) -> i.addedDataFilesCount).toMap,
+        seqNums = infos.map(i => map(i.path) -> i.sequenceNumber).toMap,
+        minSeqNums = infos.map(i => map(i.path) -> i.minSequenceNumber).toMap)
+    }
+    metas.foreach { case (v, meta) =>
+      MetadataWriter.write(OptimisticCommit.metadataPath(dir, v), meta.copy(
+        location = map(meta.location),
+        snapshots = meta.snapshots.map(s => s.copy(manifestList = s.manifestList.map(map))),
+        metadataLog = meta.metadataLog.map(e => e.copy(metadataFile = map(e.metadataFile)))))
+    }
+  }
+
+  // ------------------------------------------------- SupportsNamespaces
+  // Namespaces ARE directories under the warehouse (the HadoopCatalog
+  // model): a namespace exists iff its directory does and it is not
+  // itself a table directory. No metadata beyond existence is kept.
+
+  private def nsDir(namespace: Array[String]): String =
+    (warehouse +: namespace.toSeq).mkString("/")
+
+  private def isTableDir(dir: String): Boolean =
+    OptimisticCommit.currentVersion(dir) > 0
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = nsDir(namespace)
+    namespace.nonEmpty && HadoopConfs.fileSystemFor(dir).exists(new Path(dir)) &&
+      !isTableDir(dir)
+  }
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val fs = HadoopConfs.fileSystemFor(warehouse)
+    if (!fs.exists(new Path(warehouse))) Array.empty
+    else fs.listStatus(new Path(warehouse)).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName))
+      .filterNot(ns => isTableDir(nsDir(ns)))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val dir = nsDir(namespace)
+    HadoopConfs.fileSystemFor(dir).listStatus(new Path(dir))
+      .filter(_.isDirectory)
+      .map(s => namespace :+ s.getPath.getName)
+      .filterNot(ns => isTableDir(nsDir(ns)))
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.nonEmpty, "cannot create the root namespace")
+    val dir = nsDir(namespace)
+    HadoopConfs.fileSystemFor(dir).mkdirs(new Path(dir))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException(
-      "graft catalog does not rename tables (paths ARE the identity)")
+      "graft namespaces are directories — they carry no mutable properties")
+
+  /** Non-cascade drop refuses a namespace with tables or child
+    * namespaces in it (SQL's RESTRICT); cascade removes everything. */
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val dir = nsDir(namespace)
+    val fs = HadoopConfs.fileSystemFor(dir)
+    if (!cascade && fs.listStatus(new Path(dir)).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(new Path(dir), cascade)
+  }
 }
 
 /** A metadata table served as a V2 `LocalScan`: the rows are KB-scale

@@ -386,7 +386,7 @@ object EntryFilterEval {
     * numerics widen through BigDecimal — except NaN/Infinity, which
     * BigDecimal cannot represent: those yield None (row conservatively
     * kept), never an exception. */
-  private[sources] def cmp(left: Option[Any], right: Any): Option[Int] = left.flatMap { lv =>
+  private[graft] def cmp(left: Option[Any], right: Any): Option[Int] = left.flatMap { lv =>
     if (lv == null || right == null) None
     else (lv, right) match {
       case (a: Number, b: Number) =>

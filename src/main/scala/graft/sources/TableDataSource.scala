@@ -173,7 +173,7 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
 
 class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
     snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long],
-    splitSize: Long, onPlanned: Seq[String] => Unit = _ => ())
+    splitSize: Long, onPlanned: (Seq[String], Seq[String]) => Unit = (_, _) => ())
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = tableSchema
   private var pushed: Array[sources.Filter] = Array.empty
@@ -198,7 +198,7 @@ class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
 class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     metadataPath: String, snapshotId: Option[Long], ref: Option[String],
     asOfTimestampMs: Option[Long], splitSize: Long = 128L * 1024 * 1024,
-    onPlanned: Seq[String] => Unit = _ => ())
+    onPlanned: (Seq[String], Seq[String]) => Unit = (_, _) => ())
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -215,6 +215,15 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   private lazy val planned: (Seq[(ManifestWriter.EntryData, Long)],
       Seq[(ManifestWriter.EntryData, Long)], Seq[(ManifestWriter.EntryData, Long)]) = {
     val meta = TableMetadata.parseFile(metadataPath)
+    // a freshly created (never-appended) table has no snapshot: it reads
+    // as zero rows, not an error — explicit time travel still throws
+    if (meta.currentSnapshotId.isEmpty && snapshotId.isEmpty && ref.isEmpty &&
+        asOfTimestampMs.isEmpty) (Nil, Nil, Nil)
+    else plannedFor(meta)
+  }
+
+  private def plannedFor(meta: TableMetadata): (Seq[(ManifestWriter.EntryData, Long)],
+      Seq[(ManifestWriter.EntryData, Long)], Seq[(ManifestWriter.EntryData, Long)]) = {
     val snap = GraftTable.resolveForScan(meta, snapshotId, ref, asOfTimestampMs)
     val listPath = snap.manifestList.getOrElse(throw new IllegalArgumentException(
       s"snapshot ${snap.snapshotId} has no manifest-list"))
@@ -280,8 +289,10 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   override def planInputPartitions(): Array[InputPartition] = {
     val (kept, posDeletes, eqDeletes) = planned
     // row-level (UPDATE/MERGE) scans record the served group set — the
-    // files the replace commit must swap
-    onPlanned(kept.map(_._1.filePath))
+    // files the replace commit must swap — AND the delete files the scan
+    // applied, so the commit can detect deletes added concurrently
+    onPlanned(kept.map(_._1.filePath),
+      (posDeletes ++ eqDeletes).map(_._1.filePath))
     val tableSchema = GraftTable.sparkSchema(TableMetadata.parseFile(metadataPath))
     def partition(e: ManifestWriter.EntryData, seq: Long,
         rowGroup: Int, rowStart: Long): GraftTableInputPartition =
@@ -340,6 +351,8 @@ class GraftRowLevelOperation(
 
   private val scannedFiles =
     new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+  private val scannedDeletes =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
@@ -353,7 +366,7 @@ class GraftRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTableScanBuilder(tableSchema, metadataPath, None, None, None,
-      splitSize, paths => scannedFiles.set(paths))
+      splitSize, (paths, dels) => { scannedFiles.set(paths); scannedDeletes.set(dels) })
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -386,11 +399,11 @@ class GraftRowLevelOperation(
                 val all = GraftTableWrites.filesOf(messages)
                 val files = all.filter(_.rows > 0)
                 val tableDir = new org.apache.hadoop.fs.Path(metadataPath).getParent.toString
+                GraftTableWrites.drop(all.filter(_.rows == 0))
                 GraftTable.commitReplaceFiles(tableDir,
                   files.map(m => GraftTable.PendingFile(
                     m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId)),
-                  scannedFiles.get().toSet)
-                GraftTableWrites.drop(all.filter(_.rows == 0))
+                  scannedFiles.get().toSet, scannedDeletes.get().toSet)
               }
               override def abort(
                   messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
@@ -593,6 +606,17 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
         val us = g.getLong(i, 0)
         java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
           Math.floorMod(us, 1000000L) * 1000L)
+      case dec: DecimalType =>
+        // physical encoding varies by writer: our task writers land
+        // FIXED_LEN_BYTE_ARRAY (the Iceberg mapping); Spark-written
+        // rewrite files use INT32/INT64 for small precision
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case INT32 => java.math.BigDecimal.valueOf(g.getInteger(i, 0).toLong, dec.scale)
+          case INT64 => java.math.BigDecimal.valueOf(g.getLong(i, 0), dec.scale)
+          case _ => new java.math.BigDecimal(
+            new java.math.BigInteger(g.getBinary(i, 0).getBytes), dec.scale)
+        }
       case other => throw new UnsupportedOperationException(
         s"graft-table reader does not decode $other (column $name) — " +
           "read via GraftTable.read for full-type support")

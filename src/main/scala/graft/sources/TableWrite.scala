@@ -159,8 +159,11 @@ class GraftTableBatchWrite(tableDir: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val all = GraftTableWrites.filesOf(messages)
     val files = all.filter(_.rows > 0) // empty task partitions add no file
-    GraftTableWrites.commit(tableDir, files, replace = replace)
-    GraftTableWrites.drop(all.filter(_.rows == 0))
+    GraftTableWrites.drop(all.filter(_.rows == 0)) // before commit: no leak on abort
+    // an INSERT/append selecting zero rows is a no-op; an OVERWRITE from
+    // an empty source still commits (truncate semantics)
+    if (files.nonEmpty || replace)
+      GraftTableWrites.commit(tableDir, files, replace = replace)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -194,9 +197,9 @@ class GraftTableStreamingWrite(tableDir: String, schema: StructType,
       _.summary.get("streaming-query-epoch").contains(tag))
     if (files.isEmpty || replayed) GraftTableWrites.drop(all)
     else {
+      GraftTableWrites.drop(all.filter(_.rows == 0))
       GraftTableWrites.commit(tableDir, files,
         extraSummary = Map("streaming-query-epoch" -> tag))
-      GraftTableWrites.drop(all.filter(_.rows == 0))
     }
   }
 
@@ -229,6 +232,24 @@ class GraftTableStreamingWriterFactory(tableDir: String, queryId: String,
 }
 
 object GraftTableDataWriter {
+
+  /** Minimum FIXED_LEN_BYTE_ARRAY length holding `precision` decimal
+    * digits (two's complement) — the Iceberg parquet mapping for
+    * `decimal(P,S)`. */
+  private[sources] def decimalLen(precision: Int): Int =
+    (java.math.BigInteger.TEN.pow(precision)
+      .subtract(java.math.BigInteger.ONE).bitLength + 1 + 7) / 8
+
+  /** Unscaled value sign-extended to the type's fixed length. */
+  private[sources] def decimalBinary(d: java.math.BigDecimal, precision: Int): Binary = {
+    val len = decimalLen(precision)
+    val unscaled = d.unscaledValue.toByteArray
+    require(unscaled.length <= len, s"decimal $d overflows precision $precision")
+    val fixed = Array.fill[Byte](len)(if (d.signum < 0) -1 else 0)
+    System.arraycopy(unscaled, 0, fixed, len - unscaled.length, unscaled.length)
+    Binary.fromConstantByteArray(fixed)
+  }
+
   def create(pathFor: Int => String, schema: StructType,
       fields: Seq[(Int, String, IcebergType)], part: GraftTableWrites.PartInfo,
       conf: Configuration): DataWriter[InternalRow] = part match {
@@ -291,6 +312,7 @@ class GraftTablePartitionedWriter(pathFor: Int => String, schema: StructType,
       case DoubleType => row.getDouble(idx)
       case FloatType => row.getFloat(idx)
       case BooleanType => row.getBoolean(idx)
+      case d: DecimalType => row.getDecimal(idx, d.precision, d.scale).toJavaBigDecimal
       case other => throw new UnsupportedOperationException(other.toString)
     }
 
@@ -360,6 +382,9 @@ class GraftFileWriter(path: String, schema: StructType,
         case TimestampType => Types.optional(PrimitiveTypeName.INT64)
           .as(LogicalTypeAnnotation.timestampType(true,
             LogicalTypeAnnotation.TimeUnit.MICROS))
+        case d: DecimalType => Types.optional(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+          .length(GraftTableDataWriter.decimalLen(d.precision))
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
         case other => throw new UnsupportedOperationException(
           s"graft-table DSv2 writer does not encode $other (column ${f.name})")
       }
@@ -388,6 +413,7 @@ class GraftFileWriter(path: String, schema: StructType,
     case (x: Float, y: Float) => x.compareTo(y)
     case (x: Boolean, y: Boolean) => x.compareTo(y)
     case (x: String, y: String) => x.compareTo(y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
     case _ => 0
   }
 
@@ -402,6 +428,8 @@ class GraftFileWriter(path: String, schema: StructType,
           case FloatType => row.getFloat(i)
           case BooleanType => row.getBoolean(i)
           case StringType => row.getUTF8String(i).toString
+          case d: DecimalType =>
+            row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
           case other => throw new UnsupportedOperationException(other.toString)
         }
         v match {
@@ -411,6 +439,9 @@ class GraftFileWriter(path: String, schema: StructType,
           case x: Float => g.add(f.name, x)
           case x: Boolean => g.add(f.name, x)
           case x: String => g.add(f.name, Binary.fromString(x))
+          case x: java.math.BigDecimal => g.add(f.name,
+            GraftTableDataWriter.decimalBinary(x,
+              f.dataType.asInstanceOf[DecimalType].precision))
         }
         if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
         if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v

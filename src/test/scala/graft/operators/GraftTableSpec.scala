@@ -189,6 +189,37 @@ class GraftTableSpec extends SparkSpec {
       Seq(4, 9, 14, 19, 24))
   }
 
+  test("i57: upsert lands eq-delete + data in one commit; strict scoping keeps replacements") {
+    val row = LakehouseMaint.upsertApi(spark, sfDir).head()
+    assert(row.getAs[Long]("n_rows") == 26L) // 25 nations + new key 99
+    assert(row.getAs[String]("name_3") == "UPS_3")
+    assert(row.getAs[String]("name_5") == "UPS_5")
+    assert(row.getAs[String]("name_99") == "NEW_99")
+    // repeated upserts of one key: latest wins on BOTH read routes (the
+    // second eq-delete out-sequences the first upsert's data row too)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ups2").toString
+    GraftTable.create(dir, graft.iceberg.IcebergSchema(0, Seq(
+      graft.iceberg.IcebergField(1, "n_nationkey", required = false, "int"),
+      graft.iceberg.IcebergField(2, "n_name", required = false, "string"),
+      graft.iceberg.IcebergField(3, "n_regionkey", required = false, "int"))),
+      tableUuid = java.util.UUID.randomUUID().toString, timestampMs = 1700000000000L)
+    val nation = graft.Tables.load(spark, sfDir, "nation")
+    GraftTable.append(spark, dir, nation)
+    import spark.implicits._
+    GraftTable.upsert(spark, dir,
+      Seq((3, "FIRST", 3)).toDF("n_nationkey", "n_name", "n_regionkey"), Seq("n_nationkey"))
+    GraftTable.upsert(spark, dir,
+      Seq((3, "SECOND", 3)).toDF("n_nationkey", "n_name", "n_regionkey"), Seq("n_nationkey"))
+    val path = GraftTable.latestMetadataPath(dir)
+    val native = GraftTable.read(spark, path)
+      .filter(col("n_nationkey") === 3).select(col("n_name")).collect()
+    assert(native.map(_.getString(0)).toSeq == Seq("SECOND"))
+    val dsv2 = spark.read.format("graft-table").option("metadata", path).load()
+      .filter(col("n_nationkey") === 3).select(col("n_name")).collect()
+    assert(dsv2.map(_.getString(0)).toSeq == Seq("SECOND"))
+    assert(GraftTable.read(spark, path).count() == 25L)
+  }
+
   test("ref time travel resolves tags through the committed refs map") {
     val v4 = TableMetadata.parseFile(s"$dir/v4.metadata.json")
     val v5 = s"$dir/v5.metadata.json"

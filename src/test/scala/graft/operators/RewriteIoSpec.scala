@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.iceberg.{GraftTable, IcebergField, IcebergSchema}
+
+/** Round-9 rewrite-I/O shape (VERDICT r8 #1): COW rewrite jobs read ONLY
+  * their affected file/bin — K affected files cost O(affected bytes),
+  * not K full-table scans.
+  *
+  *   - merge: a data file whose key-column bound stats can't overlap the
+  *     source's key range is provably unaffected and NEVER READ — proven
+  *     destructively (the unaffected file is garbage on disk; the merge
+  *     succeeds only because it was never opened);
+  *   - compact: per-bin jobs read their own files once — proven by
+  *     aggregate input-record metrics (one pass over the table plus the
+  *     stat derivation of the outputs, far under the old bins × table).
+  */
+class RewriteIoSpec extends SparkSpec {
+
+  private def mkTable(dir: String): Unit =
+    GraftTable.create(dir, IcebergSchema(0, Seq(
+      IcebergField(1, "n_nationkey", required = false, "int"),
+      IcebergField(2, "n_name", required = false, "string"),
+      IcebergField(3, "n_regionkey", required = false, "int"))),
+      tableUuid = java.util.UUID.randomUUID().toString, timestampMs = 1700000000000L)
+
+  private def nationRow(k: Int) =
+    graft.Tables.load(spark, sfDir, "nation").filter(col("n_nationkey") === k)
+
+  test("merge never reads files whose key bounds exclude the source keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mio").toString
+    mkTable(dir)
+    GraftTable.append(spark, dir, nationRow(3)) // file A: key 3
+    GraftTable.append(spark, dir, nationRow(5)) // file B: key 5
+    // corrupt file B on disk: any code path that opens it now fails
+    val bPath = spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir)).load()
+      .filter(col("n_nationkey") === 5).select(col("_file")).head().getString(0)
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      new java.net.URI(bPath).getPath),
+      "corrupted: merge must never open this file".getBytes)
+    // merge touching only key 3: B's bounds ([5,5] vs source range [3,3])
+    // prune it at the metadata level — the merge succeeds because the
+    // corrupt file is never opened, and carries it forward untouched
+    import spark.implicits._
+    val src = Seq((3, "MERGED_3", 1)).toDF("n_nationkey", "n_name", "n_regionkey")
+    GraftTable.merge(spark, dir, src, Seq("n_nationkey"))
+    val entries = graft.iceberg.ManifestListReader
+      .read(graft.iceberg.TableMetadata
+        .parseFile(GraftTable.latestMetadataPath(dir))
+        .currentSnapshot.get.manifestList.get)
+      .flatMap(i => graft.iceberg.ManifestWriter.read(i.path))
+      .filter(e => e.status != 2 && e.content == 0)
+    assert(entries.size == 2)
+    assert(entries.exists(e => e.filePath == bPath ||
+      new java.net.URI(bPath).getPath.endsWith(
+        new org.apache.hadoop.fs.Path(e.filePath).toUri.getPath)))
+    // the rewritten half is readable and updated
+    val merged = entries.filter(_.filePath.contains("merged-"))
+    assert(merged.size == 1)
+    val rows = spark.read.parquet(merged.head.filePath).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("n_name") == "MERGED_3")
+  }
+
+  test("compact rewrite I/O is one pass over the table, not bins x table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cio").toString
+    mkTable(dir)
+    val nation = graft.Tables.load(spark, sfDir, "nation") // 25 rows
+    (0 until 4).foreach(_ => GraftTable.append(spark, dir, nation)) // 4 files, 100 rows
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      GraftTable.compact(spark, dir, targetBytes = 1L) // one bin per file
+      Thread.sleep(3000) // listener bus is async; events drain quickly
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one pass over the 100 table rows + the 100-row stat derivation of
+    // the outputs ≈ 200 records (+ metadata-scale lookups). The old
+    // full-frame-per-bin shape read 4 × 100 + 100 = 500+.
+    assert(read.get() <= 320, s"compact read ${read.get()} records — rewrite jobs are re-scanning the table")
+    val live = GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+    assert(live.count() == 100L)
+  }
+
+  test("partitioned append reads its input once, not once per partition tuple") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ap1").toString
+    GraftTable.create(dir, graft.iceberg.IcebergSchema(0, Seq(
+      IcebergField(1, "n_nationkey", required = false, "int"),
+      IcebergField(2, "n_name", required = false, "string"),
+      IcebergField(3, "n_regionkey", required = false, "int"))),
+      tableUuid = java.util.UUID.randomUUID().toString, timestampMs = 1700000000000L,
+      spec = graft.iceberg.PartitionSpec(0, Seq(
+        graft.iceberg.PartitionField("n_nationkey_bucket", "bucket[4]", 1, 1000))))
+    val acc = spark.sparkContext.longAccumulator("append-input-rows")
+    val counted = graft.Tables.load(spark, sfDir, "nation")
+      .filter((_: org.apache.spark.sql.Row) => { acc.add(1); true })
+    GraftTable.append(spark, dir, counted)
+    // 25 input rows, 4 bucket tuples: the old per-tuple-scan shape read
+    // 125 (distinct + 4 × 25); the task-writer route reads each row once
+    assert(acc.value == 25L,
+      s"append evaluated ${acc.value} input rows — must be a single pass")
+    // still one summarized manifest per tuple, and the table reads back
+    val meta = graft.iceberg.TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val infos = graft.iceberg.ManifestListReader.read(
+      meta.currentSnapshot.get.manifestList.get)
+    assert(infos.size == 4 && infos.forall(_.summaries.isDefined))
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == 25L)
+  }
+}

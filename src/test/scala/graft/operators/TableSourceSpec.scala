@@ -268,7 +268,10 @@ class TableSourceSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.graft_tt",
       classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft_tt.warehouse", wh)
-    spark.sql("CREATE TABLE graft_tt.db.n (k INT, name STRING, r INT)")
+    // determinism is opt-IN now (the default is the real clock, so SQL
+    // TIMESTAMP AS OF works with wall-clock instants on real tables)
+    spark.sql("""CREATE TABLE graft_tt.db.n (k INT, name STRING, r INT)
+      TBLPROPERTIES ('commit-timestamp-ms'='1700000000000')""")
     graft.Tables.load(spark, sfDir, "nation")
       .selectExpr("n_nationkey AS k", "n_name AS name", "n_regionkey AS r")
       .createOrReplaceTempView("tt_src")
@@ -279,7 +282,7 @@ class TableSourceSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM graft_tt.db.n VERSION AS OF 1")
       .head().getLong(0) == 13L)
     // TIMESTAMP AS OF — commit timestamps are deterministic from the
-    // catalog's fixed T0 (1700000000000L): snap1 at +1000, snap2 at +2000
+    // pinned T0 (1700000000000L): snap1 at +1000, snap2 at +2000
     assert(spark.sql( // session TZ is UTC; T0+1500ms
       "SELECT COUNT(*) FROM graft_tt.db.n TIMESTAMP AS OF '2023-11-14 22:13:21.5'")
       .head().getLong(0) == 13L)
@@ -503,6 +506,68 @@ class TableSourceSpec extends SparkSpec {
     w.commit(1L, Array(msg(landFile("e1-a"))))
     assert(TableMetadata.parseFile(GraftTable.latestMetadataPath(dir)).snapshots.size == 2)
     assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == 10L)
+  }
+
+  test("SQL namespaces and RENAME TABLE through the catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ns").toString
+    spark.conf.set("spark.sql.catalog.graft_ns",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ns.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graft_ns.db1")
+    spark.sql("CREATE NAMESPACE graft_ns.db2")
+    val namespaces = spark.sql("SHOW NAMESPACES IN graft_ns")
+      .collect().map(_.getString(0)).toSet
+    assert(namespaces == Set("db1", "db2"))
+    spark.sql("CREATE TABLE graft_ns.db1.t (k INT, name STRING)")
+    spark.sql("INSERT INTO graft_ns.db1.t VALUES (1, 'one'), (2, 'two')")
+    spark.sql("INSERT INTO graft_ns.db1.t VALUES (3, 'three')")
+    spark.sql("DELETE FROM graft_ns.db1.t WHERE k = 2")
+    // rename ACROSS namespaces: directory move + metadata path rewrite —
+    // reads, MOR deletes, and time travel all survive under the new name
+    spark.sql("ALTER TABLE graft_ns.db1.t RENAME TO db2.t2")
+    assert(spark.sql("SHOW TABLES IN graft_ns.db1").collect().isEmpty)
+    val rows = spark.sql("SELECT k, name FROM graft_ns.db2.t2 ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "one"), (3, "three")))
+    assert(spark.sql("SELECT COUNT(*) FROM graft_ns.db2.t2 VERSION AS OF 2")
+      .head().getLong(0) == 3L) // pre-delete snapshot, post-rename
+    // the native route agrees on the moved metadata
+    assert(GraftTable.read(spark,
+      GraftTable.latestMetadataPath(s"$wh/db2/t2")).count() == 2L)
+    // RESTRICT drop refuses a non-empty namespace; cascade removes it
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft_ns.db2") }
+    spark.sql("DROP NAMESPACE graft_ns.db2 CASCADE")
+    assert(spark.sql("SHOW NAMESPACES IN graft_ns")
+      .collect().map(_.getString(0)).toSet == Set("db1"))
+  }
+
+  test("i56: DECIMAL columns round-trip the SQL route with prunable bound stats") {
+    val row = LakehouseMaint.sqlDecimal(spark, sfDir).head()
+    assert(row.getAs[Long]("n_big") > 0L)
+    assert(row.getAs[java.math.BigDecimal]("min_price")
+      .compareTo(new java.math.BigDecimal("300000.00")) > 0)
+    // destructive pruning proof: a file whose decimal bounds exclude the
+    // pushed predicate is never opened. Two price-banded files; corrupt
+    // the low one; the high-band query still answers.
+    val wh = java.nio.file.Files.createTempDirectory("graft-decp").toString
+    spark.conf.set("spark.sql.catalog.graft_decp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_decp.warehouse", wh)
+    spark.sql("CREATE TABLE graft_decp.db.t (k BIGINT, price DECIMAL(12,2))")
+    spark.sql("INSERT INTO graft_decp.db.t VALUES (1, 10.50), (2, 20.25)")
+    spark.sql("INSERT INTO graft_decp.db.t VALUES (3, 90000.75), (4, 80000.00)")
+    val meta = graft.iceberg.TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(s"$wh/db/t"))
+    val lowFile = graft.iceberg.ManifestListReader
+      .read(meta.currentSnapshot.get.manifestList.get)
+      .flatMap(i => graft.iceberg.ManifestWriter.read(i.path))
+      .find(_.snapshotId == 1L).get.filePath // the low-band INSERT
+    java.nio.file.Files.write(java.nio.file.Paths.get(lowFile),
+      "corrupted: decimal bound pruning must skip this file".getBytes)
+    val got = spark.sql(
+      "SELECT k, price FROM graft_decp.db.t WHERE price > 50000.00 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString))
+    assert(got.toSeq == Seq((3L, "90000.75"), (4L, "80000.00")))
   }
 
   test("equality deletes apply in-reader with strict sequence scoping") {

@@ -117,7 +117,20 @@ object GraftTable {
     *     many delete commits are pending. */
   private def readFromInfos(spark: SparkSession, meta: TableMetadata,
       infos: Seq[ManifestListReader.ManifestFileInfo]): DataFrame = {
-    val byManifest = Par.inParallel(infos)(i => (i, ManifestWriter.read(i.path)))
+    // manifest-LEVEL delete pruning, before any open: a delete manifest's
+    // list-level sequence number (field 515) is the CEILING on every
+    // entry's sequence inside it, and the data manifests' field 516 is
+    // the floor under every surviving data sequence. A delete manifest
+    // whose ceiling sits below the floor cannot address any live row
+    // under the <= (position) / < (equality) application rules — typical
+    // after compaction re-sequences the data above carried-forward
+    // deletes. At 10⁵ delete manifests the planner never opens the dead
+    // ones. (A 515-less list defaults the ceiling to the commit snapshot
+    // id — never below its entries — so the skip stays conservative.)
+    val minDataSeq = infos.filter(_.content == 0)
+      .map(_.minSequenceNumber).minOption.getOrElse(Long.MaxValue)
+    val opened = infos.filter(i => i.content == 0 || i.sequenceNumber >= minDataSeq)
+    val byManifest = Par.inParallel(opened)(i => (i, ManifestWriter.read(i.path)))
     // live (entry, sequence) per list-content route; DELETED entries
     // (status 2) drop out; sequence inherits list field 515 when null
     def live(listContent: Int, entryContent: Int): Seq[(ManifestWriter.EntryData, Long)] =
@@ -465,6 +478,11 @@ object GraftTable {
         f.rows, f.bytes, f.lower, f.upper, content = 0, sequenceNumber = Some(snapId)))
       val manifest = s"$tableDir/m-rowlevel-$snapId-$attempt.avro"
       ManifestWriter.write(manifest, untouched ++ newEntries)
+      // the manifest holds carried EXISTING entries at their ORIGINAL
+      // sequences — field 516 must be the true minimum, or delete-side
+      // sequence pruning would wrongly skip deletes that still apply
+      val minSeq = (untouched ++ newEntries).flatMap(_.sequenceNumber)
+        .foldLeft(snapId)(math.min)
       // delete manifests carry forward: they still scope to untouched
       // files; rewritten groups were materialized post-MOR at a new seq
       val carriedDeletes = carryForward(base).filter(_.content == 1)
@@ -477,7 +495,8 @@ object GraftTable {
         addedSnapshotIds = carriedDeletes.map(i => i.path -> i.addedSnapshotId).toMap,
         addedCounts = carriedDeletes.map(i => i.path -> i.addedDataFilesCount).toMap,
         seqNums = carriedDeletes.map(i => i.path -> i.sequenceNumber).toMap,
-        minSeqNums = carriedDeletes.map(i => i.path -> i.minSequenceNumber).toMap)
+        minSeqNums = carriedDeletes.map(i => i.path -> i.minSequenceNumber).toMap
+          + (manifest -> minSeq))
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("overwrite"),
@@ -489,22 +508,24 @@ object GraftTable {
 
   /** Hidden-partition pruned read WITH merge-on-read: `sourceFieldId =
     * value` converts into the spec's transform space (ScanPlanning
-    * .transformValue) and prunes DATA manifests against their list
-    * summaries WITHOUT opening them; pending deletes still apply — every
-    * delete manifest is kept (a delete landed anywhere may target a
-    * surviving file; at partition-scoped delete volume, summary-pruning
-    * the delete side too is the same rule applied symmetrically), the
-    * sequence-scoped MOR runs over the pruned data set, and the residual
-    * predicate applies in the scan. Returns the filtered live rows plus
-    * how many DATA manifests planning kept vs listed. */
+    * .transformValue) and prunes manifests against their list summaries
+    * WITHOUT opening them — DATA manifests and, by the same rule applied
+    * symmetrically, DELETE manifests: a partition-scoped delete file
+    * cannot address data in a partition its manifest's summaries provably
+    * exclude (a summary-less delete manifest is always kept — global
+    * deletes stay safe). The sequence-scoped MOR runs over the pruned
+    * sets, and the residual predicate applies in the scan. Returns the
+    * filtered live rows plus how many DATA manifests planning kept vs
+    * listed. */
   def readWhere(spark: SparkSession, metadataPath: String,
       sourceFieldId: Int, value: Any): (DataFrame, Int, Int) = {
     val meta = TableMetadata.parseFile(metadataPath)
     val snap = resolveSnapshot(meta, None, None)
     val all = ManifestListReader.read(snap.manifestList.get)
-    val survivingData = ScanPlanning.pruneManifestsByTransform(
-      snap.manifestList.get, meta, sourceFieldId, value).filter(_.content == 0)
-    val deletes = all.filter(_.content == 1)
+    val surviving = ScanPlanning.pruneManifestsByTransform(
+      snap.manifestList.get, meta, sourceFieldId, value)
+    val survivingData = surviving.filter(_.content == 0)
+    val deletes = surviving.filter(_.content == 1)
     val fieldName = meta.currentSchema.fields.find(_.id == sourceFieldId).get.name
     val df = readFromInfos(spark, meta, survivingData ++ deletes)
       .filter(col(fieldName) <=> lit(value)) // residual
@@ -513,19 +534,20 @@ object GraftTable {
   }
 
   /** Range variant of [[readWhere]]: `lower <= sourceField <= upper`
-    * (either side optional) prunes data manifests through the spec's
-    * MONOTONIC transforms (ScanPlanning.pruneManifestsByRange), composes
-    * the sequence-scoped MOR apply, and re-applies the residual range in
-    * the scan. */
+    * (either side optional) prunes data AND delete manifests through the
+    * spec's MONOTONIC transforms (ScanPlanning.pruneManifestsByRange),
+    * composes the sequence-scoped MOR apply, and re-applies the residual
+    * range in the scan. */
   def readWhereRange(spark: SparkSession, metadataPath: String,
       sourceFieldId: Int, lower: Option[Any], upper: Option[Any])
       : (DataFrame, Int, Int) = {
     val meta = TableMetadata.parseFile(metadataPath)
     val snap = resolveSnapshot(meta, None, None)
     val all = ManifestListReader.read(snap.manifestList.get)
-    val survivingData = ScanPlanning.pruneManifestsByRange(
-      snap.manifestList.get, meta, sourceFieldId, lower, upper).filter(_.content == 0)
-    val deletes = all.filter(_.content == 1)
+    val surviving = ScanPlanning.pruneManifestsByRange(
+      snap.manifestList.get, meta, sourceFieldId, lower, upper)
+    val survivingData = surviving.filter(_.content == 0)
+    val deletes = surviving.filter(_.content == 1)
     val fieldName = meta.currentSchema.fields.find(_.id == sourceFieldId).get.name
     val residual = (lower.map(col(fieldName) >= lit(_)) ++
       upper.map(col(fieldName) <= lit(_))).reduceOption(_ && _).getOrElse(lit(true))
@@ -659,6 +681,12 @@ object GraftTable {
       }
       val manifest = s"$tableDir/m-merge-$snapId-$attempt.avro"
       ManifestWriter.write(manifest, untouched ++ newEntries)
+      // field 516 must be the true minimum over the carried EXISTING
+      // entries' original sequences — a 516 defaulted to snapId would let
+      // delete-side sequence pruning wrongly skip deletes that still
+      // apply to the untouched files
+      val minSeq = (untouched ++ newEntries).flatMap(_.sequenceNumber)
+        .foldLeft(snapId)(math.min)
       // delete manifests carry forward: they still apply to untouched files
       val carriedDeletes = carryForward(base).filter(_.content == 1)
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
@@ -670,7 +698,8 @@ object GraftTable {
         addedCounts = carriedDeletes.map(i => i.path -> i.addedDataFilesCount).toMap,
         summaries = carriedSummaries(carriedDeletes),
         seqNums = carriedDeletes.map(i => i.path -> i.sequenceNumber).toMap,
-        minSeqNums = carriedDeletes.map(i => i.path -> i.minSequenceNumber).toMap)
+        minSeqNums = carriedDeletes.map(i => i.path -> i.minSequenceNumber).toMap
+          + (manifest -> minSeq))
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("overwrite"),

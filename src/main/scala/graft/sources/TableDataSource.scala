@@ -77,7 +77,11 @@ class TableDataSource extends TableProvider with DataSourceRegister {
       Option(opts.get("snapshot-id")).map(_.toLong),
       Option(opts.get("ref")),
       Option(opts.get("as-of-timestamp-ms")).map(_.toLong),
-      Option(opts.get("split-size")).map(_.toLong).getOrElse(128L * 1024 * 1024))
+      Option(opts.get("split-size")).map(_.toLong).getOrElse(128L * 1024 * 1024),
+      // escape hatch (and the bench's row-vs-columnar control): "false"
+      // forces the row route; it can never force columnar ON — the
+      // scan-level eligibility rules still apply
+      Option(opts.get("columnar")).forall(_.toBoolean))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -85,7 +89,7 @@ class TableDataSource extends TableProvider with DataSourceRegister {
 
 class GraftSparkTable(tableSchema: StructType, metadataPath: String,
     snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long],
-    splitSize: Long)
+    splitSize: Long, allowColumnar: Boolean = true)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -127,7 +131,7 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTableScanBuilder(tableSchema, metadataPath, snapshotId, ref,
-      asOfTimestampMs, splitSize)
+      asOfTimestampMs, splitSize, allowColumnar = allowColumnar)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -173,7 +177,8 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
 
 class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
     snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long],
-    splitSize: Long, onPlanned: (Seq[String], Seq[String]) => Unit = (_, _) => ())
+    splitSize: Long, onPlanned: (Seq[String], Seq[String]) => Unit = (_, _) => (),
+    allowColumnar: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = tableSchema
   private var pushed: Array[sources.Filter] = Array.empty
@@ -192,13 +197,14 @@ class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
 
   override def build(): Scan =
     new GraftTableScan(required, pushed, metadataPath, snapshotId, ref,
-      asOfTimestampMs, splitSize, onPlanned)
+      asOfTimestampMs, splitSize, onPlanned, allowColumnar)
 }
 
 class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     metadataPath: String, snapshotId: Option[Long], ref: Option[String],
     asOfTimestampMs: Option[Long], splitSize: Long = 128L * 1024 * 1024,
-    onPlanned: (Seq[String], Seq[String]) => Unit = (_, _) => ())
+    onPlanned: (Seq[String], Seq[String]) => Unit = (_, _) => (),
+    allowColumnar: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -246,7 +252,7 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
         fieldId(c).map(fid =>
           (fid, bs.flatMap(_._2).lastOption, bs.flatMap(_._3).lastOption))
       }
-    val afterEq = eqPairs.foldLeft(dataInfos0.map(_.path).toSet) {
+    val afterEq = eqPairs.foldLeft(infos.map(_.path).toSet) {
       case (acc, (fid, v)) =>
         acc.intersect(ScanPlanning.pruneManifestsByTransform(listPath, meta, fid, v)
           .map(_.path).toSet)
@@ -264,7 +270,17 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     // level 2: entry bound stats prune files the filters cannot match
     val kept = dataEntries.filterNot { case (e, _) =>
       filters.exists(f => FileBoundsEval.skippable(f, e, meta)) }
-    val delInfos = infos.filter(_.content == 1)
+    // delete-side manifest pruning, the data-side rules applied
+    // symmetrically and conservatively — a skipped manifest is NEVER
+    // opened: (a) the pushed predicate's transform-space summary prune
+    // (a partition-scoped delete can't address data in a partition its
+    // summaries exclude; summary-less manifests are kept), and (b) the
+    // sequence ceiling: list-level field 515 bounds every entry inside,
+    // so a delete manifest wholly below the kept data files' minimum
+    // sequence can't reach any of them under the <=/< application rules
+    val minKeptSeq = kept.map(_._2).minOption.getOrElse(Long.MaxValue)
+    val delInfos = infos.filter(i => i.content == 1 && surviving(i.path) &&
+      i.sequenceNumber >= minKeptSeq)
     val delEntries = Par.inParallel(delInfos)(i => (i, ManifestWriter.read(i.path)))
       .flatMap { case (i, es) => es.filter(_.status != 2)
         .map(e => (e, e.sequenceNumber.getOrElse(i.sequenceNumber))) }
@@ -309,19 +325,31 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     // (footer read at planning, concurrent, only for big files — the
     // manifest's fileSizeInBytes decides, so small files cost nothing);
     // each split carries its absolute first-row index so position deletes
-    // keep addressing file-absolute row numbers
+    // keep addressing file-absolute row numbers, plus the group's byte
+    // range so the columnar route can select exactly it by midpoint
     Par.inParallel(kept) { case (e, seq) =>
       if (e.fileSizeInBytes <= splitSize) Seq(partition(e, seq, -1, 0L))
       else {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(e.filePath), hadoopConf.value))
-        val counts = try r.getRowGroups.asScala.map(_.getRowCount).toSeq
+        val groups = try r.getRowGroups.asScala
+          .map(b => (b.getRowCount, b.getStartingPos, b.getCompressedSize)).toSeq
           finally r.close()
-        counts.scanLeft(0L)(_ + _).zip(counts.indices)
-          .map { case (start, rg) => partition(e, seq, rg, start) }
+        groups.map(_._1).scanLeft(0L)(_ + _).zip(groups.zipWithIndex)
+          .map { case (start, ((_, pos, bytes), rg)) =>
+            partition(e, seq, rg, start).copy(splitStart = pos, splitBytes = bytes) }
       }
     }.flatten.map(p => p: InputPartition).toArray
   }
+
+  /** Columnar is a SCAN-level decision (Spark forbids mixing row and
+    * columnar partitions in one scan): every required type must be in the
+    * vectorized palette, metadata columns stay row-served, and ANY
+    * pending delete forces the row route (deletes filter row-by-row). */
+  private lazy val columnarOk: Boolean = allowColumnar &&
+    GraftTableColumnarReader.supportedSchema(required) &&
+      !required.fieldNames.exists(n => n == "_file" || n == "_pos") &&
+      planned._2.isEmpty && planned._3.isEmpty
 
   /** Exact size from manifest stats (what they exist for); row count only
     * when no deletes are pending (deleted rows are unknowable unscanned). */
@@ -335,7 +363,7 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftTableReaderFactory(required, hadoopConf)
+    new GraftTableReaderFactory(required, hadoopConf, columnarOk)
 }
 
 /** One SQL UPDATE / MERGE INTO execution: the scan and the write share
@@ -417,17 +445,86 @@ class GraftRowLevelOperation(
 
 /** `rowGroup` == -1 reads the whole file (the un-split case); otherwise
   * exactly that row group, with `rowStart` its absolute first-row index
-  * (what keeps file-absolute position deletes correct on a split). */
+  * (what keeps file-absolute position deletes correct on a split).
+  * `splitStart`/`splitBytes` are the split's BYTE range for the columnar
+  * route (parquet selects row groups by midpoint): (0, Long.MaxValue)
+  * covers the whole file; a row-group split carries the group's exact
+  * footer-declared offset and compressed size. */
 case class GraftTableInputPartition(filePath: String, sequenceNumber: Long,
     posDeleteFiles: Seq[String], eqDeleteFiles: Seq[String],
-    tableSchema: StructType, rowGroup: Int = -1, rowStart: Long = 0L)
+    tableSchema: StructType, rowGroup: Int = -1, rowStart: Long = 0L,
+    splitStart: Long = 0L, splitBytes: Long = Long.MaxValue)
     extends InputPartition
 
 class GraftTableReaderFactory(required: StructType,
-    hadoopConf: graft.iceberg.SerializableHadoopConf) extends PartitionReaderFactory {
+    hadoopConf: graft.iceberg.SerializableHadoopConf,
+    columnar: Boolean = false) extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftTablePartitionReader(
       partition.asInstanceOf[GraftTableInputPartition], required, hadoopConf.value)
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftTableColumnarReader(
+      partition.asInstanceOf[GraftTableInputPartition], required, hadoopConf.value)
+}
+
+/** The vectorized scan route: Spark's own VectorizedParquetRecordReader
+  * decodes whole column batches (the engine's production parquet path —
+  * dictionary-aware, null-vector schema evolution, no per-row object
+  * materialization) and the scan exec consumes ColumnarBatches directly.
+  * Selected whenever the scan carries NO pending deletes, no metadata
+  * columns, and every required type is vectorizable — the overwhelmingly
+  * common analytic case; anything else takes the row-route MOR reader.
+  * This removes the 5-10× per-row Group-API decode penalty the round-8
+  * reader paid on every SQL query through the catalog. */
+class GraftTableColumnarReader(part: GraftTableInputPartition,
+    required: StructType, confBase: Configuration)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport,
+    VectorizedParquetRecordReader}
+
+  private val conf = new Configuration(confBase)
+  // the keys Spark's reader stack expects its planner to have set
+  conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+  conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+    classOf[ParquetReadSupport].getName)
+  conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+  conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+  conf.setBoolean("spark.sql.caseSensitive", false)
+  conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+  conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+  conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+
+  private val reader = new VectorizedParquetRecordReader(
+    null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+  reader.initialize(
+    new org.apache.hadoop.mapred.FileSplit(
+      new org.apache.hadoop.fs.Path(part.filePath),
+      part.splitStart, part.splitBytes, Array.empty[String]),
+    new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID()))
+  reader.initBatch(new StructType(), InternalRow.empty)
+  reader.enableReturningBatches()
+
+  private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+  override def next(): Boolean = {
+    val has = reader.nextKeyValue()
+    if (has) batch = reader.getCurrentValue
+      .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+    has
+  }
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = reader.close()
+}
+
+object GraftTableColumnarReader {
+  def supportedSchema(s: StructType): Boolean = s.fields.forall(f => f.dataType match {
+    case IntegerType | LongType | FloatType | DoubleType | BooleanType |
+         StringType | BinaryType | DateType | TimestampType => true
+    case _: DecimalType => true
+    case _ => false
+  })
 }
 
 /** Conservative bound-stat evaluation over a single manifest entry: can

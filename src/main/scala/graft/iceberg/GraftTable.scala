@@ -222,7 +222,8 @@ object GraftTable {
   /** Create an empty v2 table: writes v1.metadata.json. `spec` declares
     * the hidden-partitioning layout appends will write under. */
   def create(tableDir: String, schema: IcebergSchema, tableUuid: String,
-      timestampMs: Long, spec: PartitionSpec = PartitionSpec(0, Nil)): String = {
+      timestampMs: Long, spec: PartitionSpec = PartitionSpec(0, Nil),
+      properties: Map[String, String] = Map.empty): String = {
     require(OptimisticCommit.currentVersion(tableDir) == 0,
       s"table already exists under $tableDir")
     val path = OptimisticCommit.metadataPath(tableDir, 1)
@@ -232,7 +233,7 @@ object GraftTable {
       currentSchemaId = Some(schema.schemaId), schemas = Seq(schema),
       partitionSpecs = Seq(spec), defaultSpecId = spec.specId,
       sortOrders = Seq(SortOrder(0, Nil)), defaultSortOrderId = 0,
-      properties = Map.empty, currentSnapshotId = None, refs = Nil,
+      properties = properties, currentSnapshotId = None, refs = Nil,
       snapshots = Nil, snapshotLog = Nil, metadataLog = Nil))
     path
   }
@@ -282,14 +283,17 @@ object GraftTable {
         s.lower.getOrElse(Array.empty), s.upper.getOrElse(Array.empty))))).toMap
 
   private def writeList(path: String, carried: Seq[ManifestListReader.ManifestFileInfo],
-      newManifest: String, newCount: Int, newContent: Int, snapId: Long): Unit =
+      newManifest: String, newCount: Int, newContent: Int, snapId: Long,
+      newSummary: Option[(Int, Seq[ManifestListWriter.FieldSummary])] = None): Unit =
     ManifestListWriter.write(path, carried.map(_.path) :+ newManifest, snapId,
       addedDataFilesCount = newCount,
       contents = (carried.map(i => i.path -> i.content) :+ (newManifest -> newContent)).toMap,
-      specIds = carried.map(i => i.path -> i.specId).toMap,
+      specIds = carried.map(i => i.path -> i.specId).toMap ++
+        newSummary.map { case (specId, _) => newManifest -> specId },
       addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
       addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
-      summaries = carriedSummaries(carried),
+      summaries = carriedSummaries(carried) ++
+        newSummary.map { case (_, fs) => newManifest -> fs },
       // carried manifests keep their ORIGINAL sequence numbers (515/516);
       // the new manifest defaults to snapId — this library's sequence
       seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
@@ -846,13 +850,15 @@ object GraftTable {
       predicate: org.apache.spark.sql.Column): OptimisticCommit.CommitResult = {
     val metaPath0 = latestMetadataPath(tableDir)
     val meta0 = TableMetadata.parseFile(metaPath0)
-    val dataFiles = meta0.currentSnapshotId.toSeq.flatMap { _ =>
+    val scanned = meta0.currentSnapshotId.toSeq.flatMap { _ =>
       val snap = resolveSnapshot(meta0, None, None)
       Par.inParallel(
           ManifestListReader.read(snap.manifestList.get).filter(_.content == 0))(
-          i => ManifestWriter.read(i.path))
-        .flatten.filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+          i => (i, ManifestWriter.read(i.path)))
+        .flatMap { case (i, es) =>
+          es.filter(e => e.status != 2 && e.content == 0).map(e => (e.filePath, i)) }
     }
+    val dataFiles = scanned.map(_._1)
     // nothing to delete FROM (fresh or truncated table): a no-op, not an
     // error — SQL TRUNCATE/DELETE on an empty table must succeed
     if (dataFiles.isEmpty)
@@ -885,6 +891,19 @@ object GraftTable {
               SingleValueCodec.encode(IcebergTypes.TString, statRow.getString(2)),
             ManifestWriter.PosDeletePosId ->
               SingleValueCodec.encode(IcebergTypes.TLong, statRow.getLong(4))))
+    // the delete manifest's field-507 summary: the typed UNION of the
+    // summaries of the manifests OWNING the addressed files — the deletes
+    // can only target partitions inside it, so a partition-scoped delete
+    // (a predicate that pruned to few partitions) becomes prunable on the
+    // delete side by the same symmetric rule readers apply. Conservative:
+    // any owner without a summary (unpartitioned tables) yields None.
+    val ownerByFile = scanned.map { case (p, i) => uriPath(p) -> i }.toMap
+    val addressedOwners =
+      if (nDeletes == 0) Nil
+      else spark.read.parquet(delFile).select("file_path").distinct()
+        .collect().toSeq.flatMap(r => ownerByFile.get(uriPath(r.getString(0))))
+        .distinctBy(_.path)
+    val delSummary = ScanPlanning.unionSummaries(meta0, addressedOwners)
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID() // see append: racing-safe names
@@ -893,7 +912,7 @@ object GraftTable {
         1, snapId, delFile, nDeletes, ParquetFiles.length(delFile),
         delLower, delUpper, content = 1, sequenceNumber = Some(snapId))))
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
-      writeList(list, carryForward(base), manifest, 0, 1, snapId)
+      writeList(list, carryForward(base), manifest, 0, 1, snapId, delSummary)
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("delete"),

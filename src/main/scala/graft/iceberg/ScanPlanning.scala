@@ -88,6 +88,73 @@ object ScanPlanning {
     case _ => None
   }
 
+  /** Result TYPE of a partition transform over `sourceType` — the type
+    * field-507 summary bounds of that transform decode as. None for
+    * transforms this planner doesn't model (void, unknown). */
+  def transformResultType(transform: String, sourceType: IcebergType): Option[IcebergType] =
+    transform match {
+      case "identity" => Some(sourceType)
+      case BucketRe(_) => Some(TInt)
+      case TruncateRe(_) => sourceType match {
+        case TInt | TLong | TString => Some(sourceType)
+        case _ => None
+      }
+      case "year" | "month" | "day" => Some(TInt)
+      case _ => None
+    }
+
+  /** Typed per-field UNION of the field-507 summaries of a set of
+    * manifests under ONE spec — what a delete commit writes for its new
+    * delete manifest: the deletes address only files OWNED by these
+    * manifests, so the addressed partitions lie inside the union of the
+    * owners' summaries, and the symmetric delete-side prune can skip the
+    * delete manifest for partition-disjoint reads. Conservative by
+    * construction: None unless every owner shares one spec id, carries a
+    * summary of the spec's width, and every bound decodes and compares —
+    * no summary always beats a wrong summary. */
+  def unionSummaries(meta: TableMetadata,
+      owners: Seq[ManifestListReader.ManifestFileInfo])
+      : Option[(Int, Seq[ManifestListWriter.FieldSummary])] = {
+    def minMax(vs: Seq[Any]): Option[(Any, Any)] =
+      vs.foldLeft(Option(vs.head, vs.head)) { case (acc, v) =>
+        for {
+          (lo, hi) <- acc
+          cl <- cmpValues(v, lo)
+          ch <- cmpValues(v, hi)
+        } yield (if (cl < 0) v else lo, if (ch > 0) v else hi)
+      }
+    def decoded(b: Option[Array[Byte]], t: IcebergType): Option[Any] =
+      b.filter(_.nonEmpty).flatMap(bytes =>
+        scala.util.Try(SingleValueCodec.decode(t, bytes)).toOption)
+    for {
+      specId <- owners.map(_.specId).distinct match {
+        case collection.Seq(one) => Some(one)
+        case _ => None
+      }
+      spec <- meta.partitionSpecs.find(_.specId == specId)
+      sums = owners.flatMap(_.summaries)
+      if sums.size == owners.size && sums.forall(_.size == spec.fields.length)
+      fields <- spec.fields.zipWithIndex.foldLeft(
+          Option(Vector.empty[ManifestListWriter.FieldSummary])) {
+        case (accOpt, (pf, i)) =>
+          for {
+            acc <- accOpt
+            srcType <- meta.fieldTypes.get(pf.sourceId)
+              .flatMap(IcebergTypes.fromStringOpt)
+            tt <- transformResultType(pf.transform, srcType)
+            lows <- Some(sums.map(s => decoded(s(i).lower, tt)))
+              .filter(_.forall(_.isDefined)).map(_.flatten)
+            highs <- Some(sums.map(s => decoded(s(i).upper, tt)))
+              .filter(_.forall(_.isDefined)).map(_.flatten)
+            (lo, _) <- minMax(lows)
+            (_, hi) <- minMax(highs)
+          } yield acc :+ ManifestListWriter.FieldSummary(
+            sums.exists(_(i).containsNull),
+            SingleValueCodec.encode(tt, lo), SingleValueCodec.encode(tt, hi))
+      }
+    } yield (specId, fields)
+  }
+
   /** Manifest-level hidden-partition pruning: convert `sourceFieldId = value`
     * into each manifest's partition-transform space and test it against the
     * manifest-list's field-507 summaries — manifests whose summary interval

@@ -147,6 +147,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     case DateType => "date"
     case TimestampType => "timestamptz"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case BinaryType => "binary"
     case other => throw new UnsupportedOperationException(
       s"graft catalog does not support column type $other")
   }
@@ -198,13 +199,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "graft catalog supports top-level ADD COLUMN only")
         val base = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
         val cur = base.currentSchema
-        val nextId = cur.fields.map(_.id).max + 1
+        val name = add.fieldNames().head
+        // this engine resolves file columns BY NAME: re-adding a name any
+        // historical schema ever carried would resurrect the old files'
+        // values instead of null-filling (Iceberg avoids this with
+        // field-id resolution) — refuse rather than silently corrupt
+        require(!base.schemas.exists(s => s.schemaId != cur.schemaId &&
+            s.fields.exists(_.name == name)) || cur.fields.exists(_.name == name),
+          s"column name '$name' was used by an earlier schema of this table; " +
+            "re-adding it would resurrect old file contents under name-based " +
+            "resolution — pick a fresh name")
+        val nextId = base.schemas.flatMap(_.fields.map(_.id)).max + 1
         GraftTable.evolveSchema(dir, IcebergSchema(
           base.schemas.map(_.schemaId).max + 1,
-          cur.fields :+ IcebergField(nextId, add.fieldNames().head,
+          cur.fields :+ IcebergField(nextId, name,
             required = false, icebergTypeName(add.dataType()))))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graft catalog supports top-level DROP COLUMN only")
+        val base = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+        val cur = base.currentSchema
+        val name = del.fieldNames().head
+        val field = cur.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no such column $name"))
+        // a partition SOURCE cannot be dropped — the spec's transforms
+        // would dangle (Iceberg refuses the same way)
+        require(!base.partitionSpecs.exists(_.fields.exists(_.sourceId == field.id)),
+          s"cannot drop column $name: it is a partition source of an active spec")
+        GraftTable.evolveSchema(dir, IcebergSchema(
+          base.schemas.map(_.schemaId).max + 1,
+          cur.fields.filterNot(_.name == name)))
       case other => throw new UnsupportedOperationException(
-        s"unsupported table change $other — supported: ADD COLUMN")
+        s"unsupported table change $other — supported: ADD COLUMN, DROP COLUMN")
     }
     loadTable(ident)
   }

@@ -128,10 +128,18 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
     })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTableScanBuilder(tableSchema, metadataPath, snapshotId, ref,
-      asOfTimestampMs, splitSize, allowColumnar = allowColumnar)
+      asOfTimestampMs, splitSize, allowColumnar = allowColumnar,
+      streamOpts = StreamReadOptions(
+        skipOverwrites = Option(options.get("streaming-skip-overwrite-snapshots"))
+          .exists(_.toBoolean),
+        startingSnapshotId = Option(options.get("starting-snapshot-id"))
+          .map(_.toLong),
+        maxSnapshotsPerTrigger = Option(options.get("max-snapshots-per-trigger"))
+          .map(_.toInt)))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -178,7 +186,8 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
 class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
     snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long],
     splitSize: Long, onPlanned: (Seq[String], Seq[String]) => Unit = (_, _) => (),
-    allowColumnar: Boolean = true)
+    allowColumnar: Boolean = true,
+    streamOpts: StreamReadOptions = StreamReadOptions())
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = tableSchema
   private var pushed: Array[sources.Filter] = Array.empty
@@ -197,17 +206,21 @@ class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
 
   override def build(): Scan =
     new GraftTableScan(required, pushed, metadataPath, snapshotId, ref,
-      asOfTimestampMs, splitSize, onPlanned, allowColumnar)
+      asOfTimestampMs, splitSize, onPlanned, allowColumnar, streamOpts)
 }
 
 class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     metadataPath: String, snapshotId: Option[Long], ref: Option[String],
     asOfTimestampMs: Option[Long], splitSize: Long = 128L * 1024 * 1024,
     onPlanned: (Seq[String], Seq[String]) => Unit = (_, _) => (),
-    allowColumnar: Boolean = true)
+    allowColumnar: Boolean = true,
+    streamOpts: StreamReadOptions = StreamReadOptions())
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftTableMicroBatchStream(metadataPath, required, streamOpts, hadoopConf)
   override def description(): String =
     s"graft-table scan $metadataPath, ReadSchema: ${required.catalogString}" +
       (if (filters.nonEmpty) s", PushedFilters: ${filters.mkString("[", ", ", "]")}" else "")
@@ -698,6 +711,7 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
       case FloatType => g.getFloat(i, 0)
       case BooleanType => g.getBoolean(i, 0)
       case StringType => g.getBinary(i, 0).toStringUsingUTF8
+      case BinaryType => g.getBinary(i, 0).getBytes
       case DateType => java.time.LocalDate.ofEpochDay(g.getInteger(i, 0).toLong)
       case TimestampType =>
         val us = g.getLong(i, 0)

@@ -385,6 +385,7 @@ class GraftFileWriter(path: String, schema: StructType,
         case d: DecimalType => Types.optional(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
           .length(GraftTableDataWriter.decimalLen(d.precision))
           .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
         case other => throw new UnsupportedOperationException(
           s"graft-table DSv2 writer does not encode $other (column ${f.name})")
       }
@@ -430,6 +431,7 @@ class GraftFileWriter(path: String, schema: StructType,
           case StringType => row.getUTF8String(i).toString
           case d: DecimalType =>
             row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+          case BinaryType => row.getBinary(i)
           case other => throw new UnsupportedOperationException(other.toString)
         }
         v match {
@@ -442,9 +444,14 @@ class GraftFileWriter(path: String, schema: StructType,
           case x: java.math.BigDecimal => g.add(f.name,
             GraftTableDataWriter.decimalBinary(x,
               f.dataType.asInstanceOf[DecimalType].precision))
+          case x: Array[Byte] => g.add(f.name, Binary.fromConstantByteArray(x))
         }
-        if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
-        if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
+        // binary columns carry no bounds (cmp has no byte-array ordering;
+        // a fabricated bound would mis-prune — absent bounds never do)
+        if (f.dataType != BinaryType) {
+          if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
+          if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
+        }
       }
     }
     writer.write(g)

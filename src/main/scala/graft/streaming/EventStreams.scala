@@ -722,7 +722,60 @@ object EventStreams {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- st14
+  /** Streaming READ of a graft table — `readStream.format("graft-table")`
+    * (Iceberg's incremental snapshot consumption as a native Structured
+    * Streaming source, the read-side twin of st13): three append commits
+    * stream through the micro-batch source with `max-snapshots-per-trigger
+    * = 1` (admission control: one snapshot per batch — a restart over a
+    * deep backlog plans bounded batches, never one giant scan), drain via
+    * Trigger.AvailableNow into an exactly-once parquet file sink, and the
+    * aggregate over the SINK's content matches the batch oracle — so the
+    * oracle pins offsets, per-snapshot planning, and the drain loop
+    * end-to-end through public APIs only. */
+  val streamTableRead: Q = (spark, dir) => {
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-st14-${ProcessHandle.current().pid()}",
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    graft.TmpOutputs.ensure(out) {
+      val table = s"$out/table"
+      graft.iceberg.GraftTable.create(table, graft.iceberg.IcebergSchema(0, Seq(
+        graft.iceberg.IcebergField(1, "n_nationkey", required = false, "int"),
+        graft.iceberg.IcebergField(2, "n_name", required = false, "string"),
+        graft.iceberg.IcebergField(3, "n_regionkey", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-000000000140",
+        timestampMs = 1700000000000L)
+      val nation = graft.Tables.load(spark, dir, "nation")
+      Seq((0, 10), (10, 20), (20, 26)).foreach { case (lo, hi) =>
+        graft.iceberg.GraftTable.append(spark, table,
+          nation.filter(col("n_nationkey") >= lo && col("n_nationkey") < hi)
+            .orderBy(col("n_nationkey")))
+      }
+      val q = spark.readStream.format("graft-table")
+        .option("metadata", graft.iceberg.GraftTable.latestMetadataPath(table))
+        .option("max-snapshots-per-trigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$out/sink")
+        .option("checkpointLocation", s"$out/_checkpoint")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$out/sink")
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val streamTableReadSql: String =
+    """SELECT n_regionkey, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st14_stream_table_read" -> streamTableRead,
     "st13_table_sink" -> streamTableSink,
     "st12_stream_compaction" -> streamCompaction,
     "st11_table_ingest" -> streamTableIngest,
@@ -738,6 +791,7 @@ object EventStreams {
     "st05_stream_dedup" -> streamDedup)
 
   val oracles: Map[String, String] = Map(
+    "st14_stream_table_read" -> streamTableReadSql,
     "st13_table_sink" -> streamTableSinkSql,
     "st12_stream_compaction" -> streamCompactionSql,
     "st11_table_ingest" -> streamTableIngestSql,

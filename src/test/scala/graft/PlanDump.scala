@@ -45,7 +45,9 @@ object PlanDump {
     "i39_table_read" -> "the one-call table read, O(1)-scan shape: ONE data scan over all sequence groups (broadcast file→sequence lookup), one position-delete anti-join, one equality-delete anti-join per distinct column set — plan width flat in snapshot count",
     "i45_pruned_mor_read" -> "pruned read composed with MOR: transform-space pruning opened 1 of 4 manifests per key, and the surviving scan still anti-joins the sequence-scoped position deletes — the deleted key's partition scans and returns nothing",
     "i47_dsv2_table_read" -> "DSv2 graft-table scan: position deletes applied INSIDE the partition readers (task-local MOR) — the plan is a bare BatchScan + aggregate, NO delete join anywhere",
-    "i48_dsv2_table_pruned" -> "Catalyst-pushed equality through the DSv2 table source: PushedFilters visible on the scan, manifests pruned in bucket-transform space at planning (the pruned ones are garbage on disk — reading proves they never open)",
+    "i48_dsv2_table_pruned" -> "Catalyst-pushed equality through the DSv2 table source: PushedFilters visible on the scan, manifests pruned in bucket-transform space at planning (the pruned ones are garbage on disk — reading proves they never open); the clean scan decodes COLUMNAR (ColumnarToRow above the BatchScan — round 9's vectorized route)",
+    "i56_sql_decimal" -> "DECIMAL through the SQL catalog: the money filter pushes to the graft-table scan, decimal bound stats prune at planning, and the clean scan takes the vectorized columnar route",
+    "st14_stream_table_read" -> "streaming READ of a graft table (post-drive rollup over the file sink): the stream itself planned one micro-batch per snapshot (max-snapshots-per-trigger=1), each batch a bare BatchScan over exactly that snapshot's added files",
     "i53_sql_lifecycle" -> "plain SQL over the GraftCatalog: the SELECT aggregate plans as the same bare BatchScan + two-phase agg as the programmatic route — DELETE already applied as position-delete MOR inside the readers, no join")
 
   def main(args: Array[String]): Unit = {

@@ -121,4 +121,41 @@ class DeleteManifestPruneSpec extends SparkSpec {
       GraftTable.read(spark, metaPath).count()
     }
   }
+
+  test("deleteWhere on a partitioned table writes a prunable delete-manifest summary") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delsumapi").toString
+    val nation = Tables.load(spark, sfDir, "nation")
+    GraftTable.create(dir, IcebergSchema(0, Seq(
+      IcebergField(1, "n_nationkey", required = false, "int"),
+      IcebergField(2, "n_name", required = false, "string"),
+      IcebergField(3, "n_regionkey", required = false, "int"))),
+      tableUuid = "b6b9a6a1-0000-4000-8000-00000000d9a3", timestampMs = T0,
+      spec = PartitionSpec(0,
+        Seq(PartitionField("n_regionkey", "identity", 3, 1000))))
+    GraftTable.append(spark, dir, nation.orderBy(col("n_nationkey")))
+    // two partition-scoped deletes, each addressing one region's file
+    GraftTable.deleteWhere(spark, dir,
+      col("n_regionkey") === 1 && col("n_nationkey") === 1)
+    GraftTable.deleteWhere(spark, dir,
+      col("n_regionkey") === 3 && col("n_nationkey") === 3)
+    val metaPath = GraftTable.latestMetadataPath(dir)
+    val infos = ManifestListReader.read(
+      TableMetadata.parseFile(metaPath).currentSnapshot.get.manifestList.get)
+    val delM = infos.filter(_.content == 1)
+    assert(delM.size == 2 && delM.forall(_.summaries.isDefined),
+      "deleteWhere must write union summaries on partitioned tables")
+    def regionOf(i: ManifestListReader.ManifestFileInfo): Int =
+      SingleValueCodec.decode(IcebergTypes.TInt,
+        i.summaries.get.head.lower.get).asInstanceOf[Int]
+    // corrupt the region-1 delete manifest: region-3 reads survive only if
+    // the summary prune never opens it
+    corrupt(delM.find(regionOf(_) == 1).get.path)
+    val expected3 = nation.filter(col("n_regionkey") === 3).count() - 1
+    val (df, _, _) = GraftTable.readWhere(spark, metaPath, 3, 3)
+    assert(df.count() == expected3)
+    assert(!df.collect().exists(_.getInt(0) == 3), "key 3 must be deleted")
+    val dsv2 = spark.read.format("graft-table").option("metadata", metaPath)
+      .load().filter(col("n_regionkey") === 3)
+    assert(dsv2.count() == expected3)
+  }
 }

@@ -570,6 +570,63 @@ class TableSourceSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, "90000.75"), (4L, "80000.00")))
   }
 
+  test("BINARY columns round-trip the SQL/DSv2 route on both decode paths") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-binp").toString
+    spark.conf.set("spark.sql.catalog.graft_binp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_binp.warehouse", wh)
+    spark.sql("CREATE TABLE graft_binp.db.t (k BIGINT, payload BINARY)")
+    spark.sql(
+      "INSERT INTO graft_binp.db.t SELECT id, unhex(concat('ab', lpad(hex(id), 6, '0'))) " +
+      "FROM range(0, 100)")
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      assert(rows.length == 100)
+      rows.foreach { case (k, b) =>
+        assert(b.length == 4 && (b(0) & 0xff) == 0xab && (b(3) & 0xff) == (k & 0xff)) }
+    }
+    // columnar (clean scan, binary is in the vectorized palette)
+    val clean = spark.sql("SELECT k, payload FROM graft_binp.db.t")
+    assert(clean.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    check(clean)
+    // row route (the MOR fallback's Group-API decode)
+    val meta = GraftTable.latestMetadataPath(s"$wh/db/t")
+    check(spark.read.format("graft-table").option("metadata", meta)
+      .option("columnar", "false").load().select("k", "payload"))
+    // and the native GraftTable.read path
+    check(GraftTable.read(spark, meta).select("k", "payload"))
+  }
+
+  test("ALTER TABLE DROP COLUMN; re-adding a historical name is refused") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dropc").toString
+    spark.conf.set("spark.sql.catalog.graft_dropc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dropc.warehouse", wh)
+    spark.sql("CREATE TABLE graft_dropc.db.t (k BIGINT, v STRING, extra INT)")
+    spark.sql("INSERT INTO graft_dropc.db.t VALUES (1, 'a', 10), (2, 'b', 20)")
+    spark.sql("ALTER TABLE graft_dropc.db.t DROP COLUMN extra")
+    val rows = spark.sql("SELECT * FROM graft_dropc.db.t ORDER BY k").collect()
+    assert(rows.map(_.length).toSeq == Seq(2, 2)) // extra is gone
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // a FRESH name evolves fine...
+    spark.sql("ALTER TABLE graft_dropc.db.t ADD COLUMN extra2 INT")
+    // ...but re-adding the dropped name would resurrect old file contents
+    // under name-based resolution — refused with a clear message
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_dropc.db.t ADD COLUMN extra INT")
+    }
+    assert(e.getMessage.contains("resurrect") ||
+      Option(e.getCause).exists(_.getMessage.contains("resurrect")), e.getMessage)
+    // partition sources cannot be dropped
+    spark.sql("CREATE TABLE graft_dropc.db.p (k BIGINT, r INT) PARTITIONED BY (r)")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_dropc.db.p DROP COLUMN r")
+    }
+    assert(e2.getMessage.contains("partition source") ||
+      Option(e2.getCause).exists(_.getMessage.contains("partition source")), e2.getMessage)
+  }
+
   test("equality deletes apply in-reader with strict sequence scoping") {
     // seq 1: keys < 13; seq 2: equality delete on names of 3 (present) and
     // 20 (future); seq 3: keys >= 13 — nation 20 arrives AFTER the delete

@@ -842,6 +842,77 @@ object GraftTable {
       MetadataWriter.evolvePartitionSpec(base, spec, base.lastUpdatedMs + 1000).copy(
         metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
 
+  /** MERGE-ON-READ row-level commit — the SQL delta-write route (UPDATE/
+    * DELETE/MERGE under `write.<op>.mode = merge-on-read`): ONE snapshot
+    * lands the new data files (inserts + updated rows) and the position-
+    * delete files, every entry at the commit's sequence. I/O is
+    * O(changed rows) — untouched data is never rewritten, which is the
+    * whole point of MOR vs the copy-on-write route. The CAS closure
+    * re-validates that every path the deletes address is still live: a
+    * concurrent rewrite dropping one would strand those deletes on a
+    * dead path (a lost update), so the commit conflicts instead. */
+  private[graft] def commitDeltaFiles(tableDir: String, dataFiles: Seq[PendingFile],
+      deleteFiles: Seq[PendingFile], targetPaths: Set[String])
+      : OptimisticCommit.CommitResult = {
+    require(dataFiles.nonEmpty || deleteFiles.nonEmpty, "empty delta commit")
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
+      val live = currentEntries(base, 0).filter(_.content == 0)
+        .map(e => uriPath(e.filePath)).toSet
+      val missing = targetPaths.map(uriPath) -- live
+      if (missing.nonEmpty) throw OptimisticCommit.CommitConflictException(
+        s"row-level delete targets removed by a concurrent commit: ${missing.mkString(", ")}")
+      val attempt = java.util.UUID.randomUUID()
+      def entry(f: PendingFile, content: Int) = ManifestWriter.EntryData(
+        1, snapId, f.path, f.rows, f.bytes, f.lower, f.upper,
+        content = content, sequenceNumber = Some(snapId))
+      val (plain, summarized) = dataFiles.partition(_.partitionSummary.isEmpty)
+      val plainData =
+        if (plain.isEmpty) Nil
+        else {
+          val m = s"$tableDir/m-delta-data-$snapId-$attempt.avro"
+          ManifestWriter.write(m, plain.map(entry(_, 0)))
+          Seq((m, None: Option[Seq[ManifestListWriter.FieldSummary]], 0, 0))
+        }
+      val perFile = summarized.zipWithIndex.map { case (f, i) =>
+        val m = s"$tableDir/m-delta-data-$snapId-$attempt-%05d.avro".format(i)
+        ManifestWriter.write(m, Seq(entry(f, 0)))
+        (m, f.partitionSummary, f.specId, 0)
+      }
+      val delManifests =
+        if (deleteFiles.isEmpty) Nil
+        else {
+          val m = s"$tableDir/m-delta-del-$snapId-$attempt.avro"
+          ManifestWriter.write(m, deleteFiles.map(entry(_, 1)))
+          Seq((m, None: Option[Seq[ManifestListWriter.FieldSummary]], 0, 1))
+        }
+      val manifests = plainData ++ perFile ++ delManifests
+      val carried = carryForward(base)
+      val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+      ManifestListWriter.write(list, carried.map(_.path) ++ manifests.map(_._1), snapId,
+        addedDataFilesCount = dataFiles.size,
+        contents = carried.map(i => i.path -> i.content).toMap ++
+          manifests.map(m => m._1 -> m._4),
+        specIds = carried.map(i => i.path -> i.specId).toMap ++
+          manifests.map(m => m._1 -> m._3),
+        summaries = carriedSummaries(carried) ++
+          manifests.collect { case (m, Some(s), _, _) => m -> s },
+        addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
+        addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
+        seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
+        minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some(if (dataFiles.isEmpty) "delete" else "overwrite"),
+          Map("added-data-files" -> dataFiles.size.toString,
+            "added-records" -> dataFiles.map(_.rows).sum.toString,
+            "added-delete-files" -> deleteFiles.size.toString,
+            "added-position-deletes" -> deleteFiles.map(_.rows).sum.toString),
+          Some(list), base.currentSchemaId),
+        Some(basePath))
+    })
+  }
+
   /** Row-level DELETE: capture (file_path, pos) of matching rows across
     * the current data files, land them as ONE position-delete file, and
     * CAS-commit a delete snapshot. The predicate is an ordinary Column

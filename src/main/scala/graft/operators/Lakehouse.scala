@@ -136,14 +136,22 @@ object Lakehouse {
     * manifest entry — and delete rows carry `_del_seq`. A position delete
     * applies only to data files with sequence number <= its own, so a
     * file appended after the delete commit is never touched even if its
-    * (path, pos) were ever reused. Same optimizer-chosen join shape as
-    * the unscoped apply: the extra predicate is a per-row comparison of
-    * two already-present columns, no new shuffle dimension. */
-  def applyPositionDeletesScoped(data: DataFrame, deletes: DataFrame): DataFrame =
+    * (path, pos) were ever reused. Paths compare on their NORMALIZED form
+    * (scheme/authority stripped): writers legitimately record either the
+    * URI (`_metadata.file_path`) or the manifest's plain path (the DSv2
+    * scan's `_file`), and a scheme difference must never defeat a delete.
+    * Same optimizer-chosen join shape as the unscoped apply: the extra
+    * predicates are per-row comparisons of already-present columns
+    * (regexp stays inside codegen), no new shuffle dimension. */
+  def applyPositionDeletesScoped(data: DataFrame, deletes: DataFrame): DataFrame = {
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[a-z0-9+.-]+:(//)?", "")
     data.join(deletes,
-      data("_file") === deletes("file_path") && data("_pos") === deletes("pos") &&
+      norm(data("_file")) === norm(deletes("file_path")) &&
+        data("_pos") === deletes("pos") &&
         data("_seq") <= deletes("_del_seq"),
       "left_anti")
+  }
 
   /** Sequence-scoped equality-delete apply: an equality delete applies
     * only to data files with STRICTLY lower data sequence number — a row

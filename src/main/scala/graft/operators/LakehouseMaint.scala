@@ -1392,7 +1392,60 @@ object LakehouseMaint {
       |  'UPS_3' AS name_3, 'UPS_5' AS name_5, 'NEW_99' AS name_99
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i58
+  /** SQL UPDATE / DELETE / MERGE in MERGE-ON-READ mode (round-9): the
+    * table declares `write.<op>.mode = merge-on-read` and every DML lands
+    * through the delta route (`SupportsDelta`) — position-delete files +
+    * new data files in ONE snapshot keyed by the scan's (_file, _pos) row
+    * coordinates, O(changed rows) write I/O, untouched data never
+    * rewritten (MorDmlSpec pins the file-level contract; this entry pins
+    * the ANSWER against DuckDB replaying the same DML). The UPDATE
+    * renames one key, the MERGE upserts a matched key and inserts a new
+    * one, and the subquery DELETE forces the row-level plan (predicate
+    * pushdown can't serve it). */
+  val sqlMorDml: Q = (spark, sfDir) => {
+    val wh = entryDir("i58", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_mor",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mor.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i58_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_mor.db.nations
+        (n_nationkey INT, n_name STRING, n_regionkey INT)
+        TBLPROPERTIES ('write.update.mode'='merge-on-read',
+          'write.delete.mode'='merge-on-read',
+          'write.merge.mode'='merge-on-read')""")
+      spark.sql("""INSERT INTO graft_mor.db.nations
+        SELECT n_nationkey, n_name, n_regionkey FROM i58_nation_src""")
+      spark.sql("""UPDATE graft_mor.db.nations
+        SET n_name = concat('mor-', n_name) WHERE n_nationkey = 7""")
+      spark.sql("""MERGE INTO graft_mor.db.nations t
+        USING (SELECT 11 AS n_nationkey, CAST('MOR_11' AS STRING) AS n_name, 1 AS n_regionkey
+               UNION ALL SELECT 88, 'NEW_88', 3) s
+        ON t.n_nationkey = s.n_nationkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      spark.sql("""DELETE FROM graft_mor.db.nations
+        WHERE n_nationkey IN (SELECT n_nationkey FROM i58_nation_src
+                              WHERE n_nationkey IN (2, 4))""")
+    }
+    spark.sql("""SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_k,
+      MAX(CASE WHEN n_nationkey = 7 THEN n_name END) AS name_7,
+      MAX(CASE WHEN n_nationkey = 11 THEN n_name END) AS name_11,
+      MAX(CASE WHEN n_nationkey = 88 THEN n_name END) AS name_88,
+      COUNT(CASE WHEN n_nationkey IN (2, 4) THEN 1 END) AS n_deleted_present
+      FROM graft_mor.db.nations""")
+  }
+
+  val sqlMorDmlSql: String =
+    """SELECT COUNT(*) - 1 AS n_rows,
+      |  CAST(SUM(n_nationkey) + 88 - 2 - 4 AS BIGINT) AS sum_k,
+      |  'mor-NATION_7' AS name_7, 'MOR_11' AS name_11, 'NEW_88' AS name_88,
+      |  CAST(0 AS BIGINT) AS n_deleted_present
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i58_sql_mor_dml" -> sqlMorDml,
     "i57_upsert_api" -> upsertApi,
     "i56_sql_decimal" -> sqlDecimal,
     "i55_sql_update_merge" -> sqlUpdateMerge,
@@ -1420,6 +1473,7 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i58_sql_mor_dml" -> sqlMorDmlSql,
     "i57_upsert_api" -> upsertApiSql,
     "i56_sql_decimal" -> sqlDecimalSql,
     "i55_sql_update_merge" -> sqlUpdateMergeSql,

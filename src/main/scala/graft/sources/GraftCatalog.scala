@@ -2,6 +2,8 @@ package graft.sources
 
 import java.util
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
   NoSuchTableException, TableAlreadyExistsException}
@@ -184,9 +186,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // fixtures opt into determinism via the commit-timestamp-ms property
     val t0 = Option(properties.get("commit-timestamp-ms")).map(_.toLong)
       .getOrElse(System.currentTimeMillis())
+    // persist user TBLPROPERTIES (write.update.mode=merge-on-read etc.);
+    // Spark's own bookkeeping keys stay out of the document
+    val userProps = properties.asScala.toMap -- Seq(
+      "provider", "location", "owner", "external", "commit-timestamp-ms") --
+      properties.asScala.keys.filter(_.startsWith("option."))
     GraftTable.create(tableDir(ident), IcebergSchema(0, fields),
       tableUuid = java.util.UUID.randomUUID().toString, timestampMs = t0,
-      spec = PartitionSpec(0, specFields))
+      spec = PartitionSpec(0, specFields), properties = userProps)
     loadTable(ident)
   }
 

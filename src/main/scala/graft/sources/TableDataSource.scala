@@ -96,17 +96,38 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  /** SQL UPDATE and MERGE INTO, group-based copy-on-write: Spark reads
-    * the AFFECTED groups through the operation's scan (pushed conditions
-    * prune unaffected files at both metadata levels — those carry
-    * forward untouched), computes the replacement rows, writes them
-    * through the operation's write, and the commit swaps exactly the
-    * scanned files in one CAS replace snapshot (untouched files keep
-    * their original sequence numbers, so pending deletes still apply). */
+  /** SQL UPDATE / DELETE / MERGE INTO, two modes per the Iceberg table
+    * properties `write.update.mode` / `write.delete.mode` /
+    * `write.merge.mode`:
+    *
+    *   - **copy-on-write** (default): Spark reads the AFFECTED groups
+    *     through the operation's scan (pushed conditions prune unaffected
+    *     files at both metadata levels — those carry forward untouched),
+    *     computes the replacement rows, and the commit swaps exactly the
+    *     scanned files in one CAS replace snapshot. Best for read-heavy
+    *     tables: no delete files accumulate.
+    *   - **merge-on-read**: the delta route (`SupportsDelta`) — Spark
+    *     hands per-row operations keyed by the scan's (_file, _pos) row
+    *     coordinates, and the commit lands position-delete files + new
+    *     data files in ONE snapshot: O(changed rows) write I/O, no
+    *     rewrite of untouched data. Best for write-heavy / CDC tables. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(info.command(), tableSchema, metadataPath, splitSize)
+    () => {
+      import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
+      val modeKey = info.command() match {
+        case UPDATE => "write.update.mode"
+        case DELETE => "write.delete.mode"
+        case _ => "write.merge.mode"
+      }
+      val mor = TableMetadata.parseFile(metadataPath).properties
+        .get(modeKey).contains("merge-on-read")
+      if (mor)
+        new GraftDeltaRowLevelOperation(info.command(), tableSchema, metadataPath, splitSize)
+      else
+        new GraftRowLevelOperation(info.command(), tableSchema, metadataPath, splitSize)
+    }
   override def name(): String = s"graft-table($metadataPath)"
   override def schema(): StructType = tableSchema
 
@@ -454,6 +475,122 @@ class GraftRowLevelOperation(
         }
     }
   }
+}
+
+/** The MERGE-ON-READ row-level operation (`SupportsDelta`): the scan
+  * serves matching rows WITH their (_file, _pos) coordinates as the row
+  * id, Spark routes each row's fate to the task DeltaWriters (delete →
+  * buffered position delete; update → position delete + re-insert;
+  * insert → data file), and the commit lands everything as ONE snapshot
+  * at one sequence through `GraftTable.commitDeltaFiles` — which
+  * re-validates inside the CAS loop that every file the deletes address
+  * is still live, so a concurrent rewrite conflicts instead of silently
+  * stranding deletes on dead paths. */
+class GraftDeltaRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    tableSchema: StructType, metadataPath: String, splitSize: Long)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  /** The row coordinate Iceberg position deletes address — served by the
+    * scan as metadata columns, file-absolute across row-group splits. */
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
+      org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftTableScanBuilder(tableSchema, metadataPath, None, None, None, splitSize)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite = {
+            val meta = TableMetadata.parseFile(metadataPath)
+            val tableDir = new org.apache.hadoop.fs.Path(metadataPath).getParent.toString
+            val fields = meta.currentSchema.fields.flatMap(f =>
+              graft.iceberg.IcebergTypes.fromStringOpt(f.fieldType)
+                .map(t => (f.id, f.name, t)))
+            val spec = meta.partitionSpecs.find(_.specId == meta.defaultSpecId)
+              .getOrElse(graft.iceberg.PartitionSpec(0, Nil))
+            val BucketRe = """bucket\[(\d+)\]""".r
+            val part: GraftTableWrites.PartInfo =
+              if (spec.fields.isEmpty) None
+              else Some((spec.specId, spec.fields.map { pf =>
+                val f = meta.currentSchema.fields.find(_.id == pf.sourceId).get
+                val t = graft.iceberg.IcebergTypes.fromString(f.fieldType)
+                val out = pf.transform match {
+                  case "identity" => t
+                  case BucketRe(_) => graft.iceberg.IcebergTypes.TInt
+                  case other => throw new IllegalArgumentException(
+                    s"unsupported write transform '$other'")
+                }
+                (GraftTable.sparkSchema(meta).fieldIndex(f.name), t, pf.transform, out)
+              }))
+            new GraftTableDeltaBatchWrite(tableDir, GraftTable.sparkSchema(meta),
+              fields, part,
+              new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active()))
+          }
+        }
+    }
+}
+
+class GraftTableDeltaBatchWrite(tableDir: String, schema: StructType,
+    fields: Seq[(Int, String, graft.iceberg.IcebergType)],
+    part: GraftTableWrites.PartInfo,
+    hadoopConf: graft.iceberg.SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val writeUuid = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new GraftTableDeltaWriterFactory(tableDir, writeUuid, schema, fields, part, hadoopConf)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val all = GraftTableWrites.filesOf(messages)
+    val (dels, datas) = all.partition(_.content == 1)
+    val dataLive = datas.filter(_.rows > 0)
+    GraftTableWrites.drop(datas.filter(_.rows == 0))
+    if (dels.isEmpty && dataLive.isEmpty) return // the operation matched nothing
+    // conflict-validation targets: the exact file set the deletes address
+    // (KB-scale — one distinct() over the per-task delete files)
+    val targets =
+      if (dels.isEmpty) Set.empty[String]
+      else org.apache.spark.sql.SparkSession.active.read
+        .parquet(dels.map(_.path): _*).select("file_path").distinct()
+        .collect().map(_.getString(0)).toSet
+    def pending(m: GraftFileMessage) = GraftTable.PendingFile(
+      m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId)
+    GraftTable.commitDeltaFiles(tableDir,
+      dataLive.map(pending), dels.map(pending), targets)
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    GraftTableWrites.drop(GraftTableWrites.filesOf(messages))
+}
+
+class GraftTableDeltaWriterFactory(tableDir: String, writeUuid: String,
+    schema: StructType, fields: Seq[(Int, String, graft.iceberg.IcebergType)],
+    part: GraftTableWrites.PartInfo,
+    hadoopConf: graft.iceberg.SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftTableDeltaWriter(
+      ord => s"$tableDir/data/w-$writeUuid-p%05d-t$taskId-f%03d.parquet"
+        .format(partitionId, ord),
+      s"$tableDir/data/del-$writeUuid-p%05d-t$taskId.parquet".format(partitionId),
+      schema, fields, part, hadoopConf.value)
 }
 
 /** `rowGroup` == -1 reads the whole file (the un-split case); otherwise

@@ -120,10 +120,13 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo)
 }
 
 /** One written file in a task's commit message. `summary` (partitioned
-  * writes) is the file's transform-space tuple as field summaries. */
+  * writes) is the file's transform-space tuple as field summaries;
+  * `content` is the Iceberg data_file content kind (0 = data, 1 =
+  * position deletes — the delta route's delete files). */
 case class GraftFileMessage(path: String, rows: Long, bytes: Long,
     lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
-    summary: Option[Seq[ManifestListWriter.FieldSummary]], specId: Int)
+    summary: Option[Seq[ManifestListWriter.FieldSummary]], specId: Int,
+    content: Int = 0)
 
 case class GraftWriteMessage(files: Seq[GraftFileMessage]) extends WriterCommitMessage
 
@@ -481,4 +484,54 @@ class GraftFileWriter(path: String, schema: StructType,
     graft.iceberg.HadoopConfs.fileSystemFor(path)
       .delete(new org.apache.hadoop.fs.Path(path), false)
   }
+}
+
+/** Task side of the MERGE-ON-READ row-level write (the `SupportsDelta`
+  * route): inserted and updated rows stream into the ordinary task data
+  * writers (per-tuple files on partitioned tables), while deleted row
+  * ids — the scan's (_file, _pos) coordinates — buffer per task and land
+  * as ONE (file_path, pos)-sorted position-delete parquet with bound
+  * stats under Iceberg's reserved delete field ids (what lets readers
+  * scope the delete load per data file). A task's delete volume is its
+  * share of the CHANGED rows, so the buffer is O(task delta), never
+  * O(table). */
+class GraftTableDeltaWriter(pathFor: Int => String, delPath: String,
+    schema: StructType, fields: Seq[(Int, String, IcebergType)],
+    part: GraftTableWrites.PartInfo, conf: Configuration)
+    extends DeltaWriter[InternalRow] {
+
+  private val data = GraftTableDataWriter.create(pathFor, schema, fields, part, conf)
+  private val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+
+  override def insert(row: InternalRow): Unit = data.write(row)
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id); insert(row)
+  }
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    deletes += ((id.getUTF8String(0).toString, id.getLong(1)))
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = data.commit().asInstanceOf[GraftWriteMessage]
+    val delFiles =
+      if (deletes.isEmpty) Nil
+      else {
+        val delSchema = StructType(Seq(
+          StructField("file_path", StringType), StructField("pos", LongType)))
+        val delFields: Seq[(Int, String, IcebergType)] = Seq(
+          (graft.iceberg.ManifestWriter.PosDeleteFilePathId, "file_path",
+            IcebergTypes.TString),
+          (graft.iceberg.ManifestWriter.PosDeletePosId, "pos", IcebergTypes.TLong))
+        val fw = new GraftFileWriter(delPath, delSchema, delFields, None, 0, conf)
+        // the spec requires position deletes sorted by (file_path, pos)
+        deletes.sortInPlace()
+        deletes.foreach { case (f, p) =>
+          fw.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(f), p)))
+        }
+        Seq(fw.finish().copy(content = 1))
+      }
+    GraftWriteMessage(dataMsg.files ++ delFiles)
+  }
+  override def abort(): Unit = data.abort()
+  override def close(): Unit = ()
 }

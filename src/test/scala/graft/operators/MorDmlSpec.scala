@@ -109,6 +109,31 @@ class MorDmlSpec extends SparkSpec {
     assert(deleteFiles(wh, "t").nonEmpty)
   }
 
+  test("MOR UPDATE on a hidden-partitioned table: per-tuple files, pruning intact") {
+    val wh = freshCatalog("mor5")
+    spark.sql("CREATE TABLE mor5.db.t (k BIGINT, r INT, v STRING) " +
+      "PARTITIONED BY (r) " + morProps)
+    spark.sql(
+      "INSERT INTO mor5.db.t SELECT id, CAST(id % 4 AS INT), concat('v', id) FROM range(0, 80)")
+    val before = dataFiles(wh, "t")
+    spark.sql("UPDATE mor5.db.t SET v = 'u' WHERE k < 8")
+    assert(spark.sql("SELECT count(*) FROM mor5.db.t").head().getLong(0) == 80L)
+    assert(spark.sql("SELECT count(*) FROM mor5.db.t WHERE v = 'u'")
+      .head().getLong(0) == 8L)
+    val after = dataFiles(wh, "t")
+    assert(before.forall(after.contains), "untouched partitioned files rewritten")
+    // the re-inserted rows landed as per-tuple files with field-507
+    // summaries — the identity-partition prune still answers per region
+    assert(spark.sql("SELECT count(*) FROM mor5.db.t WHERE r = 2 AND v = 'u'")
+      .head().getLong(0) == 2L) // keys 2 and 6
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
+    val newDataManifests = meta.currentSnapshot.toSeq
+      .flatMap(s => ManifestListReader.read(s.manifestList.get))
+      .filter(i => i.content == 0 && i.path.contains("m-delta-data"))
+    assert(newDataManifests.nonEmpty && newDataManifests.forall(_.summaries.isDefined),
+      "delta data files on a partitioned table must carry prunable summaries")
+  }
+
   test("MOR deletes compose with later maintenance: compact materializes them away") {
     val wh = freshCatalog("mor4")
     spark.sql(s"CREATE TABLE mor4.db.t (k BIGINT, v STRING) $morProps")

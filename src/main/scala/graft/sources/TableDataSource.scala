@@ -236,7 +236,8 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     onPlanned: (Seq[String], Seq[String]) => Unit = (_, _) => (),
     allowColumnar: Boolean = true,
     streamOpts: StreamReadOptions = StreamReadOptions())
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -262,7 +263,33 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     else plannedFor(meta)
   }
 
+  /** DPP-style runtime filtering (`SupportsRuntimeFiltering`): a
+    * broadcast join's build side materializes, Spark converts its keys
+    * into In/EqualTo filters on the probe side's join columns, and THIS
+    * scan re-plans with them — manifests prune in transform space, files
+    * prune on bound stats, before a single fact byte is read. At 100 TB
+    * this is the difference between scanning the whole fact table and
+    * scanning the partitions the dimension filter actually selects. */
+  @volatile private var runtimeFilters: Array[sources.Filter] = Array.empty
+
+  /** Only columns this scan OUTPUTS: Spark resolves these against the
+    * scan's (column-pruned) output, so advertising unprojected columns
+    * breaks analysis of unrelated plans (e.g. a pruned row-level DELETE
+    * scan emitting [key, _file, _pos]). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.filterNot(n => n == "_file" || n == "_pos")
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(fs: Array[sources.Filter]): Unit =
+    runtimeFilters = fs.filter(FileBoundsEval.supported(_, required))
+
   private def plannedFor(meta: TableMetadata): (Seq[(ManifestWriter.EntryData, Long)],
+      Seq[(ManifestWriter.EntryData, Long)], Seq[(ManifestWriter.EntryData, Long)]) =
+    plannedWith(meta, filters)
+
+  private def plannedWith(meta: TableMetadata, filters: Array[sources.Filter])
+      : (Seq[(ManifestWriter.EntryData, Long)],
       Seq[(ManifestWriter.EntryData, Long)], Seq[(ManifestWriter.EntryData, Long)]) = {
     val snap = GraftTable.resolveForScan(meta, snapshotId, ref, asOfTimestampMs)
     val listPath = snap.manifestList.getOrElse(throw new IllegalArgumentException(
@@ -277,6 +304,11 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
       meta.currentSchema.fields.find(_.name == c).map(_.id)
     val eqPairs = filters.collect {
       case sources.EqualTo(c, v) => fieldId(c).map((_, v)) }.flatten
+    // In-sets (the shape runtime join filters arrive in): a manifest
+    // survives when ANY of the set's values survives it — the per-value
+    // transform prunes union
+    val inSets = filters.collect {
+      case sources.In(c, vs) if vs.nonEmpty => fieldId(c).map((_, vs.toSeq)) }.flatten
     val ranges = filters.collect {
         case sources.GreaterThan(c, v) => (c, Some(v), None)
         case sources.GreaterThanOrEqual(c, v) => (c, Some(v), None)
@@ -291,7 +323,12 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
         acc.intersect(ScanPlanning.pruneManifestsByTransform(listPath, meta, fid, v)
           .map(_.path).toSet)
     }
-    val surviving = ranges.foldLeft(afterEq) { case (acc, (fid, lo, hi)) =>
+    val afterIn = inSets.foldLeft(afterEq) { case (acc, (fid, vs)) =>
+      acc.intersect(vs.map(v =>
+        ScanPlanning.pruneManifestsByTransform(listPath, meta, fid, v)
+          .map(_.path).toSet).reduce(_ union _))
+    }
+    val surviving = ranges.foldLeft(afterIn) { case (acc, (fid, lo, hi)) =>
       acc.intersect(ScanPlanning.pruneManifestsByRange(listPath, meta, fid, lo, hi)
         .map(_.path).toSet)
     }
@@ -337,7 +374,16 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (kept, posDeletes, eqDeletes) = planned
+    // runtime join filters (if any arrived) re-plan on top of the static
+    // pushed set; `planned` stays the statistics baseline
+    val (kept, posDeletes, eqDeletes) =
+      if (runtimeFilters.isEmpty) planned
+      else {
+        val meta = TableMetadata.parseFile(metadataPath)
+        if (meta.currentSnapshotId.isEmpty && snapshotId.isEmpty && ref.isEmpty &&
+            asOfTimestampMs.isEmpty) (Nil, Nil, Nil)
+        else plannedWith(meta, filters ++ runtimeFilters)
+      }
     // row-level (UPDATE/MERGE) scans record the served group set — the
     // files the replace commit must swap — AND the delete files the scan
     // applied, so the commit can detect deletes added concurrently
@@ -627,7 +673,15 @@ class GraftTableReaderFactory(required: StructType,
   * columns, and every required type is vectorizable — the overwhelmingly
   * common analytic case; anything else takes the row-route MOR reader.
   * This removes the 5-10× per-row Group-API decode penalty the round-8
-  * reader paid on every SQL query through the catalog. */
+  * reader paid on every SQL query through the catalog (ScanBench: 0.97×
+  * native parquet vs 2.31× for the row route on full-width decode).
+  *
+  * The reader conf pins this library's OWN file conventions (micros
+  * timestamps, CORRECTED datetime rebase) — every graft write route
+  * produces exactly that. A FOREIGN file with INT64-nanos timestamps
+  * would need the session's nanos handling instead; if such a table is
+  * ever mounted, read it with `columnar=false` (the Group-API route
+  * follows the file's declared logical types). */
 class GraftTableColumnarReader(part: GraftTableInputPartition,
     required: StructType, confBase: Configuration)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {

@@ -832,6 +832,17 @@ object GraftTable {
       MetadataWriter.evolveSchema(base, schema, base.lastUpdatedMs + 1000).copy(
         metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
 
+  /** Sort-order evolution through the CAS loop: `sort-orders[]` grows
+    * and the default advances — metadata-only. Subsequent DSv2 writes
+    * declare the order as their REQUIRED task ordering, so new files
+    * land physically clustered on the sort columns with tight bound
+    * stats — the read side prunes them with no rewrite step (old files
+    * stay as-written until a clustering rewrite, the i35 rule). */
+  def evolveSortOrder(tableDir: String, order: SortOrder): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) =>
+      MetadataWriter.evolveSortOrder(base, order, base.lastUpdatedMs + 1000).copy(
+        metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
+
   /** Partition-spec evolution through the CAS loop: `partition-specs[]`
     * grows and `default-spec-id` advances. Existing manifests keep their
     * old spec id (list field 502, the i32 mixed-spec rule); subsequent

@@ -72,7 +72,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** Metadata-table names resolvable as `<table>.<name>` (the Iceberg
     * identifier convention: `SELECT * FROM graft.db.t.snapshots`). */
   private val MetadataTableNames =
-    Set("snapshots", "history", "refs", "metadata_log_entries", "manifests", "files")
+    Set("snapshots", "history", "refs", "metadata_log_entries", "manifests",
+      "files", "delete_files")
 
   private def loadMetadataTable(ident: Identifier): Option[Table] = {
     if (ident.namespace().isEmpty || !MetadataTableNames.contains(ident.name())) return None
@@ -91,16 +92,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val list = meta.currentSnapshot.flatMap(_.manifestList).getOrElse(
           throw new IllegalArgumentException("table has no current snapshot"))
         MetadataTables.manifests(spark, list)
-      case "files" =>
+      case "files" | "delete_files" =>
         // built from the core entry fields OUR manifests carry (the
         // generic files table projects columns a reduced-schema manifest
-        // lacks); one concurrent driver read per manifest, KB-scale
+        // lacks); one concurrent driver read per manifest, KB-scale.
+        // `delete_files` is the delete-side half: position (content 1)
+        // and equality (content 2) delete files with their sequence —
+        // what a user inspects to see MOR debt accumulate and compaction
+        // clear it
         import spark.implicits._
+        val wantDeletes = ident.name() == "delete_files"
         val infos = meta.currentSnapshot.flatMap(_.manifestList).toSeq
           .flatMap(graft.iceberg.ManifestListReader.read)
         graft.iceberg.Par.inParallel(infos)(i =>
             (i, graft.iceberg.ManifestWriter.read(i.path)))
-          .flatMap { case (i, es) => es.filter(_.status != 2).map(e =>
+          .flatMap { case (i, es) => es.filter(e => e.status != 2 &&
+              (if (wantDeletes) e.content != 0 else true)).map(e =>
             (i.path, e.content, e.filePath, e.recordCount, e.fileSizeInBytes,
               e.sequenceNumber.getOrElse(i.sequenceNumber))) }
           .toDF("manifest_path", "content", "file_path", "record_count",

@@ -159,6 +159,8 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
           .exists(_.toBoolean),
         startingSnapshotId = Option(options.get("starting-snapshot-id"))
           .map(_.toLong),
+        startingTimestampMs = Option(options.get("starting-timestamp-ms"))
+          .map(_.toLong),
         maxSnapshotsPerTrigger = Option(options.get("max-snapshots-per-trigger"))
           .map(_.toInt)))
   override def newWriteBuilder(

@@ -13,6 +13,7 @@ import graft.iceberg._
 case class StreamReadOptions(
     skipOverwrites: Boolean = false,
     startingSnapshotId: Option[Long] = None,
+    startingTimestampMs: Option[Long] = None,
     maxSnapshotsPerTrigger: Option[Int] = None)
 
 /** The offset of the `graft-table` streaming source: the last FULLY
@@ -78,8 +79,14 @@ class GraftTableMicroBatchStream(metadataPath: String, required: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     pinnedEnd = Some(headSnapshotId)
 
-  override def initialOffset(): Offset =
-    GraftSnapshotOffset(opts.startingSnapshotId.getOrElse(0L))
+  override def initialOffset(): Offset = GraftSnapshotOffset(
+    opts.startingSnapshotId.orElse(opts.startingTimestampMs.map { ts =>
+      // "only commits after this instant": the last snapshot at or before
+      // ts is the EXCLUSIVE start; an instant before the first commit
+      // streams the whole history
+      head.snapshotLog.filter(_.timestampMs <= ts)
+        .map(_.snapshotId).lastOption.getOrElse(0L)
+    }).getOrElse(0L))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -88,14 +95,34 @@ class GraftTableMicroBatchStream(metadataPath: String, required: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = GraftSnapshotOffset.of(start).snapshotId
     val target = pinnedEnd.getOrElse(headSnapshotId)
-    val bounded = opts.maxSnapshotsPerTrigger match {
-      case Some(n) =>
-        // snapshot ids can be sparse after expiry: bound by COUNT of real
-        // snapshots in range, not by id arithmetic
-        head.snapshots.map(_.snapshotId).filter(id => id > from && id <= target)
-          .sorted.take(n).lastOption.getOrElse(from)
-      case None => target
+    val inRange = head.snapshots.filter(s =>
+      s.snapshotId > from && s.snapshotId <= target).sortBy(_.snapshotId)
+    // admission control, strongest bound wins: the trigger's ReadLimit
+    // (rows admitted via each snapshot's added-records summary — always
+    // at least one snapshot so the stream advances) composed with the
+    // max-snapshots-per-trigger option. Snapshot ids can be sparse after
+    // expiry, so bounds COUNT real snapshots, never do id arithmetic.
+    def rowsOf(s: Snapshot): Long =
+      s.summary.get("added-records").flatMap(v =>
+        scala.util.Try(v.toLong).toOption).getOrElse(0L)
+    def boundByRows(maxRows: Long): Int = {
+      var (n, acc, stop) = (0, 0L, false)
+      inRange.foreach { s =>
+        if (!stop && (n == 0 || acc + rowsOf(s) <= maxRows)) {
+          n += 1; acc += rowsOf(s)
+        } else stop = true
+      }
+      n
     }
+    val nAllowed = Seq(
+      limit match {
+        case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+          Some(boundByRows(r.maxRows()))
+        case _ => None
+      },
+      opts.maxSnapshotsPerTrigger).flatten
+      .reduceOption(math.min).getOrElse(inRange.size)
+    val bounded = inRange.take(nAllowed).lastOption.map(_.snapshotId).getOrElse(from)
     GraftSnapshotOffset(math.max(from, bounded))
   }
 

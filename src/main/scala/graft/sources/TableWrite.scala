@@ -95,17 +95,48 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo)
   override def build(): Write = {
     val (tableDir, tableSchema, fields, part) = validated()
     val conf = new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active())
+    val meta = TableMetadata.parseFile(metadataPath)
     new Write with RequiresDistributionAndOrdering {
       // cluster by the partition SOURCE columns: same source value →
-      // same task → fewer (never wrong) per-tuple files. Unpartitioned
-      // writes declare no constraint.
+      // same task → fewer (never wrong) per-tuple files. An unpartitioned
+      // table WITH a declared sort order range-distributes on it instead
+      // (each task owns a disjoint key range, so its files' bound stats
+      // are tight disjoint intervals — what makes the sort order prunable
+      // and not merely an aesthetic); otherwise no constraint.
       override def requiredDistribution(): Distribution = part match {
         case Some((_, sf)) =>
           Distributions.clustered(sf.map(f =>
             VExpr.column(tableSchema.fieldNames(f._1))).toArray)
-        case None => Distributions.unspecified()
+        case None =>
+          val ord = requiredOrdering()
+          if (ord.nonEmpty) Distributions.ordered(ord)
+          else Distributions.unspecified()
       }
-      override def requiredOrdering(): Array[VSortOrder] = Array.empty
+      /** The table's declared sort order becomes the write's required
+        * (per-task) ordering: files land physically clustered on the
+        * sort columns, so their min/max bound stats are TIGHT intervals
+        * instead of whole-domain ones — what turns the i35 sort-order
+        * metadata into read-side pruning with no rewrite step. Only
+        * identity sort fields translate (transform sorts would need the
+        * transform evaluated in the plan); a non-identity field ends the
+        * prefix — a PREFIX of the declared order still clusters. */
+      override def requiredOrdering(): Array[VSortOrder] =
+        meta.sortOrders.find(_.orderId == meta.defaultSortOrderId)
+          .map(_.fields.takeWhile(f => f.transform == "identity" &&
+            meta.currentSchema.fields.exists(_.id == f.sourceId)))
+          .getOrElse(Nil)
+          .map { f =>
+            val name = meta.currentSchema.fields.find(_.id == f.sourceId).get.name
+            val dir =
+              if (f.direction == "desc")
+                org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+              else org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+            val nulls =
+              if (f.nullOrder == "nulls-last")
+                org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_LAST
+              else org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST
+            VExpr.sort(VExpr.column(name), dir, nulls)
+          }.toArray
       override def toBatch: BatchWrite =
         new GraftTableBatchWrite(tableDir, tableSchema, fields, part, replace, conf)
       override def toStreaming

@@ -313,6 +313,11 @@ class TableSourceSpec extends SparkSpec {
       "SELECT content, record_count FROM graft_mt.db.n.files ORDER BY content")
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(files == Seq((0, 13L), (1, 1L))) // one data file, one pos-delete file
+    // the delete-side half: only delete files, with their sequence
+    val dels = spark.sql(
+      "SELECT content, record_count, sequence_number FROM graft_mt.db.n.delete_files")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dels == Seq((1, 1L, 2L)), dels.toString)
     // the local scan shape: metadata rows never launch tasks
     val plan = spark.sql("SELECT * FROM graft_mt.db.n.snapshots")
       .queryExecution.executedPlan.toString

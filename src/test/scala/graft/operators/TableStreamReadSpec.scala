@@ -163,6 +163,51 @@ class TableStreamReadSpec extends SparkSpec {
       thrown.getMessage)
   }
 
+  test("starting-timestamp-ms resolves to the exclusive snapshot start") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-streamts").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-streamtsout").toString
+    val nation = Tables.load(spark, sfDir, "nation")
+    createNation(dir, "e6")
+    GraftTable.append(spark, dir, nation.filter(col("n_nationkey") < 13)
+      .orderBy(col("n_nationkey")))  // snapshot 1 at T0+1000
+    GraftTable.append(spark, dir, nation.filter(col("n_nationkey") >= 13)
+      .orderBy(col("n_nationkey")))  // snapshot 2 at T0+2000
+    // an instant between the two commits: only snapshot 2 streams
+    drainToParquet(dir, out, Map("starting-timestamp-ms" -> (T0 + 1500).toString))
+    assert(spark.read.parquet(s"$out/data").count() == 12L)
+    // an instant before the first commit streams everything
+    val out2 = java.nio.file.Files.createTempDirectory("graft-streamtsout2").toString
+    drainToParquet(dir, out2, Map("starting-timestamp-ms" -> (T0 - 1).toString))
+    assert(spark.read.parquet(s"$out2/data").count() == 25L)
+  }
+
+  test("ReadLimit maxRows bounds batches by snapshot row counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-streamrows").toString
+    val nation = Tables.load(spark, sfDir, "nation")
+    createNation(dir, "e7")
+    Seq(0 until 9, 9 until 18, 18 until 25).foreach { r =>
+      GraftTable.append(spark, dir, nation
+        .filter(col("n_nationkey") >= r.head && col("n_nationkey") <= r.last)
+        .orderBy(col("n_nationkey")))
+    }
+    // snapshots carry 9/9/7 rows; the admission maths drive the offsets
+    val stream = new graft.sources.GraftTableMicroBatchStream(
+      GraftTable.latestMetadataPath(dir),
+      org.apache.spark.sql.types.StructType(Nil),
+      graft.sources.StreamReadOptions(),
+      new SerializableHadoopConf(HadoopConfs.active()))
+    val l1 = stream.latestOffset(graft.sources.GraftSnapshotOffset(0L),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(10L))
+    assert(l1 == graft.sources.GraftSnapshotOffset(1L), l1)
+    val l2 = stream.latestOffset(graft.sources.GraftSnapshotOffset(1L),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(100L))
+    assert(l2 == graft.sources.GraftSnapshotOffset(3L), l2)
+    // a budget below the next snapshot's rows still admits ONE (progress)
+    val l3 = stream.latestOffset(graft.sources.GraftSnapshotOffset(0L),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(1L))
+    assert(l3 == graft.sources.GraftSnapshotOffset(1L), l3)
+  }
+
   test("offset json round-trips") {
     val o = GraftSnapshotOffset(42L)
     assert(GraftSnapshotOffset.parse(o.json()) == o)

@@ -843,6 +843,37 @@ object GraftTable {
       MetadataWriter.evolveSortOrder(base, order, base.lastUpdatedMs + 1000).copy(
         metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
 
+  /** Rollback through the CAS loop: move the main pointer (and ref, and
+    * snapshot-log) back to an existing snapshot — Iceberg's
+    * `rollback_to_snapshot`. No snapshot is removed; expiry reclaims. */
+  def rollbackTo(tableDir: String, snapshotId: Long): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) =>
+      MetadataWriter.rollbackTo(base, snapshotId, base.lastUpdatedMs + 1000,
+        Some(basePath)))
+
+  /** Tag a snapshot (default: the current head) through the CAS loop —
+    * a named immutable ref for `AS OF` time travel. */
+  def createTag(tableDir: String, tag: String,
+      snapshotId: Option[Long] = None): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val target = snapshotId.orElse(base.currentSnapshotId).getOrElse(
+        throw new IllegalArgumentException("cannot tag a table with no snapshots"))
+      MetadataWriter.createTag(base, tag, target).copy(
+        lastUpdatedMs = base.lastUpdatedMs + 1000,
+        metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
+    })
+
+  /** Fast-forward main onto the named ref's snapshot through the CAS
+    * loop — the publish half of write-audit-publish. Refuses targets
+    * that do not descend from main's head (that would be a rollback). */
+  def fastForward(tableDir: String, ref: String): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val target = base.refs.find(_.name == ref).getOrElse(
+        throw new IllegalArgumentException(s"no such ref '$ref'")).snapshotId
+      MetadataWriter.fastForward(base, target, base.lastUpdatedMs + 1000,
+        Some(basePath))
+    })
+
   /** Partition-spec evolution through the CAS loop: `partition-specs[]`
     * grows and `default-spec-id` advances. Existing manifests keep their
     * old spec id (list field 502, the i32 mixed-spec rule); subsequent

@@ -1444,7 +1444,49 @@ object LakehouseMaint {
       |  CAST(0 AS BIGINT) AS n_deleted_present
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i59
+  /** SQL maintenance procedures — the `CALL catalog.system.<proc>` surface
+    * over the CAS machinery: per-task insert files bin-packed by
+    * rewrite_data_files, the compacted head tagged, main rolled back one
+    * snapshot and fast-forwarded onto the tag, then everything but the
+    * head expired (physical cleanup included). The final aggregate runs
+    * over the one compacted file that survives — every number a plain
+    * GROUP BY over nation for the oracle. */
+  val sqlProcedures: Q = (spark, sfDir) => {
+    val wh = entryDir("i59", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_proc_e",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_proc_e.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i59_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_proc_e.db.n
+        (n_nationkey INT, n_name STRING, n_regionkey INT)
+        TBLPROPERTIES ('commit-timestamp-ms'='1700000000000')""")
+      spark.sql("""INSERT INTO graft_proc_e.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i59_nation_src
+        WHERE n_regionkey < 2""")
+      spark.sql("""INSERT INTO graft_proc_e.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i59_nation_src
+        WHERE n_regionkey >= 2""")
+      spark.sql(
+        "CALL graft_proc_e.system.rewrite_data_files(table => 'db.n')")
+      spark.sql("CALL graft_proc_e.system.create_tag('db.n', 'compacted')")
+      spark.sql("CALL graft_proc_e.system.rollback_to_snapshot('db.n', 2)")
+      spark.sql("CALL graft_proc_e.system.fast_forward('db.n', 'compacted')")
+      spark.sql("CALL graft_proc_e.system.expire_snapshots('db.n', 1)")
+    }
+    spark.sql("""SELECT n_regionkey, COUNT(*) AS n_live,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      FROM graft_proc_e.db.n GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+
+  val sqlProceduresSql: String =
+    """SELECT n_regionkey, COUNT(*) AS n_live,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i59_sql_procedures" -> sqlProcedures,
     "i58_sql_mor_dml" -> sqlMorDml,
     "i57_upsert_api" -> upsertApi,
     "i56_sql_decimal" -> sqlDecimal,
@@ -1473,6 +1515,7 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i59_sql_procedures" -> sqlProceduresSql,
     "i58_sql_mor_dml" -> sqlMorDmlSql,
     "i57_upsert_api" -> upsertApiSql,
     "i56_sql_decimal" -> sqlDecimalSql,

@@ -40,7 +40,8 @@ import graft.iceberg.{GraftTable, HadoopConfs, IcebergField, IcebergSchema,
   * state is NOTHING but the table directories — concurrent engines
   * coordinate through the versioned metadata documents alone, exactly
   * the HadoopCatalog model. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -347,6 +348,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         metadataLog = meta.metadataLog.map(e => e.copy(metadataFile = map(e.metadataFile)))))
     }
   }
+
+  // --------------------------------------------------- ProcedureCatalog
+  // Maintenance as SQL: `CALL graft.system.rewrite_data_files('db.t')`
+  // etc. — each procedure lands on the same CAS-committed programmatic
+  // machinery and returns one LocalScan summary row (GraftProcedures).
+
+  private def resolveTableDir(tableName: String): String = {
+    val parts = tableName.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"bad table name '$tableName' — expected 'ns.table'")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    tableDir(ident)
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace().sameElements(Array("system"))
+    (if (ok) GraftProcedures.load(ident.name(), resolveTableDir) else None)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"no such procedure $ident — graft procedures live under " +
+          s"$catalogName.system: ${GraftProcedures.names.mkString(", ")}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   // ------------------------------------------------- SupportsNamespaces
   // Namespaces ARE directories under the warehouse (the HadoopCatalog

@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.iceberg.{GraftTable, ManifestListReader, ManifestWriter,
+  TableMetadata}
+
+/** SQL maintenance procedures on the DSv2 procedure API (Spark 4's
+  * `ProcedureCatalog`/`BoundProcedure`) — the surface Iceberg exposes as
+  * `CALL catalog.system.<proc>(...)`:
+  *
+  * {{{
+  *   CALL graft.system.rewrite_data_files(table => 'db.t')
+  *   CALL graft.system.expire_snapshots('db.t', 2)
+  *   CALL graft.system.rollback_to_snapshot('db.t', 3)
+  *   CALL graft.system.create_tag('db.t', 'v1')
+  *   CALL graft.system.fast_forward('db.t', 'audit')
+  * }}}
+  *
+  * Each lands on the programmatic machinery (compact / expireSnapshots /
+  * rollbackTo / createTag / fastForward — all CAS commits), and each
+  * returns one summary row served as a `LocalScan` (driver-scale results,
+  * no tasks — the same boundary the metadata tables keep). Table
+  * arguments are catalog-relative names (`'db.t'`), resolved by the
+  * owning catalog's directory mapping. */
+object GraftProcedures {
+
+  /** Bound-and-unbound in one: the graft procedures take no overloads,
+    * so binding is the identity and parameters are static. */
+  private final class Proc(
+      procName: String,
+      procDescription: String,
+      params: Array[ProcedureParameter],
+      out: StructType,
+      body: InternalRow => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val resultRows = body(input).toArray
+      util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = resultRows
+        override def readSchema(): StructType = out
+        override def description(): String = s"graft procedure $procName result"
+      }).iterator()
+    }
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** Live data-file count of the current snapshot — KB-scale manifest
+    * reads, used for the procedures' before/after summary rows. */
+  private def dataFileCount(meta: TableMetadata): Int =
+    meta.currentSnapshot.flatMap(_.manifestList).toSeq
+      .flatMap(ManifestListReader.read).filter(_.content == 0)
+      .flatMap(i => ManifestWriter.read(i.path))
+      .count(e => e.status != 2 && e.content == 0)
+
+  private def currentMeta(dir: String): TableMetadata =
+    TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+
+  def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
+    "rollback_to_snapshot", "create_tag", "fast_forward")
+
+  /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
+    * table directory — supplied by the owning catalog. */
+  def load(procName: String, resolveDir: String => String): Option[UnboundProcedure] = {
+    def dirOf(input: InternalRow): String =
+      resolveDir(input.getUTF8String(0).toString)
+    Some(procName).collect {
+      case "rewrite_data_files" => new Proc(
+        "rewrite_data_files",
+        "bin-pack the table's data files toward target_file_size_bytes, " +
+          "materializing pending deletes; one CAS replace snapshot",
+        Array(in("table", StringType),
+          inDefault("target_file_size_bytes", LongType, (512L * 1024 * 1024).toString)),
+        StructType(Seq(
+          StructField("rewritten_data_files_count", IntegerType),
+          StructField("added_data_files_count", IntegerType),
+          StructField("snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          val before = dataFileCount(currentMeta(dir))
+          val result = GraftTable.compact(SparkSession.active, dir,
+            targetBytes = input.getLong(1))
+          val after = dataFileCount(result.metadata)
+          Seq(InternalRow(before, after,
+            result.metadata.currentSnapshotId.getOrElse(0L)))
+        })
+      case "expire_snapshots" => new Proc(
+        "expire_snapshots",
+        "drop all but the last retain_last snapshots and physically delete " +
+          "every artifact reachable only from the expired ones",
+        Array(in("table", StringType),
+          inDefault("retain_last", IntegerType, "1")),
+        StructType(Seq(
+          StructField("expired_snapshots_count", IntegerType),
+          StructField("retained_snapshots_count", IntegerType))),
+        input => {
+          val dir = dirOf(input)
+          val before = currentMeta(dir).snapshots.size
+          val result = GraftTable.expireSnapshots(SparkSession.active, dir,
+            keepLast = input.getInt(1))
+          val after = result.metadata.snapshots.size
+          Seq(InternalRow(before - after, after))
+        })
+      case "rollback_to_snapshot" => new Proc(
+        "rollback_to_snapshot",
+        "move main back to an existing snapshot (pointer move only; " +
+          "expiry reclaims files)",
+        Array(in("table", StringType), in("snapshot_id", LongType)),
+        StructType(Seq(
+          StructField("previous_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          val previous = currentMeta(dir).currentSnapshotId.getOrElse(0L)
+          val result = GraftTable.rollbackTo(dir, input.getLong(1))
+          Seq(InternalRow(previous, result.metadata.currentSnapshotId.getOrElse(0L)))
+        })
+      case "create_tag" => new Proc(
+        "create_tag",
+        "tag a snapshot (default: the current head) for AS OF time travel",
+        Array(in("table", StringType), in("tag", StringType),
+          inDefault("snapshot_id", LongType, "NULL")),
+        StructType(Seq(
+          StructField("tag", StringType),
+          StructField("snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          val tag = input.getUTF8String(1).toString
+          val snapId = if (input.isNullAt(2)) None else Some(input.getLong(2))
+          val result = GraftTable.createTag(dir, tag, snapId)
+          val tagged = result.metadata.refs.find(_.name == tag).get.snapshotId
+          Seq(InternalRow(UTF8String.fromString(tag), tagged))
+        })
+      case "fast_forward" => new Proc(
+        "fast_forward",
+        "publish main onto the named ref's snapshot (write-audit-publish); " +
+          "refuses non-descendants",
+        Array(in("table", StringType), in("ref", StringType)),
+        StructType(Seq(
+          StructField("previous_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          val previous = currentMeta(dir).currentSnapshotId.getOrElse(0L)
+          val result = GraftTable.fastForward(dir,
+            input.getUTF8String(1).toString)
+          Seq(InternalRow(previous, result.metadata.currentSnapshotId.getOrElse(0L)))
+        })
+    }
+  }
+}

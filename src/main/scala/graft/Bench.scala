@@ -2,10 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
-  /** Keys in the JSON line are the unique entry prefixes (q01.., st01..):
-    * the driver keeps only the LAST 2000 chars of stdout and sbt appends
-    * ~90 chars after us, so the line must stay ~1.2 KB. */
-  def shortKey(name: String): String = name.split("_").head
+  /** The raw entry prefix (q01, st09, ...) — the historical key shape; kept
+    * for SPARK_GRAFT_ONLY compatibility with prior rounds' harnesses. */
+  def rawKey(name: String): String = name.split("_").head
+
+  /** Keys in the JSON line are the entry prefixes with leading zeros
+    * dropped (q01→q1, st09→st9): the driver keeps only the LAST 2000 chars
+    * of stdout and sbt appends ~90 chars after us, so at 164+ entries every
+    * character of key counts toward keeping 2-decimal timings on the line. */
+  def shortKey(name: String): String = {
+    val p = rawKey(name)
+    val (fam, idx) = p.span(!_.isDigit)
+    val trimmed = idx.dropWhile(_ == '0')
+    fam + (if (idx.nonEmpty && trimmed.isEmpty) "0" else trimmed)
+  }
 
   /** min over the passes that succeeded; None (→ JSON null) if every pass
     * failed — a failed entry must never surface as a normal-looking time. */
@@ -19,16 +29,28 @@ object Bench {
     * tail — a front-truncated line is unparseable, so less precision
     * always beats more characters. */
   def renderLine(results: Seq[(String, Option[Double])], sfDir: String): String = {
-    // sfDir is environment-supplied: escape it, or a quote/backslash in the
-    // path yields exactly the unparseable line this format exists to avoid
-    val sf = sfDir.flatMap {
+    // only the last path segment ("sf0.1") — the full dir costs ~15 chars of
+    // the budget and the driver set it itself; escape what remains, or a
+    // quote/backslash yields exactly the unparseable line this format avoids
+    val sf = sfDir.stripSuffix("/").split('/').last.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
     def render(dec: Int): String = {
-      def f(v: Double): String = s"%.${dec}f".format(v)
+      // Two char-savers, both information-preserving at bench noise levels:
+      // (a) magnitude-adaptive decimals — a 123.46 s entry carries 0.4% noise
+      //     at 1 decimal already, so ≥100 s renders 0 decimals, ≥10 s at most
+      //     1 (relative resolution stays ≤1%); (b) strip trailing zeros
+      //     ("0.30"→"0.3", "1.00"→"1") — ~50 chars back on a typical line,
+      //     the difference between keeping 2 decimals and degrading to 1.
+      def f(v: Double): String = {
+        val eff = if (v >= 100) 0 else if (v >= 10) math.min(dec, 1) else dec
+        val s = s"%.${eff}f".format(v)
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+        else s
+      }
       val qs = results.map { case (k, v) =>
         "\"" + shortKey(k) + "\":" + v.map(f).getOrElse("null")
       }.mkString("{", ",", "}")
@@ -85,12 +107,14 @@ object Bench {
     // Pass 1 warms JVM/codegen/parquet-footer caches (one-shot costs that a
     // long-lived cluster session never repays per query); passes 2-3 are the
     // steady-state measurement. Report min of the successful timed runs.
-    // SPARK_GRAFT_ONLY=i21,i22,... runs a subset (by shortKey prefix) — the
-    // isolation harness for regression bisects; unset = the full suite.
+    // SPARK_GRAFT_ONLY=i21,i22,... runs a subset — the isolation harness for
+    // regression bisects; unset = the full suite. Both key shapes match
+    // (historical "q01" and current "q1") so prior rounds' bisect commands
+    // keep working across the key-shortening.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(shortKey(n))))
+      .filter(n => only.forall(s => s.contains(shortKey(n)) || s.contains(rawKey(n))))
     require(names.nonEmpty, "SPARK_GRAFT_ONLY matched no entries")
     // fail fast on a prefix collision BEFORE spending ~3 timed passes:
     // a colliding shortKey would silently drop a timing from the JSON line

@@ -4,7 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the bench's failure-reporting contract: a failed entry surfaces as
   * JSON null (never a normal-looking time) and is excluded from the total,
-  * so the driver's BENCH_r{N}.json makes failures visible. */
+  * so the driver's BENCH_r{N}.json makes failures visible. Also pins the
+  * char budget: the driver keeps only the last 2000 chars of stdout, and a
+  * front-truncated line is unparseable — the round-9 lesson is that entry
+  * count growth silently degraded the whole record to 1-decimal timings. */
 class BenchSpec extends AnyFunSuite {
 
   test("failed entry renders as null and is excluded from the total") {
@@ -12,12 +15,35 @@ class BenchSpec extends AnyFunSuite {
       Seq("q01_agg" -> Some(1.25), "st09_foreach_batch_sink" -> None,
         "d03_minhash_dedup" -> Some(0.5)),
       "/root/testdata/sf0.1")
-    assert(line.contains("\"st09\":null"))
-    assert(line.contains("\"q01\":1.25"))
-    assert(line.contains("\"d03\":0.50"))
+    assert(line.contains("\"st9\":null"))
+    assert(line.contains("\"q1\":1.25"))
+    // trailing zeros are stripped (0.50 → 0.5): same info, fewer chars —
+    // the char budget is what keeps 2-decimal resolution at 164+ entries
+    assert(line.contains("\"d3\":0.5}"))
     assert(line.contains("\"value\":1.75")) // 1.25 + 0.5, null excluded
+    // sf echoes only the last path segment; the driver set the dir itself
+    assert(line.contains("\"sf\":\"sf0.1\""))
     // the line must stay parseable JSON (driver front-truncates long lines)
     assert(line.startsWith("{") && line.endsWith("}"))
+  }
+
+  test("keys drop leading zeros but stay unique across all entries") {
+    assert(Bench.shortKey("q01_agg") === "q1")
+    assert(Bench.shortKey("st09_foreach_batch_sink") === "st9")
+    assert(Bench.shortKey("i59_sql_procedures") === "i59")
+    val names = SparkEntry.queries.keys.toSeq
+    assert(names.map(Bench.shortKey).distinct.size === names.size,
+      "a colliding short key would silently drop a timing from the line")
+  }
+
+  test("slow entries degrade decimals by magnitude, not the whole line") {
+    val line = Bench.renderLine(
+      Seq("q01_agg" -> Some(123.456), "q02_filter_revenue" -> Some(12.34),
+        "q03_join_topk" -> Some(1.234)),
+      "sf0.1")
+    assert(line.contains("\"q1\":123"))   // ≥100 s: 0 decimals (0.4% noise)
+    assert(line.contains("\"q2\":12.3"))  // ≥10 s: 1 decimal (≤1% resolution)
+    assert(line.contains("\"q3\":1.23"))  // <10 s: full 2 decimals
   }
 
   test("best() takes the min of successful passes, None when all fail") {
@@ -27,15 +53,22 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("all-entries line stays under the driver's 2000-char stdout tail") {
-    // worst case: every entry takes 100+ seconds — precision degrades
-    // rather than overflowing the driver's tail
+    // worst case: every entry takes 100+ seconds — magnitude-adaptive
+    // decimals keep even that line compact
     val wide = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Some(123.456))
     val wideLine = Bench.renderLine(wide, "/root/testdata/sf0.1")
     assert(wideLine.length < 1900, s"bench line too long: ${wideLine.length}")
-    // normal case: sub-10s entries keep the full 2-decimal resolution
-    val typical = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Some(1.234))
+    // normal case: sub-10s entries keep the full 2-decimal resolution, and
+    // 1.234 is the adversarial value — nothing to strip. Pin headroom for
+    // 5 MORE worst-case entries so the next additions can't silently push
+    // the driver's record down to 1-decimal again (the round-9 failure).
+    // (Worst-case math: 164 entries ≈ 1838 chars, ~11/entry → +5 fits the
+    // 1900 guard; REAL timings strip trailing zeros and run shorter.)
+    val future = (1 to 5).map(i => f"z$i%02d_future" -> Some(1.234))
+    val typical = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Some(1.234)) ++ future
     val typicalLine = Bench.renderLine(typical, "/root/testdata/sf0.1")
-    assert(typicalLine.length < 1900)
+    assert(typicalLine.length < 1900,
+      s"typical line too long at +15 entries: ${typicalLine.length}")
     assert(typicalLine.contains(":1.23"), "typical line must keep 2 decimals")
   }
 }

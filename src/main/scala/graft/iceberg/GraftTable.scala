@@ -301,30 +301,36 @@ object GraftTable {
 
   /** Append `df` as one CAS-committed append snapshot, routed through
     * the DSv2 task-writer machinery (the round-8 `TableWrite` path): the
-    * input is read ONCE. An unpartitioned table writes one file from a
-    * single task (the convenience-API shape — parallel multi-file writes
-    * ARE the `df.write.format("graft-table")` route); a partitioned
-    * table shuffles ONCE on the clustered partition-source columns and
-    * each task splits its cluster into one file per transform-space
-    * tuple, carrying its field-507 summary — list-level prunable
-    * (i33/i37) with no extra step. Task writers track bound stats INLINE
-    * while writing (no second derive pass), and the commit lands through
-    * the same CAS loop every other writer uses. (The previous shape
-    * scanned the input once per distinct partition tuple and re-read
-    * each written file to derive stats.) */
+    * input is read ONCE and written at the INPUT'S parallelism — every
+    * task streams its rows into its own file(s), so a 1000-partition
+    * DataFrame appends as 1000 concurrent file writes, never a
+    * single-task funnel. The write's own declared distribution shapes
+    * the shuffle (at most ONE): a partitioned table clusters on the
+    * partition-source columns and each task splits its cluster into one
+    * file per transform-space tuple (field-507 summaries — list-level
+    * prunable, i33/i37); an unpartitioned table with a declared sort
+    * order range-distributes on it (disjoint per-file bound stats —
+    * read-side prunable, the i35 contract); otherwise the input
+    * partitioning is used as-is. Task writers track bound stats INLINE
+    * while writing (no second derive pass), the commit lands through the
+    * same CAS loop every other writer uses, and the returned
+    * CommitResult is the ACTUAL commit's (surfaced by the batch commit
+    * itself — re-resolving the head here could describe a concurrent
+    * writer's snapshot). */
   def append(spark: SparkSession, tableDir: String, df: DataFrame): OptimisticCommit.CommitResult = {
     val metaPath = latestMetadataPath(tableDir)
     val meta0 = TableMetadata.parseFile(metaPath)
     val schema = sparkSchema(meta0)
-    val spec = meta0.partitionSpecs.find(_.specId == meta0.defaultSpecId)
-      .getOrElse(PartitionSpec(0, Nil))
     val projected = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val shaped = if (spec.fields.isEmpty) projected.coalesce(1) else projected
-    shaped.write.format("graft-table").option("metadata", metaPath)
+    graft.sources.GraftTableWrites.lastCommit.remove()
+    projected.write.format("graft-table").option("metadata", metaPath)
       .mode("append").save()
-    val v = OptimisticCommit.currentVersion(tableDir)
-    val path = OptimisticCommit.metadataPath(tableDir, v)
-    OptimisticCommit.CommitResult(v, path, TableMetadata.parseFile(path), 1)
+    Option(graft.sources.GraftTableWrites.lastCommit.get()).getOrElse {
+      // an empty append commits nothing — report the unchanged head
+      val v = OptimisticCommit.currentVersion(tableDir)
+      val path = OptimisticCommit.metadataPath(tableDir, v)
+      OptimisticCommit.CommitResult(v, path, TableMetadata.parseFile(path), 0)
+    }
   }
 
   /** Commit PRE-WRITTEN data files as one append snapshot — the driver
@@ -462,8 +468,10 @@ object GraftTable {
     * pending deletes still apply to them — the commit shape behind SQL
     * UPDATE and MERGE INTO. Validates on the refreshed base: a replaced
     * file removed by a concurrent commit — or a delete file added by one
-    * (`scannedDeletePaths` = the delete files the scan DID apply) —
-    * aborts instead of resurrecting data. */
+    * (`scannedDeletePaths` = EVERY delete file live in the scan
+    * snapshot, including ones the scan legitimately pruned — recording
+    * only the applied subset would misclassify pruned pre-existing
+    * deletes as concurrent) — aborts instead of resurrecting data. */
   private[graft] def commitReplaceFiles(tableDir: String, files: Seq[PendingFile],
       replacedPaths: Set[String], scannedDeletePaths: Set[String])
       : OptimisticCommit.CommitResult =
@@ -596,7 +604,20 @@ object GraftTable {
     val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
     val schema = sparkSchema(meta0)
     val cols = schema.fieldNames.toIndexedSeq
+    // the source is STAGED ONCE (memory, spilling to disk): the range
+    // agg, match detection, K per-file rewrite joins, and the insert
+    // anti-join all reuse the materialization — an expensive source
+    // query must not be recomputed K+2 times
     val src = source.select(cols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeStaged(spark, tableDir, meta0, schema, cols, src, keyCols)
+    finally src.unpersist()
+  }
+
+  private def mergeStaged(spark: SparkSession, tableDir: String,
+      meta0: TableMetadata, schema: org.apache.spark.sql.types.StructType,
+      cols: IndexedSeq[String], src: DataFrame, keyCols: Seq[String])
+      : OptimisticCommit.CommitResult = {
     // planning state: entries with MATERIALIZED sequences (KB-scale)
     val dataEntries = currentEntries(meta0, 0).filter(_.content == 0)
     val delEntries = currentEntries(meta0, 1)
@@ -658,12 +679,27 @@ object GraftTable {
           .orderBy(keyCols.map(col): _*), out)
       out
     }
+    // inserts land through the task-writer machinery at the anti-join's
+    // OWN parallelism: each task streams its rows into its own file,
+    // tracking bound stats INLINE — no single-task funnel, no extra
+    // count() job, no second derive pass over the written files
     val inserts = src.join(candLive, keyCols, "left_anti")
-    val insertFile = s"$tableDir/data/merge-insert-$mergeUuid.parquet"
-    val nInserts = inserts.count()
-    if (nInserts > 0)
-      ParquetFiles.writeOne(inserts.orderBy(keyCols.map(col): _*), insertFile)
-    val newFiles = rewritten ++ (if (nInserts > 0) Seq(insertFile) else Nil)
+    val writerFields = meta0.currentSchema.fields.flatMap(f =>
+      IcebergTypes.fromStringOpt(f.fieldType).map(t => (f.id, f.name, t)))
+    val wconf = new SerializableHadoopConf(HadoopConfs.active())
+    val insertPrefix = s"$tableDir/data/merge-insert-$mergeUuid"
+    val insertMsgs = inserts.sortWithinPartitions(keyCols.map(col): _*)
+      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val fw = new graft.sources.GraftFileWriter(
+            s"$insertPrefix-p%05d.parquet".format(pid),
+            schema, writerFields, None, 0, wconf.value)
+          it.foreach(fw.write)
+          Iterator.single(fw.finish())
+        }
+      }.collect().toSeq.filter(_.rows > 0)
+    val newFiles = rewritten
     // the delete files the scan applied — a delete committed AFTER this
     // set was read conflicts with the rewrite (validateNoNewDeletes)
     val scannedDeletes = currentEntries(meta0, 1).map(e => uriPath(e.filePath)).toSet
@@ -682,7 +718,9 @@ object GraftTable {
         val (n, lower, upper) = deriveStats(spark, f, base)
         ManifestWriter.EntryData(1, snapId, f, n, ParquetFiles.length(f),
           lower, upper, content = 0, sequenceNumber = Some(snapId))
-      }
+      } ++ insertMsgs.map(m => // task-derived inline stats, no re-read
+        ManifestWriter.EntryData(1, snapId, m.path, m.rows, m.bytes,
+          m.lower, m.upper, content = 0, sequenceNumber = Some(snapId)))
       val manifest = s"$tableDir/m-merge-$snapId-$attempt.avro"
       ManifestWriter.write(manifest, untouched ++ newEntries)
       // field 516 must be the true minimum over the carried EXISTING
@@ -695,7 +733,7 @@ object GraftTable {
       val carriedDeletes = carryForward(base).filter(_.content == 1)
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       ManifestListWriter.write(list, carriedDeletes.map(_.path) :+ manifest, snapId,
-        addedDataFilesCount = newFiles.size,
+        addedDataFilesCount = newFiles.size + insertMsgs.size,
         contents = carriedDeletes.map(i => i.path -> 1).toMap,
         specIds = carriedDeletes.map(i => i.path -> i.specId).toMap,
         addedSnapshotIds = carriedDeletes.map(i => i.path -> i.addedSnapshotId).toMap,
@@ -707,7 +745,7 @@ object GraftTable {
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("overwrite"),
-          Map("added-data-files" -> newFiles.size.toString,
+          Map("added-data-files" -> (newFiles.size + insertMsgs.size).toString,
             "deleted-data-files" -> affected.size.toString),
           Some(list), base.currentSchemaId),
         Some(basePath))

@@ -37,14 +37,50 @@ object IcebergTypes {
     val name = s"decimal($precision, $scale)"
     val sparkType = DecimalType(precision, scale)
   }
+  /** Iceberg LIST type — the shape an LLM-data lakehouse stores
+    * `array<float>` embedding columns in. `name` is the spec's canonical
+    * JSON object form (what table metadata carries for nested types;
+    * reference lattice parity: IcebergDatumWriter.java:124-180 handles
+    * ARRAY the same way). Lists carry NO bound stats (like binary — an
+    * element-wise order would mis-prune). */
+  final case class TList(elementId: Int, element: IcebergType,
+      elementRequired: Boolean = false) extends IcebergType {
+    val name: String =
+      s"""{"type":"list","element-id":$elementId,"element":${
+        if (element.name.startsWith("{")) element.name
+        else "\"" + element.name + "\""},"element-required":$elementRequired}"""
+    val sparkType: DataType = ArrayType(element.sparkType, containsNull = !elementRequired)
+  }
 
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val FixedRe = """fixed\[\s*(\d+)\s*\]""".r
 
-  /** Parse an Iceberg primitive type string (e.g. "long", "decimal(9, 2)",
-    * "fixed[16]"). Unknown strings throw — dropped-column lookups must be
-    * handled by the caller (the reference NPEs here; we don't). */
-  def fromString(s: String): IcebergType = s.trim match {
+  /** Parse an Iceberg type string: primitives (e.g. "long",
+    * "decimal(9, 2)", "fixed[16]") or the canonical JSON object form of
+    * a nested type (currently `list`). Unknown strings throw —
+    * dropped-column lookups must be handled by the caller (the reference
+    * NPEs here; we don't). */
+  def fromString(s: String): IcebergType = if (s.trim.startsWith("{")) {
+    // any malformed/unsupported nested form must surface as the same
+    // IllegalArgumentException primitives throw — fromStringOpt callers
+    // SKIP such fields (foreign tables may carry structs/maps or lists
+    // missing element-id; NPEing on them would abort whole-table parses)
+    val n = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"Unparseable Iceberg type: $s", e) }
+    Option(n.get("type")).map(_.asText()) match {
+      case Some("list") =>
+        val el = Option(n.get("element")).getOrElse(
+          throw new IllegalArgumentException(s"list type without element: $s"))
+        val elemId = Option(n.get("element-id")).getOrElse(
+          throw new IllegalArgumentException(s"list type without element-id: $s"))
+        TList(elemId.asInt(),
+          fromString(if (el.isTextual) el.asText() else el.toString),
+          Option(n.get("element-required")).exists(_.asBoolean()))
+      case other => throw new IllegalArgumentException(
+        s"Unknown Iceberg nested type: ${other.getOrElse("<none>")}")
+    }
+  } else s.trim match {
     case "boolean" => TBoolean
     case "int" | "integer" => TInt
     case "long" => TLong

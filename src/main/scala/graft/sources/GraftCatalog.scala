@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.iceberg.{GraftTable, HadoopConfs, IcebergField, IcebergSchema,
-  OptimisticCommit, PartitionField, PartitionSpec, TableMetadata}
+  IcebergTypes, OptimisticCommit, PartitionField, PartitionSpec, TableMetadata}
 
 /** A Spark `TableCatalog` over graft tables — the piece that makes plain
   * SQL work end-to-end:
@@ -147,7 +147,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       metaPath, None, None, Some(timestampMicros / 1000L), 128L * 1024 * 1024)
   }
 
-  private def icebergTypeName(dt: DataType): String = dt match {
+  /** Spark column type → Iceberg type string. Nested types (ARRAY —
+    * embedding columns live in tables as `array<float>`) serialize as
+    * the spec's canonical JSON object and need fresh ids for their
+    * nested element fields: `nextId` allocates from the schema's id
+    * sequence (Iceberg assigns nested ids the same way). */
+  private def icebergTypeName(dt: DataType, nextId: () => Int): String = dt match {
     case IntegerType => "int"
     case LongType => "long"
     case StringType => "string"
@@ -158,6 +163,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     case TimestampType => "timestamptz"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case BinaryType => "binary"
+    case ArrayType(elem, containsNull) =>
+      val elemId = nextId() // allocate BEFORE recursing: outer-first ids
+      IcebergTypes.TList(elemId,
+        IcebergTypes.fromString(icebergTypeName(elem, nextId)),
+        elementRequired = !containsNull).name
     case other => throw new UnsupportedOperationException(
       s"graft catalog does not support column type $other")
   }
@@ -166,8 +176,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(
       (ident.namespace() :+ ident.name()).toSeq)
+    // nested (list-element) ids allocate AFTER the top-level fields, from
+    // one shared sequence — the Iceberg id-assignment convention
+    val nestedId = new java.util.concurrent.atomic.AtomicInteger(columns.length)
     val fields = columns.toSeq.zipWithIndex.map { case (c, i) =>
-      IcebergField(i + 1, c.name(), required = false, icebergTypeName(c.dataType()))
+      IcebergField(i + 1, c.name(), required = false,
+        icebergTypeName(c.dataType(), () => nestedId.incrementAndGet()))
     }
     val idByName = fields.map(f => f.name -> f.id).toMap
     val specFields = partitions.toSeq.zipWithIndex.map { case (t, i) =>
@@ -215,20 +229,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val base = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
         val cur = base.currentSchema
         val name = add.fieldNames().head
-        // this engine resolves file columns BY NAME: re-adding a name any
-        // historical schema ever carried would resurrect the old files'
-        // values instead of null-filling (Iceberg avoids this with
+        // a name already in the CURRENT schema is a hard error (Spark's
+        // analyzer usually rejects it first, but appending a duplicate
+        // name with a fresh id would corrupt the schema outright under
+        // this engine's name-based column resolution)
+        require(!cur.fields.exists(_.name == name),
+          s"column '$name' already exists")
+        // and this engine resolves file columns BY NAME: re-adding a name
+        // any historical schema ever carried would resurrect the old
+        // files' values instead of null-filling (Iceberg avoids this with
         // field-id resolution) — refuse rather than silently corrupt
         require(!base.schemas.exists(s => s.schemaId != cur.schemaId &&
-            s.fields.exists(_.name == name)) || cur.fields.exists(_.name == name),
+            s.fields.exists(_.name == name)),
           s"column name '$name' was used by an earlier schema of this table; " +
             "re-adding it would resurrect old file contents under name-based " +
             "resolution — pick a fresh name")
         val nextId = base.schemas.flatMap(_.fields.map(_.id)).max + 1
+        val nestedId = new java.util.concurrent.atomic.AtomicInteger(nextId)
         GraftTable.evolveSchema(dir, IcebergSchema(
           base.schemas.map(_.schemaId).max + 1,
-          cur.fields :+ IcebergField(nextId, name,
-            required = false, icebergTypeName(add.dataType()))))
+          cur.fields :+ IcebergField(nextId, name, required = false,
+            icebergTypeName(add.dataType(), () => nestedId.incrementAndGet()))))
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
           "graft catalog supports top-level DROP COLUMN only")

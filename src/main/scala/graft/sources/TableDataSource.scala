@@ -208,7 +208,7 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
 
 class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
     snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long],
-    splitSize: Long, onPlanned: (Seq[String], Seq[String]) => Unit = (_, _) => (),
+    splitSize: Long, onPlanned: Option[(Seq[String], Seq[String]) => Unit] = None,
     allowColumnar: Boolean = true,
     streamOpts: StreamReadOptions = StreamReadOptions())
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
@@ -235,7 +235,7 @@ class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
 class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     metadataPath: String, snapshotId: Option[Long], ref: Option[String],
     asOfTimestampMs: Option[Long], splitSize: Long = 128L * 1024 * 1024,
-    onPlanned: (Seq[String], Seq[String]) => Unit = (_, _) => (),
+    onPlanned: Option[(Seq[String], Seq[String]) => Unit] = None,
     allowColumnar: Boolean = true,
     streamOpts: StreamReadOptions = StreamReadOptions())
     extends Scan with Batch with SupportsReportStatistics
@@ -244,7 +244,8 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftTableMicroBatchStream(metadataPath, required, streamOpts, hadoopConf)
+    new GraftTableMicroBatchStream(metadataPath, required, streamOpts, hadoopConf,
+      allowColumnar)
   override def description(): String =
     s"graft-table scan $metadataPath, ReadSchema: ${required.catalogString}" +
       (if (filters.nonEmpty) s", PushedFilters: ${filters.mkString("[", ", ", "]")}" else "")
@@ -252,18 +253,47 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   private val hadoopConf = new graft.iceberg.SerializableHadoopConf(
     graft.iceberg.HadoopConfs.active())
 
+  /** The snapshot is PINNED at first use and every subsequent planning
+    * pass — static, runtime-filtered, and row-level bookkeeping — reuses
+    * it: re-resolving the head per pass would let a concurrent commit
+    * slide a different snapshot under one query (two scans of the same
+    * table in one join disagreeing, a row-level operation recording
+    * files from a snapshot newer than its intent). Iceberg pins at scan
+    * creation; so do we. */
+  private lazy val pinnedMeta: TableMetadata = TableMetadata.parseFile(metadataPath)
+
   /** (surviving data entries, position-delete entries, equality-delete
     * entries — each with sequence) — the driver-side planning pass,
     * shared by partitions and statistics. Runs once per scan. */
   private lazy val planned: (Seq[(ManifestWriter.EntryData, Long)],
       Seq[(ManifestWriter.EntryData, Long)], Seq[(ManifestWriter.EntryData, Long)]) = {
-    val meta = TableMetadata.parseFile(metadataPath)
     // a freshly created (never-appended) table has no snapshot: it reads
     // as zero rows, not an error — explicit time travel still throws
-    if (meta.currentSnapshotId.isEmpty && snapshotId.isEmpty && ref.isEmpty &&
-        asOfTimestampMs.isEmpty) (Nil, Nil, Nil)
-    else plannedFor(meta)
+    if (emptyTable) (Nil, Nil, Nil)
+    else plannedFor(pinnedMeta)
   }
+
+  private def emptyTable: Boolean =
+    pinnedMeta.currentSnapshotId.isEmpty && snapshotId.isEmpty && ref.isEmpty &&
+      asOfTimestampMs.isEmpty
+
+  /** EVERY live delete file in the pinned scan snapshot — not just the
+    * subset the pruning kept. Row-level commits validate "no delete
+    * landed between my scan and my commit" by subtracting this set from
+    * the commit base's; recording only the pruned-applied subset would
+    * misclassify a legitimately pruned pre-existing delete (sequence
+    * ceiling, partition summaries) as concurrent and permanently block
+    * valid UPDATE/MERGE. Computed only for row-level operations
+    * (onPlanned present), never for plain reads. */
+  private lazy val allDeletePathsAtScan: Seq[String] =
+    if (emptyTable) Nil
+    else {
+      val snap = GraftTable.resolveForScan(pinnedMeta, snapshotId, ref, asOfTimestampMs)
+      val infos = snap.manifestList.toSeq.flatMap(ManifestListReader.read)
+        .filter(_.content == 1)
+      Par.inParallel(infos)(i => ManifestWriter.read(i.path))
+        .flatten.filter(_.status != 2).map(_.filePath)
+    }
 
   /** DPP-style runtime filtering (`SupportsRuntimeFiltering`): a
     * broadcast join's build side materializes, Spark converts its keys
@@ -377,21 +407,18 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
 
   override def planInputPartitions(): Array[InputPartition] = {
     // runtime join filters (if any arrived) re-plan on top of the static
-    // pushed set; `planned` stays the statistics baseline
+    // pushed set — against the SAME pinned snapshot the static plan and
+    // statistics used; `planned` stays the statistics baseline
     val (kept, posDeletes, eqDeletes) =
       if (runtimeFilters.isEmpty) planned
-      else {
-        val meta = TableMetadata.parseFile(metadataPath)
-        if (meta.currentSnapshotId.isEmpty && snapshotId.isEmpty && ref.isEmpty &&
-            asOfTimestampMs.isEmpty) (Nil, Nil, Nil)
-        else plannedWith(meta, filters ++ runtimeFilters)
-      }
+      else if (emptyTable) (Nil, Nil, Nil)
+      else plannedWith(pinnedMeta, filters ++ runtimeFilters)
     // row-level (UPDATE/MERGE) scans record the served group set — the
-    // files the replace commit must swap — AND the delete files the scan
-    // applied, so the commit can detect deletes added concurrently
-    onPlanned(kept.map(_._1.filePath),
-      (posDeletes ++ eqDeletes).map(_._1.filePath))
-    val tableSchema = GraftTable.sparkSchema(TableMetadata.parseFile(metadataPath))
+    // files the replace commit must swap — AND the FULL delete-file set
+    // live at scan time (not the pruned-applied subset), so the commit
+    // can tell a delete added concurrently from one it provably skipped
+    onPlanned.foreach(cb => cb(kept.map(_._1.filePath), allDeletePathsAtScan))
+    val tableSchema = GraftTable.sparkSchema(pinnedMeta)
     def partition(e: ManifestWriter.EntryData, seq: Long,
         rowGroup: Int, rowStart: Long): GraftTableInputPartition =
       GraftTableInputPartition(e.filePath, seq,
@@ -476,7 +503,7 @@ class GraftRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftTableScanBuilder(tableSchema, metadataPath, None, None, None,
-      splitSize, (paths, dels) => { scannedFiles.set(paths); scannedDeletes.set(dels) })
+      splitSize, Some((paths, dels) => { scannedFiles.set(paths); scannedDeletes.set(dels) }))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -725,12 +752,18 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
 }
 
 object GraftTableColumnarReader {
-  def supportedSchema(s: StructType): Boolean = s.fields.forall(f => f.dataType match {
+  private def vectorizable(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | FloatType | DoubleType | BooleanType |
          StringType | BinaryType | DateType | TimestampType => true
     case _: DecimalType => true
+    // Spark's vectorized parquet reader decodes standard 3-level lists
+    // natively (nested column vectors) — array<float> embedding scans
+    // stay on the columnar route
+    case ArrayType(elem, _) => vectorizable(elem)
     case _ => false
-  })
+  }
+  def supportedSchema(s: StructType): Boolean =
+    s.fields.forall(f => vectorizable(f.dataType))
 }
 
 /** Conservative bound-stat evaluation over a single manifest entry: can
@@ -920,6 +953,26 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
           case INT64 => java.math.BigDecimal.valueOf(g.getLong(i, 0), dec.scale)
           case _ => new java.math.BigDecimal(
             new java.math.BigInteger(g.getBinary(i, 0).getBytes), dec.scale)
+        }
+      case ArrayType(elem, _) =>
+        // 3-level list decode (LIST > repeated "list"/"array"/... >
+        // single child) — both our task writers and Spark's native
+        // writer produce this layout; embedding columns read here when
+        // the scan needs the row route (MOR, metadata columns)
+        val outer = g.getGroup(i, 0)
+        val n = outer.getFieldRepetitionCount(0)
+        (0 until n).map { j =>
+          val lg = outer.getGroup(0, j)
+          if (lg.getFieldRepetitionCount(0) == 0) null
+          else elem match {
+            case FloatType => lg.getFloat(0, 0)
+            case DoubleType => lg.getDouble(0, 0)
+            case IntegerType => lg.getInteger(0, 0)
+            case LongType => lg.getLong(0, 0)
+            case StringType => lg.getBinary(0, 0).toStringUsingUTF8
+            case other => throw new UnsupportedOperationException(
+              s"array<$other> decode (column $name)")
+          }
         }
       case other => throw new UnsupportedOperationException(
         s"graft-table reader does not decode $other (column $name) — " +

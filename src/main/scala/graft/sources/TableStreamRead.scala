@@ -65,7 +65,8 @@ object GraftSnapshotOffset {
   * Trigger.AvailableNow pins the head at query start and drains up to it
   * in bounded batches. */
 class GraftTableMicroBatchStream(metadataPath: String, required: StructType,
-    opts: StreamReadOptions, hadoopConf: graft.iceberg.SerializableHadoopConf)
+    opts: StreamReadOptions, hadoopConf: graft.iceberg.SerializableHadoopConf,
+    allowColumnar: Boolean = true)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val tableDir = new Path(metadataPath).getParent.toString
@@ -174,10 +175,12 @@ class GraftTableMicroBatchStream(metadataPath: String, required: StructType,
   }
 
   /** Append batches carry no deletes, so the columnar route applies under
-    * the same eligibility rules as the batch scan. */
+    * the same eligibility rules as the batch scan — including the
+    * `columnar=false` escape hatch (the documented fallback for foreign
+    * files with non-native timestamp encodings). */
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftTableReaderFactory(required, hadoopConf,
-      GraftTableColumnarReader.supportedSchema(required) &&
+      allowColumnar && GraftTableColumnarReader.supportedSchema(required) &&
         !required.fieldNames.exists(n => n == "_file" || n == "_pos"))
 
   override def commit(end: Offset): Unit = ()

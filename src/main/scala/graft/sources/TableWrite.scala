@@ -164,6 +164,15 @@ case class GraftWriteMessage(files: Seq[GraftFileMessage]) extends WriterCommitM
 object GraftTableWrites {
   type PartInfo = Option[(Int, Seq[(Int, IcebergType, String, IcebergType)])]
 
+  /** The CommitResult of the last `graft-table` batch commit ON THIS
+    * THREAD. `df.write...save()` runs the whole V2 write — including
+    * `BatchWrite.commit` — on the calling thread, so a convenience-API
+    * wrapper (GraftTable.append) reads the ACTUAL committed result here
+    * instead of re-resolving the head afterwards, which under a
+    * concurrent writer could describe someone else's snapshot. */
+  private[graft] val lastCommit =
+    new ThreadLocal[graft.iceberg.OptimisticCommit.CommitResult]()
+
   private[sources] def drop(ms: Seq[GraftFileMessage]): Unit =
     ms.foreach(m => graft.iceberg.HadoopConfs.fileSystemFor(m.path)
       .delete(new org.apache.hadoop.fs.Path(m.path), false))
@@ -174,10 +183,10 @@ object GraftTableWrites {
   private[sources] def commit(tableDir: String, files: Seq[GraftFileMessage],
       extraSummary: Map[String, String] = Map.empty,
       replace: Boolean = false): Unit =
-    GraftTable.commitAppendFiles(tableDir,
+    lastCommit.set(GraftTable.commitAppendFiles(tableDir,
       files.map(m => GraftTable.PendingFile(
         m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId)),
-      extraSummary, replace)
+      extraSummary, replace))
 }
 
 class GraftTableBatchWrite(tableDir: String, schema: StructType,
@@ -401,29 +410,42 @@ class GraftFileWriter(path: String, schema: StructType,
     summary: Option[Seq[ManifestListWriter.FieldSummary]], specId: Int,
     conf: Configuration) {
 
+  private def primBuilder(dt: DataType, colName: String)
+      : Types.PrimitiveBuilder[org.apache.parquet.schema.PrimitiveType] = dt match {
+    case IntegerType => Types.optional(PrimitiveTypeName.INT32)
+    case LongType => Types.optional(PrimitiveTypeName.INT64)
+    case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
+    case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
+    case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
+    case StringType => Types.optional(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType())
+    case DateType => Types.optional(PrimitiveTypeName.INT32)
+      .as(LogicalTypeAnnotation.dateType())
+    case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(true,
+        LogicalTypeAnnotation.TimeUnit.MICROS))
+    case d: DecimalType => Types.optional(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+      .length(GraftTableDataWriter.decimalLen(d.precision))
+      .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+    case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
+    case other => throw new UnsupportedOperationException(
+      s"graft-table DSv2 writer does not encode $other (column $colName)")
+  }
+
   private val msgType: MessageType = {
-    val ts = schema.fields.map { f =>
-      val b = f.dataType match {
-        case IntegerType => Types.optional(PrimitiveTypeName.INT32)
-        case LongType => Types.optional(PrimitiveTypeName.INT64)
-        case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
-        case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
-        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
-        case StringType => Types.optional(PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType())
-        case DateType => Types.optional(PrimitiveTypeName.INT32)
-          .as(LogicalTypeAnnotation.dateType())
-        case TimestampType => Types.optional(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        case d: DecimalType => Types.optional(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
-          .length(GraftTableDataWriter.decimalLen(d.precision))
-          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-        case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
-        case other => throw new UnsupportedOperationException(
-          s"graft-table DSv2 writer does not encode $other (column ${f.name})")
+    val ts: Array[org.apache.parquet.schema.Type] = schema.fields.map { f =>
+      f.dataType match {
+        case ArrayType(elem, _) =>
+          // the standard parquet 3-level list (LIST > repeated "list" >
+          // optional "element") — the layout Spark's own writer and the
+          // vectorized reader both speak; embedding columns land here
+          Types.optionalGroup().as(LogicalTypeAnnotation.listType())
+            .addField(Types.repeatedGroup()
+              .addField(primBuilder(elem, f.name).named("element"))
+              .named("list"))
+            .named(f.name)
+        case dt => primBuilder(dt, f.name).named(f.name)
       }
-      b.named(f.name)
     }
     new MessageType("spark_schema",
       ts.toSeq.map(t => t: org.apache.parquet.schema.Type).asJava)
@@ -455,7 +477,28 @@ class GraftFileWriter(path: String, schema: StructType,
   def write(row: InternalRow): Unit = {
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (!row.isNullAt(i)) {
+      if (!row.isNullAt(i)) f.dataType match {
+        case ArrayType(elem, _) =>
+          // 3-level list write; arrays carry no bounds (an element-wise
+          // order would mis-prune — same rule as binary)
+          val arr = row.getArray(i)
+          val outer = g.addGroup(f.name)
+          var j = 0
+          while (j < arr.numElements()) {
+            val lg = outer.addGroup("list")
+            if (!arr.isNullAt(j)) elem match {
+              case FloatType => lg.add("element", arr.getFloat(j))
+              case DoubleType => lg.add("element", arr.getDouble(j))
+              case IntegerType => lg.add("element", arr.getInt(j))
+              case LongType => lg.add("element", arr.getLong(j))
+              case StringType =>
+                lg.add("element", Binary.fromString(arr.getUTF8String(j).toString))
+              case other => throw new UnsupportedOperationException(
+                s"array<$other> write (column ${f.name})")
+            }
+            j += 1
+          }
+        case _ =>
         val v: Any = f.dataType match {
           case IntegerType | DateType => row.getInt(i)
           case LongType | TimestampType => row.getLong(i)

@@ -87,6 +87,57 @@ class RewriteIoSpec extends SparkSpec {
     assert(live.count() == 100L)
   }
 
+  test("merge evaluates its source ONCE; inserts land via task writers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mse").toString
+    mkTable(dir)
+    GraftTable.append(spark, dir, nationRow(3)) // file A: key 3
+    GraftTable.append(spark, dir, nationRow(5)) // file B: key 5
+    // an update (key 3) AND an insert (key 99) force both the K per-file
+    // rewrite joins and the insert anti-join to consume the source; the
+    // staged (cached) source must still be computed exactly once
+    val acc = spark.sparkContext.longAccumulator("merge-source-rows")
+    import spark.implicits._
+    val src = Seq((3, "MERGED_3", 1), (99, "INSERTED_99", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .filter((_: org.apache.spark.sql.Row) => { acc.add(1); true })
+    GraftTable.merge(spark, dir, src, Seq("n_nationkey"))
+    assert(acc.value == 2L,
+      s"merge evaluated ${acc.value} source rows — the source must be staged once")
+    // the insert landed through the task writers (per-task files with
+    // inline stats), not the old single-task writeOne funnel
+    val entries = graft.iceberg.ManifestListReader
+      .read(graft.iceberg.TableMetadata
+        .parseFile(GraftTable.latestMetadataPath(dir))
+        .currentSnapshot.get.manifestList.get)
+      .flatMap(i => graft.iceberg.ManifestWriter.read(i.path))
+      .filter(e => e.status != 2 && e.content == 0)
+    val insertFiles = entries.filter(_.filePath.contains("merge-insert-"))
+    assert(insertFiles.nonEmpty && insertFiles.forall(_.filePath.contains("-p")))
+    // inline task stats made it into the manifest (key column id = 1)
+    assert(insertFiles.forall(e => e.lowerBounds.contains(1)))
+    val live = GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+      .orderBy(col("n_nationkey")).collect()
+    assert(live.map(_.getInt(0)).toSeq == Seq(3, 5, 99))
+    assert(live.head.getString(1) == "MERGED_3" && live.last.getString(1) == "INSERTED_99")
+  }
+
+  test("unpartitioned append writes at the input's parallelism") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-apn").toString
+    mkTable(dir)
+    // 4 input partitions of a 25-row table → 4 task files, not coalesce(1)
+    GraftTable.append(spark, dir,
+      graft.Tables.load(spark, sfDir, "nation").repartition(4))
+    val entries = graft.iceberg.ManifestListReader
+      .read(graft.iceberg.TableMetadata
+        .parseFile(GraftTable.latestMetadataPath(dir))
+        .currentSnapshot.get.manifestList.get)
+      .flatMap(i => graft.iceberg.ManifestWriter.read(i.path))
+      .filter(e => e.status != 2 && e.content == 0)
+    assert(entries.size == 4,
+      s"expected 4 task files from a 4-partition input, got ${entries.size}")
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == 25L)
+  }
+
   test("partitioned append reads its input once, not once per partition tuple") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ap1").toString
     GraftTable.create(dir, graft.iceberg.IcebergSchema(0, Seq(

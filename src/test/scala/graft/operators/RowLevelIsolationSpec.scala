@@ -30,11 +30,14 @@ class RowLevelIsolationSpec extends SparkSpec {
       IcebergField(3, "n_regionkey", required = false, "int"))),
       tableUuid = java.util.UUID.randomUUID().toString, timestampMs = 1700000000000L)
     GraftTable.append(spark, dir, nationRow(3).union(nationRow(5)))
-    // "scan time": no delete files seen
+    // "scan time": no delete files seen. The replaced group must be the
+    // file HOLDING key 5 — append writes at input parallelism now, so
+    // the two rows may land in separate task files and the concurrent
+    // delete below addresses only key 5's.
     val scannedDeletes = Set.empty[String]
     val dataFile = spark.read.format("graft-table")
       .option("metadata", GraftTable.latestMetadataPath(dir)).load()
-      .select(col("_file")).head().getString(0)
+      .filter(col("n_nationkey") === 5).select(col("_file")).head().getString(0)
     // a DELETE commits between scan and replace
     GraftTable.deleteWhere(spark, dir, col("n_nationkey") === 5)
     // the rewrite of the scanned group must now conflict

@@ -60,4 +60,38 @@ class SortedWriteSpec extends SparkSpec {
       .load().filter(col("k") === 12345L).collect()
     assert(got.length == 1 && got.head.getString(1) == "v12345")
   }
+
+  test("GraftTable.append honors the declared sort order (range-disjoint files)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorta").toString
+    GraftTable.create(dir, IcebergSchema(0, Seq(
+      IcebergField(1, "k", required = false, "long"),
+      IcebergField(2, "v", required = false, "string"))),
+      tableUuid = "b6b9a6a1-0000-4000-8000-0000000000s2", timestampMs = T0)
+    GraftTable.evolveSortOrder(dir,
+      SortOrder(1, Seq(SortField("identity", 1, "asc", "nulls-first"))))
+    // the convenience API routes through the same DSv2 write — the sort
+    // order's range distribution applies, no coalesce(1) funnel
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try GraftTable.append(spark, dir,
+      spark.range(0, 40000)
+        .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+        .orderBy(hash(col("id"))).repartition(8))
+    finally spark.conf.set(coalesceKey, saved)
+    val entries = ManifestListReader.read(TableMetadata
+        .parseFile(GraftTable.latestMetadataPath(dir))
+        .currentSnapshot.get.manifestList.get)
+      .filter(_.content == 0).flatMap(i => ManifestWriter.read(i.path))
+    assert(entries.size > 1, "expected multiple range-clustered task files")
+    def lo(e: ManifestWriter.EntryData) =
+      SingleValueCodec.decode(IcebergTypes.TLong, e.lowerBounds(1)).asInstanceOf[Long]
+    def hi(e: ManifestWriter.EntryData) =
+      SingleValueCodec.decode(IcebergTypes.TLong, e.upperBounds(1)).asInstanceOf[Long]
+    val ranges = entries.map(e => (lo(e), hi(e))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) => assert(h1 < l2, s"overlapping ranges: $ranges")
+      case _ => ()
+    }
+  }
 }

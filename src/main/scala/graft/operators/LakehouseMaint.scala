@@ -1485,7 +1485,72 @@ object LakehouseMaint {
       |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // ---------------------------------------------------------------- i60
+  /** Embeddings live IN the lakehouse: `array<float>` through the full
+    * SQL/DSv2 table stack. CREATE TABLE declares the embedding column
+    * (the catalog serializes it as the Iceberg canonical list JSON with
+    * spec-style nested element ids), INSERT INTO lands the corpus
+    * through the task writers' 3-level parquet list encoding, and the
+    * cosine top-k reads BOTH sides back from the graft table — the
+    * vectorized route, since arrays of vectorizable elements keep
+    * columnar eligibility. Query shape is s01's broadcast plan (corpus
+    * scans once, never shuffles); the neighbor's label rides along to
+    * prove scalar columns coexist with the array. At 100 TB this is the
+    * difference between an engine that ANALYZES embeddings and one that
+    * can also STORE them with snapshots, time travel, and DML.
+    * (Reference type-lattice parity: IcebergDatumWriter.java:124-180
+    * walks ARRAY the same outer-first way.) */
+  val embeddingTable: Q = (spark, sfDir) => {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val wh = entryDir("i60", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_emb",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_emb.warehouse", wh)
+    Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("i60_emb_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_emb.db.embeddings
+        (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)""")
+      spark.sql("""INSERT INTO graft_emb.db.embeddings
+        SELECT vec_id, embedding, label FROM i60_emb_src""")
+    }
+    val emb = spark.table("graft_emb.db.embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_emb"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    val cos = dot($"query_emb", $"embedding") /
+      (sqrt(dot($"query_emb", $"query_emb")) * sqrt(dot($"embedding", $"embedding")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"label", cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+        $"label".as("neighbor_label"), $"cos".as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val embeddingTableSql: String =
+    """WITH sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id, c.label,
+      |    list_sum([q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE for i in range(1, len(q.embedding) + 1)]) /
+      |    (sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE for i in range(1, len(q.embedding) + 1)])) *
+      |     sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE for i in range(1, len(c.embedding) + 1)]))) AS cos
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, label, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM sims)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+      |  label AS neighbor_label, cos AS cosine
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i60_embedding_table" -> embeddingTable,
     "i59_sql_procedures" -> sqlProcedures,
     "i58_sql_mor_dml" -> sqlMorDml,
     "i57_upsert_api" -> upsertApi,
@@ -1515,6 +1580,7 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i60_embedding_table" -> embeddingTableSql,
     "i59_sql_procedures" -> sqlProceduresSql,
     "i58_sql_mor_dml" -> sqlMorDmlSql,
     "i57_upsert_api" -> upsertApiSql,

@@ -23,11 +23,17 @@ object Bench {
     passes.flatten.reduceOption((a, b) => math.min(a, b))
 
   /** One compact JSON line; failed entries carry null and are excluded
-    * from the total (BenchSpec pins this). Starts at 2 decimals (10 ms
-    * resolution, far below run-to-run noise) and degrades to 1 then 0
-    * decimals if the line would overflow the driver's 2000-char stdout
-    * tail — a front-truncated line is unparseable, so less precision
-    * always beats more characters. */
+    * from the total (BenchSpec pins this). Every entry starts at 2
+    * decimals (10 ms resolution, far below run-to-run noise; magnitude-
+    * adaptive: ≥10 s at most 1 decimal, ≥100 s none — relative resolution
+    * stays ≤1%; trailing zeros stripped). If the line would overflow the
+    * driver's 2000-char stdout tail, entries degrade INDIVIDUALLY,
+    * largest timing first — where a 0.05 s quantum is the smallest
+    * RELATIVE loss — until the line fits, so sub-second entries keep
+    * their 2 decimals no matter how many entries the suite grows (the
+    * round-9 failure was whole-line degradation quantizing the driver's
+    * entire record at once). A front-truncated line is unparseable, so
+    * less precision always beats more characters. */
   def renderLine(results: Seq[(String, Option[Double])], sfDir: String): String = {
     // only the last path segment ("sf0.1") — the full dir costs ~15 chars of
     // the budget and the driver set it itself; escape what remains, or a
@@ -38,27 +44,30 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    def render(dec: Int): String = {
-      // Two char-savers, both information-preserving at bench noise levels:
-      // (a) magnitude-adaptive decimals — a 123.46 s entry carries 0.4% noise
-      //     at 1 decimal already, so ≥100 s renders 0 decimals, ≥10 s at most
-      //     1 (relative resolution stays ≤1%); (b) strip trailing zeros
-      //     ("0.30"→"0.3", "1.00"→"1") — ~50 chars back on a typical line,
-      //     the difference between keeping 2 decimals and degrading to 1.
-      def f(v: Double): String = {
-        val eff = if (v >= 100) 0 else if (v >= 10) math.min(dec, 1) else dec
-        val s = s"%.${eff}f".format(v)
-        if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-        else s
-      }
-      val qs = results.map { case (k, v) =>
-        "\"" + shortKey(k) + "\":" + v.map(f).getOrElse("null")
-      }.mkString("{", ",", "}")
-      val total = results.flatMap(_._2).sum
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    def fmt(v: Double, dec: Int): String = {
+      val eff = if (v >= 100) 0 else if (v >= 10) math.min(dec, 1) else dec
+      val s = s"%.${eff}f".format(v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
     }
-    Iterator(2, 1, 0).map(render).find(_.length < 1900)
-      .getOrElse(render(0))
+    val total = results.flatMap(_._2).sum
+    val dec = Array.fill(results.size)(2)
+    def assemble(): String = {
+      val qs = results.zipWithIndex.map { case ((k, v), i) =>
+        "\"" + shortKey(k) + "\":" + v.map(fmt(_, dec(i))).getOrElse("null")
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    }
+    var line = assemble()
+    // degradation order: largest timings first; 2→1 across the board
+    // before any entry drops to 0 decimals
+    val order = results.zipWithIndex
+      .collect { case ((_, Some(v)), i) => (v, i) }.sortBy(-_._1).map(_._2)
+    for (target <- Seq(1, 0); i <- order; if line.length >= 1900) {
+      dec(i) = target
+      line = assemble()
+    }
+    line
   }
 
   /** Full-precision per-entry timings as a JSON file next to the compact

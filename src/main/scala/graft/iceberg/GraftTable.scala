@@ -355,14 +355,21 @@ object GraftTable {
     * expiry). */
   private[graft] def commitAppendFiles(tableDir: String, files: Seq[PendingFile],
       extraSummary: Map[String, String] = Map.empty,
-      replace: Boolean = false)
+      replace: Boolean = false, branch: Option[String] = None)
       : OptimisticCommit.CommitResult = {
     // an empty REPLACE is meaningful (overwrite-from-empty truncates);
     // an empty append is the caller's no-op to skip
     require(files.nonEmpty || replace, "no files to commit")
+    require(branch.isEmpty || !replace, "branch writes are append-only")
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
+      // a branch append chains from the BRANCH head (falling back to
+      // main's for a branch created implicitly by its first write):
+      // the parent pointer and the carried manifests both come from it —
+      // main's history is invisible to the staged lineage past the fork
+      val headId = branch.flatMap(b => base.refs.find(_.name == b))
+        .map(_.snapshotId).map(Some(_)).getOrElse(base.currentSnapshotId)
       // un-summarized files share one manifest; each summarized file gets
       // its own (a manifest-list summary describes the WHOLE manifest)
       val (plain, summarized) = files.partition(_.partitionSummary.isEmpty)
@@ -381,7 +388,11 @@ object GraftTable {
         (m, f.partitionSummary, f.specId)
       }
       val manifests = plainManifest ++ perFile
-      val carried = if (replace) Nil else carryForward(base)
+      val carried =
+        if (replace) Nil
+        else if (branch.isEmpty) carryForward(base)
+        else headId.flatMap(base.snapshot).toSeq
+          .flatMap(s => ManifestListReader.read(s.manifestList.get))
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       ManifestListWriter.write(list, carried.map(_.path) ++ manifests.map(_._1), snapId,
         addedDataFilesCount = files.size,
@@ -394,13 +405,15 @@ object GraftTable {
         addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
         seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
         minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
-      MetadataWriter.commitSnapshot(base,
-        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
-          Some(if (replace) "overwrite" else "append"),
-          Map("added-data-files" -> files.size.toString,
-            "added-records" -> files.map(_.rows).sum.toString) ++ extraSummary,
-          Some(list), base.currentSchemaId),
-        Some(basePath))
+      val snap = Snapshot(snapId, headId, base.lastUpdatedMs + 1000,
+        Some(if (replace) "overwrite" else "append"),
+        Map("added-data-files" -> files.size.toString,
+          "added-records" -> files.map(_.rows).sum.toString) ++ extraSummary,
+        Some(list), base.currentSchemaId)
+      branch match {
+        case None => MetadataWriter.commitSnapshot(base, snap, Some(basePath))
+        case Some(b) => MetadataWriter.commitToBranch(base, snap, b, Some(basePath))
+      }
     })
   }
 
@@ -901,6 +914,19 @@ object GraftTable {
         metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
     })
 
+  /** Create a BRANCH ref (default: at the current head) through the CAS
+    * loop — the mutable target branch writes advance, the staging half
+    * of write-audit-publish. */
+  def createBranch(tableDir: String, name: String,
+      snapshotId: Option[Long] = None): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val target = snapshotId.orElse(base.currentSnapshotId).getOrElse(
+        throw new IllegalArgumentException("cannot branch a table with no snapshots"))
+      MetadataWriter.createBranch(base, name, target).copy(
+        lastUpdatedMs = base.lastUpdatedMs + 1000,
+        metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
+    })
+
   /** Fast-forward main onto the named ref's snapshot through the CAS
     * loop — the publish half of write-audit-publish. Refuses targets
     * that do not descend from main's head (that would be a rollback). */
@@ -911,6 +937,104 @@ object GraftTable {
       MetadataWriter.fastForward(base, target, base.lastUpdatedMs + 1000,
         Some(basePath))
     })
+
+  /** Consolidate the current snapshot's DATA manifests — one manifest
+    * per partition-spec id — through the CAS loop. A table appended to
+    * N times carries N manifests; planning opens every one, so at scale
+    * manifest count (not file count) becomes the planning bottleneck.
+    * The rewrite re-lists every live entry as EXISTING with its
+    * MATERIALIZED sequence number and original snapshot id, writes
+    * field 516 (min_sequence_number) as the true minimum over the
+    * carried entries — an inherited default would let delete pruning
+    * mis-skip — and carries the field-507 partition summary as the
+    * type-aware union of the source manifests' (ScanPlanning
+    * .unionSummaries; conservative: no summary when specs mix or a
+    * bound fails to decode). Delete manifests carry forward untouched:
+    * pending deletes still apply because every data sequence survives
+    * verbatim. Data files are NEVER read — this is a metadata-only
+    * commit, KB-scale at any table size. */
+  def rewriteManifests(tableDir: String): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
+      val attempt = java.util.UUID.randomUUID()
+      val carried = carryForward(base)
+      val (dataInfos, delInfos) = carried.partition(_.content == 0)
+      require(dataInfos.nonEmpty, "rewrite_manifests on a table with no data manifests")
+      val bySpec = dataInfos.groupBy(_.specId).toSeq.sortBy(_._1)
+      val rewritten = bySpec.map { case (specId, infos) =>
+        // entries with materialized provenance: inherited sequences
+        // resolve against the OWNING list row, snapshot ids against its
+        // added_snapshot_id — after this manifest the originals are
+        // unreferenced by the new snapshot, so nothing may stay implicit
+        val entries = Par.inParallel(infos)(i =>
+          ManifestWriter.read(i.path).filter(_.status != 2).map(e => e.copy(
+            status = 0,
+            snapshotId = if (e.snapshotId == 0L) i.addedSnapshotId else e.snapshotId,
+            sequenceNumber = Some(e.sequenceNumber.getOrElse(i.sequenceNumber))))).flatten
+        val m = s"$tableDir/m-rewrite-$snapId-$attempt-spec$specId.avro"
+        ManifestWriter.write(m, entries)
+        val minSeq = (entries.flatMap(_.sequenceNumber) :+ snapId).min
+        (m, specId, minSeq, ScanPlanning.unionSummaries(base, infos))
+      }
+      val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+      ManifestListWriter.write(list, rewritten.map(_._1) ++ delInfos.map(_.path),
+        snapId,
+        addedDataFilesCount = 0,
+        contents = (rewritten.map(r => r._1 -> 0) ++
+          delInfos.map(i => i.path -> 1)).toMap,
+        specIds = rewritten.map(r => r._1 -> r._2).toMap ++
+          delInfos.map(i => i.path -> i.specId).toMap,
+        addedSnapshotIds = (rewritten.map(r => r._1 -> snapId) ++
+          delInfos.map(i => i.path -> i.addedSnapshotId)).toMap,
+        addedCounts = (rewritten.map(r => r._1 -> 0) ++
+          delInfos.map(i => i.path -> i.addedDataFilesCount)).toMap,
+        summaries = rewritten.flatMap(r => r._4.map(s => r._1 -> s._2)).toMap ++
+          carriedSummaries(delInfos),
+        seqNums = (rewritten.map(r => r._1 -> snapId) ++
+          delInfos.map(i => i.path -> i.sequenceNumber)).toMap,
+        minSeqNums = (rewritten.map(r => r._1 -> r._3) ++
+          delInfos.map(i => i.path -> i.minSequenceNumber)).toMap)
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some("replace"),
+          Map("manifests-replaced" -> dataInfos.size.toString,
+            "manifests-added" -> rewritten.size.toString),
+          Some(list), base.currentSchemaId),
+        Some(basePath))
+    })
+
+  /** Delete data-directory files NO snapshot references — failed-write
+    * debris, files stranded by a crash between an expiry commit and its
+    * physical cleanup. The reachable set is the union over EVERY
+    * snapshot still in the metadata (all manifests, INCLUDING deleted
+    * entries — a file dead at the head may be live under time travel),
+    * so the sweep can never reclaim data any read could resolve. Cost is
+    * metadata-proportional (KB-scale manifest reads, one directory
+    * listing) — the same boundary the planner keeps; data files are
+    * never opened. `olderThanMs` guards in-flight writers: only files
+    * whose modification time precedes it are candidates (pass None to
+    * sweep regardless — test/maintenance-window use). Returns the
+    * deleted paths. */
+  def removeOrphanFiles(tableDir: String,
+      olderThanMs: Option[Long] = None): Seq[String] = {
+    val meta = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    val lists = meta.snapshots.flatMap(_.manifestList).distinct
+    val manifests = Par.inParallel(lists)(l =>
+      ManifestListReader.read(l).map(_.path)).flatten.distinct
+    val referenced = Par.inParallel(manifests)(m =>
+      ManifestWriter.read(m).map(e => uriPath(e.filePath))).flatten.toSet
+    val fs = HadoopConfs.fileSystemFor(tableDir)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$tableDir/data")
+    if (!fs.exists(dataDir)) Nil
+    else {
+      val orphans = fs.listStatus(dataDir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .filter(st => !referenced.contains(uriPath(st.getPath.toString)))
+        .filter(st => olderThanMs.forall(st.getModificationTime < _))
+      orphans.foreach(st => fs.delete(st.getPath, false))
+      orphans.map(_.getPath.toString).toSeq
+    }
+  }
 
   /** Partition-spec evolution through the CAS loop: `partition-specs[]`
     * grows and `default-spec-id` advances. Existing manifests keep their

@@ -202,6 +202,15 @@ object MetadataWriter {
     base.copy(refs = base.refs :+ SnapshotRef(name, "tag", snapshotId))
   }
 
+  /** A mutable branch ref at an existing snapshot — unlike a tag it is
+    * the target `commitToBranch` advances (write-audit-publish staging). */
+  def createBranch(base: TableMetadata, name: String, snapshotId: Long): TableMetadata = {
+    require(base.snapshots.exists(_.snapshotId == snapshotId),
+      s"cannot branch from unknown snapshot $snapshotId")
+    require(!base.refs.exists(_.name == name), s"ref '$name' already exists")
+    base.copy(refs = base.refs :+ SnapshotRef(name, "branch", snapshotId))
+  }
+
   def write(path: String, meta: TableMetadata): Unit = {
     val out = HadoopConfs.fileSystemFor(path)
       .create(new org.apache.hadoop.fs.Path(path), true)

@@ -1485,6 +1485,109 @@ object LakehouseMaint {
       |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // ---------------------------------------------------------------- i62
+  /** Write-audit-publish PURELY from SQL — no programmatic API in sight:
+    * `CALL create_branch` forks an `audit` ref, `INSERT INTO
+    * t.branch_audit` (the branch-suffixed identifier) stages appends
+    * that move ONLY the branch, `VERSION AS OF 'audit'` reads the staged
+    * state by ref NAME while main provably still serves the pre-stage
+    * rows, and `CALL fast_forward` publishes. This was the last i27
+    * capability not drivable end-to-end from SQL; at scale it is how
+    * ingest pipelines land data a validation job must approve before
+    * analysts can see it. */
+  val sqlWap: Q = (spark, sfDir) => {
+    val wh = entryDir("i62", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_wapx",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_wapx.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i62_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_wapx.db.n
+        (n_nationkey INT, n_name STRING, n_regionkey INT)
+        TBLPROPERTIES ('commit-timestamp-ms'='1700000000000')""")
+      spark.sql("""INSERT INTO graft_wapx.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i62_nation_src
+        WHERE n_regionkey < 3""")
+      spark.sql("CALL graft_wapx.system.create_branch(table => 'db.n', branch => 'audit')")
+      spark.sql("""INSERT INTO graft_wapx.db.n.branch_audit
+        SELECT n_nationkey, n_name, n_regionkey FROM i62_nation_src
+        WHERE n_regionkey >= 3""")
+      // audit: main must NOT see staged rows; the ref-name read must
+      val mainN = spark.sql("SELECT COUNT(*) FROM graft_wapx.db.n").head().getLong(0)
+      val auditN = spark.sql(
+        "SELECT COUNT(*) FROM graft_wapx.db.n VERSION AS OF 'audit'").head().getLong(0)
+      require(mainN < auditN,
+        s"staging leaked into main: main=$mainN audit=$auditN")
+      spark.sql("CALL graft_wapx.system.fast_forward('db.n', 'audit')")
+    }
+    spark.sql("""SELECT n_regionkey, COUNT(*) AS n_live,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      FROM graft_wapx.db.n GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+
+  val sqlWapSql: String =
+    """SELECT n_regionkey, COUNT(*) AS n_live,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // ---------------------------------------------------------------- i61
+  /** The maintenance schedule a platform team actually runs, end-to-end
+    * from SQL: three INSERTs leave three manifests and failed-write
+    * debris sits in data/; `CALL rewrite_manifests` consolidates
+    * planning metadata (data never read — proven destructively: the
+    * pre-rewrite manifests are garbage on disk before the final SELECT),
+    * and `CALL remove_orphan_files` reclaims exactly the unreachable
+    * debris (the summary row pins the count at 2; committed files all
+    * survive or the aggregate breaks). At 100 TB manifest count is the
+    * PLANNING bottleneck and stranded files are the STORAGE leak — these
+    * two procedures are the scheduled answer to both, and after i59 they
+    * complete the SQL-callable maintenance set. */
+  val sqlMaintProcs: Q = (spark, sfDir) => {
+    val wh = entryDir("i61", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_mnt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mnt.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i61_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_mnt.db.n
+        (n_nationkey INT, n_name STRING, n_regionkey INT)
+        TBLPROPERTIES ('commit-timestamp-ms'='1700000000000')""")
+      (0 until 3).foreach(r => spark.sql(
+        s"""INSERT INTO graft_mnt.db.n
+           SELECT n_nationkey, n_name, n_regionkey FROM i61_nation_src
+           WHERE MOD(n_regionkey, 3) = $r"""))
+      val dir = s"$wh/db/n"
+      val fs = HadoopConfs.fileSystemFor(dir)
+      Seq("zz-orphan-a.parquet", "zz-orphan-b.parquet").foreach { n =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/data/$n"))
+        out.write("failed-write debris, never committed".getBytes); out.close()
+      }
+      val preInfos = ManifestListReader.read(TableMetadata
+        .parseFile(GraftTable.latestMetadataPath(dir))
+        .currentSnapshot.get.manifestList.get).filter(_.content == 0)
+      require(preInfos.size == 3, s"expected 3 manifests, got ${preInfos.size}")
+      val rw = spark.sql(
+        "CALL graft_mnt.system.rewrite_manifests(table => 'db.n')").head()
+      require(rw.getInt(0) == 3 && rw.getInt(1) == 1,
+        s"rewrite_manifests reported $rw")
+      val orph = spark.sql(
+        "CALL graft_mnt.system.remove_orphan_files(table => 'db.n')").head()
+      require(orph.getInt(0) == 2, s"remove_orphan_files reported $orph")
+      // destructive: the consolidated manifest is the ONLY readable one
+      preInfos.foreach(i => java.nio.file.Files.write(java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(i.path).toUri.getPath),
+        "corrupted: the consolidated manifest serves all reads now".getBytes))
+    }
+    spark.sql("""SELECT n_regionkey, COUNT(*) AS n_live,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      FROM graft_mnt.db.n GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+
+  val sqlMaintProcsSql: String =
+    """SELECT n_regionkey, COUNT(*) AS n_live,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   // ---------------------------------------------------------------- i60
   /** Embeddings live IN the lakehouse: `array<float>` through the full
     * SQL/DSv2 table stack. CREATE TABLE declares the embedding column
@@ -1550,6 +1653,8 @@ object LakehouseMaint {
       |ORDER BY query_id, rank""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "i62_sql_wap" -> sqlWap,
+    "i61_sql_maint_procs" -> sqlMaintProcs,
     "i60_embedding_table" -> embeddingTable,
     "i59_sql_procedures" -> sqlProcedures,
     "i58_sql_mor_dml" -> sqlMorDml,
@@ -1580,6 +1685,8 @@ object LakehouseMaint {
     "i37_transform_pruned_scan" -> transformPrunedScan)
 
   val oracles: Map[String, String] = Map(
+    "i62_sql_wap" -> sqlWapSql,
+    "i61_sql_maint_procs" -> sqlMaintProcsSql,
     "i60_embedding_table" -> embeddingTableSql,
     "i59_sql_procedures" -> sqlProceduresSql,
     "i58_sql_mor_dml" -> sqlMorDmlSql,

@@ -117,9 +117,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Some(new GraftLocalTable(s"$catalogName.${ident.toString}", df))
   }
 
+  /** `db.t.branch_<name>` — Iceberg's branch-suffixed identifier: reads
+    * resolve the branch head, writes (INSERT INTO) stage appends that
+    * move ONLY the branch ref. The branch must exist (create it with
+    * `CALL <cat>.system.create_branch`) — a typo'd suffix must not
+    * silently fork a new lineage. */
+  private def loadBranchTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace().isEmpty || !ident.name().startsWith("branch_")) return None
+    val baseIdent = Identifier.of(ident.namespace().init, ident.namespace().last)
+    if (!tableExists(baseIdent)) return None
+    val branch = ident.name().stripPrefix("branch_")
+    val metaPath = GraftTable.latestMetadataPath(tableDir(baseIdent))
+    val meta = TableMetadata.parseFile(metaPath)
+    require(meta.refs.exists(r => r.name == branch && r.refType == "branch"),
+      s"no branch '$branch' on table ${baseIdent.name()} — " +
+        "CALL <catalog>.system.create_branch first")
+    Some(new GraftSparkTable(GraftTable.sparkSchema(meta), metaPath,
+      None, Some(branch), None, 128L * 1024 * 1024,
+      writeBranch = Some(branch)))
+  }
+
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) {
-      loadMetadataTable(ident) match {
+      loadBranchTable(ident).orElse(loadMetadataTable(ident)) match {
         case Some(t) => return t
         case None => throw new NoSuchTableException(ident)
       }
@@ -129,13 +149,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       metaPath, None, None, None, 128L * 1024 * 1024)
   }
 
-  /** SQL `VERSION AS OF <snapshot-id>` — the version string is the
-    * snapshot id (Iceberg's convention). */
+  /** SQL `VERSION AS OF <v>` — a numeric version is a snapshot id, any
+    * other string resolves as a ref name (tag or branch), Iceberg's
+    * convention for both. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val metaPath = GraftTable.latestMetadataPath(tableDir(ident))
+    val snapId = version.toLongOption
     new GraftSparkTable(GraftTable.sparkSchema(TableMetadata.parseFile(metaPath)),
-      metaPath, Some(version.toLong), None, None, 128L * 1024 * 1024)
+      metaPath, snapId, if (snapId.isEmpty) Some(version) else None,
+      None, 128L * 1024 * 1024)
   }
 
   /** SQL `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch;

@@ -74,7 +74,8 @@ object GraftProcedures {
     TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
 
   def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
-    "rollback_to_snapshot", "create_tag", "fast_forward")
+    "rollback_to_snapshot", "create_tag", "fast_forward",
+    "rewrite_manifests", "remove_orphan_files", "create_branch")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. */
@@ -147,6 +148,59 @@ object GraftProcedures {
           val result = GraftTable.createTag(dir, tag, snapId)
           val tagged = result.metadata.refs.find(_.name == tag).get.snapshotId
           Seq(InternalRow(UTF8String.fromString(tag), tagged))
+        })
+      case "create_branch" => new Proc(
+        "create_branch",
+        "create a mutable branch ref at a snapshot (default: the current " +
+          "head) — the staging target of write-audit-publish",
+        Array(in("table", StringType), in("branch", StringType),
+          inDefault("snapshot_id", LongType, "NULL")),
+        StructType(Seq(
+          StructField("branch", StringType),
+          StructField("snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          val branch = input.getUTF8String(1).toString
+          val snapId = if (input.isNullAt(2)) None else Some(input.getLong(2))
+          val result = GraftTable.createBranch(dir, branch, snapId)
+          val at = result.metadata.refs.find(_.name == branch).get.snapshotId
+          Seq(InternalRow(UTF8String.fromString(branch), at))
+        })
+      case "rewrite_manifests" => new Proc(
+        "rewrite_manifests",
+        "consolidate the current snapshot's data manifests (one per spec " +
+          "id), preserving every entry's sequence number and the union " +
+          "partition summary; metadata-only CAS commit, data never read",
+        Array(in("table", StringType)),
+        StructType(Seq(
+          StructField("rewritten_manifests_count", IntegerType),
+          StructField("added_manifests_count", IntegerType),
+          StructField("snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          def dataManifests(meta: TableMetadata): Int =
+            meta.currentSnapshot.flatMap(_.manifestList).toSeq
+              .flatMap(ManifestListReader.read).count(_.content == 0)
+          val before = dataManifests(currentMeta(dir))
+          val result = GraftTable.rewriteManifests(dir)
+          val after = dataManifests(result.metadata)
+          Seq(InternalRow(before, after,
+            result.metadata.currentSnapshotId.getOrElse(0L)))
+        })
+      case "remove_orphan_files" => new Proc(
+        "remove_orphan_files",
+        "delete data-directory files unreachable from EVERY snapshot " +
+          "still in the metadata; older_than_ms (default: no age filter) " +
+          "protects in-flight writers",
+        Array(in("table", StringType),
+          inDefault("older_than_ms", LongType, "NULL")),
+        StructType(Seq(
+          StructField("deleted_files_count", IntegerType))),
+        input => {
+          val dir = dirOf(input)
+          val olderThan = if (input.isNullAt(1)) None else Some(input.getLong(1))
+          val deleted = GraftTable.removeOrphanFiles(dir, olderThan)
+          Seq(InternalRow(deleted.size))
         })
       case "fast_forward" => new Proc(
         "fast_forward",

@@ -81,7 +81,9 @@ class TableDataSource extends TableProvider with DataSourceRegister {
       // escape hatch (and the bench's row-vs-columnar control): "false"
       // forces the row route; it can never force columnar ON — the
       // scan-level eligibility rules still apply
-      Option(opts.get("columnar")).forall(_.toBoolean))
+      Option(opts.get("columnar")).forall(_.toBoolean),
+      // write-side: option("branch", "audit") stages appends on that ref
+      Option(opts.get("branch")).filter(_.nonEmpty))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -89,7 +91,8 @@ class TableDataSource extends TableProvider with DataSourceRegister {
 
 class GraftSparkTable(tableSchema: StructType, metadataPath: String,
     snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long],
-    splitSize: Long, allowColumnar: Boolean = true)
+    splitSize: Long, allowColumnar: Boolean = true,
+    writeBranch: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -166,7 +169,7 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftTableWriteBuilder(metadataPath, info)
+    new GraftTableWriteBuilder(metadataPath, info, writeBranch)
 
   /** SQL `DELETE FROM ... WHERE ...`: the pushed predicate translates to
     * a Column and lands as GraftTable.deleteWhere's position-delete

@@ -47,8 +47,15 @@ import graft.iceberg.{GraftTable, IcebergType, IcebergTypes, ManifestListWriter,
   * partitioned data is list-level prunable exactly like
   * GraftTable.append's. Correctness never depends on the distribution —
   * un-clustered rows just mean more (still single-tuple) files. */
-class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo)
+class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
+    writeBranch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
+
+  /** Branch target: the catalog's `t.branch_<name>` identifier wins,
+    * else the `branch` write option — either way the commit advances
+    * ONLY that ref (write-audit-publish staging; append-only). */
+  private def branch: Option[String] =
+    writeBranch.orElse(Option(info.options().get("branch")).filter(_.nonEmpty))
 
   private val BucketRe = """bucket\[(\d+)\]""".r
 
@@ -94,6 +101,8 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo)
 
   override def build(): Write = {
     val (tableDir, tableSchema, fields, part) = validated()
+    require(branch.isEmpty || !replace, "branch writes are append-only " +
+      "(publish an audited overwrite through main instead)")
     val conf = new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active())
     val meta = TableMetadata.parseFile(metadataPath)
     new Write with RequiresDistributionAndOrdering {
@@ -138,7 +147,8 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo)
             VExpr.sort(VExpr.column(name), dir, nulls)
           }.toArray
       override def toBatch: BatchWrite =
-        new GraftTableBatchWrite(tableDir, tableSchema, fields, part, replace, conf)
+        new GraftTableBatchWrite(tableDir, tableSchema, fields, part, replace, conf,
+          branch)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!replace, "graft-table streaming writes are append-only " +
@@ -182,17 +192,18 @@ object GraftTableWrites {
 
   private[sources] def commit(tableDir: String, files: Seq[GraftFileMessage],
       extraSummary: Map[String, String] = Map.empty,
-      replace: Boolean = false): Unit =
+      replace: Boolean = false, branch: Option[String] = None): Unit =
     lastCommit.set(GraftTable.commitAppendFiles(tableDir,
       files.map(m => GraftTable.PendingFile(
         m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId)),
-      extraSummary, replace))
+      extraSummary, replace, branch))
 }
 
 class GraftTableBatchWrite(tableDir: String, schema: StructType,
     fields: Seq[(Int, String, IcebergType)], part: GraftTableWrites.PartInfo,
     replace: Boolean,
-    hadoopConf: graft.iceberg.SerializableHadoopConf) extends BatchWrite {
+    hadoopConf: graft.iceberg.SerializableHadoopConf,
+    branch: Option[String] = None) extends BatchWrite {
 
   private val writeUuid = java.util.UUID.randomUUID().toString
 
@@ -206,7 +217,7 @@ class GraftTableBatchWrite(tableDir: String, schema: StructType,
     // an INSERT/append selecting zero rows is a no-op; an OVERWRITE from
     // an empty source still commits (truncate semantics)
     if (files.nonEmpty || replace)
-      GraftTableWrites.commit(tableDir, files, replace = replace)
+      GraftTableWrites.commit(tableDir, files, replace = replace, branch = branch)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -58,17 +58,35 @@ class BenchSpec extends AnyFunSuite {
     val wide = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Some(123.456))
     val wideLine = Bench.renderLine(wide, "/root/testdata/sf0.1")
     assert(wideLine.length < 1900, s"bench line too long: ${wideLine.length}")
-    // normal case: sub-10s entries keep the full 2-decimal resolution, and
-    // 1.234 is the adversarial value — nothing to strip. Pin headroom for
-    // 5 MORE worst-case entries so the next additions can't silently push
-    // the driver's record down to 1-decimal again (the round-9 failure).
-    // (Worst-case math: 164 entries ≈ 1838 chars, ~11/entry → +5 fits the
-    // 1900 guard; REAL timings strip trailing zeros and run shorter.)
+    // adversarial case: every entry at 1.234 (nothing to strip), plus 5
+    // future entries. Under budget pressure entries degrade ONE AT A
+    // TIME (largest first) — never the whole line at once (the round-9
+    // failure quantized the driver's entire record to 1 decimal). The
+    // line must fit AND keep 2-decimal entries.
     val future = (1 to 5).map(i => f"z$i%02d_future" -> Some(1.234))
     val typical = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Some(1.234)) ++ future
     val typicalLine = Bench.renderLine(typical, "/root/testdata/sf0.1")
     assert(typicalLine.length < 1900,
-      s"typical line too long at +15 entries: ${typicalLine.length}")
+      s"typical line too long at +5 entries: ${typicalLine.length}")
     assert(typicalLine.contains(":1.23"), "typical line must keep 2 decimals")
+  }
+
+  test("budget pressure degrades the LARGEST timings first, smallest last") {
+    // many entries, one big outlier: if the line needs shrinking, the
+    // outlier loses its decimal before any sub-second entry does
+    val base = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Some(1.234))
+    val mixed = ("zz_outlier" -> Some(9.876)) +: base
+    val line = Bench.renderLine(mixed, "/root/testdata/sf0.1")
+    assert(line.length < 1900)
+    if (line.contains("\"zz\":9.88")) {
+      // no pressure at the current entry count — every entry kept 2
+      // decimals; the invariant below still must hold
+      assert(line.contains(":1.23"))
+    } else {
+      // pressure: the outlier degraded, sub-second entries survived
+      assert(line.contains("\"zz\":9.9"))
+      assert(line.contains(":1.23"),
+        "small entries must keep 2 decimals while big ones degrade")
+    }
   }
 }

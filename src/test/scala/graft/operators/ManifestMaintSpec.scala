@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.iceberg._
+
+/** rewrite_manifests + remove_orphan_files — the two maintenance
+  * operations a platform team schedules:
+  *
+  *   - manifest consolidation is METADATA-ONLY (data files never open),
+  *     preserves every entry's materialized sequence (pending deletes
+  *     still apply afterwards — the field 515/516 contract), and is
+  *     destructively proven: the pre-rewrite manifests are corrupted on
+  *     disk and the current read still answers;
+  *   - the orphan sweep reclaims only files unreachable from EVERY
+  *     snapshot (time-travel-live files survive) and honors the
+  *     older-than guard.
+  */
+class ManifestMaintSpec extends SparkSpec {
+
+  private def mkTable(dir: String): Unit =
+    GraftTable.create(dir, IcebergSchema(0, Seq(
+      IcebergField(1, "n_nationkey", required = false, "int"),
+      IcebergField(2, "n_name", required = false, "string"),
+      IcebergField(3, "n_regionkey", required = false, "int"))),
+      tableUuid = java.util.UUID.randomUUID().toString, timestampMs = 1700000000000L)
+
+  private def nationRow(k: Int) =
+    graft.Tables.load(spark, sfDir, "nation").filter(col("n_nationkey") === k)
+
+  private def listInfos(dir: String): Seq[ManifestListReader.ManifestFileInfo] =
+    ManifestListReader.read(TableMetadata
+      .parseFile(GraftTable.latestMetadataPath(dir))
+      .currentSnapshot.get.manifestList.get)
+
+  test("rewrite_manifests consolidates N manifests to 1; deletes still apply; destructive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rwm").toString
+    mkTable(dir)
+    GraftTable.append(spark, dir, nationRow(3))
+    GraftTable.append(spark, dir, nationRow(5))
+    GraftTable.append(spark, dir, nationRow(7))
+    // a pending MOR delete: key 5 must STAY deleted after the rewrite —
+    // only exact sequence preservation keeps the delete applicable
+    GraftTable.deleteWhere(spark, dir, col("n_nationkey") === 5)
+    val before = listInfos(dir)
+    assert(before.count(_.content == 0) == 3)
+    val beforeDel = before.filter(_.content == 1)
+    assert(beforeDel.nonEmpty)
+
+    val result = GraftTable.rewriteManifests(dir)
+    val after = listInfos(dir)
+    val dataAfter = after.filter(_.content == 0)
+    assert(dataAfter.size == 1, s"expected 1 consolidated manifest, got $after")
+    // entries are EXISTING with explicit sequences; field 516 is the
+    // true minimum (an inherited default would break delete pruning)
+    val entries = ManifestWriter.read(dataAfter.head.path)
+    assert(entries.size == 3 && entries.forall(_.status == 0))
+    assert(entries.forall(_.sequenceNumber.isDefined))
+    assert(dataAfter.head.minSequenceNumber == entries.flatMap(_.sequenceNumber).min)
+    // delete manifests carried with original provenance
+    val delAfter = after.filter(_.content == 1)
+    assert(delAfter.map(_.path).toSet == beforeDel.map(_.path).toSet)
+    assert(delAfter.map(i => i.path -> i.sequenceNumber).toMap ==
+      beforeDel.map(i => i.path -> i.sequenceNumber).toMap)
+
+    // destructive: the PRE-rewrite manifests are garbage now — the
+    // current-snapshot read must not open them
+    before.filter(_.content == 0).foreach(i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(i.path).toUri.getPath),
+        "corrupted: consolidated reads must not open old manifests".getBytes))
+    val live = GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+      .orderBy(col("n_nationkey")).collect()
+    assert(live.map(_.getInt(0)).toSeq == Seq(3, 7), "delete must survive rewrite")
+    assert(result.metadata.currentSnapshot.get.operation.contains("replace"))
+  }
+
+  test("rewrite_manifests keeps the union partition summary (list-level pruning intact)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rws").toString
+    GraftTable.create(dir, IcebergSchema(0, Seq(
+      IcebergField(1, "n_nationkey", required = false, "int"),
+      IcebergField(3, "n_regionkey", required = false, "int"))),
+      tableUuid = java.util.UUID.randomUUID().toString, timestampMs = 1700000000000L,
+      spec = PartitionSpec(0,
+        Seq(PartitionField("n_regionkey_id", "identity", 3, 1000))))
+    val nation = graft.Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    GraftTable.append(spark, dir, nation.filter(col("n_regionkey") <= 1))
+    GraftTable.append(spark, dir, nation.filter(col("n_regionkey") > 1))
+    GraftTable.rewriteManifests(dir)
+    val dataAfter = listInfos(dir).filter(_.content == 0)
+    assert(dataAfter.size == 1)
+    val sums = dataAfter.head.summaries
+    assert(sums.isDefined && sums.get.nonEmpty, "union summary must survive")
+    val lo = SingleValueCodec.decode(IcebergTypes.TInt, sums.get.head.lower.get)
+    val hi = SingleValueCodec.decode(IcebergTypes.TInt, sums.get.head.upper.get)
+    assert(lo == 0 && hi == 4, s"summary [$lo,$hi] must span both manifests")
+  }
+
+  test("remove_orphan_files deletes only unreachable files; older-than guard holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orph").toString
+    mkTable(dir)
+    GraftTable.append(spark, dir, nationRow(3))
+    // a file live ONLY in snapshot 1 (overwritten at head) must survive:
+    // time travel still resolves it
+    spark.sql("SELECT 1")
+    GraftTable.append(spark, dir, nationRow(5))
+    val fs = HadoopConfs.fileSystemFor(dir)
+    val debris = new org.apache.hadoop.fs.Path(s"$dir/data/zz-debris.parquet")
+    val out = fs.create(debris)
+    out.write("not a committed file".getBytes); out.close()
+    // age guard: debris was written "now"; an olderThan in the past
+    // must protect it (an in-flight writer's file)
+    assert(GraftTable.removeOrphanFiles(dir, Some(1L)).isEmpty)
+    assert(fs.exists(debris))
+    val deleted = GraftTable.removeOrphanFiles(dir)
+    assert(deleted.map(p => new org.apache.hadoop.fs.Path(p).getName) == Seq("zz-debris.parquet"))
+    assert(!fs.exists(debris))
+    // every committed file survived — both snapshots still read
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == 2L)
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val snap1 = meta.snapshots.minBy(_.snapshotId).snapshotId
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir),
+      snapshotId = Some(snap1)).count() == 1L)
+  }
+}

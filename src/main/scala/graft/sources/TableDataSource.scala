@@ -456,12 +456,17 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
 
   /** Columnar is a SCAN-level decision (Spark forbids mixing row and
     * columnar partitions in one scan): every required type must be in the
-    * vectorized palette, metadata columns stay row-served, and ANY
-    * pending delete forces the row route (deletes filter row-by-row). */
+    * vectorized palette and metadata columns stay row-served. Pending
+    * POSITION deletes keep the columnar route — the reader applies them
+    * as a row-index selection over each ColumnarBatch (production
+    * Iceberg's vectorized-MOR shape), so a delete-heavy CDC table never
+    * pays the record-at-a-time decode penalty. Equality deletes still
+    * force the row route: their predicate is over decoded VALUES, which
+    * the row reader evaluates per record. */
   private lazy val columnarOk: Boolean = allowColumnar &&
     GraftTableColumnarReader.supportedSchema(required) &&
       !required.fieldNames.exists(n => n == "_file" || n == "_pos") &&
-      planned._2.isEmpty && planned._3.isEmpty
+      planned._3.isEmpty
 
   /** Exact size from manifest stats (what they exist for); row count only
     * when no deletes are pending (deleted rows are unknowable unscanned). */

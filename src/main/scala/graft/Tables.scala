@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet testdata (see /root/repo/TESTDATA.md).
   *
@@ -15,15 +15,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** `events.ts` has shipped in three physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (Spark reads a raw nanos long
+    * under `spark.sql.legacy.parquet.nanosAsLong`), micros TIMESTAMP_NTZ
+    * (the current form), and plain micros TIMESTAMP. Normalize by the
+    * type Spark ACTUALLY read — self-describing, no flag dependence:
+    *   - nanos long → exact integer `DIV` to micros (float division
+    *     would lose precision above 2^53 ns);
+    *   - NTZ → cast to TimestampType, value-preserving because every
+    *     engine session is pinned to UTC;
+    *   - TimestampType → already canonical. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType    => df
+    case other => throw new IllegalArgumentException(
+      s"unsupported physical type for events.ts: $other")
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark reads only as a raw
-    // nanosecond long (spark.sql.legacy.parquet.nanosAsLong). Convert to
-    // Spark's micros TimestampType with exact integer division — float
-    // division would lose precision above 2^53 ns.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** Registers every testdata table as a temp view named after the table. */

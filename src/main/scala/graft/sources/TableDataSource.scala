@@ -724,6 +724,7 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport,
     VectorizedParquetRecordReader}
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
   private val conf = new Configuration(confBase)
   // the keys Spark's reader stack expects its planner to have set
@@ -748,15 +749,129 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
   reader.initBatch(new StructType(), InternalRow.empty)
   reader.enableReturningBatches()
 
-  private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+  /** Deleted FILE-ABSOLUTE row indexes addressing this file — empty on
+    * the overwhelmingly common clean scan, which then pays nothing per
+    * batch. The vectorized reader serves the split's rows strictly in
+    * order with no predicate skipping, so the absolute index of a
+    * batch's first row is `rowStart` plus the rows already served. */
+  private val deleted = PosDeleteIndex.load(part.posDeleteFiles, part.filePath, confBase)
+  private var served: Long = 0L
+
+  private var batch: ColumnarBatch = _
   override def next(): Boolean = {
     val has = reader.nextKeyValue()
-    if (has) batch = reader.getCurrentValue
-      .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+    if (has) {
+      val raw = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      val first = part.rowStart + served
+      served += raw.numRows()
+      batch = if (deleted.isEmpty) raw else select(raw, first)
+    }
     has
   }
-  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def get(): ColumnarBatch = batch
   override def close(): Unit = reader.close()
+
+  /** Vectorized MOR: surviving ordinals map through a selection view over
+    * the batch's own vectors — no column data is copied, deleted rows
+    * simply vanish from the batch's row space (production Iceberg's
+    * delete-aware vectorized read shape). A batch with no deleted rows
+    * passes through untouched. */
+  private def select(raw: ColumnarBatch, first: Long): ColumnarBatch = {
+    val n = raw.numRows()
+    val sel = new Array[Int](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (!deleted.contains(first + i)) { sel(k) = i; k += 1 }
+      i += 1
+    }
+    if (k == n) raw
+    else {
+      val keep = java.util.Arrays.copyOf(sel, k)
+      val cols = Array.tabulate[ColumnVector](raw.numCols())(c =>
+        new SelectedColumnVector(raw.column(c), keep))
+      new ColumnarBatch(cols, k)
+    }
+  }
+}
+
+/** A ColumnVector view that re-indexes rows through a selection array:
+  * row `i` of the view is row `sel(i)` of the base vector. This is how
+  * the columnar MOR route drops position-deleted rows without copying
+  * column data. Children ([[getChild]]) are NOT remapped — safe for the
+  * palette's array type (getArray returns base-space element slices) but
+  * not for structs, whose final `getStruct` walks children by row-id;
+  * structs are outside [[GraftTableColumnarReader.supportedSchema]]. */
+private[sources] final class SelectedColumnVector(
+    base: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType()) {
+  override def close(): Unit = base.close()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = {
+    var n = 0
+    var i = 0
+    while (i < sel.length) { if (base.isNullAt(sel(i))) n += 1; i += 1 }
+    n
+  }
+  override def isNullAt(rowId: Int): Boolean = base.isNullAt(sel(rowId))
+  override def getBoolean(rowId: Int): Boolean = base.getBoolean(sel(rowId))
+  override def getByte(rowId: Int): Byte = base.getByte(sel(rowId))
+  override def getShort(rowId: Int): Short = base.getShort(sel(rowId))
+  override def getInt(rowId: Int): Int = base.getInt(sel(rowId))
+  override def getLong(rowId: Int): Long = base.getLong(sel(rowId))
+  override def getFloat(rowId: Int): Float = base.getFloat(sel(rowId))
+  override def getDouble(rowId: Int): Double = base.getDouble(sel(rowId))
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(sel(rowId))
+  override def getMap(ordinal: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(sel(ordinal))
+  override def getDecimal(rowId: Int, precision: Int, scale: Int): Decimal =
+    base.getDecimal(sel(rowId), precision, scale)
+  override def getUTF8String(rowId: Int): org.apache.spark.unsafe.types.UTF8String =
+    base.getUTF8String(sel(rowId))
+  override def getBinary(rowId: Int): Array[Byte] = base.getBinary(sel(rowId))
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    base.getChild(ordinal)
+}
+
+/** Task-local position-delete index: the FILE-ABSOLUTE deleted row
+  * indexes addressing ONE data file, loaded once per task from its
+  * sequence-scoped, path-bound-scoped delete files. Shared by the row
+  * and columnar MOR routes — both address the same coordinate system
+  * (record order == row index, Iceberg's `pos`). */
+private[sources] object PosDeleteIndex {
+  private def normPath(p: String): String = p.replaceFirst("^[a-z0-9+.-]+:(//)?", "")
+
+  def load(posDeleteFiles: Seq[String], dataFilePath: String,
+      conf: Configuration): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    val me = normPath(dataFilePath)
+    posDeleteFiles.foreach { del =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(del), conf))
+      try {
+        val full = r.getFileMetaData.getSchema
+        val sel = full.getFields.asScala
+          .filter(f => f.getName == "file_path" || f.getName == "pos")
+        val req = new MessageType(full.getName, sel.asJava)
+        r.setRequestedSchema(req)
+        val io = new ColumnIOFactory().getColumnIO(req, full, false)
+        var pages = r.readNextRowGroup()
+        while (pages != null) {
+          val rr = io.getRecordReader(pages, new GroupRecordConverter(req))
+          var i = 0L
+          while (i < pages.getRowCount) {
+            val g = rr.read()
+            if (normPath(g.getBinary("file_path", 0).toStringUsingUTF8) == me)
+              set.add(g.getLong("pos", 0))
+            i += 1
+          }
+          pages = r.readNextRowGroup()
+        }
+      } finally r.close()
+    }
+    set
+  }
 }
 
 object GraftTableColumnarReader {
@@ -828,8 +943,6 @@ object FileBoundsEval {
 class GraftTablePartitionReader(part: GraftTableInputPartition,
     required: StructType, conf: Configuration) extends PartitionReader[InternalRow] {
 
-  private def normPath(p: String): String = p.replaceFirst("^[a-z0-9+.-]+:(//)?", "")
-
   private def open(path: String): ParquetFileReader =
     ParquetFileReader.open(HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path), conf))
@@ -862,19 +975,10 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
 
   /** Deleted row indexes addressing THIS file, loaded once per task from
     * the sequence-scoped, path-bound-scoped delete files (Iceberg's
-    * task-local delete apply). */
-  private val deleted: java.util.HashSet[java.lang.Long] = {
-    val set = new java.util.HashSet[java.lang.Long]()
-    val me = normPath(part.filePath)
-    part.posDeleteFiles.foreach { del =>
-      val r = open(del)
-      try readRows(r, Seq("file_path", "pos")) { g =>
-        if (normPath(g.getBinary("file_path", 0).toStringUsingUTF8) == me)
-          set.add(g.getLong("pos", 0))
-      } finally r.close()
-    }
-    set
-  }
+    * task-local delete apply; [[PosDeleteIndex]] — shared with the
+    * columnar route). */
+  private val deleted: java.util.HashSet[java.lang.Long] =
+    PosDeleteIndex.load(part.posDeleteFiles, part.filePath, conf)
 
   private def tableType(name: String): DataType =
     part.tableSchema.fields.find(_.name == name).map(_.dataType).getOrElse(
@@ -966,22 +1070,29 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
         // 3-level list decode (LIST > repeated "list"/"array"/... >
         // single child) — both our task writers and Spark's native
         // writer produce this layout; embedding columns read here when
-        // the scan needs the row route (MOR, metadata columns)
+        // the scan needs the row route (MOR, metadata columns). Element
+        // decode recurses through valueOf, so nested elements
+        // (array<struct>, array<array<...>>) come free.
         val outer = g.getGroup(i, 0)
         val n = outer.getFieldRepetitionCount(0)
         (0 until n).map { j =>
           val lg = outer.getGroup(0, j)
-          if (lg.getFieldRepetitionCount(0) == 0) null
-          else elem match {
-            case FloatType => lg.getFloat(0, 0)
-            case DoubleType => lg.getDouble(0, 0)
-            case IntegerType => lg.getInteger(0, 0)
-            case LongType => lg.getLong(0, 0)
-            case StringType => lg.getBinary(0, 0).toStringUsingUTF8
-            case other => throw new UnsupportedOperationException(
-              s"array<$other> decode (column $name)")
-          }
+          valueOf(lg, lg.getType.getFieldName(0), elem)
         }
+      case st: StructType =>
+        // plain parquet group — external Row, CatalystTypeConverters
+        // handles the rest (same contract as every other branch)
+        val sub = g.getGroup(i, 0)
+        org.apache.spark.sql.Row.fromSeq(
+          st.fields.toSeq.map(f => valueOf(sub, f.name, f.dataType)))
+      case MapType(kt, vt, _) =>
+        // standard parquet MAP (MAP > repeated key_value > key, value)
+        val outer = g.getGroup(i, 0)
+        val n = outer.getFieldRepetitionCount(0)
+        (0 until n).map { j =>
+          val kv = outer.getGroup(0, j)
+          valueOf(kv, "key", kt) -> valueOf(kv, "value", vt)
+        }.toMap
       case other => throw new UnsupportedOperationException(
         s"graft-table reader does not decode $other (column $name) — " +
           "read via GraftTable.read for full-type support")

@@ -23,19 +23,21 @@ object EventStreams {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** events.parquet carries TIMESTAMP(NANOS): the stream reads the raw
-    * nanos long (nanosAsLong) and converts to micros TimestampType. */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      // the file source wants a directory/glob, not a bare file path
-      .parquet(s"$dir/*events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** The stream's declared schema is the file's ACTUAL footer schema (one
+    * batch-planning read — cheap, metadata only), so `ts` arrives as
+    * whatever physical form this testdata generation shipped (nanos long,
+    * TIMESTAMP_NTZ micros, or TimestampType) and [[graft.Tables.normalizeTs]]
+    * — the same dispatch the batch route uses — canonicalizes it to
+    * micros TimestampType. Self-describing: no flag or generation
+    * assumptions baked into the stream. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val physical = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(physical)
+        // the file source wants a directory/glob, not a bare file path
+        .parquet(s"$dir/*events.parquet"))
+  }
 
   /** Micro-batches that carried input rows in the most recent
     * [[runToMemory]] drive — lets specs pin the single-batch assumption

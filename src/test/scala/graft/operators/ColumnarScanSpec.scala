@@ -46,14 +46,35 @@ class ColumnarScanSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
-  test("pending deletes and metadata columns fall back to the row route") {
+  test("position deletes apply on the columnar route — deleted rows excluded") {
     val dir = freshNationTable("c2")
     GraftTable.deleteWhere(spark, dir, col("n_regionkey") === 2)
     val mor = spark.read.format("graft-table")
       .option("metadata", GraftTable.latestMetadataPath(dir)).load()
-    assert(!isColumnar(mor), "MOR scan must be row-based")
-    assert(mor.count() ==
-      Tables.load(spark, sfDir, "nation").filter(col("n_regionkey") =!= 2).count())
+    // vectorized MOR: pending POSITION deletes keep the columnar route,
+    // the reader drops deleted row-ids by batch selection
+    assert(isColumnar(mor), mor.queryExecution.executedPlan.toString)
+    val got = mor.select("n_nationkey", "n_name", "n_regionkey")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    val want = Tables.load(spark, sfDir, "nation").filter(col("n_regionkey") =!= 2)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq, "columnar MOR must exclude exactly the deleted rows")
+  }
+
+  test("equality deletes and metadata columns fall back to the row route") {
+    // equality deletes force the row route: their predicate is over
+    // decoded VALUES, which the row reader evaluates per record
+    val dir = freshNationTable("c6")
+    import spark.implicits._
+    GraftTable.upsert(spark, dir,
+      Seq((0, "UPSERTED", 9)).toDF("n_nationkey", "n_name", "n_regionkey"),
+      Seq("n_nationkey"))
+    val eq = spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir)).load()
+    assert(!isColumnar(eq), "equality-delete MOR scan must be row-based")
+    assert(eq.filter(col("n_nationkey") === 0).collect()
+      .map(_.getAs[String]("n_name")).toSeq == Seq("UPSERTED"))
     // metadata columns are served by the row reader only
     val clean = freshNationTable("c3")
     val withFile = spark.read.format("graft-table")
@@ -61,6 +82,51 @@ class ColumnarScanSpec extends SparkSpec {
       .select(col("_file"), col("n_nationkey"))
     assert(!isColumnar(withFile), "_file projection must be row-based")
     assert(withFile.select("_file").distinct().count() >= 1)
+  }
+
+  test("columnar MOR applies position deletes correctly across row-group splits") {
+    // a deleted row-id is FILE-absolute; a row-group split's batches must
+    // offset by the split's first-row index (rowStart), or deletes land
+    // on the wrong rows in every group but the first
+    val dir = java.nio.file.Files.createTempDirectory("graft-colmor").toString
+    val tmp = s"$dir/tmpdir"
+    spark.range(0, 20000).orderBy(col("id")).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write
+      .option("parquet.block.size", "16384").option("parquet.page.size", "4096")
+      .mode("overwrite").parquet(tmp)
+    val fs = HadoopConfs.fileSystemFor(dir)
+    val partFile = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet")).get
+    val f = s"$dir/data/d.parquet"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
+    fs.rename(partFile, new org.apache.hadoop.fs.Path(f))
+    val m = s"$dir/m-data.avro"
+    ManifestWriter.write(m, Seq(ManifestWriter.EntryData(
+      1, 1L, f, 20000L, ParquetFiles.length(f),
+      Map.empty, Map.empty, content = 0, sequenceNumber = Some(1L))))
+    val list = s"$dir/snap-1-list.avro"
+    ManifestListWriter.write(list, Seq(m), 1L, addedDataFilesCount = 1)
+    val schema = IcebergSchema(0, Seq(
+      IcebergField(1, "id", required = false, "long"),
+      IcebergField(2, "v", required = false, "long")))
+    val meta = LakehouseExec.baseMetadata(dir).copy(
+      tableUuid = "b6b9a6a1-0000-4000-8000-0000000000c7",
+      currentSchemaId = Some(0), schemas = Seq(schema))
+    MetadataWriter.write(s"$dir/v1.metadata.json", MetadataWriter.commitSnapshot(meta,
+      Snapshot(1L, None, T0 + 1000, Some("append"),
+        Map("added-data-files" -> "1"), Some(list), Some(0)), None))
+    // rows are written in id order, so row index == id: delete ids spread
+    // across distinct row groups (early, middle, last)
+    GraftTable.deleteWhere(spark, dir,
+      col("id").isin(0L, 1L, 7777L, 13000L, 19999L))
+    val df = spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir))
+      .option("split-size", "4096").load()
+    assert(isColumnar(df), df.queryExecution.executedPlan.toString)
+    assert(df.rdd.getNumPartitions > 1, "expected row-group splits")
+    val row = df.agg(count(lit(1)), sum(col("id")).cast("long")).head()
+    assert(row.getLong(0) == 19995L)
+    assert(row.getLong(1) == (0L until 20000L).sum - (0L + 1L + 7777L + 13000L + 19999L))
   }
 
   test("columnar row-group splits select exactly one group per partition") {

@@ -67,18 +67,28 @@ object ScanBench {
       name -> secs.min
     }
 
-    val results = Seq(
+    val clean = Seq(
       route("native_parquet")(() => spark.read.parquet(files: _*)),
       route("graft_columnar")(() =>
         spark.read.format("graft-table").option("metadata", metaPath).load()),
       route("graft_row")(() =>
         spark.read.format("graft-table").option("metadata", metaPath)
           .option("columnar", "false").load()))
+
+    // vectorized MOR: ~0.1% of rows position-deleted — the scan must load
+    // the delete index and select every batch, the delete-heavy-CDC shape;
+    // staying near native here is the round-12 contract (< 1.5×)
+    GraftTable.deleteWhere(spark, dir, pmod(col("l_orderkey"), lit(1000)) === 0)
+    val morMetaPath = GraftTable.latestMetadataPath(dir)
+    val results = clean :+ route("graft_columnar_mor")(() =>
+      spark.read.format("graft-table").option("metadata", morMetaPath).load())
     val m = results.toMap
     val line = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", ",") +
       s""""columnar_over_native":${f"${m("graft_columnar") / m("native_parquet")}%.2f"},""" +
       s""""row_over_native":${f"${m("graft_row") / m("native_parquet")}%.2f"},""" +
+      s""""columnar_mor_over_native":${
+        f"${m("graft_columnar_mor") / m("native_parquet")}%.2f"},""" +
       s""""sf":"$sfDir"}"""
     // scalastyle:off println
     println(line)

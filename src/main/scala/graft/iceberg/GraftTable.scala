@@ -839,17 +839,29 @@ object GraftTable {
     * first), then delete every manifest-list, manifest, and data/delete
     * file reachable ONLY from the expired set. Cleanup runs after the
     * commit wins, so a crash between the two leaves orphans — exactly
-    * what remove_orphan_files (i31) reclaims — never a corrupt table. */
+    * what remove_orphan_files (i31) reclaims — never a corrupt table.
+    *
+    * `olderThanMs` is the age-based policy platform teams schedule
+    * (Iceberg's `expire_snapshots(older_than)`): only snapshots whose
+    * commit timestamp is strictly below the cutoff expire, and the
+    * newest `keepLast` are ALWAYS retained regardless of age — history
+    * never empties, matching the production semantics. */
   def expireSnapshots(spark: SparkSession, tableDir: String,
-      keepLast: Int = 1): OptimisticCommit.CommitResult = {
+      keepLast: Int = 1, olderThanMs: Option[Long] = None): OptimisticCommit.CommitResult = {
     require(keepLast >= 1, "must retain at least one snapshot")
     var expiredIds: Set[Long] = Set.empty
     val result = OptimisticCommit.commit(tableDir, (base, basePath) => {
-      val retained = base.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
+      val newest = base.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
+        .map(_.snapshotId).toSet
+      val retained = base.snapshots.filter(s => newest(s.snapshotId) ||
+        olderThanMs.exists(cutoff => s.timestampMs >= cutoff))
         .map(_.snapshotId).toSet
       val toExpire = base.snapshots.map(_.snapshotId).filterNot(retained)
       expiredIds = toExpire.toSet
-      require(toExpire.nonEmpty, s"nothing to expire (<= $keepLast snapshots)")
+      require(toExpire.nonEmpty, olderThanMs match {
+        case Some(cutoff) => s"nothing to expire (no snapshot older than $cutoff)"
+        case None => s"nothing to expire (<= $keepLast snapshots)"
+      })
       val afterExpiry = toExpire.foldLeft(base)((m, id) =>
         MetadataWriter.expireSnapshot(m, id, base.lastUpdatedMs + 1000, None))
       afterExpiry.copy(metadataLog =
@@ -881,6 +893,20 @@ object GraftTable {
   def evolveSchema(tableDir: String, schema: IcebergSchema): OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) =>
       MetadataWriter.evolveSchema(base, schema, base.lastUpdatedMs + 1000).copy(
+        metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
+
+  /** Table-property update through the CAS loop — metadata-only, the
+    * commit Iceberg's `ALTER TABLE … SET TBLPROPERTIES` lands. */
+  def setProperties(tableDir: String, props: Map[String, String]): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) =>
+      base.copy(properties = base.properties ++ props,
+        lastUpdatedMs = base.lastUpdatedMs + 1000,
+        metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
+
+  def removeProperties(tableDir: String, keys: Seq[String]): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) =>
+      base.copy(properties = base.properties -- keys,
+        lastUpdatedMs = base.lastUpdatedMs + 1000,
         metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
 
   /** Sort-order evolution through the CAS loop: `sort-orders[]` grows

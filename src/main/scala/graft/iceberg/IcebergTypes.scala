@@ -52,12 +52,44 @@ object IcebergTypes {
     val sparkType: DataType = ArrayType(element.sparkType, containsNull = !elementRequired)
   }
 
+  private def nested(t: IcebergType): String =
+    if (t.name.startsWith("{")) t.name else "\"" + t.name + "\""
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Iceberg STRUCT type — how an LLM-data lakehouse stores typed
+    * metadata (source, license, scores) next to the text column. `name`
+    * is the spec's canonical JSON object form; nested field ids allocate
+    * from the schema's shared sequence like list element ids. Structs
+    * carry NO bound stats (no total order — same rule as binary/list).
+    * Reference lattice parity: RECORD at IcebergDatumWriter.java:124-180. */
+  final case class TStruct(fields: Seq[(Int, String, Boolean, IcebergType)])
+      extends IcebergType {
+    val name: String = fields.map { case (id, fname, req, t) =>
+      s"""{"id":$id,"name":${jstr(fname)},"required":$req,"type":${nested(t)}}"""
+    }.mkString("""{"type":"struct","fields":[""", ",", "]}")
+    val sparkType: DataType = StructType(fields.map { case (_, fname, req, t) =>
+      StructField(fname, t.sparkType, nullable = !req) })
+  }
+
+  /** Iceberg MAP type (canonical JSON object form). Keys are required by
+    * the spec; maps carry NO bound stats. MAP parity:
+    * IcebergDatumWriter.java:124-180. */
+  final case class TMap(keyId: Int, key: IcebergType, valueId: Int,
+      value: IcebergType, valueRequired: Boolean = false) extends IcebergType {
+    val name: String =
+      s"""{"type":"map","key-id":$keyId,"key":${nested(key)},""" +
+        s""""value-id":$valueId,"value":${nested(value)},"value-required":$valueRequired}"""
+    val sparkType: DataType =
+      MapType(key.sparkType, value.sparkType, valueContainsNull = !valueRequired)
+  }
+
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val FixedRe = """fixed\[\s*(\d+)\s*\]""".r
 
   /** Parse an Iceberg type string: primitives (e.g. "long",
     * "decimal(9, 2)", "fixed[16]") or the canonical JSON object form of
-    * a nested type (currently `list`). Unknown strings throw —
+    * a nested type (list, struct, map). Unknown strings throw —
     * dropped-column lookups must be handled by the caller (the reference
     * NPEs here; we don't). */
   def fromString(s: String): IcebergType = if (s.trim.startsWith("{")) {
@@ -77,6 +109,26 @@ object IcebergTypes {
         TList(elemId.asInt(),
           fromString(if (el.isTextual) el.asText() else el.toString),
           Option(n.get("element-required")).exists(_.asBoolean()))
+      case Some("struct") =>
+        val fs = Option(n.get("fields")).filter(_.isArray).getOrElse(
+          throw new IllegalArgumentException(s"struct type without fields: $s"))
+        val parsed = (0 until fs.size()).map { i =>
+          val f = fs.get(i)
+          def req(k: String) = Option(f.get(k)).getOrElse(
+            throw new IllegalArgumentException(s"struct field missing $k: $s"))
+          val t = req("type")
+          (req("id").asInt(), req("name").asText(),
+            Option(f.get("required")).exists(_.asBoolean()),
+            fromString(if (t.isTextual) t.asText() else t.toString))
+        }
+        TStruct(parsed)
+      case Some("map") =>
+        def req(k: String) = Option(n.get(k)).getOrElse(
+          throw new IllegalArgumentException(s"map type missing $k: $s"))
+        def sub(k: String) = { val t = req(k)
+          fromString(if (t.isTextual) t.asText() else t.toString) }
+        TMap(req("key-id").asInt(), sub("key"), req("value-id").asInt(),
+          sub("value"), Option(n.get("value-required")).exists(_.asBoolean()))
       case other => throw new IllegalArgumentException(
         s"Unknown Iceberg nested type: ${other.getOrElse("<none>")}")
     }

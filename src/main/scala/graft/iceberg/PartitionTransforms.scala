@@ -113,4 +113,14 @@ object PartitionTransforms {
   }
 
   def dayOrdinal(epochDays: Int): Int = epochDays
+
+  /** Epoch-micros timestamp → epoch days (floored, so pre-1970 instants
+    * land on the correct calendar day) — lets the temporal ordinals
+    * serve `year/month/day(ts)` over timestamp columns too. */
+  def epochDaysOfMicros(us: Long): Int =
+    java.lang.Math.floorDiv(us, 86400000000L).toInt
+
+  /** Hours since 1970-01-01T00:00 (the hour-transform partition value). */
+  def hourOrdinal(us: Long): Int =
+    java.lang.Math.floorDiv(us, 3600000000L).toInt
 }

@@ -75,11 +75,45 @@ object ScanPlanning {
         Some((TLong, PartitionTransforms.truncateLong(v, w.toLong)))
       case (TruncateRe(w), TString, v: String) =>
         Some((TString, PartitionTransforms.truncateString(v, w.toInt)))
-      case ("year", TDate, v: Int) => Some((TInt, PartitionTransforms.yearOrdinal(v)))
-      case ("month", TDate, v: Int) => Some((TInt, PartitionTransforms.monthOrdinal(v)))
-      case ("day", TDate, v: Int) => Some((TInt, PartitionTransforms.dayOrdinal(v)))
+      case ("year", TDate, v) => epochDays(v).map(d =>
+        (TInt, PartitionTransforms.yearOrdinal(d)))
+      case ("month", TDate, v) => epochDays(v).map(d =>
+        (TInt, PartitionTransforms.monthOrdinal(d)))
+      case ("day", TDate, v) => epochDays(v).map(d =>
+        (TInt, PartitionTransforms.dayOrdinal(d)))
+      case ("year", TTimestamp | TTimestamptz, v) => epochMicros(v).map(us =>
+        (TInt, PartitionTransforms.yearOrdinal(PartitionTransforms.epochDaysOfMicros(us))))
+      case ("month", TTimestamp | TTimestamptz, v) => epochMicros(v).map(us =>
+        (TInt, PartitionTransforms.monthOrdinal(PartitionTransforms.epochDaysOfMicros(us))))
+      case ("day", TTimestamp | TTimestamptz, v) => epochMicros(v).map(us =>
+        (TInt, PartitionTransforms.dayOrdinal(PartitionTransforms.epochDaysOfMicros(us))))
+      case ("hour", TTimestamp | TTimestamptz, v) => epochMicros(v).map(us =>
+        (TInt, PartitionTransforms.hourOrdinal(us)))
       case _ => None
     }
+
+  /** Pushed filter values for DATE columns arrive in whatever form the
+    * session's datetime API produced (java.sql.Date, LocalDate, or an
+    * already-normalized epoch-day Int) — fold them all to epoch days;
+    * unknown forms stay unprunable, never wrong. */
+  private def epochDays(v: Any): Option[Int] = v match {
+    case d: Int => Some(d)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+    case _ => None
+  }
+
+  /** Same for TIMESTAMP values → epoch micros (timestamps compare as
+    * instants; the session is pinned UTC, so NTZ literals are exact). */
+  private def epochMicros(v: Any): Option[Long] = v match {
+    case us: Long => Some(us)
+    case t: java.time.Instant =>
+      Some(java.lang.Math.addExact(
+        java.lang.Math.multiplyExact(t.getEpochSecond, 1000000L), t.getNano / 1000L))
+    case t: java.sql.Timestamp => epochMicros(t.toInstant)
+    case t: java.time.LocalDateTime => epochMicros(t.toInstant(java.time.ZoneOffset.UTC))
+    case _ => None
+  }
 
   private def cmpValues(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Number, y: Number) =>
@@ -99,7 +133,7 @@ object ScanPlanning {
         case TInt | TLong | TString => Some(sourceType)
         case _ => None
       }
-      case "year" | "month" | "day" => Some(TInt)
+      case "year" | "month" | "day" | "hour" => Some(TInt)
       case _ => None
     }
 
@@ -192,7 +226,7 @@ object ScanPlanning {
     * the transform range [t(lo), t(hi)], so summaries prune range
     * predicates too. Bucket hashes are non-monotonic: never range-prunable. */
   private def isMonotonic(transform: String): Boolean = transform match {
-    case "identity" | "year" | "month" | "day" => true
+    case "identity" | "year" | "month" | "day" | "hour" => true
     case TruncateRe(_) => true
     case _ => false
   }

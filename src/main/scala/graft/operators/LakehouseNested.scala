@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.iceberg._
+import graft.iceberg.IcebergTypes.TInt
+import graft.operators.LakehouseExec.entryDir
+
+/** Round-12 lakehouse surface: nested column types and the SQL paths a
+  * platform team drives daily.
+  *
+  * - i63: struct/map columns through the FULL catalog + DSv2 stack — an
+  *   LLM-data platform stores typed metadata (source, license, scores)
+  *   and string-keyed attribute maps NEXT TO the text, not in a side
+  *   table. CREATE TABLE serializes the nested types as the Iceberg
+  *   canonical JSON object forms (spec-style shared id sequence), the
+  *   task writers encode the standard parquet group/MAP layouts, and the
+  *   row-route reader decodes them back. (Reference type-lattice parity:
+  *   RECORD and MAP at IcebergDatumWriter.java:124-180.)
+  * - i64: SQL `PARTITIONED BY (years(date))` — the most common real
+  *   table layout, declared from SQL and proven to prune: the manifests
+  *   whose year-summaries exclude the queried year are CORRUPTED on
+  *   disk, so the range query's success proves the planner skipped them
+  *   unopened (the i29/i61 proof pattern, now in transform space).
+  * - i65: sort order declared from SQL (`ALTER TABLE … SET TBLPROPERTIES
+  *   ('write.sort-order' = …)`) — subsequent INSERTs range-distribute and
+  *   sort, landing files whose bound stats are disjoint key ranges (the
+  *   i35 contract with no programmatic API in sight).
+  * - i66: `expire_snapshots(older_than_ms => …)` — the age-based expiry
+  *   policy platform teams schedule; the newest `retain_last` snapshots
+  *   always survive regardless of age.
+  */
+object LakehouseNested {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- i63
+  val nestedTable: Q = (spark, sfDir) => {
+    val wh = entryDir("i63", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_nst",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_nst.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i63_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_nst.db.docs (
+        n_nationkey INT,
+        info STRUCT<name: STRING, region: INT>,
+        attrs MAP<STRING, BIGINT>)""")
+      spark.sql("""INSERT INTO graft_nst.db.docs
+        SELECT n_nationkey,
+          named_struct('name', n_name, 'region', n_regionkey),
+          map('rk', CAST(n_regionkey AS BIGINT),
+              'len', CAST(length(n_name) AS BIGINT))
+        FROM i63_nation_src""")
+      // the committed metadata must carry the canonical nested JSON —
+      // re-parsing it yields the same Spark types (round-trip proof)
+      val meta = TableMetadata.parseFile(
+        GraftTable.latestMetadataPath(s"$wh/db/docs"))
+      val round = GraftTable.sparkSchema(meta)
+      require(round("info").dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+        round("attrs").dataType.isInstanceOf[org.apache.spark.sql.types.MapType],
+        s"nested types did not round-trip through metadata: $round")
+    }
+    spark.sql("""SELECT n_nationkey, info.name AS i_name, info.region AS i_region,
+      attrs['rk'] AS a_rk, attrs['len'] AS a_len
+      FROM graft_nst.db.docs ORDER BY n_nationkey""")
+  }
+
+  val nestedTableSql: String =
+    """SELECT n_nationkey, n_name AS i_name, n_regionkey AS i_region,
+      |  CAST(n_regionkey AS BIGINT) AS a_rk, CAST(length(n_name) AS BIGINT) AS a_len
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- i64
+  val sqlDatePartition: Q = (spark, sfDir) => {
+    val wh = entryDir("i64", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_dtp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dtp.warehouse", wh)
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("i64_orders_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_dtp.db.ord
+        (o_orderkey BIGINT, o_odate DATE, o_totalprice DOUBLE)
+        PARTITIONED BY (years(o_odate))""")
+      spark.sql("""INSERT INTO graft_dtp.db.ord
+        SELECT o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+        FROM i64_orders_src""")
+      // corrupted-manifest pruning proof: every data manifest whose
+      // year-summary excludes 1995 (ordinal 25) becomes unreadable; the
+      // 1995 range query below can only succeed if the planner pruned
+      // them from the manifest-list summaries WITHOUT opening them
+      val dir = s"$wh/db/ord"
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      val infos = ManifestListReader
+        .read(meta.currentSnapshot.get.manifestList.get).filter(_.content == 0)
+      val doomed = infos.filter(_.summaries.exists(_.headOption.exists { s =>
+        (for { lo <- s.lower.filter(_.nonEmpty); hi <- s.upper.filter(_.nonEmpty) }
+          yield SingleValueCodec.decode(TInt, lo).asInstanceOf[Int] > 25 ||
+            SingleValueCodec.decode(TInt, hi).asInstanceOf[Int] < 25)
+          .getOrElse(false)
+      }))
+      require(doomed.size >= 2 && doomed.size < infos.size,
+        s"expected a prunable year layout, got ${doomed.size}/${infos.size}")
+      doomed.foreach(i => java.nio.file.Files.write(java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(i.path).toUri.getPath),
+        "corrupted: year-pruning must skip this manifest unopened".getBytes))
+    }
+    spark.sql("""SELECT COUNT(*) AS n_rows,
+      CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18, 2))), 2) AS DOUBLE) AS total
+      FROM graft_dtp.db.ord
+      WHERE o_odate >= DATE'1995-01-01' AND o_odate <= DATE'1995-12-31'""")
+  }
+
+  val sqlDatePartitionSql: String =
+    """SELECT COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18, 2))), 2) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'""".stripMargin
+
+  // ---------------------------------------------------------------- i65
+  val sqlWriteOrder: Q = (spark, sfDir) => {
+    val wh = entryDir("i65", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_swo",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_swo.warehouse", wh)
+    Tables.load(spark, sfDir, "customer").createOrReplaceTempView("i65_cust_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_swo.db.cust
+        (c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)""")
+      spark.sql("""ALTER TABLE graft_swo.db.cust
+        SET TBLPROPERTIES ('write.sort-order' = 'c_custkey ASC')""")
+      // force several tasks so the range distribution has something to
+      // range over — each task's file must own a DISJOINT key interval.
+      // (AQE would coalesce this KB-scale shuffle into one task; at real
+      // scale the range exchange keeps its parallelism on its own.)
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val saved = spark.conf.get(coalesceKey)
+      spark.conf.set(coalesceKey, "false")
+      spark.sql("SET spark.sql.shuffle.partitions=4")
+      try spark.sql("""INSERT INTO graft_swo.db.cust
+        SELECT c_custkey, c_name, c_acctbal FROM i65_cust_src""")
+      finally {
+        spark.conf.set(coalesceKey, saved)
+        spark.sql("SET spark.sql.shuffle.partitions=32")
+      }
+      val dir = s"$wh/db/cust"
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      require(meta.defaultSortOrderId == 1 && meta.sortOrders.nonEmpty,
+        s"ALTER did not evolve the sort order: ${meta.sortOrders}")
+      // the i35 contract, SQL-declared: per-file custkey bounds disjoint
+      val entries = ManifestListReader
+        .read(meta.currentSnapshot.get.manifestList.get).filter(_.content == 0)
+        .flatMap(i => ManifestWriter.read(i.path)).filter(_.content == 0)
+      val ranges = entries.flatMap { e =>
+        for { lo <- e.lowerBounds.get(1); hi <- e.upperBounds.get(1) }
+          yield (SingleValueCodec.decode(IcebergTypes.TLong, lo).asInstanceOf[Long],
+            SingleValueCodec.decode(IcebergTypes.TLong, hi).asInstanceOf[Long])
+      }.sortBy(_._1)
+      require(ranges.size == entries.size && ranges.size > 1,
+        s"expected multiple bounded files, got ${ranges.size}")
+      ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+        require(hi < lo, s"file key ranges overlap: $ranges")
+      case _ => }
+    }
+    spark.sql("""SELECT COUNT(*) AS n_rows, MIN(c_custkey) AS min_k,
+      MAX(c_custkey) AS max_k,
+      CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18, 2))), 2) AS DOUBLE) AS bal
+      FROM graft_swo.db.cust WHERE c_custkey <= 100""")
+  }
+
+  val sqlWriteOrderSql: String =
+    """SELECT COUNT(*) AS n_rows, MIN(c_custkey) AS min_k, MAX(c_custkey) AS max_k,
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18, 2))), 2) AS DOUBLE) AS bal
+      |FROM customer WHERE c_custkey <= 100""".stripMargin
+
+  // ---------------------------------------------------------------- i66
+  private val T0 = LakehouseExec.T0
+
+  val expireOlderThan: Q = (spark, sfDir) => {
+    val wh = entryDir("i66", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_exp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_exp.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i66_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql(s"""CREATE TABLE graft_exp.db.n
+        (n_nationkey INT, n_name STRING, n_regionkey INT)
+        TBLPROPERTIES ('commit-timestamp-ms'='$T0')""")
+      // four append snapshots at T0+1s..T0+4s (the deterministic commit
+      // clock: each CAS commit advances lastUpdatedMs by 1000)
+      (0 until 4).foreach(i => spark.sql(s"""INSERT INTO graft_exp.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i66_nation_src
+        WHERE pmod(n_nationkey, 4) = $i"""))
+      // age cutoff T0+3.5s: snapshots 1 and 2 are old enough to expire;
+      // snapshot 3 is ALSO older than the cutoff but survives because the
+      // newest retain_last=2 are always kept — the production guard that
+      // a scheduled age policy can never empty history
+      val row = spark.sql(s"""CALL graft_exp.system.expire_snapshots(
+        table => 'db.n', retain_last => 2,
+        older_than_ms => ${T0 + 3500})""").head()
+      require(row.getInt(0) == 2 && row.getInt(1) == 2,
+        s"expected (expired=2, retained=2), got $row")
+      val left = TableMetadata.parseFile(
+        GraftTable.latestMetadataPath(s"$wh/db/n")).snapshots.map(_.snapshotId)
+      require(left == Seq(3L, 4L), s"expected snapshots [3, 4], got $left")
+    }
+    spark.sql("""SELECT COUNT(*) AS n_rows,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      COUNT(DISTINCT n_regionkey) AS n_regions
+      FROM graft_exp.db.n""")
+  }
+
+  val expireOlderThanSql: String =
+    """SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  COUNT(DISTINCT n_regionkey) AS n_regions
+      |FROM nation""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "i63_nested_table" -> nestedTable,
+    "i64_sql_date_partition" -> sqlDatePartition,
+    "i65_sql_write_order" -> sqlWriteOrder,
+    "i66_expire_older_than" -> expireOlderThan)
+
+  val oracles: Map[String, String] = Map(
+    "i63_nested_table" -> nestedTableSql,
+    "i64_sql_date_partition" -> sqlDatePartitionSql,
+    "i65_sql_write_order" -> sqlWriteOrderSql,
+    "i66_expire_older_than" -> expireOlderThanSql)
+}

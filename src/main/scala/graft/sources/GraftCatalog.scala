@@ -13,7 +13,8 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.iceberg.{GraftTable, HadoopConfs, IcebergField, IcebergSchema,
-  IcebergTypes, OptimisticCommit, PartitionField, PartitionSpec, TableMetadata}
+  IcebergTypes, OptimisticCommit, PartitionField, PartitionSpec, SortField,
+  SortOrder, TableMetadata}
 
 /** A Spark `TableCatalog` over graft tables — the piece that makes plain
   * SQL work end-to-end:
@@ -184,6 +185,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     case BooleanType => "boolean"
     case DateType => "date"
     case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case BinaryType => "binary"
     case ArrayType(elem, containsNull) =>
@@ -191,6 +193,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       IcebergTypes.TList(elemId,
         IcebergTypes.fromString(icebergTypeName(elem, nextId)),
         elementRequired = !containsNull).name
+    case st: StructType =>
+      // outer-first ids: every direct child claims its id before any
+      // child's own nested types recurse (the Iceberg assignment order)
+      val ids = st.fields.map(_ => nextId())
+      IcebergTypes.TStruct(st.fields.toSeq.zip(ids.toSeq).map { case (f, id) =>
+        (id, f.name, !f.nullable,
+          IcebergTypes.fromString(icebergTypeName(f.dataType, nextId)))
+      }).name
+    case MapType(kt, vt, valueContainsNull) =>
+      val keyId = nextId()
+      val valueId = nextId()
+      IcebergTypes.TMap(keyId, IcebergTypes.fromString(icebergTypeName(kt, nextId)),
+        valueId, IcebergTypes.fromString(icebergTypeName(vt, nextId)),
+        valueRequired = !valueContainsNull).name
     case other => throw new UnsupportedOperationException(
       s"graft catalog does not support column type $other")
   }
@@ -214,16 +230,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val colName = refs.head.fieldNames().head
       val srcId = idByName.getOrElse(colName, throw new IllegalArgumentException(
         s"partition column $colName not in schema"))
+      def intArg(what: String): Int = t.arguments().collectFirst {
+        case l: Literal[_] => l.value().toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(s"$what without N in $t"))
+      // Spark's parser emits plural names (years(ts)); Iceberg's spec
+      // strings are singular — accept both, persist singular (what the
+      // planner's transform-space pruning and the task writers evaluate)
       t.name() match {
         case "identity" =>
           PartitionField(s"${colName}_id", "identity", srcId, 1000 + i)
         case "bucket" =>
-          val n = t.arguments().collectFirst {
-            case l: Literal[_] => l.value().toString.toInt
-          }.getOrElse(throw new IllegalArgumentException(s"bucket without N in $t"))
-          PartitionField(s"${colName}_bucket", s"bucket[$n]", srcId, 1000 + i)
+          PartitionField(s"${colName}_bucket", s"bucket[${intArg("bucket")}]",
+            srcId, 1000 + i)
+        case "truncate" =>
+          PartitionField(s"${colName}_trunc", s"truncate[${intArg("truncate")}]",
+            srcId, 1000 + i)
+        case "year" | "years" =>
+          PartitionField(s"${colName}_year", "year", srcId, 1000 + i)
+        case "month" | "months" =>
+          PartitionField(s"${colName}_month", "month", srcId, 1000 + i)
+        case "day" | "days" =>
+          PartitionField(s"${colName}_day", "day", srcId, 1000 + i)
+        case "hour" | "hours" =>
+          PartitionField(s"${colName}_hour", "hour", srcId, 1000 + i)
         case other => throw new UnsupportedOperationException(
-          s"unsupported partition transform $other — supported: identity, bucket(N, col)")
+          s"unsupported partition transform $other — supported: identity, " +
+            "bucket(N, col), truncate(W, col), years/months/days/hours(col)")
       }
     }
     // default to the real clock so SQL `TIMESTAMP AS OF <wall-clock>`
@@ -288,8 +320,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftTable.evolveSchema(dir, IcebergSchema(
           base.schemas.map(_.schemaId).max + 1,
           cur.fields.filterNot(_.name == name)))
+      // ALTER TABLE t SET TBLPROPERTIES ('write.sort-order' = 'k DESC, v')
+      // — the SQL route to sort-order evolution: the property value parses
+      // as an ORDER BY list and lands as a metadata-only sort-orders[]
+      // commit; subsequent writes range-distribute + sort on it (the i35
+      // contract: disjoint per-file bound ranges, read-side prunable).
+      case set: TableChange.SetProperty if set.property() == "write.sort-order" =>
+        val base = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+        val fields = set.value().split(",").map(_.trim).filter(_.nonEmpty).map { spec =>
+          val toks = spec.split("\\s+").toSeq
+          val colName = toks.head
+          val rest = toks.tail.map(_.toUpperCase).mkString(" ")
+          val f = base.currentSchema.fields.find(_.name == colName).getOrElse(
+            throw new IllegalArgumentException(s"sort column '$colName' not in schema"))
+          val desc = rest.contains("DESC")
+          // Iceberg defaults: ASC sorts nulls first, DESC sorts nulls last
+          val nullOrder =
+            if (rest.contains("NULLS FIRST")) "nulls-first"
+            else if (rest.contains("NULLS LAST")) "nulls-last"
+            else if (desc) "nulls-last" else "nulls-first"
+          SortField("identity", f.id, if (desc) "desc" else "asc", nullOrder)
+        }.toSeq
+        require(fields.nonEmpty, "write.sort-order must name at least one column")
+        GraftTable.evolveSortOrder(dir,
+          SortOrder(base.sortOrders.map(_.orderId).maxOption.getOrElse(0) + 1, fields))
+      case set: TableChange.SetProperty =>
+        GraftTable.setProperties(dir, Map(set.property() -> set.value()))
+      case rm: TableChange.RemoveProperty =>
+        GraftTable.removeProperties(dir, Seq(rm.property()))
       case other => throw new UnsupportedOperationException(
-        s"unsupported table change $other — supported: ADD COLUMN, DROP COLUMN")
+        s"unsupported table change $other — supported: ADD COLUMN, DROP COLUMN, " +
+          "SET/UNSET TBLPROPERTIES")
     }
     loadTable(ident)
   }

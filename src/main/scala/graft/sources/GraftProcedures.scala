@@ -104,18 +104,24 @@ object GraftProcedures {
         })
       case "expire_snapshots" => new Proc(
         "expire_snapshots",
-        "drop all but the last retain_last snapshots and physically delete " +
-          "every artifact reachable only from the expired ones",
+        "drop expired snapshots and physically delete every artifact " +
+          "reachable only from them; older_than_ms expires by commit age " +
+          "(the newest retain_last always survive), otherwise all but " +
+          "the last retain_last expire",
         Array(in("table", StringType),
-          inDefault("retain_last", IntegerType, "1")),
+          inDefault("retain_last", IntegerType, "1"),
+          // -1 = unset (the scheduler-friendly age policy is opt-in;
+          // epoch millis keeps the argument type oracle-checkable)
+          inDefault("older_than_ms", LongType, "-1")),
         StructType(Seq(
           StructField("expired_snapshots_count", IntegerType),
           StructField("retained_snapshots_count", IntegerType))),
         input => {
           val dir = dirOf(input)
           val before = currentMeta(dir).snapshots.size
+          val olderThan = Some(input.getLong(2)).filter(_ >= 0)
           val result = GraftTable.expireSnapshots(SparkSession.active, dir,
-            keepLast = input.getInt(1))
+            keepLast = input.getInt(1), olderThanMs = olderThan)
           val after = result.metadata.snapshots.size
           Seq(InternalRow(before - after, after))
         })

@@ -457,16 +457,36 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   /** Columnar is a SCAN-level decision (Spark forbids mixing row and
     * columnar partitions in one scan): every required type must be in the
     * vectorized palette and metadata columns stay row-served. Pending
-    * POSITION deletes keep the columnar route — the reader applies them
-    * as a row-index selection over each ColumnarBatch (production
-    * Iceberg's vectorized-MOR shape), so a delete-heavy CDC table never
-    * pays the record-at-a-time decode penalty. Equality deletes still
-    * force the row route: their predicate is over decoded VALUES, which
-    * the row reader evaluates per record. */
+    * deletes of BOTH kinds keep the columnar route — the reader applies
+    * position deletes as a row-index selection over each ColumnarBatch
+    * and equality deletes as a vectorized value-set membership test over
+    * the (schema-widened) batch columns (production Iceberg's
+    * vectorized-MOR shape), so a delete-heavy CDC or streaming-upsert
+    * table never pays the record-at-a-time decode penalty. Equality
+    * deletes fall back to the row route only when an equality column's
+    * type is outside the columnar comparison palette (binary/decimal/
+    * nested — no cheap canonical batch-side value). */
   private lazy val columnarOk: Boolean = allowColumnar &&
     GraftTableColumnarReader.supportedSchema(required) &&
       !required.fieldNames.exists(n => n == "_file" || n == "_pos") &&
-      planned._3.isEmpty
+      (planned._3.isEmpty || eqColumnsColumnar)
+
+  /** Every pending equality-delete file's column set must compare cleanly
+    * in the columnar domain. One footer read per delete file (KB-scale,
+    * concurrent) — the same planning boundary the manifest opens sit at. */
+  private lazy val eqColumnsColumnar: Boolean = {
+    val tableSchema = GraftTable.sparkSchema(pinnedMeta)
+    Par.inParallel(planned._3.map(_._1.filePath).distinct) { del =>
+      scala.util.Try {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(del), hadoopConf.value))
+        try r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+        finally r.close()
+      }.toOption.exists(_.forall(c =>
+        tableSchema.fields.find(_.name == c).map(_.dataType).exists(
+          GraftTableColumnarReader.eqComparable)))
+    }.forall(identity)
+  }
 
   /** Exact size from manifest stats (what they exist for); row count only
     * when no deletes are pending (deleted rows are unknowable unscanned). */
@@ -726,9 +746,32 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
     VectorizedParquetRecordReader}
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
+  /** Pending equality deletes, vectorized: each delete file's schema IS
+    * its equality-column list; the parquet projection WIDENS to cover
+    * columns the query never selects (the row route's rule, now batch-
+    * side), the delete values load once per task into canonical-domain
+    * sets, and the per-batch selection tests membership against the
+    * batch's own vectors. Output batches expose only `required`. */
+  private val eqColLists: Seq[Seq[String]] =
+    part.eqDeleteFiles.map { del =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(del), confBase))
+      try r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+      finally r.close()
+    }.distinct
+
+  private def tableType(name: String): DataType =
+    part.tableSchema.fields.find(_.name == name).map(_.dataType).getOrElse(
+      throw new IllegalArgumentException(s"equality column '$name' not in table schema"))
+
+  private val extraFields: Seq[StructField] =
+    eqColLists.flatten.distinct.filterNot(required.fieldNames.contains)
+      .map(c => StructField(c, tableType(c)))
+  private val widened = StructType(required.fields.toSeq ++ extraFields)
+
   private val conf = new Configuration(confBase)
   // the keys Spark's reader stack expects its planner to have set
-  conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+  conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, widened.json)
   conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
     classOf[ParquetReadSupport].getName)
   conf.setBoolean("spark.sql.parquet.binaryAsString", false)
@@ -755,6 +798,16 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
     * order with no predicate skipping, so the absolute index of a
     * batch's first row is `rowStart` plus the rows already served. */
   private val deleted = PosDeleteIndex.load(part.posDeleteFiles, part.filePath, confBase)
+
+  /** Equality-delete value sets in the CANONICAL COLUMNAR domain (epoch
+    * days as Int, micros as Long, String) — one per distinct column list,
+    * with each list's vector ordinals into the widened batch. */
+  private val eqSets: Seq[(Array[Int], Array[DataType], java.util.HashSet[Vector[Any]])] =
+    EqDeleteIndex.load(part.eqDeleteFiles, tableType, confBase).map {
+      case (cols, set) =>
+        (cols.map(widened.fieldIndex).toArray, cols.map(tableType).toArray, set)
+    }
+
   private var served: Long = 0L
 
   private var batch: ColumnarBatch = _
@@ -764,35 +817,155 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
       val raw = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
       val first = part.rowStart + served
       served += raw.numRows()
-      batch = if (deleted.isEmpty) raw else select(raw, first)
+      batch =
+        if (deleted.isEmpty && eqSets.isEmpty && extraFields.isEmpty) raw
+        else select(raw, first)
     }
     has
   }
   override def get(): ColumnarBatch = batch
   override def close(): Unit = reader.close()
 
+  private def eqValue(v: ColumnVector, dt: DataType, row: Int): Any =
+    if (v.isNullAt(row)) null
+    else dt match {
+      case IntegerType | DateType => v.getInt(row)
+      case LongType | TimestampType | TimestampNTZType => v.getLong(row)
+      case DoubleType => v.getDouble(row)
+      case FloatType => v.getFloat(row)
+      case BooleanType => v.getBoolean(row)
+      case StringType => v.getUTF8String(row).toString
+      case other => throw new UnsupportedOperationException(
+        s"equality comparison over $other on the columnar route")
+    }
+
+  private def eqDeleted(raw: ColumnarBatch, row: Int): Boolean =
+    eqSets.exists { case (idxs, dts, set) =>
+      val tuple = new Array[Any](idxs.length)
+      var j = 0
+      while (j < idxs.length) {
+        tuple(j) = eqValue(raw.column(idxs(j)), dts(j), row)
+        j += 1
+      }
+      set.contains(tuple.toVector)
+    }
+
   /** Vectorized MOR: surviving ordinals map through a selection view over
     * the batch's own vectors — no column data is copied, deleted rows
     * simply vanish from the batch's row space (production Iceberg's
     * delete-aware vectorized read shape). A batch with no deleted rows
-    * passes through untouched. */
+    * passes through untouched (modulo slicing off widened-only columns). */
   private def select(raw: ColumnarBatch, first: Long): ColumnarBatch = {
+    val nReq = required.fields.length
     val n = raw.numRows()
     val sel = new Array[Int](n)
     var k = 0
     var i = 0
     while (i < n) {
-      if (!deleted.contains(first + i)) { sel(k) = i; k += 1 }
+      if (!deleted.contains(first + i) && (eqSets.isEmpty || !eqDeleted(raw, i))) {
+        sel(k) = i; k += 1
+      }
       i += 1
     }
-    if (k == n) raw
-    else {
+    if (k == n) {
+      if (extraFields.isEmpty) raw
+      // slice off the widened-only columns; vectors wrap in close-shields
+      // (the bases belong to the reader — see SelectedColumnVector.close)
+      else new ColumnarBatch(
+        Array.tabulate[ColumnVector](nReq)(c =>
+          new ShieldedColumnVector(raw.column(c))), n)
+    } else {
       val keep = java.util.Arrays.copyOf(sel, k)
-      val cols = Array.tabulate[ColumnVector](raw.numCols())(c =>
+      val cols = Array.tabulate[ColumnVector](nReq)(c =>
         new SelectedColumnVector(raw.column(c), keep))
       new ColumnarBatch(cols, k)
     }
   }
+}
+
+/** Task-local equality-delete value sets in the canonical COLUMNAR
+  * domain (Int epoch days, Long micros, String — exactly what
+  * ColumnVector getters hand back), one per distinct equality-column
+  * list. Null equality values match null data values (the spec rule) —
+  * `null` participates in the tuple. */
+private[sources] object EqDeleteIndex {
+  def load(eqDeleteFiles: Seq[String], tableType: String => DataType,
+      conf: Configuration): Seq[(Seq[String], java.util.HashSet[Vector[Any]])] = {
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[String], java.util.HashSet[Vector[Any]]]
+    eqDeleteFiles.foreach { del =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(del), conf))
+      try {
+        val full = r.getFileMetaData.getSchema
+        val cols = full.getFields.asScala.map(_.getName).toSeq
+        val set = acc.getOrElseUpdate(cols, new java.util.HashSet[Vector[Any]]())
+        val io = new ColumnIOFactory().getColumnIO(full, full, false)
+        var pages = r.readNextRowGroup()
+        while (pages != null) {
+          val rr = io.getRecordReader(pages, new GroupRecordConverter(full))
+          var i = 0L
+          while (i < pages.getRowCount) {
+            val g = rr.read()
+            set.add(cols.map(c => canonical(g, c, tableType(c))).toVector)
+            i += 1
+          }
+          pages = r.readNextRowGroup()
+        }
+      } finally r.close()
+    }
+    acc.toSeq
+  }
+
+  /** Group-API decode into the canonical columnar domain — MUST mirror
+    * [[GraftTableColumnarReader.eqValue]] exactly, or tuples never match. */
+  private def canonical(g: Group, name: String, dt: DataType): Any = {
+    val t = g.getType
+    if (!t.containsField(name)) return null
+    val i = t.getFieldIndex(name)
+    if (g.getFieldRepetitionCount(i) == 0) return null
+    dt match {
+      case IntegerType | DateType => g.getInteger(i, 0)
+      case LongType | TimestampType | TimestampNTZType => g.getLong(i, 0)
+      case DoubleType => g.getDouble(i, 0)
+      case FloatType => g.getFloat(i, 0)
+      case BooleanType => g.getBoolean(i, 0)
+      case StringType => g.getBinary(i, 0).toStringUsingUTF8
+      case other => throw new UnsupportedOperationException(
+        s"equality comparison over $other on the columnar route")
+    }
+  }
+}
+
+/** A pass-through ColumnVector view whose only job is to SHIELD the
+  * reader-owned base vector from a consumer's close() (Spark closes
+  * batches it replaces; the reader reuses and closes its own vectors —
+  * see [[SelectedColumnVector.close]]). */
+private[sources] final class ShieldedColumnVector(
+    base: org.apache.spark.sql.vectorized.ColumnVector)
+    extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType()) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = base.numNulls()
+  override def isNullAt(rowId: Int): Boolean = base.isNullAt(rowId)
+  override def getBoolean(rowId: Int): Boolean = base.getBoolean(rowId)
+  override def getByte(rowId: Int): Byte = base.getByte(rowId)
+  override def getShort(rowId: Int): Short = base.getShort(rowId)
+  override def getInt(rowId: Int): Int = base.getInt(rowId)
+  override def getLong(rowId: Int): Long = base.getLong(rowId)
+  override def getFloat(rowId: Int): Float = base.getFloat(rowId)
+  override def getDouble(rowId: Int): Double = base.getDouble(rowId)
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(rowId)
+  override def getMap(ordinal: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(ordinal)
+  override def getDecimal(rowId: Int, precision: Int, scale: Int): Decimal =
+    base.getDecimal(rowId, precision, scale)
+  override def getUTF8String(rowId: Int): org.apache.spark.unsafe.types.UTF8String =
+    base.getUTF8String(rowId)
+  override def getBinary(rowId: Int): Array[Byte] = base.getBinary(rowId)
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    base.getChild(ordinal)
 }
 
 /** A ColumnVector view that re-indexes rows through a selection array:
@@ -805,7 +978,13 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
 private[sources] final class SelectedColumnVector(
     base: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
     extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType()) {
-  override def close(): Unit = base.close()
+  /** MUST NOT propagate: the base vectors belong to the
+    * VectorizedParquetRecordReader, which reuses them for every
+    * subsequent batch and closes them in [[GraftTableColumnarReader.close]].
+    * A consumer closing this view (Spark closes replaced batches) would
+    * otherwise null the reader's arrays mid-scan. The view itself holds
+    * no resources. */
+  override def close(): Unit = ()
   override def hasNull: Boolean = base.hasNull
   override def numNulls(): Int = {
     var n = 0
@@ -877,7 +1056,8 @@ private[sources] object PosDeleteIndex {
 object GraftTableColumnarReader {
   private def vectorizable(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | FloatType | DoubleType | BooleanType |
-         StringType | BinaryType | DateType | TimestampType => true
+         StringType | BinaryType | DateType | TimestampType |
+         TimestampNTZType => true
     case _: DecimalType => true
     // Spark's vectorized parquet reader decodes standard 3-level lists
     // natively (nested column vectors) — array<float> embedding scans
@@ -887,6 +1067,16 @@ object GraftTableColumnarReader {
   }
   def supportedSchema(s: StructType): Boolean =
     s.fields.forall(f => vectorizable(f.dataType))
+
+  /** Types whose values compare cleanly between a ColumnVector getter and
+    * the Group-API decode of an equality-delete file — the gate for
+    * keeping equality-delete scans on the columnar route. Binary (array
+    * equality), decimal (two physicals) and nested types stay row-route. */
+  def eqComparable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | FloatType | DoubleType | BooleanType |
+         StringType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
 }
 
 /** Conservative bound-stat evaluation over a single manifest entry: can
@@ -1055,6 +1245,10 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
         val us = g.getLong(i, 0)
         java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
           Math.floorMod(us, 1000000L) * 1000L)
+      case TimestampNTZType =>
+        val us = g.getLong(i, 0)
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
       case dec: DecimalType =>
         // physical encoding varies by writer: our task writers land
         // FIXED_LEN_BYTE_ARRAY (the Iceberg mapping); Spark-written

@@ -3,6 +3,7 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
@@ -58,6 +59,7 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
     writeBranch.orElse(Option(info.options().get("branch")).filter(_.nonEmpty))
 
   private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
 
   // mode("overwrite") reaches the connector as truncate-then-append —
   // committed as ONE atomic replace snapshot (never a visible empty table)
@@ -91,8 +93,20 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
         val out = pf.transform match {
           case "identity" => t
           case BucketRe(_) => IcebergTypes.TInt
+          case TruncateRe(_) => t match {
+            case IcebergTypes.TInt | IcebergTypes.TLong | IcebergTypes.TString => t
+            case other => throw new IllegalArgumentException(
+              s"truncate over $other is not supported")
+          }
+          case "year" | "month" | "day" => IcebergTypes.TInt
+          case "hour" => t match {
+            case IcebergTypes.TTimestamp | IcebergTypes.TTimestamptz => IcebergTypes.TInt
+            case other => throw new IllegalArgumentException(
+              s"hour over $other is not supported")
+          }
           case other => throw new IllegalArgumentException(
-            s"unsupported write transform '$other' — supported: identity, bucket[N]")
+            s"unsupported write transform '$other' — supported: identity, " +
+              "bucket[N], truncate[W], year, month, day, hour")
         }
         (tableSchema.fieldIndex(f.name), t, pf.transform, out)
       }))
@@ -320,6 +334,10 @@ object GraftTableDataWriter {
     (dt, v) match {
       case (DateType, days: Int) =>
         SingleValueCodec.encode(t, java.time.LocalDate.ofEpochDay(days.toLong))
+      case (TimestampNTZType, us: Long) =>
+        SingleValueCodec.encode(t,
+          java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
       case (TimestampType, us: Long) => t match {
         case IcebergTypes.TTimestamptz => SingleValueCodec.encode(t,
           java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
@@ -354,6 +372,7 @@ class GraftTablePartitionedWriter(pathFor: Int => String, schema: StructType,
     extends DataWriter[InternalRow] {
 
   private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
   private val writers = scala.collection.mutable.LinkedHashMap
     .empty[Vector[Any], GraftFileWriter]
 
@@ -361,7 +380,7 @@ class GraftTablePartitionedWriter(pathFor: Int => String, schema: StructType,
     if (row.isNullAt(idx)) null
     else schema.fields(idx).dataType match {
       case IntegerType | DateType => row.getInt(idx)
-      case LongType | TimestampType => row.getLong(idx)
+      case LongType | TimestampType | TimestampNTZType => row.getLong(idx)
       case StringType => row.getUTF8String(idx).toString
       case DoubleType => row.getDouble(idx)
       case FloatType => row.getFloat(idx)
@@ -380,6 +399,25 @@ class GraftTablePartitionedWriter(pathFor: Int => String, schema: StructType,
         PartitionTransforms.bucketLong(x, n.toInt)
       case (BucketRe(n), IcebergTypes.TString, x: String) =>
         PartitionTransforms.bucketString(x, n.toInt)
+      case (TruncateRe(w), IcebergTypes.TInt, x: Int) =>
+        PartitionTransforms.truncateLong(x.toLong, w.toLong).toInt
+      case (TruncateRe(w), IcebergTypes.TLong, x: Long) =>
+        PartitionTransforms.truncateLong(x, w.toLong)
+      case (TruncateRe(w), IcebergTypes.TString, x: String) =>
+        PartitionTransforms.truncateString(x, w.toInt)
+      // rawValue hands DATE as epoch-day Int, TIMESTAMP as epoch-micros
+      // Long — exactly the domains the ordinal helpers speak
+      case ("year", IcebergTypes.TDate, x: Int) => PartitionTransforms.yearOrdinal(x)
+      case ("month", IcebergTypes.TDate, x: Int) => PartitionTransforms.monthOrdinal(x)
+      case ("day", IcebergTypes.TDate, x: Int) => PartitionTransforms.dayOrdinal(x)
+      case ("year", IcebergTypes.TTimestamp | IcebergTypes.TTimestamptz, x: Long) =>
+        PartitionTransforms.yearOrdinal(PartitionTransforms.epochDaysOfMicros(x))
+      case ("month", IcebergTypes.TTimestamp | IcebergTypes.TTimestamptz, x: Long) =>
+        PartitionTransforms.monthOrdinal(PartitionTransforms.epochDaysOfMicros(x))
+      case ("day", IcebergTypes.TTimestamp | IcebergTypes.TTimestamptz, x: Long) =>
+        PartitionTransforms.dayOrdinal(PartitionTransforms.epochDaysOfMicros(x))
+      case ("hour", IcebergTypes.TTimestamp | IcebergTypes.TTimestamptz, x: Long) =>
+        PartitionTransforms.hourOrdinal(x)
       case (t, st, _) => throw new UnsupportedOperationException(
         s"transform $t over $st")
     }
@@ -391,9 +429,11 @@ class GraftTablePartitionedWriter(pathFor: Int => String, schema: StructType,
           Array.empty[Byte], Array.empty[Byte])
         case value =>
           // identity tuples stay in Spark's raw domain (days/micros) —
-          // encode through the same conversion the bound stats use
+          // encode through the same conversion the bound stats use;
+          // transformed tuples encode in the transform's OUTPUT domain
+          // (int ordinals/buckets, truncate keeps the source's own type)
           val dt = if (transform == "identity") schema.fields(idx).dataType
-            else IntegerType
+            else outType.sparkType
           val b = GraftTableDataWriter.encode(outType, dt, value)
           ManifestListWriter.FieldSummary(containsNull = false, b, b)
       }
@@ -421,43 +461,66 @@ class GraftFileWriter(path: String, schema: StructType,
     summary: Option[Seq[ManifestListWriter.FieldSummary]], specId: Int,
     conf: Configuration) {
 
-  private def primBuilder(dt: DataType, colName: String)
+  import org.apache.parquet.schema.Type.Repetition
+
+  private def primBuilder(dt: DataType, colName: String,
+      rep: Repetition = Repetition.OPTIONAL)
       : Types.PrimitiveBuilder[org.apache.parquet.schema.PrimitiveType] = dt match {
-    case IntegerType => Types.optional(PrimitiveTypeName.INT32)
-    case LongType => Types.optional(PrimitiveTypeName.INT64)
-    case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
-    case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
-    case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN)
-    case StringType => Types.optional(PrimitiveTypeName.BINARY)
+    case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep)
+    case LongType => Types.primitive(PrimitiveTypeName.INT64, rep)
+    case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep)
+    case FloatType => Types.primitive(PrimitiveTypeName.FLOAT, rep)
+    case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep)
+    case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
       .as(LogicalTypeAnnotation.stringType())
-    case DateType => Types.optional(PrimitiveTypeName.INT32)
+    case DateType => Types.primitive(PrimitiveTypeName.INT32, rep)
       .as(LogicalTypeAnnotation.dateType())
-    case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+    case TimestampType => Types.primitive(PrimitiveTypeName.INT64, rep)
       .as(LogicalTypeAnnotation.timestampType(true,
         LogicalTypeAnnotation.TimeUnit.MICROS))
-    case d: DecimalType => Types.optional(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+    case TimestampNTZType => Types.primitive(PrimitiveTypeName.INT64, rep)
+      .as(LogicalTypeAnnotation.timestampType(false,
+        LogicalTypeAnnotation.TimeUnit.MICROS))
+    case d: DecimalType => Types.primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, rep)
       .length(GraftTableDataWriter.decimalLen(d.precision))
       .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-    case BinaryType => Types.optional(PrimitiveTypeName.BINARY)
+    case BinaryType => Types.primitive(PrimitiveTypeName.BINARY, rep)
     case other => throw new UnsupportedOperationException(
       s"graft-table DSv2 writer does not encode $other (column $colName)")
   }
 
-  private val msgType: MessageType = {
-    val ts: Array[org.apache.parquet.schema.Type] = schema.fields.map { f =>
-      f.dataType match {
-        case ArrayType(elem, _) =>
-          // the standard parquet 3-level list (LIST > repeated "list" >
-          // optional "element") — the layout Spark's own writer and the
-          // vectorized reader both speak; embedding columns land here
-          Types.optionalGroup().as(LogicalTypeAnnotation.listType())
-            .addField(Types.repeatedGroup()
-              .addField(primBuilder(elem, f.name).named("element"))
-              .named("list"))
-            .named(f.name)
-        case dt => primBuilder(dt, f.name).named(f.name)
-      }
+  /** Recursive Spark→parquet type mapping: the standard nested layouts
+    * Spark's own writer and vectorized reader both speak — 3-level LIST
+    * (LIST > repeated "list" > "element"), MAP (MAP > repeated
+    * "key_value" > required key + optional value), plain groups for
+    * structs. Nesting composes freely (array<struct>, map<string,
+    * array<...>>, ...). */
+  private def parquetType(dt: DataType, name: String,
+      rep: Repetition = Repetition.OPTIONAL): org.apache.parquet.schema.Type =
+    dt match {
+      case ArrayType(elem, _) =>
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.listType())
+          .addField(Types.repeatedGroup()
+            .addField(parquetType(elem, "element"))
+            .named("list"))
+          .named(name)
+      case st: StructType =>
+        val b = Types.buildGroup(rep)
+        st.fields.foreach(f => b.addField(parquetType(f.dataType, f.name)))
+        b.named(name)
+      case MapType(kt, vt, _) =>
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
+          .addField(Types.repeatedGroup()
+            .addField(parquetType(kt, "key", Repetition.REQUIRED))
+            .addField(parquetType(vt, "value"))
+            .named("key_value"))
+          .named(name)
+      case prim => primBuilder(prim, name, rep).named(name)
     }
+
+  private val msgType: MessageType = {
+    val ts: Array[org.apache.parquet.schema.Type] =
+      schema.fields.map(f => parquetType(f.dataType, f.name))
     new MessageType("spark_schema",
       ts.toSeq.map(t => t: org.apache.parquet.schema.Type).asJava)
   }
@@ -485,61 +548,92 @@ class GraftFileWriter(path: String, schema: StructType,
     case _ => 0
   }
 
+  /** Raw JVM value of a primitive field — shared by the top-level write
+    * (which also feeds it to bound-stat tracking) and nested leaves. */
+  private def primValue(dt: DataType,
+      d: org.apache.spark.sql.catalyst.expressions.SpecializedGetters, i: Int): Any =
+    dt match {
+      case IntegerType | DateType => d.getInt(i)
+      case LongType | TimestampType | TimestampNTZType => d.getLong(i)
+      case DoubleType => d.getDouble(i)
+      case FloatType => d.getFloat(i)
+      case BooleanType => d.getBoolean(i)
+      case StringType => d.getUTF8String(i).toString
+      case dec: DecimalType =>
+        d.getDecimal(i, dec.precision, dec.scale).toJavaBigDecimal
+      case BinaryType => d.getBinary(i)
+      case other => throw new UnsupportedOperationException(other.toString)
+    }
+
+  private def addPrim(g: Group, name: String, dt: DataType, v: Any): Unit = v match {
+    case x: Int => g.add(name, x)
+    case x: Long => g.add(name, x)
+    case x: Double => g.add(name, x)
+    case x: Float => g.add(name, x)
+    case x: Boolean => g.add(name, x)
+    case x: String => g.add(name, Binary.fromString(x))
+    case x: java.math.BigDecimal => g.add(name,
+      GraftTableDataWriter.decimalBinary(x,
+        dt.asInstanceOf[DecimalType].precision))
+    case x: Array[Byte] => g.add(name, Binary.fromConstantByteArray(x))
+  }
+
+  /** Recursive nested-value write mirroring [[parquetType]]'s layouts.
+    * `d` is whichever container holds the value (InternalRow, ArrayData,
+    * a MapData's key/value arrays) — all speak SpecializedGetters. */
+  private def addField(g: Group, name: String, dt: DataType,
+      d: org.apache.spark.sql.catalyst.expressions.SpecializedGetters, i: Int): Unit =
+    dt match {
+      case ArrayType(elem, _) =>
+        val arr = d.getArray(i)
+        val outer = g.addGroup(name)
+        var j = 0
+        while (j < arr.numElements()) {
+          val lg = outer.addGroup("list")
+          if (!arr.isNullAt(j)) addField(lg, "element", elem, arr, j)
+          j += 1
+        }
+      case st: StructType =>
+        val sub = g.addGroup(name)
+        val sr = d.getStruct(i, st.fields.length)
+        var j = 0
+        while (j < st.fields.length) {
+          if (!sr.isNullAt(j))
+            addField(sub, st.fields(j).name, st.fields(j).dataType, sr, j)
+          j += 1
+        }
+      case MapType(kt, vt, _) =>
+        val m = d.getMap(i)
+        val outer = g.addGroup(name)
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        var j = 0
+        while (j < m.numElements()) {
+          val kv = outer.addGroup("key_value")
+          addField(kv, "key", kt, keys, j)
+          if (!vals.isNullAt(j)) addField(kv, "value", vt, vals, j)
+          j += 1
+        }
+      case prim => addPrim(g, name, prim, primValue(prim, d, i))
+    }
+
   def write(row: InternalRow): Unit = {
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (!row.isNullAt(i)) f.dataType match {
-        case ArrayType(elem, _) =>
-          // 3-level list write; arrays carry no bounds (an element-wise
-          // order would mis-prune — same rule as binary)
-          val arr = row.getArray(i)
-          val outer = g.addGroup(f.name)
-          var j = 0
-          while (j < arr.numElements()) {
-            val lg = outer.addGroup("list")
-            if (!arr.isNullAt(j)) elem match {
-              case FloatType => lg.add("element", arr.getFloat(j))
-              case DoubleType => lg.add("element", arr.getDouble(j))
-              case IntegerType => lg.add("element", arr.getInt(j))
-              case LongType => lg.add("element", arr.getLong(j))
-              case StringType =>
-                lg.add("element", Binary.fromString(arr.getUTF8String(j).toString))
-              case other => throw new UnsupportedOperationException(
-                s"array<$other> write (column ${f.name})")
-            }
-            j += 1
-          }
+        case _: ArrayType | _: StructType | _: MapType =>
+          // nested columns carry no bounds (no total order — an
+          // element-wise order would mis-prune, same rule as binary)
+          addField(g, f.name, f.dataType, row, i)
         case _ =>
-        val v: Any = f.dataType match {
-          case IntegerType | DateType => row.getInt(i)
-          case LongType | TimestampType => row.getLong(i)
-          case DoubleType => row.getDouble(i)
-          case FloatType => row.getFloat(i)
-          case BooleanType => row.getBoolean(i)
-          case StringType => row.getUTF8String(i).toString
-          case d: DecimalType =>
-            row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
-          case BinaryType => row.getBinary(i)
-          case other => throw new UnsupportedOperationException(other.toString)
-        }
-        v match {
-          case x: Int => g.add(f.name, x)
-          case x: Long => g.add(f.name, x)
-          case x: Double => g.add(f.name, x)
-          case x: Float => g.add(f.name, x)
-          case x: Boolean => g.add(f.name, x)
-          case x: String => g.add(f.name, Binary.fromString(x))
-          case x: java.math.BigDecimal => g.add(f.name,
-            GraftTableDataWriter.decimalBinary(x,
-              f.dataType.asInstanceOf[DecimalType].precision))
-          case x: Array[Byte] => g.add(f.name, Binary.fromConstantByteArray(x))
-        }
-        // binary columns carry no bounds (cmp has no byte-array ordering;
-        // a fabricated bound would mis-prune — absent bounds never do)
-        if (f.dataType != BinaryType) {
-          if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
-          if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
-        }
+          val v = primValue(f.dataType, row, i)
+          addPrim(g, f.name, f.dataType, v)
+          // binary columns carry no bounds (cmp has no byte-array
+          // ordering; a fabricated bound would mis-prune — absent never do)
+          if (f.dataType != BinaryType) {
+            if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
+            if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
+          }
       }
     }
     writer.write(g)

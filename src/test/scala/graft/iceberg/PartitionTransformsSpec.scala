@@ -60,6 +60,18 @@ class PartitionTransformsSpec extends AnyFunSuite {
     assert(PartitionTransforms.monthOrdinal(-1) == -1) // 1969-12-31
   }
 
+  test("micros-domain temporal ordinals (timestamp sources)") {
+    // 2017-11-16T22:31:08 = day 17486, hour 17486 * 24 + 22 = 419686
+    val us = java.time.LocalDateTime.of(2017, 11, 16, 22, 31, 8)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(PartitionTransforms.hourOrdinal(us) == 419686)
+    assert(PartitionTransforms.epochDaysOfMicros(us) == 17486)
+    // floored: one micro before midnight 1970 is day -1, hour -1
+    assert(PartitionTransforms.epochDaysOfMicros(-1L) == -1)
+    assert(PartitionTransforms.hourOrdinal(-1L) == -1)
+    assert(PartitionTransforms.hourOrdinal(0L) == 0)
+  }
+
   test("kernels reject non-positive bucket counts / truncate widths") {
     // direct (non-SQL) callers must fail with a clear message, not an
     // ArithmeticException from % 0 or a silently negative bucket

@@ -103,4 +103,26 @@ class SingleValueCodecSpec extends AnyFunSuite {
     assert(IcebergTypes.fromString("fixed[16]") == TFixed(16))
     assert(IcebergTypes.fromStringOpt("struct<...>").isEmpty)
   }
+
+  test("nested type JSON: struct/map/list round-trip through name/fromString") {
+    // the canonical JSON object forms table metadata carries — the
+    // serialized `name` must parse back to the identical type tree
+    val struct = IcebergTypes.TStruct(Seq(
+      (10, "source", false, TString),
+      (11, "score", true, TDouble),
+      (12, "tags", false, IcebergTypes.TList(13, TString))))
+    assert(IcebergTypes.fromString(struct.name) == struct)
+    val map = IcebergTypes.TMap(20, TString, 21, struct)
+    assert(IcebergTypes.fromString(map.name) == map)
+    val deep = IcebergTypes.TList(30, map, elementRequired = true)
+    assert(IcebergTypes.fromString(deep.name) == deep)
+    // spark-type projection mirrors the tree
+    import org.apache.spark.sql.types._
+    assert(struct.sparkType == StructType(Seq(
+      StructField("source", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false),
+      StructField("tags", ArrayType(StringType, containsNull = true), nullable = true))))
+    assert(map.sparkType ==
+      MapType(StringType, struct.sparkType, valueContainsNull = true))
+  }
 }

@@ -62,9 +62,10 @@ class ColumnarScanSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq, "columnar MOR must exclude exactly the deleted rows")
   }
 
-  test("equality deletes and metadata columns fall back to the row route") {
-    // equality deletes force the row route: their predicate is over
-    // decoded VALUES, which the row reader evaluates per record
+  test("equality deletes apply on the columnar route — upserted key resolves") {
+    // vectorized equality MOR: the delete file's schema is its equality
+    // column list; the batch projection widens to cover it and the
+    // selection drops matching tuples — the scan STAYS columnar
     val dir = freshNationTable("c6")
     import spark.implicits._
     GraftTable.upsert(spark, dir,
@@ -72,10 +73,22 @@ class ColumnarScanSpec extends SparkSpec {
       Seq("n_nationkey"))
     val eq = spark.read.format("graft-table")
       .option("metadata", GraftTable.latestMetadataPath(dir)).load()
-    assert(!isColumnar(eq), "equality-delete MOR scan must be row-based")
+    assert(isColumnar(eq), eq.queryExecution.executedPlan.toString)
     assert(eq.filter(col("n_nationkey") === 0).collect()
       .map(_.getAs[String]("n_name")).toSeq == Seq("UPSERTED"))
-    // metadata columns are served by the row reader only
+    assert(eq.count() == Tables.load(spark, sfDir, "nation").count(),
+      "one old row dies, one replacement survives")
+    // widened projection: the query never selects the equality column —
+    // the reader must still read it to evaluate the delete, and the
+    // output batch must NOT leak it
+    val names = eq.select("n_name").collect().map(_.getString(0)).sorted
+    val want = (Tables.load(spark, sfDir, "nation")
+      .filter(col("n_nationkey") =!= 0)
+      .select("n_name").collect().map(_.getString(0)) :+ "UPSERTED").sorted
+    assert(names.toSeq == want.toSeq)
+  }
+
+  test("metadata columns fall back to the row route") {
     val clean = freshNationTable("c3")
     val withFile = spark.read.format("graft-table")
       .option("metadata", GraftTable.latestMetadataPath(clean)).load()

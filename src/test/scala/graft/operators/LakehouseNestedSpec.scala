@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Round-12 surface: nested column types through the catalog/DSv2 stack,
+  * SQL date-transform partitioning (with the corrupted-manifest pruning
+  * proof embedded in the entry), SQL-declared write order, and age-based
+  * snapshot expiry. Each entry carries its own `require` proofs; the spec
+  * pins the RESULTS against directly-computed expectations. */
+class LakehouseNestedSpec extends SparkSpec {
+
+  test("i63: struct and map columns round-trip through CREATE/INSERT/SELECT") {
+    val got = LakehouseNested.nestedTable(spark, sfDir).collect()
+    val want = Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey")).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getInt(0) == w.getInt(0))
+      assert(g.getString(1) == w.getString(1), "struct field info.name")
+      assert(g.getInt(2) == w.getInt(2), "struct field info.region")
+      assert(g.getLong(3) == w.getInt(2).toLong, "map value attrs['rk']")
+      assert(g.getLong(4) == w.getString(1).length.toLong, "map value attrs['len']")
+    }
+  }
+
+  test("i64: SQL years() partitioning answers the 1995 range over corrupted off-year manifests") {
+    val row = LakehouseNested.sqlDatePartition(spark, sfDir).head()
+    val want = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate").cast("date").between("1995-01-01", "1995-12-31"))
+      .agg(count(lit(1)), sum(col("o_orderkey")).cast("long")).head()
+    assert(row.getLong(0) == want.getLong(0), "row count")
+    assert(row.getLong(1) == want.getLong(1), "orderkey sum")
+  }
+
+  test("i65: SQL-declared write.sort-order lands disjoint sorted files") {
+    val row = LakehouseNested.sqlWriteOrder(spark, sfDir).head()
+    val want = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_custkey") <= 100)
+      .agg(count(lit(1)), min("c_custkey"), max("c_custkey")).head()
+    assert(row.getLong(0) == want.getLong(0))
+    assert(row.getLong(1) == want.getLong(1) && row.getLong(2) == want.getLong(2))
+  }
+
+  test("i66: expire_snapshots(older_than_ms) keeps the newest retain_last regardless of age") {
+    val row = LakehouseNested.expireOlderThan(spark, sfDir).head()
+    val nation = Tables.load(spark, sfDir, "nation")
+    assert(row.getLong(0) == nation.count(), "all four quarter-inserts still readable")
+    assert(row.getLong(1) ==
+      nation.agg(sum(col("n_nationkey")).cast("long")).head().getLong(0))
+  }
+}

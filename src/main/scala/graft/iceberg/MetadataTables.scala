@@ -47,6 +47,48 @@ object MetadataTables {
       .toDF("name", "type", "snapshot_id")
   }
 
+  /** Iceberg's `partitions` inspection table: one row per live partition
+    * tuple with file/record counts — what a platform team reads to spot
+    * skewed or stale partitions. Tuples come from the manifest-list
+    * field-507 summaries (a summary whose lower == upper for every spec
+    * field pins its manifest to ONE tuple — the layout every graft
+    * partitioned write produces, one manifest per tuple file); manifests
+    * whose summary is absent or spans tuples aggregate under a null
+    * partition (conservative, like pre-partition-evolution files).
+    * Record counts are entry-level — the manifests open CONCURRENTLY
+    * (KB-scale each, Par) and the result stays driver-side LocalScan
+    * scale like every other metadata table. */
+  def partitions(spark: SparkSession, meta: TableMetadata): DataFrame = {
+    import spark.implicits._
+    val infos = meta.currentSnapshot.flatMap(_.manifestList).toSeq
+      .flatMap(ManifestListReader.read).filter(_.content == 0)
+    def tupleOf(i: ManifestListReader.ManifestFileInfo): Option[String] = for {
+      spec <- meta.partitionSpecs.find(_.specId == i.specId)
+      if spec.fields.nonEmpty
+      sums <- i.summaries
+      if sums.size == spec.fields.size
+      parts <- Some(spec.fields.zip(sums)).filter(_.forall { case (pf, s) =>
+        !s.containsNull && s.lower.exists(_.nonEmpty) &&
+          s.lower.map(_.toSeq) == s.upper.map(_.toSeq)
+      })
+      decoded <- scala.util.Try(parts.map { case (pf, s) =>
+        val srcType = IcebergTypes.fromString(meta.fieldTypes(pf.sourceId))
+        val t = ScanPlanning.transformResultType(pf.transform, srcType)
+          .getOrElse(throw new IllegalArgumentException(pf.transform))
+        s"${pf.name}=${SingleValueCodec.decode(t, s.lower.get)}"
+      }).toOption
+    } yield decoded.mkString("{", ", ", "}")
+    val rows = Par.inParallel(infos)(i => (i, ManifestWriter.read(i.path)))
+      .map { case (i, es) =>
+        val live = es.filter(e => e.status != 2 && e.content == 0)
+        (tupleOf(i), i.specId, live.size.toLong, live.map(_.recordCount).sum)
+      }
+      .groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((tuple, specId), rs) =>
+        (tuple, specId, rs.map(_._3).sum, rs.map(_._4).sum) }
+    rows.toDF("partition", "spec_id", "file_count", "record_count")
+  }
+
   def schemaFields(spark: SparkSession, meta: TableMetadata): DataFrame = {
     import spark.implicits._
     (meta.topLevelSchema.toSeq ++ meta.schemas)

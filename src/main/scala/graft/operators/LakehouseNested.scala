@@ -218,15 +218,46 @@ object LakehouseNested {
       |  COUNT(DISTINCT n_regionkey) AS n_regions
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i67
+  /** The `partitions` inspection table over a SQL-created identity-
+    * partitioned table: per-tuple file/record counts straight from the
+    * manifest-list summaries + entry counts — Iceberg's
+    * `SELECT * FROM t.partitions` surface. The per-region record counts
+    * are exactly nation's region histogram, which is the oracle. */
+  val partitionsTable: Q = (spark, sfDir) => {
+    val wh = entryDir("i67", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_pts",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_pts.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i67_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_pts.db.n
+        (n_nationkey INT, n_name STRING, n_regionkey INT)
+        PARTITIONED BY (n_regionkey)""")
+      spark.sql("""INSERT INTO graft_pts.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i67_nation_src""")
+    }
+    import org.apache.spark.sql.functions.col
+    spark.sql("SELECT partition, record_count FROM graft_pts.db.n.partitions")
+      .orderBy(col("partition"))
+  }
+
+  val partitionsTableSql: String =
+    """SELECT '{n_regionkey_id=' || n_regionkey || '}' AS partition,
+      |  COUNT(*) AS record_count
+      |FROM nation GROUP BY n_regionkey ORDER BY partition""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "i63_nested_table" -> nestedTable,
     "i64_sql_date_partition" -> sqlDatePartition,
     "i65_sql_write_order" -> sqlWriteOrder,
-    "i66_expire_older_than" -> expireOlderThan)
+    "i66_expire_older_than" -> expireOlderThan,
+    "i67_partitions_table" -> partitionsTable)
 
   val oracles: Map[String, String] = Map(
     "i63_nested_table" -> nestedTableSql,
     "i64_sql_date_partition" -> sqlDatePartitionSql,
     "i65_sql_write_order" -> sqlWriteOrderSql,
-    "i66_expire_older_than" -> expireOlderThanSql)
+    "i66_expire_older_than" -> expireOlderThanSql,
+    "i67_partitions_table" -> partitionsTableSql)
 }

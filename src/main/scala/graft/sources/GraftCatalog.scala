@@ -75,7 +75,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * identifier convention: `SELECT * FROM graft.db.t.snapshots`). */
   private val MetadataTableNames =
     Set("snapshots", "history", "refs", "metadata_log_entries", "manifests",
-      "files", "delete_files")
+      "files", "delete_files", "partitions")
 
   private def loadMetadataTable(ident: Identifier): Option[Table] = {
     if (ident.namespace().isEmpty || !MetadataTableNames.contains(ident.name())) return None
@@ -90,6 +90,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "history" => MetadataTables.history(spark, meta)
       case "refs" => MetadataTables.refs(spark, meta)
       case "metadata_log_entries" => MetadataTables.metadataLog(spark, meta)
+      case "partitions" => MetadataTables.partitions(spark, meta)
       case "manifests" =>
         val list = meta.currentSnapshot.flatMap(_.manifestList).getOrElse(
           throw new IllegalArgumentException("table has no current snapshot"))

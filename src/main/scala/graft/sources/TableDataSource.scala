@@ -466,10 +466,16 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     * deletes fall back to the row route only when an equality column's
     * type is outside the columnar comparison palette (binary/decimal/
     * nested — no cheap canonical batch-side value). */
-  private lazy val columnarOk: Boolean = allowColumnar &&
-    GraftTableColumnarReader.supportedSchema(required) &&
+  private lazy val columnarOk: Boolean = allowColumnar && {
+    // struct/map columns vectorize only on DELETE-FREE scans: batches
+    // then pass through raw, and the selection/shield views (whose
+    // final getStruct walks children by the view's row-id) never wrap
+    // them. Spark's vectorized reader decodes the nested vectors.
+    val noDeletes = planned._2.isEmpty && planned._3.isEmpty
+    GraftTableColumnarReader.supportedSchema(required, allowNested = noDeletes) &&
       !required.fieldNames.exists(n => n == "_file" || n == "_pos") &&
       (planned._3.isEmpty || eqColumnsColumnar)
+  }
 
   /** Every pending equality-delete file's column set must compare cleanly
     * in the columnar domain. One footer read per delete file (KB-scale,
@@ -1054,7 +1060,7 @@ private[sources] object PosDeleteIndex {
 }
 
 object GraftTableColumnarReader {
-  private def vectorizable(dt: DataType): Boolean = dt match {
+  private def vectorizable(dt: DataType, nested: Boolean): Boolean = dt match {
     case IntegerType | LongType | FloatType | DoubleType | BooleanType |
          StringType | BinaryType | DateType | TimestampType |
          TimestampNTZType => true
@@ -1062,11 +1068,18 @@ object GraftTableColumnarReader {
     // Spark's vectorized parquet reader decodes standard 3-level lists
     // natively (nested column vectors) — array<float> embedding scans
     // stay on the columnar route
-    case ArrayType(elem, _) => vectorizable(elem)
+    case ArrayType(elem, _) => vectorizable(elem, nested)
+    // struct/map only when the caller says batches pass through RAW
+    // (delete-free scans): ColumnVector.getStruct is final and walks
+    // children by row-id, which the selection views cannot remap
+    case st: StructType if nested =>
+      st.fields.forall(f => vectorizable(f.dataType, nested))
+    case MapType(kt, vt, _) if nested =>
+      vectorizable(kt, nested) && vectorizable(vt, nested)
     case _ => false
   }
-  def supportedSchema(s: StructType): Boolean =
-    s.fields.forall(f => vectorizable(f.dataType))
+  def supportedSchema(s: StructType, allowNested: Boolean = false): Boolean =
+    s.fields.forall(f => vectorizable(f.dataType, allowNested))
 
   /** Types whose values compare cleanly between a ColumnVector getter and
     * the Group-API decode of an equality-delete file — the gate for

@@ -26,6 +26,22 @@ class LakehouseNestedSpec extends SparkSpec {
     }
   }
 
+  test("delete-free struct/map scans decode through the vectorized columnar route") {
+    // run the i63 entry first so the table exists (idempotent)
+    LakehouseNested.nestedTable(spark, sfDir)
+    val df = spark.table("graft_nst.db.docs")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      df.queryExecution.executedPlan.toString)
+    val got = df.select(col("n_nationkey"), col("info.name"), col("info.region"),
+        element_at(col("attrs"), "rk"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1)
+    val want = Tables.load(spark, sfDir, "nation")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(2).toLong))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("i64: SQL years() partitioning answers the 1995 range over corrupted off-year manifests") {
     val row = LakehouseNested.sqlDatePartition(spark, sfDir).head()
     val want = Tables.load(spark, sfDir, "orders")
@@ -42,6 +58,16 @@ class LakehouseNestedSpec extends SparkSpec {
       .agg(count(lit(1)), min("c_custkey"), max("c_custkey")).head()
     assert(row.getLong(0) == want.getLong(0))
     assert(row.getLong(1) == want.getLong(1) && row.getLong(2) == want.getLong(2))
+  }
+
+  test("i67: partitions metadata table reports per-tuple file/record counts") {
+    val got = LakehouseNested.partitionsTable(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = Tables.load(spark, sfDir, "nation")
+      .groupBy(col("n_regionkey")).count().collect()
+      .map(r => (s"{n_regionkey_id=${r.getInt(0)}}", r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
   }
 
   test("i66: expire_snapshots(older_than_ms) keeps the newest retain_last regardless of age") {

@@ -833,6 +833,108 @@ object GraftTable {
     })
   }
 
+  /** `rewrite_position_delete_files`: resolve every pending EQUALITY
+    * delete to physical (file_path, pos) addresses ONCE — the semi-join
+    * cost each scan was re-paying — merge the result with the existing
+    * position-delete rows, and commit ONE replace snapshot whose delete
+    * side is a single position-delete file. Data files are untouched and
+    * carry forward with their original manifests and sequences (i34's
+    * maintenance rule, now a public API + SQL procedure).
+    *
+    * Sequence scoping is preserved EXACTLY: an equality delete resolves
+    * only against data files with STRICTLY lower sequence, and an
+    * existing position-delete row survives only for files with sequence
+    * <= its own — so the rewritten file (at the new commit's sequence,
+    * above every data file) deletes precisely the rows the old delete
+    * set did. Null equality values match null data values (the spec
+    * rule) via null-safe join conditions. All file paths normalize to
+    * the scheme-less form every reader compares in. */
+  def rewritePositionDeleteFiles(spark: SparkSession, tableDir: String)
+      : OptimisticCommit.CommitResult = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min, regexp_replace}
+    val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    def norm(p: String): String = p.replaceFirst("^[a-z0-9+.-]+:(//)?", "")
+    def normCol(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[a-z0-9+.-]+:(//)?", "")
+    val dataE = currentEntries(meta0, 0).filter(_.content == 0)
+      .map(e => (e, e.sequenceNumber.get))
+    val delE = currentEntries(meta0, 1)
+    require(delE.nonEmpty, "no pending delete files to rewrite")
+    val posE = delE.filter(_.content == 1).map(e => (e, e.sequenceNumber.get))
+    val eqE = delE.filter(_.content == 2).map(e => (e, e.sequenceNumber.get))
+    val resolvedEq = eqE.flatMap { case (e, eqSeq) =>
+      val addressed = dataE.filter(_._2 < eqSeq).map(_._1.filePath)
+      if (addressed.isEmpty) None
+      else {
+        val eqVals = spark.read.parquet(e.filePath)
+        val data = spark.read.parquet(addressed: _*)
+          .select((eqVals.columns.toSeq.map(col) :+
+            col("_metadata.file_path").as("__file") :+
+            col("_metadata.row_index").as("__pos")): _*)
+        val cond = eqVals.columns.map(c => data(c) <=> eqVals(c)).reduce(_ && _)
+        Some(data.join(eqVals, cond, "left_semi")
+          .select(normCol(col("__file")).as("file_path"), col("__pos").as("pos")))
+      }
+    }
+    val oldPos = posE.map { case (e, posSeq) =>
+      import spark.implicits._
+      val lives = dataE.filter(_._2 <= posSeq).map(x => norm(x._1.filePath))
+      spark.read.parquet(e.filePath)
+        .select(normCol(col("file_path")).as("file_path"), col("pos"))
+        .join(broadcast(lives.toDF("file_path")), Seq("file_path"), "left_semi")
+    }
+    val parts = resolvedEq ++ oldPos
+    val attempt = java.util.UUID.randomUUID()
+    val delFile = s"$tableDir/data/posrw-$attempt.parquet"
+    val merged = parts.reduceOption(_ unionByName _)
+      .map(_.distinct()).getOrElse(spark.emptyDataFrame)
+    ParquetFiles.writeOne(merged.orderBy(col("file_path"), col("pos")), delFile)
+    val statRow = spark.read.parquet(delFile).agg(
+      count(lit(1)), min(col("file_path")), max(col("file_path")),
+      min(col("pos")), max(col("pos"))).head()
+    val nRows = statRow.getLong(0)
+    val (delLower, delUpper) =
+      if (nRows == 0) (Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]])
+      else (
+        Map(ManifestWriter.PosDeleteFilePathId ->
+              SingleValueCodec.encode(IcebergTypes.TString, statRow.getString(1)),
+            ManifestWriter.PosDeletePosId ->
+              SingleValueCodec.encode(IcebergTypes.TLong, statRow.getLong(3))),
+        Map(ManifestWriter.PosDeleteFilePathId ->
+              SingleValueCodec.encode(IcebergTypes.TString, statRow.getString(2)),
+            ManifestWriter.PosDeletePosId ->
+              SingleValueCodec.encode(IcebergTypes.TLong, statRow.getLong(4))))
+    val preDel = delE.map(e => norm(e.filePath)).toSet
+    val preData = dataE.map(x => norm(x._1.filePath)).toSet
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      // the resolution above ran against meta0 — a concurrent commit that
+      // changed either side of the MOR equation invalidates it
+      val nowDel = currentEntries(base, 1).map(e => norm(e.filePath)).toSet
+      val nowData = currentEntries(base, 0).filter(_.content == 0)
+        .map(e => norm(e.filePath)).toSet
+      if (nowDel != preDel || nowData != preData)
+        throw OptimisticCommit.CommitConflictException(
+          "table delete/data file set changed while rewriting — rerun")
+      val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
+      val manifest = s"$tableDir/m-posrw-$snapId-$attempt.avro"
+      ManifestWriter.write(manifest, Seq(ManifestWriter.EntryData(
+        1, snapId, delFile, nRows, ParquetFiles.length(delFile),
+        delLower, delUpper, content = 1, sequenceNumber = Some(snapId))))
+      val carried = carryForward(base).filter(_.content == 0)
+      val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+      writeList(list, carried, manifest, 0, 1, snapId,
+        ScanPlanning.unionSummaries(base, carried))
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some("replace"),
+          Map("added-delete-files" -> "1",
+            "removed-delete-files" -> delE.size.toString,
+            "rewritten-equality-delete-files" -> eqE.size.toString),
+          Some(list), base.currentSchemaId),
+        Some(basePath))
+    })
+  }
+
   /** Snapshot expiry with physical cleanup: retain the newest `keepLast`
     * snapshots, CAS-commit the metadata WITHOUT the expired ones (refs
     * pinning an expired snapshot make the commit abort — drop the tag

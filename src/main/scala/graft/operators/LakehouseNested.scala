@@ -247,7 +247,60 @@ object LakehouseNested {
       |  COUNT(*) AS record_count
       |FROM nation GROUP BY n_regionkey ORDER BY partition""".stripMargin
 
+  // ---------------------------------------------------------------- i68
+  /** `rewrite_position_delete_files` from SQL: the table accumulates MOR
+    * debt of BOTH kinds — a row-level DELETE lands a position-delete
+    * file, a streaming-shape upsert lands an equality-delete file — and
+    * the procedure resolves the equality values to physical addresses
+    * once, compacts all delete files into ONE position-delete file, and
+    * leaves data files untouched. The read-back proves the equality
+    * semantics survived the rewrite exactly (deleted keys gone, the
+    * upserted key resolves to its replacement), and the delete_files
+    * inspection table proves the delete side is position-only. */
+  val rewritePosDeletes: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val wh = entryDir("i68", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_rpd",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rpd.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i68_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql(s"""CREATE TABLE graft_rpd.db.n
+        (n_nationkey INT, n_name STRING, n_regionkey INT)
+        TBLPROPERTIES ('commit-timestamp-ms'='$T0')""")
+      spark.sql("""INSERT INTO graft_rpd.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i68_nation_src""")
+      // MOR debt kind 1: a row-level DELETE → position-delete file
+      spark.sql("DELETE FROM graft_rpd.db.n WHERE n_nationkey IN (2, 4)")
+      // MOR debt kind 2: a streaming-shape upsert → equality-delete file
+      GraftTable.upsert(spark, s"$wh/db/n",
+        Seq((7, "RPD_7", 9)).toDF("n_nationkey", "n_name", "n_regionkey"),
+        Seq("n_nationkey"))
+      val row = spark.sql(
+        "CALL graft_rpd.system.rewrite_position_delete_files(table => 'db.n')").head()
+      require(row.getInt(0) >= 2 && row.getInt(1) == 1,
+        s"expected >=2 delete files compacted to 1, got $row")
+    }
+    val delKinds = spark.sql(
+      """SELECT content, COUNT(*) AS n FROM graft_rpd.db.n.delete_files
+        GROUP BY content""").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    require(delKinds == Seq((1, 1L)),
+      s"expected exactly one position-delete file, got $delKinds")
+    spark.sql("""SELECT COUNT(*) AS n_rows,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      MAX(CASE WHEN n_nationkey = 7 THEN n_name END) AS name_7,
+      COUNT(CASE WHEN n_nationkey IN (2, 4) THEN 1 END) AS n_deleted_present
+      FROM graft_rpd.db.n""")
+  }
+
+  val rewritePosDeletesSql: String =
+    """SELECT COUNT(*) - 2 AS n_rows,
+      |  CAST(SUM(n_nationkey) - 2 - 4 AS BIGINT) AS sum_key,
+      |  'RPD_7' AS name_7, CAST(0 AS BIGINT) AS n_deleted_present
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i68_rewrite_pos_deletes" -> rewritePosDeletes,
     "i63_nested_table" -> nestedTable,
     "i64_sql_date_partition" -> sqlDatePartition,
     "i65_sql_write_order" -> sqlWriteOrder,
@@ -255,6 +308,7 @@ object LakehouseNested {
     "i67_partitions_table" -> partitionsTable)
 
   val oracles: Map[String, String] = Map(
+    "i68_rewrite_pos_deletes" -> rewritePosDeletesSql,
     "i63_nested_table" -> nestedTableSql,
     "i64_sql_date_partition" -> sqlDatePartitionSql,
     "i65_sql_write_order" -> sqlWriteOrderSql,

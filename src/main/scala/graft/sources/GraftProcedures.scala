@@ -75,7 +75,8 @@ object GraftProcedures {
 
   def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
     "rollback_to_snapshot", "create_tag", "fast_forward",
-    "rewrite_manifests", "remove_orphan_files", "create_branch")
+    "rewrite_manifests", "remove_orphan_files", "create_branch",
+    "rewrite_position_delete_files")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. */
@@ -100,6 +101,28 @@ object GraftProcedures {
             targetBytes = input.getLong(1))
           val after = dataFileCount(result.metadata)
           Seq(InternalRow(before, after,
+            result.metadata.currentSnapshotId.getOrElse(0L)))
+        })
+      case "rewrite_position_delete_files" => new Proc(
+        "rewrite_position_delete_files",
+        "resolve pending equality deletes to position deletes and compact " +
+          "all delete files into one — restores cheap MOR reads; " +
+          "data files untouched",
+        Array(in("table", StringType)),
+        StructType(Seq(
+          StructField("rewritten_delete_files_count", IntegerType),
+          StructField("added_delete_files_count", IntegerType),
+          StructField("snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          def delCount(meta: TableMetadata): Int =
+            meta.currentSnapshot.flatMap(_.manifestList).toSeq
+              .flatMap(ManifestListReader.read).filter(_.content == 1)
+              .flatMap(i => ManifestWriter.read(i.path))
+              .count(e => e.status != 2 && e.content != 0)
+          val before = delCount(currentMeta(dir))
+          val result = GraftTable.rewritePositionDeleteFiles(SparkSession.active, dir)
+          Seq(InternalRow(before, delCount(result.metadata),
             result.metadata.currentSnapshotId.getOrElse(0L)))
         })
       case "expire_snapshots" => new Proc(

@@ -70,6 +70,14 @@ class LakehouseNestedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("i68: rewrite_position_delete_files compacts both delete kinds to one pos file") {
+    val row = LakehouseNested.rewritePosDeletes(spark, sfDir).head()
+    val nation = Tables.load(spark, sfDir, "nation")
+    assert(row.getLong(0) == nation.count() - 2)
+    assert(row.getString(2) == "RPD_7", "upserted key must resolve to its replacement")
+    assert(row.getLong(3) == 0L, "deleted keys must stay deleted after the rewrite")
+  }
+
   test("i66: expire_snapshots(older_than_ms) keeps the newest retain_last regardless of age") {
     val row = LakehouseNested.expireOlderThan(spark, sfDir).head()
     val nation = Tables.load(spark, sfDir, "nation")

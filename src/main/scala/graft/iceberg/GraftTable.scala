@@ -1066,6 +1066,70 @@ object GraftTable {
         Some(basePath))
     })
 
+  /** Cherry-pick one APPEND snapshot onto main — the publish path when
+    * main has ADVANCED past the staged snapshot's fork point, where
+    * fast-forward must refuse (the target no longer descends from the
+    * head). The staged snapshot's own ADDED manifests re-apply on top of
+    * main's current state as a NEW commit: entries re-sequence to the
+    * new commit's number (a fresh manifest — the staged files become
+    * newly-visible rows, correctly ABOVE any deletes main accumulated
+    * meanwhile), main's manifests carry forward with their provenance,
+    * and the staged lineage stays intact for time travel. Only `append`
+    * snapshots cherry-pick — a replace/delete re-applied out of context
+    * could resurrect or double-delete rows (Iceberg's restriction). */
+  def cherrypick(tableDir: String, snapshotId: Long): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val src = base.snapshot(snapshotId).getOrElse(
+        throw new IllegalArgumentException(s"no such snapshot $snapshotId"))
+      require(src.operation.forall(_ == "append"),
+        s"only append snapshots can cherry-pick; $snapshotId is ${src.operation}")
+      require(!base.currentSnapshotId.contains(snapshotId),
+        s"snapshot $snapshotId is already main's head")
+      val srcAdded = ManifestListReader.read(src.manifestList.getOrElse(
+          throw new IllegalArgumentException(s"snapshot $snapshotId has no manifest-list")))
+        .filter(_.addedSnapshotId == snapshotId)
+      require(srcAdded.nonEmpty, s"snapshot $snapshotId added no manifests")
+      val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
+      val attempt = java.util.UUID.randomUUID()
+      // fresh manifests at the NEW sequence: the staged entries become
+      // ADDED rows of this commit (file paths are reused, bytes are not
+      // copied — manifests are KB-scale)
+      val rewritten = srcAdded.zipWithIndex.map { case (i, ix) =>
+        val entries = ManifestWriter.read(i.path).filter(_.status != 2)
+          .map(e => e.copy(status = 1, snapshotId = snapId,
+            sequenceNumber = Some(snapId)))
+        val m = s"$tableDir/m-cherry-$snapId-$attempt-%05d.avro".format(ix)
+        ManifestWriter.write(m, entries)
+        (m, i)
+      }
+      val carried = carryForward(base)
+      val nAdded = srcAdded.map(_.addedDataFilesCount).sum
+      val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+      ManifestListWriter.write(list,
+        carried.map(_.path) ++ rewritten.map(_._1), snapId,
+        addedDataFilesCount = nAdded,
+        contents = carried.map(i => i.path -> i.content).toMap ++
+          rewritten.map { case (m, i) => m -> i.content },
+        specIds = carried.map(i => i.path -> i.specId).toMap ++
+          rewritten.map { case (m, i) => m -> i.specId },
+        addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
+        addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap ++
+          rewritten.map { case (m, i) => m -> i.addedDataFilesCount },
+        summaries = carriedSummaries(carried) ++
+          rewritten.flatMap { case (m, i) => i.summaries.map(ss => m -> ss.map(s =>
+            ManifestListWriter.FieldSummary(s.containsNull,
+              s.lower.getOrElse(Array.empty), s.upper.getOrElse(Array.empty)))) },
+        seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
+        minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some("append"),
+          Map("added-data-files" -> nAdded.toString,
+            "cherry-picked-snapshot-id" -> snapshotId.toString),
+          Some(list), base.currentSchemaId),
+        Some(basePath))
+    })
+
   /** Consolidate the current snapshot's DATA manifests — one manifest
     * per partition-spec id — through the CAS loop. A table appended to
     * N times carries N manifests; planning opens every one, so at scale

@@ -47,6 +47,36 @@ object MetadataTables {
       .toDF("name", "type", "snapshot_id")
   }
 
+  /** Iceberg's `all_manifests`: every manifest reachable from ANY
+    * snapshot, one row per (snapshot, manifest) pair — the history-wide
+    * view expiry planning and debugging read. KB-scale list reads only;
+    * a snapshot without a list contributes nothing. */
+  def allManifests(spark: SparkSession, meta: TableMetadata): DataFrame = {
+    import spark.implicits._
+    meta.snapshots.flatMap(s => s.manifestList.toSeq.flatMap(ManifestListReader.read)
+        .map(i => (s.snapshotId, i.path, i.length, i.content, i.specId,
+          i.addedSnapshotId, i.sequenceNumber)))
+      .toDF("reference_snapshot_id", "path", "length", "content", "partition_spec_id",
+        "added_snapshot_id", "sequence_number")
+  }
+
+  /** Iceberg's `all_files`: every live file entry in ANY snapshot, with
+    * the referencing snapshot id — a file live in N snapshots appears N
+    * times (Iceberg's contract; DISTINCT path for the unique set).
+    * Manifests open CONCURRENTLY across the whole history. */
+  def allFiles(spark: SparkSession, meta: TableMetadata): DataFrame = {
+    import spark.implicits._
+    val perSnap = meta.snapshots.flatMap(s =>
+      s.manifestList.toSeq.flatMap(ManifestListReader.read).map(i => (s.snapshotId, i)))
+    Par.inParallel(perSnap) { case (sid, i) =>
+      ManifestWriter.read(i.path).filter(_.status != 2).map(e =>
+        (sid, e.content, e.filePath, e.recordCount, e.fileSizeInBytes,
+          e.sequenceNumber.getOrElse(i.sequenceNumber)))
+    }.flatten
+      .toDF("reference_snapshot_id", "content", "file_path", "record_count",
+        "file_size_in_bytes", "sequence_number")
+  }
+
   /** Iceberg's `partitions` inspection table: one row per live partition
     * tuple with file/record counts — what a platform team reads to spot
     * skewed or stale partitions. Tuples come from the manifest-list

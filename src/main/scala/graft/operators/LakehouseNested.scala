@@ -31,6 +31,13 @@ import graft.operators.LakehouseExec.entryDir
   * - i66: `expire_snapshots(older_than_ms => …)` — the age-based expiry
   *   policy platform teams schedule; the newest `retain_last` snapshots
   *   always survive regardless of age.
+  * - i67: the `partitions` inspection table — per-tuple file/record
+  *   counts from the manifest-list summaries, Iceberg's
+  *   `SELECT * FROM t.partitions` surface.
+  * - i68: `rewrite_position_delete_files` — equality deletes resolved to
+  *   position deletes once, all delete files compacted to one.
+  * - i69: `cherrypick_snapshot` — the WAP publish path when main
+  *   advanced past the fork and fast_forward must refuse.
   */
 object LakehouseNested {
 
@@ -299,7 +306,55 @@ object LakehouseNested {
       |  'RPD_7' AS name_7, CAST(0 AS BIGINT) AS n_deleted_present
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i69
+  /** Cherry-pick publish — the WAP ending fast_forward cannot serve:
+    * after the audit branch forks, MAIN ADVANCES (a concurrent ingest
+    * lands), so the audited snapshot no longer descends from the head
+    * and fast_forward must refuse. `cherrypick_snapshot` re-applies the
+    * staged snapshot's ADDED manifests onto main as a NEW commit
+    * (entries re-sequenced, main's lineage intact) — both the interim
+    * main rows and the audited rows are visible after publish. */
+  val cherrypickPublish: Q = (spark, sfDir) => {
+    val wh = entryDir("i69", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_chp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_chp.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i69_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql(s"""CREATE TABLE graft_chp.db.n
+        (n_nationkey INT, n_name STRING, n_regionkey INT)
+        TBLPROPERTIES ('commit-timestamp-ms'='$T0')""")
+      spark.sql("""INSERT INTO graft_chp.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i69_nation_src
+        WHERE n_regionkey < 2""")
+      spark.sql("CALL graft_chp.system.create_branch(table => 'db.n', branch => 'audit')")
+      spark.sql("""INSERT INTO graft_chp.db.n.branch_audit
+        SELECT n_nationkey, n_name, n_regionkey FROM i69_nation_src
+        WHERE n_regionkey IN (2, 3)""")
+      // main ADVANCES past the fork — fast_forward must now refuse
+      spark.sql("""INSERT INTO graft_chp.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i69_nation_src
+        WHERE n_regionkey = 4""")
+      val ffRefused = scala.util.Try(
+        spark.sql("CALL graft_chp.system.fast_forward('db.n', 'audit')")).isFailure
+      require(ffRefused, "fast_forward must refuse a non-descendant target")
+      val staged = spark.sql(
+        "SELECT snapshot_id FROM graft_chp.db.n.refs WHERE name = 'audit'")
+        .head().getLong(0)
+      spark.sql(s"CALL graft_chp.system.cherrypick_snapshot('db.n', $staged)")
+    }
+    spark.sql("""SELECT n_regionkey, COUNT(*) AS n_live,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      FROM graft_chp.db.n GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+
+  val cherrypickPublishSql: String =
+    """SELECT n_regionkey, COUNT(*) AS n_live,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i69_cherrypick_publish" -> cherrypickPublish,
     "i68_rewrite_pos_deletes" -> rewritePosDeletes,
     "i63_nested_table" -> nestedTable,
     "i64_sql_date_partition" -> sqlDatePartition,
@@ -308,6 +363,7 @@ object LakehouseNested {
     "i67_partitions_table" -> partitionsTable)
 
   val oracles: Map[String, String] = Map(
+    "i69_cherrypick_publish" -> cherrypickPublishSql,
     "i68_rewrite_pos_deletes" -> rewritePosDeletesSql,
     "i63_nested_table" -> nestedTableSql,
     "i64_sql_date_partition" -> sqlDatePartitionSql,

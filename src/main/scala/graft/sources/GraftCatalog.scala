@@ -75,7 +75,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * identifier convention: `SELECT * FROM graft.db.t.snapshots`). */
   private val MetadataTableNames =
     Set("snapshots", "history", "refs", "metadata_log_entries", "manifests",
-      "files", "delete_files", "partitions")
+      "files", "delete_files", "partitions", "all_manifests", "all_files")
 
   private def loadMetadataTable(ident: Identifier): Option[Table] = {
     if (ident.namespace().isEmpty || !MetadataTableNames.contains(ident.name())) return None
@@ -91,6 +91,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "refs" => MetadataTables.refs(spark, meta)
       case "metadata_log_entries" => MetadataTables.metadataLog(spark, meta)
       case "partitions" => MetadataTables.partitions(spark, meta)
+      case "all_manifests" => MetadataTables.allManifests(spark, meta)
+      case "all_files" => MetadataTables.allFiles(spark, meta)
       case "manifests" =>
         val list = meta.currentSnapshot.flatMap(_.manifestList).getOrElse(
           throw new IllegalArgumentException("table has no current snapshot"))

@@ -76,7 +76,7 @@ object GraftProcedures {
   def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
     "rollback_to_snapshot", "create_tag", "fast_forward",
     "rewrite_manifests", "remove_orphan_files", "create_branch",
-    "rewrite_position_delete_files")
+    "rewrite_position_delete_files", "cherrypick_snapshot")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. */
@@ -102,6 +102,21 @@ object GraftProcedures {
           val after = dataFileCount(result.metadata)
           Seq(InternalRow(before, after,
             result.metadata.currentSnapshotId.getOrElse(0L)))
+        })
+      case "cherrypick_snapshot" => new Proc(
+        "cherrypick_snapshot",
+        "re-apply one staged APPEND snapshot's added files onto main as a " +
+          "new commit — the publish path when main advanced past the fork " +
+          "and fast_forward refuses",
+        Array(in("table", StringType), in("snapshot_id", LongType)),
+        StructType(Seq(
+          StructField("source_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          val src = input.getLong(1)
+          val result = GraftTable.cherrypick(dir, src)
+          Seq(InternalRow(src, result.metadata.currentSnapshotId.getOrElse(0L)))
         })
       case "rewrite_position_delete_files" => new Proc(
         "rewrite_position_delete_files",

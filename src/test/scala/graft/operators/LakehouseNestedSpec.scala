@@ -78,6 +78,17 @@ class LakehouseNestedSpec extends SparkSpec {
     assert(row.getLong(3) == 0L, "deleted keys must stay deleted after the rewrite")
   }
 
+  test("i69: cherrypick publishes a staged snapshot after main diverged") {
+    val got = LakehouseNested.cherrypickPublish(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Tables.load(spark, sfDir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)), sum(col("n_nationkey")).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == want, "published table must hold main's interim AND audited rows")
+  }
+
   test("i66: expire_snapshots(older_than_ms) keeps the newest retain_last regardless of age") {
     val row = LakehouseNested.expireOlderThan(spark, sfDir).head()
     val nation = Tables.load(spark, sfDir, "nation")

@@ -318,6 +318,18 @@ class TableSourceSpec extends SparkSpec {
       "SELECT content, record_count, sequence_number FROM graft_mt.db.n.delete_files")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     assert(dels == Seq((1, 1L, 2L)), dels.toString)
+    // history-wide variants: snapshot 1 references only the data
+    // manifest; snapshot 2 references data + delete manifests
+    val allM = spark.sql(
+      """SELECT reference_snapshot_id, content FROM graft_mt.db.n.all_manifests
+        ORDER BY reference_snapshot_id, content""")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(allM == Seq((1L, 0), (2L, 0), (2L, 1)), allM.toString)
+    val allF = spark.sql(
+      """SELECT reference_snapshot_id, content, record_count
+        FROM graft_mt.db.n.all_files ORDER BY reference_snapshot_id, content""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(allF == Seq((1L, 0, 13L), (2L, 0, 13L), (2L, 1, 1L)), allF.toString)
     // the local scan shape: metadata rows never launch tasks
     val plan = spark.sql("SELECT * FROM graft_mt.db.n.snapshots")
       .queryExecution.executedPlan.toString

@@ -38,6 +38,10 @@ import graft.operators.LakehouseExec.entryDir
   *   position deletes once, all delete files compacted to one.
   * - i69: `cherrypick_snapshot` — the WAP publish path when main
   *   advanced past the fork and fast_forward must refuse.
+  * - i70: type-widening evolution (`ALTER COLUMN … TYPE BIGINT/DOUBLE`)
+  *   with lossless promotion of pre-widening files on every route.
+  * - i71: stats-served aggregates — COUNT(*)/MIN/MAX pushed into the
+  *   scan and answered from manifest stats, zero data bytes read.
   */
 object LakehouseNested {
 
@@ -353,7 +357,89 @@ object LakehouseNested {
       |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // ---------------------------------------------------------------- i70
+  /** Type-widening evolution from SQL: `ALTER COLUMN k TYPE BIGINT` /
+    * `ALTER COLUMN bal TYPE DOUBLE` (the safe promotions — anything else
+    * refused), then an insert whose key EXCEEDS int range proves the
+    * declared type really widened; old INT32/FLOAT files promote
+    * losslessly on every read route. Fractions are exact halves, so the
+    * float→double promotion is bit-exact and the double sum is
+    * oracle-stable. */
+  val typeWidening: Q = (spark, sfDir) => {
+    val wh = entryDir("i70", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_twd",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_twd.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i70_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_twd.db.n
+        (n_nationkey INT, n_name STRING, bal FLOAT)""")
+      spark.sql("""INSERT INTO graft_twd.db.n
+        SELECT n_nationkey, n_name, CAST(n_nationkey AS FLOAT) / 2
+        FROM i70_nation_src""")
+      spark.sql("ALTER TABLE graft_twd.db.n ALTER COLUMN n_nationkey TYPE BIGINT")
+      spark.sql("ALTER TABLE graft_twd.db.n ALTER COLUMN bal TYPE DOUBLE")
+      spark.sql("""INSERT INTO graft_twd.db.n
+        VALUES (CAST(5000000000 AS BIGINT), 'WIDE', CAST(99.25 AS DOUBLE))""")
+    }
+    spark.sql("""SELECT COUNT(*) AS n_rows,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      MAX(n_nationkey) AS max_key,
+      CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS sum_bal
+      FROM graft_twd.db.n""")
+  }
+
+  val typeWideningSql: String =
+    """SELECT COUNT(*) + 1 AS n_rows,
+      |  CAST(SUM(n_nationkey) + 5000000000 AS BIGINT) AS sum_key,
+      |  CAST(5000000000 AS BIGINT) AS max_key,
+      |  CAST(ROUND(SUM(CAST(n_nationkey AS DOUBLE) / 2) + 99.25, 2) AS DOUBLE) AS sum_bal
+      |FROM nation""".stripMargin
+
+  // ---------------------------------------------------------------- i71
+  /** Stats-served aggregates: `SELECT COUNT(*), MIN(k), MAX(k) FROM t`
+    * on a clean table answers from ONE KB-scale metadata pass — the
+    * aggregate pushes into the scan and a LocalTableScan serves it, no
+    * data bytes read. Proven destructively: every data file is corrupted
+    * before the query, so only the manifest stats can know the answer.
+    * At 100 TB this is the single most-asked metadata question
+    * (row count) going from a full scan to milliseconds. */
+  val statsAggregate: Q = (spark, sfDir) => {
+    val wh = entryDir("i71", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_agg",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_agg.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i71_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_agg.db.n
+        (n_nationkey INT, n_name STRING, n_regionkey INT)""")
+      spark.sql("""INSERT INTO graft_agg.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i71_nation_src""")
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/n"))
+      ManifestListReader.read(meta.currentSnapshot.get.manifestList.get)
+        .flatMap(i => ManifestWriter.read(i.path)).filter(_.content == 0)
+        .foreach(e => java.nio.file.Files.write(java.nio.file.Paths.get(
+          new org.apache.hadoop.fs.Path(e.filePath).toUri.getPath),
+          "corrupted: aggregates must come from manifest stats".getBytes))
+    }
+    val df = spark.sql("""SELECT COUNT(*) AS n_rows,
+      MIN(n_nationkey) AS min_key, MAX(n_nationkey) AS max_key,
+      MAX(n_name) AS max_name
+      FROM graft_agg.db.n""")
+    require(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "the aggregate must be stats-served:\n" +
+        df.queryExecution.executedPlan.toString)
+    df
+  }
+
+  val statsAggregateSql: String =
+    """SELECT COUNT(*) AS n_rows, MIN(n_nationkey) AS min_key,
+      |  MAX(n_nationkey) AS max_key, MAX(n_name) AS max_name
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i71_stats_aggregate" -> statsAggregate,
+    "i70_type_widening" -> typeWidening,
     "i69_cherrypick_publish" -> cherrypickPublish,
     "i68_rewrite_pos_deletes" -> rewritePosDeletes,
     "i63_nested_table" -> nestedTable,
@@ -363,6 +449,8 @@ object LakehouseNested {
     "i67_partitions_table" -> partitionsTable)
 
   val oracles: Map[String, String] = Map(
+    "i71_stats_aggregate" -> statsAggregateSql,
+    "i70_type_widening" -> typeWideningSql,
     "i69_cherrypick_publish" -> cherrypickPublishSql,
     "i68_rewrite_pos_deletes" -> rewritePosDeletesSql,
     "i63_nested_table" -> nestedTableSql,

@@ -323,6 +323,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftTable.evolveSchema(dir, IcebergSchema(
           base.schemas.map(_.schemaId).max + 1,
           cur.fields.filterNot(_.name == name)))
+      // ALTER TABLE t ALTER COLUMN c TYPE BIGINT — Iceberg's safe type
+      // WIDENING set only (int→long, float→double): values promote
+      // losslessly, bucket transforms hash identically across the
+      // promotion (the spec fixes the 8-byte layout for both widths),
+      // and readers promote the old files' narrower physical types.
+      // Anything else (narrowing, cross-family) is refused.
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1,
+          "graft catalog supports top-level ALTER COLUMN TYPE only")
+        val base = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+        val cur = base.currentSchema
+        val name = upd.fieldNames().head
+        val field = cur.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no such column $name"))
+        val widened = (field.fieldType, upd.newDataType()) match {
+          case ("int", LongType) => "long"
+          case ("float", DoubleType) => "double"
+          case (from, to) => throw new UnsupportedOperationException(
+            s"cannot change column $name from $from to $to — " +
+              "supported widenings: int->bigint, float->double")
+        }
+        GraftTable.evolveSchema(dir, IcebergSchema(
+          base.schemas.map(_.schemaId).max + 1,
+          cur.fields.map(f =>
+            if (f.name == name) f.copy(fieldType = widened) else f)))
       // ALTER TABLE t SET TBLPROPERTIES ('write.sort-order' = 'k DESC, v')
       // — the SQL route to sort-order evolution: the property value parses
       // as an ORDER BY list and lands as a metadata-only sort-orders[]

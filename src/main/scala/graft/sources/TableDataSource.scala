@@ -21,7 +21,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.iceberg.{GraftTable, ManifestListReader, ManifestWriter, Par,
+import graft.iceberg.{GraftTable, IcebergType, ManifestListReader, ManifestWriter, Par,
   ScanPlanning, SingleValueCodec, IcebergTypes, TableMetadata}
 
 /** DataSource V2 connector for whole-TABLE reads:
@@ -214,7 +214,8 @@ class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
     splitSize: Long, onPlanned: Option[(Seq[String], Seq[String]) => Unit] = None,
     allowColumnar: Boolean = true,
     streamOpts: StreamReadOptions = StreamReadOptions())
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = tableSchema
   private var pushed: Array[sources.Filter] = Array.empty
 
@@ -230,9 +231,118 @@ class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
 
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  override def build(): Scan =
-    new GraftTableScan(required, pushed, metadataPath, snapshotId, ref,
-      asOfTimestampMs, splitSize, onPlanned, allowColumnar, streamOpts)
+  /** Aggregate pushdown from manifest STATS — `SELECT COUNT(*) | MIN(c) |
+    * MAX(c) FROM t` answers in one KB-scale metadata pass with ZERO data
+    * bytes read: record counts sum from the entries, MIN/MAX decode from
+    * the entry bound stats. This is what the stats exist for, and at
+    * 100 TB it is the difference between milliseconds and a full scan.
+    * Strictly exactness-gated — served ONLY when every entry can prove
+    * the answer (Spark offers the pushdown only on filterless scans):
+    *   - COUNT(*): no pending deletes (deleted rows are unknowable
+    *     unscanned); record counts always present;
+    *   - MIN/MAX(c): additionally every entry carries decodable bounds
+    *     for c (an all-null or stats-less file refuses the push), and
+    *     floating-point columns refuse (NaN sorts above +Inf in Spark
+    *     but writers exclude it from bounds — the stats can't see it).
+    * Anything unprovable falls back to the ordinary scan. */
+  private var aggResult: Option[(StructType, Seq[Any])] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    serveFromStats(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = serveFromStats(agg)
+    aggResult.isDefined
+  }
+
+  private def serveFromStats(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (pushed.nonEmpty || onPlanned.isDefined || agg.groupByExpressions().nonEmpty)
+      return None
+    val meta = scala.util.Try(TableMetadata.parseFile(metadataPath)).getOrElse(return None)
+    val empty = meta.currentSnapshotId.isEmpty && snapshotId.isEmpty &&
+      ref.isEmpty && asOfTimestampMs.isEmpty
+    val entries: Seq[ManifestWriter.EntryData] =
+      if (empty) Nil
+      else scala.util.Try {
+        val snap = GraftTable.resolveForScan(meta, snapshotId, ref, asOfTimestampMs)
+        val infos = snap.manifestList.toSeq.flatMap(ManifestListReader.read)
+        val live = Par.inParallel(infos)(i => ManifestWriter.read(i.path)
+          .filter(_.status != 2).map(e => (i.content, e))).flatten
+        // any live delete entry → rows are unknowable from stats
+        if (live.exists(_._2.content != 0)) return None
+        live.collect { case (0, e) if e.content == 0 => e }
+      }.getOrElse(return None)
+    def fieldOf(name: String) = meta.currentSchema.fields.find(_.name == name)
+    def boundValue(e: ManifestWriter.EntryData, fieldId: Int, t: IcebergType,
+        lower: Boolean): Option[Any] =
+      (if (lower) e.lowerBounds else e.upperBounds).get(fieldId).filter(_.nonEmpty)
+        .flatMap(b => scala.util.Try(SingleValueCodec.decode(t, b)).toOption)
+    def extreme(colName: String, lower: Boolean): Option[(DataType, Any)] = for {
+      f <- fieldOf(colName)
+      t <- IcebergTypes.fromStringOpt(f.fieldType)
+      // float/double bounds exclude NaN, which Spark's MIN/MAX must see
+      if !t.sparkType.isInstanceOf[FloatType] && !t.sparkType.isInstanceOf[DoubleType]
+      vs <- Some(entries.map(e => boundValue(e, f.id, t, lower)))
+        .filter(_.forall(_.isDefined)).map(_.flatten)
+      v <- vs.reduceOption { (a, b) =>
+        EntryFilterEval.cmp(Some(a), b) match {
+          case Some(c) => if ((c < 0) == lower) a else b
+          case None => return None
+        }
+      }
+    } yield (t.sparkType, v)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case ref: NamedReference if ref.fieldNames().length == 1 =>
+          Some(ref.fieldNames().head)
+        case _ => None
+      }
+    val served = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false),
+          entries.map(_.recordCount).sum: Any))
+      case m: Min => for {
+        c <- colOf(m.column()); (dt, v) <-
+          (if (entries.isEmpty) fieldOf(c).flatMap(f =>
+            IcebergTypes.fromStringOpt(f.fieldType)).map(t => (t.sparkType, null: Any))
+          else extreme(c, lower = true).map { case (dt, v) => (dt, v: Any) })
+      } yield (StructField(s"min($c)", dt), v)
+      case m: Max => for {
+        c <- colOf(m.column()); (dt, v) <-
+          (if (entries.isEmpty) fieldOf(c).flatMap(f =>
+            IcebergTypes.fromStringOpt(f.fieldType)).map(t => (t.sparkType, null: Any))
+          else extreme(c, lower = false).map { case (dt, v) => (dt, v: Any) })
+      } yield (StructField(s"max($c)", dt), v)
+      case _ => None
+    }
+    if (served.exists(_.isEmpty)) None
+    else Some((StructType(served.flatten.map(_._1)), served.flatten.map(_._2)))
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) =>
+      val converted = schema.fields.zip(values).map { case (f, v) =>
+        if (v == null) null
+        else CatalystTypeConverters.createToCatalystConverter(f.dataType)(v)
+      }
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = Array(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            converted.toArray[Any]))
+        override def readSchema(): StructType = schema
+        override def description(): String =
+          s"graft-table stats-served aggregate $metadataPath"
+      }
+    case None =>
+      new GraftTableScan(required, pushed, metadataPath, snapshotId, ref,
+        asOfTimestampMs, splitSize, onPlanned, allowColumnar, streamOpts)
+  }
 }
 
 class GraftTableScan(required: StructType, filters: Array[sources.Filter],
@@ -926,14 +1036,24 @@ private[sources] object EqDeleteIndex {
   /** Group-API decode into the canonical columnar domain — MUST mirror
     * [[GraftTableColumnarReader.eqValue]] exactly, or tuples never match. */
   private def canonical(g: Group, name: String, dt: DataType): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{FLOAT => PFLOAT, INT32}
     val t = g.getType
     if (!t.containsField(name)) return null
     val i = t.getFieldIndex(name)
     if (g.getFieldRepetitionCount(i) == 0) return null
     dt match {
       case IntegerType | DateType => g.getInteger(i, 0)
-      case LongType | TimestampType | TimestampNTZType => g.getLong(i, 0)
-      case DoubleType => g.getDouble(i, 0)
+      case LongType | TimestampType | TimestampNTZType =>
+        // pre-widening delete files may carry the narrower physical
+        t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case INT32 => g.getInteger(i, 0).toLong
+          case _ => g.getLong(i, 0)
+        }
+      case DoubleType =>
+        t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case PFLOAT => g.getFloat(i, 0).toDouble
+          case _ => g.getDouble(i, 0)
+        }
       case FloatType => g.getFloat(i, 0)
       case BooleanType => g.getBoolean(i, 0)
       case StringType => g.getBinary(i, 0).toStringUsingUTF8
@@ -1245,10 +1365,21 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
     if (!t.containsField(name)) return null // pre-evolution file: null-fill
     val i = t.getFieldIndex(name)
     if (g.getFieldRepetitionCount(i) == 0) return null
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{FLOAT => PFLOAT, INT32}
     dt match {
       case IntegerType => g.getInteger(i, 0)
-      case LongType => g.getLong(i, 0)
-      case DoubleType => g.getDouble(i, 0)
+      case LongType =>
+        // type-widening evolution: pre-widening files keep INT32 — the
+        // declared long schema promotes the narrower physical losslessly
+        t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case INT32 => g.getInteger(i, 0).toLong
+          case _ => g.getLong(i, 0)
+        }
+      case DoubleType =>
+        t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case PFLOAT => g.getFloat(i, 0).toDouble
+          case _ => g.getDouble(i, 0)
+        }
       case FloatType => g.getFloat(i, 0)
       case BooleanType => g.getBoolean(i, 0)
       case StringType => g.getBinary(i, 0).toStringUsingUTF8

@@ -89,6 +89,23 @@ class LakehouseNestedSpec extends SparkSpec {
     assert(got == want, "published table must hold main's interim AND audited rows")
   }
 
+  test("i70: type widening holds an out-of-int-range key") {
+    val row = LakehouseNested.typeWidening(spark, sfDir).head()
+    val nation = Tables.load(spark, sfDir, "nation")
+    assert(row.getLong(0) == nation.count() + 1)
+    assert(row.getLong(2) == 5000000000L, "the widened column must hold the big key")
+  }
+
+  test("i71: stats-served aggregate matches the direct computation") {
+    val row = LakehouseNested.statsAggregate(spark, sfDir).head()
+    val want = Tables.load(spark, sfDir, "nation")
+      .agg(count(lit(1)), min(col("n_nationkey")), max(col("n_nationkey")),
+        max(col("n_name"))).head()
+    assert(row.getLong(0) == want.getLong(0))
+    assert(row.getInt(1) == want.getInt(1) && row.getInt(2) == want.getInt(2))
+    assert(row.getString(3) == want.getString(3))
+  }
+
   test("i66: expire_snapshots(older_than_ms) keeps the newest retain_last regardless of age") {
     val row = LakehouseNested.expireOlderThan(spark, sfDir).head()
     val nation = Tables.load(spark, sfDir, "nation")

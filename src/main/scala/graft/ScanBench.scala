@@ -80,8 +80,23 @@ object ScanBench {
     // staying near native here is the round-12 contract (< 1.5×)
     GraftTable.deleteWhere(spark, dir, pmod(col("l_orderkey"), lit(1000)) === 0)
     val morMetaPath = GraftTable.latestMetadataPath(dir)
-    val results = clean :+ route("graft_columnar_mor")(() =>
+    val withPos = clean :+ route("graft_columnar_mor")(() =>
       spark.read.format("graft-table").option("metadata", morMetaPath).load())
+    // vectorized EQUALITY MOR on top: a streaming-upsert lands an
+    // equality-delete file on l_orderkey — the scan widens its batch
+    // projection over the equality column and tests set membership per
+    // row (the CDC-upsert table shape); still near native is the contract
+    import spark.implicits._
+    GraftTable.upsert(spark, dir,
+      (1L to 64L).map(k => (k * 7L, k * 7L, k * 7L, 1, 1.0, 1.0, 0.0, 0.0,
+        "N", "O", new java.sql.Timestamp(1700000000000L)))
+        .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate"),
+      Seq("l_orderkey"))
+    val eqMetaPath = GraftTable.latestMetadataPath(dir)
+    val results = withPos :+ route("graft_columnar_eqmor")(() =>
+      spark.read.format("graft-table").option("metadata", eqMetaPath).load())
     val m = results.toMap
     val line = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", ",") +
@@ -89,6 +104,8 @@ object ScanBench {
       s""""row_over_native":${f"${m("graft_row") / m("native_parquet")}%.2f"},""" +
       s""""columnar_mor_over_native":${
         f"${m("graft_columnar_mor") / m("native_parquet")}%.2f"},""" +
+      s""""columnar_eqmor_over_native":${
+        f"${m("graft_columnar_eqmor") / m("native_parquet")}%.2f"},""" +
       s""""sf":"$sfDir"}"""
     // scalastyle:off println
     println(line)

@@ -255,7 +255,18 @@ object GraftTable {
     def enc(t: IcebergType, v: Any): Option[Array[Byte]] = v match {
       case null => None
       case d: java.sql.Date => Some(SingleValueCodec.encode(t, d.toLocalDate))
-      case ts: java.sql.Timestamp => Some(SingleValueCodec.encode(t, ts.toLocalDateTime))
+      // TIMESTAMPTZ values encode as instants, NTZ as local datetimes —
+      // dispatch on the ICEBERG type, not the JVM class the session's
+      // datetime API happened to produce
+      case ts: java.sql.Timestamp => t match {
+        case IcebergTypes.TTimestamptz => Some(SingleValueCodec.encode(t, ts.toInstant))
+        case _ => Some(SingleValueCodec.encode(t, ts.toLocalDateTime))
+      }
+      case ts: java.time.Instant => t match {
+        case IcebergTypes.TTimestamp => Some(SingleValueCodec.encode(t,
+          java.time.LocalDateTime.ofInstant(ts, java.time.ZoneOffset.UTC)))
+        case _ => Some(SingleValueCodec.encode(t, ts))
+      }
       case other => Some(SingleValueCodec.encode(t, other))
     }
     val bounds = typed.zipWithIndex.flatMap { case ((f, t), i) =>

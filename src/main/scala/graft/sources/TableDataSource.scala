@@ -134,6 +134,33 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
   override def name(): String = s"graft-table($metadataPath)"
   override def schema(): StructType = tableSchema
 
+  /** The default partition spec surfaced as Spark transforms — what
+    * `DESCRIBE TABLE` prints and catalog tooling introspects. Unknown
+    * transform strings (a foreign writer's) surface as identity on the
+    * source column rather than failing the table load. */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val TruncateRe = """truncate\[(\d+)\]""".r
+    val meta = TableMetadata.parseFile(metadataPath)
+    meta.partitionSpecs.find(_.specId == meta.defaultSpecId).toArray
+      .flatMap(_.fields).flatMap { pf =>
+        meta.currentSchema.fields.find(_.id == pf.sourceId).map { f =>
+          pf.transform match {
+            case "identity" => Expressions.identity(f.name)
+            case BucketRe(n) => Expressions.bucket(n.toInt, f.name)
+            case TruncateRe(w) => Expressions.apply("truncate",
+              Expressions.literal(w.toInt), Expressions.column(f.name))
+            case "year" => Expressions.years(f.name)
+            case "month" => Expressions.months(f.name)
+            case "day" => Expressions.days(f.name)
+            case "hour" => Expressions.hours(f.name)
+            case _ => Expressions.identity(f.name)
+          }
+        }
+      }
+  }
+
   /** Iceberg's inspection columns: `_file` (the data file serving the
     * row) and `_pos` (its file-absolute row index — the coordinate
     * position deletes address). Selectable like any column; never in

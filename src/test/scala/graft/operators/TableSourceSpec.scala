@@ -336,6 +336,26 @@ class TableSourceSpec extends SparkSpec {
     assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
   }
 
+  test("DESCRIBE surfaces the partition spec as Spark transforms") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-desc").toString
+    spark.conf.set("spark.sql.catalog.graft_desc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_desc.warehouse", wh)
+    spark.sql("""CREATE TABLE graft_desc.db.t (k BIGINT, d DATE, s STRING)
+      PARTITIONED BY (bucket(8, k), days(d))""")
+    val rows = spark.sql("DESCRIBE TABLE graft_desc.db.t")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows.exists(_.contains("Part 0")) || rows.contains("bucket(8, k)") ||
+      rows.exists(_.contains("bucket")), s"DESCRIBE lacks partitioning: $rows")
+    val parts = spark.table("graft_desc.db.t").queryExecution
+      .analyzed.collectLeaves().head match {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table.partitioning().map(_.toString).toSeq
+      case other => fail(s"unexpected leaf $other")
+    }
+    assert(parts == Seq("bucket(8, k)", "days(d)"), parts.toString)
+  }
+
   test("i54: range predicates prune manifests through monotonic transforms") {
     val rows = LakehouseMaint.rangePrunedScan(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1))).toSeq

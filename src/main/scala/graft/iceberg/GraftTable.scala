@@ -220,7 +220,16 @@ object GraftTable {
     OptimisticCommit.metadataPath(tableDir, OptimisticCommit.currentVersion(tableDir))
 
   /** Create an empty v2 table: writes v1.metadata.json. `spec` declares
-    * the hidden-partitioning layout appends will write under. */
+    * the hidden-partitioning layout appends will write under.
+    *
+    * Every graft write route derives bound stats from the written file
+    * itself (`deriveStats` / the task writers' inline stats) — FULL,
+    * untruncated values — so created tables are stamped
+    * `graft.metrics=full`. Readers use the stamp as an exactness proof:
+    * stats-served MIN/MAX on string/binary-ordered columns is only legal
+    * when bounds are known whole values (foreign Iceberg writers default
+    * to `truncate(16)`, where the upper bound is a prefix-incremented
+    * value that need not exist in the data). */
   def create(tableDir: String, schema: IcebergSchema, tableUuid: String,
       timestampMs: Long, spec: PartitionSpec = PartitionSpec(0, Nil),
       properties: Map[String, String] = Map.empty): String = {
@@ -233,7 +242,8 @@ object GraftTable {
       currentSchemaId = Some(schema.schemaId), schemas = Seq(schema),
       partitionSpecs = Seq(spec), defaultSpecId = spec.specId,
       sortOrders = Seq(SortOrder(0, Nil)), defaultSortOrderId = 0,
-      properties = properties, currentSnapshotId = None, refs = Nil,
+      properties = Map("graft.metrics" -> "full") ++ properties,
+      currentSnapshotId = None, refs = Nil,
       snapshots = Nil, snapshotLog = Nil, metadataLog = Nil))
     path
   }
@@ -878,11 +888,22 @@ object GraftTable {
       if (addressed.isEmpty) None
       else {
         val eqVals = spark.read.parquet(e.filePath)
-        val data = spark.read.parquet(addressed: _*)
+        // read the addressed files under the TABLE's declared schema,
+        // not a single sampled footer: after int->bigint/float->double
+        // widening the set can mix INT32 and INT64 physicals, and an
+        // inferred schema would fail the read (or compare mismatched
+        // types in the null-safe join). Spark's parquet reader promotes
+        // the narrower physicals under the declared wider schema — the
+        // same rule the row/columnar table readers apply.
+        val tableSchema = sparkSchema(meta0)
+        val data = spark.read.schema(tableSchema).parquet(addressed: _*)
           .select((eqVals.columns.toSeq.map(col) :+
             col("_metadata.file_path").as("__file") :+
             col("_metadata.row_index").as("__pos")): _*)
-        val cond = eqVals.columns.map(c => data(c) <=> eqVals(c)).reduce(_ && _)
+        // the delete file itself may predate a widening — cast its
+        // values up to the table types so the join compares like for like
+        val cond = eqVals.columns.map(c =>
+          data(c) <=> eqVals(c).cast(tableSchema(c).dataType)).reduce(_ && _)
         Some(data.join(eqVals, cond, "left_semi")
           .select(normCol(col("__file")).as("file_path"), col("__pos").as("pos")))
       }
@@ -897,8 +918,21 @@ object GraftTable {
     val parts = resolvedEq ++ oldPos
     val attempt = java.util.UUID.randomUUID()
     val delFile = s"$tableDir/data/posrw-$attempt.parquet"
+    // every pending delete can resolve to ZERO addresses (e.g. the
+    // table's only commit is an upsert: its equality delete has no
+    // lower-sequence data file to address) — the rewrite then commits
+    // an EMPTY position-delete side, which still correctly drops the
+    // vacuous delete manifests. The empty frame needs the real
+    // (file_path, pos) schema: a schemaless emptyDataFrame can't sort
+    val emptyDels = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType))))
     val merged = parts.reduceOption(_ unionByName _)
-      .map(_.distinct()).getOrElse(spark.emptyDataFrame)
+      .map(_.distinct()).getOrElse(emptyDels)
     ParquetFiles.writeOne(merged.orderBy(col("file_path"), col("pos")), delFile)
     val statRow = spark.read.parquet(delFile).agg(
       count(lit(1)), min(col("file_path")), max(col("file_path")),
@@ -1094,8 +1128,22 @@ object GraftTable {
         throw new IllegalArgumentException(s"no such snapshot $snapshotId"))
       require(src.operation.forall(_ == "append"),
         s"only append snapshots can cherry-pick; $snapshotId is ${src.operation}")
-      require(!base.currentSnapshotId.contains(snapshotId),
-        s"snapshot $snapshotId is already main's head")
+      // a snapshot already reachable from main's head contributed its
+      // rows to the current state — re-applying its manifests would
+      // silently DUPLICATE them (Iceberg refuses with "already an
+      // ancestor"); same for a snapshot a previous cherry-pick already
+      // landed (the summary marker is the application record, so a
+      // retried publish job is a loud no-op, not a double-insert)
+      val mainLineage = Iterator.iterate(base.currentSnapshotId)(
+          _.flatMap(id => base.snapshot(id).flatMap(_.parentSnapshotId)))
+        .takeWhile(_.isDefined).map(_.get).toSeq
+      require(!mainLineage.contains(snapshotId),
+        s"snapshot $snapshotId is already an ancestor of main — " +
+          "cherry-picking it would duplicate its rows")
+      require(!mainLineage.flatMap(base.snapshot).exists(
+          _.summary.get("cherry-picked-snapshot-id").contains(snapshotId.toString)),
+        s"snapshot $snapshotId was already cherry-picked onto main — " +
+          "re-applying it would duplicate its rows")
       val srcAdded = ManifestListReader.read(src.manifestList.getOrElse(
           throw new IllegalArgumentException(s"snapshot $snapshotId has no manifest-list")))
         .filter(_.addedSnapshotId == snapshotId)

@@ -270,17 +270,42 @@ class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
     *   - MIN/MAX(c): additionally every entry carries decodable bounds
     *     for c (an all-null or stats-less file refuses the push), and
     *     floating-point columns refuse (NaN sorts above +Inf in Spark
-    *     but writers exclude it from bounds — the stats can't see it).
-    * Anything unprovable falls back to the ordinary scan. */
+    *     but writers exclude it from bounds — the stats can't see it);
+    *   - MIN/MAX over string/binary-ordered columns additionally
+    *     requires PROOF the bounds are whole values: the Iceberg spec
+    *     allows truncated bounds (production writers default to
+    *     `truncate(16)`, where the upper bound is a prefix-incremented
+    *     value that need not exist in the data), so the push is only
+    *     legal on tables stamped `graft.metrics=full` — set by this
+    *     engine's own writer, whose stats are always derived whole from
+    *     the written file. A foreign table without the stamp falls back
+    *     to the scan. Numeric/date/timestamp/decimal bounds are exact
+    *     single-value encodings whenever present — no stamp needed.
+    * Anything unprovable falls back to the ordinary scan.
+    *
+    * Spark probes `supportCompletePushDown`, `pushAggregation`, and then
+    * `build()` on one builder — the manifest sweep is memoized per
+    * Aggregation instance so planning pays it once. */
   private var aggResult: Option[(StructType, Seq[Any])] = None
+  private var aggMemo: Option[(AnyRef, Option[(StructType, Seq[Any])])] = None
+
+  private def serveFromStatsMemo(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = aggMemo match {
+    case Some((key, cached)) if key eq agg => cached
+    case _ =>
+      val computed = serveFromStats(agg)
+      aggMemo = Some((agg, computed))
+      computed
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    serveFromStats(agg).isDefined
+    serveFromStatsMemo(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    aggResult = serveFromStats(agg)
+    aggResult = serveFromStatsMemo(agg)
     aggResult.isDefined
   }
 
@@ -310,11 +335,21 @@ class GraftTableScanBuilder(tableSchema: StructType, metadataPath: String,
         lower: Boolean): Option[Any] =
       (if (lower) e.lowerBounds else e.upperBounds).get(fieldId).filter(_.nonEmpty)
         .flatMap(b => scala.util.Try(SingleValueCodec.decode(t, b)).toOption)
+    // string/binary-ordered bounds may be TRUNCATED by foreign writers
+    // (spec-legal; `truncate(16)` is the production default) — serve
+    // them only when the table's writer proved whole-value bounds
+    val exactBounds = meta.properties.get("graft.metrics").contains("full")
+    def truncatable(t: IcebergType): Boolean = t match {
+      case IcebergTypes.TString | IcebergTypes.TBinary | IcebergTypes.TUuid |
+           IcebergTypes.TFixed(_) => true
+      case _ => false
+    }
     def extreme(colName: String, lower: Boolean): Option[(DataType, Any)] = for {
       f <- fieldOf(colName)
       t <- IcebergTypes.fromStringOpt(f.fieldType)
       // float/double bounds exclude NaN, which Spark's MIN/MAX must see
       if !t.sparkType.isInstanceOf[FloatType] && !t.sparkType.isInstanceOf[DoubleType]
+      if exactBounds || !truncatable(t)
       vs <- Some(entries.map(e => boundValue(e, f.id, t, lower)))
         .filter(_.forall(_.isDefined)).map(_.flatten)
       v <- vs.reduceOption { (a, b) =>

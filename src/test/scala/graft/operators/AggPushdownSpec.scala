@@ -50,6 +50,43 @@ class AggPushdownSpec extends SparkSpec {
     assert(row.getString(3) == want.getString(3))
   }
 
+  test("truncated string bounds on a foreign table refuse MIN/MAX; numerics still serve") {
+    val dir = freshTable("a4")
+    // simulate a FOREIGN writer: no graft.metrics=full stamp, and the
+    // string bounds truncated the way production Iceberg writers do by
+    // default (truncate(16)): lower = prefix, upper = prefix with the
+    // last char incremented — a value that need NOT exist in the data.
+    // Serving MAX(n_name) from these would return "VJ", which no row holds.
+    GraftTable.removeProperties(dir, Seq("graft.metrics"))
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val nameId = 2
+    meta.currentSnapshot.flatMap(_.manifestList).toSeq
+      .flatMap(ManifestListReader.read).filter(_.content == 0).foreach { i =>
+        val entries = ManifestWriter.read(i.path).map(e => e.copy(
+          lowerBounds = e.lowerBounds.updated(nameId,
+            SingleValueCodec.encode(IcebergTypes.TString, "AL")),
+          upperBounds = e.upperBounds.updated(nameId,
+            SingleValueCodec.encode(IcebergTypes.TString, "VJ"))))
+        ManifestWriter.write(i.path, entries)
+      }
+    val metaPath = GraftTable.latestMetadataPath(dir)
+    val strAgg = spark.read.format("graft-table").option("metadata", metaPath)
+      .load().agg(max(col("n_name")).as("topname"))
+    assert(!strAgg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "string MAX on an unstamped table must fall back to the scan")
+    val want = Tables.load(spark, sfDir, "nation").agg(max(col("n_name"))).head()
+    assert(strAgg.head().getString(0) == want.getString(0),
+      "the scan fallback must return the TRUE max, not the truncated bound")
+    // numeric bounds are exact single-value encodings whenever present —
+    // the same unstamped table still serves COUNT/MIN/MAX(int) from stats
+    val numAgg = spark.read.format("graft-table").option("metadata", metaPath)
+      .load().agg(count(lit(1)).as("n"), min(col("n_nationkey")).as("lo"),
+        max(col("n_nationkey")).as("hi"))
+    assert(numAgg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "numeric aggregates must still stats-serve without the stamp")
+    assert(numAgg.head().getLong(0) == 25L)
+  }
+
   test("pending deletes, filters, and grouped aggregates refuse the push") {
     val dir = freshTable("a2")
     GraftTable.deleteWhere(spark, dir, col("n_regionkey") === 2)

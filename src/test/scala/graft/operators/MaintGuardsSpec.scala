@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.iceberg._
+
+/** Guard rails on the maintenance commits:
+  *
+  *  - cherry-pick refuses a snapshot already REACHABLE from main (an
+  *    ancestor re-applied would silently duplicate its rows — Iceberg's
+  *    "already an ancestor" validation) and refuses a snapshot a
+  *    previous cherry-pick already landed (the summary marker
+  *    `cherry-picked-snapshot-id` is the application record, making a
+  *    retried publish job a loud no-op instead of a double-insert);
+  *  - rewrite_position_delete_files commits an EMPTY delete side when
+  *    every pending delete resolves to zero addresses (the
+  *    upsert-is-the-only-commit case), instead of throwing on a
+  *    schemaless empty frame.
+  */
+class MaintGuardsSpec extends SparkSpec {
+
+  private val T0 = 1700000000000L
+
+  private def create(tail: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-guard").toString
+    GraftTable.create(dir, IcebergSchema(0, Seq(
+      IcebergField(1, "n_nationkey", required = false, "int"),
+      IcebergField(2, "n_name", required = false, "string"),
+      IcebergField(3, "n_regionkey", required = false, "int"))),
+      tableUuid = s"c7c9a6a1-0000-4000-8000-0000000000$tail", timestampMs = T0)
+    dir
+  }
+
+  test("cherrypick refuses ancestors of main and double application") {
+    val dir = create("b1")
+    val nation = Tables.load(spark, sfDir, "nation")
+    GraftTable.append(spark, dir, nation.filter(col("n_regionkey") === 0)) // snap 1
+    GraftTable.append(spark, dir, nation.filter(col("n_regionkey") === 1)) // snap 2
+    // snapshot 1 is an ancestor of main's head — re-applying would
+    // duplicate region-0 rows
+    val anc = intercept[IllegalArgumentException](GraftTable.cherrypick(dir, 1L))
+    assert(anc.getMessage.contains("ancestor"), anc.getMessage)
+    // detach snapshot 2 from main's lineage (rollback): now it is a
+    // staged append main advanced past — the cherry-pick shape
+    GraftTable.rollbackTo(dir, 1L)
+    GraftTable.cherrypick(dir, 2L) // publishes the region-1 rows
+    val n = GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count()
+    assert(n == nation.filter(col("n_regionkey") <= 1).count(), s"rows after publish: $n")
+    // a retried publish job must NOT double-insert
+    val dup = intercept[IllegalArgumentException](GraftTable.cherrypick(dir, 2L))
+    assert(dup.getMessage.contains("already cherry-picked"), dup.getMessage)
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == n)
+  }
+
+  test("rewrite_position_delete_files commits an empty delete side when nothing resolves") {
+    import spark.implicits._
+    val dir = create("b2")
+    // the table's ONLY commit is an upsert: its equality delete has no
+    // lower-sequence data file to address, so the rewrite's resolved set
+    // is empty — it must still commit (dropping the vacuous eq-delete
+    // manifest), not throw
+    GraftTable.upsert(spark, dir,
+      Seq((1, "ALPHA", 0), (2, "BETA", 1)).toDF("n_nationkey", "n_name", "n_regionkey"),
+      Seq("n_nationkey"))
+    GraftTable.rewritePositionDeleteFiles(spark, dir)
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val delEntries = meta.currentSnapshot.flatMap(_.manifestList).toSeq
+      .flatMap(ManifestListReader.read).filter(_.content == 1)
+      .flatMap(i => ManifestWriter.read(i.path)).filter(e => e.status != 2 && e.content != 0)
+    assert(delEntries.size == 1 && delEntries.head.content == 1 &&
+      delEntries.head.recordCount == 0L,
+      s"expected one empty position-delete entry, got $delEntries")
+    val rows = GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+      .orderBy("n_nationkey").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "ALPHA"), (2, "BETA")), rows.toString)
+  }
+}

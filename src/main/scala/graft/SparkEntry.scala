@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, Dedup, Formats, GoldenOracles, IcebergQueries, Lakehouse, LakehouseExec, LakehouseMaint, LakehouseNested, Multimodal, Relational, Relational2, Relational3, Similarity, TextPipeline}
+import graft.operators.{Advanced, Dedup, Formats, GoldenOracles, IcebergQueries, Lakehouse, LakehouseExec, LakehouseInspect, LakehouseMaint, LakehouseNested, Multimodal, Relational, Relational2, Relational3, Similarity, TextPipeline}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,8 @@ object SparkEntry {
       TextPipeline.queries ++ Similarity.queries ++ Multimodal.queries ++
       EventStreams.queries ++ Advanced.queries ++ Relational2.queries ++
       Relational3.queries ++ Lakehouse.queries ++ LakehouseExec.queries ++
-      LakehouseMaint.queries ++ LakehouseNested.queries ++ Formats.queries
+      LakehouseMaint.queries ++ LakehouseNested.queries ++
+      LakehouseInspect.queries ++ Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,6 +35,6 @@ object SparkEntry {
       Similarity.oracles ++ EventStreams.oracles ++ Advanced.oracles ++
       Relational2.oracles ++ Relational3.oracles ++ Lakehouse.oracles ++
       LakehouseExec.oracles ++ LakehouseMaint.oracles ++
-      LakehouseNested.oracles ++ Formats.oracles ++
-      GoldenOracles.oracles
+      LakehouseNested.oracles ++ LakehouseInspect.oracles ++
+      Formats.oracles ++ GoldenOracles.oracles
 }

@@ -147,10 +147,70 @@ object GraftTable {
     * to read ONLY their target files (plus the delete entries that can
     * address them) instead of filtering a full-table frame: K rewrite
     * jobs cost O(affected bytes) total I/O, not O(K · table). */
+  /** Historical name alternates after RENAME COLUMN: current field name →
+    * the names the SAME field id carried in earlier schemas. Safe to
+    * resolve by because the catalog refuses re-using any historical name
+    * for a different field — each historical name maps to at most one id. */
+  private[graft] def nameAlternates(meta: TableMetadata): Map[String, Seq[String]] =
+    meta.currentSchema.fields.flatMap { f =>
+      val hist = meta.schemas.flatMap(_.fields)
+        .filter(x => x.id == f.id && x.name != f.name).map(_.name).distinct
+      if (hist.isEmpty) None else Some(f.name -> hist)
+    }.toMap
+
+  /** Read data files under the CURRENT schema, resolving renamed columns:
+    * a file written before a RENAME COLUMN carries the old physical name,
+    * so it reads under its own name generation and aliases up to the
+    * current one. Files group by their resolved projection — KB-scale
+    * concurrent footer probes, and ONLY when the schema history holds a
+    * rename (the overwhelmingly common no-rename table skips straight to
+    * one multi-file read). `withAddress` appends the (_file, _pos)
+    * metadata coordinates inside each group (they must attach to the raw
+    * file relation, not the union). */
+  private[graft] def readDataFiles(spark: SparkSession, meta: TableMetadata,
+      paths: Seq[String], withAddress: Boolean = false): DataFrame = {
+    val schema = sparkSchema(meta)
+    def address(df: DataFrame): DataFrame =
+      if (!withAddress) df
+      else df.select(col("*"), col("_metadata.file_path").as("_file"),
+        col("_metadata.row_index").as("_pos"))
+    val alts = nameAlternates(meta)
+    if (alts.isEmpty || paths.isEmpty)
+      return address(spark.read.schema(schema).parquet(paths.sorted: _*))
+    val conf = HadoopConfs.active()
+    val byProj = Par.inParallel(paths.sorted) { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf))
+      val present = try {
+        import scala.jdk.CollectionConverters._
+        r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+      } finally r.close()
+      val mapping = schema.fieldNames.toSeq.map { cur =>
+        if (present(cur)) cur -> cur
+        else alts.getOrElse(cur, Nil).find(present).map(_ -> cur)
+          .getOrElse(cur -> cur) // absent under every name: null-fills
+      }
+      (mapping, p)
+    }.groupBy(_._1).toSeq.sortBy(_._2.head._2).map { case (m, g) => (m, g.map(_._2)) }
+    byProj.map { case (mapping, files) =>
+      val fileSchema = StructType(mapping.map { case (fn, cur) =>
+        schema(cur).copy(name = fn) })
+      address(spark.read.schema(fileSchema).parquet(files: _*))
+        .select(mapping.map { case (fn, cur) => col(fn).as(cur) } ++
+          (if (withAddress) Seq(col("_file"), col("_pos")) else Nil): _*)
+    }.reduce(_ unionByName _)
+  }
+
   private def readFromEntries(spark: SparkSession, meta: TableMetadata,
       dataEntries: Seq[(ManifestWriter.EntryData, Long)],
       posEntries0: Seq[(ManifestWriter.EntryData, Long)],
       eqEntries0: Seq[(ManifestWriter.EntryData, Long)]): DataFrame = {
+    // imported AVRO data files read through the DSv2 scan's per-format
+    // partition readers; this DataFrame-composition route is parquet-only
+    require(dataEntries.forall(_._1.fileFormat == "PARQUET"),
+      "table carries non-parquet data files — read it through " +
+        "spark.read.format(\"graft-table\") or the SQL catalog")
     val schema = sparkSchema(meta)
     if (dataEntries.isEmpty)
       return spark.createDataFrame(
@@ -175,11 +235,8 @@ object GraftTable {
     def seqLookup(entries: Seq[(ManifestWriter.EntryData, Long)], seqName: String): DataFrame =
       broadcast(entries.map { case (e, s) => (uriPath(e.filePath), s) }
         .toDF("_lk_file", seqName))
-    val data = spark.read.schema(schema)
-      .parquet(dataEntries.map(_._1.filePath).sorted: _*)
-      .select(col("*"),
-        col("_metadata.file_path").as("_file"),
-        col("_metadata.row_index").as("_pos"))
+    val data = readDataFiles(spark, meta,
+        dataEntries.map(_._1.filePath), withAddress = true)
       .join(seqLookup(dataEntries, "_seq"), normPathCol(col("_file")) === col("_lk_file"))
       .drop("_lk_file")
     val posApplied =
@@ -253,6 +310,111 @@ object GraftTable {
   private def deriveStats(spark: SparkSession, file: String, meta: TableMetadata)
       : (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]) =
     deriveStatsFor(spark, file, meta.currentSchema.fields)
+
+  /** Row count + bound stats from a parquet FOOTER alone — zero data
+    * bytes read, the import path's cost model (Iceberg's `add_files`
+    * does the same): block row counts sum, per-column min/max fold
+    * across row groups. Bounds encode only for types whose footer
+    * statistics map unambiguously onto the Iceberg single-value
+    * encoding (int/long/float/double/date/timestamp/string); anything
+    * else imports without bounds — unprunable but correct. */
+  private def footerStats(file: String, fields: Seq[IcebergField])
+      : (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), HadoopConfs.active()))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val byName = fields.flatMap(f =>
+        IcebergTypes.fromStringOpt(f.fieldType).map(t => f.name -> (f, t))).toMap
+      val acc = scala.collection.mutable.Map.empty[Int, (Any, Any, IcebergType)]
+      for {
+        b <- blocks
+        c <- b.getColumns.asScala
+        if c.getPath.size == 1
+        (f, t) <- byName.get(c.getPath.iterator().next())
+        st <- Option(c.getStatistics)
+        if st.hasNonNullValue
+      } {
+        def decode(v: Any): Option[Any] = (t, v) match {
+          case (IcebergTypes.TInt | IcebergTypes.TLong |
+                IcebergTypes.TFloat | IcebergTypes.TDouble, x) => Some(x)
+          case (IcebergTypes.TString, b: org.apache.parquet.io.api.Binary) =>
+            Some(b.toStringUsingUTF8)
+          case (IcebergTypes.TDate, d: java.lang.Integer) =>
+            Some(java.time.LocalDate.ofEpochDay(d.toLong))
+          case (IcebergTypes.TTimestamptz, us: java.lang.Long) =>
+            Some(java.time.Instant.ofEpochSecond(
+              Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+          case (IcebergTypes.TTimestamp, us: java.lang.Long) =>
+            Some(java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+              (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+          case _ => None
+        }
+        for (lo <- decode(st.genericGetMin); hi <- decode(st.genericGetMax)) {
+          val cmp = graft.sources.EntryFilterEval.cmp _
+          val merged = acc.get(f.id) match {
+            case None => (lo, hi, t)
+            case Some((plo, phi, _)) => (
+              if (cmp(Some(lo), plo).exists(_ < 0)) lo else plo,
+              if (cmp(Some(hi), phi).exists(_ > 0)) hi else phi, t)
+          }
+          acc(f.id) = merged
+        }
+      }
+      (rows,
+        acc.map { case (id, (lo, _, t)) => id -> SingleValueCodec.encode(t, lo) }.toMap,
+        acc.map { case (id, (_, hi, t)) => id -> SingleValueCodec.encode(t, hi) }.toMap)
+    } finally r.close()
+  }
+
+  /** Import an existing directory of parquet files as ONE append
+    * snapshot — Iceberg's `add_files` onboarding path: the files are
+    * referenced IN PLACE (no copy, no rewrite), row counts and bound
+    * stats come from the parquet footers alone (zero data bytes read —
+    * at 100 TB this is the difference between an afternoon of rewriting
+    * and a sub-second metadata commit). Footer-statless columns import
+    * without bounds: unprunable but correct. Returns the commit.
+    *
+    * Imported bounds are footer `min`/`max` values, which parquet
+    * writers may themselves truncate for long strings — so the commit
+    * CLEARS the table's `graft.metrics=full` stamp: stats-served
+    * MIN/MAX on string columns honestly refuses from then on. */
+  def addFiles(spark: SparkSession, tableDir: String, sourceDir: String,
+      format: String = "parquet"): OptimisticCommit.CommitResult = {
+    val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    val fmt = format.toUpperCase
+    require(fmt == "PARQUET" || fmt == "AVRO",
+      s"add_files supports parquet and avro, not $format")
+    val ext = if (fmt == "PARQUET") ".parquet" else ".avro"
+    val fs = HadoopConfs.fileSystemFor(sourceDir)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(sourceDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(ext))
+      .map(_.getPath.toString).sorted.toSeq
+    require(files.nonEmpty, s"no $format files under $sourceDir")
+    val pending = Par.inParallel(files) { f =>
+      val len = HadoopConfs.fileSystemFor(f)
+        .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+      if (fmt == "PARQUET") {
+        val (rows, lower, upper) = footerStats(f, meta0.currentSchema.fields)
+        PendingFile(f, rows, len, lower, upper, None, 0)
+      } else {
+        // Avro containers carry block record counts but no column stats:
+        // the import stays metadata-only (no bounds — unprunable, correct)
+        PendingFile(f, AvroDataFiles.countRecords(f), len,
+          Map.empty, Map.empty, None, 0)
+      }
+    }
+    val result = commitAppendFiles(tableDir, pending,
+      extraSummary = Map("added-files-import" -> files.size.toString),
+      fileFormat = fmt)
+    if (meta0.properties.get("graft.metrics").contains("full"))
+      removeProperties(tableDir, Seq("graft.metrics"))
+    result
+  }
 
   private def deriveStatsFor(spark: SparkSession, file: String,
       fields: Seq[IcebergField])
@@ -376,7 +538,8 @@ object GraftTable {
     * expiry). */
   private[graft] def commitAppendFiles(tableDir: String, files: Seq[PendingFile],
       extraSummary: Map[String, String] = Map.empty,
-      replace: Boolean = false, branch: Option[String] = None)
+      replace: Boolean = false, branch: Option[String] = None,
+      fileFormat: String = "PARQUET")
       : OptimisticCommit.CommitResult = {
     // an empty REPLACE is meaningful (overwrite-from-empty truncates);
     // an empty append is the caller's no-op to skip
@@ -395,7 +558,8 @@ object GraftTable {
       // its own (a manifest-list summary describes the WHOLE manifest)
       val (plain, summarized) = files.partition(_.partitionSummary.isEmpty)
       def entry(f: PendingFile) = ManifestWriter.EntryData(1, snapId, f.path,
-        f.rows, f.bytes, f.lower, f.upper, content = 0, sequenceNumber = Some(snapId))
+        f.rows, f.bytes, f.lower, f.upper, content = 0,
+        sequenceNumber = Some(snapId), fileFormat = fileFormat)
       val plainManifest =
         if (plain.isEmpty) Nil
         else {
@@ -522,8 +686,15 @@ object GraftTable {
         .map(_.copy(status = 0, snapshotId = snapId))
       val newEntries = files.map(f => ManifestWriter.EntryData(1, snapId, f.path,
         f.rows, f.bytes, f.lower, f.upper, content = 0, sequenceNumber = Some(snapId)))
+      // the replaced files are recorded as DELETED tombstones (status 2,
+      // original sequence/stats) — Iceberg's overwrite shape: scans drop
+      // them (every reader filters status != 2), but the `entries`
+      // inspection table and changelog-style consumers can see exactly
+      // what this commit removed without diffing snapshots
+      val tombstones = curData.filter(e => replacedNorm.contains(uriPath(e.filePath)))
+        .map(_.copy(status = 2, snapshotId = snapId))
       val manifest = s"$tableDir/m-rowlevel-$snapId-$attempt.avro"
-      ManifestWriter.write(manifest, untouched ++ newEntries)
+      ManifestWriter.write(manifest, untouched ++ newEntries ++ tombstones)
       // the manifest holds carried EXISTING entries at their ORIGINAL
       // sequences — field 516 must be the true minimum, or delete-side
       // sequence pruning would wrongly skip deletes that still apply
@@ -839,8 +1010,12 @@ object GraftTable {
         ManifestWriter.EntryData(1, snapId, f, n, ParquetFiles.length(f),
           lower, upper, content = 0, sequenceNumber = Some(snapId))
       }
+      // replaced files tombstone as DELETED entries (Iceberg's replace
+      // shape): invisible to scans, visible to the `entries` table
+      val tombstones = currentEntries(base, 0).filter(_.content == 0)
+        .map(_.copy(status = 2, snapshotId = snapId))
       val manifest = s"$tableDir/m-compact-$snapId-$attempt.avro"
-      ManifestWriter.write(manifest, entries)
+      ManifestWriter.write(manifest, entries ++ tombstones)
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       ManifestListWriter.write(list, Seq(manifest), snapId,
         addedDataFilesCount = outFiles.size)
@@ -887,7 +1062,13 @@ object GraftTable {
       val addressed = dataE.filter(_._2 < eqSeq).map(_._1.filePath)
       if (addressed.isEmpty) None
       else {
-        val eqVals = spark.read.parquet(e.filePath)
+        // the delete file's columns use the names current at DELETE time
+        // — canonicalize to the current generation before comparing
+        val altToCur = nameAlternates(meta0)
+          .flatMap { case (cur, as) => as.map(_ -> cur) }
+        val eqVals0 = spark.read.parquet(e.filePath)
+        val eqVals = eqVals0.select(eqVals0.columns.toSeq.map(c =>
+          col(c).as(altToCur.getOrElse(c, c))): _*)
         // read the addressed files under the TABLE's declared schema,
         // not a single sampled footer: after int->bigint/float->double
         // widening the set can mix INT32 and INT64 physicals, and an
@@ -896,10 +1077,9 @@ object GraftTable {
         // the narrower physicals under the declared wider schema — the
         // same rule the row/columnar table readers apply.
         val tableSchema = sparkSchema(meta0)
-        val data = spark.read.schema(tableSchema).parquet(addressed: _*)
+        val data = readDataFiles(spark, meta0, addressed, withAddress = true)
           .select((eqVals.columns.toSeq.map(col) :+
-            col("_metadata.file_path").as("__file") :+
-            col("_metadata.row_index").as("__pos")): _*)
+            col("_file").as("__file") :+ col("_pos").as("__pos")): _*)
         // the delete file itself may predate a widening — cast its
         // values up to the table types so the join compares like for like
         val cond = eqVals.columns.map(c =>
@@ -1015,11 +1195,17 @@ object GraftTable {
         afterExpiry.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
     })
     // reachability difference over the snapshot closures (lists →
-    // manifests → files), computed BEFORE anything is deleted
+    // manifests → files), computed BEFORE anything is deleted. Only
+    // LIVE entries (status != 2) keep a data file reachable: a DELETED
+    // tombstone in a retained manifest documents that the file is dead
+    // at that snapshot — the snapshot where it was live references it
+    // with a live status, and if every such snapshot expired the bytes
+    // are correctly reclaimable
     def closure(snaps: Seq[Snapshot]): Set[String] = {
       val lists = snaps.flatMap(_.manifestList)
       val manifests = lists.flatMap(l => ManifestListReader.read(l).map(_.path))
-      val files = manifests.flatMap(m => ManifestWriter.read(m).map(_.filePath))
+      val files = manifests.flatMap(m =>
+        ManifestWriter.read(m).filter(_.status != 2).map(_.filePath))
       (lists ++ manifests ++ files).toSet
     }
     val oldMeta = TableMetadata.parseFile(

@@ -50,7 +50,11 @@ object ManifestWriter {
       lowerBounds: Map[Int, Array[Byte]],
       upperBounds: Map[Int, Array[Byte]],
       content: Int = 0,
-      sequenceNumber: Option[Long] = None)
+      sequenceNumber: Option[Long] = None,
+      // spec field 101: the data file's serialization (PARQUET / AVRO /
+      // ORC). Manifests written before the field read back as PARQUET
+      // via the Avro field default — the only format the engine wrote
+      fileFormat: String = "PARQUET")
 
   private def boundsSchema(name: String, keyId: Int, valueId: Int): Schema = {
     val kv = SchemaBuilder.record(s"k${keyId}_v$valueId").fields()
@@ -77,6 +81,8 @@ object ManifestWriter {
         .name("content").prop(AvroConversions.FieldIdKey, "134")
         .`type`().intType().intDefault(0)
         .name("file_path").prop(AvroConversions.FieldIdKey, "100").`type`().stringType().noDefault()
+        .name("file_format").prop(AvroConversions.FieldIdKey, "101")
+        .`type`().stringType().stringDefault("PARQUET")
         .name("record_count").prop(AvroConversions.FieldIdKey, "103").`type`().longType().noDefault()
         .name("file_size_in_bytes").prop(AvroConversions.FieldIdKey, "104").`type`().longType().noDefault()
         .name("lower_bounds").prop(AvroConversions.FieldIdKey, "125")
@@ -123,7 +129,8 @@ object ManifestWriter {
           df.get("file_size_in_bytes").asInstanceOf[Long],
           bounds("lower_bounds"), bounds("upper_bounds"),
           df.get("content").asInstanceOf[Int],
-          Option(r.get("sequence_number")).map(_.asInstanceOf[Long]))
+          Option(r.get("sequence_number")).map(_.asInstanceOf[Long]),
+          Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"))
       }
       buf.result()
     } finally { stream.close(); in.close() }
@@ -159,6 +166,7 @@ object ManifestWriter {
       val df = new GenericData.Record(dfSchema)
       df.put("content", e.content)
       df.put("file_path", e.filePath)
+      df.put("file_format", e.fileFormat)
       df.put("record_count", e.recordCount)
       df.put("file_size_in_bytes", e.fileSizeInBytes)
       df.put("lower_bounds", boundsArray(lower, e.lowerBounds))

@@ -75,7 +75,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * identifier convention: `SELECT * FROM graft.db.t.snapshots`). */
   private val MetadataTableNames =
     Set("snapshots", "history", "refs", "metadata_log_entries", "manifests",
-      "files", "delete_files", "partitions", "all_manifests", "all_files")
+      "files", "delete_files", "partitions", "all_manifests", "all_files",
+      "entries", "all_entries", "position_deletes")
 
   private def loadMetadataTable(ident: Identifier): Option[Table] = {
     if (ident.namespace().isEmpty || !MetadataTableNames.contains(ident.name())) return None
@@ -85,6 +86,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val meta = TableMetadata.parseFile(
       GraftTable.latestMetadataPath(tableDir(baseIdent)))
     import graft.iceberg.MetadataTables
+    // position_deletes is per-ROW (every deleted position), not per-file
+    // — unlike the other metadata tables it is served as a REAL
+    // distributed scan, one task per delete file, never a driver collect
+    if (ident.name() == "position_deletes") {
+      import graft.iceberg.{ManifestListReader, ManifestWriter, Par}
+      val delFiles = meta.currentSnapshot.flatMap(_.manifestList).toSeq
+        .flatMap(ManifestListReader.read).filter(_.content == 1)
+        .flatMap(i => ManifestWriter.read(i.path))
+        .filter(e => e.status != 2 && e.content == 1)
+        .map(_.filePath).distinct.sorted
+      return Some(new GraftPosDeletesTable(
+        s"$catalogName.${ident.toString}", delFiles))
+    }
     val df = ident.name() match {
       case "snapshots" => MetadataTables.snapshots(spark, meta)
       case "history" => MetadataTables.history(spark, meta)
@@ -93,6 +107,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "partitions" => MetadataTables.partitions(spark, meta)
       case "all_manifests" => MetadataTables.allManifests(spark, meta)
       case "all_files" => MetadataTables.allFiles(spark, meta)
+      case "entries" => MetadataTables.entries(spark, meta)
+      case "all_entries" => MetadataTables.allEntries(spark, meta)
       case "manifests" =>
         val list = meta.currentSnapshot.flatMap(_.manifestList).getOrElse(
           throw new IllegalArgumentException("table has no current snapshot"))
@@ -181,6 +197,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * sequence (Iceberg assigns nested ids the same way). */
   private def icebergTypeName(dt: DataType, nextId: () => Int): String = dt match {
     case IntegerType => "int"
+    // Iceberg has no 8/16-bit integers — SMALLINT/TINYINT columns
+    // promote to int at CREATE time (the Spark-Iceberg convention);
+    // values cast up losslessly on write and read back as INT
+    case ShortType | ByteType => "int"
     case LongType => "long"
     case StringType => "string"
     case DoubleType => "double"
@@ -372,13 +392,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(fields.nonEmpty, "write.sort-order must name at least one column")
         GraftTable.evolveSortOrder(dir,
           SortOrder(base.sortOrders.map(_.orderId).maxOption.getOrElse(0) + 1, fields))
+      // ALTER TABLE t RENAME COLUMN a TO b — a metadata-only commit: the
+      // field keeps its ID (and therefore its bound stats, partition
+      // sources, and sort references), only the name advances. Files
+      // written before the rename keep the old physical name; every read
+      // route resolves them through the field-id name history
+      // (GraftTable.nameAlternates). The new name must be FRESH across
+      // the whole schema history unless it returns to a name this same
+      // field carried before — under name-based file resolution, reusing
+      // another field's historical name would resurrect old file contents
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "graft catalog supports top-level RENAME COLUMN only")
+        val base = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+        val cur = base.currentSchema
+        val from = rn.fieldNames().head
+        val to = rn.newName()
+        val field = cur.fields.find(_.name == from).getOrElse(
+          throw new IllegalArgumentException(s"no such column $from"))
+        require(!cur.fields.exists(_.name == to),
+          s"column '$to' already exists")
+        require(!base.schemas.exists(_.fields.exists(f =>
+            f.name == to && f.id != field.id)),
+          s"column name '$to' was used by an earlier schema of this table " +
+            "for a different field; reusing it would resurrect old file " +
+            "contents under name-based resolution — pick a fresh name")
+        GraftTable.evolveSchema(dir, IcebergSchema(
+          base.schemas.map(_.schemaId).max + 1,
+          cur.fields.map(f => if (f.id == field.id) f.copy(name = to) else f)))
       case set: TableChange.SetProperty =>
         GraftTable.setProperties(dir, Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>
         GraftTable.removeProperties(dir, Seq(rm.property()))
       case other => throw new UnsupportedOperationException(
         s"unsupported table change $other — supported: ADD COLUMN, DROP COLUMN, " +
-          "SET/UNSET TBLPROPERTIES")
+          "RENAME COLUMN, ALTER COLUMN TYPE, SET/UNSET TBLPROPERTIES")
     }
     loadTable(ident)
   }
@@ -573,6 +621,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"namespace ${namespace.mkString(".")} is not empty")
     fs.delete(new Path(dir), cascade)
   }
+}
+
+/** The `position_deletes` inspection table: every live (file_path, pos)
+  * row with the delete file it came from — what an operator audits after
+  * `rewrite_position_delete_files`. Unlike the per-FILE metadata tables
+  * this is per-ROW (a delete-heavy CDC table holds millions), so it is a
+  * REAL distributed scan: one input partition per delete file, the
+  * shared parquet row reader decoding (file_path, pos) and serving the
+  * provenance column — never a driver materialization. */
+class GraftPosDeletesTable(tableName: String, delFiles: Seq[String])
+    extends Table with SupportsRead {
+  private val posDeleteSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+  private val served = StructType(posDeleteSchema.fields.toSeq :+
+    StructField("delete_file_path", StringType, nullable = false))
+  override def name(): String = tableName
+  override def schema(): StructType = served
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = () =>
+    new org.apache.spark.sql.connector.read.Scan
+        with org.apache.spark.sql.connector.read.Batch {
+      override def readSchema(): StructType = served
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+      override def description(): String = s"graft position_deletes $tableName"
+      private val conf = new graft.iceberg.SerializableHadoopConf(
+        graft.iceberg.HadoopConfs.active())
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] =
+        delFiles.map(f => GraftTableInputPartition(f, 0L, Nil, Nil,
+          posDeleteSchema): org.apache.spark.sql.connector.read.InputPartition).toArray
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new GraftTableReaderFactory(served, conf, columnar = false)
+    }
 }
 
 /** A metadata table served as a V2 `LocalScan`: the rows are KB-scale

@@ -76,7 +76,7 @@ object GraftProcedures {
   def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
     "rollback_to_snapshot", "create_tag", "fast_forward",
     "rewrite_manifests", "remove_orphan_files", "create_branch",
-    "rewrite_position_delete_files", "cherrypick_snapshot")
+    "rewrite_position_delete_files", "cherrypick_snapshot", "add_files")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. */
@@ -101,6 +101,34 @@ object GraftProcedures {
             targetBytes = input.getLong(1))
           val after = dataFileCount(result.metadata)
           Seq(InternalRow(before, after,
+            result.metadata.currentSnapshotId.getOrElse(0L)))
+        })
+      case "add_files" => new Proc(
+        "add_files",
+        "import an existing directory of parquet (footer stats, zero " +
+          "data bytes) or avro (block record counts) files as one " +
+          "append snapshot — files referenced in place, no copy",
+        Array(in("table", StringType), in("source_dir", StringType),
+          inDefault("format", StringType, "'parquet'")),
+        StructType(Seq(
+          StructField("added_files_count", IntegerType),
+          StructField("added_records_count", LongType),
+          StructField("snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          val before = dataFileCount(currentMeta(dir))
+          val result = GraftTable.addFiles(SparkSession.active, dir,
+            input.getUTF8String(1).toString,
+            format = input.getUTF8String(2).toString)
+          val meta = currentMeta(dir)
+          val added = dataFileCount(meta) - before
+          val newSnap = result.metadata.currentSnapshotId.getOrElse(-1L)
+          val records = meta.currentSnapshot.flatMap(_.manifestList).toSeq
+            .flatMap(ManifestListReader.read).filter(_.content == 0)
+            .flatMap(i => ManifestWriter.read(i.path))
+            .filter(e => e.status == 1 && e.content == 0 && e.snapshotId == newSnap)
+            .map(_.recordCount).sum
+          Seq(InternalRow(added, records,
             result.metadata.currentSnapshotId.getOrElse(0L)))
         })
       case "cherrypick_snapshot" => new Proc(

@@ -594,6 +594,7 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     // can tell a delete added concurrently from one it provably skipped
     onPlanned.foreach(cb => cb(kept.map(_._1.filePath), allDeletePathsAtScan))
     val tableSchema = GraftTable.sparkSchema(pinnedMeta)
+    val alternates = GraftTable.nameAlternates(pinnedMeta)
     def partition(e: ManifestWriter.EntryData, seq: Long,
         rowGroup: Int, rowStart: Long): GraftTableInputPartition =
       GraftTableInputPartition(e.filePath, seq,
@@ -604,7 +605,8 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
         posDeletes.filter { case (d, dseq) => dseq >= seq && mayAddress(d, e.filePath) }
           .map(_._1.filePath),
         eqDeletes.filter(_._2 > seq).map(_._1.filePath),
-        tableSchema, rowGroup, rowStart)
+        tableSchema, rowGroup, rowStart, nameAlternates = alternates,
+        fileFormat = e.fileFormat)
     // files above the split threshold fan out ONE PARTITION PER ROW GROUP
     // (footer read at planning, concurrent, only for big files — the
     // manifest's fileSizeInBytes decides, so small files cost nothing);
@@ -612,7 +614,8 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     // keep addressing file-absolute row numbers, plus the group's byte
     // range so the columnar route can select exactly it by midpoint
     Par.inParallel(kept) { case (e, seq) =>
-      if (e.fileSizeInBytes <= splitSize) Seq(partition(e, seq, -1, 0L))
+      if (e.fileSizeInBytes <= splitSize || e.fileFormat != "PARQUET")
+        Seq(partition(e, seq, -1, 0L))
       else {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(e.filePath), hadoopConf.value))
@@ -644,9 +647,17 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     // final getStruct walks children by the view's row-id) never wrap
     // them. Spark's vectorized reader decodes the nested vectors.
     val noDeletes = planned._2.isEmpty && planned._3.isEmpty
+    // a RENAMED schema keeps the columnar route on delete-free scans
+    // (the reader substitutes each file's own name generation into the
+    // requested schema); renames + pending deletes take the row route —
+    // the equality canonicalization there is name-history-aware
+    val renames = GraftTable.nameAlternates(pinnedMeta)
     GraftTableColumnarReader.supportedSchema(required, allowNested = noDeletes) &&
       !required.fieldNames.exists(n => n == "_file" || n == "_pos") &&
-      (planned._3.isEmpty || eqColumnsColumnar)
+      (planned._3.isEmpty || eqColumnsColumnar) &&
+      (renames.isEmpty || noDeletes) &&
+      // non-parquet data files (imported Avro) take the row route
+      planned._1.forall(_._1.fileFormat == "PARQUET")
   }
 
   /** Every pending equality-delete file's column set must compare cleanly
@@ -884,16 +895,28 @@ class GraftTableDeltaWriterFactory(tableDir: String, writeUuid: String,
 case class GraftTableInputPartition(filePath: String, sequenceNumber: Long,
     posDeleteFiles: Seq[String], eqDeleteFiles: Seq[String],
     tableSchema: StructType, rowGroup: Int = -1, rowStart: Long = 0L,
-    splitStart: Long = 0L, splitBytes: Long = Long.MaxValue)
+    splitStart: Long = 0L, splitBytes: Long = Long.MaxValue,
+    // RENAME COLUMN support: current name → the names this field's id
+    // carried in earlier schemas; empty on never-renamed tables
+    nameAlternates: Map[String, Seq[String]] = Map.empty,
+    // manifest field 101: PARQUET (the engine's own writes) or AVRO
+    // (foreign/imported data files — row route, no row-group splits)
+    fileFormat: String = "PARQUET")
     extends InputPartition
 
 class GraftTableReaderFactory(required: StructType,
     hadoopConf: graft.iceberg.SerializableHadoopConf,
     columnar: Boolean = false) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftTablePartitionReader(
-      partition.asInstanceOf[GraftTableInputPartition], required, hadoopConf.value)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftTableInputPartition]
+    p.fileFormat match {
+      case "PARQUET" => new GraftTablePartitionReader(p, required, hadoopConf.value)
+      case "AVRO" => new GraftTableAvroPartitionReader(p, required, hadoopConf.value)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported data file format $other for ${p.filePath}")
+    }
+  }
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftTableColumnarReader(
@@ -947,9 +970,31 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
       .map(c => StructField(c, tableType(c)))
   private val widened = StructType(required.fields.toSeq ++ extraFields)
 
+  /** RENAME COLUMN resolution on the columnar route: when the schema
+    * history carries renames, a pre-rename file holds the OLD physical
+    * name — requesting the current name would null-fill it. Spark's
+    * reader clips the projection BY NAME, but the output ColumnarBatch
+    * is purely positional, so substituting the file's own name for the
+    * renamed field (same position, same type) reads the right vectors
+    * with no downstream change. One extra KB-scale footer open, paid
+    * ONLY by tables that have actually renamed a column. */
+  private val requested: StructType =
+    if (part.nameAlternates.isEmpty) widened
+    else {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.filePath), confBase))
+      val present = try r.getFileMetaData.getSchema.getFields.asScala
+        .map(_.getName).toSet finally r.close()
+      StructType(widened.fields.map { f =>
+        if (present(f.name)) f
+        else part.nameAlternates.getOrElse(f.name, Nil).find(present)
+          .map(old => f.copy(name = old)).getOrElse(f)
+      })
+    }
+
   private val conf = new Configuration(confBase)
   // the keys Spark's reader stack expects its planner to have set
-  conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, widened.json)
+  conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
   conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
     classOf[ParquetReadSupport].getName)
   conf.setBoolean("spark.sql.parquet.binaryAsString", false)
@@ -1332,13 +1377,19 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
     ParquetFileReader.open(HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path), conf))
 
+  /** Old-name → current-name map after RENAME COLUMN (empty otherwise). */
+  private val altToCurrent: Map[String, String] =
+    part.nameAlternates.flatMap { case (cur, as) => as.map(_ -> cur) }
+
   /** Projection = the file's own fields restricted to the required
     * columns (requested schemas must structurally match the file); a
-    * required column the file predates null-fills in [[rowOf]]. An empty
-    * projection (count(*), or all-columns-evolved) still needs one field
-    * to drive row iteration. */
+    * required column the file predates null-fills in [[rowOf]]. A
+    * RENAMED column selects under the name generation the file carries.
+    * An empty projection (count(*), or all-columns-evolved) still needs
+    * one field to drive row iteration. */
   private def projected(full: MessageType, names: Seq[String]): MessageType = {
-    val sel = full.getFields.asScala.filter(f => names.contains(f.getName))
+    val wanted = names.flatMap(n => n +: part.nameAlternates.getOrElse(n, Nil)).toSet
+    val sel = full.getFields.asScala.filter(f => wanted.contains(f.getName))
     new MessageType(full.getName, (if (sel.nonEmpty) sel else full.getFields.asScala.take(1)).asJava)
   }
 
@@ -1379,9 +1430,14 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
     part.eqDeleteFiles.foreach { del =>
       val r = open(del)
       try {
-        val cols = r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+        // the delete file's columns use the names current at DELETE time
+        // — canonicalize to the CURRENT generation (the probe side reads
+        // data rows by current name, resolving renames itself)
+        val raw = r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+        val cols = raw.map(c => altToCurrent.getOrElse(c, c))
         val set = acc.getOrElseUpdate(cols, new java.util.HashSet[Vector[Any]]())
-        readRows(r, cols)(g => set.add(cols.map(c => valueOf(g, c, tableType(c))).toVector))
+        readRows(r, raw)(g => set.add(raw.zip(cols).map { case (rc, cc) =>
+          valueOf(g, rc, tableType(cc)) }.toVector))
       } finally r.close()
     }
     acc.toSeq
@@ -1424,8 +1480,15 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
 
   private def valueOf(g: Group, name: String, dt: DataType): Any = {
     val t = g.getType
-    if (!t.containsField(name)) return null // pre-evolution file: null-fill
-    val i = t.getFieldIndex(name)
+    // resolve the file's own name generation (RENAME COLUMN); a column
+    // absent under every historical name predates the field: null-fill
+    val actual =
+      if (t.containsField(name)) name
+      else part.nameAlternates.getOrElse(name, Nil).find(t.containsField) match {
+        case Some(old) => old
+        case None => return null
+      }
+    val i = t.getFieldIndex(actual)
     if (g.getFieldRepetitionCount(i) == 0) return null
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{FLOAT => PFLOAT, INT32}
     dt match {
@@ -1506,6 +1569,12 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
         // reader, never decoded from the file
         case "_file" => part.filePath
         case "_pos" => rowIndex
+        // the position_deletes metadata table's provenance column — the
+        // PHYSICAL file each (file_path, pos) row came from; only when
+        // the served schema doesn't carry a real column of that name
+        case "delete_file_path"
+            if !part.tableSchema.fieldNames.contains("delete_file_path") =>
+          part.filePath
         case _ => valueOf(g, f.name, f.dataType)
       }
     })

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.iceberg._
+
+/** The `entries` / `all_entries` inspection tables: per-manifest-entry
+  * status/snapshot_id/sequence_number + decoded readable_metrics — the
+  * reference's own record shape (`ManifestFileReadTool.java:144-157`)
+  * served relationally, DELETED tombstones included. */
+class LakehouseInspectSpec extends SparkSpec {
+
+  test("i72 entry matches its oracle shape on sf0.001") {
+    val df = LakehouseInspect.entriesTable(spark, sfDir)
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+      r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(rows == Seq(
+      (0, 1L, 0, 10L, "0", "21"),
+      (1, 3L, 0, 15L, "2", "24"),
+      (2, 2L, 0, 15L, "2", "24")), rows.toString)
+  }
+
+  test("all_entries carries every snapshot's view, entries only the head's") {
+    val wh = entryDirFor("inspect-all")
+    spark.conf.set("spark.sql.catalog.graft_ia",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ia.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("ia_nation_src")
+    spark.sql("CREATE TABLE graft_ia.db.n (n_nationkey INT, n_name STRING)")
+    spark.sql("""INSERT INTO graft_ia.db.n
+      SELECT n_nationkey, n_name FROM ia_nation_src WHERE n_nationkey < 5""")
+    spark.sql("""INSERT INTO graft_ia.db.n
+      SELECT n_nationkey, n_name FROM ia_nation_src WHERE n_nationkey >= 5""")
+    val ent = spark.sql(
+      "SELECT snapshot_id, sequence_number, record_count FROM graft_ia.db.n.entries")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(ent == Seq((1L, 1L, 5L), (2L, 2L, 20L)), ent.toString)
+    // snapshot 1 references one entry, snapshot 2 references both
+    val all = spark.sql("""SELECT reference_snapshot_id, COUNT(*) AS n
+      FROM graft_ia.db.n.all_entries GROUP BY reference_snapshot_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(all == Seq((1L, 1L), (2L, 2L)), all.toString)
+    // readable_metrics decode to whole values
+    val m = spark.sql("""SELECT readable_metrics['n_nationkey'].lower_bound,
+      readable_metrics['n_nationkey'].upper_bound
+      FROM graft_ia.db.n.entries ORDER BY sequence_number""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(m == Seq(("0", "4"), ("5", "24")), m.toString)
+  }
+
+  test("i74 add_files imports in place with footer stats") {
+    val df = LakehouseInspect.addFilesImport(spark, sfDir)
+    val want = Tables.load(spark, sfDir, "customer")
+      .agg(count(lit(1)), sum(col("c_custkey"))).head()
+    val got = df.head()
+    assert(got.getLong(0) == want.getLong(0), got.toString)
+    assert(got.getLong(1) == want.getLong(1), got.toString)
+    // imported entries carry footer-derived bounds: the staged files were
+    // range-partitioned on c_custkey, so a point query must prune files
+    val wh = LakehouseExec.entryDir("i74", sfDir)
+    val meta = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(s"$wh/db/cust"))
+    val entries = meta.currentSnapshot.flatMap(_.manifestList).toSeq
+      .flatMap(ManifestListReader.read).filter(_.content == 0)
+      .flatMap(i => ManifestWriter.read(i.path)).filter(_.content == 0)
+    assert(entries.size == 4 && entries.forall(_.lowerBounds.contains(1)),
+      s"expected 4 imported entries with custkey bounds, got ${entries.size}")
+    // the import clears the exact-bounds stamp (footer strings may be
+    // truncated by the original writer — stats-served string MAX must
+    // refuse from now on)
+    assert(!meta.properties.get("graft.metrics").contains("full"))
+  }
+
+  test("i75 mixed parquet+avro table scans both formats; filter and projection hold") {
+    val df = LakehouseInspect.avroMixed(spark, sfDir)
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Tables.load(spark, sfDir, "nation").groupBy("n_regionkey")
+      .agg(count(lit(1)), sum(col("n_nationkey"))).orderBy("n_regionkey")
+      .collect().map(r => (r.getAs[Int](0), r.getAs[Long](1), r.getAs[Long](2))).toSeq
+    assert(got == want, got.toString)
+    // a filtered projection over the avro half answers correctly
+    val one = spark.sql(
+      "SELECT n_name FROM graft_avr.db.n WHERE n_nationkey = 12")
+      .collect().map(_.getString(0)).toSeq
+    assert(one == Tables.load(spark, sfDir, "nation")
+      .filter(col("n_nationkey") === 12).collect().map(_.getAs[String]("n_name")).toSeq)
+  }
+
+  test("i76 position_deletes is a distributed scan over the delete files") {
+    val df = LakehouseInspect.positionDeletes(spark, sfDir)
+    val got = df.head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((3L, 2L, 1L)), got.toString)
+    // a real scan (BatchScan over the delete files), not a LocalTableScan
+    val raw = spark.sql("SELECT * FROM graft_pdt.db.n.position_deletes")
+    assert(raw.queryExecution.executedPlan.toString.contains("BatchScan"),
+      raw.queryExecution.executedPlan.toString)
+    // positions address the single data file in insert order (nation is
+    // key-ordered): deleted keys 2, 4, 11 sit at those row indexes
+    assert(raw.select("pos").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 4L, 11L))
+  }
+
+  private def entryDirFor(tag: String): String = {
+    val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-spec-$tag-${ProcessHandle.current().pid()}").toString
+    graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(d))
+    d
+  }
+}

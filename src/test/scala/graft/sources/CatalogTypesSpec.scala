@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.iceberg._
+
+/** Edge-of-palette column types through the catalog and type lattice:
+  * SMALLINT/TINYINT promote to Iceberg `int` at CREATE (the
+  * Spark-Iceberg convention — Iceberg has no 8/16-bit integers), and a
+  * FOREIGN table declaring `uuid` / `fixed[16]` columns parses, maps to
+  * Spark string/binary, and round-trips its bound encodings through
+  * SingleValueCodec (the reference's own uuid/fixed decode surface —
+  * IcebergDatumWriter.java bound decoding). */
+class CatalogTypesSpec extends SparkSpec {
+
+  test("SMALLINT/TINYINT columns promote to int and round-trip values") {
+    val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-spec-types-${ProcessHandle.current().pid()}").toString
+    graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(wh))
+    spark.conf.set("spark.sql.catalog.g_typ",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g_typ.warehouse", wh)
+    spark.sql("CREATE TABLE g_typ.db.t (k SMALLINT, b TINYINT, s STRING)")
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
+    assert(meta.currentSchema.fields.map(_.fieldType) == Seq("int", "int", "string"))
+    spark.sql("INSERT INTO g_typ.db.t VALUES (CAST(7 AS SMALLINT), CAST(3 AS TINYINT), 'x')")
+    val row = spark.sql("SELECT k, b, s FROM g_typ.db.t").head()
+    assert(row.getInt(0) == 7 && row.getInt(1) == 3 && row.getString(2) == "x")
+  }
+
+  test("foreign uuid/fixed columns parse, map, and round-trip bounds") {
+    val uuidStr = "f79c3e09-677c-4bbd-a479-3f349cb785e7"
+    val doc = TableMetadata(
+      formatVersion = 2, tableUuid = uuidStr, location = "/tmp/x",
+      lastUpdatedMs = 0L, topLevelSchema = None, currentSchemaId = Some(0),
+      schemas = Seq(IcebergSchema(0, Seq(
+        IcebergField(1, "id", required = false, "uuid"),
+        IcebergField(2, "digest", required = false, "fixed[16]"),
+        IcebergField(3, "payload", required = false, "binary")))),
+      partitionSpecs = Nil, defaultSpecId = 0, sortOrders = Nil,
+      defaultSortOrderId = 0, properties = Map.empty, currentSnapshotId = None,
+      refs = Nil, snapshots = Nil, snapshotLog = Nil, metadataLog = Nil)
+    val schema = GraftTable.sparkSchema(doc)
+    assert(schema("id").dataType == org.apache.spark.sql.types.StringType)
+    assert(schema("digest").dataType == org.apache.spark.sql.types.BinaryType)
+    // bound-encoding round trips: uuid = 16 bytes big-endian, fixed = raw
+    val u = java.util.UUID.fromString(uuidStr)
+    val encU = SingleValueCodec.encode(IcebergTypes.TUuid, u)
+    assert(encU.length == 16)
+    assert(SingleValueCodec.decode(IcebergTypes.TUuid, encU) == u)
+    val raw = Array.tabulate[Byte](16)(_.toByte)
+    val encF = SingleValueCodec.encode(IcebergTypes.TFixed(16), raw)
+    assert(SingleValueCodec.decode(IcebergTypes.TFixed(16), encF)
+      .asInstanceOf[Array[Byte]].toSeq == raw.toSeq)
+  }
+}

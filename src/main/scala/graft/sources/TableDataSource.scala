@@ -1022,14 +1022,23 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
     * batch's first row is `rowStart` plus the rows already served. */
   private val deleted = PosDeleteIndex.load(part.posDeleteFiles, part.filePath, confBase)
 
-  /** Equality-delete value sets in the CANONICAL COLUMNAR domain (epoch
-    * days as Int, micros as Long, String) — one per distinct column list,
-    * with each list's vector ordinals into the widened batch. */
-  private val eqSets: Seq[(Array[Int], Array[DataType], java.util.HashSet[Vector[Any]])] =
+  /** Equality-delete probes in the CANONICAL COLUMNAR domain — one per
+    * distinct column list, specialized by shape so the per-row test
+    * allocates NOTHING on the hot paths:
+    *   - single long-coercible column (the CDC-upsert key shape):
+    *     sorted `long[]` + binary search, fully unboxed;
+    *   - single string column: a set of UTF8String keys probed with the
+    *     vector's own transient UTF8String (no String materialization);
+    *   - anything else: a tuple set probed through ONE reusable buffer
+    *     (only the unavoidable value boxing remains).
+    * This is what closed the eq-MOR ScanBench gap vs native parquet —
+    * the previous per-row Array+Vector allocation was the entire cost. */
+  private val eqProbes: Array[EqProbe] =
     EqDeleteIndex.load(part.eqDeleteFiles, tableType, confBase).map {
-      case (cols, set) =>
-        (cols.map(widened.fieldIndex).toArray, cols.map(tableType).toArray, set)
-    }
+      case (cols, set) => EqProbe.build(
+        cols.map(widened.fieldIndex).toArray, cols.map(tableType).toArray, set)
+    }.toArray
+  private val eqSetsEmpty: Boolean = eqProbes.isEmpty
 
   private var served: Long = 0L
 
@@ -1041,7 +1050,7 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
       val first = part.rowStart + served
       served += raw.numRows()
       batch =
-        if (deleted.isEmpty && eqSets.isEmpty && extraFields.isEmpty) raw
+        if (deleted.isEmpty && eqSetsEmpty && extraFields.isEmpty) raw
         else select(raw, first)
     }
     has
@@ -1049,29 +1058,14 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
   override def get(): ColumnarBatch = batch
   override def close(): Unit = reader.close()
 
-  private def eqValue(v: ColumnVector, dt: DataType, row: Int): Any =
-    if (v.isNullAt(row)) null
-    else dt match {
-      case IntegerType | DateType => v.getInt(row)
-      case LongType | TimestampType | TimestampNTZType => v.getLong(row)
-      case DoubleType => v.getDouble(row)
-      case FloatType => v.getFloat(row)
-      case BooleanType => v.getBoolean(row)
-      case StringType => v.getUTF8String(row).toString
-      case other => throw new UnsupportedOperationException(
-        s"equality comparison over $other on the columnar route")
+  private def eqDeleted(raw: ColumnarBatch, row: Int): Boolean = {
+    var i = 0
+    while (i < eqProbes.length) {
+      if (eqProbes(i).deleted(raw, row)) return true
+      i += 1
     }
-
-  private def eqDeleted(raw: ColumnarBatch, row: Int): Boolean =
-    eqSets.exists { case (idxs, dts, set) =>
-      val tuple = new Array[Any](idxs.length)
-      var j = 0
-      while (j < idxs.length) {
-        tuple(j) = eqValue(raw.column(idxs(j)), dts(j), row)
-        j += 1
-      }
-      set.contains(tuple.toVector)
-    }
+    false
+  }
 
   /** Vectorized MOR: surviving ordinals map through a selection view over
     * the batch's own vectors — no column data is copied, deleted rows
@@ -1085,7 +1079,7 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
     var k = 0
     var i = 0
     while (i < n) {
-      if (!deleted.contains(first + i) && (eqSets.isEmpty || !eqDeleted(raw, i))) {
+      if (!deleted.contains(first + i) && (eqSetsEmpty || !eqDeleted(raw, i))) {
         sel(k) = i; k += 1
       }
       i += 1
@@ -1103,6 +1097,110 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
         new SelectedColumnVector(raw.column(c), keep))
       new ColumnarBatch(cols, k)
     }
+  }
+}
+
+/** A per-row equality-delete membership test over a ColumnarBatch,
+  * shape-specialized so the hot path allocates nothing (see the
+  * construction notes at the reader's `eqProbes`). */
+private[sources] sealed trait EqProbe {
+  def deleted(raw: org.apache.spark.sql.vectorized.ColumnarBatch, row: Int): Boolean
+}
+
+private[sources] object EqProbe {
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  /** Single long-coercible key (int/long/date/timestamp vectors all
+    * surface as int/long): sorted array + binary search, unboxed. */
+  private final class LongCol(idx: Int, isInt: Boolean, sorted: Array[Long],
+      hasNull: Boolean) extends EqProbe {
+    override def deleted(raw: ColumnarBatch, row: Int): Boolean = {
+      val v = raw.column(idx)
+      if (v.isNullAt(row)) hasNull
+      else {
+        val x = if (isInt) v.getInt(row).toLong else v.getLong(row)
+        java.util.Arrays.binarySearch(sorted, x) >= 0
+      }
+    }
+  }
+
+  /** Single string key: UTF8String set probed with the vector's own
+    * transient UTF8String — hashing/equality run on the raw bytes, no
+    * java.lang.String ever materializes. */
+  private final class StringCol(idx: Int,
+      set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String],
+      hasNull: Boolean) extends EqProbe {
+    override def deleted(raw: ColumnarBatch, row: Int): Boolean = {
+      val v = raw.column(idx)
+      if (v.isNullAt(row)) hasNull else set.contains(v.getUTF8String(row))
+    }
+  }
+
+  /** Array-backed tuple with value-based hash/equality — stored keys own
+    * their arrays; the probe side reuses ONE buffer per probe object. */
+  private[sources] final class TupleKey(val vals: Array[AnyRef]) {
+    override def hashCode: Int = java.util.Arrays.hashCode(vals)
+    override def equals(o: Any): Boolean = o match {
+      case t: TupleKey => java.util.Arrays.equals(vals, t.vals)
+      case _ => false
+    }
+  }
+
+  private final class Generic(idxs: Array[Int], dts: Array[DataType],
+      set: java.util.HashSet[TupleKey]) extends EqProbe {
+    private val buf = new Array[AnyRef](idxs.length)
+    private val probe = new TupleKey(buf)
+    private def value(v: org.apache.spark.sql.vectorized.ColumnVector,
+        dt: DataType, row: Int): AnyRef =
+      if (v.isNullAt(row)) null
+      else dt match {
+        case IntegerType | DateType => Int.box(v.getInt(row))
+        case LongType | TimestampType | TimestampNTZType => Long.box(v.getLong(row))
+        case DoubleType => Double.box(v.getDouble(row))
+        case FloatType => Float.box(v.getFloat(row))
+        case BooleanType => Boolean.box(v.getBoolean(row))
+        case StringType => v.getUTF8String(row).toString
+        case other => throw new UnsupportedOperationException(
+          s"equality comparison over $other on the columnar route")
+      }
+    override def deleted(raw: ColumnarBatch, row: Int): Boolean = {
+      var j = 0
+      while (j < idxs.length) {
+        buf(j) = value(raw.column(idxs(j)), dts(j), row)
+        j += 1
+      }
+      set.contains(probe)
+    }
+  }
+
+  /** Build the best probe for a loaded value set (canonical columnar
+    * domain — Int/Long/String as [[EqDeleteIndex.canonical]] decodes). */
+  def build(idxs: Array[Int], dts: Array[DataType],
+      set: java.util.HashSet[Vector[Any]]): EqProbe = {
+    import scala.jdk.CollectionConverters._
+    if (idxs.length == 1) dts(0) match {
+      case IntegerType | DateType | LongType | TimestampType | TimestampNTZType =>
+        val vs = set.asScala.map(_.head)
+        val hasNull = vs.exists(_ == null)
+        val sorted = vs.collect {
+          case i: Int => i.toLong
+          case l: Long => l
+        }.toArray.sorted
+        return new LongCol(idxs(0),
+          dts(0) == IntegerType || dts(0) == DateType, sorted, hasNull)
+      case StringType =>
+        val vs = set.asScala.map(_.head)
+        val hs = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+        vs.foreach {
+          case s: String => hs.add(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+          case _ => ()
+        }
+        return new StringCol(idxs(0), hs, vs.exists(_ == null))
+      case _ => ()
+    }
+    val hs = new java.util.HashSet[TupleKey]()
+    set.asScala.foreach(v => hs.add(new TupleKey(v.map(_.asInstanceOf[AnyRef]).toArray)))
+    new Generic(idxs, dts, hs)
   }
 }
 

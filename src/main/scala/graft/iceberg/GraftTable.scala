@@ -1286,6 +1286,16 @@ object GraftTable {
         metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
     })
 
+  /** Drop a tag or branch ref through the CAS loop — the release valve
+    * for snapshot expiry (a pinning ref makes `expire_snapshots` abort;
+    * drop the ref, then expire). Metadata-only; no snapshot is touched. */
+  def removeRef(tableDir: String, name: String,
+      expectedType: Option[String] = None): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) =>
+      MetadataWriter.removeRef(base, name, expectedType).copy(
+        lastUpdatedMs = base.lastUpdatedMs + 1000,
+        metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
+
   /** Fast-forward main onto the named ref's snapshot through the CAS
     * loop — the publish half of write-audit-publish. Refuses targets
     * that do not descend from main's head (that would be a rollback). */

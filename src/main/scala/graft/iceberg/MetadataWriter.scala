@@ -211,6 +211,20 @@ object MetadataWriter {
     base.copy(refs = base.refs :+ SnapshotRef(name, "branch", snapshotId))
   }
 
+  /** Drop a named ref (tag or branch). The snapshots it pinned become
+    * expirable — this is the release valve `expire_snapshots` points at
+    * when it aborts on a pinning ref. `expectedType` guards the SQL
+    * procedures (`drop_tag` must not silently delete a branch). */
+  def removeRef(base: TableMetadata, name: String,
+      expectedType: Option[String] = None): TableMetadata = {
+    require(name != "main", "cannot drop the main branch ref")
+    val ref = base.refs.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no such ref '$name'"))
+    expectedType.foreach(t => require(ref.refType == t,
+      s"ref '$name' is a ${ref.refType}, not a $t"))
+    base.copy(refs = base.refs.filterNot(_.name == name))
+  }
+
   def write(path: String, meta: TableMetadata): Unit = {
     val out = HadoopConfs.fileSystemFor(path)
       .create(new org.apache.hadoop.fs.Path(path), true)

@@ -24,6 +24,8 @@ object LakehouseInspect {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private val T0 = LakehouseExec.T0
+
   // ---------------------------------------------------------------- i72
   val entriesTable: Q = (spark, sfDir) => {
     val wh = entryDir("i72", sfDir)
@@ -242,17 +244,71 @@ object LakehouseInspect {
       |  CAST(1 AS BIGINT) AS n_data_files
       |FROM nation WHERE n_nationkey IN (2, 4, 11)""".stripMargin
 
+  // ---------------------------------------------------------------- i77
+  /** Ref lifecycle end-to-end: a tag PINS its snapshot (expiry provably
+    * aborts on it — the guard that time-travel anchors can't silently
+    * vanish), `drop_tag` is the release valve (expiry then succeeds),
+    * and the type guards hold (`drop_tag` refuses a branch). This is
+    * the missing half of create_tag/create_branch — without it a table
+    * with a stale tag can NEVER reclaim its history. */
+  val refLifecycle: Q = (spark, sfDir) => {
+    val wh = entryDir("i77", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_ref",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ref.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i77_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql(s"""CREATE TABLE graft_ref.db.n
+        (n_nationkey INT, n_name STRING, n_regionkey INT)
+        TBLPROPERTIES ('commit-timestamp-ms'='$T0')""")
+      spark.sql("""INSERT INTO graft_ref.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i77_nation_src
+        WHERE n_regionkey < 3""")
+      spark.sql("CALL graft_ref.system.create_tag(table => 'db.n', tag => 'v1')")
+      spark.sql("CALL graft_ref.system.create_branch(table => 'db.n', branch => 'wip')")
+      spark.sql("""INSERT INTO graft_ref.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i77_nation_src
+        WHERE n_regionkey >= 3""")
+      // the tag pins snapshot 1: expiry must abort rather than break
+      // the time-travel anchor
+      val pinned = scala.util.Try(spark.sql(
+        "CALL graft_ref.system.expire_snapshots(table => 'db.n', retain_last => 1)"))
+      require(pinned.isFailure, "expiry must abort while a ref pins the snapshot")
+      // type guard: drop_tag must not silently delete a branch
+      require(scala.util.Try(spark.sql(
+        "CALL graft_ref.system.drop_tag(table => 'db.n', tag => 'wip')")).isFailure,
+        "drop_tag must refuse a branch ref")
+      spark.sql("CALL graft_ref.system.drop_tag(table => 'db.n', tag => 'v1')")
+      spark.sql("CALL graft_ref.system.drop_branch(table => 'db.n', branch => 'wip')")
+      val row = spark.sql(
+        "CALL graft_ref.system.expire_snapshots(table => 'db.n', retain_last => 1)").head()
+      require(row.getInt(0) == 1 && row.getInt(1) == 1,
+        s"expected (expired=1, retained=1) after dropping the refs, got $row")
+    }
+    spark.sql("""SELECT COUNT(*) AS n_rows,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      COUNT(DISTINCT n_regionkey) AS n_regions
+      FROM graft_ref.db.n""")
+  }
+
+  val refLifecycleSql: String =
+    """SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  COUNT(DISTINCT n_regionkey) AS n_regions
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "i72_entries_table" -> entriesTable,
     "i73_rename_column" -> renameColumn,
     "i74_add_files" -> addFilesImport,
     "i75_avro_data_files" -> avroMixed,
-    "i76_position_deletes" -> positionDeletes)
+    "i76_position_deletes" -> positionDeletes,
+    "i77_ref_lifecycle" -> refLifecycle)
 
   val oracles: Map[String, String] = Map(
     "i72_entries_table" -> entriesTableSql,
     "i73_rename_column" -> renameColumnSql,
     "i74_add_files" -> addFilesImportSql,
     "i75_avro_data_files" -> avroMixedSql,
-    "i76_position_deletes" -> positionDeletesSql)
+    "i76_position_deletes" -> positionDeletesSql,
+    "i77_ref_lifecycle" -> refLifecycleSql)
 }

@@ -76,7 +76,8 @@ object GraftProcedures {
   def names: Seq[String] = Seq("rewrite_data_files", "expire_snapshots",
     "rollback_to_snapshot", "create_tag", "fast_forward",
     "rewrite_manifests", "remove_orphan_files", "create_branch",
-    "rewrite_position_delete_files", "cherrypick_snapshot", "add_files")
+    "rewrite_position_delete_files", "cherrypick_snapshot", "add_files",
+    "drop_tag", "drop_branch")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. */
@@ -220,6 +221,36 @@ object GraftProcedures {
           val result = GraftTable.createTag(dir, tag, snapId)
           val tagged = result.metadata.refs.find(_.name == tag).get.snapshotId
           Seq(InternalRow(UTF8String.fromString(tag), tagged))
+        })
+      case "drop_tag" => new Proc(
+        "drop_tag",
+        "drop a tag ref — the snapshots it pinned become expirable " +
+          "(the release valve when expire_snapshots aborts on a ref)",
+        Array(in("table", StringType), in("tag", StringType)),
+        StructType(Seq(
+          StructField("dropped_ref", StringType),
+          StructField("was_snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          val tag = input.getUTF8String(1).toString
+          val was = currentMeta(dir).refs.find(_.name == tag).map(_.snapshotId)
+          GraftTable.removeRef(dir, tag, expectedType = Some("tag"))
+          Seq(InternalRow(UTF8String.fromString(tag), was.getOrElse(0L)))
+        })
+      case "drop_branch" => new Proc(
+        "drop_branch",
+        "drop a branch ref (e.g. a published or abandoned audit branch); " +
+          "its staged snapshots become expirable",
+        Array(in("table", StringType), in("branch", StringType)),
+        StructType(Seq(
+          StructField("dropped_ref", StringType),
+          StructField("was_snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          val branch = input.getUTF8String(1).toString
+          val was = currentMeta(dir).refs.find(_.name == branch).map(_.snapshotId)
+          GraftTable.removeRef(dir, branch, expectedType = Some("branch"))
+          Seq(InternalRow(UTF8String.fromString(branch), was.getOrElse(0L)))
         })
       case "create_branch" => new Proc(
         "create_branch",

@@ -101,6 +101,19 @@ class LakehouseInspectSpec extends SparkSpec {
       Seq(2L, 4L, 11L))
   }
 
+  test("i77 ref lifecycle: tags pin expiry, drop_tag releases, type guards hold") {
+    val df = LakehouseInspect.refLifecycle(spark, sfDir)
+    val got = df.head()
+    val want = Tables.load(spark, sfDir, "nation")
+      .agg(count(lit(1)), sum(col("n_nationkey"))).head()
+    assert(got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1))
+    val wh = LakehouseExec.entryDir("i77", sfDir)
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/n"))
+    assert(meta.refs.map(_.name) == Seq("main") &&
+      meta.snapshots.map(_.snapshotId) == Seq(2L),
+      s"refs=${meta.refs} snaps=${meta.snapshots.map(_.snapshotId)}")
+  }
+
   private def entryDirFor(tag: String): String = {
     val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-spec-$tag-${ProcessHandle.current().pid()}").toString

@@ -328,42 +328,16 @@ object GraftTable {
     try {
       val blocks = r.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val byName = fields.flatMap(f =>
-        IcebergTypes.fromStringOpt(f.fieldType).map(t => f.name -> (f, t))).toMap
+      val cmp = graft.sources.EntryFilterEval.cmp _
       val acc = scala.collection.mutable.Map.empty[Int, (Any, Any, IcebergType)]
       for {
         b <- blocks
-        c <- b.getColumns.asScala
-        if c.getPath.size == 1
-        (f, t) <- byName.get(c.getPath.iterator().next())
-        st <- Option(c.getStatistics)
-        if st.hasNonNullValue
-      } {
-        def decode(v: Any): Option[Any] = (t, v) match {
-          case (IcebergTypes.TInt | IcebergTypes.TLong |
-                IcebergTypes.TFloat | IcebergTypes.TDouble, x) => Some(x)
-          case (IcebergTypes.TString, b: org.apache.parquet.io.api.Binary) =>
-            Some(b.toStringUsingUTF8)
-          case (IcebergTypes.TDate, d: java.lang.Integer) =>
-            Some(java.time.LocalDate.ofEpochDay(d.toLong))
-          case (IcebergTypes.TTimestamptz, us: java.lang.Long) =>
-            Some(java.time.Instant.ofEpochSecond(
-              Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
-          case (IcebergTypes.TTimestamp, us: java.lang.Long) =>
-            Some(java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
-              (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
-          case _ => None
-        }
-        for (lo <- decode(st.genericGetMin); hi <- decode(st.genericGetMax)) {
-          val cmp = graft.sources.EntryFilterEval.cmp _
-          val merged = acc.get(f.id) match {
-            case None => (lo, hi, t)
-            case Some((plo, phi, _)) => (
-              if (cmp(Some(lo), plo).exists(_ < 0)) lo else plo,
-              if (cmp(Some(hi), phi).exists(_ > 0)) hi else phi, t)
-          }
-          acc(f.id) = merged
-        }
+        (id, (lo, hi, t)) <- ParquetFooterStats.blockBounds(b, fields)
+      } acc(id) = acc.get(id) match {
+        case None => (lo, hi, t)
+        case Some((plo, phi, _)) => (
+          if (cmp(Some(lo), plo).exists(_ < 0)) lo else plo,
+          if (cmp(Some(hi), phi).exists(_ > 0)) hi else phi, t)
       }
       (rows,
         acc.map { case (id, (lo, _, t)) => id -> SingleValueCodec.encode(t, lo) }.toMap,

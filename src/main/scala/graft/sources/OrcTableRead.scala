@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.hive.ql.exec.vector._
+import org.apache.orc.OrcFile
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.types._
+
+/** Row-route reader for ORC data files (`file_format = ORC` entries in a
+  * foreign or imported table). Same contract as the Avro route:
+  * record order is the position coordinate (shared [[PosDeleteIndex]]),
+  * required columns resolve by name with RENAME COLUMN history and
+  * null-fill, int→long / float→double widening promotes losslessly, and
+  * equality deletes refuse (resolve to position deletes first). The
+  * decode is batch-at-a-time through ORC's own vectorized reader —
+  * per-file parallelism (stripe-level splitting is a possible
+  * refinement; the manifest's fileSizeInBytes would gate it exactly
+  * like parquet row groups). */
+class GraftTableOrcPartitionReader(part: GraftTableInputPartition,
+    required: StructType, conf: Configuration) extends PartitionReader[InternalRow] {
+
+  require(part.eqDeleteFiles.isEmpty,
+    s"equality deletes pending over ORC data file ${part.filePath} — " +
+      "run rewrite_position_delete_files to resolve them to position deletes first")
+
+  private val deleted = PosDeleteIndex.load(part.posDeleteFiles, part.filePath, conf)
+
+  private val reader = OrcFile.createReader(
+    new org.apache.hadoop.fs.Path(part.filePath), OrcFile.readerOptions(conf))
+  private val orcSchema = reader.getSchema
+  private val rows = reader.rows()
+  private val batch: VectorizedRowBatch = orcSchema.createRowBatch()
+  private var batchPos = 0
+
+  /** Required field name → ORC column ordinal (resolved through the
+    * rename history; -1 = null-fill, -2/-3 = metadata columns). */
+  private val ordinals: Array[Int] = {
+    val names = orcSchema.getFieldNames
+    def indexOf(n: String): Int = {
+      var i = 0
+      while (i < names.size()) { if (names.get(i) == n) return i; i += 1 }
+      -1
+    }
+    required.fields.map { f =>
+      f.name match {
+        case "_file" => -2
+        case "_pos" => -3
+        case _ =>
+          val direct = indexOf(f.name)
+          if (direct >= 0) direct
+          else part.nameAlternates.getOrElse(f.name, Nil).map(indexOf)
+            .find(_ >= 0).getOrElse(-1)
+      }
+    }
+  }
+
+  private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
+  private var rowIndex: Long = -1L
+  private var current: InternalRow = _
+
+  private def value(col: ColumnVector, dt: DataType, row0: Int): Any = {
+    val row = if (col.isRepeating) 0 else row0
+    if (!col.noNulls && col.isNull(row)) return null
+    (dt, col) match {
+      case (IntegerType, v: LongColumnVector) => v.vector(row).toInt
+      case (LongType, v: LongColumnVector) => v.vector(row) // covers widened int
+      case (BooleanType, v: LongColumnVector) => v.vector(row) != 0L
+      case (DateType, v: LongColumnVector) =>
+        java.time.LocalDate.ofEpochDay(v.vector(row))
+      case (FloatType, v: DoubleColumnVector) => v.vector(row).toFloat
+      case (DoubleType, v: DoubleColumnVector) => v.vector(row) // covers widened float
+      case (StringType, v: BytesColumnVector) =>
+        new String(v.vector(row), v.start(row), v.length(row),
+          java.nio.charset.StandardCharsets.UTF_8)
+      case (BinaryType, v: BytesColumnVector) =>
+        java.util.Arrays.copyOfRange(v.vector(row),
+          v.start(row), v.start(row) + v.length(row))
+      case (TimestampType, v: TimestampColumnVector) =>
+        v.asScratchTimestamp(row).toInstant
+      case (TimestampNTZType, v: TimestampColumnVector) =>
+        v.asScratchTimestamp(row).toLocalDateTime
+      case (want, got) => throw new UnsupportedOperationException(
+        s"orc reader cannot decode ${got.getClass.getSimpleName} as $want")
+    }
+  }
+
+  private def rowOf(row: Int): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row.fromSeq(required.fields.toSeq.zipWithIndex.map {
+      case (f, i) => ordinals(i) match {
+        case -2 => part.filePath
+        case -3 => rowIndex
+        case -1 => null // pre-evolution file under every name generation
+        case c => value(batch.cols(c), f.dataType, row)
+      }
+    })
+
+  override def next(): Boolean = {
+    while (true) {
+      if (batchPos >= batch.size) {
+        if (!rows.nextBatch(batch)) return false
+        batchPos = 0
+      }
+      val p = batchPos
+      batchPos += 1
+      rowIndex += 1
+      if (!deleted.contains(rowIndex)) {
+        current = toCatalyst(rowOf(p)).asInstanceOf[InternalRow]
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = rows.close()
+}

@@ -930,6 +930,7 @@ class GraftTableReaderFactory(required: StructType,
     p.fileFormat match {
       case "PARQUET" => new GraftTablePartitionReader(p, required, hadoopConf.value)
       case "AVRO" => new GraftTableAvroPartitionReader(p, required, hadoopConf.value)
+      case "ORC" => new GraftTableOrcPartitionReader(p, required, hadoopConf.value)
       case other => throw new UnsupportedOperationException(
         s"unsupported data file format $other for ${p.filePath}")
     }

@@ -114,6 +114,20 @@ class LakehouseInspectSpec extends SparkSpec {
       s"refs=${meta.refs} snaps=${meta.snapshots.map(_.snapshotId)}")
   }
 
+  test("i78 three-format table (parquet+avro+orc) reads in one scan; ORC imports with bounds") {
+    val df = LakehouseInspect.orcMixed(spark, sfDir)
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Tables.load(spark, sfDir, "nation").groupBy("n_regionkey")
+      .agg(count(lit(1)), sum(col("n_nationkey"))).orderBy("n_regionkey")
+      .collect().map(r => (r.getAs[Int](0), r.getAs[Long](1), r.getAs[Long](2))).toSeq
+    assert(got == want, got.toString)
+    // point query over the ORC half
+    val one = spark.sql("SELECT n_name FROM graft_orc.db.n WHERE n_nationkey = 23")
+      .collect().map(_.getString(0)).toSeq
+    assert(one == Tables.load(spark, sfDir, "nation")
+      .filter(col("n_nationkey") === 23).collect().map(_.getAs[String]("n_name")).toSeq)
+  }
+
   private def entryDirFor(tag: String): String = {
     val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-spec-$tag-${ProcessHandle.current().pid()}").toString

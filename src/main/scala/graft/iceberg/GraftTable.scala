@@ -374,26 +374,60 @@ object GraftTable {
         .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
       if (fmt == "PARQUET") {
         val (rows, lower, upper) = footerStats(f, meta0.currentSchema.fields)
-        PendingFile(f, rows, len, lower, upper, None, 0)
+        PendingFile(f, rows, len, lower, upper, None, 0, fmt)
       } else if (fmt == "ORC") {
         // ORC footers carry row counts AND column min/max — the import
         // is as metadata-only as parquet's
         val (rows, lower, upper) =
           OrcDataFiles.footerStats(f, meta0.currentSchema.fields)
-        PendingFile(f, rows, len, lower, upper, None, 0)
+        PendingFile(f, rows, len, lower, upper, None, 0, fmt)
       } else {
         // Avro containers carry block record counts but no column stats:
         // the import stays metadata-only (no bounds — unprunable, correct)
         PendingFile(f, AvroDataFiles.countRecords(f), len,
-          Map.empty, Map.empty, None, 0)
+          Map.empty, Map.empty, None, 0, fmt)
       }
     }
     val result = commitAppendFiles(tableDir, pending,
-      extraSummary = Map("added-files-import" -> files.size.toString),
-      fileFormat = fmt)
+      extraSummary = Map("added-files-import" -> files.size.toString))
     if (meta0.properties.get("graft.metrics").contains("full"))
       removeProperties(tableDir, Seq("graft.metrics"))
     result
+  }
+
+  /** Zero-copy FORK of an existing graft table (Iceberg's `snapshot`
+    * procedure): the target table is created with the source's current
+    * schema and referenced to the source's CURRENT data files in place —
+    * no bytes move, stats carry over from the source entries, and the
+    * fork's lineage is independent from the first commit (writes to
+    * either side never touch the other). The test/dev-fork-of-prod path.
+    *
+    * The fork gets `gc.enabled=false`: its physical-cleanup maintenance
+    * (snapshot expiry, orphan sweep) REFUSES to run, because the files
+    * it references belong to the source table — a fork expiring its
+    * import snapshot must never delete production data (the same guard
+    * Iceberg's snapshot procedure installs). Pending source deletes
+    * refuse the fork (compact first) so the referenced files ARE the
+    * table state. */
+  def snapshotTable(sourceDir: String, targetDir: String,
+      timestampMs: Option[Long] = None): OptimisticCommit.CommitResult = {
+    val src = TableMetadata.parseFile(latestMetadataPath(sourceDir))
+    require(currentEntries(src, 1).isEmpty,
+      "source table has pending delete files — run " +
+        "rewrite_data_files to materialize them before snapshotting")
+    val dataEntries = currentEntries(src, 0).filter(_.content == 0)
+    val spec = src.partitionSpecs.find(_.specId == src.defaultSpecId)
+      .getOrElse(PartitionSpec(0, Nil))
+    create(targetDir, src.currentSchema,
+      tableUuid = java.util.UUID.randomUUID().toString,
+      timestampMs = timestampMs.getOrElse(System.currentTimeMillis()),
+      spec = spec,
+      properties = src.properties + ("gc.enabled" -> "false")
+        + ("snapshot-source" -> sourceDir))
+    commitAppendFiles(targetDir, dataEntries.map(e =>
+      PendingFile(e.filePath, e.recordCount, e.fileSizeInBytes,
+        e.lowerBounds, e.upperBounds, None, 0, e.fileFormat)),
+      extraSummary = Map("snapshot-source" -> sourceDir))
   }
 
   private def deriveStatsFor(spark: SparkSession, file: String,
@@ -510,7 +544,7 @@ object GraftTable {
   private[graft] final case class PendingFile(path: String, rows: Long, bytes: Long,
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       partitionSummary: Option[Seq[ManifestListWriter.FieldSummary]] = None,
-      specId: Int = 0)
+      specId: Int = 0, fileFormat: String = "PARQUET")
 
   /** `replace = true` commits TRUNCATE-overwrite semantics: the new
     * snapshot lists ONLY the written files — previous data AND delete
@@ -518,8 +552,7 @@ object GraftTable {
     * expiry). */
   private[graft] def commitAppendFiles(tableDir: String, files: Seq[PendingFile],
       extraSummary: Map[String, String] = Map.empty,
-      replace: Boolean = false, branch: Option[String] = None,
-      fileFormat: String = "PARQUET")
+      replace: Boolean = false, branch: Option[String] = None)
       : OptimisticCommit.CommitResult = {
     // an empty REPLACE is meaningful (overwrite-from-empty truncates);
     // an empty append is the caller's no-op to skip
@@ -539,7 +572,7 @@ object GraftTable {
       val (plain, summarized) = files.partition(_.partitionSummary.isEmpty)
       def entry(f: PendingFile) = ManifestWriter.EntryData(1, snapId, f.path,
         f.rows, f.bytes, f.lower, f.upper, content = 0,
-        sequenceNumber = Some(snapId), fileFormat = fileFormat)
+        sequenceNumber = Some(snapId), fileFormat = f.fileFormat)
       val plainManifest =
         if (plain.isEmpty) Nil
         else {
@@ -1156,6 +1189,12 @@ object GraftTable {
   def expireSnapshots(spark: SparkSession, tableDir: String,
       keepLast: Int = 1, olderThanMs: Option[Long] = None): OptimisticCommit.CommitResult = {
     require(keepLast >= 1, "must retain at least one snapshot")
+    // a zero-copy fork (snapshot procedure) references ANOTHER table's
+    // files — physical cleanup here would delete production data
+    require(!TableMetadata.parseFile(latestMetadataPath(tableDir))
+        .properties.get("gc.enabled").contains("false"),
+      s"gc.enabled=false on $tableDir (zero-copy snapshot table) — " +
+        "expiry would delete files owned by the source table")
     var expiredIds: Set[Long] = Set.empty
     val result = OptimisticCommit.commit(tableDir, (base, basePath) => {
       val newest = base.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
@@ -1445,6 +1484,9 @@ object GraftTable {
   def removeOrphanFiles(tableDir: String,
       olderThanMs: Option[Long] = None): Seq[String] = {
     val meta = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    require(!meta.properties.get("gc.enabled").contains("false"),
+      s"gc.enabled=false on $tableDir (zero-copy snapshot table) — " +
+        "the orphan sweep would touch files owned by the source table")
     val lists = meta.snapshots.flatMap(_.manifestList).distinct
     val manifests = Par.inParallel(lists)(l =>
       ManifestListReader.read(l).map(_.path)).flatten.distinct

@@ -267,6 +267,59 @@ object LakehouseInspect {
       |  MAX(n_name) AS top_name
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // ---------------------------------------------------------------- i79
+  /** Zero-copy table fork (`snapshot` procedure): the fork references
+    * the source's current data files in place — no bytes move — and the
+    * two lineages are independent from the first commit: an insert into
+    * the fork and a delete on the source are each invisible to the
+    * other side. The fork carries `gc.enabled=false`, so its snapshot
+    * expiry provably refuses (a fork reclaiming "its" files would
+    * delete production data — Iceberg's guard, enforced). */
+  val snapshotFork: Q = (spark, sfDir) => {
+    val wh = entryDir("i79", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_snp",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_snp.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i79_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_snp.db.src
+        (n_nationkey INT, n_name STRING, n_regionkey INT)""")
+      spark.sql("""INSERT INTO graft_snp.db.src
+        SELECT n_nationkey, n_name, n_regionkey FROM i79_nation_src""")
+      val row = spark.sql("""CALL graft_snp.system.snapshot(
+        source_table => 'db.src', table => 'db.fork')""").head()
+      require(row.getLong(1) == 25L, s"expected 25 forked records, got $row")
+      // independent lineages: fork-only insert, source-only delete
+      spark.sql("""INSERT INTO graft_snp.db.fork
+        SELECT n_nationkey + 100, concat(n_name, '_F'), n_regionkey
+        FROM i79_nation_src WHERE n_regionkey = 0""")
+      spark.sql("DELETE FROM graft_snp.db.src WHERE n_nationkey = 3")
+      // the gc guard: cleanup on the fork must refuse
+      require(scala.util.Try(spark.sql(
+        "CALL graft_snp.system.expire_snapshots(table => 'db.fork', retain_last => 1)"))
+        .isFailure, "expiry on a gc.enabled=false fork must refuse")
+    }
+    spark.sql("""SELECT side, n, sum_key FROM (
+      SELECT 'fork' AS side, COUNT(*) AS n,
+        CAST(SUM(n_nationkey) AS BIGINT) AS sum_key FROM graft_snp.db.fork
+      UNION ALL
+      SELECT 'src' AS side, COUNT(*) AS n,
+        CAST(SUM(n_nationkey) AS BIGINT) AS sum_key FROM graft_snp.db.src
+    ) ORDER BY side""")
+  }
+
+  val snapshotForkSql: String =
+    """SELECT side, n, sum_key FROM (
+      |  SELECT 'fork' AS side, COUNT(*) + 5 AS n,
+      |    CAST(SUM(n_nationkey)
+      |      + (SELECT SUM(n_nationkey + 100) FROM nation WHERE n_regionkey = 0)
+      |      AS BIGINT) AS sum_key
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT 'src' AS side, COUNT(*) - 1 AS n,
+      |    CAST(SUM(n_nationkey) - 3 AS BIGINT) AS sum_key FROM nation
+      |) t ORDER BY side""".stripMargin
+
   // ---------------------------------------------------------------- i76
   /** The `position_deletes` inspection table — the audit companion of
     * `rewrite_position_delete_files` (i68): one row per live deleted
@@ -362,7 +415,8 @@ object LakehouseInspect {
     "i75_avro_data_files" -> avroMixed,
     "i76_position_deletes" -> positionDeletes,
     "i77_ref_lifecycle" -> refLifecycle,
-    "i78_orc_data_files" -> orcMixed)
+    "i78_orc_data_files" -> orcMixed,
+    "i79_snapshot_fork" -> snapshotFork)
 
   val oracles: Map[String, String] = Map(
     "i72_entries_table" -> entriesTableSql,
@@ -371,5 +425,6 @@ object LakehouseInspect {
     "i75_avro_data_files" -> avroMixedSql,
     "i76_position_deletes" -> positionDeletesSql,
     "i77_ref_lifecycle" -> refLifecycleSql,
-    "i78_orc_data_files" -> orcMixedSql)
+    "i78_orc_data_files" -> orcMixedSql,
+    "i79_snapshot_fork" -> snapshotForkSql)
 }

@@ -547,7 +547,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     val ok = ident.namespace().sameElements(Array("system"))
-    (if (ok) GraftProcedures.load(ident.name(), resolveTableDir) else None)
+    def newTableDir(tableName: String): String = {
+      val parts = tableName.split('.').toSeq
+      require(parts.nonEmpty && parts.forall(_.nonEmpty),
+        s"bad table name '$tableName' — expected 'ns.table'")
+      tableDir(Identifier.of(parts.init.toArray, parts.last))
+    }
+    (if (ok) GraftProcedures.load(ident.name(), resolveTableDir, newTableDir)
+     else None)
       .getOrElse(throw new UnsupportedOperationException(
         s"no such procedure $ident — graft procedures live under " +
           s"$catalogName.system: ${GraftProcedures.names.mkString(", ")}"))

@@ -77,11 +77,14 @@ object GraftProcedures {
     "rollback_to_snapshot", "create_tag", "fast_forward",
     "rewrite_manifests", "remove_orphan_files", "create_branch",
     "rewrite_position_delete_files", "cherrypick_snapshot", "add_files",
-    "drop_tag", "drop_branch")
+    "drop_tag", "drop_branch", "snapshot")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
-    * table directory — supplied by the owning catalog. */
-  def load(procName: String, resolveDir: String => String): Option[UnboundProcedure] = {
+    * table directory — supplied by the owning catalog. `resolveNewDir`
+    * is the existence-unchecked variant for procedures that CREATE
+    * their target (`snapshot`). */
+  def load(procName: String, resolveDir: String => String,
+      resolveNewDir: String => String = identity): Option[UnboundProcedure] = {
     def dirOf(input: InternalRow): String =
       resolveDir(input.getUTF8String(0).toString)
     Some(procName).collect {
@@ -221,6 +224,26 @@ object GraftProcedures {
           val result = GraftTable.createTag(dir, tag, snapId)
           val tagged = result.metadata.refs.find(_.name == tag).get.snapshotId
           Seq(InternalRow(UTF8String.fromString(tag), tagged))
+        })
+      case "snapshot" => new Proc(
+        "snapshot",
+        "zero-copy fork: create a new table referencing the source " +
+          "table's current data files in place — no bytes move, stats " +
+          "carry over; the fork gets gc.enabled=false so its cleanup " +
+          "can never delete the source's files",
+        Array(in("source_table", StringType), in("table", StringType)),
+        StructType(Seq(
+          StructField("imported_files_count", IntegerType),
+          StructField("imported_records_count", LongType))),
+        input => {
+          val srcDir = resolveDir(input.getUTF8String(0).toString)
+          val dstDir = resolveNewDir(input.getUTF8String(1).toString)
+          val result = GraftTable.snapshotTable(srcDir, dstDir)
+          val entries = result.metadata.currentSnapshot.flatMap(_.manifestList)
+            .toSeq.flatMap(ManifestListReader.read).filter(_.content == 0)
+            .flatMap(i => ManifestWriter.read(i.path))
+            .filter(e => e.status != 2 && e.content == 0)
+          Seq(InternalRow(entries.size, entries.map(_.recordCount).sum))
         })
       case "drop_tag" => new Proc(
         "drop_tag",

@@ -128,6 +128,23 @@ class LakehouseInspectSpec extends SparkSpec {
       .filter(col("n_nationkey") === 23).collect().map(_.getAs[String]("n_name")).toSeq)
   }
 
+  test("i79 zero-copy fork: independent lineages, no bytes moved, gc guard holds") {
+    val df = LakehouseInspect.snapshotFork(spark, sfDir)
+    val nation = Tables.load(spark, sfDir, "nation")
+    val base = nation.agg(count(lit(1)), sum(col("n_nationkey"))).head()
+    val r0 = nation.filter(col("n_regionkey") === 0)
+      .agg(sum(col("n_nationkey") + 100)).head().getLong(0)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("fork", base.getLong(0) + 5, base.getLong(1) + r0),
+      ("src", base.getLong(0) - 1, base.getLong(1) - 3)), got.toString)
+    // zero-copy: the fork's data dir holds ONLY its own post-fork file
+    val wh = LakehouseExec.entryDir("i79", sfDir)
+    val forkData = new java.io.File(s"$wh/db/fork/data")
+    val own = Option(forkData.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    assert(own == 1, s"fork data dir should hold exactly its own insert, got $own")
+  }
+
   private def entryDirFor(tag: String): String = {
     val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-spec-$tag-${ProcessHandle.current().pid()}").toString

@@ -395,6 +395,37 @@ object GraftTable {
     result
   }
 
+  /** IN-PLACE conversion of a plain parquet directory into a graft
+    * table (Iceberg's `migrate`): the schema is inferred from the
+    * parquet footers (Spark's reader handles multi-file reconciliation),
+    * metadata is created INSIDE the directory, and every parquet file
+    * already there is adopted as one append snapshot via the
+    * footer-stats import — zero data bytes read or moved. After the
+    * commit the directory IS the table: catalog reads, inserts, DML,
+    * and maintenance all work on it. The files keep their original
+    * paths (top-level, not under data/ — entries reference them in
+    * place, exactly like `add_files`). */
+  def migrate(spark: SparkSession, tableDir: String,
+      timestampMs: Option[Long] = None): OptimisticCommit.CommitResult = {
+    require(OptimisticCommit.currentVersion(tableDir) == 0,
+      s"$tableDir already carries table metadata — migrate adopts PLAIN directories")
+    val fs = HadoopConfs.fileSystemFor(tableDir)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted.toSeq
+    require(files.nonEmpty, s"no parquet files under $tableDir to migrate")
+    val inferred = spark.read.parquet(files: _*).schema
+    val nestedId = new java.util.concurrent.atomic.AtomicInteger(inferred.fields.length)
+    val fields = inferred.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      IcebergField(i + 1, f.name, required = false,
+        IcebergTypes.fromSparkType(f.dataType, () => nestedId.incrementAndGet()))
+    }
+    create(tableDir, IcebergSchema(0, fields),
+      tableUuid = java.util.UUID.randomUUID().toString,
+      timestampMs = timestampMs.getOrElse(System.currentTimeMillis()))
+    addFiles(spark, tableDir, tableDir)
+  }
+
   /** Zero-copy FORK of an existing graft table (Iceberg's `snapshot`
     * procedure): the target table is created with the source's current
     * schema and referenced to the source's CURRENT data files in place —

@@ -84,6 +84,46 @@ object IcebergTypes {
       MapType(key.sparkType, value.sparkType, valueContainsNull = !valueRequired)
   }
 
+  /** Spark column type → Iceberg type string — the CREATE-side mapping
+    * (used by the SQL catalog and the `migrate` schema inference).
+    * Nested types serialize as the spec's canonical JSON object forms
+    * and allocate their nested ids from `nextId` (outer-first, the
+    * Iceberg assignment order). SMALLINT/TINYINT promote to `int`
+    * (Iceberg has no 8/16-bit integers — the Spark-Iceberg convention). */
+  def fromSparkType(dt: DataType, nextId: () => Int): String = dt match {
+    case IntegerType => "int"
+    case ShortType | ByteType => "int"
+    case LongType => "long"
+    case StringType => "string"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case BinaryType => "binary"
+    case ArrayType(elem, containsNull) =>
+      val elemId = nextId() // allocate BEFORE recursing: outer-first ids
+      TList(elemId, fromString(fromSparkType(elem, nextId)),
+        elementRequired = !containsNull).name
+    case st: StructType =>
+      // outer-first ids: every direct child claims its id before any
+      // child's own nested types recurse (the Iceberg assignment order)
+      val ids = st.fields.map(_ => nextId())
+      TStruct(st.fields.toSeq.zip(ids.toSeq).map { case (f, id) =>
+        (id, f.name, !f.nullable, fromString(fromSparkType(f.dataType, nextId)))
+      }).name
+    case MapType(kt, vt, valueContainsNull) =>
+      val keyId = nextId()
+      val valueId = nextId()
+      TMap(keyId, fromString(fromSparkType(kt, nextId)),
+        valueId, fromString(fromSparkType(vt, nextId)),
+        valueRequired = !valueContainsNull).name
+    case other => throw new UnsupportedOperationException(
+      s"graft catalog does not support column type $other")
+  }
+
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val FixedRe = """fixed\[\s*(\d+)\s*\]""".r
 

@@ -320,6 +320,49 @@ object LakehouseInspect {
       |    CAST(SUM(n_nationkey) - 3 AS BIGINT) AS sum_key FROM nation
       |) t ORDER BY side""".stripMargin
 
+  // ---------------------------------------------------------------- i80
+  /** `migrate` — in-place conversion of a PLAIN parquet directory into
+    * a table: schema inferred from the footers, the existing files
+    * adopted as one append snapshot (footer stats, zero bytes moved or
+    * read), and from that commit on the directory is a full table — the
+    * post-migrate INSERT through the catalog proves it. Completes the
+    * onboarding trio: add_files (adopt into an existing table),
+    * snapshot (zero-copy fork), migrate (convert in place). */
+  val migrateDir: Q = (spark, sfDir) => {
+    val wh = entryDir("i80", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_mig",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mig.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i80_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      // the pre-existing PLAIN directory a legacy pipeline wrote
+      spark.sql("""SELECT n_nationkey, n_name, n_regionkey FROM i80_nation_src""")
+        .repartitionByRange(2, col("n_nationkey"))
+        .write.parquet(s"$wh/db/raw")
+      val row = spark.sql("CALL graft_mig.system.migrate(table => 'db.raw')").head()
+      require(row.getInt(0) == 2 && row.getLong(1) == 25L,
+        s"expected 2 files / 25 records migrated, got $row")
+      // the directory is a real table now: catalog INSERT lands a
+      // second snapshot next to the adopted files
+      spark.sql("""INSERT INTO graft_mig.db.raw
+        SELECT n_nationkey + 100, concat(n_name, '_M'), n_regionkey
+        FROM i80_nation_src WHERE n_regionkey = 1""")
+    }
+    spark.sql("""SELECT COUNT(*) AS n_rows,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      MAX(n_name) AS top_name
+      FROM graft_mig.db.raw""")
+  }
+
+  val migrateDirSql: String =
+    """SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  MAX(n_name) AS top_name
+      |FROM (
+      |  SELECT n_nationkey, n_name FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey + 100, n_name || '_M' FROM nation WHERE n_regionkey = 1
+      |) t""".stripMargin
+
   // ---------------------------------------------------------------- i76
   /** The `position_deletes` inspection table — the audit companion of
     * `rewrite_position_delete_files` (i68): one row per live deleted
@@ -416,7 +459,8 @@ object LakehouseInspect {
     "i76_position_deletes" -> positionDeletes,
     "i77_ref_lifecycle" -> refLifecycle,
     "i78_orc_data_files" -> orcMixed,
-    "i79_snapshot_fork" -> snapshotFork)
+    "i79_snapshot_fork" -> snapshotFork,
+    "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
     "i72_entries_table" -> entriesTableSql,
@@ -426,5 +470,6 @@ object LakehouseInspect {
     "i76_position_deletes" -> positionDeletesSql,
     "i77_ref_lifecycle" -> refLifecycleSql,
     "i78_orc_data_files" -> orcMixedSql,
-    "i79_snapshot_fork" -> snapshotForkSql)
+    "i79_snapshot_fork" -> snapshotForkSql,
+    "i80_migrate_dir" -> migrateDirSql)
 }

@@ -190,49 +190,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       metaPath, None, None, Some(timestampMicros / 1000L), 128L * 1024 * 1024)
   }
 
-  /** Spark column type → Iceberg type string. Nested types (ARRAY —
-    * embedding columns live in tables as `array<float>`) serialize as
-    * the spec's canonical JSON object and need fresh ids for their
-    * nested element fields: `nextId` allocates from the schema's id
-    * sequence (Iceberg assigns nested ids the same way). */
-  private def icebergTypeName(dt: DataType, nextId: () => Int): String = dt match {
-    case IntegerType => "int"
-    // Iceberg has no 8/16-bit integers — SMALLINT/TINYINT columns
-    // promote to int at CREATE time (the Spark-Iceberg convention);
-    // values cast up losslessly on write and read back as INT
-    case ShortType | ByteType => "int"
-    case LongType => "long"
-    case StringType => "string"
-    case DoubleType => "double"
-    case FloatType => "float"
-    case BooleanType => "boolean"
-    case DateType => "date"
-    case TimestampType => "timestamptz"
-    case TimestampNTZType => "timestamp"
-    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
-    case BinaryType => "binary"
-    case ArrayType(elem, containsNull) =>
-      val elemId = nextId() // allocate BEFORE recursing: outer-first ids
-      IcebergTypes.TList(elemId,
-        IcebergTypes.fromString(icebergTypeName(elem, nextId)),
-        elementRequired = !containsNull).name
-    case st: StructType =>
-      // outer-first ids: every direct child claims its id before any
-      // child's own nested types recurse (the Iceberg assignment order)
-      val ids = st.fields.map(_ => nextId())
-      IcebergTypes.TStruct(st.fields.toSeq.zip(ids.toSeq).map { case (f, id) =>
-        (id, f.name, !f.nullable,
-          IcebergTypes.fromString(icebergTypeName(f.dataType, nextId)))
-      }).name
-    case MapType(kt, vt, valueContainsNull) =>
-      val keyId = nextId()
-      val valueId = nextId()
-      IcebergTypes.TMap(keyId, IcebergTypes.fromString(icebergTypeName(kt, nextId)),
-        valueId, IcebergTypes.fromString(icebergTypeName(vt, nextId)),
-        valueRequired = !valueContainsNull).name
-    case other => throw new UnsupportedOperationException(
-      s"graft catalog does not support column type $other")
-  }
+  /** Spark column type → Iceberg type string — shared with the
+    * `migrate` schema inference (IcebergTypes.fromSparkType): nested
+    * types serialize as the spec's canonical JSON object forms with
+    * outer-first nested-id allocation from the schema's id sequence. */
+  private def icebergTypeName(dt: DataType, nextId: () => Int): String =
+    IcebergTypes.fromSparkType(dt, nextId)
 
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {

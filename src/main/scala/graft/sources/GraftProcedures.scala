@@ -77,7 +77,7 @@ object GraftProcedures {
     "rollback_to_snapshot", "create_tag", "fast_forward",
     "rewrite_manifests", "remove_orphan_files", "create_branch",
     "rewrite_position_delete_files", "cherrypick_snapshot", "add_files",
-    "drop_tag", "drop_branch", "snapshot")
+    "drop_tag", "drop_branch", "snapshot", "migrate")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. `resolveNewDir`
@@ -224,6 +224,24 @@ object GraftProcedures {
           val result = GraftTable.createTag(dir, tag, snapId)
           val tagged = result.metadata.refs.find(_.name == tag).get.snapshotId
           Seq(InternalRow(UTF8String.fromString(tag), tagged))
+        })
+      case "migrate" => new Proc(
+        "migrate",
+        "convert a plain parquet directory under the warehouse into a " +
+          "table IN PLACE: schema inferred from footers, files adopted " +
+          "as one append snapshot with footer stats — no bytes move",
+        Array(in("table", StringType)),
+        StructType(Seq(
+          StructField("migrated_files_count", IntegerType),
+          StructField("migrated_records_count", LongType))),
+        input => {
+          val dir = resolveNewDir(input.getUTF8String(0).toString)
+          val result = GraftTable.migrate(SparkSession.active, dir)
+          val entries = result.metadata.currentSnapshot.flatMap(_.manifestList)
+            .toSeq.flatMap(ManifestListReader.read).filter(_.content == 0)
+            .flatMap(i => ManifestWriter.read(i.path))
+            .filter(e => e.status != 2 && e.content == 0)
+          Seq(InternalRow(entries.size, entries.map(_.recordCount).sum))
         })
       case "snapshot" => new Proc(
         "snapshot",

@@ -145,6 +145,22 @@ class LakehouseInspectSpec extends SparkSpec {
     assert(own == 1, s"fork data dir should hold exactly its own insert, got $own")
   }
 
+  test("i80 migrate converts a plain directory in place; post-migrate DML works") {
+    val df = LakehouseInspect.migrateDir(spark, sfDir)
+    val nation = Tables.load(spark, sfDir, "nation")
+    val base = nation.agg(count(lit(1)), sum(col("n_nationkey"))).head()
+    val extra = nation.filter(col("n_regionkey") === 1)
+      .agg(sum(col("n_nationkey") + 100)).head().getLong(0)
+    val got = df.head()
+    assert(got.getLong(0) == base.getLong(0) + 5 &&
+      got.getLong(1) == base.getLong(1) + extra, got.toString)
+    // the adopted files were not moved: still at the directory top level
+    val wh = LakehouseExec.entryDir("i80", sfDir)
+    val top = new java.io.File(s"$wh/db/raw").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(top == 2, s"expected the 2 adopted files in place, got $top")
+  }
+
   private def entryDirFor(tag: String): String = {
     val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-spec-$tag-${ProcessHandle.current().pid()}").toString

@@ -34,10 +34,12 @@ object GraftTable {
   /** Spark read schema derived from the document's current schema — the
     * null-fill projection a v2 reader applies to pre-evolution files. */
   def sparkSchema(meta: TableMetadata): StructType =
-    StructType(meta.currentSchema.fields.map(f =>
-      StructField(f.name, IcebergTypes.fromStringOpt(f.fieldType).getOrElse(
+    StructType(meta.currentSchema.fields.map { f =>
+      val sf = StructField(f.name, IcebergTypes.fromStringOpt(f.fieldType).getOrElse(
         throw new IllegalArgumentException(s"unsupported type ${f.fieldType}")).sparkType,
-        nullable = true)))
+        nullable = true)
+      f.doc.map(sf.withComment).getOrElse(sf)
+    })
 
   private def resolveSnapshot(meta: TableMetadata,
       snapshotId: Option[Long], ref: Option[String],

@@ -323,6 +323,7 @@ object MetadataWriter {
       fn.put("id", f.id)
       fn.put("name", f.name)
       fn.put("required", f.required)
+      f.doc.foreach(fn.put("doc", _))
       // nested types were retained as canonical JSON — re-embed as a tree
       if (f.fieldType.startsWith("{")) fn.set[JsonNode]("type", mapper.readTree(f.fieldType))
       else fn.put("type", f.fieldType)

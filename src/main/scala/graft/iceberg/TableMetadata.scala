@@ -16,7 +16,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * partition specs, sort orders, refs, logs) for the metadata tables the
   * reference never surfaces.
   */
-final case class IcebergField(id: Int, name: String, required: Boolean, fieldType: String)
+final case class IcebergField(id: Int, name: String, required: Boolean,
+  fieldType: String, doc: Option[String] = None)
 final case class IcebergSchema(schemaId: Int, fields: Seq[IcebergField])
 final case class PartitionField(name: String, transform: String, sourceId: Int, fieldId: Int)
 final case class PartitionSpec(specId: Int, fields: Seq[PartitionField])
@@ -97,7 +98,8 @@ object TableMetadata {
       // their canonical JSON so callers can detect and skip them.
       val t = f.get("type")
       IcebergField(f.get("id").asInt, f.get("name").asText,
-        f.get("required").asBoolean, if (t.isTextual) t.asText else t.toString)
+        f.get("required").asBoolean, if (t.isTextual) t.asText else t.toString,
+        Option(f.get("doc")).filter(_.isTextual).map(_.asText))
     }.toSeq)
 
   private def parsePartitionFields(n: JsonNode): Seq[PartitionField] =

@@ -206,7 +206,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val nestedId = new java.util.concurrent.atomic.AtomicInteger(columns.length)
     val fields = columns.toSeq.zipWithIndex.map { case (c, i) =>
       IcebergField(i + 1, c.name(), required = false,
-        icebergTypeName(c.dataType(), () => nestedId.incrementAndGet()))
+        icebergTypeName(c.dataType(), () => nestedId.incrementAndGet()),
+        doc = Option(c.comment()).filter(_.nonEmpty))
     }
     val idByName = fields.map(f => f.name -> f.id).toMap
     val specFields = partitions.toSeq.zipWithIndex.map { case (t, i) =>
@@ -355,6 +356,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(fields.nonEmpty, "write.sort-order must name at least one column")
         GraftTable.evolveSortOrder(dir,
           SortOrder(base.sortOrders.map(_.orderId).maxOption.getOrElse(0) + 1, fields))
+      // ALTER TABLE t ALTER COLUMN c COMMENT '…' — the Iceberg schema
+      // `doc` string, a metadata-only schema commit (DESCRIBE surfaces
+      // it through the StructField comment)
+      case cm: TableChange.UpdateColumnComment =>
+        require(cm.fieldNames().length == 1,
+          "graft catalog supports top-level column comments only")
+        val base = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+        val cur = base.currentSchema
+        val name = cm.fieldNames().head
+        require(cur.fields.exists(_.name == name), s"no such column $name")
+        GraftTable.evolveSchema(dir, IcebergSchema(
+          base.schemas.map(_.schemaId).max + 1,
+          cur.fields.map(f => if (f.name == name)
+            f.copy(doc = Option(cm.newComment()).filter(_.nonEmpty)) else f)))
       // ALTER TABLE t RENAME COLUMN a TO b — a metadata-only commit: the
       // field keeps its ID (and therefore its bound stats, partition
       // sources, and sort references), only the name advances. Files

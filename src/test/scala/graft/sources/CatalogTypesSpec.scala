@@ -27,6 +27,32 @@ class CatalogTypesSpec extends SparkSpec {
     assert(row.getInt(0) == 7 && row.getInt(1) == 3 && row.getString(2) == "x")
   }
 
+  test("column comments persist as Iceberg doc and surface through DESCRIBE") {
+    val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-spec-doc-${ProcessHandle.current().pid()}").toString
+    graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(wh))
+    spark.conf.set("spark.sql.catalog.g_doc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g_doc.warehouse", wh)
+    spark.sql("""CREATE TABLE g_doc.db.t
+      (k INT COMMENT 'the key', v STRING)""")
+    val meta0 = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
+    assert(meta0.currentSchema.fields.map(_.doc) == Seq(Some("the key"), None))
+    spark.sql("ALTER TABLE g_doc.db.t ALTER COLUMN v COMMENT 'the value'")
+    val meta1 = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
+    assert(meta1.currentSchema.fields.map(_.doc) ==
+      Seq(Some("the key"), Some("the value")))
+    // DESCRIBE surfaces the doc as the column comment
+    val desc = spark.sql("DESCRIBE TABLE g_doc.db.t").collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(desc.get("k").contains("the key") && desc.get("v").contains("the value"),
+      desc.toString)
+    // the doc survives unrelated schema evolution (copy() paths)
+    spark.sql("ALTER TABLE g_doc.db.t ADD COLUMN w INT")
+    val meta2 = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
+    assert(meta2.currentSchema.fields.map(_.doc) ==
+      Seq(Some("the key"), Some("the value"), None))
+  }
+
   test("foreign uuid/fixed columns parse, map, and round-trip bounds") {
     val uuidStr = "f79c3e09-677c-4bbd-a479-3f349cb785e7"
     val doc = TableMetadata(

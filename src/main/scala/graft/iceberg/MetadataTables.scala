@@ -123,7 +123,7 @@ object MetadataTables {
   final case class ReadableMetric(lower_bound: String, upper_bound: String)
 
   private def entryRows(meta: TableMetadata, snaps: Seq[Snapshot])
-      : Seq[(Long, Int, Long, Long, Int, String, Long, Long,
+      : Seq[(Long, Int, Long, Long, Int, String, String, Long, Long,
         Map[String, ReadableMetric])] = {
     val types = meta.fieldTypes
     val names = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
@@ -145,7 +145,8 @@ object MetadataTables {
     Par.inParallel(perSnap) { case (sid, i) =>
       ManifestWriter.read(i.path).map(e =>
         (sid, e.status, e.snapshotId, e.sequenceNumber.getOrElse(i.sequenceNumber),
-          e.content, e.filePath, e.recordCount, e.fileSizeInBytes, metric(e)))
+          e.content, e.filePath, e.fileFormat, e.recordCount, e.fileSizeInBytes,
+          metric(e)))
     }.flatten
   }
 
@@ -160,9 +161,10 @@ object MetadataTables {
   def entries(spark: SparkSession, meta: TableMetadata): DataFrame = {
     import spark.implicits._
     entryRows(meta, meta.currentSnapshot.toSeq)
-      .map { case (_, st, sid, seq, c, p, rc, fs, m) => (st, sid, seq, c, p, rc, fs, m) }
+      .map { case (_, st, sid, seq, c, p, ff, rc, fs, m) =>
+        (st, sid, seq, c, p, ff, rc, fs, m) }
       .toDF("status", "snapshot_id", "sequence_number", "content", "file_path",
-        "record_count", "file_size_in_bytes", "readable_metrics")
+        "file_format", "record_count", "file_size_in_bytes", "readable_metrics")
   }
 
   /** `all_entries`: the [[entries]] shape across EVERY snapshot, with the
@@ -172,8 +174,8 @@ object MetadataTables {
     import spark.implicits._
     entryRows(meta, meta.snapshots)
       .toDF("reference_snapshot_id", "status", "snapshot_id", "sequence_number",
-        "content", "file_path", "record_count", "file_size_in_bytes",
-        "readable_metrics")
+        "content", "file_path", "file_format", "record_count",
+        "file_size_in_bytes", "readable_metrics")
   }
 
   def schemaFields(spark: SparkSession, meta: TableMetadata): DataFrame = {

@@ -34,12 +34,17 @@ object OrcDataFiles {
     root
   }
 
-  /** Write external Rows as one ORC file (driver-side fixture path). */
-  def write(path: String, schema: StructType, rows: Seq[Row]): Unit = {
+  /** Write external Rows as one ORC file (driver-side fixture path).
+    * `stripeRowLimit` caps rows per stripe — the deterministic way to
+    * produce multi-stripe fixtures (the byte-based stripe size only
+    * flushes at the writer's memory-check cadence). */
+  def write(path: String, schema: StructType, rows: Seq[Row],
+      stripeRowLimit: Option[Int] = None): Unit = {
     val orc = orcSchema(schema)
-    val conf = HadoopConfs.active()
-    val writer = OrcFile.createWriter(new org.apache.hadoop.fs.Path(path),
-      OrcFile.writerOptions(conf).setSchema(orc).overwrite(true))
+    val conf = new org.apache.hadoop.conf.Configuration(HadoopConfs.active())
+    stripeRowLimit.foreach(n => conf.setInt("orc.stripe.row.count", n))
+    val opts = OrcFile.writerOptions(conf).setSchema(orc).overwrite(true)
+    val writer = OrcFile.createWriter(new org.apache.hadoop.fs.Path(path), opts)
     val batch = orc.createRowBatch()
     try {
       rows.foreach { row =>
@@ -103,6 +108,41 @@ object OrcDataFiles {
       (rows,
         acc.map { case (id, (lo, _, t)) => id -> SingleValueCodec.encode(t, lo) },
         acc.map { case (id, (_, hi, t)) => id -> SingleValueCodec.encode(t, hi) })
+    } finally reader.close()
+  }
+
+  /** Per-STRIPE layout + encoded bound stats — the planner's analog of
+    * parquet row-group splitting/pruning: (rowCount, byteOffset,
+    * byteLength, encodedLower, encodedUpper) per stripe, in file order.
+    * One footer+stripe-stats read per above-split-size file, at
+    * planning time. */
+  def stripes(path: String, fields: Seq[IcebergField])
+      : Seq[(Long, Long, Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]])] = {
+    import scala.jdk.CollectionConverters._
+    val reader = OrcFile.createReader(new org.apache.hadoop.fs.Path(path),
+      OrcFile.readerOptions(HadoopConfs.active()))
+    try {
+      val names = reader.getSchema.getFieldNames
+      val byName = fields.flatMap(f =>
+        IcebergTypes.fromStringOpt(f.fieldType).map(t => f.name -> (f, t))).toMap
+      val infos = reader.getStripes.asScala.toSeq
+      val stats = scala.util.Try(reader.getStripeStatistics.asScala.toSeq)
+        .getOrElse(Nil)
+      infos.zipWithIndex.map { case (s, i) =>
+        val (lo, hi) =
+          if (i >= stats.size) (Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]])
+          else {
+            val cs = stats(i).getColumnStatistics
+            val acc = (0 until names.size()).flatMap { c =>
+              byName.get(names.get(c)).flatMap { case (f, t) =>
+                decode(t, cs(c + 1)).map(lh => f.id -> ((lh._1, lh._2, t)))
+              }
+            }.toMap
+            (acc.map { case (id, (l, _, t)) => id -> SingleValueCodec.encode(t, l) },
+              acc.map { case (id, (_, h, t)) => id -> SingleValueCodec.encode(t, h) })
+          }
+        (s.getNumberOfRows, s.getOffset, s.getLength, lo, hi)
+      }
     } finally reader.close()
   }
 

@@ -13,10 +13,10 @@ import org.apache.spark.sql.types._
   * required columns resolve by name with RENAME COLUMN history and
   * null-fill, int→long / float→double widening promotes losslessly, and
   * equality deletes refuse (resolve to position deletes first). The
-  * decode is batch-at-a-time through ORC's own vectorized reader —
-  * per-file parallelism (stripe-level splitting is a possible
-  * refinement; the manifest's fileSizeInBytes would gate it exactly
-  * like parquet row groups). */
+  * decode is batch-at-a-time through ORC's own vectorized reader.
+  * Files above the split threshold fan out one partition per STRIPE
+  * (the planner prunes stripes against their statistics exactly like
+  * parquet row groups), each reading only its byte range. */
 class GraftTableOrcPartitionReader(part: GraftTableInputPartition,
     required: StructType, conf: Configuration) extends PartitionReader[InternalRow] {
 
@@ -29,7 +29,13 @@ class GraftTableOrcPartitionReader(part: GraftTableInputPartition,
   private val reader = OrcFile.createReader(
     new org.apache.hadoop.fs.Path(part.filePath), OrcFile.readerOptions(conf))
   private val orcSchema = reader.getSchema
-  private val rows = reader.rows()
+  // a stripe split (rowGroup >= 0) reads EXACTLY its byte range — ORC's
+  // range option selects the stripes starting inside it, here one; the
+  // un-split case streams the whole file. rowStart keeps position
+  // deletes file-absolute across stripes, like parquet row groups.
+  private val rows =
+    if (part.rowGroup < 0) reader.rows()
+    else reader.rows(reader.options.range(part.splitStart, part.splitBytes))
   private val batch: VectorizedRowBatch = orcSchema.createRowBatch()
   private var batchPos = 0
 
@@ -56,7 +62,7 @@ class GraftTableOrcPartitionReader(part: GraftTableInputPartition,
   }
 
   private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
-  private var rowIndex: Long = -1L
+  private var rowIndex: Long = part.rowStart - 1L
   private var current: InternalRow = _
 
   private def value(col: ColumnVector, dt: DataType, row0: Int): Any = {

@@ -622,23 +622,37 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     // the one row group that can hold the key". rowStart still counts
     // the skipped groups' rows, so position deletes stay file-absolute.
     val allFilters = filters ++ runtimeFilters
+    def skippableChunk(e: ManifestWriter.EntryData, rows: Long, bytes: Long,
+        lo: Map[Int, Array[Byte]], hi: Map[Int, Array[Byte]]): Boolean =
+      allFilters.nonEmpty && {
+        val pseudo = ManifestWriter.EntryData(0, 0L, e.filePath, rows, bytes, lo, hi)
+        allFilters.exists(f => FileBoundsEval.skippable(f, pseudo, pinnedMeta))
+      }
     Par.inParallel(kept) { case (e, seq) =>
-      if (e.fileSizeInBytes <= splitSize || e.fileFormat != "PARQUET")
-        Seq(partition(e, seq, -1, 0L))
-      else {
+      if (e.fileSizeInBytes <= splitSize || e.fileFormat == "AVRO")
+        Seq(partition(e, seq, -1, 0L)) // Avro containers carry no split index
+      else if (e.fileFormat == "ORC") {
+        // ORC's analog of row groups: one partition per STRIPE, with the
+        // stripe statistics pruning exactly like parquet block stats
+        val stripes = graft.iceberg.OrcDataFiles.stripes(
+          e.filePath, pinnedMeta.currentSchema.fields)
+        val starts = stripes.map(_._1).scanLeft(0L)(_ + _)
+        stripes.zipWithIndex.flatMap { case ((rows, off, len, lo, hi), i) =>
+          if (skippableChunk(e, rows, len, lo, hi)) None
+          else Some(partition(e, seq, i, starts(i))
+            .copy(splitStart = off, splitBytes = len))
+        }
+      } else {
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(e.filePath), hadoopConf.value))
         val blocks = try r.getRowGroups.asScala.toSeq finally r.close()
         val starts = blocks.map(_.getRowCount).scanLeft(0L)(_ + _)
         blocks.zipWithIndex.flatMap { case (b, rg) =>
-          val keepGroup = allFilters.isEmpty || {
-            val (lo, hi) = graft.iceberg.ParquetFooterStats
+          val (lo, hi) =
+            if (allFilters.isEmpty) (Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]])
+            else graft.iceberg.ParquetFooterStats
               .blockBoundsEncoded(b, pinnedMeta.currentSchema.fields)
-            val pseudo = ManifestWriter.EntryData(0, 0L, e.filePath,
-              b.getRowCount, b.getCompressedSize, lo, hi)
-            !allFilters.exists(f => FileBoundsEval.skippable(f, pseudo, pinnedMeta))
-          }
-          if (!keepGroup) None
+          if (skippableChunk(e, b.getRowCount, b.getCompressedSize, lo, hi)) None
           else Some(partition(e, seq, rg, starts(rg))
             .copy(splitStart = b.getStartingPos, splitBytes = b.getCompressedSize))
         }

@@ -18,22 +18,28 @@ import org.apache.spark.sql.types._
   *    null-fill for pre-evolution files;
   *  - type widening promotes int→long / float→double losslessly;
   *  - date / timestamp-micros logical types decode into the external
-  *    row domain the Catalyst converter expects.
+  *    row domain the Catalyst converter expects;
+  *  - equality deletes load through the shared [[RowEqDeletes]] sets
+  *    (delete files are always parquet) and compare against the SAME
+  *    external-domain values this reader decodes — a streaming upsert
+  *    over an imported Avro table applies exactly like over parquet.
   *
-  * Equality deletes over Avro data files refuse loudly — resolve them
-  * to position deletes first (`rewrite_position_delete_files`); the
-  * value-canonicalization contract is parquet-side. Avro containers
-  * have no row-group index, so files never split — per-file
-  * parallelism, the granularity Avro supports without block-seeking. */
+  * Avro containers have no row-group index, so files never split —
+  * per-file parallelism, the granularity Avro supports without
+  * block-seeking. */
 class GraftTableAvroPartitionReader(part: GraftTableInputPartition,
     required: StructType, conf: Configuration) extends PartitionReader[InternalRow] {
   import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 
-  require(part.eqDeleteFiles.isEmpty,
-    s"equality deletes pending over AVRO data file ${part.filePath} — " +
-      "run rewrite_position_delete_files to resolve them to position deletes first")
-
   private val deleted = PosDeleteIndex.load(part.posDeleteFiles, part.filePath, conf)
+
+  private def tableType(name: String): DataType =
+    part.tableSchema.fields.find(_.name == name).map(_.dataType).getOrElse(
+      throw new IllegalArgumentException(s"equality column '$name' not in table schema"))
+
+  private val eqSets: Seq[(Seq[String], java.util.HashSet[Vector[Any]])] =
+    RowEqDeletes.load(part.eqDeleteFiles, tableType,
+      part.nameAlternates.flatMap { case (cur, as) => as.map(_ -> cur) }, conf)
 
   private val in = new java.io.BufferedInputStream(
     graft.iceberg.HadoopConfs.fileSystemFor(part.filePath)
@@ -102,11 +108,17 @@ class GraftTableAvroPartitionReader(part: GraftTableInputPartition,
       }
     })
 
+  private def equalityDeleted(r: GenericRecord): Boolean =
+    eqSets.exists { case (cols, set) =>
+      set.contains(cols.map(c =>
+        RowEqDeletes.canon(valueOf(r, c, tableType(c)))).toVector) }
+
   override def next(): Boolean = {
     while (stream.hasNext) {
       val rec = stream.next()
       rowIndex += 1
-      if (!deleted.contains(rowIndex)) {
+      if (!deleted.contains(rowIndex) &&
+          (eqSets.isEmpty || !equalityDeleted(rec))) {
         current = toCatalyst(rowOf(rec)).asInstanceOf[InternalRow]
         return true
       }

@@ -12,19 +12,24 @@ import org.apache.spark.sql.types._
   * record order is the position coordinate (shared [[PosDeleteIndex]]),
   * required columns resolve by name with RENAME COLUMN history and
   * null-fill, int→long / float→double widening promotes losslessly, and
-  * equality deletes refuse (resolve to position deletes first). The
-  * decode is batch-at-a-time through ORC's own vectorized reader.
-  * Files above the split threshold fan out one partition per STRIPE
-  * (the planner prunes stripes against their statistics exactly like
-  * parquet row groups), each reading only its byte range. */
+  * equality deletes load through the shared [[RowEqDeletes]] sets and
+  * compare against the same external-domain values this reader
+  * decodes. The decode is batch-at-a-time through ORC's own vectorized
+  * reader. Files above the split threshold fan out one partition per
+  * STRIPE (the planner prunes stripes against their statistics exactly
+  * like parquet row groups), each reading only its byte range. */
 class GraftTableOrcPartitionReader(part: GraftTableInputPartition,
     required: StructType, conf: Configuration) extends PartitionReader[InternalRow] {
 
-  require(part.eqDeleteFiles.isEmpty,
-    s"equality deletes pending over ORC data file ${part.filePath} — " +
-      "run rewrite_position_delete_files to resolve them to position deletes first")
-
   private val deleted = PosDeleteIndex.load(part.posDeleteFiles, part.filePath, conf)
+
+  private def tableType(name: String): DataType =
+    part.tableSchema.fields.find(_.name == name).map(_.dataType).getOrElse(
+      throw new IllegalArgumentException(s"equality column '$name' not in table schema"))
+
+  private val eqSets: Seq[(Seq[String], java.util.HashSet[Vector[Any]])] =
+    RowEqDeletes.load(part.eqDeleteFiles, tableType,
+      part.nameAlternates.flatMap { case (cur, as) => as.map(_ -> cur) }, conf)
 
   private val reader = OrcFile.createReader(
     new org.apache.hadoop.fs.Path(part.filePath), OrcFile.readerOptions(conf))
@@ -39,27 +44,37 @@ class GraftTableOrcPartitionReader(part: GraftTableInputPartition,
   private val batch: VectorizedRowBatch = orcSchema.createRowBatch()
   private var batchPos = 0
 
-  /** Required field name → ORC column ordinal (resolved through the
-    * rename history; -1 = null-fill, -2/-3 = metadata columns). */
-  private val ordinals: Array[Int] = {
+  /** Resolve a CURRENT-generation column name to its ORC ordinal through
+    * the rename history; -1 = absent under every name (null-fill). */
+  private def resolveOrdinal(n: String): Int = {
     val names = orcSchema.getFieldNames
-    def indexOf(n: String): Int = {
+    def indexOf(x: String): Int = {
       var i = 0
-      while (i < names.size()) { if (names.get(i) == n) return i; i += 1 }
+      while (i < names.size()) { if (names.get(i) == x) return i; i += 1 }
       -1
     }
+    val direct = indexOf(n)
+    if (direct >= 0) direct
+    else part.nameAlternates.getOrElse(n, Nil).map(indexOf).find(_ >= 0).getOrElse(-1)
+  }
+
+  /** Required field name → ORC column ordinal (-2/-3 = metadata columns). */
+  private val ordinals: Array[Int] =
     required.fields.map { f =>
       f.name match {
         case "_file" => -2
         case "_pos" => -3
-        case _ =>
-          val direct = indexOf(f.name)
-          if (direct >= 0) direct
-          else part.nameAlternates.getOrElse(f.name, Nil).map(indexOf)
-            .find(_ >= 0).getOrElse(-1)
+        case _ => resolveOrdinal(f.name)
       }
     }
-  }
+
+  /** Equality probes: per distinct column list, the ORC ordinals + table
+    * types + value set — tuples compare in the shared external domain. */
+  private val eqProbeSets: Seq[(Array[Int], Array[DataType],
+      java.util.HashSet[Vector[Any]])] =
+    eqSets.map { case (cols, set) =>
+      (cols.map(resolveOrdinal).toArray, cols.map(tableType).toArray, set)
+    }
 
   private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
   private var rowIndex: Long = part.rowStart - 1L
@@ -101,6 +116,13 @@ class GraftTableOrcPartitionReader(part: GraftTableInputPartition,
       }
     })
 
+  private def equalityDeleted(row: Int): Boolean =
+    eqProbeSets.exists { case (ords, dts, set) =>
+      set.contains(ords.indices.map(j =>
+        if (ords(j) < 0) null
+        else RowEqDeletes.canon(value(batch.cols(ords(j)), dts(j), row))).toVector)
+    }
+
   override def next(): Boolean = {
     while (true) {
       if (batchPos >= batch.size) {
@@ -110,7 +132,8 @@ class GraftTableOrcPartitionReader(part: GraftTableInputPartition,
       val p = batchPos
       batchPos += 1
       rowIndex += 1
-      if (!deleted.contains(rowIndex)) {
+      if (!deleted.contains(rowIndex) &&
+          (eqProbeSets.isEmpty || !equalityDeleted(p))) {
         current = toCatalyst(rowOf(p)).asInstanceOf[InternalRow]
         return true
       }

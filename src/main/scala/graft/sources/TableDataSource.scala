@@ -1416,6 +1416,101 @@ private[sources] object PosDeleteIndex {
   }
 }
 
+/** Task-local equality-delete value sets in the EXTERNAL ROW domain
+  * (String / boxed primitives / LocalDate / Instant / LocalDateTime /
+  * content-comparable byte sequences) — shared by the parquet ROW route
+  * and the Avro/ORC partition readers, whose data decodes land in the
+  * same domain. Delete files are always parquet (this engine writes
+  * them); their columns canonicalize to the CURRENT name generation.
+  * Byte arrays wrap content-comparable via [[RowEqDeletes.canon]] —
+  * a raw Array[Byte] inside the tuple would compare by REFERENCE and
+  * silently never match (the probe side must canonicalize too). */
+private[sources] object RowEqDeletes {
+
+  def canon(v: Any): Any = v match {
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case x => x
+  }
+
+  def load(eqDeleteFiles: Seq[String], tableType: String => DataType,
+      altToCurrent: Map[String, String], conf: Configuration)
+      : Seq[(Seq[String], java.util.HashSet[Vector[Any]])] = {
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[String], java.util.HashSet[Vector[Any]]]
+    eqDeleteFiles.foreach { del =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(del), conf))
+      try {
+        val full = r.getFileMetaData.getSchema
+        val raw = full.getFields.asScala.map(_.getName).toSeq
+        val cols = raw.map(c => altToCurrent.getOrElse(c, c))
+        val set = acc.getOrElseUpdate(cols, new java.util.HashSet[Vector[Any]]())
+        val io = new ColumnIOFactory().getColumnIO(full, full, false)
+        var pages = r.readNextRowGroup()
+        while (pages != null) {
+          val rr = io.getRecordReader(pages, new GroupRecordConverter(full))
+          var i = 0L
+          while (i < pages.getRowCount) {
+            val g = rr.read()
+            set.add(raw.zip(cols).map { case (rc, cc) =>
+              canon(decode(g, rc, tableType(cc))) }.toVector)
+            i += 1
+          }
+          pages = r.readNextRowGroup()
+        }
+      } finally r.close()
+    }
+    acc.toSeq
+  }
+
+  /** Parquet Group decode of one delete-file value into the external row
+    * domain — MUST mirror the data-side decodes (the parquet row
+    * reader's valueOf, the Avro converter, the ORC vector decode) or
+    * tuples never match. Delete files carry primitive key columns only. */
+  private def decode(g: Group, name: String, dt: DataType): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{FLOAT => PFLOAT, INT32, INT64}
+    val t = g.getType
+    if (!t.containsField(name)) return null
+    val i = t.getFieldIndex(name)
+    if (g.getFieldRepetitionCount(i) == 0) return null
+    dt match {
+      case IntegerType => g.getInteger(i, 0)
+      case LongType =>
+        t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case INT32 => g.getInteger(i, 0).toLong // pre-widening file
+          case _ => g.getLong(i, 0)
+        }
+      case DoubleType =>
+        t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case PFLOAT => g.getFloat(i, 0).toDouble
+          case _ => g.getDouble(i, 0)
+        }
+      case FloatType => g.getFloat(i, 0)
+      case BooleanType => g.getBoolean(i, 0)
+      case StringType => g.getBinary(i, 0).toStringUsingUTF8
+      case BinaryType => g.getBinary(i, 0).getBytes
+      case DateType => java.time.LocalDate.ofEpochDay(g.getInteger(i, 0).toLong)
+      case TimestampType =>
+        val us = g.getLong(i, 0)
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L)
+      case TimestampNTZType =>
+        val us = g.getLong(i, 0)
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      case dec: DecimalType =>
+        t.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case INT32 => java.math.BigDecimal.valueOf(g.getInteger(i, 0).toLong, dec.scale)
+          case INT64 => java.math.BigDecimal.valueOf(g.getLong(i, 0), dec.scale)
+          case _ => new java.math.BigDecimal(
+            new java.math.BigInteger(g.getBinary(i, 0).getBytes), dec.scale)
+        }
+      case other => throw new UnsupportedOperationException(
+        s"equality-delete column type $other is not supported")
+    }
+  }
+}
+
 object GraftTableColumnarReader {
   private def vectorizable(dt: DataType, nested: Boolean): Boolean = dt match {
     case IntegerType | LongType | FloatType | DoubleType | BooleanType |
@@ -1523,22 +1618,6 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
     new MessageType(full.getName, (if (sel.nonEmpty) sel else full.getFields.asScala.take(1)).asJava)
   }
 
-  /** Stream every row of an OPEN reader (all row groups) through `fn`,
-    * decoding only `cols`. Used for the delete-file loads. */
-  private def readRows(r: ParquetFileReader, cols: Seq[String])(fn: Group => Unit): Unit = {
-    val full = r.getFileMetaData.getSchema
-    val req = projected(full, cols)
-    r.setRequestedSchema(req)
-    val io = new ColumnIOFactory().getColumnIO(req, full, false)
-    var pages = r.readNextRowGroup()
-    while (pages != null) {
-      val rr = io.getRecordReader(pages, new GroupRecordConverter(req))
-      var i = 0L
-      while (i < pages.getRowCount) { fn(rr.read()); i += 1 }
-      pages = r.readNextRowGroup()
-    }
-  }
-
   /** Deleted row indexes addressing THIS file, loaded once per task from
     * the sequence-scoped, path-bound-scoped delete files (Iceberg's
     * task-local delete apply; [[PosDeleteIndex]] — shared with the
@@ -1551,27 +1630,12 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
       throw new IllegalArgumentException(s"equality column '$name' not in table schema"))
 
   /** Equality-delete value sets, one per distinct column list — loaded
-    * once per task (Iceberg's task-local eq-delete apply). Values decode
-    * through the TABLE schema's types so they compare equal to data-row
-    * values; a null equality value matches a null data value. */
-  private val eqSets: Seq[(Seq[String], java.util.HashSet[Vector[Any]])] = {
-    val acc = scala.collection.mutable.LinkedHashMap
-      .empty[Seq[String], java.util.HashSet[Vector[Any]]]
-    part.eqDeleteFiles.foreach { del =>
-      val r = open(del)
-      try {
-        // the delete file's columns use the names current at DELETE time
-        // — canonicalize to the CURRENT generation (the probe side reads
-        // data rows by current name, resolving renames itself)
-        val raw = r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
-        val cols = raw.map(c => altToCurrent.getOrElse(c, c))
-        val set = acc.getOrElseUpdate(cols, new java.util.HashSet[Vector[Any]]())
-        readRows(r, raw)(g => set.add(raw.zip(cols).map { case (rc, cc) =>
-          valueOf(g, rc, tableType(cc)) }.toVector))
-      } finally r.close()
-    }
-    acc.toSeq
-  }
+    * once per task via the shared [[RowEqDeletes]] loader (Iceberg's
+    * task-local eq-delete apply): values in the external row domain,
+    * byte arrays content-comparable, names canonicalized to the current
+    * generation; a null equality value matches a null data value. */
+  private val eqSets: Seq[(Seq[String], java.util.HashSet[Vector[Any]])] =
+    RowEqDeletes.load(part.eqDeleteFiles, tableType, altToCurrent, conf)
 
   // ------------------------------------------------------- the data file
   // Low-level row-group iteration: a split partition (rowGroup >= 0)
@@ -1711,7 +1775,8 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
 
   private def equalityDeleted(g: Group): Boolean =
     eqSets.exists { case (cols, set) =>
-      set.contains(cols.map(c => valueOf(g, c, tableType(c))).toVector) }
+      set.contains(cols.map(c =>
+        RowEqDeletes.canon(valueOf(g, c, tableType(c)))).toVector) }
 
   override def next(): Boolean = {
     var g = advance()

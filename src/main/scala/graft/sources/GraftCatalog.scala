@@ -42,7 +42,7 @@ import graft.iceberg.{GraftTable, HadoopConfs, IcebergField, IcebergSchema,
   * coordinate through the versioned metadata documents alone, exactly
   * the HadoopCatalog model. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -542,6 +542,138 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.sameElements(Array("system")))
       GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
+
+  // ---------------------------------------------------------- ViewCatalog
+  // Persisted SQL views (the Iceberg view spec's shape): a view is a
+  // versioned JSON document in its own directory under the warehouse —
+  // `view-v{N}.metadata.json`, disjoint from table metadata names — whose
+  // current version carries the SQL representation. Reads re-plan the
+  // stored SQL against the CURRENT table state (late binding, the
+  // Iceberg view contract).
+  //
+  // Spark 4.1 ships the connector-side ViewCatalog API but does NOT yet
+  // route `CREATE VIEW <catalog>....` through it (ResolveSessionCatalog
+  // throws MISSING_CATALOG_ABILITY for any non-session catalog), so this
+  // surface is PROGRAMMATIC for now: createView/loadView/... behave per
+  // the API contract, and `spark.sql(view.query())` executes a loaded
+  // view with late binding. The moment Spark wires the SQL path, these
+  // views light up with no further change here.
+
+  private def asView(ident: Identifier, doc: GraftViews.ViewDoc): View = new View {
+    override def name(): String = (ident.namespace() :+ ident.name()).mkString(".")
+    override def query(): String = doc.sql
+    override def currentCatalog(): String = doc.currentCatalog
+    override def currentNamespace(): Array[String] = doc.currentNamespace.toArray
+    override def schema(): StructType = doc.schema
+    override def queryColumnNames(): Array[String] = doc.queryColumnNames.toArray
+    override def columnAliases(): Array[String] = doc.columnAliases.toArray
+    override def columnComments(): Array[String] = doc.columnComments.toArray
+    override def properties(): util.Map[String, String] = doc.properties.asJava
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(tableDir(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val dir = (warehouse +: ns.toSeq).mkString("/")
+    val fs = HadoopConfs.fileSystemFor(dir)
+    if (!fs.exists(new Path(dir))) Array.empty
+    else fs.listStatus(new Path(dir)).filter(_.isDirectory)
+      .map(s => Identifier.of(ns, s.getPath.getName))
+      .filter(viewExists)
+  }
+
+  override def loadView(ident: Identifier): View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    asView(ident, GraftViews.parse(tableDir(ident)))
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    val dir = tableDir(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(
+      (ident.namespace() :+ ident.name()).toSeq)
+    if (viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    GraftViews.write(dir, GraftViews.ViewDoc(
+      uuid = java.util.UUID.randomUUID().toString,
+      location = dir,
+      sql = info.sql(),
+      currentCatalog = info.currentCatalog(),
+      currentNamespace = info.currentNamespace().toSeq,
+      schema = info.schema(),
+      queryColumnNames = info.queryColumnNames().toSeq,
+      columnAliases = info.columnAliases().toSeq,
+      columnComments = Option(info.columnComments()).map(_.toSeq)
+        .getOrElse(Nil).map(c => Option(c).getOrElse("")),
+      properties = info.properties().asScala.toMap,
+      timestampMs = System.currentTimeMillis(),
+      versionId = 1))
+    loadView(ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident()
+    val dir = tableDir(ident)
+    if (!viewExists(ident) && !orCreate)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val next = GraftViews.currentVersion(dir) + 1
+    GraftViews.write(dir, GraftViews.ViewDoc(
+      uuid = java.util.UUID.randomUUID().toString,
+      location = dir,
+      sql = info.sql(),
+      currentCatalog = info.currentCatalog(),
+      currentNamespace = info.currentNamespace().toSeq,
+      schema = info.schema(),
+      queryColumnNames = info.queryColumnNames().toSeq,
+      columnAliases = info.columnAliases().toSeq,
+      columnComments = Option(info.columnComments()).map(_.toSeq)
+        .getOrElse(Nil).map(c => Option(c).getOrElse("")),
+      properties = info.properties().asScala.toMap,
+      timestampMs = System.currentTimeMillis(),
+      versionId = next))
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    if (!viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val dir = tableDir(ident)
+    val doc = GraftViews.parse(dir)
+    val props = changes.foldLeft(doc.properties) {
+      case (acc, set: ViewChange.SetProperty) => acc + (set.property() -> set.value())
+      case (acc, rm: ViewChange.RemoveProperty) => acc - rm.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"unsupported view change $other")
+    }
+    GraftViews.write(dir, doc.copy(properties = props,
+      versionId = doc.versionId + 1,
+      timestampMs = System.currentTimeMillis()))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewExists(ident) && HadoopConfs.fileSystemFor(tableDir(ident))
+      .delete(new Path(tableDir(ident)), true)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    val doc = GraftViews.parse(tableDir(oldIdent))
+    val fs = HadoopConfs.fileSystemFor(tableDir(oldIdent))
+    val dst = new Path(tableDir(newIdent))
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(new Path(tableDir(oldIdent)), dst),
+      s"filesystem refused to move the view directory")
+    // the document's location self-reference follows the move
+    GraftViews.write(tableDir(newIdent), doc.copy(
+      location = tableDir(newIdent), versionId = doc.versionId + 1,
+      timestampMs = System.currentTimeMillis()))
+  }
 
   // ------------------------------------------------- SupportsNamespaces
   // Namespaces ARE directories under the warehouse (the HadoopCatalog

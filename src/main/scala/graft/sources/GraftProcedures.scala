@@ -77,7 +77,8 @@ object GraftProcedures {
     "rollback_to_snapshot", "create_tag", "fast_forward",
     "rewrite_manifests", "remove_orphan_files", "create_branch",
     "rewrite_position_delete_files", "cherrypick_snapshot", "add_files",
-    "drop_tag", "drop_branch", "snapshot", "migrate")
+    "drop_tag", "drop_branch", "snapshot", "migrate",
+    "rollback_to_timestamp")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. `resolveNewDir`
@@ -194,6 +195,27 @@ object GraftProcedures {
             keepLast = input.getInt(1), olderThanMs = olderThan)
           val after = result.metadata.snapshots.size
           Seq(InternalRow(before - after, after))
+        })
+      case "rollback_to_timestamp" => new Proc(
+        "rollback_to_timestamp",
+        "move main back to the snapshot that was current at the given " +
+          "epoch-millis instant (snapshot-log resolution, the i08 rule); " +
+          "pointer move only — expiry reclaims files",
+        Array(in("table", StringType), in("timestamp_ms", LongType)),
+        StructType(Seq(
+          StructField("previous_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          val ts = input.getLong(1)
+          val meta = currentMeta(dir)
+          val previous = meta.currentSnapshotId.getOrElse(0L)
+          val target = meta.snapshotLog.filter(_.timestampMs <= ts)
+            .maxByOption(_.timestampMs).map(_.snapshotId).getOrElse(
+              throw new IllegalArgumentException(
+                s"no snapshot was current at or before $ts"))
+          val result = GraftTable.rollbackTo(dir, target)
+          Seq(InternalRow(previous, result.metadata.currentSnapshotId.getOrElse(0L)))
         })
       case "rollback_to_snapshot" => new Proc(
         "rollback_to_snapshot",

@@ -53,6 +53,28 @@ class MaintGuardsSpec extends SparkSpec {
     assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == n)
   }
 
+  test("rollback_to_timestamp resolves through the snapshot log") {
+    val dir = create("b3")
+    val nation = Tables.load(spark, sfDir, "nation")
+    // commits land at lastUpdatedMs + 1000 per CAS commit (T0-based clock)
+    GraftTable.append(spark, dir, nation.filter(col("n_regionkey") === 0)) // snap 1
+    GraftTable.append(spark, dir, nation.filter(col("n_regionkey") === 1)) // snap 2
+    GraftTable.append(spark, dir, nation.filter(col("n_regionkey") === 2)) // snap 3
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val snap2At = meta.snapshotLog.find(_.snapshotId == 2L).get.timestampMs
+    // an instant between snap 2 and snap 3 resolves to snap 2
+    val resolved = graft.sources.GraftProcedures
+      .load("rollback_to_timestamp", _ => dir).get
+      .bind(new org.apache.spark.sql.types.StructType())
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.procedures.BoundProcedure]
+    val row = resolved.call(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("db.t"), snap2At + 500L))
+      .next().asInstanceOf[org.apache.spark.sql.connector.read.LocalScan].rows().head
+    assert(row.getLong(0) == 3L && row.getLong(1) == 2L, row.toString)
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() ==
+      nation.filter(col("n_regionkey") <= 1).count())
+  }
+
   test("rewrite_position_delete_files commits an empty delete side when nothing resolves") {
     import spark.implicits._
     val dir = create("b2")

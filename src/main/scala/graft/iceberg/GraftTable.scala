@@ -390,11 +390,15 @@ object GraftTable {
           Map.empty, Map.empty, None, 0, fmt)
       }
     }
-    val result = commitAppendFiles(tableDir, pending,
-      extraSummary = Map("added-files-import" -> files.size.toString))
+    // clear the exact-bounds stamp BEFORE the files become visible: a
+    // crash (or concurrent MIN/MAX planner) between the two commits must
+    // see the conservative state — a stamp-less table over exact data is
+    // merely unservable, a stamped table over truncated imported bounds
+    // would serve wrong extremes
     if (meta0.properties.get("graft.metrics").contains("full"))
       removeProperties(tableDir, Seq("graft.metrics"))
-    result
+    commitAppendFiles(tableDir, pending,
+      extraSummary = Map("added-files-import" -> files.size.toString))
   }
 
   /** IN-PLACE conversion of a plain parquet directory into a graft
@@ -455,8 +459,14 @@ object GraftTable {
       tableUuid = java.util.UUID.randomUUID().toString,
       timestampMs = timestampMs.getOrElse(System.currentTimeMillis()),
       spec = spec,
+      // the fork inherits the SOURCE's bound-exactness claim verbatim:
+      // create() would default-stamp graft.metrics=full, but a source
+      // whose stamp was cleared (e.g. by an add_files import with
+      // possibly-truncated footer strings) must not have the fork
+      // resurrect stats-served string MIN/MAX over those same bounds
       properties = src.properties + ("gc.enabled" -> "false")
-        + ("snapshot-source" -> sourceDir))
+        + ("snapshot-source" -> sourceDir)
+        + ("graft.metrics" -> src.properties.getOrElse("graft.metrics", "unknown")))
     commitAppendFiles(targetDir, dataEntries.map(e =>
       PendingFile(e.filePath, e.recordCount, e.fileSizeInBytes,
         e.lowerBounds, e.upperBounds, None, 0, e.fileFormat)),
@@ -1105,7 +1115,18 @@ object GraftTable {
     val posE = delE.filter(_.content == 1).map(e => (e, e.sequenceNumber.get))
     val eqE = delE.filter(_.content == 2).map(e => (e, e.sequenceNumber.get))
     val resolvedEq = eqE.flatMap { case (e, eqSeq) =>
-      val addressed = dataE.filter(_._2 < eqSeq).map(_._1.filePath)
+      val addressedEntries = dataE.filter(_._2 < eqSeq).map(_._1)
+      // equality resolution reads the addressed rows through the parquet
+      // DataFrame route; a mixed table's imported Avro/ORC files can't
+      // resolve here — their scans APPLY equality deletes directly, so
+      // refuse loudly rather than silently dropping the delete (which
+      // would resurrect rows once the eq manifest is compacted away)
+      require(addressedEntries.forall(_.fileFormat == "PARQUET"),
+        "rewrite_position_delete_files cannot resolve equality deletes " +
+          "addressing non-parquet (imported Avro/ORC) data files — their " +
+          "scans apply equality deletes directly; INSERT OVERWRITE from " +
+          "a scan of the table to materialize them instead")
+      val addressed = addressedEntries.map(_.filePath)
       if (addressed.isEmpty) None
       else {
         // the delete file's columns use the names current at DELETE time

@@ -96,13 +96,19 @@ object OrcDataFiles {
       OrcFile.readerOptions(HadoopConfs.active()))
     try {
       val rows = reader.getNumberOfRows
-      val names = reader.getSchema.getFieldNames
+      val schema = reader.getSchema
+      val names = schema.getFieldNames
       val stats = reader.getStatistics
       val byName = fields.flatMap(f =>
         IcebergTypes.fromStringOpt(f.fieldType).map(t => f.name -> (f, t))).toMap
+      // statistics are indexed by the FLATTENED column id (nested fields
+      // claim ids too) — TypeDescription.getId, never the field ordinal,
+      // or a struct column would shift every later field onto the wrong
+      // column's bounds
       val acc = (0 until names.size()).flatMap { c =>
+        val statIx = schema.getChildren.get(c).getId
         byName.get(names.get(c)).flatMap { case (f, t) =>
-          decode(t, stats(c + 1)).map(lh => f.id -> ((lh._1, lh._2, t)))
+          decode(t, stats(statIx)).map(lh => f.id -> ((lh._1, lh._2, t)))
         }
       }.toMap
       (rows,
@@ -122,7 +128,8 @@ object OrcDataFiles {
     val reader = OrcFile.createReader(new org.apache.hadoop.fs.Path(path),
       OrcFile.readerOptions(HadoopConfs.active()))
     try {
-      val names = reader.getSchema.getFieldNames
+      val schema = reader.getSchema
+      val names = schema.getFieldNames
       val byName = fields.flatMap(f =>
         IcebergTypes.fromStringOpt(f.fieldType).map(t => f.name -> (f, t))).toMap
       val infos = reader.getStripes.asScala.toSeq
@@ -133,9 +140,11 @@ object OrcDataFiles {
           if (i >= stats.size) (Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]])
           else {
             val cs = stats(i).getColumnStatistics
+            // flattened column ids, as in footerStats — never ordinals
             val acc = (0 until names.size()).flatMap { c =>
+              val statIx = schema.getChildren.get(c).getId
               byName.get(names.get(c)).flatMap { case (f, t) =>
-                decode(t, cs(c + 1)).map(lh => f.id -> ((lh._1, lh._2, t)))
+                decode(t, cs(statIx)).map(lh => f.id -> ((lh._1, lh._2, t)))
               }
             }.toMap
             (acc.map { case (id, (l, _, t)) => id -> SingleValueCodec.encode(t, l) },

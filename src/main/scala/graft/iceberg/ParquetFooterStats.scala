@@ -43,8 +43,15 @@ object ParquetFooterStats {
   }
 
   private def decode(t: IcebergType, v: Any): Option[Any] = (t, v) match {
-    case (IcebergTypes.TInt | IcebergTypes.TLong |
-          IcebergTypes.TFloat | IcebergTypes.TDouble, x) => Some(x)
+    // a type-widened (or narrower-physical imported) file carries INT32/
+    // FLOAT stats under a long/double declared column — promote, or the
+    // value-domain encode would ClassCastException at planning time
+    case (IcebergTypes.TInt, x: java.lang.Integer) => Some(x)
+    case (IcebergTypes.TLong, x: java.lang.Integer) => Some(x.longValue())
+    case (IcebergTypes.TLong, x: java.lang.Long) => Some(x)
+    case (IcebergTypes.TFloat, x: java.lang.Float) => Some(x)
+    case (IcebergTypes.TDouble, x: java.lang.Float) => Some(x.doubleValue())
+    case (IcebergTypes.TDouble, x: java.lang.Double) => Some(x)
     case (IcebergTypes.TString, b: org.apache.parquet.io.api.Binary) =>
       Some(b.toStringUsingUTF8)
     case (IcebergTypes.TDate, d: java.lang.Integer) =>

@@ -143,5 +143,8 @@ class GraftTableOrcPartitionReader(part: GraftTableInputPartition,
 
   override def get(): InternalRow = current
 
-  override def close(): Unit = rows.close()
+  override def close(): Unit = {
+    rows.close()
+    reader.close() // the Reader holds its own input stream — per-task leak otherwise
+  }
 }

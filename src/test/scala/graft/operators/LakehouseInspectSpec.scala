@@ -143,6 +143,26 @@ class LakehouseInspectSpec extends SparkSpec {
     val forkData = new java.io.File(s"$wh/db/fork/data")
     val own = Option(forkData.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
     assert(own == 1, s"fork data dir should hold exactly its own insert, got $own")
+    // the fork inherits the source's bound-exactness claim: an
+    // engine-written source was stamped full, so the fork is too —
+    // while a fork of an IMPORTED source must NOT resurrect the stamp
+    val forkMeta = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(s"$wh/db/fork"))
+    assert(forkMeta.properties.get("graft.metrics").contains("full"))
+    // a fork of an UNSTAMPED source must not resurrect the stamp
+    import spark.implicits._
+    val src2 = s"$wh/db/src2"
+    graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(src2))
+    graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(s"$wh/db/fork2"))
+    GraftTable.create(src2, IcebergSchema(0, Seq(
+      IcebergField(1, "k", required = false, "int"))),
+      tableUuid = "e9e9a6a1-0000-4000-8000-0000000000f2", timestampMs = 1700000000000L)
+    GraftTable.append(spark, src2, Seq(1, 2, 3).toDF("k"))
+    GraftTable.removeProperties(src2, Seq("graft.metrics"))
+    GraftTable.snapshotTable(src2, s"$wh/db/fork2")
+    val fork2 = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/fork2"))
+    assert(!fork2.properties.get("graft.metrics").contains("full"),
+      s"a fork of an unstamped source must stay unstamped: ${fork2.properties}")
   }
 
   test("i80 migrate converts a plain directory in place; post-migrate DML works") {

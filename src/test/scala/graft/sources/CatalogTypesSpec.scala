@@ -53,6 +53,59 @@ class CatalogTypesSpec extends SparkSpec {
       Seq(Some("the key"), Some("the value"), None))
   }
 
+  test("add_files promotes narrower-physical footer stats under widened columns") {
+    import spark.implicits._
+    val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-spec-widen-${ProcessHandle.current().pid()}").toString
+    graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(wh))
+    spark.conf.set("spark.sql.catalog.g_wdn", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g_wdn.warehouse", wh)
+    // the staged file carries INT32/FLOAT physicals; the table declares
+    // BIGINT/DOUBLE — the footer-stat import must promote, not crash
+    Seq((1, 0.5f), (2, 1.5f), (3, 2.5f)).toDF("k", "bal")
+      .coalesce(1).write.parquet(s"$wh/staging")
+    spark.sql("CREATE TABLE g_wdn.db.t (k BIGINT, bal DOUBLE)")
+    spark.sql(s"CALL g_wdn.system.add_files(table => 'db.t', source_dir => '$wh/staging')")
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
+    val entry = meta.currentSnapshot.flatMap(_.manifestList).toSeq
+      .flatMap(ManifestListReader.read).filter(_.content == 0)
+      .flatMap(i => ManifestWriter.read(i.path)).head
+    assert(SingleValueCodec.decode(IcebergTypes.TLong, entry.lowerBounds(1)) == 1L)
+    assert(SingleValueCodec.decode(IcebergTypes.TLong, entry.upperBounds(1)) == 3L)
+    val got = spark.sql("SELECT CAST(SUM(k) AS BIGINT), SUM(bal) FROM g_wdn.db.t").head()
+    assert(got.getLong(0) == 6L && got.getDouble(1) == 4.5)
+  }
+
+  test("foreign nested ORC files import with correctly-addressed column stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orcnested").toString
+    val f = s"$dir/n.orc"
+    // struct<a:struct<x:int>, b:int> — b's statistics index is its
+    // FLATTENED column id (3), not its field ordinal + 1 (2)
+    val orc = org.apache.orc.TypeDescription.fromString("struct<a:struct<x:int>,b:int>")
+    val conf = HadoopConfs.active()
+    val w = org.apache.orc.OrcFile.createWriter(new org.apache.hadoop.fs.Path(f),
+      org.apache.orc.OrcFile.writerOptions(conf).setSchema(orc).overwrite(true))
+    val batch = orc.createRowBatch()
+    val a = batch.cols(0).asInstanceOf[org.apache.hadoop.hive.ql.exec.vector.StructColumnVector]
+    val x = a.fields(0).asInstanceOf[org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+    val b = batch.cols(1).asInstanceOf[org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+    (0 until 3).foreach { i =>
+      x.vector(i) = i.toLong        // a.x spans [0, 2]
+      b.vector(i) = 50L + i         // b spans [50, 52]
+      batch.size += 1
+    }
+    w.addRowBatch(batch); w.close()
+    val (rows, lower, upper) = {
+      val m = OrcDataFiles.footerStats(f, Seq(
+        IcebergField(1, "b", required = false, "int")))
+      m
+    }
+    assert(rows == 3L)
+    assert(SingleValueCodec.decode(IcebergTypes.TInt, lower(1)) == 50)
+    assert(SingleValueCodec.decode(IcebergTypes.TInt, upper(1)) == 52,
+      "b must carry ITS bounds, not the nested a.x's")
+  }
+
   test("foreign uuid/fixed columns parse, map, and round-trip bounds") {
     val uuidStr = "f79c3e09-677c-4bbd-a479-3f349cb785e7"
     val doc = TableMetadata(

@@ -72,6 +72,16 @@ class EqDeleteDomainSpec extends SparkSpec {
     assert(got.getLong(0) == 25L && got.getString(1) == "AVRO_NEW", got.toString)
   }
 
+  test("rewrite_position_delete_files refuses eq deletes addressing imported files") {
+    import spark.implicits._
+    val (_, dir) = importedTable("avrorw", "avro")
+    GraftTable.upsert(spark, dir,
+      Seq((3, "X")).toDF("n_nationkey", "n_name"), Seq("n_nationkey"))
+    val refused = intercept[IllegalArgumentException](
+      GraftTable.rewritePositionDeleteFiles(spark, dir))
+    assert(refused.getMessage.contains("non-parquet"), refused.getMessage)
+  }
+
   test("streaming-shape upsert applies equality deletes inside the ORC reader") {
     import spark.implicits._
     val (cat, dir) = importedTable("orc", "orc")

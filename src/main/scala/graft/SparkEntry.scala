@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, Dedup, Formats, GoldenOracles, IcebergQueries, Lakehouse, LakehouseExec, LakehouseInspect, LakehouseMaint, LakehouseNested, Multimodal, Relational, Relational2, Relational3, Similarity, TextPipeline}
+import graft.operators.{Advanced, Dedup, Formats, GoldenOracles, IcebergQueries, Lakehouse, LakehouseExec, LakehouseInspect, LakehouseMaint, LakehouseNested, Multimodal, Relational, Relational2, Relational3, Similarity, StoragePartitioned, TextPipeline}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,7 +26,7 @@ object SparkEntry {
       EventStreams.queries ++ Advanced.queries ++ Relational2.queries ++
       Relational3.queries ++ Lakehouse.queries ++ LakehouseExec.queries ++
       LakehouseMaint.queries ++ LakehouseNested.queries ++
-      LakehouseInspect.queries ++ Formats.queries
+      LakehouseInspect.queries ++ Formats.queries ++ StoragePartitioned.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +36,5 @@ object SparkEntry {
       Relational2.oracles ++ Relational3.oracles ++ Lakehouse.oracles ++
       LakehouseExec.oracles ++ LakehouseMaint.oracles ++
       LakehouseNested.oracles ++ LakehouseInspect.oracles ++
-      Formats.oracles ++ GoldenOracles.oracles
+      Formats.oracles ++ StoragePartitioned.oracles ++ GoldenOracles.oracles
 }

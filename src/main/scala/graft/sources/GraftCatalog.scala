@@ -8,6 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
   NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.{Literal, Transform}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,7 +43,25 @@ import graft.iceberg.{GraftTable, HadoopConfs, IcebergField, IcebergSchema,
   * coordinate through the versioned metadata documents alone, exactly
   * the HadoopCatalog model. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with ViewCatalog {
+    with ProcedureCatalog with ViewCatalog with FunctionCatalog {
+
+  /** The Iceberg partition-transform functions ([[GraftFunctions]]),
+    * resolvable both at the catalog root — where Catalyst's
+    * `V2ExpressionUtils` looks them up to turn a scan's reported
+    * `KeyGroupedPartitioning(bucket(n, col))` into a comparable catalyst
+    * partitioning (the storage-partitioned-join path) — and under the
+    * `system` namespace for SQL calls (`graft.system.bucket(8, k)`). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")))
+      GraftFunctions.load(ident.name()).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: String = _

@@ -138,28 +138,8 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
     * `DESCRIBE TABLE` prints and catalog tooling introspects. Unknown
     * transform strings (a foreign writer's) surface as identity on the
     * source column rather than failing the table load. */
-  override def partitioning(): Array[Transform] = {
-    import org.apache.spark.sql.connector.expressions.Expressions
-    val BucketRe = """bucket\[(\d+)\]""".r
-    val TruncateRe = """truncate\[(\d+)\]""".r
-    val meta = TableMetadata.parseFile(metadataPath)
-    meta.partitionSpecs.find(_.specId == meta.defaultSpecId).toArray
-      .flatMap(_.fields).flatMap { pf =>
-        meta.currentSchema.fields.find(_.id == pf.sourceId).map { f =>
-          pf.transform match {
-            case "identity" => Expressions.identity(f.name)
-            case BucketRe(n) => Expressions.bucket(n.toInt, f.name)
-            case TruncateRe(w) => Expressions.apply("truncate",
-              Expressions.literal(w.toInt), Expressions.column(f.name))
-            case "year" => Expressions.years(f.name)
-            case "month" => Expressions.months(f.name)
-            case "day" => Expressions.days(f.name)
-            case "hour" => Expressions.hours(f.name)
-            case _ => Expressions.identity(f.name)
-          }
-        }
-      }
-  }
+  override def partitioning(): Array[Transform] =
+    SpecTransforms.of(TableMetadata.parseFile(metadataPath))
 
   /** Iceberg's inspection columns: `_file` (the data file serving the
     * row) and `_pos` (its file-absolute row index — the coordinate
@@ -233,6 +213,36 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
     val tableDir = new org.apache.hadoop.fs.Path(metadataPath).getParent.toString
     GraftTable.deleteWhere(
       org.apache.spark.sql.SparkSession.active, tableDir, cond)
+  }
+}
+
+/** The default partition spec as Spark connector transforms — shared by
+  * `Table.partitioning()` (DESCRIBE / catalog introspection) and the
+  * scan's `KeyGroupedPartitioning` report, so the two can never drift.
+  * Unknown transform strings (a foreign writer's) surface as identity on
+  * the source column rather than failing the table load — callers that
+  * need strictness (SPJ) gate on `ScanPlanning.transformResultType`. */
+private[sources] object SpecTransforms {
+  def of(meta: TableMetadata): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val TruncateRe = """truncate\[(\d+)\]""".r
+    meta.partitionSpecs.find(_.specId == meta.defaultSpecId).toArray
+      .flatMap(_.fields).flatMap { pf =>
+        meta.currentSchema.fields.find(_.id == pf.sourceId).map { f =>
+          pf.transform match {
+            case "identity" => Expressions.identity(f.name)
+            case BucketRe(n) => Expressions.bucket(n.toInt, f.name)
+            case TruncateRe(w) => Expressions.apply("truncate",
+              Expressions.literal(w.toInt), Expressions.column(f.name))
+            case "year" => Expressions.years(f.name)
+            case "month" => Expressions.months(f.name)
+            case "day" => Expressions.days(f.name)
+            case "hour" => Expressions.hours(f.name)
+            case _ => Expressions.identity(f.name)
+          }
+        }
+      }
   }
 }
 
@@ -414,6 +424,7 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     allowColumnar: Boolean = true,
     streamOpts: StreamReadOptions = StreamReadOptions())
     extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -437,10 +448,12 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     * creation; so do we. */
   private lazy val pinnedMeta: TableMetadata = TableMetadata.parseFile(metadataPath)
 
-  /** (surviving data entries, position-delete entries, equality-delete
-    * entries — each with sequence) — the driver-side planning pass,
-    * shared by partitions and statistics. Runs once per scan. */
-  private lazy val planned: (Seq[(ManifestWriter.EntryData, Long)],
+  /** (surviving data entries — each with sequence and OWNING manifest
+    * info (the list row: spec id + field-507 summaries, which is what
+    * derives storage-partitioned-join keys) —, position-delete entries,
+    * equality-delete entries) — the driver-side planning pass, shared by
+    * partitions and statistics. Runs once per scan. */
+  private lazy val planned: (Seq[(ManifestWriter.EntryData, Long, ManifestListReader.ManifestFileInfo)],
       Seq[(ManifestWriter.EntryData, Long)], Seq[(ManifestWriter.EntryData, Long)]) = {
     // a freshly created (never-appended) table has no snapshot: it reads
     // as zero rows, not an error — explicit time travel still throws
@@ -491,12 +504,13 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   override def filter(fs: Array[sources.Filter]): Unit =
     runtimeFilters = fs.filter(FileBoundsEval.supported(_, required))
 
-  private def plannedFor(meta: TableMetadata): (Seq[(ManifestWriter.EntryData, Long)],
+  private def plannedFor(meta: TableMetadata)
+      : (Seq[(ManifestWriter.EntryData, Long, ManifestListReader.ManifestFileInfo)],
       Seq[(ManifestWriter.EntryData, Long)], Seq[(ManifestWriter.EntryData, Long)]) =
     plannedWith(meta, filters)
 
   private def plannedWith(meta: TableMetadata, filters: Array[sources.Filter])
-      : (Seq[(ManifestWriter.EntryData, Long)],
+      : (Seq[(ManifestWriter.EntryData, Long, ManifestListReader.ManifestFileInfo)],
       Seq[(ManifestWriter.EntryData, Long)], Seq[(ManifestWriter.EntryData, Long)]) = {
     val snap = GraftTable.resolveForScan(meta, snapshotId, ref, asOfTimestampMs)
     val listPath = snap.manifestList.getOrElse(throw new IllegalArgumentException(
@@ -539,14 +553,13 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
       acc.intersect(ScanPlanning.pruneManifestsByRange(listPath, meta, fid, lo, hi)
         .map(_.path).toSet)
     }
-    def entriesOf(set: Seq[ManifestListReader.ManifestFileInfo], entryContent: Int) =
-      Par.inParallel(set)(i => (i, ManifestWriter.read(i.path))).flatMap { case (i, es) =>
-        es.filter(e => e.status != 2 && e.content == entryContent)
-          .map(e => (e, e.sequenceNumber.getOrElse(i.sequenceNumber)))
-      }
-    val dataEntries = entriesOf(dataInfos0.filter(i => surviving(i.path)), 0)
+    val dataEntries = Par.inParallel(dataInfos0.filter(i => surviving(i.path)))(
+        i => (i, ManifestWriter.read(i.path))).flatMap { case (i, es) =>
+      es.filter(e => e.status != 2 && e.content == 0)
+        .map(e => (e, e.sequenceNumber.getOrElse(i.sequenceNumber), i))
+    }
     // level 2: entry bound stats prune files the filters cannot match
-    val kept = dataEntries.filterNot { case (e, _) =>
+    val kept = dataEntries.filterNot { case (e, _, _) =>
       filters.exists(f => FileBoundsEval.skippable(f, e, meta)) }
     // delete-side manifest pruning, the data-side rules applied
     // symmetrically and conservatively — a skipped manifest is NEVER
@@ -595,6 +608,7 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     onPlanned.foreach(cb => cb(kept.map(_._1.filePath), allDeletePathsAtScan))
     val tableSchema = GraftTable.sparkSchema(pinnedMeta)
     val alternates = GraftTable.nameAlternates(pinnedMeta)
+    val keysByFile = spj.map(_._2).getOrElse(Map.empty)
     def partition(e: ManifestWriter.EntryData, seq: Long,
         rowGroup: Int, rowStart: Long): GraftTableInputPartition =
       GraftTableInputPartition(e.filePath, seq,
@@ -606,7 +620,8 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
           .map(_._1.filePath),
         eqDeletes.filter(_._2 > seq).map(_._1.filePath),
         tableSchema, rowGroup, rowStart, nameAlternates = alternates,
-        fileFormat = e.fileFormat)
+        fileFormat = e.fileFormat,
+        partitionKeyValues = keysByFile.get(e.filePath).map(_.toArray).orNull)
     // files above the split threshold fan out ONE PARTITION PER ROW GROUP
     // (footer read at planning, concurrent, only for big files — the
     // manifest's fileSizeInBytes decides, so small files cost nothing);
@@ -628,7 +643,7 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
         val pseudo = ManifestWriter.EntryData(0, 0L, e.filePath, rows, bytes, lo, hi)
         allFilters.exists(f => FileBoundsEval.skippable(f, pseudo, pinnedMeta))
       }
-    Par.inParallel(kept) { case (e, seq) =>
+    Par.inParallel(kept) { case (e, seq, _) =>
       if (e.fileSizeInBytes <= splitSize || e.fileFormat == "AVRO")
         Seq(partition(e, seq, -1, 0L)) // Avro containers carry no split index
       else if (e.fileFormat == "ORC") {
@@ -707,6 +722,90 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
           GraftTableColumnarReader.eqComparable)))
     }.forall(identity)
   }
+
+  /** Storage-partitioned joins: a partitioned table reports its layout
+    * as a V2 `KeyGroupedPartitioning(transform(col), ...)`, and when BOTH
+    * sides of a join report compatible partitionings on the join keys
+    * (`spark.sql.sources.v2.bucketing.enabled`), Spark aligns the two
+    * scans' partitions by key tuple and plans the join with NO shuffle on
+    * either side — at 100 TB the difference between repartitioning two
+    * fact tables and streaming co-located splits straight into the join.
+    * Catalyst resolves the reported transforms against the owning
+    * catalog's [[GraftFunctions]] (`V2ExpressionUtils` → FunctionCatalog).
+    *
+    * The per-file partition tuple derives from the OWNING manifest's
+    * field-507 summaries: the engine's writers give every partition tuple
+    * its own manifest, so a summary with lower == upper (and no nulls)
+    * pins the tuple for every file inside — no new metadata and no data
+    * bytes. Any kept file whose tuple cannot be proven that way (foreign
+    * layout, pre-evolution spec, absent summaries) disables the report
+    * for the whole scan: correctness never rides on a layout guess, the
+    * plan just keeps its shuffle. */
+  private lazy val spj: Option[(Array[Transform], Map[String, Seq[Any]])] = try {
+    val meta = pinnedMeta
+    for {
+      spec <- meta.partitionSpecs.find(_.specId == meta.defaultSpecId)
+        .filter(_.fields.nonEmpty)
+      resultTypes = spec.fields.map { pf =>
+        meta.currentSchema.fields.find(_.id == pf.sourceId)
+          .flatMap(f => IcebergTypes.fromStringOpt(f.fieldType))
+          .flatMap(st => ScanPlanning.transformResultType(pf.transform, st))
+      }
+      if resultTypes.forall(_.isDefined)
+      keyed = planned._1.map { case (e, _, info) =>
+        val tuple: Option[Seq[Any]] =
+          if (info.specId != spec.specId) None
+          else info.summaries.filter(_.size == spec.fields.size).flatMap { sums =>
+            val vals = sums.zip(resultTypes.map(_.get)).map { case (s, t) =>
+              for {
+                lo <- s.lower.filter(_.nonEmpty)
+                hi <- s.upper.filter(_.nonEmpty)
+                dl = SingleValueCodec.decode(t, lo)
+                dh = SingleValueCodec.decode(t, hi)
+                if dl == dh && !s.containsNull
+                iv <- spjInternalValue(t, dl)
+              } yield iv
+            }
+            if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+          }
+        e.filePath -> tuple
+      }
+      if keyed.nonEmpty && keyed.forall(_._2.isDefined)
+    } yield (SpecTransforms.of(meta), keyed.map { case (p, t) => p -> t.get }.toMap)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Summary-decoded external value → the catalyst representation the
+    * key expression's data type stores (UTF8String, epoch days/micros,
+    * Decimal) — what `HasPartitionKey.partitionKey` rows must hold. */
+  private def spjInternalValue(t: IcebergType, v: Any): Option[Any] = (t, v) match {
+    case (IcebergTypes.TInt, i: Int) => Some(i)
+    case (IcebergTypes.TLong, l: Long) => Some(l)
+    case (IcebergTypes.TString, s: String) =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    case (IcebergTypes.TBoolean, b: Boolean) => Some(b)
+    case (IcebergTypes.TDate, d: java.time.LocalDate) => Some(d.toEpochDay.toInt)
+    case (IcebergTypes.TTimestamp, dt: java.time.LocalDateTime) =>
+      val i = dt.toInstant(java.time.ZoneOffset.UTC)
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+    case (IcebergTypes.TTimestamptz, i: java.time.Instant) =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+    case (IcebergTypes.TDecimal(_, _), bd: java.math.BigDecimal) =>
+      Some(org.apache.spark.sql.types.Decimal(bd))
+    // float/double partition sources are refused: NaN summary semantics
+    // make single-value proofs unreliable, and no sane layout keys on them
+    case _ => None
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spj match {
+      case Some((transforms, keys)) if keys.nonEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          transforms.map(t => t: org.apache.spark.sql.connector.expressions.Expression),
+          keys.values.toSet.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** Exact size from manifest stats (what they exist for); row count only
     * when no deletes are pending (deleted rows are unknowable unscanned). */
@@ -932,8 +1031,19 @@ case class GraftTableInputPartition(filePath: String, sequenceNumber: Long,
     nameAlternates: Map[String, Seq[String]] = Map.empty,
     // manifest field 101: PARQUET (the engine's own writes) or AVRO
     // (foreign/imported data files — row route, no row-group splits)
-    fileFormat: String = "PARQUET")
-    extends InputPartition
+    fileFormat: String = "PARQUET",
+    // storage-partitioned joins: this file's partition tuple in catalyst
+    // form (summary-derived), or null when the scan reported no
+    // KeyGroupedPartitioning — Spark only calls partitionKey() after
+    // grouping on a key-grouped report, where it is always present
+    partitionKeyValues: Array[Any] = null)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = {
+    require(partitionKeyValues != null,
+      s"partitionKey() on a non-key-grouped scan partition for $filePath")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partitionKeyValues)
+  }
+}
 
 class GraftTableReaderFactory(required: StructType,
     hadoopConf: graft.iceberg.SerializableHadoopConf,

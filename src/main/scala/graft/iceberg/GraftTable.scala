@@ -267,6 +267,153 @@ object GraftTable {
     }
   }
 
+  /** CDC changelog over a snapshot range — Iceberg's changelog-scan
+    * semantics as one DataFrame: every row the range's commits logically
+    * added or removed, tagged with the standard changelog columns
+    * `_change_type` ('insert' | 'delete'), `_change_ordinal` (the
+    * commit's index within the consumed range) and
+    * `_commit_snapshot_id`.
+    *
+    * Per-snapshot resolution, all from the committed documents:
+    *   - **inserts**: rows of data files whose manifest entry is
+    *     (status=ADDED, snapshot_id=s) in a manifest the list records as
+    *     added by s (field 503 — a changelog step opens only the
+    *     commit's own manifests, proportional to the commit, never the
+    *     table);
+    *   - **deletes from position-delete files** the commit added: the
+    *     addressed (file_path, pos) coordinates join back to the
+    *     PARENT-visible rows of the addressed files (parent MOR applied
+    *     first, so only visible→deleted transitions emit; the parent
+    *     read is restricted by the delete files' file_path bound stats);
+    *   - **deletes from equality-delete files**: the delete values
+    *     null-safe-semi-join the parent-visible rows (the spec's
+    *     null-matches-null rule), column names canonicalized across
+    *     RENAME COLUMN generations;
+    *   - **copy-on-write overwrites** (MERGE/UPDATE): the commit's
+    *     DELETED tombstone entries name the removed files — their
+    *     parent-visible rows emit as deletes, the rewritten files as
+    *     inserts (Iceberg's overwrite changelog shape: an unchanged row
+    *     in a rewritten file emits a delete+insert pair);
+    *   - **`replace` snapshots** (compaction, manifest/delete rewrites)
+    *     change nothing logically and emit NOTHING — the invisibility
+    *     that makes background maintenance safe for downstream CDC.
+    *
+    * The range is the PARENT CHAIN ending at `endSnapshotId` (default:
+    * current head) walking back to exclusive `startSnapshotId` (default:
+    * the first snapshot's parent, i.e. the whole history) — branched
+    * snapshots off the consumed ancestry never contribute. */
+  def changelog(spark: SparkSession, tableDir: String,
+      startSnapshotId: Option[Long] = None,
+      endSnapshotId: Option[Long] = None): DataFrame = {
+    val meta = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    val schema = sparkSchema(meta)
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("_change_type", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("_change_ordinal", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("_commit_snapshot_id", org.apache.spark.sql.types.LongType, nullable = false)))
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val endId = endSnapshotId.orElse(meta.currentSnapshotId).getOrElse(return empty)
+    // ancestry walk, newest → oldest, then reversed for ordinals
+    val chain = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+      var cur: Option[Snapshot] = Some(meta.snapshot(endId).getOrElse(
+        throw new IllegalArgumentException(s"end snapshot $endId not found")))
+      while (cur.exists(s => !startSnapshotId.contains(s.snapshotId))) {
+        buf += cur.get
+        cur = cur.get.parentSnapshotId.flatMap(meta.snapshot)
+      }
+      require(startSnapshotId.forall(sid => cur.exists(_.snapshotId == sid)),
+        s"start snapshot ${startSnapshotId.get} is not an ancestor of $endId")
+      buf.reverse.toSeq
+    }
+    val histToCur: Map[String, String] = nameAlternates(meta)
+      .flatMap { case (cur2, hists) => hists.map(_ -> cur2) }
+    val tagged = chain.zipWithIndex.flatMap { case (s, ordinal) =>
+      if (s.operation.contains("replace")) None
+      else {
+        def tag(df: DataFrame, change: String): DataFrame =
+          df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+            .withColumn("_change_type", lit(change))
+            .withColumn("_change_ordinal", lit(ordinal))
+            .withColumn("_commit_snapshot_id", lit(s.snapshotId))
+        val listInfos = ManifestListReader.read(s.manifestList.getOrElse(
+          throw new IllegalArgumentException(
+            s"snapshot ${s.snapshotId} has no manifest-list")))
+        val added = listInfos.filter(_.addedSnapshotId == s.snapshotId)
+        val byManifest = Par.inParallel(added)(i => (i, ManifestWriter.read(i.path)))
+        def entriesOf(listContent: Int, status: Int, entryContent: Int) =
+          (for {
+            (i, es) <- byManifest if i.content == listContent
+            e <- es if e.status == status && e.content == entryContent &&
+              e.snapshotId == s.snapshotId
+          } yield (e, e.sequenceNumber.getOrElse(i.sequenceNumber)))
+            .distinctBy(x => uriPath(x._1.filePath))
+        val dataAdded = entriesOf(0, 1, 0)
+        val posAdded = entriesOf(1, 1, 1)
+        val eqAdded = entriesOf(1, 1, 2)
+        val removed = entriesOf(0, 2, 0).map(e => uriPath(e._1.filePath)).toSet
+        val inserts =
+          if (dataAdded.isEmpty) None
+          else Some(tag(readDataFiles(spark, meta, dataAdded.map(_._1.filePath)), "insert"))
+        // parent-visible rows over a RESTRICTED file set, MOR-resolved
+        // (parent's own deletes applied) so only live rows can emit
+        def parentVisible(restrict: Seq[(ManifestWriter.EntryData, Long)]
+            => Seq[(ManifestWriter.EntryData, Long)]): Option[DataFrame] =
+          s.parentSnapshotId.flatMap(meta.snapshot).flatMap(_.manifestList).map { pl =>
+            val infos = ManifestListReader.read(pl)
+            val byM = Par.inParallel(infos)(i => (i, ManifestWriter.read(i.path)))
+            def live(lc: Int, ec: Int) = (for {
+              (i, es) <- byM if i.content == lc
+              e <- es if e.status != 2 && e.content == ec
+            } yield (e, e.sequenceNumber.getOrElse(i.sequenceNumber)))
+              .distinctBy(x => uriPath(x._1.filePath))
+            readFromEntries(spark, meta, restrict(live(0, 0)), live(1, 1), live(1, 2))
+          }
+        val removedDeletes =
+          if (removed.isEmpty) None
+          else parentVisible(_.filter(e => removed.contains(uriPath(e._1.filePath))))
+            .map(tag(_, "delete"))
+        val posDeletes =
+          if (posAdded.isEmpty) None
+          else {
+            val addrs = spark.read.parquet(posAdded.map(_._1.filePath).sorted: _*)
+              .select(col("file_path"), col("pos"))
+            parentVisible(_.filter(e => posAdded.exists(d =>
+                posDeleteMayAddress(d._1, Set(uriPath(e._1.filePath))))))
+              .map { vis =>
+                tag(vis.join(addrs,
+                  normPathCol(vis("_file")) === normPathCol(addrs("file_path")) &&
+                    vis("_pos") === addrs("pos")), "delete")
+              }
+          }
+        val eqDeletes =
+          if (eqAdded.isEmpty) None
+          else parentVisible(identity).map { vis =>
+            val byCols = Par.inParallel(eqAdded)(e =>
+                (spark.read.parquet(e._1.filePath).schema.fieldNames.toSeq
+                  .map(n => histToCur.getOrElse(n, n)), e._1.filePath))
+              .groupBy(_._1).toSeq.sortBy(_._1.mkString(","))
+            byCols.map { case (cols, g) =>
+              // the delete file's own (equality-column) schema, historical
+              // names aliased up to the current generation
+              val raw = spark.read.parquet(g.map(_._2).sorted: _*)
+              val vals = raw.select(raw.schema.fieldNames.toIndexedSeq
+                  .map(n => col(n).as(histToCur.getOrElse(n, n))): _*)
+                .dropDuplicates(cols)
+              vis.join(vals, cols.map(c => vis(c) <=> vals(c)).reduce(_ && _), "leftsemi")
+            }.reduce(_ unionByName _)
+          }.map(tag(_, "delete"))
+        // one commit's delete sources are disjoint by construction
+        // (tombstoned files leave the table; a pos/eq pair in one commit
+        // addresses different sequences) — plain union, no dedup pass
+        Seq(inserts, removedDeletes, posDeletes, eqDeletes).flatten
+          .reduceOption(_ unionByName _)
+      }
+    }
+    tagged.reduceOption(_ unionByName _).getOrElse(empty)
+  }
+
   // ------------------------------------------------------------ writes
   // The write half of the one-call API: create / append / deleteWhere,
   // every commit through the OptimisticCommit CAS loop so concurrent

@@ -451,7 +451,60 @@ object LakehouseInspect {
       |  COUNT(DISTINCT n_regionkey) AS n_regions
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i82
+  /** CDC changelog via `create_changelog_view`: a four-commit timeline
+    * (append, append, MOR position-delete DML, equality-delete upsert)
+    * plus a compaction whose `replace` snapshot must emit NOTHING. The
+    * changelog view's (ordinal, op) rollup is fully recomputable from
+    * the source table — every commit's content is data-defined, so the
+    * oracle never depends on file layout. */
+  val changelogView: Q = (spark, sfDir) => {
+    val wh = entryDir("i82", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_cdc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdc.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i82_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_cdc.db.n
+        (k BIGINT, name STRING, r BIGINT)""")
+      spark.sql("""INSERT INTO graft_cdc.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i82_nation_src WHERE n_regionkey < 2""")
+      spark.sql("""INSERT INTO graft_cdc.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i82_nation_src WHERE n_regionkey >= 2""")
+      spark.sql("DELETE FROM graft_cdc.db.n WHERE r = 2")
+      import spark.implicits._
+      GraftTable.upsert(spark, s"$wh/db/n",
+        Seq((5L, "UPSERTED", 9L), (100L, "NEW ROW", 9L)).toDF("k", "name", "r"),
+        Seq("k"))
+      // compaction: the replace snapshot is logically invisible — if it
+      // ever leaked into the changelog the ordinal-3 rollup below would
+      // double-count every surviving row and hash-mismatch the oracle
+      spark.sql("CALL graft_cdc.system.rewrite_data_files(table => 'db.n')")
+    }
+    spark.sql("""CALL graft_cdc.system.create_changelog_view(
+      table => 'db.n', changelog_view => 'i82_changes')""")
+    spark.sql("""SELECT _change_ordinal AS ordinal, _change_type AS op,
+        COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+      FROM i82_changes GROUP BY _change_ordinal, _change_type
+      ORDER BY ordinal, op""")
+  }
+
+  val changelogViewSql: String =
+    """SELECT * FROM (
+      |  SELECT 0 AS ordinal, 'insert' AS op, COUNT(*) AS n,
+      |    CAST(SUM(n_nationkey) AS BIGINT) AS sum_k FROM nation WHERE n_regionkey < 2
+      |  UNION ALL
+      |  SELECT 1, 'insert', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+      |  FROM nation WHERE n_regionkey >= 2
+      |  UNION ALL
+      |  SELECT 2, 'delete', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+      |  FROM nation WHERE n_regionkey = 2
+      |  UNION ALL SELECT 3, 'delete', CAST(1 AS BIGINT), CAST(5 AS BIGINT)
+      |  UNION ALL SELECT 3, 'insert', CAST(2 AS BIGINT), CAST(105 AS BIGINT))
+      |ORDER BY ordinal, op""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i82_changelog_view" -> changelogView,
     "i72_entries_table" -> entriesTable,
     "i73_rename_column" -> renameColumn,
     "i74_add_files" -> addFilesImport,
@@ -463,6 +516,7 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i82_changelog_view" -> changelogViewSql,
     "i72_entries_table" -> entriesTableSql,
     "i73_rename_column" -> renameColumnSql,
     "i74_add_files" -> addFilesImportSql,

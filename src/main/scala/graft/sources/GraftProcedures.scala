@@ -78,7 +78,7 @@ object GraftProcedures {
     "rewrite_manifests", "remove_orphan_files", "create_branch",
     "rewrite_position_delete_files", "cherrypick_snapshot", "add_files",
     "drop_tag", "drop_branch", "snapshot", "migrate",
-    "rollback_to_timestamp")
+    "rollback_to_timestamp", "create_changelog_view", "ancestors_of")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. `resolveNewDir`
@@ -195,6 +195,56 @@ object GraftProcedures {
             keepLast = input.getInt(1), olderThanMs = olderThan)
           val after = result.metadata.snapshots.size
           Seq(InternalRow(before - after, after))
+        })
+      case "ancestors_of" => new Proc(
+        "ancestors_of",
+        "the parent chain of a snapshot (default: current head), newest " +
+          "first — the ancestry every time-travel/changelog/cherry-pick " +
+          "decision walks",
+        Array(in("table", StringType),
+          inDefault("snapshot_id", LongType, "NULL")),
+        StructType(Seq(
+          StructField("snapshot_id", LongType),
+          StructField("timestamp_ms", LongType))),
+        input => {
+          val meta = currentMeta(dirOf(input))
+          val startId =
+            (if (input.isNullAt(1)) meta.currentSnapshotId else Some(input.getLong(1)))
+              .getOrElse(throw new IllegalArgumentException("table has no snapshot"))
+          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          var cur = Some(meta.snapshot(startId).getOrElse(
+            throw new IllegalArgumentException(s"snapshot $startId not found")))
+            : Option[graft.iceberg.Snapshot]
+          while (cur.isDefined) {
+            out += InternalRow(cur.get.snapshotId, cur.get.timestampMs)
+            cur = cur.get.parentSnapshotId.flatMap(meta.snapshot)
+          }
+          out.toSeq
+        })
+      case "create_changelog_view" => new Proc(
+        "create_changelog_view",
+        "register a temp view over the table's CDC changelog for a " +
+          "snapshot range (start exclusive, end inclusive; defaults: " +
+          "whole history to current head): one row per logically " +
+          "inserted/deleted row tagged _change_type / _change_ordinal / " +
+          "_commit_snapshot_id; replace (compaction/rewrite) snapshots " +
+          "emit nothing",
+        Array(in("table", StringType),
+          inDefault("changelog_view", StringType, "NULL"),
+          inDefault("start_snapshot_id", LongType, "NULL"),
+          inDefault("end_snapshot_id", LongType, "NULL")),
+        StructType(Seq(StructField("changelog_view", StringType))),
+        input => {
+          val tableName = input.getUTF8String(0).toString
+          val dir = resolveDir(tableName)
+          val view =
+            if (input.isNullAt(1)) s"${tableName.split('.').last}_changes"
+            else input.getUTF8String(1).toString
+          val start = if (input.isNullAt(2)) None else Some(input.getLong(2))
+          val end = if (input.isNullAt(3)) None else Some(input.getLong(3))
+          GraftTable.changelog(SparkSession.active, dir, start, end)
+            .createOrReplaceTempView(view)
+          Seq(InternalRow(UTF8String.fromString(view)))
         })
       case "rollback_to_timestamp" => new Proc(
         "rollback_to_timestamp",

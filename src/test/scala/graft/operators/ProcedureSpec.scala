@@ -53,6 +53,15 @@ class ProcedureSpec extends SparkSpec {
     assert(ff.head.getLong(0) == compactedSnap - 1 &&
       ff.head.getLong(1) == compactedSnap)
 
+    // ancestors_of: the parent chain, newest first — the head descends
+    // through the compaction to the three appends and the create commit
+    val anc = spark.sql("CALL graft_proc.system.ancestors_of('db.t')").collect()
+    assert(anc.map(_.getLong(0)).toSeq == (compactedSnap to 1L by -1L).toSeq,
+      anc.mkString(", "))
+    val ancAt = spark.sql(
+      s"CALL graft_proc.system.ancestors_of('db.t', ${compactedSnap - 2})").collect()
+    assert(ancAt.map(_.getLong(0)).toSeq == (compactedSnap - 2 to 1L by -1L).toSeq)
+
     // expire_snapshots: keep the last 2 of 4; the survivors still read
     val ex = spark.sql(
       "CALL graft_proc.system.expire_snapshots('db.t', 2)").collect()

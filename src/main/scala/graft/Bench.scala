@@ -60,10 +60,12 @@ object Bench {
     }
     var line = assemble()
     // degradation order: largest timings first; 2→1 across the board
-    // before any entry drops to 0 decimals
+    // before any entry drops to 0 decimals. Budget 1950: the driver
+    // keeps the last 2000 stdout chars, and the line is printed last —
+    // ≥50 chars of margin for the runner's prefix and the newline.
     val order = results.zipWithIndex
       .collect { case ((_, Some(v)), i) => (v, i) }.sortBy(-_._1).map(_._2)
-    for (target <- Seq(1, 0); i <- order; if line.length >= 1900) {
+    for (target <- Seq(1, 0); i <- order; if line.length >= 1950) {
       dec(i) = target
       line = assemble()
     }

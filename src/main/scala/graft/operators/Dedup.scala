@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -502,7 +503,89 @@ object Dedup {
       |FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
       |ORDER BY dup_positions DESC, t.doc_id LIMIT 20""".stripMargin
 
+  /** SemDeDup (semantic dedup, Abbas et al. 2023's pipeline shape): an
+    * embedding-space dedup pass that k-means-clusters the corpus, then
+    * removes near-duplicates WITHIN each cluster only — the trick that
+    * turns the O(n²) semantic-similarity dedup into k independent
+    * O((n/k)²) blocks that each fit an executor. Centroids here are the
+    * s03 coarse quantizer (first 8 vectors — deterministic); a document
+    * drops iff some LOWER-id member of its cluster sits within cosine
+    * ≥ τ (keep-min-id: the representative survives, every later
+    * near-copy goes). One broadcast-centroid scan assigns, one
+    * cluster-keyed self-join generates candidate pairs (shuffle on the
+    * cluster id, never all-pairs), and a guard FAILS LOUDLY if any
+    * cluster exceeds the exact-verify cap — at 100 TB you raise k, not
+    * the cap. Output: per-cluster membership / drop counts, oracle-
+    * recomputed exactly in DuckDB (the dot kernel's left-to-right double
+    * fold matches list_sum, s01/s03-pinned). */
+  val semDedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      GraftFunctions.dot(spark, a, b)
+    val tau = 0.35
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", sqrt(dot($"embedding", $"embedding")).as("norm"))
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"norm".as("c_norm"))
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"norm", $"cid",
+        (dot($"embedding", $"c_emb") / ($"norm" * $"c_norm")).as("sim"))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" === 1)
+      .select($"cid", $"vec_id", $"embedding", $"norm")
+    val maxCluster = assigned.groupBy($"cid").count()
+      .agg(max($"count")).head.getLong(0)
+    require(maxCluster <= 100000, s"SemDeDup cluster of $maxCluster members " +
+      "exceeds the exact-verify cap — raise the centroid count (k tracks n)")
+    val a = assigned.select($"cid".as("cid_a"), $"vec_id".as("ia"),
+      $"embedding".as("ea"), $"norm".as("na"))
+    val b = assigned.select($"cid".as("cid_b"), $"vec_id".as("ib"),
+      $"embedding".as("eb"), $"norm".as("nb"))
+    val dropped = a.join(b, $"cid_a" === $"cid_b" && $"ia" < $"ib")
+      .filter(dot($"ea", $"eb") / ($"na" * $"nb") >= tau)
+      .select($"cid_b".as("cid"), $"ib".as("vec_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    assigned.select($"cid", $"vec_id")
+      .join(dropped, Seq("cid", "vec_id"), "left_outer")
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce($"is_dup", lit(0L))).as("n_dropped"),
+        sum(when($"is_dup".isNotNull, $"vec_id").otherwise(lit(0L))).as("sum_dropped"))
+      .orderBy($"cid")
+      .select($"cid".as("centroid_id"), $"n_members", $"n_dropped", $"sum_dropped")
+  }
+
+  val semDedupSql: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+      |sims AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum([e.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE for i in range(1, len(e.embedding) + 1)]) /
+      |    (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1, len(e.embedding) + 1)])) *
+      |     sqrt(list_sum([c.c_emb[i]::DOUBLE * c.c_emb[i]::DOUBLE for i in range(1, len(c.c_emb) + 1)]))) AS sim
+      |  FROM embeddings e CROSS JOIN cents c),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rnk
+      |    FROM sims) WHERE rnk = 1),
+      |pairs AS (
+      |  SELECT a.cid, b.vec_id AS ib
+      |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+      |  WHERE list_sum([ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE for i in range(1, len(ea.embedding) + 1)]) /
+      |    (sqrt(list_sum([ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE for i in range(1, len(ea.embedding) + 1)])) *
+      |     sqrt(list_sum([eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE for i in range(1, len(eb.embedding) + 1)]))) >= 0.35),
+      |dropped AS (SELECT DISTINCT cid, ib AS vec_id FROM pairs)
+      |SELECT a.cid AS centroid_id, COUNT(*) AS n_members,
+      |  CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+      |  CAST(COALESCE(SUM(d.vec_id), 0) AS BIGINT) AS sum_dropped
+      |FROM assign a LEFT JOIN dropped d ON a.cid = d.cid AND a.vec_id = d.vec_id
+      |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d12_semdedup" -> semDedup,
     "d11_dup_passages" -> dupPassages,
     "d10_incremental_ingest" -> incrementalIngest,
     "d09_neardup_clusters" -> neardupClusters,
@@ -516,6 +599,7 @@ object Dedup {
     "d07_embedding_ivf" -> embeddingIvfNearDup)
 
   val oracles: Map[String, String] = Map(
+    "d12_semdedup" -> semDedupSql,
     "d11_dup_passages" -> dupPassagesSql,
     "d10_incremental_ingest" -> incrementalIngestSql,
     "d09_neardup_clusters" -> neardupClustersSql,

@@ -409,7 +409,73 @@ object TextPipeline {
       |FROM wc GROUP BY doc_id
       |ORDER BY dup_ratio DESC, doc_id LIMIT 20""".stripMargin
 
+  /** CCNet-style LM quality filter (t14): train a bigram LM on the
+    * corpus (the t09 model), score every document by how predictable its
+    * bigrams are under it, and split the corpus into head/middle/tail
+    * quality bands — the CCNet pipeline's perplexity gate, re-expressed
+    * without transcendentals so both engines agree BIT-FOR-BIT: each
+    * bigram scores the integer `(count(w1,w2) * 1e6) DIV count(w1)`
+    * (a scaled conditional probability; integer division, no log), a
+    * document scores the integer mean of its bigram scores, and the
+    * bands are FIXED thresholds rather than corpus quantiles (quantile
+    * cuts over ties are engine-order-dependent; thresholds are not).
+    * Shape: two map-side-partial count aggregations build the LM, the
+    * doc-bigram stream joins it on (w1,w2) then (w1) — at 100 TB the LM
+    * side is vocabulary-scale, broadcastable — and one rollup per
+    * source. */
+  val lmQualityFilter: Q = (spark, dir) => {
+    import spark.implicits._
+    val norm = graft.functions.GraftFunctions.normalizeText(spark, $"text")
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", split(norm, " ").as("ws"))
+      .filter(size($"ws") >= 2)
+    val bg = docs.select($"doc_id", $"source", explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
+      .select($"doc_id", $"source", $"b.w1", $"b.w2")
+      .filter(length($"w1") > 0 && length($"w2") > 0)
+    val counts = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
+    val ctx = counts.groupBy($"w1").agg(sum($"n").as("n_ctx"))
+    val scored = bg.join(counts, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum(expr("(n * 1000000) DIV n_ctx")).as("s"), count(lit(1)).as("nb"))
+      .withColumn("score", expr("s DIV nb"))
+    scored.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"score").as("min_score"), max($"score").as("max_score"),
+        expr("SUM(score) DIV COUNT(1)").as("avg_score"),
+        sum(when($"score" >= 36000L, 1L).otherwise(0L)).as("n_head"),
+        sum(when($"score" < 33000L, 1L).otherwise(0L)).as("n_tail"))
+      .orderBy($"source")
+  }
+
+  val lmQualityFilterSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, source, string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, source, b[1] AS w1, b[2] AS w2 FROM (
+      |    SELECT doc_id, source, unnest([[ws[i], ws[i+1]] for i in range(1, len(ws))]) AS b
+      |    FROM ws WHERE len(ws) >= 2) t
+      |  WHERE length(b[1]) > 0 AND length(b[2]) > 0),
+      |counts AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2),
+      |ctx AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n_ctx FROM counts GROUP BY w1),
+      |scored AS (
+      |  SELECT bg.doc_id, bg.source,
+      |    CAST(SUM((counts.n * 1000000) // ctx.n_ctx) AS BIGINT) // COUNT(*) AS score
+      |  FROM bg JOIN counts ON bg.w1 = counts.w1 AND bg.w2 = counts.w2
+      |          JOIN ctx ON bg.w1 = ctx.w1
+      |  GROUP BY bg.doc_id, bg.source)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(MIN(score) AS BIGINT) AS min_score,
+      |  CAST(MAX(score) AS BIGINT) AS max_score,
+      |  CAST(CAST(SUM(score) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_score,
+      |  CAST(SUM(CASE WHEN score >= 36000 THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+      |  CAST(SUM(CASE WHEN score < 33000 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t14_lm_quality_filter" -> lmQualityFilter,
     "t13_repetition" -> repetitionMetrics,
     "t12_filter_funnel" -> filterFunnel,
     "t11_tfidf_terms" -> tfidfTopTerms,
@@ -425,6 +491,7 @@ object TextPipeline {
     "t06_clean_text" -> cleanText)
 
   val oracles: Map[String, String] = Map(
+    "t14_lm_quality_filter" -> lmQualityFilterSql,
     "t13_repetition" -> repetitionMetricsSql,
     "t12_filter_funnel" -> filterFunnelSql,
     "t11_tfidf_terms" -> tfidfTopTermsSql,

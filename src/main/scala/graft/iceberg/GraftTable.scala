@@ -1411,8 +1411,12 @@ object GraftTable {
       })
       val afterExpiry = toExpire.foldLeft(base)((m, id) =>
         MetadataWriter.expireSnapshot(m, id, base.lastUpdatedMs + 1000, None))
-      afterExpiry.copy(metadataLog =
-        afterExpiry.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
+      afterExpiry.copy(
+        // statistics files are pinned to their snapshot: expiring it
+        // drops the entry (the physical blob reclaims below)
+        statistics = afterExpiry.statistics.filterNot(s => expiredIds(s.snapshotId)),
+        metadataLog =
+          afterExpiry.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
     })
     // reachability difference over the snapshot closures (lists →
     // manifests → files), computed BEFORE anything is deleted. Only
@@ -1430,7 +1434,8 @@ object GraftTable {
     }
     val oldMeta = TableMetadata.parseFile(
       OptimisticCommit.metadataPath(tableDir, result.version - 1))
-    val doomed = closure(oldMeta.snapshots.filter(s => expiredIds(s.snapshotId))) --
+    val doomed = (closure(oldMeta.snapshots.filter(s => expiredIds(s.snapshotId))) ++
+      oldMeta.statistics.filter(s => expiredIds(s.snapshotId)).map(_.path)) --
       closure(result.metadata.snapshots)
     // deletes are independent FS calls — latency-bound, run concurrently
     Par.inParallel(doomed.toSeq.sorted)(p =>
@@ -1447,6 +1452,55 @@ object GraftTable {
     OptimisticCommit.commit(tableDir, (base, basePath) =>
       MetadataWriter.evolveSchema(base, schema, base.lastUpdatedMs + 1000).copy(
         metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
+
+  /** Table-level statistics (Iceberg's ANALYZE / `compute_table_stats`):
+    * ONE pass over the current snapshot's MOR-resolved rows computes,
+    * per primitive column, the NDV (HLL++ `approx_count_distinct` — the
+    * sketch you'd use at 100 TB; estimates are deterministic for given
+    * data but engine-specific, so correctness gates pin the exact
+    * quantities and bound the estimate) and the exact null count, plus
+    * the exact row count. The blob lands as a [[TableStats]] JSON file
+    * referenced from the metadata `statistics` list (the spec's Puffin
+    * slot), keyed to the analyzed snapshot — a later commit makes it
+    * stale-but-present (Iceberg's model), and expiring the snapshot
+    * reclaims it. The DSv2 scan serves it back as V2 `columnStats()`,
+    * which is what Spark's CBO join-reorder and build-side selection
+    * consume. Re-analyzing the same snapshot replaces its entry. */
+  def computeTableStats(spark: SparkSession, tableDir: String)
+      : (OptimisticCommit.CommitResult, TableStats.Doc) = {
+    val metaPath = latestMetadataPath(tableDir)
+    val meta = TableMetadata.parseFile(metaPath)
+    val snapId = meta.currentSnapshotId.getOrElse(
+      throw new IllegalArgumentException("cannot analyze a table with no snapshot"))
+    val fields = meta.currentSchema.fields
+      .filter(f => IcebergTypes.fromStringOpt(f.fieldType).isDefined)
+    val df = read(spark, metaPath)
+    val aggs = fields.flatMap(f => Seq(
+      approx_count_distinct(col(f.name)).as(s"ndv_${f.id}"),
+      sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls_${f.id}")))
+    val row = df.agg(count(lit(1)).as("rc"), aggs: _*).head()
+    val doc = TableStats.Doc(snapId, row.getAs[Long]("rc"),
+      fields.map(f => f.id -> TableStats.ColumnStats(
+        row.getAs[Long](s"ndv_${f.id}"),
+        Option(row.getAs[Long](s"nulls_${f.id}")).getOrElse(0L))).toMap)
+    val path = s"$tableDir/stats-$snapId-${java.util.UUID.randomUUID()}.json"
+    val size = TableStats.write(path, doc)
+    var replaced: Seq[String] = Nil
+    val result = OptimisticCommit.commit(tableDir, (base, basePath) => {
+      replaced = base.statistics.filter(_.snapshotId == snapId).map(_.path)
+      base.copy(
+        statistics = base.statistics.filterNot(_.snapshotId == snapId) :+
+          StatisticsFile(snapId, path, size),
+        lastUpdatedMs = base.lastUpdatedMs + 1000,
+        metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
+    })
+    // a re-analysis REPLACED the snapshot's entry: reclaim the old blob
+    // only after the commit wins (a crash in between leaves a reclaimable
+    // orphan, never a dangling reference)
+    replaced.foreach(p =>
+      HadoopConfs.fileSystemFor(p).delete(new org.apache.hadoop.fs.Path(p), false))
+    (result, doc)
+  }
 
   /** Table-property update through the CAS loop — metadata-only, the
     * commit Iceberg's `ALTER TABLE … SET TBLPROPERTIES` lands. */

@@ -310,6 +310,16 @@ object MetadataWriter {
       n.put("metadata-file", e.metadataFile)
       mlog.add(n)
     }
+    if (meta.statistics.nonEmpty) {
+      val stats = root.putArray("statistics")
+      meta.statistics.foreach { s =>
+        val n = mapper.createObjectNode()
+        n.put("snapshot-id", s.snapshotId)
+        n.put("statistics-path", s.path)
+        n.put("file-size-in-bytes", s.fileSizeInBytes)
+        stats.add(n)
+      }
+    }
     root.toPrettyString
   }
 

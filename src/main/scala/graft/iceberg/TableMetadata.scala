@@ -35,6 +35,12 @@ final case class Snapshot(
 final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
 final case class MetadataLogEntry(timestampMs: Long, metadataFile: String)
 
+/** An Iceberg `statistics` entry: a table-level statistics file computed
+  * at a snapshot (the spec's Puffin reference shape — snapshot-id +
+  * statistics-path + file-size-in-bytes; this engine writes the blob
+  * content as JSON, see GraftTable.computeTableStats). */
+final case class StatisticsFile(snapshotId: Long, path: String, fileSizeInBytes: Long)
+
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -52,7 +58,8 @@ final case class TableMetadata(
     refs: Seq[SnapshotRef],
     snapshots: Seq[Snapshot],
     snapshotLog: Seq[SnapshotLogEntry],
-    metadataLog: Seq[MetadataLogEntry]) {
+    metadataLog: Seq[MetadataLogEntry],
+    statistics: Seq[StatisticsFile] = Nil) {
 
   /** Current schema: top-level `schema` wins, else `schemas[]` entry whose
     * schema-id equals current-schema-id (reference parity, see scaladoc). */
@@ -152,5 +159,9 @@ object TableMetadata {
     }.toSeq).getOrElse(Nil),
     metadataLog = optNode(root, "metadata-log").map(_.elements().asScala.map { e =>
       MetadataLogEntry(e.get("timestamp-ms").asLong, e.get("metadata-file").asText)
+    }.toSeq).getOrElse(Nil),
+    statistics = optNode(root, "statistics").map(_.elements().asScala.map { e =>
+      StatisticsFile(e.get("snapshot-id").asLong, e.get("statistics-path").asText,
+        optNode(e, "file-size-in-bytes").map(_.asLong).getOrElse(0L))
     }.toSeq).getOrElse(Nil))
 }

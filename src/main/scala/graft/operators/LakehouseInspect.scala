@@ -503,7 +503,61 @@ object LakehouseInspect {
       |  UNION ALL SELECT 3, 'insert', CAST(2 AS BIGINT), CAST(105 AS BIGINT))
       |ORDER BY ordinal, op""".stripMargin
 
+  // ---------------------------------------------------------------- i83
+  /** ANALYZE → CBO: `compute_table_stats` lands per-column NDV (HLL++) +
+    * exact null counts + row count as a statistics blob in the metadata
+    * `statistics` list (the Puffin slot), and the DSv2 scan serves it
+    * back as V2 column statistics. The entry REQUIRES the CBO loop
+    * closed (attribute stats visible on the optimized scan, NDV within
+    * the sketch's error bound) and emits only the exactly-recomputable
+    * quantities — row count, analyzed column count, null count, and the
+    * manifest-bound-derived min/max as CBO saw them. */
+  val tableStatsEntry: Q = (spark, sfDir) => {
+    val wh = entryDir("i83", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_ts",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ts.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i83_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("CREATE TABLE graft_ts.db.n (k BIGINT, name STRING, r BIGINT)")
+      spark.sql("""INSERT INTO graft_ts.db.n
+        SELECT n_nationkey, CASE WHEN n_regionkey = 2 THEN NULL ELSE n_name END,
+          n_regionkey FROM i83_nation_src""")
+    }
+    val out = spark.sql("CALL graft_ts.system.compute_table_stats(table => 'db.n')").head
+    val dir = s"$wh/db/n"
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val doc = graft.iceberg.TableStats.read(meta.statistics
+      .find(_.snapshotId == out.getLong(0)).get.path)
+    val kId = meta.currentSchema.fields.find(_.name == "k").get.id
+    require(math.abs(doc.columns(kId).ndv - doc.rowCount) <= doc.rowCount / 10 + 2,
+      s"NDV estimate ${doc.columns(kId).ndv} outside the HLL error bound")
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.sql("SELECT k, name FROM graft_ts.db.n")
+        .queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      require(byName.get("k").exists(_.distinctCount.isDefined),
+        "CBO must see the committed NDV")
+      import spark.implicits._
+      Seq((doc.rowCount, out.getInt(2).toLong,
+        doc.columns(meta.currentSchema.fields.find(_.name == "name").get.id).nullCount,
+        byName("k").min.map(_.asInstanceOf[Long]).get,
+        byName("k").max.map(_.asInstanceOf[Long]).get))
+        .toDF("n_rows", "n_cols", "nulls_name", "k_min", "k_max")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
+  val tableStatsEntrySql: String =
+    """SELECT COUNT(*) AS n_rows, CAST(3 AS BIGINT) AS n_cols,
+      |  CAST(SUM(CASE WHEN n_regionkey = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nulls_name,
+      |  CAST(MIN(n_nationkey) AS BIGINT) AS k_min,
+      |  CAST(MAX(n_nationkey) AS BIGINT) AS k_max
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i83_table_stats" -> tableStatsEntry,
     "i82_changelog_view" -> changelogView,
     "i72_entries_table" -> entriesTable,
     "i73_rename_column" -> renameColumn,
@@ -516,6 +570,7 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i83_table_stats" -> tableStatsEntrySql,
     "i82_changelog_view" -> changelogViewSql,
     "i72_entries_table" -> entriesTableSql,
     "i73_rename_column" -> renameColumnSql,

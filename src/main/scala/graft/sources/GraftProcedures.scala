@@ -78,7 +78,8 @@ object GraftProcedures {
     "rewrite_manifests", "remove_orphan_files", "create_branch",
     "rewrite_position_delete_files", "cherrypick_snapshot", "add_files",
     "drop_tag", "drop_branch", "snapshot", "migrate",
-    "rollback_to_timestamp", "create_changelog_view", "ancestors_of")
+    "rollback_to_timestamp", "create_changelog_view", "ancestors_of",
+    "compute_table_stats")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. `resolveNewDir`
@@ -195,6 +196,26 @@ object GraftProcedures {
             keepLast = input.getInt(1), olderThanMs = olderThan)
           val after = result.metadata.snapshots.size
           Seq(InternalRow(before - after, after))
+        })
+      case "compute_table_stats" => new Proc(
+        "compute_table_stats",
+        "one-pass ANALYZE of the current snapshot: per-column NDV " +
+          "(HLL++) + exact null counts + exact row count, committed as a " +
+          "statistics file (the Puffin slot) that the scan serves back " +
+          "to Spark's CBO as column statistics",
+        Array(in("table", StringType)),
+        StructType(Seq(
+          StructField("snapshot_id", LongType),
+          StructField("row_count", LongType),
+          StructField("analyzed_columns_count", IntegerType),
+          StructField("statistics_path", StringType))),
+        input => {
+          val (result, doc) =
+            GraftTable.computeTableStats(SparkSession.active, dirOf(input))
+          val path = result.metadata.statistics
+            .find(_.snapshotId == doc.snapshotId).map(_.path).getOrElse("")
+          Seq(InternalRow(doc.snapshotId, doc.rowCount, doc.columns.size,
+            UTF8String.fromString(path)))
         })
       case "ancestors_of" => new Proc(
         "ancestors_of",

@@ -808,7 +808,17 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     }
 
   /** Exact size from manifest stats (what they exist for); row count only
-    * when no deletes are pending (deleted rows are unknowable unscanned). */
+    * when no deletes are pending (deleted rows are unknowable unscanned).
+    * Column statistics ride along for Spark's CBO (join reorder, build-
+    * side selection): min/max decode from the manifest entry bounds the
+    * planning pass already holds, NDV + null counts come from the
+    * snapshot's committed [[graft.iceberg.TableStats]] blob (the
+    * `statistics` metadata entry `compute_table_stats` lands) — all
+    * metadata-scale, zero data bytes. Served only on filterless,
+    * delete-free scans, where the numbers exactly describe what the scan
+    * emits; string/binary bounds additionally require the engine-writer
+    * exactness stamp (foreign truncate(16) bounds are prefixes, not
+    * values — the i71 rule applied to CBO). */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.of(planned._1.map(_._1.fileSizeInBytes).sum)
@@ -816,6 +826,83 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
       if (planned._2.isEmpty && planned._3.isEmpty)
         util.OptionalLong.of(planned._1.map(_._1.recordCount).sum)
       else util.OptionalLong.empty()
+    override def columnStats(): util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStatsMap
+  }
+
+  private lazy val colStatsMap: util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val m = new util.HashMap[NamedReference, ColumnStatistics]()
+    if (filters.isEmpty && planned._2.isEmpty && planned._3.isEmpty &&
+        planned._1.nonEmpty && !emptyTable) {
+      val meta = pinnedMeta
+      val exactMetrics = meta.properties.get("graft.metrics").contains("full")
+      val statsDoc = {
+        val snap = GraftTable.resolveForScan(meta, snapshotId, ref, asOfTimestampMs)
+        meta.statistics.find(_.snapshotId == snap.snapshotId)
+          .flatMap(s => scala.util.Try(graft.iceberg.TableStats.read(s.path)).toOption)
+      }
+      val entries = planned._1.map(_._1)
+      for (f <- required.fields if f.name != "_file" && f.name != "_pos") {
+        meta.currentSchema.fields.find(_.name == f.name).foreach { field =>
+          IcebergTypes.fromStringOpt(field.fieldType).foreach { t =>
+            // float/double bounds are NaN-blind, string/binary bounds may
+            // be truncated prefixes — same service gates as the stats-
+            // served aggregate pushdown
+            val boundsOk = t match {
+              case IcebergTypes.TInt | IcebergTypes.TLong | IcebergTypes.TDate |
+                  IcebergTypes.TTimestamp | IcebergTypes.TTimestamptz |
+                  IcebergTypes.TDecimal(_, _) => true
+              case IcebergTypes.TString => exactMetrics
+              case _ => false
+            }
+            def decoded(get: ManifestWriter.EntryData => Option[Array[Byte]]): Seq[Any] =
+              entries.map(e => get(e).filter(_.nonEmpty)
+                .flatMap(b => scala.util.Try(SingleValueCodec.decode(t, b)).toOption)
+                .flatMap(spjInternalValue(t, _))).map(_.orNull)
+            def extreme(vals: Seq[Any], sign: Int): Option[Any] =
+              // every kept file must carry the bound, or the true extreme
+              // is unknowable from metadata
+              if (vals.contains(null)) None
+              else vals.reduceOption { (a, b) =>
+                val c = (a, b) match {
+                  case (x: Int, y: Int) => Integer.compare(x, y)
+                  case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+                  case (x: org.apache.spark.unsafe.types.UTF8String,
+                      y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+                  case (x: org.apache.spark.sql.types.Decimal,
+                      y: org.apache.spark.sql.types.Decimal) => x.compare(y)
+                  case _ => 0
+                }
+                if (c * sign <= 0) a else b
+              }
+            val (mn, mx) =
+              if (!boundsOk) (None, None)
+              else (extreme(decoded(_.lowerBounds.get(field.id)), 1),
+                extreme(decoded(_.upperBounds.get(field.id)), -1))
+            val cs = statsDoc.flatMap(_.columns.get(field.id))
+            if (mn.isDefined || mx.isDefined || cs.isDefined)
+              m.put(Expressions.column(f.name), new ColumnStatistics {
+                override def distinctCount(): util.OptionalLong =
+                  cs.map(c => util.OptionalLong.of(c.ndv)).getOrElse(util.OptionalLong.empty())
+                override def nullCount(): util.OptionalLong =
+                  cs.map(c => util.OptionalLong.of(c.nullCount)).getOrElse(util.OptionalLong.empty())
+                override def min(): java.util.Optional[Object] =
+                  mn.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty())
+                override def max(): java.util.Optional[Object] =
+                  mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty())
+              })
+          }
+        }
+      }
+    }
+    m
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

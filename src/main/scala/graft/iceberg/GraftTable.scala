@@ -2,7 +2,7 @@ package graft.iceberg
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
 
 import graft.operators.Lakehouse
 
@@ -32,13 +32,29 @@ import graft.operators.Lakehouse
 object GraftTable {
 
   /** Spark read schema derived from the document's current schema — the
-    * null-fill projection a v2 reader applies to pre-evolution files. */
+    * null-fill projection a v2 reader applies to pre-evolution files.
+    * v3 column defaults surface as the `CURRENT_DEFAULT`/`EXISTS_DEFAULT`
+    * StructField metadata Spark's own analyzer consumes: an INSERT that
+    * omits the column gets write-default filled by Spark, no engine
+    * code in the write path at all. */
   def sparkSchema(meta: TableMetadata): StructType =
     StructType(meta.currentSchema.fields.map { f =>
-      val sf = StructField(f.name, IcebergTypes.fromStringOpt(f.fieldType).getOrElse(
-        throw new IllegalArgumentException(s"unsupported type ${f.fieldType}")).sparkType,
-        nullable = true)
-      f.doc.map(sf.withComment).getOrElse(sf)
+      val it = IcebergTypes.fromStringOpt(f.fieldType).getOrElse(
+        throw new IllegalArgumentException(s"unsupported type ${f.fieldType}"))
+      var sf = StructField(f.name, it.sparkType, nullable = true)
+      f.doc.foreach(d => sf = sf.withComment(d))
+      if (f.writeDefault.isDefined || f.initialDefault.isDefined) {
+        import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        val b = new MetadataBuilder().withMetadata(sf.metadata)
+        f.writeDefault.foreach(d => b.putString(
+          ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+          DefaultValues.sqlText(it, d)))
+        f.initialDefault.foreach(d => b.putString(
+          ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+          DefaultValues.sqlText(it, d)))
+        sf = sf.copy(metadata = b.build())
+      }
+      sf
     })
 
   private def resolveSnapshot(meta: TableMetadata,
@@ -177,9 +193,18 @@ object GraftTable {
       else df.select(col("*"), col("_metadata.file_path").as("_file"),
         col("_metadata.row_index").as("_pos"))
     val alts = nameAlternates(meta)
-    if (alts.isEmpty || paths.isEmpty)
+    // v3 initial-defaults: a file that PREDATES the column reads the
+    // default, not null — which needs the same per-file presence probe
+    // renames do, so either condition takes the probed path
+    val defaults: Map[String, org.apache.spark.sql.Column] =
+      meta.currentSchema.fields.flatMap(f =>
+        f.initialDefault.flatMap(d => IcebergTypes.fromStringOpt(f.fieldType)
+          .map(t => f.name ->
+            lit(DefaultValues.fromJson(t, d)).cast(t.sparkType)))).toMap
+    if ((alts.isEmpty && defaults.isEmpty) || paths.isEmpty)
       return address(spark.read.schema(schema).parquet(paths.sorted: _*))
     val conf = HadoopConfs.active()
+    // mapping entry: (present file-side name | None = absent, current name)
     val byProj = Par.inParallel(paths.sorted) { p =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -188,19 +213,28 @@ object GraftTable {
         import scala.jdk.CollectionConverters._
         r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
       } finally r.close()
-      val mapping = schema.fieldNames.toSeq.map { cur =>
-        if (present(cur)) cur -> cur
-        else alts.getOrElse(cur, Nil).find(present).map(_ -> cur)
-          .getOrElse(cur -> cur) // absent under every name: null-fills
+      val mapping: Seq[(Option[String], String)] = schema.fieldNames.toSeq.map { cur =>
+        if (present(cur)) (Some(cur), cur)
+        else alts.getOrElse(cur, Nil).find(present) match {
+          case Some(old) => (Some(old), cur)
+          case None => (None, cur) // absent under every name
+        }
       }
       (mapping, p)
     }.groupBy(_._1).toSeq.sortBy(_._2.head._2).map { case (m, g) => (m, g.map(_._2)) }
     byProj.map { case (mapping, files) =>
-      val fileSchema = StructType(mapping.map { case (fn, cur) =>
-        schema(cur).copy(name = fn) })
+      // absent columns with no default still ride in the requested
+      // schema (parquet null-fills them); defaulted absents are
+      // literal-projected instead
+      val fileSchema = StructType(mapping.collect {
+        case (Some(fn), cur) => schema(cur).copy(name = fn)
+        case (None, cur) if !defaults.contains(cur) => schema(cur)
+      })
       address(spark.read.schema(fileSchema).parquet(files: _*))
-        .select(mapping.map { case (fn, cur) => col(fn).as(cur) } ++
-          (if (withAddress) Seq(col("_file"), col("_pos")) else Nil): _*)
+        .select(mapping.map {
+          case (Some(fn), cur) => col(fn).as(cur)
+          case (None, cur) => defaults.get(cur).map(_.as(cur)).getOrElse(col(cur))
+        } ++ (if (withAddress) Seq(col("_file"), col("_pos")) else Nil): _*)
     }.reduce(_ unionByName _)
   }
 
@@ -1463,7 +1497,8 @@ object GraftTable {
     * referenced from the metadata `statistics` list (the spec's Puffin
     * slot), keyed to the analyzed snapshot — a later commit makes it
     * stale-but-present (Iceberg's model), and expiring the snapshot
-    * reclaims it. The DSv2 scan serves it back as V2 `columnStats()`,
+    * reclaims it. The blob container is a spec-layout Puffin file (see
+    * [[TableStats]]). The DSv2 scan serves it back as V2 `columnStats()`,
     * which is what Spark's CBO join-reorder and build-side selection
     * consume. Re-analyzing the same snapshot replaces its entry. */
   def computeTableStats(spark: SparkSession, tableDir: String)
@@ -1483,7 +1518,7 @@ object GraftTable {
       fields.map(f => f.id -> TableStats.ColumnStats(
         row.getAs[Long](s"ndv_${f.id}"),
         Option(row.getAs[Long](s"nulls_${f.id}")).getOrElse(0L))).toMap)
-    val path = s"$tableDir/stats-$snapId-${java.util.UUID.randomUUID()}.json"
+    val path = s"$tableDir/stats-$snapId-${java.util.UUID.randomUUID()}.puffin"
     val size = TableStats.write(path, doc)
     var replaced: Seq[String] = Nil
     val result = OptimisticCommit.commit(tableDir, (base, basePath) => {

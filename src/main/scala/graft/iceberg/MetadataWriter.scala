@@ -337,6 +337,9 @@ object MetadataWriter {
       // nested types were retained as canonical JSON — re-embed as a tree
       if (f.fieldType.startsWith("{")) fn.set[JsonNode]("type", mapper.readTree(f.fieldType))
       else fn.put("type", f.fieldType)
+      // v3 defaults are raw JSON single-values — re-embed as trees too
+      f.initialDefault.foreach(d => fn.set[JsonNode]("initial-default", mapper.readTree(d)))
+      f.writeDefault.foreach(d => fn.set[JsonNode]("write-default", mapper.readTree(d)))
       fields.add(fn)
     }
     n

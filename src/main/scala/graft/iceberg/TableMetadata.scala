@@ -17,7 +17,11 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * reference never surfaces.
   */
 final case class IcebergField(id: Int, name: String, required: Boolean,
-  fieldType: String, doc: Option[String] = None)
+  fieldType: String, doc: Option[String] = None,
+  // Iceberg v3 column defaults, held as their raw JSON single-value text
+  // (DefaultValues codecs): initial-default fills rows written BEFORE
+  // the field existed; write-default is what an omitted column gets
+  initialDefault: Option[String] = None, writeDefault: Option[String] = None)
 final case class IcebergSchema(schemaId: Int, fields: Seq[IcebergField])
 final case class PartitionField(name: String, transform: String, sourceId: Int, fieldId: Int)
 final case class PartitionSpec(specId: Int, fields: Seq[PartitionField])
@@ -36,9 +40,8 @@ final case class SnapshotLogEntry(timestampMs: Long, snapshotId: Long)
 final case class MetadataLogEntry(timestampMs: Long, metadataFile: String)
 
 /** An Iceberg `statistics` entry: a table-level statistics file computed
-  * at a snapshot (the spec's Puffin reference shape — snapshot-id +
-  * statistics-path + file-size-in-bytes; this engine writes the blob
-  * content as JSON, see GraftTable.computeTableStats). */
+  * at a snapshot — snapshot-id + statistics-path + file-size-in-bytes,
+  * the path referencing a Puffin container (see TableStats). */
 final case class StatisticsFile(snapshotId: Long, path: String, fileSizeInBytes: Long)
 
 final case class TableMetadata(
@@ -106,7 +109,9 @@ object TableMetadata {
       val t = f.get("type")
       IcebergField(f.get("id").asInt, f.get("name").asText,
         f.get("required").asBoolean, if (t.isTextual) t.asText else t.toString,
-        Option(f.get("doc")).filter(_.isTextual).map(_.asText))
+        Option(f.get("doc")).filter(_.isTextual).map(_.asText),
+        initialDefault = optNode(f, "initial-default").map(_.toString),
+        writeDefault = optNode(f, "write-default").map(_.toString))
     }.toSeq)
 
   private def parsePartitionFields(n: JsonNode): Seq[PartitionField] =

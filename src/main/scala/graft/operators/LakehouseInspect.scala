@@ -556,7 +556,48 @@ object LakehouseInspect {
       |  CAST(MAX(n_nationkey) AS BIGINT) AS k_max
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i84
+  /** Iceberg v3 column defaults end-to-end from SQL: CREATE with DEFAULT
+    * (write-default fills omitted INSERT columns via Spark's own
+    * analyzer — the schema surfaces CURRENT_DEFAULT metadata), then ADD
+    * COLUMN ... DEFAULT backfills every PRE-EXISTING row through the
+    * readers' initial-default fill (the file predates the column — the
+    * spec's v3 rule, not a null), while post-evolution inserts write
+    * real values. The rollup is fully data-defined. */
+  val columnDefaults: Q = (spark, sfDir) => {
+    val wh = entryDir("i84", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_dfl",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dfl.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i84_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql("""CREATE TABLE graft_dfl.db.n
+        (k BIGINT, name STRING, bonus INT DEFAULT 100)""")
+      spark.sql("""INSERT INTO graft_dfl.db.n (k, name)
+        SELECT n_nationkey, n_name FROM i84_nation_src WHERE n_nationkey < 15""")
+      spark.sql("ALTER TABLE graft_dfl.db.n ADD COLUMN cls STRING DEFAULT 'base'")
+      spark.sql("""INSERT INTO graft_dfl.db.n
+        SELECT n_nationkey, n_name, CAST(n_nationkey * 2 AS INT), 'late'
+        FROM i84_nation_src WHERE n_nationkey >= 15""")
+    }
+    spark.sql("""SELECT cls, COUNT(*) AS n, CAST(SUM(bonus) AS BIGINT) AS sum_bonus,
+        CAST(SUM(k) AS BIGINT) AS sum_k
+      FROM graft_dfl.db.n GROUP BY cls ORDER BY cls""")
+  }
+
+  val columnDefaultsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'base' AS cls, COUNT(*) AS n, CAST(COUNT(*) * 100 AS BIGINT) AS sum_bonus,
+      |    CAST(SUM(n_nationkey) AS BIGINT) AS sum_k
+      |  FROM nation WHERE n_nationkey < 15
+      |  UNION ALL
+      |  SELECT 'late', COUNT(*), CAST(SUM(n_nationkey * 2) AS BIGINT),
+      |    CAST(SUM(n_nationkey) AS BIGINT)
+      |  FROM nation WHERE n_nationkey >= 15)
+      |ORDER BY cls""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i84_column_defaults" -> columnDefaults,
     "i83_table_stats" -> tableStatsEntry,
     "i82_changelog_view" -> changelogView,
     "i72_entries_table" -> entriesTable,
@@ -570,6 +611,7 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i84_column_defaults" -> columnDefaultsSql,
     "i83_table_stats" -> tableStatsEntrySql,
     "i82_changelog_view" -> changelogViewSql,
     "i72_entries_table" -> entriesTableSql,

@@ -224,9 +224,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // one shared sequence — the Iceberg id-assignment convention
     val nestedId = new java.util.concurrent.atomic.AtomicInteger(columns.length)
     val fields = columns.toSeq.zipWithIndex.map { case (c, i) =>
-      IcebergField(i + 1, c.name(), required = false,
-        icebergTypeName(c.dataType(), () => nestedId.incrementAndGet()),
-        doc = Option(c.comment()).filter(_.nonEmpty))
+      val typeName = icebergTypeName(c.dataType(), () => nestedId.incrementAndGet())
+      IcebergField(i + 1, c.name(), required = false, typeName,
+        doc = Option(c.comment()).filter(_.nonEmpty),
+        // CREATE TABLE (c T DEFAULT v): both defaults start as v — there
+        // are no pre-existing rows, so initial-default is vacuous but
+        // harmless, and write-default is what omitted INSERT columns get
+        initialDefault = defaultJson(c.defaultValue(), typeName, c.name()),
+        writeDefault = defaultJson(c.defaultValue(), typeName, c.name()))
     }
     val idByName = fields.map(f => f.name -> f.id).toMap
     val specFields = partitions.toSeq.zipWithIndex.map { case (t, i) =>
@@ -280,6 +285,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** v3 column defaults: Spark routes `CREATE TABLE (c T DEFAULT v)` /
+    * `ALTER COLUMN SET DEFAULT` to V2 catalogs only when the catalog
+    * declares the capability. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** A connector default → the Iceberg JSON single-value text. Only
+    * LITERAL defaults persist (Iceberg's rule — a default is a value,
+    * not an expression); anything else refuses at DDL time. */
+  private def defaultJson(dv: org.apache.spark.sql.connector.catalog.DefaultValue,
+      icebergTypeStr: String, colName: String): Option[String] =
+    Option(dv).map { d =>
+      val lit = d match {
+        case c: ColumnDefaultValue => c.getValue
+        case other => other.getExpression match {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] => l
+          case _ => throw new UnsupportedOperationException(
+            s"DEFAULT for column $colName must be a literal value, got ${other.getSql}")
+        }
+      }
+      require(lit != null,
+        s"DEFAULT for column $colName must be a literal value")
+      val t = IcebergTypes.fromStringOpt(icebergTypeStr).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DEFAULT not supported for column $colName of type $icebergTypeStr"))
+      graft.iceberg.DefaultValues.toJson(t,
+        graft.iceberg.DefaultValues.internalToExternal(lit.dataType(), lit.value()))
+    }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident)
@@ -307,10 +341,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "resolution — pick a fresh name")
         val nextId = base.schemas.flatMap(_.fields.map(_.id)).max + 1
         val nestedId = new java.util.concurrent.atomic.AtomicInteger(nextId)
+        val typeName = icebergTypeName(add.dataType(), () => nestedId.incrementAndGet())
+        // ADD COLUMN ... DEFAULT v: initial-default makes every PRE-
+        // EXISTING row read v (the readers fill it where the file lacks
+        // the column), write-default covers future omitted INSERTs
+        val dflt = defaultJson(add.defaultValue(), typeName, name)
         GraftTable.evolveSchema(dir, IcebergSchema(
           base.schemas.map(_.schemaId).max + 1,
-          cur.fields :+ IcebergField(nextId, name, required = false,
-            icebergTypeName(add.dataType(), () => nestedId.incrementAndGet()))))
+          cur.fields :+ IcebergField(nextId, name, required = false, typeName,
+            initialDefault = dflt, writeDefault = dflt)))
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
           "graft catalog supports top-level DROP COLUMN only")
@@ -417,13 +456,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftTable.evolveSchema(dir, IcebergSchema(
           base.schemas.map(_.schemaId).max + 1,
           cur.fields.map(f => if (f.id == field.id) f.copy(name = to) else f)))
+      // ALTER COLUMN c SET DEFAULT v / DROP DEFAULT: updates the WRITE
+      // default only — initial-default is immutable once set (it
+      // describes rows that predate the column; changing it would
+      // retroactively rewrite history)
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(ud.fieldNames().length == 1,
+          "graft catalog supports top-level ALTER COLUMN DEFAULT only")
+        val base = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+        val cur = base.currentSchema
+        val name = ud.fieldNames().head
+        val field = cur.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no such column $name"))
+        val newDefault = defaultJson(ud.newCurrentDefault(), field.fieldType, name)
+        GraftTable.evolveSchema(dir, IcebergSchema(
+          base.schemas.map(_.schemaId).max + 1,
+          cur.fields.map(f =>
+            if (f.id == field.id) f.copy(writeDefault = newDefault) else f)))
       case set: TableChange.SetProperty =>
         GraftTable.setProperties(dir, Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>
         GraftTable.removeProperties(dir, Seq(rm.property()))
       case other => throw new UnsupportedOperationException(
         s"unsupported table change $other — supported: ADD COLUMN, DROP COLUMN, " +
-          "RENAME COLUMN, ALTER COLUMN TYPE, SET/UNSET TBLPROPERTIES")
+          "RENAME COLUMN, ALTER COLUMN TYPE, ALTER COLUMN SET/DROP DEFAULT, " +
+          "SET/UNSET TBLPROPERTIES")
     }
     loadTable(ident)
   }

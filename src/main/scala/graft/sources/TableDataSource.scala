@@ -58,6 +58,15 @@ import graft.iceberg.{GraftTable, IcebergType, ManifestListReader, ManifestWrite
   * additionally split by row group and use a vectorized decoder — this
   * reader streams record-at-a-time via parquet's Group API, trading
   * per-row speed for zero dependence on Spark internals. */
+object TableDataSource {
+  /** v3 initial-defaults (external row domain) by column name — what a
+    * reader fills for a column the file predates, instead of null. */
+  private[sources] def initialDefaultsOf(meta: TableMetadata): Map[String, Any] =
+    meta.currentSchema.fields.flatMap(f =>
+      f.initialDefault.flatMap(d => IcebergTypes.fromStringOpt(f.fieldType)
+        .map(t => f.name -> graft.iceberg.DefaultValues.fromJson(t, d)))).toMap
+}
+
 class TableDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
 
@@ -609,6 +618,7 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     val tableSchema = GraftTable.sparkSchema(pinnedMeta)
     val alternates = GraftTable.nameAlternates(pinnedMeta)
     val keysByFile = spj.map(_._2).getOrElse(Map.empty)
+    val scanDefaults = TableDataSource.initialDefaultsOf(pinnedMeta)
     def partition(e: ManifestWriter.EntryData, seq: Long,
         rowGroup: Int, rowStart: Long): GraftTableInputPartition =
       GraftTableInputPartition(e.filePath, seq,
@@ -621,7 +631,8 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
         eqDeletes.filter(_._2 > seq).map(_._1.filePath),
         tableSchema, rowGroup, rowStart, nameAlternates = alternates,
         fileFormat = e.fileFormat,
-        partitionKeyValues = keysByFile.get(e.filePath).map(_.toArray).orNull)
+        partitionKeyValues = keysByFile.get(e.filePath).map(_.toArray).orNull,
+        initialDefaults = scanDefaults)
     // files above the split threshold fan out ONE PARTITION PER ROW GROUP
     // (footer read at planning, concurrent, only for big files — the
     // manifest's fileSizeInBytes decides, so small files cost nothing);
@@ -702,6 +713,12 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
       !required.fieldNames.exists(n => n == "_file" || n == "_pos") &&
       (planned._3.isEmpty || eqColumnsColumnar) &&
       (renames.isEmpty || noDeletes) &&
+      // a required column with a v3 initial-default needs per-file
+      // presence probing (fill the default, not null, where the file
+      // predates it) — the row route does that; defaulted-column scans
+      // are rare enough that the fallback is the honest trade
+      !required.fieldNames.exists(
+        TableDataSource.initialDefaultsOf(pinnedMeta).contains) &&
       // non-parquet data files (imported Avro) take the row route
       planned._1.forall(_._1.fileFormat == "PARQUET")
   }
@@ -1123,7 +1140,10 @@ case class GraftTableInputPartition(filePath: String, sequenceNumber: Long,
     // form (summary-derived), or null when the scan reported no
     // KeyGroupedPartitioning — Spark only calls partitionKey() after
     // grouping on a key-grouped report, where it is always present
-    partitionKeyValues: Array[Any] = null)
+    partitionKeyValues: Array[Any] = null,
+    // v3 initial-defaults (external row domain) for columns a file may
+    // predate — what the reader fills instead of null
+    initialDefaults: Map[String, Any] = Map.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = {
     require(partitionKeyValues != null,
@@ -1872,12 +1892,13 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
   private def valueOf(g: Group, name: String, dt: DataType): Any = {
     val t = g.getType
     // resolve the file's own name generation (RENAME COLUMN); a column
-    // absent under every historical name predates the field: null-fill
+    // absent under every historical name predates the field: fill the
+    // v3 initial-default if the schema declares one, else null
     val actual =
       if (t.containsField(name)) name
       else part.nameAlternates.getOrElse(name, Nil).find(t.containsField) match {
         case Some(old) => old
-        case None => return null
+        case None => return part.initialDefaults.get(name).orNull
       }
     val i = t.getFieldIndex(actual)
     if (g.getFieldRepetitionCount(i) == 0) return null

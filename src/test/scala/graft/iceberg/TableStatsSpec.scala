@@ -26,6 +26,28 @@ class TableStatsSpec extends SparkSpec {
       meta.statistics.head.snapshotId == out.getLong(0))
     val doc = TableStats.read(meta.statistics.head.path)
     assert(doc.rowCount == 25L)
+    // the blob is a spec-layout Puffin container: leading magic, a
+    // trailing [Magic|payload|size(i32 LE)|flags|Magic] footer, blob
+    // offsets/lengths that really address the bodies, and the recorded
+    // file size exact
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(meta.statistics.head.path))
+    assert(raw.length.toLong == meta.statistics.head.fileSizeInBytes)
+    val magic = "PFA1".getBytes("UTF-8")
+    assert(raw.take(4).sameElements(magic) && raw.takeRight(4).sameElements(magic))
+    val psize = java.nio.ByteBuffer.wrap(raw, raw.length - 12, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val footerJson = new String(raw, raw.length - 12 - psize, psize, "UTF-8")
+    val footer = new com.fasterxml.jackson.databind.ObjectMapper().readTree(footerJson)
+    import scala.jdk.CollectionConverters._
+    val blobs = footer.get("blobs").elements().asScala.toSeq
+    assert(blobs.size == 3)
+    blobs.foreach { b =>
+      val off = b.get("offset").asLong.toInt
+      val len = b.get("length").asLong.toInt
+      val body = new String(raw, off, len, "UTF-8")
+      assert(body.startsWith("{") && body.contains("ndv"), body)
+    }
     // exact quantities exact, the HLL estimate within its error bound
     val kId = meta.currentSchema.fields.find(_.name == "k").get.id
     val nameId = meta.currentSchema.fields.find(_.name == "name").get.id

@@ -122,6 +122,23 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY on the partition column aggregates without a shuffle") {
+    setupCatalog("spja")
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("spj_orders3")
+    spark.sql("""CREATE TABLE spja.db.ord (o_orderkey BIGINT, o_custkey BIGINT,
+      o_totalprice DOUBLE) PARTITIONED BY (bucket(4, o_custkey))""")
+    spark.sql("INSERT INTO spja.db.ord SELECT o_orderkey, o_custkey, o_totalprice FROM spj_orders3")
+    withSpjConfs {
+      val df = spark.sql("""SELECT o_custkey, COUNT(*) AS n, SUM(o_totalprice) AS t
+        FROM spja.db.ord GROUP BY o_custkey""")
+      val n = df.count()
+      assert(n == spark.sql("SELECT COUNT(DISTINCT o_custkey) FROM spj_orders3").head.getLong(0))
+      val plan = finalPlan(df)
+      assert(shuffles(plan).isEmpty,
+        s"bucket-partitioned GROUP BY o_custkey must aggregate in place:\n$plan")
+    }
+  }
+
   test("catalog-registered transform functions evaluate the spec kernels in SQL") {
     setupCatalog("spjf")
     val b = spark.sql("SELECT spjf.system.bucket(16, CAST(1234 AS BIGINT)) AS b").head.getInt(0)

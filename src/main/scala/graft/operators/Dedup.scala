@@ -534,7 +534,7 @@ object Dedup {
       .withColumn("rnk", row_number().over(w)).filter($"rnk" === 1)
       .select($"cid", $"vec_id", $"embedding", $"norm")
     val maxCluster = assigned.groupBy($"cid").count()
-      .agg(max($"count")).head.getLong(0)
+      .agg(max($"count")).head().getLong(0)
     require(maxCluster <= 100000, s"SemDeDup cluster of $maxCluster members " +
       "exceeds the exact-verify cap — raise the centroid count (k tracks n)")
     val a = assigned.select($"cid".as("cid_a"), $"vec_id".as("ia"),

@@ -524,7 +524,7 @@ object LakehouseInspect {
         SELECT n_nationkey, CASE WHEN n_regionkey = 2 THEN NULL ELSE n_name END,
           n_regionkey FROM i83_nation_src""")
     }
-    val out = spark.sql("CALL graft_ts.system.compute_table_stats(table => 'db.n')").head
+    val out = spark.sql("CALL graft_ts.system.compute_table_stats(table => 'db.n')").head()
     val dir = s"$wh/db/n"
     val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
     val doc = graft.iceberg.TableStats.read(meta.statistics

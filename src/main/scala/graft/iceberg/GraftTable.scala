@@ -150,13 +150,16 @@ object GraftTable {
     val opened = infos.filter(i => i.content == 0 || i.sequenceNumber >= minDataSeq)
     val byManifest = Par.inParallel(opened)(i => (i, ManifestWriter.read(i.path)))
     // live (entry, sequence) per list-content route; DELETED entries
-    // (status 2) drop out; sequence inherits list field 515 when null
+    // (status 2) drop out; sequence inherits list field 515 when null.
+    // Entry identity is (path, blob offset), NOT path alone: one v3
+    // Puffin file holds many files' deletion vectors, one entry each —
+    // path-only dedup would silently drop all but the first DV
     def live(listContent: Int, entryContent: Int): Seq[(ManifestWriter.EntryData, Long)] =
       (for {
         (i, es) <- byManifest if i.content == listContent
         e <- es if e.status != 2 && e.content == entryContent
       } yield (e, e.sequenceNumber.getOrElse(i.sequenceNumber)))
-        .distinctBy(x => uriPath(x._1.filePath))
+        .distinctBy(x => (uriPath(x._1.filePath), x._1.contentOffset.getOrElse(-1L)))
     readFromEntries(spark, meta, live(0, 0), live(1, 1), live(1, 2))
   }
 
@@ -275,16 +278,37 @@ object GraftTable {
         dataEntries.map(_._1.filePath), withAddress = true)
       .join(seqLookup(dataEntries, "_seq"), normPathCol(col("_file")) === col("_lk_file"))
       .drop("_lk_file")
-    val posApplied =
-      if (posEntries.isEmpty) data
+    // position deletes arrive in two physical forms: v2 (file_path, pos)
+    // parquet rows, and v3 DELETION VECTORS — Puffin bitmaps addressed by
+    // the entry's field-143/144/145 triplet, expanded to the same
+    // (file_path, pos, _del_seq) shape executor-side (one task per DV).
+    // Union semantics across both keep mid-upgrade tables correct.
+    val (dvEntries, pqPosEntries) =
+      posEntries.partition(_._1.fileFormat == "PUFFIN")
+    val pqDeletes =
+      if (pqPosEntries.isEmpty) None
+      else Some(spark.read.parquet(pqPosEntries.map(_._1.filePath).sorted: _*)
+        .select(col("file_path"), col("pos"),
+          col("_metadata.file_path").as("_dfile"))
+        .join(seqLookup(pqPosEntries, "_del_seq"),
+          normPathCol(col("_dfile")) === col("_lk_file"))
+        .select(col("file_path"), col("pos"), col("_del_seq")))
+    val dvDeletes =
+      if (dvEntries.isEmpty) None
       else {
-        val deletes = spark.read.parquet(posEntries.map(_._1.filePath).sorted: _*)
-          .select(col("file_path"), col("pos"),
-            col("_metadata.file_path").as("_dfile"))
-          .join(seqLookup(posEntries, "_del_seq"),
-            normPathCol(col("_dfile")) === col("_lk_file"))
-          .select(col("file_path"), col("pos"), col("_del_seq"))
-        Lakehouse.applyPositionDeletesScoped(data, deletes)
+        val taskConf = new SerializableHadoopConf(HadoopConfs.active())
+        Some(spark.createDataset(dvEntries.map { case (e, s) =>
+            (e.referencedDataFile.getOrElse(""), e.filePath,
+              e.contentOffset.getOrElse(0L), e.contentSizeInBytes.getOrElse(0L), s) })
+          .flatMap { case (ref, puffin, off, len, s) =>
+            DeletionVectors.read(puffin, off, len, taskConf.value)
+              .toArray.map(p => (ref, p, s)) }
+          .toDF("file_path", "pos", "_del_seq"))
+      }
+    val posApplied = Seq(pqDeletes, dvDeletes).flatten
+      .reduceOption(_ unionByName _) match {
+        case None => data
+        case Some(deletes) => Lakehouse.applyPositionDeletesScoped(data, deletes)
       }
     // column set per delete file: KB-scale footer reads, also concurrent
     val eqGroups = Par.inParallel(eqEntries)(e =>
@@ -382,7 +406,7 @@ object GraftTable {
             e <- es if e.status == status && e.content == entryContent &&
               e.snapshotId == s.snapshotId
           } yield (e, e.sequenceNumber.getOrElse(i.sequenceNumber)))
-            .distinctBy(x => uriPath(x._1.filePath))
+            .distinctBy(x => (uriPath(x._1.filePath), x._1.contentOffset.getOrElse(-1L)))
         val dataAdded = entriesOf(0, 1, 0)
         val posAdded = entriesOf(1, 1, 1)
         val eqAdded = entriesOf(1, 1, 2)
@@ -401,7 +425,7 @@ object GraftTable {
               (i, es) <- byM if i.content == lc
               e <- es if e.status != 2 && e.content == ec
             } yield (e, e.sequenceNumber.getOrElse(i.sequenceNumber)))
-              .distinctBy(x => uriPath(x._1.filePath))
+              .distinctBy(x => (uriPath(x._1.filePath), x._1.contentOffset.getOrElse(-1L)))
             readFromEntries(spark, meta, restrict(live(0, 0)), live(1, 1), live(1, 2))
           }
         val removedDeletes =
@@ -411,8 +435,7 @@ object GraftTable {
         val posDeletes =
           if (posAdded.isEmpty) None
           else {
-            val addrs = spark.read.parquet(posAdded.map(_._1.filePath).sorted: _*)
-              .select(col("file_path"), col("pos"))
+            val addrs = posDeleteAddresses(spark, posAdded.map(_._1))
             parentVisible(_.filter(e => posAdded.exists(d =>
                 posDeleteMayAddress(d._1, Set(uriPath(e._1.filePath))))))
               .map { vis =>
@@ -843,6 +866,75 @@ object GraftTable {
     * (normalized)? Its file_path bound stats — written under the RESERVED
     * position-delete field ids — answer without opening the file; missing
     * or undecodable bounds keep it (conservative). */
+  /** Distributed v3 DV write: group the (normalized file_path, pos)
+    * frame per data file IN THE CLUSTER and let each write task emit ONE
+    * Puffin file holding its files' bitmaps — a delete touching 10⁵
+    * files across 1000 tasks writes 1000 blobs concurrently, never a
+    * driver funnel. Only the KB-scale blob addresses
+    * (referenced file, puffin path, offset, length, cardinality, file
+    * size) come back for the manifest commit. `manifestForm` maps the
+    * normalized paths back to the exact path form the manifests carry,
+    * so referenced_data_file matches at planning time. */
+  private def writeDvsDistributed(spark: SparkSession, tableDir: String,
+      attempt: java.util.UUID, dels: DataFrame,
+      manifestForm: Map[String, String], provisionalSnap: Long)
+      : Seq[(String, String, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val manifestFormB = spark.sparkContext.broadcast(manifestForm)
+    val taskConf = new SerializableHadoopConf(HadoopConfs.active())
+    dels
+      .repartition(col("file_path"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .mapPartitions { it =>
+        val byFile = scala.collection.mutable.LinkedHashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+        it.foreach { r =>
+          byFile.getOrElseUpdate(r.getString(0),
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+        }
+        if (byFile.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = s"$tableDir/data/dv-$attempt-$pid.puffin"
+          val dvs = byFile.toSeq.map { case (f, ps) =>
+            manifestFormB.value.getOrElse(f, f) -> ps.toArray }
+          val (refs, size) =
+            DeletionVectors.writeDvFile(path, provisionalSnap, dvs, taskConf.value)
+          refs.iterator.map(r =>
+            (r.referencedDataFile, r.path, r.offset, r.length, r.cardinality, size))
+        }
+      }.collect().toSeq
+  }
+
+  /** The (file_path, pos) addresses of a set of position-delete entries,
+    * across both physical forms: v2 parquet rows read directly, v3
+    * deletion vectors expanded from their Puffin blobs executor-side.
+    * For a MERGED DV the expansion re-asserts previously-deleted
+    * positions — callers join against parent-visible rows (changelog) or
+    * live rows, so re-asserted addresses drop out naturally. */
+  private def posDeleteAddresses(spark: SparkSession,
+      entries: Seq[ManifestWriter.EntryData]): DataFrame = {
+    import spark.implicits._
+    val (dvE, pqE) = entries.partition(_.fileFormat == "PUFFIN")
+    val pq =
+      if (pqE.isEmpty) None
+      else Some(spark.read.parquet(pqE.map(_.filePath).sorted: _*)
+        .select(col("file_path"), col("pos")))
+    val dv =
+      if (dvE.isEmpty) None
+      else {
+        val taskConf = new SerializableHadoopConf(HadoopConfs.active())
+        Some(spark.createDataset(dvE.map(e =>
+            (e.referencedDataFile.getOrElse(""), e.filePath,
+              e.contentOffset.getOrElse(0L), e.contentSizeInBytes.getOrElse(0L))))
+          .flatMap { case (ref, puffin, off, len) =>
+            DeletionVectors.read(puffin, off, len, taskConf.value)
+              .toArray.map(p => (ref, p)) }
+          .toDF("file_path", "pos"))
+      }
+    Seq(pq, dv).flatten.reduce(_ unionByName _)
+  }
+
   private def posDeleteMayAddress(del: ManifestWriter.EntryData,
       paths: Set[String]): Boolean = {
     def decode(m: Map[Int, Array[Byte]]): Option[String] =
@@ -1339,7 +1431,8 @@ object GraftTable {
     val oldPos = posE.map { case (e, posSeq) =>
       import spark.implicits._
       val lives = dataE.filter(_._2 <= posSeq).map(x => norm(x._1.filePath))
-      spark.read.parquet(e.filePath)
+      // both physical forms: v2 parquet rows, v3 DV blobs
+      posDeleteAddresses(spark, Seq(e))
         .select(normCol(col("file_path")).as("file_path"), col("pos"))
         .join(broadcast(lives.toDF("file_path")), Seq("file_path"), "left_semi")
     }
@@ -1361,22 +1454,37 @@ object GraftTable {
           org.apache.spark.sql.types.LongType))))
     val merged = parts.reduceOption(_ unionByName _)
       .map(_.distinct()).getOrElse(emptyDels)
-    ParquetFiles.writeOne(merged.orderBy(col("file_path"), col("pos")), delFile)
-    val statRow = spark.read.parquet(delFile).agg(
-      count(lit(1)), min(col("file_path")), max(col("file_path")),
-      min(col("pos")), max(col("pos"))).head()
-    val nRows = statRow.getLong(0)
-    val (delLower, delUpper) =
-      if (nRows == 0) (Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]])
-      else (
-        Map(ManifestWriter.PosDeleteFilePathId ->
-              SingleValueCodec.encode(IcebergTypes.TString, statRow.getString(1)),
-            ManifestWriter.PosDeletePosId ->
-              SingleValueCodec.encode(IcebergTypes.TLong, statRow.getLong(3))),
-        Map(ManifestWriter.PosDeleteFilePathId ->
-              SingleValueCodec.encode(IcebergTypes.TString, statRow.getString(2)),
-            ManifestWriter.PosDeletePosId ->
-              SingleValueCodec.encode(IcebergTypes.TLong, statRow.getLong(4))))
+    // v3 tables REWRITE INTO DELETION VECTORS — this procedure is the
+    // upgrade path that converts a v2 table's accreted position-delete
+    // parquet (and resolves its equality deletes) into one DV per data
+    // file; v2 tables keep the single sorted parquet output
+    val v3 = meta0.formatVersion >= 3
+    val dvRefRows: Seq[(String, String, Long, Long, Long, Long)] =
+      if (!v3) Nil
+      else writeDvsDistributed(spark, tableDir, attempt, merged,
+        dataE.map(x => norm(x._1.filePath) -> x._1.filePath).toMap,
+        (meta0.snapshots.map(_.snapshotId) :+ 0L).max + 1)
+    val (nRows, delLower, delUpper) =
+      if (v3) (dvRefRows.map(_._5).sum,
+        Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]])
+      else {
+        ParquetFiles.writeOne(merged.orderBy(col("file_path"), col("pos")), delFile)
+        val statRow = spark.read.parquet(delFile).agg(
+          count(lit(1)), min(col("file_path")), max(col("file_path")),
+          min(col("pos")), max(col("pos"))).head()
+        val n = statRow.getLong(0)
+        if (n == 0)
+          (n, Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]])
+        else (n,
+          Map(ManifestWriter.PosDeleteFilePathId ->
+                SingleValueCodec.encode(IcebergTypes.TString, statRow.getString(1)),
+              ManifestWriter.PosDeletePosId ->
+                SingleValueCodec.encode(IcebergTypes.TLong, statRow.getLong(3))),
+          Map(ManifestWriter.PosDeleteFilePathId ->
+                SingleValueCodec.encode(IcebergTypes.TString, statRow.getString(2)),
+              ManifestWriter.PosDeletePosId ->
+                SingleValueCodec.encode(IcebergTypes.TLong, statRow.getLong(4))))
+      }
     val preDel = delE.map(e => norm(e.filePath)).toSet
     val preData = dataE.map(x => norm(x._1.filePath)).toSet
     OptimisticCommit.commit(tableDir, (base, basePath) => {
@@ -1390,9 +1498,14 @@ object GraftTable {
           "table delete/data file set changed while rewriting — rerun")
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val manifest = s"$tableDir/m-posrw-$snapId-$attempt.avro"
-      ManifestWriter.write(manifest, Seq(ManifestWriter.EntryData(
-        1, snapId, delFile, nRows, ParquetFiles.length(delFile),
-        delLower, delUpper, content = 1, sequenceNumber = Some(snapId))))
+      ManifestWriter.write(manifest,
+        if (v3) dvRefRows.map { case (ref, path, off, len, card, size) =>
+          DeletionVectors.entryFor(
+            DeletionVectors.DvRef(ref, path, off, len, card), snapId, snapId, size)
+        }
+        else Seq(ManifestWriter.EntryData(
+          1, snapId, delFile, nRows, ParquetFiles.length(delFile),
+          delLower, delUpper, content = 1, sequenceNumber = Some(snapId))))
       val carried = carryForward(base).filter(_.content == 0)
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       writeList(list, carried, manifest, 0, 1, snapId,
@@ -1400,9 +1513,10 @@ object GraftTable {
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("replace"),
-          Map("added-delete-files" -> "1",
+          Map("added-delete-files" -> (if (v3) dvRefRows.size else 1).toString,
             "removed-delete-files" -> delE.size.toString,
-            "rewritten-equality-delete-files" -> eqE.size.toString),
+            "rewritten-equality-delete-files" -> eqE.size.toString) ++
+            (if (v3) Map("added-dvs" -> dvRefRows.size.toString) else Map.empty),
           Some(list), base.currentSchemaId),
         Some(basePath))
     })
@@ -1544,6 +1658,25 @@ object GraftTable {
       base.copy(properties = base.properties ++ props,
         lastUpdatedMs = base.lastUpdatedMs + 1000,
         metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
+
+  /** One-way format-version upgrade (`ALTER TABLE … SET TBLPROPERTIES
+    * ('format-version'='3')`, Iceberg's own upgrade spelling): a
+    * metadata-only CAS commit bumping `format-version`. v3 switches the
+    * position-delete write path to DELETION VECTORS (Puffin bitmaps, one
+    * per data file); existing v2 position-delete parquet stays readable
+    * — readers always apply the union — and converts on the next
+    * `rewrite_position_delete_files`. Downgrades refuse: v3 documents
+    * (DV entries, row-lineage fields) are not expressible in v2. */
+  def upgradeFormatVersion(tableDir: String, v: Int): OptimisticCommit.CommitResult = {
+    require(v == 2 || v == 3, s"unsupported format-version $v (2 or 3)")
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      require(v >= base.formatVersion,
+        s"cannot downgrade format-version ${base.formatVersion} -> $v")
+      base.copy(formatVersion = v,
+        lastUpdatedMs = base.lastUpdatedMs + 1000,
+        metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
+    })
+  }
 
   def removeProperties(tableDir: String, keys: Seq[String]): OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) =>
@@ -1884,6 +2017,8 @@ object GraftTable {
       predicate: org.apache.spark.sql.Column): OptimisticCommit.CommitResult = {
     val metaPath0 = latestMetadataPath(tableDir)
     val meta0 = TableMetadata.parseFile(metaPath0)
+    if (meta0.formatVersion >= 3)
+      return deleteWhereDv(spark, tableDir, metaPath0, meta0, predicate)
     val scanned = meta0.currentSnapshotId.toSeq.flatMap { _ =>
       val snap = resolveSnapshot(meta0, None, None)
       Par.inParallel(
@@ -1951,6 +2086,161 @@ object GraftTable {
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("delete"),
           Map("added-delete-files" -> "1", "added-position-deletes" -> nDeletes.toString),
+          Some(list), base.currentSchemaId),
+        Some(basePath))
+    })
+  }
+
+  /** The v3 DELETE route: positions land as DELETION VECTORS — one
+    * Roaring bitmap per addressed data file in Puffin files
+    * ([[DeletionVectors]]) — instead of (file_path, pos) parquet rows.
+    * The spec's invariants implemented here:
+    *
+    *   - **at most one live DV per data file**: a new DV MERGES the
+    *     file's entire pending delete state (previous DV + any v2
+    *     parquet positions addressing it) and the superseded DV entry
+    *     is dropped from its carried manifest in the same commit;
+    *   - **readers never stack DV history**: a task reads exactly one
+    *     blob per file (manifest fields 143/144/145 seek straight to
+    *     it), so delete-side read amplification is O(1) however many
+    *     DELETEs have run — the structural win over v2, where a CDC
+    *     table accretes one delete file per commit ALL of which every
+    *     task must open;
+    *   - v2 parquet position deletes left by pre-upgrade commits stay
+    *     live and readers apply the union (their covered positions are
+    *     re-asserted in any new DV, so this is safe both ways).
+    *
+    * Scale shape: the matched positions are grouped per data file IN
+    * THE CLUSTER (repartition on file_path, sorted within partitions)
+    * and each write task emits ONE Puffin file holding its files' DVs —
+    * a delete touching 10⁵ files across 1000 tasks writes 1000 blobs
+    * concurrently, never a driver funnel. Only the KB-scale blob
+    * addresses come back to the driver for the manifest commit.
+    *
+    * A predicate matching NOTHING is a metadata no-op (no new snapshot)
+    * — real Iceberg's DELETE behaves the same way in v3. */
+  private def deleteWhereDv(spark: SparkSession, tableDir: String,
+      metaPath0: String, meta0: TableMetadata,
+      predicate: org.apache.spark.sql.Column): OptimisticCommit.CommitResult = {
+    import spark.implicits._
+    val dataE = meta0.currentSnapshotId.toSeq.flatMap { _ =>
+      val snap = resolveSnapshot(meta0, None, None)
+      Par.inParallel(
+          ManifestListReader.read(snap.manifestList.get).filter(_.content == 0))(
+          i => ManifestWriter.read(i.path))
+        .flatten.filter(e => e.status != 2 && e.content == 0)
+    }
+    if (dataE.isEmpty)
+      return OptimisticCommit.CommitResult(
+        OptimisticCommit.currentVersion(tableDir), metaPath0, meta0, 0)
+    require(dataE.forall(_.fileFormat == "PARQUET"),
+      "v3 DELETE currently scans parquet data files only — imported " +
+        "Avro/ORC files must be compacted to parquet (rewrite_data_files) first")
+    def norm(p: String): String = uriPath(p)
+    def normCol(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[a-z0-9+.-]+:(//)?", "")
+    // normalized path -> the path form the manifests carry (what
+    // referenced_data_file must record for exact planning-time matches)
+    val manifestForm = dataE.map(e => norm(e.filePath) -> e.filePath).toMap
+    val newDels = spark.read.schema(sparkSchema(meta0))
+      .parquet(dataE.map(_.filePath): _*)
+      .select(col("*"),
+        col("_metadata.file_path").as("_gf"), col("_metadata.row_index").as("_gp"))
+      .filter(predicate)
+      .select(normCol(col("_gf")).as("file_path"), col("_gp").as("pos"))
+    // the covered file set decides which pending delete state merges in
+    // and which DV entries the commit supersedes — KB-scale (file paths,
+    // with per-file match counts so the commit summary needs no 2nd scan)
+    val coveredCounts = newDels.groupBy("file_path").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val covered = coveredCounts.keySet
+    if (covered.isEmpty)
+      return OptimisticCommit.CommitResult(
+        OptimisticCommit.currentVersion(tableDir), metaPath0, meta0, 0)
+    val delE = currentEntries(meta0, 1).filter(_.content == 1)
+    val oldDvEntries = delE.filter(e => e.fileFormat == "PUFFIN" &&
+      e.referencedDataFile.exists(r => covered(norm(r))))
+    val oldParquet = delE.filter(e => e.fileFormat != "PUFFIN" &&
+      covered.exists(c => posDeleteMayAddress(e, Set(c))))
+    val taskConf = new SerializableHadoopConf(HadoopConfs.active())
+    val oldDvPositions: DataFrame =
+      if (oldDvEntries.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
+      else spark.createDataset(oldDvEntries.map(e =>
+          (norm(e.referencedDataFile.get), e.filePath,
+            e.contentOffset.getOrElse(0L), e.contentSizeInBytes.getOrElse(0L))))
+        .flatMap { case (ref, puffin, off, len) =>
+          DeletionVectors.read(puffin, off, len, taskConf.value)
+            .toArray.map(p => (ref, p)) }
+        .toDF("file_path", "pos")
+    val oldParquetPositions: DataFrame =
+      if (oldParquet.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
+      else spark.read.parquet(oldParquet.map(_.filePath): _*)
+        .select(normCol(col("file_path")).as("file_path"), col("pos"))
+        .filter(col("file_path").isin(covered.toSeq: _*))
+    val attempt = java.util.UUID.randomUUID()
+    val provisionalSnap = (meta0.snapshots.map(_.snapshotId) :+ 0L).max + 1
+    val refRows = writeDvsDistributed(spark, tableDir, attempt,
+      newDels.unionByName(oldDvPositions).unionByName(oldParquetPositions),
+      manifestForm, provisionalSnap)
+    val nNew = coveredCounts.values.sum
+    // a DV entry's identity is (puffin path, blob offset) — one Puffin
+    // file holds many files' DVs and only the re-covered blobs supersede
+    val superseded: Set[(String, Long)] =
+      oldDvEntries.map(e => (norm(e.filePath), e.contentOffset.getOrElse(0L))).toSet
+    // the delete manifest's field-507 summary: union of the summaries of
+    // the manifests owning the addressed files (same rule as the v2 path)
+    val snap0 = resolveSnapshot(meta0, None, None)
+    val owners = ManifestListReader.read(snap0.manifestList.get)
+      .filter(_.content == 0)
+    val addressedOwners = Par.inParallel(owners)(i => (i, ManifestWriter.read(i.path)))
+      .filter { case (_, es) => es.exists(e => e.status != 2 && covered(norm(e.filePath))) }
+      .map(_._1).distinctBy(_.path)
+    val delSummary = ScanPlanning.unionSummaries(meta0, addressedOwners)
+    val preDel = delE.map(e => (norm(e.filePath), e.contentOffset.getOrElse(0L))).toSet
+    val preData = dataE.map(e => norm(e.filePath)).toSet
+    OptimisticCommit.commit(tableDir, (base, basePath) => {
+      // merge-on-write makes staleness dangerous: the new DVs absorbed
+      // the delete state AS OF meta0 and the commit DROPS the absorbed
+      // entries — a concurrent delete/compaction invalidates the merge
+      val nowDel = currentEntries(base, 1).filter(_.content == 1)
+        .map(e => (norm(e.filePath), e.contentOffset.getOrElse(0L))).toSet
+      val nowData = currentEntries(base, 0).filter(_.content == 0)
+        .map(e => norm(e.filePath)).toSet
+      if (nowDel != preDel || nowData != preData)
+        throw OptimisticCommit.CommitConflictException(
+          "table delete/data file set changed while writing deletion vectors — rerun")
+      val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
+      val manifest = s"$tableDir/m-delete-$snapId-$attempt.avro"
+      ManifestWriter.write(manifest, refRows.map { case (ref, path, off, len, card, size) =>
+        DeletionVectors.entryFor(
+          DeletionVectors.DvRef(ref, path, off, len, card), snapId, snapId, size)
+      })
+      // supersede: carried delete manifests drop the old DV entries for
+      // re-covered files (the new DVs contain their every position)
+      val carried0 = carryForward(base)
+      val carried = carried0.flatMap { info =>
+        if (info.content != 1 || superseded.isEmpty) Some(info)
+        else {
+          val es = ManifestWriter.read(info.path)
+          val keep = es.filterNot(e => e.fileFormat == "PUFFIN" &&
+            superseded((norm(e.filePath), e.contentOffset.getOrElse(0L))))
+          if (keep.size == es.size) Some(info)
+          else if (keep.isEmpty) None
+          else {
+            val p = s"$tableDir/m-dvrw-$snapId-$attempt-${info.path.hashCode.abs}.avro"
+            ManifestWriter.write(p, keep)
+            Some(info.copy(path = p))
+          }
+        }
+      }
+      val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+      writeList(list, carried, manifest, 0, 1, snapId, delSummary)
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some("delete"),
+          Map("added-dvs" -> refRows.size.toString,
+            "removed-dvs" -> oldDvEntries.size.toString,
+            "added-position-deletes" -> nNew.toString),
           Some(list), base.currentSchemaId),
         Some(basePath))
     })

@@ -52,9 +52,17 @@ object ManifestWriter {
       content: Int = 0,
       sequenceNumber: Option[Long] = None,
       // spec field 101: the data file's serialization (PARQUET / AVRO /
-      // ORC). Manifests written before the field read back as PARQUET
-      // via the Avro field default — the only format the engine wrote
-      fileFormat: String = "PARQUET")
+      // ORC / PUFFIN). Manifests written before the field read back as
+      // PARQUET via the Avro field default — the only format the engine wrote
+      fileFormat: String = "PARQUET",
+      // v3 deletion-vector address (spec fields 143/144/145): the data
+      // file this DV covers, plus the blob's byte span inside the Puffin
+      // file — a reader seeks straight to the bitmap, no footer needed.
+      // All-None on every non-DV entry and on pre-v3 manifests (null
+      // defaults)
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSizeInBytes: Option[Long] = None)
 
   private def boundsSchema(name: String, keyId: Int, valueId: Int): Schema = {
     val kv = SchemaBuilder.record(s"k${keyId}_v$valueId").fields()
@@ -91,6 +99,12 @@ object ManifestWriter {
         .name("upper_bounds").prop(AvroConversions.FieldIdKey, "128")
         .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), boundsSchema("upper", 129, 130)))
         .withDefault(null)
+        .name("referenced_data_file").prop(AvroConversions.FieldIdKey, "143")
+        .`type`().unionOf().nullType().and().stringType().endUnion().nullDefault()
+        .name("content_offset").prop(AvroConversions.FieldIdKey, "144")
+        .`type`().unionOf().nullType().and().longType().endUnion().nullDefault()
+        .name("content_size_in_bytes").prop(AvroConversions.FieldIdKey, "145")
+        .`type`().unionOf().nullType().and().longType().endUnion().nullDefault()
         .endRecord()).noDefault()
     .endRecord()
 
@@ -130,7 +144,10 @@ object ManifestWriter {
           bounds("lower_bounds"), bounds("upper_bounds"),
           df.get("content").asInstanceOf[Int],
           Option(r.get("sequence_number")).map(_.asInstanceOf[Long]),
-          Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"))
+          Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"),
+          Option(df.get("referenced_data_file")).map(_.toString),
+          Option(df.get("content_offset")).map(_.asInstanceOf[Long]),
+          Option(df.get("content_size_in_bytes")).map(_.asInstanceOf[Long]))
       }
       buf.result()
     } finally { stream.close(); in.close() }
@@ -171,6 +188,9 @@ object ManifestWriter {
       df.put("file_size_in_bytes", e.fileSizeInBytes)
       df.put("lower_bounds", boundsArray(lower, e.lowerBounds))
       df.put("upper_bounds", boundsArray(upper, e.upperBounds))
+      df.put("referenced_data_file", e.referencedDataFile.orNull)
+      df.put("content_offset", e.contentOffset.map(Long.box).orNull)
+      df.put("content_size_in_bytes", e.contentSizeInBytes.map(Long.box).orNull)
       val rec = new GenericData.Record(entrySchema)
       rec.put("status", e.status)
       rec.put("snapshot_id", e.snapshotId)

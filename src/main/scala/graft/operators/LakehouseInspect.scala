@@ -596,7 +596,85 @@ object LakehouseInspect {
       |  FROM nation WHERE n_nationkey >= 15)
       |ORDER BY cls""".stripMargin
 
+  // ---------------------------------------------------------------- i85
+  /** Iceberg v3 DELETION VECTORS end-to-end: a v2 table accretes parquet
+    * position deletes, upgrades in place (`ALTER TABLE … SET
+    * TBLPROPERTIES ('format-version'='3')` — the metadata FIELD, not a
+    * property), and from then on DELETE writes one Roaring-bitmap DV per
+    * addressed data file into Puffin (`deletion-vector-v1` blobs,
+    * manifest fields 143/144/145 seeking straight to the bitmap). The
+    * v3 DELETE MERGES the file's whole pending state — the pre-upgrade
+    * parquet positions get absorbed, superseded DVs drop in the same
+    * commit, and at most one DV stays live per file. The closing
+    * `rewrite_position_delete_files` call converts every leftover
+    * parquet delete into DVs (the upgrade completion path), after which
+    * the delete side is pure bitmaps — which the `position_deletes`
+    * inspection table still serves per-row (one task per blob).
+    *
+    * The 100 TB rationale: a long-lived CDC table accretes one delete
+    * file per commit, ALL of which every scan task must open and decode;
+    * with DVs each task reads exactly ONE blob per data file (O(1)
+    * delete-side amplification however many DELETEs ran) and the probe
+    * is an unboxed bitmap lookup. */
+  val deletionVectors: Q = (spark, sfDir) => {
+    val wh = entryDir("i85", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_dv",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dv.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i85_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql(s"""CREATE TABLE graft_dv.db.n
+        (n_nationkey INT, n_name STRING, n_regionkey INT)
+        TBLPROPERTIES ('commit-timestamp-ms'='$T0')""")
+      spark.sql("""INSERT INTO graft_dv.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i85_nation_src""")
+      // v2 phase: parquet position deletes
+      spark.sql("DELETE FROM graft_dv.db.n WHERE n_nationkey IN (2, 4)")
+      // in-place upgrade, then a v3 DELETE overlapping the same file(s):
+      // the DV must absorb the parquet positions for its file
+      spark.sql("ALTER TABLE graft_dv.db.n SET TBLPROPERTIES ('format-version'='3')")
+      spark.sql("DELETE FROM graft_dv.db.n WHERE n_nationkey < 6")
+      def delEntries() = {
+        val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/n"))
+        meta.currentSnapshot.toSeq
+          .flatMap(s => ManifestListReader.read(s.manifestList.get))
+          .filter(_.content == 1).flatMap(i => ManifestWriter.read(i.path))
+          .filter(e => e.status != 2 && e.content == 1)
+      }
+      val afterV3 = delEntries()
+      val dvs = afterV3.filter(_.fileFormat == "PUFFIN")
+      require(dvs.nonEmpty, "v3 DELETE must land deletion vectors")
+      require(dvs.groupBy(_.referencedDataFile.get).values.forall(_.size == 1),
+        "at most one live DV per data file")
+      require(dvs.map(_.recordCount).sum == 6,
+        s"DVs must absorb the v2 parquet positions: ${dvs.map(_.recordCount)}")
+      dvs.foreach { e => // the blob really decodes by its manifest address
+        val dv = DeletionVectors.read(
+          e.filePath, e.contentOffset.get, e.contentSizeInBytes.get)
+        require(dv.cardinality == e.recordCount, "cardinality drift")
+      }
+      // upgrade completion: every remaining parquet delete becomes a DV
+      spark.sql(
+        "CALL graft_dv.system.rewrite_position_delete_files(table => 'db.n')")
+      val afterRw = delEntries()
+      require(afterRw.nonEmpty && afterRw.forall(_.fileFormat == "PUFFIN"),
+        s"rewrite on v3 must leave only DVs: ${afterRw.map(_.fileFormat)}")
+    }
+    spark.sql("""SELECT COUNT(*) AS n_live,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      CAST(MIN(n_nationkey) AS BIGINT) AS min_key,
+      (SELECT COUNT(*) FROM graft_dv.db.n.position_deletes) AS n_dv_positions
+      FROM graft_dv.db.n""")
+  }
+
+  val deletionVectorsSql: String =
+    """SELECT COUNT(*) AS n_live, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  CAST(MIN(n_nationkey) AS BIGINT) AS min_key,
+      |  CAST(6 AS BIGINT) AS n_dv_positions
+      |FROM nation WHERE n_nationkey >= 6""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i85_deletion_vectors" -> deletionVectors,
     "i84_column_defaults" -> columnDefaults,
     "i83_table_stats" -> tableStatsEntry,
     "i82_changelog_view" -> changelogView,
@@ -611,6 +689,7 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i85_deletion_vectors" -> deletionVectorsSql,
     "i84_column_defaults" -> columnDefaultsSql,
     "i83_table_stats" -> tableStatsEntrySql,
     "i82_changelog_view" -> changelogViewSql,

@@ -31,7 +31,8 @@ class GraftTableAvroPartitionReader(part: GraftTableInputPartition,
     required: StructType, conf: Configuration) extends PartitionReader[InternalRow] {
   import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 
-  private val deleted = PosDeleteIndex.load(part.posDeleteFiles, part.filePath, conf)
+  private val deleted =
+    PosDeleteIndex.loadAll(part.posDeleteFiles, part.dvRefs, part.filePath, conf)
 
   private def tableType(name: String): DataType =
     part.tableSchema.fields.find(_.name == name).map(_.dataType).getOrElse(

@@ -110,13 +110,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // distributed scan, one task per delete file, never a driver collect
     if (ident.name() == "position_deletes") {
       import graft.iceberg.{ManifestListReader, ManifestWriter, Par}
-      val delFiles = meta.currentSnapshot.flatMap(_.manifestList).toSeq
+      val entries = meta.currentSnapshot.flatMap(_.manifestList).toSeq
         .flatMap(ManifestListReader.read).filter(_.content == 1)
         .flatMap(i => ManifestWriter.read(i.path))
         .filter(e => e.status != 2 && e.content == 1)
+      val delFiles = entries.filter(_.fileFormat != "PUFFIN")
         .map(_.filePath).distinct.sorted
+      // v3 deletion vectors serve as one partition per BLOB, expanded
+      // from the bitmap executor-side — same per-row shape
+      val dvRefs = entries.filter(_.fileFormat == "PUFFIN").map(e =>
+        (e.referencedDataFile.getOrElse(""), e.filePath,
+          e.contentOffset.getOrElse(0L), e.contentSizeInBytes.getOrElse(0L)))
+        .sorted
       return Some(new GraftPosDeletesTable(
-        s"$catalogName.${ident.toString}", delFiles))
+        s"$catalogName.${ident.toString}", delFiles, dvRefs))
     }
     val df = ident.name() match {
       case "snapshots" => MetadataTables.snapshots(spark, meta)
@@ -275,13 +282,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val t0 = Option(properties.get("commit-timestamp-ms")).map(_.toLong)
       .getOrElse(System.currentTimeMillis())
     // persist user TBLPROPERTIES (write.update.mode=merge-on-read etc.);
-    // Spark's own bookkeeping keys stay out of the document
+    // Spark's own bookkeeping keys stay out of the document, and
+    // format-version routes to the METADATA FIELD (spec: a document
+    // field, not a property) — CREATE … ('format-version'='3') makes a
+    // v3 table whose DELETEs write deletion vectors from commit one
     val userProps = properties.asScala.toMap -- Seq(
-      "provider", "location", "owner", "external", "commit-timestamp-ms") --
+      "provider", "location", "owner", "external", "commit-timestamp-ms",
+      "format-version") --
       properties.asScala.keys.filter(_.startsWith("option."))
     GraftTable.create(tableDir(ident), IcebergSchema(0, fields),
       tableUuid = java.util.UUID.randomUUID().toString, timestampMs = t0,
       spec = PartitionSpec(0, specFields), properties = userProps)
+    Option(properties.get("format-version")).map(_.trim.toInt).foreach { v =>
+      if (v != 2) GraftTable.upgradeFormatVersion(tableDir(ident), v)
+    }
     loadTable(ident)
   }
 
@@ -473,6 +487,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           base.schemas.map(_.schemaId).max + 1,
           cur.fields.map(f =>
             if (f.id == field.id) f.copy(writeDefault = newDefault) else f)))
+      // ALTER TABLE t SET TBLPROPERTIES ('format-version'='3') — the
+      // Iceberg upgrade spelling: routed to the metadata field, not the
+      // property map (spec: format-version is a document field)
+      case set: TableChange.SetProperty if set.property() == "format-version" =>
+        GraftTable.upgradeFormatVersion(dir, set.value().trim.toInt)
       case set: TableChange.SetProperty =>
         GraftTable.setProperties(dir, Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>
@@ -823,7 +842,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * REAL distributed scan: one input partition per delete file, the
   * shared parquet row reader decoding (file_path, pos) and serving the
   * provenance column — never a driver materialization. */
-class GraftPosDeletesTable(tableName: String, delFiles: Seq[String])
+class GraftPosDeletesTable(tableName: String, delFiles: Seq[String],
+    dvRefs: Seq[(String, String, Long, Long)] = Nil)
     extends Table with SupportsRead {
   private val posDeleteSchema = StructType(Seq(
     StructField("file_path", StringType, nullable = false),
@@ -845,12 +865,46 @@ class GraftPosDeletesTable(tableName: String, delFiles: Seq[String])
         graft.iceberg.HadoopConfs.active())
       override def planInputPartitions()
           : Array[org.apache.spark.sql.connector.read.InputPartition] =
-        delFiles.map(f => GraftTableInputPartition(f, 0L, Nil, Nil,
-          posDeleteSchema): org.apache.spark.sql.connector.read.InputPartition).toArray
+        (delFiles.map(f => GraftTableInputPartition(f, 0L, Nil, Nil,
+          posDeleteSchema): org.apache.spark.sql.connector.read.InputPartition) ++
+          // one partition per DV blob: filePath = the data file the DV
+          // addresses, the blob coordinates ride in dvRefs
+          dvRefs.map { case (ref, puffin, off, len) =>
+            GraftTableInputPartition(ref, 0L, Nil, Nil, posDeleteSchema,
+              dvRefs = Seq((puffin, off, len)), fileFormat = "PUFFIN")
+              : org.apache.spark.sql.connector.read.InputPartition }).toArray
       override def createReaderFactory()
           : org.apache.spark.sql.connector.read.PartitionReaderFactory =
         new GraftTableReaderFactory(served, conf, columnar = false)
     }
+}
+
+/** Expands one deletion-vector blob into position_deletes rows:
+  * (file_path = the referenced data file, pos = each set bit,
+  * delete_file_path = the Puffin file) — the DV analog of reading a
+  * position-delete parquet file through the shared row reader. */
+class GraftDvPosDeletesReader(part: GraftTableInputPartition,
+    required: StructType, conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.spark.sql.connector.read.PartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow] {
+  private val (puffin, off, len) = part.dvRefs.head
+  private val positions =
+    graft.iceberg.DeletionVectors.read(puffin, off, len, conf).toArray
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < positions.length }
+  override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+    val vals: Array[Any] = required.fields.map(_.name match {
+      case "file_path" =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(part.filePath)
+      case "pos" => positions(i)
+      case "delete_file_path" =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(puffin)
+      case other => throw new IllegalArgumentException(
+        s"position_deletes serves no column '$other'")
+    })
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+  override def close(): Unit = ()
 }
 
 /** A metadata table served as a V2 `LocalScan`: the rows are KB-scale

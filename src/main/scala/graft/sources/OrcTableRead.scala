@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
 class GraftTableOrcPartitionReader(part: GraftTableInputPartition,
     required: StructType, conf: Configuration) extends PartitionReader[InternalRow] {
 
-  private val deleted = PosDeleteIndex.load(part.posDeleteFiles, part.filePath, conf)
+  private val deleted =
+    PosDeleteIndex.loadAll(part.posDeleteFiles, part.dvRefs, part.filePath, conf)
 
   private def tableType(name: String): DataType =
     part.tableSchema.fields.find(_.name == name).map(_.dataType).getOrElse(

@@ -619,20 +619,32 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     val alternates = GraftTable.nameAlternates(pinnedMeta)
     val keysByFile = spj.map(_._2).getOrElse(Map.empty)
     val scanDefaults = TableDataSource.initialDefaultsOf(pinnedMeta)
+    def normP(p: String) = p.replaceFirst("^[a-z0-9+.-]+:(//)?", "")
     def partition(e: ManifestWriter.EntryData, seq: Long,
-        rowGroup: Int, rowStart: Long): GraftTableInputPartition =
+        rowGroup: Int, rowStart: Long): GraftTableInputPartition = {
+      // v2 applicability: a position delete addresses data files with
+      // sequence <= its own (later-sequence delete files only), further
+      // scoped by the delete file's file_path bound stats; an equality
+      // delete applies only to STRICTLY lower data sequence numbers.
+      // v3 deletion vectors split off by format: they address exactly
+      // one file (field 143) and ride as a (path, offset, length) blob
+      // coordinate, not a delete file to decode
+      val applicable = posDeletes.filter { case (d, dseq) =>
+        dseq >= seq && mayAddress(d, e.filePath) }
       GraftTableInputPartition(e.filePath, seq,
-        // v2 applicability: a position delete addresses data files with
-        // sequence <= its own (later-sequence delete files only), further
-        // scoped by the delete file's file_path bound stats; an equality
-        // delete applies only to STRICTLY lower data sequence numbers
-        posDeletes.filter { case (d, dseq) => dseq >= seq && mayAddress(d, e.filePath) }
-          .map(_._1.filePath),
+        applicable.filter(_._1.fileFormat != "PUFFIN").map(_._1.filePath),
         eqDeletes.filter(_._2 > seq).map(_._1.filePath),
-        tableSchema, rowGroup, rowStart, nameAlternates = alternates,
+        tableSchema,
+        dvRefs = applicable.filter { case (d, _) =>
+          d.fileFormat == "PUFFIN" &&
+            d.referencedDataFile.exists(r => normP(r) == normP(e.filePath)) }
+          .map(d => (d._1.filePath, d._1.contentOffset.getOrElse(0L),
+            d._1.contentSizeInBytes.getOrElse(0L))),
+        rowGroup = rowGroup, rowStart = rowStart, nameAlternates = alternates,
         fileFormat = e.fileFormat,
         partitionKeyValues = keysByFile.get(e.filePath).map(_.toArray).orNull,
         initialDefaults = scanDefaults)
+    }
     // files above the split threshold fan out ONE PARTITION PER ROW GROUP
     // (footer read at planning, concurrent, only for big files — the
     // manifest's fileSizeInBytes decides, so small files cost nothing);
@@ -1128,7 +1140,14 @@ class GraftTableDeltaWriterFactory(tableDir: String, writeUuid: String,
   * footer-declared offset and compressed size. */
 case class GraftTableInputPartition(filePath: String, sequenceNumber: Long,
     posDeleteFiles: Seq[String], eqDeleteFiles: Seq[String],
-    tableSchema: StructType, rowGroup: Int = -1, rowStart: Long = 0L,
+    tableSchema: StructType,
+    // v3 deletion vectors addressing THIS file: (puffin path, blob
+    // offset, blob length) straight from the manifest's field-143/144/
+    // 145 triplet — the reader seeks to the bitmap, no footer read.
+    // At most one per file in a well-formed v3 table; kept a Seq so a
+    // malformed multi-DV table still reads correctly (union)
+    dvRefs: Seq[(String, Long, Long)] = Nil,
+    rowGroup: Int = -1, rowStart: Long = 0L,
     splitStart: Long = 0L, splitBytes: Long = Long.MaxValue,
     // RENAME COLUMN support: current name → the names this field's id
     // carried in earlier schemas; empty on never-renamed tables
@@ -1162,6 +1181,8 @@ class GraftTableReaderFactory(required: StructType,
       case "PARQUET" => new GraftTablePartitionReader(p, required, hadoopConf.value)
       case "AVRO" => new GraftTableAvroPartitionReader(p, required, hadoopConf.value)
       case "ORC" => new GraftTableOrcPartitionReader(p, required, hadoopConf.value)
+      // position_deletes inspection partitions over v3 deletion vectors
+      case "PUFFIN" => new GraftDvPosDeletesReader(p, required, hadoopConf.value)
       case other => throw new UnsupportedOperationException(
         s"unsupported data file format $other for ${p.filePath}")
     }
@@ -1269,7 +1290,8 @@ class GraftTableColumnarReader(part: GraftTableInputPartition,
     * batch. The vectorized reader serves the split's rows strictly in
     * order with no predicate skipping, so the absolute index of a
     * batch's first row is `rowStart` plus the rows already served. */
-  private val deleted = PosDeleteIndex.load(part.posDeleteFiles, part.filePath, confBase)
+  private val deleted =
+    PosDeleteIndex.loadAll(part.posDeleteFiles, part.dvRefs, part.filePath, confBase)
 
   /** Equality-delete probes in the CANONICAL COLUMNAR domain — one per
     * distinct column list, specialized by shape so the per-row test
@@ -1593,12 +1615,41 @@ private[sources] final class SelectedColumnVector(
     base.getChild(ordinal)
 }
 
+/** The combined position-delete state addressing one data file: v2
+  * parquet-sourced positions (hash set) plus the v3 DELETION VECTOR
+  * (Roaring bitmap, probed first — on a v3 table it is the only
+  * populated side and the per-row cost is two array reads through the
+  * bitmap's last-hit cache, no boxing). Union semantics: a table mid-
+  * upgrade can carry both forms for one file and every position in
+  * either is deleted. */
+private[sources] final class PosDeletes(
+    set: java.util.HashSet[java.lang.Long], dv: graft.iceberg.Roaring64) {
+  val isEmpty: Boolean = set.isEmpty && (dv == null || dv.isEmpty)
+  def contains(pos: Long): Boolean =
+    (dv != null && dv.contains(pos)) || (!set.isEmpty && set.contains(pos))
+}
+
 /** Task-local position-delete index: the FILE-ABSOLUTE deleted row
   * indexes addressing ONE data file, loaded once per task from its
   * sequence-scoped, path-bound-scoped delete files. Shared by the row
   * and columnar MOR routes — both address the same coordinate system
   * (record order == row index, Iceberg's `pos`). */
 private[sources] object PosDeleteIndex {
+
+  /** Parquet position deletes + v3 deletion vectors as one probe. */
+  def loadAll(posDeleteFiles: Seq[String], dvRefs: Seq[(String, Long, Long)],
+      dataFilePath: String, conf: Configuration): PosDeletes = {
+    val set = load(posDeleteFiles, dataFilePath, conf)
+    val dv = dvRefs match {
+      case Nil => null
+      case Seq((p, off, len)) => graft.iceberg.DeletionVectors.read(p, off, len, conf)
+      case many => // malformed multi-DV table: union, stay correct
+        graft.iceberg.Roaring64.fromPositions(
+          many.flatMap { case (p, off, len) =>
+            graft.iceberg.DeletionVectors.read(p, off, len, conf).toArray }.toArray)
+    }
+    new PosDeletes(set, dv)
+  }
   private def normPath(p: String): String = p.replaceFirst("^[a-z0-9+.-]+:(//)?", "")
 
   def load(posDeleteFiles: Seq[String], dataFilePath: String,
@@ -1839,8 +1890,8 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
     * the sequence-scoped, path-bound-scoped delete files (Iceberg's
     * task-local delete apply; [[PosDeleteIndex]] — shared with the
     * columnar route). */
-  private val deleted: java.util.HashSet[java.lang.Long] =
-    PosDeleteIndex.load(part.posDeleteFiles, part.filePath, conf)
+  private val deleted: PosDeletes =
+    PosDeleteIndex.loadAll(part.posDeleteFiles, part.dvRefs, part.filePath, conf)
 
   private def tableType(name: String): DataType =
     part.tableSchema.fields.find(_.name == name).map(_.dataType).getOrElse(

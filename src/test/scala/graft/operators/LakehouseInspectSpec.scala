@@ -101,6 +101,20 @@ class LakehouseInspectSpec extends SparkSpec {
       Seq(2L, 4L, 11L))
   }
 
+  test("i85 deletion vectors: v2 upgrade, DV merge, rewrite conversion") {
+    val df = LakehouseInspect.deletionVectors(spark, sfDir)
+    val got = df.head()
+    // 25 nations minus keys 0..5; sum(6..24) = 285
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((19L, 285L, 6L, 6L)), got.toString)
+    // the inspection table serves the DV rows per-position with the
+    // Puffin file as provenance
+    val pd = spark.sql(
+      "SELECT pos, delete_file_path FROM graft_dv.db.n.position_deletes")
+      .collect()
+    assert(pd.forall(_.getString(1).endsWith(".puffin")), pd.mkString(";"))
+  }
+
   test("i77 ref lifecycle: tags pin expiry, drop_tag releases, type guards hold") {
     val df = LakehouseInspect.refLifecycle(spark, sfDir)
     val got = df.head()

@@ -60,12 +60,14 @@ object Bench {
     }
     var line = assemble()
     // degradation order: largest timings first; 2→1 across the board
-    // before any entry drops to 0 decimals. Budget 1950: the driver
-    // keeps the last 2000 stdout chars, and the line is printed last —
-    // ≥50 chars of margin for the runner's prefix and the newline.
+    // before any entry drops to 0 decimals. Budget 1985: the driver
+    // keeps the last 2000 stdout chars and the line is printed last —
+    // the sbt runner's "[info] " prefix (7 chars) plus the newline
+    // leave 1992 usable, so 1985 keeps margin while fitting 193
+    // entries (1950 could not: the fully-degraded worst case is 1962).
     val order = results.zipWithIndex
       .collect { case ((_, Some(v)), i) => (v, i) }.sortBy(-_._1).map(_._2)
-    for (target <- Seq(1, 0); i <- order; if line.length >= 1950) {
+    for (target <- Seq(1, 0); i <- order; if line.length >= 1985) {
       dec(i) = target
       line = assemble()
     }

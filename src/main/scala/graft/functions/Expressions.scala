@@ -293,7 +293,8 @@ object GraftFunctions {
     "graft_might_contain" -> (es =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1))),
     "graft_dot" -> (es => DotProduct(es.head, es(1))),
-    "graft_iceberg_bucket" -> (es => IcebergBucket(es.head, intLit(es(1), "n"))))
+    "graft_iceberg_bucket" -> (es => IcebergBucket(es.head, intLit(es(1), "n"))),
+    "graft_zorder_key" -> (es => ZOrderKey(es)))
 
   def register(spark: SparkSession): Unit = synchronized {
     if (registered.contains(spark)) return
@@ -339,4 +340,7 @@ object GraftFunctions {
   def icebergBucket(spark: SparkSession, c: Column, n: Int): Column =
     { register(spark); call_function("graft_iceberg_bucket", c,
       org.apache.spark.sql.functions.lit(n)) }
+  /** Morton key over the clustering columns — see [[ZOrderKey]]. */
+  def zorderKey(spark: SparkSession, cols: Seq[Column]): Column =
+    { register(spark); call_function("graft_zorder_key", cols: _*) }
 }

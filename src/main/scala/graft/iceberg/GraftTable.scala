@@ -682,6 +682,9 @@ object GraftTable {
       : (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
     val typed = fields.flatMap(f =>
       IcebergTypes.fromStringOpt(f.fieldType).map(t => (f, t)))
+      // variant defines no ordering — no bounds, and min()/max() over a
+      // VariantType column would fail analysis
+      .filterNot(_._2 == IcebergTypes.TVariant)
     val aggs = count(lit(1)) +: typed.flatMap { case (f, _) =>
       Seq(min(col(f.name)), max(col(f.name))) }
     val row = spark.read.parquet(file).agg(aggs.head, aggs.tail: _*).head()
@@ -904,6 +907,42 @@ object GraftTable {
             (r.referencedDataFile, r.path, r.offset, r.length, r.cardinality, size))
         }
       }.collect().toSeq
+  }
+
+  /** The pending position-delete state for a COVERED file set (v3
+    * merge-on-write input): the live DV entries whose referenced file is
+    * covered (these get superseded by the commit), plus ONE DataFrame of
+    * (normalized file_path, pos) carrying every pending position — DV
+    * blobs expanded executor-side, v2 parquet positions restricted to
+    * the covered files. */
+  private def pendingPosState(spark: SparkSession, meta0: TableMetadata,
+      covered: Set[String])
+      : (Seq[ManifestWriter.EntryData], DataFrame) = {
+    import spark.implicits._
+    def norm(p: String): String = uriPath(p)
+    def normCol(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[a-z0-9+.-]+:(//)?", "")
+    val delE = currentEntries(meta0, 1).filter(_.content == 1)
+    val oldDvEntries = delE.filter(e => e.fileFormat == "PUFFIN" &&
+      e.referencedDataFile.exists(r => covered(norm(r))))
+    val oldParquet = delE.filter(e => e.fileFormat != "PUFFIN" &&
+      covered.exists(c => posDeleteMayAddress(e, Set(c))))
+    val taskConf = new SerializableHadoopConf(HadoopConfs.active())
+    val oldDvPositions: DataFrame =
+      if (oldDvEntries.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
+      else spark.createDataset(oldDvEntries.map(e =>
+          (norm(e.referencedDataFile.get), e.filePath,
+            e.contentOffset.getOrElse(0L), e.contentSizeInBytes.getOrElse(0L))))
+        .flatMap { case (ref, puffin, off, len) =>
+          DeletionVectors.read(puffin, off, len, taskConf.value)
+            .toArray.map(p => (ref, p)) }
+        .toDF("file_path", "pos")
+    val oldParquetPositions: DataFrame =
+      if (oldParquet.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
+      else spark.read.parquet(oldParquet.map(_.filePath): _*)
+        .select(normCol(col("file_path")).as("file_path"), col("pos"))
+        .filter(col("file_path").isin(covered.toSeq: _*))
+    (oldDvEntries, oldDvPositions.unionByName(oldParquetPositions))
   }
 
   /** The (file_path, pos) addresses of a set of position-delete entries,
@@ -1291,26 +1330,84 @@ object GraftTable {
     * files, pending deletes are materialized away (position deletes
     * address the dead paths; equality deletes are out-sequenced), and a
     * replace snapshot carrying ONLY the new manifest commits through the
-    * CAS loop — aborting if the file set changed concurrently. */
+    * CAS loop — aborting if the file set changed concurrently.
+    *
+    * Strategies:
+    *   - **bin-pack** (default, `sortOrder`/`zorderCols` empty): files
+    *     group into target-size bins, one concurrent rewrite job per
+    *     bin, each reading only its own files — total I/O one table
+    *     pass, wall-clock bounded by the biggest bin.
+    *   - **sort** (`sortOrder` = (column, descending) list): ONE
+    *     distributed pass — the MOR-resolved rows range-distribute over
+    *     ceil(total/target) output files and sort within each, so files
+    *     cover DISJOINT key ranges with tight bound stats (the i35
+    *     sorted-write contract applied retroactively to old data).
+    *   - **z-order** (`zorderCols`): same pass keyed by the Morton
+    *     curve ([[graft.functions.ZOrderKey]]) — every file covers a
+    *     small HYPER-RECTANGLE of the clustered columns, so min/max
+    *     pruning works for predicates on ANY clustered subset, not just
+    *     a sort prefix. The write is the DSv2 task-writer
+    *     ([[graft.sources.GraftFileWriter]]): one file per range
+    *     partition, bound stats tracked inline while writing. */
   def compact(spark: SparkSession, tableDir: String,
-      targetBytes: Long = 512L * 1024 * 1024): OptimisticCommit.CommitResult = {
+      targetBytes: Long = 512L * 1024 * 1024,
+      sortOrder: Seq[(String, Boolean)] = Nil,
+      zorderCols: Seq[String] = Nil): OptimisticCommit.CommitResult = {
+    require(sortOrder.isEmpty || zorderCols.isEmpty,
+      "sort and zorder strategies are mutually exclusive")
     val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
     val schema = sparkSchema(meta0)
+    (sortOrder.map(_._1) ++ zorderCols).foreach(c =>
+      require(schema.fieldNames.contains(c), s"no such column $c"))
     val preData = currentEntries(meta0, 0).filter(_.content == 0)
     require(preData.nonEmpty, "compact on a table with no data files")
     val delEntries = currentEntries(meta0, 1)
     val posEntries = delEntries.filter(_.content == 1).map(e => (e, e.sequenceNumber.get))
     val eqEntries = delEntries.filter(_.content == 2).map(e => (e, e.sequenceNumber.get))
-    // bin-pack by cumulative REAL file size; each bin is one rewrite task
-    val bins = preData.sortBy(_.filePath)
-      .foldLeft(Seq.empty[(Long, Seq[ManifestWriter.EntryData])]) { case (acc, e) =>
-        acc.lastOption match {
-          case Some((sz, es)) if sz + e.fileSizeInBytes <= targetBytes =>
-            acc.init :+ (sz + e.fileSizeInBytes, es :+ e)
-          case _ => acc :+ (e.fileSizeInBytes, Seq(e))
-        }
-      }.map(_._2)
     val compactUuid = java.util.UUID.randomUUID()
+    val sortedMsgs: Seq[graft.sources.GraftFileMessage] =
+      if (sortOrder.isEmpty && zorderCols.isEmpty) Nil
+      else {
+        val df = readFromEntries(spark, meta0,
+            preData.map(e => (e, e.sequenceNumber.get)), posEntries, eqEntries)
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        val nFiles = math.max(1, math.ceil(
+          preData.map(_.fileSizeInBytes).sum.toDouble / targetBytes).toInt)
+        val keys: Seq[org.apache.spark.sql.Column] =
+          if (zorderCols.nonEmpty)
+            Seq(graft.functions.GraftFunctions.zorderKey(spark, zorderCols.map(col)))
+          else sortOrder.map { case (n, desc) => if (desc) col(n).desc else col(n).asc }
+        // the key expressions drive the range exchange and the in-file
+        // sort but never materialize as output columns
+        val sorted = df.repartitionByRange(nFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
+        val fields = meta0.currentSchema.fields.flatMap(f =>
+          IcebergTypes.fromStringOpt(f.fieldType).map(t => (f.id, f.name, t)))
+        val taskConf = new SerializableHadoopConf(HadoopConfs.active())
+        sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+          if (!rows.hasNext) Iterator.empty
+          else {
+            val w = new graft.sources.GraftFileWriter(
+              s"$tableDir/data/sorted-$compactUuid-%05d.parquet".format(pid),
+              schema, fields, None, 0, taskConf.value)
+            try {
+              rows.foreach(w.write)
+              Iterator.single(w.finish())
+            } catch { case t: Throwable => w.abort(); throw t }
+          }
+        }.collect().toSeq
+      }
+    // bin-pack by cumulative REAL file size; each bin is one rewrite task
+    val bins =
+      if (sortedMsgs.nonEmpty) Nil
+      else preData.sortBy(_.filePath)
+        .foldLeft(Seq.empty[(Long, Seq[ManifestWriter.EntryData])]) { case (acc, e) =>
+          acc.lastOption match {
+            case Some((sz, es)) if sz + e.fileSizeInBytes <= targetBytes =>
+              acc.init :+ (sz + e.fileSizeInBytes, es :+ e)
+            case _ => acc :+ (e.fileSizeInBytes, Seq(e))
+          }
+        }.map(_._2)
     // one rewrite job per bin, submitted concurrently — at thousands of
     // bins this is the difference between a compaction bounded by the
     // biggest bin and one bounded by the bin count. Each bin reads ONLY
@@ -1334,11 +1431,18 @@ object GraftTable {
         .map(e => uriPath(e.filePath)).toSet
       if (nowSet != preSet) throw OptimisticCommit.CommitConflictException(
         "table file set changed while compacting — rerun compaction")
-      val entries = Par.inParallel(outFiles) { f =>
-        val (n, lower, upper) = deriveStats(spark, f, base)
-        ManifestWriter.EntryData(1, snapId, f, n, ParquetFiles.length(f),
-          lower, upper, content = 0, sequenceNumber = Some(snapId))
-      }
+      val entries =
+        if (sortedMsgs.nonEmpty)
+          // the sorted rewrite's task writers tracked bounds INLINE —
+          // no second derive pass over the written bytes
+          sortedMsgs.map(m => ManifestWriter.EntryData(1, snapId, m.path,
+            m.rows, m.bytes, m.lower, m.upper,
+            content = 0, sequenceNumber = Some(snapId)))
+        else Par.inParallel(outFiles) { f =>
+          val (n, lower, upper) = deriveStats(spark, f, base)
+          ManifestWriter.EntryData(1, snapId, f, n, ParquetFiles.length(f),
+            lower, upper, content = 0, sequenceNumber = Some(snapId))
+        }
       // replaced files tombstone as DELETED entries (Iceberg's replace
       // shape): invisible to scans, visible to the `entries` table
       val tombstones = currentEntries(base, 0).filter(_.content == 0)
@@ -1347,11 +1451,12 @@ object GraftTable {
       ManifestWriter.write(manifest, entries ++ tombstones)
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       ManifestListWriter.write(list, Seq(manifest), snapId,
-        addedDataFilesCount = outFiles.size)
+        addedDataFilesCount = entries.size)
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("replace"),
-          Map("added-data-files" -> outFiles.size.toString,
+          Map("added-data-files" ->
+              (if (sortedMsgs.nonEmpty) sortedMsgs.size else outFiles.size).toString,
             "deleted-data-files" -> preData.size.toString),
           Some(list), base.currentSchemaId),
         Some(basePath))
@@ -1951,7 +2056,38 @@ object GraftTable {
       deleteFiles: Seq[PendingFile], targetPaths: Set[String])
       : OptimisticCommit.CommitResult = {
     require(dataFiles.nonEmpty || deleteFiles.nonEmpty, "empty delta commit")
-    OptimisticCommit.commit(tableDir, (base, basePath) => {
+    // v3: the task-written position-delete parquet converts to DELETION
+    // VECTORS before the commit — merged with each covered file's whole
+    // pending state, superseding its old DV, exactly like deleteWhere's
+    // DV route. The task parquet files become intermediates (reclaimed
+    // after the commit wins; a crash leaves orphans for the sweep, never
+    // a corrupt table).
+    val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    val v3Dv = meta0.formatVersion >= 3 && deleteFiles.nonEmpty
+    val spark = if (v3Dv) SparkSession.active else null
+    val dvAttempt = java.util.UUID.randomUUID()
+    val (dvRefRows, dvSuperseded, dvPreDel) =
+      if (!v3Dv) (Nil, Set.empty[(String, Long)], Set.empty[(String, Long)])
+      else {
+        def norm(p: String): String = uriPath(p)
+        def normCol(c: org.apache.spark.sql.Column) =
+          regexp_replace(c, "^[a-z0-9+.-]+:(//)?", "")
+        val newDels = spark.read.parquet(deleteFiles.map(_.path): _*)
+          .select(normCol(col("file_path")).as("file_path"), col("pos"))
+        val covered = newDels.select("file_path").distinct()
+          .collect().map(_.getString(0)).toSet
+        val (oldDvEntries, oldPositions) = pendingPosState(spark, meta0, covered)
+        val manifestForm = currentEntries(meta0, 0).filter(_.content == 0)
+          .map(e => norm(e.filePath) -> e.filePath).toMap
+        val refs = writeDvsDistributed(spark, tableDir, dvAttempt,
+          newDels.unionByName(oldPositions), manifestForm,
+          (meta0.snapshots.map(_.snapshotId) :+ 0L).max + 1)
+        val delE = currentEntries(meta0, 1).filter(_.content == 1)
+        (refs,
+          oldDvEntries.map(e => (norm(e.filePath), e.contentOffset.getOrElse(0L))).toSet,
+          delE.map(e => (norm(e.filePath), e.contentOffset.getOrElse(0L))).toSet)
+      }
+    val result = OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val live = currentEntries(base, 0).filter(_.content == 0)
         .map(e => uriPath(e.filePath)).toSet
@@ -1979,11 +2115,46 @@ object GraftTable {
         if (deleteFiles.isEmpty) Nil
         else {
           val m = s"$tableDir/m-delta-del-$snapId-$attempt.avro"
-          ManifestWriter.write(m, deleteFiles.map(entry(_, 1)))
+          // v3: the DVs written before the commit land instead of the
+          // task parquet (which stays an uncommitted intermediate)
+          ManifestWriter.write(m,
+            if (v3Dv) dvRefRows.map { case (ref, path, off, len, card, size) =>
+              DeletionVectors.entryFor(
+                DeletionVectors.DvRef(ref, path, off, len, card), snapId, snapId, size)
+            }
+            else deleteFiles.map(entry(_, 1)))
           Seq((m, None: Option[Seq[ManifestListWriter.FieldSummary]], 0, 1))
         }
+      if (v3Dv) {
+        // merge-on-write staleness guard (same rule as deleteWhereDv):
+        // the DVs absorbed the delete state AS OF meta0 and this commit
+        // drops the absorbed entries
+        val nowDel = currentEntries(base, 1).filter(_.content == 1)
+          .map(e => (uriPath(e.filePath), e.contentOffset.getOrElse(0L))).toSet
+        if (nowDel != dvPreDel) throw OptimisticCommit.CommitConflictException(
+          "table delete state changed while writing deletion vectors — rerun")
+      }
       val manifests = plainData ++ perFile ++ delManifests
-      val carried = carryForward(base)
+      val carried0 = carryForward(base)
+      // v3 supersede: carried delete manifests drop the old DV entries
+      // for re-covered files (the new DVs carry their every position)
+      val carried =
+        if (dvSuperseded.isEmpty) carried0
+        else carried0.flatMap { info =>
+          if (info.content != 1) Some(info)
+          else {
+            val es = ManifestWriter.read(info.path)
+            val keep = es.filterNot(e => e.fileFormat == "PUFFIN" &&
+              dvSuperseded((uriPath(e.filePath), e.contentOffset.getOrElse(0L))))
+            if (keep.size == es.size) Some(info)
+            else if (keep.isEmpty) None
+            else {
+              val p = s"$tableDir/m-dvrw-$snapId-$attempt-${info.path.hashCode.abs}.avro"
+              ManifestWriter.write(p, keep)
+              Some(info.copy(path = p))
+            }
+          }
+        }
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       ManifestListWriter.write(list, carried.map(_.path) ++ manifests.map(_._1), snapId,
         addedDataFilesCount = dataFiles.size,
@@ -2002,11 +2173,21 @@ object GraftTable {
           Some(if (dataFiles.isEmpty) "delete" else "overwrite"),
           Map("added-data-files" -> dataFiles.size.toString,
             "added-records" -> dataFiles.map(_.rows).sum.toString,
-            "added-delete-files" -> deleteFiles.size.toString,
-            "added-position-deletes" -> deleteFiles.map(_.rows).sum.toString),
+            "added-delete-files" ->
+              (if (v3Dv) dvRefRows.size else deleteFiles.size).toString,
+            "added-position-deletes" -> deleteFiles.map(_.rows).sum.toString) ++
+            (if (v3Dv) Map("added-dvs" -> dvRefRows.size.toString) else Map.empty),
           Some(list), base.currentSchemaId),
         Some(basePath))
     })
+    // the task parquet never entered the table on v3 — reclaim it now
+    // that the commit won (best-effort; a crash here leaves orphans for
+    // remove_orphan_files, never a corrupt table)
+    if (v3Dv) deleteFiles.foreach { f =>
+      scala.util.Try(HadoopConfs.fileSystemFor(f.path)
+        .delete(new org.apache.hadoop.fs.Path(f.path), false))
+    }
+    result
   }
 
   /** Row-level DELETE: capture (file_path, pos) of matching rows across
@@ -2157,31 +2338,11 @@ object GraftTable {
     if (covered.isEmpty)
       return OptimisticCommit.CommitResult(
         OptimisticCommit.currentVersion(tableDir), metaPath0, meta0, 0)
-    val delE = currentEntries(meta0, 1).filter(_.content == 1)
-    val oldDvEntries = delE.filter(e => e.fileFormat == "PUFFIN" &&
-      e.referencedDataFile.exists(r => covered(norm(r))))
-    val oldParquet = delE.filter(e => e.fileFormat != "PUFFIN" &&
-      covered.exists(c => posDeleteMayAddress(e, Set(c))))
-    val taskConf = new SerializableHadoopConf(HadoopConfs.active())
-    val oldDvPositions: DataFrame =
-      if (oldDvEntries.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
-      else spark.createDataset(oldDvEntries.map(e =>
-          (norm(e.referencedDataFile.get), e.filePath,
-            e.contentOffset.getOrElse(0L), e.contentSizeInBytes.getOrElse(0L))))
-        .flatMap { case (ref, puffin, off, len) =>
-          DeletionVectors.read(puffin, off, len, taskConf.value)
-            .toArray.map(p => (ref, p)) }
-        .toDF("file_path", "pos")
-    val oldParquetPositions: DataFrame =
-      if (oldParquet.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
-      else spark.read.parquet(oldParquet.map(_.filePath): _*)
-        .select(normCol(col("file_path")).as("file_path"), col("pos"))
-        .filter(col("file_path").isin(covered.toSeq: _*))
+    val (oldDvEntries, oldPositions) = pendingPosState(spark, meta0, covered)
     val attempt = java.util.UUID.randomUUID()
     val provisionalSnap = (meta0.snapshots.map(_.snapshotId) :+ 0L).max + 1
     val refRows = writeDvsDistributed(spark, tableDir, attempt,
-      newDels.unionByName(oldDvPositions).unionByName(oldParquetPositions),
-      manifestForm, provisionalSnap)
+      newDels.unionByName(oldPositions), manifestForm, provisionalSnap)
     val nNew = coveredCounts.values.sum
     // a DV entry's identity is (puffin path, blob offset) — one Puffin
     // file holds many files' DVs and only the re-covered blobs supersede
@@ -2196,7 +2357,8 @@ object GraftTable {
       .filter { case (_, es) => es.exists(e => e.status != 2 && covered(norm(e.filePath))) }
       .map(_._1).distinctBy(_.path)
     val delSummary = ScanPlanning.unionSummaries(meta0, addressedOwners)
-    val preDel = delE.map(e => (norm(e.filePath), e.contentOffset.getOrElse(0L))).toSet
+    val preDel = currentEntries(meta0, 1).filter(_.content == 1)
+      .map(e => (norm(e.filePath), e.contentOffset.getOrElse(0L))).toSet
     val preData = dataE.map(e => norm(e.filePath)).toSet
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       // merge-on-write makes staleness dangerous: the new DVs absorbed

@@ -30,6 +30,13 @@ object IcebergTypes {
   case object TString extends IcebergType { val name = "string"; val sparkType = StringType }
   case object TUuid extends IcebergType { val name = "uuid"; val sparkType = StringType }
   case object TBinary extends IcebergType { val name = "binary"; val sparkType = BinaryType }
+  /** Iceberg v3 `variant`: semi-structured values in the binary variant
+    * encoding Spark 4 and Iceberg v3 share — maps 1:1 onto Spark's
+    * VariantType. Carries NO bound statistics (the spec defines no
+    * variant ordering). */
+  case object TVariant extends IcebergType {
+    val name = "variant"; val sparkType = org.apache.spark.sql.types.VariantType
+  }
   final case class TFixed(len: Int) extends IcebergType {
     val name = s"fixed[$len]"; val sparkType = BinaryType
   }
@@ -103,6 +110,7 @@ object IcebergTypes {
     case TimestampNTZType => "timestamp"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case BinaryType => "binary"
+    case org.apache.spark.sql.types.VariantType => "variant"
     case ArrayType(elem, containsNull) =>
       val elemId = nextId() // allocate BEFORE recursing: outer-first ids
       TList(elemId, fromString(fromSparkType(elem, nextId)),
@@ -185,6 +193,7 @@ object IcebergTypes {
     case "string" => TString
     case "uuid" => TUuid
     case "binary" => TBinary
+    case "variant" => TVariant
     case DecimalRe(p, sc) => TDecimal(p.toInt, sc.toInt)
     case FixedRe(l) => TFixed(l.toInt)
     case other => throw new IllegalArgumentException(s"Unknown Iceberg primitive type: $other")

@@ -124,7 +124,7 @@ object MetadataTables {
 
   private def entryRows(meta: TableMetadata, snaps: Seq[Snapshot])
       : Seq[(Long, Int, Long, Long, Int, String, String, Long, Long,
-        Map[String, ReadableMetric])] = {
+        Map[String, ReadableMetric], Option[String], Option[Long], Option[Long])] = {
     val types = meta.fieldTypes
     val names = meta.currentSchema.fields.map(f => f.id -> f.name).toMap
     def metric(e: ManifestWriter.EntryData): Map[String, ReadableMetric] =
@@ -146,7 +146,7 @@ object MetadataTables {
       ManifestWriter.read(i.path).map(e =>
         (sid, e.status, e.snapshotId, e.sequenceNumber.getOrElse(i.sequenceNumber),
           e.content, e.filePath, e.fileFormat, e.recordCount, e.fileSizeInBytes,
-          metric(e)))
+          metric(e), e.referencedDataFile, e.contentOffset, e.contentSizeInBytes))
     }.flatten
   }
 
@@ -161,10 +161,11 @@ object MetadataTables {
   def entries(spark: SparkSession, meta: TableMetadata): DataFrame = {
     import spark.implicits._
     entryRows(meta, meta.currentSnapshot.toSeq)
-      .map { case (_, st, sid, seq, c, p, ff, rc, fs, m) =>
-        (st, sid, seq, c, p, ff, rc, fs, m) }
+      .map { case (_, st, sid, seq, c, p, ff, rc, fs, m, rdf, co, cs) =>
+        (st, sid, seq, c, p, ff, rc, fs, m, rdf, co, cs) }
       .toDF("status", "snapshot_id", "sequence_number", "content", "file_path",
-        "file_format", "record_count", "file_size_in_bytes", "readable_metrics")
+        "file_format", "record_count", "file_size_in_bytes", "readable_metrics",
+        "referenced_data_file", "content_offset", "content_size_in_bytes")
   }
 
   /** `all_entries`: the [[entries]] shape across EVERY snapshot, with the
@@ -175,7 +176,8 @@ object MetadataTables {
     entryRows(meta, meta.snapshots)
       .toDF("reference_snapshot_id", "status", "snapshot_id", "sequence_number",
         "content", "file_path", "file_format", "record_count",
-        "file_size_in_bytes", "readable_metrics")
+        "file_size_in_bytes", "readable_metrics",
+        "referenced_data_file", "content_offset", "content_size_in_bytes")
   }
 
   def schemaFields(spark: SparkSession, meta: TableMetadata): DataFrame = {

@@ -673,7 +673,102 @@ object LakehouseInspect {
       |  CAST(6 AS BIGINT) AS n_dv_positions
       |FROM nation WHERE n_nationkey >= 6""".stripMargin
 
+  // ---------------------------------------------------------------- i86
+  /** Z-order clustering rewrite: `rewrite_data_files(strategy => 'sort',
+    * sort_order => 'zorder(a, b)')` re-lays the table along the Morton
+    * curve (`graft.functions.ZOrderKey` — order-preserving unsigned
+    * images, bit-interleaved, 8·n-byte binary key) in ONE distributed
+    * pass: range-partition on the key into ceil(total/target) files,
+    * sort within each, task writers tracking bound stats inline. Every
+    * output file then covers a small HYPER-RECTANGLE of (a, b), so
+    * min/max file pruning works for predicates on EITHER column — a
+    * linear sort serves only its prefix. ZOrderSpec pins the pruning
+    * claim destructively (y-only predicate: most files pruned after
+    * zorder, ZERO pruned after a linear x sort); this entry pins
+    * content correctness and both selective aggregates at sf. */
+  val zorderRewrite: Q = (spark, sfDir) => {
+    val wh = entryDir("i86", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_zo",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_zo.warehouse", wh)
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("i86_orders_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql(s"""CREATE TABLE graft_zo.db.o
+        (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        TBLPROPERTIES ('commit-timestamp-ms'='$T0')""")
+      spark.sql("""INSERT INTO graft_zo.db.o
+        SELECT o_orderkey, o_custkey, o_totalprice FROM i86_orders_src""")
+      val row = spark.sql("""CALL graft_zo.system.rewrite_data_files(
+        table => 'db.o', target_file_size_bytes => 65536,
+        strategy => 'sort', sort_order => 'zorder(o_custkey, o_orderkey)')""").head()
+      require(row.getInt(1) >= 1, s"rewrite produced no files: $row")
+    }
+    spark.sql("""SELECT COUNT(*) AS n_rows,
+      CAST(SUM(o_orderkey) AS DECIMAL(38, 0)) AS sum_key,
+      COUNT(CASE WHEN o_custkey < 100 THEN 1 END) AS n_low_cust,
+      COUNT(CASE WHEN o_orderkey < 100 THEN 1 END) AS n_low_order
+      FROM graft_zo.db.o""")
+  }
+
+  val zorderRewriteSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS DECIMAL(38, 0)) AS sum_key,
+      |  COUNT(CASE WHEN o_custkey < 100 THEN 1 END) AS n_low_cust,
+      |  COUNT(CASE WHEN o_orderkey < 100 THEN 1 END) AS n_low_order
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- i87
+  /** Iceberg v3 VARIANT columns: semi-structured values in the binary
+    * variant encoding Spark 4 and Iceberg v3 share. The catalog persists
+    * the spec type name (v3-gated: refused on v2 tables at DDL time),
+    * the DSv2 task writer lands Spark's UNSHREDDED parquet variant group
+    * (VARIANT-annotated `(metadata, value)` binary halves — Spark's own
+    * reader reconstructs VariantType from it, so the native route reads
+    * the same files), the row-route reader reassembles VariantVal
+    * (variant sits outside the vectorized palette by design — no bound
+    * stats either; the spec defines no variant ordering), and
+    * `parse_json`/`variant_get` run over the scan like any built-in.
+    * The fixture routes nation through JSON documents and extracts
+    * typed values back out; the oracle recomputes from the plain
+    * columns — no JSON functions on the oracle side, so the comparison
+    * pins the variant ENCODE→DECODE loop itself. */
+  val variantColumns: Q = (spark, sfDir) => {
+    val wh = entryDir("i87", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_var",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_var.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i87_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql(s"""CREATE TABLE graft_var.db.n (k BIGINT, payload VARIANT)
+        TBLPROPERTIES ('format-version'='3', 'commit-timestamp-ms'='$T0')""")
+      spark.sql("""INSERT INTO graft_var.db.n
+        SELECT CAST(n_nationkey AS BIGINT),
+          parse_json(concat('{"key":', n_nationkey,
+            ',"name":"', n_name, '","region":', n_regionkey, '}'))
+        FROM i87_nation_src""")
+      // v3 DML composes: the DELETE lands a deletion vector
+      spark.sql(
+        "DELETE FROM graft_var.db.n WHERE variant_get(payload, '$.region', 'int') = 2")
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/n"))
+      require(meta.currentSchema.fields.exists(f =>
+        f.name == "payload" && f.fieldType == "variant"), "variant type must persist")
+    }
+    spark.sql("""SELECT COUNT(*) AS n_live,
+      CAST(SUM(variant_get(payload, '$.key', 'bigint')) AS BIGINT) AS sum_key,
+      MAX(variant_get(payload, '$.name', 'string')) AS top_name,
+      COUNT(DISTINCT variant_get(payload, '$.region', 'int')) AS n_regions
+      FROM graft_var.db.n""")
+  }
+
+  val variantColumnsSql: String =
+    """SELECT COUNT(*) AS n_live, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  MAX(n_name) AS top_name,
+      |  COUNT(DISTINCT n_regionkey) AS n_regions
+      |FROM nation WHERE n_regionkey <> 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i87_variant_columns" -> variantColumns,
+    "i86_zorder_rewrite" -> zorderRewrite,
     "i85_deletion_vectors" -> deletionVectors,
     "i84_column_defaults" -> columnDefaults,
     "i83_table_stats" -> tableStatsEntry,
@@ -689,6 +784,8 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i87_variant_columns" -> variantColumnsSql,
+    "i86_zorder_rewrite" -> zorderRewriteSql,
     "i85_deletion_vectors" -> deletionVectorsSql,
     "i84_column_defaults" -> columnDefaultsSql,
     "i83_table_stats" -> tableStatsEntrySql,

@@ -71,6 +71,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option spark.sql.catalog.$name.warehouse"))
+    // VARIANT tables need Spark-native rewrites (compaction, COW merge)
+    // to stay in the UNSHREDDED layout the engine's row reader speaks —
+    // pin it for any session that mounts this catalog (harmless
+    // otherwise; shredding only serves Spark-reader-side pushdown)
+    scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+      .set("spark.sql.variant.writeShredding.enabled", "false"))
   }
 
   override def name(): String = catalogName
@@ -290,6 +296,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "provider", "location", "owner", "external", "commit-timestamp-ms",
       "format-version") --
       properties.asScala.keys.filter(_.startsWith("option."))
+    // variant is a v3 type (spec: Version 3 types)
+    require(!fields.exists(_.fieldType == "variant") ||
+        Option(properties.get("format-version")).exists(_.trim.toInt >= 3),
+      "variant columns need a v3 table — " +
+        "CREATE TABLE … TBLPROPERTIES ('format-version'='3')")
     GraftTable.create(tableDir(ident), IcebergSchema(0, fields),
       tableUuid = java.util.UUID.randomUUID().toString, timestampMs = t0,
       spec = PartitionSpec(0, specFields), properties = userProps)
@@ -356,6 +367,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val nextId = base.schemas.flatMap(_.fields.map(_.id)).max + 1
         val nestedId = new java.util.concurrent.atomic.AtomicInteger(nextId)
         val typeName = icebergTypeName(add.dataType(), () => nestedId.incrementAndGet())
+        // variant is a v3 type (spec: Version 3 types)
+        require(typeName != "variant" || base.formatVersion >= 3,
+          "variant columns need format-version 3 — " +
+            "ALTER TABLE … SET TBLPROPERTIES ('format-version'='3') first")
         // ADD COLUMN ... DEFAULT v: initial-default makes every PRE-
         // EXISTING row read v (the readers fill it where the file lacks
         // the column), write-default covers future omitted INSERTs

@@ -92,19 +92,50 @@ object GraftProcedures {
     Some(procName).collect {
       case "rewrite_data_files" => new Proc(
         "rewrite_data_files",
-        "bin-pack the table's data files toward target_file_size_bytes, " +
-          "materializing pending deletes; one CAS replace snapshot",
+        "rewrite the table's data files toward target_file_size_bytes, " +
+          "materializing pending deletes; one CAS replace snapshot. " +
+          "strategy 'binpack' (default) groups files by size; " +
+          "strategy 'sort' clusters by sort_order — a column list " +
+          "('a DESC, b') for a linear sort with disjoint per-file " +
+          "ranges, or 'zorder(a, b)' for Morton-curve clustering whose " +
+          "files cover small hyper-rectangles (min/max pruning works " +
+          "for ANY clustered column subset)",
         Array(in("table", StringType),
-          inDefault("target_file_size_bytes", LongType, (512L * 1024 * 1024).toString)),
+          inDefault("target_file_size_bytes", LongType, (512L * 1024 * 1024).toString),
+          inDefault("strategy", StringType, "'binpack'"),
+          inDefault("sort_order", StringType, "''")),
         StructType(Seq(
           StructField("rewritten_data_files_count", IntegerType),
           StructField("added_data_files_count", IntegerType),
           StructField("snapshot_id", LongType))),
         input => {
           val dir = dirOf(input)
+          val strategy = input.getString(2)
+          val orderSpec = input.getString(3).trim
+          val ZOrderRe = """(?i)zorder\s*\(([^)]*)\)""".r
+          val (sortCols, zCols) = strategy.toLowerCase match {
+            case "binpack" =>
+              require(orderSpec.isEmpty, "binpack takes no sort_order")
+              (Nil, Nil)
+            case "sort" => orderSpec match {
+              case ZOrderRe(inner) =>
+                val cs = inner.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+                require(cs.nonEmpty, "zorder() needs at least one column")
+                (Nil, cs)
+              case "" => throw new IllegalArgumentException(
+                "strategy 'sort' needs sort_order")
+              case cols => (cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+                .map { spec =>
+                  val toks = spec.split("\\s+").toSeq
+                  (toks.head, toks.tail.exists(_.equalsIgnoreCase("DESC")))
+                }, Nil)
+            }
+            case other => throw new IllegalArgumentException(
+              s"unknown strategy '$other' — binpack or sort")
+          }
           val before = dataFileCount(currentMeta(dir))
           val result = GraftTable.compact(SparkSession.active, dir,
-            targetBytes = input.getLong(1))
+            targetBytes = input.getLong(1), sortOrder = sortCols, zorderCols = zCols)
           val after = dataFileCount(result.metadata)
           Seq(InternalRow(before, after,
             result.metadata.currentSnapshotId.getOrElse(0L)))

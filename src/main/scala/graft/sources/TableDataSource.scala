@@ -504,11 +504,26 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   /** Only columns this scan OUTPUTS: Spark resolves these against the
     * scan's (column-pruned) output, so advertising unprojected columns
     * breaks analysis of unrelated plans (e.g. a pruned row-level DELETE
-    * scan emitting [key, _file, _pos]). */
+    * scan emitting [key, _file, _pos]). And only COMPARABLE primitive
+    * types: the consumers build equality predicates on these attributes
+    * (DPP IN-subqueries, row-level runtime group filters) — a VARIANT
+    * or MAP attribute has no equality, and advertising one turns the
+    * rewritten plan unresolved (Spark's
+    * RowLevelOperationRuntimeGroupFiltering validation failure on any
+    * DML over a variant table). Bound-stat pruning can't use such
+    * columns anyway. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fieldNames.filterNot(n => n == "_file" || n == "_pos")
-      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    required.fields
+      .filterNot(f => f.name == "_file" || f.name == "_pos")
+      .filter(f => f.dataType match {
+        case org.apache.spark.sql.types.VariantType => false
+        case _: org.apache.spark.sql.types.MapType => false
+        case _: org.apache.spark.sql.types.ArrayType => false
+        case _: org.apache.spark.sql.types.StructType => false
+        case _ => true
+      })
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(fs: Array[sources.Filter]): Unit =
     runtimeFilters = fs.filter(FileBoundsEval.supported(_, required))
@@ -2019,6 +2034,13 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
           val kv = outer.getGroup(0, j)
           valueOf(kv, "key", kt) -> valueOf(kv, "value", vt)
         }.toMap
+      case org.apache.spark.sql.types.VariantType =>
+        // the unshredded variant group: (metadata, value) binary halves
+        // reassemble into the runtime VariantVal
+        val sub = g.getGroup(i, 0)
+        new org.apache.spark.unsafe.types.VariantVal(
+          sub.getBinary("value", 0).getBytes,
+          sub.getBinary("metadata", 0).getBytes)
       case other => throw new UnsupportedOperationException(
         s"graft-table reader does not decode $other (column $name) — " +
           "read via GraftTable.read for full-type support")

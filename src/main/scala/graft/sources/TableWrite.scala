@@ -489,6 +489,7 @@ class GraftFileWriter(path: String, schema: StructType,
       s"graft-table DSv2 writer does not encode $other (column $colName)")
   }
 
+
   /** Recursive Spark→parquet type mapping: the standard nested layouts
     * Spark's own writer and vectorized reader both speak — 3-level LIST
     * (LIST > repeated "list" > "element"), MAP (MAP > repeated
@@ -514,6 +515,18 @@ class GraftFileWriter(path: String, schema: StructType,
             .addField(parquetType(kt, "key", Repetition.REQUIRED))
             .addField(parquetType(vt, "value"))
             .named("key_value"))
+          .named(name)
+      // the unshredded parquet variant layout (spec v1): a VARIANT-
+      // annotated group of the two binary halves — value (the encoded
+      // datum) and metadata (its dictionary). Spark's own parquet reader
+      // reconstructs VariantType from this shape, so the native read
+      // route round-trips the column too
+      case org.apache.spark.sql.types.VariantType =>
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.variantType(1.toByte))
+          .addField(primBuilder(BinaryType, "metadata", Repetition.REQUIRED)
+            .named("metadata"))
+          .addField(primBuilder(BinaryType, "value", Repetition.REQUIRED)
+            .named("value"))
           .named(name)
       case prim => primBuilder(prim, name, rep).named(name)
     }
@@ -614,6 +627,11 @@ class GraftFileWriter(path: String, schema: StructType,
           if (!vals.isNullAt(j)) addField(kv, "value", vt, vals, j)
           j += 1
         }
+      case org.apache.spark.sql.types.VariantType =>
+        val v = d.get(i, dt).asInstanceOf[org.apache.spark.unsafe.types.VariantVal]
+        val sub = g.addGroup(name)
+        sub.add("metadata", Binary.fromConstantByteArray(v.getMetadata))
+        sub.add("value", Binary.fromConstantByteArray(v.getValue))
       case prim => addPrim(g, name, prim, primValue(prim, d, i))
     }
 
@@ -621,9 +639,11 @@ class GraftFileWriter(path: String, schema: StructType,
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (!row.isNullAt(i)) f.dataType match {
-        case _: ArrayType | _: StructType | _: MapType =>
+        case _: ArrayType | _: StructType | _: MapType |
+             org.apache.spark.sql.types.VariantType =>
           // nested columns carry no bounds (no total order — an
-          // element-wise order would mis-prune, same rule as binary)
+          // element-wise order would mis-prune, same rule as binary;
+          // the variant spec defines no ordering either)
           addField(g, f.name, f.dataType, row, i)
         case _ =>
           val v = primValue(f.dataType, row, i)

@@ -117,6 +117,76 @@ class DeletionVectorSpec extends SparkSpec {
       org.apache.spark.sql.Row(30L, 5L, 34L))
   }
 
+  test("v3 MOR UPDATE lands DVs through the delta route; merge and supersede hold") {
+    val wh = freshCatalog("dv5")
+    spark.sql("CREATE TABLE dv5.db.t (k BIGINT, v STRING) TBLPROPERTIES (" +
+      "'format-version'='3', 'write.update.mode'='merge-on-read', " +
+      "'write.merge.mode'='merge-on-read', 'commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO dv5.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, concat('v', id) FROM range(0, 60)")
+    val dir = s"$wh/db/t"
+    val originalFiles = {
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      meta.currentSnapshot.toSeq
+        .flatMap(s => ManifestListReader.read(s.manifestList.get))
+        .filter(_.content == 0).flatMap(i => ManifestWriter.read(i.path))
+        .filter(e => e.status != 2 && e.content == 0).map(_.filePath).toSet
+    }
+    // non-filter-expressible predicate -> the row-level DELTA route
+    spark.sql("UPDATE dv5.db.t SET v = 'updated' WHERE k % 10 = 0")
+    val dels1 = liveDeleteEntries(dir)
+    assert(dels1.nonEmpty && dels1.forall(_.fileFormat == "PUFFIN"),
+      s"v3 delta UPDATE must land DVs, got ${dels1.map(e => (e.fileFormat, e.filePath))}")
+    assert(dels1.map(_.recordCount).sum == 6L) // k = 0,10,20,30,40,50
+    assert(spark.sql("SELECT count(*) FROM dv5.db.t WHERE v = 'updated'")
+      .head().getLong(0) == 6L)
+    assert(spark.sql("SELECT count(*) FROM dv5.db.t").head().getLong(0) == 60L)
+    // no stray task-written position-delete parquet remains on disk
+    val strays = new java.io.File(s"$dir/data").listFiles()
+      .filter(f => f.getName.contains("delete") && f.getName.endsWith(".parquet"))
+    assert(strays.isEmpty, strays.map(_.getName).mkString(","))
+    // a second UPDATE hitting the SAME original file merges: still one
+    // DV per file, its bitmap the union of both updates' positions
+    spark.sql("UPDATE dv5.db.t SET v = 'updated2' WHERE k % 10 = 5")
+    val dels2 = liveDeleteEntries(dir)
+    assert(dels2.groupBy(_.referencedDataFile.get).values.forall(_.size == 1),
+      dels2.map(e => (e.referencedDataFile, e.filePath)).mkString(";"))
+    val origDv = dels2.filter(_.referencedDataFile.exists(originalFiles))
+    assert(origDv.map(_.recordCount).sum == 12L,
+      s"the original file's DV must merge both updates: ${origDv.map(_.recordCount)}")
+    assert(spark.sql("SELECT count(*) FROM dv5.db.t").head().getLong(0) == 60L)
+    assert(spark.sql("SELECT count(*) FROM dv5.db.t WHERE v = 'updated'")
+      .head().getLong(0) == 6L)
+    assert(spark.sql("SELECT k FROM dv5.db.t WHERE v = 'updated2' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L, 15L, 25L, 35L, 45L, 55L))
+  }
+
+  test("maintenance over DVs: compaction materializes them away, expiry reclaims the puffins") {
+    val wh = freshCatalog("dv6")
+    spark.sql("CREATE TABLE dv6.db.t (k BIGINT, v STRING) TBLPROPERTIES (" +
+      "'format-version'='3', 'commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO dv6.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, concat('v', id) FROM range(0, 30)")
+    val dir = s"$wh/db/t"
+    spark.sql("DELETE FROM dv6.db.t WHERE k < 7")
+    assert(liveDeleteEntries(dir).exists(_.fileFormat == "PUFFIN"))
+    def puffins(): Seq[String] = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".puffin")).map(_.getName).toSeq
+    assert(puffins().nonEmpty)
+    // compaction folds the DV into the rewritten file and drops the
+    // delete side entirely
+    spark.sql("CALL dv6.system.rewrite_data_files(table => 'db.t')")
+    assert(liveDeleteEntries(dir).isEmpty,
+      liveDeleteEntries(dir).map(_.filePath).mkString(","))
+    assert(spark.sql("SELECT count(*), min(k) FROM dv6.db.t").head() ==
+      org.apache.spark.sql.Row(23L, 7L))
+    // expiry drops the pre-compaction snapshots; the puffin files are
+    // then unreachable and physically reclaim
+    spark.sql("CALL dv6.system.expire_snapshots(table => 'db.t', retain_last => 1)")
+    assert(puffins().isEmpty, puffins().mkString(","))
+    assert(spark.sql("SELECT count(*) FROM dv6.db.t").head().getLong(0) == 23L)
+  }
+
   test("DELETE matching nothing on v3 is a metadata no-op") {
     val wh = freshCatalog("dv3")
     spark.sql("CREATE TABLE dv3.db.t (k BIGINT) " +

@@ -115,6 +115,20 @@ class LakehouseInspectSpec extends SparkSpec {
     assert(pd.forall(_.getString(1).endsWith(".puffin")), pd.mkString(";"))
   }
 
+  test("i86 zorder rewrite and i87 variant entries match their oracle shapes") {
+    val z = LakehouseInspect.zorderRewrite(spark, sfDir).head()
+    val zWant = Tables.load(spark, sfDir, "orders")
+      .agg(count(lit(1)), sum(col("o_orderkey")).cast("decimal(38,0)"),
+        count(org.apache.spark.sql.functions.when(col("o_custkey") < 100, 1)),
+        count(org.apache.spark.sql.functions.when(col("o_orderkey") < 100, 1))).head()
+    assert(z == zWant, s"$z vs $zWant")
+    val v = LakehouseInspect.variantColumns(spark, sfDir).head()
+    val nat = Tables.load(spark, sfDir, "nation").filter(col("n_regionkey") =!= 2)
+    val vWant = nat.agg(count(lit(1)), sum(col("n_nationkey")).cast("long"),
+      max(col("n_name")), countDistinct(col("n_regionkey"))).head()
+    assert(v == vWant, s"$v vs $vWant")
+  }
+
   test("i77 ref lifecycle: tags pin expiry, drop_tag releases, type guards hold") {
     val df = LakehouseInspect.refLifecycle(spark, sfDir)
     val got = df.head()

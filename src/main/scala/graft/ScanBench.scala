@@ -95,8 +95,18 @@ object ScanBench {
           "l_returnflag", "l_linestatus", "l_shipdate"),
       Seq("l_orderkey"))
     val eqMetaPath = GraftTable.latestMetadataPath(dir)
-    val results = withPos :+ route("graft_columnar_eqmor")(() =>
+    val withEq = withPos :+ route("graft_columnar_eqmor")(() =>
       spark.read.format("graft-table").option("metadata", eqMetaPath).load())
+    // v3 DELETION-VECTOR MOR: the upgrade-completion path converts every
+    // pending delete (the parquet positions AND the equality delete,
+    // resolved) into one Roaring bitmap per data file — the scan then
+    // reads exactly ONE blob per file and probes it unboxed. The claim
+    // to hold: at or below the parquet-position route's cost.
+    GraftTable.upgradeFormatVersion(dir, 3)
+    GraftTable.rewritePositionDeleteFiles(spark, dir)
+    val dvMetaPath = GraftTable.latestMetadataPath(dir)
+    val results = withEq :+ route("graft_columnar_dvmor")(() =>
+      spark.read.format("graft-table").option("metadata", dvMetaPath).load())
     val m = results.toMap
     val line = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", ",") +
@@ -106,6 +116,8 @@ object ScanBench {
         f"${m("graft_columnar_mor") / m("native_parquet")}%.2f"},""" +
       s""""columnar_eqmor_over_native":${
         f"${m("graft_columnar_eqmor") / m("native_parquet")}%.2f"},""" +
+      s""""columnar_dvmor_over_native":${
+        f"${m("graft_columnar_dvmor") / m("native_parquet")}%.2f"},""" +
       s""""sf":"$sfDir"}"""
     // scalastyle:off println
     println(line)

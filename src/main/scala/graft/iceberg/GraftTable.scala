@@ -31,6 +31,12 @@ import graft.operators.Lakehouse
   */
 object GraftTable {
 
+  /** v3 row-lineage column names (the spec's reserved names): served as
+    * metadata columns on reads, materialized as physical columns by
+    * rewrites that move rows. */
+  private[graft] val RowIdCol = "_row_id"
+  private[graft] val LastUpdatedCol = "_last_updated_sequence_number"
+
   /** Spark read schema derived from the document's current schema — the
     * null-fill projection a v2 reader applies to pre-evolution files.
     * v3 column defaults surface as the `CURRENT_DEFAULT`/`EXISTS_DEFAULT`
@@ -189,7 +195,8 @@ object GraftTable {
     * metadata coordinates inside each group (they must attach to the raw
     * file relation, not the union). */
   private[graft] def readDataFiles(spark: SparkSession, meta: TableMetadata,
-      paths: Seq[String], withAddress: Boolean = false): DataFrame = {
+      paths: Seq[String], withAddress: Boolean = false,
+      extraCols: Seq[StructField] = Nil): DataFrame = {
     val schema = sparkSchema(meta)
     def address(df: DataFrame): DataFrame =
       if (!withAddress) df
@@ -198,13 +205,16 @@ object GraftTable {
     val alts = nameAlternates(meta)
     // v3 initial-defaults: a file that PREDATES the column reads the
     // default, not null — which needs the same per-file presence probe
-    // renames do, so either condition takes the probed path
+    // renames do, so either condition takes the probed path.
+    // `extraCols` are OPTIONAL physical columns outside the table schema
+    // (materialized row-lineage in rewritten files): read where present,
+    // null elsewhere — they force the probed path too.
     val defaults: Map[String, org.apache.spark.sql.Column] =
       meta.currentSchema.fields.flatMap(f =>
         f.initialDefault.flatMap(d => IcebergTypes.fromStringOpt(f.fieldType)
           .map(t => f.name ->
             lit(DefaultValues.fromJson(t, d)).cast(t.sparkType)))).toMap
-    if ((alts.isEmpty && defaults.isEmpty) || paths.isEmpty)
+    if ((alts.isEmpty && defaults.isEmpty && extraCols.isEmpty) || paths.isEmpty)
       return address(spark.read.schema(schema).parquet(paths.sorted: _*))
     val conf = HadoopConfs.active()
     // mapping entry: (present file-side name | None = absent, current name)
@@ -223,20 +233,23 @@ object GraftTable {
           case None => (None, cur) // absent under every name
         }
       }
-      (mapping, p)
+      ((mapping, extraCols.map(f => present(f.name))), p)
     }.groupBy(_._1).toSeq.sortBy(_._2.head._2).map { case (m, g) => (m, g.map(_._2)) }
-    byProj.map { case (mapping, files) =>
+    byProj.map { case ((mapping, extrasPresent), files) =>
       // absent columns with no default still ride in the requested
       // schema (parquet null-fills them); defaulted absents are
       // literal-projected instead
       val fileSchema = StructType(mapping.collect {
         case (Some(fn), cur) => schema(cur).copy(name = fn)
         case (None, cur) if !defaults.contains(cur) => schema(cur)
-      })
+      } ++ extraCols.zip(extrasPresent).collect { case (f, true) => f })
       address(spark.read.schema(fileSchema).parquet(files: _*))
         .select(mapping.map {
           case (Some(fn), cur) => col(fn).as(cur)
           case (None, cur) => defaults.get(cur).map(_.as(cur)).getOrElse(col(cur))
+        } ++ extraCols.zip(extrasPresent).map {
+          case (f, true) => col(f.name)
+          case (f, false) => lit(null).cast(f.dataType).as(f.name)
         } ++ (if (withAddress) Seq(col("_file"), col("_pos")) else Nil): _*)
     }.reduce(_ unionByName _)
   }
@@ -244,17 +257,23 @@ object GraftTable {
   private def readFromEntries(spark: SparkSession, meta: TableMetadata,
       dataEntries: Seq[(ManifestWriter.EntryData, Long)],
       posEntries0: Seq[(ManifestWriter.EntryData, Long)],
-      eqEntries0: Seq[(ManifestWriter.EntryData, Long)]): DataFrame = {
+      eqEntries0: Seq[(ManifestWriter.EntryData, Long)],
+      withLineage: Boolean = false): DataFrame = {
     // imported AVRO data files read through the DSv2 scan's per-format
     // partition readers; this DataFrame-composition route is parquet-only
     require(dataEntries.forall(_._1.fileFormat == "PARQUET"),
       "table carries non-parquet data files — read it through " +
         "spark.read.format(\"graft-table\") or the SQL catalog")
     val schema = sparkSchema(meta)
+    val lineageFields =
+      if (withLineage) Seq(
+        StructField(RowIdCol, org.apache.spark.sql.types.LongType),
+        StructField(LastUpdatedCol, org.apache.spark.sql.types.LongType))
+      else Nil
     if (dataEntries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(schema.fields ++ Seq(
+        StructType(schema.fields ++ lineageFields ++ Seq(
           StructField("_file", org.apache.spark.sql.types.StringType),
           StructField("_pos", org.apache.spark.sql.types.LongType),
           StructField("_seq", org.apache.spark.sql.types.LongType))))
@@ -274,10 +293,27 @@ object GraftTable {
     def seqLookup(entries: Seq[(ManifestWriter.EntryData, Long)], seqName: String): DataFrame =
       broadcast(entries.map { case (e, s) => (uriPath(e.filePath), s) }
         .toDF("_lk_file", seqName))
-    val data = readDataFiles(spark, meta,
-        dataEntries.map(_._1.filePath), withAddress = true)
+    val data0 = readDataFiles(spark, meta,
+        dataEntries.map(_._1.filePath), withAddress = true,
+        extraCols = lineageFields)
       .join(seqLookup(dataEntries, "_seq"), normPathCol(col("_file")) === col("_lk_file"))
       .drop("_lk_file")
+    // v3 row lineage: _row_id = the file's materialized column (rewrites
+    // carrying moved rows' ids) OR first_row_id + pos (append-written
+    // files); _last_updated_sequence_number analogously falls back to
+    // the row's data sequence. Both ride alongside _file/_pos/_seq.
+    val data =
+      if (!withLineage) data0
+      else {
+        import spark.implicits._
+        val fid = broadcast(dataEntries.map { case (e, _) =>
+          (uriPath(e.filePath), e.firstRowId.map(Long.box).orNull) }
+          .toDF("_lk_fid_file", "_fid"))
+        data0.join(fid, normPathCol(col("_file")) === col("_lk_fid_file"), "left")
+          .withColumn(RowIdCol, coalesce(col(RowIdCol), col("_fid") + col("_pos")))
+          .withColumn(LastUpdatedCol, coalesce(col(LastUpdatedCol), col("_seq")))
+          .drop("_lk_fid_file", "_fid")
+      }
     // position deletes arrive in two physical forms: v2 (file_path, pos)
     // parquet rows, and v3 DELETION VECTORS — Puffin bitmaps addressed by
     // the entry's field-143/144/145 triplet, expanded to the same
@@ -794,7 +830,12 @@ object GraftTable {
   private[graft] final case class PendingFile(path: String, rows: Long, bytes: Long,
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       partitionSummary: Option[Seq[ManifestListWriter.FieldSummary]] = None,
-      specId: Int = 0, fileFormat: String = "PARQUET")
+      specId: Int = 0, fileFormat: String = "PARQUET",
+      // v3 row lineage: true when the file MATERIALIZES _row_id /
+      // _last_updated_sequence_number as physical columns (a rewrite
+      // carrying moved rows' original ids) — the commit then must NOT
+      // claim a fresh id block for it
+      carriesLineage: Boolean = false)
 
   /** `replace = true` commits TRUNCATE-overwrite semantics: the new
     * snapshot lists ONLY the written files — previous data AND delete
@@ -823,16 +864,20 @@ object GraftTable {
       def entry(f: PendingFile) = ManifestWriter.EntryData(1, snapId, f.path,
         f.rows, f.bytes, f.lower, f.upper, content = 0,
         sequenceNumber = Some(snapId), fileFormat = f.fileFormat)
+      // v3 row lineage: every appended file claims its id block (files
+      // carrying materialized lineage — none on this path — would skip)
+      val (assigned, base2) = assignRowIds(base, (plain ++ summarized).map(entry))
+      val (plainAssigned, sumAssigned) = assigned.splitAt(plain.length)
       val plainManifest =
         if (plain.isEmpty) Nil
         else {
           val m = s"$tableDir/m-append-$snapId-$attempt.avro"
-          ManifestWriter.write(m, plain.map(entry))
+          ManifestWriter.write(m, plainAssigned)
           Seq((m, None: Option[Seq[ManifestListWriter.FieldSummary]], 0))
         }
-      val perFile = summarized.zipWithIndex.map { case (f, i) =>
+      val perFile = summarized.zip(sumAssigned).zipWithIndex.map { case ((f, e), i) =>
         val m = s"$tableDir/m-append-$snapId-$attempt-%05d.avro".format(i)
-        ManifestWriter.write(m, Seq(entry(f)))
+        ManifestWriter.write(m, Seq(e))
         (m, f.partitionSummary, f.specId)
       }
       val manifests = plainManifest ++ perFile
@@ -859,16 +904,34 @@ object GraftTable {
           "added-records" -> files.map(_.rows).sum.toString) ++ extraSummary,
         Some(list), base.currentSchemaId)
       branch match {
-        case None => MetadataWriter.commitSnapshot(base, snap, Some(basePath))
-        case Some(b) => MetadataWriter.commitToBranch(base, snap, b, Some(basePath))
+        case None => MetadataWriter.commitSnapshot(base2, snap, Some(basePath))
+        case Some(b) => MetadataWriter.commitToBranch(base2, snap, b, Some(basePath))
       }
     })
   }
 
-  /** Could `del` (a position-delete entry) address any of `paths`
-    * (normalized)? Its file_path bound stats — written under the RESERVED
-    * position-delete field ids — answer without opening the file; missing
-    * or undecodable bounds keep it (conservative). */
+  /** v3 row lineage assignment: ADDED data entries claim contiguous
+    * first_row_id blocks from the document's `next-row-id` counter, in
+    * entry order, INSIDE the CAS closure (a retry re-assigns against the
+    * fresh base — ids are unique for the table's lifetime, never
+    * reused). Entries whose files MATERIALIZE lineage as columns
+    * (rewrites carrying moved rows' original ids — `skip`) and non-v3
+    * tables pass through untouched. */
+  private def assignRowIds(base: TableMetadata,
+      entries: Seq[ManifestWriter.EntryData],
+      skip: ManifestWriter.EntryData => Boolean = _ => false)
+      : (Seq[ManifestWriter.EntryData], TableMetadata) =
+    if (base.formatVersion < 3) (entries, base)
+    else {
+      var rid = base.nextRowId.getOrElse(0L)
+      val out = entries.map { e =>
+        if (e.content == 0 && e.status == 1 && e.firstRowId.isEmpty && !skip(e)) {
+          val a = e.copy(firstRowId = Some(rid)); rid += e.recordCount; a
+        } else e
+      }
+      (out, base.copy(nextRowId = Some(rid)))
+    }
+
   /** Distributed v3 DV write: group the (normalized file_path, pos)
     * frame per data file IN THE CLUSTER and let each write task emit ONE
     * Puffin file holding its files' bitmaps — a delete touching 10⁵
@@ -974,6 +1037,10 @@ object GraftTable {
     Seq(pq, dv).flatten.reduce(_ unionByName _)
   }
 
+  /** Could `del` (a position-delete entry) address any of `paths`
+    * (normalized)? Its file_path bound stats — written under the RESERVED
+    * position-delete field ids — answer without opening the file; missing
+    * or undecodable bounds keep it (conservative). */
   private def posDeleteMayAddress(del: ManifestWriter.EntryData,
       paths: Set[String]): Boolean = {
     def decode(m: Map[Int, Array[Byte]]): Option[String] =
@@ -1052,8 +1119,16 @@ object GraftTable {
       validateNoNewDeletes(base, scannedDeletePaths, replacedNorm)
       val untouched = curData.filterNot(e => replacedNorm.contains(uriPath(e.filePath)))
         .map(_.copy(status = 0, snapshotId = snapId))
-      val newEntries = files.map(f => ManifestWriter.EntryData(1, snapId, f.path,
-        f.rows, f.bytes, f.lower, f.upper, content = 0, sequenceNumber = Some(snapId)))
+      // v3 lineage: COW-rewritten files assign FRESH ids (Spark's
+      // group-based replace plan carries no metadata attributes for a
+      // connector to thread original ids through — the MOR delta route
+      // preserves identity; COW documents the identity change). Files
+      // that DO materialize lineage (engine-side rewrites) skip.
+      val (newEntries, base2) = assignRowIds(base,
+        files.map(f => ManifestWriter.EntryData(1, snapId, f.path,
+          f.rows, f.bytes, f.lower, f.upper, content = 0,
+          sequenceNumber = Some(snapId))),
+        skip = e => files.exists(f => f.path == e.filePath && f.carriesLineage))
       // the replaced files are recorded as DELETED tombstones (status 2,
       // original sequence/stats) — Iceberg's overwrite shape: scans drop
       // them (every reader filters status != 2), but the `entries`
@@ -1082,7 +1157,7 @@ object GraftTable {
         seqNums = carriedDeletes.map(i => i.path -> i.sequenceNumber).toMap,
         minSeqNums = carriedDeletes.map(i => i.path -> i.minSequenceNumber).toMap
           + (manifest -> minSeq))
-      MetadataWriter.commitSnapshot(base,
+      MetadataWriter.commitSnapshot(base2,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("overwrite"),
           Map("added-data-files" -> files.size.toString,
@@ -1287,13 +1362,16 @@ object GraftTable {
       // untouched files: EXISTING entries, ORIGINAL sequence preserved
       val untouched = curData.filterNot(e => affected.contains(uriPath(e.filePath)))
         .map(_.copy(status = 0, snapshotId = snapId))
-      val newEntries = Par.inParallel(newFiles) { f =>
-        val (n, lower, upper) = deriveStats(spark, f, base)
-        ManifestWriter.EntryData(1, snapId, f, n, ParquetFiles.length(f),
-          lower, upper, content = 0, sequenceNumber = Some(snapId))
-      } ++ insertMsgs.map(m => // task-derived inline stats, no re-read
-        ManifestWriter.EntryData(1, snapId, m.path, m.rows, m.bytes,
-          m.lower, m.upper, content = 0, sequenceNumber = Some(snapId)))
+      // v3 lineage: COW-merged files assign fresh ids (same documented
+      // identity rule as commitReplaceFiles — MOR preserves, COW renews)
+      val (newEntries, base2) = assignRowIds(base,
+        Par.inParallel(newFiles) { f =>
+          val (n, lower, upper) = deriveStats(spark, f, base)
+          ManifestWriter.EntryData(1, snapId, f, n, ParquetFiles.length(f),
+            lower, upper, content = 0, sequenceNumber = Some(snapId))
+        } ++ insertMsgs.map(m => // task-derived inline stats, no re-read
+          ManifestWriter.EntryData(1, snapId, m.path, m.rows, m.bytes,
+            m.lower, m.upper, content = 0, sequenceNumber = Some(snapId))))
       val manifest = s"$tableDir/m-merge-$snapId-$attempt.avro"
       ManifestWriter.write(manifest, untouched ++ newEntries)
       // field 516 must be the true minimum over the carried EXISTING
@@ -1315,7 +1393,7 @@ object GraftTable {
         seqNums = carriedDeletes.map(i => i.path -> i.sequenceNumber).toMap,
         minSeqNums = carriedDeletes.map(i => i.path -> i.minSequenceNumber).toMap
           + (manifest -> minSeq))
-      MetadataWriter.commitSnapshot(base,
+      MetadataWriter.commitSnapshot(base2,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("overwrite"),
           Map("added-data-files" -> (newFiles.size + insertMsgs.size).toString,
@@ -1365,12 +1443,20 @@ object GraftTable {
     val posEntries = delEntries.filter(_.content == 1).map(e => (e, e.sequenceNumber.get))
     val eqEntries = delEntries.filter(_.content == 2).map(e => (e, e.sequenceNumber.get))
     val compactUuid = java.util.UUID.randomUUID()
+    // v3 row lineage: a rewrite MOVES rows, so the moved rows' ids ride
+    // along as MATERIALIZED columns in the output files (the entries
+    // then claim no fresh id block — firstRowId stays None and readers
+    // serve the columns)
+    val v3Lineage = meta0.formatVersion >= 3
+    val lineageCols =
+      if (v3Lineage) Seq(RowIdCol, LastUpdatedCol) else Nil
     val sortedMsgs: Seq[graft.sources.GraftFileMessage] =
       if (sortOrder.isEmpty && zorderCols.isEmpty) Nil
       else {
         val df = readFromEntries(spark, meta0,
-            preData.map(e => (e, e.sequenceNumber.get)), posEntries, eqEntries)
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+            preData.map(e => (e, e.sequenceNumber.get)), posEntries, eqEntries,
+            withLineage = v3Lineage)
+          .select((schema.fieldNames.toSeq ++ lineageCols).map(col): _*)
         val nFiles = math.max(1, math.ceil(
           preData.map(_.fileSizeInBytes).sum.toDouble / targetBytes).toInt)
         val keys: Seq[org.apache.spark.sql.Column] =
@@ -1381,6 +1467,8 @@ object GraftTable {
         // sort but never materialize as output columns
         val sorted = df.repartitionByRange(nFiles, keys: _*)
           .sortWithinPartitions(keys: _*)
+        val writeSchema = StructType(schema.fields.toSeq ++ lineageCols.map(
+          StructField(_, org.apache.spark.sql.types.LongType)))
         val fields = meta0.currentSchema.fields.flatMap(f =>
           IcebergTypes.fromStringOpt(f.fieldType).map(t => (f.id, f.name, t)))
         val taskConf = new SerializableHadoopConf(HadoopConfs.active())
@@ -1389,7 +1477,7 @@ object GraftTable {
           else {
             val w = new graft.sources.GraftFileWriter(
               s"$tableDir/data/sorted-$compactUuid-%05d.parquet".format(pid),
-              schema, fields, None, 0, taskConf.value)
+              writeSchema, fields, None, 0, taskConf.value)
             try {
               rows.foreach(w.write)
               Iterator.single(w.finish())
@@ -1418,8 +1506,9 @@ object GraftTable {
       val out = s"$tableDir/data/compacted-$compactUuid-%05d.parquet".format(i)
       ParquetFiles.writeOne(
         readFromEntries(spark, meta0,
-          es.map(e => (e, e.sequenceNumber.get)), posEntries, eqEntries)
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          es.map(e => (e, e.sequenceNumber.get)), posEntries, eqEntries,
+          withLineage = v3Lineage)
+          .select((schema.fieldNames.toSeq ++ lineageCols).map(col): _*)
           .orderBy(col(schema.fieldNames.head)), out)
       out
     }
@@ -1777,9 +1866,62 @@ object GraftTable {
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       require(v >= base.formatVersion,
         s"cannot downgrade format-version ${base.formatVersion} -> $v")
-      base.copy(formatVersion = v,
+      val upgradedCore = base.copy(formatVersion = v,
+        nextRowId = if (v >= 3) base.nextRowId.orElse(Some(0L)) else base.nextRowId)
+      val upgraded = upgradedCore.copy(
         lastUpdatedMs = base.lastUpdatedMs + 1000,
         metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
+      // ROW LINEAGE backfill: v3 requires every live data file to carry
+      // a first_row_id (field 142). The upgrade assigns ids to all
+      // pre-existing files in ONE metadata-only replace commit (new
+      // manifests re-listing the same files with id blocks claimed in
+      // path order — zero data bytes, invisible to scans and changelog
+      // consumers like any replace). New commits then assign from the
+      // advanced counter.
+      val needBackfill = v >= 3 && base.formatVersion < 3 &&
+        base.currentSnapshotId.nonEmpty
+      if (!needBackfill) upgraded
+      else {
+        val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
+        val attempt = java.util.UUID.randomUUID()
+        val carried0 = carryForward(base)
+        var rid = upgraded.nextRowId.getOrElse(0L)
+        val carried = carried0.map { info =>
+          if (info.content != 0) info
+          else {
+            val es = ManifestWriter.read(info.path)
+            val assigned = es.map { e =>
+              if (e.content == 0 && e.status != 2 && e.firstRowId.isEmpty) {
+                val a = e.copy(firstRowId = Some(rid)); rid += e.recordCount; a
+              } else e
+            }
+            if (assigned == es) info
+            else {
+              val p = s"$tableDir/m-lineage-$snapId-$attempt-${info.path.hashCode.abs}.avro"
+              ManifestWriter.write(p, assigned)
+              info.copy(path = p)
+            }
+          }
+        }
+        val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+        ManifestListWriter.write(list, carried.map(_.path), snapId,
+          addedDataFilesCount = 0,
+          contents = carried.map(i => i.path -> i.content).toMap,
+          specIds = carried.map(i => i.path -> i.specId).toMap,
+          addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
+          addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
+          summaries = carriedSummaries(carried),
+          seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
+          minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
+        MetadataWriter.commitSnapshot(
+          upgradedCore.copy(nextRowId = Some(rid)),
+          Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+            Some("replace"),
+            Map("row-lineage-backfill" -> "true",
+              "assigned-row-ids" -> rid.toString),
+            Some(list), base.currentSchemaId),
+          Some(basePath))
+      }
     })
   }
 
@@ -2099,16 +2241,23 @@ object GraftTable {
         1, snapId, f.path, f.rows, f.bytes, f.lower, f.upper,
         content = content, sequenceNumber = Some(snapId))
       val (plain, summarized) = dataFiles.partition(_.partitionSummary.isEmpty)
+      // v3 lineage: delta data files claim fresh id blocks EXCEPT those
+      // that materialize lineage columns (update-written files carrying
+      // the original rows' ids through)
+      val (dataAssigned, base2) = assignRowIds(base,
+        (plain ++ summarized).map(entry(_, 0)),
+        skip = e => dataFiles.exists(f => f.path == e.filePath && f.carriesLineage))
+      val (plainAssigned, sumAssigned) = dataAssigned.splitAt(plain.length)
       val plainData =
         if (plain.isEmpty) Nil
         else {
           val m = s"$tableDir/m-delta-data-$snapId-$attempt.avro"
-          ManifestWriter.write(m, plain.map(entry(_, 0)))
+          ManifestWriter.write(m, plainAssigned)
           Seq((m, None: Option[Seq[ManifestListWriter.FieldSummary]], 0, 0))
         }
-      val perFile = summarized.zipWithIndex.map { case (f, i) =>
+      val perFile = summarized.zip(sumAssigned).zipWithIndex.map { case ((f, e), i) =>
         val m = s"$tableDir/m-delta-data-$snapId-$attempt-%05d.avro".format(i)
-        ManifestWriter.write(m, Seq(entry(f, 0)))
+        ManifestWriter.write(m, Seq(e))
         (m, f.partitionSummary, f.specId, 0)
       }
       val delManifests =
@@ -2168,7 +2317,7 @@ object GraftTable {
         addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
         seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
         minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
-      MetadataWriter.commitSnapshot(base,
+      MetadataWriter.commitSnapshot(base2,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some(if (dataFiles.isEmpty) "delete" else "overwrite"),
           Map("added-data-files" -> dataFiles.size.toString,
@@ -2442,9 +2591,12 @@ object GraftTable {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
       val mData = s"$tableDir/m-upsert-data-$snapId-$attempt.avro"
-      ManifestWriter.write(mData, Seq(ManifestWriter.EntryData(
+      // v3 lineage: the upserted rows are NEW rows (an equality upsert is
+      // delete + insert — identity changes by the spec's own model)
+      val (upsertEntries, base2) = assignRowIds(base, Seq(ManifestWriter.EntryData(
         1, snapId, dataFile, nRows, ParquetFiles.length(dataFile),
         dLower, dUpper, content = 0, sequenceNumber = Some(snapId))))
+      ManifestWriter.write(mData, upsertEntries)
       val mEq = s"$tableDir/m-upsert-del-$snapId-$attempt.avro"
       ManifestWriter.write(mEq, Seq(ManifestWriter.EntryData(
         1, snapId, eqFile, nKeys, ParquetFiles.length(eqFile),
@@ -2460,7 +2612,7 @@ object GraftTable {
         addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
         seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
         minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
-      MetadataWriter.commitSnapshot(base,
+      MetadataWriter.commitSnapshot(base2,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("overwrite"),
           Map("added-data-files" -> "1", "added-records" -> nRows.toString,

@@ -62,7 +62,13 @@ object ManifestWriter {
       // defaults)
       referencedDataFile: Option[String] = None,
       contentOffset: Option[Long] = None,
-      contentSizeInBytes: Option[Long] = None)
+      contentSizeInBytes: Option[Long] = None,
+      // v3 row lineage (spec field 142): the id of this data file's
+      // first row — rows read as first_row_id + pos. None on delete
+      // files, on pre-v3 manifests, and on files that MATERIALIZE their
+      // lineage as columns (rewrites: the moved rows keep their ids, so
+      // a fresh block must not be claimed)
+      firstRowId: Option[Long] = None)
 
   private def boundsSchema(name: String, keyId: Int, valueId: Int): Schema = {
     val kv = SchemaBuilder.record(s"k${keyId}_v$valueId").fields()
@@ -104,6 +110,8 @@ object ManifestWriter {
         .name("content_offset").prop(AvroConversions.FieldIdKey, "144")
         .`type`().unionOf().nullType().and().longType().endUnion().nullDefault()
         .name("content_size_in_bytes").prop(AvroConversions.FieldIdKey, "145")
+        .`type`().unionOf().nullType().and().longType().endUnion().nullDefault()
+        .name("first_row_id").prop(AvroConversions.FieldIdKey, "142")
         .`type`().unionOf().nullType().and().longType().endUnion().nullDefault()
         .endRecord()).noDefault()
     .endRecord()
@@ -147,7 +155,8 @@ object ManifestWriter {
           Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"),
           Option(df.get("referenced_data_file")).map(_.toString),
           Option(df.get("content_offset")).map(_.asInstanceOf[Long]),
-          Option(df.get("content_size_in_bytes")).map(_.asInstanceOf[Long]))
+          Option(df.get("content_size_in_bytes")).map(_.asInstanceOf[Long]),
+          Option(df.get("first_row_id")).map(_.asInstanceOf[Long]))
       }
       buf.result()
     } finally { stream.close(); in.close() }
@@ -191,6 +200,7 @@ object ManifestWriter {
       df.put("referenced_data_file", e.referencedDataFile.orNull)
       df.put("content_offset", e.contentOffset.map(Long.box).orNull)
       df.put("content_size_in_bytes", e.contentSizeInBytes.map(Long.box).orNull)
+      df.put("first_row_id", e.firstRowId.map(Long.box).orNull)
       val rec = new GenericData.Record(entrySchema)
       rec.put("status", e.status)
       rec.put("snapshot_id", e.snapshotId)

@@ -320,6 +320,7 @@ object MetadataWriter {
         stats.add(n)
       }
     }
+    meta.nextRowId.foreach(root.put("next-row-id", _))
     root.toPrettyString
   }
 

@@ -62,7 +62,13 @@ final case class TableMetadata(
     snapshots: Seq[Snapshot],
     snapshotLog: Seq[SnapshotLogEntry],
     metadataLog: Seq[MetadataLogEntry],
-    statistics: Seq[StatisticsFile] = Nil) {
+    statistics: Seq[StatisticsFile] = Nil,
+    // v3 row lineage: the next row id to assign (spec `next-row-id`).
+    // Every commit that adds data files on a v3 table claims a
+    // contiguous id block per file (entry field 142 `first_row_id`) and
+    // advances this counter — row ids are unique for the table's
+    // lifetime, never reused even across deletes
+    nextRowId: Option[Long] = None) {
 
   /** Current schema: top-level `schema` wins, else `schemas[]` entry whose
     * schema-id equals current-schema-id (reference parity, see scaladoc). */
@@ -168,5 +174,6 @@ object TableMetadata {
     statistics = optNode(root, "statistics").map(_.elements().asScala.map { e =>
       StatisticsFile(e.get("snapshot-id").asLong, e.get("statistics-path").asText,
         optNode(e, "file-size-in-bytes").map(_.asLong).getOrElse(0L))
-    }.toSeq).getOrElse(Nil))
+    }.toSeq).getOrElse(Nil),
+    nextRowId = optNode(root, "next-row-id").map(_.asLong))
 }

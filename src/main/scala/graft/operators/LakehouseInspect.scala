@@ -766,7 +766,63 @@ object LakehouseInspect {
       |  COUNT(DISTINCT n_regionkey) AS n_regions
       |FROM nation WHERE n_regionkey <> 2""".stripMargin
 
+  // ---------------------------------------------------------------- i88
+  /** Iceberg v3 ROW LINEAGE: `_row_id` / `_last_updated_sequence_number`
+    * metadata columns. Appends claim contiguous id blocks from the
+    * document's `next-row-id` (manifest field 142 `first_row_id`; reads
+    * serve first_row_id + pos); a MOR UPDATE preserves the updated
+    * row's identity — the delta writer materializes the original
+    * _row_id into its carry file — while bumping the row's
+    * last-updated sequence to the update's commit; DV deletes never
+    * move rows, so surviving ids are untouched. The fixture requires
+    * identity stability across the UPDATE in-entry (per-key before ==
+    * after) and the final aggregates pin the id set {0..24} and the
+    * two distinct commit sequences order-independently — id-to-key
+    * binding varies with write parallelism, the SET of assigned ids
+    * does not. */
+  val rowLineage: Q = (spark, sfDir) => {
+    val wh = entryDir("i88", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_rl",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rl.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i88_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql(s"""CREATE TABLE graft_rl.db.n
+        (n_nationkey BIGINT, n_name STRING, n_regionkey INT)
+        TBLPROPERTIES ('format-version'='3',
+          'write.update.mode'='merge-on-read', 'commit-timestamp-ms'='$T0')""")
+      spark.sql("""INSERT INTO graft_rl.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i88_nation_src""")
+      val before = spark.sql("SELECT n_nationkey, _row_id FROM graft_rl.db.n")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.sql("UPDATE graft_rl.db.n SET n_name = upper(n_name) " +
+        "WHERE n_regionkey = 1")
+      val after = spark.sql("SELECT n_nationkey, _row_id FROM graft_rl.db.n")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(after == before,
+        "MOR UPDATE must preserve every row's _row_id identity")
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/n"))
+      require(meta.nextRowId.contains(25L), s"next-row-id: ${meta.nextRowId}")
+    }
+    spark.sql("""SELECT COUNT(*) AS n_rows,
+      COUNT(DISTINCT _row_id) AS n_ids,
+      CAST(MIN(_row_id) AS BIGINT) AS min_id,
+      CAST(MAX(_row_id) AS BIGINT) AS max_id,
+      CAST(SUM(_row_id) AS BIGINT) AS sum_ids,
+      COUNT(DISTINCT _last_updated_sequence_number) AS n_commits
+      FROM graft_rl.db.n""")
+  }
+
+  val rowLineageSql: String =
+    """SELECT COUNT(*) AS n_rows, COUNT(*) AS n_ids,
+      |  CAST(0 AS BIGINT) AS min_id,
+      |  CAST(COUNT(*) - 1 AS BIGINT) AS max_id,
+      |  CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS sum_ids,
+      |  CAST(2 AS BIGINT) AS n_commits
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i88_row_lineage" -> rowLineage,
     "i87_variant_columns" -> variantColumns,
     "i86_zorder_rewrite" -> zorderRewrite,
     "i85_deletion_vectors" -> deletionVectors,
@@ -784,6 +840,7 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i88_row_lineage" -> rowLineageSql,
     "i87_variant_columns" -> variantColumnsSql,
     "i86_zorder_rewrite" -> zorderRewriteSql,
     "i85_deletion_vectors" -> deletionVectorsSql,

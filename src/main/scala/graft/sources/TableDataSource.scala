@@ -165,6 +165,19 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
       override def name(): String = "_pos"
       override def dataType(): DataType = LongType
       override def isNullable: Boolean = false
+    },
+    // v3 row lineage (null on pre-v3 tables): _row_id = the file's
+    // first_row_id + pos, or the materialized column a rewrite carried;
+    // _last_updated_sequence_number = the row's data sequence likewise
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_row_id"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_last_updated_sequence_number"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true
     })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -515,7 +528,8 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     required.fields
-      .filterNot(f => f.name == "_file" || f.name == "_pos")
+      .filterNot(f => f.name == "_file" || f.name == "_pos" ||
+        f.name == "_row_id" || f.name == "_last_updated_sequence_number")
       .filter(f => f.dataType match {
         case org.apache.spark.sql.types.VariantType => false
         case _: org.apache.spark.sql.types.MapType => false
@@ -656,6 +670,7 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
           .map(d => (d._1.filePath, d._1.contentOffset.getOrElse(0L),
             d._1.contentSizeInBytes.getOrElse(0L))),
         rowGroup = rowGroup, rowStart = rowStart, nameAlternates = alternates,
+        firstRowId = e.firstRowId,
         fileFormat = e.fileFormat,
         partitionKeyValues = keysByFile.get(e.filePath).map(_.toArray).orNull,
         initialDefaults = scanDefaults)
@@ -737,7 +752,8 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     // the equality canonicalization there is name-history-aware
     val renames = GraftTable.nameAlternates(pinnedMeta)
     GraftTableColumnarReader.supportedSchema(required, allowNested = noDeletes) &&
-      !required.fieldNames.exists(n => n == "_file" || n == "_pos") &&
+      !required.fieldNames.exists(n => n == "_file" || n == "_pos" ||
+        n == "_row_id" || n == "_last_updated_sequence_number") &&
       (planned._3.isEmpty || eqColumnsColumnar) &&
       (renames.isEmpty || noDeletes) &&
       // a required column with a v3 initial-default needs per-file
@@ -891,7 +907,8 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
           .flatMap(s => scala.util.Try(graft.iceberg.TableStats.read(s.path)).toOption)
       }
       val entries = planned._1.map(_._1)
-      for (f <- required.fields if f.name != "_file" && f.name != "_pos") {
+      for (f <- required.fields if f.name != "_file" && f.name != "_pos" &&
+          f.name != "_row_id" && f.name != "_last_updated_sequence_number") {
         meta.currentSchema.fields.find(_.name == f.name).foreach { field =>
           IcebergTypes.fromStringOpt(field.fieldType).foreach { t =>
             // float/double bounds are NaN-blind, string/binary bounds may
@@ -1047,6 +1064,17 @@ class GraftDeltaRowLevelOperation(
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
+  private lazy val v3 =
+    TableMetadata.parseFile(metadataPath).formatVersion >= 3
+
+  /** v3 row lineage: the scan serves each matched row's _row_id as a
+    * metadata attribute so UPDATE-written row versions can carry their
+    * identity through (the delta writer materializes it). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (v3) Array(org.apache.spark.sql.connector.expressions.Expressions.column("_row_id"))
+    else Array.empty
+
   /** The row coordinate Iceberg position deletes address — served by the
     * scan as metadata columns, file-absolute across row-group splits. */
   override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -1088,7 +1116,8 @@ class GraftDeltaRowLevelOperation(
               }))
             new GraftTableDeltaBatchWrite(tableDir, GraftTable.sparkSchema(meta),
               fields, part,
-              new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active()))
+              new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active()),
+              carryLineage = meta.formatVersion >= 3)
           }
         }
     }
@@ -1097,7 +1126,8 @@ class GraftDeltaRowLevelOperation(
 class GraftTableDeltaBatchWrite(tableDir: String, schema: StructType,
     fields: Seq[(Int, String, graft.iceberg.IcebergType)],
     part: GraftTableWrites.PartInfo,
-    hadoopConf: graft.iceberg.SerializableHadoopConf)
+    hadoopConf: graft.iceberg.SerializableHadoopConf,
+    carryLineage: Boolean = false)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   private val writeUuid = java.util.UUID.randomUUID().toString
@@ -1105,7 +1135,8 @@ class GraftTableDeltaBatchWrite(tableDir: String, schema: StructType,
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    new GraftTableDeltaWriterFactory(tableDir, writeUuid, schema, fields, part, hadoopConf)
+    new GraftTableDeltaWriterFactory(tableDir, writeUuid, schema, fields, part,
+      hadoopConf, carryLineage)
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -1122,7 +1153,8 @@ class GraftTableDeltaBatchWrite(tableDir: String, schema: StructType,
         .parquet(dels.map(_.path): _*).select("file_path").distinct()
         .collect().map(_.getString(0)).toSet
     def pending(m: GraftFileMessage) = GraftTable.PendingFile(
-      m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId)
+      m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId,
+      carriesLineage = m.carriesLineage)
     GraftTable.commitDeltaFiles(tableDir,
       dataLive.map(pending), dels.map(pending), targets)
   }
@@ -1135,7 +1167,8 @@ class GraftTableDeltaBatchWrite(tableDir: String, schema: StructType,
 class GraftTableDeltaWriterFactory(tableDir: String, writeUuid: String,
     schema: StructType, fields: Seq[(Int, String, graft.iceberg.IcebergType)],
     part: GraftTableWrites.PartInfo,
-    hadoopConf: graft.iceberg.SerializableHadoopConf)
+    hadoopConf: graft.iceberg.SerializableHadoopConf,
+    carryLineage: Boolean = false)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
@@ -1143,7 +1176,7 @@ class GraftTableDeltaWriterFactory(tableDir: String, writeUuid: String,
       ord => s"$tableDir/data/w-$writeUuid-p%05d-t$taskId-f%03d.parquet"
         .format(partitionId, ord),
       s"$tableDir/data/del-$writeUuid-p%05d-t$taskId.parquet".format(partitionId),
-      schema, fields, part, hadoopConf.value)
+      schema, fields, part, hadoopConf.value, carryLineage)
 }
 
 /** `rowGroup` == -1 reads the whole file (the un-split case); otherwise
@@ -1177,7 +1210,11 @@ case class GraftTableInputPartition(filePath: String, sequenceNumber: Long,
     partitionKeyValues: Array[Any] = null,
     // v3 initial-defaults (external row domain) for columns a file may
     // predate — what the reader fills instead of null
-    initialDefaults: Map[String, Any] = Map.empty)
+    initialDefaults: Map[String, Any] = Map.empty,
+    // v3 row lineage: this data file's first_row_id (manifest field 142)
+    // — _row_id serves as firstRowId + pos; None when the file
+    // materializes lineage as columns (or on pre-v3 tables)
+    firstRowId: Option[Long] = None)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = {
     require(partitionKeyValues != null,
@@ -2047,6 +2084,13 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
     }
   }
 
+  /** Does the PHYSICAL file carry a materialized lineage column of this
+    * name? (Rewrites materialize moved rows' ids — see GraftTable
+    * lineage docs.) */
+  private lazy val fileHasLineage: Set[String] =
+    Seq(GraftTable.RowIdCol, GraftTable.LastUpdatedCol)
+      .filter(dataFull.containsField).toSet
+
   private def rowOf(g: Group): org.apache.spark.sql.Row =
     org.apache.spark.sql.Row.fromSeq(required.fields.toSeq.map { f =>
       f.name match {
@@ -2054,6 +2098,23 @@ class GraftTablePartitionReader(part: GraftTableInputPartition,
         // reader, never decoded from the file
         case "_file" => part.filePath
         case "_pos" => rowIndex
+        // v3 row lineage: the file's materialized column when a rewrite
+        // carried ids, else first_row_id + pos; null on pre-v3 tables
+        case GraftTable.RowIdCol
+            if !part.tableSchema.fieldNames.contains(GraftTable.RowIdCol) =>
+          if (fileHasLineage(GraftTable.RowIdCol))
+            valueOf(g, GraftTable.RowIdCol, LongType)
+          else part.firstRowId.map(_ + rowIndex).orNull
+        case GraftTable.LastUpdatedCol
+            if !part.tableSchema.fieldNames.contains(GraftTable.LastUpdatedCol) =>
+          if (fileHasLineage(GraftTable.LastUpdatedCol))
+            valueOf(g, GraftTable.LastUpdatedCol, LongType)
+          // a file that carries _row_id but not _lus (delta UPDATE carry
+          // files) still has lineage: its rows were last touched by the
+          // commit that wrote it — the file's data sequence
+          else if (part.firstRowId.isDefined ||
+              fileHasLineage(GraftTable.RowIdCol)) part.sequenceNumber
+          else null
         // the position_deletes metadata table's provenance column — the
         // PHYSICAL file each (file_path, pos) row came from; only when
         // the served schema doesn't carry a real column of that name

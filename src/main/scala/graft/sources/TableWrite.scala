@@ -181,7 +181,11 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
 case class GraftFileMessage(path: String, rows: Long, bytes: Long,
     lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
     summary: Option[Seq[ManifestListWriter.FieldSummary]], specId: Int,
-    content: Int = 0)
+    content: Int = 0,
+    // v3 row lineage: this data file MATERIALIZES _row_id (an
+    // update-written delta file carrying the original rows' ids) — the
+    // commit must not claim a fresh id block for it
+    carriesLineage: Boolean = false)
 
 case class GraftWriteMessage(files: Seq[GraftFileMessage]) extends WriterCommitMessage
 
@@ -696,21 +700,46 @@ class GraftFileWriter(path: String, schema: StructType,
   * O(table). */
 class GraftTableDeltaWriter(pathFor: Int => String, delPath: String,
     schema: StructType, fields: Seq[(Int, String, IcebergType)],
-    part: GraftTableWrites.PartInfo, conf: Configuration)
-    extends DeltaWriter[InternalRow] {
+    part: GraftTableWrites.PartInfo, conf: Configuration,
+    carryLineage: Boolean = false) extends DeltaWriter[InternalRow] {
 
   private val data = GraftTableDataWriter.create(pathFor, schema, fields, part, conf)
+  // v3 row lineage: UPDATE-written rows keep their identity — the new
+  // row version lands in a SEPARATE file materializing the original
+  // _row_id (read from the operation's metadata attributes), while pure
+  // inserts stay in `data` and claim fresh ids at commit. The carry
+  // file's schema appends the lineage column; bound stats still track
+  // the table columns only (`fields` excludes it).
+  private lazy val carrySchema =
+    StructType(schema.fields.toSeq :+ StructField("_row_id", LongType))
+  private lazy val carry = GraftTableDataWriter.create(
+    i => pathFor(1000 + i), carrySchema, fields, part, conf)
+  private var carryUsed = false
   private val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
   override def insert(row: InternalRow): Unit = data.write(row)
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
-    delete(meta, id); insert(row)
+    delete(meta, id)
+    if (!carryLineage) insert(row)
+    else {
+      val rid: Any =
+        if (meta.numFields == 0 || meta.isNullAt(0)) null else meta.getLong(0)
+      carryUsed = true
+      carry.write(new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+        row, new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](rid))))
+    }
   }
   override def delete(meta: InternalRow, id: InternalRow): Unit =
     deletes += ((id.getUTF8String(0).toString, id.getLong(1)))
 
   override def commit(): WriterCommitMessage = {
-    val dataMsg = data.commit().asInstanceOf[GraftWriteMessage]
+    val dataMsg0 = data.commit().asInstanceOf[GraftWriteMessage]
+    val dataMsg =
+      if (!carryUsed) dataMsg0
+      else GraftWriteMessage(dataMsg0.files ++
+        carry.commit().asInstanceOf[GraftWriteMessage].files
+          .map(_.copy(carriesLineage = true)))
     val delFiles =
       if (deletes.isEmpty) Nil
       else {
@@ -731,6 +760,6 @@ class GraftTableDeltaWriter(pathFor: Int => String, delPath: String,
       }
     GraftWriteMessage(dataMsg.files ++ delFiles)
   }
-  override def abort(): Unit = data.abort()
+  override def abort(): Unit = { data.abort(); if (carryUsed) carry.abort() }
   override def close(): Unit = ()
 }

@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.iceberg._
+
+/** Iceberg v3 ROW LINEAGE: `_row_id` / `_last_updated_sequence_number`
+  * as metadata columns. The invariants pinned here:
+  *   - appends claim contiguous per-file id blocks from `next-row-id`
+  *     (manifest field 142), ids unique for the table's lifetime;
+  *   - DELETE (deletion vectors) never moves rows — survivors keep ids;
+  *   - MOR UPDATE preserves the updated row's identity (the delta
+  *     writer materializes the original _row_id into the carry file)
+  *     and bumps _last_updated_sequence_number to the update's commit;
+  *   - compaction rewrites preserve ids by materializing them;
+  *   - upgrading a v2 table with data BACKFILLS ids for every live file
+  *     in one metadata-only commit;
+  *   - an equality upsert is delete + insert — identity changes, by the
+  *     spec's own model. */
+class RowLineageSpec extends SparkSpec {
+
+  private def freshCatalog(name: String): String = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    wh
+  }
+
+  test("appends assign contiguous blocks; DV deletes keep survivor ids") {
+    val wh = freshCatalog("rl1")
+    spark.sql("CREATE TABLE rl1.db.t (k BIGINT, v STRING) TBLPROPERTIES (" +
+      "'format-version'='3', 'commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO rl1.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, concat('v', id) FROM range(0, 20)")
+    spark.sql("INSERT INTO rl1.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, concat('v', id) FROM range(20, 30)")
+    val dir = s"$wh/db/t"
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    assert(meta.nextRowId.contains(30L), s"next-row-id: ${meta.nextRowId}")
+    val rows = spark.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM rl1.db.t ORDER BY _row_id")
+      .collect()
+    assert(rows.length == 30)
+    assert(rows.map(_.getLong(1)).toSeq == (0L until 30L), "ids contiguous, unique")
+    // the two commits carry distinct sequences; each file's rows share one
+    val lusBy = rows.groupBy(_.getLong(2)).view.mapValues(_.length).toMap
+    assert(lusBy.values.toSeq.sorted == Seq(10, 20), lusBy.toString)
+
+    // DV DELETE: survivors keep their EXACT ids (rows never move)
+    val before = spark.sql("SELECT k, _row_id FROM rl1.db.t WHERE k >= 5")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql("DELETE FROM rl1.db.t WHERE k < 5")
+    val after = spark.sql("SELECT k, _row_id FROM rl1.db.t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before, "DV delete must not disturb surviving ids")
+    // and no id is ever reused
+    val meta2 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    assert(meta2.nextRowId.contains(30L))
+  }
+
+  test("MOR UPDATE preserves identity and bumps the last-updated sequence") {
+    val wh = freshCatalog("rl2")
+    spark.sql("CREATE TABLE rl2.db.t (k BIGINT, v STRING) TBLPROPERTIES (" +
+      "'format-version'='3', 'write.update.mode'='merge-on-read', " +
+      "'commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO rl2.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, concat('v', id) FROM range(0, 20)")
+    val dir = s"$wh/db/t"
+    val before = spark.sql("SELECT k, _row_id, _last_updated_sequence_number " +
+      "FROM rl2.db.t").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    spark.sql("UPDATE rl2.db.t SET v = 'updated' WHERE k % 5 = 0")
+    val after = spark.sql("SELECT k, v, _row_id, _last_updated_sequence_number " +
+      "FROM rl2.db.t").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(after.size == 20)
+    val newSeq = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      .currentSnapshotId.get
+    for ((k, (v, rid, lus)) <- after) {
+      assert(rid == before(k)._1, s"k=$k changed identity: $rid vs ${before(k)._1}")
+      if (k % 5 == 0) {
+        assert(v == "updated")
+        assert(lus > before(k)._2 && lus == newSeq,
+          s"k=$k lus must bump to the update commit: $lus")
+      } else assert(lus == before(k)._2, s"k=$k untouched row's lus moved")
+    }
+  }
+
+  test("compaction preserves ids by materializing them; upsert renews identity") {
+    val wh = freshCatalog("rl3")
+    spark.sql("CREATE TABLE rl3.db.t (k BIGINT, v STRING) TBLPROPERTIES (" +
+      "'format-version'='3', 'commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO rl3.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, concat('v', id) FROM range(0, 15)")
+    spark.sql("INSERT INTO rl3.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, concat('v', id) FROM range(15, 30)")
+    spark.sql("DELETE FROM rl3.db.t WHERE k IN (3, 17)")
+    val dir = s"$wh/db/t"
+    val before = spark.sql("SELECT k, _row_id FROM rl3.db.t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql("CALL rl3.system.rewrite_data_files(table => 'db.t')")
+    val after = spark.sql("SELECT k, _row_id FROM rl3.db.t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before, "compaction must carry row ids through")
+    // the compacted file materializes lineage; its entry claims no block
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val dataE = meta.currentSnapshot.toSeq
+      .flatMap(s => ManifestListReader.read(s.manifestList.get))
+      .filter(_.content == 0).flatMap(i => ManifestWriter.read(i.path))
+      .filter(e => e.status != 2 && e.content == 0)
+    assert(dataE.forall(_.firstRowId.isEmpty),
+      "materialized-lineage files must not claim id blocks")
+    assert(meta.nextRowId.contains(30L), meta.nextRowId.toString)
+
+    // upsert: delete + insert — the new row VERSION is a new row
+    GraftTable.upsert(spark,
+      dir, spark.sql("SELECT CAST(5 AS BIGINT) AS k, 'up' AS v"), Seq("k"))
+    val up = spark.sql("SELECT _row_id FROM rl3.db.t WHERE k = 5").head().getLong(0)
+    assert(up >= 30L, s"upserted row must get a fresh id, got $up")
+  }
+
+  test("v2 upgrade backfills ids for existing files; sort rewrite also carries") {
+    val wh = freshCatalog("rl4")
+    spark.sql("CREATE TABLE rl4.db.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO rl4.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, concat('v', id) FROM range(0, 25)")
+    val dir = s"$wh/db/t"
+    // pre-upgrade: no lineage
+    assert(spark.sql("SELECT count(_row_id) FROM rl4.db.t").head().getLong(0) == 0L)
+    spark.sql("ALTER TABLE rl4.db.t SET TBLPROPERTIES ('format-version'='3')")
+    val ids = spark.sql("SELECT _row_id FROM rl4.db.t ORDER BY _row_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == (0L until 25L), s"backfill must assign all live rows: $ids")
+    assert(TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      .nextRowId.contains(25L))
+    // a SORTED rewrite (different write path than binpack) also carries
+    val before = spark.sql("SELECT k, _row_id FROM rl4.db.t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql("CALL rl4.system.rewrite_data_files(table => 'db.t', " +
+      "strategy => 'sort', sort_order => 'k DESC')")
+    val after = spark.sql("SELECT k, _row_id FROM rl4.db.t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before, "sorted rewrite must carry row ids through")
+  }
+}

@@ -707,9 +707,23 @@ object GraftTable {
       properties = src.properties + ("gc.enabled" -> "false")
         + ("snapshot-source" -> sourceDir)
         + ("graft.metrics" -> src.properties.getOrElse("graft.metrics", "unknown")))
+    // a v3 source's fork inherits its lineage WHOLE: same format
+    // version, same next-row-id (so future fork appends can never
+    // collide with inherited ids), per-file first_row_id carried
+    // verbatim, and materialized-lineage files (no first_row_id)
+    // keep serving their columns
+    if (src.formatVersion >= 3) {
+      upgradeFormatVersion(targetDir, src.formatVersion)
+      OptimisticCommit.commit(targetDir, (base, basePath) =>
+        base.copy(nextRowId = src.nextRowId,
+          lastUpdatedMs = base.lastUpdatedMs + 1000,
+          metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
+    }
     commitAppendFiles(targetDir, dataEntries.map(e =>
       PendingFile(e.filePath, e.recordCount, e.fileSizeInBytes,
-        e.lowerBounds, e.upperBounds, None, 0, e.fileFormat)),
+        e.lowerBounds, e.upperBounds, None, 0, e.fileFormat,
+        carriesLineage = src.formatVersion >= 3 && e.firstRowId.isEmpty,
+        firstRowId = e.firstRowId)),
       extraSummary = Map("snapshot-source" -> sourceDir))
   }
 
@@ -835,7 +849,10 @@ object GraftTable {
       // _last_updated_sequence_number as physical columns (a rewrite
       // carrying moved rows' original ids) — the commit then must NOT
       // claim a fresh id block for it
-      carriesLineage: Boolean = false)
+      carriesLineage: Boolean = false,
+      // a pre-assigned first_row_id (zero-copy forks preserving the
+      // source's lineage) — also exempt from fresh assignment
+      firstRowId: Option[Long] = None)
 
   /** `replace = true` commits TRUNCATE-overwrite semantics: the new
     * snapshot lists ONLY the written files — previous data AND delete
@@ -863,10 +880,14 @@ object GraftTable {
       val (plain, summarized) = files.partition(_.partitionSummary.isEmpty)
       def entry(f: PendingFile) = ManifestWriter.EntryData(1, snapId, f.path,
         f.rows, f.bytes, f.lower, f.upper, content = 0,
-        sequenceNumber = Some(snapId), fileFormat = f.fileFormat)
-      // v3 row lineage: every appended file claims its id block (files
-      // carrying materialized lineage — none on this path — would skip)
-      val (assigned, base2) = assignRowIds(base, (plain ++ summarized).map(entry))
+        sequenceNumber = Some(snapId), fileFormat = f.fileFormat,
+        firstRowId = f.firstRowId)
+      // v3 row lineage: every appended file claims its id block, EXCEPT
+      // files with a pre-assigned id (zero-copy forks — entry carries it
+      // already, assignRowIds leaves non-empty firstRowId alone) and
+      // files materializing lineage as columns
+      val (assigned, base2) = assignRowIds(base, (plain ++ summarized).map(entry),
+        skip = e => files.exists(f => f.path == e.filePath && f.carriesLineage))
       val (plainAssigned, sumAssigned) = assigned.splitAt(plain.length)
       val plainManifest =
         if (plain.isEmpty) Nil
@@ -988,8 +1009,11 @@ object GraftTable {
     val delE = currentEntries(meta0, 1).filter(_.content == 1)
     val oldDvEntries = delE.filter(e => e.fileFormat == "PUFFIN" &&
       e.referencedDataFile.exists(r => covered(norm(r))))
+    // sorted-array overlap keeps this O(D log N) — a per-covered-path
+    // probe would be O(D·N) at 10⁵ files × 10⁵ deletes
+    val sortedCovered = covered.toArray.sorted
     val oldParquet = delE.filter(e => e.fileFormat != "PUFFIN" &&
-      covered.exists(c => posDeleteMayAddress(e, Set(c))))
+      posDeleteOverlaps(e, sortedCovered))
     val taskConf = new SerializableHadoopConf(HadoopConfs.active())
     val oldDvPositions: DataFrame =
       if (oldDvEntries.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
@@ -1757,6 +1781,8 @@ object GraftTable {
         // statistics files are pinned to their snapshot: expiring it
         // drops the entry (the physical blob reclaims below)
         statistics = afterExpiry.statistics.filterNot(s => expiredIds(s.snapshotId)),
+        partitionStatistics =
+          afterExpiry.partitionStatistics.filterNot(s => expiredIds(s.snapshotId)),
         metadataLog =
           afterExpiry.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
     })
@@ -1777,7 +1803,8 @@ object GraftTable {
     val oldMeta = TableMetadata.parseFile(
       OptimisticCommit.metadataPath(tableDir, result.version - 1))
     val doomed = (closure(oldMeta.snapshots.filter(s => expiredIds(s.snapshotId))) ++
-      oldMeta.statistics.filter(s => expiredIds(s.snapshotId)).map(_.path)) --
+      oldMeta.statistics.filter(s => expiredIds(s.snapshotId)).map(_.path) ++
+      oldMeta.partitionStatistics.filter(s => expiredIds(s.snapshotId)).map(_.path)) --
       closure(result.metadata.snapshots)
     // deletes are independent FS calls — latency-bound, run concurrently
     Par.inParallel(doomed.toSeq.sorted)(p =>
@@ -1843,6 +1870,65 @@ object GraftTable {
     replaced.foreach(p =>
       HadoopConfs.fileSystemFor(p).delete(new org.apache.hadoop.fs.Path(p), false))
     (result, doc)
+  }
+
+  /** PARTITION statistics (the spec's `partition-statistics` slot): a
+    * per-partition rollup — data/delete record, file and byte counts —
+    * computed ENTIRELY from the current snapshot's manifests (zero data
+    * bytes; the engine's partitioned writers give every tuple its own
+    * manifest, so the field-507 summaries pin each manifest's tuple)
+    * and written as ONE parquet file registered against the snapshot.
+    * The `partitions` metadata table then serves from the FILE with
+    * zero manifest opens — at 10⁵ manifests, the difference between a
+    * catalog-speed lookup and a full metadata sweep. Re-computing the
+    * same snapshot replaces its entry (old file reclaimed after the
+    * commit wins); expiry drops entries with their snapshots. Manifests
+    * whose summary does not pin a single tuple (foreign writers,
+    * unpartitioned tables, spanning delete manifests) roll up under a
+    * null partition — counts stay complete, attribution is honest. */
+  def computePartitionStats(spark: SparkSession, tableDir: String)
+      : (OptimisticCommit.CommitResult, Long) = {
+    import spark.implicits._
+    val metaPath = latestMetadataPath(tableDir)
+    val meta = TableMetadata.parseFile(metaPath)
+    val snapId = meta.currentSnapshotId.getOrElse(
+      throw new IllegalArgumentException("cannot analyze a table with no snapshot"))
+    val infos = meta.currentSnapshot.flatMap(_.manifestList).toSeq
+      .flatMap(ManifestListReader.read)
+    val perManifest = Par.inParallel(infos)(i => (i, ManifestWriter.read(i.path)))
+      .map { case (i, es) =>
+        val live = es.filter(_.status != 2)
+        def cnt(c: Int) = live.filter(_.content == c)
+        (MetadataTables.partitionTuple(meta, i), i.specId,
+          cnt(0).map(_.recordCount).sum, cnt(0).size, cnt(0).map(_.fileSizeInBytes).sum,
+          cnt(1).map(_.recordCount).sum, cnt(1).size,
+          cnt(2).map(_.recordCount).sum, cnt(2).size)
+      }
+    val rows = perManifest.groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((tuple, specId), rs) =>
+        (tuple, specId, rs.map(_._3).sum, rs.map(_._4).sum, rs.map(_._5).sum,
+          rs.map(_._6).sum, rs.map(_._7).sum, rs.map(_._8).sum, rs.map(_._9).sum) }
+      .sortBy(_._1)
+    val path = s"$tableDir/partition-stats-$snapId-${java.util.UUID.randomUUID()}.parquet"
+    ParquetFiles.writeOne(rows.toDF("partition", "spec_id",
+      "data_record_count", "data_file_count", "total_data_file_size_in_bytes",
+      "position_delete_record_count", "position_delete_file_count",
+      "equality_delete_record_count", "equality_delete_file_count")
+      .orderBy(col("partition")), path)
+    val size = ParquetFiles.length(path)
+    var replaced: Seq[String] = Nil
+    val result = OptimisticCommit.commit(tableDir, (base, basePath) => {
+      replaced = base.partitionStatistics.filter(_.snapshotId == snapId).map(_.path)
+      base.copy(
+        partitionStatistics =
+          base.partitionStatistics.filterNot(_.snapshotId == snapId) :+
+            StatisticsFile(snapId, path, size),
+        lastUpdatedMs = base.lastUpdatedMs + 1000,
+        metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
+    })
+    replaced.foreach(p =>
+      HadoopConfs.fileSystemFor(p).delete(new org.apache.hadoop.fs.Path(p), false))
+    (result, rows.size.toLong)
   }
 
   /** Table-property update through the CAS loop — metadata-only, the

@@ -88,30 +88,54 @@ object MetadataTables {
     * Record counts are entry-level — the manifests open CONCURRENTLY
     * (KB-scale each, Par) and the result stays driver-side LocalScan
     * scale like every other metadata table. */
+  /** A manifest's single partition tuple, decoded from its field-507
+    * summary — defined only when every summary field pins one value
+    * (lower == upper, no nulls), which the engine's own partitioned
+    * writers guarantee (one manifest per tuple). */
+  private[iceberg] def partitionTuple(meta: TableMetadata,
+      i: ManifestListReader.ManifestFileInfo): Option[String] = for {
+    spec <- meta.partitionSpecs.find(_.specId == i.specId)
+    if spec.fields.nonEmpty
+    sums <- i.summaries
+    if sums.size == spec.fields.size
+    parts <- Some(spec.fields.zip(sums)).filter(_.forall { case (pf, s) =>
+      !s.containsNull && s.lower.exists(_.nonEmpty) &&
+        s.lower.map(_.toSeq) == s.upper.map(_.toSeq)
+    })
+    decoded <- scala.util.Try(parts.map { case (pf, s) =>
+      val srcType = IcebergTypes.fromString(meta.fieldTypes(pf.sourceId))
+      val t = ScanPlanning.transformResultType(pf.transform, srcType)
+        .getOrElse(throw new IllegalArgumentException(pf.transform))
+      s"${pf.name}=${SingleValueCodec.decode(t, s.lower.get)}"
+    }).toOption
+  } yield decoded.mkString("{", ", ", "}")
+
   def partitions(spark: SparkSession, meta: TableMetadata): DataFrame = {
     import spark.implicits._
+    // a REGISTERED partition-statistics file for the CURRENT snapshot
+    // serves the table with ZERO manifest opens — the point of
+    // compute_partition_stats at 10⁵ manifests; a stale or absent
+    // registration falls back to the live manifest sweep
+    meta.currentSnapshotId
+      .flatMap(id => meta.partitionStatistics.find(_.snapshotId == id)) match {
+      case Some(f) =>
+        // cast to the sweep route's exact schema (file_count is long
+        // there; the file stores the spec's int)
+        return spark.read.parquet(f.path)
+          .select(org.apache.spark.sql.functions.col("partition"),
+            org.apache.spark.sql.functions.col("spec_id"),
+            org.apache.spark.sql.functions.col("data_file_count")
+              .cast("long").as("file_count"),
+            org.apache.spark.sql.functions.col("data_record_count")
+              .cast("long").as("record_count"))
+      case None => ()
+    }
     val infos = meta.currentSnapshot.flatMap(_.manifestList).toSeq
       .flatMap(ManifestListReader.read).filter(_.content == 0)
-    def tupleOf(i: ManifestListReader.ManifestFileInfo): Option[String] = for {
-      spec <- meta.partitionSpecs.find(_.specId == i.specId)
-      if spec.fields.nonEmpty
-      sums <- i.summaries
-      if sums.size == spec.fields.size
-      parts <- Some(spec.fields.zip(sums)).filter(_.forall { case (pf, s) =>
-        !s.containsNull && s.lower.exists(_.nonEmpty) &&
-          s.lower.map(_.toSeq) == s.upper.map(_.toSeq)
-      })
-      decoded <- scala.util.Try(parts.map { case (pf, s) =>
-        val srcType = IcebergTypes.fromString(meta.fieldTypes(pf.sourceId))
-        val t = ScanPlanning.transformResultType(pf.transform, srcType)
-          .getOrElse(throw new IllegalArgumentException(pf.transform))
-        s"${pf.name}=${SingleValueCodec.decode(t, s.lower.get)}"
-      }).toOption
-    } yield decoded.mkString("{", ", ", "}")
     val rows = Par.inParallel(infos)(i => (i, ManifestWriter.read(i.path)))
       .map { case (i, es) =>
         val live = es.filter(e => e.status != 2 && e.content == 0)
-        (tupleOf(i), i.specId, live.size.toLong, live.map(_.recordCount).sum)
+        (partitionTuple(meta, i), i.specId, live.size.toLong, live.map(_.recordCount).sum)
       }
       .groupBy(r => (r._1, r._2)).toSeq
       .map { case ((tuple, specId), rs) =>

@@ -320,6 +320,16 @@ object MetadataWriter {
         stats.add(n)
       }
     }
+    if (meta.partitionStatistics.nonEmpty) {
+      val stats = root.putArray("partition-statistics")
+      meta.partitionStatistics.foreach { s =>
+        val n = mapper.createObjectNode()
+        n.put("snapshot-id", s.snapshotId)
+        n.put("statistics-path", s.path)
+        n.put("file-size-in-bytes", s.fileSizeInBytes)
+        stats.add(n)
+      }
+    }
     meta.nextRowId.foreach(root.put("next-row-id", _))
     root.toPrettyString
   }

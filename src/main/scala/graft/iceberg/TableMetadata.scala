@@ -63,6 +63,9 @@ final case class TableMetadata(
     snapshotLog: Seq[SnapshotLogEntry],
     metadataLog: Seq[MetadataLogEntry],
     statistics: Seq[StatisticsFile] = Nil,
+    // the spec's `partition-statistics` list: per-snapshot partition
+    // rollup files (see GraftTable.computePartitionStats)
+    partitionStatistics: Seq[StatisticsFile] = Nil,
     // v3 row lineage: the next row id to assign (spec `next-row-id`).
     // Every commit that adds data files on a v3 table claims a
     // contiguous id block per file (entry field 142 `first_row_id`) and
@@ -175,5 +178,10 @@ object TableMetadata {
       StatisticsFile(e.get("snapshot-id").asLong, e.get("statistics-path").asText,
         optNode(e, "file-size-in-bytes").map(_.asLong).getOrElse(0L))
     }.toSeq).getOrElse(Nil),
+    partitionStatistics = optNode(root, "partition-statistics")
+      .map(_.elements().asScala.map { e =>
+        StatisticsFile(e.get("snapshot-id").asLong, e.get("statistics-path").asText,
+          optNode(e, "file-size-in-bytes").map(_.asLong).getOrElse(0L))
+      }.toSeq).getOrElse(Nil),
     nextRowId = optNode(root, "next-row-id").map(_.asLong))
 }

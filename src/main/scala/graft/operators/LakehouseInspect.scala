@@ -821,7 +821,49 @@ object LakehouseInspect {
       |  CAST(2 AS BIGINT) AS n_commits
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i89
+  /** Partition statistics (the spec's `partition-statistics` slot):
+    * `compute_partition_stats` rolls up per-partition data AND
+    * delete-side record/file/byte counts from the current snapshot's
+    * manifests — zero data bytes — into one registered parquet file,
+    * and the `partitions` metadata table then serves from the FILE
+    * with zero manifest opens (at 10⁵ manifests, a catalog-speed
+    * lookup instead of a full metadata sweep; PartitionStatsSpec
+    * proves the serving route destructively by tampering the file).
+    * Entries are snapshot-keyed like the table-statistics slot: stale
+    * registrations fall back to the live sweep, re-analysis replaces,
+    * expiry reclaims. */
+  val partitionStats: Q = (spark, sfDir) => {
+    val wh = entryDir("i89", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_ps",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ps.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i89_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql(s"""CREATE TABLE graft_ps.db.n
+        (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+        PARTITIONED BY (n_regionkey)
+        TBLPROPERTIES ('commit-timestamp-ms'='$T0')""")
+      spark.sql("""INSERT INTO graft_ps.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i89_nation_src""")
+      val row = spark.sql(
+        "CALL graft_ps.system.compute_partition_stats(table => 'db.n')").head()
+      require(row.getLong(1) == 5L, s"expected 5 partitions, got $row")
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/n"))
+      require(meta.partitionStatistics.size == 1, "registration must land")
+    }
+    // served FROM the registered file (zero manifest opens)
+    spark.sql("""SELECT partition, CAST(record_count AS BIGINT) AS n_rows
+      FROM graft_ps.db.n.partitions ORDER BY partition""")
+  }
+
+  val partitionStatsSql: String =
+    """SELECT '{n_regionkey_id=' || n_regionkey || '}' AS partition,
+      |  COUNT(*) AS n_rows
+      |FROM nation GROUP BY n_regionkey ORDER BY partition""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i89_partition_stats" -> partitionStats,
     "i88_row_lineage" -> rowLineage,
     "i87_variant_columns" -> variantColumns,
     "i86_zorder_rewrite" -> zorderRewrite,
@@ -840,6 +882,7 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i89_partition_stats" -> partitionStatsSql,
     "i88_row_lineage" -> rowLineageSql,
     "i87_variant_columns" -> variantColumnsSql,
     "i86_zorder_rewrite" -> zorderRewriteSql,

@@ -79,7 +79,7 @@ object GraftProcedures {
     "rewrite_position_delete_files", "cherrypick_snapshot", "add_files",
     "drop_tag", "drop_branch", "snapshot", "migrate",
     "rollback_to_timestamp", "create_changelog_view", "ancestors_of",
-    "compute_table_stats")
+    "compute_table_stats", "compute_partition_stats")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. `resolveNewDir`
@@ -247,6 +247,26 @@ object GraftProcedures {
             .find(_.snapshotId == doc.snapshotId).map(_.path).getOrElse("")
           Seq(InternalRow(doc.snapshotId, doc.rowCount, doc.columns.size,
             UTF8String.fromString(path)))
+        })
+      case "compute_partition_stats" => new Proc(
+        "compute_partition_stats",
+        "per-partition rollup (data/delete record, file, byte counts) " +
+          "from the current snapshot's manifests — zero data bytes — " +
+          "registered in the partition-statistics slot; the partitions " +
+          "metadata table then serves from the file with zero manifest opens",
+        Array(in("table", StringType)),
+        StructType(Seq(
+          StructField("snapshot_id", LongType),
+          StructField("partitions_count", LongType),
+          StructField("statistics_path", StringType))),
+        input => {
+          val dir = dirOf(input)
+          val (result, nParts) =
+            GraftTable.computePartitionStats(SparkSession.active, dir)
+          val snapId = result.metadata.currentSnapshotId.getOrElse(0L)
+          val path = result.metadata.partitionStatistics
+            .find(_.snapshotId == snapId).map(_.path).getOrElse("")
+          Seq(InternalRow(snapId, nParts, UTF8String.fromString(path)))
         })
       case "ancestors_of" => new Proc(
         "ancestors_of",

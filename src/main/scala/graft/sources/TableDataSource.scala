@@ -649,24 +649,31 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
     val keysByFile = spj.map(_._2).getOrElse(Map.empty)
     val scanDefaults = TableDataSource.initialDefaultsOf(pinnedMeta)
     def normP(p: String) = p.replaceFirst("^[a-z0-9+.-]+:(//)?", "")
+    // v3 deletion vectors index by their referenced file UP FRONT: a v3
+    // table carries one DV per data file, so a per-partition linear scan
+    // over the delete entries would be O(files²) planning at 10⁵ files —
+    // the hash lookup keeps it O(files). v2 parquet position deletes
+    // stay a linear filter (their count tracks DELETE commits, not
+    // files, and the path-bound check is the pruning that matters).
+    val pqPosDeletes = posDeletes.filter(_._1.fileFormat != "PUFFIN")
+    val dvByFile: Map[String, Seq[(ManifestWriter.EntryData, Long)]] =
+      posDeletes.filter(_._1.fileFormat == "PUFFIN")
+        .groupBy(d => normP(d._1.referencedDataFile.getOrElse("")))
     def partition(e: ManifestWriter.EntryData, seq: Long,
         rowGroup: Int, rowStart: Long): GraftTableInputPartition = {
       // v2 applicability: a position delete addresses data files with
       // sequence <= its own (later-sequence delete files only), further
       // scoped by the delete file's file_path bound stats; an equality
       // delete applies only to STRICTLY lower data sequence numbers.
-      // v3 deletion vectors split off by format: they address exactly
-      // one file (field 143) and ride as a (path, offset, length) blob
-      // coordinate, not a delete file to decode
-      val applicable = posDeletes.filter { case (d, dseq) =>
-        dseq >= seq && mayAddress(d, e.filePath) }
+      // v3 deletion vectors address exactly one file (field 143) and
+      // ride as a (path, offset, length) blob coordinate
       GraftTableInputPartition(e.filePath, seq,
-        applicable.filter(_._1.fileFormat != "PUFFIN").map(_._1.filePath),
+        pqPosDeletes.filter { case (d, dseq) =>
+          dseq >= seq && mayAddress(d, e.filePath) }.map(_._1.filePath),
         eqDeletes.filter(_._2 > seq).map(_._1.filePath),
         tableSchema,
-        dvRefs = applicable.filter { case (d, _) =>
-          d.fileFormat == "PUFFIN" &&
-            d.referencedDataFile.exists(r => normP(r) == normP(e.filePath)) }
+        dvRefs = dvByFile.getOrElse(normP(e.filePath), Nil)
+          .filter(_._2 >= seq)
           .map(d => (d._1.filePath, d._1.contentOffset.getOrElse(0L),
             d._1.contentSizeInBytes.getOrElse(0L))),
         rowGroup = rowGroup, rowStart = rowStart, nameAlternates = alternates,

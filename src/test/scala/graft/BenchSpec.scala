@@ -57,7 +57,15 @@ class BenchSpec extends AnyFunSuite {
     // decimals keep even that line compact
     val wide = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Some(123.456))
     val wideLine = Bench.renderLine(wide, "/root/testdata/sf0.1")
-    assert(wideLine.length < 1985, s"bench line too long: ${wideLine.length}")
+    // the adversarial profile (EVERY entry >100 s — a 6.7-hour bench) is
+    // already rendered at the absolute minimum (0 decimals everywhere,
+    // total included by the magnitude rule), so the bound here is the
+    // PHYSICAL ceiling: 2000-char driver tail minus the sbt "[info] "
+    // prefix (7) minus the newline = 1992 usable. When entry growth
+    // breaks THIS assertion the format itself is out of room — the fix
+    // is a contract change (driver reads the full JSON file), not more
+    // squeezing.
+    assert(wideLine.length <= 1992, s"bench line over the physical ceiling: ${wideLine.length}")
     // adversarial case: every entry at 1.234 (nothing to strip), plus 5
     // future entries. Under budget pressure entries degrade ONE AT A
     // TIME (largest first) — never the whole line at once (the round-9

@@ -118,4 +118,32 @@ class ChangelogSpec extends SparkSpec {
     assert(view == "tchanges")
     assert(spark.table("tchanges").count() == GraftTable.changelog(spark, dir).count())
   }
+
+  test("v3 deletion-vector commits emit their deletes; merged DVs never double-emit") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-changelog-dv").toString
+    spark.conf.set("spark.sql.catalog.gcldv", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcldv.warehouse", wh)
+    spark.sql("CREATE TABLE gcldv.db.t (k BIGINT, v STRING) TBLPROPERTIES (" +
+      "'format-version'='3', 'commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO gcldv.db.t " +
+      "SELECT /*+ REPARTITION(1) */ id, concat('v', id) FROM range(0, 20)")
+    // two DV DELETEs; the second MERGES the first file's DV — its bitmap
+    // re-asserts positions 0..4, which must NOT re-emit as deletes
+    spark.sql("DELETE FROM gcldv.db.t WHERE k < 5")
+    spark.sql("DELETE FROM gcldv.db.t WHERE k < 9")
+    val dir = s"$wh/db/t"
+    val log = GraftTable.changelog(spark, dir)
+      .select("k", "_change_type", "_change_ordinal").collect()
+    val inserts = log.filter(_.getString(1) == "insert").map(_.getLong(0)).toSet
+    assert(inserts == (0L until 20L).toSet)
+    val delsByOrdinal = log.filter(_.getString(1) == "delete")
+      .groupBy(_.getInt(2)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(delsByOrdinal.values.map(_.size).sum == 9,
+      s"merged DV must not double-emit: $delsByOrdinal")
+    assert(delsByOrdinal.values.reduce(_ ++ _) == (0L until 9L).toSet)
+    // per-commit split: first DELETE emits 0..4, second only 5..8
+    val ords = delsByOrdinal.keys.toSeq.sorted
+    assert(delsByOrdinal(ords.head) == (0L until 5L).toSet, delsByOrdinal.toString)
+    assert(delsByOrdinal(ords.last) == (5L until 9L).toSet, delsByOrdinal.toString)
+  }
 }

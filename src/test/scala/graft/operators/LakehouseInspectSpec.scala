@@ -129,6 +129,16 @@ class LakehouseInspectSpec extends SparkSpec {
     assert(v == vWant, s"$v vs $vWant")
   }
 
+  test("i89 partition stats entry matches its oracle shape") {
+    val rows = LakehouseInspect.partitionStats(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = Tables.load(spark, sfDir, "nation")
+      .groupBy(col("n_regionkey")).count().collect()
+      .map(r => (s"{n_regionkey_id=${r.get(0)}}", r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(rows == want, s"$rows vs $want")
+  }
+
   test("i77 ref lifecycle: tags pin expiry, drop_tag releases, type guards hold") {
     val df = LakehouseInspect.refLifecycle(spark, sfDir)
     val got = df.head()

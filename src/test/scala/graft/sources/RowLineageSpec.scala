@@ -119,6 +119,35 @@ class RowLineageSpec extends SparkSpec {
     assert(up >= 30L, s"upserted row must get a fresh id, got $up")
   }
 
+  test("zero-copy fork of a v3 table inherits lineage whole") {
+    val wh = freshCatalog("rl5")
+    spark.sql("CREATE TABLE rl5.db.src (k BIGINT, v STRING) TBLPROPERTIES (" +
+      "'format-version'='3', 'commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO rl5.db.src " +
+      "SELECT /*+ REPARTITION(1) */ id, concat('v', id) FROM range(0, 12)")
+    // a compaction so the source carries a MATERIALIZED-lineage file
+    spark.sql("CALL rl5.system.rewrite_data_files(table => 'db.src')")
+    spark.sql("INSERT INTO rl5.db.src " +
+      "SELECT /*+ REPARTITION(1) */ id, concat('v', id) FROM range(12, 20)")
+    val srcIds = spark.sql("SELECT k, _row_id FROM rl5.db.src")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql("CALL rl5.system.snapshot(source_table => 'db.src', table => 'db.fork')")
+    val forkDir = s"$wh/db/fork"
+    val forkMeta = TableMetadata.parseFile(GraftTable.latestMetadataPath(forkDir))
+    assert(forkMeta.formatVersion == 3, "fork must stay v3")
+    assert(forkMeta.nextRowId ==
+      TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/src")).nextRowId,
+      "fork inherits the id counter")
+    val forkIds = spark.sql("SELECT k, _row_id FROM rl5.db.fork")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(forkIds == srcIds, "fork rows keep the source's exact ids")
+    // fork appends continue ABOVE the inherited range — never colliding
+    spark.sql("INSERT INTO rl5.db.fork SELECT 100, 'x'")
+    val all = spark.sql("SELECT _row_id FROM rl5.db.fork")
+      .collect().map(_.getLong(0)).toSeq
+    assert(all.distinct.length == all.length, s"duplicate ids: $all")
+  }
+
   test("v2 upgrade backfills ids for existing files; sort rewrite also carries") {
     val wh = freshCatalog("rl4")
     spark.sql("CREATE TABLE rl4.db.t (k BIGINT, v STRING) " +

@@ -60,14 +60,15 @@ object Bench {
     }
     var line = assemble()
     // degradation order: largest timings first; 2→1 across the board
-    // before any entry drops to 0 decimals. Budget 1985: the driver
-    // keeps the last 2000 stdout chars and the line is printed last —
-    // the sbt runner's "[info] " prefix (7 chars) plus the newline
-    // leave 1992 usable, so 1985 keeps margin while fitting 193
-    // entries (1950 could not: the fully-degraded worst case is 1962).
+    // before any entry drops to 0 decimals. Budget 1900, measured from
+    // the driver's OWN recorded tail (BENCH_r12.json): the 2000-char
+    // stdout tail must hold the line PLUS sbt's trailing epilogue
+    // ("[success] Total time: …", ~72 chars + newlines) — anything past
+    // ~1924 gets FRONT-truncated into unparseable JSON. 1900 keeps a
+    // margin for epilogue length drift (dates, durations).
     val order = results.zipWithIndex
       .collect { case ((_, Some(v)), i) => (v, i) }.sortBy(-_._1).map(_._2)
-    for (target <- Seq(1, 0); i <- order; if line.length >= 1985) {
+    for (target <- Seq(1, 0); i <- order; if line.length >= 1900) {
       dec(i) = target
       line = assemble()
     }

@@ -1763,10 +1763,40 @@ object GraftTable {
       s"gc.enabled=false on $tableDir (zero-copy snapshot table) — " +
         "expiry would delete files owned by the source table")
     var expiredIds: Set[Long] = Set.empty
-    val result = OptimisticCommit.commit(tableDir, (base, basePath) => {
+    val result = OptimisticCommit.commit(tableDir, (base0, basePath) => {
+      // REF RETENTION (the spec's per-ref attributes). First, refs whose
+      // max-ref-age-ms has elapsed (measured from their snapshot's
+      // commit time) AUTO-DROP — a tag given a 30-day TTL stops pinning
+      // history by itself, no drop_tag run needed. Then every surviving
+      // non-main ref RETAINS its snapshot, and a branch with
+      // min-snapshots-to-keep / max-snapshot-age-ms retains that many
+      // (or that fresh) ancestors of its head too. Refs WITHOUT
+      // retention attributes keep the engine's strict contract: they
+      // pin forever and expiry ABORTS rather than silently break a
+      // time-travel anchor (i77).
+      val now = System.currentTimeMillis()
+      val base = base0.copy(refs = base0.refs.filter { r =>
+        r.name == "main" || r.maxRefAgeMs.forall { maxAge =>
+          base0.snapshot(r.snapshotId).forall(s => now - s.timestampMs <= maxAge) } })
+      val refRetained: Set[Long] = base.refs.filterNot(_.name == "main")
+        // only retention-DECLARING refs participate: a bare ref stays on
+        // the strict pin-abort contract, never a silent retain
+        .filter(r => r.maxRefAgeMs.nonEmpty || r.minSnapshotsToKeep.nonEmpty ||
+          r.maxSnapshotAgeMs.nonEmpty)
+        .flatMap { r =>
+          val chain = Iterator.iterate(base.snapshot(r.snapshotId))(
+              _.flatMap(_.parentSnapshotId).flatMap(base.snapshot))
+            .takeWhile(_.isDefined).flatten.toSeq // head-first ancestors
+          val byCount = r.minSnapshotsToKeep
+            .map(n => chain.take(n)).getOrElse(Nil)
+          val byAge = r.maxSnapshotAgeMs
+            .map(a => chain.filter(s => now - s.timestampMs <= a)).getOrElse(Nil)
+          r.snapshotId +: (byCount ++ byAge).map(_.snapshotId)
+        }.toSet
       val newest = base.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
         .map(_.snapshotId).toSet
       val retained = base.snapshots.filter(s => newest(s.snapshotId) ||
+        refRetained(s.snapshotId) ||
         olderThanMs.exists(cutoff => s.timestampMs >= cutoff))
         .map(_.snapshotId).toSet
       val toExpire = base.snapshots.map(_.snapshotId).filterNot(retained)
@@ -2039,11 +2069,12 @@ object GraftTable {
   /** Tag a snapshot (default: the current head) through the CAS loop —
     * a named immutable ref for `AS OF` time travel. */
   def createTag(tableDir: String, tag: String,
-      snapshotId: Option[Long] = None): OptimisticCommit.CommitResult =
+      snapshotId: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val target = snapshotId.orElse(base.currentSnapshotId).getOrElse(
         throw new IllegalArgumentException("cannot tag a table with no snapshots"))
-      MetadataWriter.createTag(base, tag, target).copy(
+      MetadataWriter.createTag(base, tag, target, maxRefAgeMs).copy(
         lastUpdatedMs = base.lastUpdatedMs + 1000,
         metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
     })
@@ -2052,11 +2083,15 @@ object GraftTable {
     * loop — the mutable target branch writes advance, the staging half
     * of write-audit-publish. */
   def createBranch(tableDir: String, name: String,
-      snapshotId: Option[Long] = None): OptimisticCommit.CommitResult =
+      snapshotId: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None): OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val target = snapshotId.orElse(base.currentSnapshotId).getOrElse(
         throw new IllegalArgumentException("cannot branch a table with no snapshots"))
-      MetadataWriter.createBranch(base, name, target).copy(
+      MetadataWriter.createBranch(base, name, target, maxRefAgeMs,
+        minSnapshotsToKeep, maxSnapshotAgeMs).copy(
         lastUpdatedMs = base.lastUpdatedMs + 1000,
         metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
     })

@@ -195,20 +195,27 @@ object MetadataWriter {
   /** Tag creation: an immutable named ref pinning a snapshot — the
     * foundation of ref-based time travel (`AS OF <tag>`) and the
     * write-audit-publish pattern. */
-  def createTag(base: TableMetadata, name: String, snapshotId: Long): TableMetadata = {
+  def createTag(base: TableMetadata, name: String, snapshotId: Long,
+      maxRefAgeMs: Option[Long] = None): TableMetadata = {
     require(base.snapshots.exists(_.snapshotId == snapshotId),
       s"cannot tag unknown snapshot $snapshotId")
     require(!base.refs.exists(_.name == name), s"ref '$name' already exists")
-    base.copy(refs = base.refs :+ SnapshotRef(name, "tag", snapshotId))
+    base.copy(refs = base.refs :+
+      SnapshotRef(name, "tag", snapshotId, maxRefAgeMs = maxRefAgeMs))
   }
 
   /** A mutable branch ref at an existing snapshot — unlike a tag it is
     * the target `commitToBranch` advances (write-audit-publish staging). */
-  def createBranch(base: TableMetadata, name: String, snapshotId: Long): TableMetadata = {
+  def createBranch(base: TableMetadata, name: String, snapshotId: Long,
+      maxRefAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None): TableMetadata = {
     require(base.snapshots.exists(_.snapshotId == snapshotId),
       s"cannot branch from unknown snapshot $snapshotId")
     require(!base.refs.exists(_.name == name), s"ref '$name' already exists")
-    base.copy(refs = base.refs :+ SnapshotRef(name, "branch", snapshotId))
+    base.copy(refs = base.refs :+ SnapshotRef(name, "branch", snapshotId,
+      maxRefAgeMs = maxRefAgeMs, minSnapshotsToKeep = minSnapshotsToKeep,
+      maxSnapshotAgeMs = maxSnapshotAgeMs))
   }
 
   /** Drop a named ref (tag or branch). The snapshots it pinned become
@@ -281,6 +288,9 @@ object MetadataWriter {
         val n = refs.putObject(r.name)
         n.put("type", r.refType)
         n.put("snapshot-id", r.snapshotId)
+        r.maxRefAgeMs.foreach(n.put("max-ref-age-ms", _))
+        r.minSnapshotsToKeep.foreach(n.put("min-snapshots-to-keep", _))
+        r.maxSnapshotAgeMs.foreach(n.put("max-snapshot-age-ms", _))
       }
     }
     val snaps = root.putArray("snapshots")

@@ -27,7 +27,17 @@ final case class PartitionField(name: String, transform: String, sourceId: Int, 
 final case class PartitionSpec(specId: Int, fields: Seq[PartitionField])
 final case class SortField(transform: String, sourceId: Int, direction: String, nullOrder: String)
 final case class SortOrder(orderId: Int, fields: Seq[SortField])
-final case class SnapshotRef(name: String, refType: String, snapshotId: Long)
+/** A snapshot ref with the spec's retention attributes: `maxRefAgeMs`
+  * ages the REF out (expiry auto-drops it, measured from its snapshot's
+  * commit time); for branches, `minSnapshotsToKeep`/`maxSnapshotAgeMs`
+  * retain that many (or that fresh) ancestors of the branch head beyond
+  * the head itself. All-None = the engine's strict default: the ref
+  * pins its snapshot forever and expiry ABORTS rather than break a
+  * time-travel anchor. */
+final case class SnapshotRef(name: String, refType: String, snapshotId: Long,
+    maxRefAgeMs: Option[Long] = None,
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None)
 final case class Snapshot(
     snapshotId: Long,
     parentSnapshotId: Option[Long],
@@ -155,7 +165,11 @@ object TableMetadata {
     properties = optNode(root, "properties").map(strMap).getOrElse(Map.empty),
     currentSnapshotId = optNode(root, "current-snapshot-id").map(_.asLong).filter(_ != -1L),
     refs = optNode(root, "refs").map(_.properties().asScala.map { e =>
-      SnapshotRef(e.getKey, e.getValue.get("type").asText, e.getValue.get("snapshot-id").asLong)
+      SnapshotRef(e.getKey, e.getValue.get("type").asText,
+        e.getValue.get("snapshot-id").asLong,
+        maxRefAgeMs = optNode(e.getValue, "max-ref-age-ms").map(_.asLong),
+        minSnapshotsToKeep = optNode(e.getValue, "min-snapshots-to-keep").map(_.asInt),
+        maxSnapshotAgeMs = optNode(e.getValue, "max-snapshot-age-ms").map(_.asLong))
     }.toSeq).getOrElse(Nil),
     snapshots = optNode(root, "snapshots").map(_.elements().asScala.map { s =>
       val summary = optNode(s, "summary").map(strMap).getOrElse(Map.empty)

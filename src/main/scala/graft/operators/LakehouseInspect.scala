@@ -862,7 +862,64 @@ object LakehouseInspect {
       |  COUNT(*) AS n_rows
       |FROM nation GROUP BY n_regionkey ORDER BY partition""".stripMargin
 
+  // ---------------------------------------------------------------- i90
+  /** Per-ref retention (the spec's ref attributes): a tag created with
+    * `max_ref_age_ms` AUTO-DROPS at expiry once its snapshot's age
+    * exceeds it — a 30-day-TTL release tag stops pinning history by
+    * itself; a branch with `min_snapshots_to_keep` RETAINS its head
+    * plus that many ancestors instead of aborting the expiry; bare
+    * refs keep the engine's strict contract (pin forever, expiry
+    * aborts — i77). The fixture drives all three on one table and the
+    * final query pins the surviving refs, snapshots, and data. */
+  val refRetention: Q = (spark, sfDir) => {
+    val wh = entryDir("i90", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_rr",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rr.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i90_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql(s"""CREATE TABLE graft_rr.db.n
+        (n_nationkey BIGINT, n_name STRING)
+        TBLPROPERTIES ('commit-timestamp-ms'='$T0')""")
+      spark.sql("""INSERT INTO graft_rr.db.n SELECT n_nationkey, n_name
+        FROM i90_nation_src WHERE n_regionkey = 0""")
+      spark.sql("""INSERT INTO graft_rr.db.n SELECT n_nationkey, n_name
+        FROM i90_nation_src WHERE n_regionkey = 1""")
+      spark.sql("""INSERT INTO graft_rr.db.n SELECT n_nationkey, n_name
+        FROM i90_nation_src WHERE n_regionkey = 2""")
+      spark.sql("""INSERT INTO graft_rr.db.n SELECT n_nationkey, n_name
+        FROM i90_nation_src WHERE n_regionkey >= 3""")
+      // an aged tag (commit times are the synthetic 2023 epoch, so any
+      // small TTL has long elapsed) and a retention branch keeping its
+      // head + one ancestor
+      spark.sql("""CALL graft_rr.system.create_tag(table => 'db.n',
+        tag => 'aged_release', snapshot_id => 1, max_ref_age_ms => 1)""")
+      spark.sql(s"""CALL graft_rr.system.create_branch(table => 'db.n',
+        branch => 'audit', snapshot_id => 2,
+        max_ref_age_ms => ${Long.MaxValue / 4}L, min_snapshots_to_keep => 2)""")
+      spark.sql(
+        "CALL graft_rr.system.expire_snapshots(table => 'db.n', retain_last => 1)")
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/n"))
+      require(meta.refs.map(_.name).toSet == Set("main", "audit"),
+        s"aged tag must auto-drop: ${meta.refs.map(_.name)}")
+      // s3 expired: s4 is keepLast's head, the audit branch retains its
+      // head s2 plus one ancestor s1
+      require(meta.snapshots.map(_.snapshotId).sorted == Seq(1L, 2L, 4L),
+        s"branch retention must keep s1+s2: ${meta.snapshots.map(_.snapshotId)}")
+    }
+    spark.sql("""SELECT COUNT(*) AS n_rows,
+      (SELECT COUNT(*) FROM graft_rr.db.n.refs) AS n_refs,
+      (SELECT COUNT(*) FROM graft_rr.db.n.snapshots) AS n_snapshots
+      FROM graft_rr.db.n""")
+  }
+
+  val refRetentionSql: String =
+    """SELECT COUNT(*) AS n_rows, CAST(2 AS BIGINT) AS n_refs,
+      |  CAST(3 AS BIGINT) AS n_snapshots
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i90_ref_retention" -> refRetention,
     "i89_partition_stats" -> partitionStats,
     "i88_row_lineage" -> rowLineage,
     "i87_variant_columns" -> variantColumns,
@@ -882,6 +939,7 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i90_ref_retention" -> refRetentionSql,
     "i89_partition_stats" -> partitionStatsSql,
     "i88_row_lineage" -> rowLineageSql,
     "i87_variant_columns" -> variantColumnsSql,

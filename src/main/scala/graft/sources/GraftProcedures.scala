@@ -357,7 +357,8 @@ object GraftProcedures {
         "create_tag",
         "tag a snapshot (default: the current head) for AS OF time travel",
         Array(in("table", StringType), in("tag", StringType),
-          inDefault("snapshot_id", LongType, "NULL")),
+          inDefault("snapshot_id", LongType, "NULL"),
+          inDefault("max_ref_age_ms", LongType, "NULL")),
         StructType(Seq(
           StructField("tag", StringType),
           StructField("snapshot_id", LongType))),
@@ -365,7 +366,8 @@ object GraftProcedures {
           val dir = dirOf(input)
           val tag = input.getUTF8String(1).toString
           val snapId = if (input.isNullAt(2)) None else Some(input.getLong(2))
-          val result = GraftTable.createTag(dir, tag, snapId)
+          val maxAge = if (input.isNullAt(3)) None else Some(input.getLong(3))
+          val result = GraftTable.createTag(dir, tag, snapId, maxAge)
           val tagged = result.metadata.refs.find(_.name == tag).get.snapshotId
           Seq(InternalRow(UTF8String.fromString(tag), tagged))
         })
@@ -442,7 +444,10 @@ object GraftProcedures {
         "create a mutable branch ref at a snapshot (default: the current " +
           "head) — the staging target of write-audit-publish",
         Array(in("table", StringType), in("branch", StringType),
-          inDefault("snapshot_id", LongType, "NULL")),
+          inDefault("snapshot_id", LongType, "NULL"),
+          inDefault("max_ref_age_ms", LongType, "NULL"),
+          inDefault("min_snapshots_to_keep", IntegerType, "NULL"),
+          inDefault("max_snapshot_age_ms", LongType, "NULL")),
         StructType(Seq(
           StructField("branch", StringType),
           StructField("snapshot_id", LongType))),
@@ -450,7 +455,10 @@ object GraftProcedures {
           val dir = dirOf(input)
           val branch = input.getUTF8String(1).toString
           val snapId = if (input.isNullAt(2)) None else Some(input.getLong(2))
-          val result = GraftTable.createBranch(dir, branch, snapId)
+          val result = GraftTable.createBranch(dir, branch, snapId,
+            maxRefAgeMs = if (input.isNullAt(3)) None else Some(input.getLong(3)),
+            minSnapshotsToKeep = if (input.isNullAt(4)) None else Some(input.getInt(4)),
+            maxSnapshotAgeMs = if (input.isNullAt(5)) None else Some(input.getLong(5)))
           val at = result.metadata.refs.find(_.name == branch).get.snapshotId
           Seq(InternalRow(UTF8String.fromString(branch), at))
         })

@@ -139,6 +139,13 @@ class LakehouseInspectSpec extends SparkSpec {
     assert(rows == want, s"$rows vs $want")
   }
 
+  test("i90 ref retention entry matches its oracle shape") {
+    val got = LakehouseInspect.refRetention(spark, sfDir).head()
+    val n = Tables.load(spark, sfDir, "nation").count()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((n, 2L, 3L)),
+      got.toString)
+  }
+
   test("i77 ref lifecycle: tags pin expiry, drop_tag releases, type guards hold") {
     val df = LakehouseInspect.refLifecycle(spark, sfDir)
     val got = df.head()

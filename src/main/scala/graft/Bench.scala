@@ -59,17 +59,34 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
     }
     var line = assemble()
-    // degradation order: largest timings first; 2→1 across the board
-    // before any entry drops to 0 decimals. Budget 1900, measured from
-    // the driver's OWN recorded tail (BENCH_r12.json): the 2000-char
-    // stdout tail must hold the line PLUS sbt's trailing epilogue
-    // ("[success] Total time: …", ~72 chars + newlines) — anything past
-    // ~1924 gets FRONT-truncated into unparseable JSON. 1900 keeps a
-    // margin for epilogue length drift (dates, durations).
-    val order = results.zipWithIndex
+    // Budget 1918, measured from the driver's OWN recorded tail
+    // (BENCH_r12.json): the 2000-char stdout tail must hold the line
+    // PLUS sbt's trailing epilogue ("[success] Total time: …", ~72
+    // chars + newlines) — anything past ~1924 gets FRONT-truncated into
+    // unparseable JSON.
+    //
+    // Degradation runs in two passes with DIFFERENT orders. 2→1
+    // decimals: largest timings first (a 0.05 s quantum is the smallest
+    // relative loss there). 1→0 decimals is where values can collapse
+    // ("0.4" → "0" reads as instant), so that pass takes entries by
+    // SMALLEST RELATIVE ROUNDING LOSS first — near-integer timings
+    // (2.98, 1.04) round almost for free, and a "0.5" only ever loses
+    // its decimal if every benign candidate already did.
+    val byMagnitude = results.zipWithIndex
       .collect { case ((_, Some(v)), i) => (v, i) }.sortBy(-_._1).map(_._2)
-    for (target <- Seq(1, 0); i <- order; if line.length >= 1900) {
-      dec(i) = target
+    for (i <- byMagnitude; if line.length >= 1918) {
+      dec(i) = 1
+      line = assemble()
+    }
+    // ties (every sub-half-second value has maximal relative loss) break
+    // toward the SMALLEST value — "0" for a 0.04 s entry is nearly
+    // honest; for a 0.4 s entry it erases the measurement
+    val byRoundingLoss = results.zipWithIndex
+      .collect { case ((_, Some(v)), i) =>
+        ((math.abs(v - math.round(v)) / math.max(v, 0.01), v), i) }
+      .sortBy(_._1).map(_._2)
+    for (i <- byRoundingLoss; if line.length >= 1918) {
+      dec(i) = 0
       line = assemble()
     }
     line

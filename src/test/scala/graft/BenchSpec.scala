@@ -82,7 +82,7 @@ class BenchSpec extends AnyFunSuite {
     val future = (1 to 5).map(i => f"z$i%02d_future" -> Some(1.234))
     val typical = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Some(1.234)) ++ future
     val typicalLine = Bench.renderLine(typical, "/root/testdata/sf0.1")
-    assert(typicalLine.length < 1900,
+    assert(typicalLine.length < 1918,
       s"typical line too long at +5 entries: ${typicalLine.length}")
     assert(typicalLine.contains(":1.2"), "partial degradation must keep 1-decimal entries")
     // mixed real-shaped profile: short ("0.1") and 2-decimal ("0.163")
@@ -94,7 +94,7 @@ class BenchSpec extends AnyFunSuite {
       case (k, i) => k -> Some(if (i % 2 == 0) 0.1 else 0.163)
     } ++ future
     val realLine = Bench.renderLine(realistic, "/root/testdata/sf0.1")
-    assert(realLine.length < 1900, s"mixed line too long: ${realLine.length}")
+    assert(realLine.length < 1918, s"mixed line too long: ${realLine.length}")
     assert(realLine.contains(":0.1"),
       "small entries must keep their decimal while larger ones degrade")
   }
@@ -105,7 +105,7 @@ class BenchSpec extends AnyFunSuite {
     val base = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Some(1.234))
     val mixed = ("zz_outlier" -> Some(9.876)) +: base
     val line = Bench.renderLine(mixed, "/root/testdata/sf0.1")
-    assert(line.length < 1900)
+    assert(line.length < 1918)
     // the monotone invariant, robust to entry-count growth: the LARGEST
     // entry never renders with more decimals than any smaller one, and
     // degradation stays partial — some smaller entry always keeps at

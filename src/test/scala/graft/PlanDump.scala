@@ -48,7 +48,11 @@ object PlanDump {
     "i48_dsv2_table_pruned" -> "Catalyst-pushed equality through the DSv2 table source: PushedFilters visible on the scan, manifests pruned in bucket-transform space at planning (the pruned ones are garbage on disk — reading proves they never open); the clean scan decodes COLUMNAR (ColumnarToRow above the BatchScan — round 9's vectorized route)",
     "i56_sql_decimal" -> "DECIMAL through the SQL catalog: the money filter pushes to the graft-table scan, decimal bound stats prune at planning, and the clean scan takes the vectorized columnar route",
     "st14_stream_table_read" -> "streaming READ of a graft table (post-drive rollup over the file sink): the stream itself planned one micro-batch per snapshot (max-snapshots-per-trigger=1), each batch a bare BatchScan over exactly that snapshot's added files",
-    "i53_sql_lifecycle" -> "plain SQL over the GraftCatalog: the SELECT aggregate plans as the same bare BatchScan + two-phase agg as the programmatic route — DELETE already applied as position-delete MOR inside the readers, no join")
+    "i53_sql_lifecycle" -> "plain SQL over the GraftCatalog: the SELECT aggregate plans as the same bare BatchScan + two-phase agg as the programmatic route — DELETE already applied as position-delete MOR inside the readers, no join",
+    "i85_deletion_vectors" -> "v3 deletion vectors: after DELETE and rewrite the aggregate plans as a bare BatchScan + two-phase agg — the DV bitmaps apply INSIDE the partition readers (one blob read per file, unboxed probe per row), never as a join",
+    "i86_zorder_rewrite" -> "post-zorder scan: the selective aggregates read the Morton-clustered files through the same bare columnar BatchScan; the curve's payoff is at PLANNING (bound-stat pruning on every clustered column), not in the plan shape",
+    "i87_variant_columns" -> "VARIANT scan: variant_get extractions evaluate over the row-route BatchScan (variant is outside the vectorized palette by design); aggregation is the standard two-phase shape",
+    "i88_row_lineage" -> "row lineage read: _row_id/_last_updated_sequence_number are reader-served metadata columns — the plan is the bare row-route BatchScan + aggregate, no lineage join anywhere")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-plandump", cores = "4")

@@ -43,8 +43,10 @@ object MetadataTables {
 
   def refs(spark: SparkSession, meta: TableMetadata): DataFrame = {
     import spark.implicits._
-    meta.refs.map(r => (r.name, r.refType, r.snapshotId))
-      .toDF("name", "type", "snapshot_id")
+    meta.refs.map(r => (r.name, r.refType, r.snapshotId,
+        r.maxRefAgeMs, r.minSnapshotsToKeep, r.maxSnapshotAgeMs))
+      .toDF("name", "type", "snapshot_id",
+        "max_reference_age_in_ms", "min_snapshots_to_keep", "max_snapshot_age_in_ms")
   }
 
   /** Iceberg's `all_manifests`: every manifest reachable from ANY

@@ -119,6 +119,30 @@ class RowLineageSpec extends SparkSpec {
     assert(up >= 30L, s"upserted row must get a fresh id, got $up")
   }
 
+  test("MOR UPDATE carries lineage on a hidden-partitioned table") {
+    val wh = freshCatalog("rl6")
+    spark.sql("CREATE TABLE rl6.db.t (k BIGINT, r BIGINT, v STRING) " +
+      "PARTITIONED BY (r) TBLPROPERTIES (" +
+      "'format-version'='3', 'write.update.mode'='merge-on-read', " +
+      "'commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO rl6.db.t SELECT id, id % 3, concat('v', id) " +
+      "FROM range(0, 30)")
+    val before = spark.sql("SELECT k, _row_id FROM rl6.db.t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hits every partition; carry files split per partition tuple
+    spark.sql("UPDATE rl6.db.t SET v = 'u' WHERE k % 4 = 0")
+    val after = spark.sql("SELECT k, v, _row_id FROM rl6.db.t")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(after.size == 30)
+    after.foreach { case (k, (v, rid)) =>
+      assert(rid == before(k), s"k=$k identity changed")
+      assert(v == (if (k % 4 == 0) "u" else s"v$k"))
+    }
+    // partition pruning still works over the carry files
+    assert(spark.sql("SELECT count(*) FROM rl6.db.t WHERE r = 1")
+      .head().getLong(0) == 10L)
+  }
+
   test("zero-copy fork of a v3 table inherits lineage whole") {
     val wh = freshCatalog("rl5")
     spark.sql("CREATE TABLE rl5.db.src (k BIGINT, v STRING) TBLPROPERTIES (" +
@@ -146,6 +170,33 @@ class RowLineageSpec extends SparkSpec {
     val all = spark.sql("SELECT _row_id FROM rl5.db.fork")
       .collect().map(_.getLong(0)).toSeq
     assert(all.distinct.length == all.length, s"duplicate ids: $all")
+  }
+
+  test("racing v3 appends claim disjoint id blocks through the CAS loop") {
+    val wh = freshCatalog("rl7")
+    spark.sql("CREATE TABLE rl7.db.t (k BIGINT) TBLPROPERTIES (" +
+      "'format-version'='3', 'commit-timestamp-ms'='1700000000000')")
+    val dir = s"$wh/db/t"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // four concurrent appends of 10 rows each: the CAS loop serializes
+    // the commits and assignRowIds re-runs per retry against the fresh
+    // base — every block must be disjoint, the counter exact
+    val futures = (0 until 4).map { i =>
+      Future {
+        GraftTable.append(spark, dir,
+          spark.range(i * 10, i * 10 + 10).toDF("k"))
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    val ids = spark.sql("SELECT _row_id FROM rl7.db.t")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.length == 40 && ids.distinct.length == 40,
+      s"overlapping id blocks: ${ids.sorted.take(50)}")
+    assert(ids.toSet == (0L until 40L).toSet, ids.sorted.toString)
+    assert(TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      .nextRowId.contains(40L))
   }
 
   test("v2 upgrade backfills ids for existing files; sort rewrite also carries") {

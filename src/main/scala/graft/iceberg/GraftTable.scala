@@ -2273,7 +2273,8 @@ object GraftTable {
     * sweep regardless — test/maintenance-window use). Returns the
     * deleted paths. */
   def removeOrphanFiles(tableDir: String,
-      olderThanMs: Option[Long] = None): Seq[String] = {
+      olderThanMs: Option[Long] = None,
+      dryRun: Boolean = false): Seq[String] = {
     val meta = TableMetadata.parseFile(latestMetadataPath(tableDir))
     require(!meta.properties.get("gc.enabled").contains("false"),
       s"gc.enabled=false on $tableDir (zero-copy snapshot table) — " +
@@ -2287,11 +2288,16 @@ object GraftTable {
     val dataDir = new org.apache.hadoop.fs.Path(s"$tableDir/data")
     if (!fs.exists(dataDir)) Nil
     else {
+      // parquet data/delete files AND v3 deletion-vector Puffin files —
+      // a crashed DV write (or a CAS retry's abandoned attempt) leaves
+      // dv-*.puffin in data/ that only this sweep can reclaim. Avro/ORC
+      // entries are imported IN PLACE (outside data/) and stay untouched
       val orphans = fs.listStatus(dataDir)
-        .filter(_.getPath.getName.endsWith(".parquet"))
+        .filter(st => st.getPath.getName.endsWith(".parquet") ||
+          st.getPath.getName.endsWith(".puffin"))
         .filter(st => !referenced.contains(uriPath(st.getPath.toString)))
         .filter(st => olderThanMs.forall(st.getModificationTime < _))
-      orphans.foreach(st => fs.delete(st.getPath, false))
+      if (!dryRun) orphans.foreach(st => fs.delete(st.getPath, false))
       orphans.map(_.getPath.toString).toSeq
     }
   }

@@ -485,17 +485,20 @@ object GraftProcedures {
         })
       case "remove_orphan_files" => new Proc(
         "remove_orphan_files",
-        "delete data-directory files unreachable from EVERY snapshot " +
-          "still in the metadata; older_than_ms (default: no age filter) " +
-          "protects in-flight writers",
+        "delete data-directory files (parquet + deletion-vector puffin) " +
+          "unreachable from EVERY snapshot still in the metadata; " +
+          "older_than_ms (default: no age filter) protects in-flight " +
+          "writers; dry_run => true lists without deleting",
         Array(in("table", StringType),
-          inDefault("older_than_ms", LongType, "NULL")),
+          inDefault("older_than_ms", LongType, "NULL"),
+          inDefault("dry_run", BooleanType, "false")),
         StructType(Seq(
           StructField("deleted_files_count", IntegerType))),
         input => {
           val dir = dirOf(input)
           val olderThan = if (input.isNullAt(1)) None else Some(input.getLong(1))
-          val deleted = GraftTable.removeOrphanFiles(dir, olderThan)
+          val deleted = GraftTable.removeOrphanFiles(dir, olderThan,
+            dryRun = !input.isNullAt(2) && input.getBoolean(2))
           Seq(InternalRow(deleted.size))
         })
       case "fast_forward" => new Proc(

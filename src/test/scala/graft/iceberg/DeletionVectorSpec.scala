@@ -187,6 +187,29 @@ class DeletionVectorSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dv6.db.t").head().getLong(0) == 23L)
   }
 
+  test("orphan sweep reclaims abandoned DV puffins; dry_run only lists") {
+    val wh = freshCatalog("dv7")
+    spark.sql("CREATE TABLE dv7.db.t (k BIGINT) TBLPROPERTIES (" +
+      "'format-version'='3', 'commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO dv7.db.t SELECT id FROM range(0, 10)")
+    spark.sql("DELETE FROM dv7.db.t WHERE k < 3")
+    val dir = s"$wh/db/t"
+    // simulate a crashed DV write: an uncommitted puffin in data/
+    val stray = s"$dir/data/dv-crashed-attempt-0.puffin"
+    DeletionVectors.writeDvFile(stray, 99L, Seq(("nowhere.parquet", Array(1L))))
+    assert(new java.io.File(stray).exists())
+    // dry_run reports it without touching anything
+    val dry = spark.sql("CALL dv7.system.remove_orphan_files(" +
+      "table => 'db.t', dry_run => true)").head().getInt(0)
+    assert(dry == 1, s"dry run must count the stray puffin: $dry")
+    assert(new java.io.File(stray).exists(), "dry run must not delete")
+    // the real sweep reclaims the stray and spares the COMMITTED DV
+    spark.sql("CALL dv7.system.remove_orphan_files(table => 'db.t')")
+    assert(!new java.io.File(stray).exists(), "stray puffin must reclaim")
+    assert(spark.sql("SELECT count(*), min(k) FROM dv7.db.t").head() ==
+      org.apache.spark.sql.Row(7L, 3L), "the live DV must survive the sweep")
+  }
+
   test("DELETE matching nothing on v3 is a metadata no-op") {
     val wh = freshCatalog("dv3")
     spark.sql("CREATE TABLE dv3.db.t (k BIGINT) " +

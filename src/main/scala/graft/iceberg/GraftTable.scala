@@ -1364,11 +1364,16 @@ object GraftTable {
       .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.empty
         else {
+          // attempt-unique name (see the sorted-rewrite writer): retries
+          // write fresh files; losers stay uncommitted orphans
+          val att = org.apache.spark.TaskContext.get().taskAttemptId()
           val fw = new graft.sources.GraftFileWriter(
-            s"$insertPrefix-p%05d.parquet".format(pid),
+            s"$insertPrefix-p%05d-t$att.parquet".format(pid),
             schema, writerFields, None, 0, wconf.value)
-          it.foreach(fw.write)
-          Iterator.single(fw.finish())
+          try {
+            it.foreach(fw.write)
+            Iterator.single(fw.finish())
+          } catch { case t: Throwable => fw.abort(); throw t }
         }
       }.collect().toSeq.filter(_.rows > 0)
     val newFiles = rewritten
@@ -1499,8 +1504,14 @@ object GraftTable {
         sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
           if (!rows.hasNext) Iterator.empty
           else {
+            // attempt-unique filename: a retried/zombie task attempt can
+            // never collide with (or overwrite) the first attempt's file —
+            // only the WINNING attempt's message reaches collect() and gets
+            // committed; a loser's leftover is an uncommitted orphan for
+            // the sweep. taskAttemptId is globally unique per attempt.
+            val att = org.apache.spark.TaskContext.get().taskAttemptId()
             val w = new graft.sources.GraftFileWriter(
-              s"$tableDir/data/sorted-$compactUuid-%05d.parquet".format(pid),
+              s"$tableDir/data/sorted-$compactUuid-p%05d-t$att.parquet".format(pid),
               writeSchema, fields, None, 0, taskConf.value)
             try {
               rows.foreach(w.write)

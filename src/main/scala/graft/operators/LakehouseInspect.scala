@@ -698,10 +698,23 @@ object LakehouseInspect {
         TBLPROPERTIES ('commit-timestamp-ms'='$T0')""")
       spark.sql("""INSERT INTO graft_zo.db.o
         SELECT o_orderkey, o_custkey, o_totalprice FROM i86_orders_src""")
+      // content-preservation gate: a rewrite moves every byte of the
+      // table, so any row lost or duplicated must fail HERE with the
+      // divergent values, not downstream as a bare oracle-hash mismatch
+      def fingerprint(): (Long, java.math.BigDecimal) = {
+        val r = spark.sql("""SELECT COUNT(*), CAST(SUM(o_orderkey) AS
+          DECIMAL(38, 0)) FROM graft_zo.db.o""").head()
+        (r.getLong(0), r.getDecimal(1))
+      }
+      val pre = fingerprint()
       val row = spark.sql("""CALL graft_zo.system.rewrite_data_files(
         table => 'db.o', target_file_size_bytes => 65536,
         strategy => 'sort', sort_order => 'zorder(o_custkey, o_orderkey)')""").head()
       require(row.getInt(1) >= 1, s"rewrite produced no files: $row")
+      val post = fingerprint()
+      require(pre == post,
+        s"zorder rewrite changed table content: pre=(count=${pre._1}, " +
+          s"sum=${pre._2}) post=(count=${post._1}, sum=${post._2})")
     }
     spark.sql("""SELECT COUNT(*) AS n_rows,
       CAST(SUM(o_orderkey) AS DECIMAL(38, 0)) AS sum_key,

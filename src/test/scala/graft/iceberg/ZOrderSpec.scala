@@ -90,6 +90,33 @@ class ZOrderSpec extends SparkSpec {
       s"y cannot prune under a linear x sort: ${yLinear.rdd.getNumPartitions} of $nAll2")
   }
 
+  test("sorted rewrite preserves content across 20 consecutive rewrites") {
+    // determinism soak for the one historical flake (r13 i86): every
+    // rewrite moves every row of the table, so ANY nondeterminism window
+    // (range-exchange bounds, task-writer collision) shows up as a
+    // count/sum drift across repetitions. 20 full rewrites, content
+    // fingerprint asserted after each.
+    val wh = java.nio.file.Files.createTempDirectory("graft-zsoak").toString
+    spark.conf.set("spark.sql.catalog.gzk",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gzk.warehouse", wh)
+    spark.sql("CREATE TABLE gzk.db.t (x BIGINT, y BIGINT, s STRING) " +
+      "TBLPROPERTIES ('commit-timestamp-ms'='1700000000000')")
+    spark.sql("""INSERT INTO gzk.db.t
+      SELECT id % 97, id % 89, md5(cast(id AS string)) FROM range(0, 8000)""")
+    val expected = spark.sql(
+      "SELECT count(*), sum(x), sum(y), sum(crc32(s)) FROM gzk.db.t").head()
+    (1 to 20).foreach { i =>
+      val order = if (i % 2 == 0) "zorder(x, y)" else "x DESC, y"
+      spark.sql("CALL gzk.system.rewrite_data_files(table => 'db.t', " +
+        s"target_file_size_bytes => 65536, strategy => 'sort', " +
+        s"sort_order => '$order')")
+      val got = spark.sql(
+        "SELECT count(*), sum(x), sum(y), sum(crc32(s)) FROM gzk.db.t").head()
+      assert(got == expected, s"content drifted at rewrite #$i: $got != $expected")
+    }
+  }
+
   test("sort rewrite parses DESC and rejects bad strategy/order") {
     val wh = java.nio.file.Files.createTempDirectory("graft-zsort").toString
     spark.conf.set("spark.sql.catalog.gzs",

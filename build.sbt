@@ -30,3 +30,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Scratch on tmpfs when the host has one: streaming checkpoint/offset
+// logs, entry warehouses, RDD checkpoints and shuffle spill all derive
+// their location from java.io.tmpdir, and every one of them is
+// fsync-heavy — on a loaded host a disk-backed /tmp turns that into
+// multi-second timing outliers (the r13 bench recorded 150 s for a
+// 60-70 s suite). RAM-backed scratch is the same choice a production
+// cluster makes with NVMe/ramdisk local dirs; durable artifacts
+// (testdata, verify outDir, the repo) are addressed absolutely and
+// unaffected. graft.Scratch.sweepStale bounds accumulation across runs.
+javaOptions ++= {
+  val shm = file("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) {
+    val d = shm / "graft-scratch"
+    java.nio.file.Files.createDirectories(d.toPath)
+    Seq(s"-Djava.io.tmpdir=${d.getAbsolutePath}")
+  } else Seq.empty
+}

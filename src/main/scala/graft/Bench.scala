@@ -113,6 +113,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    Scratch.sweepStale()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

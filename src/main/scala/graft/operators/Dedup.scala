@@ -341,11 +341,20 @@ object Dedup {
       .withColumn("lbl", $"doc_id")
     // min-label propagation is monotone non-increasing, so the label sum
     // is a fixpoint detector: one cheap aggregate per round instead of a
-    // join-based diff
+    // join-based diff.
+    // The edge set is duplicates-only (a sliver of the corpus), so the
+    // iteration's joins shuffle KBs — the session's corpus-sized shuffle
+    // parallelism would spend more on task scheduling than on work across
+    // the O(diameter) rounds. Scoped down for the loop, restored after;
+    // a production run over a trillion-doc pair graph would size this to
+    // the edge count instead.
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    spark.conf.set(shufKey, "4")
     var prevSum = Long.MaxValue
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    try while (!converged && rounds < 20) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("lbl", "n_lbl"), "dst")
         .groupBy($"src".as("doc_id")).agg(min($"n_lbl").as("n_lbl"))
@@ -359,28 +368,31 @@ object Dedup {
       converged = sum == prevSum
       prevSum = sum
       rounds += 1
-    }
+    } finally spark.conf.set(shufKey, prevShuf)
     // propagation covers one hop per round: a component with diameter
     // beyond the cap would emit wrong labels — fail loudly instead
     if (!converged) throw new IllegalStateException(
       s"neardup clustering did not converge in $rounds rounds — component diameter exceeds cap")
     edges.unpersist()
     // the final labels stay cached only until the plan is consumed; make
-    // the result independent of the iteration caches. RELIABLE checkpoint
-    // (session checkpoint dir), not localCheckpoint: executor-local blocks
-    // vanish with a lost executor, and an iterative result must survive
-    // executor churn at cluster scale. The tmpdir fallback is only valid
-    // when driver and executors share a filesystem (local master) — on a
-    // cluster an unshared driver tmpdir would scatter checkpoint blocks,
-    // so require an explicit shared checkpoint dir instead.
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      if (!spark.sparkContext.isLocal) throw new IllegalStateException(
-        "neardup clustering needs a RELIABLE checkpoint on shared storage: " +
-          "set spark.sparkContext.setCheckpointDir to an HDFS/S3 path")
-      spark.sparkContext.setCheckpointDir(java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft-ckpt-${ProcessHandle.current().pid()}").toString)
-    }
-    val out = labels.select($"doc_id", $"lbl".as("cluster_rep")).orderBy($"doc_id").checkpoint()
+    // the result independent of the iteration caches. On a CLUSTER that
+    // means a RELIABLE checkpoint (session checkpoint dir), not
+    // localCheckpoint: executor-local blocks vanish with a lost executor,
+    // and an iterative result must survive executor churn at scale —
+    // require an explicit shared HDFS/S3 checkpoint dir. In LOCAL mode
+    // there is no executor churn (one JVM, no dynamic allocation), so
+    // localCheckpoint gives the same lineage cut without writing and
+    // re-reading the result through the filesystem.
+    val projected = labels.select($"doc_id", $"lbl".as("cluster_rep")).orderBy($"doc_id")
+    val out =
+      if (spark.sparkContext.isLocal) projected.localCheckpoint()
+      else {
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          throw new IllegalStateException(
+            "neardup clustering needs a RELIABLE checkpoint on shared storage: " +
+              "set spark.sparkContext.setCheckpointDir to an HDFS/S3 path")
+        projected.checkpoint()
+      }
     labels.unpersist()
     out
   }

@@ -55,6 +55,17 @@ object EventStreams {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "4")
+    // No entry driven through this harness emits on watermark
+    // finalization (Complete/Update re-emit per batch; the Append entries
+    // — stream-stream inner join, dropDuplicatesWithinWatermark,
+    // mapGroups/transformWithState — all emit in the data batch itself;
+    // watermarks only bound STATE), so the trailing no-data micro-batch
+    // Spark would run to advance the watermark is pure per-query fixed
+    // cost here. An entry that ever needs append finalization (e.g. a
+    // windowed Append aggregation) must not use this harness as-is.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = spark.conf.get(ndKey)
+    spark.conf.set(ndKey, "false")
     try {
       val q = df.writeStream
         .format("memory")
@@ -64,7 +75,10 @@ object EventStreams {
         .start()
       q.awaitTermination()
       lastDriveInputBatches = q.recentProgress.count(_.numInputRows > 0)
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(ndKey, prevNd)
+    }
     spark.table(name)
   }
 

@@ -531,19 +531,31 @@ object GraftTable {
     * value that need not exist in the data). */
   def create(tableDir: String, schema: IcebergSchema, tableUuid: String,
       timestampMs: Long, spec: PartitionSpec = PartitionSpec(0, Nil),
-      properties: Map[String, String] = Map.empty): String = {
+      properties: Map[String, String] = Map.empty,
+      formatVersion: Int = 2): String = {
     require(OptimisticCommit.currentVersion(tableDir) == 0,
       s"table already exists under $tableDir")
+    require(formatVersion == 2 || formatVersion == 3,
+      s"unsupported format-version $formatVersion (2 or 3)")
+    // v3-only types (variant, timestamp_ns/timestamptz_ns, unknown,
+    // geometry/geography) gate on the version AT CREATE: a v2 document
+    // carrying one would be unparseable to every spec-conforming reader
+    schema.fields.flatMap(f => IcebergTypes.fromStringOpt(f.fieldType))
+      .filter(IcebergTypes.isV3Only).foreach(t =>
+        require(formatVersion >= 3,
+          s"${t.name} columns need format-version 3"))
     val path = OptimisticCommit.metadataPath(tableDir, 1)
     MetadataWriter.write(path, TableMetadata(
-      formatVersion = 2, tableUuid = tableUuid, location = tableDir,
+      formatVersion = formatVersion, tableUuid = tableUuid, location = tableDir,
       lastUpdatedMs = timestampMs, topLevelSchema = None,
       currentSchemaId = Some(schema.schemaId), schemas = Seq(schema),
       partitionSpecs = Seq(spec), defaultSpecId = spec.specId,
       sortOrders = Seq(SortOrder(0, Nil)), defaultSortOrderId = 0,
       properties = Map("graft.metrics" -> "full") ++ properties,
       currentSnapshotId = None, refs = Nil,
-      snapshots = Nil, snapshotLog = Nil, metadataLog = Nil))
+      snapshots = Nil, snapshotLog = Nil, metadataLog = Nil,
+      // v3 row lineage: fresh tables start the id counter at 0
+      nextRowId = if (formatVersion >= 3) Some(0L) else None))
     path
   }
 

@@ -37,6 +37,47 @@ object IcebergTypes {
   case object TVariant extends IcebergType {
     val name = "variant"; val sparkType = org.apache.spark.sql.types.VariantType
   }
+  /** Iceberg v3 nanosecond timestamps. Spark has no nanosecond timestamp
+    * type, so both surface as LongType nanos-since-epoch — the same shape
+    * `spark.sql.legacy.parquet.nanosAsLong` gives native TIMESTAMP(NANOS)
+    * parquet reads (graft.Sessions sets it), which means an imported
+    * NANOS file and the declared column agree without any conversion.
+    * Truncating to a micros TimestampType instead would silently lose
+    * the three digits the type exists to carry. */
+  case object TTimestampNs extends IcebergType {
+    val name = "timestamp_ns"; val sparkType = LongType
+  }
+  case object TTimestamptzNs extends IcebergType {
+    val name = "timestamptz_ns"; val sparkType = LongType
+  }
+  /** Iceberg v3 `unknown`: a column whose type could not be resolved —
+    * always null by contract (the spec forbids writing non-null values),
+    * no single-value serialization, no bounds. Maps to Spark's NullType,
+    * which is exactly the always-null contract. */
+  case object TUnknown extends IcebergType {
+    val name = "unknown"; val sparkType = NullType
+  }
+  /** Iceberg v3 `geometry(C)` / `geography(C, A)`: WKB-encoded shapes
+    * with an optional CRS (and edge-interpolation algorithm for
+    * geography). v1 support here is the storage layer only: metadata
+    * with geo columns parses, the payload surfaces as BinaryType WKB
+    * bytes, and there are no bound stats (the spec's geo bounds are
+    * bounding-box points, not single values — encode refuses loudly).
+    * No geo functions and no DDL create path (Spark has no geometry
+    * type to map from). */
+  final case class TGeometry(crs: Option[String]) extends IcebergType {
+    val name: String = crs.fold("geometry")(c => s"geometry($c)")
+    val sparkType = BinaryType
+  }
+  final case class TGeography(crs: Option[String], algorithm: Option[String])
+      extends IcebergType {
+    val name: String = (crs, algorithm) match {
+      case (Some(c), Some(a)) => s"geography($c, $a)"
+      case (Some(c), None) => s"geography($c)"
+      case _ => "geography"
+    }
+    val sparkType = BinaryType
+  }
   final case class TFixed(len: Int) extends IcebergType {
     val name = s"fixed[$len]"; val sparkType = BinaryType
   }
@@ -134,6 +175,8 @@ object IcebergTypes {
 
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val FixedRe = """fixed\[\s*(\d+)\s*\]""".r
+  private val GeometryRe = """geometry\(\s*([^)]+?)\s*\)""".r
+  private val GeographyRe = """geography\(\s*([^,)]+?)\s*(?:,\s*([^)]+?)\s*)?\)""".r
 
   /** Parse an Iceberg type string: primitives (e.g. "long",
     * "decimal(9, 2)", "fixed[16]") or the canonical JSON object form of
@@ -190,6 +233,14 @@ object IcebergTypes {
     case "time" => TTime
     case "timestamp" => TTimestamp
     case "timestamptz" => TTimestamptz
+    case "timestamp_ns" => TTimestampNs
+    case "timestamptz_ns" => TTimestamptzNs
+    case "unknown" => TUnknown
+    case "geometry" => TGeometry(None)
+    case GeometryRe(c) => TGeometry(Some(c.trim))
+    case "geography" => TGeography(None, None)
+    case GeographyRe(c, a) =>
+      TGeography(Some(c.trim), Option(a).map(_.trim).filter(_.nonEmpty))
     case "string" => TString
     case "uuid" => TUuid
     case "binary" => TBinary
@@ -197,6 +248,19 @@ object IcebergTypes {
     case DecimalRe(p, sc) => TDecimal(p.toInt, sc.toInt)
     case FixedRe(l) => TFixed(l.toInt)
     case other => throw new IllegalArgumentException(s"Unknown Iceberg primitive type: $other")
+  }
+
+  /** Types the Iceberg spec introduces in format version 3 — creating a
+    * table (or adding a column) with one of these on a v1/v2 table must
+    * refuse at DDL time, or a foreign v2 reader meets a type it cannot
+    * parse. Nested types are v3-only iff any component is. */
+  def isV3Only(t: IcebergType): Boolean = t match {
+    case TVariant | TTimestampNs | TTimestamptzNs | TUnknown => true
+    case _: TGeometry | _: TGeography => true
+    case TList(_, e, _) => isV3Only(e)
+    case TStruct(fs) => fs.exists(f => isV3Only(f._4))
+    case TMap(_, k, _, v, _) => isV3Only(k) || isV3Only(v)
+    case _ => false
   }
 
   def fromStringOpt(s: String): Option[IcebergType] =

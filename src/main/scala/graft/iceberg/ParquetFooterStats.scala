@@ -62,6 +62,10 @@ object ParquetFooterStats {
     case (IcebergTypes.TTimestamp, us: java.lang.Long) =>
       Some(java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
         (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+    // v3 nanosecond timestamps: footer stats of a TIMESTAMP(NANOS)
+    // column are INT64 nanos — exactly the type's value domain
+    case (IcebergTypes.TTimestampNs | IcebergTypes.TTimestamptzNs,
+        ns: java.lang.Long) => Some(ns.longValue())
     case _ => None
   }
 }

@@ -44,6 +44,9 @@ object SingleValueCodec {
       case TTimestamptz =>
         val us = le.getLong
         Instant.ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      // v3 nanosecond timestamps: LE long nanos since epoch, surfaced as
+      // the raw Long (their Spark shape — see IcebergTypes.TTimestampNs)
+      case TTimestampNs | TTimestamptzNs => le.getLong
       case TString => new String(bytes, StandardCharsets.UTF_8)
       case TUuid =>
         val bb = ByteBuffer.wrap(bytes) // big-endian
@@ -51,6 +54,10 @@ object SingleValueCodec {
       case TBinary | TFixed(_) => bytes
       case TDecimal(_, scale) =>
         new java.math.BigDecimal(new BigInteger(bytes), scale)
+      case TUnknown => throw new IllegalArgumentException(
+        "unknown columns carry no values — no single-value serialization exists")
+      case _: TGeometry | _: TGeography => throw new IllegalArgumentException(
+        s"${t.name} bounds are bounding-box points, not single values")
     }
   }
 
@@ -70,6 +77,8 @@ object SingleValueCodec {
       case TTimestamptz =>
         val i = value.asInstanceOf[Instant]
         le(8).putLong(i.getEpochSecond * 1000000L + i.getNano / 1000L).array()
+      case TTimestampNs | TTimestamptzNs =>
+        le(8).putLong(value.asInstanceOf[Long]).array()
       case TString => value.toString.getBytes(StandardCharsets.UTF_8)
       case TUuid =>
         val u = value.asInstanceOf[UUID]
@@ -78,6 +87,10 @@ object SingleValueCodec {
       case TBinary | TFixed(_) => value.asInstanceOf[Array[Byte]]
       case TDecimal(_, _) =>
         value.asInstanceOf[java.math.BigDecimal].unscaledValue.toByteArray
+      case TUnknown => throw new IllegalArgumentException(
+        "unknown columns carry no values — nothing to encode")
+      case _: TGeometry | _: TGeography => throw new IllegalArgumentException(
+        s"${t.name} bounds are bounding-box points, not single values")
     }
   }
 

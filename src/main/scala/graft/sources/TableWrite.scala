@@ -535,9 +535,34 @@ class GraftFileWriter(path: String, schema: StructType,
       case prim => primBuilder(prim, name, rep).named(name)
     }
 
+  // v3 nanosecond timestamps surface as LongType in Spark (no ns type
+  // there), but the FILE must carry the TIMESTAMP(NANOS) annotation — a
+  // foreign spec-conforming reader recovers real nanosecond timestamps,
+  // and Spark's own reader maps the annotation back to long under
+  // nanosAsLong. Keyed by column name from the table's Iceberg schema.
+  private val nsTimestampCols: Map[String, Boolean] = fields.collect {
+    case (_, n, IcebergTypes.TTimestampNs) => n -> false
+    case (_, n, IcebergTypes.TTimestamptzNs) => n -> true
+  }.toMap
+
   private val msgType: MessageType = {
     val ts: Array[org.apache.parquet.schema.Type] =
-      schema.fields.map(f => parquetType(f.dataType, f.name))
+      schema.fields
+        // v3 `unknown` columns (Spark NullType) are null-only by spec
+        // contract and are never stored: no parquet column, and the
+        // write loop never sees a non-null value to add. Reads
+        // null-fill them like any missing column.
+        .filter(_.dataType != NullType)
+        .map { f =>
+        nsTimestampCols.get(f.name) match {
+          case Some(utcAdjusted) if f.dataType == LongType =>
+            Types.primitive(PrimitiveTypeName.INT64, Repetition.OPTIONAL)
+              .as(LogicalTypeAnnotation.timestampType(utcAdjusted,
+                LogicalTypeAnnotation.TimeUnit.NANOS))
+              .named(f.name)
+          case _ => parquetType(f.dataType, f.name)
+        }
+      }
     new MessageType("spark_schema",
       ts.toSeq.map(t => t: org.apache.parquet.schema.Type).asJava)
   }

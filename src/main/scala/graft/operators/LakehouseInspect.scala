@@ -926,12 +926,107 @@ object LakehouseInspect {
       FROM graft_rr.db.n""")
   }
 
+  // ---------------------------------------------------------------- i91
+  /** Iceberg v3 nanosecond timestamps round-tripped: `timestamp_ns` /
+    * `timestamptz_ns` columns (spec "Version 3 types") surface in Spark
+    * as LongType nanos-since-epoch (no ns type exists there — see
+    * IcebergTypes.TTimestampNs), the task writer annotates the parquet
+    * column TIMESTAMP(NANOS) so foreign readers recover real nanosecond
+    * timestamps, footer/inline bounds encode as LE long nanos, and the
+    * scan prunes on them. Spark DDL cannot express the type, so the
+    * table is created through the engine API (the route Iceberg users
+    * take for ns tables); creation on a v2 table refuses
+    * (NsTimestampSpec pins gate, annotation and pruning). */
+  val timestampNs: Q = (spark, sfDir) => {
+    val wh = entryDir("i91", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_ns",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ns.warehouse", wh)
+    Tables.load(spark, sfDir, "events").createOrReplaceTempView("i91_events_src")
+    graft.TmpOutputs.ensure(wh) {
+      GraftTable.create(s"$wh/db/e", IcebergSchema(0, Seq(
+        IcebergField(1, "event_id", required = false, fieldType = "long"),
+        IcebergField(2, "ts_ns", required = false, fieldType = "timestamp_ns"),
+        IcebergField(3, "tz_ns", required = false, fieldType = "timestamptz_ns"),
+        IcebergField(4, "event_type", required = false, fieldType = "string"))),
+        tableUuid = java.util.UUID.randomUUID().toString,
+        timestampMs = T0, formatVersion = 3)
+      spark.sql("""INSERT INTO graft_ns.db.e
+        SELECT event_id, unix_micros(ts) * 1000, unix_micros(ts) * 1000 + 1,
+          event_type FROM i91_events_src""")
+    }
+    // whole-domain aggregate + a selective ns-bound predicate (prunable
+    // via the encoded long-nanos file stats)
+    spark.sql("""SELECT COUNT(*) AS n_rows,
+      MIN(ts_ns) AS min_ns, MAX(tz_ns) AS max_ns,
+      COUNT(CASE WHEN ts_ns < 1704844800000000000 THEN 1 END) AS n_early
+      FROM graft_ns.db.e""")
+  }
+
+  val timestampNsSql: String =
+    """SELECT COUNT(*) AS n_rows, MIN(epoch_ns(ts)) AS min_ns,
+      |  MAX(epoch_ns(ts) + 1) AS max_ns,
+      |  COUNT(CASE WHEN epoch_ns(ts) < 1704844800000000000 THEN 1 END) AS n_early
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- i92
+  /** `register_table` — the fourth onboarding path (after add_files/
+    * migrate/snapshot: i74/i80/i79): adopt an EXISTING table, current
+    * metadata.json and all history, into the catalog BY REFERENCE. No
+    * file is rewritten or moved — the catalog entry is a pointer, and
+    * every operation through the new identifier (scans, DML,
+    * procedures) lands in the original directory, so both identifiers
+    * always see one table. DROP removes only the pointer (the i79-style
+    * ownership guard: catalog cleanup can never delete the adopted
+    * files). The fixture registers a foreign-catalog table, appends
+    * THROUGH the registered identifier, and pins that the source
+    * identifier sees the append. */
+  val registerTable: Q = (spark, sfDir) => {
+    val root = entryDir("i92", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_rgs",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rgs.warehouse", s"$root/src")
+    spark.conf.set("spark.sql.catalog.graft_rg",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rg.warehouse", s"$root/wh")
+    Tables.load(spark, sfDir, "supplier").createOrReplaceTempView("i92_supplier_src")
+    graft.TmpOutputs.ensure(root) {
+      spark.sql(s"""CREATE TABLE graft_rgs.db.orig
+        (s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE)
+        TBLPROPERTIES ('commit-timestamp-ms'='$T0')""")
+      spark.sql("""INSERT INTO graft_rgs.db.orig
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE)
+        FROM i92_supplier_src""")
+      val metaFile = GraftTable.latestMetadataPath(s"$root/src/db/orig")
+      val row = spark.sql(s"""CALL graft_rg.system.register_table(
+        table => 'db.adopted', metadata_file => '$metaFile')""").head()
+      require(row.getString(0) == s"$root/src/db/orig", s"bad location: $row")
+      // a commit through the REGISTERED identifier...
+      spark.sql("""INSERT INTO graft_rg.db.adopted
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE)
+        FROM i92_supplier_src WHERE s_suppkey <= 10""")
+    }
+    // ...is visible through BOTH identifiers (one table, two names)
+    spark.sql("""SELECT COUNT(*) AS n_rows,
+      CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+      (SELECT COUNT(*) FROM graft_rgs.db.orig) AS n_via_src
+      FROM graft_rg.db.adopted""")
+  }
+
+  val registerTableSql: String =
+    """SELECT COUNT(*) AS n_rows, CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+      |  COUNT(*) AS n_via_src
+      |FROM (SELECT s_suppkey FROM supplier UNION ALL
+      |      SELECT s_suppkey FROM supplier WHERE s_suppkey <= 10)""".stripMargin
+
   val refRetentionSql: String =
     """SELECT COUNT(*) AS n_rows, CAST(2 AS BIGINT) AS n_refs,
       |  CAST(3 AS BIGINT) AS n_snapshots
       |FROM nation""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "i92_register_table" -> registerTable,
+    "i91_timestamp_ns" -> timestampNs,
     "i90_ref_retention" -> refRetention,
     "i89_partition_stats" -> partitionStats,
     "i88_row_lineage" -> rowLineage,
@@ -952,6 +1047,8 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i92_register_table" -> registerTableSql,
+    "i91_timestamp_ns" -> timestampNsSql,
     "i90_ref_retention" -> refRetentionSql,
     "i89_partition_stats" -> partitionStatsSql,
     "i88_row_lineage" -> rowLineageSql,

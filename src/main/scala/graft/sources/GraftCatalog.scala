@@ -81,8 +81,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
-  private def tableDir(ident: Identifier): String =
+  /** The ident's slot in the warehouse layout — where a normal table's
+    * files live, and where a REGISTERED table keeps its pointer file. */
+  private def layoutDir(ident: Identifier): String =
     (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  /** The directory every operation actually works against: the layout
+    * dir itself, unless `register_table` left a pointer there — then the
+    * adopted table's own directory (scans, commits, procedures all land
+    * in the ORIGINAL location; the catalog entry is pure indirection). */
+  private def tableDir(ident: Identifier): String =
+    GraftCatalog.resolveRegistered(layoutDir(ident))
 
   override def tableExists(ident: Identifier): Boolean =
     OptimisticCommit.currentVersion(tableDir(ident)) > 0
@@ -303,10 +312,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "CREATE TABLE … TBLPROPERTIES ('format-version'='3')")
     GraftTable.create(tableDir(ident), IcebergSchema(0, fields),
       tableUuid = java.util.UUID.randomUUID().toString, timestampMs = t0,
-      spec = PartitionSpec(0, specFields), properties = userProps)
-    Option(properties.get("format-version")).map(_.trim.toInt).foreach { v =>
-      if (v != 2) GraftTable.upgradeFormatVersion(tableDir(ident), v)
-    }
+      spec = PartitionSpec(0, specFields), properties = userProps,
+      formatVersion = Option(properties.get("format-version"))
+        .map(_.trim.toInt).getOrElse(2))
     loadTable(ident)
   }
 
@@ -519,9 +527,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** DROP deletes the LAYOUT dir: for a normal table that is the table
+    * (files and all, as before); for a registered table it holds only
+    * the pointer file — the adopted directory and its data survive,
+    * exactly Iceberg's register_table drop contract. */
   override def dropTable(ident: Identifier): Boolean =
-    tableExists(ident) && HadoopConfs.fileSystemFor(tableDir(ident))
-      .delete(new Path(tableDir(ident)), true)
+    (tableExists(ident) ||
+      GraftCatalog.isRegistered(layoutDir(ident))) && // stale pointer still droppable
+      HadoopConfs.fileSystemFor(layoutDir(ident))
+        .delete(new Path(layoutDir(ident)), true)
 
   /** RENAME = one atomic directory move + a metadata-scale path rewrite.
     * Iceberg documents embed ABSOLUTE paths (metadata-log entries,
@@ -538,14 +552,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(
       (newIdent.namespace() :+ newIdent.name()).toSeq)
-    val oldPrefix = tableDir(oldIdent)
-    val newPrefix = tableDir(newIdent)
+    // rename moves the LAYOUT dir. For a registered table that moves the
+    // pointer file alone — the adopted directory (and every absolute
+    // path inside it) is untouched, so no rewrite runs.
+    val oldPrefix = layoutDir(oldIdent)
+    val newPrefix = layoutDir(newIdent)
     val fs = HadoopConfs.fileSystemFor(oldPrefix)
     val dst = new Path(newPrefix)
     fs.mkdirs(dst.getParent)
     require(fs.rename(new Path(oldPrefix), dst),
       s"filesystem refused to move $oldPrefix to $dst")
-    rewritePathPrefix(newPrefix, oldPrefix, newPrefix)
+    if (!GraftCatalog.isRegistered(newPrefix))
+      rewritePathPrefix(newPrefix, oldPrefix, newPrefix)
   }
 
   /** Rewrite every absolute path under `dir`'s metadata closure mapping
@@ -944,4 +962,42 @@ class GraftLocalTable(tableName: String, df: org.apache.spark.sql.DataFrame)
       override def readSchema(): StructType = tableSchema
       override def description(): String = s"graft metadata table $tableName"
     }
+}
+
+/** Catalog-level helpers shared with the `register_table` procedure. */
+object GraftCatalog {
+
+  /** A registered (adopted) table's layout dir holds only this pointer
+    * file — one line, the absolute directory of the adopted table.
+    * Underscore-prefixed so Spark file listings ignore it. */
+  val PointerFile = "_graft_pointer"
+
+  def isRegistered(layoutDir: String): Boolean = {
+    val p = new Path(s"$layoutDir/$PointerFile")
+    graft.iceberg.HadoopConfs.fileSystemFor(layoutDir).exists(p)
+  }
+
+  /** Follow the pointer if one exists; otherwise the layout dir IS the
+    * table dir. One hop only — a registered table's target is a real
+    * table directory, never another catalog entry. */
+  def resolveRegistered(layoutDir: String): String = {
+    val fs = graft.iceberg.HadoopConfs.fileSystemFor(layoutDir)
+    val p = new Path(s"$layoutDir/$PointerFile")
+    if (!fs.exists(p)) layoutDir
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+  }
+
+  /** Write the pointer (the registration commit — one small file; the
+    * adopted table is not touched). */
+  def writePointer(layoutDir: String, targetDir: String): Unit = {
+    val fs = graft.iceberg.HadoopConfs.fileSystemFor(layoutDir)
+    fs.mkdirs(new Path(layoutDir))
+    val out = fs.create(new Path(s"$layoutDir/$PointerFile"), false)
+    try out.write(targetDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 }

@@ -79,7 +79,7 @@ object GraftProcedures {
     "rewrite_position_delete_files", "cherrypick_snapshot", "add_files",
     "drop_tag", "drop_branch", "snapshot", "migrate",
     "rollback_to_timestamp", "create_changelog_view", "ancestors_of",
-    "compute_table_stats", "compute_partition_stats")
+    "compute_table_stats", "compute_partition_stats", "register_table")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. `resolveNewDir`
@@ -388,6 +388,47 @@ object GraftProcedures {
             .flatMap(i => ManifestWriter.read(i.path))
             .filter(e => e.status != 2 && e.content == 0)
           Seq(InternalRow(entries.size, entries.map(_.recordCount).sum))
+        })
+      case "register_table" => new Proc(
+        "register_table",
+        "adopt an EXISTING table (its current metadata.json and all " +
+          "history) into this catalog by reference — the fourth " +
+          "onboarding path, after add_files/migrate/snapshot: nothing " +
+          "is rewritten or moved, the catalog entry is a pointer file " +
+          "and every operation (scans, DML, procedures) lands in the " +
+          "original directory. DROP removes only the pointer; the " +
+          "adopted table and its files survive",
+        Array(in("table", StringType), in("metadata_file", StringType)),
+        StructType(Seq(
+          StructField("registered_location", StringType),
+          StructField("current_snapshot_id", LongType),
+          StructField("total_data_files", IntegerType))),
+        input => {
+          val layout = resolveNewDir(input.getUTF8String(0).toString)
+          require(graft.iceberg.OptimisticCommit.currentVersion(layout) == 0 &&
+              !graft.sources.GraftCatalog.isRegistered(layout),
+            s"table already exists at $layout")
+          val metaFile = input.getUTF8String(1).toString
+          val slash = metaFile.lastIndexOf('/')
+          require(slash > 0, s"metadata_file must be an absolute " +
+            s"vN.metadata.json path, got $metaFile")
+          val targetDir = metaFile.substring(0, slash)
+          val v = graft.iceberg.OptimisticCommit.currentVersion(targetDir)
+          require(v > 0, s"no table metadata under $targetDir")
+          // the registered entry must track the directory's live history:
+          // registering a SUPERSEDED metadata version would silently
+          // serve a newer state than the caller named (our layout scans
+          // the directory) — refuse instead of surprising
+          require(graft.iceberg.OptimisticCommit.metadataPath(targetDir, v) == metaFile,
+            s"$metaFile is not the directory's current metadata " +
+              s"(${graft.iceberg.OptimisticCommit.metadataPath(targetDir, v)}) — " +
+              "register the current version")
+          val meta = currentMeta(targetDir)
+          graft.sources.GraftCatalog.writePointer(layout, targetDir)
+          Seq(InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(targetDir),
+            meta.currentSnapshotId.getOrElse(-1L),
+            dataFileCount(meta)))
         })
       case "snapshot" => new Proc(
         "snapshot",

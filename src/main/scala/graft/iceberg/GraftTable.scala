@@ -507,6 +507,55 @@ object GraftTable {
     tagged.reduceOption(_ unionByName _).getOrElse(empty)
   }
 
+  /** Changelog with UPDATE pre/post-image pairing (Iceberg's
+    * compute-updates mode): within one commit (`_change_ordinal`), a
+    * delete and an insert sharing the given IDENTIFIER column values are
+    * one logical row changing — re-tagged 'update_before' /
+    * 'update_after', the pairing CDC consumers (Flink-style upsert
+    * sinks) expect instead of raw delete+insert. A pair whose remaining
+    * columns are also identical is a CARRY-OVER (a copy-on-write rewrite
+    * moved the row between files; nothing changed logically) and is
+    * dropped entirely. Unpaired rows keep their insert/delete tags.
+    *
+    * One window over (identifier columns, ordinal) — a keyed shuffle of
+    * the changelog, no driver-side work; at scale this is the same
+    * partitioning the downstream upsert sink needs anyway. */
+  def changelogWithUpdates(spark: SparkSession, tableDir: String,
+      startSnapshotId: Option[Long], endSnapshotId: Option[Long],
+      identifierColumns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(identifierColumns.nonEmpty, "identifier_columns must be non-empty")
+    val base = changelog(spark, tableDir, startSnapshotId, endSnapshotId)
+    val metaCols = Set("_change_type", "_change_ordinal", "_commit_snapshot_id")
+    val dataCols = base.columns.filterNot(metaCols).toSeq
+    identifierColumns.foreach(c => require(dataCols.contains(c),
+      s"identifier column $c is not a table column (${dataCols.mkString(", ")})"))
+    val others = dataCols.filterNot(identifierColumns.contains)
+    val w = Window.partitionBy(
+      (identifierColumns :+ "_change_ordinal").map(col): _*)
+    // the non-identifier image of each side — exact struct comparison,
+    // not a hash. first(ignoreNulls) over the unordered window is
+    // deterministic exactly when the pairing condition holds (one
+    // delete, one insert); groups that fail it never read the images.
+    def image(change: String) =
+      if (others.isEmpty) first(when(col("_change_type") === change, lit(0)),
+        ignoreNulls = true).over(w)
+      else first(when(col("_change_type") === change,
+        struct(others.map(col): _*)), ignoreNulls = true).over(w)
+    def n(change: String) =
+      sum(when(col("_change_type") === change, 1).otherwise(0)).over(w)
+    base
+      .withColumn("_paired", n("delete") === 1 && n("insert") === 1)
+      .withColumn("_carryover",
+        col("_paired") && (image("delete") <=> image("insert")))
+      .filter(!col("_carryover"))
+      .withColumn("_change_type",
+        when(col("_paired") && col("_change_type") === "delete", "update_before")
+          .when(col("_paired") && col("_change_type") === "insert", "update_after")
+          .otherwise(col("_change_type")))
+      .drop("_paired", "_carryover")
+  }
+
   // ------------------------------------------------------------ writes
   // The write half of the one-call API: create / append / deleteWhere,
   // every commit through the OptimisticCommit CAS loop so concurrent

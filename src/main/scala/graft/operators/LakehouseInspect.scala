@@ -1013,6 +1013,64 @@ object LakehouseInspect {
       FROM graft_rg.db.adopted""")
   }
 
+  // ---------------------------------------------------------------- i93
+  /** Changelog compute-updates:
+    * `create_changelog_view(identifier_columns => 'k')` pairs each
+    * commit's delete+insert on the identifier into
+    * update_before/update_after — the shape CDC consumers (Flink-style
+    * upsert sinks) expect — and drops CARRY-OVER pairs (identical
+    * images: a copy-on-write rewrite moved the row, nothing changed).
+    * The fixture drives both DML modes: a merge-on-read UPDATE (ordinal
+    * 1: pos-delete + new file in one commit) and a copy-on-write UPDATE
+    * (ordinal 2: whole-file rewrite whose untouched rows emit identical
+    * pairs). Carry-over removal is what makes the COW ordinal's rollup
+    * LAYOUT-INDEPENDENT — without it every co-located row would leak
+    * into the changelog and the oracle would depend on file boundaries. */
+  val changelogUpdates: Q = (spark, sfDir) => {
+    val wh = entryDir("i93", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_cdu",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdu.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i93_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql(s"""CREATE TABLE graft_cdu.db.n
+        (k BIGINT, name STRING, r BIGINT)
+        TBLPROPERTIES ('write.update.mode'='merge-on-read',
+          'commit-timestamp-ms'='$T0')""")
+      spark.sql("""INSERT INTO graft_cdu.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i93_nation_src""")
+      spark.sql("UPDATE graft_cdu.db.n SET name = concat(name, '_M') WHERE r = 0")
+      spark.sql("""ALTER TABLE graft_cdu.db.n
+        SET TBLPROPERTIES ('write.update.mode'='copy-on-write')""")
+      spark.sql("UPDATE graft_cdu.db.n SET name = concat(name, '_C') WHERE r = 1")
+    }
+    spark.sql("""CALL graft_cdu.system.create_changelog_view(
+      table => 'db.n', changelog_view => 'i93_changes',
+      identifier_columns => 'k')""")
+    spark.sql("""SELECT _change_ordinal AS ordinal, _change_type AS op,
+        COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+      FROM i93_changes GROUP BY _change_ordinal, _change_type
+      ORDER BY ordinal, op""")
+  }
+
+  val changelogUpdatesSql: String =
+    """SELECT * FROM (
+      |  SELECT 0 AS ordinal, 'insert' AS op, COUNT(*) AS n,
+      |    CAST(SUM(n_nationkey) AS BIGINT) AS sum_k FROM nation
+      |  UNION ALL
+      |  SELECT 1, 'update_after', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+      |  FROM nation WHERE n_regionkey = 0
+      |  UNION ALL
+      |  SELECT 1, 'update_before', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+      |  FROM nation WHERE n_regionkey = 0
+      |  UNION ALL
+      |  SELECT 2, 'update_after', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+      |  FROM nation WHERE n_regionkey = 1
+      |  UNION ALL
+      |  SELECT 2, 'update_before', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+      |  FROM nation WHERE n_regionkey = 1
+      |) ORDER BY ordinal, op""".stripMargin
+
   val registerTableSql: String =
     """SELECT COUNT(*) AS n_rows, CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
       |  COUNT(*) AS n_via_src
@@ -1025,6 +1083,7 @@ object LakehouseInspect {
       |FROM nation""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "i93_changelog_updates" -> changelogUpdates,
     "i92_register_table" -> registerTable,
     "i91_timestamp_ns" -> timestampNs,
     "i90_ref_retention" -> refRetention,
@@ -1047,6 +1106,7 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i93_changelog_updates" -> changelogUpdatesSql,
     "i92_register_table" -> registerTableSql,
     "i91_timestamp_ns" -> timestampNsSql,
     "i90_ref_retention" -> refRetentionSql,

@@ -300,11 +300,15 @@ object GraftProcedures {
           "whole history to current head): one row per logically " +
           "inserted/deleted row tagged _change_type / _change_ordinal / " +
           "_commit_snapshot_id; replace (compaction/rewrite) snapshots " +
-          "emit nothing",
+          "emit nothing. identifier_columns (comma-separated) switches " +
+          "on compute-updates: a same-commit delete+insert pair sharing " +
+          "identifier values becomes update_before/update_after, and an " +
+          "identical pair (carry-over from a rewrite) is dropped",
         Array(in("table", StringType),
           inDefault("changelog_view", StringType, "NULL"),
           inDefault("start_snapshot_id", LongType, "NULL"),
-          inDefault("end_snapshot_id", LongType, "NULL")),
+          inDefault("end_snapshot_id", LongType, "NULL"),
+          inDefault("identifier_columns", StringType, "NULL")),
         StructType(Seq(StructField("changelog_view", StringType))),
         input => {
           val tableName = input.getUTF8String(0).toString
@@ -314,8 +318,16 @@ object GraftProcedures {
             else input.getUTF8String(1).toString
           val start = if (input.isNullAt(2)) None else Some(input.getLong(2))
           val end = if (input.isNullAt(3)) None else Some(input.getLong(3))
-          GraftTable.changelog(SparkSession.active, dir, start, end)
-            .createOrReplaceTempView(view)
+          val idCols =
+            if (input.isNullAt(4)) Nil
+            else input.getUTF8String(4).toString
+              .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val df =
+            if (idCols.isEmpty)
+              GraftTable.changelog(SparkSession.active, dir, start, end)
+            else GraftTable.changelogWithUpdates(
+              SparkSession.active, dir, start, end, idCols)
+          df.createOrReplaceTempView(view)
           Seq(InternalRow(UTF8String.fromString(view)))
         })
       case "rollback_to_timestamp" => new Proc(

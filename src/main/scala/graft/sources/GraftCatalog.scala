@@ -178,24 +178,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Some(new GraftLocalTable(s"$catalogName.${ident.toString}", df))
   }
 
-  /** `db.t.branch_<name>` — Iceberg's branch-suffixed identifier: reads
-    * resolve the branch head, writes (INSERT INTO) stage appends that
-    * move ONLY the branch ref. The branch must exist (create it with
-    * `CALL <cat>.system.create_branch`) — a typo'd suffix must not
-    * silently fork a new lineage. */
+  /** `db.t.branch_<name>` / `db.t.tag_<name>` — Iceberg's ref-suffixed
+    * identifiers. Branch: reads resolve the branch head, writes (INSERT
+    * INTO) stage appends that move ONLY the branch ref. Tag: read-only —
+    * a tag pins a snapshot, so every write surface refuses loudly
+    * instead of silently landing the commit on main. The ref must exist
+    * (create it with `CALL <cat>.system.create_branch` / `create_tag`)
+    * — a typo'd suffix must not silently fork a new lineage. */
   private def loadBranchTable(ident: Identifier): Option[Table] = {
-    if (ident.namespace().isEmpty || !ident.name().startsWith("branch_")) return None
+    if (ident.namespace().isEmpty) return None
+    val kind =
+      if (ident.name().startsWith("branch_")) "branch"
+      else if (ident.name().startsWith("tag_")) "tag"
+      else return None
     val baseIdent = Identifier.of(ident.namespace().init, ident.namespace().last)
     if (!tableExists(baseIdent)) return None
-    val branch = ident.name().stripPrefix("branch_")
+    val refName = ident.name().stripPrefix(kind + "_")
     val metaPath = GraftTable.latestMetadataPath(tableDir(baseIdent))
     val meta = TableMetadata.parseFile(metaPath)
-    require(meta.refs.exists(r => r.name == branch && r.refType == "branch"),
-      s"no branch '$branch' on table ${baseIdent.name()} — " +
-        "CALL <catalog>.system.create_branch first")
+    require(meta.refs.exists(r => r.name == refName && r.refType == kind),
+      s"no $kind '$refName' on table ${baseIdent.name()} — " +
+        s"CALL <catalog>.system.create_$kind first")
     Some(new GraftSparkTable(GraftTable.sparkSchema(meta), metaPath,
-      None, Some(branch), None, 128L * 1024 * 1024,
-      writeBranch = Some(branch)))
+      None, Some(refName), None, 128L * 1024 * 1024,
+      writeBranch = if (kind == "branch") Some(refName) else None,
+      refuseWriteReason = if (kind == "tag")
+        Some(s"'$refName' is a TAG — tags pin immutable snapshots; " +
+          "write to the table or a branch instead") else None))
   }
 
   override def loadTable(ident: Identifier): Table = {

@@ -101,7 +101,11 @@ class TableDataSource extends TableProvider with DataSourceRegister {
 class GraftSparkTable(tableSchema: StructType, metadataPath: String,
     snapshotId: Option[Long], ref: Option[String], asOfTimestampMs: Option[Long],
     splitSize: Long, allowColumnar: Boolean = true,
-    writeBranch: Option[String] = None)
+    writeBranch: Option[String] = None,
+    // set for identifiers that must stay read-only (tag_<name>): any
+    // write surface refuses with this message instead of silently
+    // landing the commit on main
+    refuseWriteReason: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -127,6 +131,7 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => {
+      refuseWriteReason.foreach(r => throw new UnsupportedOperationException(r))
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
       val modeKey = info.command() match {
         case UPDATE => "write.update.mode"
@@ -197,8 +202,10 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
           .map(_.toInt)))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    refuseWriteReason.foreach(r => throw new UnsupportedOperationException(r))
     new GraftTableWriteBuilder(metadataPath, info, writeBranch)
+  }
 
   /** SQL `DELETE FROM ... WHERE ...`: the pushed predicate translates to
     * a Column and lands as GraftTable.deleteWhere's position-delete
@@ -230,6 +237,7 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
     filters.forall(toColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    refuseWriteReason.foreach(r => throw new UnsupportedOperationException(r))
     import org.apache.spark.sql.functions.lit
     val cond = filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(lit(true))
     val tableDir = new org.apache.hadoop.fs.Path(metadataPath).getParent.toString

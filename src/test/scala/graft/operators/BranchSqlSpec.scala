@@ -59,6 +59,20 @@ class BranchSqlSpec extends SparkSpec {
       .head().getLong(0) == 1L)
     assert(spark.sql("SELECT COUNT(*) FROM tag_sql.db.t VERSION AS OF 1")
       .head().getLong(0) == 1L)
+    // tag-suffixed identifier: reads pin the tagged snapshot...
+    assert(spark.sql("SELECT COUNT(*) FROM tag_sql.db.t.tag_v1")
+      .head().getLong(0) == 1L)
+    // ...writes refuse loudly (a tag is immutable; silently landing the
+    // commit on main would be worse than an error)
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO tag_sql.db.t.tag_v1 VALUES (9)"))
+    assert(e.getMessage.contains("TAG"), e.getMessage)
+    intercept[Exception](
+      spark.sql("DELETE FROM tag_sql.db.t.tag_v1 WHERE k = 1"))
+    assert(spark.sql("SELECT COUNT(*) FROM tag_sql.db.t").head().getLong(0) == 2L)
+    // a typo'd tag must not resolve
+    intercept[Exception](
+      spark.sql("SELECT COUNT(*) FROM tag_sql.db.t.tag_nope").collect())
   }
 
   test("path-route branch write option stages without moving main") {

@@ -1013,6 +1013,65 @@ object LakehouseInspect {
       FROM graft_rg.db.adopted""")
   }
 
+  // ---------------------------------------------------------------- i94
+  /** `write.format.default` honored by the TASK WRITERS — the write
+    * half of the i75/i78 foreign-format story: an avro- or orc-imported
+    * table appends IN-KIND instead of silently mixing parquet in. The
+    * fixture CREATEs with `write.format.default='avro'` (the first
+    * INSERT's task files are Avro object containers with inline bound
+    * stats — manifests don't care about data format, so they prune like
+    * parquet), imports a foreign Avro container, flips the property to
+    * orc and appends again (ORC task files), then pins via the `files`
+    * metadata table that NO parquet file exists before the mixed
+    * three-source scan hash-checks against the oracle. */
+  val formatDefaultWrites: Q = (spark, sfDir) => {
+    val wh = entryDir("i94", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_fmt",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_fmt.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i94_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql(s"""CREATE TABLE graft_fmt.db.n
+        (n_nationkey INT, n_name STRING, n_regionkey INT)
+        TBLPROPERTIES ('write.format.default'='avro',
+          'commit-timestamp-ms'='$T0')""")
+      spark.sql("""INSERT INTO graft_fmt.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i94_nation_src
+        WHERE n_regionkey < 2""")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_regionkey",
+          org.apache.spark.sql.types.IntegerType)))
+      val rows = spark.sql("""SELECT n_nationkey, n_name, n_regionkey
+        FROM i94_nation_src WHERE n_regionkey IN (2, 3)
+        ORDER BY n_nationkey""").collect().toSeq
+      AvroDataFiles.write(s"$wh/avro_src/part-00000.avro", schema, rows)
+      spark.sql("""CALL graft_fmt.system.add_files(table => 'db.n',
+        source_dir => '""" + wh + """/avro_src', format => 'avro')""")
+      spark.sql("""ALTER TABLE graft_fmt.db.n
+        SET TBLPROPERTIES ('write.format.default'='orc')""")
+      spark.sql("""INSERT INTO graft_fmt.db.n
+        SELECT n_nationkey, n_name, n_regionkey FROM i94_nation_src
+        WHERE n_regionkey >= 4""")
+      val fmts = spark.sql("""SELECT DISTINCT file_format
+          FROM graft_fmt.db.n.entries WHERE status != 2 AND content = 0""")
+        .collect().map(_.getString(0)).toSet
+      require(fmts == Set("AVRO", "ORC"),
+        s"expected in-kind avro+orc data files only, got $fmts")
+    }
+    spark.sql("""SELECT n_regionkey, COUNT(*) AS n,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_key, MAX(n_name) AS top_name
+      FROM graft_fmt.db.n GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+
+  val formatDefaultWritesSql: String =
+    """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  MAX(n_name) AS top_name
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   // ---------------------------------------------------------------- i93
   /** Changelog compute-updates:
     * `create_changelog_view(identifier_columns => 'k')` pairs each
@@ -1083,6 +1142,7 @@ object LakehouseInspect {
       |FROM nation""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "i94_format_default" -> formatDefaultWrites,
     "i93_changelog_updates" -> changelogUpdates,
     "i92_register_table" -> registerTable,
     "i91_timestamp_ns" -> timestampNs,
@@ -1106,6 +1166,7 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i94_format_default" -> formatDefaultWritesSql,
     "i93_changelog_updates" -> changelogUpdatesSql,
     "i92_register_table" -> registerTableSql,
     "i91_timestamp_ns" -> timestampNsSql,

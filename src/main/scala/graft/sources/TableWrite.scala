@@ -58,6 +58,18 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
   private def branch: Option[String] =
     writeBranch.orElse(Option(info.options().get("branch")).filter(_.nonEmpty))
 
+  /** `write.format.default` (Iceberg's property, validated eagerly so a
+    * typo fails the WRITE PLAN, not a task): an avro- or orc-imported
+    * foreign table appends in-kind instead of silently mixing in
+    * parquet. */
+  private def writeFormat(meta: TableMetadata): String = {
+    val f = meta.properties.getOrElse("write.format.default", "parquet")
+      .trim.toUpperCase
+    require(f == "PARQUET" || f == "AVRO" || f == "ORC",
+      s"unsupported write.format.default '$f' — parquet, avro or orc")
+    f
+  }
+
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncateRe = """truncate\[(\d+)\]""".r
 
@@ -162,13 +174,13 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
           }.toArray
       override def toBatch: BatchWrite =
         new GraftTableBatchWrite(tableDir, tableSchema, fields, part, replace, conf,
-          branch)
+          branch, writeFormat(meta))
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!replace, "graft-table streaming writes are append-only " +
           "(complete/truncate output modes are not supported)")
         new GraftTableStreamingWrite(tableDir, tableSchema, fields, part,
-          info.queryId(), conf)
+          info.queryId(), conf, writeFormat(meta))
       }
     }
   }
@@ -185,7 +197,10 @@ case class GraftFileMessage(path: String, rows: Long, bytes: Long,
     // v3 row lineage: this data file MATERIALIZES _row_id (an
     // update-written delta file carrying the original rows' ids) — the
     // commit must not claim a fresh id block for it
-    carriesLineage: Boolean = false)
+    carriesLineage: Boolean = false,
+    // manifest field 101 — PARQUET unless write.format.default says
+    // avro/orc (append-in-kind for imported foreign tables)
+    fileFormat: String = "PARQUET")
 
 case class GraftWriteMessage(files: Seq[GraftFileMessage]) extends WriterCommitMessage
 
@@ -213,7 +228,8 @@ object GraftTableWrites {
       replace: Boolean = false, branch: Option[String] = None): Unit =
     lastCommit.set(GraftTable.commitAppendFiles(tableDir,
       files.map(m => GraftTable.PendingFile(
-        m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId)),
+        m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId,
+        fileFormat = m.fileFormat)),
       extraSummary, replace, branch))
 }
 
@@ -221,12 +237,14 @@ class GraftTableBatchWrite(tableDir: String, schema: StructType,
     fields: Seq[(Int, String, IcebergType)], part: GraftTableWrites.PartInfo,
     replace: Boolean,
     hadoopConf: graft.iceberg.SerializableHadoopConf,
-    branch: Option[String] = None) extends BatchWrite {
+    branch: Option[String] = None,
+    format: String = "PARQUET") extends BatchWrite {
 
   private val writeUuid = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftTableWriterFactory(tableDir, writeUuid, schema, fields, part, hadoopConf)
+    new GraftTableWriterFactory(tableDir, writeUuid, schema, fields, part,
+      hadoopConf, format)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val all = GraftTableWrites.filesOf(messages)
@@ -252,13 +270,14 @@ class GraftTableBatchWrite(tableDir: String, schema: StructType,
   * streaming writer. Empty epochs commit nothing. */
 class GraftTableStreamingWrite(tableDir: String, schema: StructType,
     fields: Seq[(Int, String, IcebergType)], part: GraftTableWrites.PartInfo,
-    queryId: String, hadoopConf: graft.iceberg.SerializableHadoopConf)
+    queryId: String, hadoopConf: graft.iceberg.SerializableHadoopConf,
+    format: String = "PARQUET")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new GraftTableStreamingWriterFactory(tableDir, queryId, schema, fields, part,
-      hadoopConf)
+      hadoopConf, format)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val all = GraftTableWrites.filesOf(messages)
@@ -282,25 +301,31 @@ class GraftTableStreamingWrite(tableDir: String, schema: StructType,
 class GraftTableWriterFactory(tableDir: String, writeUuid: String,
     schema: StructType, fields: Seq[(Int, String, IcebergType)],
     part: GraftTableWrites.PartInfo,
-    hadoopConf: graft.iceberg.SerializableHadoopConf) extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    hadoopConf: graft.iceberg.SerializableHadoopConf,
+    fileFormat: String = "PARQUET") extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val ext = fileFormat.toLowerCase
     GraftTableDataWriter.create(
-      ord => s"$tableDir/data/w-$writeUuid-p%05d-t$taskId-f%03d.parquet"
+      ord => s"$tableDir/data/w-$writeUuid-p%05d-t$taskId-f%03d.$ext"
         .format(partitionId, ord),
-      schema, fields, part, hadoopConf.value)
+      schema, fields, part, hadoopConf.value, fileFormat)
+  }
 }
 
 class GraftTableStreamingWriterFactory(tableDir: String, queryId: String,
     schema: StructType, fields: Seq[(Int, String, IcebergType)],
     part: GraftTableWrites.PartInfo,
-    hadoopConf: graft.iceberg.SerializableHadoopConf)
+    hadoopConf: graft.iceberg.SerializableHadoopConf,
+    fileFormat: String = "PARQUET")
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
-      : DataWriter[InternalRow] =
+      : DataWriter[InternalRow] = {
+    val ext = fileFormat.toLowerCase
     GraftTableDataWriter.create(
-      ord => s"$tableDir/data/w-$queryId-e$epochId-p%05d-t$taskId-f%03d.parquet"
+      ord => s"$tableDir/data/w-$queryId-e$epochId-p%05d-t$taskId-f%03d.$ext"
         .format(partitionId, ord),
-      schema, fields, part, hadoopConf.value)
+      schema, fields, part, hadoopConf.value, fileFormat)
+  }
 }
 
 object GraftTableDataWriter {
@@ -324,11 +349,44 @@ object GraftTableDataWriter {
 
   def create(pathFor: Int => String, schema: StructType,
       fields: Seq[(Int, String, IcebergType)], part: GraftTableWrites.PartInfo,
-      conf: Configuration): DataWriter[InternalRow] = part match {
-    case None =>
-      new GraftTableUnpartitionedWriter(pathFor(0), schema, fields, conf)
-    case Some((specId, specFields)) =>
-      new GraftTablePartitionedWriter(pathFor, schema, fields, specId, specFields, conf)
+      conf: Configuration, format: String = "PARQUET"): DataWriter[InternalRow] =
+    part match {
+      case None =>
+        new GraftTableUnpartitionedWriter(pathFor(0), schema, fields, conf, format)
+      case Some((specId, specFields)) =>
+        new GraftTablePartitionedWriter(pathFor, schema, fields, specId,
+          specFields, conf, format)
+    }
+
+  /** Raw JVM value of a primitive field (Spark internal domain:
+    * DateType = epoch days, timestamps = epoch micros) — what
+    * BoundTracker compares and every format writer encodes from. */
+  private[sources] def rawPrim(dt: DataType,
+      d: org.apache.spark.sql.catalyst.expressions.SpecializedGetters, i: Int): Any =
+    dt match {
+      case IntegerType | DateType => d.getInt(i)
+      case LongType | TimestampType | TimestampNTZType => d.getLong(i)
+      case DoubleType => d.getDouble(i)
+      case FloatType => d.getFloat(i)
+      case BooleanType => d.getBoolean(i)
+      case StringType => d.getUTF8String(i).toString
+      case dec: DecimalType =>
+        d.getDecimal(i, dec.precision, dec.scale).toJavaBigDecimal
+      case BinaryType => d.getBinary(i)
+      case other => throw new UnsupportedOperationException(other.toString)
+    }
+
+  /** Format dispatch for `write.format.default` — the append-in-kind
+    * path for imported foreign tables. */
+  private[sources] def fileWriter(format: String, path: String,
+      schema: StructType, fields: Seq[(Int, String, IcebergType)],
+      summary: Option[Seq[ManifestListWriter.FieldSummary]], specId: Int,
+      conf: Configuration): TaskFileWriter = format match {
+    case "PARQUET" => new GraftFileWriter(path, schema, fields, summary, specId, conf)
+    case "AVRO" => new AvroTaskFileWriter(path, schema, fields, summary, specId, conf)
+    case "ORC" => new OrcTaskFileWriter(path, schema, fields, summary, specId, conf)
+    case other => throw new IllegalArgumentException(
+      s"unsupported write.format.default '$other' — parquet, avro or orc")
   }
 
   /** Raw tracked value → the Iceberg single-value-codec input domain
@@ -356,9 +414,11 @@ object GraftTableDataWriter {
 
 /** Unpartitioned task writer: one file per task. */
 class GraftTableUnpartitionedWriter(path: String, schema: StructType,
-    fields: Seq[(Int, String, IcebergType)], conf: Configuration)
+    fields: Seq[(Int, String, IcebergType)], conf: Configuration,
+    format: String = "PARQUET")
     extends DataWriter[InternalRow] {
-  private val fw = new GraftFileWriter(path, schema, fields, None, 0, conf)
+  private val fw = GraftTableDataWriter.fileWriter(
+    format, path, schema, fields, None, 0, conf)
   override def write(row: InternalRow): Unit = fw.write(row)
   override def commit(): WriterCommitMessage = GraftWriteMessage(Seq(fw.finish()))
   override def abort(): Unit = fw.abort()
@@ -372,13 +432,14 @@ class GraftTableUnpartitionedWriter(path: String, schema: StructType,
   * clustered distribution keeps small. */
 class GraftTablePartitionedWriter(pathFor: Int => String, schema: StructType,
     fields: Seq[(Int, String, IcebergType)], specId: Int,
-    specFields: Seq[(Int, IcebergType, String, IcebergType)], conf: Configuration)
+    specFields: Seq[(Int, IcebergType, String, IcebergType)], conf: Configuration,
+    format: String = "PARQUET")
     extends DataWriter[InternalRow] {
 
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncateRe = """truncate\[(\d+)\]""".r
   private val writers = scala.collection.mutable.LinkedHashMap
-    .empty[Vector[Any], GraftFileWriter]
+    .empty[Vector[Any], TaskFileWriter]
 
   private def rawValue(row: InternalRow, idx: Int): Any =
     if (row.isNullAt(idx)) null
@@ -446,7 +507,7 @@ class GraftTablePartitionedWriter(pathFor: Int => String, schema: StructType,
   override def write(row: InternalRow): Unit = {
     val tuple = specFields.map { case (idx, srcType, transform, _) =>
       transformed(transform, srcType, rawValue(row, idx)) }.toVector
-    writers.getOrElseUpdate(tuple, new GraftFileWriter(
+    writers.getOrElseUpdate(tuple, GraftTableDataWriter.fileWriter(format,
       pathFor(writers.size), schema, fields, Some(summaryOf(tuple)), specId, conf))
       .write(row)
   }
@@ -460,10 +521,64 @@ class GraftTablePartitionedWriter(pathFor: Int => String, schema: StructType,
 /** One parquet file: streams rows, tracking min/max per column inline
   * (the stats Iceberg manifests carry — no second derive pass over the
   * written file, unlike the driver-side append path). */
+/** The contract every task-side data-file writer speaks, whatever the
+  * format: stream InternalRows, return ONE commit message with inline
+  * bound stats (bounds live in MANIFESTS, so they are format-independent
+  * — avro/orc files written here prune exactly like parquet ones, which
+  * the IMPORT paths cannot promise: avro containers carry no footer
+  * stats). */
+private[sources] trait TaskFileWriter {
+  def write(row: InternalRow): Unit
+  def finish(): GraftFileMessage
+  def abort(): Unit
+}
+
+/** Inline min/max tracking in the raw Spark value domain
+  * (Int/Long/Double/Float/Boolean/String; DateType as epoch days,
+  * timestamps as epoch micros). Binary columns track nothing — cmp has
+  * no byte-array ordering; a fabricated bound would mis-prune, an
+  * absent one never does. */
+private[sources] final class BoundTracker(schema: StructType,
+    fields: Seq[(Int, String, IcebergType)]) {
+  private val mins = Array.fill[Any](schema.fields.length)(null)
+  private val maxs = Array.fill[Any](schema.fields.length)(null)
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Int, y: Int) => x.compareTo(y)
+    case (x: Long, y: Long) => x.compareTo(y)
+    case (x: Double, y: Double) => x.compareTo(y)
+    case (x: Float, y: Float) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => x.compareTo(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case _ => 0
+  }
+
+  def track(i: Int, v: Any): Unit =
+    if (schema.fields(i).dataType != BinaryType) {
+      if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
+      if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
+    }
+
+  /** Iceberg single-value-encoded (lower, upper) maps by field id. */
+  def lowerUpper(): (Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+    val bounds = fields.flatMap { case (id, name, t) =>
+      val i = schema.fieldIndex(name)
+      (Option(mins(i)), Option(maxs(i))) match {
+        case (Some(lo), Some(hi)) =>
+          Seq((id, GraftTableDataWriter.encode(t, schema.fields(i).dataType, lo),
+            GraftTableDataWriter.encode(t, schema.fields(i).dataType, hi)))
+        case _ => Nil
+      }
+    }
+    (bounds.map(b => b._1 -> b._2).toMap, bounds.map(b => b._1 -> b._3).toMap)
+  }
+}
+
 class GraftFileWriter(path: String, schema: StructType,
     fields: Seq[(Int, String, IcebergType)],
     summary: Option[Seq[ManifestListWriter.FieldSummary]], specId: Int,
-    conf: Configuration) {
+    conf: Configuration) extends TaskFileWriter {
 
   import org.apache.parquet.schema.Type.Repetition
 
@@ -574,38 +689,11 @@ class GraftFileWriter(path: String, schema: StructType,
     .build()
   private val factory = new SimpleGroupFactory(msgType)
   private var rows = 0L
-  // raw-domain min/max per column (Int/Long/Double/Float/Boolean/String;
-  // DateType as epoch days, TimestampType as epoch micros)
-  private val mins = Array.fill[Any](schema.fields.length)(null)
-  private val maxs = Array.fill[Any](schema.fields.length)(null)
+  private val tracker = new BoundTracker(schema, fields)
 
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: Int, y: Int) => x.compareTo(y)
-    case (x: Long, y: Long) => x.compareTo(y)
-    case (x: Double, y: Double) => x.compareTo(y)
-    case (x: Float, y: Float) => x.compareTo(y)
-    case (x: Boolean, y: Boolean) => x.compareTo(y)
-    case (x: String, y: String) => x.compareTo(y)
-    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
-    case _ => 0
-  }
-
-  /** Raw JVM value of a primitive field — shared by the top-level write
-    * (which also feeds it to bound-stat tracking) and nested leaves. */
   private def primValue(dt: DataType,
       d: org.apache.spark.sql.catalyst.expressions.SpecializedGetters, i: Int): Any =
-    dt match {
-      case IntegerType | DateType => d.getInt(i)
-      case LongType | TimestampType | TimestampNTZType => d.getLong(i)
-      case DoubleType => d.getDouble(i)
-      case FloatType => d.getFloat(i)
-      case BooleanType => d.getBoolean(i)
-      case StringType => d.getUTF8String(i).toString
-      case dec: DecimalType =>
-        d.getDecimal(i, dec.precision, dec.scale).toJavaBigDecimal
-      case BinaryType => d.getBinary(i)
-      case other => throw new UnsupportedOperationException(other.toString)
-    }
+    GraftTableDataWriter.rawPrim(dt, d, i)
 
   private def addPrim(g: Group, name: String, dt: DataType, v: Any): Unit = v match {
     case x: Int => g.add(name, x)
@@ -677,12 +765,7 @@ class GraftFileWriter(path: String, schema: StructType,
         case _ =>
           val v = primValue(f.dataType, row, i)
           addPrim(g, f.name, f.dataType, v)
-          // binary columns carry no bounds (cmp has no byte-array
-          // ordering; a fabricated bound would mis-prune — absent never do)
-          if (f.dataType != BinaryType) {
-            if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
-            if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
-          }
+          tracker.track(i, v)
       }
     }
     writer.write(g)
@@ -691,23 +774,145 @@ class GraftFileWriter(path: String, schema: StructType,
 
   def finish(): GraftFileMessage = {
     writer.close()
-    val bounds = fields.flatMap { case (id, name, t) =>
-      val i = schema.fieldIndex(name)
-      (Option(mins(i)), Option(maxs(i))) match {
-        case (Some(lo), Some(hi)) =>
-          Seq((id, GraftTableDataWriter.encode(t, schema.fields(i).dataType, lo),
-            GraftTableDataWriter.encode(t, schema.fields(i).dataType, hi)))
-        case _ => Nil
-      }
-    }
+    val (lower, upper) = tracker.lowerUpper()
     GraftFileMessage(path, rows,
       graft.iceberg.HadoopConfs.fileSystemFor(path)
         .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen,
-      bounds.map(b => b._1 -> b._2).toMap, bounds.map(b => b._1 -> b._3).toMap,
-      summary, specId)
+      lower, upper, summary, specId)
   }
 
   def abort(): Unit = {
+    writer.close()
+    graft.iceberg.HadoopConfs.fileSystemFor(path)
+      .delete(new org.apache.hadoop.fs.Path(path), false)
+  }
+}
+
+/** One Avro object-container data file — the `write.format.default =
+  * 'avro'` task writer, so an avro-imported table (i75) appends
+  * in-kind. Layout matches [[graft.iceberg.AvroDataFiles.avroSchema]]
+  * (nullable unions, date/timestamp logical types), which is exactly
+  * what the AVRO scan route decodes. Inline bound stats track like any
+  * other writer — manifests don't care about the data format. */
+private[sources] final class AvroTaskFileWriter(path: String,
+    schema: StructType, fields: Seq[(Int, String, IcebergType)],
+    summary: Option[Seq[ManifestListWriter.FieldSummary]], specId: Int,
+    conf: Configuration) extends TaskFileWriter {
+  import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+  private val avro = graft.iceberg.AvroDataFiles.avroSchema(schema)
+  private val writer =
+    new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avro))
+  writer.setCodec(org.apache.avro.file.CodecFactory.fromString("deflate"))
+  // create(overwrite = false): attempt-unique task filenames make
+  // collisions impossible; failing loudly beats clobbering
+  writer.create(avro, graft.iceberg.HadoopConfs.fileSystemFor(path)
+    .create(new org.apache.hadoop.fs.Path(path), false))
+  private val tracker = new BoundTracker(schema, fields)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val rec = new GenericData.Record(avro)
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) {
+        val v = GraftTableDataWriter.rawPrim(f.dataType, row, i)
+        tracker.track(i, v)
+        rec.put(f.name, v match {
+          case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+          case other => other.asInstanceOf[AnyRef]
+        })
+      }
+    }
+    writer.append(rec)
+    rows += 1
+  }
+
+  override def finish(): GraftFileMessage = {
+    writer.close()
+    val (lower, upper) = tracker.lowerUpper()
+    GraftFileMessage(path, rows,
+      graft.iceberg.HadoopConfs.fileSystemFor(path)
+        .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen,
+      lower, upper, summary, specId, fileFormat = "AVRO")
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    graft.iceberg.HadoopConfs.fileSystemFor(path)
+      .delete(new org.apache.hadoop.fs.Path(path), false)
+  }
+}
+
+/** One ORC data file — the `write.format.default = 'orc'` task writer,
+  * appending in-kind to orc-imported tables (i78). Layout matches
+  * [[graft.iceberg.OrcDataFiles.orcSchema]] (timestamptz as ORC
+  * timestamp-instant), which the ORC stripe-granular scan route
+  * decodes. Rows buffer through one VectorizedRowBatch. */
+private[sources] final class OrcTaskFileWriter(path: String,
+    schema: StructType, fields: Seq[(Int, String, IcebergType)],
+    summary: Option[Seq[ManifestListWriter.FieldSummary]], specId: Int,
+    conf: Configuration) extends TaskFileWriter {
+  import org.apache.hadoop.hive.ql.exec.vector.{BytesColumnVector,
+    DoubleColumnVector, LongColumnVector, TimestampColumnVector}
+
+  private val orc = graft.iceberg.OrcDataFiles.orcSchema(schema)
+  private val writer = org.apache.orc.OrcFile.createWriter(
+    new org.apache.hadoop.fs.Path(path),
+    org.apache.orc.OrcFile.writerOptions(conf).setSchema(orc))
+  private val batch = orc.createRowBatch()
+  private val tracker = new BoundTracker(schema, fields)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val i = batch.size
+    schema.fields.zipWithIndex.foreach { case (f, c) =>
+      val vec = batch.cols(c)
+      if (row.isNullAt(c)) { vec.noNulls = false; vec.isNull(i) = true }
+      else {
+        val v = GraftTableDataWriter.rawPrim(f.dataType, row, c)
+        tracker.track(c, v)
+        (f.dataType, v) match {
+          case (IntegerType | DateType, x: Int) =>
+            vec.asInstanceOf[LongColumnVector].vector(i) = x.toLong
+          case (LongType, x: Long) =>
+            vec.asInstanceOf[LongColumnVector].vector(i) = x
+          case (BooleanType, x: Boolean) =>
+            vec.asInstanceOf[LongColumnVector].vector(i) = if (x) 1L else 0L
+          case (FloatType, x: Float) =>
+            vec.asInstanceOf[DoubleColumnVector].vector(i) = x.toDouble
+          case (DoubleType, x: Double) =>
+            vec.asInstanceOf[DoubleColumnVector].vector(i) = x
+          case (StringType, x: String) =>
+            vec.asInstanceOf[BytesColumnVector].setVal(i,
+              x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case (BinaryType, x: Array[Byte]) =>
+            vec.asInstanceOf[BytesColumnVector].setVal(i, x)
+          case (TimestampType | TimestampNTZType, us: Long) =>
+            val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+            ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+            vec.asInstanceOf[TimestampColumnVector].set(i, ts)
+          case (t, x) => throw new UnsupportedOperationException(
+            s"orc task writer: $t <- ${x.getClass.getName}")
+        }
+      }
+    }
+    batch.size += 1
+    if (batch.size == batch.getMaxSize) { writer.addRowBatch(batch); batch.reset() }
+    rows += 1
+  }
+
+  override def finish(): GraftFileMessage = {
+    if (batch.size > 0) writer.addRowBatch(batch)
+    writer.close()
+    val (lower, upper) = tracker.lowerUpper()
+    GraftFileMessage(path, rows,
+      graft.iceberg.HadoopConfs.fileSystemFor(path)
+        .getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen,
+      lower, upper, summary, specId, fileFormat = "ORC")
+  }
+
+  override def abort(): Unit = {
     writer.close()
     graft.iceberg.HadoopConfs.fileSystemFor(path)
       .delete(new org.apache.hadoop.fs.Path(path), false)

@@ -32,7 +32,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ TextPipeline.oracles ++
-      Similarity.oracles ++ EventStreams.oracles ++ Advanced.oracles ++
+      Similarity.oracles ++ Multimodal.oracles ++
+      EventStreams.oracles ++ Advanced.oracles ++
       Relational2.oracles ++ Relational3.oracles ++ Lakehouse.oracles ++
       LakehouseExec.oracles ++ LakehouseMaint.oracles ++
       LakehouseNested.oracles ++ LakehouseInspect.oracles ++

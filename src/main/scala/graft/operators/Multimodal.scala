@@ -169,11 +169,100 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** m05 — REAL WAV decode (no stub): each document synthesizes a
+    * deterministic 16-bit PCM mono fixture (sample values pure integer
+    * arithmetic over doc_id, so DuckDB recomputes them from first
+    * principles), [[MediaCodecs.encodeWav]] lays it out as a
+    * spec-conforming RIFF container, and [[MediaCodecs.decodeWav]] — the
+    * operator under test — walks the chunk list and folds amplitude
+    * stats in one pass. All-integer outputs: exact cross-engine
+    * equality, no float tolerance. Encode+decode inversions that cancel
+    * (both sides big-endian) are pinned separately by MediaCodecSpec's
+    * golden bytes. Per-record work inside the partition iterator; the
+    * only shuffle is the final global rollup. */
+  val wavDecode: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val n = 100 + (id % 50).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 31 + i * 7) % 2003) - 1001).toShort)
+        val info = MediaCodecs.decodeWav(MediaCodecs.encodeWav(8000, samples))
+        require(info.sampleRate == 8000 && info.channels == 1 &&
+          info.bitsPerSample == 16, s"decode header mismatch: $info")
+        (id, info.nSamples.toLong, info.durationUs, info.maxAbs.toLong, info.sumAbs)
+      })
+      .toDF("doc_id", "n", "dur", "mx", "sa")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n").cast("long").as("n_samples"),
+        sum($"dur").cast("long").as("duration_us"),
+        sum($"mx").cast("long").as("sum_max_abs"),
+        sum($"sa").cast("long").as("sum_abs"))
+  }
+
+  val wavDecodeSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, unnest(generate_series(0, 99 + doc_id % 50)) AS i
+      |  FROM documents),
+      |v AS (SELECT doc_id, ABS((doc_id * 31 + i * 7) % 2003 - 1001) AS a FROM s),
+      |p AS (SELECT doc_id, COUNT(*) AS n, MAX(a) AS mx, SUM(a) AS sa
+      |      FROM v GROUP BY doc_id)
+      |SELECT COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_samples,
+      |  CAST(SUM(n) * 125 AS BIGINT) AS duration_us,
+      |  CAST(SUM(mx) AS BIGINT) AS sum_max_abs,
+      |  CAST(SUM(sa) AS BIGINT) AS sum_abs
+      |FROM p""".stripMargin
+
+  /** m06 — REAL BMP decode (no stub): deterministic 24-bit pixel
+    * fixtures whose widths run 4..8 so the ROW PADDING actually varies
+    * (width·3 mod 4 ∈ {0,1,2,3}) and bottom-up row order matters; the
+    * decoder honors the declared pixel-array offset, padded stride and
+    * BGR order — get any of them wrong and the channel sum diverges
+    * from DuckDB's arithmetic recomputation. */
+  val bmpDecode: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        val bytes = MediaCodecs.encodeBmp(w, h,
+          (x, y, c) => ((id + x * 3 + y * 7 + c * 11) % 256).toInt)
+        val info = MediaCodecs.decodeBmp(bytes)
+        require(info.width == w && info.height == h,
+          s"decoded dimensions ${info.width}x${info.height} != ${w}x$h")
+        (id, w.toLong, h.toLong, info.sumChannels)
+      })
+      .toDF("doc_id", "w", "h", "sc")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"w").cast("long").as("sum_width"),
+        sum($"h").cast("long").as("sum_height"),
+        sum($"sc").cast("long").as("sum_channels"))
+  }
+
+  val bmpDecodeSql: String =
+    """WITH xs AS (SELECT doc_id,
+      |    unnest(generate_series(0, 3 + doc_id % 5)) AS x FROM documents),
+      |ys AS (SELECT doc_id, x,
+      |    unnest(generate_series(0, 2 + doc_id % 4)) AS y FROM xs),
+      |cs AS (SELECT doc_id, x, y, unnest([0, 1, 2]) AS c FROM ys)
+      |SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(4 + doc_id % 5) AS BIGINT) AS sum_width,
+      |  CAST(SUM(3 + doc_id % 4) AS BIGINT) AS sum_height,
+      |  CAST((SELECT SUM((doc_id + x * 3 + y * 7 + c * 11) % 256) FROM cs)
+      |    AS BIGINT) AS sum_channels
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_media_features" -> mediaFeatures,
     "m02_media_records" -> mediaRecords,
     "m03_frame_samples" -> frameSamples,
-    "m04_thumbnails" -> thumbnails)
+    "m04_thumbnails" -> thumbnails,
+    "m05_wav_decode" -> wavDecode,
+    "m06_bmp_decode" -> bmpDecode)
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "m05_wav_decode" -> wavDecodeSql,
+    "m06_bmp_decode" -> bmpDecodeSql)
 }

@@ -1061,13 +1061,13 @@ object GraftTable {
     * blobs expanded executor-side, v2 parquet positions restricted to
     * the covered files. */
   private def pendingPosState(spark: SparkSession, meta0: TableMetadata,
-      covered: Set[String])
+      covered: Set[String], branch: Option[String] = None)
       : (Seq[ManifestWriter.EntryData], DataFrame) = {
     import spark.implicits._
     def norm(p: String): String = uriPath(p)
     def normCol(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^[a-z0-9+.-]+:(//)?", "")
-    val delE = currentEntries(meta0, 1).filter(_.content == 1)
+    val delE = entriesAt(refHead(meta0, branch), 1).filter(_.content == 1)
     val oldDvEntries = delE.filter(e => e.fileFormat == "PUFFIN" &&
       e.referencedDataFile.exists(r => covered(norm(r))))
     // sorted-array overlap keeps this O(D log N) — a per-covered-path
@@ -1313,12 +1313,28 @@ object GraftTable {
     * must hold its original number explicitly or it would out-sequence
     * pending equality deletes. */
   private def currentEntries(base: TableMetadata, listContent: Int): Seq[ManifestWriter.EntryData] =
+    entriesAt(base.currentSnapshot, listContent)
+
+  /** [[currentEntries]] generalized to any head snapshot — what lets the
+    * DML paths operate on a BRANCH head instead of main's. */
+  private def entriesAt(head: Option[Snapshot], listContent: Int): Seq[ManifestWriter.EntryData] =
     Par.inParallel(
-      base.currentSnapshot.toSeq
+      head.toSeq
         .flatMap(s => ManifestListReader.read(s.manifestList.get))
         .filter(_.content == listContent))(i => ManifestWriter.read(i.path).map(e =>
           e.copy(sequenceNumber = Some(e.sequenceNumber.getOrElse(i.sequenceNumber)))))
       .flatten.filter(_.status != 2)
+
+  /** The head a DML operation works against: the named branch's (the ref
+    * must exist — a typo must not silently target main) or main's. */
+  private def refHead(meta: TableMetadata, branch: Option[String]): Option[Snapshot] =
+    branch match {
+      case Some(b) =>
+        require(meta.refs.exists(r => r.name == b && r.refType == "branch"),
+          s"unknown branch '$b'")
+        Some(resolveSnapshot(meta, None, Some(b)))
+      case None => meta.currentSnapshotId.map(_ => resolveSnapshot(meta, None, None))
+    }
 
   /** MERGE INTO, copy-on-write: source rows matched on `keyCols` REPLACE
     * the live row (whole-row update), unmatched source rows insert — a
@@ -2542,14 +2558,22 @@ object GraftTable {
     * the current data files, land them as ONE position-delete file, and
     * CAS-commit a delete snapshot. The predicate is an ordinary Column
     * over the table's schema — evaluated in one distributed scan. */
+  /** With `branch`, the DELETE is BRANCH-SCOPED end-to-end: the predicate
+    * scans the branch head's live rows (not main's), the delete snapshot
+    * chains from the branch head carrying ITS manifests, and the commit
+    * moves only the branch ref — main never sees the staged delete until
+    * fast_forward publishes it (the WAP contract extended beyond
+    * appends). A delete is append-shaped (one new delete manifest over
+    * carried state), so the branch-writes-are-append-only invariant
+    * holds unchanged. */
   def deleteWhere(spark: SparkSession, tableDir: String,
-      predicate: org.apache.spark.sql.Column): OptimisticCommit.CommitResult = {
+      predicate: org.apache.spark.sql.Column,
+      branch: Option[String] = None): OptimisticCommit.CommitResult = {
     val metaPath0 = latestMetadataPath(tableDir)
     val meta0 = TableMetadata.parseFile(metaPath0)
     if (meta0.formatVersion >= 3)
-      return deleteWhereDv(spark, tableDir, metaPath0, meta0, predicate)
-    val scanned = meta0.currentSnapshotId.toSeq.flatMap { _ =>
-      val snap = resolveSnapshot(meta0, None, None)
+      return deleteWhereDv(spark, tableDir, metaPath0, meta0, predicate, branch)
+    val scanned = refHead(meta0, branch).toSeq.flatMap { snap =>
       Par.inParallel(
           ManifestListReader.read(snap.manifestList.get).filter(_.content == 0))(
           i => (i, ManifestWriter.read(i.path)))
@@ -2610,13 +2634,21 @@ object GraftTable {
         1, snapId, delFile, nDeletes, ParquetFiles.length(delFile),
         delLower, delUpper, content = 1, sequenceNumber = Some(snapId))))
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
-      writeList(list, carryForward(base), manifest, 0, 1, snapId, delSummary)
-      MetadataWriter.commitSnapshot(base,
-        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
-          Some("delete"),
-          Map("added-delete-files" -> "1", "added-position-deletes" -> nDeletes.toString),
-          Some(list), base.currentSchemaId),
-        Some(basePath))
+      val head = refHead(base, branch)
+      val carried = branch match {
+        case None => carryForward(base)
+        case Some(_) =>
+          head.toSeq.flatMap(s => ManifestListReader.read(s.manifestList.get))
+      }
+      writeList(list, carried, manifest, 0, 1, snapId, delSummary)
+      val snap = Snapshot(snapId, head.map(_.snapshotId), base.lastUpdatedMs + 1000,
+        Some("delete"),
+        Map("added-delete-files" -> "1", "added-position-deletes" -> nDeletes.toString),
+        Some(list), base.currentSchemaId)
+      branch match {
+        case None => MetadataWriter.commitSnapshot(base, snap, Some(basePath))
+        case Some(b) => MetadataWriter.commitToBranch(base, snap, b, Some(basePath))
+      }
     })
   }
 
@@ -2650,10 +2682,10 @@ object GraftTable {
     * — real Iceberg's DELETE behaves the same way in v3. */
   private def deleteWhereDv(spark: SparkSession, tableDir: String,
       metaPath0: String, meta0: TableMetadata,
-      predicate: org.apache.spark.sql.Column): OptimisticCommit.CommitResult = {
+      predicate: org.apache.spark.sql.Column,
+      branch: Option[String] = None): OptimisticCommit.CommitResult = {
     import spark.implicits._
-    val dataE = meta0.currentSnapshotId.toSeq.flatMap { _ =>
-      val snap = resolveSnapshot(meta0, None, None)
+    val dataE = refHead(meta0, branch).toSeq.flatMap { snap =>
       Par.inParallel(
           ManifestListReader.read(snap.manifestList.get).filter(_.content == 0))(
           i => ManifestWriter.read(i.path))
@@ -2686,7 +2718,7 @@ object GraftTable {
     if (covered.isEmpty)
       return OptimisticCommit.CommitResult(
         OptimisticCommit.currentVersion(tableDir), metaPath0, meta0, 0)
-    val (oldDvEntries, oldPositions) = pendingPosState(spark, meta0, covered)
+    val (oldDvEntries, oldPositions) = pendingPosState(spark, meta0, covered, branch)
     val attempt = java.util.UUID.randomUUID()
     val provisionalSnap = (meta0.snapshots.map(_.snapshotId) :+ 0L).max + 1
     val refRows = writeDvsDistributed(spark, tableDir, attempt,
@@ -2698,23 +2730,25 @@ object GraftTable {
       oldDvEntries.map(e => (norm(e.filePath), e.contentOffset.getOrElse(0L))).toSet
     // the delete manifest's field-507 summary: union of the summaries of
     // the manifests owning the addressed files (same rule as the v2 path)
-    val snap0 = resolveSnapshot(meta0, None, None)
+    val snap0 = refHead(meta0, branch).get // dataE nonEmpty ⇒ a head exists
     val owners = ManifestListReader.read(snap0.manifestList.get)
       .filter(_.content == 0)
     val addressedOwners = Par.inParallel(owners)(i => (i, ManifestWriter.read(i.path)))
       .filter { case (_, es) => es.exists(e => e.status != 2 && covered(norm(e.filePath))) }
       .map(_._1).distinctBy(_.path)
     val delSummary = ScanPlanning.unionSummaries(meta0, addressedOwners)
-    val preDel = currentEntries(meta0, 1).filter(_.content == 1)
+    val preDel = entriesAt(refHead(meta0, branch), 1).filter(_.content == 1)
       .map(e => (norm(e.filePath), e.contentOffset.getOrElse(0L))).toSet
     val preData = dataE.map(e => norm(e.filePath)).toSet
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       // merge-on-write makes staleness dangerous: the new DVs absorbed
-      // the delete state AS OF meta0 and the commit DROPS the absorbed
-      // entries — a concurrent delete/compaction invalidates the merge
-      val nowDel = currentEntries(base, 1).filter(_.content == 1)
+      // the delete state AS OF meta0 (on the targeted ref) and the
+      // commit DROPS the absorbed entries — a concurrent delete/
+      // compaction on that ref invalidates the merge
+      val nowHead = refHead(base, branch)
+      val nowDel = entriesAt(nowHead, 1).filter(_.content == 1)
         .map(e => (norm(e.filePath), e.contentOffset.getOrElse(0L))).toSet
-      val nowData = currentEntries(base, 0).filter(_.content == 0)
+      val nowData = entriesAt(nowHead, 0).filter(_.content == 0)
         .map(e => norm(e.filePath)).toSet
       if (nowDel != preDel || nowData != preData)
         throw OptimisticCommit.CommitConflictException(
@@ -2727,7 +2761,11 @@ object GraftTable {
       })
       // supersede: carried delete manifests drop the old DV entries for
       // re-covered files (the new DVs contain their every position)
-      val carried0 = carryForward(base)
+      val carried0 = branch match {
+        case None => carryForward(base)
+        case Some(_) =>
+          nowHead.toSeq.flatMap(s => ManifestListReader.read(s.manifestList.get))
+      }
       val carried = carried0.flatMap { info =>
         if (info.content != 1 || superseded.isEmpty) Some(info)
         else {
@@ -2745,14 +2783,16 @@ object GraftTable {
       }
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       writeList(list, carried, manifest, 0, 1, snapId, delSummary)
-      MetadataWriter.commitSnapshot(base,
-        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
-          Some("delete"),
-          Map("added-dvs" -> refRows.size.toString,
-            "removed-dvs" -> oldDvEntries.size.toString,
-            "added-position-deletes" -> nNew.toString),
-          Some(list), base.currentSchemaId),
-        Some(basePath))
+      val snap = Snapshot(snapId, nowHead.map(_.snapshotId),
+        base.lastUpdatedMs + 1000, Some("delete"),
+        Map("added-dvs" -> refRows.size.toString,
+          "removed-dvs" -> oldDvEntries.size.toString,
+          "added-position-deletes" -> nNew.toString),
+        Some(list), base.currentSchemaId)
+      branch match {
+        case None => MetadataWriter.commitSnapshot(base, snap, Some(basePath))
+        case Some(b) => MetadataWriter.commitToBranch(base, snap, b, Some(basePath))
+      }
     })
   }
 

@@ -1512,12 +1512,19 @@ object LakehouseMaint {
       spark.sql("""INSERT INTO graft_wapx.db.n.branch_audit
         SELECT n_nationkey, n_name, n_regionkey FROM i62_nation_src
         WHERE n_regionkey >= 3""")
-      // audit: main must NOT see staged rows; the ref-name read must
-      val mainN = spark.sql("SELECT COUNT(*) FROM graft_wapx.db.n").head().getLong(0)
+      // staged DELETE (round 14): the predicate scans the BRANCH head —
+      // it removes a base row AND would see the staged appends — and the
+      // delete snapshot moves only the branch ref
+      spark.sql("DELETE FROM graft_wapx.db.n.branch_audit WHERE n_nationkey = 0")
+      // audit: main must NOT see staged rows OR the staged delete; the
+      // ref-name read must
+      val mainRow = spark.sql(
+        "SELECT COUNT(*), COUNT(CASE WHEN n_nationkey = 0 THEN 1 END) " +
+          "FROM graft_wapx.db.n").head()
       val auditN = spark.sql(
         "SELECT COUNT(*) FROM graft_wapx.db.n VERSION AS OF 'audit'").head().getLong(0)
-      require(mainN < auditN,
-        s"staging leaked into main: main=$mainN audit=$auditN")
+      require(mainRow.getLong(0) < auditN && mainRow.getLong(1) == 1L,
+        s"staging leaked into main: main=$mainRow audit=$auditN")
       spark.sql("CALL graft_wapx.system.fast_forward('db.n', 'audit')")
     }
     spark.sql("""SELECT n_regionkey, COUNT(*) AS n_live,
@@ -1528,7 +1535,8 @@ object LakehouseMaint {
   val sqlWapSql: String =
     """SELECT n_regionkey, COUNT(*) AS n_live,
       |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
-      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+      |FROM nation WHERE n_nationkey <> 0
+      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
   // ---------------------------------------------------------------- i61
   /** The maintenance schedule a platform team actually runs, end-to-end

@@ -132,6 +132,17 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => {
       refuseWriteReason.foreach(r => throw new UnsupportedOperationException(r))
+      // The row-level machinery plans against MAIN state (its scan and
+      // group-replace/delta commits are not branch-scoped); running one
+      // through a branch identifier would SILENTLY hit main. The refusal
+      // is LAZY (in the operation's scan/write builders): Spark builds
+      // this plan for every DELETE before possibly optimizing to the
+      // pushed SupportsDelete route — which IS branch-scoped — so an
+      // eager throw here would break the supported branch DELETE too.
+      val branchRefusal = writeBranch.map(b =>
+        "row-level operations on branch '" + b + "' are not supported — " +
+          "supported branch DML: INSERT INTO and pushed-predicate DELETE " +
+          "FROM; publish with fast_forward and run UPDATE/MERGE through main")
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
       val modeKey = info.command() match {
         case UPDATE => "write.update.mode"
@@ -141,9 +152,11 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
       val mor = TableMetadata.parseFile(metadataPath).properties
         .get(modeKey).contains("merge-on-read")
       if (mor)
-        new GraftDeltaRowLevelOperation(info.command(), tableSchema, metadataPath, splitSize)
+        new GraftDeltaRowLevelOperation(info.command(), tableSchema,
+          metadataPath, splitSize, branchRefusal)
       else
-        new GraftRowLevelOperation(info.command(), tableSchema, metadataPath, splitSize)
+        new GraftRowLevelOperation(info.command(), tableSchema,
+          metadataPath, splitSize, branchRefusal)
     }
   override def name(): String = s"graft-table($metadataPath)"
   override def schema(): StructType = tableSchema
@@ -241,8 +254,10 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
     import org.apache.spark.sql.functions.lit
     val cond = filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(lit(true))
     val tableDir = new org.apache.hadoop.fs.Path(metadataPath).getParent.toString
+    // a branch-suffixed identifier stages the delete on the BRANCH:
+    // scan, carried manifests and the ref move are all branch-scoped
     GraftTable.deleteWhere(
-      org.apache.spark.sql.SparkSession.active, tableDir, cond)
+      org.apache.spark.sql.SparkSession.active, tableDir, cond, writeBranch)
   }
 }
 
@@ -993,7 +1008,8 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
   * provably holds no matching row and carries forward untouched. */
 class GraftRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    tableSchema: StructType, metadataPath: String, splitSize: Long)
+    tableSchema: StructType, metadataPath: String, splitSize: Long,
+    refuseReason: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   private val scannedFiles =
@@ -1011,13 +1027,16 @@ class GraftRowLevelOperation(
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    refuseReason.foreach(r => throw new UnsupportedOperationException(r))
     new GraftTableScanBuilder(tableSchema, metadataPath, None, None, None,
       splitSize, Some((paths, dels) => { scannedFiles.set(paths); scannedDeletes.set(dels) }))
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
+    refuseReason.foreach(r => throw new UnsupportedOperationException(r))
     val delegate = new GraftTableWriteBuilder(metadataPath, info)
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
@@ -1073,7 +1092,8 @@ class GraftRowLevelOperation(
   * stranding deletes on dead paths. */
 class GraftDeltaRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    tableSchema: StructType, metadataPath: String, splitSize: Long)
+    tableSchema: StructType, metadataPath: String, splitSize: Long,
+    refuseReason: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
@@ -1098,12 +1118,15 @@ class GraftDeltaRowLevelOperation(
 
   override def representUpdateAsDeleteAndInsert(): Boolean = false
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    refuseReason.foreach(r => throw new UnsupportedOperationException(r))
     new GraftTableScanBuilder(tableSchema, metadataPath, None, None, None, splitSize)
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
+    refuseReason.foreach(r => throw new UnsupportedOperationException(r))
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
         new org.apache.spark.sql.connector.write.DeltaWrite {
@@ -1136,6 +1159,7 @@ class GraftDeltaRowLevelOperation(
           }
         }
     }
+  }
 }
 
 class GraftTableDeltaBatchWrite(tableDir: String, schema: StructType,

@@ -294,7 +294,10 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1))),
     "graft_dot" -> (es => DotProduct(es.head, es(1))),
     "graft_iceberg_bucket" -> (es => IcebergBucket(es.head, intLit(es(1), "n"))),
-    "graft_zorder_key" -> (es => ZOrderKey(es)))
+    "graft_zorder_key" -> (es => ZOrderKey(es)),
+    "graft_st_point" -> (es => STPoint(es.head, es(1))),
+    "graft_st_x" -> (es => STCoord(es.head, 0)),
+    "graft_st_y" -> (es => STCoord(es.head, 1)))
 
   def register(spark: SparkSession): Unit = synchronized {
     if (registered.contains(spark)) return
@@ -343,4 +346,11 @@ object GraftFunctions {
   /** Morton key over the clustering columns — see [[ZOrderKey]]. */
   def zorderKey(spark: SparkSession, cols: Seq[Column]): Column =
     { register(spark); call_function("graft_zorder_key", cols: _*) }
+  /** Canonical WKB point / coordinate readers — see [[GeoAlgos]]. */
+  def stPoint(spark: SparkSession, x: Column, y: Column): Column =
+    { register(spark); call_function("graft_st_point", x, y) }
+  def stX(spark: SparkSession, wkb: Column): Column =
+    { register(spark); call_function("graft_st_x", wkb) }
+  def stY(spark: SparkSession, wkb: Column): Column =
+    { register(spark); call_function("graft_st_y", wkb) }
 }

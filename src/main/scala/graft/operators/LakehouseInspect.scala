@@ -1013,6 +1013,48 @@ object LakehouseInspect {
       FROM graft_rg.db.adopted""")
   }
 
+  // ---------------------------------------------------------------- i95
+  /** Geometry VALUES over the v3 `geometry` column (i91 added the type;
+    * this adds the value layer): `graft_st_point(x, y)` builds canonical
+    * little-endian WKB, the task writer lands it as the column's binary
+    * payload (no bounds — the spec's geo bounds are bounding boxes, not
+    * single values), and `graft_st_x`/`graft_st_y` read the coordinates
+    * back through whole-stage codegen. Coordinates are dyadic rationals
+    * (multiples of 0.25), so every SUM is EXACT in IEEE double whatever
+    * the aggregation order — cross-engine equality without tolerance. */
+  val geometryPoints: Q = (spark, sfDir) => {
+    val wh = entryDir("i95", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_geo",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_geo.warehouse", wh)
+    Tables.load(spark, sfDir, "customer").createOrReplaceTempView("i95_customer_src")
+    graft.functions.GraftFunctions.register(spark)
+    graft.TmpOutputs.ensure(wh) {
+      GraftTable.create(s"$wh/db/g", IcebergSchema(0, Seq(
+        IcebergField(1, "id", required = false, fieldType = "long"),
+        IcebergField(2, "loc", required = false, fieldType = "geometry"))),
+        tableUuid = java.util.UUID.randomUUID().toString,
+        timestampMs = T0, formatVersion = 3)
+      spark.sql("""INSERT INTO graft_geo.db.g
+        SELECT c_custkey, graft_st_point(
+          CAST(c_custkey % 360 AS DOUBLE) - 180 + 0.5,
+          CAST(c_custkey % 180 AS DOUBLE) - 90 + 0.25)
+        FROM i95_customer_src""")
+    }
+    spark.sql("""SELECT COUNT(*) AS n_points,
+      CAST(SUM(graft_st_x(loc)) AS DOUBLE) AS sum_x,
+      CAST(SUM(graft_st_y(loc)) AS DOUBLE) AS sum_y,
+      CAST(MAX(graft_st_x(loc)) AS DOUBLE) AS max_x
+      FROM graft_geo.db.g""")
+  }
+
+  val geometryPointsSql: String =
+    """SELECT COUNT(*) AS n_points,
+      |  CAST(SUM((c_custkey % 360) - 180 + 0.5) AS DOUBLE) AS sum_x,
+      |  CAST(SUM((c_custkey % 180) - 90 + 0.25) AS DOUBLE) AS sum_y,
+      |  CAST(MAX((c_custkey % 360) - 180 + 0.5) AS DOUBLE) AS max_x
+      |FROM customer""".stripMargin
+
   // ---------------------------------------------------------------- i94
   /** `write.format.default` honored by the TASK WRITERS — the write
     * half of the i75/i78 foreign-format story: an avro- or orc-imported
@@ -1142,6 +1184,7 @@ object LakehouseInspect {
       |FROM nation""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "i95_geometry_points" -> geometryPoints,
     "i94_format_default" -> formatDefaultWrites,
     "i93_changelog_updates" -> changelogUpdates,
     "i92_register_table" -> registerTable,
@@ -1166,6 +1209,7 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i95_geometry_points" -> geometryPointsSql,
     "i94_format_default" -> formatDefaultWritesSql,
     "i93_changelog_updates" -> changelogUpdatesSql,
     "i92_register_table" -> registerTableSql,

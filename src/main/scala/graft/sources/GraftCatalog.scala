@@ -93,8 +93,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def tableDir(ident: Identifier): String =
     GraftCatalog.resolveRegistered(layoutDir(ident))
 
+  /** A STALE registration (pointer whose target vanished) still counts
+    * as existing: the identifier is occupied, and Spark's DropTableExec
+    * consults this before calling dropTable — without it the dangling
+    * pointer would be unremovable from SQL. */
   override def tableExists(ident: Identifier): Boolean =
-    OptimisticCommit.currentVersion(tableDir(ident)) > 0
+    OptimisticCommit.currentVersion(tableDir(ident)) > 0 ||
+      GraftCatalog.isRegistered(layoutDir(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = (warehouse +: namespace.toSeq).mkString("/")
@@ -207,9 +212,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "write to the table or a branch instead") else None))
   }
 
+  /** A registered identifier whose TARGET vanished (dropped through its
+    * owning catalog — the shared-ownership hazard register_table
+    * documents): still resolvable, as a capability-less stub, so SQL
+    * `DROP TABLE` can clear the dangling pointer — but nothing else
+    * works on it. Without this, the pointer would be unremovable from
+    * SQL (resolution fails before dropTable is ever called). */
+  private def staleRegisteredTable(ident: Identifier): Option[Table] =
+    if (!GraftCatalog.isRegistered(layoutDir(ident))) None
+    else Some(new Table {
+      override def name(): String =
+        s"$catalogName.$ident (registered to a missing table at " +
+          s"${GraftCatalog.resolveRegistered(layoutDir(ident))} — DROP to clear)"
+      override def schema(): StructType = new StructType()
+      override def capabilities(): util.Set[TableCapability] =
+        util.Collections.emptySet()
+    })
+
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) {
-      loadBranchTable(ident).orElse(loadMetadataTable(ident)) match {
+    if (OptimisticCommit.currentVersion(tableDir(ident)) == 0) {
+      loadBranchTable(ident).orElse(loadMetadataTable(ident))
+        .orElse(staleRegisteredTable(ident)) match {
         case Some(t) => return t
         case None => throw new NoSuchTableException(ident)
       }
@@ -249,6 +272,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // a STALE pointer (registered table whose target is gone) must not
+    // let CREATE silently materialize a new table inside the dead
+    // target's directory — the identifier is occupied until dropped
+    if (OptimisticCommit.currentVersion(tableDir(ident)) == 0)
+      require(!GraftCatalog.isRegistered(layoutDir(ident)),
+        s"$ident is registered to a missing table " +
+          s"(${GraftCatalog.resolveRegistered(layoutDir(ident))}) — DROP it first")
     if (tableExists(ident)) throw new TableAlreadyExistsException(
       (ident.namespace() :+ ident.name()).toSeq)
     // nested (list-element) ids allocate AFTER the top-level fields, from

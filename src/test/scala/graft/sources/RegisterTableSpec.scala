@@ -80,4 +80,31 @@ class RegisterTableSpec extends SparkSpec {
       "rename of a registered entry must not move the adopted table")
     assert(spark.sql("SELECT count(*) FROM rgc.db.t").head() == Row(5L))
   }
+
+  test("a stale pointer blocks CREATE at the identifier until dropped") {
+    val root = java.nio.file.Files.createTempDirectory("graft-reg3").toString
+    mkCatalog("rge", s"$root/a")
+    mkCatalog("rgf", s"$root/b")
+    spark.sql("CREATE TABLE rge.db.t (k BIGINT) " +
+      "TBLPROPERTIES ('commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO rge.db.t SELECT id FROM range(0, 3)")
+    spark.sql("CALL rgf.system.register_table(table => 'db.r', metadata_file " +
+      s"=> '${graft.iceberg.GraftTable.latestMetadataPath(s"$root/a/db/t")}')")
+    // the adopted table vanishes out from under the pointer (dropped
+    // through its OWNING catalog — shared-ownership hazard by design)
+    spark.sql("DROP TABLE rge.db.t")
+    // CREATE at the dangling identifier must refuse (the identifier is
+    // occupied), not materialize a fresh table inside the dead target
+    // directory — Spark's own exists-check fires off our tableExists
+    val e = intercept[Exception](spark.sql("CREATE TABLE rgf.db.r (x BIGINT)"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    assert(!new java.io.File(s"$root/a/db/t/v1.metadata.json").exists(),
+      "nothing may be created inside the dead target")
+    // DROP clears the stale pointer; the identifier is reusable after
+    spark.sql("DROP TABLE rgf.db.r")
+    spark.sql("CREATE TABLE rgf.db.r (x BIGINT) " +
+      "TBLPROPERTIES ('commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO rgf.db.r VALUES (1)")
+    assert(spark.sql("SELECT count(*) FROM rgf.db.r").head() == Row(1L))
+  }
 }

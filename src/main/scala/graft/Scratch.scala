@@ -14,28 +14,26 @@ object Scratch {
 
   private val PidDir = "^graft-.+-(\\d+)$".r
 
-  /** Delete sibling scratch dirs owned by processes that no longer exist,
-    * plus any other graft-* dir untouched for 6+ hours (test-suite
-    * createTempDirectory leftovers carry a random suffix, not a pid).
-    * Never touches the calling process's own dirs. */
+  /** Delete sibling scratch dirs owned by processes that no longer
+    * exist. LIVENESS ONLY — no age-based fallback: a directory's mtime
+    * does not update when files change in nested subdirectories, so an
+    * "untouched for N hours" rule would sweep a long-running session's
+    * warehouse out from under it. Dirs without a pid suffix (test-suite
+    * createTempDirectory leftovers, random digits with no dash) are
+    * left alone — small, and tmpfs clears on reboot. */
   def sweepStale(): Unit = {
     val tmp = Paths.get(sys.props("java.io.tmpdir"))
     if (!Files.isDirectory(tmp)) return
     val self = ProcessHandle.current().pid()
-    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     val stream = Files.list(tmp)
     try stream.forEach { p =>
-      val name = p.getFileName.toString
-      val stale = name match {
+      val stale = p.getFileName.toString match {
         // toLongOption: temp-dir suffixes can be arbitrarily long digit
         // runs that only LOOK like a pid — treat overflow as not-a-pid
         case PidDir(pid) if pid.toLongOption.isDefined =>
           pid.toLong != self &&
             ProcessHandle.of(pid.toLong).map[Boolean](_ => false).orElse(true)
-        case _ =>
-          name.startsWith("graft-") &&
-            (try Files.getLastModifiedTime(p).toMillis < cutoff
-             catch { case _: java.io.IOException => false })
+        case _ => false
       }
       if (stale)
         try TmpOutputs.deleteRecursively(p)

@@ -2376,13 +2376,17 @@ object GraftTable {
     val dataDir = new org.apache.hadoop.fs.Path(s"$tableDir/data")
     if (!fs.exists(dataDir)) Nil
     else {
-      // parquet data/delete files AND v3 deletion-vector Puffin files —
-      // a crashed DV write (or a CAS retry's abandoned attempt) leaves
-      // dv-*.puffin in data/ that only this sweep can reclaim. Avro/ORC
-      // entries are imported IN PLACE (outside data/) and stay untouched
+      // parquet data/delete files, v3 deletion-vector Puffin files — a
+      // crashed DV write (or a CAS retry's abandoned attempt) leaves
+      // dv-*.puffin in data/ that only this sweep can reclaim — AND
+      // engine-written avro/orc task files (write.format.default): their
+      // crash debris lands in data/ exactly like parquet's. IMPORTED
+      // foreign files live outside data/ (referenced in place) and stay
+      // untouched; referenced in-place migrate adoptions survive the
+      // reachability check like any committed file.
+      val exts = Seq(".parquet", ".puffin", ".avro", ".orc")
       val orphans = fs.listStatus(dataDir)
-        .filter(st => st.getPath.getName.endsWith(".parquet") ||
-          st.getPath.getName.endsWith(".puffin"))
+        .filter(st => exts.exists(st.getPath.getName.endsWith))
         .filter(st => !referenced.contains(uriPath(st.getPath.toString)))
         .filter(st => olderThanMs.forall(st.getModificationTime < _))
       if (!dryRun) orphans.foreach(st => fs.delete(st.getPath, false))
@@ -2573,19 +2577,27 @@ object GraftTable {
     val meta0 = TableMetadata.parseFile(metaPath0)
     if (meta0.formatVersion >= 3)
       return deleteWhereDv(spark, tableDir, metaPath0, meta0, predicate, branch)
-    val scanned = refHead(meta0, branch).toSeq.flatMap { snap =>
+    val scannedE = refHead(meta0, branch).toSeq.flatMap { snap =>
       Par.inParallel(
           ManifestListReader.read(snap.manifestList.get).filter(_.content == 0))(
           i => (i, ManifestWriter.read(i.path)))
         .flatMap { case (i, es) =>
-          es.filter(e => e.status != 2 && e.content == 0).map(e => (e.filePath, i)) }
+          es.filter(e => e.status != 2 && e.content == 0).map(e => (e, i)) }
     }
+    val scanned = scannedE.map { case (e, i) => (e.filePath, i) }
     val dataFiles = scanned.map(_._1)
     // nothing to delete FROM (fresh or truncated table): a no-op, not an
     // error — SQL TRUNCATE/DELETE on an empty table must succeed
     if (dataFiles.isEmpty)
       return OptimisticCommit.CommitResult(
         OptimisticCommit.currentVersion(tableDir), metaPath0, meta0, 0)
+    // the position-addressing scan reads parquet (_metadata.row_index is
+    // its coordinate source) — the same curated refusal the v3 path
+    // gives, instead of a raw task-side footer error over an avro/orc
+    // data file (write.format.default tables or imports)
+    require(scannedE.forall(_._1.fileFormat == "PARQUET"),
+      "DELETE currently scans parquet data files only — non-parquet " +
+        "files must be compacted to parquet (rewrite_data_files) first")
     val delFile = s"$tableDir/data/delete-${java.util.UUID.randomUUID()}.parquet"
     // Iceberg requires position deletes sorted by (file_path, pos)
     ParquetFiles.writeOne(

@@ -83,10 +83,17 @@ object MetadataWriter {
     require(branch != "main", "main commits go through commitSnapshot")
     require(!base.snapshots.exists(_.snapshotId == snap.snapshotId),
       s"snapshot id ${snap.snapshotId} already committed")
+    // a branch write MOVES the ref — it must not REBUILD it: the i90
+    // retention attributes (min_snapshots_to_keep / max_snapshot_age_ms /
+    // max_ref_age_ms) ride on the existing ref and silently reverting
+    // them to bare would flip expiry from the declared policy back to
+    // the strict pin-forever contract
+    val moved = base.refs.find(_.name == branch)
+      .map(_.copy(snapshotId = snap.snapshotId))
+      .getOrElse(SnapshotRef(branch, "branch", snap.snapshotId))
     base.copy(
       lastUpdatedMs = snap.timestampMs,
-      refs = base.refs.filterNot(_.name == branch) :+
-        SnapshotRef(branch, "branch", snap.snapshotId),
+      refs = base.refs.filterNot(_.name == branch) :+ moved,
       snapshots = base.snapshots :+ snap,
       metadataLog = base.metadataLog ++
         previousFile.map(f => MetadataLogEntry(base.lastUpdatedMs, f)))

@@ -230,14 +230,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     })
 
   override def loadTable(ident: Identifier): Table = {
-    if (OptimisticCommit.currentVersion(tableDir(ident)) == 0) {
+    // resolve the pointer ONCE per load: each tableDir() call is a
+    // filesystem probe (plus a read when a pointer exists) — on an
+    // object store that is extra round-trips on the hottest metadata path
+    val dir = tableDir(ident)
+    if (OptimisticCommit.currentVersion(dir) == 0) {
       loadBranchTable(ident).orElse(loadMetadataTable(ident))
         .orElse(staleRegisteredTable(ident)) match {
         case Some(t) => return t
         case None => throw new NoSuchTableException(ident)
       }
     }
-    val metaPath = GraftTable.latestMetadataPath(tableDir(ident))
+    val metaPath = GraftTable.latestMetadataPath(dir)
     new GraftSparkTable(GraftTable.sparkSchema(TableMetadata.parseFile(metaPath)),
       metaPath, None, None, None, 128L * 1024 * 1024)
   }

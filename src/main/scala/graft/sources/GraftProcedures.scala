@@ -320,8 +320,15 @@ object GraftProcedures {
           val end = if (input.isNullAt(3)) None else Some(input.getLong(3))
           val idCols =
             if (input.isNullAt(4)) Nil
-            else input.getUTF8String(4).toString
-              .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            else {
+              val cs = input.getUTF8String(4).toString
+                .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+              // '' or ', ,' must refuse, not silently fall back to the
+              // raw changelog a pairing-expectant CDC consumer can't use
+              require(cs.nonEmpty,
+                "identifier_columns must name at least one column")
+              cs
+            }
           val df =
             if (idCols.isEmpty)
               GraftTable.changelog(SparkSession.active, dir, start, end)

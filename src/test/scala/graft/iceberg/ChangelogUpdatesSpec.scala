@@ -81,5 +81,11 @@ class ChangelogUpdatesSpec extends SparkSpec {
       "CALL cle.system.create_changelog_view(table => 'db.t', " +
         "changelog_view => 'cle_x', identifier_columns => 'nope')"))
     assert(e.getMessage.contains("identifier column"), e.getMessage)
+    // '' must refuse too — silently degrading to the raw changelog
+    // would hand a pairing-expectant consumer unpaired rows
+    val e2 = intercept[Exception](spark.sql(
+      "CALL cle.system.create_changelog_view(table => 'db.t', " +
+        "changelog_view => 'cle_x', identifier_columns => '')"))
+    assert(e2.getMessage.contains("at least one"), e2.getMessage)
   }
 }

@@ -60,6 +60,25 @@ class BranchDmlSpec extends SparkSpec {
       .head() == Row(14L, 3L, 16L))
   }
 
+  test("branch writes preserve the ref's retention attributes") {
+    val wh = mkCatalog("brt")
+    spark.sql("CREATE TABLE brt.db.t (k BIGINT) " +
+      "TBLPROPERTIES ('commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO brt.db.t SELECT id FROM range(0, 5)")
+    spark.sql("CALL brt.system.create_branch(table => 'db.t', branch => 'b', " +
+      "min_snapshots_to_keep => 3, max_ref_age_ms => 123456789)")
+    // an append AND a delete through the branch identifier both MOVE the
+    // ref; neither may rebuild it bare (reverting i90 retention would
+    // flip expiry from the declared policy back to pin-forever)
+    spark.sql("INSERT INTO brt.db.t.branch_b VALUES (100)")
+    spark.sql("DELETE FROM brt.db.t.branch_b WHERE k = 0")
+    val meta = graft.iceberg.TableMetadata.parseFile(
+      graft.iceberg.GraftTable.latestMetadataPath(s"$wh/db/t"))
+    val ref = meta.refs.find(_.name == "b").get
+    assert(ref.minSnapshotsToKeep.contains(3) &&
+      ref.maxRefAgeMs.contains(123456789L), ref.toString)
+  }
+
   test("branch DELETE refuses unknown branches; UPDATE on a branch refuses") {
     mkCatalog("bde")
     spark.sql("CREATE TABLE bde.db.t (k BIGINT, v STRING) " +

@@ -74,6 +74,32 @@ class FormatDefaultWriteSpec extends SparkSpec {
     assert(one.rdd.getNumPartitions < all.rdd.getNumPartitions)
   }
 
+  test("orphan sweep reclaims crashed avro/orc task debris; DELETE refuses curated") {
+    val wh = mkCatalog("fws")
+    spark.sql("CREATE TABLE fws.db.t (k BIGINT) " +
+      "TBLPROPERTIES ('write.format.default'='avro', " +
+      "'commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO fws.db.t SELECT id FROM range(0, 10)")
+    // crash debris: uncommitted task files in BOTH non-parquet formats
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$wh/db/t/data/w-dead-p00000-t9-f000.avro"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$wh/db/t/data/w-dead-p00001-t9-f000.orc"),
+      Array[Byte](4, 5, 6))
+    val swept = spark.sql(
+      "CALL fws.system.remove_orphan_files(table => 'db.t')").head()
+    assert(swept.getInt(0) == 2, swept.toString)
+    // committed avro data files survived the sweep
+    assert(spark.sql("SELECT count(*), sum(k) FROM fws.db.t").head() ==
+      Row(10L, 45L))
+    // v2 DELETE over non-parquet data files refuses with the curated
+    // message (the position scan is parquet-only), not a footer error
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM fws.db.t WHERE k = 1"))
+    assert(e.getMessage.contains("rewrite_data_files"), e.getMessage)
+  }
+
   test("a bad write.format.default fails the write plan, not a task") {
     mkCatalog("fwb")
     spark.sql("CREATE TABLE fwb.db.t (k BIGINT) " +

@@ -52,7 +52,12 @@ object PlanDump {
     "i85_deletion_vectors" -> "v3 deletion vectors: after DELETE and rewrite the aggregate plans as a bare BatchScan + two-phase agg — the DV bitmaps apply INSIDE the partition readers (one blob read per file, unboxed probe per row), never as a join",
     "i86_zorder_rewrite" -> "post-zorder scan: the selective aggregates read the Morton-clustered files through the same bare columnar BatchScan; the curve's payoff is at PLANNING (bound-stat pruning on every clustered column), not in the plan shape",
     "i87_variant_columns" -> "VARIANT scan: variant_get extractions evaluate over the row-route BatchScan (variant is outside the vectorized palette by design); aggregation is the standard two-phase shape",
-    "i88_row_lineage" -> "row lineage read: _row_id/_last_updated_sequence_number are reader-served metadata columns — the plan is the bare row-route BatchScan + aggregate, no lineage join anywhere")
+    "i88_row_lineage" -> "row lineage read: _row_id/_last_updated_sequence_number are reader-served metadata columns — the plan is the bare row-route BatchScan + aggregate, no lineage join anywhere",
+    "i91_timestamp_ns" -> "v3 nanosecond timestamps: the ns columns scan as plain longs (NANOS-annotated parquet under nanosAsLong), the selective ns predicate prunes on the LE-long-nanos bound stats at planning, and the surviving scan is the bare columnar BatchScan + two-phase agg",
+    "i93_changelog_updates" -> "changelog compute-updates: ONE window over (identifier, ordinal) pairs delete+insert into update images and drops carry-overs — a single keyed shuffle over the changelog union, the same partitioning a downstream upsert sink needs; no driver-side pass",
+    "i94_format_default" -> "format-default writes read back: one scan spans native-avro, imported-avro and native-orc entries through per-format partition readers — the plan is a bare BatchScan + rollup, format dispatch invisible above the reader factory",
+    "m05_wav_decode" -> "real WAV decode: encode+decode run inside the partition iterator (DeserializeToObject → MapPartitions → SerializeFromObject), the only shuffle is the final global rollup — the shape that keeps a 100 TB media decode embarrassingly parallel",
+    "i95_geometry_points" -> "WKB point kernels: graft_st_x/graft_st_y evaluate inside WholeStageCodegen over the bare columnar BatchScan of the geometry table — static-call expressions, no UDF boundary")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-plandump", cores = "4")

@@ -544,16 +544,19 @@ object GraftTable {
         struct(others.map(col): _*)), ignoreNulls = true).over(w)
     def n(change: String) =
       sum(when(col("_change_type") === change, 1).otherwise(0)).over(w)
+    // all four window aggregates in ONE select: same spec ⇒ Spark plans
+    // a single Window pass over the one keyed shuffle (chained
+    // withColumns would stack a second pass for the image comparison)
     base
-      .withColumn("_paired", n("delete") === 1 && n("insert") === 1)
-      .withColumn("_carryover",
-        col("_paired") && (image("delete") <=> image("insert")))
-      .filter(!col("_carryover"))
+      .select(col("*"), n("delete").as("_nd"), n("insert").as("_ni"),
+        image("delete").as("_di"), image("insert").as("_ii"))
+      .withColumn("_paired", col("_nd") === 1 && col("_ni") === 1)
+      .filter(!(col("_paired") && (col("_di") <=> col("_ii")))) // carry-overs
       .withColumn("_change_type",
         when(col("_paired") && col("_change_type") === "delete", "update_before")
           .when(col("_paired") && col("_change_type") === "insert", "update_after")
           .otherwise(col("_change_type")))
-      .drop("_paired", "_carryover")
+      .drop("_nd", "_ni", "_di", "_ii", "_paired")
   }
 
   // ------------------------------------------------------------ writes

@@ -26,14 +26,33 @@ object TmpOutputs {
 
   private def markerOf(root: Path): Path = root.resolve(Marker)
 
-  def committed(dir: String): Boolean = Files.exists(markerOf(Paths.get(dir)))
+  def committed(dir: String): Boolean = {
+    val root = Paths.get(dir)
+    Files.exists(markerOf(root)) && hasPayload(root)
+  }
+
+  /** Every committed artifact here has at least one payload entry beside
+    * the marker (they all land parquet/CSV/JSON directories), so a
+    * marker-ONLY directory is torn state, not a commit: a kill that lands
+    * inside [[deleteRecursively]] (which removes nested payload before the
+    * root-level marker) — or a pre-generation-token scratch dir inherited
+    * through pid reuse — leaves exactly that shape, and trusting it makes
+    * every later read of the artifact fail. Treat it as uncommitted. */
+  private def hasPayload(root: Path): Boolean = {
+    val stream = Files.list(root)
+    try stream.anyMatch(p => p.getFileName.toString != Marker)
+    finally stream.close()
+  }
 
   /** Run `write` exactly once per process per `dir` (single-threaded
     * callers — Verify/Bench run entries sequentially; tests serialize on
     * this object). */
   def ensure(dir: String)(write: => Unit): Unit = synchronized {
     val root = Paths.get(dir)
-    if (!Files.exists(markerOf(root))) {
+    if (!committed(dir)) {
+      // marker first: if the rebuild is killed mid-delete, the leftover
+      // must read as UNcommitted, never as marker-over-partial-payload
+      Files.deleteIfExists(markerOf(root))
       deleteRecursively(root)
       Files.createDirectories(root) // writers may expect the parent to exist
       try {

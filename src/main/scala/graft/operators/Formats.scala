@@ -22,7 +22,7 @@ object Formats {
 
   private def tmpDir(tag: String, dir: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-$tag-${ProcessHandle.current().pid()}",
+      s"graft-$tag-${graft.Scratch.procToken}",
       dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
 
   // ---------------------------------------------------------------- q54

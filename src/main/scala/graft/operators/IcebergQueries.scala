@@ -115,7 +115,7 @@ object IcebergQueries {
     // file another session's tasks are mid-read on
     val dir = java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-i08-${ProcessHandle.current().pid()}"))
+        s"graft-i08-${graft.Scratch.procToken}"))
     val listPath = s"$dir/snap-${snap.snapshotId}.avro"
     ManifestListWriter.write(listPath, Seq(FixtureManifest), snap.snapshotId)
     MetadataTables.filesForSnapshot(spark, m, snap.copy(manifestList = Some(listPath)))
@@ -188,7 +188,7 @@ object IcebergQueries {
     }.toSeq
     val dir = java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-i12-${ProcessHandle.current().pid()}"))
+        s"graft-i12-${graft.Scratch.procToken}"))
     val path = s"$dir/rewritten.avro"
     ManifestWriter.write(path, entries)
     graft.functions.BoundDecode.withDecodedBounds(

@@ -50,7 +50,7 @@ object Lakehouse {
     * only ever sees the parquet). */
   private def positionDeletes(spark: SparkSession, dir: String): DataFrame = {
     val delDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-i13-${ProcessHandle.current().pid()}",
+      s"graft-i13-${graft.Scratch.procToken}",
       dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     graft.TmpOutputs.ensure(delDir) {
       ordersWithPos(spark, dir)
@@ -108,7 +108,7 @@ object Lakehouse {
     * ever sees this file — never the defining filter. */
   private def equalityDeletes(spark: SparkSession, dir: String): DataFrame = {
     val delDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-i14eq-${ProcessHandle.current().pid()}",
+      s"graft-i14eq-${graft.Scratch.procToken}",
       dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     graft.TmpOutputs.ensure(delDir) {
       Tables.load(spark, dir, "customer")
@@ -262,7 +262,7 @@ object Lakehouse {
   val snapshotExpiry: Q = (spark, _) => {
     import graft.iceberg.{ManifestListWriter, ManifestReader, ManifestWriter, MetadataTables}
     val dir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-i17-${ProcessHandle.current().pid()}")).toString
+      sys.props("java.io.tmpdir"), s"graft-i17-${graft.Scratch.procToken}")).toString
     val rewritten = s"$dir/rewritten-m0.avro"
     val listOld = s"$dir/snap-1-list.avro"
     val listCur = s"$dir/snap-2-list.avro"
@@ -341,7 +341,7 @@ object Lakehouse {
   val snapshotCommit: Q = (spark, _) => {
     import graft.iceberg._
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-i18-${ProcessHandle.current().pid()}").toString
+      s"graft-i18-${graft.Scratch.procToken}").toString
     val committedPath = s"$dir/v2.metadata.json"
     graft.TmpOutputs.ensure(dir) { buildFixtureCompactionCommit(dir) }
     // commit gate: storage only from here on
@@ -384,7 +384,7 @@ object Lakehouse {
   val snapshotRollback: Q = (spark, _) => {
     import graft.iceberg._
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-i19-${ProcessHandle.current().pid()}").toString
+      s"graft-i19-${graft.Scratch.procToken}").toString
     val rolledBackPath = s"$dir/v3.metadata.json"
     graft.TmpOutputs.ensure(dir) {
       val committedPath = buildFixtureCompactionCommit(dir)
@@ -416,7 +416,7 @@ object Lakehouse {
   val metadataLineage: Q = (spark, _) => {
     import graft.iceberg._
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-i20-${ProcessHandle.current().pid()}").toString
+      s"graft-i20-${graft.Scratch.procToken}").toString
     val rolledBackPath = s"$dir/v3.metadata.json"
     graft.TmpOutputs.ensure(dir) {
       val committedPath = buildFixtureCompactionCommit(dir)

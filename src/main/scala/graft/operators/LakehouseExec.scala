@@ -70,7 +70,7 @@ object LakehouseExec {
 
   private[operators] def entryDir(tag: String, sfDir: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-$tag-${ProcessHandle.current().pid()}",
+      s"graft-$tag-${graft.Scratch.procToken}",
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
 
   private[operators] def fileLen(p: String): Long = ParquetFiles.length(p)

@@ -421,7 +421,7 @@ object EventStreams {
   val streamForeachBatchSink: Q = (spark, dir) => {
     import spark.implicits._
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-st09-${ProcessHandle.current().pid()}",
+      s"graft-st09-${graft.Scratch.procToken}",
       dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     graft.TmpOutputs.ensure(out) {
       val purchases = eventsStream(spark, dir)
@@ -561,7 +561,7 @@ object EventStreams {
     import spark.implicits._
     import graft.iceberg._
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-st11-${ProcessHandle.current().pid()}",
+      s"graft-st11-${graft.Scratch.procToken}",
       dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     graft.TmpOutputs.ensure(out) { runIngest(spark, dir, out) }
     // read-back: newest committed document only
@@ -617,7 +617,7 @@ object EventStreams {
     import spark.implicits._
     import graft.iceberg._
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-st12-${ProcessHandle.current().pid()}",
+      s"graft-st12-${graft.Scratch.procToken}",
       dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     graft.TmpOutputs.ensure(out) {
       runIngest(spark, dir, out)
@@ -705,7 +705,7 @@ object EventStreams {
   val streamTableSink: Q = (spark, dir) => {
     import spark.implicits._
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-st13-${ProcessHandle.current().pid()}",
+      s"graft-st13-${graft.Scratch.procToken}",
       dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     graft.TmpOutputs.ensure(out) {
       graft.iceberg.GraftTable.create(out, graft.iceberg.IcebergSchema(0, Seq(
@@ -751,7 +751,7 @@ object EventStreams {
     * end-to-end through public APIs only. */
   val streamTableRead: Q = (spark, dir) => {
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-st14-${ProcessHandle.current().pid()}",
+      s"graft-st14-${graft.Scratch.procToken}",
       dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     graft.TmpOutputs.ensure(out) {
       val table = s"$out/table"

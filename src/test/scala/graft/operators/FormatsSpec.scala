@@ -15,7 +15,7 @@ class FormatsSpec extends SparkSpec {
     // drive the entry once so the partitioned copy exists
     assert(Formats.partitionedWrite(spark, sfDir).collect().nonEmpty)
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-q56-${ProcessHandle.current().pid()}",
+      s"graft-q56-${graft.Scratch.procToken}",
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     val all = spark.read.parquet(out)
     val statuses = all.select("o_orderstatus").distinct().count()

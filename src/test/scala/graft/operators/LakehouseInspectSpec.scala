@@ -228,7 +228,7 @@ class LakehouseInspectSpec extends SparkSpec {
 
   private def entryDirFor(tag: String): String = {
     val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-spec-$tag-${ProcessHandle.current().pid()}").toString
+      s"graft-spec-$tag-${graft.Scratch.procToken}").toString
     graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(d))
     d
   }

@@ -12,7 +12,7 @@ class RenameColumnSpec extends SparkSpec {
 
   private def freshCatalog(tag: String): String = {
     val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-spec-$tag-${ProcessHandle.current().pid()}").toString
+      s"graft-spec-$tag-${graft.Scratch.procToken}").toString
     graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(wh))
     spark.conf.set(s"spark.sql.catalog.g_$tag",
       classOf[graft.sources.GraftCatalog].getName)

@@ -502,7 +502,7 @@ class TableSourceSpec extends SparkSpec {
     val rows = graft.streaming.EventStreams.queries("st13_table_sink")(spark, sfDir)
     assert(rows.count() > 0)
     val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-st13-${ProcessHandle.current().pid()}",
+      s"graft-st13-${graft.Scratch.procToken}",
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(out))
     assert(meta.snapshots.nonEmpty)

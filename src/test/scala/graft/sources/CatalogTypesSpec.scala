@@ -14,7 +14,7 @@ class CatalogTypesSpec extends SparkSpec {
 
   test("SMALLINT/TINYINT columns promote to int and round-trip values") {
     val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-spec-types-${ProcessHandle.current().pid()}").toString
+      s"graft-spec-types-${graft.Scratch.procToken}").toString
     graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(wh))
     spark.conf.set("spark.sql.catalog.g_typ",
       classOf[GraftCatalog].getName)
@@ -29,7 +29,7 @@ class CatalogTypesSpec extends SparkSpec {
 
   test("column comments persist as Iceberg doc and surface through DESCRIBE") {
     val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-spec-doc-${ProcessHandle.current().pid()}").toString
+      s"graft-spec-doc-${graft.Scratch.procToken}").toString
     graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(wh))
     spark.conf.set("spark.sql.catalog.g_doc", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.g_doc.warehouse", wh)
@@ -56,7 +56,7 @@ class CatalogTypesSpec extends SparkSpec {
   test("add_files promotes narrower-physical footer stats under widened columns") {
     import spark.implicits._
     val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-spec-widen-${ProcessHandle.current().pid()}").toString
+      s"graft-spec-widen-${graft.Scratch.procToken}").toString
     graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(wh))
     spark.conf.set("spark.sql.catalog.g_wdn", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.g_wdn.warehouse", wh)

@@ -14,7 +14,7 @@ class EqDeleteDomainSpec extends SparkSpec {
 
   private def fresh(tag: String): String = {
     val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-spec-eqd-$tag-${ProcessHandle.current().pid()}").toString
+      s"graft-spec-eqd-$tag-${graft.Scratch.procToken}").toString
     graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(d))
     d
   }

@@ -17,7 +17,7 @@ class ViewCatalogSpec extends SparkSpec {
 
   test("view document lifecycle with late-binding reads") {
     val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-spec-view-${ProcessHandle.current().pid()}").toString
+      s"graft-spec-view-${graft.Scratch.procToken}").toString
     graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(wh))
     spark.conf.set("spark.sql.catalog.g_vw", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.g_vw.warehouse", wh)

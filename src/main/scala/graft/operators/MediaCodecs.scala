@@ -2,15 +2,22 @@ package graft.operators
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** REAL multimodal decoders — no stub, no library: WAV (RIFF/PCM) and
-  * BMP (BITMAPINFOHEADER, uncompressed 24-bit) are fully specified
-  * byte-layout formats a pure-JVM parser handles, so these two upgrade
-  * the m-family from declared-stub plumbing (m01–m04, where jpeg/ffmpeg
-  * would sit) to an end-to-end decode path whose outputs are
+/** REAL multimodal decoders — no stub, no library: WAV (RIFF/PCM),
+  * BMP (BITMAPINFOHEADER, uncompressed 24-bit) and PNG (8-bit
+  * truecolor/truecolor+alpha, zlib + all five scanline filters) are fully
+  * specified byte-layout formats a pure-JVM parser handles, so these
+  * upgrade the m-family from declared-stub plumbing (m01–m04, where
+  * jpeg/ffmpeg would sit) to an end-to-end decode path whose outputs are
   * oracle-checkable: the decoders walk the actual container structure
   * (RIFF chunk list; BMP header + bottom-up rows + 4-byte row padding +
-  * BGR channel order) and any deviation from the spec surfaces as a
-  * value mismatch against the DuckDB recomputation.
+  * BGR channel order; PNG chunk list + CRCs + inflate + per-row
+  * unfiltering) and any deviation from the spec surfaces as a value
+  * mismatch against the DuckDB recomputation. PNG is the first
+  * COMPRESSED format here: its pixel bytes aren't readable at any fixed
+  * offset, so a correct decode proves the whole chain (chunk framing →
+  * zlib → filter reconstruction), and the only non-hand-written piece is
+  * the JDK's Inflater — the DEFLATE spec implementation every real PNG
+  * library also delegates to.
   *
   * The `encode` halves are fixture-side (the entries synthesize
   * deterministic payloads from table data); spec-compliance of the pair
@@ -171,5 +178,198 @@ object MediaCodecs {
       row += 1
     }
     BmpInfo(width, height, sum)
+  }
+
+  // -------------------------------------------- PNG (8-bit RGB / RGBA)
+
+  final case class PngInfo(width: Int, height: Int, channels: Int,
+      sumChannels: Long)
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Paeth predictor (PNG spec §9.4): the neighbor closest to the
+    * linear estimate a+b-c, ties resolved left, then up. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** PNG encoder for 8-bit truecolor (`channels`=3) or truecolor+alpha
+    * (4), non-interlaced. Each scanline y carries filter type `y % 5`, so
+    * a round-trip exercises every unfilter branch (None/Sub/Up/Average/
+    * Paeth) — an image long enough re-tests them against varying
+    * predecessors. The compressed stream is deliberately split across TWO
+    * IDAT chunks when possible: the spec makes IDAT boundaries
+    * meaningless (one zlib stream, arbitrarily chunked) and a decoder
+    * that treats them as rows or blocks must fail here. `px(x, y, c)` is
+    * asked in top-down row order, c = 0(R), 1(G), 2(B)[, 3(A)]. */
+  def encodePng(width: Int, height: Int, channels: Int,
+      px: (Int, Int, Int) => Int): Array[Byte] = {
+    require(channels == 3 || channels == 4, s"channels must be 3 or 4, got $channels")
+    val bpp = channels
+    val rowLen = width * bpp
+    val raw = new Array[Byte](height * (1 + rowLen))
+    val prev = new Array[Byte](rowLen)
+    val cur = new Array[Byte](rowLen)
+    var y = 0
+    var o = 0
+    while (y < height) {
+      var i = 0
+      while (i < rowLen) {
+        cur(i) = px(i / bpp, y, i % bpp).toByte
+        i += 1
+      }
+      val ft = y % 5
+      raw(o) = ft.toByte; o += 1
+      i = 0
+      while (i < rowLen) {
+        val r = cur(i) & 0xff
+        val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val up = prev(i) & 0xff
+        val ul = if (i >= bpp) prev(i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(o) = ((r - pred) & 0xff).toByte
+        o += 1; i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowLen)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val z = zBuf.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSignature)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val bb = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt)
+      out.write(bb.array())
+    }
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte) // bit depth
+      .put((if (channels == 3) 2 else 6).toByte) // color type
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression, filter, interlace
+    chunk("IHDR", ihdr.array())
+    if (z.length > 1) {
+      chunk("IDAT", z.take(z.length / 2))
+      chunk("IDAT", z.drop(z.length / 2))
+    } else chunk("IDAT", z)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Parse a PNG: verify the signature, walk the chunk list verifying
+    * every CRC, require 8-bit truecolor(+alpha) non-interlaced, inflate
+    * the concatenated IDAT zlib stream, reconstruct each scanline through
+    * its declared filter, fold all channel bytes. Anything else — bad
+    * magic, CRC mismatch, interlace, palette, 16-bit, short or overlong
+    * pixel data — refuses with the offending structure named. */
+  def decodePng(bytes: Array[Byte]): PngInfo = {
+    require(bytes.length >= 8 && PngSignature.indices.forall(i => bytes(i) == PngSignature(i)),
+      "not a PNG file")
+    val bb = ByteBuffer.wrap(bytes, 8, bytes.length - 8).order(ByteOrder.BIG_ENDIAN)
+    var width, height, channels = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended) {
+      require(bb.remaining() >= 12, "truncated chunk list (no IEND)")
+      val len = bb.getInt
+      require(len >= 0 && len + 8 <= bb.remaining(), s"chunk length $len overruns the file")
+      val typeAndData = new Array[Byte](4 + len)
+      bb.get(typeAndData)
+      val typ = new String(typeAndData, 0, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(typeAndData)
+      val declared = bb.getInt
+      require(crc.getValue.toInt == declared,
+        f"chunk '$typ' CRC mismatch: computed 0x${crc.getValue.toInt}%08x declared 0x$declared%08x")
+      typ match {
+        case "IHDR" =>
+          val h = ByteBuffer.wrap(typeAndData, 4, len).order(ByteOrder.BIG_ENDIAN)
+          width = h.getInt; height = h.getInt
+          require(width > 0 && height > 0, s"bad dimensions $width x $height")
+          val depth = h.get() & 0xff
+          require(depth == 8, s"only bit depth 8 supported, got $depth")
+          val color = h.get() & 0xff
+          channels = color match {
+            case 2 => 3
+            case 6 => 4
+            case c => throw new IllegalArgumentException(
+              s"only truecolor(+alpha) supported, got color type $c")
+          }
+          require((h.get() & 0xff) == 0, "nonzero compression method")
+          require((h.get() & 0xff) == 0, "nonzero filter method")
+          val interlace = h.get() & 0xff
+          require(interlace == 0, s"interlaced PNG not supported (method $interlace)")
+        case "IDAT" =>
+          require(width > 0, "IDAT before IHDR")
+          idat.write(typeAndData, 4, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary (tEXt/pHYs/...) — CRC checked, content skipped
+      }
+    }
+    require(width > 0, "no IHDR chunk")
+    val bpp = channels
+    val rowLen = width * bpp
+    val raw = new Array[Byte](height * (1 + rowLen))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        require(n > 0 || inflater.finished(), "truncated pixel stream")
+        got += n
+      }
+      require(got == raw.length, s"pixel stream holds $got bytes, need ${raw.length}")
+      require(inflater.finished() || inflater.inflate(new Array[Byte](1)) == 0,
+        "pixel stream longer than the image")
+    } finally inflater.end()
+
+    var sum = 0L
+    val prev = new Array[Byte](rowLen)
+    var y = 0
+    while (y < height) {
+      val o = y * (1 + rowLen)
+      val ft = raw(o) & 0xff
+      require(ft <= 4, s"unknown filter type $ft on row $y")
+      var i = 0
+      while (i < rowLen) {
+        val f = raw(o + 1 + i) & 0xff
+        val left = if (i >= bpp) raw(o + 1 + i - bpp) & 0xff else 0
+        val up = prev(i) & 0xff
+        val ul = if (i >= bpp) prev(i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        val v = (f + pred) & 0xff
+        raw(o + 1 + i) = v.toByte // reconstructed in place: row y is prev for y+1
+        sum += v
+        i += 1
+      }
+      System.arraycopy(raw, o + 1, prev, 0, rowLen)
+      y += 1
+    }
+    PngInfo(width, height, channels, sum)
   }
 }

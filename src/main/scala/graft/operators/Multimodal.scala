@@ -254,15 +254,68 @@ object Multimodal {
       |    AS BIGINT) AS sum_channels
       |FROM documents""".stripMargin
 
+  /** m07 — REAL PNG decode (no stub, no imaging library): deterministic
+    * 8-bit fixtures alternating truecolor and truecolor+alpha (bpp 3 and
+    * 4 exercise both unfilter strides), encoded with a DIFFERENT filter
+    * type per scanline (y % 5 — every row past the fourth re-tests all
+    * five reconstruction branches against varying predecessors) and the
+    * zlib stream split across two IDAT chunks. Unlike WAV/BMP the pixel
+    * bytes are not at any fixed offset: the decoder must verify chunk
+    * CRCs, concatenate IDAT, inflate, and invert each row's filter before
+    * a single channel byte exists to sum — any error anywhere in that
+    * chain diverges from DuckDB's first-principles recomputation of the
+    * pixel formula. All-integer outputs: exact cross-engine equality.
+    * Encode/decode inversions that cancel are pinned separately by
+    * PngCodecSpec (hand-laid golden bytes + javax.imageio
+    * cross-validation). Per-record work inside the partition iterator;
+    * the only shuffle is the final global rollup. */
+  val pngDecode: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        val ch = 3 + (id % 2).toInt
+        val bytes = MediaCodecs.encodePng(w, h, ch,
+          (x, y, c) => ((id + x * 5 + y * 11 + c * 13) % 256).toInt)
+        val info = MediaCodecs.decodePng(bytes)
+        require(info.width == w && info.height == h && info.channels == ch,
+          s"decoded shape ${info.width}x${info.height}x${info.channels} != ${w}x${h}x$ch")
+        (id, w.toLong, h.toLong, info.sumChannels)
+      })
+      .toDF("doc_id", "w", "h", "sc")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"w").cast("long").as("sum_width"),
+        sum($"h").cast("long").as("sum_height"),
+        sum($"sc").cast("long").as("sum_channels"))
+  }
+
+  val pngDecodeSql: String =
+    """WITH xs AS (SELECT doc_id,
+      |    unnest(generate_series(0, 3 + doc_id % 5)) AS x FROM documents),
+      |ys AS (SELECT doc_id, x,
+      |    unnest(generate_series(0, 2 + doc_id % 4)) AS y FROM xs),
+      |cs AS (SELECT doc_id, x, y,
+      |    unnest(generate_series(0, 2 + doc_id % 2)) AS c FROM ys)
+      |SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(4 + doc_id % 5) AS BIGINT) AS sum_width,
+      |  CAST(SUM(3 + doc_id % 4) AS BIGINT) AS sum_height,
+      |  CAST((SELECT SUM((doc_id + x * 5 + y * 11 + c * 13) % 256) FROM cs)
+      |    AS BIGINT) AS sum_channels
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_media_features" -> mediaFeatures,
     "m02_media_records" -> mediaRecords,
     "m03_frame_samples" -> frameSamples,
     "m04_thumbnails" -> thumbnails,
     "m05_wav_decode" -> wavDecode,
-    "m06_bmp_decode" -> bmpDecode)
+    "m06_bmp_decode" -> bmpDecode,
+    "m07_png_decode" -> pngDecode)
 
   val oracles: Map[String, String] = Map(
     "m05_wav_decode" -> wavDecodeSql,
-    "m06_bmp_decode" -> bmpDecodeSql)
+    "m06_bmp_decode" -> bmpDecodeSql,
+    "m07_png_decode" -> pngDecodeSql)
 }

@@ -44,7 +44,8 @@ object EventStreams {
     * some oracles depend on (see [[streamDedup]]). */
   @volatile private[streaming] var lastDriveInputBatches: Int = -1
 
-  private def runToMemory(spark: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+  private def runToMemory(spark: SparkSession, df: DataFrame, mode: OutputMode,
+      noDataBatches: Boolean = false): DataFrame = {
     val name = "mem_" + UUID.randomUUID().toString.replace("-", "")
     // Stateful streaming ops keep ONE state store per shuffle partition,
     // each paying per-batch snapshot/commit overhead — at this input scale
@@ -55,17 +56,19 @@ object EventStreams {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "4")
-    // No entry driven through this harness emits on watermark
+    // Most entries driven through this harness never emit on watermark
     // finalization (Complete/Update re-emit per batch; the Append entries
     // — stream-stream inner join, dropDuplicatesWithinWatermark,
     // mapGroups/transformWithState — all emit in the data batch itself;
-    // watermarks only bound STATE), so the trailing no-data micro-batch
-    // Spark would run to advance the watermark is pure per-query fixed
-    // cost here. An entry that ever needs append finalization (e.g. a
-    // windowed Append aggregation) must not use this harness as-is.
+    // watermarks only bound STATE), so for them the trailing no-data
+    // micro-batch Spark would run to advance the watermark is pure
+    // per-query fixed cost and stays off. An entry whose OUTPUT is the
+    // finalization itself (st15's windowed Append aggregation) passes
+    // noDataBatches=true: the trailing batch is then the event that
+    // emits the closed windows.
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNd = spark.conf.get(ndKey)
-    spark.conf.set(ndKey, "false")
+    spark.conf.set(ndKey, noDataBatches.toString)
     try {
       val q = df.writeStream
         .format("memory")
@@ -108,6 +111,43 @@ object EventStreams {
       |  COUNT(*) AS n_events,
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
       |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** st15 — APPEND-mode windowed aggregation: the watermark-finalization
+    * semantic itself, under the oracle gate. Append emits a window
+    * exactly once, when the watermark passes its END — the contract that
+    * lets a downstream append-only sink (files, Kafka, an Iceberg append)
+    * receive each window as an immutable fact instead of st10's
+    * rewrite-the-world Complete stream. The drive needs the trailing
+    * no-data micro-batch (harness flag): the single data batch runs at
+    * watermark 0 and emits NOTHING; the no-data batch then advances the
+    * watermark to max(ts) − 30 min and flushes every closed window. The
+    * windows still open at that cutoff are withheld — deterministically,
+    * so DuckDB recomputes the SAME cutoff (window end ≤ max(ts) − 30 min)
+    * and exact equality proves both the emit-once finalization AND the
+    * withholding. State at scale: one row per (open window × type) per
+    * partition, bounded by eviction at the same watermark. */
+  val streamHourlyAppend: Q = (spark, dir) => {
+    import spark.implicits._
+    val windowed = eventsStream(spark, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast(DecimalType(12, 2))), 2).cast(DoubleType).as("total_value"))
+    runToMemory(spark, windowed, OutputMode.Append(), noDataBatches = true)
+      .select(date_format($"window.start", "yyyy-MM-dd HH:00:00").as("hour"),
+        $"event_type", $"n_events", $"total_value")
+      .orderBy($"hour", $"event_type")
+  }
+
+  val streamHourlyAppendSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      |  <= (SELECT MAX(ts) FROM events) - INTERVAL 30 MINUTE
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
@@ -791,6 +831,7 @@ object EventStreams {
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "st15_hourly_append" -> streamHourlyAppend,
     "st14_stream_table_read" -> streamTableRead,
     "st13_table_sink" -> streamTableSink,
     "st12_stream_compaction" -> streamCompaction,
@@ -807,6 +848,7 @@ object EventStreams {
     "st05_stream_dedup" -> streamDedup)
 
   val oracles: Map[String, String] = Map(
+    "st15_hourly_append" -> streamHourlyAppendSql,
     "st14_stream_table_read" -> streamTableReadSql,
     "st13_table_sink" -> streamTableSinkSql,
     "st12_stream_compaction" -> streamCompactionSql,

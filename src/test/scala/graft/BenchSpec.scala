@@ -87,16 +87,27 @@ class BenchSpec extends AnyFunSuite {
     assert(typicalLine.contains(":1.2"), "partial degradation must keep 1-decimal entries")
     // mixed real-shaped profile: short ("0.1") and 2-decimal ("0.163")
     // entries. Past ~185 entries the stdout tail cannot carry 2 decimals
-    // for every entry (the full-precision bench FILE stays authoritative)
-    // — the pinned behavior is: the line fits, and degradation lands on
-    // the LARGER entries first, so the small ones keep their decimal
+    // for every entry, and past ~205 even the all-1-decimal render of
+    // this profile no longer fits, so the 1→0 pass must run (smallest
+    // values first — "0" for a 0.1 s entry is the least dishonest cut).
+    // The entry-count-robust pin is the renderer's own contract: the
+    // line FITS, and 0-decimal degradation happens ONLY under genuine
+    // exhaustion — each 1→0 step frees ~2 chars and stops the moment the
+    // line fits, so if any small entry lost its decimal the final line
+    // must sit pressed against the budget, not comfortably under it.
+    // (The full-precision bench FILE stays the authoritative record.)
     val realistic = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map {
       case (k, i) => k -> Some(if (i % 2 == 0) 0.1 else 0.163)
     } ++ future
     val realLine = Bench.renderLine(realistic, "/root/testdata/sf0.1")
     assert(realLine.length < 1918, s"mixed line too long: ${realLine.length}")
-    assert(realLine.contains(":0.1"),
-      "small entries must keep their decimal while larger ones degrade")
+    assert(realLine.contains(":0.1") || realLine.length >= 1914,
+      "small entries may lose their decimal only when the line is pressed " +
+        s"against the budget, got ${realLine.length} chars")
+    // the larger half never degrades below 1 decimal while ANY smaller
+    // entry still holds 2 — the cheap cuts must all happen first
+    assert(realLine.contains(":0.2"),
+      "0.163s entries must keep a decimal (1-decimal render) under this profile")
   }
 
   test("budget pressure degrades the LARGEST timings first, smallest last") {

@@ -67,4 +67,27 @@ class WatermarkSpec extends SparkSpec {
     // the 12:00 window is still open at termination → not emitted in append
     assert(!byStart.contains("12:00"))
   }
+
+  test("st15: append finalization emits exactly the closed windows") {
+    import spark.implicits._
+    val got = EventStreams.queries("st15_hourly_append")(spark, sfDir)
+    // batch recomputation of the same cutoff: a window is closed once the
+    // watermark (max ts − 30 min) passes its END
+    val events = graft.Tables.load(spark, sfDir, "events")
+    val cutoff = events.agg(max($"ts")).head.getTimestamp(0).toInstant
+      .minusSeconds(30 * 60)
+    val expected = events
+      .withColumn("hour", date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00:00"))
+      .filter(date_trunc("hour", $"ts") + expr("INTERVAL 1 HOUR") <= lit(
+        java.sql.Timestamp.from(cutoff)))
+      .groupBy($"hour", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast("decimal(12,2)")), 2).cast("double").as("total_value"))
+      .orderBy($"hour", $"event_type")
+    val open = events.select(countDistinct(date_trunc("hour", $"ts"))).head.getLong(0) -
+      expected.select(countDistinct($"hour")).head.getLong(0)
+    assert(open >= 1, "fixture must leave at least one window open at the cutoff")
+    assert(got.collect().toSeq == expected.collect().toSeq,
+      "append output must equal the batch recomputation of closed windows")
+  }
 }

@@ -56,8 +56,12 @@ object SingleValueCodec {
         new java.math.BigDecimal(new BigInteger(bytes), scale)
       case TUnknown => throw new IllegalArgumentException(
         "unknown columns carry no values — no single-value serialization exists")
-      case _: TGeometry | _: TGeography => throw new IllegalArgumentException(
-        s"${t.name} bounds are bounding-box points, not single values")
+      // geo bounds are the spec's bounding-box corners: a WKB point per
+      // bound (lower = min x/min y, upper = max x/max y). Non-point WKB
+      // refuses inside pointCoord — a garbage bound must never decode.
+      case _: TGeometry | _: TGeography =>
+        GeoPoint(graft.functions.GeoAlgos.pointCoord(bytes, 0),
+          graft.functions.GeoAlgos.pointCoord(bytes, 1))
     }
   }
 
@@ -89,8 +93,12 @@ object SingleValueCodec {
         value.asInstanceOf[java.math.BigDecimal].unscaledValue.toByteArray
       case TUnknown => throw new IllegalArgumentException(
         "unknown columns carry no values — nothing to encode")
-      case _: TGeometry | _: TGeography => throw new IllegalArgumentException(
-        s"${t.name} bounds are bounding-box points, not single values")
+      case _: TGeometry | _: TGeography => value match {
+        case GeoPoint(x, y) => graft.functions.GeoAlgos.pointWkb(x, y)
+        case other => throw new IllegalArgumentException(
+          s"${t.name} bounds encode from a GeoPoint bounding-box corner, " +
+            s"got ${other.getClass.getSimpleName}")
+      }
     }
   }
 
@@ -101,8 +109,14 @@ object SingleValueCodec {
   def render(t: IcebergType, bytes: Array[Byte]): String = {
     val v = decode(t, bytes) match {
       case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case GeoPoint(x, y) => s"POINT ($x $y)"
       case other => String.valueOf(other)
     }
     s"value:$v;type:${t.name}"
   }
 }
+
+/** A decoded geometry/geography bound: one bounding-box corner. Not a
+  * scalar — deliberately incomparable, so the stats pruners' generic
+  * `cmp` yields None and never mis-prunes on a geo column. */
+final case class GeoPoint(x: Double, y: Double)

@@ -1017,8 +1017,9 @@ object LakehouseInspect {
   /** Geometry VALUES over the v3 `geometry` column (i91 added the type;
     * this adds the value layer): `graft_st_point(x, y)` builds canonical
     * little-endian WKB, the task writer lands it as the column's binary
-    * payload (no bounds — the spec's geo bounds are bounding boxes, not
-    * single values), and `graft_st_x`/`graft_st_y` read the coordinates
+    * payload — folding the spec's BOUNDING-BOX bounds inline (lower =
+    * min x/min y, upper = max x/max y as WKB points; GeoBoundsSpec) —
+    * and `graft_st_x`/`graft_st_y` read the coordinates
     * back through whole-stage codegen. Coordinates are dyadic rationals
     * (multiples of 0.25), so every SUM is EXACT in IEEE double whatever
     * the aggregation order — cross-engine equality without tolerance. */

@@ -537,11 +537,46 @@ private[sources] trait TaskFileWriter {
   * (Int/Long/Double/Float/Boolean/String; DateType as epoch days,
   * timestamps as epoch micros). Binary columns track nothing — cmp has
   * no byte-array ordering; a fabricated bound would mis-prune, an
-  * absent one never does. */
+  * absent one never does. EXCEPT geometry/geography: the v3 spec's geo
+  * bounds are bounding-box corners, so those columns fold per-axis
+  * min/max over their WKB POINT values into a lower (min x, min y) /
+  * upper (max x, max y) point pair. One non-point (or unparsable) WKB
+  * value poisons the column for this FILE — a bbox computed from only
+  * the values we understood would claim coverage it cannot prove. */
 private[sources] final class BoundTracker(schema: StructType,
     fields: Seq[(Int, String, IcebergType)]) {
   private val mins = Array.fill[Any](schema.fields.length)(null)
   private val maxs = Array.fill[Any](schema.fields.length)(null)
+
+  // schema index → per-axis accumulator [minX, minY, maxX, maxY] for
+  // geometry/geography columns; NaN-seeded until the first point lands
+  private val geoAcc: Map[Int, Array[Double]] = fields.collect {
+    case (_, name, _: IcebergTypes.TGeometry) =>
+      schema.fieldIndex(name) -> Array(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+    case (_, name, _: IcebergTypes.TGeography) =>
+      schema.fieldIndex(name) -> Array(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+  }.toMap
+  private val geoPoisoned =
+    scala.collection.mutable.Set.empty[Int]
+
+  private def trackGeo(i: Int, acc: Array[Double], v: Any): Unit =
+    if (!geoPoisoned(i)) {
+      try {
+        val bytes = v.asInstanceOf[Array[Byte]]
+        val x = graft.functions.GeoAlgos.pointCoord(bytes, 0)
+        val y = graft.functions.GeoAlgos.pointCoord(bytes, 1)
+        // a NaN coordinate can't participate in a bbox — poison, same as
+        // a non-point shape (the NaN-seeded accumulators update through
+        // negated comparisons, which would otherwise latch onto NaN)
+        if (x.isNaN || y.isNaN) geoPoisoned += i
+        else {
+          if (!(acc(0) <= x)) acc(0) = x
+          if (!(acc(1) <= y)) acc(1) = y
+          if (!(acc(2) >= x)) acc(2) = x
+          if (!(acc(3) >= y)) acc(3) = y
+        }
+      } catch { case _: IllegalArgumentException => geoPoisoned += i }
+    }
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Int, y: Int) => x.compareTo(y)
@@ -555,20 +590,30 @@ private[sources] final class BoundTracker(schema: StructType,
   }
 
   def track(i: Int, v: Any): Unit =
-    if (schema.fields(i).dataType != BinaryType) {
-      if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
-      if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
+    geoAcc.get(i) match {
+      case Some(acc) => trackGeo(i, acc, v)
+      case None if schema.fields(i).dataType != BinaryType =>
+        if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
+        if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
+      case None => ()
     }
 
   /** Iceberg single-value-encoded (lower, upper) maps by field id. */
   def lowerUpper(): (Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
     val bounds = fields.flatMap { case (id, name, t) =>
       val i = schema.fieldIndex(name)
-      (Option(mins(i)), Option(maxs(i))) match {
-        case (Some(lo), Some(hi)) =>
-          Seq((id, GraftTableDataWriter.encode(t, schema.fields(i).dataType, lo),
-            GraftTableDataWriter.encode(t, schema.fields(i).dataType, hi)))
-        case _ => Nil
+      geoAcc.get(i) match {
+        case Some(acc) =>
+          if (geoPoisoned(i) || acc(0).isNaN) Nil
+          else Seq((id,
+            SingleValueCodec.encode(t, graft.iceberg.GeoPoint(acc(0), acc(1))),
+            SingleValueCodec.encode(t, graft.iceberg.GeoPoint(acc(2), acc(3)))))
+        case None => (Option(mins(i)), Option(maxs(i))) match {
+          case (Some(lo), Some(hi)) =>
+            Seq((id, GraftTableDataWriter.encode(t, schema.fields(i).dataType, lo),
+              GraftTableDataWriter.encode(t, schema.fields(i).dataType, hi)))
+          case _ => Nil
+        }
       }
     }
     (bounds.map(b => b._1 -> b._2).toMap, bounds.map(b => b._1 -> b._3).toMap)

@@ -44,8 +44,17 @@ class NsTimestampSpec extends SparkSpec {
     assert(b.sameElements(SingleValueCodec.encode(TLong, ns)))
     intercept[IllegalArgumentException](SingleValueCodec.encode(TUnknown, 1L))
     intercept[IllegalArgumentException](SingleValueCodec.decode(TUnknown, b))
+    // geo bounds are bounding-box corners: GeoPoint round-trips as a WKB
+    // point; anything else still refuses
     intercept[IllegalArgumentException](
       SingleValueCodec.encode(TGeometry(None), Array[Byte](1)))
+    val corner = GeoPoint(-12.5, 44.25)
+    val wkb = SingleValueCodec.encode(TGeometry(None), corner)
+    assert(wkb.sameElements(graft.functions.GeoAlgos.pointWkb(-12.5, 44.25)))
+    assert(SingleValueCodec.decode(TGeography(None, None), wkb) == corner)
+    // a non-point WKB bound refuses at decode (garbage must never prune)
+    intercept[IllegalArgumentException](
+      SingleValueCodec.decode(TGeometry(None), Array[Byte](1, 2, 0, 0, 0)))
   }
 
   test("create gates v3-only types on format-version") {

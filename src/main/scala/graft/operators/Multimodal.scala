@@ -305,6 +305,74 @@ object Multimodal {
       |    AS BIGINT) AS sum_channels
       |FROM documents""".stripMargin
 
+  /** m08 — REAL baseline JPEG decode (no stub, no imaging library on the
+    * decode side): deterministic smooth-gradient RGB fixtures are
+    * encoded by javax.imageio (FOREIGN bytes — its Huffman tables, its
+    * 4:2:0 subsampling, its quantization) and decoded by
+    * [[JpegCodec.decode]]: marker walk, canonical Huffman construction,
+    * entropy decode with byte-unstuffing, dequantize + dezigzag, IDCT,
+    * YCbCr→RGB with chroma upsampling. JPEG is LOSSY with
+    * spec-sanctioned IDCT latitude, so the entry (a) requires per-pixel
+    * proximity (≤8) to imageio's own independent decode in-entry and
+    * (b) emits OUR decoder's channel sums, which are deterministic and
+    * pinned by a golden VALUES oracle at the verify scale (DuckDB
+    * cannot inflate a DCT). Smooth gradients keep the box-vs-triangle
+    * chroma-upsampling difference inside the tolerance. Per-record work
+    * inside the partition iterator; the only shuffle is the final
+    * rollup. */
+  val jpegDecode: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 24 + (id % 9).toInt
+        val h = 16 + (id % 7).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              ((20 + x * 4 + y * 2) << 16) | ((30 + x * 2 + y * 3) << 8) |
+                (60 + x + y * 4))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "jpg", out), "imageio jpeg writer missing")
+        val jpeg = out.toByteArray
+        val ours = JpegCodec.decode(jpeg)
+        require(ours.width == w && ours.height == h && ours.components == 3,
+          s"decoded shape ${ours.width}x${ours.height}x${ours.components} != ${w}x${h}x3")
+        val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+        var maxDelta = 0
+        y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val a = ours.pixels(y * w + x); val b = ref.getRGB(x, y)
+            var s = 0
+            while (s <= 16) {
+              val d = math.abs(((a >> s) & 0xff) - ((b >> s) & 0xff))
+              if (d > maxDelta) maxDelta = d
+              s += 8
+            }
+            x += 1
+          }
+          y += 1
+        }
+        require(maxDelta <= 8, s"doc $id: delta $maxDelta vs imageio decode")
+        (id, ours.sumR, ours.sumG, ours.sumB)
+      })
+      .toDF("doc_id", "r", "g", "b")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"r").cast("long").as("sum_r"),
+        sum($"g").cast("long").as("sum_g"),
+        sum($"b").cast("long").as("sum_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_media_features" -> mediaFeatures,
     "m02_media_records" -> mediaRecords,
@@ -312,7 +380,8 @@ object Multimodal {
     "m04_thumbnails" -> thumbnails,
     "m05_wav_decode" -> wavDecode,
     "m06_bmp_decode" -> bmpDecode,
-    "m07_png_decode" -> pngDecode)
+    "m07_png_decode" -> pngDecode,
+    "m08_jpeg_decode" -> jpegDecode)
 
   val oracles: Map[String, String] = Map(
     "m05_wav_decode" -> wavDecodeSql,

@@ -227,6 +227,10 @@ object JpegCodec {
           if (prec != 8) fail(s"only 8-bit precision supported, got $prec")
           height = u16(); width = u16()
           if (width <= 0 || height <= 0) fail(s"bad dimensions ${width}x$height")
+          // refuse before allocating: crafted SOF dims must not turn into
+          // a giant (or Int-overflowed) plane allocation from a tiny input
+          if (width.toLong * height > (1L << 24))
+            fail(s"image ${width}x$height exceeds the 16M-pixel decode cap")
           val n = u8()
           if (n != 1 && n != 3) fail(s"only 1 or 3 components supported, got $n")
           comps = Array.fill(n) {
@@ -236,6 +240,11 @@ object JpegCodec {
               fail(s"unsupported sampling ${c.h}x${c.v}")
             c
           }
+          // a single-component scan is NON-interleaved (T.81 §A.2): the
+          // MCU is one 8x8 data unit in raster order and the SOF sampling
+          // factors do not shape the scan — normalize them away so a
+          // grayscale file declaring 2x2 luma factors decodes correctly
+          if (n == 1) comps(0) = comps(0).copy(h = 1, v = 1)
         case 0xc2 => fail("progressive JPEG (SOF2) not supported")
         case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
           fail(f"unsupported SOF marker FF$m%02x (non-baseline)")

@@ -188,6 +188,17 @@ object MediaCodecs {
   private val PngSignature: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  /** One scanline-filter predictor (PNG spec §9.2), shared by the
+    * encode (subtract) and decode (add) halves so the two can never
+    * diverge branch-by-branch. */
+  private def predict(ft: Int, left: Int, up: Int, ul: Int): Int = ft match {
+    case 0 => 0
+    case 1 => left
+    case 2 => up
+    case 3 => (left + up) / 2
+    case 4 => paeth(left, up, ul)
+  }
+
   /** Paeth predictor (PNG spec §9.4): the neighbor closest to the
     * linear estimate a+b-c, ties resolved left, then up. */
   private def paeth(a: Int, b: Int, c: Int): Int = {
@@ -229,13 +240,7 @@ object MediaCodecs {
         val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
         val up = prev(i) & 0xff
         val ul = if (i >= bpp) prev(i - bpp) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
-        }
+        val pred = predict(ft, left, up, ul)
         raw(o) = ((r - pred) & 0xff).toByte
         o += 1; i += 1
       }
@@ -290,7 +295,10 @@ object MediaCodecs {
     while (!ended) {
       require(bb.remaining() >= 12, "truncated chunk list (no IEND)")
       val len = bb.getInt
-      require(len >= 0 && len + 8 <= bb.remaining(), s"chunk length $len overruns the file")
+      // subtract on the KNOWN-small side: `len + 8` wraps negative for a
+      // crafted length near Int.MaxValue and would defeat this guard
+      require(len >= 0 && len <= bb.remaining() - 8,
+        s"chunk length $len overruns the file")
       val typeAndData = new Array[Byte](4 + len)
       bb.get(typeAndData)
       val typ = new String(typeAndData, 0, 4, "US-ASCII")
@@ -355,13 +363,7 @@ object MediaCodecs {
         val left = if (i >= bpp) raw(o + 1 + i - bpp) & 0xff else 0
         val up = prev(i) & 0xff
         val ul = if (i >= bpp) prev(i - bpp) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
-        }
+        val pred = predict(ft, left, up, ul)
         val v = (f + pred) & 0xff
         raw(o + 1 + i) = v.toByte // reconstructed in place: row y is prev for y+1
         sum += v

@@ -20,18 +20,22 @@ class JpegCodecSpec extends AnyFunSuite {
 
   /** Minimal grayscale JPEG: one quant table (all qdc), single-symbol
     * Huffman tables (DC category `dcCat` and AC EOB, each 1-bit code 0),
-    * one 8x8 block whose scan is DC code + `dcCat` diff bits + EOB. */
-  private def flatJpeg(qdc: Int, dcCat: Int, scan: Array[Byte]): Array[Byte] = {
+    * w×h pixels whose scan is the caller's entropy bytes (per block:
+    * DC code + `dcCat` diff bits + EOB). `dri` > 0 adds a DRI segment. */
+  private def flatJpeg(qdc: Int, dcCat: Int, scan: Array[Byte],
+      w: Int = 8, h: Int = 8, dri: Int = 0): Array[Byte] = {
     val qt = bytes(0xff, 0xdb, 0x00, 0x43, 0x00) ++
       (qdc +: Seq.fill(63)(1)).map(_.toByte).toArray
     def dht(cls: Int, sym: Int) =
       bytes(0xff, 0xc4, 0x00, 0x14, cls << 4) ++
         bytes(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ bytes(sym)
-    val sof = bytes(0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x08, 0x00, 0x08,
-      0x01, 0x01, 0x11, 0x00)
+    val sof = bytes(0xff, 0xc0, 0x00, 0x0b, 0x08, h >> 8, h & 0xff,
+      w >> 8, w & 0xff, 0x01, 0x01, 0x11, 0x00)
+    val driSeg = if (dri > 0) bytes(0xff, 0xdd, 0x00, 0x04, dri >> 8, dri & 0xff)
+      else Array.emptyByteArray
     val sos = bytes(0xff, 0xda, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3f, 0x00)
-    bytes(0xff, 0xd8) ++ qt ++ dht(0, dcCat) ++ dht(1, 0x00) ++ sof ++ sos ++
-      scan ++ bytes(0xff, 0xd9)
+    bytes(0xff, 0xd8) ++ qt ++ dht(0, dcCat) ++ dht(1, 0x00) ++ driSeg ++
+      sof ++ sos ++ scan ++ bytes(0xff, 0xd9)
   }
 
   test("hand-laid all-DC blocks decode exactly") {
@@ -47,6 +51,46 @@ class JpegCodecSpec extends AnyFunSuite {
       scan = bytes(0x6f))) // bits: DC '0', diff '11', EOB '0', pad 1111
     assert(lifted.pixels.forall(_ == 0x868686),
       f"expected 134 samples, got 0x${lifted.pixels(0)}%06x")
+  }
+
+  test("restart markers byte-align, cycle RSTn and reset the DC predictor") {
+    // 24x8 grayscale, DRI=1: three MCUs, each followed by... preceded by a
+    // restart boundary after every MCU. Each block encodes DC diff +3
+    // (category 2, quant 16 → +48 → samples 134). WITHOUT the predictor
+    // reset the second block would accumulate (pred 6 → 140) and the
+    // third 9 → 146 — so all-134 pins the reset, the RST0/RST1 sequence
+    // pins the cycling, and the mid-byte pad before each marker pins the
+    // byte-alignment.
+    val mcuBits = bytes(0x6f) // DC '0', diff '11', EOB '0', pad 1111
+    val scan = mcuBits ++ bytes(0xff, 0xd0) ++ mcuBits ++
+      bytes(0xff, 0xd1) ++ mcuBits
+    val info = JpegCodec.decode(flatJpeg(qdc = 16, dcCat = 2, scan = scan,
+      w = 24, h = 8, dri = 1))
+    assert(info.width == 24 && info.height == 8)
+    assert(info.pixels.forall(_ == 0x868686),
+      f"restart handling broke DC prediction: got 0x${info.pixels(0)}%06x, " +
+        f"0x${info.pixels(8)}%06x, 0x${info.pixels(16)}%06x")
+
+    // a wrong restart index must refuse (RST0 expected, RST5 found)
+    val bad = mcuBits ++ bytes(0xff, 0xd5) ++ mcuBits ++ bytes(0xff, 0xd1) ++ mcuBits
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(
+      flatJpeg(qdc = 16, dcCat = 2, scan = bad, w = 24, h = 8, dri = 1)))
+    assert(e.getMessage.contains("RST"), e.getMessage)
+  }
+
+  test("single-component scans are non-interleaved: 2x2 luma factors ignored") {
+    // same stream as the flat 8x8 fixture but SOF declares 2x2 sampling;
+    // T.81 §A.2: a one-component scan's MCU is ONE data unit, so this
+    // still decodes as a single 8x8 block of 128s (an interleaved reading
+    // would consume four blocks and die in the entropy stream)
+    val base = flatJpeg(qdc = 1, dcCat = 0, scan = bytes(0x3f))
+    val sofHv = base.indexOfSlice(bytes(0x08, 0x00, 0x08, 0x00, 0x08, 0x01, 0x01))
+    assert(sofHv >= 0, "fixture SOF not found")
+    val patched = base.clone()
+    patched(sofHv + 6 + 1) = 0x22.toByte // component h<<4|v: 1x1 → 2x2
+    val info = JpegCodec.decode(patched)
+    assert(info.width == 8 && info.height == 8)
+    assert(info.pixels.forall(_ == 0x808080))
   }
 
   test("imageio-encoded color and grayscale decode within IDCT latitude") {
@@ -124,5 +168,13 @@ class JpegCodecSpec extends AnyFunSuite {
     val good = { val o = new ByteArrayOutputStream(); ImageIO.write(img, "jpg", o); o.toByteArray }
     intercept[IllegalArgumentException](JpegCodec.decode(good.take(good.length / 2)))
     intercept[IllegalArgumentException](JpegCodec.decode("not a jpeg".getBytes))
+    // crafted SOF dims must refuse BEFORE any allocation: 65535x40000
+    // would Int-overflow the plane size (NegativeArraySizeException) or
+    // grab gigabytes from a 25-byte input
+    val bomb = bytes(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 0x08,
+      0x9c, 0x40, /* h=40000 */ 0xff, 0xff, /* w=65535 */
+      0x01, 0x01, 0x11, 0x00, 0xff, 0xd9)
+    val eDim = intercept[IllegalArgumentException](JpegCodec.decode(bomb))
+    assert(eDim.getMessage.contains("decode cap"), eDim.getMessage)
   }
 }

@@ -156,6 +156,11 @@ class PngCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaCodecs.decodePng(palette))
     intercept[IllegalArgumentException](
       MediaCodecs.decodePng(good.dropRight(13))) // IEND gone
+    // a chunk length near Int.MaxValue must refuse, not Int-overflow the
+    // guard and then die allocating
+    val bomb = signature ++ be(0x7fffffff) ++ "IDAT".getBytes("US-ASCII") ++
+      be(0) // truncated body: the length check must fire first
+    intercept[IllegalArgumentException](MediaCodecs.decodePng(bomb))
     // pixel stream shorter than the image: 2 rows declared, 1 shipped
     val short = signature ++ ihdr(1, 2, color = 2) ++
       chunk("IDAT", zlibStored(raw)) ++ chunk("IEND", Array.emptyByteArray)

@@ -474,7 +474,120 @@ object TextPipeline {
       |  CAST(SUM(CASE WHEN score < 33000 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  /** t15 — GPT-style concat-and-chunk SEQUENCE PACKING: within each
+    * source, documents are concatenated in doc_id order and the token
+    * stream is cut into fixed context windows (budget 512 whitespace
+    * tokens); a document whose tokens straddle a cut is a boundary doc
+    * (the fraction a packing-aware loader would mask or split). The plan
+    * is ONE window cumsum partitioned by source — every source packs in
+    * parallel and nothing is global. At 100 TB the same shape holds with
+    * shard-level partitions (pack within each input shard — the
+    * production contract, since cross-shard order is not meaningful);
+    * the cumsum stays a single keyed shuffle either way. */
+  val sequencePacking: Q = (spark, dir) => {
+    import spark.implicits._
+    val B = 512
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = Tables.load(spark, dir, "documents")
+      .select($"source", $"doc_id", size(split($"text", " ")).as("n"))
+      .withColumn("off", coalesce(sum($"n").over(w), lit(0L)))
+      .withColumn("first_w", ($"off" / B).cast(LongType))
+      .withColumn("last_w", (($"off" + $"n" - 1) / B).cast(LongType))
+    packed.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n").cast(LongType).as("total_tokens"),
+        (max($"last_w") + 1).as("n_windows"),
+        sum(when($"first_w" =!= $"last_w", 1).otherwise(0)).cast(LongType)
+          .as("n_boundary_docs"))
+      .orderBy($"source")
+  }
+
+  val sequencePackingSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS n,
+      |    COALESCE(SUM(len(string_split(text, ' '))) OVER (
+      |      PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  CAST(MAX((off + n - 1) // 512) + 1 AS BIGINT) AS n_windows,
+      |  CAST(SUM(CASE WHEN off // 512 <> (off + n - 1) // 512 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_boundary_docs
+      |FROM toks GROUP BY source ORDER BY source""".stripMargin
+
+  /** t16 — temperature-based DOMAIN MIXTURE sampling (the Pile/LLaMA
+    * corpus-mixing shape): per-source quotas follow n^(1/2) (temperature
+    * flattening, here the exactly-computable integer floor(sqrt) so both
+    * engines agree bit-for-bit), a fixed total budget of 200 documents is
+    * apportioned by integer largest-remainder (ties by source name), and
+    * each source's quota is filled by the lowest multiplicative-hash
+    * ranks — a deterministic pseudo-random sample reproducible from the
+    * data alone. Two passes: a KB-scale per-source count (broadcastable),
+    * then rank-within-source. At 100 TB the rank pass does not sort each
+    * domain: the quota threshold is found on the hash values
+    * (approx-quantile or a fixed-width histogram) and kept rows are
+    * filtered by hash < threshold — one scan, no per-domain total order;
+    * the sum-of-ids output here pins the exact same selection. */
+  val domainMixture: Q = (spark, dir) => {
+    import spark.implicits._
+    val T = 200
+    val docs = Tables.load(spark, dir, "documents")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wgt", floor(sqrt($"n_docs".cast(DoubleType))).cast(LongType))
+    val tot = counts.agg(sum($"wgt")).head.getLong(0)
+    val quotas = counts
+      .withColumn("base", ($"wgt" * T / tot).cast(LongType))
+      .withColumn("rem", $"wgt" * T % tot)
+      .withColumn("rr", row_number().over(
+        Window.orderBy($"rem".desc, $"source".asc)))
+    val deficit = T - quotas.agg(sum($"base")).head.getLong(0)
+    val withQuota = quotas
+      .withColumn("quota", $"base" + when($"rr" <= deficit, 1L).otherwise(0L))
+      .select($"source", $"n_docs", $"quota")
+    val ranked = docs.select($"source", $"doc_id")
+      .withColumn("h", ($"doc_id" * 2654435761L) % 4294967296L)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
+    ranked.join(broadcast(withQuota), "source")
+      .filter($"rk" <= $"quota")
+      .groupBy($"source")
+      .agg(max($"n_docs").as("n_docs"), max($"quota").as("quota"),
+        count(lit(1)).as("n_sampled"),
+        sum($"doc_id").cast(LongType).as("sum_sampled_ids"))
+      .orderBy($"source")
+  }
+
+  val domainMixtureSql: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS wgt
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(wgt) AS t FROM counts),
+      |quotas AS (
+      |  SELECT source, n_docs, wgt * 200 // t AS base, wgt * 200 % t AS rem,
+      |    ROW_NUMBER() OVER (ORDER BY wgt * 200 % t DESC, source ASC) AS rr
+      |  FROM counts, tot),
+      |deficit AS (SELECT 200 - SUM(base) AS d FROM quotas),
+      |q AS (SELECT source, n_docs,
+      |    base + CASE WHEN rr <= (SELECT d FROM deficit) THEN 1 ELSE 0 END AS quota
+      |  FROM quotas),
+      |ranked AS (
+      |  SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.source, MAX(q.n_docs) AS n_docs,
+      |  CAST(MAX(q.quota) AS BIGINT) AS quota,
+      |  COUNT(*) AS n_sampled,
+      |  CAST(SUM(r.doc_id) AS BIGINT) AS sum_sampled_ids
+      |FROM ranked r JOIN q ON r.source = q.source
+      |WHERE r.rk <= q.quota
+      |GROUP BY r.source ORDER BY r.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t15_sequence_packing" -> sequencePacking,
+    "t16_domain_mixture" -> domainMixture,
     "t14_lm_quality_filter" -> lmQualityFilter,
     "t13_repetition" -> repetitionMetrics,
     "t12_filter_funnel" -> filterFunnel,
@@ -491,6 +604,8 @@ object TextPipeline {
     "t06_clean_text" -> cleanText)
 
   val oracles: Map[String, String] = Map(
+    "t15_sequence_packing" -> sequencePackingSql,
+    "t16_domain_mixture" -> domainMixtureSql,
     "t14_lm_quality_filter" -> lmQualityFilterSql,
     "t13_repetition" -> repetitionMetricsSql,
     "t12_filter_funnel" -> filterFunnelSql,

@@ -229,12 +229,112 @@ object Similarity {
       |FROM best WHERE rnk = 1
       |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin
 
+  /** s04 — PRODUCT QUANTIZATION with asymmetric distance (the ADC shape
+    * of Jégou et al.): each 64-dim vector compresses to M=4 subspace
+    * codes against a K=8-entry-per-subspace codebook, and queries score
+    * candidates by summing per-subspace distances to the CODE's centroid
+    * — the full vector is never touched at query time. The 100 TB story
+    * is the compression ratio: the scan reads M small codes per vector
+    * (here 4 bytes vs 256 — 64×), the codebook is KB-scale and
+    * broadcast, and ADC is M table lookups per candidate instead of a
+    * D-wide dot product. Codebook here = the anchor vectors' subvectors
+    * (vec_id < K; Lloyd refinement omitted — training quality is
+    * orthogonal to the encode/ADC mechanics and a production pipeline
+    * trains offline and broadcasts the result; PqSpec measures recall on
+    * planted clusters where the codebook is meaningful). Every distance
+    * folds left-to-right in double, so DuckDB recomputes the exact
+    * codes, ADC values and ranking — no tolerance. */
+  val pqAdc: Q = (spark, dir) => {
+    import spark.implicits._
+    val M = 4; val Sub = 16; val K = 8
+    val emb = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val anchors: Array[Array[Double]] = emb.filter($"vec_id" < K).orderBy($"vec_id")
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def subLit(c: Int, m: Int): Column =
+      array(anchors(c).slice(m * Sub, (m + 1) * Sub).toIndexedSeq.map(lit): _*)
+    def subCol(v: Column, m: Int): Column =
+      transform(slice(v, m * Sub + 1, Sub), x => x.cast(DoubleType))
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    def code(v: Column, m: Int): Column = {
+      val d = array((0 until K).map(c => sqd(subCol(v, m), subLit(c, m))): _*)
+      (array_position(d, array_min(d)) - 1).cast(IntegerType) // first min = lowest cid
+    }
+    val coded = emb.select($"vec_id" +:
+      (0 until M).map(m => code($"embedding", m).as(s"c$m")): _*)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    def centroidFor(m: Int, codeC: Column): Column =
+      element_at(array((0 until K).map(c => subLit(c, m)): _*), codeC + 1)
+    val adc = (0 until M).map(m => sqd(subCol($"q_emb", m), centroidFor(m, col(s"c$m"))))
+      .reduceLeft(_ + _) // fixed m order: the FP fold the oracle reproduces
+    val w = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
+    coded.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"adc")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Squared distance of `vec`'s subspace [lo, hi) to codebook entry
+    * `cbIdx` (1-based into the `cb` list-of-vectors), left-to-right
+    * double fold matching the Spark side's zip_with+aggregate. */
+  private def sqdSql(vec: String, cbIdx: String, lo: Int, hi: Int): String =
+    s"list_sum([($vec[i]::DOUBLE - cb[$cbIdx][i]::DOUBLE) * " +
+      s"($vec[i]::DOUBLE - cb[$cbIdx][i]::DOUBLE) for i in range($lo, $hi)])"
+
+  val pqAdcSql: String = {
+    val distLists = (0 until 4).map { m =>
+      val (lo, hi) = (m * 16 + 1, m * 16 + 17)
+      "[" + (1 to 8).map(c => sqdSql("e.embedding", c.toString, lo, hi))
+        .mkString(",\n      ") + s"] AS d$m"
+    }.mkString(",\n    ")
+    val adcTerms = (0 until 4).map { m =>
+      val (lo, hi) = (m * 16 + 1, m * 16 + 17)
+      sqdSql("p.qe", s"p.c$m + 1", lo, hi)
+    }.mkString("\n      + ")
+    s"""WITH a AS (
+       |  SELECT list(embedding ORDER BY vec_id) AS cb
+       |  FROM embeddings WHERE vec_id < 8),
+       |dists AS (
+       |  SELECT e.vec_id,
+       |    $distLists
+       |  FROM embeddings e, a),
+       |codes AS (
+       |  SELECT vec_id,
+       |    CAST(list_position(d0, list_min(d0)) - 1 AS INTEGER) AS c0,
+       |    CAST(list_position(d1, list_min(d1)) - 1 AS INTEGER) AS c1,
+       |    CAST(list_position(d2, list_min(d2)) - 1 AS INTEGER) AS c2,
+       |    CAST(list_position(d3, list_min(d3)) - 1 AS INTEGER) AS c3
+       |  FROM dists),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id, q.embedding AS qe,
+       |    v.c0, v.c1, v.c2, v.c3
+       |  FROM embeddings q JOIN codes v ON q.vec_id < 5 AND v.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    $adcTerms AS adc
+       |  FROM pairs p, a),
+       |ranked AS (
+       |  SELECT query_id, vec_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id, adc
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_ann_brute_force" -> annBruteForce,
     "s02_ann_lsh" -> annLsh,
-    "s03_kmeans_assign" -> kmeansAssign)
+    "s03_kmeans_assign" -> kmeansAssign,
+    "s04_pq_adc" -> pqAdc)
 
   val oracles: Map[String, String] = Map(
     "s01_ann_brute_force" -> annBruteForceSql,
-    "s03_kmeans_assign" -> kmeansAssignSql)
+    "s03_kmeans_assign" -> kmeansAssignSql,
+    "s04_pq_adc" -> pqAdcSql)
 }

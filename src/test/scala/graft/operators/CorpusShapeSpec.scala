@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-shape pins for the corpus-assembly and PQ entries: the scale
+  * story each one's scaladoc tells must be visible in the executed
+  * plan, not just asserted in prose. */
+class CorpusShapeSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // AQE finalizes the executed plan only after an action
+    // AdaptiveSparkPlan.toString prints the FINAL plan followed by the
+    // pre-AQE initial plan — count shapes in the final section only
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("t15 packing: one keyed shuffle feeds both the window and the rollup") {
+    val plan = planOf(TextPipeline.queries("t15_sequence_packing")(spark, sfDir))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected ONE source-keyed shuffle (window + groupBy share it), got $hashExchanges:\n" +
+        plan.take(2000))
+  }
+
+  test("t16 mixture: the quota side broadcasts, the corpus is never re-shuffled for it") {
+    val plan = planOf(TextPipeline.queries("t16_domain_mixture")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the KB-scale quota table must broadcast:\n" + plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join would shuffle the corpus for a KB-scale build side")
+  }
+
+  test("s04 PQ: queries broadcast; codes are computed pre-join, not per pair") {
+    val df = Similarity.queries("s04_pq_adc")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the 5-query set must broadcast across the coded corpus:\n" + plan.take(2000))
+    // the code columns (c0..c3 argmins over the codebook) must be
+    // projected BELOW the join: scoring a candidate reads its 4 codes,
+    // never re-derives them per query pair
+    val joinIdx = plan.indexOf("BroadcastNestedLoopJoin")
+    val codeIdx = plan.indexOf("array_position")
+    assert(codeIdx > joinIdx && joinIdx >= 0,
+      "code assignment must sit under the join in the plan tree " +
+        s"(join at $joinIdx, codes at $codeIdx)")
+  }
+}

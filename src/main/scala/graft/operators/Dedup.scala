@@ -596,7 +596,56 @@ object Dedup {
       |FROM assign a LEFT JOIN dropped d ON a.cid = d.cid AND a.vec_id = d.vec_id
       |GROUP BY a.cid ORDER BY a.cid""".stripMargin
 
+  /** d13 — EDIT-DISTANCE near-dup: the character-level axis the gram/
+    * token families can't see (a doc with small in-place edits keeps a
+    * low Levenshtein distance even when edits land in every shingle).
+    * Candidates come from the SAME chargram-minhash bands as d05 —
+    * banding shuffles 16 longs per doc, never all-pairs — and each
+    * candidate pair is verified by the exact codegen'd `levenshtein`
+    * kernel with an INTEGER acceptance test (dist·10 ≤ max(len): relative
+    * distance ≤ 0.1 with no FP division — bit-free cross-engine
+    * equality). A qualifying pair always shares an 8-gram (≤0.1·L edits
+    * leave an unedited run ≥ 9 chars by pigeonhole), so the oracle's
+    * shared-gram candidate set covers every true pair; band recall on
+    * the planted near-dups matches d05's documented P[miss] < 1e-14. At
+    * 100 TB the verify cost is bounded by the candidate count, not the
+    * corpus — the O(L²) kernel runs only on banded pairs. */
+  val editDistanceDedup: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val bands = docs
+      .select($"doc_id", posexplode(GraftFunctions.chargramBands(spark, $"text", 8, 64, 16)))
+      .toDF("doc_id", "band_idx", "band_key")
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    candidates
+      .join(docs.select($"doc_id".as("doc_a"), $"text".as("t_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"text".as("t_b")), "doc_b")
+      .withColumn("edit_dist", levenshtein($"t_a", $"t_b"))
+      .withColumn("max_len", greatest(length($"t_a"), length($"t_b")))
+      .filter($"edit_dist" * 10 <= $"max_len")
+      .select($"doc_a", $"doc_b", $"edit_dist", $"max_len")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val editDistanceDedupSql: String =
+    """WITH sh AS (SELECT doc_id, unnest(list_distinct([text[i:i+7] for i in range(1, length(text) - 6)])) s FROM documents),
+      |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+      |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT ida AS doc_a, idb AS doc_b,
+      |  CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist,
+      |  CAST(GREATEST(length(da.text), length(db.text)) AS INTEGER) AS max_len
+      |FROM cand JOIN documents da ON ida = da.doc_id
+      |          JOIN documents db ON idb = db.doc_id
+      |WHERE levenshtein(da.text, db.text) * 10 <= GREATEST(length(da.text), length(db.text))
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "d13_edit_distance" -> editDistanceDedup,
     "d12_semdedup" -> semDedup,
     "d11_dup_passages" -> dupPassages,
     "d10_incremental_ingest" -> incrementalIngest,
@@ -611,6 +660,7 @@ object Dedup {
     "d07_embedding_ivf" -> embeddingIvfNearDup)
 
   val oracles: Map[String, String] = Map(
+    "d13_edit_distance" -> editDistanceDedupSql,
     "d12_semdedup" -> semDedupSql,
     "d11_dup_passages" -> dupPassagesSql,
     "d10_incremental_ingest" -> incrementalIngestSql,

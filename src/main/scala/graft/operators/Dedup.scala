@@ -625,8 +625,13 @@ object Dedup {
     candidates
       .join(docs.select($"doc_id".as("doc_a"), $"text".as("t_a")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"text".as("t_b")), "doc_b")
-      .withColumn("edit_dist", levenshtein($"t_a", $"t_b"))
       .withColumn("max_len", greatest(length($"t_a"), length($"t_b")))
+      // edit distance >= |length difference|: an integer prefilter kills
+      // band collisions between different-length docs BEFORE the O(L^2)
+      // kernel ever runs — the verify cost tracks true near-dups, not
+      // collision noise
+      .filter(abs(length($"t_a") - length($"t_b")) * 10 <= $"max_len")
+      .withColumn("edit_dist", levenshtein($"t_a", $"t_b"))
       .filter($"edit_dist" * 10 <= $"max_len")
       .select($"doc_a", $"doc_b", $"edit_dist", $"max_len")
       .orderBy($"doc_a", $"doc_b")

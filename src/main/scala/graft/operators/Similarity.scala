@@ -327,14 +327,141 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s05 — IVF-PQ (the two legs composed — the FAISS production index
+    * shape): an INVERTED-FILE coarse quantizer partitions the corpus into
+    * cells by full-vector squared-L2 to a broadcast centroid set, PQ
+    * codes (the s04 M=4/K=8 codebook) compress every member, and a query
+    * scores ONLY the members of its nprobe=2 nearest cells by asymmetric
+    * distance. The two legs multiply at 100 TB: IVF cuts the CANDIDATE
+    * SET to nprobe/nlist of the corpus (here 1/4; production nlist scales
+    * as sqrt(n) so the probed fraction shrinks with the corpus), PQ cuts
+    * the BYTES PER CANDIDATE 64× (4 codes vs 256 bytes) and the
+    * per-candidate work to M table lookups — the scan side is a
+    * broadcast-join on cell id over a pre-coded corpus table, never a
+    * corpus shuffle and never a full-vector read at query time. Codes are
+    * computed on raw vectors rather than cell residuals (residual
+    * encoding improves recall but is orthogonal to the plan shape; a
+    * production pipeline trains both codebooks offline — documented
+    * deviation from Jégou et al. §IV). Every distance folds
+    * left-to-right in IEEE double, so DuckDB recomputes cells, codes,
+    * probe lists and ADC values exactly — no tolerance. */
+  val ivfPq: Q = (spark, dir) => {
+    import spark.implicits._
+    val M = 4; val Sub = 16; val K = 8; val NPROBE = 2
+    val emb = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val anchors: Array[Array[Double]] = emb.filter($"vec_id" < K).orderBy($"vec_id")
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def subLit(c: Int, m: Int): Column =
+      array(anchors(c).slice(m * Sub, (m + 1) * Sub).toIndexedSeq.map(lit): _*)
+    def fullLit(c: Int): Column = array(anchors(c).toIndexedSeq.map(lit): _*)
+    def subCol(v: Column, m: Int): Column =
+      transform(slice(v, m * Sub + 1, Sub), x => x.cast(DoubleType))
+    def fullCol(v: Column): Column = transform(v, x => x.cast(DoubleType))
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    def firstMin(d: Column): Column =
+      (array_position(d, array_min(d)) - 1).cast(IntegerType)
+    def code(v: Column, m: Int): Column =
+      firstMin(array((0 until K).map(c => sqd(subCol(v, m), subLit(c, m))): _*))
+    def cellDists(v: Column): Column =
+      array((0 until K).map(c => sqd(fullCol(v), fullLit(c))): _*)
+    // the pre-coded corpus: cell id + M codes per vector — ONE scan codes
+    // and assigns; at 100 TB this is a materialized index table
+    val coded = emb.select($"vec_id" +: firstMin(cellDists($"embedding")).as("cell") +:
+      (0 until M).map(m => code($"embedding", m).as(s"c$m")): _*)
+    // probe list: the NPROBE nearest cells per query (first-min tie order)
+    val queries5 = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val wProbe = Window.partitionBy($"query_id").orderBy($"cd", $"cell")
+    val probes = queries5
+      .select($"query_id", $"q_emb", posexplode(cellDists($"q_emb")).as(Seq("pos", "cd")))
+      .withColumn("cell", $"pos".cast(IntegerType))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter($"pr" <= NPROBE)
+      .select($"query_id", $"q_emb", $"cell")
+    def centroidFor(m: Int, codeC: Column): Column =
+      element_at(array((0 until K).map(c => subLit(c, m)): _*), codeC + 1)
+    val adc = (0 until M).map(m => sqd(subCol($"q_emb", m), centroidFor(m, col(s"c$m"))))
+      .reduceLeft(_ + _) // fixed m order: the FP fold the oracle reproduces
+    val w = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
+    coded.join(broadcast(probes), Seq("cell")) // only probed cells are scored
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cell", $"adc")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val ivfPqSql: String = {
+    val codeDistLists = (0 until 4).map { m =>
+      val (lo, hi) = (m * 16 + 1, m * 16 + 17)
+      "[" + (1 to 8).map(c => sqdSql("e.embedding", c.toString, lo, hi))
+        .mkString(",\n      ") + s"] AS d$m"
+    }.mkString(",\n    ")
+    val cellDistList = "[" +
+      (1 to 8).map(c => sqdSql("e.embedding", c.toString, 1, 65)).mkString(",\n      ") +
+      "] AS cd"
+    val queryCellList = "[" +
+      (1 to 8).map(c => sqdSql("q.embedding", c.toString, 1, 65)).mkString(",\n      ") +
+      "] AS cd"
+    val adcTerms = (0 until 4).map { m =>
+      val (lo, hi) = (m * 16 + 1, m * 16 + 17)
+      sqdSql("p.qe", s"p.c$m + 1", lo, hi)
+    }.mkString("\n      + ")
+    s"""WITH a AS (
+       |  SELECT list(embedding ORDER BY vec_id) AS cb
+       |  FROM embeddings WHERE vec_id < 8),
+       |dists AS (
+       |  SELECT e.vec_id,
+       |    $codeDistLists,
+       |    $cellDistList
+       |  FROM embeddings e, a),
+       |coded AS (
+       |  SELECT vec_id,
+       |    CAST(list_position(cd, list_min(cd)) - 1 AS INTEGER) AS cell,
+       |    CAST(list_position(d0, list_min(d0)) - 1 AS INTEGER) AS c0,
+       |    CAST(list_position(d1, list_min(d1)) - 1 AS INTEGER) AS c1,
+       |    CAST(list_position(d2, list_min(d2)) - 1 AS INTEGER) AS c2,
+       |    CAST(list_position(d3, list_min(d3)) - 1 AS INTEGER) AS c3
+       |  FROM dists),
+       |qcells AS (
+       |  SELECT q.vec_id AS query_id, q.embedding AS qe,
+       |    $queryCellList
+       |  FROM embeddings q, a WHERE q.vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, qe, cell FROM (
+       |    SELECT query_id, qe, CAST(i - 1 AS INTEGER) AS cell, cd[i] AS d,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd[i], i - 1) AS pr
+       |    FROM qcells, range(1, 9) r(i))
+       |  WHERE pr <= 2),
+       |pairs AS (
+       |  SELECT p.query_id, v.vec_id, p.qe, v.cell, v.c0, v.c1, v.c2, v.c3
+       |  FROM probes p JOIN coded v ON v.cell = p.cell AND v.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT query_id, vec_id, cell,
+       |    $adcTerms AS adc
+       |  FROM pairs p, a),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cell, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id, cell, adc
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_ann_brute_force" -> annBruteForce,
     "s02_ann_lsh" -> annLsh,
     "s03_kmeans_assign" -> kmeansAssign,
-    "s04_pq_adc" -> pqAdc)
+    "s04_pq_adc" -> pqAdc,
+    "s05_ivf_pq" -> ivfPq)
 
   val oracles: Map[String, String] = Map(
     "s01_ann_brute_force" -> annBruteForceSql,
     "s03_kmeans_assign" -> kmeansAssignSql,
-    "s04_pq_adc" -> pqAdcSql)
+    "s04_pq_adc" -> pqAdcSql,
+    "s05_ivf_pq" -> ivfPqSql)
 }

@@ -585,7 +585,64 @@ object TextPipeline {
       |WHERE r.rk <= q.quota
       |GROUP BY r.source ORDER BY r.source""".stripMargin
 
+  /** t17 — BENCHMARK DECONTAMINATION (the GPT-3 appendix-C shape, Brown
+    * et al. 2020): a training corpus is scanned for exact 13-gram overlap
+    * with an evaluation benchmark, and every training document sharing at
+    * least one benchmark n-gram is flagged with its contamination extent
+    * (overlapping positions, distinct shared n-grams, total positions —
+    * what decides between dropping the document and surgically removing
+    * the span). The benchmark here is a deterministic corpus split
+    * (doc_id % 5 — a stand-in for the external eval set a production run
+    * would load as its own small table).
+    *
+    * Scale shape: the benchmark side is SMALL BY NATURE (eval sets are
+    * MBs against a 100 TB corpus), so its distinct n-gram hashes
+    * broadcast and the corpus side never shuffles its text — 13-gram
+    * hashing runs inside the scan via the codegen'd rolling kernel (8
+    * bytes per position, same kernel as d11), the broadcast hash join
+    * flags positions map-side, and the only shuffle is the per-document
+    * count rollup over the (tiny) contaminated subset. Hash-collision
+    * risk vs the string-exact oracle is the d03/d05/d11 argument
+    * (P ≈ S²/2⁶⁵). */
+  val decontamination: Q = (spark, dir) => {
+    import spark.implicits._
+    val K = 13
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", GraftFunctions.posShingleHashes(spark, $"text", K).as("hs"))
+      .filter(size($"hs") > 0)
+    val bench = docs.filter($"doc_id" % 5 === 0)
+      .select(explode($"hs").as("s")).distinct()
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+      .select($"doc_id", size($"hs").cast(LongType).as("total_positions"),
+        explode($"hs").as("s"))
+    train.join(broadcast(bench), Seq("s"))
+      .groupBy($"doc_id", $"total_positions")
+      .agg(count(lit(1)).as("contam_positions"),
+        countDistinct($"s").as("contam_distinct"))
+      .select($"doc_id", $"contam_positions", $"contam_distinct", $"total_positions")
+      .orderBy($"doc_id")
+  }
+
+  val decontaminationSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 13),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest([array_to_string(t[i:i+12], ' ') for i in range(1, len(t) - 11)]) AS s
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0),
+      |hits AS (
+      |  SELECT sh.doc_id, COUNT(*) AS contam_positions,
+      |    COUNT(DISTINCT sh.s) AS contam_distinct
+      |  FROM sh JOIN bench USING (s) WHERE sh.doc_id % 5 <> 0 GROUP BY sh.doc_id)
+      |SELECT h.doc_id, h.contam_positions, h.contam_distinct,
+      |  CAST(len(t.t) - 12 AS BIGINT) AS total_positions
+      |FROM hits h JOIN toks t ON h.doc_id = t.doc_id
+      |ORDER BY h.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t17_decontamination" -> decontamination,
     "t15_sequence_packing" -> sequencePacking,
     "t16_domain_mixture" -> domainMixture,
     "t14_lm_quality_filter" -> lmQualityFilter,
@@ -604,6 +661,7 @@ object TextPipeline {
     "t06_clean_text" -> cleanText)
 
   val oracles: Map[String, String] = Map(
+    "t17_decontamination" -> decontaminationSql,
     "t15_sequence_packing" -> sequencePackingSql,
     "t16_domain_mixture" -> domainMixtureSql,
     "t14_lm_quality_filter" -> lmQualityFilterSql,

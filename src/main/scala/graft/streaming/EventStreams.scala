@@ -830,7 +830,108 @@ object EventStreams {
       |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // ---------------------------------------------------------------- st16
+  /** Streaming CDC UPSERT into the lakehouse table — the Flink-style
+    * equality-delete ingest shape: each micro-batch reduces to its latest
+    * row per key (`user_id`; `event_id` is the change-log LSN), drops
+    * rows the table already supersedes, and lands ONE upsert snapshot
+    * through [[graft.iceberg.GraftTable.upsert]] — an equality-delete
+    * file on the key plus the replacement data file at the same sequence
+    * number, so every pre-existing row with an upserted key dies under
+    * the spec's strictly-lower-sequence rule while the replacements
+    * survive. The LSN guard (apply a row only if its lsn beats the
+    * table's current row for that key) is what makes the sink correct
+    * under ANY batching the source chooses — an out-of-order or REPLAYED
+    * batch filters itself down to nothing instead of regressing keys, so
+    * the final state is the max-lsn row per key regardless of how the
+    * stream was cut (and the sink is naturally idempotent without
+    * batch-id bookkeeping). Two AvailableNow drives (even LSNs, then odd)
+    * force genuine cross-commit replacement: the second drive's equality
+    * deletes must kill rows the first committed. An upsert never reads or
+    * rewrites existing data files — O(input) write I/O per batch, which
+    * is why high-frequency CDC uses this shape instead of COW MERGE; the
+    * guard's table read is one MOR scan of KEYS per batch (at 100 TB a
+    * production sink bloom-prunes it by the batch's key range — the
+    * delete-side stats the upsert commit already writes).
+    *
+    * In-entry gates: ≥2 snapshots committed, the head snapshot actually
+    * carries equality deletes, and the MOR read-back (which must apply
+    * stacked equality deletes from BOTH drives) matches DuckDB's
+    * batch-recomputed latest-row-per-key state exactly. */
+  val streamUpsert: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.iceberg._
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-st16-${graft.Scratch.procToken}",
+      dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    graft.TmpOutputs.ensure(out) {
+      GraftTable.create(out, IcebergSchema(0, Seq(
+        IcebergField(1, "user_id", required = false, "long"),
+        IcebergField(2, "lsn", required = false, "long"),
+        IcebergField(3, "event_type", required = false, "string"),
+        IcebergField(4, "value", required = false, "double"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-0000000000s6",
+        timestampMs = 1700000000000L)
+      def drive(phase: org.apache.spark.sql.Column): Unit = {
+        val q = eventsStream(spark, dir)
+          .filter(phase)
+          .select($"user_id", $"event_id".as("lsn"), $"event_type", $"value")
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            val wK = org.apache.spark.sql.expressions.Window
+              .partitionBy($"user_id").orderBy($"lsn".desc)
+            val latest = df.withColumn("rn", row_number().over(wK))
+              .filter($"rn" === 1).drop("rn")
+            val metaNow = TableMetadata.parseFile(GraftTable.latestMetadataPath(out))
+            val cur =
+              if (metaNow.currentSnapshot.isEmpty)
+                Seq.empty[(Long, Long)].toDF("user_id", "cur_lsn")
+              else GraftTable.read(spark, GraftTable.latestMetadataPath(out))
+                .select($"user_id", $"lsn".as("cur_lsn"))
+            val fresh = latest.join(cur, Seq("user_id"), "left_outer")
+              .filter($"cur_lsn".isNull || $"lsn" > $"cur_lsn").drop("cur_lsn")
+              .cache() // two actions below — land the guard join once
+            try {
+              if (fresh.limit(1).count() > 0)
+                GraftTable.upsert(spark, out, fresh, Seq("user_id"))
+            } finally fresh.unpersist()
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drive(col("event_id") % 2 === 0)
+      drive(col("event_id") % 2 === 1)
+    }
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(out))
+    require(meta.snapshots.size >= 2,
+      s"expected one commit per drive, got ${meta.snapshots.size}")
+    val head = meta.currentSnapshot.getOrElse(
+      throw new IllegalStateException("upsert stream committed no snapshot"))
+    require(head.summary.get("added-equality-deletes").exists(_.toLong > 0),
+      s"head snapshot carries no equality deletes: ${head.summary}")
+    GraftTable.read(spark, GraftTable.latestMetadataPath(out))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"value".cast(DecimalType(12, 2))).cast(DoubleType).as("latest_value_sum"),
+        max($"lsn").as("max_lsn"))
+      .orderBy($"event_type")
+  }
+
+  val streamUpsertSql: String =
+    """WITH latest AS (
+      |  SELECT user_id, event_id AS lsn, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS latest_value_sum,
+      |  MAX(lsn) AS max_lsn
+      |FROM latest WHERE rn = 1
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st16_upsert_stream" -> streamUpsert,
     "st15_hourly_append" -> streamHourlyAppend,
     "st14_stream_table_read" -> streamTableRead,
     "st13_table_sink" -> streamTableSink,
@@ -848,6 +949,7 @@ object EventStreams {
     "st05_stream_dedup" -> streamDedup)
 
   val oracles: Map[String, String] = Map(
+    "st16_upsert_stream" -> streamUpsertSql,
     "st15_hourly_append" -> streamHourlyAppendSql,
     "st14_stream_table_read" -> streamTableReadSql,
     "st13_table_sink" -> streamTableSinkSql,

@@ -32,6 +32,28 @@ class CorpusShapeSpec extends SparkSpec {
       "a sort-merge join would shuffle the corpus for a KB-scale build side")
   }
 
+  test("t17 decontamination: the benchmark n-gram set broadcasts; the corpus never sort-merges") {
+    val plan = planOf(TextPipeline.queries("t17_decontamination")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the MB-scale benchmark gram set must broadcast:\n" + plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join would shuffle the whole corpus's gram stream")
+  }
+
+  test("s05 IVF-PQ: the probe join is an equi-join on cell, not a cross product") {
+    val plan = planOf(Similarity.queries("s05_ivf_pq")(spark, sfDir))
+    // s04 scores every (query, vector) pair through a BroadcastNestedLoop
+    // cross; the IVF leg's whole point is that s05 does NOT — candidates
+    // come from a broadcast HASH join on the cell id, so only probed
+    // cells' members are ever scored
+    assert(plan.contains("BroadcastHashJoin"),
+      "the probe list must broadcast-hash-join on cell:\n" + plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "a nested-loop join would score every pair — the IVF cut is gone")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "the coded corpus must not shuffle for the KB-scale probe side")
+  }
+
   test("s04 PQ: queries broadcast; codes are computed pre-join, not per pair") {
     val df = Similarity.queries("s04_pq_adc")(spark, sfDir)
     val plan = planOf(df)

@@ -924,13 +924,18 @@ object GraftTable {
     * expiry). */
   private[graft] def commitAppendFiles(tableDir: String, files: Seq[PendingFile],
       extraSummary: Map[String, String] = Map.empty,
-      replace: Boolean = false, branch: Option[String] = None)
+      replace: Boolean = false, branch: Option[String] = None,
+      // REPLACE TABLE's metadata evolution (new schema/spec/properties),
+      // applied to the FRESH base inside the CAS closure so a retry
+      // re-validates against whatever committed meanwhile
+      evolve: TableMetadata => TableMetadata = identity)
       : OptimisticCommit.CommitResult = {
     // an empty REPLACE is meaningful (overwrite-from-empty truncates);
     // an empty append is the caller's no-op to skip
     require(files.nonEmpty || replace, "no files to commit")
     require(branch.isEmpty || !replace, "branch writes are append-only")
-    OptimisticCommit.commit(tableDir, (base, basePath) => {
+    OptimisticCommit.commit(tableDir, (base0, basePath) => {
+      val base = evolve(base0)
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
       // a branch append chains from the BRANCH head (falling back to
@@ -994,6 +999,48 @@ object GraftTable {
       }
     })
   }
+
+  /** REPLACE TABLE committed as ONE metadata write (the atomic half of
+    * SQL `[CREATE OR] REPLACE TABLE … AS SELECT` through the staging
+    * catalog): the new schema and partition spec append to the document
+    * (history intact — every old snapshot stays time-travelable under
+    * its own schema id), the current pointers move to them, properties
+    * are REPLACED (Iceberg's replace semantics — a replace is a new
+    * table definition, not a patch), the sort order resets to unsorted,
+    * and a truncate-overwrite snapshot lists only the staged files. The
+    * staged schema/spec allocated their ids against the stage-time base;
+    * if a concurrent schema or spec commit landed since, those ids would
+    * collide, so the closure REFUSES instead of silently corrupting —
+    * the caller re-stages (same rule as every other CAS conflict). */
+  private[graft] def commitReplaceTable(tableDir: String,
+      newSchema: IcebergSchema, newSpec: PartitionSpec,
+      newProps: Map[String, String], files: Seq[PendingFile])
+      : OptimisticCommit.CommitResult =
+    commitAppendFiles(tableDir, files,
+      extraSummary = Map("replaced-schema-id" -> newSchema.schemaId.toString),
+      replace = true, evolve = { base =>
+        require(base.schemas.map(_.schemaId).max < newSchema.schemaId,
+          s"schema evolved concurrently with the staged replace " +
+            s"(staged schema-id ${newSchema.schemaId} is not above " +
+            s"${base.schemas.map(_.schemaId).max}) — re-stage the replace")
+        require(base.partitionSpecs.map(_.specId).max < newSpec.specId,
+          s"partition spec evolved concurrently with the staged replace — " +
+            "re-stage the replace")
+        newSchema.fields.flatMap(f => IcebergTypes.fromStringOpt(f.fieldType))
+          .filter(IcebergTypes.isV3Only).foreach(t =>
+            require(base.formatVersion >= 3,
+              s"${t.name} columns need format-version 3"))
+        base.copy(topLevelSchema = None,
+          schemas = base.schemas :+ newSchema,
+          currentSchemaId = Some(newSchema.schemaId),
+          partitionSpecs = base.partitionSpecs :+ newSpec,
+          defaultSpecId = newSpec.specId,
+          sortOrders =
+            if (base.sortOrders.exists(_.orderId == 0)) base.sortOrders
+            else SortOrder(0, Nil) +: base.sortOrders,
+          defaultSortOrderId = 0,
+          properties = Map("graft.metrics" -> "full") ++ newProps)
+      })
 
   /** v3 row lineage assignment: ADDED data entries claim contiguous
     * first_row_id blocks from the document's `next-row-id` counter, in

@@ -1184,7 +1184,82 @@ object LakehouseInspect {
       |  CAST(3 AS BIGINT) AS n_snapshots
       |FROM nation""".stripMargin
 
+  // ---------------------------------------------------------------- i96
+  /** ATOMIC `[CREATE OR] REPLACE TABLE … AS SELECT` through the staging
+    * catalog ([[graft.sources.GraftCatalog]] implements Spark's
+    * `StagingTableCatalog`, so Spark plans the ATOMIC exec instead of
+    * its drop-then-create fallback — which DESTROYS the table when the
+    * query fails and starts a fresh history when it succeeds). Three
+    * contracts driven in-entry:
+    *
+    *   - **failure atomicity**: a REPLACE whose query raises mid-write
+    *     leaves the table exactly as it was (the staged files are
+    *     deleted, the version chain never moved);
+    *   - **self-reference**: the replace SELECT reads the table being
+    *     replaced (compact-into-a-summary-of-itself — impossible under
+    *     drop-then-create, which would delete the data out from under
+    *     the scan);
+    *   - **history survives**: the replace appends schema + spec and
+    *     commits ONE truncate-overwrite snapshot; the pre-replace
+    *     snapshot stays time-travelable and `VERSION AS OF` reads it
+    *     under the OLD schema (the Iceberg time-travel rule).
+    *
+    * The invariants surface as output columns so the oracle hash pins
+    * them: n_snapshots = 2 (insert + replace — the failed attempt
+    * committed NOTHING), old_rows/old_sum = the pre-replace table read
+    * back through time travel. */
+  val replaceTable: Q = (spark, sfDir) => {
+    val wh = entryDir("i96", sfDir)
+    spark.conf.set("spark.sql.catalog.graft_rpl",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rpl.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("i96_nation_src")
+    graft.TmpOutputs.ensure(wh) {
+      spark.sql(s"""CREATE TABLE graft_rpl.db.t
+        (n_nationkey INT, n_name STRING, n_regionkey INT)
+        TBLPROPERTIES ('commit-timestamp-ms'='$T0')""")
+      spark.sql("""INSERT INTO graft_rpl.db.t
+        SELECT n_nationkey, n_name, n_regionkey FROM i96_nation_src""")
+      val failed =
+        try {
+          spark.sql("""REPLACE TABLE graft_rpl.db.t AS
+            SELECT CASE WHEN n_nationkey >= 0 THEN raise_error('i96 planned failure')
+              ELSE 0L END AS x FROM i96_nation_src""")
+          false
+        } catch { case _: Throwable => true }
+      require(failed, "the poisoned REPLACE must fail")
+      require(spark.sql("SELECT COUNT(*) FROM graft_rpl.db.t").head().getLong(0) == 25,
+        "a failed REPLACE must leave the table intact")
+      spark.sql("""CREATE OR REPLACE TABLE graft_rpl.db.t AS
+        SELECT n_regionkey AS r_key, COUNT(*) AS n_nations,
+          CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        FROM graft_rpl.db.t GROUP BY n_regionkey""")
+    }
+    val meta = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(s"$wh/db/t"))
+    val oldSnap = meta.snapshots.minBy(_.snapshotId)
+    val old = spark.sql(
+      s"SELECT * FROM graft_rpl.db.t VERSION AS OF ${oldSnap.snapshotId}")
+    require(old.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"),
+      s"time travel must read the PRE-replace schema, got " +
+        old.schema.fieldNames.mkString(","))
+    val oldAgg = old.agg(count(lit(1)), sum(col("n_nationkey")).cast("long")).head()
+    spark.table("graft_rpl.db.t")
+      .withColumn("n_snapshots", lit(meta.snapshots.size))
+      .withColumn("old_rows", lit(oldAgg.getLong(0)))
+      .withColumn("old_sum", lit(oldAgg.getLong(1)))
+      .orderBy(col("r_key"))
+  }
+
+  val replaceTableSql: String =
+    """SELECT n_regionkey AS r_key, COUNT(*) AS n_nations,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+      |  2 AS n_snapshots, CAST(25 AS BIGINT) AS old_rows,
+      |  CAST(300 AS BIGINT) AS old_sum
+      |FROM nation GROUP BY n_regionkey ORDER BY r_key""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i96_replace_table" -> replaceTable,
     "i95_geometry_points" -> geometryPoints,
     "i94_format_default" -> formatDefaultWrites,
     "i93_changelog_updates" -> changelogUpdates,
@@ -1210,6 +1285,7 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i96_replace_table" -> replaceTableSql,
     "i95_geometry_points" -> geometryPointsSql,
     "i94_format_default" -> formatDefaultWritesSql,
     "i93_changelog_updates" -> changelogUpdatesSql,

@@ -14,8 +14,8 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.iceberg.{GraftTable, HadoopConfs, IcebergField, IcebergSchema,
-  IcebergTypes, OptimisticCommit, PartitionField, PartitionSpec, SortField,
-  SortOrder, TableMetadata}
+  IcebergTypes, MetadataWriter, OptimisticCommit, PartitionField,
+  PartitionSpec, SortField, SortOrder, TableMetadata}
 
 /** A Spark `TableCatalog` over graft tables — the piece that makes plain
   * SQL work end-to-end:
@@ -43,7 +43,8 @@ import graft.iceberg.{GraftTable, HadoopConfs, IcebergField, IcebergSchema,
   * coordinate through the versioned metadata documents alone, exactly
   * the HadoopCatalog model. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with ViewCatalog with FunctionCatalog {
+    with ProcedureCatalog with ViewCatalog with FunctionCatalog
+    with StagingTableCatalog {
 
   /** The Iceberg partition-transform functions ([[GraftFunctions]]),
     * resolvable both at the catalog root — where Catalyst's
@@ -249,13 +250,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** SQL `VERSION AS OF <v>` — a numeric version is a snapshot id, any
     * other string resolves as a ref name (tag or branch), Iceberg's
     * convention for both. */
+  /** Time travel reads under the SNAPSHOT's schema (the Iceberg rule):
+    * a snapshot that predates a schema evolution — or a whole REPLACE
+    * TABLE — resolves its own schema id, so `VERSION AS OF` shows the
+    * columns that existed then, not the current definition's. */
+  private def travelSchema(meta: TableMetadata, snapId: Option[Long],
+      ref: Option[String], tsMs: Option[Long]): StructType =
+    GraftTable.resolveForScan(meta, snapId, ref, tsMs).schemaId
+      .flatMap(id => meta.schemas.find(_.schemaId == id))
+      .map(s => GraftTable.sparkSchema(
+        meta.copy(topLevelSchema = None, currentSchemaId = Some(s.schemaId))))
+      .getOrElse(GraftTable.sparkSchema(meta))
+
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val metaPath = GraftTable.latestMetadataPath(tableDir(ident))
+    val meta = TableMetadata.parseFile(metaPath)
     val snapId = version.toLongOption
-    new GraftSparkTable(GraftTable.sparkSchema(TableMetadata.parseFile(metaPath)),
-      metaPath, snapId, if (snapId.isEmpty) Some(version) else None,
-      None, 128L * 1024 * 1024)
+    val ref = if (snapId.isEmpty) Some(version) else None
+    new GraftSparkTable(travelSchema(meta, snapId, ref, None),
+      metaPath, snapId, ref, None, 128L * 1024 * 1024)
   }
 
   /** SQL `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch;
@@ -263,7 +277,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val metaPath = GraftTable.latestMetadataPath(tableDir(ident))
-    new GraftSparkTable(GraftTable.sparkSchema(TableMetadata.parseFile(metaPath)),
+    val meta = TableMetadata.parseFile(metaPath)
+    new GraftSparkTable(travelSchema(meta, None, None, Some(timestampMicros / 1000L)),
       metaPath, None, None, Some(timestampMicros / 1000L), 128L * 1024 * 1024)
   }
 
@@ -274,23 +289,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def icebergTypeName(dt: DataType, nextId: () => Int): String =
     IcebergTypes.fromSparkType(dt, nextId)
 
-  override def createTable(ident: Identifier, columns: Array[Column],
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // a STALE pointer (registered table whose target is gone) must not
-    // let CREATE silently materialize a new table inside the dead
-    // target's directory — the identifier is occupied until dropped
-    if (OptimisticCommit.currentVersion(tableDir(ident)) == 0)
-      require(!GraftCatalog.isRegistered(layoutDir(ident)),
-        s"$ident is registered to a missing table " +
-          s"(${GraftCatalog.resolveRegistered(layoutDir(ident))}) — DROP it first")
-    if (tableExists(ident)) throw new TableAlreadyExistsException(
-      (ident.namespace() :+ ident.name()).toSeq)
-    // nested (list-element) ids allocate AFTER the top-level fields, from
-    // one shared sequence — the Iceberg id-assignment convention
-    val nestedId = new java.util.concurrent.atomic.AtomicInteger(columns.length)
-    val fields = columns.toSeq.zipWithIndex.map { case (c, i) =>
+  /** Connector columns → Iceberg fields with ids startId+1…startId+n;
+    * nested (list-element/map/struct) ids allocate AFTER the top-level
+    * fields from the same shared sequence — the Iceberg id-assignment
+    * convention. CREATE starts at 0; REPLACE starts above every id any
+    * historical schema ever used (old snapshots keep their schemas, so a
+    * reused id would alias two unrelated columns in the bound stats). */
+  private def buildFields(columns: Array[Column], startId: Int): Seq[IcebergField] = {
+    val nestedId = new java.util.concurrent.atomic.AtomicInteger(startId + columns.length)
+    columns.toSeq.zipWithIndex.map { case (c, i) =>
       val typeName = icebergTypeName(c.dataType(), () => nestedId.incrementAndGet())
-      IcebergField(i + 1, c.name(), required = false, typeName,
+      IcebergField(startId + i + 1, c.name(), required = false, typeName,
         doc = Option(c.comment()).filter(_.nonEmpty),
         // CREATE TABLE (c T DEFAULT v): both defaults start as v — there
         // are no pre-existing rows, so initial-default is vacuous but
@@ -298,8 +307,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         initialDefault = defaultJson(c.defaultValue(), typeName, c.name()),
         writeDefault = defaultJson(c.defaultValue(), typeName, c.name()))
     }
-    val idByName = fields.map(f => f.name -> f.id).toMap
-    val specFields = partitions.toSeq.zipWithIndex.map { case (t, i) =>
+  }
+
+  /** Spark partition transforms → Iceberg spec fields, ids from
+    * firstFieldId (1000 for a fresh table; above the historical max for
+    * REPLACE — specs are versioned and never reuse ids). */
+  private def buildSpecFields(partitions: Array[Transform],
+      idByName: Map[String, Int], firstFieldId: Int): Seq[PartitionField] =
+    partitions.toSeq.zipWithIndex.map { case (t, i) =>
       val refs = t.references()
       require(refs.length == 1 && refs.head.fieldNames().length == 1,
         s"unsupported partition reference in $t")
@@ -314,40 +329,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // planner's transform-space pruning and the task writers evaluate)
       t.name() match {
         case "identity" =>
-          PartitionField(s"${colName}_id", "identity", srcId, 1000 + i)
+          PartitionField(s"${colName}_id", "identity", srcId, firstFieldId + i)
         case "bucket" =>
           PartitionField(s"${colName}_bucket", s"bucket[${intArg("bucket")}]",
-            srcId, 1000 + i)
+            srcId, firstFieldId + i)
         case "truncate" =>
           PartitionField(s"${colName}_trunc", s"truncate[${intArg("truncate")}]",
-            srcId, 1000 + i)
+            srcId, firstFieldId + i)
         case "year" | "years" =>
-          PartitionField(s"${colName}_year", "year", srcId, 1000 + i)
+          PartitionField(s"${colName}_year", "year", srcId, firstFieldId + i)
         case "month" | "months" =>
-          PartitionField(s"${colName}_month", "month", srcId, 1000 + i)
+          PartitionField(s"${colName}_month", "month", srcId, firstFieldId + i)
         case "day" | "days" =>
-          PartitionField(s"${colName}_day", "day", srcId, 1000 + i)
+          PartitionField(s"${colName}_day", "day", srcId, firstFieldId + i)
         case "hour" | "hours" =>
-          PartitionField(s"${colName}_hour", "hour", srcId, 1000 + i)
+          PartitionField(s"${colName}_hour", "hour", srcId, firstFieldId + i)
         case other => throw new UnsupportedOperationException(
           s"unsupported partition transform $other — supported: identity, " +
             "bucket(N, col), truncate(W, col), years/months/days/hours(col)")
       }
     }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // a STALE pointer (registered table whose target is gone) must not
+    // let CREATE silently materialize a new table inside the dead
+    // target's directory — the identifier is occupied until dropped
+    if (OptimisticCommit.currentVersion(tableDir(ident)) == 0)
+      require(!GraftCatalog.isRegistered(layoutDir(ident)),
+        s"$ident is registered to a missing table " +
+          s"(${GraftCatalog.resolveRegistered(layoutDir(ident))}) — DROP it first")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(
+      (ident.namespace() :+ ident.name()).toSeq)
+    val fields = buildFields(columns, startId = 0)
+    val specFields = buildSpecFields(partitions,
+      fields.map(f => f.name -> f.id).toMap, firstFieldId = 1000)
     // default to the real clock so SQL `TIMESTAMP AS OF <wall-clock>`
     // resolves correctly on catalog-created tables; tests and oracle
     // fixtures opt into determinism via the commit-timestamp-ms property
     val t0 = Option(properties.get("commit-timestamp-ms")).map(_.toLong)
       .getOrElse(System.currentTimeMillis())
-    // persist user TBLPROPERTIES (write.update.mode=merge-on-read etc.);
-    // Spark's own bookkeeping keys stay out of the document, and
-    // format-version routes to the METADATA FIELD (spec: a document
-    // field, not a property) — CREATE … ('format-version'='3') makes a
-    // v3 table whose DELETEs write deletion vectors from commit one
-    val userProps = properties.asScala.toMap -- Seq(
-      "provider", "location", "owner", "external", "commit-timestamp-ms",
-      "format-version") --
-      properties.asScala.keys.filter(_.startsWith("option."))
+    val userProps = userTableProps(properties)
     // variant is a v3 type (spec: Version 3 types)
     require(!fields.exists(_.fieldType == "variant") ||
         Option(properties.get("format-version")).exists(_.trim.toInt >= 3),
@@ -359,6 +381,123 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       formatVersion = Option(properties.get("format-version"))
         .map(_.trim.toInt).getOrElse(2))
     loadTable(ident)
+  }
+
+  /** Persist user TBLPROPERTIES (write.update.mode=merge-on-read etc.);
+    * Spark's own bookkeeping keys stay out of the document, and
+    * format-version routes to the METADATA FIELD (spec: a document
+    * field, not a property) — CREATE … ('format-version'='3') makes a
+    * v3 table whose DELETEs write deletion vectors from commit one. */
+  private def userTableProps(properties: util.Map[String, String]): Map[String, String] =
+    properties.asScala.toMap -- Seq(
+      "provider", "location", "owner", "external", "commit-timestamp-ms",
+      "format-version") --
+      properties.asScala.keys.filter(_.startsWith("option."))
+
+  // ------------------------------------------------ StagingTableCatalog
+  /** Atomic `[CREATE OR] REPLACE TABLE [AS SELECT]` and atomic CTAS.
+    * Without this interface Spark falls back to DROP-then-CREATE: a
+    * failed RTAS leaves the table DESTROYED, and a successful one starts
+    * a fresh history (no time travel past the replace). Staged here:
+    *
+    *   - data files land in the real table directory during the write
+    *     but are INVISIBLE — nothing references a file until a metadata
+    *     document does (the Iceberg visibility model), so a reader
+    *     between stage and commit sees the old table unchanged;
+    *   - the staged write plans against a SCRATCH metadata document
+    *     (`staged-<uuid>.metadata.json`, never part of the version
+    *     chain) carrying the new schema/spec/properties, so the new
+    *     partition layout and write format govern the staged files;
+    *   - `commitStagedChanges` lands everything in ONE CAS commit
+    *     ([[GraftTable.commitReplaceTable]]): new schema + spec appended
+    *     (history stays time-travelable under its own schema ids),
+    *     properties replaced, and a truncate-overwrite snapshot listing
+    *     only the staged files;
+    *   - `abortStagedChanges` deletes the staged files and scratch
+    *     document — the table never saw anything.
+    *
+    * Staged CREATE (atomic CTAS) reuses [[createTable]] and makes abort
+    * drop the directory; its one non-atomic window is an empty table
+    * visible between stage and commit — the same boundary Iceberg's
+    * HadoopCatalog draws (a filesystem catalog has no rename-into-place
+    * for a whole directory). */
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable = {
+    createTable(ident, columns, partitions, properties)
+    val dir = tableDir(ident)
+    new StagedGraftTable(fullName(ident), GraftTable.latestMetadataPath(dir),
+      onCommit = files =>
+        if (files.nonEmpty) GraftTable.commitAppendFiles(dir, files.map(pendingOf)),
+      onAbort = _ => dropTable(ident))
+  }
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stagedReplace(ident, columns, partitions, properties)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable =
+    if (tableExists(ident)) stagedReplace(ident, columns, partitions, properties)
+    else stageCreate(ident, columns, partitions, properties)
+
+  private def fullName(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  private def pendingOf(m: GraftFileMessage): GraftTable.PendingFile =
+    GraftTable.PendingFile(m.path, m.rows, m.bytes, m.lower, m.upper,
+      m.summary, m.specId, fileFormat = m.fileFormat)
+
+  private def stagedReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable = {
+    val dir = tableDir(ident)
+    val base = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    require(Option(properties.get("format-version"))
+        .forall(_.trim.toInt == base.formatVersion),
+      "REPLACE cannot change format-version — run the upgrade path first")
+    // new field ids allocate above every id ANY historical schema ever
+    // used, nested ids included (they live inside the type JSON): old
+    // snapshots keep their schemas, and a reused id would alias two
+    // unrelated columns in the stats of time-traveled reads
+    val IdRe = """"(?:id|element-id|key-id|value-id)"\s*:\s*(\d+)""".r
+    val maxId = (base.schemas.flatMap(_.fields.map(_.id)) ++
+      base.schemas.flatMap(_.fields.flatMap(f =>
+        IdRe.findAllMatchIn(f.fieldType).map(_.group(1).toInt)))).max
+    val fields = buildFields(columns, startId = maxId)
+    val newSchema = IcebergSchema(base.schemas.map(_.schemaId).max + 1, fields)
+    val firstPf = (base.partitionSpecs.flatMap(_.fields.map(_.fieldId)) :+ 999).max + 1
+    val newSpec = PartitionSpec(base.partitionSpecs.map(_.specId).max + 1,
+      buildSpecFields(partitions, fields.map(f => f.name -> f.id).toMap, firstPf))
+    require(!fields.exists(_.fieldType == "variant") || base.formatVersion >= 3,
+      "variant columns need a v3 table")
+    val props = userTableProps(properties)
+    // the scratch document the staged write plans against — the real
+    // version chain (v<N>.metadata.json) never references it
+    val stagedPath = s"$dir/staged-${java.util.UUID.randomUUID()}.metadata.json"
+    MetadataWriter.write(stagedPath, base.copy(topLevelSchema = None,
+      schemas = base.schemas :+ newSchema,
+      currentSchemaId = Some(newSchema.schemaId),
+      partitionSpecs = base.partitionSpecs :+ newSpec,
+      defaultSpecId = newSpec.specId,
+      sortOrders = Seq(SortOrder(0, Nil)), defaultSortOrderId = 0,
+      properties = Map("graft.metrics" -> "full") ++ props))
+    def dropStaged(): Unit = HadoopConfs.fileSystemFor(stagedPath)
+      .delete(new Path(stagedPath), false)
+    new StagedGraftTable(fullName(ident), stagedPath,
+      onCommit = files =>
+        try GraftTable.commitReplaceTable(dir, newSchema, newSpec, props,
+          files.map(pendingOf))
+        finally dropStaged(),
+      onAbort = files => {
+        files.foreach(m => HadoopConfs.fileSystemFor(m.path)
+          .delete(new Path(m.path), false))
+        dropStaged()
+      })
   }
 
   /** v3 column defaults: Spark routes `CREATE TABLE (c T DEFAULT v)` /
@@ -1005,6 +1144,63 @@ class GraftLocalTable(tableName: String, df: org.apache.spark.sql.DataFrame)
       override def readSchema(): StructType = tableSchema
       override def description(): String = s"graft metadata table $tableName"
     }
+}
+
+/** The table handed to Spark's atomic CTAS/RTAS execs between stage and
+  * commit: a write-only facade whose BatchWrite STASHES the tasks' commit
+  * messages instead of committing a snapshot — `commitStagedChanges`
+  * turns them into the single real commit, `abortStagedChanges` deletes
+  * them. The inner [[GraftTableWriteBuilder]] (planned against
+  * `writeMetadataPath` — v1 for staged CREATE, the scratch document for
+  * staged REPLACE) is reused whole, including its required distribution/
+  * ordering, so staged writes cluster and sort exactly like direct ones. */
+private[sources] final class StagedGraftTable(
+    identName: String,
+    writeMetadataPath: String,
+    onCommit: Seq[GraftFileMessage] => Unit,
+    onAbort: Seq[GraftFileMessage] => Unit)
+    extends StagedTable with SupportsWrite {
+
+  import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo,
+    PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate,
+    Write, WriteBuilder, WriterCommitMessage}
+
+  @volatile private var staged: Seq[GraftFileMessage] = Nil
+
+  override def name(): String = identName
+  override def schema(): StructType =
+    GraftTable.sparkSchema(TableMetadata.parseFile(writeMetadataPath))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private val inner = new GraftTableWriteBuilder(writeMetadataPath, info)
+      // a staged table is "new" — truncate-then-append IS the append
+      override def truncate(): WriteBuilder = { inner.truncate(); this }
+      override def build(): Write = {
+        val w = inner.build()
+        val rdo = w.asInstanceOf[RequiresDistributionAndOrdering]
+        new Write with RequiresDistributionAndOrdering {
+          override def requiredDistribution() = rdo.requiredDistribution()
+          override def requiredOrdering() = rdo.requiredOrdering()
+          override def toBatch: BatchWrite = {
+            val b = w.toBatch
+            new BatchWrite {
+              override def createBatchWriterFactory(i: PhysicalWriteInfo) =
+                b.createBatchWriterFactory(i)
+              override def commit(msgs: Array[WriterCommitMessage]): Unit =
+                staged = GraftTableWrites.filesOf(msgs)
+              override def abort(msgs: Array[WriterCommitMessage]): Unit =
+                b.abort(msgs)
+            }
+          }
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = onCommit(staged)
+  override def abortStagedChanges(): Unit = onAbort(staged)
 }
 
 /** Catalog-level helpers shared with the `register_table` procedure. */

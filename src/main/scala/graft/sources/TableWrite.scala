@@ -221,7 +221,9 @@ object GraftTableWrites {
       .delete(new org.apache.hadoop.fs.Path(m.path), false))
 
   private[sources] def filesOf(messages: Array[WriterCommitMessage]): Seq[GraftFileMessage] =
-    messages.toSeq.flatMap(_.asInstanceOf[GraftWriteMessage].files)
+    // abort hands null slots for tasks that never committed a message —
+    // only the non-null ones have files to account for
+    messages.toSeq.filter(_ != null).flatMap(_.asInstanceOf[GraftWriteMessage].files)
 
   private[sources] def commit(tableDir: String, files: Seq[GraftFileMessage],
       extraSummary: Map[String, String] = Map.empty,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.iceberg.{GraftTable, TableMetadata}
+
+/** The StagingTableCatalog contracts beyond what the i96 entry drives:
+  * atomic-CTAS abort, plain REPLACE (no AS SELECT), field-id freshness
+  * across the replace, property REPLACEMENT (not merge), partitioned
+  * replace, the missing-table refusal, and the format-version pin. */
+class ReplaceTableSpec extends SparkSpec {
+
+  private def freshCatalog(tag: String): String = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-rts-$tag").toString
+    spark.conf.set(s"spark.sql.catalog.rts_$tag",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.rts_$tag.warehouse", wh)
+    s"rts_$tag"
+  }
+
+  private def meta(wh: String, name: String): TableMetadata =
+    TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/$name"))
+
+  private def warehouse(cat: String): String =
+    spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+
+  test("failed atomic CTAS leaves no table behind") {
+    val cat = freshCatalog("ctas")
+    intercept[Throwable] {
+      spark.sql(s"""CREATE TABLE $cat.db.boom AS
+        SELECT CASE WHEN x > 0 THEN raise_error('planned') ELSE 0L END AS c
+        FROM (SELECT 1 AS x)""")
+    }
+    assert(!spark.catalog.tableExists(s"$cat.db.boom"))
+    assert(!new java.io.File(s"${warehouse(cat)}/db/boom/v1.metadata.json").exists(),
+      "the aborted staged create must remove the directory")
+  }
+
+  test("plain REPLACE TABLE truncates to the new schema, history intact") {
+    val cat = freshCatalog("plain")
+    spark.sql(s"CREATE TABLE $cat.db.p AS SELECT 1 AS a, 'x' AS b")
+    spark.sql(s"REPLACE TABLE $cat.db.p (x BIGINT, y STRING)")
+    assert(spark.table(s"$cat.db.p").schema.fieldNames.toSeq == Seq("x", "y"))
+    assert(spark.table(s"$cat.db.p").count() == 0)
+    val m = meta(warehouse(cat), "p")
+    assert(m.snapshots.size == 2, "CTAS append + replace truncate")
+    // the pre-replace snapshot still reads its own rows under (a, b)
+    val oldId = m.snapshots.minBy(_.snapshotId).snapshotId
+    val old = spark.sql(s"SELECT * FROM $cat.db.p VERSION AS OF $oldId")
+    assert(old.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(old.collect().map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "x")))
+  }
+
+  test("replaced schema and spec allocate fresh ids above every historical one") {
+    val cat = freshCatalog("ids")
+    spark.sql(s"""CREATE TABLE $cat.db.f (a INT, b STRING, c DOUBLE)
+      PARTITIONED BY (bucket(4, a))""")
+    spark.sql(s"INSERT INTO $cat.db.f VALUES (1, 'x', 0.5)")
+    // same column NAMES on purpose: the ids must still be fresh (old
+    // snapshots keep the old schema; a reused id would alias columns)
+    spark.sql(s"""CREATE OR REPLACE TABLE $cat.db.f
+      PARTITIONED BY (bucket(8, a)) AS SELECT 2L AS a, 'y' AS b""")
+    val m = meta(warehouse(cat), "f")
+    assert(m.schemas.size == 2)
+    val oldIds = m.schemas.minBy(_.schemaId).fields.map(_.id).toSet
+    val newIds = m.currentSchema.fields.map(_.id).toSet
+    assert(newIds.forall(_ > oldIds.max),
+      s"new field ids $newIds must clear the historical max ${oldIds.max}")
+    assert(m.partitionSpecs.size == 2)
+    val specs = m.partitionSpecs.sortBy(_.specId)
+    assert(specs.last.specId > specs.head.specId)
+    assert(specs.last.fields.head.fieldId > specs.head.fields.head.fieldId)
+    assert(specs.last.fields.head.transform == "bucket[8]")
+    // and the new layout actually wrote + reads back
+    assert(spark.table(s"$cat.db.f").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "y")))
+  }
+
+  test("REPLACE replaces properties — it is a new definition, not a patch") {
+    val cat = freshCatalog("props")
+    spark.sql(s"""CREATE TABLE $cat.db.pr (a INT)
+      TBLPROPERTIES ('write.update.mode'='merge-on-read')""")
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.db.pr AS SELECT 1 AS a")
+    assert(!meta(warehouse(cat), "pr").properties.contains("write.update.mode"),
+      "a property from the old definition must not survive the replace")
+  }
+
+  test("REPLACE TABLE on a missing table refuses; format-version cannot change") {
+    val cat = freshCatalog("guard")
+    intercept[Throwable] {
+      spark.sql(s"REPLACE TABLE $cat.db.nope AS SELECT 1 AS a")
+    }
+    spark.sql(s"CREATE TABLE $cat.db.v2 AS SELECT 1 AS a")
+    val e = intercept[Throwable] {
+      spark.sql(s"""CREATE OR REPLACE TABLE $cat.db.v2
+        TBLPROPERTIES ('format-version'='3') AS SELECT 2 AS a""")
+    }
+    assert(e.getMessage.contains("format-version"), e.getMessage)
+  }
+
+  test("no staged scratch document survives commit or abort") {
+    val cat = freshCatalog("scratch")
+    spark.sql(s"CREATE TABLE $cat.db.s AS SELECT 1 AS a")
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.db.s AS SELECT 2 AS a")
+    intercept[Throwable] {
+      spark.sql(s"""REPLACE TABLE $cat.db.s AS
+        SELECT CASE WHEN x > 0 THEN raise_error('planned') ELSE 0L END AS c
+        FROM (SELECT 1 AS x)""")
+    }
+    val leftovers = new java.io.File(s"${warehouse(cat)}/db/s").listFiles()
+      .map(_.getName).filter(_.startsWith("staged-"))
+    assert(leftovers.isEmpty, s"scratch documents leaked: ${leftovers.mkString(",")}")
+    assert(spark.table(s"$cat.db.s").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+}

@@ -2444,6 +2444,65 @@ object GraftTable {
     }
   }
 
+  /** Everything [[deleteReachableFiles]] found, by kind — counts feed
+    * the procedure's result row, paths feed dry-run inspection. */
+  final case class ReachableFiles(contentFiles: Seq[String], manifests: Seq[String],
+      manifestLists: Seq[String], metadataFiles: Seq[String],
+      statisticsFiles: Seq[String])
+
+  /** Delete EVERY file reachable from a metadata document — the cleanup
+    * half of dropping a table a catalog no longer owns (a `register_table`
+    * pointer DROP keeps the files; this reclaims them) or a detached
+    * directory. Reachability is the union over the document, every
+    * previous document in its metadata-log, all their snapshots'
+    * manifest lists → manifests → content files (data, position/equality
+    * deletes, deletion-vector puffins — every status, so nothing any
+    * time travel could resolve survives), plus statistics and
+    * partition-statistics files. Guards: `gc.enabled=false` (zero-copy
+    * forks reference files the SOURCE owns) refuses, and the document
+    * must be its directory's CURRENT version — deleting through a stale
+    * document while newer state exists would reclaim files the live
+    * table still references. Only for tables no catalog serves anymore;
+    * cost is metadata-proportional (manifests open in parallel, data
+    * files are never read). */
+  def deleteReachableFiles(metadataFile: String, dryRun: Boolean = false)
+      : ReachableFiles = {
+    val meta = TableMetadata.parseFile(metadataFile)
+    require(!meta.properties.get("gc.enabled").contains("false"),
+      s"gc.enabled=false on $metadataFile (zero-copy snapshot table) — " +
+        "its files are owned by the source table")
+    val slash = metadataFile.lastIndexOf('/')
+    require(slash > 0, s"metadata_file must be an absolute path, got $metadataFile")
+    val tableDir = metadataFile.substring(0, slash)
+    val v = OptimisticCommit.currentVersion(tableDir)
+    require(v > 0 && OptimisticCommit.metadataPath(tableDir, v) == metadataFile,
+      s"$metadataFile is not the directory's current metadata — a newer " +
+        "version exists and may reference these files; pass the current one")
+    val fs = HadoopConfs.fileSystemFor(tableDir)
+    def exists(p: String): Boolean = fs.exists(new org.apache.hadoop.fs.Path(p))
+    // the version-hint file is layout infrastructure, owned like the
+    // documents it points at
+    val metaFiles = (meta.metadataLog.map(_.metadataFile) :+ metadataFile)
+      .distinct.filter(exists) ++
+      Some(s"$tableDir/version-hint.text").filter(exists)
+    val metas = meta +: metaFiles
+      .filterNot(p => p == metadataFile || p.endsWith("version-hint.text"))
+      .map(TableMetadata.parseFile)
+    val lists = metas.flatMap(_.snapshots.flatMap(_.manifestList))
+      .distinct.filter(exists)
+    val manifests = Par.inParallel(lists)(l =>
+      ManifestListReader.read(l).map(_.path)).flatten.distinct.filter(exists)
+    val content = Par.inParallel(manifests)(m =>
+      ManifestWriter.read(m).map(_.filePath)).flatten.distinct.filter(exists)
+    val stats = metas.flatMap(m => m.statistics ++ m.partitionStatistics)
+      .map(_.path).distinct.filter(exists)
+    val found = ReachableFiles(content, manifests, lists, metaFiles, stats)
+    if (!dryRun)
+      (content ++ manifests ++ lists ++ stats ++ metaFiles).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    found
+  }
+
   /** Partition-spec evolution through the CAS loop: `partition-specs[]`
     * grows and `default-spec-id` advances. Existing manifests keep their
     * old spec id (list field 502, the i32 mixed-spec rule); subsequent

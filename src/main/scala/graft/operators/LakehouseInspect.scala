@@ -1258,7 +1258,74 @@ object LakehouseInspect {
       |  CAST(300 AS BIGINT) AS old_sum
       |FROM nation GROUP BY n_regionkey ORDER BY r_key""".stripMargin
 
+  // ---------------------------------------------------------------- i97
+  /** `delete_reachable_files` — the cleanup half of un-cataloging a
+    * table: walk a metadata document's ENTIRE reachable set (all
+    * metadata-log versions, every snapshot's manifest list → manifests →
+    * content files of every status, statistics files) and delete it.
+    * This is what reclaims the bytes after a `register_table` pointer
+    * DROP (which by design keeps the files), or for a detached
+    * directory no catalog serves. The entry drives the full lifecycle —
+    * create, append, MOR DELETE (so a position-delete file is
+    * reachable), ANALYZE (so a statistics puffin is reachable) — then
+    * a dry run (counts, nothing deleted, table still readable), the
+    * real deletion, and a recursive directory sweep proving NOTHING
+    * survived. Dry-run/real count equality and the zero-leftover gate
+    * surface as oracle-pinned columns; the table builds fresh every
+    * pass because the entry ends by destroying it. */
+  val deleteReachable: Q = (spark, sfDir) => {
+    import org.apache.hadoop.fs.Path
+    val root = entryDir("i97", sfDir)
+    val dir = s"$root/db/t"
+    spark.conf.set("spark.sql.catalog.graft_drf",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_drf.warehouse", root)
+    val fs = HadoopConfs.fileSystemFor(root)
+    fs.delete(new Path(root), true)
+    GraftTable.create(dir, IcebergSchema(0, Seq(
+      IcebergField(1, "n_nationkey", required = false, "int"),
+      IcebergField(2, "n_name", required = false, "string"),
+      IcebergField(3, "n_regionkey", required = false, "int"))),
+      tableUuid = "b6b9a6a1-0000-4000-8000-000000000097", timestampMs = T0)
+    GraftTable.append(spark, dir, Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    GraftTable.deleteWhere(spark, dir, col("n_nationkey") >= 20)
+    GraftTable.computeTableStats(spark, dir)
+    val pre = GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+      .agg(count(lit(1)), sum(col("n_nationkey")).cast("long")).head()
+    val metaFile = GraftTable.latestMetadataPath(dir)
+    val dry = spark.sql(s"""CALL graft_drf.system.delete_reachable_files(
+      metadata_file => '$metaFile', dry_run => true)""").head()
+    require(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count()
+        == pre.getLong(0), "dry run must not delete anything")
+    val real = spark.sql(s"""CALL graft_drf.system.delete_reachable_files(
+      metadata_file => '$metaFile')""").head()
+    require(dry == real,
+      s"dry-run counts must match the real deletion: $dry vs $real")
+    val leftovers =
+      if (!fs.exists(new Path(dir))) 0
+      else {
+        val it = fs.listFiles(new Path(dir), true)
+        var n = 0
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      }
+    import spark.implicits._
+    Seq((pre.getLong(0), pre.getLong(1), real.getInt(0), real.getInt(1),
+      real.getInt(2), real.getInt(3), real.getInt(4), leftovers))
+      .toDF("n_rows_before", "sum_before", "content_files", "manifests",
+        "manifest_lists", "metadata_files", "statistics_files", "n_leftover_files")
+  }
+
+  val deleteReachableSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_before,
+      |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_before,
+      |  2 AS content_files, 2 AS manifests, 2 AS manifest_lists,
+      |  5 AS metadata_files, 1 AS statistics_files, 0 AS n_leftover_files
+      |FROM nation WHERE n_nationkey < 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "i97_delete_reachable" -> deleteReachable,
     "i96_replace_table" -> replaceTable,
     "i95_geometry_points" -> geometryPoints,
     "i94_format_default" -> formatDefaultWrites,
@@ -1285,6 +1352,7 @@ object LakehouseInspect {
     "i80_migrate_dir" -> migrateDir)
 
   val oracles: Map[String, String] = Map(
+    "i97_delete_reachable" -> deleteReachableSql,
     "i96_replace_table" -> replaceTableSql,
     "i95_geometry_points" -> geometryPointsSql,
     "i94_format_default" -> formatDefaultWritesSql,

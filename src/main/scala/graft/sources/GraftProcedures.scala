@@ -79,7 +79,8 @@ object GraftProcedures {
     "rewrite_position_delete_files", "cherrypick_snapshot", "add_files",
     "drop_tag", "drop_branch", "snapshot", "migrate",
     "rollback_to_timestamp", "create_changelog_view", "ancestors_of",
-    "compute_table_stats", "compute_partition_stats", "register_table")
+    "compute_table_stats", "compute_partition_stats", "register_table",
+    "delete_reachable_files")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. `resolveNewDir`
@@ -560,6 +561,30 @@ object GraftProcedures {
           val deleted = GraftTable.removeOrphanFiles(dir, olderThan,
             dryRun = !input.isNullAt(2) && input.getBoolean(2))
           Seq(InternalRow(deleted.size))
+        })
+      case "delete_reachable_files" => new Proc(
+        "delete_reachable_files",
+        "delete EVERY file reachable from a metadata document (content " +
+          "files of all statuses, manifests, manifest lists, statistics, " +
+          "the whole metadata-log) — the cleanup half of dropping a " +
+          "table the catalog no longer owns (a register_table pointer " +
+          "DROP keeps the files; this reclaims them). Refuses " +
+          "gc.enabled=false forks and stale document versions; " +
+          "dry_run => true counts without deleting",
+        Array(in("metadata_file", StringType),
+          inDefault("dry_run", BooleanType, "false")),
+        StructType(Seq(
+          StructField("deleted_content_files_count", IntegerType),
+          StructField("deleted_manifests_count", IntegerType),
+          StructField("deleted_manifest_lists_count", IntegerType),
+          StructField("deleted_metadata_files_count", IntegerType),
+          StructField("deleted_statistics_files_count", IntegerType))),
+        input => {
+          val r = GraftTable.deleteReachableFiles(
+            input.getUTF8String(0).toString,
+            dryRun = !input.isNullAt(1) && input.getBoolean(1))
+          Seq(InternalRow(r.contentFiles.size, r.manifests.size,
+            r.manifestLists.size, r.metadataFiles.size, r.statisticsFiles.size))
         })
       case "fast_forward" => new Proc(
         "fast_forward",

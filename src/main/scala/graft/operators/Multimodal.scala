@@ -373,7 +373,84 @@ object Multimodal {
         sum($"b").cast("long").as("sum_b"))
   }
 
+  /** m09 — REAL GIF decode ([[GifCodec]]): the m-family's LZW leg,
+    * implemented from the GIF89a spec with no library anywhere in the
+    * DECODE chain (PNG delegated the bit-level inflate to the JDK; LZW
+    * has no JDK primitive, so the variable-width dictionary
+    * decompressor is ours end to end). Fixtures are palette-indexed
+    * images ENCODED BY javax.imageio — foreign bytes, its LZW encoder's
+    * code stream, its block splits — whose palette and index pattern
+    * follow integer formulas, so DuckDB recomputes the exact channel
+    * sums from first principles: GIF is lossless and channel sums are
+    * palette-ORDER-invariant (a pixel's color survives any palette
+    * permutation the writer picks). In-entry, every pixel is also
+    * required EQUAL to imageio's own independent decode — the lossless
+    * analogue of m08's ≤8-delta proximity gate. Per-record work inside
+    * the partition iterator; the only shuffle is the final rollup. */
+  val gifDecode: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 8 + (id % 7).toInt
+        val h = 6 + (id % 5).toInt
+        val n = 64
+        val r = Array.tabulate(n)(i => ((i * 3) % 256).toByte)
+        val g = Array.tabulate(n)(i => ((i * 5) % 256).toByte)
+        val b = Array.tabulate(n)(i => ((i * 7) % 256).toByte)
+        val icm = new java.awt.image.IndexColorModel(8, n, r, g, b)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.getRaster.setSample(x, y, 0, ((id + x * 7 + y * 13) % n).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "gif", out), "imageio gif writer missing")
+        val gif = out.toByteArray
+        val ours = GifCodec.decode(gif)
+        require(ours.width == w && ours.height == h,
+          s"decoded ${ours.width}x${ours.height} != ${w}x$h")
+        val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+        y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            require((ours.rgb(y * w + x) & 0xffffff) == (ref.getRGB(x, y) & 0xffffff),
+              s"doc $id pixel ($x,$y): ${ours.rgb(y * w + x)} != ${ref.getRGB(x, y)}")
+            x += 1
+          }
+          y += 1
+        }
+        (id, w.toLong, h.toLong, ours.sumChannels)
+      })
+      .toDF("doc_id", "w", "h", "sc")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"w").cast("long").as("sum_width"),
+        sum($"h").cast("long").as("sum_height"),
+        sum($"sc").cast("long").as("sum_channels"))
+  }
+
+  val gifDecodeSql: String =
+    """WITH xs AS (SELECT doc_id,
+      |    unnest(generate_series(0, 7 + doc_id % 7)) AS x FROM documents),
+      |ys AS (SELECT doc_id, x,
+      |    unnest(generate_series(0, 5 + doc_id % 5)) AS y FROM xs),
+      |px AS (SELECT doc_id, (doc_id + x * 7 + y * 13) % 64 AS i FROM ys)
+      |SELECT COUNT(*) AS n_docs,
+      |  CAST(SUM(8 + doc_id % 7) AS BIGINT) AS sum_width,
+      |  CAST(SUM(6 + doc_id % 5) AS BIGINT) AS sum_height,
+      |  CAST((SELECT SUM((i * 3) % 256 + (i * 5) % 256 + (i * 7) % 256) FROM px)
+      |    AS BIGINT) AS sum_channels
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m09_gif_decode" -> gifDecode,
     "m01_media_features" -> mediaFeatures,
     "m02_media_records" -> mediaRecords,
     "m03_frame_samples" -> frameSamples,
@@ -386,5 +463,6 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "m05_wav_decode" -> wavDecodeSql,
     "m06_bmp_decode" -> bmpDecodeSql,
-    "m07_png_decode" -> pngDecodeSql)
+    "m07_png_decode" -> pngDecodeSql,
+    "m09_gif_decode" -> gifDecodeSql)
 }

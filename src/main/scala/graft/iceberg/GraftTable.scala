@@ -97,8 +97,21 @@ object GraftTable {
   def read(spark: SparkSession, metadataPath: String,
       snapshotId: Option[Long] = None, ref: Option[String] = None,
       asOfTimestampMs: Option[Long] = None): DataFrame = {
-    val meta = TableMetadata.parseFile(metadataPath)
-    readWithAddress(spark, meta, resolveSnapshot(meta, snapshotId, ref, asOfTimestampMs))
+    val meta0 = TableMetadata.parseFile(metadataPath)
+    val snap = resolveSnapshot(meta0, snapshotId, ref, asOfTimestampMs)
+    // POINT-IN-TIME travel (snapshot id / timestamp) reads under the
+    // SNAPSHOT's schema — the Iceberg rule, same as the catalog's
+    // VERSION/TIMESTAMP AS OF route: a snapshot predating an evolution
+    // (or a whole REPLACE TABLE) projects the columns that existed then.
+    // Head and REF reads keep the table's CURRENT schema (Iceberg's
+    // branch rule — a branch is live state, not an archival point).
+    val traveled = snapshotId.isDefined || asOfTimestampMs.isDefined
+    val meta =
+      if (!traveled) meta0
+      else snap.schemaId.filter(id => meta0.schemas.exists(_.schemaId == id))
+        .map(id => meta0.copy(topLevelSchema = None, currentSchemaId = Some(id)))
+        .getOrElse(meta0)
+    readWithAddress(spark, meta, snap)
       .select(sparkSchema(meta).fieldNames.map(col).toIndexedSeq: _*)
   }
 

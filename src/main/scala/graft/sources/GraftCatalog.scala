@@ -251,16 +251,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * other string resolves as a ref name (tag or branch), Iceberg's
     * convention for both. */
   /** Time travel reads under the SNAPSHOT's schema (the Iceberg rule):
-    * a snapshot that predates a schema evolution — or a whole REPLACE
-    * TABLE — resolves its own schema id, so `VERSION AS OF` shows the
-    * columns that existed then, not the current definition's. */
+    * a snapshot-id or timestamp target — or a TAG, an archival point —
+    * resolves its own schema id, so `VERSION AS OF` shows the columns
+    * that existed then. A BRANCH is live state and keeps the table's
+    * CURRENT schema (Iceberg's branch rule). */
   private def travelSchema(meta: TableMetadata, snapId: Option[Long],
-      ref: Option[String], tsMs: Option[Long]): StructType =
-    GraftTable.resolveForScan(meta, snapId, ref, tsMs).schemaId
+      ref: Option[String], tsMs: Option[Long]): StructType = {
+    val isBranch = ref.exists(r => meta.refs.exists(x =>
+      x.name == r && x.refType == "branch"))
+    if (isBranch) GraftTable.sparkSchema(meta)
+    else GraftTable.resolveForScan(meta, snapId, ref, tsMs).schemaId
       .flatMap(id => meta.schemas.find(_.schemaId == id))
       .map(s => GraftTable.sparkSchema(
         meta.copy(topLevelSchema = None, currentSchemaId = Some(s.schemaId))))
       .getOrElse(GraftTable.sparkSchema(meta))
+  }
 
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)

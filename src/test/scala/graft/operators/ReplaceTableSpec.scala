@@ -97,6 +97,24 @@ class ReplaceTableSpec extends SparkSpec {
     assert(e.getMessage.contains("format-version"), e.getMessage)
   }
 
+  test("a schema evolution racing the staged replace refuses at commit") {
+    import graft.iceberg._
+    val cat = freshCatalog("race")
+    spark.sql(s"CREATE TABLE $cat.db.r AS SELECT 1 AS a")
+    val dir = s"${warehouse(cat)}/db/r"
+    // ids staged against the pre-race base (schema-id 1, field id 2)
+    val staged = IcebergSchema(1, Seq(IcebergField(2, "b", required = false, "long")))
+    // the race: a concurrent ADD COLUMN claims schema-id 1 first
+    spark.sql(s"ALTER TABLE $cat.db.r ADD COLUMN c STRING")
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.commitReplaceTable(dir, staged,
+        PartitionSpec(1, Nil), Map.empty, Nil)
+    }
+    assert(e.getMessage.contains("concurrently"), e.getMessage)
+    // the refusal left the evolved table fully intact
+    assert(spark.table(s"$cat.db.r").schema.fieldNames.toSeq == Seq("a", "c"))
+  }
+
   test("no staged scratch document survives commit or abort") {
     val cat = freshCatalog("scratch")
     spark.sql(s"CREATE TABLE $cat.db.s AS SELECT 1 AS a")

@@ -99,13 +99,14 @@ object GraftTable {
       asOfTimestampMs: Option[Long] = None): DataFrame = {
     val meta0 = TableMetadata.parseFile(metadataPath)
     val snap = resolveSnapshot(meta0, snapshotId, ref, asOfTimestampMs)
-    // POINT-IN-TIME travel (snapshot id / timestamp) reads under the
-    // SNAPSHOT's schema — the Iceberg rule, same as the catalog's
-    // VERSION/TIMESTAMP AS OF route: a snapshot predating an evolution
-    // (or a whole REPLACE TABLE) projects the columns that existed then.
-    // Head and REF reads keep the table's CURRENT schema (Iceberg's
-    // branch rule — a branch is live state, not an archival point).
-    val traveled = snapshotId.isDefined || asOfTimestampMs.isDefined
+    // POINT-IN-TIME travel (snapshot id / timestamp / TAG — archival
+    // points) reads under the SNAPSHOT's schema — the Iceberg rule, same
+    // as the catalog's VERSION/TIMESTAMP AS OF route: a snapshot
+    // predating an evolution (or a whole REPLACE TABLE) projects the
+    // columns that existed then. Head and BRANCH reads keep the table's
+    // CURRENT schema (Iceberg's branch rule — a branch is live state).
+    val traveled = snapshotId.isDefined || asOfTimestampMs.isDefined ||
+      ref.exists(r => meta0.refs.exists(x => x.name == r && x.refType == "tag"))
     val meta =
       if (!traveled) meta0
       else snap.schemaId.filter(id => meta0.schemas.exists(_.schemaId == id))
@@ -1032,19 +1033,29 @@ object GraftTable {
     commitAppendFiles(tableDir, files,
       extraSummary = Map("replaced-schema-id" -> newSchema.schemaId.toString),
       replace = true, evolve = { base =>
-        require(base.schemas.map(_.schemaId).max < newSchema.schemaId,
+        // legacy documents carry only a top-level schema — fold it in so
+        // the id checks see every schema the table ever had
+        val allSchemas = base.schemas ++ base.topLevelSchema
+        require((allSchemas.map(_.schemaId) :+ -1).max < newSchema.schemaId,
           s"schema evolved concurrently with the staged replace " +
             s"(staged schema-id ${newSchema.schemaId} is not above " +
-            s"${base.schemas.map(_.schemaId).max}) — re-stage the replace")
-        require(base.partitionSpecs.map(_.specId).max < newSpec.specId,
+            s"${(allSchemas.map(_.schemaId) :+ -1).max}) — re-stage the replace")
+        require((base.partitionSpecs.map(_.specId) :+ -1).max < newSpec.specId,
           s"partition spec evolved concurrently with the staged replace — " +
             "re-stage the replace")
         newSchema.fields.flatMap(f => IcebergTypes.fromStringOpt(f.fieldType))
           .filter(IcebergTypes.isV3Only).foreach(t =>
             require(base.formatVersion >= 3,
               s"${t.name} columns need format-version 3"))
+        // properties are REPLACED — except gc.enabled=false, which
+        // describes who owns the HISTORICAL files: the old snapshots
+        // (and their references into the fork's source table) survive
+        // the replace, so the ownership flag must survive with them or
+        // a later cleanup would reclaim the source's files
+        val ownership = base.properties.get("gc.enabled")
+          .filter(_ == "false").map("gc.enabled" -> _)
         base.copy(topLevelSchema = None,
-          schemas = base.schemas :+ newSchema,
+          schemas = allSchemas :+ newSchema,
           currentSchemaId = Some(newSchema.schemaId),
           partitionSpecs = base.partitionSpecs :+ newSpec,
           defaultSpecId = newSpec.specId,
@@ -1052,7 +1063,7 @@ object GraftTable {
             if (base.sortOrders.exists(_.orderId == 0)) base.sortOrders
             else SortOrder(0, Nil) +: base.sortOrders,
           defaultSortOrderId = 0,
-          properties = Map("graft.metrics" -> "full") ++ newProps)
+          properties = Map("graft.metrics" -> "full") ++ newProps ++ ownership)
       })
 
   /** v3 row lineage assignment: ADDED data entries claim contiguous
@@ -2485,34 +2496,42 @@ object GraftTable {
       s"gc.enabled=false on $metadataFile (zero-copy snapshot table) — " +
         "its files are owned by the source table")
     val slash = metadataFile.lastIndexOf('/')
-    require(slash > 0, s"metadata_file must be an absolute path, got $metadataFile")
+    require(slash > 0 && new org.apache.hadoop.fs.Path(metadataFile).isAbsolute,
+      s"metadata_file must be an absolute path, got $metadataFile")
     val tableDir = metadataFile.substring(0, slash)
     val v = OptimisticCommit.currentVersion(tableDir)
     require(v > 0 && OptimisticCommit.metadataPath(tableDir, v) == metadataFile,
       s"$metadataFile is not the directory's current metadata — a newer " +
         "version exists and may reference these files; pass the current one")
-    val fs = HadoopConfs.fileSystemFor(tableDir)
-    def exists(p: String): Boolean = fs.exists(new org.apache.hadoop.fs.Path(p))
+    // reachable files can live on OTHER filesystems (add_files-imported
+    // data, cross-scheme metadata-log entries) — resolve per path; and
+    // both the existence sweep and the deletion are one driver round
+    // trip per file on an object store, so they run in parallel like
+    // the manifest reads
+    def exists(p: String): Boolean = HadoopConfs.fileSystemFor(p)
+      .exists(new org.apache.hadoop.fs.Path(p))
+    def existing(ps: Seq[String]): Seq[String] =
+      Par.inParallel(ps)(p => if (exists(p)) Some(p) else None).flatten
     // the version-hint file is layout infrastructure, owned like the
     // documents it points at
-    val metaFiles = (meta.metadataLog.map(_.metadataFile) :+ metadataFile)
-      .distinct.filter(exists) ++
+    val metaFiles = existing((meta.metadataLog.map(_.metadataFile) :+ metadataFile)
+      .distinct) ++
       Some(s"$tableDir/version-hint.text").filter(exists)
     val metas = meta +: metaFiles
       .filterNot(p => p == metadataFile || p.endsWith("version-hint.text"))
       .map(TableMetadata.parseFile)
-    val lists = metas.flatMap(_.snapshots.flatMap(_.manifestList))
-      .distinct.filter(exists)
-    val manifests = Par.inParallel(lists)(l =>
-      ManifestListReader.read(l).map(_.path)).flatten.distinct.filter(exists)
-    val content = Par.inParallel(manifests)(m =>
-      ManifestWriter.read(m).map(_.filePath)).flatten.distinct.filter(exists)
-    val stats = metas.flatMap(m => m.statistics ++ m.partitionStatistics)
-      .map(_.path).distinct.filter(exists)
+    val lists = existing(metas.flatMap(_.snapshots.flatMap(_.manifestList)).distinct)
+    val manifests = existing(Par.inParallel(lists)(l =>
+      ManifestListReader.read(l).map(_.path)).flatten.distinct)
+    val content = existing(Par.inParallel(manifests)(m =>
+      ManifestWriter.read(m).map(_.filePath)).flatten.distinct)
+    val stats = existing(metas.flatMap(m => m.statistics ++ m.partitionStatistics)
+      .map(_.path).distinct)
     val found = ReachableFiles(content, manifests, lists, metaFiles, stats)
     if (!dryRun)
-      (content ++ manifests ++ lists ++ stats ++ metaFiles).foreach(p =>
-        fs.delete(new org.apache.hadoop.fs.Path(p), false))
+      Par.inParallel(content ++ manifests ++ lists ++ stats ++ metaFiles)(p =>
+        HadoopConfs.fileSystemFor(p)
+          .delete(new org.apache.hadoop.fs.Path(p), false))
     found
   }
 

@@ -203,6 +203,10 @@ object GifCodec {
         if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
       }
     }
+    // EOI may land before the final sub-block's last byte (padding after
+    // EOI is legal) — consume the remainder so the terminator parse
+    // doesn't misread a data byte as a sub-block length
+    if (blockLeft > 0) in.take(blockLeft)
     // the image data sub-block chain must close with its 0 terminator
     skipSubBlocks(in)
     require(outPos == expected,

@@ -432,8 +432,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     createTable(ident, columns, partitions, properties)
     val dir = tableDir(ident)
     new StagedGraftTable(fullName(ident), GraftTable.latestMetadataPath(dir),
-      onCommit = files =>
-        if (files.nonEmpty) GraftTable.commitAppendFiles(dir, files.map(pendingOf)),
+      onCommit = files => {
+        val live = dropEmpty(files)
+        if (live.nonEmpty) GraftTableWrites.commit(dir, live)
+      },
       onAbort = _ => dropTable(ident))
   }
 
@@ -453,9 +455,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def fullName(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
-  private def pendingOf(m: GraftFileMessage): GraftTable.PendingFile =
-    GraftTable.PendingFile(m.path, m.rows, m.bytes, m.lower, m.upper,
-      m.summary, m.specId, fileFormat = m.fileFormat)
+  /** Empty task partitions add no file — same rule as the direct
+    * BatchWrite.commit route: delete the zero-row task files before the
+    * metadata commit so an abort cannot leak them. */
+  private def dropEmpty(files: Seq[GraftFileMessage]): Seq[GraftFileMessage] = {
+    GraftTableWrites.drop(files.filter(_.rows == 0))
+    files.filter(_.rows > 0)
+  }
 
   private def stagedReplace(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String])
@@ -465,18 +471,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(Option(properties.get("format-version"))
         .forall(_.trim.toInt == base.formatVersion),
       "REPLACE cannot change format-version — run the upgrade path first")
+    // legacy/foreign v1 documents may carry ONLY a top-level schema —
+    // fold it in so id allocation sees every schema the table ever had
+    val allSchemas = base.schemas ++ base.topLevelSchema
     // new field ids allocate above every id ANY historical schema ever
     // used, nested ids included (they live inside the type JSON): old
     // snapshots keep their schemas, and a reused id would alias two
     // unrelated columns in the stats of time-traveled reads
     val IdRe = """"(?:id|element-id|key-id|value-id)"\s*:\s*(\d+)""".r
-    val maxId = (base.schemas.flatMap(_.fields.map(_.id)) ++
-      base.schemas.flatMap(_.fields.flatMap(f =>
-        IdRe.findAllMatchIn(f.fieldType).map(_.group(1).toInt)))).max
+    val maxId = (allSchemas.flatMap(_.fields.map(_.id)) ++
+      allSchemas.flatMap(_.fields.flatMap(f =>
+        IdRe.findAllMatchIn(f.fieldType).map(_.group(1).toInt))) :+ 0).max
     val fields = buildFields(columns, startId = maxId)
-    val newSchema = IcebergSchema(base.schemas.map(_.schemaId).max + 1, fields)
+    val newSchema = IcebergSchema((allSchemas.map(_.schemaId) :+ -1).max + 1, fields)
     val firstPf = (base.partitionSpecs.flatMap(_.fields.map(_.fieldId)) :+ 999).max + 1
-    val newSpec = PartitionSpec(base.partitionSpecs.map(_.specId).max + 1,
+    val newSpec = PartitionSpec((base.partitionSpecs.map(_.specId) :+ -1).max + 1,
       buildSpecFields(partitions, fields.map(f => f.name -> f.id).toMap, firstPf))
     require(!fields.exists(_.fieldType == "variant") || base.formatVersion >= 3,
       "variant columns need a v3 table")
@@ -496,7 +505,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new StagedGraftTable(fullName(ident), stagedPath,
       onCommit = files =>
         try GraftTable.commitReplaceTable(dir, newSchema, newSpec, props,
-          files.map(pendingOf))
+          dropEmpty(files).map(GraftTableWrites.pending))
         finally dropStaged(),
       onAbort = files => {
         files.foreach(m => HadoopConfs.fileSystemFor(m.path)
@@ -1173,8 +1182,11 @@ private[sources] final class StagedGraftTable(
   @volatile private var staged: Seq[GraftFileMessage] = Nil
 
   override def name(): String = identName
-  override def schema(): StructType =
+  // the staged document is immutable for this table's lifetime and Spark
+  // calls schema() repeatedly during write resolution — parse once
+  private lazy val stagedSchema: StructType =
     GraftTable.sparkSchema(TableMetadata.parseFile(writeMetadataPath))
+  override def schema(): StructType = stagedSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 

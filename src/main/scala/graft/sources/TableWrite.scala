@@ -225,14 +225,19 @@ object GraftTableWrites {
     // only the non-null ones have files to account for
     messages.toSeq.filter(_ != null).flatMap(_.asInstanceOf[GraftWriteMessage].files)
 
+  /** The ONE GraftFileMessage → PendingFile mapping — shared by direct
+    * commits and the staging catalog, so a field added to either shape
+    * cannot silently drop on one path. */
+  private[sources] def pending(m: GraftFileMessage): GraftTable.PendingFile =
+    GraftTable.PendingFile(
+      m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId,
+      fileFormat = m.fileFormat)
+
   private[sources] def commit(tableDir: String, files: Seq[GraftFileMessage],
       extraSummary: Map[String, String] = Map.empty,
       replace: Boolean = false, branch: Option[String] = None): Unit =
     lastCommit.set(GraftTable.commitAppendFiles(tableDir,
-      files.map(m => GraftTable.PendingFile(
-        m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId,
-        fileFormat = m.fileFormat)),
-      extraSummary, replace, branch))
+      files.map(pending), extraSummary, replace, branch))
 }
 
 class GraftTableBatchWrite(tableDir: String, schema: StructType,

@@ -47,6 +47,18 @@ class GifCodecSpec extends AnyFunSuite {
     assert(info.rgb.toSeq == Seq.fill(3)((10 << 16) | (20 << 8) | 30))
   }
 
+  test("padding bytes after the EOI code inside the final sub-block are consumed") {
+    // same golden stream packed into a 3-byte sub-block: the third byte
+    // is pure padding after EOI — legal, and it must not be misread as
+    // the next sub-block's length
+    val gif = "GIF89a".getBytes ++ b(
+      3, 0, 1, 0, 0x80, 0, 0,
+      10, 20, 30, 40, 50, 60,
+      0x2c, 0, 0, 0, 0, 3, 0, 1, 0, 0,
+      2, 3, 0x0C, 0x52, 0x00, 0, 0x3b)
+    assert(GifCodec.decode(gif).sumChannels == 360)
+  }
+
   test("imageio cross-decode: foreign LZW with dictionary growth, wide codes and interlace") {
     // 64x64 with a repetitive-but-shifting pattern: the dictionary
     // grows through several code widths; imageio interlaces by default

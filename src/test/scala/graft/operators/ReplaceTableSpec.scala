@@ -115,6 +115,45 @@ class ReplaceTableSpec extends SparkSpec {
     assert(spark.table(s"$cat.db.r").schema.fieldNames.toSeq == Seq("a", "c"))
   }
 
+  test("gc.enabled=false survives a REPLACE — the fork's history still references the source") {
+    import graft.iceberg._
+    import org.apache.spark.sql.functions.col
+    val cat = freshCatalog("gc")
+    spark.sql(s"CREATE TABLE $cat.db.src AS SELECT 1 AS a, 'x' AS b")
+    val srcDir = s"${warehouse(cat)}/db/src"
+    val forkDir = s"${warehouse(cat)}/db/fork"
+    GraftTable.snapshotTable(srcDir, forkDir)
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.db.fork AS SELECT 9L AS n")
+    val m = meta(warehouse(cat), "fork")
+    assert(m.properties.get("gc.enabled").contains("false"),
+      s"ownership flag must survive the replace: ${m.properties}")
+    // and therefore the cleanup that would touch the SOURCE's files
+    // still refuses
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.deleteReachableFiles(GraftTable.latestMetadataPath(forkDir))
+    }
+    assert(e.getMessage.contains("gc.enabled"), e.getMessage)
+    assert(spark.table(s"$cat.db.src").count() == 1, "source intact")
+  }
+
+  test("a tag read through GraftTable.read resolves the tagged snapshot's schema") {
+    import graft.iceberg._
+    import org.apache.spark.sql.functions.col
+    val cat = freshCatalog("tag")
+    spark.sql(s"CREATE TABLE $cat.db.t AS SELECT 1 AS a, 'x' AS b")
+    val dir = s"${warehouse(cat)}/db/t"
+    GraftTable.createTag(dir, "v1")
+    spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN b TO label")
+    val viaTag = GraftTable.read(spark, GraftTable.latestMetadataPath(dir),
+      ref = Some("v1"))
+    assert(viaTag.columns.toSeq == Seq("a", "b"),
+      s"a tag is an archival point — old schema, got ${viaTag.columns.toSeq}")
+    assert(viaTag.where(col("b") === "x").count() == 1)
+    // head read keeps the current (renamed) schema
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+      .columns.toSeq == Seq("a", "label"))
+  }
+
   test("no staged scratch document survives commit or abort") {
     val cat = freshCatalog("scratch")
     spark.sql(s"CREATE TABLE $cat.db.s AS SELECT 1 AS a")

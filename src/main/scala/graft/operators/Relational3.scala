@@ -384,7 +384,67 @@ object Relational3 {
       |FROM gaps WHERE gap_days IS NOT NULL
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** q61 — the TPC-H Q21 pattern (suppliers who kept orders waiting),
+    * adapted to this schema: a lineitem is LATE when it ships more than
+    * 60 days after its order's date; count, per supplier, the late items
+    * in finished multi-supplier orders where NO OTHER supplier was also
+    * late — the classic semi-join + anti-join composition over a
+    * self-joined fact table, the hardest relational shape in the TPC-H
+    * suite. Plan: the order-date join computes the late flag once and
+    * BOTH existence probes run against that one derivation (semi: some
+    * other supplier in the order; anti: some other LATE supplier), each
+    * a shuffle on the order key — self-joins on the fact's own key are
+    * the honest cost of this query at any scale, and they partition
+    * cleanly (no broadcast of a 100 TB side, no skew beyond the order
+    * key's natural fan-out). The supplier dimension broadcasts. Counts
+    * only — integer-exact across engines. */
+  val lateSuppliers: Q = (spark, dir) => {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val l = Tables.load(spark, dir, "lineitem")
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate".cast(DateType) >
+          date_add($"o_orderdate".cast(DateType), 60)).cast("int").as("late"))
+    val base = l.filter($"late" === 1)
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val others = l.select($"l_orderkey".as("o_k"), $"l_suppkey".as("o_s"),
+      $"late".as("o_late"))
+    base
+      .join(others, $"l_orderkey" === $"o_k" && $"l_suppkey" =!= $"o_s", "left_semi")
+      .join(others.filter($"o_late" === 1),
+        $"l_orderkey" === $"o_k" && $"l_suppkey" =!= $"o_s", "left_anti")
+      .join(broadcast(Tables.load(spark, dir, "supplier")
+        .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
+  val lateSuppliersSql: String =
+    """WITH l AS (
+      |  SELECT l.l_orderkey, l.l_suppkey,
+      |    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |      THEN 1 ELSE 0 END AS late
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F'),
+      |base AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late = 1),
+      |multi AS (
+      |  SELECT b.* FROM base b
+      |  WHERE EXISTS (SELECT 1 FROM l l2
+      |      WHERE l2.l_orderkey = b.l_orderkey AND l2.l_suppkey <> b.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM l l3
+      |      WHERE l3.l_orderkey = b.l_orderkey AND l3.l_suppkey <> b.l_suppkey
+      |        AND l3.late = 1))
+      |SELECT s.s_name, COUNT(*) AS numwait
+      |FROM multi m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+      |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q61_late_suppliers" -> lateSuppliers,
     "q59_supplier_variety" -> supplierVariety,
     "q60_order_gaps" -> orderGaps,
     "q53_hash_sample" -> hashSample,
@@ -399,6 +459,7 @@ object Relational3 {
     "q46_trailing_spend" -> trailingSpend)
 
   val oracles: Map[String, String] = Map(
+    "q61_late_suppliers" -> lateSuppliersSql,
     "q59_supplier_variety" -> supplierVarietySql,
     "q60_order_gaps" -> orderGapsSql,
     "q53_hash_sample" -> hashSampleSql,

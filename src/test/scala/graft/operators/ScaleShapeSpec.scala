@@ -8,6 +8,20 @@ import org.apache.spark.sql.functions._
   * single-partition window, and d06's in-plan block-size guard. */
 class ScaleShapeSpec extends SparkSpec {
 
+  test("q61 late suppliers: existence probes stay equi-joins; the dimension broadcasts") {
+    val df = Relational3.queries("q61_late_suppliers")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the <> supplier condition rides the l_orderkey equi-join as a
+    // residual — a nested-loop or cartesian here would be quadratic in
+    // the fact table
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      "the semi/anti probes must join on the order key:\n" + plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the supplier dimension must broadcast")
+  }
+
   test("q37 deciles: no ntile window, range-partitioned rank, same answer") {
     import spark.implicits._
     val df = Relational2.balanceDeciles(spark, sfDir)

@@ -641,7 +641,73 @@ object TextPipeline {
       |FROM hits h JOIN toks t ON h.doc_id = t.doc_id
       |ORDER BY h.doc_id""".stripMargin
 
+  /** t18 — contamination span REMOVAL (t17's surgical half — GPT-3
+    * removed windows around each overlap rather than whole documents):
+    * every token position covered by ANY matching 13-gram is removed,
+    * and the per-source rollup reports how much survives. The union of
+    * covered positions is computed exactly (distinct (doc, position)
+    * after expanding each hit to its 13 token slots) — overlapping hits
+    * never double-count, which is what makes removal accounting honest.
+    *
+    * Scale shape: same as t17 — benchmark grams broadcast, the corpus
+    * hashes positions inside the scan (the positional kernel keeps the
+    * gram→position mapping at 8 bytes each), and everything past the
+    * broadcast join (expansion, distinct, both rollups) happens on the
+    * contaminated subset only, which is orders of magnitude smaller
+    * than the corpus. */
+  val contaminationRemoval: Q = (spark, dir) => {
+    import spark.implicits._
+    val K = 13
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        GraftFunctions.posShingleHashes(spark, $"text", K).as("hs"))
+      .filter(size($"hs") > 0)
+    val bench = docs.filter($"doc_id" % 5 === 0)
+      .select(explode($"hs").as("s")).distinct()
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    val hits = train.select($"doc_id", posexplode($"hs").as(Seq("i", "s")))
+      .join(broadcast(bench), Seq("s"))
+    val removed = hits
+      .select($"doc_id", explode(sequence($"i", $"i" + (K - 1))).as("j"))
+      .distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_rm"))
+    train
+      .select($"doc_id", $"source",
+        (size($"hs") + (K - 1)).cast(LongType).as("n_tokens"))
+      .join(removed, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_rm"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_rm" > 0, 1).otherwise(0)).as("docs_cleaned"),
+        sum($"n_tokens").as("tokens_total"),
+        sum($"n_rm").as("tokens_removed"))
+      .orderBy($"source")
+  }
+
+  val contaminationRemovalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 13),
+      |sh AS (
+      |  SELECT doc_id, source, i, array_to_string(t[i:i+12], ' ') AS s
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 12)) AS g(i)),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0),
+      |hits AS (SELECT sh.doc_id, sh.i FROM sh JOIN bench USING (s)
+      |  WHERE sh.doc_id % 5 <> 0),
+      |covered AS (
+      |  SELECT DISTINCT doc_id, i + o AS j
+      |  FROM hits, UNNEST(generate_series(0, 12)) AS oo(o)),
+      |removed AS (SELECT doc_id, COUNT(*) AS n_rm FROM covered GROUP BY doc_id)
+      |SELECT t.source, COUNT(*) AS n_docs,
+      |  COUNT(r.doc_id) AS docs_cleaned,
+      |  CAST(SUM(len(t.t)) AS BIGINT) AS tokens_total,
+      |  CAST(COALESCE(SUM(r.n_rm), 0) AS BIGINT) AS tokens_removed
+      |FROM toks t LEFT JOIN removed r ON t.doc_id = r.doc_id
+      |WHERE t.doc_id % 5 <> 0
+      |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t18_contamination_removal" -> contaminationRemoval,
     "t17_decontamination" -> decontamination,
     "t15_sequence_packing" -> sequencePacking,
     "t16_domain_mixture" -> domainMixture,
@@ -661,6 +727,7 @@ object TextPipeline {
     "t06_clean_text" -> cleanText)
 
   val oracles: Map[String, String] = Map(
+    "t18_contamination_removal" -> contaminationRemovalSql,
     "t17_decontamination" -> decontaminationSql,
     "t15_sequence_packing" -> sequencePackingSql,
     "t16_domain_mixture" -> domainMixtureSql,

@@ -35,4 +35,24 @@ class DecontaminationSpec extends SparkSpec {
       (4L, 2L, 1L, 15L)), // same gram twice: 2 positions, 1 distinct
       s"got ${out.toSeq}")
   }
+
+  test("t18 removal: overlapping hits union their covered spans, never double-count") {
+    import spark.implicits._
+    val docs = Seq(
+      // benchmark: 20 tokens b0..b19
+      (0L, "bench", (0 to 19).map(benchTok).mkString(" ")),
+      // two OVERLAPPING matching 13-grams (b2..b14 at pos 0, b3..b15 at
+      // pos 1) over a 14-token doc: the union covers ALL 14 tokens —
+      // naive per-hit accounting would claim 26
+      (1L, "s", (2 to 15).map(benchTok).mkString(" ")),
+      // clean doc, 13 tokens — counted in totals, zero removed
+      (2L, "s", (0 until 13).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t18").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = TextPipeline.queries("t18_contamination_removal")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("s", 2L, 1L, 27L, 14L)), s"got ${out.toSeq}")
+  }
 }

@@ -57,7 +57,11 @@ object PlanDump {
     "i93_changelog_updates" -> "changelog compute-updates: ONE window over (identifier, ordinal) pairs delete+insert into update images and drops carry-overs — a single keyed shuffle over the changelog union, the same partitioning a downstream upsert sink needs; no driver-side pass",
     "i94_format_default" -> "format-default writes read back: one scan spans native-avro, imported-avro and native-orc entries through per-format partition readers — the plan is a bare BatchScan + rollup, format dispatch invisible above the reader factory",
     "m05_wav_decode" -> "real WAV decode: encode+decode run inside the partition iterator (DeserializeToObject → MapPartitions → SerializeFromObject), the only shuffle is the final global rollup — the shape that keeps a 100 TB media decode embarrassingly parallel",
-    "i95_geometry_points" -> "WKB point kernels: graft_st_x/graft_st_y evaluate inside WholeStageCodegen over the bare columnar BatchScan of the geometry table — static-call expressions, no UDF boundary")
+    "i95_geometry_points" -> "WKB point kernels: graft_st_x/graft_st_y evaluate inside WholeStageCodegen over the bare columnar BatchScan of the geometry table — static-call expressions, no UDF boundary",
+    "t17_decontamination" -> "benchmark decontamination: the eval set's distinct gram hashes BROADCAST into the corpus's positional gram stream (13-gram hashing inside the scan via the rolling kernel); the only hash shuffle is the per-doc rollup over the contaminated subset",
+    "t18_contamination_removal" -> "contamination removal: the same broadcast gram join, then span expansion + distinct + both rollups run on the contaminated subset only — the corpus itself is scanned once and never shuffled",
+    "s05_ivf_pq" -> "IVF-PQ: the pre-coded corpus (cell id + 4 PQ codes from one scan) joins the broadcast probe list through a HASH equi-join on cell id — s04's BroadcastNestedLoop cross-product is gone; only probed cells' members are ever ADC-scored",
+    "q61_late_suppliers" -> "Q21 shape: both existence probes (semi + anti) ride the l_orderkey equi-join with the supplier inequality as a residual — no nested loop; the supplier dimension broadcasts; the late flag derives once and feeds both probes")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-plandump", cores = "4")

@@ -54,6 +54,19 @@ class CorpusShapeSpec extends SparkSpec {
       "the coded corpus must not shuffle for the KB-scale probe side")
   }
 
+  test("s06 refine: both stages stay broadcast hash joins — codes shortlist, vectors fetch") {
+    val plan = planOf(Similarity.queries("s06_ivfpq_rerank")(spark, sfDir))
+    // stage 1 joins probes to the coded corpus on cell, stage 2 fetches
+    // full vectors for the broadcast shortlist on vec_id — neither may
+    // degenerate to a cross product or shuffle the corpus
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "both the probe join and the refine fetch must broadcast-hash-join:\n" +
+        plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "no cross product and no corpus shuffle in either stage")
+  }
+
   test("s04 PQ: queries broadcast; codes are computed pre-join, not per pair") {
     val df = Similarity.queries("s04_pq_adc")(spark, sfDir)
     val plan = planOf(df)

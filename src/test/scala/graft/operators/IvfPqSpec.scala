@@ -57,5 +57,20 @@ class IvfPqSpec extends SparkSpec {
       assert(r.getDouble(4) == 0.0,
         s"ADC for same-cluster member: ${r.getDouble(4)}")
     }
+
+    // s06 refine on the same planted data: still same-cluster, but the
+    // returned distances are EXACT — strictly positive (members are
+    // perturbed off their center, so ADC's collapsed-to-centroid zero is
+    // a quantization artifact the re-rank removes) and tiny vs the
+    // inter-cluster scale
+    val reranked = Similarity.queries("s06_ivfpq_rerank")(spark, dir).collect()
+    assert(reranked.length == 25)
+    reranked.foreach { r =>
+      val (q, n, d2) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(labelOf(n) == labelOf(q),
+        s"refined query $q retrieved $n from cluster ${labelOf(n)}")
+      assert(d2 > 0.0 && d2 < 0.01,
+        s"exact member distance should be tiny but nonzero, got $d2")
+    }
   }
 }

@@ -106,7 +106,7 @@ object GraftTable {
     // columns that existed then. Head and BRANCH reads keep the table's
     // CURRENT schema (Iceberg's branch rule — a branch is live state).
     val traveled = snapshotId.isDefined || asOfTimestampMs.isDefined ||
-      ref.exists(r => meta0.refs.exists(x => x.name == r && x.refType == "tag"))
+      ref.exists(r => !meta0.isBranchRef(r))
     val meta =
       if (!traveled) meta0
       else snap.schemaId.filter(id => meta0.schemas.exists(_.schemaId == id))
@@ -1033,9 +1033,12 @@ object GraftTable {
     commitAppendFiles(tableDir, files,
       extraSummary = Map("replaced-schema-id" -> newSchema.schemaId.toString),
       replace = true, evolve = { base =>
-        // legacy documents carry only a top-level schema — fold it in so
-        // the id checks see every schema the table ever had
+        // legacy documents carry a top-level schema — fold it in so the
+        // id checks see every schema the table ever had, but DEDUP by
+        // schema-id: standard v1 writers put the SAME schema in both
+        // slots, and persisting it twice would be spec-invalid
         val allSchemas = base.schemas ++ base.topLevelSchema
+          .filterNot(t => base.schemas.exists(_.schemaId == t.schemaId))
         require((allSchemas.map(_.schemaId) :+ -1).max < newSchema.schemaId,
           s"schema evolved concurrently with the staged replace " +
             s"(staged schema-id ${newSchema.schemaId} is not above " +
@@ -2519,7 +2522,7 @@ object GraftTable {
       Some(s"$tableDir/version-hint.text").filter(exists)
     val metas = meta +: metaFiles
       .filterNot(p => p == metadataFile || p.endsWith("version-hint.text"))
-      .map(TableMetadata.parseFile)
+      .map(TableMetadata.parseHadoop) // log entries may be cross-scheme
     val lists = existing(metas.flatMap(_.snapshots.flatMap(_.manifestList)).distinct)
     val manifests = existing(Par.inParallel(lists)(l =>
       ManifestListReader.read(l).map(_.path)).flatten.distinct)
@@ -2529,9 +2532,12 @@ object GraftTable {
       .map(_.path).distinct)
     val found = ReachableFiles(content, manifests, lists, metaFiles, stats)
     if (!dryRun)
-      Par.inParallel(content ++ manifests ++ lists ++ stats ++ metaFiles)(p =>
-        HadoopConfs.fileSystemFor(p)
-          .delete(new org.apache.hadoop.fs.Path(p), false))
+      // leaf-before-root TIERS (parallel within each): an interrupted run
+      // must leave the tree re-walkable — metadata and manifests go LAST,
+      // so a retry can always re-enumerate whatever content survived
+      Seq(content, manifests, lists, stats, metaFiles).foreach(tier =>
+        Par.inParallel(tier)(p => HadoopConfs.fileSystemFor(p)
+          .delete(new org.apache.hadoop.fs.Path(p), false)))
     found
   }
 

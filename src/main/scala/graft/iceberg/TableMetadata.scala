@@ -96,6 +96,14 @@ final case class TableMetadata(
 
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
 
+  /** A ref is LIVE state only when it is explicitly a branch; tags — and
+    * unknown ref kinds, conservatively — are archival points whose reads
+    * resolve the SNAPSHOT's schema. One polarity, shared by every read
+    * route (GraftTable.read and the catalog's VERSION AS OF), so the two
+    * can never disagree on the same ref. */
+  def isBranchRef(name: String): Boolean =
+    refs.exists(r => r.name == name && r.refType == "branch")
+
   def currentSnapshot: Option[Snapshot] = currentSnapshotId.flatMap(snapshot)
 
   /** Snapshot current as of a wall-clock time (time travel over the
@@ -113,6 +121,18 @@ object TableMetadata {
   def parseFile(path: String): TableMetadata =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Parse through the path's own Hadoop filesystem — for documents that
+    * may live on another scheme/authority than the caller's table dir
+    * (cross-filesystem metadata-log entries in deleteReachableFiles). */
+  def parseHadoop(path: String): TableMetadata = {
+    val fs = HadoopConfs.fileSystemFor(path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    try parse(new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
 
   private def optNode(n: JsonNode, field: String): Option[JsonNode] =
     Option(n.get(field)).filterNot(_.isNull)

@@ -257,9 +257,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * CURRENT schema (Iceberg's branch rule). */
   private def travelSchema(meta: TableMetadata, snapId: Option[Long],
       ref: Option[String], tsMs: Option[Long]): StructType = {
-    val isBranch = ref.exists(r => meta.refs.exists(x =>
-      x.name == r && x.refType == "branch"))
-    if (isBranch) GraftTable.sparkSchema(meta)
+    if (ref.exists(meta.isBranchRef)) GraftTable.sparkSchema(meta)
     else GraftTable.resolveForScan(meta, snapId, ref, tsMs).schemaId
       .flatMap(id => meta.schemas.find(_.schemaId == id))
       .map(s => GraftTable.sparkSchema(
@@ -473,7 +471,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "REPLACE cannot change format-version — run the upgrade path first")
     // legacy/foreign v1 documents may carry ONLY a top-level schema —
     // fold it in so id allocation sees every schema the table ever had
+    // (dedup by schema-id: standard v1 writers fill both slots)
     val allSchemas = base.schemas ++ base.topLevelSchema
+      .filterNot(t => base.schemas.exists(_.schemaId == t.schemaId))
     // new field ids allocate above every id ANY historical schema ever
     // used, nested ids included (they live inside the type JSON): old
     // snapshots keep their schemas, and a reused id would alias two

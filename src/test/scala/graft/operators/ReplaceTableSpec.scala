@@ -154,6 +154,35 @@ class ReplaceTableSpec extends SparkSpec {
       .columns.toSeq == Seq("a", "label"))
   }
 
+  test("replace over a dual-slot v1 document never duplicates a schema id") {
+    import graft.iceberg._
+    // the standard Iceberg-Java v1 form: the SAME schema in both the
+    // top-level "schema" slot and the "schemas" list
+    val dir = java.nio.file.Files.createTempDirectory("graft-dual").toString + "/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val schemaJson =
+      """{"schema-id":0,"type":"struct","fields":[
+        |{"id":1,"name":"k","required":false,"type":"int"}]}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/v1.metadata.json"),
+      s"""{"format-version":1,"table-uuid":"b6b9a6a1-0000-4000-8000-00000000dua1",
+         |"location":"$dir","last-updated-ms":1700000000000,
+         |"schema":$schemaJson,"schemas":[$schemaJson],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"properties":{},"snapshots":[],"snapshot-log":[],"metadata-log":[]}
+         |""".stripMargin)
+    GraftTable.commitReplaceTable(dir,
+      IcebergSchema(1, Seq(IcebergField(2, "v", required = false, "long"))),
+      PartitionSpec(1, Nil), Map.empty, Nil)
+    val after = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val ids = after.schemas.map(_.schemaId)
+    assert(ids == ids.distinct, s"duplicate schema ids persisted: $ids")
+    assert(ids.toSet == Set(0, 1))
+    assert(after.currentSchema.fields.map(_.name) == Seq("v"))
+  }
+
   test("no staged scratch document survives commit or abort") {
     val cat = freshCatalog("scratch")
     spark.sql(s"CREATE TABLE $cat.db.s AS SELECT 1 AS a")

@@ -2494,7 +2494,7 @@ object GraftTable {
     * files are never read). */
   def deleteReachableFiles(metadataFile: String, dryRun: Boolean = false)
       : ReachableFiles = {
-    val meta = TableMetadata.parseFile(metadataFile)
+    val meta = TableMetadata.parseHadoop(metadataFile) // root may be cross-scheme too
     require(!meta.properties.get("gc.enabled").contains("false"),
       s"gc.enabled=false on $metadataFile (zero-copy snapshot table) — " +
         "its files are owned by the source table")

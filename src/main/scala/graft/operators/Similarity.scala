@@ -327,6 +327,68 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Shared IVF-PQ machinery (the s05 index scan and s06's refine): the
+    * coarse quantizer and the PQ codebook both come from the anchor
+    * vectors (vec_id < K), codes and cells derive in ONE corpus scan,
+    * and queries probe their NPROBE nearest cells through a broadcast
+    * equi-join on cell id. Every distance is a left-to-right IEEE double
+    * fold the DuckDB oracles replay exactly — ONE implementation feeds
+    * both entries, because a divergence between the index scan and the
+    * refine stage would break the no-tolerance oracle equality. */
+  private final class PqIndex(spark: SparkSession, dir: String) {
+    val M = 4; val Sub = 16; val K = 8; val NPROBE = 2
+    val emb: DataFrame =
+      Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    private val anchors: Array[Array[Double]] = emb.filter(col("vec_id") < K)
+      .orderBy("vec_id").collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    private def subLit(c: Int, m: Int): Column =
+      array(anchors(c).slice(m * Sub, (m + 1) * Sub).toIndexedSeq.map(lit): _*)
+    private def fullLit(c: Int): Column = array(anchors(c).toIndexedSeq.map(lit): _*)
+    private def subCol(v: Column, m: Int): Column =
+      transform(slice(v, m * Sub + 1, Sub), x => x.cast(DoubleType))
+    private def fullCol(v: Column): Column = transform(v, x => x.cast(DoubleType))
+    private def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    /** Exact squared-L2 between two float vectors — the refine metric. */
+    def sqdFull(a: Column, b: Column): Column = sqd(fullCol(a), fullCol(b))
+    private def firstMin(d: Column): Column =
+      (array_position(d, array_min(d)) - 1).cast(IntegerType)
+    private def code(v: Column, m: Int): Column =
+      firstMin(array((0 until K).map(c => sqd(subCol(v, m), subLit(c, m))): _*))
+    private def cellDists(v: Column): Column =
+      array((0 until K).map(c => sqd(fullCol(v), fullLit(c))): _*)
+    private def centroidFor(m: Int, codeC: Column): Column =
+      element_at(array((0 until K).map(c => subLit(c, m)): _*), codeC + 1)
+    /** ADC-scored candidates of the probed cells:
+      * (query_id, q_emb, vec_id, cell, adc). */
+    def candidates: DataFrame = {
+      // the pre-coded corpus: cell id + M codes per vector — ONE scan
+      // codes and assigns; at 100 TB this is a materialized index table
+      val coded = emb.select(col("vec_id") +:
+        firstMin(cellDists(col("embedding"))).as("cell") +:
+        (0 until M).map(m => code(col("embedding"), m).as(s"c$m")): _*)
+      // probe list: the NPROBE nearest cells per query (first-min ties)
+      val queries5 = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cd"), col("cell"))
+      val probes = queries5
+        .select(col("query_id"), col("q_emb"),
+          posexplode(cellDists(col("q_emb"))).as(Seq("pos", "cd")))
+        .withColumn("cell", col("pos").cast(IntegerType))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= NPROBE)
+        .select(col("query_id"), col("q_emb"), col("cell"))
+      val adc = (0 until M)
+        .map(m => sqd(subCol(col("q_emb"), m), centroidFor(m, col(s"c$m"))))
+        .reduceLeft(_ + _) // fixed m order: the FP fold the oracle reproduces
+      coded.join(broadcast(probes), Seq("cell")) // only probed cells score
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("adc", adc)
+        .select(col("query_id"), col("q_emb"), col("vec_id"), col("cell"), col("adc"))
+    }
+  }
+
   /** s05 — IVF-PQ (the two legs composed — the FAISS production index
     * shape): an INVERTED-FILE coarse quantizer partitions the corpus into
     * cells by full-vector squared-L2 to a broadcast centroid set, PQ
@@ -347,54 +409,51 @@ object Similarity {
     * probe lists and ADC values exactly — no tolerance. */
   val ivfPq: Q = (spark, dir) => {
     import spark.implicits._
-    val M = 4; val Sub = 16; val K = 8; val NPROBE = 2
-    val emb = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
-    val anchors: Array[Array[Double]] = emb.filter($"vec_id" < K).orderBy($"vec_id")
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    def subLit(c: Int, m: Int): Column =
-      array(anchors(c).slice(m * Sub, (m + 1) * Sub).toIndexedSeq.map(lit): _*)
-    def fullLit(c: Int): Column = array(anchors(c).toIndexedSeq.map(lit): _*)
-    def subCol(v: Column, m: Int): Column =
-      transform(slice(v, m * Sub + 1, Sub), x => x.cast(DoubleType))
-    def fullCol(v: Column): Column = transform(v, x => x.cast(DoubleType))
-    def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-    def firstMin(d: Column): Column =
-      (array_position(d, array_min(d)) - 1).cast(IntegerType)
-    def code(v: Column, m: Int): Column =
-      firstMin(array((0 until K).map(c => sqd(subCol(v, m), subLit(c, m))): _*))
-    def cellDists(v: Column): Column =
-      array((0 until K).map(c => sqd(fullCol(v), fullLit(c))): _*)
-    // the pre-coded corpus: cell id + M codes per vector — ONE scan codes
-    // and assigns; at 100 TB this is a materialized index table
-    val coded = emb.select($"vec_id" +: firstMin(cellDists($"embedding")).as("cell") +:
-      (0 until M).map(m => code($"embedding", m).as(s"c$m")): _*)
-    // probe list: the NPROBE nearest cells per query (first-min tie order)
-    val queries5 = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-    val wProbe = Window.partitionBy($"query_id").orderBy($"cd", $"cell")
-    val probes = queries5
-      .select($"query_id", $"q_emb", posexplode(cellDists($"q_emb")).as(Seq("pos", "cd")))
-      .withColumn("cell", $"pos".cast(IntegerType))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter($"pr" <= NPROBE)
-      .select($"query_id", $"q_emb", $"cell")
-    def centroidFor(m: Int, codeC: Column): Column =
-      element_at(array((0 until K).map(c => subLit(c, m)): _*), codeC + 1)
-    val adc = (0 until M).map(m => sqd(subCol($"q_emb", m), centroidFor(m, col(s"c$m"))))
-      .reduceLeft(_ + _) // fixed m order: the FP fold the oracle reproduces
     val w = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
-    coded.join(broadcast(probes), Seq("cell")) // only probed cells are scored
-      .filter($"vec_id" =!= $"query_id")
-      .withColumn("adc", adc)
+    new PqIndex(spark, dir).candidates
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cell", $"adc")
       .orderBy($"query_id", $"rank")
   }
 
-  val ivfPqSql: String = {
+  /** s06 — two-stage retrieval: IVF-PQ shortlist, EXACT re-rank (the
+    * production pattern FAISS calls refine): the s05 index produces a
+    * top-20 candidate shortlist per query from compressed codes alone,
+    * then ONLY those candidates' full vectors are fetched and re-scored
+    * by exact squared-L2 for the final top-5. The scale contract is the
+    * refine fraction: full 256-byte vectors are read for 20 candidates
+    * per query — a vanishing slice of the corpus — while the shortlist
+    * scan stays on 4-byte codes (at 100 TB the fetch is a broadcast-
+    * filtered scan or a point-lookup index; here the broadcast shortlist
+    * filters the one extra corpus pass). ADC error from quantization is
+    * confined to SHORTLIST membership; the returned distances and order
+    * are exact. Both stages fold left-to-right in IEEE double — DuckDB
+    * replays codes, probes, shortlist and re-rank with no tolerance. */
+  val ivfPqRerank: Q = (spark, dir) => {
+    import spark.implicits._
+    val SHORTLIST = 20
+    val ix = new PqIndex(spark, dir)
+    val wAdc = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
+    val shortlist = ix.candidates
+      .withColumn("sr", row_number().over(wAdc))
+      .filter($"sr" <= SHORTLIST)
+      .select($"query_id", $"q_emb", $"vec_id")
+    // refine: full vectors fetched ONLY for shortlisted candidates
+    val wExact = Window.partitionBy($"query_id").orderBy($"d2", $"vec_id")
+    ix.emb.join(broadcast(shortlist), Seq("vec_id"))
+      .withColumn("d2", ix.sqdFull($"embedding", $"q_emb"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"d2")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The shared WITH-prefix both IVF-PQ oracles replay — codebook, codes,
+    * cells, query probes, ADC-scored candidates (query_id, vec_id, cell,
+    * qe, adc) — text-identical between s05 and s06 so the two oracles
+    * cannot drift apart. */
+  private val ivfPqCoreCtes: String = {
     val codeDistLists = (0 until 4).map { m =>
       val (lo, hi) = (m * 16 + 1, m * 16 + 17)
       "[" + (1 to 8).map(c => sqdSql("e.embedding", c.toString, lo, hi))
@@ -440,9 +499,13 @@ object Similarity {
        |  SELECT p.query_id, v.vec_id, p.qe, v.cell, v.c0, v.c1, v.c2, v.c3
        |  FROM probes p JOIN coded v ON v.cell = p.cell AND v.vec_id <> p.query_id),
        |scored AS (
-       |  SELECT query_id, vec_id, cell,
+       |  SELECT query_id, vec_id, cell, qe,
        |    $adcTerms AS adc
-       |  FROM pairs p, a),
+       |  FROM pairs p, a)""".stripMargin
+  }
+
+  val ivfPqSql: String =
+    s"""$ivfPqCoreCtes,
        |ranked AS (
        |  SELECT query_id, vec_id, cell, adc,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
@@ -450,123 +513,9 @@ object Similarity {
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id, cell, adc
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
-  }
 
-  /** s06 — two-stage retrieval: IVF-PQ shortlist, EXACT re-rank (the
-    * production pattern FAISS calls refine): the s05 index produces a
-    * top-20 candidate shortlist per query from compressed codes alone,
-    * then ONLY those candidates' full vectors are fetched and re-scored
-    * by exact squared-L2 for the final top-5. The scale contract is the
-    * refine fraction: full 256-byte vectors are read for 20 candidates
-    * per query — a vanishing slice of the corpus — while the shortlist
-    * scan stays on 4-byte codes (at 100 TB the fetch is a broadcast-
-    * filtered scan or a point-lookup index; here the broadcast shortlist
-    * filters the one extra corpus pass). ADC error from quantization is
-    * confined to SHORTLIST membership; the returned distances and order
-    * are exact. Both stages fold left-to-right in IEEE double — DuckDB
-    * replays codes, probes, shortlist and re-rank with no tolerance. */
-  val ivfPqRerank: Q = (spark, dir) => {
-    import spark.implicits._
-    val M = 4; val Sub = 16; val K = 8; val NPROBE = 2; val SHORTLIST = 20
-    val emb = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
-    val anchors: Array[Array[Double]] = emb.filter($"vec_id" < K).orderBy($"vec_id")
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    def subLit(c: Int, m: Int): Column =
-      array(anchors(c).slice(m * Sub, (m + 1) * Sub).toIndexedSeq.map(lit): _*)
-    def fullLit(c: Int): Column = array(anchors(c).toIndexedSeq.map(lit): _*)
-    def subCol(v: Column, m: Int): Column =
-      transform(slice(v, m * Sub + 1, Sub), x => x.cast(DoubleType))
-    def fullCol(v: Column): Column = transform(v, x => x.cast(DoubleType))
-    def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-    def firstMin(d: Column): Column =
-      (array_position(d, array_min(d)) - 1).cast(IntegerType)
-    def code(v: Column, m: Int): Column =
-      firstMin(array((0 until K).map(c => sqd(subCol(v, m), subLit(c, m))): _*))
-    def cellDists(v: Column): Column =
-      array((0 until K).map(c => sqd(fullCol(v), fullLit(c))): _*)
-    val coded = emb.select($"vec_id" +: firstMin(cellDists($"embedding")).as("cell") +:
-      (0 until M).map(m => code($"embedding", m).as(s"c$m")): _*)
-    val queries5 = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-    val wProbe = Window.partitionBy($"query_id").orderBy($"cd", $"cell")
-    val probes = queries5
-      .select($"query_id", $"q_emb", posexplode(cellDists($"q_emb")).as(Seq("pos", "cd")))
-      .withColumn("cell", $"pos".cast(IntegerType))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter($"pr" <= NPROBE)
-      .select($"query_id", $"q_emb", $"cell")
-    def centroidFor(m: Int, codeC: Column): Column =
-      element_at(array((0 until K).map(c => subLit(c, m)): _*), codeC + 1)
-    val adc = (0 until M).map(m => sqd(subCol($"q_emb", m), centroidFor(m, col(s"c$m"))))
-      .reduceLeft(_ + _)
-    val wAdc = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
-    val shortlist = coded.join(broadcast(probes), Seq("cell"))
-      .filter($"vec_id" =!= $"query_id")
-      .withColumn("adc", adc)
-      .withColumn("sr", row_number().over(wAdc))
-      .filter($"sr" <= SHORTLIST)
-      .select($"query_id", $"q_emb", $"vec_id")
-    // refine: full vectors fetched ONLY for shortlisted candidates
-    val wExact = Window.partitionBy($"query_id").orderBy($"d2", $"vec_id")
-    emb.join(broadcast(shortlist), Seq("vec_id"))
-      .withColumn("d2", sqd(fullCol($"embedding"), fullCol($"q_emb")))
-      .withColumn("rank", row_number().over(wExact))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"d2")
-      .orderBy($"query_id", $"rank")
-  }
-
-  val ivfPqRerankSql: String = {
-    val codeDistLists = (0 until 4).map { m =>
-      val (lo, hi) = (m * 16 + 1, m * 16 + 17)
-      "[" + (1 to 8).map(c => sqdSql("e.embedding", c.toString, lo, hi))
-        .mkString(",\n      ") + s"] AS d$m"
-    }.mkString(",\n    ")
-    val cellDistList = "[" +
-      (1 to 8).map(c => sqdSql("e.embedding", c.toString, 1, 65)).mkString(",\n      ") +
-      "] AS cd"
-    val queryCellList = "[" +
-      (1 to 8).map(c => sqdSql("q.embedding", c.toString, 1, 65)).mkString(",\n      ") +
-      "] AS cd"
-    val adcTerms = (0 until 4).map { m =>
-      val (lo, hi) = (m * 16 + 1, m * 16 + 17)
-      sqdSql("p.qe", s"p.c$m + 1", lo, hi)
-    }.mkString("\n      + ")
-    s"""WITH a AS (
-       |  SELECT list(embedding ORDER BY vec_id) AS cb
-       |  FROM embeddings WHERE vec_id < 8),
-       |dists AS (
-       |  SELECT e.vec_id,
-       |    $codeDistLists,
-       |    $cellDistList
-       |  FROM embeddings e, a),
-       |coded AS (
-       |  SELECT vec_id,
-       |    CAST(list_position(cd, list_min(cd)) - 1 AS INTEGER) AS cell,
-       |    CAST(list_position(d0, list_min(d0)) - 1 AS INTEGER) AS c0,
-       |    CAST(list_position(d1, list_min(d1)) - 1 AS INTEGER) AS c1,
-       |    CAST(list_position(d2, list_min(d2)) - 1 AS INTEGER) AS c2,
-       |    CAST(list_position(d3, list_min(d3)) - 1 AS INTEGER) AS c3
-       |  FROM dists),
-       |qcells AS (
-       |  SELECT q.vec_id AS query_id, q.embedding AS qe,
-       |    $queryCellList
-       |  FROM embeddings q, a WHERE q.vec_id < 5),
-       |probes AS (
-       |  SELECT query_id, qe, cell FROM (
-       |    SELECT query_id, qe, CAST(i - 1 AS INTEGER) AS cell, cd[i] AS d,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd[i], i - 1) AS pr
-       |    FROM qcells, range(1, 9) r(i))
-       |  WHERE pr <= 2),
-       |pairs AS (
-       |  SELECT p.query_id, v.vec_id, p.qe, v.c0, v.c1, v.c2, v.c3
-       |  FROM probes p JOIN coded v ON v.cell = p.cell AND v.vec_id <> p.query_id),
-       |scored AS (
-       |  SELECT query_id, vec_id, qe,
-       |    $adcTerms AS adc
-       |  FROM pairs p, a),
+  val ivfPqRerankSql: String =
+    s"""$ivfPqCoreCtes,
        |shortlist AS (
        |  SELECT query_id, vec_id, qe FROM (
        |    SELECT query_id, vec_id, qe,
@@ -586,7 +535,6 @@ object Similarity {
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id, d2
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   val queries: Map[String, Q] = Map(
     "s01_ann_brute_force" -> annBruteForce,

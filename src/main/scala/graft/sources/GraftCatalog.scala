@@ -205,7 +205,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(meta.refs.exists(r => r.name == refName && r.refType == kind),
       s"no $kind '$refName' on table ${baseIdent.name()} — " +
         s"CALL <catalog>.system.create_$kind first")
-    Some(new GraftSparkTable(GraftTable.sparkSchema(meta), metaPath,
+    // the one branch/tag schema rule (TableMetadata.isBranchRef), same
+    // as VERSION AS OF: a tag is an archival point and reads under its
+    // SNAPSHOT's schema; a branch is live state on the current schema
+    Some(new GraftSparkTable(travelSchema(meta, None, Some(refName), None), metaPath,
       None, Some(refName), None, 128L * 1024 * 1024,
       writeBranch = if (kind == "branch") Some(refName) else None,
       refuseWriteReason = if (kind == "tag")

@@ -73,6 +73,14 @@ class BranchSqlSpec extends SparkSpec {
     // a typo'd tag must not resolve
     intercept[Exception](
       spark.sql("SELECT COUNT(*) FROM tag_sql.db.t.tag_nope").collect())
+    // the tag-suffix route resolves the TAGGED snapshot's schema — same
+    // rule as VERSION AS OF: after a rename, the archival point still
+    // shows the column name that existed then
+    spark.sql("ALTER TABLE tag_sql.db.t RENAME COLUMN k TO kk")
+    assert(spark.table("tag_sql.db.t.tag_v1").schema.fieldNames.toSeq == Seq("k"),
+      "tag reads must project the snapshot's schema")
+    assert(spark.sql("SELECT k FROM tag_sql.db.t.tag_v1").head().getInt(0) == 1)
+    assert(spark.table("tag_sql.db.t").schema.fieldNames.toSeq == Seq("kk"))
   }
 
   test("path-route branch write option stages without moving main") {

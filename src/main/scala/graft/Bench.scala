@@ -158,7 +158,26 @@ object Bench {
     }
     sys.env.get("SPARK_GRAFT_BENCH_JSON").foreach(p =>
       writeFullJson(p, results, sfDir, results.flatMap(_._2).sum))
-    println(renderLine(results, sfDir))
-    spark.stop()
+    emitFinalLine(renderLine(results, sfDir), () => spark.stop())
+  }
+
+  /** The line-is-the-LAST-stdout contract (BenchSpec pins the ordering):
+    * the driver keeps only the tail of stdout, so ANY bytes after the
+    * JSON line push its head out of the window and the round's record
+    * parses as null (r15: a StateStore maintenance thread racing
+    * `spark.stop()` printed a ~1.1 KB WARN stack after the line). So the
+    * session stops FIRST — every shutdown-race message lands before the
+    * line — then all logging goes dark (JVM shutdown hooks still run
+    * after main returns), and only then does the line print. */
+  def emitFinalLine(line: String, stop: () => Unit): Unit = {
+    // the known shutdown racer goes silent even before stop(): its WARN
+    // carries no information (SparkEnv is simply gone mid-teardown)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state",
+      org.apache.logging.log4j.Level.OFF)
+    stop()
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    println(line)
   }
 }

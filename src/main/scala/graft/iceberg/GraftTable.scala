@@ -1057,6 +1057,14 @@ object GraftTable {
         // a later cleanup would reclaim the source's files
         val ownership = base.properties.get("gc.enabled")
           .filter(_ == "false").map("gc.enabled" -> _)
+        // refuse LOUDLY rather than silently dropping the user's explicit
+        // property: flipping gc on while the surviving history still
+        // references source-owned files would let a later cleanup reclaim
+        // them — the user must expire the fork's history first
+        require(ownership.isEmpty || !newProps.get("gc.enabled").contains("true"),
+          "cannot set gc.enabled=true on REPLACE: the table's surviving " +
+            "history references files owned by its snapshot source " +
+            "(gc.enabled=false) — expire the old snapshots first")
         base.copy(topLevelSchema = None,
           schemas = allSchemas :+ newSchema,
           currentSchemaId = Some(newSchema.schemaId),
@@ -1245,9 +1253,10 @@ object GraftTable {
     * at scan time that could address a replaced file aborts the commit.
     * Equality deletes carry no per-file address and always conflict. */
   private def validateNoNewDeletes(base: TableMetadata,
-      scannedDeletePaths: Set[String], replacedNorm: Set[String]): Unit = {
+      scannedDeletePaths: Set[String], replacedNorm: Set[String],
+      branch: Option[String] = None): Unit = {
     val seen = scannedDeletePaths.map(uriPath) // idempotent on plain paths
-    val fresh = currentEntries(base, 1)
+    val fresh = entriesAt(refHead(base, branch), 1)
       .filterNot(e => seen.contains(uriPath(e.filePath)))
     val conflicting = fresh.filter(e =>
       e.content == 2 || posDeleteMayAddress(e, replacedNorm))
@@ -1268,17 +1277,25 @@ object GraftTable {
     * only the applied subset would misclassify pruned pre-existing
     * deletes as concurrent) — aborts instead of resurrecting data. */
   private[graft] def commitReplaceFiles(tableDir: String, files: Seq[PendingFile],
-      replacedPaths: Set[String], scannedDeletePaths: Set[String])
+      replacedPaths: Set[String], scannedDeletePaths: Set[String],
+      branch: Option[String] = None)
       : OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
-      val curData = currentEntries(base, 0).filter(_.content == 0)
+      // with `branch`, the whole replace is BRANCH-SCOPED (the WAP story
+      // for edits): live state, conflict validation, carried deletes and
+      // the parent all come from the branch head, and only the branch
+      // ref moves — main never sees the rewrite until fast_forward. The
+      // replaced files stay physically intact (a COW replace drops
+      // REFERENCES, never bytes), so main's scans are untouched.
+      val head = refHead(base, branch)
+      val curData = entriesAt(head, 0).filter(_.content == 0)
       val replacedNorm = replacedPaths.map(uriPath)
       val missing = replacedNorm -- curData.map(e => uriPath(e.filePath)).toSet
       if (missing.nonEmpty) throw OptimisticCommit.CommitConflictException(
         s"row-level operation sources removed by a concurrent commit: ${missing.mkString(", ")}")
-      validateNoNewDeletes(base, scannedDeletePaths, replacedNorm)
+      validateNoNewDeletes(base, scannedDeletePaths, replacedNorm, branch)
       val untouched = curData.filterNot(e => replacedNorm.contains(uriPath(e.filePath)))
         .map(_.copy(status = 0, snapshotId = snapId))
       // v3 lineage: COW-rewritten files assign FRESH ids (Spark's
@@ -1377,6 +1394,47 @@ object GraftTable {
       .filter(residual)
       .select(sparkSchema(meta).fieldNames.map(col).toIndexedSeq: _*)
     (df, survivingData.size, all.count(_.content == 0))
+  }
+
+  /** MOR read restricted to rows whose `fieldId` value can fall in
+    * `[lower, upper]` — the per-batch guard read of a CDC upsert sink
+    * (st16): data AND equality-delete entries whose decoded bound stats
+    * provably exclude the range never open (entry-level, driver-side,
+    * from the manifests' field 125/128 blobs — the stats every upsert
+    * commit already writes), so a batch touching a narrow key range reads
+    * O(overlapping files), not the whole table. Conservative: an entry
+    * without bounds for the field is kept. Position deletes are NOT
+    * key-pruned (they address (file_path, pos), not keys) — they prune by
+    * the surviving data set's paths inside readFromEntries as always. A
+    * pruned equality delete can only kill rows outside the range, and the
+    * residual range filter drops any such row from kept files too, so the
+    * result is exactly the full MOR scan filtered to the range.
+    * KeyRangePruneSpec proves the skip destructively: a corrupted
+    * non-overlapping data file never opens. */
+  def readKeyRange(spark: SparkSession, metadataPath: String,
+      fieldId: Int, lower: Any, upper: Any): DataFrame = {
+    val meta = TableMetadata.parseFile(metadataPath)
+    val field = meta.currentSchema.fields.find(_.id == fieldId)
+      .getOrElse(throw new IllegalArgumentException(s"no field with id $fieldId"))
+    val t = IcebergTypes.fromString(field.fieldType)
+    def excludes(e: ManifestWriter.EntryData): Boolean = {
+      def dec(m: Map[Int, Array[Byte]]): Option[Any] =
+        m.get(fieldId).map(SingleValueCodec.decode(t, _))
+      // provable exclusion only: file's min > upper, or file's max < lower
+      dec(e.lowerBounds).exists(v => ScanPlanning.cmpValues(v, upper).exists(_ > 0)) ||
+        dec(e.upperBounds).exists(v => ScanPlanning.cmpValues(v, lower).exists(_ < 0))
+    }
+    val head = meta.currentSnapshotId.map(_ => resolveSnapshot(meta, None, None))
+    def live(listContent: Int, entryContent: Int): Seq[(ManifestWriter.EntryData, Long)] =
+      entriesAt(head, listContent).filter(_.content == entryContent)
+        .distinctBy(e => (uriPath(e.filePath), e.contentOffset.getOrElse(-1L)))
+        .map(e => (e, e.sequenceNumber.get))
+    val data = live(0, 0).filterNot { case (e, _) => excludes(e) }
+    val pos = live(1, 1)
+    val eq = live(1, 2).filterNot { case (e, _) => excludes(e) }
+    readFromEntries(spark, meta, data, pos, eq)
+      .filter(col(field.name) >= lit(lower) && col(field.name) <= lit(upper))
+      .select(sparkSchema(meta).fieldNames.map(col).toIndexedSeq: _*)
   }
 
   private def uriPath(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
@@ -2531,13 +2589,24 @@ object GraftTable {
     val stats = existing(metas.flatMap(m => m.statistics ++ m.partitionStatistics)
       .map(_.path).distinct)
     val found = ReachableFiles(content, manifests, lists, metaFiles, stats)
-    if (!dryRun)
+    if (!dryRun) {
+      // TOCTOU re-check: the parallel enumeration above can run long; a
+      // writer that committed meanwhile (a catalog still serving the
+      // table despite the caller's claim) has a NEWER live document
+      // referencing files this sweep would reclaim — refuse rather than
+      // destroy a live table's state
+      val vNow = OptimisticCommit.currentVersion(tableDir)
+      require(vNow == v,
+        s"table advanced to version $vNow while enumerating (was $v) — " +
+          "a writer still serves this table; re-run against the current " +
+          "metadata only once nothing commits to it")
       // leaf-before-root TIERS (parallel within each): an interrupted run
       // must leave the tree re-walkable — metadata and manifests go LAST,
       // so a retry can always re-enumerate whatever content survived
       Seq(content, manifests, lists, stats, metaFiles).foreach(tier =>
         Par.inParallel(tier)(p => HadoopConfs.fileSystemFor(p)
           .delete(new org.apache.hadoop.fs.Path(p), false)))
+    }
     found
   }
 

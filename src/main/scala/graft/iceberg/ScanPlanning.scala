@@ -115,7 +115,7 @@ object ScanPlanning {
     case _ => None
   }
 
-  private def cmpValues(a: Any, b: Any): Option[Int] = (a, b) match {
+  private[iceberg] def cmpValues(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Number, y: Number) =>
       Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
     case (x: String, y: String) => Some(x.compareTo(y))

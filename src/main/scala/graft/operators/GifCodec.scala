@@ -14,7 +14,7 @@ package graft.operators
   * previous string plus its own first byte.
   *
   * Scope (refusals are loud, never wrong pixels): single full-canvas
-  * image, no interlace, global or local color table required; extension
+  * image, interlaced or not, global or local color table required; extension
   * blocks (including the graphic-control block) are skipped —
   * transparency does not change which palette COLOR a pixel carries, and
   * the channel sums this feeds are palette-order-invariant. */
@@ -79,7 +79,11 @@ object GifCodec {
       else gct
     require(table != null, "image has neither a local nor a global color table")
     val minCodeSize = in.u8()
-    require(minCodeSize >= 2 && minCodeSize <= 11,
+    // GIF palettes cap at 256 colors, so a valid stream never declares
+    // more than 8 bits of literal codes — a 9–11 header would only ever
+    // mint literal codes beyond any color table, so refuse it HERE
+    // instead of at the later pixel-index check
+    require(minCodeSize >= 2 && minCodeSize <= 8,
       s"invalid LZW minimum code size $minCodeSize")
     val raw = lzwDecode(in, minCodeSize, width * height)
     // interlace (GIF89a appendix E): rows arrive in four passes —

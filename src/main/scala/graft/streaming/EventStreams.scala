@@ -883,10 +883,20 @@ object EventStreams {
             val latest = df.withColumn("rn", row_number().over(wK))
               .filter($"rn" === 1).drop("rn")
             val metaNow = TableMetadata.parseFile(GraftTable.latestMetadataPath(out))
+            // the guard read is KEY-RANGE PRUNED by the batch's own
+            // [min, max] user_id (one tiny agg over the batch): data
+            // files whose committed key bounds can't overlap the batch
+            // never open — at 100 TB the guard costs O(overlapping
+            // files) per batch, not one full key scan of the table
+            // (KeyRangePruneSpec proves the skip destructively)
+            val keySpan = latest.agg(
+              min($"user_id").as("lo"), max($"user_id").as("hi")).head()
             val cur =
-              if (metaNow.currentSnapshot.isEmpty)
+              if (metaNow.currentSnapshot.isEmpty || keySpan.isNullAt(0))
                 Seq.empty[(Long, Long)].toDF("user_id", "cur_lsn")
-              else GraftTable.read(spark, GraftTable.latestMetadataPath(out))
+              else GraftTable.readKeyRange(spark,
+                  GraftTable.latestMetadataPath(out), fieldId = 1,
+                  keySpan.getLong(0), keySpan.getLong(1))
                 .select($"user_id", $"lsn".as("cur_lsn"))
             val fresh = latest.join(cur, Seq("user_id"), "left_outer")
               .filter($"cur_lsn".isNull || $"lsn" > $"cur_lsn").drop("cur_lsn")

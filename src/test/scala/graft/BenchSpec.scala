@@ -110,6 +110,31 @@ class BenchSpec extends AnyFunSuite {
       "0.163s entries must keep a decimal (1-decimal render) under this profile")
   }
 
+  test("the JSON line is the LAST stdout: session stop precedes the print") {
+    // r15's record was lost to a StateStore maintenance WARN racing
+    // spark.stop() AFTER the line printed — the tail window kept the
+    // stack trace and front-truncated the line. The contract: stop()
+    // (where every shutdown-race message lands) runs BEFORE the line
+    // reaches stdout, so no Spark byte can follow it.
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val line = """{"metric":"total","value":1}"""
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true)) {
+      Bench.emitFinalLine(line, () => {
+        order += "stop"
+        assert(out.size() === 0, "nothing may print before stop() runs")
+      })
+    }
+    assert(order.toSeq === Seq("stop"), "stop() must run exactly once")
+    assert(out.toString.trim === line, "the line prints after stop returns")
+    // root logging is OFF after the emit — a shutdown hook firing after
+    // main returns cannot append anything to the tail either
+    assert(org.apache.logging.log4j.LogManager.getRootLogger.getLevel ===
+      org.apache.logging.log4j.Level.OFF)
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR) // restore for later suites
+  }
+
   test("budget pressure degrades the LARGEST timings first, smallest last") {
     // many entries, one big outlier: if the line needs shrinking, the
     // outlier loses its decimal before any sub-second entry does

@@ -1324,7 +1324,11 @@ object GraftTable {
         .foldLeft(snapId)(math.min)
       // delete manifests carry forward: they still scope to untouched
       // files; rewritten groups were materialized post-MOR at a new seq
-      val carriedDeletes = carryForward(base).filter(_.content == 1)
+      val carriedDeletes = (branch match {
+        case None => carryForward(base)
+        case Some(_) =>
+          head.toSeq.flatMap(s => ManifestListReader.read(s.manifestList.get))
+      }).filter(_.content == 1)
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       ManifestListWriter.write(list, carriedDeletes.map(_.path) :+ manifest, snapId,
         addedDataFilesCount = files.size,
@@ -1336,13 +1340,15 @@ object GraftTable {
         seqNums = carriedDeletes.map(i => i.path -> i.sequenceNumber).toMap,
         minSeqNums = carriedDeletes.map(i => i.path -> i.minSequenceNumber).toMap
           + (manifest -> minSeq))
-      MetadataWriter.commitSnapshot(base2,
-        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
-          Some("overwrite"),
-          Map("added-data-files" -> files.size.toString,
-            "deleted-data-files" -> replacedPaths.size.toString),
-          Some(list), base.currentSchemaId),
-        Some(basePath))
+      val snap = Snapshot(snapId, head.map(_.snapshotId), base.lastUpdatedMs + 1000,
+        Some("overwrite"),
+        Map("added-data-files" -> files.size.toString,
+          "deleted-data-files" -> replacedPaths.size.toString),
+        Some(list), base.currentSchemaId)
+      branch match {
+        case None => MetadataWriter.commitSnapshot(base2, snap, Some(basePath))
+        case Some(b) => MetadataWriter.commitToBranch(base2, snap, b, Some(basePath))
+      }
     })
 
   /** Hidden-partition pruned read WITH merge-on-read: `sourceFieldId =
@@ -2630,7 +2636,8 @@ object GraftTable {
     * concurrent rewrite dropping one would strand those deletes on a
     * dead path (a lost update), so the commit conflicts instead. */
   private[graft] def commitDeltaFiles(tableDir: String, dataFiles: Seq[PendingFile],
-      deleteFiles: Seq[PendingFile], targetPaths: Set[String])
+      deleteFiles: Seq[PendingFile], targetPaths: Set[String],
+      branch: Option[String] = None)
       : OptimisticCommit.CommitResult = {
     require(dataFiles.nonEmpty || deleteFiles.nonEmpty, "empty delta commit")
     // v3: the task-written position-delete parquet converts to DELETION
@@ -2653,20 +2660,24 @@ object GraftTable {
           .select(normCol(col("file_path")).as("file_path"), col("pos"))
         val covered = newDels.select("file_path").distinct()
           .collect().map(_.getString(0)).toSet
-        val (oldDvEntries, oldPositions) = pendingPosState(spark, meta0, covered)
-        val manifestForm = currentEntries(meta0, 0).filter(_.content == 0)
+        val (oldDvEntries, oldPositions) = pendingPosState(spark, meta0, covered, branch)
+        val manifestForm = entriesAt(refHead(meta0, branch), 0).filter(_.content == 0)
           .map(e => norm(e.filePath) -> e.filePath).toMap
         val refs = writeDvsDistributed(spark, tableDir, dvAttempt,
           newDels.unionByName(oldPositions), manifestForm,
           (meta0.snapshots.map(_.snapshotId) :+ 0L).max + 1)
-        val delE = currentEntries(meta0, 1).filter(_.content == 1)
+        val delE = entriesAt(refHead(meta0, branch), 1).filter(_.content == 1)
         (refs,
           oldDvEntries.map(e => (norm(e.filePath), e.contentOffset.getOrElse(0L))).toSet,
           delE.map(e => (norm(e.filePath), e.contentOffset.getOrElse(0L))).toSet)
       }
     val result = OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
-      val live = currentEntries(base, 0).filter(_.content == 0)
+      // with `branch`, the delta lands BRANCH-SCOPED: validation, carried
+      // manifests and the parent come from the branch head; only the
+      // branch ref moves (the WAP story for MOR edits)
+      val head = refHead(base, branch)
+      val live = entriesAt(head, 0).filter(_.content == 0)
         .map(e => uriPath(e.filePath)).toSet
       val missing = targetPaths.map(uriPath) -- live
       if (missing.nonEmpty) throw OptimisticCommit.CommitConflictException(
@@ -2713,13 +2724,17 @@ object GraftTable {
         // merge-on-write staleness guard (same rule as deleteWhereDv):
         // the DVs absorbed the delete state AS OF meta0 and this commit
         // drops the absorbed entries
-        val nowDel = currentEntries(base, 1).filter(_.content == 1)
+        val nowDel = entriesAt(head, 1).filter(_.content == 1)
           .map(e => (uriPath(e.filePath), e.contentOffset.getOrElse(0L))).toSet
         if (nowDel != dvPreDel) throw OptimisticCommit.CommitConflictException(
           "table delete state changed while writing deletion vectors — rerun")
       }
       val manifests = plainData ++ perFile ++ delManifests
-      val carried0 = carryForward(base)
+      val carried0 = branch match {
+        case None => carryForward(base)
+        case Some(_) =>
+          head.toSeq.flatMap(s => ManifestListReader.read(s.manifestList.get))
+      }
       // v3 supersede: carried delete manifests drop the old DV entries
       // for re-covered files (the new DVs carry their every position)
       val carried =
@@ -2752,17 +2767,19 @@ object GraftTable {
         addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
         seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
         minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
-      MetadataWriter.commitSnapshot(base2,
-        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
-          Some(if (dataFiles.isEmpty) "delete" else "overwrite"),
-          Map("added-data-files" -> dataFiles.size.toString,
-            "added-records" -> dataFiles.map(_.rows).sum.toString,
-            "added-delete-files" ->
-              (if (v3Dv) dvRefRows.size else deleteFiles.size).toString,
-            "added-position-deletes" -> deleteFiles.map(_.rows).sum.toString) ++
-            (if (v3Dv) Map("added-dvs" -> dvRefRows.size.toString) else Map.empty),
-          Some(list), base.currentSchemaId),
-        Some(basePath))
+      val snap = Snapshot(snapId, head.map(_.snapshotId), base.lastUpdatedMs + 1000,
+        Some(if (dataFiles.isEmpty) "delete" else "overwrite"),
+        Map("added-data-files" -> dataFiles.size.toString,
+          "added-records" -> dataFiles.map(_.rows).sum.toString,
+          "added-delete-files" ->
+            (if (v3Dv) dvRefRows.size else deleteFiles.size).toString,
+          "added-position-deletes" -> deleteFiles.map(_.rows).sum.toString) ++
+          (if (v3Dv) Map("added-dvs" -> dvRefRows.size.toString) else Map.empty),
+        Some(list), base.currentSchemaId)
+      branch match {
+        case None => MetadataWriter.commitSnapshot(base2, snap, Some(basePath))
+        case Some(b) => MetadataWriter.commitToBranch(base2, snap, b, Some(basePath))
+      }
     })
     // the task parquet never entered the table on v3 — reclaim it now
     // that the commit won (best-effort; a crash here leaves orphans for

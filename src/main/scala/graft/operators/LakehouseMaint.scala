@@ -1516,15 +1516,32 @@ object LakehouseMaint {
       // it removes a base row AND would see the staged appends — and the
       // delete snapshot moves only the branch ref
       spark.sql("DELETE FROM graft_wapx.db.n.branch_audit WHERE n_nationkey = 0")
-      // audit: main must NOT see staged rows OR the staged delete; the
-      // ref-name read must
+      // staged MERGE + UPDATE (round 16): row-level operations plan
+      // against the BRANCH head (the MERGE's matched keys include rows
+      // BOTH from main's base and the staged appends — proving a
+      // branch-head scan) and their replace snapshots move only the
+      // branch ref — the WAP story completed for edits
+      spark.sql("""MERGE INTO graft_wapx.db.n.branch_audit t
+        USING (SELECT n_nationkey FROM i62_nation_src
+               WHERE n_nationkey IN (2, 23)) s
+        ON t.n_nationkey = s.n_nationkey
+        WHEN MATCHED THEN UPDATE SET n_regionkey = t.n_regionkey + 10""")
+      spark.sql("""UPDATE graft_wapx.db.n.branch_audit
+        SET n_regionkey = 99 WHERE n_nationkey = 24""")
+      // audit: main must NOT see staged rows, the staged delete, or any
+      // staged edit; the ref-name read must see them all
       val mainRow = spark.sql(
-        "SELECT COUNT(*), COUNT(CASE WHEN n_nationkey = 0 THEN 1 END) " +
+        "SELECT COUNT(*), COUNT(CASE WHEN n_nationkey = 0 THEN 1 END), " +
+          "COUNT(CASE WHEN n_regionkey >= 10 THEN 1 END) " +
           "FROM graft_wapx.db.n").head()
-      val auditN = spark.sql(
-        "SELECT COUNT(*) FROM graft_wapx.db.n VERSION AS OF 'audit'").head().getLong(0)
-      require(mainRow.getLong(0) < auditN && mainRow.getLong(1) == 1L,
-        s"staging leaked into main: main=$mainRow audit=$auditN")
+      val auditRow = spark.sql(
+        "SELECT COUNT(*), COUNT(CASE WHEN n_regionkey >= 10 THEN 1 END) " +
+          "FROM graft_wapx.db.n VERSION AS OF 'audit'").head()
+      require(mainRow.getLong(0) < auditRow.getLong(0) &&
+        mainRow.getLong(1) == 1L && mainRow.getLong(2) == 0L,
+        s"staging leaked into main: main=$mainRow audit=$auditRow")
+      require(auditRow.getLong(1) == 3L,
+        s"branch edits not visible on the branch: audit=$auditRow")
       spark.sql("CALL graft_wapx.system.fast_forward('db.n', 'audit')")
     }
     spark.sql("""SELECT n_regionkey, COUNT(*) AS n_live,
@@ -1533,10 +1550,13 @@ object LakehouseMaint {
   }
 
   val sqlWapSql: String =
-    """SELECT n_regionkey, COUNT(*) AS n_live,
+    """SELECT CASE WHEN n_nationkey = 24 THEN 99
+      |            WHEN n_nationkey IN (2, 23) THEN n_regionkey + 10
+      |            ELSE n_regionkey END AS n_regionkey,
+      |  COUNT(*) AS n_live,
       |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation WHERE n_nationkey <> 0
-      |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- i61
   /** The maintenance schedule a platform team actually runs, end-to-end

@@ -536,18 +536,141 @@ object Similarity {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Distributed LLOYD TRAINING over a (vec_id, embedding) corpus —
+    * the offline half every anchor-seeded quantizer above documents as
+    * out of scope, now in scope: k-means++-round-0 seeds (the k lowest
+    * vec_ids, the same deterministic choice s03/s04 make), then `iters`
+    * assignment+update rounds. Engine-replayable by construction:
+    * assignment ties break to the lowest centroid id (first-min), every
+    * per-dimension sum runs in DECIMAL(18,12) — exact, order-independent
+    * addition, so the distributed rollup is immune to partitioning and
+    * DuckDB replays it digit-for-digit — and the mean is the exact
+    * decimal sum cast to double over the exact count (one IEEE divide).
+    *
+    * Scale shape per iteration: ONE corpus scan (centroids broadcast as
+    * literals), map-side partial aggregation into k×dim groups, and only
+    * those k×dim decimal sums ever reach the driver — the corpus never
+    * shuffles by cluster. An empty cluster keeps its previous centroid
+    * (`requireFull` refuses instead when the caller's oracle cannot
+    * model that). */
+  private[graft] def lloydTrain(corpus: DataFrame, k: Int, dim: Int,
+      iters: Int, requireFull: Boolean = false): Array[Array[Double]] = {
+    def fullCol(v: Column): Column = transform(v, x => x.cast(DoubleType))
+    def litArr(a: Array[Double]): Column = array(a.toIndexedSeq.map(lit): _*)
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    var cents: Array[Array[Double]] = corpus.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(cents.length == k, s"need $k seed vectors, got ${cents.length}")
+    for (_ <- 1 to iters) {
+      val dists = array(cents.toIndexedSeq.map(c =>
+        sqd(fullCol(col("embedding")), litArr(c))): _*)
+      val cid = (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
+      val sums = corpus
+        .select(cid.as("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v").cast(DoubleType).cast(DecimalType(18, 12))).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byC = sums.groupBy(_.getInt(0))
+      if (requireFull) require(byC.size == k,
+        s"cluster went empty (${byC.size} of $k populated) — the exact " +
+          "oracle models every cluster as live")
+      cents = Array.tabulate(k) { c =>
+        byC.get(c) match {
+          case Some(rows) =>
+            val a = new Array[Double](dim)
+            rows.foreach(r => a(r.getInt(1)) = r.getDecimal(2).doubleValue() / r.getLong(3))
+            a
+          case None => cents(c)
+        }
+      }
+    }
+    cents
+  }
+
+  /** s07 — k-means TRAINING entry: 2 Lloyd iterations over the
+    * embeddings table (k=8 anchor seeds), then the final assignment
+    * rolled up per cluster — member count, DECIMAL-exact SSE mass and
+    * the trained centroid's component sum (the codebook fingerprint —
+    * any drift in ANY dimension of ANY centroid moves it). DuckDB
+    * replays the entire loop: both assignment rounds, both decimal mean
+    * updates, the final assignment and the rollup, with no tolerance.
+    * PqSpec's trained-vs-anchor variant shows these centroids beating
+    * the anchor seeds as a PQ codebook on planted clusters. */
+  val kmeansTrain: Q = (spark, dir) => {
+    import spark.implicits._
+    val K = 8; val DIM = 64
+    val emb = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val cents = lloydTrain(emb, K, DIM, iters = 2, requireFull = true)
+    def fullCol(v: Column): Column = transform(v, x => x.cast(DoubleType))
+    def litArr(a: Array[Double]): Column = array(a.toIndexedSeq.map(lit): _*)
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val dists = array(cents.toIndexedSeq.map(c =>
+      sqd(fullCol($"embedding"), litArr(c))): _*)
+    val masses = cents.map(_.sum) // left-to-right fold = list_sum
+    emb.select(
+        (array_position(dists, array_min(dists)) - 1).cast(IntegerType).as("cluster_id"),
+        array_min(dists).as("d2"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"d2".cast(DecimalType(28, 12))).cast(DoubleType).as("sse"))
+      .withColumn("centroid_mass",
+        element_at(array(masses.toIndexedSeq.map(lit): _*), $"cluster_id" + 1))
+      .orderBy($"cluster_id")
+  }
+
+  val kmeansTrainSql: String = {
+    def sqdTo(cTable: String): String =
+      s"list_sum([(e.embedding[i]::DOUBLE - $cTable.c[i]::DOUBLE) * " +
+        s"(e.embedding[i]::DOUBLE - $cTable.c[i]::DOUBLE) for i in range(1, 65)])"
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT e.vec_id, e.embedding, c.cid, ${sqdTo("c")} AS d2,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqdTo("c")}, c.cid) AS rnk
+         |  FROM embeddings e CROSS JOIN $cents c)""".stripMargin
+    def updateCtes(mName: String, cName: String, assign: String): String =
+      s"""$mName AS (
+         |  SELECT a.cid, r.i AS pos,
+         |    CAST(SUM(CAST(CAST(a.embedding[r.i] AS DOUBLE) AS DECIMAL(18,12)))
+         |      AS DOUBLE) / COUNT(*) AS m
+         |  FROM $assign a CROSS JOIN range(1, 65) r(i) WHERE a.rnk = 1
+         |  GROUP BY a.cid, r.i),
+         |$cName AS (SELECT cid, list(m ORDER BY pos) AS c FROM $mName GROUP BY cid)""".stripMargin
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 8),
+       |${assignCte("a1", "c0")},
+       |${updateCtes("m1", "c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${updateCtes("m2", "c2", "a2")},
+       |${assignCte("af", "c2")},
+       |cm AS (SELECT cid, list_sum(c) AS centroid_mass FROM c2)
+       |SELECT CAST(af.cid AS INTEGER) AS cluster_id, COUNT(*) AS n_members,
+       |  CAST(SUM(CAST(af.d2 AS DECIMAL(28,12))) AS DOUBLE) AS sse,
+       |  ANY_VALUE(cm.centroid_mass) AS centroid_mass
+       |FROM af JOIN cm ON af.cid = cm.cid
+       |WHERE af.rnk = 1
+       |GROUP BY af.cid ORDER BY cluster_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_ann_brute_force" -> annBruteForce,
     "s02_ann_lsh" -> annLsh,
     "s03_kmeans_assign" -> kmeansAssign,
     "s04_pq_adc" -> pqAdc,
     "s05_ivf_pq" -> ivfPq,
-    "s06_ivfpq_rerank" -> ivfPqRerank)
+    "s06_ivfpq_rerank" -> ivfPqRerank,
+    "s07_kmeans_train" -> kmeansTrain)
 
   val oracles: Map[String, String] = Map(
     "s01_ann_brute_force" -> annBruteForceSql,
     "s03_kmeans_assign" -> kmeansAssignSql,
     "s04_pq_adc" -> pqAdcSql,
     "s05_ivf_pq" -> ivfPqSql,
-    "s06_ivfpq_rerank" -> ivfPqRerankSql)
+    "s06_ivfpq_rerank" -> ivfPqRerankSql,
+    "s07_kmeans_train" -> kmeansTrainSql)
 }

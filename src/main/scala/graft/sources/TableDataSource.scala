@@ -132,17 +132,12 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => {
       refuseWriteReason.foreach(r => throw new UnsupportedOperationException(r))
-      // The row-level machinery plans against MAIN state (its scan and
-      // group-replace/delta commits are not branch-scoped); running one
-      // through a branch identifier would SILENTLY hit main. The refusal
-      // is LAZY (in the operation's scan/write builders): Spark builds
-      // this plan for every DELETE before possibly optimizing to the
-      // pushed SupportsDelete route — which IS branch-scoped — so an
-      // eager throw here would break the supported branch DELETE too.
-      val branchRefusal = writeBranch.map(b =>
-        "row-level operations on branch '" + b + "' are not supported — " +
-          "supported branch DML: INSERT INTO and pushed-predicate DELETE " +
-          "FROM; publish with fast_forward and run UPDATE/MERGE through main")
+      // With a `t.branch_<name>` identifier the whole operation is
+      // BRANCH-SCOPED (the WAP story for edits): the operation's scan
+      // plans against the branch head (ref-resolved, like any branch
+      // read), and the replace/delta commit validates against and chains
+      // from that head, moving only the branch ref — main never sees the
+      // edit until fast_forward publishes it.
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command._
       val modeKey = info.command() match {
         case UPDATE => "write.update.mode"
@@ -153,10 +148,10 @@ class GraftSparkTable(tableSchema: StructType, metadataPath: String,
         .get(modeKey).contains("merge-on-read")
       if (mor)
         new GraftDeltaRowLevelOperation(info.command(), tableSchema,
-          metadataPath, splitSize, branchRefusal)
+          metadataPath, splitSize, branch = writeBranch)
       else
         new GraftRowLevelOperation(info.command(), tableSchema,
-          metadataPath, splitSize, branchRefusal)
+          metadataPath, splitSize, branch = writeBranch)
     }
   override def name(): String = s"graft-table($metadataPath)"
   override def schema(): StructType = tableSchema
@@ -1009,7 +1004,7 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
 class GraftRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     tableSchema: StructType, metadataPath: String, splitSize: Long,
-    refuseReason: Option[String] = None)
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   private val scannedFiles =
@@ -1027,16 +1022,15 @@ class GraftRowLevelOperation(
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    refuseReason.foreach(r => throw new UnsupportedOperationException(r))
-    new GraftTableScanBuilder(tableSchema, metadataPath, None, None, None,
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // the operation's scan plans against the BRANCH head when branch-
+    // scoped — the same ref resolution any branch read uses
+    new GraftTableScanBuilder(tableSchema, metadataPath, None, branch, None,
       splitSize, Some((paths, dels) => { scannedFiles.set(paths); scannedDeletes.set(dels) }))
-  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    refuseReason.foreach(r => throw new UnsupportedOperationException(r))
     val delegate = new GraftTableWriteBuilder(metadataPath, info)
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
@@ -1069,7 +1063,7 @@ class GraftRowLevelOperation(
                 GraftTable.commitReplaceFiles(tableDir,
                   files.map(m => GraftTable.PendingFile(
                     m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId)),
-                  scannedFiles.get().toSet, scannedDeletes.get().toSet)
+                  scannedFiles.get().toSet, scannedDeletes.get().toSet, branch)
               }
               override def abort(
                   messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
@@ -1093,7 +1087,7 @@ class GraftRowLevelOperation(
 class GraftDeltaRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     tableSchema: StructType, metadataPath: String, splitSize: Long,
-    refuseReason: Option[String] = None)
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
@@ -1118,15 +1112,12 @@ class GraftDeltaRowLevelOperation(
 
   override def representUpdateAsDeleteAndInsert(): Boolean = false
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    refuseReason.foreach(r => throw new UnsupportedOperationException(r))
-    new GraftTableScanBuilder(tableSchema, metadataPath, None, None, None, splitSize)
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftTableScanBuilder(tableSchema, metadataPath, None, branch, None, splitSize)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
-    refuseReason.foreach(r => throw new UnsupportedOperationException(r))
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
         new org.apache.spark.sql.connector.write.DeltaWrite {
@@ -1155,7 +1146,7 @@ class GraftDeltaRowLevelOperation(
             new GraftTableDeltaBatchWrite(tableDir, GraftTable.sparkSchema(meta),
               fields, part,
               new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active()),
-              carryLineage = meta.formatVersion >= 3)
+              carryLineage = meta.formatVersion >= 3, branch = branch)
           }
         }
     }
@@ -1166,7 +1157,7 @@ class GraftTableDeltaBatchWrite(tableDir: String, schema: StructType,
     fields: Seq[(Int, String, graft.iceberg.IcebergType)],
     part: GraftTableWrites.PartInfo,
     hadoopConf: graft.iceberg.SerializableHadoopConf,
-    carryLineage: Boolean = false)
+    carryLineage: Boolean = false, branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   private val writeUuid = java.util.UUID.randomUUID().toString
@@ -1195,7 +1186,7 @@ class GraftTableDeltaBatchWrite(tableDir: String, schema: StructType,
       m.path, m.rows, m.bytes, m.lower, m.upper, m.summary, m.specId,
       carriesLineage = m.carriesLineage)
     GraftTable.commitDeltaFiles(tableDir,
-      dataLive.map(pending), dels.map(pending), targets)
+      dataLive.map(pending), dels.map(pending), targets, branch)
   }
 
   override def abort(

@@ -79,7 +79,7 @@ class BranchDmlSpec extends SparkSpec {
       ref.maxRefAgeMs.contains(123456789L), ref.toString)
   }
 
-  test("branch DELETE refuses unknown branches; UPDATE on a branch refuses") {
+  test("branch DELETE refuses unknown branches; branch UPDATE stages (COW)") {
     mkCatalog("bde")
     spark.sql("CREATE TABLE bde.db.t (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('commit-timestamp-ms'='1700000000000')")
@@ -87,15 +87,77 @@ class BranchDmlSpec extends SparkSpec {
     intercept[Exception](
       spark.sql("DELETE FROM bde.db.t.branch_nope WHERE k = 1"))
     spark.sql("CALL bde.system.create_branch(table => 'db.t', branch => 'b')")
-    // row-level operations are not branch-scoped — they must refuse, not
-    // silently hit main
-    val e = intercept[Exception](
-      spark.sql("UPDATE bde.db.t.branch_b SET v = 'x' WHERE k = 1"))
-    assert(e.getMessage.contains("branch"), e.getMessage)
-    assert(spark.sql("SELECT count(*) FROM bde.db.t").head() == Row(5L))
-    // the supported pushed-predicate DELETE still works after the refusal
+    // round 16: UPDATE through the branch identifier is BRANCH-SCOPED —
+    // the edit lands on the branch head, main stays pristine
+    spark.sql("UPDATE bde.db.t.branch_b SET v = 'x' WHERE k = 1")
+    assert(spark.sql("SELECT v FROM bde.db.t.branch_b WHERE k = 1").head() ==
+      Row("x"))
+    assert(spark.sql("SELECT v FROM bde.db.t WHERE k = 1").head() == Row("v1"))
+    // the pushed-predicate DELETE composes with the staged edit
     spark.sql("DELETE FROM bde.db.t.branch_b WHERE k = 0")
     assert(spark.sql("SELECT count(*) FROM bde.db.t.branch_b").head() == Row(4L))
     assert(spark.sql("SELECT count(*) FROM bde.db.t").head() == Row(5L))
+  }
+
+  test("branch MERGE (COW) edits branch-only rows; fast_forward publishes") {
+    mkCatalog("bme")
+    spark.sql("CREATE TABLE bme.db.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO bme.db.t SELECT id, concat('v', id) FROM range(0, 5)")
+    spark.sql("CALL bme.system.create_branch(table => 'db.t', branch => 'b')")
+    // stage an append so the MERGE's matched set spans base AND staged
+    // rows — only a branch-head scan can match k=100
+    spark.sql("INSERT INTO bme.db.t.branch_b VALUES (100, 'w100')")
+    spark.sql("""MERGE INTO bme.db.t.branch_b t
+      USING (SELECT * FROM VALUES (1L, 'm1'), (100L, 'm100'), (200L, 'm200')
+             AS s(k, v)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(spark.sql(
+      "SELECT count(*), count(CASE WHEN v LIKE 'm%' THEN 1 END) " +
+        "FROM bme.db.t.branch_b").head() == Row(7L, 3L))
+    // main: no staged row, no edit
+    assert(spark.sql(
+      "SELECT count(*), count(CASE WHEN v LIKE 'm%' THEN 1 END) " +
+        "FROM bme.db.t").head() == Row(5L, 0L))
+    spark.sql("CALL bme.system.fast_forward('db.t', 'b')")
+    assert(spark.sql("SELECT v FROM bme.db.t WHERE k = 100").head() == Row("m100"))
+    assert(spark.sql("SELECT count(*) FROM bme.db.t").head() == Row(7L))
+  }
+
+  test("v3 MOR: branch UPDATE lands delta state scoped to the branch") {
+    val wh = mkCatalog("bmu")
+    spark.sql("CREATE TABLE bmu.db.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('format-version'='3', " +
+      "'write.update.mode'='merge-on-read', " +
+      "'commit-timestamp-ms'='1700000000000')")
+    spark.sql("INSERT INTO bmu.db.t SELECT id, concat('v', id) FROM range(0, 10)")
+    spark.sql("CALL bmu.system.create_branch(table => 'db.t', branch => 'b')")
+    // a branch DELETE first, so the UPDATE's deletion vectors must MERGE
+    // the branch's own pending DV state (not main's)
+    spark.sql("DELETE FROM bmu.db.t.branch_b WHERE k < 2")
+    spark.sql("UPDATE bmu.db.t.branch_b SET v = 'u' WHERE k >= 8")
+    assert(spark.sql(
+      "SELECT count(*), count(CASE WHEN v = 'u' THEN 1 END) " +
+        "FROM bmu.db.t.branch_b").head() == Row(8L, 2L))
+    // main unaffected by the delete AND the update
+    assert(spark.sql(
+      "SELECT count(*), count(CASE WHEN v = 'u' THEN 1 END) " +
+        "FROM bmu.db.t").head() == Row(10L, 0L))
+    // the branch head's delta state: DVs (or eq/pos deletes) live on the
+    // BRANCH ref only
+    val meta = graft.iceberg.TableMetadata.parseFile(
+      graft.iceberg.GraftTable.latestMetadataPath(s"$wh/db/t"))
+    val branchHead = meta.snapshots
+      .find(s => meta.refs.exists(r => r.name == "b" && r.snapshotId == s.snapshotId))
+      .getOrElse(fail("branch ref lost"))
+    assert(branchHead.summary.get("added-delete-files").exists(_.toInt > 0) ||
+      branchHead.summary.get("added-dvs").exists(_.toInt > 0),
+      s"branch head carries no delta delete state: ${branchHead.summary}")
+    spark.sql("CALL bmu.system.fast_forward('db.t', 'b')")
+    assert(spark.sql(
+      "SELECT count(*), count(CASE WHEN v = 'u' THEN 1 END) FROM bmu.db.t")
+      .head() == Row(8L, 2L))
   }
 }

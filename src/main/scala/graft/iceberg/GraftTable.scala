@@ -2111,9 +2111,47 @@ object GraftTable {
     val doc = TableStats.Doc(snapId, row.getAs[Long]("rc"),
       fields.map(f => f.id -> TableStats.ColumnStats(
         row.getAs[Long](s"ndv_${f.id}"),
-        Option(row.getAs[Long](s"nulls_${f.id}")).getOrElse(0L))).toMap)
+        Some(Option(row.getAs[Long](s"nulls_${f.id}")).getOrElse(0L)))).toMap)
+    // the STANDARD statistics blob alongside the engine's own record:
+    // one Apache DataSketches theta sketch per eligible column, values
+    // hashed through their Iceberg single-value serialization (the
+    // puffin-spec contract that makes foreign unions meaningful). One
+    // extra pass, sketch-per-partition: each task updates KB-scale
+    // sketches locally and emits compact bytes; only partitions × cols
+    // sketches reach the driver for the union — at 100 TB the pass is
+    // one scan with no shuffle at all.
+    val thetaFields = fields
+      .map(f => (f, IcebergTypes.fromString(f.fieldType)))
+      .filter { case (_, t) => TableStats.thetaSupported(t) }
+    val thetaSketches: Map[Int, Array[Byte]] =
+      if (thetaFields.isEmpty) Map.empty
+      else {
+        import spark.implicits._
+        val types = thetaFields.map(_._2).toArray
+        val n = types.length
+        val partials = df.select(thetaFields.map { case (f, _) => col(f.name) }: _*)
+          .mapPartitions { it =>
+            val sks = Array.fill(n)(
+              org.apache.datasketches.theta.UpdateSketch.builder().build())
+            it.foreach { r =>
+              var i = 0
+              while (i < n) {
+                if (!r.isNullAt(i))
+                  sks(i).update(TableStats.sketchBytes(types(i), r.get(i)))
+                i += 1
+              }
+            }
+            Iterator.single(sks.map(_.compact().toByteArray).toSeq)
+          }.collect()
+        thetaFields.map(_._1.id).zipWithIndex.map { case (fid, j) =>
+          val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+          partials.foreach(p => u.union(org.apache.datasketches.theta.Sketches
+            .wrapSketch(org.apache.datasketches.memory.Memory.wrap(p(j).toArray))))
+          fid -> u.getResult(true, null).toByteArray
+        }.toMap
+      }
     val path = s"$tableDir/stats-$snapId-${java.util.UUID.randomUUID()}.puffin"
-    val size = TableStats.write(path, doc)
+    val size = TableStats.write(path, doc, thetaSketches)
     var replaced: Seq[String] = Nil
     val result = OptimisticCommit.commit(tableDir, (base, basePath) => {
       replaced = base.statistics.filter(_.snapshotId == snapId).map(_.path)

@@ -2,44 +2,115 @@ package graft.iceberg
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
+import graft.iceberg.IcebergTypes._
+
 /** Table-statistics documents: per-column NDV + null counts committed by
   * `compute_table_stats` (ANALYZE) into the metadata `statistics` list
   * and served back to Spark's CBO through the DSv2 Statistics surface.
   *
   * The on-disk container is a spec-layout PUFFIN file (see [[Puffin]])
-  * with one `graft-ndv-v1` blob per column — a custom blob-type name so
-  * a foreign Puffin reader SKIPS it rather than misparse a sketch this
-  * engine does not produce; ndv/null-count ride in the blob properties
-  * (the body repeats them as a small JSON document). */
+  * carrying TWO blob families per column:
+  *
+  *   - `graft-ndv-v1` — the engine's own NDV/null-count record (custom
+  *     blob-type name so a foreign Puffin reader SKIPS it rather than
+  *     misparse; ndv/null-count ride in the blob properties, the body
+  *     repeats them as a small JSON document);
+  *   - `apache-datasketches-theta-v1` — the STANDARD Iceberg statistics
+  *     blob (puffin-spec): a serialized Apache DataSketches compact
+  *     Theta sketch of the column's values, each value hashed through
+  *     its Iceberg single-value binary serialization
+  *     ([[SingleValueCodec.encode]]), with the spec's `ndv` property.
+  *     Foreign engines consume this one — and can UNION it with their
+  *     own sketches of other snapshots, which is the whole point of
+  *     standardizing the hash input. Built with the same
+  *     datasketches-java library Spark bundles, so the bytes are the
+  *     reference serialization, not an imitation; TableStatsSpec ALSO
+  *     decodes the container raw (preamble, flags, ordered hash run)
+  *     against the published format.
+  */
 object TableStats {
 
-  final case class ColumnStats(ndv: Long, nullCount: Long)
+  /** `nullCount` is None when the document came from a FOREIGN writer's
+    * standard theta blobs — the theta sketch carries distinctness only. */
+  final case class ColumnStats(ndv: Long, nullCount: Option[Long])
   final case class Doc(snapshotId: Long, rowCount: Long, columns: Map[Int, ColumnStats])
+
+  /** The standard blob type name from the Iceberg Puffin spec. */
+  val ThetaBlobType = "apache-datasketches-theta-v1"
 
   private val mapper = new ObjectMapper()
 
-  def write(path: String, doc: Doc): Long = {
+  /** Types whose Spark scan values convert losslessly to the Iceberg
+    * single-value serialization the theta sketch hashes. */
+  def thetaSupported(t: IcebergType): Boolean = t match {
+    case TBoolean | TInt | TLong | TFloat | TDouble | TString | TBinary |
+         TDate | TTimestamptz | TDecimal(_, _) => true
+    case _ => false
+  }
+
+  /** A Spark row value → the Iceberg single-value bytes the sketch
+    * hashes (the spec's standard input, so foreign sketches of the same
+    * data are union-compatible). */
+  def sketchBytes(t: IcebergType, v: Any): Array[Byte] = (t, v) match {
+    case (TDate, d: java.sql.Date) => SingleValueCodec.encode(t, d.toLocalDate)
+    case (TDate, d: java.time.LocalDate) => SingleValueCodec.encode(t, d)
+    case (TTimestamptz, ts: java.sql.Timestamp) => SingleValueCodec.encode(t, ts.toInstant)
+    case (TTimestamptz, i: java.time.Instant) => SingleValueCodec.encode(t, i)
+    case _ => SingleValueCodec.encode(t, v)
+  }
+
+  def write(path: String, doc: Doc,
+      thetaSketches: Map[Int, Array[Byte]] = Map.empty): Long = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    val blobs = doc.columns.toSeq.sortBy(_._1).map { case (fieldId, cs) =>
+    val ndvBlobs = doc.columns.toSeq.sortBy(_._1).map { case (fieldId, cs) =>
+      val nulls = cs.nullCount.getOrElse(
+        throw new IllegalArgumentException(
+          "engine-written stats always carry null counts"))
       val b = mapper.createObjectNode()
       b.put("ndv", cs.ndv)
-      b.put("null-count", cs.nullCount)
+      b.put("null-count", nulls)
       Puffin.Blob("graft-ndv-v1", Seq(fieldId), doc.snapshotId, doc.snapshotId,
-        Map("ndv" -> cs.ndv.toString, "null-count" -> cs.nullCount.toString),
+        Map("ndv" -> cs.ndv.toString, "null-count" -> nulls.toString),
         b.toString.getBytes(utf8))
     }
-    val (_, size) = Puffin.write(path, blobs, Map(
+    val thetaBlobs = thetaSketches.toSeq.sortBy(_._1).map { case (fieldId, body) =>
+      val est = org.apache.datasketches.theta.Sketches.wrapSketch(
+        org.apache.datasketches.memory.Memory.wrap(body)).getEstimate
+      Puffin.Blob(ThetaBlobType, Seq(fieldId), doc.snapshotId, doc.snapshotId,
+        Map("ndv" -> Math.round(est).toString), body)
+    }
+    val (_, size) = Puffin.write(path, ndvBlobs ++ thetaBlobs, Map(
       "snapshot-id" -> doc.snapshotId.toString,
       "row-count" -> doc.rowCount.toString))
     size
   }
 
+  /** Read a statistics container, consuming BOTH families: the engine's
+    * own `graft-ndv-v1` records win; columns carried only by standard
+    * `apache-datasketches-theta-v1` blobs (a FOREIGN engine's ANALYZE)
+    * still serve NDV — from the spec's `ndv` blob property when present,
+    * else by deserializing the sketch itself — with no null count (the
+    * sketch doesn't carry one). Interop both directions: we write the
+    * standard blob for others, and read others' standard blobs. */
   def read(path: String): Doc = {
-    val (_, refs, props) = Puffin.read(path)
-    val columns = refs.filter(_.blobType == "graft-ndv-v1").map { r =>
+    val (raw, refs, props) = Puffin.read(path)
+    val own = refs.filter(_.blobType == "graft-ndv-v1").map { r =>
       r.fields.head -> ColumnStats(
-        r.properties("ndv").toLong, r.properties("null-count").toLong)
+        r.properties("ndv").toLong, Some(r.properties("null-count").toLong))
     }.toMap
-    Doc(props("snapshot-id").toLong, props("row-count").toLong, columns)
+    val foreign = refs
+      .filter(r => r.blobType == ThetaBlobType && r.fields.length == 1 &&
+        !own.contains(r.fields.head))
+      .flatMap { r =>
+        r.properties.get("ndv").map(_.toLong)
+          .orElse(scala.util.Try {
+            val body = java.util.Arrays.copyOfRange(
+              raw, r.offset.toInt, (r.offset + r.length).toInt)
+            Math.round(org.apache.datasketches.theta.Sketches.wrapSketch(
+              org.apache.datasketches.memory.Memory.wrap(body)).getEstimate)
+          }.toOption)
+          .map(ndv => r.fields.head -> ColumnStats(ndv, None))
+      }.toMap
+    Doc(props("snapshot-id").toLong, props("row-count").toLong, foreign ++ own)
   }
 }

@@ -335,12 +335,17 @@ object Similarity {
     * fold the DuckDB oracles replay exactly — ONE implementation feeds
     * both entries, because a divergence between the index scan and the
     * refine stage would break the no-tolerance oracle equality. */
-  private final class PqIndex(spark: SparkSession, dir: String) {
+  private final class PqIndex(spark: SparkSession, dir: String,
+      codebook: Option[Array[Array[Double]]] = None) {
     val M = 4; val Sub = 16; val K = 8; val NPROBE = 2
     val emb: DataFrame =
       Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    private val anchors: Array[Array[Double]] = emb.filter(col("vec_id") < K)
-      .orderBy("vec_id").collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // anchor-seeded by default (the oracle-pinned entries); a TRAINED
+    // codebook (lloydTrain) plugs in here — PqSpec measures the recall
+    // gain on planted clusters
+    private val anchors: Array[Array[Double]] = codebook.getOrElse(
+      emb.filter(col("vec_id") < K)
+        .orderBy("vec_id").collect().map(_.getSeq[Float](1).map(_.toDouble).toArray))
     private def subLit(c: Int, m: Int): Column =
       array(anchors(c).slice(m * Sub, (m + 1) * Sub).toIndexedSeq.map(lit): _*)
     private def fullLit(c: Int): Column = array(anchors(c).toIndexedSeq.map(lit): _*)
@@ -407,15 +412,24 @@ object Similarity {
     * deviation from Jégou et al. §IV). Every distance folds
     * left-to-right in IEEE double, so DuckDB recomputes cells, codes,
     * probe lists and ADC values exactly — no tolerance. */
-  val ivfPq: Q = (spark, dir) => {
-    import spark.implicits._
-    val w = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
-    new PqIndex(spark, dir).candidates
+  val ivfPq: Q = (spark, dir) => ivfPqTop(new PqIndex(spark, dir))
+
+  private def ivfPqTop(ix: PqIndex): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    ix.candidates
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cell", $"adc")
-      .orderBy($"query_id", $"rank")
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cell"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
   }
+
+  /** s05's retrieval under an EXPLICIT codebook — the trained-codebook
+    * hook: PqSpec runs the same IVF-PQ pipeline with anchor seeds vs
+    * lloydTrain output and compares planted-cluster recall. */
+  private[graft] def ivfPqWith(spark: SparkSession, dir: String,
+      codebook: Array[Array[Double]]): DataFrame =
+    ivfPqTop(new PqIndex(spark, dir, Some(codebook)))
 
   /** s06 — two-stage retrieval: IVF-PQ shortlist, EXACT re-rank (the
     * production pattern FAISS calls refine): the s05 index produces a
@@ -430,24 +444,30 @@ object Similarity {
     * confined to SHORTLIST membership; the returned distances and order
     * are exact. Both stages fold left-to-right in IEEE double — DuckDB
     * replays codes, probes, shortlist and re-rank with no tolerance. */
-  val ivfPqRerank: Q = (spark, dir) => {
-    import spark.implicits._
+  val ivfPqRerank: Q = (spark, dir) => rerankTop(new PqIndex(spark, dir))
+
+  private def rerankTop(ix: PqIndex): DataFrame = {
     val SHORTLIST = 20
-    val ix = new PqIndex(spark, dir)
-    val wAdc = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     val shortlist = ix.candidates
       .withColumn("sr", row_number().over(wAdc))
-      .filter($"sr" <= SHORTLIST)
-      .select($"query_id", $"q_emb", $"vec_id")
+      .filter(col("sr") <= SHORTLIST)
+      .select(col("query_id"), col("q_emb"), col("vec_id"))
     // refine: full vectors fetched ONLY for shortlisted candidates
-    val wExact = Window.partitionBy($"query_id").orderBy($"d2", $"vec_id")
+    val wExact = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
     ix.emb.join(broadcast(shortlist), Seq("vec_id"))
-      .withColumn("d2", ix.sqdFull($"embedding", $"q_emb"))
+      .withColumn("d2", ix.sqdFull(col("embedding"), col("q_emb")))
       .withColumn("rank", row_number().over(wExact))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"d2")
-      .orderBy($"query_id", $"rank")
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("d2"))
+      .orderBy(col("query_id"), col("rank"))
   }
+
+  /** s06's two-stage retrieval under an EXPLICIT codebook — the trained-
+    * codebook hook (PqSpec's trained-vs-stale recall measure). */
+  private[graft] def ivfPqRerankWith(spark: SparkSession, dir: String,
+      codebook: Array[Array[Double]]): DataFrame =
+    rerankTop(new PqIndex(spark, dir, Some(codebook)))
 
   /** The shared WITH-prefix both IVF-PQ oracles replay — codebook, codes,
     * cells, query probes, ADC-scored candidates (query_id, vec_id, cell,
@@ -541,27 +561,39 @@ object Similarity {
     * out of scope, now in scope: k-means++-round-0 seeds (the k lowest
     * vec_ids, the same deterministic choice s03/s04 make), then `iters`
     * assignment+update rounds. Engine-replayable by construction:
-    * assignment ties break to the lowest centroid id (first-min), every
-    * per-dimension sum runs in DECIMAL(18,12) — exact, order-independent
-    * addition, so the distributed rollup is immune to partitioning and
-    * DuckDB replays it digit-for-digit — and the mean is the exact
-    * decimal sum cast to double over the exact count (one IEEE divide).
+    * assignment ties break to the lowest centroid id (first-min), and
+    * the centroid update is EXACT 2^-20 fixed-point — each component
+    * maps to floor(v·2^20) (every step exact in IEEE double), the
+    * per-dimension sums are plain integers (order-independent, so the
+    * distributed rollup is immune to partitioning), and the mean is one
+    * correctly-rounded double divide by count·2^20. Integer fixed-point
+    * rather than DECIMAL because the raw embedding FLOATS are
+    * dyadically coarse: values like 1625/2^13 have exact decimal
+    * expansions ending in …5 precisely at the rounding digit, and
+    * Spark (HALF_UP) and DuckDB resolve that tie differently — found
+    * the hard way; integer floors have no ties. The ~1e-6 centroid
+    * quantization is a defined part of the algorithm, not error.
     *
     * Scale shape per iteration: ONE corpus scan (centroids broadcast as
     * literals), map-side partial aggregation into k×dim groups, and only
-    * those k×dim decimal sums ever reach the driver — the corpus never
+    * those k×dim integer sums ever reach the driver — the corpus never
     * shuffles by cluster. An empty cluster keeps its previous centroid
     * (`requireFull` refuses instead when the caller's oracle cannot
     * model that). */
+  /** 2^20 — the lloydTrain fixed-point grid (exact double multiply). */
+  private val FixedPointScale = 1048576.0
+
   private[graft] def lloydTrain(corpus: DataFrame, k: Int, dim: Int,
-      iters: Int, requireFull: Boolean = false): Array[Array[Double]] = {
+      iters: Int, requireFull: Boolean = false,
+      seeds: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
     def fullCol(v: Column): Column = transform(v, x => x.cast(DoubleType))
     def litArr(a: Array[Double]): Column = array(a.toIndexedSeq.map(lit): _*)
     def sqd(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, v) => acc + v)
-    var cents: Array[Array[Double]] = corpus.filter(col("vec_id") < k)
-      .orderBy("vec_id").collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var cents: Array[Array[Double]] = seeds.getOrElse(
+      corpus.filter(col("vec_id") < k).orderBy("vec_id")
+        .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray))
     require(cents.length == k, s"need $k seed vectors, got ${cents.length}")
     for (_ <- 1 to iters) {
       val dists = array(cents.toIndexedSeq.map(c =>
@@ -570,7 +602,7 @@ object Similarity {
       val sums = corpus
         .select(cid.as("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("v").cast(DoubleType).cast(DecimalType(18, 12))).as("s"),
+        .agg(sum(floor(col("v").cast(DoubleType) * FixedPointScale)).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val byC = sums.groupBy(_.getInt(0))
@@ -581,7 +613,8 @@ object Similarity {
         byC.get(c) match {
           case Some(rows) =>
             val a = new Array[Double](dim)
-            rows.foreach(r => a(r.getInt(1)) = r.getDecimal(2).doubleValue() / r.getLong(3))
+            rows.foreach(r => a(r.getInt(1)) =
+              r.getLong(2).toDouble / (r.getLong(3) * FixedPointScale))
             a
           case None => cents(c)
         }
@@ -595,8 +628,9 @@ object Similarity {
     * rolled up per cluster — member count, DECIMAL-exact SSE mass and
     * the trained centroid's component sum (the codebook fingerprint —
     * any drift in ANY dimension of ANY centroid moves it). DuckDB
-    * replays the entire loop: both assignment rounds, both decimal mean
-    * updates, the final assignment and the rollup, with no tolerance.
+    * replays the entire loop: both assignment rounds, both fixed-point
+    * mean updates, the final assignment and the rollup, with no
+    * tolerance.
     * PqSpec's trained-vs-anchor variant shows these centroids beating
     * the anchor seeds as a PQ codebook on planted clusters. */
   val kmeansTrain: Q = (spark, dir) => {
@@ -636,8 +670,8 @@ object Similarity {
     def updateCtes(mName: String, cName: String, assign: String): String =
       s"""$mName AS (
          |  SELECT a.cid, r.i AS pos,
-         |    CAST(SUM(CAST(CAST(a.embedding[r.i] AS DOUBLE) AS DECIMAL(18,12)))
-         |      AS DOUBLE) / COUNT(*) AS m
+         |    CAST(SUM(CAST(FLOOR(CAST(a.embedding[r.i] AS DOUBLE) * 1048576.0)
+         |      AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0) AS m
          |  FROM $assign a CROSS JOIN range(1, 65) r(i) WHERE a.rnk = 1
          |  GROUP BY a.cid, r.i),
          |$cName AS (SELECT cid, list(m ORDER BY pos) AS c FROM $mName GROUP BY cid)""".stripMargin

@@ -976,7 +976,8 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
                 override def distinctCount(): util.OptionalLong =
                   cs.map(c => util.OptionalLong.of(c.ndv)).getOrElse(util.OptionalLong.empty())
                 override def nullCount(): util.OptionalLong =
-                  cs.map(c => util.OptionalLong.of(c.nullCount)).getOrElse(util.OptionalLong.empty())
+                  cs.flatMap(_.nullCount).map(util.OptionalLong.of)
+                    .getOrElse(util.OptionalLong.empty())
                 override def min(): java.util.Optional[Object] =
                   mn.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
                     .getOrElse(java.util.Optional.empty())

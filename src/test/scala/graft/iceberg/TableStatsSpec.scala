@@ -41,17 +41,20 @@ class TableStatsSpec extends SparkSpec {
     val footer = new com.fasterxml.jackson.databind.ObjectMapper().readTree(footerJson)
     import scala.jdk.CollectionConverters._
     val blobs = footer.get("blobs").elements().asScala.toSeq
-    assert(blobs.size == 3)
-    blobs.foreach { b =>
+    // 3 engine NDV blobs + 3 standard theta blobs (k/name/r all eligible)
+    assert(blobs.size == 6)
+    blobs.filter(_.get("type").asText == "graft-ndv-v1").foreach { b =>
       val off = b.get("offset").asLong.toInt
       val len = b.get("length").asLong.toInt
       val body = new String(raw, off, len, "UTF-8")
       assert(body.startsWith("{") && body.contains("ndv"), body)
     }
+    assert(blobs.count(_.get("type").asText ==
+      "apache-datasketches-theta-v1") == 3)
     // exact quantities exact, the HLL estimate within its error bound
     val kId = meta.currentSchema.fields.find(_.name == "k").get.id
     val nameId = meta.currentSchema.fields.find(_.name == "name").get.id
-    assert(doc.columns(nameId).nullCount == 1L)
+    assert(doc.columns(nameId).nullCount.contains(1L))
     assert(math.abs(doc.columns(kId).ndv - 25L) <= 2L, doc.columns(kId).toString)
 
     // re-analyzing the SAME snapshot replaces, never accumulates — and
@@ -108,5 +111,91 @@ class TableStatsSpec extends SparkSpec {
     val finalMeta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
     assert(finalMeta.statistics.isEmpty, finalMeta.statistics.toString)
     assert(!new java.io.File(statsPath).exists(), "expired stats blob must reclaim")
+  }
+
+  test("the standard theta blob decodes raw and matches the reference " +
+      "library serialization") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-theta").toString
+    spark.conf.set("spark.sql.catalog.gtheta", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtheta.warehouse", wh)
+    Tables.load(spark, sfDir, "nation").createOrReplaceTempView("gtheta_nation")
+    spark.sql("CREATE TABLE gtheta.db.t (k BIGINT, name STRING)")
+    spark.sql("""INSERT INTO gtheta.db.t
+      SELECT n_nationkey, CASE WHEN n_nationkey = 3 THEN NULL ELSE n_name END
+      FROM gtheta_nation""")
+    spark.sql("CALL gtheta.system.compute_table_stats(table => 'db.t')")
+    val meta = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(s"$wh/db/t"))
+    val (raw, refs, _) = Puffin.read(meta.statistics.head.path)
+    val kId = meta.currentSchema.fields.find(_.name == "k").get.id
+    val thetaRef = refs.find(r =>
+      r.blobType == TableStats.ThetaBlobType && r.fields == Seq(kId))
+      .getOrElse(fail("no theta blob for column k"))
+    // the spec's ndv property rides on the blob
+    assert(thetaRef.properties("ndv") == "25")
+    val body = java.util.Arrays.copyOfRange(raw,
+      thetaRef.offset.toInt, (thetaRef.offset + thetaRef.length).toInt)
+
+    // RAW decode against the published DataSketches compact-theta
+    // format (SerVer 3): preamble byte layout, flags, the ordered
+    // 64-bit hash run — no library in the loop
+    val preLongs = body(0) & 0x3f
+    assert(body(1) == 3, s"serial version ${body(1)}")
+    assert(body(2) == 3, s"family id ${body(2)} (3 = COMPACT)")
+    val flags = body(5) & 0xff
+    assert((flags & 0x01) == 0, "must be little-endian")
+    assert((flags & 0x08) != 0, "COMPACT flag")
+    assert((flags & 0x10) != 0, "ORDERED flag")
+    assert((flags & 0x04) == 0, "non-empty sketch")
+    assert(preLongs == 2, s"exact-mode compact sketch expected, preLongs $preLongs")
+    val bb = java.nio.ByteBuffer.wrap(body).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val retained = bb.getInt(8)
+    assert(retained == 25, s"25 distinct keys, retained $retained")
+    assert(body.length == preLongs * 8 + retained * 8, "exact serialized length")
+    val hashes = (0 until retained).map(i => bb.getLong(preLongs * 8 + i * 8))
+    assert(hashes == hashes.sorted, "ordered sketch: ascending hash run")
+    assert(hashes.forall(_ > 0), "theta hashes are positive 63-bit values")
+
+    // interop: an independently-built reference sketch over the same
+    // values (Iceberg single-value serialization of each key) produces
+    // BYTE-IDENTICAL serialization — ours is the reference format, not
+    // an imitation
+    val refSketch = org.apache.datasketches.theta.UpdateSketch.builder().build()
+    (0L until 25L).foreach(k =>
+      refSketch.update(SingleValueCodec.encode(IcebergTypes.TLong, k)))
+    assert(java.util.Arrays.equals(refSketch.compact(true, null).toByteArray, body),
+      "blob must equal the reference library's compact serialization")
+    // and the library round-trips our bytes to the exact estimate
+    val est = org.apache.datasketches.theta.Sketches.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(body)).getEstimate
+    assert(est == 25.0, s"exact-mode estimate $est")
+  }
+
+  test("a FOREIGN stats file carrying only standard theta blobs serves NDV") {
+    // interop the other direction: another engine's ANALYZE writes only
+    // apache-datasketches-theta-v1 blobs (no graft-ndv-v1 anywhere) —
+    // the reader must still surface NDV, from the spec's ndv property
+    // when present, else from the sketch itself; null count honestly
+    // absent (a theta sketch doesn't carry one)
+    val sk1 = org.apache.datasketches.theta.UpdateSketch.builder().build()
+    (0L until 40L).foreach(v =>
+      sk1.update(SingleValueCodec.encode(IcebergTypes.TLong, v)))
+    val sk2 = org.apache.datasketches.theta.UpdateSketch.builder().build()
+    (0L until 7L).foreach(v =>
+      sk2.update(SingleValueCodec.encode(IcebergTypes.TLong, v * 3)))
+    val path = java.nio.file.Files.createTempDirectory("graft-foreign")
+      .resolve("foreign-stats.puffin").toString
+    Puffin.write(path, Seq(
+      // with the ndv property (the common case)
+      Puffin.Blob(TableStats.ThetaBlobType, Seq(1), 42L, 42L,
+        Map("ndv" -> "40"), sk1.compact(true, null).toByteArray),
+      // property-less: the reader must fall back to the sketch estimate
+      Puffin.Blob(TableStats.ThetaBlobType, Seq(2), 42L, 42L,
+        Map.empty, sk2.compact(true, null).toByteArray)),
+      Map("snapshot-id" -> "42", "row-count" -> "40"))
+    val doc = TableStats.read(path)
+    assert(doc.snapshotId == 42L && doc.rowCount == 40L)
+    assert(doc.columns(1) == TableStats.ColumnStats(40L, None))
+    assert(doc.columns(2) == TableStats.ColumnStats(7L, None))
   }
 }

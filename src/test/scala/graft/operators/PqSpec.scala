@@ -56,4 +56,101 @@ class PqSpec extends SparkSpec {
       assert(r.getDouble(3) == 0.0, s"ADC for same-cluster member: ${r.getDouble(3)}")
     }
   }
+
+  test("lloydTrain repairs a degenerate codebook: quantization error, " +
+      "alignment, and recall on planted clusters") {
+    // The bad-codebook scenario lloydTrain exists to fix: 8 clusters but
+    // only 4 distinct useful entries — entries 4-7 are near-duplicates of
+    // entries 0-3 (nudged 8% off), so clusters 4-7 have no entry anywhere
+    // near them. Training from those same seeds must (a) collapse the
+    // QUANTIZATION ERROR — the k-means objective, and the codebook
+    // quality measure PQ ranks candidates by — by a large factor, (b)
+    // ALIGN the codebook with every planted cluster (an entry inside
+    // each cluster's radius), and (c) keep end-to-end two-stage
+    // retrieval recall perfect against exact ground truth.
+    //
+    // Recall with the DEGENERATE codebook is measured too, and training
+    // must never be worse — but on well-separated clusters recall alone
+    // under-reports codebook damage (queries and their neighbors are
+    // near-identical vectors, so ANY deterministic assignment sends them
+    // to the same probed cell, and the exact re-rank repairs the
+    // ordering — established empirically across several adversarial
+    // geometries): quantization error is the measure that discriminates,
+    // exactly as in the PQ literature.
+    val dim = 64
+    val perCluster = 12
+    def unit(seed: Long): Double = {
+      val h = graft.functions.TextAlgos.splitmix64(seed)
+      h.toDouble / Long.MaxValue.toDouble
+    }
+    def center(k: Int): Array[Float] =
+      Array.tabulate(dim)(d => (4.0 * unit(k * 131L + d)).toFloat)
+    def member(k: Int, id: Long): Array[Float] = {
+      val c = center(k)
+      Array.tabulate(dim)(d => c(d) + (0.3 * unit(id * 977L + d)).toFloat)
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[Row]
+    // queries 0..4: member-like points of the UNSEEDED clusters 4..7
+    for (q <- 0 until 5) rows += Row(q.toLong, member(4 + q % 4, 9000L + q).toSeq)
+    var id = 5L
+    for (k <- 0 until 8; j <- 0 until perCluster) {
+      rows += Row(id, member(k, id).toSeq)
+      id += 1
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-train").toString
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+    corpus.write.parquet(s"$dir/embeddings.parquet")
+    val degenerate: Array[Array[Double]] = Array.tabulate(8) { s =>
+      if (s < 4) center(s).map(_.toDouble)
+      else {
+        val b = center(s - 4); val t = center(s)
+        Array.tabulate(dim)(d => b(d) + 0.08 * (t(d) - b(d)))
+      }
+    }
+    val trained = Similarity.lloydTrain(
+      corpus, k = 8, dim = dim, iters = 8, seeds = Some(degenerate))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val all = rows.map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    // (a) quantization error: mean squared distance to nearest entry
+    def qerr(cb: Array[Array[Double]]): Double =
+      all.map(v => cb.map(c => d2(v._2, c)).min).sum / all.size
+    val (qStale, qTrained) = (qerr(degenerate), qerr(trained))
+    info(f"quantization error: degenerate $qStale%.2f, trained $qTrained%.2f")
+    assert(qTrained * 50 < qStale,
+      s"training must collapse quantization error: $qStale -> $qTrained")
+    // (b) alignment: every planted cluster mean gets an entry inside its
+    // radius; the degenerate codebook had none within 5 of clusters 4-7
+    val clusterMeans = (0 until 8).map { k =>
+      val ms = all.filter(v => v._1 >= 5 + k * perCluster && v._1 < 5 + (k + 1) * perCluster)
+      Array.tabulate(dim)(d => ms.map(_._2(d)).sum / ms.size)
+    }
+    clusterMeans.zipWithIndex.foreach { case (m, k) =>
+      val dT = math.sqrt(trained.map(c => d2(c, m)).min)
+      assert(dT < 2.0, s"no trained entry near cluster $k (nearest $dT)")
+    }
+    (4 until 8).foreach { k =>
+      val dS = math.sqrt(degenerate.map(c => d2(c, clusterMeans(k))).min)
+      assert(dS > 5.0, s"scenario broken: degenerate entry near cluster $k ($dS)")
+    }
+    // (c) recall vs exact ground truth through the full two-stage
+    // pipeline: trained is perfect, and never worse than degenerate
+    val truth: Map[Long, Set[Long]] = (0L until 5L).map { q =>
+      val qv = all.find(_._1 == q).get._2
+      q -> all.filter(_._1 != q).sortBy(v => (d2(qv, v._2), v._1))
+        .take(5).map(_._1).toSet
+    }.toMap
+    def recallOf(cb: Array[Array[Double]]): Double = {
+      val top = Similarity.ivfPqRerankWith(spark, dir, cb).collect()
+      top.count(r => truth(r.getLong(0)).contains(r.getLong(2))) / 25.0
+    }
+    val (rStale, rTrained) = (recallOf(degenerate), recallOf(trained))
+    info(s"rerank recall: degenerate $rStale, trained $rTrained")
+    assert(rTrained == 1.0, s"trained recall must be perfect, got $rTrained")
+    assert(rTrained >= rStale, "training must never hurt recall")
+  }
 }

@@ -583,24 +583,35 @@ object Similarity {
   /** 2^20 — the lloydTrain fixed-point grid (exact double multiply). */
   private val FixedPointScale = 1048576.0
 
+  /** Assignment scores against `cents` as ONE array column:
+    * score_j = −2·x·c_j + ‖c_j‖² — argmin-equivalent to squared L2 (the
+    * row's ‖x‖² is constant across j) but running through the CODEGEN'D
+    * DotProduct kernel instead of k interpreted zip_with folds: the
+    * difference between a whole-stage-codegen scan and 8×64 boxed
+    * lambda calls per row. ‖c_j‖² folds left-to-right in Scala — the
+    * same fold DuckDB's list_sum replays, so the literal equals the
+    * oracle's computed value. */
+  private def lloydScores(cents: Array[Array[Double]]): Column =
+    array(cents.toIndexedSeq.map { c =>
+      val nc = c.map(x => x * x).sum
+      lit(-2.0) * call_function("graft_dot", col("embedding"),
+        array(c.toIndexedSeq.map(lit): _*)) + lit(nc)
+    }: _*)
+
   private[graft] def lloydTrain(corpus: DataFrame, k: Int, dim: Int,
       iters: Int, requireFull: Boolean = false,
       seeds: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
-    def fullCol(v: Column): Column = transform(v, x => x.cast(DoubleType))
-    def litArr(a: Array[Double]): Column = array(a.toIndexedSeq.map(lit): _*)
-    def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     var cents: Array[Array[Double]] = seeds.getOrElse(
       corpus.filter(col("vec_id") < k).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray))
     require(cents.length == k, s"need $k seed vectors, got ${cents.length}")
     for (_ <- 1 to iters) {
-      val dists = array(cents.toIndexedSeq.map(c =>
-        sqd(fullCol(col("embedding")), litArr(c))): _*)
-      val cid = (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
       val sums = corpus
-        .select(cid.as("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("embedding"), lloydScores(cents).as("sc"))
+        .select((array_position(col("sc"), array_min(col("sc"))) - 1)
+          .cast(IntegerType).as("cid"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(floor(col("v").cast(DoubleType) * FixedPointScale)).as("s"),
           count(lit(1)).as("n"))
@@ -636,19 +647,18 @@ object Similarity {
   val kmeansTrain: Q = (spark, dir) => {
     import spark.implicits._
     val K = 8; val DIM = 64
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
     val cents = lloydTrain(emb, K, DIM, iters = 2, requireFull = true)
-    def fullCol(v: Column): Column = transform(v, x => x.cast(DoubleType))
-    def litArr(a: Array[Double]): Column = array(a.toIndexedSeq.map(lit): _*)
-    def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-    val dists = array(cents.toIndexedSeq.map(c =>
-      sqd(fullCol($"embedding"), litArr(c))): _*)
     val masses = cents.map(_.sum) // left-to-right fold = list_sum
-    emb.select(
-        (array_position(dists, array_min(dists)) - 1).cast(IntegerType).as("cluster_id"),
-        array_min(dists).as("d2"))
+    // d2 = ‖x‖² + min_j score_j — the full squared L2 to the assigned
+    // centroid in the SAME −2·dot+norm decomposition the assignment
+    // uses, every term through the codegen'd kernel
+    emb.select($"embedding", lloydScores(cents).as("sc"))
+      .select(
+        (array_position($"sc", array_min($"sc")) - 1).cast(IntegerType).as("cluster_id"),
+        (call_function("graft_dot", $"embedding", $"embedding") +
+          array_min($"sc")).as("d2"))
       .groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_members"),
         sum($"d2".cast(DecimalType(28, 12))).cast(DoubleType).as("sse"))
@@ -658,14 +668,20 @@ object Similarity {
   }
 
   val kmeansTrainSql: String = {
-    def sqdTo(cTable: String): String =
-      s"list_sum([(e.embedding[i]::DOUBLE - $cTable.c[i]::DOUBLE) * " +
-        s"(e.embedding[i]::DOUBLE - $cTable.c[i]::DOUBLE) for i in range(1, 65)])"
+    // the same −2·x·c + ‖c‖² score decomposition the Spark side runs
+    // through the codegen'd dot kernel; d2 adds the row's ‖x‖² back —
+    // every fold left-to-right, every float step replayed exactly
+    def score(cTable: String): String =
+      s"-2.0 * list_sum([e.embedding[i]::DOUBLE * $cTable.c[i]::DOUBLE " +
+        s"for i in range(1, 65)]) + list_sum([$cTable.c[i]::DOUBLE * " +
+        s"$cTable.c[i]::DOUBLE for i in range(1, 65)])"
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
-         |  SELECT e.vec_id, e.embedding, c.cid, ${sqdTo("c")} AS d2,
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+         |      for i in range(1, 65)]) + (${score("c")}) AS d2,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${sqdTo("c")}, c.cid) AS rnk
+         |      ORDER BY ${score("c")}, c.cid) AS rnk
          |  FROM embeddings e CROSS JOIN $cents c)""".stripMargin
     def updateCtes(mName: String, cName: String, assign: String): String =
       s"""$mName AS (

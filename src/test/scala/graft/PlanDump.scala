@@ -61,7 +61,9 @@ object PlanDump {
     "t17_decontamination" -> "benchmark decontamination: the eval set's distinct gram hashes BROADCAST into the corpus's positional gram stream (13-gram hashing inside the scan via the rolling kernel); the only hash shuffle is the per-doc rollup over the contaminated subset",
     "t18_contamination_removal" -> "contamination removal: the same broadcast gram join, then span expansion + distinct + both rollups run on the contaminated subset only — the corpus itself is scanned once and never shuffled",
     "s05_ivf_pq" -> "IVF-PQ: the pre-coded corpus (cell id + 4 PQ codes from one scan) joins the broadcast probe list through a HASH equi-join on cell id — s04's BroadcastNestedLoop cross-product is gone; only probed cells' members are ever ADC-scored",
-    "q61_late_suppliers" -> "Q21 shape: both existence probes (semi + anti) ride the l_orderkey equi-join with the supplier inequality as a residual — no nested loop; the supplier dimension broadcasts; the late flag derives once and feeds both probes")
+    "q61_late_suppliers" -> "Q21 shape: both existence probes (semi + anti) ride the l_orderkey equi-join with the supplier inequality as a residual — no nested loop; the supplier dimension broadcasts; the late flag derives once and feeds both probes",
+    "s07_kmeans_train" -> "k-means training read-back: the final assignment — centroids as broadcast LITERALS (no join at all), first-min distance in one projection, two-phase rollup; each training iteration before it was one corpus scan + one k×dim-group partial-aggregated shuffle of fixed-point INTEGER sums (order-independent, partitioning-immune), only KB of sums ever reaching the driver",
+    "i62_sql_wap" -> "SQL WAP incl. branch-scoped MERGE/UPDATE: the post-publish rollup over the fast-forwarded table — the staged row-level edits planned against the BRANCH head and committed only to the branch ref, so the published read is the same bare BatchScan + two-phase agg as any other table scan")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("graft-plandump", cores = "4")

@@ -884,12 +884,14 @@ object EventStreams {
               .filter($"rn" === 1).drop("rn")
             val metaNow = TableMetadata.parseFile(GraftTable.latestMetadataPath(out))
             // the guard read is KEY-RANGE PRUNED by the batch's own
-            // [min, max] user_id (one tiny agg over the batch): data
-            // files whose committed key bounds can't overlap the batch
-            // never open — at 100 TB the guard costs O(overlapping
-            // files) per batch, not one full key scan of the table
-            // (KeyRangePruneSpec proves the skip destructively)
-            val keySpan = latest.agg(
+            // [min, max] user_id (one tiny agg over the RAW batch — the
+            // key span of `latest` is identical and this skips the
+            // window shuffle): data files whose committed key bounds
+            // can't overlap the batch never open — at 100 TB the guard
+            // costs O(overlapping files) per batch, not one full key
+            // scan of the table (KeyRangePruneSpec proves the skip
+            // destructively)
+            val keySpan = df.agg(
               min($"user_id").as("lo"), max($"user_id").as("hi")).head()
             val cur =
               if (metaNow.currentSnapshot.isEmpty || keySpan.isNullAt(0))

@@ -175,7 +175,13 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.state",
       org.apache.logging.log4j.Level.OFF)
-    stop()
+    // the line must survive a FAILED stop too — losing the record to a
+    // teardown exception would be strictly worse than the truncation
+    // this ordering exists to prevent. The throwable is SWALLOWED, not
+    // rethrown: every timing is already taken, and a propagating stack
+    // trace would print after the line — the exact tail-truncation this
+    // method exists to rule out.
+    try stop() catch { case _: Throwable => () }
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
     println(line)

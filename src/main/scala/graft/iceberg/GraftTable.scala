@@ -154,7 +154,11 @@ object GraftTable {
     *     overwhelmingly common case) get exactly one anti-join, however
     *     many delete commits are pending. */
   private def readFromInfos(spark: SparkSession, meta: TableMetadata,
-      infos: Seq[ManifestListReader.ManifestFileInfo]): DataFrame = {
+      infos: Seq[ManifestListReader.ManifestFileInfo],
+      restrictData: Seq[(ManifestWriter.EntryData, Long)] =>
+        Seq[(ManifestWriter.EntryData, Long)] = identity,
+      restrictEq: Seq[(ManifestWriter.EntryData, Long)] =>
+        Seq[(ManifestWriter.EntryData, Long)] = identity): DataFrame = {
     // manifest-LEVEL delete pruning, before any open: a delete manifest's
     // list-level sequence number (field 515) is the CEILING on every
     // entry's sequence inside it, and the data manifests' field 516 is
@@ -180,7 +184,11 @@ object GraftTable {
         e <- es if e.status != 2 && e.content == entryContent
       } yield (e, e.sequenceNumber.getOrElse(i.sequenceNumber)))
         .distinctBy(x => (uriPath(x._1.filePath), x._1.contentOffset.getOrElse(-1L)))
-    readFromEntries(spark, meta, live(0, 0), live(1, 1), live(1, 2))
+    // restrict hooks (readKeyRange): entry-level key-range exclusion on
+    // data and equality-delete entries; position deletes are never
+    // restricted here (they address (file_path, pos), not keys)
+    readFromEntries(spark, meta, restrictData(live(0, 0)), live(1, 1),
+      restrictEq(live(1, 2)))
   }
 
   /** MOR read over EXPLICIT (entry, sequence) sets — the granular form
@@ -1409,7 +1417,9 @@ object GraftTable {
     * from the manifests' field 125/128 blobs — the stats every upsert
     * commit already writes), so a batch touching a narrow key range reads
     * O(overlapping files), not the whole table. Conservative: an entry
-    * without bounds for the field is kept. Position deletes are NOT
+    * without bounds for the field — or whose bound blob fails to decode
+    * (foreign metadata; same Try-guard convention as ScanPlanning's
+    * decode sites) — is kept. Position deletes are NOT
     * key-pruned (they address (file_path, pos), not keys) — they prune by
     * the surviving data set's paths inside readFromEntries as always. A
     * pruned equality delete can only kill rows outside the range, and the
@@ -1424,21 +1434,20 @@ object GraftTable {
       .getOrElse(throw new IllegalArgumentException(s"no field with id $fieldId"))
     val t = IcebergTypes.fromString(field.fieldType)
     def excludes(e: ManifestWriter.EntryData): Boolean = {
-      def dec(m: Map[Int, Array[Byte]]): Option[Any] =
-        m.get(fieldId).map(SingleValueCodec.decode(t, _))
+      def dec(m: Map[Int, Array[Byte]]): Option[Any] = m.get(fieldId)
+        .flatMap(b => scala.util.Try(SingleValueCodec.decode(t, b)).toOption)
       // provable exclusion only: file's min > upper, or file's max < lower
       dec(e.lowerBounds).exists(v => ScanPlanning.cmpValues(v, upper).exists(_ > 0)) ||
         dec(e.upperBounds).exists(v => ScanPlanning.cmpValues(v, lower).exists(_ < 0))
     }
-    val head = meta.currentSnapshotId.map(_ => resolveSnapshot(meta, None, None))
-    def live(listContent: Int, entryContent: Int): Seq[(ManifestWriter.EntryData, Long)] =
-      entriesAt(head, listContent).filter(_.content == entryContent)
-        .distinctBy(e => (uriPath(e.filePath), e.contentOffset.getOrElse(-1L)))
-        .map(e => (e, e.sequenceNumber.get))
-    val data = live(0, 0).filterNot { case (e, _) => excludes(e) }
-    val pos = live(1, 1)
-    val eq = live(1, 2).filterNot { case (e, _) => excludes(e) }
-    readFromEntries(spark, meta, data, pos, eq)
+    // ONE manifest-list read and one sweep per manifest (readFromInfos
+    // also applies its manifest-level dead-delete prune); the range
+    // exclusion rides in as restrict hooks over data + equality entries
+    val infos = meta.currentSnapshotId.toSeq.flatMap(_ =>
+      ManifestListReader.read(resolveSnapshot(meta, None, None).manifestList.get))
+    val keep = (es: Seq[(ManifestWriter.EntryData, Long)]) =>
+      es.filterNot { case (e, _) => excludes(e) }
+    readFromInfos(spark, meta, infos, restrictData = keep, restrictEq = keep)
       .filter(col(field.name) >= lit(lower) && col(field.name) <= lit(upper))
       .select(sparkSchema(meta).fieldNames.map(col).toIndexedSeq: _*)
   }
@@ -2083,11 +2092,12 @@ object GraftTable {
 
   /** Table-level statistics (Iceberg's ANALYZE / `compute_table_stats`):
     * ONE pass over the current snapshot's MOR-resolved rows computes,
-    * per primitive column, the NDV (HLL++ `approx_count_distinct` — the
-    * sketch you'd use at 100 TB; estimates are deterministic for given
-    * data but engine-specific, so correctness gates pin the exact
-    * quantities and bound the estimate) and the exact null count, plus
-    * the exact row count. The blob lands as a [[TableStats]] JSON file
+    * per primitive column, the NDV (Apache DataSketches theta — the
+    * sketch you'd use at 100 TB, and EXACT below its 4K nominal entries;
+    * estimates are deterministic for given data but engine-specific, so
+    * correctness gates pin the exact quantities and bound the estimate)
+    * and the exact null count, plus the exact row count — all from the
+    * SAME per-partition task, so ANALYZE reads the table's bytes once. The blob lands as a [[TableStats]] JSON file
     * referenced from the metadata `statistics` list (the spec's Puffin
     * slot), keyed to the analyzed snapshot — a later commit makes it
     * stale-but-present (Iceberg's model), and expiring the snapshot
@@ -2101,55 +2111,56 @@ object GraftTable {
     val meta = TableMetadata.parseFile(metaPath)
     val snapId = meta.currentSnapshotId.getOrElse(
       throw new IllegalArgumentException("cannot analyze a table with no snapshot"))
-    val fields = meta.currentSchema.fields
-      .filter(f => IcebergTypes.fromStringOpt(f.fieldType).isDefined)
+    val typed = meta.currentSchema.fields
+      .flatMap(f => IcebergTypes.fromStringOpt(f.fieldType).map(t => (f, t)))
     val df = read(spark, metaPath)
-    val aggs = fields.flatMap(f => Seq(
-      approx_count_distinct(col(f.name)).as(s"ndv_${f.id}"),
-      sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls_${f.id}")))
-    val row = df.agg(count(lit(1)).as("rc"), aggs: _*).head()
-    val doc = TableStats.Doc(snapId, row.getAs[Long]("rc"),
-      fields.map(f => f.id -> TableStats.ColumnStats(
-        row.getAs[Long](s"ndv_${f.id}"),
-        Some(Option(row.getAs[Long](s"nulls_${f.id}")).getOrElse(0L)))).toMap)
-    // the STANDARD statistics blob alongside the engine's own record:
-    // one Apache DataSketches theta sketch per eligible column, values
-    // hashed through their Iceberg single-value serialization (the
-    // puffin-spec contract that makes foreign unions meaningful). One
-    // extra pass, sketch-per-partition: each task updates KB-scale
-    // sketches locally and emits compact bytes; only partitions × cols
-    // sketches reach the driver for the union — at 100 TB the pass is
-    // one scan with no shuffle at all.
-    val thetaFields = fields
-      .map(f => (f, IcebergTypes.fromString(f.fieldType)))
-      .filter { case (_, t) => TableStats.thetaSupported(t) }
-    val thetaSketches: Map[Int, Array[Byte]] =
-      if (thetaFields.isEmpty) Map.empty
-      else {
-        import spark.implicits._
-        val types = thetaFields.map(_._2).toArray
-        val n = types.length
-        val partials = df.select(thetaFields.map { case (f, _) => col(f.name) }: _*)
-          .mapPartitions { it =>
-            val sks = Array.fill(n)(
-              org.apache.datasketches.theta.UpdateSketch.builder().build())
-            it.foreach { r =>
-              var i = 0
-              while (i < n) {
-                if (!r.isNullAt(i))
-                  sks(i).update(TableStats.sketchBytes(types(i), r.get(i)))
-                i += 1
-              }
+    // ONE scan for everything: each task counts rows, counts nulls
+    // exactly, and updates one theta sketch per column — values hashed
+    // through their Iceberg single-value serialization (the puffin-spec
+    // contract that makes foreign unions meaningful; geo hashes raw WKB
+    // for the engine-internal NDV only). Only partitions × cols compact
+    // KB-scale sketches plus the counters reach the driver — no shuffle,
+    // and ANALYZE on the 100 TB table reads its bytes exactly once.
+    import spark.implicits._
+    val types = typed.map(_._2).toArray
+    val n = types.length
+    val partials: Array[(Long, Seq[Long], Seq[Array[Byte]])] =
+      df.select(typed.map { case (f, _) => col(f.name) }: _*)
+        .mapPartitions { it =>
+          var cnt = 0L
+          val nulls = new Array[Long](n)
+          val sks = Array.fill(n)(
+            org.apache.datasketches.theta.UpdateSketch.builder().build())
+          it.foreach { r =>
+            cnt += 1
+            var i = 0
+            while (i < n) {
+              if (r.isNullAt(i)) nulls(i) += 1
+              else sks(i).update(TableStats.sketchBytes(types(i), r.get(i)))
+              i += 1
             }
-            Iterator.single(sks.map(_.compact().toByteArray).toSeq)
-          }.collect()
-        thetaFields.map(_._1.id).zipWithIndex.map { case (fid, j) =>
-          val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
-          partials.foreach(p => u.union(org.apache.datasketches.theta.Sketches
-            .wrapSketch(org.apache.datasketches.memory.Memory.wrap(p(j).toArray))))
-          fid -> u.getResult(true, null).toByteArray
-        }.toMap
+          }
+          Iterator.single(
+            (cnt, nulls.toSeq, sks.map(_.compact().toByteArray).toSeq))
+        }.collect()
+    val rowCount = partials.map(_._1).sum
+    val unioned: Seq[(Int, Array[Byte], Long, Long, IcebergType)] =
+      typed.zipWithIndex.map { case ((f, t), j) =>
+        val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+        partials.foreach(p => u.union(org.apache.datasketches.theta.Sketches
+          .wrapSketch(org.apache.datasketches.memory.Memory.wrap(p._3(j)))))
+        val res = u.getResult(true, null)
+        (f.id, res.toByteArray, Math.round(res.getEstimate),
+          partials.map(_._2(j)).sum, t)
       }
+    val doc = TableStats.Doc(snapId, rowCount,
+      unioned.map { case (fid, _, ndv, nulls, _) =>
+        fid -> TableStats.ColumnStats(ndv, Some(nulls)) }.toMap)
+    // the STANDARD blob is written only for columns whose values HAVE a
+    // spec single-value serialization — a foreign reader can union them
+    val thetaSketches: Map[Int, Array[Byte]] = unioned
+      .filter { case (_, _, _, _, t) => TableStats.thetaSupported(t) }
+      .map { case (fid, bytes, _, _, _) => fid -> bytes }.toMap
     val path = s"$tableDir/stats-$snapId-${java.util.UUID.randomUUID()}.puffin"
     val size = TableStats.write(path, doc, thetaSketches)
     var replaced: Seq[String] = Nil

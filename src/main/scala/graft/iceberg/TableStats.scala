@@ -44,7 +44,11 @@ object TableStats {
     * single-value serialization the theta sketch hashes. */
   def thetaSupported(t: IcebergType): Boolean = t match {
     case TBoolean | TInt | TLong | TFloat | TDouble | TString | TBinary |
-         TDate | TTimestamptz | TDecimal(_, _) => true
+         TFixed(_) | TDate | TTime | TTimestamp | TTimestamptz |
+         TTimestampNs | TTimestamptzNs | TUuid | TDecimal(_, _) => true
+    // unknown carries no values; geo values have no single-value
+    // serialization (only bounding-box CORNERS do) — a standard blob over
+    // them would not be union-compatible with any spec-conforming writer
     case _ => false
   }
 
@@ -56,6 +60,12 @@ object TableStats {
     case (TDate, d: java.time.LocalDate) => SingleValueCodec.encode(t, d)
     case (TTimestamptz, ts: java.sql.Timestamp) => SingleValueCodec.encode(t, ts.toInstant)
     case (TTimestamptz, i: java.time.Instant) => SingleValueCodec.encode(t, i)
+    case (TTimestamp, ts: java.sql.Timestamp) => SingleValueCodec.encode(t, ts.toLocalDateTime)
+    case (TUuid, s: String) => SingleValueCodec.encode(t, java.util.UUID.fromString(s))
+    // geo values hash their raw WKB: good enough for the ENGINE's own
+    // NDV record (distinctness of the bytes), but deliberately NOT a
+    // standard blob input — thetaSupported excludes geo
+    case (_: TGeometry | _: TGeography, b: Array[Byte]) => b
     case _ => SingleValueCodec.encode(t, v)
   }
 
@@ -102,7 +112,10 @@ object TableStats {
       .filter(r => r.blobType == ThetaBlobType && r.fields.length == 1 &&
         !own.contains(r.fields.head))
       .flatMap { r =>
-        r.properties.get("ndv").map(_.toLong)
+        // a malformed ndv property (e.g. a foreign writer rendering
+        // "1.0E3") must fall to the sketch estimate, not throw past the
+        // caller's whole-doc Try and drop our own blobs with it
+        r.properties.get("ndv").flatMap(v => scala.util.Try(v.toLong).toOption)
           .orElse(scala.util.Try {
             val body = java.util.Arrays.copyOfRange(
               raw, r.offset.toInt, (r.offset + r.length).toInt)

@@ -133,6 +133,12 @@ class BenchSpec extends AnyFunSuite {
       org.apache.logging.log4j.Level.OFF)
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.ERROR) // restore for later suites
+    // the emit also forced the StateStore shutdown-racer's logger OFF —
+    // restore it too, or every streaming suite running after this one in
+    // the JVM silently loses real state-store warnings
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state",
+      org.apache.logging.log4j.Level.ERROR)
   }
 
   test("budget pressure degrades the LARGEST timings first, smallest last") {

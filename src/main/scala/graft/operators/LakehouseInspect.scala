@@ -692,66 +692,75 @@ object LakehouseInspect {
       classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft_zo.warehouse", wh)
     Tables.load(spark, sfDir, "orders").createOrReplaceTempView("i86_orders_src")
+    // content-preservation gate over ALL FOUR oracle-checked values,
+    // pinned from the SOURCE VIEW before the table ever exists (the
+    // r13/r15 driver-side hash flake survived a COUNT+SUM-only pre/post
+    // gate, which provably cannot localize a divergence in the two
+    // conditional counts, nor one where the INSERT itself drifted and
+    // both fingerprints were consistently wrong). Any mismatch names
+    // the divergent column(s) and dumps the per-file manifest state —
+    // record counts + decoded key bounds — of the live files, so a
+    // driver-host-only recurrence carries its own diagnosis.
+    val gateCols = Seq("n_rows", "sum_key", "n_low_cust", "n_low_order")
+    def vals(from: String): Seq[Any] = spark.sql(s"""SELECT COUNT(*),
+      CAST(SUM(o_orderkey) AS DECIMAL(38, 0)),
+      COUNT(CASE WHEN o_custkey < 100 THEN 1 END),
+      COUNT(CASE WHEN o_orderkey < 100 THEN 1 END) FROM $from""").head().toSeq
+    val expected = vals("i86_orders_src")
+    def fileEvidence(): String = {
+      import graft.iceberg._
+      val meta = TableMetadata.parseFile(
+        GraftTable.latestMetadataPath(s"$wh/db/o"))
+      val entries = meta.currentSnapshot.toSeq
+        .flatMap(s => ManifestListReader.read(s.manifestList.get))
+        .filter(_.content == 0)
+        .flatMap(i => ManifestWriter.read(i.path))
+        .filter(e => e.status != 2 && e.content == 0)
+      def b(m: Map[Int, Array[Byte]], id: Int): String =
+        m.get(id).map(SingleValueCodec.decode(IcebergTypes.TLong, _).toString)
+          .getOrElse("-")
+      entries.map(e => s"  ${e.filePath.split('/').last}: rows=${e.recordCount} " +
+        s"o_orderkey=[${b(e.lowerBounds, 1)},${b(e.upperBounds, 1)}] " +
+        s"o_custkey=[${b(e.lowerBounds, 2)},${b(e.upperBounds, 2)}]")
+        .mkString("\n")
+    }
+    def gate(stage: String, got: Seq[Any]): Unit =
+      if (got != expected) {
+        val diverging = gateCols.zip(expected.zip(got)).collect {
+          case (c, (e, g)) if e != g => s"$c expected=$e got=$g" }
+        throw new IllegalStateException(
+          s"i86 $stage diverged on [${diverging.mkString("; ")}] — " +
+            s"per-file manifest state of the live files:\n${fileEvidence()}")
+      }
     graft.TmpOutputs.ensure(wh) {
-      // content-preservation gate over ALL FOUR oracle-checked values,
-      // pinned from the SOURCE VIEW before the table ever exists (the
-      // r13/r15 driver-side hash flake survived a COUNT+SUM-only pre/post
-      // gate, which provably cannot localize a divergence in the two
-      // conditional counts, nor one where the INSERT itself drifted and
-      // both fingerprints were consistently wrong). Any mismatch now
-      // names the divergent column(s) and dumps the per-file manifest
-      // state — record counts + decoded key bounds — of the live files,
-      // so a driver-host-only recurrence carries its own diagnosis.
-      val gateCols = Seq("n_rows", "sum_key", "n_low_cust", "n_low_order")
-      def vals(from: String): Seq[Any] = spark.sql(s"""SELECT COUNT(*),
-        CAST(SUM(o_orderkey) AS DECIMAL(38, 0)),
-        COUNT(CASE WHEN o_custkey < 100 THEN 1 END),
-        COUNT(CASE WHEN o_orderkey < 100 THEN 1 END) FROM $from""").head().toSeq
-      val expected = vals("i86_orders_src")
-      def fileEvidence(): String = {
-        import graft.iceberg._
-        val meta = TableMetadata.parseFile(
-          GraftTable.latestMetadataPath(s"$wh/db/o"))
-        val entries = meta.currentSnapshot.toSeq
-          .flatMap(s => ManifestListReader.read(s.manifestList.get))
-          .filter(_.content == 0)
-          .flatMap(i => ManifestWriter.read(i.path))
-          .filter(e => e.status != 2 && e.content == 0)
-        def b(m: Map[Int, Array[Byte]], id: Int): String =
-          m.get(id).map(SingleValueCodec.decode(IcebergTypes.TLong, _).toString)
-            .getOrElse("-")
-        entries.map(e => s"  ${e.filePath.split('/').last}: rows=${e.recordCount} " +
-          s"o_orderkey=[${b(e.lowerBounds, 1)},${b(e.upperBounds, 1)}] " +
-          s"o_custkey=[${b(e.lowerBounds, 2)},${b(e.upperBounds, 2)}]")
-          .mkString("\n")
-      }
-      def gate(stage: String): Unit = {
-        val got = vals("graft_zo.db.o")
-        if (got != expected) {
-          val diverging = gateCols.zip(expected.zip(got)).collect {
-            case (c, (e, g)) if e != g => s"$c expected=$e got=$g" }
-          throw new IllegalStateException(
-            s"i86 $stage diverged on [${diverging.mkString("; ")}] — " +
-              s"per-file manifest state of the live files:\n${fileEvidence()}")
-        }
-      }
       spark.sql(s"""CREATE TABLE graft_zo.db.o
         (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
         TBLPROPERTIES ('commit-timestamp-ms'='$T0')""")
       spark.sql("""INSERT INTO graft_zo.db.o
         SELECT o_orderkey, o_custkey, o_totalprice FROM i86_orders_src""")
-      gate("INSERT")
+      gate("INSERT", vals("graft_zo.db.o"))
       val row = spark.sql("""CALL graft_zo.system.rewrite_data_files(
         table => 'db.o', target_file_size_bytes => 65536,
         strategy => 'sort', sort_order => 'zorder(o_custkey, o_orderkey)')""").head()
       require(row.getInt(1) >= 1, s"rewrite produced no files: $row")
-      gate("zorder rewrite")
+      gate("zorder rewrite", vals("graft_zo.db.o"))
     }
-    spark.sql("""SELECT COUNT(*) AS n_rows,
+    // the EMITTED record is itself gated and materialized ONCE: returning
+    // the lazy query would hand the driver a SECOND execution of the same
+    // scan (Verify forces it when writing the parquet), an ungated window
+    // where a rare read divergence could still reach the oracle hash
+    // without tripping any gate. With the emitted row pinned here, a
+    // future driver-side hash red provably sits OUTSIDE the engine's
+    // table read.
+    val fin = spark.sql("""SELECT COUNT(*) AS n_rows,
       CAST(SUM(o_orderkey) AS DECIMAL(38, 0)) AS sum_key,
       COUNT(CASE WHEN o_custkey < 100 THEN 1 END) AS n_low_cust,
       COUNT(CASE WHEN o_orderkey < 100 THEN 1 END) AS n_low_order
       FROM graft_zo.db.o""")
+    val finRows = fin.collect()
+    require(finRows.length == 1, s"aggregate must emit one row: ${finRows.length}")
+    gate("final emission", finRows(0).toSeq)
+    spark.createDataFrame(java.util.Arrays.asList(finRows: _*), fin.schema)
   }
 
   val zorderRewriteSql: String =

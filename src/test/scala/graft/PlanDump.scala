@@ -50,7 +50,7 @@ object PlanDump {
     "st14_stream_table_read" -> "streaming READ of a graft table (post-drive rollup over the file sink): the stream itself planned one micro-batch per snapshot (max-snapshots-per-trigger=1), each batch a bare BatchScan over exactly that snapshot's added files",
     "i53_sql_lifecycle" -> "plain SQL over the GraftCatalog: the SELECT aggregate plans as the same bare BatchScan + two-phase agg as the programmatic route — DELETE already applied as position-delete MOR inside the readers, no join",
     "i85_deletion_vectors" -> "v3 deletion vectors: after DELETE and rewrite the aggregate plans as a bare BatchScan + two-phase agg — the DV bitmaps apply INSIDE the partition readers (one blob read per file, unboxed probe per row), never as a join",
-    "i86_zorder_rewrite" -> "post-zorder scan: the selective aggregates read the Morton-clustered files through the same bare columnar BatchScan; the curve's payoff is at PLANNING (bound-stat pruning on every clustered column), not in the plan shape",
+    "i86_zorder_rewrite" -> "emitted record: a LocalRelation pinning the row the in-entry gate ALREADY verified against the source (the entry materializes its post-zorder aggregate once and gates it — no second ungated execution reaches the oracle). The real post-zorder scan is the same bare columnar BatchScan as i85's; the curve's payoff is at PLANNING (bound-stat pruning on every clustered column — ZOrderSpec pins it destructively), not in the plan shape",
     "i87_variant_columns" -> "VARIANT scan: variant_get extractions evaluate over the row-route BatchScan (variant is outside the vectorized palette by design); aggregation is the standard two-phase shape",
     "i88_row_lineage" -> "row lineage read: _row_id/_last_updated_sequence_number are reader-served metadata columns — the plan is the bare row-route BatchScan + aggregate, no lineage join anywhere",
     "i91_timestamp_ns" -> "v3 nanosecond timestamps: the ns columns scan as plain longs (NANOS-annotated parquet under nanosAsLong), the selective ns predicate prunes on the LE-long-nanos bound stats at planning, and the surviving scan is the bare columnar BatchScan + two-phase agg",

@@ -171,6 +171,65 @@ class TableStatsSpec extends SparkSpec {
     assert(est == 25.0, s"exact-mode estimate $est")
   }
 
+  test("ANALYZE covers NTZ timestamp / date / decimal columns: exact NDV, " +
+      "standard blobs present, malformed foreign ndv falls to the sketch") {
+    // the one-scan fusion made the theta sketch the NDV source for EVERY
+    // eligible type — this pins the sketchBytes bridges for the types the
+    // fixture tables don't otherwise exercise (TIMESTAMP_NTZ rows surface
+    // as LocalDateTime or java.sql.Timestamp depending on the session's
+    // java8 API flag; both must hash to the spec's micros serialization)
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-t").toString
+    spark.conf.set("spark.sql.catalog.gstat3", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstat3.warehouse", wh)
+    spark.sql("""CREATE TABLE gstat3.db.t
+      (ts TIMESTAMP_NTZ, d DATE, m DECIMAL(12, 2), k BIGINT)""")
+    spark.sql("""INSERT INTO gstat3.db.t SELECT
+      TIMESTAMP_NTZ '2024-01-01 00:00:00' + MAKE_INTERVAL(0,0,0,0,0,0, id % 7),
+      DATE '2024-03-01' + CAST(id % 5 AS INT),
+      CAST(id % 11 AS DECIMAL(12, 2)) / 4, id
+      FROM RANGE(40)""")
+    val out = spark.sql(
+      "CALL gstat3.system.compute_table_stats(table => 'db.t')").head
+    val dir = s"$wh/db/t"
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val doc = TableStats.read(meta.statistics.find(_.snapshotId == out.getLong(0)).get.path)
+    def idOf(n: String) = meta.currentSchema.fields.find(_.name == n).get.id
+    assert(doc.rowCount == 40L)
+    // theta is EXACT below its nominal entries — no tolerance needed
+    assert(doc.columns(idOf("ts")).ndv == 7L, doc.columns(idOf("ts")).toString)
+    assert(doc.columns(idOf("d")).ndv == 5L, doc.columns(idOf("d")).toString)
+    assert(doc.columns(idOf("m")).ndv == 11L, doc.columns(idOf("m")).toString)
+    assert(doc.columns(idOf("k")).ndv == 40L, doc.columns(idOf("k")).toString)
+    assert(doc.columns.values.forall(_.nullCount.contains(0L)))
+    // all four columns carry the STANDARD blob (NTZ timestamp included —
+    // its values HAVE a spec single-value serialization)
+    val (raw, refs, _) = Puffin.read(meta.statistics.head.path)
+    assert(refs.count(_.blobType == TableStats.ThetaBlobType) == 4, refs.map(_.blobType))
+    // the NTZ sketch equals a reference sketch over the micros
+    // serialization — the bridge hashes spec bytes, not JVM toString
+    val tsRef = refs.find(r => r.blobType == TableStats.ThetaBlobType &&
+      r.fields.head == idOf("ts")).get
+    val body = java.util.Arrays.copyOfRange(
+      raw, tsRef.offset.toInt, (tsRef.offset + tsRef.length).toInt)
+    val refSk = org.apache.datasketches.theta.UpdateSketch.builder().build()
+    (0 until 7).foreach { s =>
+      val dt = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, s)
+      refSk.update(SingleValueCodec.encode(IcebergTypes.TTimestamp, dt))
+    }
+    assert(java.util.Arrays.equals(refSk.compact(true, null).toByteArray, body),
+      "NTZ blob must equal the reference sketch over spec micros bytes")
+    // a malformed ndv property on a foreign blob must not kill the doc:
+    // rewrite one ref's properties through a hand-built foreign file
+    val foreign = s"$wh/foreign.puffin"
+    Puffin.write(foreign,
+      Seq(Puffin.Blob(TableStats.ThetaBlobType, Seq(idOf("k")),
+        out.getLong(0), 1L, Map("ndv" -> "4.0E1"), body)),
+      Map("snapshot-id" -> out.getLong(0).toString, "row-count" -> "40"))
+    val fdoc = TableStats.read(foreign)
+    assert(fdoc.columns(idOf("k")).ndv == 7L,
+      s"malformed ndv property must fall to the sketch estimate: $fdoc")
+  }
+
   test("a FOREIGN stats file carrying only standard theta blobs serves NDV") {
     // interop the other direction: another engine's ANALYZE writes only
     // apache-datasketches-theta-v1 blobs (no graft-ndv-v1 anywhere) —

@@ -1443,8 +1443,8 @@ object GraftTable {
     // ONE manifest-list read and one sweep per manifest (readFromInfos
     // also applies its manifest-level dead-delete prune); the range
     // exclusion rides in as restrict hooks over data + equality entries
-    val infos = meta.currentSnapshotId.toSeq.flatMap(_ =>
-      ManifestListReader.read(resolveSnapshot(meta, None, None).manifestList.get))
+    val infos = refHead(meta, None).toSeq
+      .flatMap(s => ManifestListReader.read(s.manifestList.get))
     val keep = (es: Seq[(ManifestWriter.EntryData, Long)]) =>
       es.filterNot { case (e, _) => excludes(e) }
     readFromInfos(spark, meta, infos, restrictData = keep, restrictEq = keep)
@@ -2111,8 +2111,11 @@ object GraftTable {
     val meta = TableMetadata.parseFile(metaPath)
     val snapId = meta.currentSnapshotId.getOrElse(
       throw new IllegalArgumentException("cannot analyze a table with no snapshot"))
+    // sketchable columns only: nested/variant values have no canonical
+    // serialization to hash (TableStats.sketchable) and carry no stats
     val typed = meta.currentSchema.fields
       .flatMap(f => IcebergTypes.fromStringOpt(f.fieldType).map(t => (f, t)))
+      .filter { case (_, t) => TableStats.sketchable(t) }
     val df = read(spark, metaPath)
     // ONE scan for everything: each task counts rows, counts nulls
     // exactly, and updates one theta sketch per column — values hashed
@@ -2124,11 +2127,16 @@ object GraftTable {
     import spark.implicits._
     val types = typed.map(_._2).toArray
     val n = types.length
-    val partials: Array[(Long, Seq[Long], Seq[Array[Byte]])] =
+    val partials: Array[(Long, Seq[Long], Seq[Long], Seq[Array[Byte]])] =
       df.select(typed.map { case (f, _) => col(f.name) }: _*)
         .mapPartitions { it =>
           var cnt = 0L
           val nulls = new Array[Long](n)
+          // datasketches update(byte[]) is a documented NO-OP on an empty
+          // array (matching every other engine's standard blob), so empty
+          // strings/binaries are tracked separately: within one column
+          // they are ONE distinct value the engine's own NDV must count
+          val empties = new Array[Long](n)
           val sks = Array.fill(n)(
             org.apache.datasketches.theta.UpdateSketch.builder().build())
           it.foreach { r =>
@@ -2136,21 +2144,26 @@ object GraftTable {
             var i = 0
             while (i < n) {
               if (r.isNullAt(i)) nulls(i) += 1
-              else sks(i).update(TableStats.sketchBytes(types(i), r.get(i)))
+              else {
+                val bytes = TableStats.sketchBytes(types(i), r.get(i))
+                if (bytes.isEmpty) empties(i) += 1 else sks(i).update(bytes)
+              }
               i += 1
             }
           }
-          Iterator.single(
-            (cnt, nulls.toSeq, sks.map(_.compact().toByteArray).toSeq))
+          Iterator.single((cnt, nulls.toSeq, empties.toSeq,
+            sks.map(_.compact().toByteArray).toSeq))
         }.collect()
     val rowCount = partials.map(_._1).sum
     val unioned: Seq[(Int, Array[Byte], Long, Long, IcebergType)] =
       typed.zipWithIndex.map { case ((f, t), j) =>
         val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
         partials.foreach(p => u.union(org.apache.datasketches.theta.Sketches
-          .wrapSketch(org.apache.datasketches.memory.Memory.wrap(p._3(j)))))
+          .wrapSketch(org.apache.datasketches.memory.Memory.wrap(p._4(j)))))
         val res = u.getResult(true, null)
-        (f.id, res.toByteArray, Math.round(res.getEstimate),
+        val sawEmpty = partials.exists(_._3(j) > 0L)
+        (f.id, res.toByteArray,
+          Math.round(res.getEstimate) + (if (sawEmpty) 1L else 0L),
           partials.map(_._2(j)).sum, t)
       }
     val doc = TableStats.Doc(snapId, rowCount,

@@ -52,6 +52,17 @@ object TableStats {
     case _ => false
   }
 
+  /** Types ANALYZE can sketch at all: the standard set plus geo (raw-WKB
+    * hash, engine-internal NDV only). Nested/variant/unknown columns carry
+    * NO statistics — they have no canonical value serialization to hash
+    * (map iteration order alone would overcount), and Spark's CBO consults
+    * attribute NDV for join estimation on scalar keys, not on nested
+    * values. */
+  def sketchable(t: IcebergType): Boolean = t match {
+    case _: TGeometry | _: TGeography => true
+    case other => thetaSupported(other)
+  }
+
   /** A Spark row value → the Iceberg single-value bytes the sketch
     * hashes (the spec's standard input, so foreign sketches of the same
     * data are union-compatible). */
@@ -60,8 +71,16 @@ object TableStats {
     case (TDate, d: java.time.LocalDate) => SingleValueCodec.encode(t, d)
     case (TTimestamptz, ts: java.sql.Timestamp) => SingleValueCodec.encode(t, ts.toInstant)
     case (TTimestamptz, i: java.time.Instant) => SingleValueCodec.encode(t, i)
-    case (TTimestamp, ts: java.sql.Timestamp) => SingleValueCodec.encode(t, ts.toLocalDateTime)
-    case (TUuid, s: String) => SingleValueCodec.encode(t, java.util.UUID.fromString(s))
+    // no java.sql.Timestamp bridge for NTZ: Spark has no legacy external
+    // type for TIMESTAMP_NTZ — rows always surface LocalDateTime, and a
+    // Timestamp.toLocalDateTime detour would route through the JVM
+    // default zone (DST-gap values would hash off-spec micros)
+    case (TUuid, s: String) =>
+      // uuid columns only arrive from foreign tables; one non-canonical
+      // value must not fail the whole ANALYZE — hash its raw UTF-8 bytes
+      // (distinctness preserved; the value is out-of-spec regardless)
+      scala.util.Try(SingleValueCodec.encode(t, java.util.UUID.fromString(s)))
+        .getOrElse(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // geo values hash their raw WKB: good enough for the ENGINE's own
     // NDV record (distinctness of the bytes), but deliberately NOT a
     // standard blob input — thetaSupported excludes geo

@@ -504,7 +504,8 @@ object LakehouseInspect {
       |ORDER BY ordinal, op""".stripMargin
 
   // ---------------------------------------------------------------- i83
-  /** ANALYZE → CBO: `compute_table_stats` lands per-column NDV (HLL++) +
+  /** ANALYZE → CBO: `compute_table_stats` lands per-column NDV (theta
+    * sketch; exact below its 4K nominal entries) +
     * exact null counts + row count as a statistics blob in the metadata
     * `statistics` list (the Puffin slot), and the DSv2 scan serves it
     * back as V2 column statistics. The entry REQUIRES the CBO loop

@@ -173,11 +173,11 @@ class TableStatsSpec extends SparkSpec {
 
   test("ANALYZE covers NTZ timestamp / date / decimal columns: exact NDV, " +
       "standard blobs present, malformed foreign ndv falls to the sketch") {
-    // the one-scan fusion made the theta sketch the NDV source for EVERY
+    // the one-scan fusion made the theta sketch the NDV source for every
     // eligible type — this pins the sketchBytes bridges for the types the
-    // fixture tables don't otherwise exercise (TIMESTAMP_NTZ rows surface
-    // as LocalDateTime or java.sql.Timestamp depending on the session's
-    // java8 API flag; both must hash to the spec's micros serialization)
+    // fixture tables don't otherwise exercise (TIMESTAMP_NTZ rows always
+    // surface as LocalDateTime — Spark has no legacy external type for
+    // NTZ — and must hash to the spec's micros serialization)
     val wh = java.nio.file.Files.createTempDirectory("graft-stats-t").toString
     spark.conf.set("spark.sql.catalog.gstat3", classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gstat3.warehouse", wh)
@@ -228,6 +228,36 @@ class TableStatsSpec extends SparkSpec {
     val fdoc = TableStats.read(foreign)
     assert(fdoc.columns(idOf("k")).ndv == 7L,
       s"malformed ndv property must fall to the sketch estimate: $fdoc")
+  }
+
+  test("ANALYZE skips nested columns (no canonical bytes to hash) and " +
+      "counts empty strings in the engine NDV (sketch update is a no-op)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-n").toString
+    spark.conf.set("spark.sql.catalog.gstat4", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstat4.warehouse", wh)
+    spark.sql("""CREATE TABLE gstat4.db.t
+      (k BIGINT, s STRING, nest STRUCT<a: BIGINT, b: STRING>)""")
+    spark.sql("""INSERT INTO gstat4.db.t VALUES
+      (1, '',  named_struct('a', CAST(1 AS BIGINT), 'b', 'x')),
+      (2, 'v', named_struct('a', CAST(2 AS BIGINT), 'b', 'y')),
+      (3, '',  named_struct('a', CAST(3 AS BIGINT), 'b', 'z')),
+      (4, NULL, NULL)""")
+    val out = spark.sql(
+      "CALL gstat4.system.compute_table_stats(table => 'db.t')").head
+    val meta = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(s"$wh/db/t"))
+    val doc = TableStats.read(meta.statistics.head.path)
+    def idOf(n: String) = meta.currentSchema.fields.find(_.name == n).get.id
+    assert(doc.rowCount == 4L)
+    // the struct column carries NO stats entry — before the sketchable
+    // filter this crashed the whole ANALYZE with a MatchError
+    assert(!doc.columns.contains(idOf("nest")), doc.columns.keys.toString)
+    assert(out.getInt(2) == 2, "analyzed columns: k and s only")
+    // '' is ONE distinct value of s: datasketches silently no-ops on an
+    // empty byte array, so the engine record counts it separately
+    assert(doc.columns(idOf("s")).ndv == 2L, doc.columns(idOf("s")).toString)
+    assert(doc.columns(idOf("s")).nullCount.contains(1L))
+    assert(doc.columns(idOf("k")).ndv == 4L)
   }
 
   test("a FOREIGN stats file carrying only standard theta blobs serves NDV") {

@@ -2350,11 +2350,21 @@ object GraftTable {
         metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath)))
 
   /** Rollback through the CAS loop: move the main pointer (and ref, and
-    * snapshot-log) back to an existing snapshot — Iceberg's
+    * snapshot-log) back to an ANCESTOR snapshot — Iceberg's
     * `rollback_to_snapshot`. No snapshot is removed; expiry reclaims. */
   def rollbackTo(tableDir: String, snapshotId: Long): OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) =>
       MetadataWriter.rollbackTo(base, snapshotId, base.lastUpdatedMs + 1000,
+        Some(basePath)))
+
+  /** Move main to ANY existing snapshot through the CAS loop — Iceberg's
+    * `set_current_snapshot`, the redo to rollback's undo: after a
+    * rollback the abandoned head is NOT an ancestor, so rollbackTo
+    * refuses it and this is the documented way back (or to publish a
+    * staged snapshot directly). Pointer move only. */
+  def setCurrentSnapshot(tableDir: String, snapshotId: Long): OptimisticCommit.CommitResult =
+    OptimisticCommit.commit(tableDir, (base, basePath) =>
+      MetadataWriter.setCurrentSnapshot(base, snapshotId, base.lastUpdatedMs + 1000,
         Some(basePath)))
 
   /** Tag a snapshot (default: the current head) through the CAS loop —
@@ -2431,9 +2441,7 @@ object GraftTable {
       // ancestor"); same for a snapshot a previous cherry-pick already
       // landed (the summary marker is the application record, so a
       // retried publish job is a loud no-op, not a double-insert)
-      val mainLineage = Iterator.iterate(base.currentSnapshotId)(
-          _.flatMap(id => base.snapshot(id).flatMap(_.parentSnapshotId)))
-        .takeWhile(_.isDefined).map(_.get).toSeq
+      val mainLineage = base.lineage()
       require(!mainLineage.contains(snapshotId),
         s"snapshot $snapshotId is already an ancestor of main — " +
           "cherry-picking it would duplicate its rows")

@@ -51,10 +51,30 @@ object MetadataWriter {
     * cleanup separately, see i17), the snapshot-log records the pointer
     * move so history shows the rollback as its own event, exactly
     * Iceberg's `rollback_to_snapshot` semantics. */
+  /** Rollback: move the current pointer BACKWARD along main's lineage —
+    * Iceberg's `rollback_to_snapshot` requires the target be an ancestor
+    * of the current state (an undo). Moving sideways or forward (redo, or
+    * publishing a staged snapshot directly) is [[setCurrentSnapshot]]. */
   def rollbackTo(base: TableMetadata, snapshotId: Long, timestampMs: Long,
       previousFile: Option[String] = None): TableMetadata = {
     require(base.snapshots.exists(_.snapshotId == snapshotId),
       s"cannot roll back to unknown snapshot $snapshotId")
+    require(base.lineage().contains(snapshotId),
+      s"snapshot $snapshotId is not an ancestor of the current state — " +
+        "rollback only moves backward along main's lineage; " +
+        "set_current_snapshot moves regardless of ancestry")
+    setCurrentSnapshot(base, snapshotId, timestampMs, previousFile)
+  }
+
+  /** Move the current pointer to ANY existing snapshot — Iceberg's
+    * `set_current_snapshot`: no ancestry requirement. The redo to
+    * rollback's undo (a rolled-back-past snapshot is NOT an ancestor of
+    * the restored state, so [[rollbackTo]] refuses it), and the direct
+    * publish of a staged snapshot. Pointer move only; nothing reclaimed. */
+  def setCurrentSnapshot(base: TableMetadata, snapshotId: Long, timestampMs: Long,
+      previousFile: Option[String] = None): TableMetadata = {
+    require(base.snapshots.exists(_.snapshotId == snapshotId),
+      s"cannot move to unknown snapshot $snapshotId")
     require(!base.currentSnapshotId.contains(snapshotId),
       s"snapshot $snapshotId is already current")
     base.copy(

@@ -96,6 +96,13 @@ final case class TableMetadata(
 
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
 
+  /** Head-first ancestor chain from `head` (inclusive), following
+    * parent-snapshot-id — the lineage rollback, cherry-pick and ancestry
+    * guards reason over. Defaults to main's head. */
+  def lineage(head: Option[Long] = currentSnapshotId): Seq[Long] =
+    Iterator.iterate(head)(_.flatMap(id => snapshot(id).flatMap(_.parentSnapshotId)))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+
   /** A ref is LIVE state only when it is explicitly a branch; tags — and
     * unknown ref kinds, conservatively — are archival points whose reads
     * resolve the SNAPSHOT's schema. One polarity, shared by every read

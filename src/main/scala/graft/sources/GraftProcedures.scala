@@ -80,7 +80,7 @@ object GraftProcedures {
     "drop_tag", "drop_branch", "snapshot", "migrate",
     "rollback_to_timestamp", "create_changelog_view", "ancestors_of",
     "compute_table_stats", "compute_partition_stats", "register_table",
-    "delete_reachable_files")
+    "delete_reachable_files", "set_current_snapshot")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. `resolveNewDir`
@@ -340,9 +340,11 @@ object GraftProcedures {
         })
       case "rollback_to_timestamp" => new Proc(
         "rollback_to_timestamp",
-        "move main back to the snapshot that was current at the given " +
-          "epoch-millis instant (snapshot-log resolution, the i08 rule); " +
-          "pointer move only — expiry reclaims files",
+        "move main back to the latest ANCESTOR snapshot committed at or " +
+          "before the given epoch-millis instant (Iceberg resolves along " +
+          "the current lineage, not the raw snapshot log — a post-rollback " +
+          "log entry can point at a detached head); pointer move only — " +
+          "expiry reclaims files",
         Array(in("table", StringType), in("timestamp_ms", LongType)),
         StructType(Seq(
           StructField("previous_snapshot_id", LongType),
@@ -352,11 +354,39 @@ object GraftProcedures {
           val ts = input.getLong(1)
           val meta = currentMeta(dir)
           val previous = meta.currentSnapshotId.getOrElse(0L)
-          val target = meta.snapshotLog.filter(_.timestampMs <= ts)
+          val target = meta.lineage().flatMap(meta.snapshot)
+            .filter(_.timestampMs <= ts)
             .maxByOption(_.timestampMs).map(_.snapshotId).getOrElse(
               throw new IllegalArgumentException(
-                s"no snapshot was current at or before $ts"))
+                s"no ancestor snapshot was committed at or before $ts"))
           val result = GraftTable.rollbackTo(dir, target)
+          Seq(InternalRow(previous, result.metadata.currentSnapshotId.getOrElse(0L)))
+        })
+      case "set_current_snapshot" => new Proc(
+        "set_current_snapshot",
+        "move main to ANY existing snapshot — by id or by ref name, no " +
+          "ancestry requirement (redo after a rollback, or publish a " +
+          "staged snapshot directly); pointer move only",
+        Array(in("table", StringType),
+          inDefault("snapshot_id", LongType, "NULL"),
+          inDefault("ref", StringType, "NULL")),
+        StructType(Seq(
+          StructField("previous_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          val meta = currentMeta(dir)
+          val bySnap = if (input.isNullAt(1)) None else Some(input.getLong(1))
+          val byRef = if (input.isNullAt(2)) None
+            else Some(input.getUTF8String(2).toString)
+          require(bySnap.isDefined != byRef.isDefined,
+            "exactly one of snapshot_id and ref must be given")
+          val target = bySnap.getOrElse(
+            meta.refs.find(_.name == byRef.get).getOrElse(
+              throw new IllegalArgumentException(
+                s"no such ref '${byRef.get}'")).snapshotId)
+          val previous = meta.currentSnapshotId.getOrElse(0L)
+          val result = GraftTable.setCurrentSnapshot(dir, target)
           Seq(InternalRow(previous, result.metadata.currentSnapshotId.getOrElse(0L)))
         })
       case "rollback_to_snapshot" => new Proc(

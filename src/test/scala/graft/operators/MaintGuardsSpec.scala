@@ -53,7 +53,51 @@ class MaintGuardsSpec extends SparkSpec {
     assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == n)
   }
 
-  test("rollback_to_timestamp resolves through the snapshot log") {
+  test("rollback requires an ancestor; set_current_snapshot is the redo") {
+    val dir = create("b4")
+    val nation = Tables.load(spark, sfDir, "nation")
+    GraftTable.append(spark, dir, nation.filter(col("n_regionkey") === 0)) // snap 1
+    GraftTable.append(spark, dir, nation.filter(col("n_regionkey") === 1)) // snap 2
+    GraftTable.rollbackTo(dir, 1L) // undo: 2 is now a detached head
+    // Iceberg's rule: rollback only moves BACKWARD along the lineage —
+    // the abandoned head is not an ancestor of the restored state
+    val e = intercept[IllegalArgumentException](GraftTable.rollbackTo(dir, 2L))
+    assert(e.getMessage.contains("ancestor"), e.getMessage)
+    // rollback_to_timestamp resolves along the CURRENT lineage too: an
+    // instant after snap 2's commit still lands on snap 1 (the latest
+    // ANCESTOR at that time), never the detached head
+    val meta1 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val snap2Ts = meta1.snapshot(2L).get.timestampMs
+    val proc = graft.sources.GraftProcedures
+      .load("rollback_to_timestamp", _ => dir).get
+      .bind(new org.apache.spark.sql.types.StructType())
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.procedures.BoundProcedure]
+    val ex = intercept[IllegalArgumentException](proc.call(
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("db.t"),
+        snap2Ts + 500L)).next())
+    assert(ex.getMessage.contains("already current"), ex.getMessage)
+    // set_current_snapshot is the redo: any existing snapshot, no
+    // ancestry requirement
+    GraftTable.setCurrentSnapshot(dir, 2L)
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() ==
+      nation.filter(col("n_regionkey") <= 1).count())
+    // and the SQL surface moves by REF name as well (undo again, then
+    // redo through a tag pinned at the head)
+    GraftTable.createTag(dir, "head2", Some(2L))
+    GraftTable.rollbackTo(dir, 1L)
+    val setProc = graft.sources.GraftProcedures
+      .load("set_current_snapshot", _ => dir).get
+      .bind(new org.apache.spark.sql.types.StructType())
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.procedures.BoundProcedure]
+    val row = setProc.call(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("db.t"),
+      null, org.apache.spark.unsafe.types.UTF8String.fromString("head2")))
+      .next().asInstanceOf[org.apache.spark.sql.connector.read.LocalScan].rows().head
+    assert(row.getLong(0) == 1L && row.getLong(1) == 2L, row.toString)
+  }
+
+  test("rollback_to_timestamp resolves the latest ancestor at the instant") {
     val dir = create("b3")
     val nation = Tables.load(spark, sfDir, "nation")
     // commits land at lastUpdatedMs + 1000 per CAS commit (T0-based clock)

@@ -950,12 +950,18 @@ object GraftTable {
       // REPLACE TABLE's metadata evolution (new schema/spec/properties),
       // applied to the FRESH base inside the CAS closure so a retry
       // re-validates against whatever committed meanwhile
-      evolve: TableMetadata => TableMetadata = identity)
+      evolve: TableMetadata => TableMetadata = identity,
+      // write-audit-publish staging (spark.wap.id): the snapshot lands in
+      // the document but NO pointer moves — publish_changes applies it
+      stage: Boolean = false)
       : OptimisticCommit.CommitResult = {
     // an empty REPLACE is meaningful (overwrite-from-empty truncates);
     // an empty append is the caller's no-op to skip
     require(files.nonEmpty || replace, "no files to commit")
     require(branch.isEmpty || !replace, "branch writes are append-only")
+    require(!stage || (branch.isEmpty && !replace),
+      "a wap.id staged commit is an invisible append onto main's lineage — " +
+        "it combines with neither branch targets nor overwrite")
     OptimisticCommit.commit(tableDir, (base0, basePath) => {
       val base = evolve(base0)
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
@@ -1016,6 +1022,7 @@ object GraftTable {
           "added-records" -> files.map(_.rows).sum.toString) ++ extraSummary,
         Some(list), base.currentSchemaId)
       branch match {
+        case None if stage => MetadataWriter.stageSnapshot(base2, snap, Some(basePath))
         case None => MetadataWriter.commitSnapshot(base2, snap, Some(basePath))
         case Some(b) => MetadataWriter.commitToBranch(base2, snap, b, Some(basePath))
       }

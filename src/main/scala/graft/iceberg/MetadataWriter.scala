@@ -46,11 +46,24 @@ object MetadataWriter {
         previousFile.map(f => MetadataLogEntry(base.lastUpdatedMs, f)))
   }
 
-  /** Rollback: move the current pointer (and main ref) back to an
-    * existing snapshot — no snapshot is removed (expiry handles physical
-    * cleanup separately, see i17), the snapshot-log records the pointer
-    * move so history shows the rollback as its own event, exactly
-    * Iceberg's `rollback_to_snapshot` semantics. */
+  /** STAGE a snapshot without publishing it — Iceberg's
+    * write-audit-publish `spark.wap.id` flavor: the snapshot (and its
+    * summary `wap.id`) lands in the document so `publish_changes` /
+    * `cherrypick_snapshot` can find it, but NO pointer moves — the
+    * current id, every ref, and the snapshot-log stay untouched, so
+    * readers cannot see the staged rows. No snapshot is removed by a
+    * later publish either; expiry reclaims unpublished stages. */
+  def stageSnapshot(base: TableMetadata, snap: Snapshot,
+      previousFile: Option[String] = None): TableMetadata = {
+    require(!base.snapshots.exists(_.snapshotId == snap.snapshotId),
+      s"snapshot id ${snap.snapshotId} already committed")
+    base.copy(
+      lastUpdatedMs = snap.timestampMs,
+      snapshots = base.snapshots :+ snap,
+      metadataLog = base.metadataLog ++
+        previousFile.map(f => MetadataLogEntry(base.lastUpdatedMs, f)))
+  }
+
   /** Rollback: move the current pointer BACKWARD along main's lineage —
     * Iceberg's `rollback_to_snapshot` requires the target be an ancestor
     * of the current state (an undo). Moving sideways or forward (redo, or

@@ -313,11 +313,15 @@ object LakehouseNested {
   // ---------------------------------------------------------------- i69
   /** Cherry-pick publish — the WAP ending fast_forward cannot serve:
     * after the audit branch forks, MAIN ADVANCES (a concurrent ingest
-    * lands), so the audited snapshot no longer descends from the head
-    * and fast_forward must refuse. `cherrypick_snapshot` re-applies the
+    * lands — itself staged through the `spark.wap.id` flavor: the insert
+    * commits stage-only under `write.wap.enabled`, provably invisible
+    * until `publish_changes` fast-forwards main onto the staged id), so
+    * the audited snapshot no longer descends from the head and
+    * fast_forward must refuse. `cherrypick_snapshot` re-applies the
     * staged snapshot's ADDED manifests onto main as a NEW commit
     * (entries re-sequenced, main's lineage intact) — both the interim
-    * main rows and the audited rows are visible after publish. */
+    * main rows and the audited rows are visible after publish. BOTH WAP
+    * mechanisms (branch refs and wap.id staging) drive one entry. */
   val cherrypickPublish: Q = (spark, sfDir) => {
     val wh = entryDir("i69", sfDir)
     spark.conf.set("spark.sql.catalog.graft_chp",
@@ -327,7 +331,8 @@ object LakehouseNested {
     graft.TmpOutputs.ensure(wh) {
       spark.sql(s"""CREATE TABLE graft_chp.db.n
         (n_nationkey INT, n_name STRING, n_regionkey INT)
-        TBLPROPERTIES ('commit-timestamp-ms'='$T0')""")
+        TBLPROPERTIES ('commit-timestamp-ms'='$T0',
+          'write.wap.enabled'='true')""")
       spark.sql("""INSERT INTO graft_chp.db.n
         SELECT n_nationkey, n_name, n_regionkey FROM i69_nation_src
         WHERE n_regionkey < 2""")
@@ -335,10 +340,26 @@ object LakehouseNested {
       spark.sql("""INSERT INTO graft_chp.db.n.branch_audit
         SELECT n_nationkey, n_name, n_regionkey FROM i69_nation_src
         WHERE n_regionkey IN (2, 3)""")
-      // main ADVANCES past the fork — fast_forward must now refuse
-      spark.sql("""INSERT INTO graft_chp.db.n
-        SELECT n_nationkey, n_name, n_regionkey FROM i69_nation_src
-        WHERE n_regionkey = 4""")
+      // main advances past the fork — through the OTHER write-audit-
+      // publish flavor: the region-4 insert STAGES under spark.wap.id
+      // (snapshot in the document, no pointer moves — readers provably
+      // blind to it), then publish_changes lands it. Main never moved
+      // between stage and publish, so the publish is the fast-forward
+      // case: the staged id itself becomes current, zero manifest work.
+      val preStage = spark.sql("SELECT COUNT(*) FROM graft_chp.db.n").head().getLong(0)
+      spark.conf.set("spark.wap.id", "i69-audit-1")
+      try
+        spark.sql("""INSERT INTO graft_chp.db.n
+          SELECT n_nationkey, n_name, n_regionkey FROM i69_nation_src
+          WHERE n_regionkey = 4""")
+      finally spark.conf.unset("spark.wap.id")
+      require(spark.sql("SELECT COUNT(*) FROM graft_chp.db.n").head().getLong(0)
+          == preStage,
+        "a wap.id staged insert must be invisible until publish_changes")
+      spark.sql("CALL graft_chp.system.publish_changes('db.n', 'i69-audit-1')")
+      require(spark.sql("SELECT COUNT(*) FROM graft_chp.db.n").head().getLong(0)
+          > preStage, "publish_changes must land the staged rows")
+      // fast_forward must refuse the now-non-descendant audit branch
       val ffRefused = scala.util.Try(
         spark.sql("CALL graft_chp.system.fast_forward('db.n', 'audit')")).isFailure
       require(ffRefused, "fast_forward must refuse a non-descendant target")

@@ -80,7 +80,7 @@ object GraftProcedures {
     "drop_tag", "drop_branch", "snapshot", "migrate",
     "rollback_to_timestamp", "create_changelog_view", "ancestors_of",
     "compute_table_stats", "compute_partition_stats", "register_table",
-    "delete_reachable_files", "set_current_snapshot")
+    "delete_reachable_files", "set_current_snapshot", "publish_changes")
 
   /** `resolveDir` maps a catalog-relative table name (`db.t`) to its
     * table directory — supplied by the owning catalog. `resolveNewDir`
@@ -361,6 +361,47 @@ object GraftProcedures {
                 s"no ancestor snapshot was committed at or before $ts"))
           val result = GraftTable.rollbackTo(dir, target)
           Seq(InternalRow(previous, result.metadata.currentSnapshotId.getOrElse(0L)))
+        })
+      case "publish_changes" => new Proc(
+        "publish_changes",
+        "publish the STAGED snapshot carrying the given wap.id (the " +
+          "spark.wap.id write-audit-publish flavor): fast-forwards main " +
+          "onto it when main never moved since the stage (id preserved, " +
+          "zero manifest work), else cherry-picks its manifests onto the " +
+          "advanced head",
+        Array(in("table", StringType), in("wap_id", StringType)),
+        StructType(Seq(
+          StructField("staged_snapshot_id", LongType),
+          StructField("current_snapshot_id", LongType))),
+        input => {
+          val dir = dirOf(input)
+          val wapId = input.getUTF8String(1).toString
+          val meta = currentMeta(dir)
+          val matches = meta.snapshots
+            .filter(_.summary.get("wap.id").contains(wapId))
+            // already-published stages (now in main's lineage after a
+            // fast-forward publish, or recorded by a cherry-pick marker
+            // after a re-apply publish) are not candidates — publishing
+            // is idempotent only by refusal, never by double-apply
+            .filterNot(s => meta.lineage().contains(s.snapshotId) ||
+              meta.lineage().flatMap(meta.snapshot).exists(
+                _.summary.get("cherry-picked-snapshot-id")
+                  .contains(s.snapshotId.toString)))
+          require(matches.nonEmpty, s"no unpublished snapshot carries " +
+            s"wap.id '$wapId'")
+          require(matches.size == 1, s"ambiguous wap.id '$wapId': " +
+            s"snapshots ${matches.map(_.snapshotId).mkString(", ")} all " +
+              "carry it — publish by snapshot id via cherrypick_snapshot")
+          val snap = matches.head
+          // main never moved since the stage → publish AS-IS (Iceberg's
+          // fast-forward case: the staged id becomes current, no new
+          // snapshot); otherwise re-apply onto the advanced head
+          val result =
+            if (meta.currentSnapshotId == snap.parentSnapshotId)
+              GraftTable.setCurrentSnapshot(dir, snap.snapshotId)
+            else GraftTable.cherrypick(dir, snap.snapshotId)
+          Seq(InternalRow(snap.snapshotId,
+            result.metadata.currentSnapshotId.getOrElse(0L)))
         })
       case "set_current_snapshot" => new Proc(
         "set_current_snapshot",

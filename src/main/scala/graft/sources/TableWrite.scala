@@ -131,6 +131,17 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
       "(publish an audited overwrite through main instead)")
     val conf = new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active())
     val meta = TableMetadata.parseFile(metadataPath)
+    // Iceberg's spark.wap.id flavor of write-audit-publish, resolved at
+    // PLAN time: the id always rides the snapshot summary (the audit
+    // trail); the commit is STAGE-ONLY — snapshot in the document, no
+    // pointer moves, published later by publish_changes — only when the
+    // table itself opted in with write.wap.enabled=true
+    val wap = Option(org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.wap.id", null)).filter(_.nonEmpty)
+      .map(id => (id, meta.properties.get("write.wap.enabled").contains("true")))
+    require(wap.forall(!_._2) || (branch.isEmpty && !replace),
+      "a wap.id staged commit is an invisible append onto main's lineage — " +
+        "it combines with neither branch targets nor overwrite")
     new Write with RequiresDistributionAndOrdering {
       // cluster by the partition SOURCE columns: same source value →
       // same task → fewer (never wrong) per-tuple files. An unpartitioned
@@ -174,7 +185,7 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
           }.toArray
       override def toBatch: BatchWrite =
         new GraftTableBatchWrite(tableDir, tableSchema, fields, part, replace, conf,
-          branch, writeFormat(meta))
+          branch, writeFormat(meta), wap)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!replace, "graft-table streaming writes are append-only " +
@@ -235,9 +246,10 @@ object GraftTableWrites {
 
   private[sources] def commit(tableDir: String, files: Seq[GraftFileMessage],
       extraSummary: Map[String, String] = Map.empty,
-      replace: Boolean = false, branch: Option[String] = None): Unit =
+      replace: Boolean = false, branch: Option[String] = None,
+      stage: Boolean = false): Unit =
     lastCommit.set(GraftTable.commitAppendFiles(tableDir,
-      files.map(pending), extraSummary, replace, branch))
+      files.map(pending), extraSummary, replace, branch, stage = stage))
 }
 
 class GraftTableBatchWrite(tableDir: String, schema: StructType,
@@ -245,7 +257,11 @@ class GraftTableBatchWrite(tableDir: String, schema: StructType,
     replace: Boolean,
     hadoopConf: graft.iceberg.SerializableHadoopConf,
     branch: Option[String] = None,
-    format: String = "PARQUET") extends BatchWrite {
+    format: String = "PARQUET",
+    // write-audit-publish id captured from the session at PLAN time:
+    // (id, stage) — the id always rides the snapshot summary; stage=true
+    // (the table opted in via write.wap.enabled) commits stage-only
+    wap: Option[(String, Boolean)] = None) extends BatchWrite {
 
   private val writeUuid = java.util.UUID.randomUUID().toString
 
@@ -260,7 +276,10 @@ class GraftTableBatchWrite(tableDir: String, schema: StructType,
     // an INSERT/append selecting zero rows is a no-op; an OVERWRITE from
     // an empty source still commits (truncate semantics)
     if (files.nonEmpty || replace)
-      GraftTableWrites.commit(tableDir, files, replace = replace, branch = branch)
+      GraftTableWrites.commit(tableDir, files,
+        extraSummary = wap.map(w => "wap.id" -> w._1).toMap,
+        replace = replace, branch = branch,
+        stage = wap.exists(_._2))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

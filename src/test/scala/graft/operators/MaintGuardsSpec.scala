@@ -97,6 +97,64 @@ class MaintGuardsSpec extends SparkSpec {
     assert(row.getLong(0) == 1L && row.getLong(1) == 2L, row.toString)
   }
 
+  test("spark.wap.id stages invisibly; publish_changes fast-forwards or " +
+      "cherry-picks; re-publish refuses") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wap").toString
+    spark.conf.set("spark.sql.catalog.gwap", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwap.warehouse", wh)
+    spark.sql("""CREATE TABLE gwap.db.t (k BIGINT, v STRING)
+      TBLPROPERTIES ('write.wap.enabled'='true')""")
+    spark.sql("INSERT INTO gwap.db.t VALUES (1, 'a')")
+    def count() = spark.sql("SELECT COUNT(*) FROM gwap.db.t").head().getLong(0)
+    def current() = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(s"$wh/db/t")).currentSnapshotId.get
+    val head1 = current()
+    // stage: the snapshot lands in the document with the wap.id summary,
+    // but NO pointer moves — the rows are provably invisible
+    spark.conf.set("spark.wap.id", "w1")
+    try spark.sql("INSERT INTO gwap.db.t VALUES (2, 'b')")
+    finally spark.conf.unset("spark.wap.id")
+    assert(count() == 1L, "staged rows must be invisible")
+    assert(current() == head1, "staging must not move the current pointer")
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
+    val staged = meta.snapshots.find(_.summary.get("wap.id").contains("w1")).get
+    // publish while main never moved: the FAST-FORWARD case — the staged
+    // id itself becomes current (no new snapshot, zero manifest work)
+    spark.sql("CALL gwap.system.publish_changes('db.t', 'w1')")
+    assert(current() == staged.snapshotId, "fast-forward publish keeps the id")
+    assert(count() == 2L)
+    // stage again, then ADVANCE main before publishing: the publish must
+    // re-apply (cherry-pick case — a NEW snapshot id)
+    spark.conf.set("spark.wap.id", "w2")
+    try spark.sql("INSERT INTO gwap.db.t VALUES (3, 'c')")
+    finally spark.conf.unset("spark.wap.id")
+    spark.sql("INSERT INTO gwap.db.t VALUES (4, 'd')") // concurrent ingest
+    val meta2 = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
+    val staged2 = meta2.snapshots.find(_.summary.get("wap.id").contains("w2")).get
+    spark.sql("CALL gwap.system.publish_changes('db.t', 'w2')")
+    assert(current() != staged2.snapshotId, "advanced-head publish re-applies")
+    assert(count() == 4L)
+    // publishing either id again refuses — never a double apply
+    val e1 = intercept[Exception](
+      spark.sql("CALL gwap.system.publish_changes('db.t', 'w1')"))
+    assert(e1.getMessage.contains("no unpublished"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("CALL gwap.system.publish_changes('db.t', 'w2')"))
+    assert(e2.getMessage.contains("no unpublished"), e2.getMessage)
+    assert(count() == 4L)
+    // a table that did NOT opt in commits normally under spark.wap.id —
+    // the id still rides the summary as the audit trail
+    spark.sql("CREATE TABLE gwap.db.plain (k BIGINT)")
+    spark.conf.set("spark.wap.id", "w3")
+    try spark.sql("INSERT INTO gwap.db.plain VALUES (1)")
+    finally spark.conf.unset("spark.wap.id")
+    assert(spark.sql("SELECT COUNT(*) FROM gwap.db.plain").head().getLong(0) == 1L,
+      "without write.wap.enabled the insert commits normally")
+    val plainMeta = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(s"$wh/db/plain"))
+    assert(plainMeta.currentSnapshot.get.summary.get("wap.id").contains("w3"))
+  }
+
   test("rollback_to_timestamp resolves the latest ancestor at the instant") {
     val dir = create("b3")
     val nation = Tables.load(spark, sfDir, "nation")

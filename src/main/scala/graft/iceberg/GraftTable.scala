@@ -1019,7 +1019,12 @@ object GraftTable {
       val snap = Snapshot(snapId, headId, base.lastUpdatedMs + 1000,
         Some(if (replace) "overwrite" else "append"),
         Map("added-data-files" -> files.size.toString,
-          "added-records" -> files.map(_.rows).sum.toString) ++ extraSummary,
+          "added-records" -> files.map(_.rows).sum.toString) ++ extraSummary ++
+          // the stage MARKER distinguishes a genuinely staged snapshot
+          // from any other out-of-lineage snapshot whose summary merely
+          // RECORDS a wap.id (branch writes, rolled-back heads) —
+          // publish_changes publishes only marked stages
+          (if (stage) Map("wap.staged" -> "true") else Map.empty),
         Some(list), base.currentSchemaId)
       branch match {
         case None if stage => MetadataWriter.stageSnapshot(base2, snap, Some(basePath))
@@ -1296,6 +1301,7 @@ object GraftTable {
       branch: Option[String] = None)
       : OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) => {
+      refuseWapStage(base, "a row-level rewrite (COW UPDATE/MERGE)")
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
       // with `branch`, the whole replace is BRANCH-SCOPED (the WAP story
@@ -2038,8 +2044,12 @@ object GraftTable {
             .map(a => chain.filter(s => now - s.timestampMs <= a)).getOrElse(Nil)
           r.snapshotId +: (byCount ++ byAge).map(_.snapshotId)
         }.toSet
-      val newest = base.snapshots.sortBy(_.snapshotId).takeRight(keepLast)
-        .map(_.snapshotId).toSet
+      // the keepLast window covers the newest of MAIN'S LINEAGE — never
+      // raw id order: staged (wap.id) snapshots carry the highest ids,
+      // and counting them would push the CURRENT snapshot out of the
+      // window and abort the whole run. Unreferenced stages and detached
+      // rolled-back heads are exactly what expiry exists to reclaim.
+      val newest = base.lineage().take(keepLast).toSet
       val retained = base.snapshots.filter(s => newest(s.snapshotId) ||
         refRetained(s.snapshotId) ||
         olderThanMs.exists(cutoff => s.timestampMs >= cutoff))
@@ -2436,6 +2446,71 @@ object GraftTable {
     * and the staged lineage stays intact for time travel. Only `append`
     * snapshots cherry-pick — a replace/delete re-applied out of context
     * could resurrect or double-delete rows (Iceberg's restriction). */
+  /** Publish the one unpublished STAGED snapshot carrying `wapId` — the
+    * `spark.wap.id` write-audit-publish ending. The fast-forward leg
+    * (main never moved since the stage: the staged id itself becomes
+    * current, zero manifest work) re-validates from the FRESH base
+    * INSIDE the CAS closure that the staged parent is STILL the head —
+    * a concurrent commit landing between the read and the write can
+    * never be silently orphaned; it falls through to the cherry-pick
+    * re-apply instead (which carries its own in-closure guards). Only
+    * snapshots wearing the `wap.staged` marker are candidates: a branch
+    * write or rolled-back head whose summary merely RECORDS a wap.id is
+    * never publishable this way. Returns (staged id, commit result). */
+  def publishChanges(tableDir: String, wapId: String): (Long, OptimisticCommit.CommitResult) = {
+    def candidate(base: TableMetadata): Snapshot = {
+      val lin = base.lineage()
+      val picked = lin.flatMap(base.snapshot)
+        .flatMap(_.summary.get("cherry-picked-snapshot-id")).toSet
+      val matches = base.snapshots
+        .filter(s => s.summary.get("wap.id").contains(wapId) &&
+          s.summary.get("wap.staged").contains("true"))
+        // already-published stages (in main's lineage after a
+        // fast-forward publish, or recorded by the cherry-pick marker
+        // after a re-apply publish) are not candidates — publishing is
+        // idempotent only by refusal, never by double apply
+        .filterNot(s => lin.contains(s.snapshotId) ||
+          picked.contains(s.snapshotId.toString))
+      require(matches.nonEmpty,
+        s"no unpublished staged snapshot carries wap.id '$wapId'")
+      require(matches.size == 1, s"ambiguous wap.id '$wapId': snapshots " +
+        s"${matches.map(_.snapshotId).mkString(", ")} all carry it — " +
+          "publish by snapshot id via cherrypick_snapshot")
+      matches.head
+    }
+    val first = candidate(TableMetadata.parseFile(latestMetadataPath(tableDir)))
+    final class HeadAdvanced extends RuntimeException
+    try {
+      val r = OptimisticCommit.commit(tableDir, (base, basePath) => {
+        val snap = candidate(base) // re-resolved on EVERY CAS attempt
+        if (base.currentSnapshotId != snap.parentSnapshotId)
+          throw new HeadAdvanced
+        MetadataWriter.setCurrentSnapshot(base, snap.snapshotId,
+          base.lastUpdatedMs + 1000, Some(basePath))
+      })
+      (first.snapshotId, r)
+    } catch {
+      case _: HeadAdvanced => (first.snapshotId, cherrypick(tableDir, first.snapshotId))
+    }
+  }
+
+  /** Row-level and maintenance snapshot producers do NOT stage under the
+    * `spark.wap.id` flavor — only appends do (cherry-pick can only
+    * re-apply appends, so a staged edit would become unpublishable the
+    * moment main advanced). On a wap-opted table with a session wap id
+    * they refuse LOUDLY instead of silently bypassing the audit gate;
+    * the supported audit path for edits is a branch
+    * (`db.t.branch_<name>`) published by fast_forward. */
+  private def refuseWapStage(base: TableMetadata, op: String): Unit = {
+    val id = SparkSession.getActiveSession
+      .flatMap(s => Option(s.conf.get("spark.wap.id", null))).filter(_.nonEmpty)
+    require(id.isEmpty || !base.properties.get("write.wap.enabled").contains("true"),
+      s"$op does not stage under spark.wap.id (write-audit-publish staging " +
+        "covers appends only — a staged edit could not be re-applied once " +
+        "main advanced); audit edits on a branch (db.t.branch_<name>) and " +
+        "fast_forward instead, or unset spark.wap.id")
+  }
+
   def cherrypick(tableDir: String, snapshotId: Long): OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val src = base.snapshot(snapshotId).getOrElse(
@@ -2717,6 +2792,8 @@ object GraftTable {
       branch: Option[String] = None)
       : OptimisticCommit.CommitResult = {
     require(dataFiles.nonEmpty || deleteFiles.nonEmpty, "empty delta commit")
+    refuseWapStage(TableMetadata.parseFile(latestMetadataPath(tableDir)),
+      "a merge-on-read delta (DELETE/UPDATE/MERGE)")
     // v3: the task-written position-delete parquet converts to DELETION
     // VECTORS before the commit — merged with each covered file's whole
     // pending state, superseding its old DV, exactly like deleteWhere's
@@ -2885,6 +2962,7 @@ object GraftTable {
       branch: Option[String] = None): OptimisticCommit.CommitResult = {
     val metaPath0 = latestMetadataPath(tableDir)
     val meta0 = TableMetadata.parseFile(metaPath0)
+    refuseWapStage(meta0, "a pushed DELETE")
     if (meta0.formatVersion >= 3)
       return deleteWhereDv(spark, tableDir, metaPath0, meta0, predicate, branch)
     val scannedE = refHead(meta0, branch).toSeq.flatMap { snap =>

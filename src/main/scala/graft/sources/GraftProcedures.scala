@@ -376,31 +376,12 @@ object GraftProcedures {
         input => {
           val dir = dirOf(input)
           val wapId = input.getUTF8String(1).toString
-          val meta = currentMeta(dir)
-          val matches = meta.snapshots
-            .filter(_.summary.get("wap.id").contains(wapId))
-            // already-published stages (now in main's lineage after a
-            // fast-forward publish, or recorded by a cherry-pick marker
-            // after a re-apply publish) are not candidates — publishing
-            // is idempotent only by refusal, never by double-apply
-            .filterNot(s => meta.lineage().contains(s.snapshotId) ||
-              meta.lineage().flatMap(meta.snapshot).exists(
-                _.summary.get("cherry-picked-snapshot-id")
-                  .contains(s.snapshotId.toString)))
-          require(matches.nonEmpty, s"no unpublished snapshot carries " +
-            s"wap.id '$wapId'")
-          require(matches.size == 1, s"ambiguous wap.id '$wapId': " +
-            s"snapshots ${matches.map(_.snapshotId).mkString(", ")} all " +
-              "carry it — publish by snapshot id via cherrypick_snapshot")
-          val snap = matches.head
-          // main never moved since the stage → publish AS-IS (Iceberg's
-          // fast-forward case: the staged id becomes current, no new
-          // snapshot); otherwise re-apply onto the advanced head
-          val result =
-            if (meta.currentSnapshotId == snap.parentSnapshotId)
-              GraftTable.setCurrentSnapshot(dir, snap.snapshotId)
-            else GraftTable.cherrypick(dir, snap.snapshotId)
-          Seq(InternalRow(snap.snapshotId,
+          // candidate matching, the fast-forward-vs-cherry-pick decision
+          // and the parent-is-still-head check all live INSIDE the CAS
+          // closure (GraftTable.publishChanges) — a concurrent commit can
+          // never be orphaned by a stale fast-forward
+          val (stagedId, result) = GraftTable.publishChanges(dir, wapId)
+          Seq(InternalRow(stagedId,
             result.metadata.currentSnapshotId.getOrElse(0L)))
         })
       case "set_current_snapshot" => new Proc(

@@ -132,7 +132,7 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
     val conf = new graft.iceberg.SerializableHadoopConf(graft.iceberg.HadoopConfs.active())
     val meta = TableMetadata.parseFile(metadataPath)
     // Iceberg's spark.wap.id flavor of write-audit-publish, resolved at
-    // PLAN time: the id always rides the snapshot summary (the audit
+    // PLAN time: the id rides every BATCH commit's summary (the audit
     // trail); the commit is STAGE-ONLY — snapshot in the document, no
     // pointer moves, published later by publish_changes — only when the
     // table itself opted in with write.wap.enabled=true
@@ -190,6 +190,11 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
         require(!replace, "graft-table streaming writes are append-only " +
           "(complete/truncate output modes are not supported)")
+        // per-epoch staging has no publish story (each epoch would need
+        // its own publish_changes) — refuse loudly rather than silently
+        // commit what the session asked to stage
+        require(wap.forall(!_._2), "streaming writes do not stage under " +
+          "spark.wap.id — unset it, or stream onto a branch and fast_forward")
         new GraftTableStreamingWrite(tableDir, tableSchema, fields, part,
           info.queryId(), conf, writeFormat(meta))
       }

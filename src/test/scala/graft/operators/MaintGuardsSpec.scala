@@ -142,8 +142,21 @@ class MaintGuardsSpec extends SparkSpec {
       spark.sql("CALL gwap.system.publish_changes('db.t', 'w2')"))
     assert(e2.getMessage.contains("no unpublished"), e2.getMessage)
     assert(count() == 4L)
+    // row-level edits REFUSE under a staging session rather than
+    // silently bypassing the audit gate (staging covers appends only —
+    // cherry-pick could never re-apply a staged edit once main moved)
+    spark.conf.set("spark.wap.id", "w9")
+    try {
+      val de = intercept[Exception](spark.sql("DELETE FROM gwap.db.t WHERE k = 1"))
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + chain(t.getCause)
+      assert(chain(de).contains("spark.wap.id"), chain(de))
+    } finally spark.conf.unset("spark.wap.id")
+    assert(count() == 4L, "the refused DELETE must not land")
     // a table that did NOT opt in commits normally under spark.wap.id —
-    // the id still rides the summary as the audit trail
+    // the id still rides the summary as the audit trail, but WITHOUT the
+    // staged marker it is never publishable (a recorded wap.id on a
+    // normal commit or branch write must not re-land via publish)
     spark.sql("CREATE TABLE gwap.db.plain (k BIGINT)")
     spark.conf.set("spark.wap.id", "w3")
     try spark.sql("INSERT INTO gwap.db.plain VALUES (1)")
@@ -153,6 +166,21 @@ class MaintGuardsSpec extends SparkSpec {
     val plainMeta = TableMetadata.parseFile(
       GraftTable.latestMetadataPath(s"$wh/db/plain"))
     assert(plainMeta.currentSnapshot.get.summary.get("wap.id").contains("w3"))
+    assert(!plainMeta.currentSnapshot.get.summary.contains("wap.staged"))
+    val e3 = intercept[Exception](
+      spark.sql("CALL gwap.system.publish_changes('db.plain', 'w3')"))
+    assert(e3.getMessage.contains("no unpublished staged"), e3.getMessage)
+    // expiry RECLAIMS an unpublished stage: the keepLast window counts
+    // main's lineage, so the staged (highest-id) snapshot expires
+    // instead of pushing the current head out of the window
+    spark.conf.set("spark.wap.id", "w4")
+    try spark.sql("INSERT INTO gwap.db.t VALUES (5, 'e')")
+    finally spark.conf.unset("spark.wap.id")
+    spark.sql("CALL gwap.system.expire_snapshots('db.t', 1)")
+    val after = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
+    assert(!after.snapshots.exists(_.summary.get("wap.id").contains("w4")),
+      "the unpublished stage must expire")
+    assert(count() == 4L, "the retained head must keep serving its rows")
   }
 
   test("rollback_to_timestamp resolves the latest ancestor at the instant") {

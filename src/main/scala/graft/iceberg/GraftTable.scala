@@ -964,6 +964,14 @@ object GraftTable {
         "it combines with neither branch targets nor overwrite")
     OptimisticCommit.commit(tableDir, (base0, basePath) => {
       val base = evolve(base0)
+      // every NON-staging commit onto main refuses under a staging
+      // session on a wap-opted table — this catches the paths that never
+      // see the DSv2 builder's wap capture (add_files imports LAND NEW
+      // ROWS; onboarding forks; REPLACE TABLE): a session that asked to
+      // stage must never silently publish. The DSv2 batch route passes
+      // stage=true in exactly this situation, so it never trips this.
+      if (!stage && branch.isEmpty)
+        refuseWapStage(base, "this commit path (it does not stage)")
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
       // a branch append chains from the BRANCH head (falling back to
@@ -1301,7 +1309,9 @@ object GraftTable {
       branch: Option[String] = None)
       : OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) => {
-      refuseWapStage(base, "a row-level rewrite (COW UPDATE/MERGE)")
+      // branch-scoped edits stage nothing on main and bypass no audit
+      // gate — they are exactly the recommended WAP edit path
+      if (branch.isEmpty) refuseWapStage(base, "a row-level rewrite (COW UPDATE/MERGE)")
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
       // with `branch`, the whole replace is BRANCH-SCOPED (the WAP story
@@ -2052,7 +2062,13 @@ object GraftTable {
       val newest = base.lineage().take(keepLast).toSet
       val retained = base.snapshots.filter(s => newest(s.snapshotId) ||
         refRetained(s.snapshotId) ||
-        olderThanMs.exists(cutoff => s.timestampMs >= cutoff))
+        olderThanMs.exists(cutoff => s.timestampMs >= cutoff) ||
+        // an unpublished STAGE is in-flight work: keepLast-only expiry
+        // never reclaims it (off-lineage by construction, it would
+        // otherwise be reclaimable the moment it was written); AGE-based
+        // expiry (older_than_ms) is the documented reclamation path —
+        // the fresh-retain clause above already spares young stages
+        (olderThanMs.isEmpty && s.summary.get("wap.staged").contains("true")))
         .map(_.snapshotId).toSet
       val toExpire = base.snapshots.map(_.snapshotId).filterNot(retained)
       expiredIds = toExpire.toSet
@@ -2478,29 +2494,41 @@ object GraftTable {
           "publish by snapshot id via cherrypick_snapshot")
       matches.head
     }
-    val first = candidate(TableMetadata.parseFile(latestMetadataPath(tableDir)))
+    // the published id is whatever the LAST closure attempt resolved —
+    // never the pre-loop read (a same-wapId race could swap the
+    // candidate between attempts, and reporting the stale one would
+    // misname what actually published)
+    var picked = candidate(TableMetadata.parseFile(latestMetadataPath(tableDir)))
     final class HeadAdvanced extends RuntimeException
     try {
       val r = OptimisticCommit.commit(tableDir, (base, basePath) => {
         val snap = candidate(base) // re-resolved on EVERY CAS attempt
+        picked = snap
         if (base.currentSnapshotId != snap.parentSnapshotId)
           throw new HeadAdvanced
         MetadataWriter.setCurrentSnapshot(base, snap.snapshotId,
           base.lastUpdatedMs + 1000, Some(basePath))
       })
-      (first.snapshotId, r)
+      (picked.snapshotId, r)
     } catch {
-      case _: HeadAdvanced => (first.snapshotId, cherrypick(tableDir, first.snapshotId))
+      case _: HeadAdvanced =>
+        (picked.snapshotId, cherrypick(tableDir, picked.snapshotId))
     }
   }
 
-  /** Row-level and maintenance snapshot producers do NOT stage under the
-    * `spark.wap.id` flavor — only appends do (cherry-pick can only
-    * re-apply appends, so a staged edit would become unpublishable the
-    * moment main advanced). On a wap-opted table with a session wap id
-    * they refuse LOUDLY instead of silently bypassing the audit gate;
-    * the supported audit path for edits is a branch
-    * (`db.t.branch_<name>`) published by fast_forward. */
+  /** ROW-CHANGING producers other than the DSv2 batch append do NOT
+    * stage under the `spark.wap.id` flavor — only appends can publish
+    * later (cherry-pick re-applies appends only, so a staged edit would
+    * become unpublishable the moment main advanced). On a wap-opted
+    * table with a session wap id they refuse LOUDLY instead of silently
+    * bypassing the audit gate: COW rewrites, MOR deltas, pushed DELETEs,
+    * non-staging appends (add_files, onboarding forks, REPLACE TABLE)
+    * and streaming epochs (refused at the write builder). The supported
+    * audit path for edits is a branch (`db.t.branch_<name>`) published
+    * by fast_forward — branch-scoped operations skip this guard. LAYOUT-
+    * ONLY maintenance (compaction, rewrite_manifests, position-delete
+    * rewrites, expiry) commits normally: it moves no rows, so no audit
+    * gate is bypassed (i86's content gate pins that invariant). */
   private def refuseWapStage(base: TableMetadata, op: String): Unit = {
     val id = SparkSession.getActiveSession
       .flatMap(s => Option(s.conf.get("spark.wap.id", null))).filter(_.nonEmpty)
@@ -2792,8 +2820,6 @@ object GraftTable {
       branch: Option[String] = None)
       : OptimisticCommit.CommitResult = {
     require(dataFiles.nonEmpty || deleteFiles.nonEmpty, "empty delta commit")
-    refuseWapStage(TableMetadata.parseFile(latestMetadataPath(tableDir)),
-      "a merge-on-read delta (DELETE/UPDATE/MERGE)")
     // v3: the task-written position-delete parquet converts to DELETION
     // VECTORS before the commit — merged with each covered file's whole
     // pending state, superseding its old DV, exactly like deleteWhere's
@@ -2801,6 +2827,11 @@ object GraftTable {
     // after the commit wins; a crash leaves orphans for the sweep, never
     // a corrupt table).
     val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    // branch-scoped edits are the recommended WAP edit path — only a
+    // main-targeting delta refuses under a staging session (one guard on
+    // the ALREADY-parsed metadata; the CAS closure re-parses regardless)
+    if (branch.isEmpty) refuseWapStage(meta0,
+      "a merge-on-read delta (DELETE/UPDATE/MERGE)")
     val v3Dv = meta0.formatVersion >= 3 && deleteFiles.nonEmpty
     val spark = if (v3Dv) SparkSession.active else null
     val dvAttempt = java.util.UUID.randomUUID()
@@ -2962,7 +2993,7 @@ object GraftTable {
       branch: Option[String] = None): OptimisticCommit.CommitResult = {
     val metaPath0 = latestMetadataPath(tableDir)
     val meta0 = TableMetadata.parseFile(metaPath0)
-    refuseWapStage(meta0, "a pushed DELETE")
+    if (branch.isEmpty) refuseWapStage(meta0, "a pushed DELETE")
     if (meta0.formatVersion >= 3)
       return deleteWhereDv(spark, tableDir, metaPath0, meta0, predicate, branch)
     val scannedE = refHead(meta0, branch).toSeq.flatMap { snap =>

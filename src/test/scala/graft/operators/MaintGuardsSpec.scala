@@ -170,16 +170,25 @@ class MaintGuardsSpec extends SparkSpec {
     val e3 = intercept[Exception](
       spark.sql("CALL gwap.system.publish_changes('db.plain', 'w3')"))
     assert(e3.getMessage.contains("no unpublished staged"), e3.getMessage)
-    // expiry RECLAIMS an unpublished stage: the keepLast window counts
-    // main's lineage, so the staged (highest-id) snapshot expires
-    // instead of pushing the current head out of the window
+    // expiry vs stages: the keepLast window counts MAIN'S LINEAGE (a
+    // staged snapshot's high id must not push the current head out of
+    // the window), keepLast-only expiry RETAINS in-flight stages (work
+    // someone is about to publish is not reclaimable the moment it
+    // lands), and AGE-based expiry is the documented reclamation path
     spark.conf.set("spark.wap.id", "w4")
     try spark.sql("INSERT INTO gwap.db.t VALUES (5, 'e')")
     finally spark.conf.unset("spark.wap.id")
     spark.sql("CALL gwap.system.expire_snapshots('db.t', 1)")
+    val mid = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
+    assert(mid.snapshots.exists(s => s.summary.get("wap.id").contains("w4") &&
+      s.summary.get("wap.staged").contains("true")),
+      "keepLast-only expiry must retain the in-flight stage")
+    assert(count() == 4L, "the retained head must keep serving its rows")
+    spark.sql("CALL gwap.system.expire_snapshots('db.t', 1, " +
+      s"${System.currentTimeMillis() + 86400000L})")
     val after = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
     assert(!after.snapshots.exists(_.summary.get("wap.id").contains("w4")),
-      "the unpublished stage must expire")
+      "age-based expiry must reclaim the unpublished stage")
     assert(count() == 4L, "the retained head must keep serving its rows")
   }
 

@@ -688,6 +688,10 @@ object GraftTable {
   def addFiles(spark: SparkSession, tableDir: String, sourceDir: String,
       format: String = "parquet"): OptimisticCommit.CommitResult = {
     val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    // checked BEFORE the graft.metrics stamp-clearing commit below: a
+    // refused import must leave the table exactly as it found it, not
+    // downgrade its stats exactness while adding nothing
+    refuseWapStage(meta0, "an add_files import")
     val fmt = format.toUpperCase
     require(fmt == "PARQUET" || fmt == "AVRO" || fmt == "ORC",
       s"add_files supports parquet, orc and avro, not $format")
@@ -775,6 +779,10 @@ object GraftTable {
   def snapshotTable(sourceDir: String, targetDir: String,
       timestampMs: Option[Long] = None): OptimisticCommit.CommitResult = {
     val src = TableMetadata.parseFile(latestMetadataPath(sourceDir))
+    // the fork inherits src.properties (write.wap.enabled included) —
+    // checked BEFORE create() so a refusal never leaves a half-created
+    // snapshot-less fork directory behind
+    refuseWapStage(src.properties, "a snapshot fork")
     require(currentEntries(src, 1).isEmpty,
       "source table has pending delete files — run " +
         "rewrite_data_files to materialize them before snapshotting")
@@ -963,15 +971,19 @@ object GraftTable {
       "a wap.id staged commit is an invisible append onto main's lineage — " +
         "it combines with neither branch targets nor overwrite")
     OptimisticCommit.commit(tableDir, (base0, basePath) => {
-      val base = evolve(base0)
       // every NON-staging commit onto main refuses under a staging
       // session on a wap-opted table — this catches the paths that never
       // see the DSv2 builder's wap capture (add_files imports LAND NEW
       // ROWS; onboarding forks; REPLACE TABLE): a session that asked to
       // stage must never silently publish. The DSv2 batch route passes
       // stage=true in exactly this situation, so it never trips this.
+      // The check runs on base0 — the table AS IT STANDS: REPLACE's
+      // evolve REPLACES properties, and judging by the post-replace
+      // props would let a staging session silently overwrite a
+      // wap-opted table just by omitting the property.
       if (!stage && branch.isEmpty)
-        refuseWapStage(base, "this commit path (it does not stage)")
+        refuseWapStage(base0, "this commit path (it does not stage)")
+      val base = evolve(base0)
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
       // a branch append chains from the BRANCH head (falling back to
@@ -2059,16 +2071,26 @@ object GraftTable {
       // and counting them would push the CURRENT snapshot out of the
       // window and abort the whole run. Unreferenced stages and detached
       // rolled-back heads are exactly what expiry exists to reclaim.
-      val newest = base.lineage().take(keepLast).toSet
+      val lin = base.lineage()
+      val newest = lin.take(keepLast).toSet
+      // an UNPUBLISHED stage is in-flight work: keepLast-only expiry
+      // never reclaims it (off-lineage by construction, it would
+      // otherwise be reclaimable the moment it was written); AGE-based
+      // expiry (older_than_ms) is the documented reclamation path — its
+      // fresh-retain clause already spares young stages. A PUBLISHED
+      // stage (in the lineage after a fast-forward publish, or recorded
+      // by the cherry-pick marker after a re-apply) gets no such pass,
+      // or keepLast expiry could never reclaim it at all.
+      val pickedMarkers = lin.flatMap(base.snapshot)
+        .flatMap(_.summary.get("cherry-picked-snapshot-id")).toSet
+      def unpublishedStage(s: Snapshot): Boolean =
+        s.summary.get("wap.staged").contains("true") &&
+          !lin.contains(s.snapshotId) &&
+          !pickedMarkers.contains(s.snapshotId.toString)
       val retained = base.snapshots.filter(s => newest(s.snapshotId) ||
         refRetained(s.snapshotId) ||
         olderThanMs.exists(cutoff => s.timestampMs >= cutoff) ||
-        // an unpublished STAGE is in-flight work: keepLast-only expiry
-        // never reclaims it (off-lineage by construction, it would
-        // otherwise be reclaimable the moment it was written); AGE-based
-        // expiry (older_than_ms) is the documented reclamation path —
-        // the fresh-retain clause above already spares young stages
-        (olderThanMs.isEmpty && s.summary.get("wap.staged").contains("true")))
+        (olderThanMs.isEmpty && unpublishedStage(s)))
         .map(_.snapshotId).toSet
       val toExpire = base.snapshots.map(_.snapshotId).filterNot(retained)
       expiredIds = toExpire.toSet
@@ -2529,10 +2551,13 @@ object GraftTable {
     * ONLY maintenance (compaction, rewrite_manifests, position-delete
     * rewrites, expiry) commits normally: it moves no rows, so no audit
     * gate is bypassed (i86's content gate pins that invariant). */
-  private def refuseWapStage(base: TableMetadata, op: String): Unit = {
+  private def refuseWapStage(base: TableMetadata, op: String): Unit =
+    refuseWapStage(base.properties, op)
+
+  private def refuseWapStage(props: Map[String, String], op: String): Unit = {
     val id = SparkSession.getActiveSession
       .flatMap(s => Option(s.conf.get("spark.wap.id", null))).filter(_.nonEmpty)
-    require(id.isEmpty || !base.properties.get("write.wap.enabled").contains("true"),
+    require(id.isEmpty || !props.get("write.wap.enabled").contains("true"),
       s"$op does not stage under spark.wap.id (write-audit-publish staging " +
         "covers appends only — a staged edit could not be re-applied once " +
         "main advanced); audit edits on a branch (db.t.branch_<name>) and " +

@@ -435,7 +435,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new StagedGraftTable(fullName(ident), GraftTable.latestMetadataPath(dir),
       onCommit = files => {
         val live = dropEmpty(files)
-        if (live.nonEmpty) GraftTableWrites.commit(dir, live)
+        if (live.nonEmpty) {
+          // CTAS under a staging session: when the NEW table opts into
+          // WAP, its initial snapshot stages like any other append (the
+          // table is created, its rows invisible until publish_changes)
+          // — this wrapper bypasses the inner builder's wap capture, so
+          // the decision re-derives here from the CREATE's properties
+          val wapId = org.apache.spark.sql.SparkSession.getActiveSession
+            .flatMap(s => Option(s.conf.get("spark.wap.id", null)))
+            .filter(_.nonEmpty)
+          val opted = Option(properties.get("write.wap.enabled")).contains("true")
+          GraftTableWrites.commit(dir, live,
+            extraSummary = wapId.map("wap.id" -> _).toMap,
+            stage = wapId.isDefined && opted)
+        }
       },
       onAbort = _ => dropTable(ident))
   }

@@ -142,17 +142,40 @@ class MaintGuardsSpec extends SparkSpec {
       spark.sql("CALL gwap.system.publish_changes('db.t', 'w2')"))
     assert(e2.getMessage.contains("no unpublished"), e2.getMessage)
     assert(count() == 4L)
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + chain(t.getCause)
     // row-level edits REFUSE under a staging session rather than
     // silently bypassing the audit gate (staging covers appends only —
     // cherry-pick could never re-apply a staged edit once main moved)
     spark.conf.set("spark.wap.id", "w9")
     try {
       val de = intercept[Exception](spark.sql("DELETE FROM gwap.db.t WHERE k = 1"))
-      def chain(t: Throwable): String =
-        if (t == null) "" else t.getMessage + chain(t.getCause)
       assert(chain(de).contains("spark.wap.id"), chain(de))
     } finally spark.conf.unset("spark.wap.id")
     assert(count() == 4L, "the refused DELETE must not land")
+    // REPLACE TABLE refuses too — and the guard judges the table AS IT
+    // STANDS, so omitting write.wap.enabled from the REPLACE's own
+    // properties cannot sneak a full-table overwrite past the gate
+    spark.conf.set("spark.wap.id", "w8")
+    try {
+      val re = intercept[Exception](spark.sql(
+        "REPLACE TABLE gwap.db.t AS SELECT CAST(9 AS BIGINT) AS k, 'z' AS v"))
+      assert(chain(re).contains("spark.wap.id"), chain(re))
+    } finally spark.conf.unset("spark.wap.id")
+    assert(count() == 4L, "the refused REPLACE must not land")
+    // atomic CTAS under a staging session: a NEW table that opts into
+    // WAP is created with its initial rows STAGED (visible only after
+    // publish) — the staged-create wrapper re-derives the decision the
+    // direct INSERT route captures in its write builder
+    spark.conf.set("spark.wap.id", "w7")
+    try spark.sql("""CREATE TABLE gwap.db.ctas
+      TBLPROPERTIES('write.wap.enabled'='true')
+      AS SELECT CAST(1 AS BIGINT) AS k, 'a' AS v""")
+    finally spark.conf.unset("spark.wap.id")
+    assert(spark.sql("SELECT COUNT(*) FROM gwap.db.ctas").head().getLong(0) == 0L,
+      "CTAS rows must stage, not publish")
+    spark.sql("CALL gwap.system.publish_changes('db.ctas', 'w7')")
+    assert(spark.sql("SELECT COUNT(*) FROM gwap.db.ctas").head().getLong(0) == 1L)
     // a table that did NOT opt in commits normally under spark.wap.id —
     // the id still rides the summary as the audit trail, but WITHOUT the
     // staged marker it is never publishable (a recorded wap.id on a
@@ -183,6 +206,10 @@ class MaintGuardsSpec extends SparkSpec {
     assert(mid.snapshots.exists(s => s.summary.get("wap.id").contains("w4") &&
       s.summary.get("wap.staged").contains("true")),
       "keepLast-only expiry must retain the in-flight stage")
+    // ...but a PUBLISHED stage gets no retention pass (w2 landed via the
+    // cherry-pick re-apply; its marker alone must not pin it forever)
+    assert(!mid.snapshots.exists(_.summary.get("wap.id").contains("w2")),
+      "a published stage is ordinary history — keepLast expiry reclaims it")
     assert(count() == 4L, "the retained head must keep serving its rows")
     spark.sql("CALL gwap.system.expire_snapshots('db.t', 1, " +
       s"${System.currentTimeMillis() + 86400000L})")

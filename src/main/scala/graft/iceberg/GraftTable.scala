@@ -688,9 +688,12 @@ object GraftTable {
   def addFiles(spark: SparkSession, tableDir: String, sourceDir: String,
       format: String = "parquet"): OptimisticCommit.CommitResult = {
     val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
-    // checked BEFORE the graft.metrics stamp-clearing commit below: a
-    // refused import must leave the table exactly as it found it, not
-    // downgrade its stats exactness while adding nothing
+    // checked BEFORE the graft.metrics stamp-clearing commit below so
+    // the COMMON refusal leaves the table untouched. The in-closure
+    // guard inside commitAppendFiles stays authoritative: a concurrent
+    // opt-in landing between the two commits can still refuse after the
+    // stamp cleared — conservative (a stamp-less table is merely
+    // unservable for stats-pushdown, never wrong).
     refuseWapStage(meta0, "an add_files import")
     val fmt = format.toUpperCase
     require(fmt == "PARQUET" || fmt == "AVRO" || fmt == "ORC",
@@ -977,13 +980,19 @@ object GraftTable {
       // ROWS; onboarding forks; REPLACE TABLE): a session that asked to
       // stage must never silently publish. The DSv2 batch route passes
       // stage=true in exactly this situation, so it never trips this.
-      // The check runs on base0 — the table AS IT STANDS: REPLACE's
-      // evolve REPLACES properties, and judging by the post-replace
-      // props would let a staging session silently overwrite a
-      // wap-opted table just by omitting the property.
+      // The check covers BOTH sides of a property evolution: base0 (the
+      // table AS IT STANDS — REPLACE's property replacement must not
+      // sneak an overwrite past a wap-opted table just by omitting the
+      // property) AND the evolved result (a REPLACE that INTRODUCES
+      // write.wap.enabled under a staging session must not publish the
+      // very rows the new contract says to stage).
       if (!stage && branch.isEmpty)
         refuseWapStage(base0, "this commit path (it does not stage)")
       val base = evolve(base0)
+      if (!stage && branch.isEmpty && (base.properties ne base0.properties))
+        refuseWapStage(base.properties,
+          "this commit path (the table definition it installs opts into WAP " +
+            "but the rows would publish, not stage)")
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
       // a branch append chains from the BRANCH head (falling back to
@@ -2073,19 +2082,22 @@ object GraftTable {
       // rolled-back heads are exactly what expiry exists to reclaim.
       val lin = base.lineage()
       val newest = lin.take(keepLast).toSet
+      val linSet = lin.toSet
       // an UNPUBLISHED stage is in-flight work: keepLast-only expiry
       // never reclaims it (off-lineage by construction, it would
       // otherwise be reclaimable the moment it was written); AGE-based
       // expiry (older_than_ms) is the documented reclamation path — its
       // fresh-retain clause already spares young stages. A PUBLISHED
-      // stage (in the lineage after a fast-forward publish, or recorded
-      // by the cherry-pick marker after a re-apply) gets no such pass,
-      // or keepLast expiry could never reclaim it at all.
-      val pickedMarkers = lin.flatMap(base.snapshot)
+      // stage (durable wap.published stamp, lineage membership, or the
+      // cherry-pick marker) gets no such pass, or keepLast expiry could
+      // never reclaim it at all. Markers computed lazily: age-based runs
+      // never consult them.
+      lazy val pickedMarkers = lin.flatMap(base.snapshot)
         .flatMap(_.summary.get("cherry-picked-snapshot-id")).toSet
       def unpublishedStage(s: Snapshot): Boolean =
         s.summary.get("wap.staged").contains("true") &&
-          !lin.contains(s.snapshotId) &&
+          !s.summary.contains("wap.published") &&
+          !linSet.contains(s.snapshotId) &&
           !pickedMarkers.contains(s.snapshotId.toString)
       val retained = base.snapshots.filter(s => newest(s.snapshotId) ||
         refRetained(s.snapshotId) ||
@@ -2503,11 +2515,13 @@ object GraftTable {
       val matches = base.snapshots
         .filter(s => s.summary.get("wap.id").contains(wapId) &&
           s.summary.get("wap.staged").contains("true"))
-        // already-published stages (in main's lineage after a
-        // fast-forward publish, or recorded by the cherry-pick marker
-        // after a re-apply publish) are not candidates — publishing is
-        // idempotent only by refusal, never by double apply
-        .filterNot(s => lin.contains(s.snapshotId) ||
+        // already-published stages are not candidates — publishing is
+        // idempotent only by refusal, never by double apply. The durable
+        // wap.published stamp is the primary record (it survives marker
+        // expiry and rollbacks past the published head); lineage
+        // membership and the cherry-pick marker back it up.
+        .filterNot(s => s.summary.contains("wap.published") ||
+          lin.contains(s.snapshotId) ||
           picked.contains(s.snapshotId.toString))
       require(matches.nonEmpty,
         s"no unpublished staged snapshot carries wap.id '$wapId'")
@@ -2528,8 +2542,14 @@ object GraftTable {
         picked = snap
         if (base.currentSnapshotId != snap.parentSnapshotId)
           throw new HeadAdvanced
-        MetadataWriter.setCurrentSnapshot(base, snap.snapshotId,
+        val moved = MetadataWriter.setCurrentSnapshot(base, snap.snapshotId,
           base.lastUpdatedMs + 1000, Some(basePath))
+        // the DURABLE publication stamp (same rationale as cherrypick's):
+        // lineage membership rots if main later rolls past this head —
+        // without the stamp the stage would revert to "unpublished"
+        moved.copy(snapshots = moved.snapshots.map(s =>
+          if (s.snapshotId == snap.snapshotId)
+            s.copy(summary = s.summary + ("wap.published" -> "true")) else s))
       })
       (picked.snapshotId, r)
     } catch {
@@ -2551,13 +2571,19 @@ object GraftTable {
     * ONLY maintenance (compaction, rewrite_manifests, position-delete
     * rewrites, expiry) commits normally: it moves no rows, so no audit
     * gate is bypassed (i86's content gate pins that invariant). */
+  /** The session's write-audit-publish id, when one is set. The ONE
+    * extraction point — the write builder's staging capture, the CTAS
+    * wrapper's re-derivation, and the refusal guard must always agree
+    * on what counts as "a staging session". */
+  private[graft] def sessionWapId: Option[String] =
+    SparkSession.getActiveSession
+      .flatMap(s => Option(s.conf.get("spark.wap.id", null))).filter(_.nonEmpty)
+
   private def refuseWapStage(base: TableMetadata, op: String): Unit =
     refuseWapStage(base.properties, op)
 
   private def refuseWapStage(props: Map[String, String], op: String): Unit = {
-    val id = SparkSession.getActiveSession
-      .flatMap(s => Option(s.conf.get("spark.wap.id", null))).filter(_.nonEmpty)
-    require(id.isEmpty || !props.get("write.wap.enabled").contains("true"),
+    require(sessionWapId.isEmpty || !props.get("write.wap.enabled").contains("true"),
       s"$op does not stage under spark.wap.id (write-audit-publish staging " +
         "covers appends only — a staged edit could not be re-applied once " +
         "main advanced); audit edits on a branch (db.t.branch_<name>) and " +
@@ -2620,7 +2646,17 @@ object GraftTable {
               s.lower.getOrElse(Array.empty), s.upper.getOrElse(Array.empty)))) },
         seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
         minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
-      MetadataWriter.commitSnapshot(base,
+      // a cherry-picked STAGE gets a DURABLE publication stamp on the
+      // stage itself: the lineage-membership and marker checks both rot
+      // once the marker snapshot expires or main rolls past it — without
+      // the stamp an old published stage would revert to "unpublished",
+      // pinned forever by keepLast expiry and re-publishable (row
+      // duplication). Mutating the staged snapshot's summary is safe:
+      // nothing references an off-lineage stage.
+      val stamped = base.copy(snapshots = base.snapshots.map(s =>
+        if (s.snapshotId == snapshotId && s.summary.contains("wap.staged"))
+          s.copy(summary = s.summary + ("wap.published" -> "true")) else s))
+      MetadataWriter.commitSnapshot(stamped,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("append"),
           Map("added-data-files" -> nAdded.toString,

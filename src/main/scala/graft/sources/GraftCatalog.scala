@@ -441,9 +441,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // table is created, its rows invisible until publish_changes)
           // — this wrapper bypasses the inner builder's wap capture, so
           // the decision re-derives here from the CREATE's properties
-          val wapId = org.apache.spark.sql.SparkSession.getActiveSession
-            .flatMap(s => Option(s.conf.get("spark.wap.id", null)))
-            .filter(_.nonEmpty)
+          val wapId = GraftTable.sessionWapId
           val opted = Option(properties.get("write.wap.enabled")).contains("true")
           GraftTableWrites.commit(dir, live,
             extraSummary = wapId.map("wap.id" -> _).toMap,

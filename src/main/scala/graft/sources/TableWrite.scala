@@ -136,8 +136,7 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
     // trail); the commit is STAGE-ONLY — snapshot in the document, no
     // pointer moves, published later by publish_changes — only when the
     // table itself opted in with write.wap.enabled=true
-    val wap = Option(org.apache.spark.sql.SparkSession.active.conf
-        .get("spark.wap.id", null)).filter(_.nonEmpty)
+    val wap = GraftTable.sessionWapId
       .map(id => (id, meta.properties.get("write.wap.enabled").contains("true")))
     require(wap.forall(!_._2) || (branch.isEmpty && !replace),
       "a wap.id staged commit is an invisible append onto main's lineage — " +

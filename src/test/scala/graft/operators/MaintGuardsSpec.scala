@@ -123,6 +123,12 @@ class MaintGuardsSpec extends SparkSpec {
     spark.sql("CALL gwap.system.publish_changes('db.t', 'w1')")
     assert(current() == staged.snapshotId, "fast-forward publish keeps the id")
     assert(count() == 2L)
+    // the publish stamps the stage DURABLY (wap.published): lineage
+    // membership and the cherry-pick marker both rot (a rollback past
+    // this head, an expired marker) — the stamp is what keeps an old
+    // published stage from reverting to publishable/pinned-forever
+    assert(TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
+      .snapshot(staged.snapshotId).get.summary.contains("wap.published"))
     // stage again, then ADVANCE main before publishing: the publish must
     // re-apply (cherry-pick case — a NEW snapshot id)
     spark.conf.set("spark.wap.id", "w2")
@@ -134,6 +140,9 @@ class MaintGuardsSpec extends SparkSpec {
     spark.sql("CALL gwap.system.publish_changes('db.t', 'w2')")
     assert(current() != staged2.snapshotId, "advanced-head publish re-applies")
     assert(count() == 4L)
+    assert(TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
+      .snapshot(staged2.snapshotId).get.summary.contains("wap.published"),
+      "the cherry-pick publish stamps the stage durably too")
     // publishing either id again refuses — never a double apply
     val e1 = intercept[Exception](
       spark.sql("CALL gwap.system.publish_changes('db.t', 'w1')"))

@@ -2542,14 +2542,10 @@ object GraftTable {
         picked = snap
         if (base.currentSnapshotId != snap.parentSnapshotId)
           throw new HeadAdvanced
-        val moved = MetadataWriter.setCurrentSnapshot(base, snap.snapshotId,
+        // setCurrentSnapshot itself stamps the stage wap.published —
+        // the durable record both the candidate filter and expiry trust
+        MetadataWriter.setCurrentSnapshot(base, snap.snapshotId,
           base.lastUpdatedMs + 1000, Some(basePath))
-        // the DURABLE publication stamp (same rationale as cherrypick's):
-        // lineage membership rots if main later rolls past this head —
-        // without the stamp the stage would revert to "unpublished"
-        moved.copy(snapshots = moved.snapshots.map(s =>
-          if (s.snapshotId == snap.snapshotId)
-            s.copy(summary = s.summary + ("wap.published" -> "true")) else s))
       })
       (picked.snapshotId, r)
     } catch {
@@ -2576,7 +2572,11 @@ object GraftTable {
     * wrapper's re-derivation, and the refusal guard must always agree
     * on what counts as "a staging session". */
   private[graft] def sessionWapId: Option[String] =
-    SparkSession.getActiveSession
+    // active-or-default, like SparkSession.active (a write triggered
+    // from a thread that never inherited the thread-local session must
+    // still see the wap id the user set) — but without throwing when no
+    // session exists at all (pure-metadata callers)
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .flatMap(s => Option(s.conf.get("spark.wap.id", null))).filter(_.nonEmpty)
 
   private def refuseWapStage(base: TableMetadata, op: String): Unit =
@@ -2596,6 +2596,13 @@ object GraftTable {
         throw new IllegalArgumentException(s"no such snapshot $snapshotId"))
       require(src.operation.forall(_ == "append"),
         s"only append snapshots can cherry-pick; $snapshotId is ${src.operation}")
+      // the DURABLE stamp outlives the lineage/marker guards below (a
+      // rollback past the marker snapshot blinds them both) — a
+      // published stage must never re-apply through the direct
+      // cherrypick_snapshot procedure either
+      require(!src.summary.contains("wap.published"),
+        s"snapshot $snapshotId was already published (wap.published) — " +
+          "re-applying it would duplicate its rows")
       // a snapshot already reachable from main's head contributed its
       // rows to the current state — re-applying its manifests would
       // silently DUPLICATE them (Iceberg refuses with "already an

@@ -90,7 +90,18 @@ object MetadataWriter {
       s"cannot move to unknown snapshot $snapshotId")
     require(!base.currentSnapshotId.contains(snapshotId),
       s"snapshot $snapshotId is already current")
+    // moving onto a STAGED snapshot IS its publication — stamp it
+    // durably (wap.published) no matter which caller routes here
+    // (publish_changes' fast-forward leg, or a direct
+    // set_current_snapshot): lineage membership rots on a later
+    // rollback, and an unstamped published stage would revert to
+    // re-publishable (row duplication) and pinned-forever under
+    // keepLast expiry
+    val stamped = base.snapshots.map(s =>
+      if (s.snapshotId == snapshotId && s.summary.contains("wap.staged"))
+        s.copy(summary = s.summary + ("wap.published" -> "true")) else s)
     base.copy(
+      snapshots = stamped,
       lastUpdatedMs = timestampMs,
       currentSnapshotId = Some(snapshotId),
       refs = {

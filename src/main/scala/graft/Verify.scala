@@ -43,12 +43,17 @@ object Verify {
       case c => c.toString
     } + "\""
     // Golden VALUES oracles that pin sf0.01 table content only apply at
-    // that scale — at any other sfDir they'd guarantee a hash mismatch, so
-    // drop them and let the driver record the weaker rows-only check.
+    // that scale — at any other sfDir they'd guarantee a hash mismatch.
+    // Fall back to the recompute SQL where one exists (e.g. i86's four
+    // aggregates recompute from orders at any sf); entries with no
+    // recompute degrade to the driver's weaker rows-only check.
     val atSf001 = sfDir.replaceAll("/+$", "").endsWith("sf0.01")
     val oracle =
       if (atSf001) SparkEntry.oracleSql
-      else SparkEntry.oracleSql -- graft.operators.GoldenOracles.sf001Only
+      else SparkEntry.oracleSql --
+        graft.operators.GoldenOracles.sf001Only ++
+        SparkEntry.recomputeOracles.view
+          .filterKeys(graft.operators.GoldenOracles.sf001Only).toMap
     val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

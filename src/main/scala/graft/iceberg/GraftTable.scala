@@ -2191,6 +2191,31 @@ object GraftTable {
     // for the engine-internal NDV only). Only partitions × cols compact
     // KB-scale sketches plus the counters reach the driver — no shuffle,
     // and ANALYZE on the 100 TB table reads its bytes exactly once.
+    val (rowCount, nulls, sawEmptyArr, sketches) = statsPass(spark, df, typed)
+    val sawEmptyIds = typed.zipWithIndex
+      .collect { case ((f, _), j) if sawEmptyArr(j) => f.id }.toSet
+    val doc = TableStats.Doc(snapId, rowCount,
+      typed.zipWithIndex.map { case ((f, _), j) =>
+        f.id -> TableStats.ColumnStats(
+          sketchNdv(sketches(j), sawEmptyArr(j)), Some(nulls(j))) }.toMap)
+    // the STANDARD blob is written only for columns whose values HAVE a
+    // spec single-value serialization — a foreign reader can union them
+    val thetaSketches: Map[Int, Array[Byte]] = typed.zipWithIndex
+      .filter { case ((_, t), _) => TableStats.thetaSupported(t) }
+      .map { case ((f, _), j) => f.id -> sketches(j) }.toMap
+    (commitStatsDoc(tableDir, snapId, doc, thetaSketches, sawEmptyIds), doc)
+  }
+
+  /** ONE partition-parallel pass over `df`'s `typed` columns: exact row
+    * count, exact null counts, per-column empty-bytes presence, and one
+    * cross-partition-unioned compact theta sketch per column — values
+    * hashed through their Iceberg single-value serialization (the
+    * puffin-spec contract that makes foreign unions meaningful). Only
+    * partitions × cols compact KB-scale sketches plus the counters reach
+    * the driver — no shuffle, and the input's bytes are read once. */
+  private def statsPass(spark: SparkSession, df: DataFrame,
+      typed: Seq[(IcebergField, IcebergType)])
+      : (Long, Array[Long], Array[Boolean], Array[Array[Byte]]) = {
     import spark.implicits._
     val types = typed.map(_._2).toArray
     val n = types.length
@@ -2222,27 +2247,35 @@ object GraftTable {
             sks.map(_.compact().toByteArray).toSeq))
         }.collect()
     val rowCount = partials.map(_._1).sum
-    val unioned: Seq[(Int, Array[Byte], Long, Long, IcebergType)] =
-      typed.zipWithIndex.map { case ((f, t), j) =>
-        val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
-        partials.foreach(p => u.union(org.apache.datasketches.theta.Sketches
-          .wrapSketch(org.apache.datasketches.memory.Memory.wrap(p._4(j)))))
-        val res = u.getResult(true, null)
-        val sawEmpty = partials.exists(_._3(j) > 0L)
-        (f.id, res.toByteArray,
-          Math.round(res.getEstimate) + (if (sawEmpty) 1L else 0L),
-          partials.map(_._2(j)).sum, t)
-      }
-    val doc = TableStats.Doc(snapId, rowCount,
-      unioned.map { case (fid, _, ndv, nulls, _) =>
-        fid -> TableStats.ColumnStats(ndv, Some(nulls)) }.toMap)
-    // the STANDARD blob is written only for columns whose values HAVE a
-    // spec single-value serialization — a foreign reader can union them
-    val thetaSketches: Map[Int, Array[Byte]] = unioned
-      .filter { case (_, _, _, _, t) => TableStats.thetaSupported(t) }
-      .map { case (fid, bytes, _, _, _) => fid -> bytes }.toMap
+    val nullSums = Array.tabulate(n)(j => partials.map(_._2(j)).sum)
+    val sawEmpty = Array.tabulate(n)(j => partials.exists(_._3(j) > 0L))
+    val unioned = Array.tabulate(n)(j => unionSketches(partials.map(_._4(j))))
+    (rowCount, nullSums, sawEmpty, unioned)
+  }
+
+  private def unionSketches(bodies: Seq[Array[Byte]]): Array[Byte] = {
+    val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+    bodies.foreach(b => u.union(org.apache.datasketches.theta.Sketches
+      .wrapSketch(org.apache.datasketches.memory.Memory.wrap(b))))
+    u.getResult(true, null).toByteArray
+  }
+
+  /** The engine NDV from a compact sketch body: the estimate plus the +1
+    * for the empty-bytes value the sketch body cannot represent. */
+  private def sketchNdv(body: Array[Byte], sawEmpty: Boolean): Long =
+    Math.round(org.apache.datasketches.theta.Sketches.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(body)).getEstimate) +
+      (if (sawEmpty) 1L else 0L)
+
+  /** Write the statistics Puffin and CAS it into the metadata
+    * `statistics` list, replacing any prior entry for the snapshot and
+    * reclaiming the replaced blob only after the commit wins (a crash in
+    * between leaves a reclaimable orphan, never a dangling reference). */
+  private def commitStatsDoc(tableDir: String, snapId: Long,
+      doc: TableStats.Doc, thetaSketches: Map[Int, Array[Byte]],
+      sawEmpty: Set[Int]): OptimisticCommit.CommitResult = {
     val path = s"$tableDir/stats-$snapId-${java.util.UUID.randomUUID()}.puffin"
-    val size = TableStats.write(path, doc, thetaSketches)
+    val size = TableStats.write(path, doc, thetaSketches, sawEmpty)
     var replaced: Seq[String] = Nil
     val result = OptimisticCommit.commit(tableDir, (base, basePath) => {
       replaced = base.statistics.filter(_.snapshotId == snapId).map(_.path)
@@ -2252,12 +2285,86 @@ object GraftTable {
         lastUpdatedMs = base.lastUpdatedMs + 1000,
         metadataLog = base.metadataLog :+ MetadataLogEntry(base.lastUpdatedMs, basePath))
     })
-    // a re-analysis REPLACED the snapshot's entry: reclaim the old blob
-    // only after the commit wins (a crash in between leaves a reclaimable
-    // orphan, never a dangling reference)
     replaced.foreach(p =>
       HadoopConfs.fileSystemFor(p).delete(new org.apache.hadoop.fs.Path(p), false))
-    (result, doc)
+    result
+  }
+
+  /** INCREMENTAL ANALYZE: stats refresh after an append should cost
+    * O(new bytes), not O(table). When the current snapshot has an
+    * ANCESTOR with an engine-written statistics document and every
+    * snapshot in between is a plain `append`, the refresh scans ONLY the
+    * files those appends added, unions the new theta sketches with the
+    * previous document's standard blobs (the union-compatibility the
+    * spec's single-value hash input exists for), and SUMS the exact
+    * row/null counts — old data bytes are never re-read. At 100 TB this
+    * is the difference between a per-ingest stats refresh and a nightly
+    * full rescan.
+    *
+    * Falls back to the full one-scan recompute (returned Boolean false)
+    * whenever the incremental path cannot be exact: no ancestor stats,
+    * a non-append snapshot in between (deletes/overwrites/compaction —
+    * a theta union cannot subtract), a sketchable-column-set change
+    * (schema evolution redefines what old files contribute), a column
+    * without a standard sketch body (geo), a foreign document without
+    * null counts, or non-parquet appended files. */
+  def computeTableStatsIncremental(spark: SparkSession, tableDir: String)
+      : (OptimisticCommit.CommitResult, TableStats.Doc, Boolean) = {
+    def full() = {
+      val (r, d) = computeTableStats(spark, tableDir); (r, d, false)
+    }
+    val metaPath = latestMetadataPath(tableDir)
+    val meta = TableMetadata.parseFile(metaPath)
+    val snapId = meta.currentSnapshotId.getOrElse(
+      throw new IllegalArgumentException("cannot analyze a table with no snapshot"))
+    // ancestry, newest → oldest; the anchor is the NEAREST ancestor
+    // carrying a statistics document
+    val chain = Iterator.iterate(meta.snapshot(snapId))(
+        _.flatMap(_.parentSnapshotId).flatMap(meta.snapshot))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+    val statsBySnap = meta.statistics.map(s => s.snapshotId -> s).toMap
+    val anchorIdx = chain.indexWhere(s => statsBySnap.contains(s.snapshotId))
+    if (anchorIdx < 0) return full()
+    val anchor = chain(anchorIdx)
+    val between = chain.take(anchorIdx) // strictly after the anchor
+    if (!between.forall(_.operation.contains("append"))) return full()
+    val typed = meta.currentSchema.fields
+      .flatMap(f => IcebergTypes.fromStringOpt(f.fieldType).map(t => (f, t)))
+      .filter { case (_, t) => TableStats.sketchable(t) }
+    if (typed.exists { case (_, t) => !TableStats.thetaSupported(t) })
+      return full()
+    val (prevDoc, prevBodies, prevEmpty) =
+      try TableStats.readWithSketches(statsBySnap(anchor.snapshotId).path)
+      catch { case scala.util.control.NonFatal(_) => return full() }
+    val ids = typed.map(_._1.id).toSet
+    if (prevDoc.columns.keySet != ids || !ids.forall(prevBodies.contains) ||
+        prevDoc.columns.values.exists(_.nullCount.isEmpty)) return full()
+    // data files the append chain added: each append's own manifests
+    // (field 503), ADDED entries only — KB-scale metadata reads
+    val newEntries = between.flatMap { s =>
+      val infos = ManifestListReader.read(s.manifestList.getOrElse(
+          throw new IllegalStateException(
+            s"append snapshot ${s.snapshotId} has no manifest-list")))
+        .filter(i => i.content == 0 && i.addedSnapshotId == s.snapshotId)
+      Par.inParallel(infos)(i => ManifestWriter.read(i.path)).flatten
+        .filter(e => e.status == 1 && e.content == 0)
+    }.distinctBy(e => uriPath(e.filePath))
+    if (!newEntries.forall(_.fileFormat == "PARQUET")) return full()
+    val newPaths = newEntries.map(_.filePath)
+    val (newRows, newNulls, newEmpty, newSketches) =
+      statsPass(spark, readDataFiles(spark, meta, newPaths), typed)
+    val sawEmptyIds = typed.zipWithIndex.collect {
+      case ((f, _), j) if newEmpty(j) || prevEmpty(f.id) => f.id }.toSet
+    val cols = typed.zipWithIndex.map { case ((f, _), j) =>
+      val body = unionSketches(Seq(newSketches(j), prevBodies(f.id)))
+      (f.id, body, TableStats.ColumnStats(
+        sketchNdv(body, sawEmptyIds(f.id)),
+        Some(newNulls(j) + prevDoc.columns(f.id).nullCount.get)))
+    }
+    val doc = TableStats.Doc(snapId, prevDoc.rowCount + newRows,
+      cols.map { case (fid, _, cs) => fid -> cs }.toMap)
+    val thetaSketches = cols.map { case (fid, body, _) => fid -> body }.toMap
+    (commitStatsDoc(tableDir, snapId, doc, thetaSketches, sawEmptyIds), doc, true)
   }
 
   /** PARTITION statistics (the spec's `partition-statistics` slot): a
@@ -2430,9 +2537,39 @@ object GraftTable {
     * refuses it and this is the documented way back (or to publish a
     * staged snapshot directly). Pointer move only. */
   def setCurrentSnapshot(tableDir: String, snapshotId: Long): OptimisticCommit.CommitResult =
-    OptimisticCommit.commit(tableDir, (base, basePath) =>
-      MetadataWriter.setCurrentSnapshot(base, snapshotId, base.lastUpdatedMs + 1000,
-        Some(basePath)))
+    setCurrentSnapshotTo(tableDir, Left(snapshotId))
+
+  /** The escape hatch for the upstream-style no-op: thrown from inside
+    * the CAS closure when the (freshly-resolved) target already IS
+    * current — committing a new metadata version that changes nothing
+    * would be pure churn. */
+  private final case class AlreadyCurrentEscape(snapshotId: Long)
+    extends RuntimeException(s"snapshot $snapshotId is already current")
+
+  /** Move main to an existing snapshot — by id, or by REF NAME resolved
+    * INSIDE the CAS closure: resolving a ref from a pre-CAS metadata
+    * read would publish a stale target if the ref moved concurrently
+    * between the read and the commit (the same re-resolve-per-attempt
+    * rule publish_changes follows for its candidate). A target that is
+    * already current is a NO-OP SUCCESS (upstream's behavior), returning
+    * the current committed state untouched. */
+  def setCurrentSnapshotTo(tableDir: String,
+      target: Either[Long, String]): OptimisticCommit.CommitResult =
+    try OptimisticCommit.commit(tableDir, (base, basePath) => {
+      val resolved = target.fold(identity, name =>
+        base.refs.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no such ref '$name'")).snapshotId)
+      if (base.currentSnapshotId.contains(resolved))
+        throw AlreadyCurrentEscape(resolved)
+      MetadataWriter.setCurrentSnapshot(base, resolved, base.lastUpdatedMs + 1000,
+        Some(basePath))
+    })
+    catch {
+      case AlreadyCurrentEscape(_) =>
+        val v = OptimisticCommit.currentVersion(tableDir)
+        val path = OptimisticCommit.metadataPath(tableDir, v)
+        OptimisticCommit.CommitResult(v, path, TableMetadata.parseFile(path), 0)
+    }
 
   /** Tag a snapshot (default: the current head) through the CAS loop —
     * a named immutable ref for `AS OF` time travel. */

@@ -117,7 +117,19 @@ object ScanPlanning {
 
   private[iceberg] def cmpValues(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Number, y: Number) =>
-      Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
+      // NaN/Infinity have no BigDecimal rendering — toString would throw
+      // NumberFormatException out of a PRUNING decision and fail the
+      // whole read; an unorderable bound is just "unknown", so every
+      // caller keeps its entry (the conservative direction everywhere
+      // cmpValues feeds: key-range guards, list pruning, delete pruning)
+      def finite(n: Number): Boolean = n match {
+        case d: java.lang.Double => !d.isNaN && !d.isInfinite
+        case f: java.lang.Float => !f.isNaN && !f.isInfinite
+        case _ => true
+      }
+      if (!finite(x) || !finite(y)) None
+      else Some(new java.math.BigDecimal(x.toString)
+        .compareTo(new java.math.BigDecimal(y.toString)))
     case (x: String, y: String) => Some(x.compareTo(y))
     case _ => None
   }

@@ -89,7 +89,8 @@ object TableStats {
   }
 
   def write(path: String, doc: Doc,
-      thetaSketches: Map[Int, Array[Byte]] = Map.empty): Long = {
+      thetaSketches: Map[Int, Array[Byte]] = Map.empty,
+      sawEmpty: Set[Int] = Set.empty): Long = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val ndvBlobs = doc.columns.toSeq.sortBy(_._1).map { case (fieldId, cs) =>
       val nulls = cs.nullCount.getOrElse(
@@ -98,15 +99,27 @@ object TableStats {
       val b = mapper.createObjectNode()
       b.put("ndv", cs.ndv)
       b.put("null-count", nulls)
+      // empty-adjust records whether the column held an empty-bytes value
+      // — the one distinct value a theta sketch body CANNOT represent
+      // (update(byte[0]) is a documented no-op). Incremental ANALYZE
+      // needs the flag to re-apply the +1 after unioning sketch bodies.
       Puffin.Blob("graft-ndv-v1", Seq(fieldId), doc.snapshotId, doc.snapshotId,
-        Map("ndv" -> cs.ndv.toString, "null-count" -> nulls.toString),
+        Map("ndv" -> cs.ndv.toString, "null-count" -> nulls.toString,
+          "empty-adjust" -> (if (sawEmpty(fieldId)) "1" else "0")),
         b.toString.getBytes(utf8))
     }
     val thetaBlobs = thetaSketches.toSeq.sortBy(_._1).map { case (fieldId, body) =>
-      val est = org.apache.datasketches.theta.Sketches.wrapSketch(
-        org.apache.datasketches.memory.Memory.wrap(body)).getEstimate
+      // the ndv PROPERTY carries the engine's corrected count (sketch
+      // estimate +1 when the column held an empty-bytes value) so the
+      // two blob families in one file agree; the BODY stays the
+      // spec-conformant compact sketch (which cannot represent the
+      // empty value — foreign unions recompute their own estimate)
+      val ndv = doc.columns.get(fieldId).map(_.ndv).getOrElse {
+        Math.round(org.apache.datasketches.theta.Sketches.wrapSketch(
+          org.apache.datasketches.memory.Memory.wrap(body)).getEstimate)
+      }
       Puffin.Blob(ThetaBlobType, Seq(fieldId), doc.snapshotId, doc.snapshotId,
-        Map("ndv" -> Math.round(est).toString), body)
+        Map("ndv" -> ndv.toString), body)
     }
     val (_, size) = Puffin.write(path, ndvBlobs ++ thetaBlobs, Map(
       "snapshot-id" -> doc.snapshotId.toString,
@@ -144,5 +157,38 @@ object TableStats {
           .map(ndv => r.fields.head -> ColumnStats(ndv, None))
       }.toMap
     Doc(props("snapshot-id").toLong, props("row-count").toLong, foreign ++ own)
+  }
+
+  /** The incremental-ANALYZE read: the doc plus the standard theta
+    * sketch BODIES (per field id, union-ready) and the set of columns
+    * whose counted values included an empty-bytes value (the +1 the
+    * sketch body cannot carry). Files written before the `empty-adjust`
+    * property existed infer the flag from ndv vs the body's estimate —
+    * the +1 was the only adjustment the engine ever applied. */
+  def readWithSketches(path: String): (Doc, Map[Int, Array[Byte]], Set[Int]) = {
+    val (raw, refs, _) = Puffin.read(path)
+    val doc = read(path)
+    val bodies = refs
+      .filter(r => r.blobType == ThetaBlobType && r.fields.length == 1)
+      .map { r =>
+        r.fields.head -> java.util.Arrays.copyOfRange(
+          raw, r.offset.toInt, (r.offset + r.length).toInt)
+      }.toMap
+    val sawEmpty = refs.filter(_.blobType == "graft-ndv-v1").flatMap { r =>
+      val fid = r.fields.head
+      r.properties.get("empty-adjust") match {
+        case Some(v) => if (v == "1") Some(fid) else None
+        case None =>
+          for {
+            body <- bodies.get(fid)
+            ndv <- r.properties.get("ndv").flatMap(v =>
+              scala.util.Try(v.toLong).toOption)
+            est = Math.round(org.apache.datasketches.theta.Sketches.wrapSketch(
+              org.apache.datasketches.memory.Memory.wrap(body)).getEstimate)
+            if ndv > est
+          } yield fid
+      }
+    }.toSet
+    (doc, bodies, sawEmpty)
   }
 }

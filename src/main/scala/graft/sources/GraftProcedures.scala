@@ -232,22 +232,36 @@ object GraftProcedures {
       case "compute_table_stats" => new Proc(
         "compute_table_stats",
         "one-pass ANALYZE of the current snapshot: per-column NDV " +
-          "(HLL++) + exact null counts + exact row count, committed as a " +
-          "statistics file (the Puffin slot) that the scan serves back " +
-          "to Spark's CBO as column statistics",
-        Array(in("table", StringType)),
+          "(theta sketch) + exact null counts + exact row count, " +
+          "committed as a statistics file (the Puffin slot) that the " +
+          "scan serves back to Spark's CBO as column statistics. With " +
+          "incremental => true and an append-only chain since the last " +
+          "analyzed ancestor, only the NEW files are scanned and their " +
+          "sketches unioned with the previous document's standard theta " +
+          "blobs (mode column reports which path ran)",
+        Array(in("table", StringType),
+          inDefault("incremental", BooleanType, "false")),
         StructType(Seq(
           StructField("snapshot_id", LongType),
           StructField("row_count", LongType),
           StructField("analyzed_columns_count", IntegerType),
-          StructField("statistics_path", StringType))),
+          StructField("statistics_path", StringType),
+          StructField("mode", StringType))),
         input => {
-          val (result, doc) =
-            GraftTable.computeTableStats(SparkSession.active, dirOf(input))
+          val (result, doc, wasIncremental) =
+            if (input.getBoolean(1))
+              GraftTable.computeTableStatsIncremental(
+                SparkSession.active, dirOf(input))
+            else {
+              val (r, d) =
+                GraftTable.computeTableStats(SparkSession.active, dirOf(input))
+              (r, d, false)
+            }
           val path = result.metadata.statistics
             .find(_.snapshotId == doc.snapshotId).map(_.path).getOrElse("")
           Seq(InternalRow(doc.snapshotId, doc.rowCount, doc.columns.size,
-            UTF8String.fromString(path)))
+            UTF8String.fromString(path),
+            UTF8String.fromString(if (wasIncremental) "incremental" else "full")))
         })
       case "compute_partition_stats" => new Proc(
         "compute_partition_stats",
@@ -386,9 +400,11 @@ object GraftProcedures {
         })
       case "set_current_snapshot" => new Proc(
         "set_current_snapshot",
-        "move main to ANY existing snapshot — by id or by ref name, no " +
-          "ancestry requirement (redo after a rollback, or publish a " +
-          "staged snapshot directly); pointer move only",
+        "move main to ANY existing snapshot — by id or by ref name " +
+          "(resolved inside the CAS, so a concurrent ref move can't " +
+          "publish a stale target), no ancestry requirement (redo after " +
+          "a rollback, or publish a staged snapshot directly); pointer " +
+          "move only; a target already current is a no-op success",
         Array(in("table", StringType),
           inDefault("snapshot_id", LongType, "NULL"),
           inDefault("ref", StringType, "NULL")),
@@ -397,18 +413,14 @@ object GraftProcedures {
           StructField("current_snapshot_id", LongType))),
         input => {
           val dir = dirOf(input)
-          val meta = currentMeta(dir)
           val bySnap = if (input.isNullAt(1)) None else Some(input.getLong(1))
           val byRef = if (input.isNullAt(2)) None
             else Some(input.getUTF8String(2).toString)
           require(bySnap.isDefined != byRef.isDefined,
             "exactly one of snapshot_id and ref must be given")
-          val target = bySnap.getOrElse(
-            meta.refs.find(_.name == byRef.get).getOrElse(
-              throw new IllegalArgumentException(
-                s"no such ref '${byRef.get}'")).snapshotId)
-          val previous = meta.currentSnapshotId.getOrElse(0L)
-          val result = GraftTable.setCurrentSnapshot(dir, target)
+          val previous = currentMeta(dir).currentSnapshotId.getOrElse(0L)
+          val result = GraftTable.setCurrentSnapshotTo(dir,
+            bySnap.toLeft(byRef.get))
           Seq(InternalRow(previous, result.metadata.currentSnapshotId.getOrElse(0L)))
         })
       case "rollback_to_snapshot" => new Proc(

@@ -96,4 +96,16 @@ class KeyRangePruneSpec extends SparkSpec {
     assert(GraftTable.readKeyRange(spark, metaPath, fieldId = 1, 100L, 200L)
       .count() === 0L)
   }
+
+  test("an unorderable bound (NaN/Infinity) compares as unknown, not a throw") {
+    // a float/double bound decoding to NaN has no BigDecimal rendering;
+    // the comparison must degrade to None (keep the entry — the
+    // conservative pruning direction), never fail the read
+    assert(ScanPlanning.cmpValues(Double.NaN, 5.0).isEmpty)
+    assert(ScanPlanning.cmpValues(5.0f, Float.NaN).isEmpty)
+    assert(ScanPlanning.cmpValues(Double.PositiveInfinity, 5.0).isEmpty)
+    assert(ScanPlanning.cmpValues(Double.NegativeInfinity, 1.0).isEmpty)
+    assert(ScanPlanning.cmpValues(2.5, 5.0).contains(-1))
+    assert(ScanPlanning.cmpValues(5L, 5.0).contains(0))
+  }
 }

@@ -260,6 +260,99 @@ class TableStatsSpec extends SparkSpec {
     assert(doc.columns(idOf("k")).ndv == 4L)
   }
 
+  test("incremental ANALYZE after appends reads ONLY the new files: old " +
+      "files destructively corrupted, refresh still exact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-i").toString
+    spark.conf.set("spark.sql.catalog.ginc", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ginc.warehouse", wh)
+    spark.sql("CREATE TABLE ginc.db.t (k BIGINT, s STRING)")
+    spark.sql("""INSERT INTO ginc.db.t SELECT id,
+      CASE WHEN id = 5 THEN NULL WHEN id = 6 THEN '' ELSE CONCAT('v', id) END
+      FROM RANGE(20)""")
+    val dir = s"$wh/db/t"
+    def dataFiles(): Seq[String] = {
+      val m = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      m.currentSnapshot.flatMap(_.manifestList).toSeq
+        .flatMap(ManifestListReader.read).filter(_.content == 0)
+        .flatMap(i => ManifestWriter.read(i.path))
+        .filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+    }
+    val batch1Files = dataFiles()
+    val out1 = spark.sql(
+      "CALL ginc.system.compute_table_stats(table => 'db.t')").head
+    assert(out1.getString(4) == "full")
+    val meta1 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    def idOf(n: String) = meta1.currentSchema.fields.find(_.name == n).get.id
+    // the empty-adjust flag persists with the document — the +1 the
+    // sketch body cannot carry must survive an incremental union
+    val (_, bodies1, empty1) =
+      TableStats.readWithSketches(meta1.statistics.head.path)
+    assert(empty1 == Set(idOf("s")), empty1.toString)
+    assert(bodies1.keySet == Set(idOf("k"), idOf("s")))
+
+    // two more appends, then DESTROY every batch-1 data file on disk: an
+    // incremental refresh that touched any old byte would now throw
+    spark.sql("""INSERT INTO ginc.db.t SELECT id,
+      CASE WHEN id = 25 THEN NULL ELSE CONCAT('v', id) END
+      FROM RANGE(20, 30)""")
+    spark.sql(
+      "INSERT INTO ginc.db.t SELECT id, CONCAT('w', id) FROM RANGE(30, 35)")
+    batch1Files.foreach { p =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p.stripPrefix("file:")),
+        "not a parquet file".getBytes("UTF-8"))
+    }
+    assertThrows[Exception](spark.sql("SELECT SUM(k) FROM ginc.db.t").collect())
+
+    val out2 = spark.sql(
+      "CALL ginc.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out2.getString(4) == "incremental", out2.toString)
+    assert(out2.getLong(1) == 35L, "row_count sums the append chain")
+    val meta2 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    assert(meta2.statistics.map(_.snapshotId) == Seq(out1.getLong(0), out2.getLong(0)))
+    val doc = TableStats.read(
+      meta2.statistics.find(_.snapshotId == out2.getLong(0)).get.path)
+    assert(doc.rowCount == 35L)
+    // theta is exact below nominal entries: unioned NDV exact, and the
+    // empty-string +1 carried across the union from the anchor document
+    assert(doc.columns(idOf("k")).ndv == 35L, doc.columns(idOf("k")).toString)
+    assert(doc.columns(idOf("s")).ndv == 33L, doc.columns(idOf("s")).toString)
+    assert(doc.columns(idOf("s")).nullCount.contains(2L))
+    assert(doc.columns(idOf("k")).nullCount.contains(0L))
+    // NDV within theta error of a full recompute — exact mode here, so
+    // equality: 18 v-values + '' from batch 1, 9 + null from batch 2,
+    // 5 w-values from batch 3
+    val (_, _, empty2) = TableStats.readWithSketches(
+      meta2.statistics.find(_.snapshotId == out2.getLong(0)).get.path)
+    assert(empty2 == Set(idOf("s")))
+  }
+
+  test("incremental ANALYZE falls back to the full recompute when the " +
+      "chain holds a non-append snapshot") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-f").toString
+    spark.conf.set("spark.sql.catalog.gincf", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gincf.warehouse", wh)
+    spark.sql("CREATE TABLE gincf.db.t (k BIGINT, s STRING)")
+    spark.sql(
+      "INSERT INTO gincf.db.t SELECT id, CONCAT('v', id) FROM RANGE(20)")
+    spark.sql("CALL gincf.system.compute_table_stats(table => 'db.t')")
+    // a DELETE between the anchor and the head: a theta union cannot
+    // subtract, so the incremental request must recompute from scratch
+    spark.sql("DELETE FROM gincf.db.t WHERE k < 5")
+    spark.sql(
+      "INSERT INTO gincf.db.t SELECT id, CONCAT('v', id) FROM RANGE(20, 25)")
+    val out = spark.sql(
+      "CALL gincf.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out.getString(4) == "full", out.toString)
+    assert(out.getLong(1) == 20L, "15 surviving + 5 appended")
+    val meta = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(s"$wh/db/t"))
+    val doc = TableStats.read(
+      meta.statistics.find(_.snapshotId == out.getLong(0)).get.path)
+    def idOf(n: String) = meta.currentSchema.fields.find(_.name == n).get.id
+    assert(doc.columns(idOf("k")).ndv == 20L, doc.columns(idOf("k")).toString)
+  }
+
   test("a FOREIGN stats file carrying only standard theta blobs serves NDV") {
     // interop the other direction: another engine's ANALYZE writes only
     // apache-datasketches-theta-v1 blobs (no graft-ndv-v1 anywhere) —
@@ -286,5 +379,47 @@ class TableStatsSpec extends SparkSpec {
     assert(doc.snapshotId == 42L && doc.rowCount == 40L)
     assert(doc.columns(1) == TableStats.ColumnStats(40L, None))
     assert(doc.columns(2) == TableStats.ColumnStats(7L, None))
+  }
+
+  test("a FOREIGN-written statistics file ATTACHED to the snapshot serves " +
+      "NDV to the CBO through the DSv2 Statistics surface") {
+    // the full interop loop: another engine ANALYZEs the table and
+    // registers a stats file holding ONLY standard theta blobs (no
+    // graft-ndv-v1 anywhere); our scan must serve its NDV to Spark's
+    // CBO, with the null count honestly absent
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-x").toString
+    spark.conf.set("spark.sql.catalog.gfor", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfor.warehouse", wh)
+    spark.sql("CREATE TABLE gfor.db.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO gfor.db.t SELECT id, CONCAT('v', id) FROM RANGE(30)")
+    val dir = s"$wh/db/t"
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val snapId = meta.currentSnapshotId.get
+    val kId = meta.currentSchema.fields.find(_.name == "k").get.id
+    val sk = org.apache.datasketches.theta.UpdateSketch.builder().build()
+    (0L until 30L).foreach(v =>
+      sk.update(SingleValueCodec.encode(IcebergTypes.TLong, v)))
+    val path = s"$dir/foreign-stats.puffin"
+    val (_, size) = Puffin.write(path, Seq(
+      Puffin.Blob(TableStats.ThetaBlobType, Seq(kId), snapId, snapId,
+        Map("ndv" -> "30"), sk.compact(true, null).toByteArray)),
+      Map("snapshot-id" -> snapId.toString, "row-count" -> "30"))
+    OptimisticCommit.commit(dir, (base, basePath) => base.copy(
+      statistics = base.statistics :+ StatisticsFile(snapId, path, size),
+      lastUpdatedMs = base.lastUpdatedMs + 1000,
+      metadataLog = base.metadataLog :+
+        MetadataLogEntry(base.lastUpdatedMs, basePath)))
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.sql("SELECT k, s FROM gfor.db.t")
+        .queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      val kStat = byName("k")
+      assert(kStat.distinctCount.contains(BigInt(30)), kStat.toString)
+      assert(kStat.nullCount.isEmpty,
+        s"a theta sketch carries no null count — must not invent one: $kStat")
+      assert(kStat.min.contains(0L) && kStat.max.contains(29L), kStat.toString)
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 }

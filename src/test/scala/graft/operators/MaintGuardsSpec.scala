@@ -95,6 +95,17 @@ class MaintGuardsSpec extends SparkSpec {
       null, org.apache.spark.unsafe.types.UTF8String.fromString("head2")))
       .next().asInstanceOf[org.apache.spark.sql.connector.read.LocalScan].rows().head
     assert(row.getLong(0) == 1L && row.getLong(1) == 2L, row.toString)
+    // a target that already IS current: upstream-style no-op success —
+    // the same summary row shape, and NO new metadata version (a commit
+    // that changes nothing would be pure churn)
+    val vBefore = graft.iceberg.OptimisticCommit.currentVersion(dir)
+    val row2 = setProc.call(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("db.t"),
+      null, org.apache.spark.unsafe.types.UTF8String.fromString("head2")))
+      .next().asInstanceOf[org.apache.spark.sql.connector.read.LocalScan].rows().head
+    assert(row2.getLong(0) == 2L && row2.getLong(1) == 2L, row2.toString)
+    assert(graft.iceberg.OptimisticCommit.currentVersion(dir) == vBefore,
+      "no-op set_current_snapshot must not commit a metadata version")
   }
 
   test("spark.wap.id stages invisibly; publish_changes fast-forwards or " +
@@ -271,5 +282,61 @@ class MaintGuardsSpec extends SparkSpec {
     val rows = GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
       .orderBy("n_nationkey").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(rows == Seq((1, "ALPHA"), (2, "BETA")), rows.toString)
+  }
+
+  test("age-based expiry PHYSICALLY reclaims an abandoned stage's files; " +
+      "the published stage survives; delete_reachable_files counts stages") {
+    // the WAP lifecycle end state: a staged snapshot that is never
+    // published lives outside every ref's lineage — its FILES must
+    // reclaim once the retention window passes, while the stage that
+    // WAS published (now the head) keeps serving rows, and whole-table
+    // reclamation must count staged files (they are reachable bytes)
+    val wh = java.nio.file.Files.createTempDirectory("graft-wapx").toString
+    spark.conf.set("spark.sql.catalog.gwex", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwex.warehouse", wh)
+    spark.sql("""CREATE TABLE gwex.db.t (k BIGINT)
+      TBLPROPERTIES ('write.wap.enabled'='true')""")
+    spark.sql("INSERT INTO gwex.db.t VALUES (1)")
+    def stage(id: String, v: Long): Unit = {
+      spark.conf.set("spark.wap.id", id)
+      try spark.sql(s"INSERT INTO gwex.db.t VALUES ($v)")
+      finally spark.conf.unset("spark.wap.id")
+    }
+    stage("wa", 2)
+    stage("wb", 3)
+    val dir = s"$wh/db/t"
+    def metaNow() = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    def dataFilesOf(s: Snapshot): Seq[String] =
+      // only the manifests the stage ITSELF added (field 503): carried-
+      // forward manifests keep their original ADDED statuses and belong
+      // to retained history
+      ManifestListReader.read(s.manifestList.get)
+        .filter(i => i.content == 0 && i.addedSnapshotId == s.snapshotId)
+        .flatMap(i => ManifestWriter.read(i.path))
+        .filter(e => e.status == 1 && e.content == 0).map(_.filePath)
+    val stagedB = metaNow().snapshots
+      .find(_.summary.get("wap.id").contains("wb")).get
+    val bFiles = dataFilesOf(stagedB)
+    def onDisk(p: String) = new java.io.File(p.stripPrefix("file:")).exists()
+    assert(bFiles.nonEmpty && bFiles.forall(onDisk))
+    // whole-table reclamation sees staged bytes: base + both stages
+    val dry = spark.sql(s"""CALL gwex.system.delete_reachable_files(
+      metadata_file => '${GraftTable.latestMetadataPath(dir)}',
+      dry_run => true)""").head
+    assert(dry.getInt(0) == 3, s"3 data files incl. both stages: $dry")
+    spark.sql("CALL gwex.system.publish_changes('db.t', 'wa')")
+    // everything predates the future cutoff; the published stage is the
+    // head (retained), the abandoned stage must go — metadata AND bytes
+    spark.sql("CALL gwex.system.expire_snapshots('db.t', 1, " +
+      s"${System.currentTimeMillis() + 86400000L})")
+    val after = metaNow()
+    assert(!after.snapshots.exists(_.summary.get("wap.id").contains("wb")),
+      "abandoned stage must expire")
+    assert(after.snapshots.exists(_.summary.get("wap.id").contains("wa")),
+      "published stage is the retained head")
+    assert(bFiles.forall(p => !onDisk(p)),
+      "the abandoned stage's data files must physically reclaim")
+    assert(spark.sql("SELECT SUM(k) FROM gwex.db.t").head.getLong(0) == 3L,
+      "published rows (1 + 2) must keep serving after the reclamation")
   }
 }

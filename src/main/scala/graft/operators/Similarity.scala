@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -598,15 +598,62 @@ object Similarity {
         array(c.toIndexedSeq.map(lit): _*)) + lit(nc)
     }: _*)
 
+  /** Deterministic FARTHEST-POINT (k-center / Gonzalez) seeding: seed 1
+    * is the max-norm vector, each next seed the vector maximizing its
+    * squared distance to the nearest already-chosen seed — every float
+    * comparison on engine-identical doubles, ties to the lowest vec_id,
+    * so a SQL oracle replays the selection exactly. Unlike "the k lowest
+    * vec_ids" (which collapses when the low ids all sit in one cluster —
+    * the degenerate-corpus PqSpec case), k-center seeds provably spread:
+    * every planted cluster farther apart than its radius gets a seed.
+    * Cost: k corpus scans, each ONE pass with the chosen seeds broadcast
+    * as literals through the codegen'd dot kernel, one row collected per
+    * scan — at 100 TB this is the k-scan bootstrap you pay once per
+    * training run (a k-means|| oversample would cut it to O(log k)
+    * scans, at the price of an oracle-hostile weighted subsample). */
+  private[graft] def farthestPointSeeds(corpus: DataFrame, k: Int)
+      : Array[Array[Double]] = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val xx = call_function("graft_dot", col("embedding"), col("embedding"))
+    def emb(r: Row): Array[Double] = r.getSeq[Float](1).map(_.toDouble).toArray
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      emb(corpus.select(col("vec_id"), col("embedding"))
+        .orderBy(xx.desc, col("vec_id")).limit(1).collect().head))
+    while (seeds.length < k) {
+      // min_j(‖x‖² + score_j) == ‖x‖² + min_j(score_j) exactly: IEEE
+      // addition of a shared addend is weakly monotone, so the min is
+      // preserved through either grouping — the oracle uses the former
+      seeds += emb(corpus.select(col("vec_id"), col("embedding"),
+          (xx + array_min(lloydScores(seeds.toArray))).as("d2"))
+        .orderBy(col("d2").desc, col("vec_id")).limit(1).collect().head)
+    }
+    seeds.toArray
+  }
+
   private[graft] def lloydTrain(corpus: DataFrame, k: Int, dim: Int,
       iters: Int, requireFull: Boolean = false,
-      seeds: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+      seeds: Option[Array[Array[Double]]] = None): Array[Array[Double]] =
+    lloydTrainCounted(corpus, k, dim, iters, requireFull, seeds)._1
+
+  /** As lloydTrain, also returning how many update iterations actually
+    * ran: the loop STOPS once an update moves no centroid — the
+    * fixed-point grid makes "no movement" an exact double-array
+    * equality, not an epsilon (and a fixed point of the update is a
+    * fixed point forever: assignment is a pure function of the
+    * centroids, the update a pure function of the assignment — so
+    * stopping early is result-identical to running out `maxIters`). */
+  private[graft] def lloydTrainCounted(corpus: DataFrame, k: Int, dim: Int,
+      maxIters: Int, requireFull: Boolean = false,
+      seeds: Option[Array[Array[Double]]] = None)
+      : (Array[Array[Double]], Int) = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     var cents: Array[Array[Double]] = seeds.getOrElse(
       corpus.filter(col("vec_id") < k).orderBy("vec_id")
         .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray))
     require(cents.length == k, s"need $k seed vectors, got ${cents.length}")
-    for (_ <- 1 to iters) {
+    var it = 0
+    var moved = true
+    while (it < maxIters && moved) {
       val sums = corpus
         .select(col("embedding"), lloydScores(cents).as("sc"))
         .select((array_position(col("sc"), array_min(col("sc"))) - 1)
@@ -620,7 +667,7 @@ object Similarity {
       if (requireFull) require(byC.size == k,
         s"cluster went empty (${byC.size} of $k populated) — the exact " +
           "oracle models every cluster as live")
-      cents = Array.tabulate(k) { c =>
+      val next = Array.tabulate(k) { c =>
         byC.get(c) match {
           case Some(rows) =>
             val a = new Array[Double](dim)
@@ -630,26 +677,34 @@ object Similarity {
           case None => cents(c)
         }
       }
+      moved = !next.zip(cents).forall { case (a, b) =>
+        java.util.Arrays.equals(a, b) }
+      cents = next
+      it += 1
     }
-    cents
+    (cents, it)
   }
 
-  /** s07 — k-means TRAINING entry: 2 Lloyd iterations over the
-    * embeddings table (k=8 anchor seeds), then the final assignment
-    * rolled up per cluster — member count, DECIMAL-exact SSE mass and
-    * the trained centroid's component sum (the codebook fingerprint —
-    * any drift in ANY dimension of ANY centroid moves it). DuckDB
-    * replays the entire loop: both assignment rounds, both fixed-point
-    * mean updates, the final assignment and the rollup, with no
-    * tolerance.
-    * PqSpec's trained-vs-anchor variant shows these centroids beating
-    * the anchor seeds as a PQ codebook on planted clusters. */
+  /** s07 — k-means TRAINING entry: deterministic FARTHEST-POINT seeding
+    * (max-norm first, then k−1 max-min-distance picks — the k-center
+    * init that cannot collapse into one dense region the way anchor ids
+    * can), 2 Lloyd iterations over the embeddings table, then the final
+    * assignment rolled up per cluster — member count, DECIMAL-exact SSE
+    * mass and the trained centroid's component sum (the codebook
+    * fingerprint — any drift in ANY dimension of ANY centroid moves
+    * it). DuckDB replays the ENTIRE loop with no tolerance: all 8 seed
+    * selections, both assignment rounds, both fixed-point mean updates,
+    * the final assignment and the rollup.
+    * PqSpec shows these seeds beating the anchor ids on a corpus whose
+    * low vec_ids all sit in one planted cluster, and the movement-based
+    * stop (lloydTrainCounted) converging before its iteration cap. */
   val kmeansTrain: Q = (spark, dir) => {
     import spark.implicits._
     val K = 8; val DIM = 64
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
-    val cents = lloydTrain(emb, K, DIM, iters = 2, requireFull = true)
+    val cents = lloydTrain(emb, K, DIM, iters = 2, requireFull = true,
+      seeds = Some(farthestPointSeeds(emb, K)))
     val masses = cents.map(_.sum) // left-to-right fold = list_sum
     // d2 = ‖x‖² + min_j score_j — the full squared L2 to the assigned
     // centroid in the SAME −2·dot+norm decomposition the assignment
@@ -691,8 +746,31 @@ object Similarity {
          |  FROM $assign a CROSS JOIN range(1, 65) r(i) WHERE a.rnk = 1
          |  GROUP BY a.cid, r.i),
          |$cName AS (SELECT cid, list(m ORDER BY pos) AS c FROM $mName GROUP BY cid)""".stripMargin
-    s"""WITH c0 AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 8),
+    // farthest-point seed replay: sd1 = the max-norm vector, each nxN
+    // the vector maximizing min squared distance to the seeds so far —
+    // MIN(‖x‖² + score) equals Spark's ‖x‖² + MIN(score) exactly
+    // (shared-addend IEEE addition is weakly monotone), ties to vec_id
+    val seedCtes = {
+      val first =
+        s"""sd1 AS (
+           |  SELECT 0 AS cid, embedding AS c FROM embeddings
+           |  ORDER BY list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+           |    for i in range(1, 65)]) DESC, vec_id LIMIT 1)""".stripMargin
+      val rest = (2 to 8).map { n =>
+        s"""nx$n AS (
+           |  SELECT e.vec_id, e.embedding,
+           |    MIN(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+           |      for i in range(1, 65)]) + (${score("s")})) AS d2
+           |  FROM embeddings e CROSS JOIN sd${n - 1} s
+           |  GROUP BY e.vec_id, e.embedding
+           |  ORDER BY d2 DESC, e.vec_id LIMIT 1),
+           |sd$n AS (SELECT * FROM sd${n - 1} UNION ALL
+           |  SELECT ${n - 1} AS cid, embedding AS c FROM nx$n)""".stripMargin
+      }.mkString(",\n")
+      first + ",\n" + rest
+    }
+    s"""WITH $seedCtes,
+       |c0 AS (SELECT cid, c FROM sd8),
        |${assignCte("a1", "c0")},
        |${updateCtes("m1", "c1", "a1")},
        |${assignCte("a2", "c1")},

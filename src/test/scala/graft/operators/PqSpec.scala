@@ -153,4 +153,78 @@ class PqSpec extends SparkSpec {
     assert(rTrained == 1.0, s"trained recall must be perfect, got $rTrained")
     assert(rTrained >= rStale, "training must never hurt recall")
   }
+
+  test("farthest-point seeding beats anchor ids on a degenerate corpus " +
+      "(all low vec_ids in one cluster) and the movement stop converges") {
+    // The corpus that breaks "seed with the k lowest vec_ids": ids 0..7
+    // are ALL members of planted cluster 0, so anchor seeding starts
+    // every centroid inside one dense region and Lloyd can never
+    // repopulate the other seven clusters (a centroid only moves where
+    // it has members). Farthest-point seeding spreads by construction —
+    // each pick maximizes distance to the chosen set — so every planted
+    // cluster gets a seed and training aligns all eight.
+    val dim = 64
+    val perCluster = 12
+    def unit(seed: Long): Double = {
+      val h = graft.functions.TextAlgos.splitmix64(seed)
+      h.toDouble / Long.MaxValue.toDouble
+    }
+    def center(k: Int): Array[Float] =
+      Array.tabulate(dim)(d => (4.0 * unit(k * 131L + d)).toFloat)
+    def member(k: Int, id: Long): Array[Float] = {
+      val c = center(k)
+      Array.tabulate(dim)(d => c(d) + (0.3 * unit(id * 977L + d)).toFloat)
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[Row]
+    // ids 0..7: extra members of cluster 0 — the anchor-seed trap
+    for (q <- 0 until 8) rows += Row(q.toLong, member(0, 5000L + q).toSeq)
+    var id = 8L
+    for (k <- 0 until 8; j <- 0 until perCluster) {
+      rows += Row(id, member(k, id).toSeq)
+      id += 1
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+    val all = rows.map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    def qerr(cb: Array[Array[Double]]): Double =
+      all.map(v => cb.map(c => d2(v._2, c)).min).sum / all.size
+
+    // the seeds themselves spread: one inside each planted cluster
+    val fps = Similarity.farthestPointSeeds(corpus, 8)
+    val seedClusters = fps.map(s =>
+      (0 until 8).minBy(k => d2(s, center(k).map(_.toDouble)))).toSet
+    assert(seedClusters.size == 8,
+      s"farthest-point seeds must cover all planted clusters: $seedClusters")
+
+    // trained quality: anchor-id seeding collapses, k-center seeding
+    // aligns every cluster — and never does worse
+    val (anchorTrained, _) = Similarity.lloydTrainCounted(
+      corpus, k = 8, dim = dim, maxIters = 8)
+    val (fpsTrained, itersRun) = Similarity.lloydTrainCounted(
+      corpus, k = 8, dim = dim, maxIters = 50, seeds = Some(fps))
+    val (qAnchor, qFps) = (qerr(anchorTrained), qerr(fpsTrained))
+    info(f"quantization error: anchor-seeded $qAnchor%.3f, k-center $qFps%.3f")
+    assert(qFps * 10 < qAnchor,
+      s"k-center seeding must beat collapsed anchor seeds: $qAnchor vs $qFps")
+    (0 until 8).foreach { k =>
+      val c = center(k).map(_.toDouble)
+      val dNear = math.sqrt(fpsTrained.map(e => d2(e, c)).min)
+      assert(dNear < 2.0, s"no trained entry near planted cluster $k ($dNear)")
+    }
+
+    // the movement-based stop: converged well before the 50-cap, and a
+    // fixed point really is fixed — training on from the converged
+    // codebook moves nothing and stops after one probe iteration
+    assert(itersRun < 50, s"movement stop never fired ($itersRun iterations)")
+    val (again, probeIters) = Similarity.lloydTrainCounted(
+      corpus, k = 8, dim = dim, maxIters = 50, seeds = Some(fpsTrained))
+    assert(probeIters == 1, s"fixed point must stop immediately: $probeIters")
+    assert(again.zip(fpsTrained).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) }, "fixed point must not move")
+  }
 }

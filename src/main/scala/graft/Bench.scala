@@ -22,6 +22,25 @@ object Bench {
   def best(passes: Seq[Option[Double]]): Option[Double] =
     passes.flatten.reduceOption((a, b) => math.min(a, b))
 
+  /** Steal defense: entries whose min-of-2 timed passes STILL sits far
+    * above their own warmup measurement of the same code. min-of-2
+    * records a 12× artifact when one host-contention window spans both
+    * passes (BENCH_r16: d5/m9 at 19 s vs a 1.5 s band) — but the warmup
+    * pass hours of drift can't explain sits right there as the entry's
+    * own same-process reference. An entry re-measures when its best
+    * exceeds `factor`× its successful warmup AND the absolute excess
+    * clears `minExcessSec` (a 0.02 s→0.09 s wobble is noise, not theft);
+    * the set is CAPPED, worst overshoot first, so a genuinely slowed
+    * suite can never loop the bench. */
+  def remeasureSet(warm: Map[String, Option[Double]],
+      results: Seq[(String, Option[Double])], factor: Double = 4.0,
+      minExcessSec: Double = 0.5, cap: Int = 5): Seq[String] =
+    results.collect {
+      case (n, Some(b)) if warm.get(n).flatten.exists(w =>
+        b > w * factor && b - w > minExcessSec) =>
+        (n, b / warm(n).get)
+    }.sortBy(-_._2).take(cap).map(_._1)
+
   /** One compact JSON line; failed entries carry null and are excluded
     * from the total (BenchSpec pins this). Every entry starts at 2
     * decimals (10 ms resolution, far below run-to-run noise; magnitude-
@@ -152,9 +171,19 @@ object Bench {
     // a colliding shortKey would silently drop a timing from the JSON line
     require(names.map(shortKey).distinct.size == names.size,
       "entry prefixes must stay unique — a colliding prefix would drop a timing")
-    names.foreach(n => time(n, SparkEntry.queries(n)))
-    val results = names.map { n =>
+    val warm = names.map(n => n -> time(n, SparkEntry.queries(n))).toMap
+    val timed = names.map { n =>
       n -> best(Seq(time(n, SparkEntry.queries(n)), time(n, SparkEntry.queries(n))))
+    }
+    // third chance for stolen entries only (see remeasureSet): one more
+    // pass each, min taken — a sustained contention window now has to
+    // span warmup AND all three passes to fake a regression
+    val suspects = remeasureSet(warm, timed).toSet
+    suspects.foreach(n =>
+      System.err.println(s"[bench] $n re-measured: min-of-2 far above its warmup"))
+    val results = timed.map { case (n, v) =>
+      if (suspects(n)) n -> best(Seq(v, time(n, SparkEntry.queries(n))))
+      else n -> v
     }
     sys.env.get("SPARK_GRAFT_BENCH_JSON").foreach(p =>
       writeFullJson(p, results, sfDir, results.flatMap(_._2).sum))
@@ -177,11 +206,18 @@ object Bench {
       org.apache.logging.log4j.Level.OFF)
     // the line must survive a FAILED stop too — losing the record to a
     // teardown exception would be strictly worse than the truncation
-    // this ordering exists to prevent. The throwable is SWALLOWED, not
-    // rethrown: every timing is already taken, and a propagating stack
-    // trace would print after the line — the exact tail-truncation this
-    // method exists to rule out.
-    try stop() catch { case _: Throwable => () }
+    // this ordering exists to prevent. NonFatal failures (and an
+    // interrupt, with the flag restored) are noted on STDERR — outside
+    // the driver's stdout tail — and the line still prints; a fatal VM
+    // error propagates: a dying VM's record is suspect anyway, and
+    // swallowing OOM would report success from a corrupted process.
+    try stop() catch {
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        System.err.println(s"[bench] spark.stop() interrupted: $e")
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] spark.stop() failed: $e")
+    }
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
     println(line)

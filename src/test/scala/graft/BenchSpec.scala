@@ -27,6 +27,26 @@ class BenchSpec extends AnyFunSuite {
     assert(line.startsWith("{") && line.endsWith("}"))
   }
 
+  test("remeasureSet flags only stolen-looking entries, capped, worst first") {
+    val warm = Map(
+      "d05" -> Some(1.5),   // best 19 s: 12× its warmup → re-measure
+      "m09" -> Some(1.0),   // best 19 s: 19× → re-measure, ranked worse
+      "q01" -> Some(1.0),   // best 2.5 s: under the 4× band → keep
+      "q02" -> Some(0.02),  // best 0.3 s: 15× but absolute excess < 0.5 s
+      "q03" -> None,        // warmup failed: no reference → keep
+      "q04" -> Some(1.0))   // best failed (null): nothing to re-measure
+    val results = Seq(
+      "d05" -> Some(19.0), "m09" -> Some(19.0), "q01" -> Some(2.5),
+      "q02" -> Some(0.3), "q03" -> Some(50.0), "q04" -> None)
+    assert(Bench.remeasureSet(warm, results) == Seq("m09", "d05"))
+    // the cap bounds a genuinely slowed suite: 8 stolen-looking entries,
+    // only the 5 worst overshoots re-run
+    val many = (1 to 8).map(i => s"e$i" -> Some(10.0 * i))
+    val manyWarm = many.map { case (n, _) => n -> Some(1.0) }.toMap
+    val capped = Bench.remeasureSet(manyWarm, many)
+    assert(capped.size == 5 && capped.head == "e8" && !capped.contains("e3"))
+  }
+
   test("keys drop leading zeros but stay unique across all entries") {
     assert(Bench.shortKey("q01_agg") === "q1")
     assert(Bench.shortKey("st09_foreach_batch_sink") === "st9")

@@ -1330,9 +1330,9 @@ object GraftTable {
       branch: Option[String] = None)
       : OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) => {
-      // branch-scoped edits stage nothing on main and bypass no audit
-      // gate — they are exactly the recommended WAP edit path
-      if (branch.isEmpty) refuseWapStage(base, "a row-level rewrite (COW UPDATE/MERGE)")
+      // branch-scoped edits bypass no audit gate (the other WAP path);
+      // a main-targeting rewrite under a staging session STAGES
+      val wapStage = if (branch.isEmpty) wapEditStage(base.properties) else None
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
       // with `branch`, the whole replace is BRANCH-SCOPED (the WAP story
@@ -1395,9 +1395,12 @@ object GraftTable {
       val snap = Snapshot(snapId, head.map(_.snapshotId), base.lastUpdatedMs + 1000,
         Some("overwrite"),
         Map("added-data-files" -> files.size.toString,
-          "deleted-data-files" -> replacedPaths.size.toString),
+          "deleted-data-files" -> replacedPaths.size.toString) ++
+          wapStageSummary(wapStage),
         Some(list), base.currentSchemaId)
       branch match {
+        case None if wapStage.isDefined =>
+          MetadataWriter.stageSnapshot(base2, snap, Some(basePath))
         case None => MetadataWriter.commitSnapshot(base2, snap, Some(basePath))
         case Some(b) => MetadataWriter.commitToBranch(base2, snap, b, Some(basePath))
       }
@@ -2687,21 +2690,32 @@ object GraftTable {
       (picked.snapshotId, r)
     } catch {
       case _: HeadAdvanced =>
+        // appends re-apply; a staged EDIT was validated against its
+        // parent's exact live-file state — replaying it onto different
+        // files could resurrect rows, so the publish refuses instead
+        // (the stage stays unpublished; age-based expiry reclaims it)
+        require(picked.operation.contains("append"),
+          s"staged ${picked.operation.getOrElse("unknown")} snapshot " +
+            s"${picked.snapshotId} (wap.id '$wapId') cannot publish: main " +
+            "advanced past its parent and an edit cannot cherry-pick — " +
+            "re-run the edit under a fresh wap.id")
         (picked.snapshotId, cherrypick(tableDir, picked.snapshotId))
     }
   }
 
-  /** ROW-CHANGING producers other than the DSv2 batch append do NOT
-    * stage under the `spark.wap.id` flavor — only appends can publish
-    * later (cherry-pick re-applies appends only, so a staged edit would
-    * become unpublishable the moment main advanced). On a wap-opted
-    * table with a session wap id they refuse LOUDLY instead of silently
-    * bypassing the audit gate: COW rewrites, MOR deltas, pushed DELETEs,
-    * non-staging appends (add_files, onboarding forks, REPLACE TABLE)
-    * and streaming epochs (refused at the write builder). The supported
-    * audit path for edits is a branch (`db.t.branch_<name>`) published
-    * by fast_forward — branch-scoped operations skip this guard. LAYOUT-
-    * ONLY maintenance (compaction, rewrite_manifests, position-delete
+  /** What stages under the `spark.wap.id` flavor on a wap-opted table:
+    * DSv2 batch appends and overwrites, and ROW-LEVEL EDITS (COW
+    * rewrites, MOR deltas, pushed DELETEs — wapEditStage on each commit
+    * tail). Appends publish by fast-forward or cherry-pick re-apply;
+    * EDITS and overwrites publish by FAST-FORWARD ONLY — they were
+    * validated against their parent's exact live-file state, so once
+    * main advances publish_changes refuses and the user re-runs the
+    * edit. Producers that cannot stage at all refuse LOUDLY instead of
+    * silently bypassing the audit gate: add_files imports, onboarding
+    * forks, REPLACE TABLE (a new table definition, not a snapshot) and
+    * streaming epochs (refused at the write builder). Branch-scoped
+    * operations skip all of this — the other WAP path. LAYOUT-ONLY
+    * maintenance (compaction, rewrite_manifests, position-delete
     * rewrites, expiry) commits normally: it moves no rows, so no audit
     * gate is bypassed (i86's content gate pins that invariant). */
   /** The session's write-audit-publish id, when one is set. The ONE
@@ -2721,11 +2735,28 @@ object GraftTable {
 
   private def refuseWapStage(props: Map[String, String], op: String): Unit = {
     require(sessionWapId.isEmpty || !props.get("write.wap.enabled").contains("true"),
-      s"$op does not stage under spark.wap.id (write-audit-publish staging " +
-        "covers appends only — a staged edit could not be re-applied once " +
-        "main advanced); audit edits on a branch (db.t.branch_<name>) and " +
-        "fast_forward instead, or unset spark.wap.id")
+      s"$op does not stage under spark.wap.id (staging covers appends and " +
+        "row-level edits — DELETE/UPDATE/MERGE — only); audit through a " +
+        "branch (db.t.branch_<name>) and fast_forward instead, or unset " +
+        "spark.wap.id")
   }
+
+  /** The stage decision for a ROW-LEVEL edit targeting main: under a
+    * staging session on a wap-opted table, DELETE/UPDATE/MERGE commit
+    * STAGE-ONLY — the snapshot lands in the document wearing
+    * wap.id/wap.staged, no pointer moves, readers stay blind (upstream's
+    * spark.wap.id parity for edits). Publication is FAST-FORWARD ONLY:
+    * the stage was validated against its parent's exact state, so once
+    * main advances, publish_changes refuses the cherry-pick re-apply
+    * (replaying a rewrite onto different live files could resurrect
+    * rows) and the user re-runs the edit; the abandoned stage reclaims
+    * through age-based expiry like any other. */
+  private def wapEditStage(props: Map[String, String]): Option[String] =
+    sessionWapId.filter(_ => props.get("write.wap.enabled").contains("true"))
+
+  private def wapStageSummary(wapStage: Option[String]): Map[String, String] =
+    wapStage.map(id => Map("wap.id" -> id, "wap.staged" -> "true"))
+      .getOrElse(Map.empty)
 
   def cherrypick(tableDir: String, snapshotId: Long): OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) => {
@@ -3032,11 +3063,6 @@ object GraftTable {
     // after the commit wins; a crash leaves orphans for the sweep, never
     // a corrupt table).
     val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
-    // branch-scoped edits are the recommended WAP edit path — only a
-    // main-targeting delta refuses under a staging session (one guard on
-    // the ALREADY-parsed metadata; the CAS closure re-parses regardless)
-    if (branch.isEmpty) refuseWapStage(meta0,
-      "a merge-on-read delta (DELETE/UPDATE/MERGE)")
     val v3Dv = meta0.formatVersion >= 3 && deleteFiles.nonEmpty
     val spark = if (v3Dv) SparkSession.active else null
     val dvAttempt = java.util.UUID.randomUUID()
@@ -3065,7 +3091,9 @@ object GraftTable {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       // with `branch`, the delta lands BRANCH-SCOPED: validation, carried
       // manifests and the parent come from the branch head; only the
-      // branch ref moves (the WAP story for MOR edits)
+      // branch ref moves. A main-targeting delta under a staging session
+      // STAGES instead (wapEditStage — fast-forward-only publication)
+      val wapStage = if (branch.isEmpty) wapEditStage(base.properties) else None
       val head = refHead(base, branch)
       val live = entriesAt(head, 0).filter(_.content == 0)
         .map(e => uriPath(e.filePath)).toSet
@@ -3164,9 +3192,12 @@ object GraftTable {
           "added-delete-files" ->
             (if (v3Dv) dvRefRows.size else deleteFiles.size).toString,
           "added-position-deletes" -> deleteFiles.map(_.rows).sum.toString) ++
-          (if (v3Dv) Map("added-dvs" -> dvRefRows.size.toString) else Map.empty),
+          (if (v3Dv) Map("added-dvs" -> dvRefRows.size.toString) else Map.empty) ++
+          wapStageSummary(wapStage),
         Some(list), base.currentSchemaId)
       branch match {
+        case None if wapStage.isDefined =>
+          MetadataWriter.stageSnapshot(base2, snap, Some(basePath))
         case None => MetadataWriter.commitSnapshot(base2, snap, Some(basePath))
         case Some(b) => MetadataWriter.commitToBranch(base2, snap, b, Some(basePath))
       }
@@ -3198,7 +3229,6 @@ object GraftTable {
       branch: Option[String] = None): OptimisticCommit.CommitResult = {
     val metaPath0 = latestMetadataPath(tableDir)
     val meta0 = TableMetadata.parseFile(metaPath0)
-    if (branch.isEmpty) refuseWapStage(meta0, "a pushed DELETE")
     if (meta0.formatVersion >= 3)
       return deleteWhereDv(spark, tableDir, metaPath0, meta0, predicate, branch)
     val scannedE = refHead(meta0, branch).toSeq.flatMap { snap =>
@@ -3277,11 +3307,16 @@ object GraftTable {
           head.toSeq.flatMap(s => ManifestListReader.read(s.manifestList.get))
       }
       writeList(list, carried, manifest, 0, 1, snapId, delSummary)
+      val wapStage = if (branch.isEmpty) wapEditStage(base.properties) else None
       val snap = Snapshot(snapId, head.map(_.snapshotId), base.lastUpdatedMs + 1000,
         Some("delete"),
-        Map("added-delete-files" -> "1", "added-position-deletes" -> nDeletes.toString),
+        Map("added-delete-files" -> "1",
+          "added-position-deletes" -> nDeletes.toString) ++
+          wapStageSummary(wapStage),
         Some(list), base.currentSchemaId)
       branch match {
+        case None if wapStage.isDefined =>
+          MetadataWriter.stageSnapshot(base, snap, Some(basePath))
         case None => MetadataWriter.commitSnapshot(base, snap, Some(basePath))
         case Some(b) => MetadataWriter.commitToBranch(base, snap, b, Some(basePath))
       }
@@ -3419,13 +3454,17 @@ object GraftTable {
       }
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       writeList(list, carried, manifest, 0, 1, snapId, delSummary)
+      val wapStage = if (branch.isEmpty) wapEditStage(base.properties) else None
       val snap = Snapshot(snapId, nowHead.map(_.snapshotId),
         base.lastUpdatedMs + 1000, Some("delete"),
         Map("added-dvs" -> refRows.size.toString,
           "removed-dvs" -> oldDvEntries.size.toString,
-          "added-position-deletes" -> nNew.toString),
+          "added-position-deletes" -> nNew.toString) ++
+          wapStageSummary(wapStage),
         Some(list), base.currentSchemaId)
       branch match {
+        case None if wapStage.isDefined =>
+          MetadataWriter.stageSnapshot(base, snap, Some(basePath))
         case None => MetadataWriter.commitSnapshot(base, snap, Some(basePath))
         case Some(b) => MetadataWriter.commitToBranch(base, snap, b, Some(basePath))
       }

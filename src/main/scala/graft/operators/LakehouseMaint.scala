@@ -1543,6 +1543,21 @@ object LakehouseMaint {
       require(auditRow.getLong(1) == 3L,
         s"branch edits not visible on the branch: audit=$auditRow")
       spark.sql("CALL graft_wapx.system.fast_forward('db.n', 'audit')")
+      // round 17: the OTHER WAP flavor for edits — under spark.wap.id on
+      // a wap-opted table, an UPDATE commits STAGE-ONLY (provably
+      // invisible, no pointer moves), then publish_changes fast-forwards
+      // main onto the staged rewrite; the oracle models only the
+      // published end state
+      spark.sql("""ALTER TABLE graft_wapx.db.n
+        SET TBLPROPERTIES ('write.wap.enabled'='true')""")
+      spark.conf.set("spark.wap.id", "i62-edit")
+      try spark.sql("""UPDATE graft_wapx.db.n
+        SET n_regionkey = 42 WHERE n_nationkey = 1""")
+      finally spark.conf.unset("spark.wap.id")
+      require(spark.sql("""SELECT COUNT(*) FROM graft_wapx.db.n
+          WHERE n_regionkey = 42""").head().getLong(0) == 0L,
+        "a wap.id staged UPDATE must be invisible until publish_changes")
+      spark.sql("CALL graft_wapx.system.publish_changes('db.n', 'i62-edit')")
     }
     spark.sql("""SELECT n_regionkey, COUNT(*) AS n_live,
       CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
@@ -1550,7 +1565,8 @@ object LakehouseMaint {
   }
 
   val sqlWapSql: String =
-    """SELECT CASE WHEN n_nationkey = 24 THEN 99
+    """SELECT CASE WHEN n_nationkey = 1 THEN 42
+      |            WHEN n_nationkey = 24 THEN 99
       |            WHEN n_nationkey IN (2, 23) THEN n_regionkey + 10
       |            ELSE n_regionkey END AS n_regionkey,
       |  COUNT(*) AS n_live,

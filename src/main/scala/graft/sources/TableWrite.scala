@@ -138,9 +138,12 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
     // table itself opted in with write.wap.enabled=true
     val wap = GraftTable.sessionWapId
       .map(id => (id, meta.properties.get("write.wap.enabled").contains("true")))
-    require(wap.forall(!_._2) || (branch.isEmpty && !replace),
-      "a wap.id staged commit is an invisible append onto main's lineage — " +
-        "it combines with neither branch targets nor overwrite")
+    // staging combines with overwrite (a staged truncate-overwrite
+    // publishes by fast-forward only, like every staged edit) but not
+    // with a branch target — a branch IS the other WAP mechanism
+    require(wap.forall(!_._2) || branch.isEmpty,
+      "a wap.id staged commit targets main's lineage — " +
+        "it does not combine with a branch target")
     new Write with RequiresDistributionAndOrdering {
       // cluster by the partition SOURCE columns: same source value →
       // same task → fewer (never wrong) per-tuple files. An unpartitioned

@@ -164,15 +164,18 @@ class MaintGuardsSpec extends SparkSpec {
     assert(count() == 4L)
     def chain(t: Throwable): String =
       if (t == null) "" else t.getMessage + chain(t.getCause)
-    // row-level edits REFUSE under a staging session rather than
-    // silently bypassing the audit gate (staging covers appends only —
-    // cherry-pick could never re-apply a staged edit once main moved)
+    // row-level edits STAGE under a staging session (upstream parity):
+    // the DELETE commits stage-only — invisible, pointer unmoved (the
+    // dedicated staged-edit test drives publication end-to-end)
+    val headBeforeW9 = current()
     spark.conf.set("spark.wap.id", "w9")
-    try {
-      val de = intercept[Exception](spark.sql("DELETE FROM gwap.db.t WHERE k = 1"))
-      assert(chain(de).contains("spark.wap.id"), chain(de))
-    } finally spark.conf.unset("spark.wap.id")
-    assert(count() == 4L, "the refused DELETE must not land")
+    try spark.sql("DELETE FROM gwap.db.t WHERE k = 1")
+    finally spark.conf.unset("spark.wap.id")
+    assert(count() == 4L, "the staged DELETE must stay invisible")
+    assert(current() == headBeforeW9, "a staged DELETE must not move main")
+    assert(TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/t"))
+      .snapshots.exists(s => s.summary.get("wap.id").contains("w9") &&
+        s.summary.get("wap.staged").contains("true")))
     // REPLACE TABLE refuses too — and the guard judges the table AS IT
     // STANDS, so omitting write.wap.enabled from the REPLACE's own
     // properties cannot sneak a full-table overwrite past the gate
@@ -338,5 +341,83 @@ class MaintGuardsSpec extends SparkSpec {
       "the abandoned stage's data files must physically reclaim")
     assert(spark.sql("SELECT SUM(k) FROM gwex.db.t").head.getLong(0) == 3L,
       "published rows (1 + 2) must keep serving after the reclamation")
+  }
+
+  test("staged row-level edits: COW UPDATE and MOR MERGE stage invisibly, " +
+      "publish by fast-forward only, refuse once main advances") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-waped").toString
+    spark.conf.set("spark.sql.catalog.gwed", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwed.warehouse", wh)
+    spark.sql("""CREATE TABLE gwed.db.t (k BIGINT, v STRING)
+      TBLPROPERTIES ('write.wap.enabled'='true',
+        'write.update.mode'='copy-on-write',
+        'write.merge.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO gwed.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val dir = s"$wh/db/t"
+    def vOf(k: Long): String = spark.sql(
+      s"SELECT v FROM gwed.db.t WHERE k = $k").head.getString(0)
+    def current() = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(dir)).currentSnapshotId.get
+    def staged(id: String, sql: String): Unit = {
+      spark.conf.set("spark.wap.id", id)
+      try spark.sql(sql) finally spark.conf.unset("spark.wap.id")
+    }
+    // COW UPDATE stages: the overwrite snapshot lands in the document,
+    // nothing moves, the rewrite is invisible — then fast-forward
+    // publication applies it with zero additional manifest work
+    val head0 = current()
+    staged("e1", "UPDATE gwed.db.t SET v = 'A' WHERE k = 1")
+    assert(vOf(1) == "a", "staged COW UPDATE must stay invisible")
+    assert(current() == head0)
+    spark.sql("CALL gwed.system.publish_changes('db.t', 'e1')")
+    assert(vOf(1) == "A", "published UPDATE must land")
+    val pubMeta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    assert(pubMeta.currentSnapshot.get.operation.contains("overwrite"))
+    assert(pubMeta.currentSnapshot.get.summary.contains("wap.published"))
+    // MOR MERGE stages: the delta (delete+data files) commits stage-only
+    staged("e2", """MERGE INTO gwed.db.t t USING
+      (SELECT CAST(2 AS BIGINT) AS k, 'B' AS v) s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(vOf(2) == "b", "staged MOR MERGE must stay invisible")
+    spark.sql("CALL gwed.system.publish_changes('db.t', 'e2')")
+    assert(vOf(2) == "B", "published MERGE must land")
+    // a staged edit whose parent is no longer the head REFUSES to
+    // publish — it validated against that exact live-file state, and a
+    // cherry-pick re-apply could resurrect rows
+    staged("e3", "UPDATE gwed.db.t SET v = 'Z' WHERE k = 3")
+    spark.sql("INSERT INTO gwed.db.t VALUES (4, 'd')") // main advances
+    val e = intercept[Exception](
+      spark.sql("CALL gwed.system.publish_changes('db.t', 'e3')"))
+    assert(e.getMessage.contains("re-run the edit"), e.getMessage)
+    assert(vOf(3) == "c", "the refused edit must not land")
+    assert(spark.sql("SELECT COUNT(*) FROM gwed.db.t").head.getLong(0) == 4L)
+    // the orphaned stage reclaims through age-based expiry like any
+    // abandoned stage; main keeps serving
+    spark.sql("CALL gwed.system.expire_snapshots('db.t', 1, " +
+      s"${System.currentTimeMillis() + 86400000L})")
+    val after = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    assert(!after.snapshots.exists(_.summary.get("wap.id").contains("e3")),
+      "the unpublishable stage must expire")
+    assert(vOf(3) == "c" && vOf(1) == "A" && vOf(2) == "B")
+  }
+
+  test("a staged v3 DELETE (deletion vectors) stays invisible and " +
+      "publishes by fast-forward") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wapdv").toString
+    spark.conf.set("spark.sql.catalog.gwdv", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwdv.warehouse", wh)
+    spark.sql("""CREATE TABLE gwdv.db.t (k BIGINT)
+      TBLPROPERTIES ('write.wap.enabled'='true', 'format-version'='3',
+        'write.delete.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO gwdv.db.t SELECT id FROM RANGE(10)")
+    def count() = spark.sql("SELECT COUNT(*) FROM gwdv.db.t").head.getLong(0)
+    spark.conf.set("spark.wap.id", "dv1")
+    try spark.sql("DELETE FROM gwdv.db.t WHERE k >= 7")
+    finally spark.conf.unset("spark.wap.id")
+    assert(count() == 10L, "staged DV delete must stay invisible")
+    spark.sql("CALL gwdv.system.publish_changes('db.t', 'dv1')")
+    assert(count() == 7L, "published DV delete must land")
+    assert(spark.sql("SELECT COUNT(*) FROM gwdv.db.t.position_deletes")
+      .head.getLong(0) == 3L, "the published head serves the staged DVs")
   }
 }

@@ -2354,8 +2354,15 @@ object GraftTable {
     }.distinctBy(e => uriPath(e.filePath))
     if (!newEntries.forall(_.fileFormat == "PARQUET")) return full()
     val newPaths = newEntries.map(_.filePath)
+    // zero new files (re-analyzing an already-analyzed head): union with
+    // an empty sketch is the identity — no scan at all
     val (newRows, newNulls, newEmpty, newSketches) =
-      statsPass(spark, readDataFiles(spark, meta, newPaths), typed)
+      if (newPaths.isEmpty) {
+        val empty = org.apache.datasketches.theta.UpdateSketch.builder()
+          .build().compact().toByteArray
+        (0L, Array.fill(typed.size)(0L), Array.fill(typed.size)(false),
+          Array.fill(typed.size)(empty))
+      } else statsPass(spark, readDataFiles(spark, meta, newPaths), typed)
     val sawEmptyIds = typed.zipWithIndex.collect {
       case ((f, _), j) if newEmpty(j) || prevEmpty(f.id) => f.id }.toSet
     val cols = typed.zipWithIndex.map { case ((f, _), j) =>

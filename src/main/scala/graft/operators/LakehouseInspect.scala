@@ -524,8 +524,17 @@ object LakehouseInspect {
       spark.sql("""INSERT INTO graft_ts.db.n
         SELECT n_nationkey, CASE WHEN n_regionkey = 2 THEN NULL ELSE n_name END,
           n_regionkey FROM i83_nation_src""")
+      // round 17: the full ANALYZE becomes the INCREMENTAL anchor — the
+      // refresh below sketches only the second append's files and unions
+      spark.sql("CALL graft_ts.system.compute_table_stats(table => 'db.n')")
+      spark.sql("""INSERT INTO graft_ts.db.n
+        SELECT n_nationkey + 100, n_name, n_regionkey FROM i83_nation_src
+        WHERE n_nationkey < 5""")
     }
-    val out = spark.sql("CALL graft_ts.system.compute_table_stats(table => 'db.n')").head()
+    val out = spark.sql("CALL graft_ts.system.compute_table_stats(" +
+      "table => 'db.n', incremental => true)").head()
+    require(out.getString(4) == "incremental",
+      s"append-only chain must take the incremental path: $out")
     val dir = s"$wh/db/n"
     val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
     val doc = graft.iceberg.TableStats.read(meta.statistics
@@ -545,17 +554,25 @@ object LakehouseInspect {
       Seq((doc.rowCount, out.getInt(2).toLong,
         doc.columns(meta.currentSchema.fields.find(_.name == "name").get.id).nullCount,
         byName("k").min.map(_.asInstanceOf[Long]).get,
-        byName("k").max.map(_.asInstanceOf[Long]).get))
-        .toDF("n_rows", "n_cols", "nulls_name", "k_min", "k_max")
+        byName("k").max.map(_.asInstanceOf[Long]).get,
+        out.getString(4)))
+        .toDF("n_rows", "n_cols", "nulls_name", "k_min", "k_max", "mode")
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
   val tableStatsEntrySql: String =
-    """SELECT COUNT(*) AS n_rows, CAST(3 AS BIGINT) AS n_cols,
-      |  CAST(SUM(CASE WHEN n_regionkey = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nulls_name,
-      |  CAST(MIN(n_nationkey) AS BIGINT) AS k_min,
-      |  CAST(MAX(n_nationkey) AS BIGINT) AS k_max
-      |FROM nation""".stripMargin
+    """WITH t AS (
+      |  SELECT n_nationkey AS k,
+      |    CASE WHEN n_regionkey = 2 THEN NULL ELSE n_name END AS name
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey + 100, n_name FROM nation WHERE n_nationkey < 5)
+      |SELECT COUNT(*) AS n_rows, CAST(3 AS BIGINT) AS n_cols,
+      |  CAST(SUM(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_name,
+      |  CAST(MIN(k) AS BIGINT) AS k_min,
+      |  CAST(MAX(k) AS BIGINT) AS k_max,
+      |  'incremental' AS mode
+      |FROM t""".stripMargin
 
   // ---------------------------------------------------------------- i84
   /** Iceberg v3 column defaults end-to-end from SQL: CREATE with DEFAULT

@@ -25,9 +25,10 @@ object Bench {
   /** Steal defense: entries whose min-of-2 timed passes STILL sits far
     * above their own warmup measurement of the same code. min-of-2
     * records a 12× artifact when one host-contention window spans both
-    * passes (BENCH_r16: d5/m9 at 19 s vs a 1.5 s band) — but the warmup
-    * pass hours of drift can't explain sits right there as the entry's
-    * own same-process reference. An entry re-measures when its best
+    * passes (BENCH_r16: d5/m9 at 19 s vs a 1.5 s band) — but the
+    * entry's own WARMUP timing, taken in the same process minutes
+    * earlier, is a reference that no multi-hour drift story can explain
+    * away. An entry re-measures when its best
     * exceeds `factor`× its successful warmup AND the absolute excess
     * clears `minExcessSec` (a 0.02 s→0.09 s wobble is noise, not theft);
     * the set is CAPPED, worst overshoot first, so a genuinely slowed

@@ -970,9 +970,12 @@ object GraftTable {
     // an empty append is the caller's no-op to skip
     require(files.nonEmpty || replace, "no files to commit")
     require(branch.isEmpty || !replace, "branch writes are append-only")
-    require(!stage || (branch.isEmpty && !replace),
-      "a wap.id staged commit is an invisible append onto main's lineage — " +
-        "it combines with neither branch targets nor overwrite")
+    // staging combines with replace (a staged truncate-overwrite
+    // publishes fast-forward-only like every staged edit) but never
+    // with a branch target — a branch IS the other WAP mechanism
+    require(!stage || branch.isEmpty,
+      "a wap.id staged commit targets main's lineage — " +
+        "it does not combine with a branch target")
     OptimisticCommit.commit(tableDir, (base0, basePath) => {
       // every NON-staging commit onto main refuses under a staging
       // session on a wap-opted table — this catches the paths that never
@@ -1396,7 +1399,7 @@ object GraftTable {
         Some("overwrite"),
         Map("added-data-files" -> files.size.toString,
           "deleted-data-files" -> replacedPaths.size.toString) ++
-          wapStageSummary(wapStage),
+          wapEditSummary(wapStage),
         Some(list), base.currentSchemaId)
       branch match {
         case None if wapStage.isDefined =>
@@ -2206,7 +2209,8 @@ object GraftTable {
     val thetaSketches: Map[Int, Array[Byte]] = typed.zipWithIndex
       .filter { case ((_, t), _) => TableStats.thetaSupported(t) }
       .map { case ((f, _), j) => f.id -> sketches(j) }.toMap
-    (commitStatsDoc(tableDir, snapId, doc, thetaSketches, sawEmptyIds), doc)
+    (commitStatsDoc(tableDir, snapId, doc, thetaSketches, sawEmptyIds,
+      typed.map(ft => ft._1.id -> ft._1.fieldType).toMap), doc)
   }
 
   /** ONE partition-parallel pass over `df`'s `typed` columns: exact row
@@ -2276,9 +2280,10 @@ object GraftTable {
     * between leaves a reclaimable orphan, never a dangling reference). */
   private def commitStatsDoc(tableDir: String, snapId: Long,
       doc: TableStats.Doc, thetaSketches: Map[Int, Array[Byte]],
-      sawEmpty: Set[Int]): OptimisticCommit.CommitResult = {
+      sawEmpty: Set[Int],
+      fieldTypes: Map[Int, String]): OptimisticCommit.CommitResult = {
     val path = s"$tableDir/stats-$snapId-${java.util.UUID.randomUUID()}.puffin"
-    val size = TableStats.write(path, doc, thetaSketches, sawEmpty)
+    val size = TableStats.write(path, doc, thetaSketches, sawEmpty, fieldTypes)
     var replaced: Seq[String] = Nil
     val result = OptimisticCommit.commit(tableDir, (base, basePath) => {
       replaced = base.statistics.filter(_.snapshotId == snapId).map(_.path)
@@ -2336,12 +2341,20 @@ object GraftTable {
       .filter { case (_, t) => TableStats.sketchable(t) }
     if (typed.exists { case (_, t) => !TableStats.thetaSupported(t) })
       return full()
-    val (prevDoc, prevBodies, prevEmpty) =
+    val sk =
       try TableStats.readWithSketches(statsBySnap(anchor.snapshotId).path)
       catch { case scala.util.control.NonFatal(_) => return full() }
+    val (prevDoc, prevBodies, prevEmpty) = (sk.doc, sk.bodies, sk.sawEmpty)
     val ids = typed.map(_._1.id).toSet
     if (prevDoc.columns.keySet != ids || !ids.forall(prevBodies.contains) ||
         prevDoc.columns.values.exists(_.nullCount.isEmpty)) return full()
+    // a type change since the anchor (ALTER COLUMN ... TYPE widening)
+    // changes the single-value bytes the sketch hashes — a union across
+    // it would double-count every value present on both sides. The
+    // anchor records each field's hashed type; any mismatch (or an
+    // older doc without the record) recomputes instead.
+    if (!typed.forall { case (f, _) =>
+        sk.fieldTypes.get(f.id).contains(f.fieldType) }) return full()
     // data files the append chain added: each append's own manifests
     // (field 503), ADDED entries only — KB-scale metadata reads
     val newEntries = between.flatMap { s =>
@@ -2374,7 +2387,8 @@ object GraftTable {
     val doc = TableStats.Doc(snapId, prevDoc.rowCount + newRows,
       cols.map { case (fid, _, cs) => fid -> cs }.toMap)
     val thetaSketches = cols.map { case (fid, body, _) => fid -> body }.toMap
-    (commitStatsDoc(tableDir, snapId, doc, thetaSketches, sawEmptyIds), doc, true)
+    (commitStatsDoc(tableDir, snapId, doc, thetaSketches, sawEmptyIds,
+      typed.map(ft => ft._1.id -> ft._1.fieldType).toMap), doc, true)
   }
 
   /** PARTITION statistics (the spec's `partition-statistics` slot): a
@@ -2552,9 +2566,11 @@ object GraftTable {
   /** The escape hatch for the upstream-style no-op: thrown from inside
     * the CAS closure when the (freshly-resolved) target already IS
     * current — committing a new metadata version that changes nothing
-    * would be pure churn. */
-  private final case class AlreadyCurrentEscape(snapshotId: Long)
-    extends RuntimeException(s"snapshot $snapshotId is already current")
+    * would be pure churn. Carries the state the decision was MADE on:
+    * re-reading after the throw could observe a concurrent commit and
+    * report a head that never justified the no-op. */
+  private final case class AlreadyCurrentEscape(base: TableMetadata,
+      basePath: String) extends RuntimeException("target is already current")
 
   /** Move main to an existing snapshot — by id, or by REF NAME resolved
     * INSIDE the CAS closure: resolving a ref from a pre-CAS metadata
@@ -2570,15 +2586,19 @@ object GraftTable {
         base.refs.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(s"no such ref '$name'")).snapshotId)
       if (base.currentSnapshotId.contains(resolved))
-        throw AlreadyCurrentEscape(resolved)
+        throw AlreadyCurrentEscape(base, basePath)
       MetadataWriter.setCurrentSnapshot(base, resolved, base.lastUpdatedMs + 1000,
         Some(basePath))
     })
     catch {
-      case AlreadyCurrentEscape(_) =>
-        val v = OptimisticCommit.currentVersion(tableDir)
-        val path = OptimisticCommit.metadataPath(tableDir, v)
-        OptimisticCommit.CommitResult(v, path, TableMetadata.parseFile(path), 0)
+      case AlreadyCurrentEscape(base, basePath) =>
+        val v = basePath match {
+          case p if p.endsWith(".metadata.json") =>
+            "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(p)
+              .map(_.group(1).toInt).getOrElse(0)
+          case _ => 0
+        }
+        OptimisticCommit.CommitResult(v, basePath, base, 0)
     }
 
   /** Tag a snapshot (default: the current head) through the CAS loop —
@@ -2761,9 +2781,14 @@ object GraftTable {
   private def wapEditStage(props: Map[String, String]): Option[String] =
     sessionWapId.filter(_ => props.get("write.wap.enabled").contains("true"))
 
-  private def wapStageSummary(wapStage: Option[String]): Map[String, String] =
-    wapStage.map(id => Map("wap.id" -> id, "wap.staged" -> "true"))
-      .getOrElse(Map.empty)
+  /** Summary keys for a row-level commit under a session wap id: the id
+    * ALWAYS rides the snapshot summary when one is set (the audit trail
+    * — matching the append route and upstream, which stamp wap.id on
+    * every commit regardless of staging); the staged marker rides only
+    * on an actual stage. */
+  private def wapEditSummary(wapStage: Option[String]): Map[String, String] =
+    sessionWapId.map("wap.id" -> _).toMap ++
+      (if (wapStage.isDefined) Map("wap.staged" -> "true") else Map.empty)
 
   def cherrypick(tableDir: String, snapshotId: Long): OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) => {
@@ -3200,7 +3225,7 @@ object GraftTable {
             (if (v3Dv) dvRefRows.size else deleteFiles.size).toString,
           "added-position-deletes" -> deleteFiles.map(_.rows).sum.toString) ++
           (if (v3Dv) Map("added-dvs" -> dvRefRows.size.toString) else Map.empty) ++
-          wapStageSummary(wapStage),
+          wapEditSummary(wapStage),
         Some(list), base.currentSchemaId)
       branch match {
         case None if wapStage.isDefined =>
@@ -3319,7 +3344,7 @@ object GraftTable {
         Some("delete"),
         Map("added-delete-files" -> "1",
           "added-position-deletes" -> nDeletes.toString) ++
-          wapStageSummary(wapStage),
+          wapEditSummary(wapStage),
         Some(list), base.currentSchemaId)
       branch match {
         case None if wapStage.isDefined =>
@@ -3467,7 +3492,7 @@ object GraftTable {
         Map("added-dvs" -> refRows.size.toString,
           "removed-dvs" -> oldDvEntries.size.toString,
           "added-position-deletes" -> nNew.toString) ++
-          wapStageSummary(wapStage),
+          wapEditSummary(wapStage),
         Some(list), base.currentSchemaId)
       branch match {
         case None if wapStage.isDefined =>

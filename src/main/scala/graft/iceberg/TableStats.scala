@@ -90,7 +90,8 @@ object TableStats {
 
   def write(path: String, doc: Doc,
       thetaSketches: Map[Int, Array[Byte]] = Map.empty,
-      sawEmpty: Set[Int] = Set.empty): Long = {
+      sawEmpty: Set[Int] = Set.empty,
+      fieldTypes: Map[Int, String] = Map.empty): Long = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val ndvBlobs = doc.columns.toSeq.sortBy(_._1).map { case (fieldId, cs) =>
       val nulls = cs.nullCount.getOrElse(
@@ -103,9 +104,14 @@ object TableStats {
       // — the one distinct value a theta sketch body CANNOT represent
       // (update(byte[0]) is a documented no-op). Incremental ANALYZE
       // needs the flag to re-apply the +1 after unioning sketch bodies.
+      // field-type records the type WHOSE single-value serialization the
+      // sketch hashed: a later widening (int→long, float→double) changes
+      // the hash input bytes, so a union across it would double-count —
+      // incremental ANALYZE must see the change and recompute instead.
       Puffin.Blob("graft-ndv-v1", Seq(fieldId), doc.snapshotId, doc.snapshotId,
         Map("ndv" -> cs.ndv.toString, "null-count" -> nulls.toString,
-          "empty-adjust" -> (if (sawEmpty(fieldId)) "1" else "0")),
+          "empty-adjust" -> (if (sawEmpty(fieldId)) "1" else "0")) ++
+          fieldTypes.get(fieldId).map("field-type" -> _),
         b.toString.getBytes(utf8))
     }
     val thetaBlobs = thetaSketches.toSeq.sortBy(_._1).map { case (fieldId, body) =>
@@ -136,6 +142,11 @@ object TableStats {
     * standard blob for others, and read others' standard blobs. */
   def read(path: String): Doc = {
     val (raw, refs, props) = Puffin.read(path)
+    docFrom(raw, refs, props)
+  }
+
+  private def docFrom(raw: Array[Byte], refs: Seq[Puffin.BlobRef],
+      props: Map[String, String]): Doc = {
     val own = refs.filter(_.blobType == "graft-ndv-v1").map { r =>
       r.fields.head -> ColumnStats(
         r.properties("ndv").toLong, Some(r.properties("null-count").toLong))
@@ -159,22 +170,31 @@ object TableStats {
     Doc(props("snapshot-id").toLong, props("row-count").toLong, foreign ++ own)
   }
 
-  /** The incremental-ANALYZE read: the doc plus the standard theta
-    * sketch BODIES (per field id, union-ready) and the set of columns
-    * whose counted values included an empty-bytes value (the +1 the
-    * sketch body cannot carry). Files written before the `empty-adjust`
-    * property existed infer the flag from ndv vs the body's estimate —
-    * the +1 was the only adjustment the engine ever applied. */
-  def readWithSketches(path: String): (Doc, Map[Int, Array[Byte]], Set[Int]) = {
-    val (raw, refs, _) = Puffin.read(path)
-    val doc = read(path)
+  /** Everything the incremental-ANALYZE union needs from the anchor
+    * document: the doc, the standard theta sketch BODIES (per field id,
+    * union-ready), the columns whose counted values included an
+    * empty-bytes value (the +1 the sketch body cannot carry), and the
+    * recorded per-field TYPE whose serialization the sketch hashed
+    * (absent on docs written before the property existed — the caller
+    * must then recompute rather than risk a cross-type union). */
+  final case class SketchDoc(doc: Doc, bodies: Map[Int, Array[Byte]],
+      sawEmpty: Set[Int], fieldTypes: Map[Int, String])
+
+  /** One read + parse of the container (the doc derives from the same
+    * triple — on object storage this is one GET, not two). Files
+    * written before `empty-adjust` existed infer the flag from ndv vs
+    * the body's estimate — the +1 was the only adjustment the engine
+    * ever applied. */
+  def readWithSketches(path: String): SketchDoc = {
+    val (raw, refs, props) = Puffin.read(path)
     val bodies = refs
       .filter(r => r.blobType == ThetaBlobType && r.fields.length == 1)
       .map { r =>
         r.fields.head -> java.util.Arrays.copyOfRange(
           raw, r.offset.toInt, (r.offset + r.length).toInt)
       }.toMap
-    val sawEmpty = refs.filter(_.blobType == "graft-ndv-v1").flatMap { r =>
+    val ownRefs = refs.filter(_.blobType == "graft-ndv-v1")
+    val sawEmpty = ownRefs.flatMap { r =>
       val fid = r.fields.head
       r.properties.get("empty-adjust") match {
         case Some(v) => if (v == "1") Some(fid) else None
@@ -189,6 +209,8 @@ object TableStats {
           } yield fid
       }
     }.toSet
-    (doc, bodies, sawEmpty)
+    val types = ownRefs.flatMap(r =>
+      r.properties.get("field-type").map(r.fields.head -> _)).toMap
+    SketchDoc(docFrom(raw, refs, props), bodies, sawEmpty, types)
   }
 }

@@ -285,10 +285,12 @@ class TableStatsSpec extends SparkSpec {
     def idOf(n: String) = meta1.currentSchema.fields.find(_.name == n).get.id
     // the empty-adjust flag persists with the document — the +1 the
     // sketch body cannot carry must survive an incremental union
-    val (_, bodies1, empty1) =
-      TableStats.readWithSketches(meta1.statistics.head.path)
-    assert(empty1 == Set(idOf("s")), empty1.toString)
-    assert(bodies1.keySet == Set(idOf("k"), idOf("s")))
+    val sk1 = TableStats.readWithSketches(meta1.statistics.head.path)
+    assert(sk1.sawEmpty == Set(idOf("s")), sk1.sawEmpty.toString)
+    assert(sk1.bodies.keySet == Set(idOf("k"), idOf("s")))
+    // the hashed type is recorded per field — the widening guard's input
+    assert(sk1.fieldTypes == Map(idOf("k") -> "long", idOf("s") -> "string"),
+      sk1.fieldTypes.toString)
 
     // two more appends, then DESTROY every batch-1 data file on disk: an
     // incremental refresh that touched any old byte would now throw
@@ -322,9 +324,36 @@ class TableStatsSpec extends SparkSpec {
     // NDV within theta error of a full recompute — exact mode here, so
     // equality: 18 v-values + '' from batch 1, 9 + null from batch 2,
     // 5 w-values from batch 3
-    val (_, _, empty2) = TableStats.readWithSketches(
+    val sk2 = TableStats.readWithSketches(
       meta2.statistics.find(_.snapshotId == out2.getLong(0)).get.path)
-    assert(empty2 == Set(idOf("s")))
+    assert(sk2.sawEmpty == Set(idOf("s")))
+  }
+
+  test("incremental ANALYZE falls back to full after a type widening — " +
+      "a union across changed hash bytes would double-count") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-w").toString
+    spark.conf.set("spark.sql.catalog.gincw", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gincw.warehouse", wh)
+    spark.sql("CREATE TABLE gincw.db.t (k INT)")
+    spark.sql("INSERT INTO gincw.db.t SELECT CAST(id AS INT) FROM RANGE(20)")
+    spark.sql("CALL gincw.system.compute_table_stats(table => 'db.t')")
+    // int → bigint: same field id, different single-value serialization
+    // (4-byte vs 8-byte LE) — the sketches are NOT union-compatible
+    spark.sql("ALTER TABLE gincw.db.t ALTER COLUMN k TYPE BIGINT")
+    spark.sql("INSERT INTO gincw.db.t SELECT id FROM RANGE(10, 25)")
+    val out = spark.sql(
+      "CALL gincw.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out.getString(4) == "full",
+      s"widened column must force the full recompute: $out")
+    val meta = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(s"$wh/db/t"))
+    val doc = TableStats.read(
+      meta.statistics.find(_.snapshotId == out.getLong(0)).get.path)
+    def idOf(n: String) = meta.currentSchema.fields.find(_.name == n).get.id
+    // 0..24 distinct under the ONE current hash space — a cross-type
+    // union would have reported ~35
+    assert(doc.rowCount == 35L)
+    assert(doc.columns(idOf("k")).ndv == 25L, doc.columns(idOf("k")).toString)
   }
 
   test("incremental ANALYZE falls back to the full recompute when the " +

@@ -213,6 +213,19 @@ class MaintGuardsSpec extends SparkSpec {
       GraftTable.latestMetadataPath(s"$wh/db/plain"))
     assert(plainMeta.currentSnapshot.get.summary.get("wap.id").contains("w3"))
     assert(!plainMeta.currentSnapshot.get.summary.contains("wap.staged"))
+    // EDITS on the non-opted table keep the same audit trail appends
+    // get: the DELETE commits normally (visible) with wap.id riding the
+    // summary and no staged marker
+    spark.conf.set("spark.wap.id", "w3d")
+    try spark.sql("DELETE FROM gwap.db.plain WHERE k = 1")
+    finally spark.conf.unset("spark.wap.id")
+    assert(spark.sql("SELECT COUNT(*) FROM gwap.db.plain").head().getLong(0) == 0L,
+      "without write.wap.enabled the edit commits normally")
+    val plainDel = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(s"$wh/db/plain")).currentSnapshot.get
+    assert(plainDel.summary.get("wap.id").contains("w3d"),
+      s"the edit must record the audit id: ${plainDel.summary}")
+    assert(!plainDel.summary.contains("wap.staged"))
     val e3 = intercept[Exception](
       spark.sql("CALL gwap.system.publish_changes('db.plain', 'w3')"))
     assert(e3.getMessage.contains("no unpublished staged"), e3.getMessage)
@@ -399,6 +412,25 @@ class MaintGuardsSpec extends SparkSpec {
     assert(!after.snapshots.exists(_.summary.get("wap.id").contains("e3")),
       "the unpublishable stage must expire")
     assert(vOf(3) == "c" && vOf(1) == "A" && vOf(2) == "B")
+  }
+
+  test("a staged INSERT OVERWRITE stays invisible and publishes by " +
+      "fast-forward") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wapov").toString
+    spark.conf.set("spark.sql.catalog.gwov", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwov.warehouse", wh)
+    spark.sql("""CREATE TABLE gwov.db.t (k BIGINT)
+      TBLPROPERTIES ('write.wap.enabled'='true')""")
+    spark.sql("INSERT INTO gwov.db.t SELECT id FROM RANGE(5)")
+    def rows() = spark.sql("SELECT SUM(k), COUNT(*) FROM gwov.db.t").head
+    spark.conf.set("spark.wap.id", "ov1")
+    try spark.sql("INSERT OVERWRITE gwov.db.t SELECT id FROM RANGE(100, 103)")
+    finally spark.conf.unset("spark.wap.id")
+    assert(rows().getLong(1) == 5L, "staged overwrite must stay invisible")
+    spark.sql("CALL gwov.system.publish_changes('db.t', 'ov1')")
+    val after = rows()
+    assert(after.getLong(1) == 3L && after.getLong(0) == 303L,
+      s"published overwrite must replace the content: $after")
   }
 
   test("a staged v3 DELETE (deletion vectors) stays invisible and " +

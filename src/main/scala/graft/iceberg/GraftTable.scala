@@ -1335,7 +1335,7 @@ object GraftTable {
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       // branch-scoped edits bypass no audit gate (the other WAP path);
       // a main-targeting rewrite under a staging session STAGES
-      val wapStage = if (branch.isEmpty) wapEditStage(base.properties) else None
+      val wap = wapEditDecision(branch, base.properties)
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
       // with `branch`, the whole replace is BRANCH-SCOPED (the WAP story
@@ -1399,10 +1399,10 @@ object GraftTable {
         Some("overwrite"),
         Map("added-data-files" -> files.size.toString,
           "deleted-data-files" -> replacedPaths.size.toString) ++
-          wapEditSummary(wapStage),
+          wap.summary,
         Some(list), base.currentSchemaId)
       branch match {
-        case None if wapStage.isDefined =>
+        case None if wap.staged =>
           MetadataWriter.stageSnapshot(base2, snap, Some(basePath))
         case None => MetadataWriter.commitSnapshot(base2, snap, Some(basePath))
         case Some(b) => MetadataWriter.commitToBranch(base2, snap, b, Some(basePath))
@@ -2210,7 +2210,8 @@ object GraftTable {
       .filter { case ((_, t), _) => TableStats.thetaSupported(t) }
       .map { case ((f, _), j) => f.id -> sketches(j) }.toMap
     (commitStatsDoc(tableDir, snapId, doc, thetaSketches, sawEmptyIds,
-      typed.map(ft => ft._1.id -> ft._1.fieldType).toMap), doc)
+      typed.map(ft =>
+        ft._1.id -> TableStats.hashedTypeName(ft._1.fieldType, ft._2)).toMap), doc)
   }
 
   /** ONE partition-parallel pass over `df`'s `typed` columns: exact row
@@ -2348,13 +2349,14 @@ object GraftTable {
     val ids = typed.map(_._1.id).toSet
     if (prevDoc.columns.keySet != ids || !ids.forall(prevBodies.contains) ||
         prevDoc.columns.values.exists(_.nullCount.isEmpty)) return full()
-    // a type change since the anchor (ALTER COLUMN ... TYPE widening)
-    // changes the single-value bytes the sketch hashes — a union across
-    // it would double-count every value present on both sides. The
-    // anchor records each field's hashed type; any mismatch (or an
-    // older doc without the record) recomputes instead.
-    if (!typed.forall { case (f, _) =>
-        sk.fieldTypes.get(f.id).contains(f.fieldType) }) return full()
+    // the sketch hashes PROMOTED types (int as long, float as double —
+    // the Puffin spec's rule), so the legal widenings stay
+    // union-compatible by construction; any OTHER recorded-vs-current
+    // hash-type mismatch, or an older document without the record,
+    // would union incompatible hash spaces and double-count — recompute.
+    if (!typed.forall { case (f, t) =>
+        sk.fieldTypes.get(f.id)
+          .contains(TableStats.hashedTypeName(f.fieldType, t)) }) return full()
     // data files the append chain added: each append's own manifests
     // (field 503), ADDED entries only — KB-scale metadata reads
     val newEntries = between.flatMap { s =>
@@ -2388,7 +2390,8 @@ object GraftTable {
       cols.map { case (fid, _, cs) => fid -> cs }.toMap)
     val thetaSketches = cols.map { case (fid, body, _) => fid -> body }.toMap
     (commitStatsDoc(tableDir, snapId, doc, thetaSketches, sawEmptyIds,
-      typed.map(ft => ft._1.id -> ft._1.fieldType).toMap), doc, true)
+      typed.map(ft =>
+        ft._1.id -> TableStats.hashedTypeName(ft._1.fieldType, ft._2)).toMap), doc, true)
   }
 
   /** PARTITION statistics (the spec's `partition-statistics` slot): a
@@ -2592,13 +2595,8 @@ object GraftTable {
     })
     catch {
       case AlreadyCurrentEscape(base, basePath) =>
-        val v = basePath match {
-          case p if p.endsWith(".metadata.json") =>
-            "v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(p)
-              .map(_.group(1).toInt).getOrElse(0)
-          case _ => 0
-        }
-        OptimisticCommit.CommitResult(v, basePath, base, 0)
+        OptimisticCommit.CommitResult(
+          OptimisticCommit.versionOf(basePath), basePath, base, 0)
     }
 
   /** Tag a snapshot (default: the current head) through the CAS loop —
@@ -2778,17 +2776,26 @@ object GraftTable {
     * (replaying a rewrite onto different live files could resurrect
     * rows) and the user re-runs the edit; the abandoned stage reclaims
     * through age-based expiry like any other. */
-  private def wapEditStage(props: Map[String, String]): Option[String] =
-    sessionWapId.filter(_ => props.get("write.wap.enabled").contains("true"))
+  /** The stage-or-audit decision for one row-level commit, resolved
+    * from ONE sessionWapId read — the session conf is shared and
+    * mutable, and a second read later in the closure (manifest/DV
+    * writes in between can take seconds) could observe a concurrent
+    * unset and land a staged snapshot with no wap.id, permanently
+    * unpublishable. `id` is the audit trail (recorded whenever set,
+    * matching the append route and upstream); `staged` only when the
+    * commit targets main and the table opted in. */
+  private final case class WapDecision(id: Option[String], staged: Boolean) {
+    def summary: Map[String, String] =
+      id.map("wap.id" -> _).toMap ++
+        (if (staged) Map("wap.staged" -> "true") else Map.empty)
+  }
 
-  /** Summary keys for a row-level commit under a session wap id: the id
-    * ALWAYS rides the snapshot summary when one is set (the audit trail
-    * — matching the append route and upstream, which stamp wap.id on
-    * every commit regardless of staging); the staged marker rides only
-    * on an actual stage. */
-  private def wapEditSummary(wapStage: Option[String]): Map[String, String] =
-    sessionWapId.map("wap.id" -> _).toMap ++
-      (if (wapStage.isDefined) Map("wap.staged" -> "true") else Map.empty)
+  private def wapEditDecision(branch: Option[String],
+      props: Map[String, String]): WapDecision = {
+    val id = sessionWapId
+    WapDecision(id, id.isDefined && branch.isEmpty &&
+      props.get("write.wap.enabled").contains("true"))
+  }
 
   def cherrypick(tableDir: String, snapshotId: Long): OptimisticCommit.CommitResult =
     OptimisticCommit.commit(tableDir, (base, basePath) => {
@@ -3124,8 +3131,8 @@ object GraftTable {
       // with `branch`, the delta lands BRANCH-SCOPED: validation, carried
       // manifests and the parent come from the branch head; only the
       // branch ref moves. A main-targeting delta under a staging session
-      // STAGES instead (wapEditStage — fast-forward-only publication)
-      val wapStage = if (branch.isEmpty) wapEditStage(base.properties) else None
+      // STAGES instead (wapEditDecision — fast-forward-only publication)
+      val wap = wapEditDecision(branch, base.properties)
       val head = refHead(base, branch)
       val live = entriesAt(head, 0).filter(_.content == 0)
         .map(e => uriPath(e.filePath)).toSet
@@ -3225,10 +3232,10 @@ object GraftTable {
             (if (v3Dv) dvRefRows.size else deleteFiles.size).toString,
           "added-position-deletes" -> deleteFiles.map(_.rows).sum.toString) ++
           (if (v3Dv) Map("added-dvs" -> dvRefRows.size.toString) else Map.empty) ++
-          wapEditSummary(wapStage),
+          wap.summary,
         Some(list), base.currentSchemaId)
       branch match {
-        case None if wapStage.isDefined =>
+        case None if wap.staged =>
           MetadataWriter.stageSnapshot(base2, snap, Some(basePath))
         case None => MetadataWriter.commitSnapshot(base2, snap, Some(basePath))
         case Some(b) => MetadataWriter.commitToBranch(base2, snap, b, Some(basePath))
@@ -3339,15 +3346,15 @@ object GraftTable {
           head.toSeq.flatMap(s => ManifestListReader.read(s.manifestList.get))
       }
       writeList(list, carried, manifest, 0, 1, snapId, delSummary)
-      val wapStage = if (branch.isEmpty) wapEditStage(base.properties) else None
+      val wap = wapEditDecision(branch, base.properties)
       val snap = Snapshot(snapId, head.map(_.snapshotId), base.lastUpdatedMs + 1000,
         Some("delete"),
         Map("added-delete-files" -> "1",
           "added-position-deletes" -> nDeletes.toString) ++
-          wapEditSummary(wapStage),
+          wap.summary,
         Some(list), base.currentSchemaId)
       branch match {
-        case None if wapStage.isDefined =>
+        case None if wap.staged =>
           MetadataWriter.stageSnapshot(base, snap, Some(basePath))
         case None => MetadataWriter.commitSnapshot(base, snap, Some(basePath))
         case Some(b) => MetadataWriter.commitToBranch(base, snap, b, Some(basePath))
@@ -3486,16 +3493,16 @@ object GraftTable {
       }
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       writeList(list, carried, manifest, 0, 1, snapId, delSummary)
-      val wapStage = if (branch.isEmpty) wapEditStage(base.properties) else None
+      val wap = wapEditDecision(branch, base.properties)
       val snap = Snapshot(snapId, nowHead.map(_.snapshotId),
         base.lastUpdatedMs + 1000, Some("delete"),
         Map("added-dvs" -> refRows.size.toString,
           "removed-dvs" -> oldDvEntries.size.toString,
           "added-position-deletes" -> nNew.toString) ++
-          wapEditSummary(wapStage),
+          wap.summary,
         Some(list), base.currentSchemaId)
       branch match {
-        case None if wapStage.isDefined =>
+        case None if wap.staged =>
           MetadataWriter.stageSnapshot(base, snap, Some(basePath))
         case None => MetadataWriter.commitSnapshot(base, snap, Some(basePath))
         case Some(b) => MetadataWriter.commitToBranch(base, snap, b, Some(basePath))

@@ -39,6 +39,14 @@ object OptimisticCommit {
   def metadataPath(tableDir: String, version: Int): String =
     s"$tableDir/v$version.metadata.json"
 
+  /** The version of a metadata path THIS module produced — the inverse
+    * of [[metadataPath]]. Fails loudly on any other shape: a silent
+    * fallback would misreport version 0 if the layout ever changed. */
+  def versionOf(path: String): Int =
+    VersionRe.findFirstMatchIn(path.split('/').last).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"not a versioned metadata path: $path"))
+
   private def hintPath(tableDir: String) = new Path(s"$tableDir/version-hint.text")
 
   /** Latest committed version. The `version-hint.text` a winner drops

@@ -63,10 +63,40 @@ object TableStats {
     case other => thetaSupported(other)
   }
 
+  /** The type whose serialization the sketch hashes for a column of
+    * type `t`: int hashes as LONG and float as DOUBLE (the Puffin
+    * spec's rule for `apache-datasketches-theta-v1` — hashing the
+    * promoted type keeps sketches union-compatible across the only
+    * legal type promotions, so an `ALTER COLUMN ... TYPE` widening
+    * never invalidates previously-written blobs). */
+  def promotedType(t: IcebergType): IcebergType = t match {
+    case TInt => TLong
+    case TFloat => TDouble
+    case other => other
+  }
+
+  /** The type NAME a stats document records per field (`field-type`
+    * blob property): the HASHED type, i.e. the promoted one — so an
+    * int→long widening reads back as the same hash space and an
+    * incremental union stays valid, while any other type change (or a
+    * pre-promotion document without the record) forces a recompute. */
+  def hashedTypeName(fieldType: String, t: IcebergType): String = t match {
+    case TInt => "long"
+    case TFloat => "double"
+    case _ => fieldType
+  }
+
   /** A Spark row value → the Iceberg single-value bytes the sketch
-    * hashes (the spec's standard input, so foreign sketches of the same
-    * data are union-compatible). */
-  def sketchBytes(t: IcebergType, v: Any): Array[Byte] = (t, v) match {
+    * hashes (the spec's standard input — values of promotable types
+    * hash via [[promotedType]] — so foreign sketches of the same data
+    * are union-compatible, including across widening). */
+  def sketchBytes(t0: IcebergType, v: Any): Array[Byte] = {
+    val t = promotedType(t0)
+    (t, v) match {
+    case (TLong, i: java.lang.Integer) =>
+      SingleValueCodec.encode(TLong, i.longValue())
+    case (TDouble, f: java.lang.Float) =>
+      SingleValueCodec.encode(TDouble, f.doubleValue())
     case (TDate, d: java.sql.Date) => SingleValueCodec.encode(t, d.toLocalDate)
     case (TDate, d: java.time.LocalDate) => SingleValueCodec.encode(t, d)
     case (TTimestamptz, ts: java.sql.Timestamp) => SingleValueCodec.encode(t, ts.toInstant)
@@ -86,6 +116,7 @@ object TableStats {
     // standard blob input — thetaSupported excludes geo
     case (_: TGeometry | _: TGeography, b: Array[Byte]) => b
     case _ => SingleValueCodec.encode(t, v)
+    }
   }
 
   def write(path: String, doc: Doc,

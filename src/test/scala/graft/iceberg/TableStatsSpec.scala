@@ -329,31 +329,51 @@ class TableStatsSpec extends SparkSpec {
     assert(sk2.sawEmpty == Set(idOf("s")))
   }
 
-  test("incremental ANALYZE falls back to full after a type widening — " +
-      "a union across changed hash bytes would double-count") {
+  test("incremental ANALYZE survives int->bigint widening: promoted-type " +
+      "hashing keeps sketches union-compatible (the Puffin spec rule)") {
     val wh = java.nio.file.Files.createTempDirectory("graft-stats-w").toString
     spark.conf.set("spark.sql.catalog.gincw", classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gincw.warehouse", wh)
     spark.sql("CREATE TABLE gincw.db.t (k INT)")
     spark.sql("INSERT INTO gincw.db.t SELECT CAST(id AS INT) FROM RANGE(20)")
     spark.sql("CALL gincw.system.compute_table_stats(table => 'db.t')")
-    // int → bigint: same field id, different single-value serialization
-    // (4-byte vs 8-byte LE) — the sketches are NOT union-compatible
+    val dir = s"$wh/db/t"
+    val meta1 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    def idOf(m: TableMetadata, n: String) =
+      m.currentSchema.fields.find(_.name == n).get.id
+    val kId = idOf(meta1, "k")
+    // the INT column's sketch body hashes the PROMOTED longs — byte-
+    // identical to a reference sketch over 8-byte long serializations
+    // (a 4-byte int hash here would break foreign unions and widening)
+    val sk1 = TableStats.readWithSketches(meta1.statistics.head.path)
+    assert(sk1.fieldTypes(kId) == "long", sk1.fieldTypes.toString)
+    val ref = org.apache.datasketches.theta.UpdateSketch.builder().build()
+    (0L until 20L).foreach(v =>
+      ref.update(SingleValueCodec.encode(IcebergTypes.TLong, v)))
+    assert(java.util.Arrays.equals(ref.compact(true, null).toByteArray, sk1.bodies(kId)),
+      "int column must hash as promoted longs")
+    // widen, append an OVERLAPPING range, destroy the old bytes: the
+    // refresh must stay incremental AND exact across the type change
     spark.sql("ALTER TABLE gincw.db.t ALTER COLUMN k TYPE BIGINT")
+    val batch1Files = meta1.currentSnapshot.flatMap(_.manifestList).toSeq
+      .flatMap(ManifestListReader.read).filter(_.content == 0)
+      .flatMap(i => ManifestWriter.read(i.path))
+      .filter(e => e.status != 2 && e.content == 0).map(_.filePath)
     spark.sql("INSERT INTO gincw.db.t SELECT id FROM RANGE(10, 25)")
+    batch1Files.foreach(p => java.nio.file.Files.write(
+      java.nio.file.Paths.get(p.stripPrefix("file:")), "junk".getBytes("UTF-8")))
     val out = spark.sql(
       "CALL gincw.system.compute_table_stats(table => 'db.t', incremental => true)").head
-    assert(out.getString(4) == "full",
-      s"widened column must force the full recompute: $out")
-    val meta = TableMetadata.parseFile(
-      GraftTable.latestMetadataPath(s"$wh/db/t"))
+    assert(out.getString(4) == "incremental",
+      s"promotion-compatible widening must stay incremental: $out")
+    val meta2 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
     val doc = TableStats.read(
-      meta.statistics.find(_.snapshotId == out.getLong(0)).get.path)
-    def idOf(n: String) = meta.currentSchema.fields.find(_.name == n).get.id
-    // 0..24 distinct under the ONE current hash space — a cross-type
-    // union would have reported ~35
+      meta2.statistics.find(_.snapshotId == out.getLong(0)).get.path)
+    // 0..24 distinct: the 10..19 overlap hashes IDENTICALLY on both
+    // sides of the widening — a 4-byte/8-byte mismatch would report 35
     assert(doc.rowCount == 35L)
-    assert(doc.columns(idOf("k")).ndv == 25L, doc.columns(idOf("k")).toString)
+    assert(doc.columns(idOf(meta2, "k")).ndv == 25L,
+      doc.columns(idOf(meta2, "k")).toString)
   }
 
   test("incremental ANALYZE falls back to the full recompute when the " +

@@ -2178,18 +2178,40 @@ object GraftTable {
     * [[TableStats]]). The DSv2 scan serves it back as V2 `columnStats()`,
     * which is what Spark's CBO join-reorder and build-side selection
     * consume. Re-analyzing the same snapshot replaces its entry. */
-  def computeTableStats(spark: SparkSession, tableDir: String)
+  /** `snapshotId` analyzes a HISTORICAL snapshot (under its own schema —
+    * the time-travel read rule) and keys the statistics file to it;
+    * `columns` restricts the pass to named columns (upstream's
+    * compute_table_stats signature) — unknown or unsketchable names
+    * refuse loudly rather than silently analyzing less than asked. */
+  def computeTableStats(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None,
+      columns: Option[Seq[String]] = None)
       : (OptimisticCommit.CommitResult, TableStats.Doc) = {
     val metaPath = latestMetadataPath(tableDir)
-    val meta = TableMetadata.parseFile(metaPath)
-    val snapId = meta.currentSnapshotId.getOrElse(
+    val meta0 = TableMetadata.parseFile(metaPath)
+    val snapId = snapshotId.orElse(meta0.currentSnapshotId).getOrElse(
       throw new IllegalArgumentException("cannot analyze a table with no snapshot"))
+    val snap = meta0.snapshot(snapId).getOrElse(
+      throw new IllegalArgumentException(s"no such snapshot $snapId"))
+    val meta =
+      if (snapshotId.isEmpty) meta0
+      else snap.schemaId.filter(id => meta0.schemas.exists(_.schemaId == id))
+        .map(id => meta0.copy(topLevelSchema = None, currentSchemaId = Some(id)))
+        .getOrElse(meta0)
     // sketchable columns only: nested/variant values have no canonical
     // serialization to hash (TableStats.sketchable) and carry no stats
-    val typed = meta.currentSchema.fields
+    val sketchableCols = meta.currentSchema.fields
       .flatMap(f => IcebergTypes.fromStringOpt(f.fieldType).map(t => (f, t)))
       .filter { case (_, t) => TableStats.sketchable(t) }
-    val df = read(spark, metaPath)
+    val typed = columns match {
+      case None => sketchableCols
+      case Some(names) =>
+        val byName = sketchableCols.map(ft => ft._1.name -> ft).toMap
+        names.map(n => byName.getOrElse(n, throw new IllegalArgumentException(
+          s"cannot analyze column '$n': not a sketchable column of the " +
+            s"analyzed schema (${sketchableCols.map(_._1.name).mkString(", ")})")))
+    }
+    val df = read(spark, metaPath, snapshotId = snapshotId)
     // ONE scan for everything: each task counts rows, counts nulls
     // exactly, and updates one theta sketch per column — values hashed
     // through their Iceberg single-value serialization (the puffin-spec

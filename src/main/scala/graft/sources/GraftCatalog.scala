@@ -115,7 +115,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * identifier convention: `SELECT * FROM graft.db.t.snapshots`). */
   private val MetadataTableNames =
     Set("snapshots", "history", "refs", "metadata_log_entries", "manifests",
-      "files", "delete_files", "partitions", "all_manifests", "all_files",
+      "files", "data_files", "delete_files", "partitions", "all_manifests",
+      "all_files", "all_data_files", "all_delete_files",
       "entries", "all_entries", "position_deletes")
 
   private def loadMetadataTable(ident: Identifier): Option[Table] = {
@@ -154,13 +155,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "partitions" => MetadataTables.partitions(spark, meta)
       case "all_manifests" => MetadataTables.allManifests(spark, meta)
       case "all_files" => MetadataTables.allFiles(spark, meta)
+      // upstream's content-sliced variants of all_files: every snapshot's
+      // data / delete halves (same driver-scale manifest sweep, filtered)
+      case "all_data_files" =>
+        MetadataTables.allFiles(spark, meta).filter("content = 0")
+      case "all_delete_files" =>
+        MetadataTables.allFiles(spark, meta).filter("content != 0")
       case "entries" => MetadataTables.entries(spark, meta)
       case "all_entries" => MetadataTables.allEntries(spark, meta)
       case "manifests" =>
         val list = meta.currentSnapshot.flatMap(_.manifestList).getOrElse(
           throw new IllegalArgumentException("table has no current snapshot"))
         MetadataTables.manifests(spark, list)
-      case "files" | "delete_files" =>
+      case "files" | "data_files" | "delete_files" =>
         // built from the core entry fields OUR manifests carry (the
         // generic files table projects columns a reduced-schema manifest
         // lacks); one concurrent driver read per manifest, KB-scale.
@@ -170,12 +177,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // clear it
         import spark.implicits._
         val wantDeletes = ident.name() == "delete_files"
+        val wantData = ident.name() == "data_files"
         val infos = meta.currentSnapshot.flatMap(_.manifestList).toSeq
           .flatMap(graft.iceberg.ManifestListReader.read)
         graft.iceberg.Par.inParallel(infos)(i =>
             (i, graft.iceberg.ManifestWriter.read(i.path)))
           .flatMap { case (i, es) => es.filter(e => e.status != 2 &&
-              (if (wantDeletes) e.content != 0 else true)).map(e =>
+              (if (wantDeletes) e.content != 0
+               else if (wantData) e.content == 0 else true)).map(e =>
             (i.path, e.content, e.filePath, e.recordCount, e.fileSizeInBytes,
               e.sequenceNumber.getOrElse(i.sequenceNumber))) }
           .toDF("manifest_path", "content", "file_path", "record_count",

@@ -240,7 +240,9 @@ object GraftProcedures {
           "sketches unioned with the previous document's standard theta " +
           "blobs (mode column reports which path ran)",
         Array(in("table", StringType),
-          inDefault("incremental", BooleanType, "false")),
+          inDefault("incremental", BooleanType, "false"),
+          inDefault("snapshot_id", LongType, "NULL"),
+          inDefault("columns", ArrayType(StringType), "NULL")),
         StructType(Seq(
           StructField("snapshot_id", LongType),
           StructField("row_count", LongType),
@@ -248,13 +250,21 @@ object GraftProcedures {
           StructField("statistics_path", StringType),
           StructField("mode", StringType))),
         input => {
+          val snapId = if (input.isNullAt(2)) None else Some(input.getLong(2))
+          val cols = if (input.isNullAt(3)) None
+            else Some(input.getArray(3).toObjectArray(StringType)
+              .map(_.asInstanceOf[UTF8String].toString).toSeq)
           val (result, doc, wasIncremental) =
-            if (input.getBoolean(1))
+            if (input.getBoolean(1)) {
+              require(snapId.isEmpty && cols.isEmpty,
+                "incremental analyzes the current snapshot over the full " +
+                  "sketchable column set — it combines with neither " +
+                  "snapshot_id nor columns")
               GraftTable.computeTableStatsIncremental(
                 SparkSession.active, dirOf(input))
-            else {
-              val (r, d) =
-                GraftTable.computeTableStats(SparkSession.active, dirOf(input))
+            } else {
+              val (r, d) = GraftTable.computeTableStats(
+                SparkSession.active, dirOf(input), snapId, cols)
               (r, d, false)
             }
           val path = result.metadata.statistics

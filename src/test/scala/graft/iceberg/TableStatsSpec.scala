@@ -402,6 +402,47 @@ class TableStatsSpec extends SparkSpec {
     assert(doc.columns(idOf("k")).ndv == 20L, doc.columns(idOf("k")).toString)
   }
 
+  test("ANALYZE accepts snapshot_id (historical, keyed to it) and a " +
+      "columns restriction; unknown columns refuse") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-a").toString
+    spark.conf.set("spark.sql.catalog.gstat5", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstat5.warehouse", wh)
+    spark.sql("CREATE TABLE gstat5.db.t (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO gstat5.db.t SELECT id, CONCAT('v', id) FROM RANGE(10)")
+    val dir = s"$wh/db/t"
+    val snap1 = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(dir)).currentSnapshotId.get
+    spark.sql("INSERT INTO gstat5.db.t SELECT id, CONCAT('v', id) FROM RANGE(10, 20)")
+    val out = spark.sql(s"""CALL gstat5.system.compute_table_stats(
+      table => 'db.t', snapshot_id => $snap1, columns => array('k'))""").head
+    assert(out.getLong(0) == snap1, "stats keyed to the analyzed snapshot")
+    assert(out.getInt(2) == 1, "one analyzed column")
+    assert(out.getString(4) == "full")
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val doc = TableStats.read(meta.statistics.find(_.snapshotId == snap1).get.path)
+    val kId = meta.currentSchema.fields.find(_.name == "k").get.id
+    val nameId = meta.currentSchema.fields.find(_.name == "name").get.id
+    assert(doc.rowCount == 10L, "historical snapshot's rows, not the head's")
+    assert(doc.columns(kId).ndv == 10L && doc.columns(kId).nullCount.contains(0L))
+    assert(!doc.columns.contains(nameId), "unrequested column carries no stats")
+    val e = intercept[Exception](spark.sql("""CALL gstat5.system.compute_table_stats(
+      table => 'db.t', columns => array('nope'))""").collect())
+    assert(e.getMessage.contains("not a sketchable column"), e.getMessage)
+    // the content-sliced metadata tables: data/delete halves, current and
+    // all-snapshots flavors
+    spark.sql("DELETE FROM gstat5.db.t WHERE k = 0")
+    def cnt(t: String) =
+      spark.sql(s"SELECT COUNT(*) FROM gstat5.db.t.$t").head.getLong(0)
+    assert(cnt("data_files") >= 2L, "both appends' data files")
+    assert(cnt("delete_files") >= 1L, "the DELETE's delete file")
+    assert(cnt("files") == cnt("data_files") + cnt("delete_files"),
+      "files = data + delete halves")
+    assert(cnt("all_data_files") >= cnt("data_files"))
+    assert(cnt("all_delete_files") >= cnt("delete_files"))
+    assert(spark.sql("SELECT DISTINCT content FROM gstat5.db.t.all_data_files")
+      .collect().map(_.getInt(0)).toSeq == Seq(0))
+  }
+
   test("a FOREIGN stats file carrying only standard theta blobs serves NDV") {
     // interop the other direction: another engine's ANALYZE writes only
     // apache-datasketches-theta-v1 blobs (no graft-ndv-v1 anywhere) —

@@ -107,14 +107,20 @@ object GraftTable {
     // CURRENT schema (Iceberg's branch rule — a branch is live state).
     val traveled = snapshotId.isDefined || asOfTimestampMs.isDefined ||
       ref.exists(r => !meta0.isBranchRef(r))
-    val meta =
-      if (!traveled) meta0
-      else snap.schemaId.filter(id => meta0.schemas.exists(_.schemaId == id))
-        .map(id => meta0.copy(topLevelSchema = None, currentSchemaId = Some(id)))
-        .getOrElse(meta0)
+    val meta = if (!traveled) meta0 else metaAtSnapshotSchema(meta0, snap)
     readWithAddress(spark, meta, snap)
       .select(sparkSchema(meta).fieldNames.map(col).toIndexedSeq: _*)
   }
+
+  /** The metadata document re-anchored on `snap`'s own schema — the
+    * point-in-time rule a traveled read and a historical ANALYZE share
+    * (one definition, so the analyzed column set can never desync from
+    * the schema the scan resolves). Falls back to the current schema
+    * when the snapshot's schema id is absent or unknown. */
+  private def metaAtSnapshotSchema(meta0: TableMetadata, snap: Snapshot): TableMetadata =
+    snap.schemaId.filter(id => meta0.schemas.exists(_.schemaId == id))
+      .map(id => meta0.copy(topLevelSchema = None, currentSchemaId = Some(id)))
+      .getOrElse(meta0)
 
   /** The MOR-resolved live rows WITH their physical address columns
     * (`_file`, `_pos`, `_seq`) — what COW rewrites (merge/compact) need
@@ -1699,13 +1705,16 @@ object GraftTable {
         seqNums = carriedDeletes.map(i => i.path -> i.sequenceNumber).toMap,
         minSeqNums = carriedDeletes.map(i => i.path -> i.minSequenceNumber).toMap
           + (manifest -> minSeq))
-      MetadataWriter.commitSnapshot(base2,
-        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
-          Some("overwrite"),
-          Map("added-data-files" -> (newFiles.size + insertMsgs.size).toString,
-            "deleted-data-files" -> affected.size.toString),
-          Some(list), base.currentSchemaId),
-        Some(basePath))
+      // the same stage-or-audit contract every row-level tail honors:
+      // a wap-opted table under a staging session stages the MERGE
+      val wap = wapEditDecision(None, base.properties)
+      val snap = Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+        Some("overwrite"),
+        Map("added-data-files" -> (newFiles.size + insertMsgs.size).toString,
+          "deleted-data-files" -> affected.size.toString) ++ wap.summary,
+        Some(list), base.currentSchemaId)
+      if (wap.staged) MetadataWriter.stageSnapshot(base2, snap, Some(basePath))
+      else MetadataWriter.commitSnapshot(base2, snap, Some(basePath))
     })
   }
 
@@ -2193,11 +2202,7 @@ object GraftTable {
       throw new IllegalArgumentException("cannot analyze a table with no snapshot"))
     val snap = meta0.snapshot(snapId).getOrElse(
       throw new IllegalArgumentException(s"no such snapshot $snapId"))
-    val meta =
-      if (snapshotId.isEmpty) meta0
-      else snap.schemaId.filter(id => meta0.schemas.exists(_.schemaId == id))
-        .map(id => meta0.copy(topLevelSchema = None, currentSchemaId = Some(id)))
-        .getOrElse(meta0)
+    val meta = if (snapshotId.isEmpty) meta0 else metaAtSnapshotSchema(meta0, snap)
     // sketchable columns only: nested/variant values have no canonical
     // serialization to hash (TableStats.sketchable) and carry no stats
     val sketchableCols = meta.currentSchema.fields
@@ -2206,6 +2211,8 @@ object GraftTable {
     val typed = columns match {
       case None => sketchableCols
       case Some(names) =>
+        require(names.distinct.size == names.size,
+          s"duplicate column names: ${names.mkString(", ")}")
         val byName = sketchableCols.map(ft => ft._1.name -> ft).toMap
         names.map(n => byName.getOrElse(n, throw new IllegalArgumentException(
           s"cannot analyze column '$n': not a sketchable column of the " +
@@ -2356,6 +2363,17 @@ object GraftTable {
     val statsBySnap = meta.statistics.map(s => s.snapshotId -> s).toMap
     val anchorIdx = chain.indexWhere(s => statsBySnap.contains(s.snapshotId))
     if (anchorIdx < 0) return full()
+    if (anchorIdx == 0) {
+      // the head itself is already analyzed: nothing to union — a
+      // re-commit would write a byte-identical blob and burn a metadata
+      // version per call (a per-ingest scheduler hits this constantly).
+      // Return the registered state, the same no-op-success shape as
+      // set_current_snapshot's already-current case.
+      val doc = try TableStats.read(statsBySnap(chain.head.snapshotId).path)
+        catch { case scala.util.control.NonFatal(_) => return full() }
+      return (OptimisticCommit.CommitResult(
+        OptimisticCommit.versionOf(metaPath), metaPath, meta, 0), doc, true)
+    }
     val anchor = chain(anchorIdx)
     val between = chain.take(anchorIdx) // strictly after the anchor
     if (!between.forall(_.operation.contains("append"))) return full()
@@ -2782,10 +2800,10 @@ object GraftTable {
 
   private def refuseWapStage(props: Map[String, String], op: String): Unit = {
     require(sessionWapId.isEmpty || !props.get("write.wap.enabled").contains("true"),
-      s"$op does not stage under spark.wap.id (staging covers appends and " +
-        "row-level edits — DELETE/UPDATE/MERGE — only); audit through a " +
-        "branch (db.t.branch_<name>) and fast_forward instead, or unset " +
-        "spark.wap.id")
+      s"$op does not stage under spark.wap.id (staging covers appends, " +
+        "overwrites and row-level edits — DELETE/UPDATE/MERGE — only); " +
+        "audit through a branch (db.t.branch_<name>) and fast_forward " +
+        "instead, or unset spark.wap.id")
   }
 
   /** The stage decision for a ROW-LEVEL edit targeting main: under a
@@ -3587,13 +3605,17 @@ object GraftTable {
         addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
         seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
         minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
-      MetadataWriter.commitSnapshot(base2,
-        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
-          Some("overwrite"),
-          Map("added-data-files" -> "1", "added-records" -> nRows.toString,
-            "added-delete-files" -> "1", "added-equality-deletes" -> nKeys.toString),
-          Some(list), base.currentSchemaId),
-        Some(basePath))
+      // stage-or-audit, like every row-level tail: an equality upsert is
+      // delete + insert, the definition of an audited edit
+      val wap = wapEditDecision(None, base.properties)
+      val snap = Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+        Some("overwrite"),
+        Map("added-data-files" -> "1", "added-records" -> nRows.toString,
+          "added-delete-files" -> "1",
+          "added-equality-deletes" -> nKeys.toString) ++ wap.summary,
+        Some(list), base.currentSchemaId)
+      if (wap.staged) MetadataWriter.stageSnapshot(base2, snap, Some(basePath))
+      else MetadataWriter.commitSnapshot(base2, snap, Some(basePath))
     })
   }
 }

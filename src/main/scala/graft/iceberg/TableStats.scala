@@ -79,11 +79,13 @@ object TableStats {
     * blob property): the HASHED type, i.e. the promoted one — so an
     * int→long widening reads back as the same hash space and an
     * incremental union stays valid, while any other type change (or a
-    * pre-promotion document without the record) forces a recompute. */
-  def hashedTypeName(fieldType: String, t: IcebergType): String = t match {
-    case TInt => "long"
-    case TFloat => "double"
-    case _ => fieldType
+    * pre-promotion document without the record) forces a recompute.
+    * Derived FROM promotedType so the promotion rule lives in exactly
+    * one place — a divergence would let the widening guard accept a
+    * cross-hash-space union or force needless recomputes. */
+  def hashedTypeName(fieldType: String, t: IcebergType): String = {
+    val p = promotedType(t)
+    if (p == t) fieldType else p.name
   }
 
   /** A Spark row value → the Iceberg single-value bytes the sketch
@@ -136,9 +138,10 @@ object TableStats {
       // (update(byte[0]) is a documented no-op). Incremental ANALYZE
       // needs the flag to re-apply the +1 after unioning sketch bodies.
       // field-type records the type WHOSE single-value serialization the
-      // sketch hashed: a later widening (int→long, float→double) changes
-      // the hash input bytes, so a union across it would double-count —
-      // incremental ANALYZE must see the change and recompute instead.
+      // sketch hashed (the PROMOTED one — hashedTypeName): the legal
+      // widenings read back as the same hash space, so incremental
+      // ANALYZE unions across them; any OTHER recorded-vs-current
+      // mismatch, or a pre-promotion doc without the record, recomputes.
       Puffin.Blob("graft-ndv-v1", Seq(fieldId), doc.snapshotId, doc.snapshotId,
         Map("ndv" -> cs.ndv.toString, "null-count" -> nulls.toString,
           "empty-adjust" -> (if (sawEmpty(fieldId)) "1" else "0")) ++

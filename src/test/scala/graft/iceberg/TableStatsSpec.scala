@@ -327,6 +327,16 @@ class TableStatsSpec extends SparkSpec {
     val sk2 = TableStats.readWithSketches(
       meta2.statistics.find(_.snapshotId == out2.getLong(0)).get.path)
     assert(sk2.sawEmpty == Set(idOf("s")))
+    // re-running incremental on the already-analyzed head is a NO-OP
+    // success: same registered state back, no new metadata version, no
+    // new blob — a per-ingest scheduler must not burn a commit per call
+    val vBefore = OptimisticCommit.currentVersion(dir)
+    val out3 = spark.sql(
+      "CALL ginc.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out3.getString(4) == "incremental" && out3.getLong(1) == 35L)
+    assert(out3.getString(3) == out2.getString(3), "same statistics file")
+    assert(OptimisticCommit.currentVersion(dir) == vBefore,
+      "analyzed-head refresh must not commit a metadata version")
   }
 
   test("incremental ANALYZE survives int->bigint widening: promoted-type " +

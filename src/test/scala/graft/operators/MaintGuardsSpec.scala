@@ -433,6 +433,36 @@ class MaintGuardsSpec extends SparkSpec {
       s"published overwrite must replace the content: $after")
   }
 
+  test("programmatic merge and upsert honor the stage-or-audit contract") {
+    // the two public row-changing APIs that commit outside the DSv2
+    // routes: on a wap-opted table under a staging session they must
+    // stage like every other edit tail — not silently publish
+    val wh = java.nio.file.Files.createTempDirectory("graft-wappm").toString
+    spark.conf.set("spark.sql.catalog.gwpm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwpm.warehouse", wh)
+    spark.sql("""CREATE TABLE gwpm.db.t (k BIGINT, v STRING)
+      TBLPROPERTIES ('write.wap.enabled'='true')""")
+    spark.sql("INSERT INTO gwpm.db.t VALUES (1, 'a'), (2, 'b')")
+    val dir = s"$wh/db/t"
+    import spark.implicits._
+    def rows() = spark.sql("SELECT k, v FROM gwpm.db.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    spark.conf.set("spark.wap.id", "pm1")
+    try GraftTable.merge(spark, dir,
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    finally spark.conf.unset("spark.wap.id")
+    assert(rows() == Seq((1L, "a"), (2L, "b")), "staged merge must stay invisible")
+    spark.sql("CALL gwpm.system.publish_changes('db.t', 'pm1')")
+    assert(rows() == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    spark.conf.set("spark.wap.id", "pm2")
+    try GraftTable.upsert(spark, dir, Seq((1L, "A")).toDF("k", "v"), Seq("k"))
+    finally spark.conf.unset("spark.wap.id")
+    assert(rows() == Seq((1L, "a"), (2L, "B"), (3L, "c")),
+      "staged upsert must stay invisible")
+    spark.sql("CALL gwpm.system.publish_changes('db.t', 'pm2')")
+    assert(rows() == Seq((1L, "A"), (2L, "B"), (3L, "c")))
+  }
+
   test("a staged v3 DELETE (deletion vectors) stays invisible and " +
       "publishes by fast-forward") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wapdv").toString

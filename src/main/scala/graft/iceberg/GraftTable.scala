@@ -1707,7 +1707,7 @@ object GraftTable {
           + (manifest -> minSeq))
       // the same stage-or-audit contract every row-level tail honors:
       // a wap-opted table under a staging session stages the MERGE
-      val wap = wapEditDecision(None, base.properties)
+      val wap = wapEditDecision(None, base.properties, Some(spark))
       val snap = Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
         Some("overwrite"),
         Map("added-data-files" -> (newFiles.size + insertMsgs.size).toString,
@@ -2212,7 +2212,8 @@ object GraftTable {
       case None => sketchableCols
       case Some(names) =>
         require(names.distinct.size == names.size,
-          s"duplicate column names: ${names.mkString(", ")}")
+          "duplicate column names: " +
+            names.diff(names.distinct).distinct.mkString(", "))
         val byName = sketchableCols.map(ft => ft._1.name -> ft).toMap
         names.map(n => byName.getOrElse(n, throw new IllegalArgumentException(
           s"cannot analyze column '$n': not a sketchable column of the " +
@@ -2363,17 +2364,6 @@ object GraftTable {
     val statsBySnap = meta.statistics.map(s => s.snapshotId -> s).toMap
     val anchorIdx = chain.indexWhere(s => statsBySnap.contains(s.snapshotId))
     if (anchorIdx < 0) return full()
-    if (anchorIdx == 0) {
-      // the head itself is already analyzed: nothing to union — a
-      // re-commit would write a byte-identical blob and burn a metadata
-      // version per call (a per-ingest scheduler hits this constantly).
-      // Return the registered state, the same no-op-success shape as
-      // set_current_snapshot's already-current case.
-      val doc = try TableStats.read(statsBySnap(chain.head.snapshotId).path)
-        catch { case scala.util.control.NonFatal(_) => return full() }
-      return (OptimisticCommit.CommitResult(
-        OptimisticCommit.versionOf(metaPath), metaPath, meta, 0), doc, true)
-    }
     val anchor = chain(anchorIdx)
     val between = chain.take(anchorIdx) // strictly after the anchor
     if (!between.forall(_.operation.contains("append"))) return full()
@@ -2397,6 +2387,18 @@ object GraftTable {
     if (!typed.forall { case (f, t) =>
         sk.fieldTypes.get(f.id)
           .contains(TableStats.hashedTypeName(f.fieldType, t)) }) return full()
+    // the head itself is already analyzed AND every compatibility guard
+    // above passed (same sketchable column set, engine null counts,
+    // matching hash types — a stale doc from a pre-ALTER schema, a
+    // columns-restricted analyze, or a foreign writer falls to full()
+    // BEFORE reaching here): nothing to union — a re-commit would write
+    // a byte-identical blob and burn a metadata version per call (a
+    // per-ingest scheduler hits this constantly). Return the registered
+    // state, the same no-op-success shape as set_current_snapshot's
+    // already-current case.
+    if (anchorIdx == 0)
+      return (OptimisticCommit.CommitResult(
+        OptimisticCommit.versionOf(metaPath), metaPath, meta, 0), prevDoc, true)
     // data files the append chain added: each append's own manifests
     // (field 503), ADDED entries only — KB-scale metadata reads
     val newEntries = between.flatMap { s =>
@@ -2830,9 +2832,19 @@ object GraftTable {
         (if (staged) Map("wap.staged" -> "true") else Map.empty)
   }
 
+  /** `session` pins which SparkSession's conf carries the wap id: the
+    * programmatic APIs (merge/upsert) take an explicit session, and in a
+    * multi-session JVM the thread-local/default fallback could read a
+    * DIFFERENT session's conf — publishing rows the caller staged. The
+    * DSv2 routes resolve on the driver thread where active IS the
+    * caller's session. */
   private def wapEditDecision(branch: Option[String],
-      props: Map[String, String]): WapDecision = {
-    val id = sessionWapId
+      props: Map[String, String],
+      session: Option[SparkSession] = None): WapDecision = {
+    val id = session match {
+      case Some(sp) => Option(sp.conf.get("spark.wap.id", null)).filter(_.nonEmpty)
+      case None => sessionWapId
+    }
     WapDecision(id, id.isDefined && branch.isEmpty &&
       props.get("write.wap.enabled").contains("true"))
   }
@@ -3607,7 +3619,7 @@ object GraftTable {
         minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
       // stage-or-audit, like every row-level tail: an equality upsert is
       // delete + insert, the definition of an audited edit
-      val wap = wapEditDecision(None, base.properties)
+      val wap = wapEditDecision(None, base.properties, Some(spark))
       val snap = Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
         Some("overwrite"),
         Map("added-data-files" -> "1", "added-records" -> nRows.toString,

@@ -438,6 +438,10 @@ class TableStatsSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("""CALL gstat5.system.compute_table_stats(
       table => 'db.t', columns => array('nope'))""").collect())
     assert(e.getMessage.contains("not a sketchable column"), e.getMessage)
+    val dup = intercept[Exception](spark.sql("""CALL gstat5.system.compute_table_stats(
+      table => 'db.t', columns => array('k', 'name', 'k'))""").collect())
+    assert(dup.getMessage.endsWith("duplicate column names: k"),
+      s"only the actual duplicate is named: ${dup.getMessage}")
     // the content-sliced metadata tables: data/delete halves, current and
     // all-snapshots flavors
     spark.sql("DELETE FROM gstat5.db.t WHERE k = 0")
@@ -451,6 +455,44 @@ class TableStatsSpec extends SparkSpec {
     assert(cnt("all_delete_files") >= cnt("delete_files"))
     assert(spark.sql("SELECT DISTINCT content FROM gstat5.db.t.all_data_files")
       .collect().map(_.getInt(0)).toSeq == Seq(0))
+  }
+
+  test("the analyzed-head no-op defers to the compatibility guards: a " +
+      "schema change or restricted doc at the head still recomputes") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-n2").toString
+    spark.conf.set("spark.sql.catalog.gincn", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gincn.warehouse", wh)
+    spark.sql("CREATE TABLE gincn.db.t (k BIGINT)")
+    spark.sql("INSERT INTO gincn.db.t SELECT id FROM RANGE(20)")
+    val dir = s"$wh/db/t"
+    spark.sql("CALL gincn.system.compute_table_stats(table => 'db.t')")
+    // ADD COLUMN commits a metadata version but NO snapshot: the anchor
+    // is still the head, yet the registered doc lacks the new column —
+    // the no-op must NOT serve it; the column-set guard recomputes
+    spark.sql("ALTER TABLE gincn.db.t ADD COLUMN c BIGINT")
+    val out = spark.sql(
+      "CALL gincn.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out.getString(4) == "full",
+      s"schema change at the head must recompute, not no-op: $out")
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val doc = TableStats.read(meta.statistics.find(_.snapshotId == out.getLong(0)).get.path)
+    val cId = meta.currentSchema.fields.find(_.name == "c").get.id
+    assert(doc.columns(cId).nullCount.contains(20L),
+      "the recompute must cover the added column")
+    // a columns-RESTRICTED doc at the head must not no-op either: the
+    // next incremental recomputes the full sketchable set
+    spark.sql(
+      "CALL gincn.system.compute_table_stats(table => 'db.t', columns => array('k'))")
+    val out2 = spark.sql(
+      "CALL gincn.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out2.getString(4) == "full", out2.toString)
+    assert(out2.getInt(2) == 2, "full sketchable set recomputed")
+    // with a COMPLETE doc at the head, the repeat call IS the no-op
+    val vBefore = OptimisticCommit.currentVersion(dir)
+    val out3 = spark.sql(
+      "CALL gincn.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out3.getString(4) == "incremental" && out3.getInt(2) == 2)
+    assert(OptimisticCommit.currentVersion(dir) == vBefore)
   }
 
   test("a FOREIGN stats file carrying only standard theta blobs serves NDV") {

@@ -461,6 +461,23 @@ class MaintGuardsSpec extends SparkSpec {
       "staged upsert must stay invisible")
     spark.sql("CALL gwpm.system.publish_changes('db.t', 'pm2')")
     assert(rows() == Seq((1L, "A"), (2L, "B"), (3L, "c")))
+    // multi-session JVM: the decision reads the conf of the session the
+    // CALLER passed — a sibling session's unset wap.id (the thread-local
+    // fallback) must not publish rows this session staged
+    val b = spark.newSession()
+    b.conf.set("spark.wap.id", "pm3")
+    val bDf = b.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(3L, "C")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    GraftTable.merge(b, dir, bDf, Seq("k"))
+    assert(rows() == Seq((1L, "A"), (2L, "B"), (3L, "c")),
+      "the explicit session's wap.id must stage, not the fallback's absence")
+    spark.sql("CALL gwpm.system.publish_changes('db.t', 'pm3')")
+    assert(rows() == Seq((1L, "A"), (2L, "B"), (3L, "C")))
   }
 
   test("a staged v3 DELETE (deletion vectors) stays invisible and " +

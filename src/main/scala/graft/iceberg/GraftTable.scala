@@ -2340,13 +2340,28 @@ object GraftTable {
     * is the difference between a per-ingest stats refresh and a nightly
     * full rescan.
     *
+    * `replace` snapshots in the chain are TRANSPARENT: the spec defines
+    * the operation as "files were removed and replaced, without changing
+    * the data in the table", so compaction, delete-file rewrites,
+    * manifest rewrites and lineage backfills leave the anchor document's
+    * logical rowset intact — the canonical ingest → compact → refresh
+    * maintenance loop stays O(delta) instead of re-scanning the table
+    * because a compaction sat between the anchor and the head. The
+    * increment still reads each append's ORIGINAL files (same rows the
+    * replace rewrote, same byte count as the delta); since a later
+    * replace makes those originals dead — and a foreign engine's expiry
+    * may have reclaimed them — a replace-bearing chain first probes that
+    * every appended original still exists (driver-side metadata calls,
+    * O(delta files)) and falls back when any is gone.
+    *
     * Falls back to the full one-scan recompute (returned Boolean false)
     * whenever the incremental path cannot be exact: no ancestor stats,
-    * a non-append snapshot in between (deletes/overwrites/compaction —
-    * a theta union cannot subtract), a sketchable-column-set change
-    * (schema evolution redefines what old files contribute), a column
-    * without a standard sketch body (geo), a foreign document without
-    * null counts, or non-parquet appended files. */
+    * a snapshot in between that is neither `append` nor `replace`
+    * (deletes/overwrites — a theta union cannot subtract), a
+    * sketchable-column-set change (schema evolution redefines what old
+    * files contribute), a column without a standard sketch body (geo), a
+    * foreign document without null counts, non-parquet appended files,
+    * or a reclaimed appended original after a replace. */
   def computeTableStatsIncremental(spark: SparkSession, tableDir: String)
       : (OptimisticCommit.CommitResult, TableStats.Doc, Boolean) = {
     def full() = {
@@ -2366,7 +2381,13 @@ object GraftTable {
     if (anchorIdx < 0) return full()
     val anchor = chain(anchorIdx)
     val between = chain.take(anchorIdx) // strictly after the anchor
-    if (!between.forall(_.operation.contains("append"))) return full()
+    // appends ADD rows; replaces rewrite files WITHOUT changing the
+    // rowset (spec operation semantics) — anything else subtracts rows,
+    // which a theta union cannot express
+    if (!between.forall(s => s.operation.contains("append") ||
+        s.operation.contains("replace"))) return full()
+    val appends = between.filter(_.operation.contains("append"))
+    val chainHasReplace = appends.size != between.size
     val typed = meta.currentSchema.fields
       .flatMap(f => IcebergTypes.fromStringOpt(f.fieldType).map(t => (f, t)))
       .filter { case (_, t) => TableStats.sketchable(t) }
@@ -2400,8 +2421,10 @@ object GraftTable {
       return (OptimisticCommit.CommitResult(
         OptimisticCommit.versionOf(metaPath), metaPath, meta, 0), prevDoc, true)
     // data files the append chain added: each append's own manifests
-    // (field 503), ADDED entries only — KB-scale metadata reads
-    val newEntries = between.flatMap { s =>
+    // (field 503), ADDED entries only — KB-scale metadata reads.
+    // Replace snapshots contribute nothing: their "added" files carry
+    // only rows the rewritten files already held.
+    val newEntries = appends.flatMap { s =>
       val infos = ManifestListReader.read(s.manifestList.getOrElse(
           throw new IllegalStateException(
             s"append snapshot ${s.snapshotId} has no manifest-list")))
@@ -2411,6 +2434,14 @@ object GraftTable {
     }.distinctBy(e => uriPath(e.filePath))
     if (!newEntries.forall(_.fileFormat == "PARQUET")) return full()
     val newPaths = newEntries.map(_.filePath)
+    // a later replace makes the appended ORIGINALS dead at the head; the
+    // engine's own expiry keeps them while their append snapshot is
+    // retained (reachability), but a foreign writer may have reclaimed
+    // them — probe before scanning (append-only chains skip the probe:
+    // their files are live at the head, so reachability guarantees them)
+    if (chainHasReplace && Par.inParallel(newPaths)(p =>
+        HadoopConfs.fileSystemFor(p).exists(new org.apache.hadoop.fs.Path(p)))
+        .contains(false)) return full()
     // zero new files (re-analyzing an already-analyzed head): union with
     // an empty sketch is the identity — no scan at all
     val (newRows, newNulls, newEmpty, newSketches) =

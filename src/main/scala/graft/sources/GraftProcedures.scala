@@ -235,10 +235,12 @@ object GraftProcedures {
           "(theta sketch) + exact null counts + exact row count, " +
           "committed as a statistics file (the Puffin slot) that the " +
           "scan serves back to Spark's CBO as column statistics. With " +
-          "incremental => true and an append-only chain since the last " +
-          "analyzed ancestor, only the NEW files are scanned and their " +
-          "sketches unioned with the previous document's standard theta " +
-          "blobs (mode column reports which path ran)",
+          "incremental => true and a chain of only appends and replaces " +
+          "(compaction rewrites the files, not the rowset) since the " +
+          "last analyzed ancestor, only the files the appends added are " +
+          "scanned and their sketches unioned with the previous " +
+          "document's standard theta blobs (mode column reports which " +
+          "path ran)",
         Array(in("table", StringType),
           inDefault("incremental", BooleanType, "false"),
           inDefault("snapshot_id", LongType, "NULL"),

@@ -928,8 +928,23 @@ class GraftTableScan(required: StructType, filters: Array[sources.Filter],
       val exactMetrics = meta.properties.get("graft.metrics").contains("full")
       val statsDoc = {
         val snap = GraftTable.resolveForScan(meta, snapshotId, ref, asOfTimestampMs)
-        meta.statistics.find(_.snapshotId == snap.snapshotId)
-          .flatMap(s => scala.util.Try(graft.iceberg.TableStats.read(s.path)).toOption)
+        // nearest-ANCESTOR document reached through only `replace`
+        // snapshots: a replace rewrites files, not the rowset (spec
+        // operation semantics), so after ingest → ANALYZE → compact the
+        // document is still exact at the head — the CBO must not lose
+        // its NDVs to a compaction (anchorIdx == 0 is the plain
+        // exact-snapshot match). Per-field id lookups below keep a
+        // snapshot-less ALTER between the anchor and the scan safe:
+        // added fields simply have no entry.
+        val statsBySnap = meta.statistics.map(s => s.snapshotId -> s).toMap
+        val chain = Iterator.iterate(Option(snap))(
+            _.flatMap(_.parentSnapshotId).flatMap(meta.snapshot))
+          .takeWhile(_.isDefined).map(_.get).toSeq
+        val anchorIdx = chain.indexWhere(s => statsBySnap.contains(s.snapshotId))
+        if (anchorIdx < 0 ||
+            !chain.take(anchorIdx).forall(_.operation.contains("replace"))) None
+        else scala.util.Try(graft.iceberg.TableStats.read(
+          statsBySnap(chain(anchorIdx).snapshotId).path)).toOption
       }
       val entries = planned._1.map(_._1)
       for (f <- required.fields if f.name != "_file" && f.name != "_pos" &&

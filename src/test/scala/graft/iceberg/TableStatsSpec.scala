@@ -564,4 +564,166 @@ class TableStatsSpec extends SparkSpec {
       assert(kStat.min.contains(0L) && kStat.max.contains(29L), kStat.toString)
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
+
+  test("the scan serves CBO stats through a replace-only chain: a " +
+      "compaction must not lose the analyzed NDVs") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-cbo").toString
+    spark.conf.set("spark.sql.catalog.gcboc", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcboc.warehouse", wh)
+    spark.sql("CREATE TABLE gcboc.db.t (k BIGINT, s STRING)")
+    spark.sql("""INSERT INTO gcboc.db.t SELECT id,
+      CASE WHEN id = 3 THEN NULL ELSE CONCAT('v', id) END FROM RANGE(30)""")
+    spark.sql("CALL gcboc.system.compute_table_stats(table => 'db.t')")
+    spark.sql("CALL gcboc.system.rewrite_data_files(table => 'db.t')")
+    val meta = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(s"$wh/db/t"))
+    assert(meta.statistics.map(_.snapshotId)
+        .forall(id => !meta.currentSnapshotId.contains(id)),
+      "precondition: the document is keyed to the pre-compaction snapshot")
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.sql("SELECT k, s FROM gcboc.db.t")
+        .queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName.get("k").exists(_.distinctCount.contains(BigInt(30))),
+        s"ancestor document through a replace must serve: $byName")
+      assert(byName.get("s").exists(_.nullCount.contains(BigInt(1))), byName.toString)
+      // a DELETE after the compaction changes the rowset: the chain to
+      // the anchor is no longer replace-only, so no stats are served
+      spark.sql("DELETE FROM gcboc.db.t WHERE k < 5")
+      val stats2 = spark.sql("SELECT k, s FROM gcboc.db.t")
+        .queryExecution.optimizedPlan.stats
+      assert(stats2.attributeStats.isEmpty,
+        s"a rowset-changing chain must not serve stale NDVs: ${stats2.attributeStats}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
+  test("incremental ANALYZE is compaction-transparent: a replace in the " +
+      "chain preserves the rowset; only appended ORIGINALS are read") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-c").toString
+    spark.conf.set("spark.sql.catalog.gincc", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gincc.warehouse", wh)
+    spark.sql("CREATE TABLE gincc.db.t (k BIGINT, s STRING)")
+    spark.sql("""INSERT INTO gincc.db.t SELECT id,
+      CASE WHEN id = 5 THEN NULL WHEN id = 6 THEN '' ELSE CONCAT('v', id) END
+      FROM RANGE(20)""")
+    val dir = s"$wh/db/t"
+    def dataFiles(): Seq[String] = {
+      val m = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      m.currentSnapshot.flatMap(_.manifestList).toSeq
+        .flatMap(ManifestListReader.read).filter(_.content == 0)
+        .flatMap(i => ManifestWriter.read(i.path))
+        .filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+    }
+    def corrupt(p: String): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(p.stripPrefix("file:")),
+      "not a parquet file".getBytes("UTF-8"))
+    val batch1Files = dataFiles()
+    spark.sql("CALL gincc.system.compute_table_stats(table => 'db.t')")
+    spark.sql("""INSERT INTO gincc.db.t SELECT id,
+      CASE WHEN id = 25 THEN NULL ELSE CONCAT('v', id) END
+      FROM RANGE(20, 35)""")
+    val batch2Files = dataFiles().diff(batch1Files)
+    assert(batch2Files.nonEmpty)
+    // the maintenance loop's compaction: ONE replace snapshot between
+    // the anchor and the head — the r16-shaped guard recomputed the
+    // whole table here; the rowset is provably unchanged
+    spark.sql("CALL gincc.system.rewrite_data_files(table => 'db.t')")
+    val liveFiles = dataFiles()
+    assert(liveFiles.intersect(batch1Files ++ batch2Files).isEmpty,
+      "compaction must have replaced every original")
+    // destroy the anchor-time originals AND every LIVE file: a refresh
+    // that read any old byte — or took the lazy route through the head's
+    // live files — would now throw; only batch 2's dead originals remain
+    (batch1Files ++ liveFiles).foreach(corrupt)
+    assertThrows[Exception](spark.sql("SELECT SUM(k) FROM gincc.db.t").collect())
+    val out = spark.sql(
+      "CALL gincc.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out.getString(4) == "incremental", out.toString)
+    assert(out.getLong(1) == 35L)
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    assert(out.getLong(0) == meta.currentSnapshotId.get,
+      "the refreshed document must be keyed to the head (replace) snapshot")
+    val doc = TableStats.read(
+      meta.statistics.find(_.snapshotId == out.getLong(0)).get.path)
+    def idOf(n: String) = meta.currentSchema.fields.find(_.name == n).get.id
+    // exact below nominal entries: 18 v-values + '' from batch 1, 14
+    // v-values + null from batch 2
+    assert(doc.columns(idOf("k")).ndv == 35L, doc.columns(idOf("k")).toString)
+    assert(doc.columns(idOf("s")).ndv == 33L, doc.columns(idOf("s")).toString)
+    assert(doc.columns(idOf("s")).nullCount.contains(2L))
+  }
+
+  test("incremental ANALYZE over an all-replace chain re-keys the " +
+      "document to the head with ZERO data bytes read") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-r").toString
+    spark.conf.set("spark.sql.catalog.gincr", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gincr.warehouse", wh)
+    spark.sql("CREATE TABLE gincr.db.t (k BIGINT, s STRING)")
+    spark.sql(
+      "INSERT INTO gincr.db.t SELECT id, CONCAT('v', id) FROM RANGE(20)")
+    val dir = s"$wh/db/t"
+    val out1 = spark.sql(
+      "CALL gincr.system.compute_table_stats(table => 'db.t')").head
+    spark.sql("CALL gincr.system.rewrite_data_files(table => 'db.t')")
+    // destroy EVERY data file — originals and compaction outputs: the
+    // anchor document alone must carry the refresh
+    val m = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    m.snapshots.flatMap(_.manifestList).distinct
+      .flatMap(ManifestListReader.read).filter(_.content == 0).map(_.path)
+      .distinct.flatMap(ManifestWriter.read).filter(_.content == 0)
+      .map(_.filePath).distinct.foreach(p => java.nio.file.Files.write(
+        java.nio.file.Paths.get(p.stripPrefix("file:")),
+        "junk".getBytes("UTF-8")))
+    val out2 = spark.sql(
+      "CALL gincr.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out2.getString(4) == "incremental", out2.toString)
+    assert(out2.getLong(1) == 20L)
+    assert(out2.getLong(0) != out1.getLong(0),
+      "the document must be re-keyed to the compaction snapshot")
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    assert(out2.getLong(0) == meta.currentSnapshotId.get)
+    val doc = TableStats.read(
+      meta.statistics.find(_.snapshotId == out2.getLong(0)).get.path)
+    def idOf(n: String) = meta.currentSchema.fields.find(_.name == n).get.id
+    assert(doc.columns(idOf("k")).ndv == 20L, doc.columns(idOf("k")).toString)
+  }
+
+  test("incremental ANALYZE falls back to full when a replace-bearing " +
+      "chain's appended original was reclaimed on disk") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-g").toString
+    spark.conf.set("spark.sql.catalog.gincg", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gincg.warehouse", wh)
+    spark.sql("CREATE TABLE gincg.db.t (k BIGINT, s STRING)")
+    spark.sql(
+      "INSERT INTO gincg.db.t SELECT id, CONCAT('v', id) FROM RANGE(20)")
+    val dir = s"$wh/db/t"
+    def dataFiles(): Seq[String] = {
+      val m = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      m.currentSnapshot.flatMap(_.manifestList).toSeq
+        .flatMap(ManifestListReader.read).filter(_.content == 0)
+        .flatMap(i => ManifestWriter.read(i.path))
+        .filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+    }
+    val batch1Files = dataFiles()
+    spark.sql("CALL gincg.system.compute_table_stats(table => 'db.t')")
+    spark.sql(
+      "INSERT INTO gincg.db.t SELECT id, CONCAT('v', id) FROM RANGE(20, 35)")
+    val batch2Files = dataFiles().diff(batch1Files)
+    spark.sql("CALL gincg.system.rewrite_data_files(table => 'db.t')")
+    // a foreign engine's expiry reclaimed one dead original: the probe
+    // must catch it BEFORE the scan and recompute from the live files
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      batch2Files.head.stripPrefix("file:")))
+    val out = spark.sql(
+      "CALL gincg.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out.getString(4) == "full", out.toString)
+    assert(out.getLong(1) == 35L)
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val doc = TableStats.read(
+      meta.statistics.find(_.snapshotId == out.getLong(0)).get.path)
+    def idOf(n: String) = meta.currentSchema.fields.find(_.name == n).get.id
+    assert(doc.columns(idOf("k")).ndv == 35L, doc.columns(idOf("k")).toString)
+  }
 }

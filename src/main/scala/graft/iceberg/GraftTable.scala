@@ -1718,6 +1718,105 @@ object GraftTable {
     })
   }
 
+  /** One parsed `where` constraint for a partial rewrite: a top-level
+    * column compared against a typed literal. */
+  private final case class RewriteConstraint(fieldId: Int, t: IcebergType,
+      op: String, value: Any)
+
+  /** Fold a decoded bound value or a Catalyst literal into
+    * [[ScanPlanning.cmpValues]]' comparison space (Number or String).
+    * Dates compare as epoch days, micro-precision timestamps as epoch
+    * micros (both sides normalize to the same unit). None = unorderable;
+    * every caller treats that as "cannot exclude" — the conservative
+    * direction. */
+  private def comparableValue(v: Any): Option[Any] = v match {
+    case null => None
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.time.LocalDateTime => Some(java.lang.Math.addExact(
+      java.lang.Math.multiplyExact(
+        t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L), t.getNano / 1000L))
+    case i: java.time.Instant => Some(java.lang.Math.addExact(
+      java.lang.Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+    case n: Number => Some(n)
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  /** Parse a partial-rewrite `where` into per-field constraints: ANDed
+    * comparisons (=, <, <=, >, >=) of a top-level column against a typed
+    * literal — the planning-level filter upstream's RewriteDataFiles
+    * takes. Anything else refuses LOUDLY: a predicate this planner
+    * cannot evaluate against file bounds would silently select the whole
+    * table, which is worse than an error. */
+  private def parseRewriteWhere(spark: SparkSession, meta: TableMetadata,
+      where: String): Seq[RewriteConstraint] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,
+      Expression, GreaterThan, GreaterThanOrEqual, LessThan,
+      LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def leaves(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => leaves(l) ++ leaves(r)
+      case o => Seq(o)
+    }
+    def refuse(what: String): Nothing = throw new IllegalArgumentException(
+      "rewrite_data_files `where` supports ANDed comparisons " +
+        s"(=, <, <=, >, >=) of a top-level column against a literal; $what")
+    val fieldsByName = meta.currentSchema.fields.map(f => f.name -> f).toMap
+    leaves(spark.sessionState.sqlParser.parseExpression(where)).map { leaf =>
+      val (attr, op, lit) = leaf match {
+        case EqualTo(a: UnresolvedAttribute, l: Literal) => (a, "=", l)
+        case EqualTo(l: Literal, a: UnresolvedAttribute) => (a, "=", l)
+        case LessThan(a: UnresolvedAttribute, l: Literal) => (a, "<", l)
+        case LessThan(l: Literal, a: UnresolvedAttribute) => (a, ">", l)
+        case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => (a, "<=", l)
+        case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => (a, ">=", l)
+        case GreaterThan(a: UnresolvedAttribute, l: Literal) => (a, ">", l)
+        case GreaterThan(l: Literal, a: UnresolvedAttribute) => (a, "<", l)
+        case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => (a, ">=", l)
+        case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => (a, "<=", l)
+        case other => refuse(s"cannot evaluate: ${other.sql}")
+      }
+      val f = fieldsByName.getOrElse(attr.name,
+        refuse(s"no top-level column '${attr.name}'"))
+      val t = IcebergTypes.fromString(f.fieldType)
+      // ns-precision bounds decode as RAW NANOS; a micro-precision
+      // timestamp literal would compare across units — refuse (a plain
+      // integer literal in nanos is the supported spelling)
+      if ((t == IcebergTypes.TTimestampNs || t == IcebergTypes.TTimestamptzNs) &&
+          (lit.dataType.typeName.startsWith("timestamp")))
+        refuse(s"column '${f.name}' holds raw nanos — compare against " +
+          "an integer nanosecond literal")
+      val v = comparableValue(lit.value).getOrElse(
+        refuse(s"unsupported literal ${lit.sql} for column '${f.name}'"))
+      RewriteConstraint(f.id, t, op, v)
+    }
+  }
+
+  /** Provable exclusion of a live entry under one constraint — the same
+    * bound logic every pruning site uses: missing bounds, undecodable
+    * blobs or unorderable values KEEP the file (over-selection rewrites
+    * more than asked, which is harmless; under-selection would break the
+    * procedure's contract). */
+  private def entryExcluded(e: ManifestWriter.EntryData,
+      c: RewriteConstraint): Boolean = {
+    def dec(m: Map[Int, Array[Byte]]): Option[Any] = m.get(c.fieldId)
+      .flatMap(b => scala.util.Try(SingleValueCodec.decode(c.t, b)).toOption)
+      .flatMap(comparableValue)
+    def cmp(a: Option[Any], b: Any): Option[Int] =
+      a.flatMap(x => ScanPlanning.cmpValues(x, b))
+    val lo = dec(e.lowerBounds)
+    val hi = dec(e.upperBounds)
+    c.op match {
+      case "=" => cmp(lo, c.value).exists(_ > 0) || cmp(hi, c.value).exists(_ < 0)
+      case "<" => cmp(lo, c.value).exists(_ >= 0)
+      case "<=" => cmp(lo, c.value).exists(_ > 0)
+      case ">" => cmp(hi, c.value).exists(_ <= 0)
+      case ">=" => cmp(hi, c.value).exists(_ < 0)
+    }
+  }
+
   /** Compaction (rewrite_data_files + delete materialization in one):
     * the table's MOR-resolved content is rewritten into target-size data
     * files, pending deletes are materialized away (position deletes
@@ -1741,11 +1840,22 @@ object GraftTable {
     *     pruning works for predicates on ANY clustered subset, not just
     *     a sort prefix. The write is the DSv2 task-writer
     *     ([[graft.sources.GraftFileWriter]]): one file per range
-    *     partition, bound stats tracked inline while writing. */
+    *     partition, bound stats tracked inline while writing.
+    *
+    * `where` (upstream RewriteDataFiles' filter) makes the rewrite
+    * PARTIAL: only files whose bound stats may contain matching rows are
+    * rewritten (wholly — the predicate never drops rows); unaffected
+    * manifests carry verbatim with their summaries, and delete manifests
+    * carry because they still scope to the carried files. At 100 TB the
+    * nightly sweep compacts the hot key range, not the table. Either
+    * mode validates concurrently-committed delete files the way the COW
+    * row-level path does — a delete landing mid-compaction would
+    * otherwise be dropped (full) or escaped by path/sequence (partial). */
   def compact(spark: SparkSession, tableDir: String,
       targetBytes: Long = 512L * 1024 * 1024,
       sortOrder: Seq[(String, Boolean)] = Nil,
-      zorderCols: Seq[String] = Nil): OptimisticCommit.CommitResult = {
+      zorderCols: Seq[String] = Nil,
+      where: Option[String] = None): OptimisticCommit.CommitResult = {
     require(sortOrder.isEmpty || zorderCols.isEmpty,
       "sort and zorder strategies are mutually exclusive")
     val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
@@ -1757,6 +1867,23 @@ object GraftTable {
     val delEntries = currentEntries(meta0, 1)
     val posEntries = delEntries.filter(_.content == 1).map(e => (e, e.sequenceNumber.get))
     val eqEntries = delEntries.filter(_.content == 2).map(e => (e, e.sequenceNumber.get))
+    // PARTIAL rewrite (upstream's `where`): select only the files whose
+    // bound stats MAY contain matching rows — at 100 TB compaction
+    // targets the hot partition, not the table. Selection is
+    // planning-level (file bounds vs ANDed comparisons, the same
+    // conservative rule every pruning site uses); selected files rewrite
+    // WHOLLY — the predicate never drops rows.
+    val constraints = where.map(w => parseRewriteWhere(spark, meta0, w))
+    val selected = constraints match {
+      case None => preData
+      case Some(cs) => preData.filterNot(e => cs.exists(c => entryExcluded(e, c)))
+    }
+    // nothing matches: a no-op success (the scheduler's per-partition
+    // sweep must not fail on an already-clean range), no metadata version
+    if (selected.isEmpty)
+      return OptimisticCommit.CommitResult(
+        OptimisticCommit.currentVersion(tableDir),
+        latestMetadataPath(tableDir), meta0, 0)
     val compactUuid = java.util.UUID.randomUUID()
     // v3 row lineage: a rewrite MOVES rows, so the moved rows' ids ride
     // along as MATERIALIZED columns in the output files (the entries
@@ -1769,11 +1896,11 @@ object GraftTable {
       if (sortOrder.isEmpty && zorderCols.isEmpty) Nil
       else {
         val df = readFromEntries(spark, meta0,
-            preData.map(e => (e, e.sequenceNumber.get)), posEntries, eqEntries,
+            selected.map(e => (e, e.sequenceNumber.get)), posEntries, eqEntries,
             withLineage = v3Lineage)
           .select((schema.fieldNames.toSeq ++ lineageCols).map(col): _*)
         val nFiles = math.max(1, math.ceil(
-          preData.map(_.fileSizeInBytes).sum.toDouble / targetBytes).toInt)
+          selected.map(_.fileSizeInBytes).sum.toDouble / targetBytes).toInt)
         val keys: Seq[org.apache.spark.sql.Column] =
           if (zorderCols.nonEmpty)
             Seq(graft.functions.GraftFunctions.zorderKey(spark, zorderCols.map(col)))
@@ -1809,7 +1936,7 @@ object GraftTable {
     // bin-pack by cumulative REAL file size; each bin is one rewrite task
     val bins =
       if (sortedMsgs.nonEmpty) Nil
-      else preData.sortBy(_.filePath)
+      else selected.sortBy(_.filePath)
         .foldLeft(Seq.empty[(Long, Seq[ManifestWriter.EntryData])]) { case (acc, e) =>
           acc.lastOption match {
             case Some((sz, es)) if sz + e.fileSizeInBytes <= targetBytes =>
@@ -1833,14 +1960,22 @@ object GraftTable {
           .orderBy(col(schema.fieldNames.head)), out)
       out
     }
-    val preSet = preData.map(e => uriPath(e.filePath)).toSet
+    val allPreSet = preData.map(e => uriPath(e.filePath)).toSet
+    val selectedSet = selected.map(e => uriPath(e.filePath)).toSet
+    val scannedDeletes = (posEntries ++ eqEntries).map(_._1.filePath).toSet
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
       val nowSet = currentEntries(base, 0).filter(_.content == 0)
         .map(e => uriPath(e.filePath)).toSet
-      if (nowSet != preSet) throw OptimisticCommit.CommitConflictException(
+      if (nowSet != allPreSet) throw OptimisticCommit.CommitConflictException(
         "table file set changed while compacting — rerun compaction")
+      // a delete file committed while compacting addresses the ORIGINALS:
+      // the full rewrite would drop its manifest outright, and a partial
+      // rewrite's outputs escape it by path (position) or sequence
+      // (equality) — either way rows resurrect. Same conflict rule as
+      // the COW row-level path.
+      validateNoNewDeletes(base, scannedDeletes, selectedSet)
       val entries =
         if (sortedMsgs.nonEmpty)
           // the sorted rewrite's task writers tracked bounds INLINE —
@@ -1853,21 +1988,67 @@ object GraftTable {
           ManifestWriter.EntryData(1, snapId, f, n, ParquetFiles.length(f),
             lower, upper, content = 0, sequenceNumber = Some(snapId))
         }
-      // replaced files tombstone as DELETED entries (Iceberg's replace
-      // shape): invisible to scans, visible to the `entries` table
-      val tombstones = currentEntries(base, 0).filter(_.content == 0)
-        .map(_.copy(status = 2, snapshotId = snapId))
       val manifest = s"$tableDir/m-compact-$snapId-$attempt.avro"
-      ManifestWriter.write(manifest, entries ++ tombstones)
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
-      ManifestListWriter.write(list, Seq(manifest), snapId,
-        addedDataFilesCount = entries.size)
+      if (where.isEmpty) {
+        // FULL rewrite: every live row was materialized post-MOR into
+        // the outputs, so the whole previous manifest set (data AND
+        // delete) drops; replaced files tombstone as DELETED entries
+        // (Iceberg's replace shape) — invisible to scans, visible to
+        // the `entries` table
+        val tombstones = currentEntries(base, 0).filter(_.content == 0)
+          .map(_.copy(status = 2, snapshotId = snapId))
+        ManifestWriter.write(manifest, entries ++ tombstones)
+        ManifestListWriter.write(list, Seq(manifest), snapId,
+          addedDataFilesCount = entries.size)
+      } else {
+        // PARTIAL rewrite: manifests owning NO selected file carry
+        // VERBATIM (their field-507 summaries keep list-level pruning);
+        // an affected manifest's unselected entries re-emit as EXISTING
+        // at their original sequences; delete manifests all carry — they
+        // still scope to carried files, while the rewritten outputs
+        // escape them by path (position) and sequence (equality), their
+        // rows having been materialized post-MOR
+        val infos = carryForward(base)
+        val perManifest = Par.inParallel(infos.filter(_.content == 0))(i =>
+          (i, ManifestWriter.read(i.path).map(e => e.copy(
+            sequenceNumber = Some(e.sequenceNumber.getOrElse(i.sequenceNumber))))))
+        val (affected, untouched) = perManifest.partition { case (_, es) =>
+          es.exists(e => e.status != 2 && e.content == 0 &&
+            selectedSet.contains(uriPath(e.filePath))) }
+        val liveAffected = affected.flatMap(_._2)
+          .filter(e => e.status != 2 && e.content == 0)
+        val moved = liveAffected
+          .filterNot(e => selectedSet.contains(uriPath(e.filePath)))
+          .map(_.copy(status = 0, snapshotId = snapId))
+        val tombstones = liveAffected
+          .filter(e => selectedSet.contains(uriPath(e.filePath)))
+          .map(_.copy(status = 2, snapshotId = snapId))
+        ManifestWriter.write(manifest, entries ++ moved ++ tombstones)
+        // field 516 must be the true minimum over the carried EXISTING
+        // entries, or delete-side sequence pruning would wrongly skip
+        // deletes that still apply to them
+        val minSeq = (entries ++ moved).flatMap(_.sequenceNumber)
+          .foldLeft(snapId)(math.min)
+        val carried = untouched.map(_._1) ++ infos.filter(_.content == 1)
+        ManifestListWriter.write(list, carried.map(_.path) :+ manifest, snapId,
+          addedDataFilesCount = entries.size,
+          contents =
+            (carried.map(i => i.path -> i.content) :+ (manifest -> 0)).toMap,
+          specIds = carried.map(i => i.path -> i.specId).toMap,
+          addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
+          addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
+          summaries = carriedSummaries(carried),
+          seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
+          minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap
+            + (manifest -> minSeq))
+      }
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("replace"),
           Map("added-data-files" ->
               (if (sortedMsgs.nonEmpty) sortedMsgs.size else outFiles.size).toString,
-            "deleted-data-files" -> preData.size.toString),
+            "deleted-data-files" -> selected.size.toString),
           Some(list), base.currentSchemaId),
         Some(basePath))
     })
@@ -2127,10 +2308,67 @@ object GraftTable {
       })
       val afterExpiry = toExpire.foldLeft(base)((m, id) =>
         MetadataWriter.expireSnapshot(m, id, base.lastUpdatedMs + 1000, None))
+      // a statistics document whose snapshot expires may still be EXACT
+      // at a retained snapshot: every snapshot on the child path from
+      // the doc's snapshot to that descendant being a `replace` means
+      // the rowset never changed (compaction rewrites files, not rows).
+      // RE-KEY the document there instead of destroying it — the
+      // canonical ANALYZE → compact → expire maintenance loop must not
+      // cost the CBO its NDVs. The farthest such descendant wins (the
+      // longest-lived anchor); one that already carries its own document
+      // keeps it. The re-keyed container is REWRITTEN (blob-level
+      // snapshot ids move with the entry — a foreign reader must never
+      // see the file and the metadata disagree); a losing CAS attempt's
+      // file is an orphan for the sweep, the same crash contract as
+      // commitStatsDoc. Partition statistics are NOT re-keyed: replaces
+      // change file/byte counts, so those documents genuinely die with
+      // their snapshot.
+      val replaceChildren = base.snapshots
+        .filter(s => s.operation.contains("replace") && s.parentSnapshotId.isDefined)
+        .groupBy(_.parentSnapshotId.get)
+      def replaceDescendants(id: Long): Seq[Snapshot] =
+        replaceChildren.getOrElse(id, Nil)
+          .flatMap(c => c +: replaceDescendants(c.snapshotId))
+      val occupied = afterExpiry.statistics
+        .filterNot(s => expiredIds(s.snapshotId)).map(_.snapshotId).toSet
+      val rekeyCandidates = afterExpiry.statistics
+        .filter(s => expiredIds(s.snapshotId))
+        .flatMap { sf =>
+          replaceDescendants(sf.snapshotId)
+            .filter(d => retained(d.snapshotId) && !occupied(d.snapshotId))
+            .sortBy(d => (d.timestampMs, d.snapshotId)).lastOption
+            .map(d => (sf, d))
+        }
+      // two expired docs on one replace chain can target the same
+      // descendant — both are exact there (the rowset never moved);
+      // keep the newest source for determinism
+      val rekeyed = rekeyCandidates.groupBy(_._2.snapshotId).values.toSeq
+        .map(_.maxBy { case (sf, _) =>
+          base.snapshot(sf.snapshotId)
+            .map(s => (s.timestampMs, s.snapshotId))
+            .getOrElse((0L, sf.snapshotId)) })
+        .flatMap { case (sf, d) =>
+          scala.util.Try {
+            val sk = TableStats.readWithSketches(sf.path)
+            val path =
+              s"$tableDir/stats-${d.snapshotId}-${java.util.UUID.randomUUID()}.puffin"
+            // engine rows keep full fidelity; foreign-only rows keep
+            // their standard theta bodies (the ndv property re-derives
+            // from the sketch — write() requires null counts, which
+            // foreign rows honestly lack)
+            val doc = sk.doc.copy(snapshotId = d.snapshotId,
+              columns = sk.doc.columns.filter(_._2.nullCount.isDefined))
+            val size = TableStats.write(path, doc, sk.bodies, sk.sawEmpty,
+              sk.fieldTypes)
+            StatisticsFile(d.snapshotId, path, size)
+          }.toOption // an unreadable doc drops, exactly as before
+        }.sortBy(_.snapshotId)
       afterExpiry.copy(
         // statistics files are pinned to their snapshot: expiring it
-        // drops the entry (the physical blob reclaims below)
-        statistics = afterExpiry.statistics.filterNot(s => expiredIds(s.snapshotId)),
+        // drops the entry (the physical blob reclaims below) unless a
+        // replace-only descendant keeps it exact — then it re-keys there
+        statistics =
+          afterExpiry.statistics.filterNot(s => expiredIds(s.snapshotId)) ++ rekeyed,
         partitionStatistics =
           afterExpiry.partitionStatistics.filterNot(s => expiredIds(s.snapshotId)),
         metadataLog =
@@ -2450,6 +2688,16 @@ object GraftTable {
           .build().compact().toByteArray
         (0L, Array.fill(typed.size)(0L), Array.fill(typed.size)(false),
           Array.fill(typed.size)(empty))
+      } else if (chainHasReplace) {
+        // the originals are DEAD bytes at the head — the probe above
+        // caught a whole-file reclaim, but a foreign GC that TRUNCATED
+        // a file (or raced the probe) still fails the scan. The table's
+        // live files are fine, so a refresh over dead bytes must not
+        // fail where the full recompute succeeds: any scan failure here
+        // falls back. Append-only chains propagate instead — their
+        // files are live, so full() would hit the same bytes.
+        try statsPass(spark, readDataFiles(spark, meta, newPaths), typed)
+        catch { case scala.util.control.NonFatal(_) => return full() }
       } else statsPass(spark, readDataFiles(spark, meta, newPaths), typed)
     val sawEmptyIds = typed.zipWithIndex.collect {
       case ((f, _), j) if newEmpty(j) || prevEmpty(f.id) => f.id }.toSet

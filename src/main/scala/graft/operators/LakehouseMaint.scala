@@ -757,11 +757,17 @@ object LakehouseMaint {
 
   // ---------------------------------------------------------------- i42
   /** Compaction through the public API, over a table with a pending
-    * position delete: rewrite_data_files and delete materialization in
-    * one — the MOR-resolved content lands in one target-size file, the
-    * replace list carries NO delete manifests (the deletes are
-    * physically gone, not just inert), and the scan equals the
-    * pre-compaction scan. */
+    * position delete — BOTH rewrite shapes in one lineage. First a
+    * PARTIAL rewrite (`where => n_nationkey < 13`, upstream
+    * RewriteDataFiles' filter): only the low-key files rewrite (their
+    * deletes materialized), the high-key files carry verbatim and the
+    * delete manifest CARRIES — it still addresses them. Then the full
+    * rewrite: the MOR-resolved content lands in one target-size file
+    * and the replace list carries NO delete manifests (the deletes are
+    * physically gone, not just inert). The scan equals the
+    * pre-compaction scan throughout; the two replace snapshots and the
+    * partial step's carried delete manifest are read back from the
+    * final metadata (deterministic — file counts are not). */
   val compactApi: Q = (spark, sfDir) => {
     val dir = entryDir("i42", sfDir)
     graft.TmpOutputs.ensure(dir) {
@@ -776,10 +782,14 @@ object LakehouseMaint {
       GraftTable.append(spark, dir, nation.filter(col("n_nationkey") >= 13)
         .orderBy(col("n_nationkey")))
       GraftTable.deleteWhere(spark, dir, col("n_regionkey") === 2)
+      GraftTable.compact(spark, dir, where = Some("n_nationkey < 13"))
       GraftTable.compact(spark, dir)
     }
     val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
     val infos = ManifestListReader.read(meta.currentSnapshot.get.manifestList.get)
+    val replaces = meta.snapshots.filter(_.operation.contains("replace"))
+      .sortBy(_.snapshotId)
+    val partialInfos = ManifestListReader.read(replaces.head.manifestList.get)
     GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
       .agg(count(lit(1)).as("n_live"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))
@@ -787,12 +797,16 @@ object LakehouseMaint {
         lit(infos.count(_.content == 0)).as("n_data_manifests"),
         lit(infos.count(_.content == 1)).as("n_delete_manifests"),
         lit(meta.currentSnapshot.get.operation.getOrElse("")).as("op"),
+        lit(replaces.size).as("n_replace_snaps"),
+        lit(partialInfos.count(_.content == 1)).as("n_partial_delete_manifests"),
         col("n_live"), col("sum_key"))
   }
 
   val compactApiSql: String =
     """SELECT CAST(1 AS INTEGER) AS n_data_manifests,
       |  CAST(0 AS INTEGER) AS n_delete_manifests, 'replace' AS op,
+      |  CAST(2 AS INTEGER) AS n_replace_snaps,
+      |  CAST(1 AS INTEGER) AS n_partial_delete_manifests,
       |  COUNT(*) AS n_live, CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation WHERE n_regionkey <> 2""".stripMargin
 

@@ -100,11 +100,16 @@ object GraftProcedures {
           "('a DESC, b') for a linear sort with disjoint per-file " +
           "ranges, or 'zorder(a, b)' for Morton-curve clustering whose " +
           "files cover small hyper-rectangles (min/max pruning works " +
-          "for ANY clustered column subset)",
+          "for ANY clustered column subset). `where` restricts the " +
+          "rewrite to files whose bound stats may match (ANDed " +
+          "comparisons of top-level columns against literals) — " +
+          "selected files rewrite wholly, everything else carries " +
+          "verbatim with its manifests",
         Array(in("table", StringType),
           inDefault("target_file_size_bytes", LongType, (512L * 1024 * 1024).toString),
           inDefault("strategy", StringType, "'binpack'"),
-          inDefault("sort_order", StringType, "''")),
+          inDefault("sort_order", StringType, "''"),
+          inDefault("where", StringType, "''")),
         StructType(Seq(
           StructField("rewritten_data_files_count", IntegerType),
           StructField("added_data_files_count", IntegerType),
@@ -136,7 +141,9 @@ object GraftProcedures {
           }
           val before = dataFileCount(currentMeta(dir))
           val result = GraftTable.compact(SparkSession.active, dir,
-            targetBytes = input.getLong(1), sortOrder = sortCols, zorderCols = zCols)
+            targetBytes = input.getLong(1), sortOrder = sortCols,
+            zorderCols = zCols,
+            where = Some(input.getString(4).trim).filter(_.nonEmpty))
           val after = dataFileCount(result.metadata)
           Seq(InternalRow(before, after,
             result.metadata.currentSnapshotId.getOrElse(0L)))

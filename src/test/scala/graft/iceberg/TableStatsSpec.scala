@@ -726,4 +726,158 @@ class TableStatsSpec extends SparkSpec {
     def idOf(n: String) = meta.currentSchema.fields.find(_.name == n).get.id
     assert(doc.columns(idOf("k")).ndv == 35L, doc.columns(idOf("k")).toString)
   }
+
+  test("incremental ANALYZE falls back to full when a replace-bearing " +
+      "chain's appended original is TRUNCATED (probe passes, scan fails)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-t").toString
+    spark.conf.set("spark.sql.catalog.ginct", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ginct.warehouse", wh)
+    spark.sql("CREATE TABLE ginct.db.t (k BIGINT, s STRING)")
+    spark.sql(
+      "INSERT INTO ginct.db.t SELECT id, CONCAT('v', id) FROM RANGE(20)")
+    val dir = s"$wh/db/t"
+    def dataFiles(): Seq[String] = {
+      val m = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      m.currentSnapshot.flatMap(_.manifestList).toSeq
+        .flatMap(ManifestListReader.read).filter(_.content == 0)
+        .flatMap(i => ManifestWriter.read(i.path))
+        .filter(e => e.status != 2 && e.content == 0).map(_.filePath)
+    }
+    val batch1Files = dataFiles()
+    spark.sql("CALL ginct.system.compute_table_stats(table => 'db.t')")
+    spark.sql(
+      "INSERT INTO ginct.db.t SELECT id, CONCAT('v', id) FROM RANGE(20, 35)")
+    val batch2Files = dataFiles().diff(batch1Files)
+    spark.sql("CALL ginct.system.rewrite_data_files(table => 'db.t')")
+    // a foreign GC that TRUNCATES instead of deleting (or one racing the
+    // existence probe): the file EXISTS, so the probe passes — the scan
+    // failure itself must fall back. The originals are dead bytes at the
+    // head; the live (compacted) files carry the recompute.
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      batch2Files.head.stripPrefix("file:")), "stub".getBytes("UTF-8"))
+    val out = spark.sql(
+      "CALL ginct.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out.getString(4) == "full", out.toString)
+    assert(out.getLong(1) == 35L)
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val doc = TableStats.read(
+      meta.statistics.find(_.snapshotId == out.getLong(0)).get.path)
+    def idOf(n: String) = meta.currentSchema.fields.find(_.name == n).get.id
+    assert(doc.columns(idOf("k")).ndv == 35L, doc.columns(idOf("k")).toString)
+  }
+
+  test("expiry RE-KEYS a statistics document through a replace-only " +
+      "path instead of destroying it; rowset-changing paths still drop") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-e").toString
+    spark.conf.set("spark.sql.catalog.gexr", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gexr.warehouse", wh)
+    spark.sql("CREATE TABLE gexr.db.t (k BIGINT, s STRING)")
+    spark.sql("""INSERT INTO gexr.db.t SELECT id,
+      CASE WHEN id = 3 THEN NULL ELSE CONCAT('v', id) END FROM RANGE(30)""")
+    val dir = s"$wh/db/t"
+    val analyzed = spark.sql(
+      "CALL gexr.system.compute_table_stats(table => 'db.t')").head.getLong(0)
+    val oldPath = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      .statistics.find(_.snapshotId == analyzed).get.path
+    spark.sql("CALL gexr.system.rewrite_data_files(table => 'db.t')")
+    spark.sql("CALL gexr.system.expire_snapshots('db.t', 1)")
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val head = meta.currentSnapshotId.get
+    assert(meta.snapshots.map(_.snapshotId) == Seq(head),
+      "precondition: only the compaction snapshot survives the expiry")
+    val entry = meta.statistics match {
+      case Seq(one) => one
+      case other => fail(s"exactly one re-keyed document expected: $other")
+    }
+    assert(entry.snapshotId == head,
+      "the document must re-key to the replace descendant, not vanish")
+    assert(entry.path != oldPath && !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(oldPath.stripPrefix("file:"))),
+      "the superseded container must be rewritten (blob snapshot ids " +
+        "move with the entry) and the old file reclaimed")
+    val doc = TableStats.read(entry.path)
+    assert(doc.snapshotId == head, doc.toString)
+    def idOf(n: String) = meta.currentSchema.fields.find(_.name == n).get.id
+    assert(doc.columns(idOf("k")).ndv == 30L, doc.columns(idOf("k")).toString)
+    assert(doc.columns(idOf("s")).nullCount.contains(1L))
+    // the re-keyed document is a live INCREMENTAL anchor: the expiry
+    // physically reclaimed the pre-compaction originals, so an exact
+    // refresh after the next ingest proves no old byte was needed
+    spark.sql(
+      "INSERT INTO gexr.db.t SELECT id, CONCAT('v', id) FROM RANGE(30, 45)")
+    val out = spark.sql(
+      "CALL gexr.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out.getString(4) == "incremental", out.toString)
+    assert(out.getLong(1) == 45L)
+    val meta2 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val doc2 = TableStats.read(
+      meta2.statistics.find(_.snapshotId == out.getLong(0)).get.path)
+    assert(doc2.columns(idOf("k")).ndv == 45L, doc2.columns(idOf("k")).toString)
+    // a rowset-CHANGING child (DELETE) breaks exactness: that document
+    // genuinely dies with its snapshot
+    spark.sql("CREATE TABLE gexr.db.u (k BIGINT)")
+    spark.sql("INSERT INTO gexr.db.u SELECT id FROM RANGE(10)")
+    spark.sql("CALL gexr.system.compute_table_stats(table => 'db.u')")
+    spark.sql("DELETE FROM gexr.db.u WHERE k < 3")
+    spark.sql("CALL gexr.system.expire_snapshots('db.u', 1)")
+    val metaU = TableMetadata.parseFile(GraftTable.latestMetadataPath(s"$wh/db/u"))
+    assert(metaU.statistics.isEmpty,
+      s"a delete-bearing path must not re-key: ${metaU.statistics}")
+  }
+
+  test("expiry re-key defers to a descendant's own document and keeps " +
+      "the newest source on a shared replace chain") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-o").toString
+    spark.conf.set("spark.sql.catalog.gexo", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gexo.warehouse", wh)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      spark.sql("CREATE TABLE gexo.db.t (k BIGINT)")
+      spark.sql("INSERT INTO gexo.db.t SELECT id FROM RANGE(25)")
+      val dir = s"$wh/db/t"
+      spark.sql("CALL gexo.system.compute_table_stats(table => 'db.t')")
+      spark.sql("CALL gexo.system.rewrite_data_files(table => 'db.t')")
+      // the head re-analyzes AFTER the compaction: its own (identical)
+      // document must win over the expired ancestor's re-key
+      val headDoc = spark.sql(
+        "CALL gexo.system.compute_table_stats(table => 'db.t')").head
+      spark.sql("CALL gexo.system.expire_snapshots('db.t', 1)")
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      val entry = meta.statistics match {
+        case Seq(one) => one
+        case other => fail(s"exactly one document expected: $other")
+      }
+      assert(entry.snapshotId == headDoc.getLong(0))
+      assert(entry.path == headDoc.getString(3),
+        "the descendant's own document must survive untouched")
+      // and the CBO still sees the NDVs at the head after the expiry
+      val stats = spark.sql("SELECT k FROM gexo.db.t")
+        .queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName.get("k").exists(_.distinctCount.contains(BigInt(25))),
+        byName.toString)
+      // TWO expired documents on one replace chain (S1 analyzed, S2 =
+      // data-file rewrite analyzed again, S3 = manifest rewrite) both
+      // target the retained head: exactly ONE survives the dedup
+      spark.sql("CREATE TABLE gexo.db.u (k BIGINT)")
+      spark.sql("INSERT INTO gexo.db.u SELECT id FROM RANGE(12)")
+      spark.sql("CALL gexo.system.compute_table_stats(table => 'db.u')")
+      spark.sql("CALL gexo.system.rewrite_data_files(table => 'db.u')")
+      spark.sql("CALL gexo.system.compute_table_stats(table => 'db.u')")
+      spark.sql("CALL gexo.system.rewrite_manifests(table => 'db.u')")
+      spark.sql("CALL gexo.system.expire_snapshots('db.u', 1)")
+      val metaU = TableMetadata.parseFile(
+        GraftTable.latestMetadataPath(s"$wh/db/u"))
+      val headU = metaU.currentSnapshotId.get
+      assert(metaU.snapshots.map(_.snapshotId) == Seq(headU))
+      val entryU = metaU.statistics match {
+        case Seq(one) => one
+        case other => fail(s"two sources must dedup to one re-key: $other")
+      }
+      assert(entryU.snapshotId == headU)
+      val docU = TableStats.read(entryU.path)
+      assert(docU.rowCount == 12L &&
+        docU.columns.values.toSeq.map(_.ndv) == Seq(12L), docU.toString)
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.iceberg.{GraftTable, ManifestListReader, ManifestWriter, TableMetadata}
+
+/** Partial compaction — `rewrite_data_files(where => ...)` (upstream
+  * RewriteDataFiles' filter): only files whose bound stats may contain
+  * matching rows rewrite; everything else carries VERBATIM with its
+  * manifests. The selection is planning-level and conservative, the
+  * rewrite of a selected file is always whole-file. At 100 TB the
+  * nightly sweep compacts the hot key range, not the table — proven
+  * destructively here: the non-matching files are garbage on disk and
+  * the rewrite succeeds because they are never opened. */
+class RewriteWhereSpec extends SparkSpec {
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private def listPaths(dir: String): Seq[String] =
+    TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      .currentSnapshot.flatMap(_.manifestList).toSeq
+      .flatMap(ManifestListReader.read).map(_.path)
+
+  private def liveFiles(dir: String): Set[String] =
+    TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      .currentSnapshot.flatMap(_.manifestList).toSeq
+      .flatMap(ManifestListReader.read).filter(_.content == 0)
+      .flatMap(i => ManifestWriter.read(i.path))
+      .filter(e => e.status != 2 && e.content == 0)
+      .map(e => norm(e.filePath)).toSet
+
+  /** live file path (normalized) -> [min k, max k], read through the scan. */
+  private def fileRanges(dir: String): Map[String, (Long, Long)] =
+    spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir)).load()
+      .groupBy(col("_file")).agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect().map(r => norm(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  private def corrupt(p: String): Unit = java.nio.file.Files.write(
+    java.nio.file.Paths.get(p),
+    "garbage: a where-scoped rewrite must never open this".getBytes("UTF-8"))
+
+  test("where-scoped rewrite opens ONLY matching files and carries " +
+      "unaffected manifests verbatim") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-rww").toString
+    spark.conf.set("spark.sql.catalog.grww", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grww.warehouse", wh)
+    spark.sql("CREATE TABLE grww.db.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO grww.db.t SELECT id, CONCAT('a', id) FROM RANGE(10)")
+    spark.sql("INSERT INTO grww.db.t SELECT id, CONCAT('b', id) FROM RANGE(10, 20)")
+    spark.sql("INSERT INTO grww.db.t SELECT id, CONCAT('c', id) FROM RANGE(20, 30)")
+    val dir = s"$wh/db/t"
+    val ranges = fileRanges(dir)
+    val excluded = ranges.filter(_._2._2 < 20).keys.toSet
+    val matching = ranges.keySet -- excluded
+    assert(excluded.nonEmpty && matching.nonEmpty, ranges.toString)
+    val manifestsBefore = listPaths(dir)
+      .filterNot(p => ManifestWriter.read(p).exists(e =>
+        e.content == 0 && !excluded(norm(e.filePath))))
+    assert(manifestsBefore.size == 2,
+      s"the two k<20 appends own fully-excluded manifests: $manifestsBefore")
+    // the files whose bounds provably exclude k >= 20: destroy them —
+    // the rewrite succeeds only if it never opens them
+    excluded.foreach(corrupt)
+    val out = spark.sql("CALL grww.system.rewrite_data_files(" +
+      "table => 'db.t', where => 'k >= 20')").head
+    assert(out.getInt(0) == ranges.size &&
+      out.getInt(1) == excluded.size + 1, out.toString)
+    val after = liveFiles(dir)
+    // the excluded files survive at their ORIGINAL paths; the matching
+    // one was replaced
+    assert(after.intersect(ranges.keySet) == excluded,
+      s"ranges=$ranges after=$after")
+    // unaffected manifests carried VERBATIM (same physical paths — their
+    // summaries and stats keep list-level pruning alive)
+    val manifestsAfter = listPaths(dir)
+    assert(manifestsBefore.forall(manifestsAfter.contains),
+      s"carried=$manifestsBefore after=$manifestsAfter")
+    // the rewritten range reads back exactly
+    val kept = spark.sql("SELECT k, s FROM grww.db.t WHERE k >= 20 ORDER BY k")
+      .collect()
+    assert(kept.length == 10 && kept.head.getLong(0) == 20L &&
+      kept.last.getString(1) == "c29")
+    // sort strategy composes with where: re-cluster ONLY the hot range
+    // (the corrupted files are still never opened)
+    spark.sql("CALL grww.system.rewrite_data_files(table => 'db.t', " +
+      "strategy => 'sort', sort_order => 'k DESC', where => 'k >= 20')")
+    assert(spark.sql("SELECT COUNT(*) FROM grww.db.t WHERE k >= 20")
+      .head.getLong(0) == 10L)
+    assert(liveFiles(dir).intersect(excluded) == excluded)
+  }
+
+  test("where-scoped rewrite keeps delete files in force for carried " +
+      "files and materializes them for rewritten ones") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-rwd").toString
+    spark.conf.set("spark.sql.catalog.grwd", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grwd.warehouse", wh)
+    spark.sql("CREATE TABLE grwd.db.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO grwd.db.t SELECT id, CONCAT('a', id) FROM RANGE(10)")
+    spark.sql("INSERT INTO grwd.db.t SELECT id, CONCAT('b', id) FROM RANGE(10, 20)")
+    spark.sql("DELETE FROM grwd.db.t WHERE k = 3 OR k = 15")
+    val dir = s"$wh/db/t"
+    assert(spark.sql("SELECT COUNT(*) FROM grwd.db.t").head.getLong(0) == 18L)
+    // rewrite only [0,10): k=3 materializes away; the carried file's
+    // k=15 must STAY deleted (its delete file carries forward)
+    spark.sql("CALL grwd.system.rewrite_data_files(" +
+      "table => 'db.t', where => 'k < 10')")
+    assert(spark.sql("SELECT COUNT(*) FROM grwd.db.t").head.getLong(0) == 18L)
+    assert(spark.sql("SELECT COUNT(*) FROM grwd.db.t WHERE k IN (3, 15)")
+      .head.getLong(0) == 0L)
+    // delete manifests were carried
+    val delManifests = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      .currentSnapshot.flatMap(_.manifestList).toSeq
+      .flatMap(ManifestListReader.read).filter(_.content == 1)
+    assert(delManifests.nonEmpty, "the delete manifest must carry forward")
+    // a where-scoped rewrite is an ordinary `replace`: incremental
+    // ANALYZE stays O(delta) across it
+    spark.sql("CALL grwd.system.compute_table_stats(table => 'db.t')")
+    spark.sql("INSERT INTO grwd.db.t SELECT id, CONCAT('d', id) FROM RANGE(20, 25)")
+    spark.sql("CALL grwd.system.rewrite_data_files(" +
+      "table => 'db.t', where => 'k >= 10 AND k < 20')")
+    val stats = spark.sql(
+      "CALL grwd.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(stats.getString(4) == "incremental", stats.toString)
+    assert(stats.getLong(1) == 23L, stats.toString)
+  }
+
+  test("no-op on an empty selection; unsupported predicates refuse loudly") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-rwn").toString
+    spark.conf.set("spark.sql.catalog.grwn", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grwn.warehouse", wh)
+    spark.sql("CREATE TABLE grwn.db.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO grwn.db.t SELECT id, CONCAT('a', id) FROM RANGE(10)")
+    val dir = s"$wh/db/t"
+    val versionBefore = GraftTable.latestMetadataPath(dir)
+    val out = spark.sql("CALL grwn.system.rewrite_data_files(" +
+      "table => 'db.t', where => 'k > 1000')").head
+    assert(out.getInt(0) == out.getInt(1),
+      s"an empty selection must not change the file count: $out")
+    assert(GraftTable.latestMetadataPath(dir) == versionBefore,
+      "an empty selection must not burn a metadata version")
+    // refusals: computed expressions, OR, unknown columns, unsupported ops
+    for (bad <- Seq("k + 1 > 3", "k > 3 OR k < 1", "nope = 1", "k != 3"))
+      withClue(bad) {
+        val e = intercept[Exception](spark.sql(
+          s"""CALL grwn.system.rewrite_data_files(table => 'db.t', where => "$bad")"""))
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).take(8)
+          .flatMap(t => Option(t.getMessage)).mkString(" | ")
+        assert(msgs.contains("ANDed comparisons"), msgs)
+      }
+    // conservative direction: a file carrying NO bounds for the filtered
+    // column cannot be excluded — it is selected and rewritten
+    spark.sql("INSERT INTO grwn.db.t SELECT id, NULL FROM RANGE(10, 12)")
+    val pre = fileRanges(dir)
+    val aFile = pre.find(_._2._2 < 10).get._1
+    val nullFile = pre.find(_._2._1 >= 10).get._1
+    spark.sql("CALL grwn.system.rewrite_data_files(" +
+      "table => 'db.t', where => \"s = 'zzz'\")")
+    val post = liveFiles(dir)
+    assert(post.contains(aFile),
+      "bounds 'a0'..'a9' provably exclude 'zzz' — the file must carry")
+    assert(!post.contains(nullFile),
+      "a file with no string bounds must be conservatively rewritten")
+  }
+}

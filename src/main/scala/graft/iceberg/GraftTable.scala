@@ -1763,7 +1763,28 @@ object GraftTable {
     def refuse(what: String): Nothing = throw new IllegalArgumentException(
       "rewrite_data_files `where` supports ANDed comparisons " +
         s"(=, <, <=, >, >=) of a top-level column against a literal; $what")
-    val fieldsByName = meta.currentSchema.fields.map(f => f.name -> f).toMap
+    // the comparison space a column's decoded bounds normalize into:
+    // numbers (dates as epoch days, micro timestamps as micros, ns as
+    // raw nanos) or strings. A column without one — boolean, binary,
+    // uuid, geo, nested — has no orderable bounds to select by.
+    def cmpSpace(t: IcebergType): Option[Char] = t match {
+      case IcebergTypes.TInt | IcebergTypes.TLong | IcebergTypes.TFloat |
+           IcebergTypes.TDouble | IcebergTypes.TDate | IcebergTypes.TTime |
+           IcebergTypes.TTimestamp | IcebergTypes.TTimestamptz |
+           IcebergTypes.TTimestampNs | IcebergTypes.TTimestamptzNs |
+           IcebergTypes.TDecimal(_, _) => Some('n')
+      case IcebergTypes.TString => Some('s')
+      case _ => None
+    }
+    // exact name first, then a UNIQUE case-insensitive match (Spark SQL
+    // resolves identifiers case-insensitively) — ambiguity refuses
+    val fields = meta.currentSchema.fields
+    def resolve(name: String): Option[IcebergField] =
+      fields.find(_.name == name).orElse(
+        fields.filter(_.name.equalsIgnoreCase(name)) match {
+          case Seq(one) => Some(one)
+          case _ => None
+        })
     leaves(spark.sessionState.sqlParser.parseExpression(where)).map { leaf =>
       val (attr, op, lit) = leaf match {
         case EqualTo(a: UnresolvedAttribute, l: Literal) => (a, "=", l)
@@ -1778,9 +1799,11 @@ object GraftTable {
         case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => (a, "<=", l)
         case other => refuse(s"cannot evaluate: ${other.sql}")
       }
-      val f = fieldsByName.getOrElse(attr.name,
+      val f = resolve(attr.name).getOrElse(
         refuse(s"no top-level column '${attr.name}'"))
       val t = IcebergTypes.fromString(f.fieldType)
+      val space = cmpSpace(t).getOrElse(refuse(
+        s"column '${f.name}' (${f.fieldType}) has no orderable bound space"))
       // ns-precision bounds decode as RAW NANOS; a micro-precision
       // timestamp literal would compare across units — refuse (a plain
       // integer literal in nanos is the supported spelling)
@@ -1790,6 +1813,14 @@ object GraftTable {
           "an integer nanosecond literal")
       val v = comparableValue(lit.value).getOrElse(
         refuse(s"unsupported literal ${lit.sql} for column '${f.name}'"))
+      // a literal whose comparison space differs from the column's would
+      // NEVER exclude — silently compacting the whole table where the
+      // user asked for a slice. Refuse and name the typed-literal fix.
+      val vSpace = v match { case _: Number => 'n'; case _ => 's' }
+      if (vSpace != space)
+        refuse(s"literal ${lit.sql} does not order against column " +
+          s"'${f.name}' (${f.fieldType}) — use a typed literal " +
+          "(DATE '...', TIMESTAMP '...', a number, or a string)")
       RewriteConstraint(f.id, t, op, v)
     }
   }
@@ -2336,7 +2367,11 @@ object GraftTable {
         .flatMap { sf =>
           replaceDescendants(sf.snapshotId)
             .filter(d => retained(d.snapshotId) && !occupied(d.snapshotId))
-            .sortBy(d => (d.timestampMs, d.snapshotId)).lastOption
+            // prefer MAIN-LINEAGE descendants (false < true): a retained
+            // fork replace must not strand the doc where main's scans
+            // and the incremental anchor walk can never reach it
+            .sortBy(d => (linSet.contains(d.snapshotId),
+              d.timestampMs, d.snapshotId)).lastOption
             .map(d => (sf, d))
         }
       // two expired docs on one replace chain can target the same

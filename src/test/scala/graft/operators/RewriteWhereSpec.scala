@@ -166,4 +166,42 @@ class RewriteWhereSpec extends SparkSpec {
     assert(!post.contains(nullFile),
       "a file with no string bounds must be conservatively rewritten")
   }
+
+  test("typed literals: date bounds select in epoch-day space, columns " +
+      "resolve case-insensitively, space mismatches refuse") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-rwt").toString
+    spark.conf.set("spark.sql.catalog.grwt", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grwt.warehouse", wh)
+    spark.sql("CREATE TABLE grwt.db.t (d DATE, k BIGINT)")
+    spark.sql("INSERT INTO grwt.db.t SELECT " +
+      "DATE_ADD(DATE'2024-01-01', CAST(id AS INT)), id FROM RANGE(5)")
+    spark.sql("INSERT INTO grwt.db.t SELECT " +
+      "DATE_ADD(DATE'2024-06-01', CAST(id AS INT)), id FROM RANGE(5)")
+    val dir = s"$wh/db/t"
+    val byMonth = spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir)).load()
+      .groupBy(col("_file")).agg(min(col("d")).as("lo")).collect()
+      .map(r => norm(r.getString(0)) -> r.getDate(1).toLocalDate).toMap
+    val june = byMonth.filter(_._2.getMonthValue == 6).keys.toSet
+    val january = byMonth.keySet -- june
+    assert(june.nonEmpty && january.nonEmpty, byMonth.toString)
+    // a string literal on a DATE column would NEVER exclude (different
+    // comparison spaces) — silently compacting the whole table where the
+    // user asked for January; it must refuse instead
+    val e = intercept[Exception](spark.sql("CALL grwt.system." +
+      "rewrite_data_files(table => 'db.t', where => \"d < '2024-02-01'\")"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("typed literal"), msgs)
+    // the June files are garbage on disk: a January-scoped rewrite with
+    // a PROPER date literal — through an UPPERCASE identifier, resolved
+    // case-insensitively like any Spark SQL name — never opens them
+    june.foreach(corrupt)
+    spark.sql("CALL grwt.system.rewrite_data_files(" +
+      "table => 'db.t', where => \"D < DATE '2024-02-01'\")")
+    val after = liveFiles(dir)
+    assert(after.intersect(june) == june, "June files must carry verbatim")
+    assert(after.intersect(january).isEmpty, "January files must be replaced")
+  }
 }

@@ -884,7 +884,12 @@ object GraftTable {
 
   private def writeList(path: String, carried: Seq[ManifestListReader.ManifestFileInfo],
       newManifest: String, newCount: Int, newContent: Int, snapId: Long,
-      newSummary: Option[(Int, Seq[ManifestListWriter.FieldSummary])] = None): Unit =
+      newSummary: Option[(Int, Seq[ManifestListWriter.FieldSummary])] = None,
+      // the new manifest's field-516 minimum: a commit whose manifest
+      // re-emits carried EXISTING entries must record their true
+      // minimum sequence, or delete-side pruning wrongly skips deletes
+      // that still apply to them
+      newMinSeq: Option[Long] = None): Unit =
     ManifestListWriter.write(path, carried.map(_.path) :+ newManifest, snapId,
       addedDataFilesCount = newCount,
       contents = (carried.map(i => i.path -> i.content) :+ (newManifest -> newContent)).toMap,
@@ -897,7 +902,8 @@ object GraftTable {
       // carried manifests keep their ORIGINAL sequence numbers (515/516);
       // the new manifest defaults to snapId — this library's sequence
       seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
-      minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
+      minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap ++
+        newMinSeq.map(newManifest -> _))
 
   /** Append `df` as one CAS-committed append snapshot, routed through
     * the DSv2 task-writer machinery (the round-8 `TableWrite` path): the
@@ -1763,18 +1769,34 @@ object GraftTable {
     def refuse(what: String): Nothing = throw new IllegalArgumentException(
       "rewrite_data_files `where` supports ANDed comparisons " +
         s"(=, <, <=, >, >=) of a top-level column against a literal; $what")
-    // the comparison space a column's decoded bounds normalize into:
-    // numbers (dates as epoch days, micro timestamps as micros, ns as
-    // raw nanos) or strings. A column without one — boolean, binary,
-    // uuid, geo, nested — has no orderable bounds to select by.
-    def cmpSpace(t: IcebergType): Option[Char] = t match {
+    // literal acceptance is PER COLUMN TYPE, by comparison UNIT — not a
+    // coarse number-vs-string bucket: a DATE literal (epoch days) and a
+    // timestamp column's bounds (epoch micros) are both "numbers" yet
+    // ordering them mis-selects by 11 orders of magnitude (silent
+    // whole-table rewrite or silent no-op). Plain numerics share the
+    // number line; DATE needs a DATE literal; micro-precision
+    // timestamps take either timestamp literal flavor (the session is
+    // pinned UTC, so NTZ micros are exact); ns and time bounds are RAW
+    // integers (nanos / micros-of-day) and only an integral literal
+    // shares their unit. Boolean/binary/uuid/geo/nested columns have no
+    // orderable bound space at all.
+    def literalAccepted(t: IcebergType,
+        dt: org.apache.spark.sql.types.DataType): Boolean = t match {
       case IcebergTypes.TInt | IcebergTypes.TLong | IcebergTypes.TFloat |
-           IcebergTypes.TDouble | IcebergTypes.TDate | IcebergTypes.TTime |
-           IcebergTypes.TTimestamp | IcebergTypes.TTimestamptz |
-           IcebergTypes.TTimestampNs | IcebergTypes.TTimestamptzNs |
-           IcebergTypes.TDecimal(_, _) => Some('n')
-      case IcebergTypes.TString => Some('s')
-      case _ => None
+           IcebergTypes.TDouble | IcebergTypes.TDecimal(_, _) =>
+        dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      case IcebergTypes.TDate => dt == org.apache.spark.sql.types.DateType
+      case IcebergTypes.TTimestamp | IcebergTypes.TTimestamptz =>
+        dt == org.apache.spark.sql.types.TimestampType ||
+          dt == org.apache.spark.sql.types.TimestampNTZType
+      case IcebergTypes.TTimestampNs | IcebergTypes.TTimestamptzNs |
+           IcebergTypes.TTime =>
+        dt == org.apache.spark.sql.types.ByteType ||
+          dt == org.apache.spark.sql.types.ShortType ||
+          dt == org.apache.spark.sql.types.IntegerType ||
+          dt == org.apache.spark.sql.types.LongType
+      case IcebergTypes.TString => dt == org.apache.spark.sql.types.StringType
+      case _ => false
     }
     // exact name first, then a UNIQUE case-insensitive match (Spark SQL
     // resolves identifiers case-insensitively) — ambiguity refuses
@@ -1802,25 +1824,17 @@ object GraftTable {
       val f = resolve(attr.name).getOrElse(
         refuse(s"no top-level column '${attr.name}'"))
       val t = IcebergTypes.fromString(f.fieldType)
-      val space = cmpSpace(t).getOrElse(refuse(
-        s"column '${f.name}' (${f.fieldType}) has no orderable bound space"))
-      // ns-precision bounds decode as RAW NANOS; a micro-precision
-      // timestamp literal would compare across units — refuse (a plain
-      // integer literal in nanos is the supported spelling)
-      if ((t == IcebergTypes.TTimestampNs || t == IcebergTypes.TTimestamptzNs) &&
-          (lit.dataType.typeName.startsWith("timestamp")))
-        refuse(s"column '${f.name}' holds raw nanos — compare against " +
-          "an integer nanosecond literal")
+      // a literal outside the column's comparison unit would NEVER
+      // exclude (or exclude everything) — silently rewriting the whole
+      // table, or silently nothing, where the user asked for a slice
+      if (!literalAccepted(t, lit.dataType))
+        refuse(s"literal ${lit.sql} (${lit.dataType.simpleString}) does " +
+          s"not share column '${f.name}' (${f.fieldType})'s comparison " +
+          "unit — use a matching typed literal (a number, a string, " +
+          "DATE '...', TIMESTAMP '...', or raw integer nanos for ns " +
+          "columns)")
       val v = comparableValue(lit.value).getOrElse(
         refuse(s"unsupported literal ${lit.sql} for column '${f.name}'"))
-      // a literal whose comparison space differs from the column's would
-      // NEVER exclude — silently compacting the whole table where the
-      // user asked for a slice. Refuse and name the typed-literal fix.
-      val vSpace = v match { case _: Number => 'n'; case _ => 's' }
-      if (vSpace != space)
-        refuse(s"literal ${lit.sql} does not order against column " +
-          s"'${f.name}' (${f.fieldType}) — use a typed literal " +
-          "(DATE '...', TIMESTAMP '...', a number, or a string)")
       RewriteConstraint(f.id, t, op, v)
     }
   }
@@ -1889,7 +1903,8 @@ object GraftTable {
       where: Option[String] = None): OptimisticCommit.CommitResult = {
     require(sortOrder.isEmpty || zorderCols.isEmpty,
       "sort and zorder strategies are mutually exclusive")
-    val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    val metaPath0 = latestMetadataPath(tableDir)
+    val meta0 = TableMetadata.parseFile(metaPath0)
     val schema = sparkSchema(meta0)
     (sortOrder.map(_._1) ++ zorderCols).foreach(c =>
       require(schema.fieldNames.contains(c), s"no such column $c"))
@@ -1910,11 +1925,12 @@ object GraftTable {
       case Some(cs) => preData.filterNot(e => cs.exists(c => entryExcluded(e, c)))
     }
     // nothing matches: a no-op success (the scheduler's per-partition
-    // sweep must not fail on an already-clean range), no metadata version
+    // sweep must not fail on an already-clean range), no metadata
+    // version — the (version, path, metadata) triple derives from the
+    // ONE state already read, never from fresh racy directory probes
     if (selected.isEmpty)
       return OptimisticCommit.CommitResult(
-        OptimisticCommit.currentVersion(tableDir),
-        latestMetadataPath(tableDir), meta0, 0)
+        OptimisticCommit.versionOf(metaPath0), metaPath0, meta0, 0)
     val compactUuid = java.util.UUID.randomUUID()
     // v3 row lineage: a rewrite MOVES rows, so the moved rows' ids ride
     // along as MATERIALIZED columns in the output files (the entries
@@ -1997,8 +2013,17 @@ object GraftTable {
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
-      val nowSet = currentEntries(base, 0).filter(_.content == 0)
-        .map(e => uriPath(e.filePath)).toSet
+      // ONE read of the base's data manifests per attempt serves the
+      // conflict check AND (partial path) the carry partition —
+      // sequence numbers materialized exactly as entriesAt does
+      val infos = carryForward(base)
+      val perManifest = Par.inParallel(infos.filter(_.content == 0))(i =>
+        (i, ManifestWriter.read(i.path)
+          .filter(e => e.status != 2 && e.content == 0)
+          .map(e => e.copy(
+            sequenceNumber = Some(e.sequenceNumber.getOrElse(i.sequenceNumber))))))
+      val nowEntries = perManifest.flatMap(_._2)
+      val nowSet = nowEntries.map(e => uriPath(e.filePath)).toSet
       if (nowSet != allPreSet) throw OptimisticCommit.CommitConflictException(
         "table file set changed while compacting — rerun compaction")
       // a delete file committed while compacting addresses the ORIGINALS:
@@ -2027,8 +2052,7 @@ object GraftTable {
         // delete) drops; replaced files tombstone as DELETED entries
         // (Iceberg's replace shape) — invisible to scans, visible to
         // the `entries` table
-        val tombstones = currentEntries(base, 0).filter(_.content == 0)
-          .map(_.copy(status = 2, snapshotId = snapId))
+        val tombstones = nowEntries.map(_.copy(status = 2, snapshotId = snapId))
         ManifestWriter.write(manifest, entries ++ tombstones)
         ManifestListWriter.write(list, Seq(manifest), snapId,
           addedDataFilesCount = entries.size)
@@ -2036,19 +2060,15 @@ object GraftTable {
         // PARTIAL rewrite: manifests owning NO selected file carry
         // VERBATIM (their field-507 summaries keep list-level pruning);
         // an affected manifest's unselected entries re-emit as EXISTING
-        // at their original sequences; delete manifests all carry — they
-        // still scope to carried files, while the rewritten outputs
-        // escape them by path (position) and sequence (equality), their
-        // rows having been materialized post-MOR
-        val infos = carryForward(base)
-        val perManifest = Par.inParallel(infos.filter(_.content == 0))(i =>
-          (i, ManifestWriter.read(i.path).map(e => e.copy(
-            sequenceNumber = Some(e.sequenceNumber.getOrElse(i.sequenceNumber))))))
+        // at their original sequences under the UNION of the affected
+        // manifests' summaries (conservative — moved files must not
+        // lose their list-level pruning); delete manifests all carry —
+        // they still scope to carried files, while the rewritten
+        // outputs escape them by path (position) and sequence
+        // (equality), their rows having been materialized post-MOR
         val (affected, untouched) = perManifest.partition { case (_, es) =>
-          es.exists(e => e.status != 2 && e.content == 0 &&
-            selectedSet.contains(uriPath(e.filePath))) }
+          es.exists(e => selectedSet.contains(uriPath(e.filePath))) }
         val liveAffected = affected.flatMap(_._2)
-          .filter(e => e.status != 2 && e.content == 0)
         val moved = liveAffected
           .filterNot(e => selectedSet.contains(uriPath(e.filePath)))
           .map(_.copy(status = 0, snapshotId = snapId))
@@ -2061,18 +2081,10 @@ object GraftTable {
         // deletes that still apply to them
         val minSeq = (entries ++ moved).flatMap(_.sequenceNumber)
           .foldLeft(snapId)(math.min)
-        val carried = untouched.map(_._1) ++ infos.filter(_.content == 1)
-        ManifestListWriter.write(list, carried.map(_.path) :+ manifest, snapId,
-          addedDataFilesCount = entries.size,
-          contents =
-            (carried.map(i => i.path -> i.content) :+ (manifest -> 0)).toMap,
-          specIds = carried.map(i => i.path -> i.specId).toMap,
-          addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
-          addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
-          summaries = carriedSummaries(carried),
-          seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
-          minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap
-            + (manifest -> minSeq))
+        writeList(list, untouched.map(_._1) ++ infos.filter(_.content == 1),
+          manifest, entries.size, 0, snapId,
+          ScanPlanning.unionSummaries(base, affected.map(_._1)),
+          Some(minSeq))
       }
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,

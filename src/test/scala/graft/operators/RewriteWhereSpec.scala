@@ -188,12 +188,23 @@ class RewriteWhereSpec extends SparkSpec {
     // a string literal on a DATE column would NEVER exclude (different
     // comparison spaces) — silently compacting the whole table where the
     // user asked for January; it must refuse instead
-    val e = intercept[Exception](spark.sql("CALL grwt.system." +
-      "rewrite_data_files(table => 'db.t', where => \"d < '2024-02-01'\")"))
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null).take(8)
-      .flatMap(t => Option(t.getMessage)).mkString(" | ")
-    assert(msgs.contains("typed literal"), msgs)
+    // cross-UNIT temporal literals are the insidious case: a DATE
+    // literal (epoch days) against micro/nano bounds — or a TIMESTAMP
+    // literal against day bounds — is "a number vs a number" yet off by
+    // 11 orders of magnitude; every combination must refuse
+    for (bad <- Seq(
+        "d < '2024-02-01'", // string vs DATE bounds
+        "d < TIMESTAMP '2024-02-01 00:00:00'", // micros vs day bounds
+        "k = DATE '2024-01-01'", // days vs plain-number bounds
+        "d < 19800")) // plain number vs day bounds
+      withClue(bad) {
+        val e = intercept[Exception](spark.sql("CALL grwt.system." +
+          s"""rewrite_data_files(table => 'db.t', where => "$bad")"""))
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).take(8)
+          .flatMap(t => Option(t.getMessage)).mkString(" | ")
+        assert(msgs.contains("typed literal"), msgs)
+      }
     // the June files are garbage on disk: a January-scoped rewrite with
     // a PROPER date literal — through an UPPERCASE identifier, resolved
     // case-insensitively like any Spark SQL name — never opens them

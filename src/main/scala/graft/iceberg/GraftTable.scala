@@ -1826,13 +1826,29 @@ object GraftTable {
       val t = IcebergTypes.fromString(f.fieldType)
       // a literal outside the column's comparison unit would NEVER
       // exclude (or exclude everything) — silently rewriting the whole
-      // table, or silently nothing, where the user asked for a slice
-      if (!literalAccepted(t, lit.dataType))
+      // table, or silently nothing, where the user asked for a slice.
+      // A column NO literal type can order against (boolean/binary/
+      // uuid/geo/nested) gets the honest diagnostic, not a literal-
+      // spelling suggestion that can never succeed.
+      if (!literalAccepted(t, lit.dataType)) {
+        val orderable = t match {
+          case IcebergTypes.TInt | IcebergTypes.TLong | IcebergTypes.TFloat |
+               IcebergTypes.TDouble | IcebergTypes.TDecimal(_, _) |
+               IcebergTypes.TDate | IcebergTypes.TTime |
+               IcebergTypes.TTimestamp | IcebergTypes.TTimestamptz |
+               IcebergTypes.TTimestampNs | IcebergTypes.TTimestamptzNs |
+               IcebergTypes.TString => true
+          case _ => false
+        }
+        if (!orderable)
+          refuse(s"column '${f.name}' (${f.fieldType}) has no orderable " +
+            "bound space to select files by")
         refuse(s"literal ${lit.sql} (${lit.dataType.simpleString}) does " +
           s"not share column '${f.name}' (${f.fieldType})'s comparison " +
           "unit — use a matching typed literal (a number, a string, " +
           "DATE '...', TIMESTAMP '...', or raw integer nanos for ns " +
           "columns)")
+      }
       val v = comparableValue(lit.value).getOrElse(
         refuse(s"unsupported literal ${lit.sql} for column '${f.name}'"))
       RewriteConstraint(f.id, t, op, v)

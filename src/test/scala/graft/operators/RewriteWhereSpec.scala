@@ -172,11 +172,11 @@ class RewriteWhereSpec extends SparkSpec {
     val wh = java.nio.file.Files.createTempDirectory("graft-rwt").toString
     spark.conf.set("spark.sql.catalog.grwt", classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.grwt.warehouse", wh)
-    spark.sql("CREATE TABLE grwt.db.t (d DATE, k BIGINT)")
+    spark.sql("CREATE TABLE grwt.db.t (d DATE, k BIGINT, b BOOLEAN)")
     spark.sql("INSERT INTO grwt.db.t SELECT " +
-      "DATE_ADD(DATE'2024-01-01', CAST(id AS INT)), id FROM RANGE(5)")
+      "DATE_ADD(DATE'2024-01-01', CAST(id AS INT)), id, id % 2 = 0 FROM RANGE(5)")
     spark.sql("INSERT INTO grwt.db.t SELECT " +
-      "DATE_ADD(DATE'2024-06-01', CAST(id AS INT)), id FROM RANGE(5)")
+      "DATE_ADD(DATE'2024-06-01', CAST(id AS INT)), id, id % 2 = 0 FROM RANGE(5)")
     val dir = s"$wh/db/t"
     val byMonth = spark.read.format("graft-table")
       .option("metadata", GraftTable.latestMetadataPath(dir)).load()
@@ -205,6 +205,15 @@ class RewriteWhereSpec extends SparkSpec {
           .flatMap(t => Option(t.getMessage)).mkString(" | ")
         assert(msgs.contains("typed literal"), msgs)
       }
+    // a column NO literal can order against gets the honest diagnostic,
+    // not a literal-spelling suggestion that can never succeed
+    val eb = intercept[Exception](spark.sql("CALL grwt.system." +
+      "rewrite_data_files(table => 'db.t', where => 'b = true')"))
+    val ebMsgs = Iterator.iterate(eb: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(ebMsgs.contains("no orderable bound space") &&
+      !ebMsgs.contains("typed literal"), ebMsgs)
     // the June files are garbage on disk: a January-scoped rewrite with
     // a PROPER date literal — through an UPPERCASE identifier, resolved
     // case-insensitively like any Spark SQL name — never opens them

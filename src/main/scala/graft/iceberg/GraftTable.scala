@@ -1916,9 +1916,11 @@ object GraftTable {
       targetBytes: Long = 512L * 1024 * 1024,
       sortOrder: Seq[(String, Boolean)] = Nil,
       zorderCols: Seq[String] = Nil,
-      where: Option[String] = None): OptimisticCommit.CommitResult = {
+      where: Option[String] = None,
+      minInputFiles: Int = 1): OptimisticCommit.CommitResult = {
     require(sortOrder.isEmpty || zorderCols.isEmpty,
       "sort and zorder strategies are mutually exclusive")
+    require(minInputFiles >= 1, "min_input_files must be >= 1")
     val metaPath0 = latestMetadataPath(tableDir)
     val meta0 = TableMetadata.parseFile(metaPath0)
     val schema = sparkSchema(meta0)
@@ -1940,11 +1942,15 @@ object GraftTable {
       case None => preData
       case Some(cs) => preData.filterNot(e => cs.exists(c => entryExcluded(e, c)))
     }
-    // nothing matches: a no-op success (the scheduler's per-partition
-    // sweep must not fail on an already-clean range), no metadata
-    // version — the (version, path, metadata) triple derives from the
-    // ONE state already read, never from fresh racy directory probes
-    if (selected.isEmpty)
+    // nothing matches — or fewer matches than the fragmentation
+    // threshold (upstream's min-input-files: a nightly sweep re-run on
+    // an already-compacted range must NO-OP, not churn 1 file into 1
+    // file forever; the default of 1 keeps rewrite-always semantics,
+    // including delete materialization, for explicit calls): a no-op
+    // success, no metadata version — the (version, path, metadata)
+    // triple derives from the ONE state already read, never from fresh
+    // racy directory probes
+    if (selected.size < math.max(1, minInputFiles))
       return OptimisticCommit.CommitResult(
         OptimisticCommit.versionOf(metaPath0), metaPath0, meta0, 0)
     val compactUuid = java.util.UUID.randomUUID()
@@ -2289,10 +2295,21 @@ object GraftTable {
     * (Iceberg's `expire_snapshots(older_than)`): only snapshots whose
     * commit timestamp is strictly below the cutoff expire, and the
     * newest `keepLast` are ALWAYS retained regardless of age — history
-    * never empties, matching the production semantics. */
+    * never empties, matching the production semantics.
+    *
+    * `snapshotIds` is the TARGETED mode (upstream's `snapshot_ids`):
+    * exactly the named snapshots expire. The guards are the PIN rules,
+    * not retention policy — the current snapshot, any ref-pinned
+    * snapshot (drop the tag/branch first), and unknown ids refuse
+    * loudly; an UNPUBLISHED stage is fair game here, because naming it
+    * is precisely the deliberate reclamation the publish-refusal
+    * messages point users to. Exclusive with the age policy. */
   def expireSnapshots(spark: SparkSession, tableDir: String,
-      keepLast: Int = 1, olderThanMs: Option[Long] = None): OptimisticCommit.CommitResult = {
+      keepLast: Int = 1, olderThanMs: Option[Long] = None,
+      snapshotIds: Seq[Long] = Nil): OptimisticCommit.CommitResult = {
     require(keepLast >= 1, "must retain at least one snapshot")
+    require(snapshotIds.isEmpty || olderThanMs.isEmpty,
+      "snapshot_ids and older_than_ms are exclusive expiry modes")
     // a zero-copy fork (snapshot procedure) references ANOTHER table's
     // files — physical cleanup here would delete production data
     require(!TableMetadata.parseFile(latestMetadataPath(tableDir))
@@ -2354,13 +2371,30 @@ object GraftTable {
           !s.summary.contains("wap.published") &&
           !linSet.contains(s.snapshotId) &&
           !pickedMarkers.contains(s.snapshotId.toString)
-      val retained = base.snapshots.filter(s => newest(s.snapshotId) ||
-        refRetained(s.snapshotId) ||
-        olderThanMs.exists(cutoff => s.timestampMs >= cutoff) ||
-        (olderThanMs.isEmpty && unpublishedStage(s)))
-        .map(_.snapshotId).toSet
-      val toExpire = base.snapshots.map(_.snapshotId).filterNot(retained)
+      val toExpire: Seq[Long] = if (snapshotIds.nonEmpty) {
+        // TARGETED mode: exactly the named snapshots; pin rules only
+        val known = base.snapshots.map(_.snapshotId).toSet
+        val unknown = snapshotIds.filterNot(known)
+        require(unknown.isEmpty,
+          s"no such snapshot(s): ${unknown.mkString(", ")}")
+        require(!snapshotIds.exists(base.currentSnapshotId.contains),
+          "cannot expire the current snapshot — rollback or " +
+            "set_current_snapshot first")
+        val pinned = base.refs.filter(r => snapshotIds.contains(r.snapshotId))
+        require(pinned.isEmpty, "snapshot(s) pinned by refs: " +
+          pinned.map(r => s"${r.name} -> ${r.snapshotId}").mkString(", ") +
+          " — drop the tag/branch first")
+        snapshotIds.distinct
+      } else {
+        val retained = base.snapshots.filter(s => newest(s.snapshotId) ||
+          refRetained(s.snapshotId) ||
+          olderThanMs.exists(cutoff => s.timestampMs >= cutoff) ||
+          (olderThanMs.isEmpty && unpublishedStage(s)))
+          .map(_.snapshotId).toSet
+        base.snapshots.map(_.snapshotId).filterNot(retained)
+      }
       expiredIds = toExpire.toSet
+      val retained = base.snapshots.map(_.snapshotId).toSet -- expiredIds
       require(toExpire.nonEmpty, olderThanMs match {
         case Some(cutoff) => s"nothing to expire (no snapshot older than $cutoff)"
         case None => s"nothing to expire (<= $keepLast snapshots)"

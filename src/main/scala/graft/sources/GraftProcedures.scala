@@ -104,12 +104,15 @@ object GraftProcedures {
           "rewrite to files whose bound stats may match (ANDed " +
           "comparisons of top-level columns against literals) — " +
           "selected files rewrite wholly, everything else carries " +
-          "verbatim with its manifests",
+          "verbatim with its manifests. min_input_files (default 1 = " +
+          "always rewrite) no-ops when fewer files match — the " +
+          "idempotent-sweep threshold",
         Array(in("table", StringType),
           inDefault("target_file_size_bytes", LongType, (512L * 1024 * 1024).toString),
           inDefault("strategy", StringType, "'binpack'"),
           inDefault("sort_order", StringType, "''"),
-          inDefault("where", StringType, "''")),
+          inDefault("where", StringType, "''"),
+          inDefault("min_input_files", IntegerType, "1")),
         StructType(Seq(
           StructField("rewritten_data_files_count", IntegerType),
           StructField("added_data_files_count", IntegerType),
@@ -143,7 +146,8 @@ object GraftProcedures {
           val result = GraftTable.compact(SparkSession.active, dir,
             targetBytes = input.getLong(1), sortOrder = sortCols,
             zorderCols = zCols,
-            where = Some(input.getString(4).trim).filter(_.nonEmpty))
+            where = Some(input.getString(4).trim).filter(_.nonEmpty),
+            minInputFiles = input.getInt(5))
           val after = dataFileCount(result.metadata)
           Seq(InternalRow(before, after,
             result.metadata.currentSnapshotId.getOrElse(0L)))
@@ -217,13 +221,16 @@ object GraftProcedures {
         "expire_snapshots",
         "drop expired snapshots and physically delete every artifact " +
           "reachable only from them; older_than_ms expires by commit age " +
-          "(the newest retain_last always survive), otherwise all but " +
-          "the last retain_last expire",
+          "(the newest retain_last always survive), snapshot_ids expires " +
+          "exactly the named snapshots (pin rules only — current/" +
+          "ref-pinned refuse; the targeted reclamation of an abandoned " +
+          "stage), otherwise all but the last retain_last expire",
         Array(in("table", StringType),
           inDefault("retain_last", IntegerType, "1"),
           // -1 = unset (the scheduler-friendly age policy is opt-in;
           // epoch millis keeps the argument type oracle-checkable)
-          inDefault("older_than_ms", LongType, "-1")),
+          inDefault("older_than_ms", LongType, "-1"),
+          inDefault("snapshot_ids", ArrayType(LongType), "NULL")),
         StructType(Seq(
           StructField("expired_snapshots_count", IntegerType),
           StructField("retained_snapshots_count", IntegerType))),
@@ -231,8 +238,11 @@ object GraftProcedures {
           val dir = dirOf(input)
           val before = currentMeta(dir).snapshots.size
           val olderThan = Some(input.getLong(2)).filter(_ >= 0)
+          val ids = if (input.isNullAt(3)) Nil
+            else input.getArray(3).toLongArray().toSeq
           val result = GraftTable.expireSnapshots(SparkSession.active, dir,
-            keepLast = input.getInt(1), olderThanMs = olderThan)
+            keepLast = input.getInt(1), olderThanMs = olderThan,
+            snapshotIds = ids)
           val after = result.metadata.snapshots.size
           Seq(InternalRow(before - after, after))
         })

@@ -165,6 +165,24 @@ class RewriteWhereSpec extends SparkSpec {
       "bounds 'a0'..'a9' provably exclude 'zzz' — the file must carry")
     assert(!post.contains(nullFile),
       "a file with no string bounds must be conservatively rewritten")
+    // min_input_files (upstream's fragmentation threshold): fewer
+    // matching files than the threshold no-ops — the idempotent nightly
+    // sweep must not churn an already-compact range forever
+    val n = liveFiles(dir).size
+    val versionBefore2 = GraftTable.latestMetadataPath(dir)
+    val mif = spark.sql("CALL grwn.system.rewrite_data_files(" +
+      s"table => 'db.t', min_input_files => ${n + 1})").head
+    assert(mif.getInt(0) == mif.getInt(1) &&
+      GraftTable.latestMetadataPath(dir) == versionBefore2,
+      s"$n files < threshold ${n + 1} must no-op without a metadata version: $mif")
+    assert(spark.sql("CALL grwn.system.rewrite_data_files(" +
+      s"table => 'db.t', min_input_files => $n)").head.getInt(1) == 1,
+      "at the threshold the rewrite proceeds")
+    val eMif = intercept[Exception](spark.sql(
+      "CALL grwn.system.rewrite_data_files(table => 'db.t', min_input_files => 0)"))
+    assert(Iterator.iterate(eMif: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).flatMap(t => Option(t.getMessage))
+      .mkString(" | ").contains("min_input_files"), eMif.toString)
   }
 
   test("typed literals: date bounds select in epoch-day space, columns " +

@@ -1950,7 +1950,7 @@ object GraftTable {
     // success, no metadata version — the (version, path, metadata)
     // triple derives from the ONE state already read, never from fresh
     // racy directory probes
-    if (selected.size < math.max(1, minInputFiles))
+    if (selected.size < minInputFiles)
       return OptimisticCommit.CommitResult(
         OptimisticCommit.versionOf(metaPath0), metaPath0, meta0, 0)
     val compactUuid = java.util.UUID.randomUUID()

@@ -98,10 +98,15 @@ final case class TableMetadata(
 
   /** Head-first ancestor chain from `head` (inclusive), following
     * parent-snapshot-id — the lineage rollback, cherry-pick and ancestry
-    * guards reason over. Defaults to main's head. */
+    * guards reason over. Defaults to main's head. Only EXISTING
+    * snapshots are emitted: a mid-history expiry (targeted
+    * snapshot_ids, or age policy around a pinned ancestor) leaves the
+    * next parent id dangling, and a ghost id in the chain would waste a
+    * keepLast slot and poison membership checks — the chain honestly
+    * STOPS at the hole (ancestry beyond it is no longer provable). */
   def lineage(head: Option[Long] = currentSnapshotId): Seq[Long] =
     Iterator.iterate(head)(_.flatMap(id => snapshot(id).flatMap(_.parentSnapshotId)))
-      .takeWhile(_.isDefined).map(_.get).toSeq
+      .takeWhile(_.exists(id => snapshot(id).isDefined)).map(_.get).toSeq
 
   /** A ref is LIVE state only when it is explicitly a branch; tags — and
     * unknown ref kinds, conservatively — are archival points whose reads

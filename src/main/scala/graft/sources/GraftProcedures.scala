@@ -238,8 +238,21 @@ object GraftProcedures {
           val dir = dirOf(input)
           val before = currentMeta(dir).snapshots.size
           val olderThan = Some(input.getLong(2)).filter(_ >= 0)
+          // an EXPLICIT empty array must not quietly degrade into the
+          // retain_last=1 retention sweep ("expire these zero
+          // snapshots" → table-wide history purge); null elements must
+          // not silently read as snapshot id 0
           val ids = if (input.isNullAt(3)) Nil
-            else input.getArray(3).toLongArray().toSeq
+            else {
+              val arr = input.getArray(3)
+              require(arr.numElements() > 0, "snapshot_ids is empty — " +
+                "nothing to expire; omit the argument for " +
+                "retention-policy expiry")
+              (0 until arr.numElements()).map { i =>
+                require(!arr.isNullAt(i), "snapshot_ids contains NULL")
+                arr.getLong(i)
+              }
+            }
           val result = GraftTable.expireSnapshots(SparkSession.active, dir,
             keepLast = input.getInt(1), olderThanMs = olderThan,
             snapshotIds = ids)

@@ -86,7 +86,13 @@ class TargetedExpirySpec extends SparkSpec {
         (s"snapshot_ids => array(${first.snapshotId}L)", "pinned by refs"),
         (s"snapshot_ids => array(99999L)", "no such snapshot"),
         (s"snapshot_ids => array(${middle.snapshotId}L), older_than_ms => 1",
-          "exclusive")))
+          "exclusive"),
+        // "expire these ZERO snapshots" must refuse, never degrade into
+        // the retain_last=1 retention sweep (a table-wide history purge)
+        ("snapshot_ids => cast(array() as array<bigint>)",
+          "snapshot_ids is empty"),
+        (s"snapshot_ids => array(${middle.snapshotId}L, cast(NULL as bigint))",
+          "contains NULL")))
       withClue(bad) {
         val e = intercept[Exception](spark.sql(
           s"CALL gtem.system.expire_snapshots(table => 'db.t', $bad)"))
@@ -103,6 +109,10 @@ class TargetedExpirySpec extends SparkSpec {
     val m1 = meta(dir)
     assert(m1.snapshots.map(_.snapshotId).sorted ==
       Seq(first.snapshotId, head.snapshotId).sorted)
+    // the punched lineage truncates HONESTLY at the hole: no ghost id
+    // (the head's dangling parent) may ride in the chain and waste a
+    // keepLast slot or poison a membership check
+    assert(m1.lineage() == Seq(head.snapshotId), m1.lineage().toString)
     assert(spark.sql("SELECT COUNT(*), SUM(k) FROM gtem.db.t").head()
       .toSeq == Seq(15L, 105L))
     // and the tag still time-travels to its pinned snapshot

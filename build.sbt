@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify emit machine-parsed stdout (Bench's single JSON metric
+// line). Two sbt behaviors break a "parse the last stdout line" consumer:
+// the default LoggedOutput strategy prefixes every forked line with
+// "[info] ", and sbt prints a "[success] Total time ..." footer AFTER the
+// forked JVM exits. Raw pass-through + no footer make the JSON line the
+// genuine last line of the process's stdout.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // forward stdin to forked `run` so `manifest2json -` (stdin source) works
 run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

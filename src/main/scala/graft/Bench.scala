@@ -221,6 +221,9 @@ object Bench {
     }
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
+    // leading newline: if any logger left a partial line on stdout, the
+    // JSON still starts at column 0 for a line-oriented parser
+    println()
     println(line)
   }
 }

@@ -142,14 +142,28 @@ object GraftProcedures {
             case other => throw new IllegalArgumentException(
               s"unknown strategy '$other' — binpack or sort")
           }
-          val before = dataFileCount(currentMeta(dir))
+          // explicit NULL arguments mean "default", exactly like absence
+          // (the sibling snapshot_ids NULL guard) — never an NPE
+          val whereArg =
+            if (input.isNullAt(4)) None
+            else Some(input.getString(4).trim).filter(_.nonEmpty)
+          val minInput = if (input.isNullAt(5)) 1 else input.getInt(5)
           val result = GraftTable.compact(SparkSession.active, dir,
             targetBytes = input.getLong(1), sortOrder = sortCols,
-            zorderCols = zCols,
-            where = Some(input.getString(4).trim).filter(_.nonEmpty),
-            minInputFiles = input.getInt(5))
-          val after = dataFileCount(result.metadata)
-          Seq(InternalRow(before, after,
+            zorderCols = zCols, where = whereArg, minInputFiles = minInput)
+          // upstream-parity counts: files ACTUALLY rewritten/added — a
+          // partial (where => ...) rewrite of 1-of-3 files reports
+          // (1, 1), not table totals. attempts == 0 is compact's no-op
+          // signal (empty selection or below min_input_files: no
+          // metadata version written) → (0, 0); otherwise the fresh
+          // replace snapshot's summary carries the exact counts.
+          val summary =
+            if (result.attempts == 0) Map.empty[String, String]
+            else result.metadata.currentSnapshot.map(_.summary)
+              .getOrElse(Map.empty[String, String])
+          Seq(InternalRow(
+            summary.get("deleted-data-files").map(_.toInt).getOrElse(0),
+            summary.get("added-data-files").map(_.toInt).getOrElse(0),
             result.metadata.currentSnapshotId.getOrElse(0L)))
         })
       case "add_files" => new Proc(

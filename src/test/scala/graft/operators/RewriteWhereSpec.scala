@@ -67,8 +67,10 @@ class RewriteWhereSpec extends SparkSpec {
     excluded.foreach(corrupt)
     val out = spark.sql("CALL grww.system.rewrite_data_files(" +
       "table => 'db.t', where => 'k >= 20')").head
-    assert(out.getInt(0) == ranges.size &&
-      out.getInt(1) == excluded.size + 1, out.toString)
+    // counts are files ACTUALLY rewritten/added (upstream procedure
+    // parity), not table totals: 1 matching file rewrote into 1
+    assert(out.getInt(0) == matching.size && out.getInt(1) == 1,
+      out.toString)
     val after = liveFiles(dir)
     // the excluded files survive at their ORIGINAL paths; the matching
     // one was replaced
@@ -138,10 +140,18 @@ class RewriteWhereSpec extends SparkSpec {
     val versionBefore = GraftTable.latestMetadataPath(dir)
     val out = spark.sql("CALL grwn.system.rewrite_data_files(" +
       "table => 'db.t', where => 'k > 1000')").head
-    assert(out.getInt(0) == out.getInt(1),
-      s"an empty selection must not change the file count: $out")
+    assert(out.getInt(0) == 0 && out.getInt(1) == 0,
+      s"an empty selection rewrites and adds nothing: $out")
     assert(GraftTable.latestMetadataPath(dir) == versionBefore,
       "an empty selection must not burn a metadata version")
+    // explicit NULL arguments are "use the default", never an NPE —
+    // defaults select every file, so the rewrite proceeds
+    val nNull = liveFiles(dir).size
+    val nullOut = spark.sql("CALL grwn.system.rewrite_data_files(" +
+      "table => 'db.t', where => CAST(NULL AS STRING), " +
+      "min_input_files => CAST(NULL AS INT))").head
+    assert(nullOut.getInt(0) == nNull && nullOut.getInt(1) == 1,
+      nullOut.toString)
     // refusals: computed expressions, OR, unknown columns, unsupported ops
     for (bad <- Seq("k + 1 > 3", "k > 3 OR k < 1", "nope = 1", "k != 3"))
       withClue(bad) {
@@ -172,7 +182,7 @@ class RewriteWhereSpec extends SparkSpec {
     val versionBefore2 = GraftTable.latestMetadataPath(dir)
     val mif = spark.sql("CALL grwn.system.rewrite_data_files(" +
       s"table => 'db.t', min_input_files => ${n + 1})").head
-    assert(mif.getInt(0) == mif.getInt(1) &&
+    assert(mif.getInt(0) == 0 && mif.getInt(1) == 0 &&
       GraftTable.latestMetadataPath(dir) == versionBefore2,
       s"$n files < threshold ${n + 1} must no-op without a metadata version: $mif")
     assert(spark.sql("CALL grwn.system.rewrite_data_files(" +

@@ -18,7 +18,10 @@ run / fork := true
 // forked JVM exits. Raw pass-through + no footer make the JSON line the
 // genuine last line of the process's stdout.
 run / outputStrategy := Some(StdoutOutput)
-showSuccess := false
+Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not the task graph — the
+// unused-key lint cannot see that
+Global / excludeLintKeys += showSuccess
 // forward stdin to forked `run` so `manifest2json -` (stdin source) works
 run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

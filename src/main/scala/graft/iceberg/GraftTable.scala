@@ -2384,6 +2384,16 @@ object GraftTable {
         require(pinned.isEmpty, "snapshot(s) pinned by refs: " +
           pinned.map(r => s"${r.name} -> ${r.snapshotId}").mkString(", ") +
           " — drop the tag/branch first")
+        // ancestors a branch DECLARES it retains (min_snapshots_to_keep /
+        // max_snapshot_age_ms) are pinned in targeted mode too — expiring
+        // one by id would punch a hole in that branch's retention window,
+        // where upstream retains branch-protected ancestors during every
+        // expiration mode
+        val branchPinned = snapshotIds.filter(refRetained)
+        require(branchPinned.isEmpty,
+          "snapshot(s) retained by a branch's declared retention " +
+            s"window: ${branchPinned.mkString(", ")} — relax the ref's " +
+            "min_snapshots_to_keep/max_snapshot_age_ms first")
         snapshotIds.distinct
       } else {
         val retained = base.snapshots.filter(s => newest(s.snapshotId) ||
@@ -2554,6 +2564,38 @@ object GraftTable {
           s"cannot analyze column '$n': not a sketchable column of the " +
             s"analyzed schema (${sketchableCols.map(_._1.name).mkString(", ")})")))
     }
+    // PARTITION SKETCH BANK route: the default full ANALYZE of a
+    // partitioned, all-parquet, all-theta table computes its stats PER
+    // PARTITION — one MOR-resolved job per tuple, submitted concurrently,
+    // so the table's bytes are still read exactly once — and BANKS each
+    // partition's sketches in the document. A later DELETE then
+    // invalidates one partition's entry instead of the whole document
+    // (computeTableStatsIncremental's bankIncremental path). Restricted
+    // analyzes (snapshot_id / columns) skip the bank by design; geo
+    // columns (no standard body) and untupled manifests keep the table
+    // on the single-scan route below. Honest bound: at 10^4+ partitions
+    // the per-tuple job submission overhead would dominate — the
+    // evolution there is batching B tuples per job with an in-task
+    // group-by, not abandoning the bank.
+    val bankGroups: Option[Map[String, Seq[ManifestWriter.EntryData]]] =
+      if (snapshotId.nonEmpty || columns.nonEmpty ||
+          typed.exists { case (_, t) => !TableStats.thetaSupported(t) }) None
+      else meta.currentSnapshot.flatMap(s => entriesByTuple(meta, s))
+        .filter(gs => gs.nonEmpty &&
+          gs.values.forall(_.forall(_.fileFormat == "PARQUET")))
+    bankGroups match {
+      case Some(groups) =>
+        val dels = currentEntries(meta, 1)
+        val posE = dels.filter(_.content == 1).map(e => (e, e.sequenceNumber.get))
+        val eqE = dels.filter(_.content == 2).map(e => (e, e.sequenceNumber.get))
+        val bank = Par.inParallel(groups.toSeq.sortBy(_._1)) { case (t, es) =>
+          t -> partStatsOf(spark, meta, es, posE, eqE, typed) }.toMap
+        val (doc, bodies, sawEmptyIds) = docFromBank(snapId, bank, typed)
+        return (commitStatsDoc(tableDir, snapId, doc, bodies, sawEmptyIds,
+          typed.map(ft => ft._1.id ->
+            TableStats.hashedTypeName(ft._1.fieldType, ft._2)).toMap, bank), doc)
+      case None => ()
+    }
     val df = read(spark, metaPath, snapshotId = snapshotId)
     // ONE scan for everything: each task counts rows, counts nulls
     // exactly, and updates one theta sketch per column — values hashed
@@ -2647,9 +2689,11 @@ object GraftTable {
   private def commitStatsDoc(tableDir: String, snapId: Long,
       doc: TableStats.Doc, thetaSketches: Map[Int, Array[Byte]],
       sawEmpty: Set[Int],
-      fieldTypes: Map[Int, String]): OptimisticCommit.CommitResult = {
+      fieldTypes: Map[Int, String],
+      bank: Map[String, TableStats.PartStats] = Map.empty)
+      : OptimisticCommit.CommitResult = {
     val path = s"$tableDir/stats-$snapId-${java.util.UUID.randomUUID()}.puffin"
-    val size = TableStats.write(path, doc, thetaSketches, sawEmpty, fieldTypes)
+    val size = TableStats.write(path, doc, thetaSketches, sawEmpty, fieldTypes, bank)
     var replaced: Seq[String] = Nil
     val result = OptimisticCommit.commit(tableDir, (base, basePath) => {
       replaced = base.statistics.filter(_.snapshotId == snapId).map(_.path)
@@ -2662,6 +2706,85 @@ object GraftTable {
     replaced.foreach(p =>
       HadoopConfs.fileSystemFor(p).delete(new org.apache.hadoop.fs.Path(p), false))
     result
+  }
+
+  /** Live DATA entries of `snap` grouped by the owning manifest's
+    * partition tuple (the engine's writers give every tuple its own
+    * manifest, so the list-level field-507 summaries pin it —
+    * [[MetadataTables.partitionTuple]]). None when any live data
+    * manifest does not pin exactly one tuple (unpartitioned table, a
+    * foreign writer's mixed-tuple manifest, a null partition value):
+    * the partition sketch bank is then unusable and ANALYZE stays on
+    * the whole-table paths. Tuples whose entries are all tombstoned
+    * are absent — a fully-deleted partition contributes nothing. */
+  private def entriesByTuple(meta: TableMetadata, snap: Snapshot)
+      : Option[Map[String, Seq[ManifestWriter.EntryData]]] = {
+    val infos = snap.manifestList.toSeq.flatMap(ManifestListReader.read)
+      .filter(_.content == 0)
+    val tagged = infos.map(i => (MetadataTables.partitionTuple(meta, i), i))
+    if (tagged.isEmpty || tagged.exists(_._1.isEmpty)) return None
+    val per = Par.inParallel(tagged) { case (t, i) =>
+      t.get -> ManifestWriter.read(i.path)
+        .map(e => e.copy(sequenceNumber =
+          Some(e.sequenceNumber.getOrElse(i.sequenceNumber))))
+        .filter(e => e.status != 2 && e.content == 0)
+    }
+    Some(per.groupBy(_._1).map { case (t, xs) => t -> xs.flatMap(_._2) }
+      .filter(_._2.nonEmpty))
+  }
+
+  /** The (path, sequence, content) signatures of the delete entries that
+    * COULD affect rows living in data files `paths` (normalized):
+    * equality deletes always could (they address by value, table-wide);
+    * position deletes and v3 DVs by their file_path bound stats
+    * ([[posDeleteMayAddress]] — conservative on missing bounds). Two
+    * snapshots with identical data (path, seq) sets for a partition AND
+    * identical delete signature sets provably serve that partition the
+    * same logical rows — the bank's clean-partition test. */
+  private def deleteSigsFor(deletes: Seq[ManifestWriter.EntryData],
+      paths: Set[String]): Set[(String, Long, Int)] =
+    deletes.filter(d => d.content == 2 || posDeleteMayAddress(d, paths))
+      .map(d => (uriPath(d.filePath), d.sequenceNumber.get, d.content)).toSet
+
+  /** One MOR-resolved scan of a single partition's live files → its bank
+    * entry. Callers submit these jobs CONCURRENTLY from the shared pool:
+    * a banked ANALYZE still reads the table's bytes exactly once — P
+    * concurrent partition jobs instead of one table job. */
+  private def partStatsOf(spark: SparkSession, meta: TableMetadata,
+      entries: Seq[ManifestWriter.EntryData],
+      posE: Seq[(ManifestWriter.EntryData, Long)],
+      eqE: Seq[(ManifestWriter.EntryData, Long)],
+      typed: Seq[(IcebergField, IcebergType)]): TableStats.PartStats = {
+    val (rc, nulls, saw, sks) = statsPass(spark,
+      readFromEntries(spark, meta,
+        entries.map(e => (e, e.sequenceNumber.get)), posE, eqE), typed)
+    TableStats.PartStats(rc, typed.zipWithIndex.map { case ((f, _), j) =>
+      f.id -> TableStats.PartCol(sks(j), nulls(j), saw(j)) }.toMap)
+  }
+
+  /** The table-level document a partition bank implies: exact SUMS for
+    * row and null counts, theta UNIONS for NDV (exact below the sketch's
+    * nominal entries, standard theta error above — the same contract as
+    * the single-sketch path). Returns (doc, per-column union bodies,
+    * columns holding an empty-bytes value). */
+  private def docFromBank(snapId: Long,
+      bank: Map[String, TableStats.PartStats],
+      typed: Seq[(IcebergField, IcebergType)])
+      : (TableStats.Doc, Map[Int, Array[Byte]], Set[Int]) = {
+    val parts = bank.values.toSeq
+    lazy val emptySketch = org.apache.datasketches.theta.UpdateSketch
+      .builder().build().compact().toByteArray
+    val cols = typed.map { case (f, _) =>
+      val pcs = parts.flatMap(_.cols.get(f.id))
+      val body = if (pcs.isEmpty) emptySketch else unionSketches(pcs.map(_.body))
+      val sawEmpty = pcs.exists(_.sawEmpty)
+      (f.id, body, sawEmpty, TableStats.ColumnStats(
+        sketchNdv(body, sawEmpty), Some(pcs.map(_.nullCount).sum)))
+    }
+    (TableStats.Doc(snapId, parts.map(_.rowCount).sum,
+      cols.map(c => c._1 -> c._4).toMap),
+      cols.map(c => c._1 -> c._2).toMap,
+      cols.collect { case (fid, _, true, _) => fid }.toSet)
   }
 
   /** INCREMENTAL ANALYZE: stats refresh after an append should cost
@@ -2689,13 +2812,21 @@ object GraftTable {
     * every appended original still exists (driver-side metadata calls,
     * O(delta files)) and falls back when any is gone.
     *
+    * Chains bearing DELETEs or overwrites — where a theta union cannot
+    * subtract — go through the PARTITION SKETCH BANK when the anchor
+    * document carries one (every full ANALYZE of a partitioned table
+    * writes it): per-partition state comparison finds the partitions the
+    * delete actually touched, only THOSE rescan (MOR-resolved,
+    * concurrent), and the rest reuse their banked sketches — a row-level
+    * DELETE in one partition costs one partition's bytes, not 100 TB.
+    *
     * Falls back to the full one-scan recompute (returned Boolean false)
-    * whenever the incremental path cannot be exact: no ancestor stats,
-    * a snapshot in between that is neither `append` nor `replace`
-    * (deletes/overwrites — a theta union cannot subtract), a
+    * whenever neither incremental path can be exact: no ancestor stats,
+    * a delete-bearing chain without a bank (unpartitioned tables, docs
+    * from before the bank, foreign writers' untupled manifests), a
     * sketchable-column-set change (schema evolution redefines what old
     * files contribute), a column without a standard sketch body (geo), a
-    * foreign document without null counts, non-parquet appended files,
+    * foreign document without null counts, non-parquet files,
     * or a reclaimed appended original after a replace. */
   def computeTableStatsIncremental(spark: SparkSession, tableDir: String)
       : (OptimisticCommit.CommitResult, TableStats.Doc, Boolean) = {
@@ -2716,13 +2847,6 @@ object GraftTable {
     if (anchorIdx < 0) return full()
     val anchor = chain(anchorIdx)
     val between = chain.take(anchorIdx) // strictly after the anchor
-    // appends ADD rows; replaces rewrite files WITHOUT changing the
-    // rowset (spec operation semantics) — anything else subtracts rows,
-    // which a theta union cannot express
-    if (!between.forall(s => s.operation.contains("append") ||
-        s.operation.contains("replace"))) return full()
-    val appends = between.filter(_.operation.contains("append"))
-    val chainHasReplace = appends.size != between.size
     val typed = meta.currentSchema.fields
       .flatMap(f => IcebergTypes.fromStringOpt(f.fieldType).map(t => (f, t)))
       .filter { case (_, t) => TableStats.sketchable(t) }
@@ -2755,18 +2879,82 @@ object GraftTable {
     if (anchorIdx == 0)
       return (OptimisticCommit.CommitResult(
         OptimisticCommit.versionOf(metaPath), metaPath, meta, 0), prevDoc, true)
+    // PARTITION SKETCH BANK path for chains a theta union cannot serve
+    // (deletes/overwrites subtract rows): when the anchor document banks
+    // per-partition sketches, compare each partition's STATE — live data
+    // (path, seq) set plus the delete entries that could address it —
+    // between anchor and head. Clean partitions reuse their banked
+    // stats verbatim; only DIRTY ones (where the delete actually landed)
+    // rescan, MOR-resolved, concurrently. At 100 TB a row-level DELETE
+    // in one partition costs one partition's bytes, not the table's.
+    // State comparison (not chain-op analysis) also makes the test
+    // robust to rollbacks and mixed chains. Anything odd — missing
+    // bank, untupled manifests, a foreign doc's column drift — returns
+    // None and the refresh falls to the full recompute.
+    def bankIncremental()
+        : Option[(OptimisticCommit.CommitResult, TableStats.Doc, Boolean)] = {
+      if (sk.bank.isEmpty || sk.bank.values.exists(_.cols.keySet != ids))
+        return None
+      val headSnap = chain.head
+      val headGroups = entriesByTuple(meta, headSnap).getOrElse(return None)
+      val anchorGroups = entriesByTuple(meta, anchor).getOrElse(return None)
+      // the per-partition rescan reads through readFromEntries
+      // (parquet-only); mixed-format tables stay on full(), whose read()
+      // route speaks every format
+      if (headGroups.values.exists(_.exists(_.fileFormat != "PARQUET")))
+        return None
+      val headDels = entriesAt(Some(headSnap), 1)
+      val anchorDels = entriesAt(Some(anchor), 1)
+      def sig(es: Seq[ManifestWriter.EntryData]): Set[(String, Long)] =
+        es.map(e => (uriPath(e.filePath), e.sequenceNumber.get)).toSet
+      val clean = headGroups.keySet.filter { t =>
+        sk.bank.contains(t) &&
+          anchorGroups.get(t).exists(a => sig(a) == sig(headGroups(t))) && {
+            val paths = headGroups(t).map(e => uriPath(e.filePath)).toSet
+            deleteSigsFor(headDels, paths) == deleteSigsFor(anchorDels, paths)
+          }
+      }
+      val dirty = (headGroups.keySet -- clean).toSeq.sorted
+      val posE = headDels.filter(_.content == 1)
+        .map(e => (e, e.sequenceNumber.get))
+      val eqE = headDels.filter(_.content == 2)
+        .map(e => (e, e.sequenceNumber.get))
+      // dirty partitions' files are LIVE at the head — a scan failure
+      // here would hit full() identically, so propagate, don't mask
+      val fresh = Par.inParallel(dirty)(t =>
+        t -> partStatsOf(spark, meta, headGroups(t), posE, eqE, typed)).toMap
+      val bank = clean.map(t => t -> sk.bank(t)).toMap ++ fresh
+      val (doc, bodies, sawEmptyIds) = docFromBank(snapId, bank, typed)
+      Some((commitStatsDoc(tableDir, snapId, doc, bodies, sawEmptyIds,
+        typed.map(ft => ft._1.id ->
+          TableStats.hashedTypeName(ft._1.fieldType, ft._2)).toMap, bank),
+        doc, true))
+    }
+    // appends ADD rows; replaces rewrite files WITHOUT changing the
+    // rowset (spec operation semantics) — anything else subtracts rows,
+    // which a theta union cannot express: those chains go through the
+    // partition bank (or the full recompute when there is none)
+    if (!between.forall(s => s.operation.contains("append") ||
+        s.operation.contains("replace")))
+      return bankIncremental().getOrElse(full())
+    val appends = between.filter(_.operation.contains("append"))
+    val chainHasReplace = appends.size != between.size
     // data files the append chain added: each append's own manifests
-    // (field 503), ADDED entries only — KB-scale metadata reads.
+    // (field 503), ADDED entries only — KB-scale metadata reads, each
+    // tagged with its manifest's partition tuple for the bank refresh.
     // Replace snapshots contribute nothing: their "added" files carry
     // only rows the rewritten files already held.
-    val newEntries = appends.flatMap { s =>
+    val newTagged = appends.flatMap { s =>
       val infos = ManifestListReader.read(s.manifestList.getOrElse(
           throw new IllegalStateException(
             s"append snapshot ${s.snapshotId} has no manifest-list")))
         .filter(i => i.content == 0 && i.addedSnapshotId == s.snapshotId)
-      Par.inParallel(infos)(i => ManifestWriter.read(i.path)).flatten
-        .filter(e => e.status == 1 && e.content == 0)
-    }.distinctBy(e => uriPath(e.filePath))
+      Par.inParallel(infos)(i =>
+        ManifestWriter.read(i.path)
+          .filter(e => e.status == 1 && e.content == 0)
+          .map(e => (MetadataTables.partitionTuple(meta, i), e))).flatten
+    }.distinctBy(te => uriPath(te._2.filePath))
+    val newEntries = newTagged.map(_._2)
     if (!newEntries.forall(_.fileFormat == "PARQUET")) return full()
     val newPaths = newEntries.map(_.filePath)
     // a later replace makes the appended ORIGINALS dead at the head; the
@@ -2777,25 +2965,78 @@ object GraftTable {
     if (chainHasReplace && Par.inParallel(newPaths)(p =>
         HadoopConfs.fileSystemFor(p).exists(new org.apache.hadoop.fs.Path(p)))
         .contains(false)) return full()
+    // the bank rides along at zero extra byte cost: appends only ADD
+    // rows, so a touched partition's new entry is its old one theta-
+    // unioned with the appended files' stats — computed by scanning the
+    // SAME appended files the table-level increment reads, just grouped
+    // per tuple. An anchor without a bank, or appended manifests without
+    // pinned tuples (a foreign writer), degrade to a bank-less document
+    // — table-level increments keep working, the next delete recomputes.
+    val bankable = sk.bank.nonEmpty &&
+      sk.bank.values.forall(_.cols.keySet == ids) &&
+      newTagged.forall(_._1.nonEmpty)
     // zero new files (re-analyzing an already-analyzed head): union with
     // an empty sketch is the identity — no scan at all
+    val emptySketch = org.apache.datasketches.theta.UpdateSketch.builder()
+      .build().compact().toByteArray
+    // None = a scan failure on a replace-bearing chain: the originals
+    // are DEAD bytes at the head — the probe above caught a whole-file
+    // reclaim, but a foreign GC that TRUNCATED a file (or raced the
+    // probe) still fails the scan. The table's live files are fine, so
+    // a refresh over dead bytes must not fail where the full recompute
+    // succeeds — the caller falls back. Append-only chains propagate
+    // instead: their files are live, so full() would hit the same
+    // bytes. (Option, not a nested `return`: these run on pool threads,
+    // where a non-local return cannot unwind the caller.)
+    def passOf(paths: Seq[String])
+        : Option[(Long, Array[Long], Array[Boolean], Array[Array[Byte]])] =
+      if (chainHasReplace)
+        try Some(statsPass(spark, readDataFiles(spark, meta, paths), typed))
+        catch { case scala.util.control.NonFatal(_) => None }
+      else Some(statsPass(spark, readDataFiles(spark, meta, paths), typed))
+    // per-tuple passes when the bank needs refreshing (same files, same
+    // bytes, P concurrent jobs); one pass otherwise
+    val freshPerTupleOpt: Map[String,
+        Option[(Long, Array[Long], Array[Boolean], Array[Array[Byte]])]] =
+      if (!bankable || newPaths.isEmpty) Map.empty
+      else Par.inParallel(
+        newTagged.groupBy(_._1.get).toSeq.sortBy(_._1)) { case (t, tes) =>
+          t -> passOf(tes.map(_._2.filePath)) }.toMap
+    if (freshPerTupleOpt.values.exists(_.isEmpty)) return full()
+    val freshPerTuple = freshPerTupleOpt.map { case (t, o) => t -> o.get }
     val (newRows, newNulls, newEmpty, newSketches) =
-      if (newPaths.isEmpty) {
-        val empty = org.apache.datasketches.theta.UpdateSketch.builder()
-          .build().compact().toByteArray
+      if (newPaths.isEmpty)
         (0L, Array.fill(typed.size)(0L), Array.fill(typed.size)(false),
-          Array.fill(typed.size)(empty))
-      } else if (chainHasReplace) {
-        // the originals are DEAD bytes at the head — the probe above
-        // caught a whole-file reclaim, but a foreign GC that TRUNCATED
-        // a file (or raced the probe) still fails the scan. The table's
-        // live files are fine, so a refresh over dead bytes must not
-        // fail where the full recompute succeeds: any scan failure here
-        // falls back. Append-only chains propagate instead — their
-        // files are live, so full() would hit the same bytes.
-        try statsPass(spark, readDataFiles(spark, meta, newPaths), typed)
-        catch { case scala.util.control.NonFatal(_) => return full() }
-      } else statsPass(spark, readDataFiles(spark, meta, newPaths), typed)
+          Array.fill(typed.size)(emptySketch))
+      else if (bankable) {
+        // table-level delta derived from the per-tuple results: exact
+        // sums, theta unions — identical value set, one read of the bytes
+        val ps = freshPerTuple.values.toSeq
+        (ps.map(_._1).sum,
+          Array.tabulate(typed.size)(j => ps.map(_._2(j)).sum),
+          Array.tabulate(typed.size)(j => ps.exists(_._3(j))),
+          Array.tabulate(typed.size)(j => unionSketches(ps.map(_._4(j)))))
+      } else passOf(newPaths).getOrElse(return full())
+    val newBank: Map[String, TableStats.PartStats] =
+      if (!bankable) Map.empty
+      else {
+        val fresh = freshPerTuple.map { case (t, (rc, nulls, saw, sks)) =>
+          t -> TableStats.PartStats(rc, typed.zipWithIndex.map {
+            case ((f, _), j) =>
+              f.id -> TableStats.PartCol(sks(j), nulls(j), saw(j)) }.toMap) }
+        (sk.bank.keySet ++ fresh.keySet).map { t =>
+          t -> ((sk.bank.get(t), fresh.get(t)) match {
+            case (Some(a), Some(b)) => TableStats.PartStats(
+              a.rowCount + b.rowCount,
+              ids.map(id => id -> TableStats.PartCol(
+                unionSketches(Seq(a.cols(id).body, b.cols(id).body)),
+                a.cols(id).nullCount + b.cols(id).nullCount,
+                a.cols(id).sawEmpty || b.cols(id).sawEmpty)).toMap)
+            case (Some(a), None) => a
+            case (None, b) => b.get
+          })
+        }.toMap
+      }
     val sawEmptyIds = typed.zipWithIndex.collect {
       case ((f, _), j) if newEmpty(j) || prevEmpty(f.id) => f.id }.toSet
     val cols = typed.zipWithIndex.map { case ((f, _), j) =>
@@ -2809,7 +3050,8 @@ object GraftTable {
     val thetaSketches = cols.map { case (fid, body, _) => fid -> body }.toMap
     (commitStatsDoc(tableDir, snapId, doc, thetaSketches, sawEmptyIds,
       typed.map(ft =>
-        ft._1.id -> TableStats.hashedTypeName(ft._1.fieldType, ft._2)).toMap), doc, true)
+        ft._1.id -> TableStats.hashedTypeName(ft._1.fieldType, ft._2)).toMap,
+      newBank), doc, true)
   }
 
   /** PARTITION statistics (the spec's `partition-statistics` slot): a
@@ -3141,7 +3383,9 @@ object GraftTable {
           s"staged ${picked.operation.getOrElse("unknown")} snapshot " +
             s"${picked.snapshotId} (wap.id '$wapId') cannot publish: main " +
             "advanced past its parent and an edit cannot cherry-pick — " +
-            "re-run the edit under a fresh wap.id")
+            "re-run the edit under a fresh wap.id and reclaim this stage " +
+            s"with CALL <catalog>.system.expire_snapshots(table => ..., " +
+            s"snapshot_ids => array(${picked.snapshotId}L))")
         (picked.snapshotId, cherrypick(tableDir, picked.snapshotId))
     }
   }

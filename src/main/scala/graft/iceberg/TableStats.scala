@@ -38,6 +38,23 @@ object TableStats {
   /** The standard blob type name from the Iceberg Puffin spec. */
   val ThetaBlobType = "apache-datasketches-theta-v1"
 
+  /** The PARTITION SKETCH BANK blob family (engine-private name — a
+    * foreign Puffin reader skips it): one blob per (partition tuple,
+    * column) whose body is that partition's compact theta sketch and
+    * whose properties carry the partition's exact per-column null count,
+    * empty-bytes flag and row count. The bank is what lets incremental
+    * ANALYZE survive DELETEs: a delete invalidates ONE partition's
+    * sketch, the rest union unchanged — without it any delete forces a
+    * full table rescan (a theta union cannot subtract). */
+  val PartBlobType = "graft-theta-part-v1"
+
+  /** One partition's stats for one column: the union-ready compact theta
+    * body, the exact null count, and whether the counted values included
+    * an empty-bytes value (the +1 the body cannot carry). */
+  final case class PartCol(body: Array[Byte], nullCount: Long, sawEmpty: Boolean)
+  /** One partition's bank entry: exact row count + per-field-id columns. */
+  final case class PartStats(rowCount: Long, cols: Map[Int, PartCol])
+
   private val mapper = new ObjectMapper()
 
   /** Types whose Spark scan values convert losslessly to the Iceberg
@@ -124,7 +141,8 @@ object TableStats {
   def write(path: String, doc: Doc,
       thetaSketches: Map[Int, Array[Byte]] = Map.empty,
       sawEmpty: Set[Int] = Set.empty,
-      fieldTypes: Map[Int, String] = Map.empty): Long = {
+      fieldTypes: Map[Int, String] = Map.empty,
+      bank: Map[String, PartStats] = Map.empty): Long = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val ndvBlobs = doc.columns.toSeq.sortBy(_._1).map { case (fieldId, cs) =>
       val nulls = cs.nullCount.getOrElse(
@@ -161,7 +179,22 @@ object TableStats {
       Puffin.Blob(ThetaBlobType, Seq(fieldId), doc.snapshotId, doc.snapshotId,
         Map("ndv" -> ndv.toString), body)
     }
-    val (_, size) = Puffin.write(path, ndvBlobs ++ thetaBlobs, Map(
+    // the bank rides in the SAME container: per (partition, column) one
+    // engine-private blob — "partition" keys it (the manifest-derived
+    // canonical tuple string, MetadataTables.partitionTuple), row-count
+    // repeats the partition's row count on each of its columns so any
+    // single blob reconstructs the partition's Doc-level contribution
+    val bankBlobs = bank.toSeq.sortBy(_._1).flatMap { case (part, ps) =>
+      ps.cols.toSeq.sortBy(_._1).map { case (fieldId, pc) =>
+        Puffin.Blob(PartBlobType, Seq(fieldId), doc.snapshotId, doc.snapshotId,
+          Map("partition" -> part,
+            "row-count" -> ps.rowCount.toString,
+            "null-count" -> pc.nullCount.toString,
+            "empty-adjust" -> (if (pc.sawEmpty) "1" else "0")),
+          pc.body)
+      }
+    }
+    val (_, size) = Puffin.write(path, ndvBlobs ++ thetaBlobs ++ bankBlobs, Map(
       "snapshot-id" -> doc.snapshotId.toString,
       "row-count" -> doc.rowCount.toString))
     size
@@ -212,7 +245,8 @@ object TableStats {
     * (absent on docs written before the property existed — the caller
     * must then recompute rather than risk a cross-type union). */
   final case class SketchDoc(doc: Doc, bodies: Map[Int, Array[Byte]],
-      sawEmpty: Set[Int], fieldTypes: Map[Int, String])
+      sawEmpty: Set[Int], fieldTypes: Map[Int, String],
+      bank: Map[String, PartStats] = Map.empty)
 
   /** One read + parse of the container (the doc derives from the same
     * triple — on object storage this is one GET, not two). Files
@@ -245,6 +279,24 @@ object TableStats {
     }.toSet
     val types = ownRefs.flatMap(r =>
       r.properties.get("field-type").map(r.fields.head -> _)).toMap
-    SketchDoc(docFrom(raw, refs, props), bodies, sawEmpty, types)
+    // the partition sketch bank: group the per-(partition, column) blobs
+    // back into PartStats; a malformed blob (foreign tampering, ancient
+    // writer) drops the WHOLE bank rather than serve a partial one —
+    // callers then recompute, never under-count
+    val bank = scala.util.Try {
+      refs.filter(r => r.blobType == PartBlobType && r.fields.length == 1)
+        .groupBy(_.properties("partition"))
+        .map { case (part, rs) =>
+          part -> PartStats(rs.head.properties("row-count").toLong,
+            rs.map { r =>
+              r.fields.head -> PartCol(
+                java.util.Arrays.copyOfRange(
+                  raw, r.offset.toInt, (r.offset + r.length).toInt),
+                r.properties("null-count").toLong,
+                r.properties("empty-adjust") == "1")
+            }.toMap)
+        }
+    }.getOrElse(Map.empty[String, PartStats])
+    SketchDoc(docFrom(raw, refs, props), bodies, sawEmpty, types, bank)
   }
 }

@@ -630,6 +630,94 @@ object Similarity {
     seeds.toArray
   }
 
+  /** k-means|| OVERSAMPLE seeding (Bahmani et al., VLDB 2012) — the
+    * O(log k)-scan bootstrap for large k, where farthest-point's k
+    * sequential corpus scans dominate a training run. Deterministic end
+    * to end: the per-round sampling coin is xxhash64(vec_id, round)
+    * mapped to [0,1) (codegen'd, engine-stable — the same
+    * hash-as-randomness discipline the d-family's splitmix64 keys use),
+    * every tie breaks to the lowest vec_id, and the reduction of the
+    * ≤ 1+ℓ·r collected candidates to k seeds is DRIVER-SIDE
+    * farthest-point over KB-scale arrays (the paper's weighted
+    * k-means++ reduction would buy nothing at seed granularity — spread
+    * is what Lloyd needs from its init — and would cost one more corpus
+    * pass for the weights). [[farthestPointSeeds]] stays the
+    * oracle-pinned default of the s07 entry; this is the scale path.
+    *
+    * Cost: 1 + 2·rounds corpus passes — a φ=Σd²(x,C) aggregate and a
+    * filtered sample per round, candidates broadcast as literals
+    * through the codegen'd dot kernel — with default rounds =
+    * ceil(log2 k)+1 and ℓ = 2k; +1 pass if the sample undershoots k
+    * and tops up. At k in the thousands the per-round score array is
+    * O(ℓ·r) literals and a broadcast-join scoring variant would take
+    * over — noted, not built. Returns (seeds, corpus passes taken) so
+    * callers can assert the scan bound. */
+  private[graft] def kmeansParallelSeeds(corpus: DataFrame, k: Int,
+      rounds: Int = 0, oversample: Int = 0): (Array[Array[Double]], Int) = {
+    require(k >= 1, "k must be positive")
+    val r = if (rounds > 0) rounds
+      else 32 - Integer.numberOfLeadingZeros(math.max(k, 2) - 1) + 1
+    val l = if (oversample > 0) oversample else 2 * k
+    var scans = 0
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val xx = call_function("graft_dot", col("embedding"), col("embedding"))
+    def emb(row: Row): Array[Double] =
+      row.getSeq[Float](1).map(_.toDouble).toArray
+    // round 0: the max-norm vector — farthest-point's seed 1, the shared
+    // deterministic anchor
+    val first = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(xx.desc, col("vec_id")).limit(1).collect().head
+    scans += 1
+    val cand = scala.collection.mutable.LinkedHashMap[Long, Array[Double]](
+      first.getLong(0) -> emb(first))
+    for (round <- 1 to r) {
+      // d²(x, C) = max(0, ‖x‖² + min_j score_j); the clamp guards the
+      // tiny negative float residue of a candidate scoring against itself
+      val d2 = greatest(lit(0.0),
+        xx + array_min(lloydScores(cand.values.toArray)))
+      val phiRow = corpus.select(sum(d2)).collect().head
+      scans += 1
+      val phi = if (phiRow.isNullAt(0)) 0.0 else phiRow.getDouble(0)
+      if (phi > 0) {
+        val coin = xxhash64(col("vec_id"), lit(round)).cast(DoubleType) *
+          lit(math.pow(2, -64)) + lit(0.5)
+        val picked = corpus
+          .select(col("vec_id"), col("embedding"), d2.as("d2"))
+          .filter(coin < least(lit(1.0), lit(l.toDouble) * col("d2") / lit(phi)))
+          .collect()
+        scans += 1
+        picked.foreach(row => cand.getOrElseUpdate(row.getLong(0), emb(row)))
+      }
+    }
+    if (cand.size < k) {
+      // undersampled (tiny or near-duplicate corpus): top up with the
+      // lowest unchosen vec_ids — deterministic, one pass
+      val extra = corpus.filter(!col("vec_id").isin(cand.keys.toSeq: _*))
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(k - cand.size).collect()
+      scans += 1
+      extra.foreach(row => cand.update(row.getLong(0), emb(row)))
+      require(cand.size >= k, s"corpus has fewer than $k vectors")
+    }
+    // driver-side farthest-point over the candidates: max-norm first,
+    // then max-min-d², ties to the lowest vec_id — the distributed
+    // seeder's rule, replayed over the in-memory candidate set
+    def dd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val cs = cand.toArray
+    val zero = new Array[Double](cs.head._2.length)
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      cs.maxBy { case (id, e) => (dd(e, zero), -id) })
+    while (chosen.length < k) {
+      chosen += cs.filterNot(c => chosen.exists(_._1 == c._1))
+        .maxBy { case (id, e) => (chosen.map(s => dd(e, s._2)).min, -id) }
+    }
+    (chosen.map(_._2).toArray, scans)
+  }
+
   private[graft] def lloydTrain(corpus: DataFrame, k: Int, dim: Int,
       iters: Int, requireFull: Boolean = false,
       seeds: Option[Array[Array[Double]]] = None): Array[Array[Double]] =

@@ -880,4 +880,100 @@ class TableStatsSpec extends SparkSpec {
         docU.columns.values.toSeq.map(_.ndv) == Seq(12L), docU.toString)
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
+
+  private def partFiles(cat: String, col: String, v: Long): Seq[String] =
+    spark.sql(s"SELECT DISTINCT _file FROM $cat.db.t WHERE $col = $v")
+      .collect().map(_.getString(0)).toSeq
+
+  private def corruptFile(p: String): Unit = java.nio.file.Files.write(
+    java.nio.file.Paths.get(p.stripPrefix("file:")),
+    "not a parquet file".getBytes("UTF-8"))
+
+  test("PARTITION SKETCH BANK: a row-level DELETE dirties ONE partition; " +
+      "incremental ANALYZE reads only its bytes (others corrupted on disk)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-b").toString
+    spark.conf.set("spark.sql.catalog.gbank", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbank.warehouse", wh)
+    spark.sql("CREATE TABLE gbank.db.t (k BIGINT, s STRING, r BIGINT) " +
+      "PARTITIONED BY (r)")
+    spark.sql("""INSERT INTO gbank.db.t SELECT id,
+      CASE WHEN id = 5 THEN NULL WHEN id = 6 THEN '' ELSE CONCAT('v', id) END,
+      id % 3 FROM RANGE(30)""")
+    val dir = s"$wh/db/t"
+    spark.sql("CALL gbank.system.compute_table_stats(table => 'db.t')")
+    // the full ANALYZE of a partitioned table banks per-partition
+    // sketches alongside the table-level blobs
+    val meta0 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val sk0 = TableStats.readWithSketches(
+      meta0.statistics.find(_.snapshotId == meta0.currentSnapshotId.get).get.path)
+    assert(sk0.bank.keySet == Set("{r_id=0}", "{r_id=1}", "{r_id=2}"), sk0.bank.keySet)
+    assert(sk0.bank.values.map(_.rowCount).toSeq.sorted == Seq(10L, 10L, 10L))
+    assert(sk0.doc.rowCount == 30L)
+    def idOf(n: String) = meta0.currentSchema.fields.find(_.name == n).get.id
+    // table-level values are the bank's sums/unions — exact at this scale
+    assert(sk0.doc.columns(idOf("k")).ndv == 30L)
+    assert(sk0.doc.columns(idOf("s")).ndv == 29L) // 28 v-values + ''
+    assert(sk0.doc.columns(idOf("s")).nullCount.contains(1L))
+    // a row-level MOR delete lands in partition r=1 only (k=4 → r=1)
+    spark.sql("DELETE FROM gbank.db.t WHERE k = 4")
+    // destroy EVERY other partition's data bytes: the refresh passes only
+    // if clean partitions are served from the bank, never rescanned
+    (partFiles("gbank", "r", 0) ++ partFiles("gbank", "r", 2))
+      .foreach(corruptFile)
+    assertThrows[Exception](spark.sql("SELECT SUM(k) FROM gbank.db.t").collect())
+    val out = spark.sql(
+      "CALL gbank.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out.getString(4) == "incremental", out.toString)
+    assert(out.getLong(1) == 29L, out.toString)
+    val meta1 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val sk1 = TableStats.readWithSketches(
+      meta1.statistics.find(_.snapshotId == out.getLong(0)).get.path)
+    // the refreshed bank: r=1 re-sketched to 9 rows, the rest carried
+    assert(sk1.bank("{r_id=1}").rowCount == 9L, sk1.bank.view.mapValues(_.rowCount).toMap)
+    assert(sk1.bank("{r_id=0}").rowCount == 10L && sk1.bank("{r_id=2}").rowCount == 10L)
+    // exact quantities at this scale: k loses the deleted key, s keeps
+    // its one null (id=5 lives in r=2) and loses 'v4'
+    assert(sk1.doc.columns(idOf("k")).ndv == 29L, sk1.doc.columns(idOf("k")).toString)
+    assert(sk1.doc.columns(idOf("s")).ndv == 28L, sk1.doc.columns(idOf("s")).toString)
+    assert(sk1.doc.columns(idOf("s")).nullCount.contains(1L))
+    assert(sk1.doc.columns(idOf("k")).nullCount.contains(0L))
+  }
+
+  test("PARTITION SKETCH BANK survives the append-path refresh: append → " +
+      "incremental → delete elsewhere → only the deleted partition rescans") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-ba").toString
+    spark.conf.set("spark.sql.catalog.gbapp", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbapp.warehouse", wh)
+    spark.sql("CREATE TABLE gbapp.db.t (k BIGINT, r BIGINT) PARTITIONED BY (r)")
+    spark.sql("INSERT INTO gbapp.db.t SELECT id, id % 3 FROM RANGE(30)")
+    val dir = s"$wh/db/t"
+    spark.sql("CALL gbapp.system.compute_table_stats(table => 'db.t')")
+    // append into r=1 only; the O(delta) append path must refresh the
+    // bank by unioning the appended files' stats into r=1's entry
+    spark.sql("INSERT INTO gbapp.db.t SELECT id, 1 FROM RANGE(100, 105)")
+    val out1 = spark.sql(
+      "CALL gbapp.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out1.getString(4) == "incremental", out1.toString)
+    val meta1 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val sk1 = TableStats.readWithSketches(
+      meta1.statistics.find(_.snapshotId == out1.getLong(0)).get.path)
+    assert(sk1.bank("{r_id=1}").rowCount == 15L, sk1.bank.view.mapValues(_.rowCount).toMap)
+    // now delete in r=0 and destroy every OTHER partition's bytes —
+    // including the files the append path just banked for r=1: the
+    // bank carried through the append refresh must serve them
+    spark.sql("DELETE FROM gbapp.db.t WHERE k = 0")
+    (partFiles("gbapp", "r", 1) ++ partFiles("gbapp", "r", 2))
+      .foreach(corruptFile)
+    assertThrows[Exception](spark.sql("SELECT SUM(k) FROM gbapp.db.t").collect())
+    val out2 = spark.sql(
+      "CALL gbapp.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out2.getString(4) == "incremental", out2.toString)
+    assert(out2.getLong(1) == 34L, out2.toString)
+    val meta2 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val sk2 = TableStats.readWithSketches(
+      meta2.statistics.find(_.snapshotId == out2.getLong(0)).get.path)
+    def idOf(n: String) = meta2.currentSchema.fields.find(_.name == n).get.id
+    assert(sk2.bank("{r_id=0}").rowCount == 9L)
+    assert(sk2.doc.columns(idOf("k")).ndv == 34L, sk2.doc.columns(idOf("k")).toString)
+  }
 }

@@ -414,6 +414,62 @@ class MaintGuardsSpec extends SparkSpec {
     assert(vOf(3) == "c" && vOf(1) == "A" && vOf(2) == "B")
   }
 
+  test("racing staged edits on one base: the first publish wins, the " +
+      "second refuses NAMING the snapshot_ids reclamation, which then " +
+      "reclaims the abandoned stage surgically") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wapr").toString
+    spark.conf.set("spark.sql.catalog.gwrc", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwrc.warehouse", wh)
+    spark.sql("""CREATE TABLE gwrc.db.t (k BIGINT, v STRING)
+      TBLPROPERTIES ('write.wap.enabled'='true',
+        'write.update.mode'='copy-on-write')""")
+    spark.sql("INSERT INTO gwrc.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val dir = s"$wh/db/t"
+    def vOf(k: Long): String = spark.sql(
+      s"SELECT v FROM gwrc.db.t WHERE k = $k").head.getString(0)
+    def staged(id: String, sql: String): Unit = {
+      spark.conf.set("spark.wap.id", id)
+      try spark.sql(sql) finally spark.conf.unset("spark.wap.id")
+    }
+    // two sessions race: both stage a COW UPDATE against the SAME head
+    // (staging moves no pointer, so the second session's scan still sees
+    // the original base — the classic write-write race, made visible)
+    staged("r1", "UPDATE gwrc.db.t SET v = 'A' WHERE k = 1")
+    staged("r2", "UPDATE gwrc.db.t SET v = 'B' WHERE k = 2")
+    val meta0 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val s1 = meta0.snapshots.find(_.summary.get("wap.id").contains("r1")).get
+    val s2 = meta0.snapshots.find(_.summary.get("wap.id").contains("r2")).get
+    assert(s1.parentSnapshotId == s2.parentSnapshotId,
+      "both stages must fork the same base — that IS the race")
+    // first publish fast-forwards; the second's staged rewrite was
+    // validated against a base that is no longer the head, so it REFUSES
+    // (a silent cherry-pick could resurrect the rows r1 rewrote) — and
+    // the message hands the user the exact targeted-expiry call
+    spark.sql("CALL gwrc.system.publish_changes('db.t', 'r1')")
+    assert(vOf(1) == "A")
+    val e = intercept[Exception](
+      spark.sql("CALL gwrc.system.publish_changes('db.t', 'r2')"))
+    assert(e.getMessage.contains(
+      s"snapshot_ids => array(${s2.snapshotId}L)"), e.getMessage)
+    assert(vOf(2) == "b", "the refused edit must not land")
+    // run the reclamation the refusal named: exactly the abandoned stage
+    // expires — published history and every row survive
+    val nBefore = TableMetadata.parseFile(
+      GraftTable.latestMetadataPath(dir)).snapshots.size
+    spark.sql("CALL gwrc.system.expire_snapshots(table => 'db.t', " +
+      s"snapshot_ids => array(${s2.snapshotId}L))")
+    val after = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    assert(!after.snapshots.exists(_.summary.get("wap.id").contains("r2")))
+    assert(after.snapshots.size == nBefore - 1,
+      "targeted expiry is surgical — nothing else may drop")
+    assert(vOf(1) == "A" && vOf(2) == "b" && vOf(3) == "c")
+    // the losing session re-runs its edit against the advanced head
+    // under a fresh wap.id — the documented recovery — and publishes
+    staged("r3", "UPDATE gwrc.db.t SET v = 'B' WHERE k = 2")
+    spark.sql("CALL gwrc.system.publish_changes('db.t', 'r3')")
+    assert(vOf(1) == "A" && vOf(2) == "B" && vOf(3) == "c")
+  }
+
   test("a staged INSERT OVERWRITE stays invisible and publishes by " +
       "fast-forward") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wapov").toString

@@ -227,4 +227,69 @@ class PqSpec extends SparkSpec {
     assert(again.zip(fpsTrained).forall { case (a, b) =>
       java.util.Arrays.equals(a, b) }, "fixed point must not move")
   }
+
+  test("k-means|| oversampling seeds every planted cluster within the " +
+      "O(log k) scan bound — the large-k bootstrap path") {
+    // same anchor-trap corpus as the farthest-point test: ids 0..7 all
+    // in planted cluster 0, eight well-separated clusters of 12
+    val dim = 64
+    val perCluster = 12
+    def unit(seed: Long): Double = {
+      val h = graft.functions.TextAlgos.splitmix64(seed)
+      h.toDouble / Long.MaxValue.toDouble
+    }
+    def center(k: Int): Array[Float] =
+      Array.tabulate(dim)(d => (4.0 * unit(k * 131L + d)).toFloat)
+    def member(k: Int, id: Long): Array[Float] = {
+      val c = center(k)
+      Array.tabulate(dim)(d => c(d) + (0.3 * unit(id * 977L + d)).toFloat)
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[Row]
+    for (q <- 0 until 8) rows += Row(q.toLong, member(0, 5000L + q).toSeq)
+    var id = 8L
+    for (k <- 0 until 8; j <- 0 until perCluster) {
+      rows += Row(id, member(k, id).toSeq)
+      id += 1
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+    val all = rows.map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    def qerr(cb: Array[Array[Double]]): Double =
+      all.map(v => cb.map(c => d2(v._2, c)).min).sum / all.size
+
+    val k = 8
+    val (seeds, scans) = Similarity.kmeansParallelSeeds(corpus, k)
+    // the scan bound that makes this the large-k path: 1 seed pass +
+    // 2 per round (rounds = ceil(log2 k)+1) + at most 1 top-up —
+    // O(log k), where farthest-point takes k sequential passes
+    val r = 32 - Integer.numberOfLeadingZeros(k - 1) + 1
+    assert(scans <= 2 * r + 2, s"$scans corpus passes exceed the O(log k) bound")
+    info(s"k-means|| used $scans corpus passes (farthest-point: $k)")
+    // seed quality: every planted cluster gets a seed, same as k-center
+    val seedClusters = seeds.map(s =>
+      (0 until 8).minBy(c => d2(s, center(c).map(_.toDouble)))).toSet
+    assert(seedClusters.size == 8,
+      s"k-means|| seeds must cover all planted clusters: $seedClusters")
+    // trained quality: equal-or-better than the collapsed anchor seeding,
+    // every planted center recovered — the same recall bar the
+    // farthest-point test sets
+    val (anchorTrained, _) = Similarity.lloydTrainCounted(
+      corpus, k = 8, dim = dim, maxIters = 8)
+    val (parTrained, _) = Similarity.lloydTrainCounted(
+      corpus, k = 8, dim = dim, maxIters = 50, seeds = Some(seeds))
+    val (qAnchor, qPar) = (qerr(anchorTrained), qerr(parTrained))
+    info(f"quantization error: anchor-seeded $qAnchor%.3f, k-means|| $qPar%.3f")
+    assert(qPar * 10 < qAnchor,
+      s"k-means|| seeding must beat collapsed anchor seeds: $qAnchor vs $qPar")
+    (0 until 8).foreach { c =>
+      val ctr = center(c).map(_.toDouble)
+      val dNear = math.sqrt(parTrained.map(e => d2(e, ctr)).min)
+      assert(dNear < 2.0, s"no trained entry near planted cluster $c ($dNear)")
+    }
+  }
 }

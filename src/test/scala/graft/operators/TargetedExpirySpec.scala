@@ -120,4 +120,39 @@ class TargetedExpirySpec extends SparkSpec {
       s"SELECT COUNT(*) FROM gtem.db.t VERSION AS OF 'pin1'").head()
       .getLong(0) == 5L)
   }
+
+  test("targeted expiry refuses ancestors inside a branch's declared " +
+      "retention window") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-texb").toString
+    spark.conf.set("spark.sql.catalog.gteb", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gteb.warehouse", wh)
+    spark.sql("CREATE TABLE gteb.db.t (k BIGINT)")
+    spark.sql("INSERT INTO gteb.db.t SELECT id FROM RANGE(5)")
+    spark.sql("INSERT INTO gteb.db.t SELECT id FROM RANGE(5, 10)")
+    spark.sql("INSERT INTO gteb.db.t SELECT id FROM RANGE(10, 15)")
+    val dir = s"$wh/db/t"
+    val Seq(first, middle, _) = meta(dir).snapshots.sortBy(_.snapshotId)
+    // the branch HEAD pins itself via the existing ref rule; its
+    // min_snapshots_to_keep=3 window must ALSO pin both ancestors —
+    // expiring one by id would punch a hole in the declared retention
+    spark.sql("CALL gteb.system.create_branch(table => 'db.t', " +
+      "branch => 'audit', min_snapshots_to_keep => 3)")
+    for (anc <- Seq(first, middle)) withClue(anc.snapshotId) {
+      val e = intercept[Exception](spark.sql(
+        "CALL gteb.system.expire_snapshots(table => 'db.t', " +
+          s"snapshot_ids => array(${anc.snapshotId}L))"))
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+      assert(msgs.contains("declared retention"), msgs)
+    }
+    // a bare branch (no retention properties) pins only its HEAD: the
+    // strict pin-abort contract, never a silent blanket retain
+    spark.sql("CALL gteb.system.drop_branch('db.t', 'audit')")
+    spark.sql("CALL gteb.system.create_branch(table => 'db.t', " +
+      "branch => 'bare')")
+    spark.sql("CALL gteb.system.expire_snapshots(table => 'db.t', " +
+      s"snapshot_ids => array(${middle.snapshotId}L))")
+    assert(!meta(dir).snapshots.exists(_.snapshotId == middle.snapshotId))
+  }
 }

@@ -1921,6 +1921,8 @@ object GraftTable {
     require(sortOrder.isEmpty || zorderCols.isEmpty,
       "sort and zorder strategies are mutually exclusive")
     require(minInputFiles >= 1, "min_input_files must be >= 1")
+    require(targetBytes > 0,
+      s"target_file_size_bytes must be positive, got $targetBytes")
     val metaPath0 = latestMetadataPath(tableDir)
     val meta0 = TableMetadata.parseFile(metaPath0)
     val schema = sparkSchema(meta0)
@@ -2465,8 +2467,13 @@ object GraftTable {
             // foreign rows honestly lack)
             val doc = sk.doc.copy(snapshotId = d.snapshotId,
               columns = sk.doc.columns.filter(_._2.nullCount.isDefined))
+            // the partition sketch bank re-keys WITH the document — a
+            // replace never moves rows between partitions, so every
+            // banked entry stays exact at the descendant; dropping it
+            // here would put the next delete-bearing refresh back on
+            // the full-rescan path the bank exists to avoid
             val size = TableStats.write(path, doc, sk.bodies, sk.sawEmpty,
-              sk.fieldTypes)
+              sk.fieldTypes, sk.bank)
             StatisticsFile(d.snapshotId, path, size)
           }.toOption // an unreadable doc drops, exactly as before
         }.sortBy(_.snapshotId)
@@ -2733,18 +2740,53 @@ object GraftTable {
       .filter(_._2.nonEmpty))
   }
 
-  /** The (path, sequence, content) signatures of the delete entries that
-    * COULD affect rows living in data files `paths` (normalized):
-    * equality deletes always could (they address by value, table-wide);
-    * position deletes and v3 DVs by their file_path bound stats
-    * ([[posDeleteMayAddress]] — conservative on missing bounds). Two
-    * snapshots with identical data (path, seq) sets for a partition AND
-    * identical delete signature sets provably serve that partition the
-    * same logical rows — the bank's clean-partition test. */
-  private def deleteSigsFor(deletes: Seq[ManifestWriter.EntryData],
-      paths: Set[String]): Set[(String, Long, Int)] =
-    deletes.filter(d => d.content == 2 || posDeleteMayAddress(d, paths))
-      .map(d => (uriPath(d.filePath), d.sequenceNumber.get, d.content)).toSet
+  /** A delete entry's clean-test signature with its file_path bounds
+    * decoded ONCE ([[posDeleteMayAddress]]'s rule, hoisted out of the
+    * per-partition loop — at P partitions × D deletes the naive shape
+    * re-decodes every bound P times on the driver). */
+  private final case class DeleteSig(path: String, seq: Long, content: Int,
+      pathLo: Option[String], pathHi: Option[String])
+
+  private def decodedDeleteSigs(deletes: Seq[ManifestWriter.EntryData])
+      : Seq[DeleteSig] =
+    deletes.map { d =>
+      def dec(m: Map[Int, Array[Byte]]): Option[String] =
+        m.get(ManifestWriter.PosDeleteFilePathId).filter(_.nonEmpty)
+          .flatMap(b => scala.util.Try(SingleValueCodec
+            .decode(IcebergTypes.TString, b).asInstanceOf[String]).toOption)
+          .map(uriPath)
+      DeleteSig(uriPath(d.filePath), d.sequenceNumber.get, d.content,
+        dec(d.lowerBounds), dec(d.upperBounds))
+    }
+
+  /** The signatures among `sigs` that COULD affect rows living in data
+    * files `paths` (normalized): equality deletes always could (they
+    * address by value, table-wide); position deletes and v3 DVs by
+    * their decoded file_path bounds — conservative on missing bounds.
+    * Two snapshots with identical data (path, seq) sets for a partition
+    * AND identical addressing-signature sets provably serve that
+    * partition the same logical rows — the bank's clean-partition test. */
+  private def sigsAddressing(sigs: Seq[DeleteSig], paths: Set[String])
+      : Set[(String, Long, Int)] =
+    sigs.filter(s => s.content == 2 || ((s.pathLo, s.pathHi) match {
+      case (Some(lo), Some(hi)) => paths.exists(p => lo <= p && p <= hi)
+      case _ => true
+    })).map(s => (s.path, s.seq, s.content)).toSet
+
+  /** One partition's statsPass outputs packed as its bank entry — the
+    * ONE assembly point (the full-ANALYZE route, the dirty-partition
+    * rescan and the append-path refresh all write through it, so the
+    * packing can never skew between writers). */
+  private def toPartStats(typed: Seq[(IcebergField, IcebergType)],
+      rc: Long, nulls: Array[Long], saw: Array[Boolean],
+      sks: Array[Array[Byte]]): TableStats.PartStats =
+    TableStats.PartStats(rc, typed.zipWithIndex.map { case ((f, _), j) =>
+      f.id -> TableStats.PartCol(sks(j), nulls(j), saw(j)) }.toMap)
+
+  /** The serialized empty compact theta sketch — the union identity. */
+  private lazy val emptyCompactSketch: Array[Byte] =
+    org.apache.datasketches.theta.UpdateSketch.builder()
+      .build().compact().toByteArray
 
   /** One MOR-resolved scan of a single partition's live files → its bank
     * entry. Callers submit these jobs CONCURRENTLY from the shared pool:
@@ -2758,8 +2800,7 @@ object GraftTable {
     val (rc, nulls, saw, sks) = statsPass(spark,
       readFromEntries(spark, meta,
         entries.map(e => (e, e.sequenceNumber.get)), posE, eqE), typed)
-    TableStats.PartStats(rc, typed.zipWithIndex.map { case ((f, _), j) =>
-      f.id -> TableStats.PartCol(sks(j), nulls(j), saw(j)) }.toMap)
+    toPartStats(typed, rc, nulls, saw, sks)
   }
 
   /** The table-level document a partition bank implies: exact SUMS for
@@ -2772,11 +2813,10 @@ object GraftTable {
       typed: Seq[(IcebergField, IcebergType)])
       : (TableStats.Doc, Map[Int, Array[Byte]], Set[Int]) = {
     val parts = bank.values.toSeq
-    lazy val emptySketch = org.apache.datasketches.theta.UpdateSketch
-      .builder().build().compact().toByteArray
     val cols = typed.map { case (f, _) =>
       val pcs = parts.flatMap(_.cols.get(f.id))
-      val body = if (pcs.isEmpty) emptySketch else unionSketches(pcs.map(_.body))
+      val body =
+        if (pcs.isEmpty) emptyCompactSketch else unionSketches(pcs.map(_.body))
       val sawEmpty = pcs.exists(_.sawEmpty)
       (f.id, body, sawEmpty, TableStats.ColumnStats(
         sketchNdv(body, sawEmpty), Some(pcs.map(_.nullCount).sum)))
@@ -2905,13 +2945,16 @@ object GraftTable {
         return None
       val headDels = entriesAt(Some(headSnap), 1)
       val anchorDels = entriesAt(Some(anchor), 1)
+      // bounds decoded once, reused across every partition's clean test
+      val headSigs = decodedDeleteSigs(headDels)
+      val anchorSigs = decodedDeleteSigs(anchorDels)
       def sig(es: Seq[ManifestWriter.EntryData]): Set[(String, Long)] =
         es.map(e => (uriPath(e.filePath), e.sequenceNumber.get)).toSet
       val clean = headGroups.keySet.filter { t =>
         sk.bank.contains(t) &&
           anchorGroups.get(t).exists(a => sig(a) == sig(headGroups(t))) && {
             val paths = headGroups(t).map(e => uriPath(e.filePath)).toSet
-            deleteSigsFor(headDels, paths) == deleteSigsFor(anchorDels, paths)
+            sigsAddressing(headSigs, paths) == sigsAddressing(anchorSigs, paths)
           }
       }
       val dirty = (headGroups.keySet -- clean).toSeq.sorted
@@ -2977,8 +3020,6 @@ object GraftTable {
       newTagged.forall(_._1.nonEmpty)
     // zero new files (re-analyzing an already-analyzed head): union with
     // an empty sketch is the identity — no scan at all
-    val emptySketch = org.apache.datasketches.theta.UpdateSketch.builder()
-      .build().compact().toByteArray
     // None = a scan failure on a replace-bearing chain: the originals
     // are DEAD bytes at the head — the probe above caught a whole-file
     // reclaim, but a foreign GC that TRUNCATED a file (or raced the
@@ -3007,7 +3048,7 @@ object GraftTable {
     val (newRows, newNulls, newEmpty, newSketches) =
       if (newPaths.isEmpty)
         (0L, Array.fill(typed.size)(0L), Array.fill(typed.size)(false),
-          Array.fill(typed.size)(emptySketch))
+          Array.fill(typed.size)(emptyCompactSketch))
       else if (bankable) {
         // table-level delta derived from the per-tuple results: exact
         // sums, theta unions — identical value set, one read of the bytes
@@ -3021,9 +3062,7 @@ object GraftTable {
       if (!bankable) Map.empty
       else {
         val fresh = freshPerTuple.map { case (t, (rc, nulls, saw, sks)) =>
-          t -> TableStats.PartStats(rc, typed.zipWithIndex.map {
-            case ((f, _), j) =>
-              f.id -> TableStats.PartCol(sks(j), nulls(j), saw(j)) }.toMap) }
+          t -> toPartStats(typed, rc, nulls, saw, sks) }
         (sk.bank.keySet ++ fresh.keySet).map { t =>
           t -> ((sk.bank.get(t), fresh.get(t)) match {
             case (Some(a), Some(b)) => TableStats.PartStats(

@@ -723,6 +723,26 @@ object Similarity {
       seeds: Option[Array[Array[Double]]] = None): Array[Array[Double]] =
     lloydTrainCounted(corpus, k, dim, iters, requireFull, seeds)._1
 
+  /** Seeding-scan cutover for [[trainKMeans]]: at or below this k,
+    * farthest-point's k sequential corpus scans are comparable to
+    * k-means||'s 2·(log₂k + 1) and the selection stays SQL-oracle
+    * replayable; above it the O(log k) oversample wins outright. */
+  val SeedScanCutover = 16
+
+  /** The production trainer — seed, then Lloyd's with the movement
+    * stop. Seeding dispatches on k: [[farthestPointSeeds]] up to
+    * [[SeedScanCutover]] (k scans, deterministic, SQL-replayable — the
+    * s07 oracle path), [[kmeansParallelSeeds]] beyond (O(log k) scans —
+    * the 100 TB path for k in the hundreds+, where k sequential
+    * bootstrap scans would dominate the training run). Explicit `seeds`
+    * override the dispatch. */
+  def trainKMeans(corpus: DataFrame, k: Int, dim: Int, maxIters: Int,
+      requireFull: Boolean = false,
+      seeds: Option[Array[Array[Double]]] = None): Array[Array[Double]] =
+    lloydTrain(corpus, k, dim, maxIters, requireFull, Some(seeds.getOrElse(
+      if (k <= SeedScanCutover) farthestPointSeeds(corpus, k)
+      else kmeansParallelSeeds(corpus, k)._1)))
+
   /** As lloydTrain, also returning how many update iterations actually
     * ran: the loop STOPS once an update moves no centroid — the
     * fixed-point grid makes "no movement" an exact double-array
@@ -791,8 +811,9 @@ object Similarity {
     val K = 8; val DIM = 64
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
-    val cents = lloydTrain(emb, K, DIM, iters = 2, requireFull = true,
-      seeds = Some(farthestPointSeeds(emb, K)))
+    // trainKMeans dispatches seeding by k: 8 ≤ SeedScanCutover, so this
+    // is the farthest-point route the SQL oracle replays seed by seed
+    val cents = trainKMeans(emb, K, DIM, maxIters = 2, requireFull = true)
     val masses = cents.map(_.sum) // left-to-right fold = list_sum
     // d2 = ‖x‖² + min_j score_j — the full squared L2 to the assigned
     // centroid in the SAME −2·dot+norm decomposition the assignment

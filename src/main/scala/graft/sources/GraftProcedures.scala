@@ -119,8 +119,13 @@ object GraftProcedures {
           StructField("snapshot_id", LongType))),
         input => {
           val dir = dirOf(input)
-          val strategy = input.getString(2)
-          val orderSpec = input.getString(3).trim
+          // EVERY defaultable argument treats an explicit NULL as "use
+          // the default" — one consistent rule, never an NPE (and never
+          // a targetBytes=0 division artifact)
+          val targetBytes =
+            if (input.isNullAt(1)) 512L * 1024 * 1024 else input.getLong(1)
+          val strategy = if (input.isNullAt(2)) "binpack" else input.getString(2)
+          val orderSpec = if (input.isNullAt(3)) "" else input.getString(3).trim
           val ZOrderRe = """(?i)zorder\s*\(([^)]*)\)""".r
           val (sortCols, zCols) = strategy.toLowerCase match {
             case "binpack" =>
@@ -149,7 +154,7 @@ object GraftProcedures {
             else Some(input.getString(4).trim).filter(_.nonEmpty)
           val minInput = if (input.isNullAt(5)) 1 else input.getInt(5)
           val result = GraftTable.compact(SparkSession.active, dir,
-            targetBytes = input.getLong(1), sortOrder = sortCols,
+            targetBytes = targetBytes, sortOrder = sortCols,
             zorderCols = zCols, where = whereArg, minInputFiles = minInput)
           // upstream-parity counts: files ACTUALLY rewritten/added — a
           // partial (where => ...) rewrite of 1-of-3 files reports

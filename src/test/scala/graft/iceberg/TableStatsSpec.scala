@@ -976,4 +976,47 @@ class TableStatsSpec extends SparkSpec {
     assert(sk2.bank("{r_id=0}").rowCount == 9L)
     assert(sk2.doc.columns(idOf("k")).ndv == 34L, sk2.doc.columns(idOf("k")).toString)
   }
+
+  test("PARTITION SKETCH BANK survives an expiry RE-KEY: partial " +
+      "compaction + expiry move the doc, a later delete still rescans " +
+      "one partition") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-bk").toString
+    spark.conf.set("spark.sql.catalog.gbrk", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbrk.warehouse", wh)
+    spark.sql("CREATE TABLE gbrk.db.t (k BIGINT, r BIGINT) PARTITIONED BY (r)")
+    spark.sql("INSERT INTO gbrk.db.t SELECT id, id % 3 FROM RANGE(30)")
+    val dir = s"$wh/db/t"
+    spark.sql("CALL gbrk.system.compute_table_stats(table => 'db.t')")
+    // the maintenance loop: partial compaction of ONE partition (r=1's
+    // files rewrite; r=0/r=2 manifests carry verbatim), then expiry of
+    // everything but the compacted head — the analyzed snapshot expires
+    // and its document RE-KEYS to the replace descendant, bank included
+    spark.sql("CALL gbrk.system.rewrite_data_files(table => 'db.t', " +
+      "where => 'r = 1')")
+    spark.sql("CALL gbrk.system.expire_snapshots('db.t', 1)")
+    val meta1 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val rekeyed = meta1.statistics.find(
+      _.snapshotId == meta1.currentSnapshotId.get).getOrElse(
+      fail(s"doc must re-key to the replace head: ${meta1.statistics}"))
+    val skR = TableStats.readWithSketches(rekeyed.path)
+    assert(skR.bank.keySet == Set("{r_id=0}", "{r_id=1}", "{r_id=2}"),
+      s"the bank must re-key with its document: ${skR.bank.keySet}")
+    // a delete in r=0 now refreshes against the re-keyed anchor: only
+    // r=0 rescans — r=1 (compacted but row-identical) and r=2 serve
+    // from the carried bank while their bytes are garbage on disk
+    spark.sql("DELETE FROM gbrk.db.t WHERE k = 3")
+    (partFiles("gbrk", "r", 1) ++ partFiles("gbrk", "r", 2))
+      .foreach(corruptFile)
+    val out = spark.sql(
+      "CALL gbrk.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out.getString(4) == "incremental", out.toString)
+    assert(out.getLong(1) == 29L, out.toString)
+    val meta2 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val sk2 = TableStats.readWithSketches(
+      meta2.statistics.find(_.snapshotId == out.getLong(0)).get.path)
+    assert(sk2.bank("{r_id=0}").rowCount == 9L,
+      sk2.bank.view.mapValues(_.rowCount).toMap)
+    val kId = meta2.currentSchema.fields.find(_.name == "k").get.id
+    assert(sk2.doc.columns(kId).ndv == 29L, sk2.doc.columns(kId).toString)
+  }
 }

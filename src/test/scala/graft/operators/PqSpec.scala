@@ -291,5 +291,14 @@ class PqSpec extends SparkSpec {
       val dNear = math.sqrt(parTrained.map(e => d2(e, ctr)).min)
       assert(dNear < 2.0, s"no trained entry near planted cluster $c ($dNear)")
     }
+    // the production trainer's dispatch: k=8 ≤ SeedScanCutover routes
+    // through farthest-point — byte-identical to seeding it explicitly
+    assert(k <= Similarity.SeedScanCutover)
+    val viaTrainer = Similarity.trainKMeans(corpus, k, dim, maxIters = 50)
+    val viaExplicit = Similarity.lloydTrain(corpus, k, dim, iters = 50,
+      seeds = Some(Similarity.farthestPointSeeds(corpus, k)))
+    assert(viaTrainer.zip(viaExplicit).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) },
+      "trainKMeans below the cutover must be the farthest-point route")
   }
 }

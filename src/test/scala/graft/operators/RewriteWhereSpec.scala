@@ -152,6 +152,19 @@ class RewriteWhereSpec extends SparkSpec {
       "min_input_files => CAST(NULL AS INT))").head
     assert(nullOut.getInt(0) == nNull && nullOut.getInt(1) == 1,
       nullOut.toString)
+    // the same rule on every defaultable argument — and a zero target
+    // size refuses (ceil(bytes/0) must never reach the planner)
+    val nullOut2 = spark.sql("CALL grwn.system.rewrite_data_files(" +
+      "table => 'db.t', target_file_size_bytes => CAST(NULL AS BIGINT), " +
+      "strategy => CAST(NULL AS STRING), sort_order => CAST(NULL AS STRING))").head
+    assert(nullOut2.getInt(0) == 1 && nullOut2.getInt(1) == 1,
+      nullOut2.toString)
+    val eZero = intercept[Exception](spark.sql(
+      "CALL grwn.system.rewrite_data_files(table => 'db.t', " +
+        "target_file_size_bytes => 0)"))
+    assert(Iterator.iterate(eZero: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).flatMap(t => Option(t.getMessage))
+      .mkString(" | ").contains("must be positive"), eZero.toString)
     // refusals: computed expressions, OR, unknown columns, unsupported ops
     for (bad <- Seq("k + 1 > 3", "k > 3 OR k < 1", "nope = 1", "k != 3"))
       withClue(bad) {

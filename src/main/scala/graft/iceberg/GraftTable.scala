@@ -642,8 +642,10 @@ object GraftTable {
   /** Min/max bound stats for every primitive schema field, derived from
     * the written file in ONE distributed aggregate — never fabricated. */
   private def deriveStats(spark: SparkSession, file: String, meta: TableMetadata)
-      : (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]) =
-    deriveStatsFor(spark, file, meta.currentSchema.fields)
+      : (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+    val (n, lo, hi, _) = deriveStatsFor(spark, file, meta.currentSchema.fields)
+    (n, lo, hi)
+  }
 
   /** Row count + bound stats from a parquet FOOTER alone — zero data
     * bytes read, the import path's cost model (Iceberg's `add_files`
@@ -832,14 +834,16 @@ object GraftTable {
 
   private def deriveStatsFor(spark: SparkSession, file: String,
       fields: Seq[IcebergField])
-      : (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+      : (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]], Map[Int, Long]) = {
     val typed = fields.flatMap(f =>
       IcebergTypes.fromStringOpt(f.fieldType).map(t => (f, t)))
       // variant defines no ordering — no bounds, and min()/max() over a
       // VariantType column would fail analysis
       .filterNot(_._2 == IcebergTypes.TVariant)
     val aggs = count(lit(1)) +: typed.flatMap { case (f, _) =>
-      Seq(min(col(f.name)), max(col(f.name))) }
+      // count(col) = non-null count → spec field 110 null counts, the
+      // null-free proof the eq-delete partition scoping needs
+      Seq(min(col(f.name)), max(col(f.name)), count(col(f.name))) }
     val row = spark.read.parquet(file).agg(aggs.head, aggs.tail: _*).head()
     def enc(t: IcebergType, v: Any): Option[Array[Byte]] = v match {
       case null => None
@@ -859,12 +863,16 @@ object GraftTable {
       case other => Some(SingleValueCodec.encode(t, other))
     }
     val bounds = typed.zipWithIndex.flatMap { case ((f, t), i) =>
-      for (lo <- enc(t, row.get(1 + 2 * i)); hi <- enc(t, row.get(2 + 2 * i)))
+      for (lo <- enc(t, row.get(1 + 3 * i)); hi <- enc(t, row.get(2 + 3 * i)))
         yield (f.id, lo, hi)
     }
-    (row.getLong(0),
+    val total = row.getLong(0)
+    val nulls = typed.zipWithIndex.map { case ((f, _), i) =>
+      f.id -> (total - row.getLong(3 + 3 * i)) }.toMap
+    (total,
       bounds.map(b => b._1 -> b._2).toMap,
-      bounds.map(b => b._1 -> b._3).toMap)
+      bounds.map(b => b._1 -> b._3).toMap,
+      nulls)
   }
 
   /** Previous manifests with their original provenance, read from the
@@ -2743,35 +2751,108 @@ object GraftTable {
   /** A delete entry's clean-test signature with its file_path bounds
     * decoded ONCE ([[posDeleteMayAddress]]'s rule, hoisted out of the
     * per-partition loop — at P partitions × D deletes the naive shape
-    * re-decodes every bound P times on the driver). */
+    * re-decodes every bound P times on the driver). For EQUALITY
+    * deletes, `eqScope` holds a decoded (lo, hi) per key field that the
+    * entry PROVES null-free (spec field 110 — a null delete key matches
+    * null data values, which bounds cannot see, so without the proof
+    * the field must not scope) with both bounds decodable; empty scope
+    * = addresses every partition, the conservative default for foreign
+    * or pre-110 manifests. */
   private final case class DeleteSig(path: String, seq: Long, content: Int,
-      pathLo: Option[String], pathHi: Option[String])
+      pathLo: Option[String], pathHi: Option[String],
+      eqScope: Map[Int, (Any, Any)])
 
-  private def decodedDeleteSigs(deletes: Seq[ManifestWriter.EntryData])
-      : Seq[DeleteSig] =
+  private def decodedDeleteSigs(meta: TableMetadata,
+      deletes: Seq[ManifestWriter.EntryData]): Seq[DeleteSig] =
     deletes.map { d =>
       def dec(m: Map[Int, Array[Byte]]): Option[String] =
         m.get(ManifestWriter.PosDeleteFilePathId).filter(_.nonEmpty)
           .flatMap(b => scala.util.Try(SingleValueCodec
             .decode(IcebergTypes.TString, b).asInstanceOf[String]).toOption)
           .map(uriPath)
+      val eqScope: Map[Int, (Any, Any)] =
+        if (d.content != 2) Map.empty
+        else (d.lowerBounds.keySet & d.upperBounds.keySet).toSeq.flatMap { fid =>
+          for {
+            _ <- Option.when(d.nullValueCounts.get(fid).contains(0L))(())
+            tName <- meta.fieldTypes.get(fid)
+            t <- IcebergTypes.fromStringOpt(tName)
+            lo <- scala.util.Try(
+              SingleValueCodec.decode(t, d.lowerBounds(fid))).toOption
+              .flatMap(comparableValue)
+            hi <- scala.util.Try(
+              SingleValueCodec.decode(t, d.upperBounds(fid))).toOption
+              .flatMap(comparableValue)
+          } yield fid -> ((lo, hi))
+        }.toMap
       DeleteSig(uriPath(d.filePath), d.sequenceNumber.get, d.content,
-        dec(d.lowerBounds), dec(d.upperBounds))
+        dec(d.lowerBounds), dec(d.upperBounds), eqScope)
     }
 
+  /** Per-field value envelope of a partition's live data files: an
+    * interval only when EVERY file bounds the field and decodes — one
+    * unbounded file and the field says nothing about the partition
+    * (conservative: a file without bounds might hold anything). */
+  private def partitionEnvelope(meta: TableMetadata,
+      entries: Seq[ManifestWriter.EntryData],
+      fids: Set[Int]): Map[Int, (Any, Any)] = {
+    def mn(a: Any, b: Any) =
+      ScanPlanning.cmpValues(a, b).map(c => if (c <= 0) a else b)
+    def mx(a: Any, b: Any) =
+      ScanPlanning.cmpValues(a, b).map(c => if (c >= 0) a else b)
+    fids.flatMap { fid =>
+      val decoded = entries.map { e =>
+        for {
+          tName <- meta.fieldTypes.get(fid)
+          t <- IcebergTypes.fromStringOpt(tName)
+          loB <- e.lowerBounds.get(fid)
+          hiB <- e.upperBounds.get(fid)
+          lo <- scala.util.Try(SingleValueCodec.decode(t, loB)).toOption
+            .flatMap(comparableValue)
+          hi <- scala.util.Try(SingleValueCodec.decode(t, hiB)).toOption
+            .flatMap(comparableValue)
+        } yield (lo, hi)
+      }
+      if (decoded.isEmpty || decoded.exists(_.isEmpty)) None
+      else {
+        val vs = decoded.flatten
+        vs.tail.foldLeft(Option(vs.head)) { (acc, x) =>
+          acc.flatMap { case (lo, hi) =>
+            for { l <- mn(lo, x._1); h <- mx(hi, x._2) } yield (l, h) }
+        }.map(fid -> _)
+      }
+    }.toMap
+  }
+
   /** The signatures among `sigs` that COULD affect rows living in data
-    * files `paths` (normalized): equality deletes always could (they
-    * address by value, table-wide); position deletes and v3 DVs by
-    * their decoded file_path bounds — conservative on missing bounds.
-    * Two snapshots with identical data (path, seq) sets for a partition
-    * AND identical addressing-signature sets provably serve that
-    * partition the same logical rows — the bank's clean-partition test. */
-  private def sigsAddressing(sigs: Seq[DeleteSig], paths: Set[String])
-      : Set[(String, Long, Int)] =
-    sigs.filter(s => s.content == 2 || ((s.pathLo, s.pathHi) match {
-      case (Some(lo), Some(hi)) => paths.exists(p => lo <= p && p <= hi)
-      case _ => true
-    })).map(s => (s.path, s.seq, s.content)).toSet
+    * files `paths` (normalized, with per-field envelope `env`):
+    * position deletes and v3 DVs address by their decoded file_path
+    * bounds — conservative on missing bounds; an equality delete
+    * addresses the partition UNLESS some provably null-free bounded key
+    * column's interval cannot intersect the partition's envelope (no
+    * row can then equal any delete row on that column — a null data
+    * value never equals a non-null key, so the partition's own nulls
+    * need no proof). Two snapshots with identical data (path, seq) sets
+    * for a partition AND identical addressing-signature sets provably
+    * serve that partition the same logical rows — the bank's
+    * clean-partition test. At 100 TB this is what keeps a CDC upsert
+    * stream (equality deletes keyed inside one partition's range) from
+    * dirtying every partition's sketch on each refresh. */
+  private def sigsAddressing(sigs: Seq[DeleteSig], paths: Set[String],
+      env: Map[Int, (Any, Any)]): Set[(String, Long, Int)] =
+    sigs.filter {
+      case s if s.content == 2 =>
+        !s.eqScope.exists { case (fid, (eqLo, eqHi)) =>
+          env.get(fid).exists { case (lo, hi) =>
+            ScanPlanning.cmpValues(eqLo, hi).exists(_ > 0) ||
+              ScanPlanning.cmpValues(eqHi, lo).exists(_ < 0)
+          }
+        }
+      case s => (s.pathLo, s.pathHi) match {
+        case (Some(lo), Some(hi)) => paths.exists(p => lo <= p && p <= hi)
+        case _ => true
+      }
+    }.map(s => (s.path, s.seq, s.content)).toSet
 
   /** One partition's statsPass outputs packed as its bank entry — the
     * ONE assembly point (the full-ANALYZE route, the dirty-partition
@@ -2946,15 +3027,22 @@ object GraftTable {
       val headDels = entriesAt(Some(headSnap), 1)
       val anchorDels = entriesAt(Some(anchor), 1)
       // bounds decoded once, reused across every partition's clean test
-      val headSigs = decodedDeleteSigs(headDels)
-      val anchorSigs = decodedDeleteSigs(anchorDels)
+      val headSigs = decodedDeleteSigs(meta, headDels)
+      val anchorSigs = decodedDeleteSigs(meta, anchorDels)
+      val scopeFids = (headSigs ++ anchorSigs).flatMap(_.eqScope.keys).toSet
       def sig(es: Seq[ManifestWriter.EntryData]): Set[(String, Long)] =
         es.map(e => (uriPath(e.filePath), e.sequenceNumber.get)).toSet
       val clean = headGroups.keySet.filter { t =>
         sk.bank.contains(t) &&
           anchorGroups.get(t).exists(a => sig(a) == sig(headGroups(t))) && {
-            val paths = headGroups(t).map(e => uriPath(e.filePath)).toSet
-            sigsAddressing(headSigs, paths) == sigsAddressing(anchorSigs, paths)
+            val es = headGroups(t)
+            val paths = es.map(e => uriPath(e.filePath)).toSet
+            // the envelope is computed from the head's entries; the
+            // clean test only reaches here when the anchor holds the
+            // SAME (path, seq) set, so it describes both sides
+            val env = partitionEnvelope(meta, es, scopeFids)
+            sigsAddressing(headSigs, paths, env) ==
+              sigsAddressing(anchorSigs, paths, env)
           }
       }
       val dirty = (headGroups.keySet -- clean).toSeq.sorted
@@ -4250,7 +4338,8 @@ object GraftTable {
     val (nRows, dLower, dUpper) = deriveStats(spark, dataFile, meta0)
     // key-column bounds on the delete file: what lets a future delete-side
     // pruner skip this eq-delete for key ranges it can't touch
-    val (nKeys, eqLower, eqUpper) = deriveStatsFor(spark, eqFile, keyFields)
+    val (nKeys, eqLower, eqUpper, eqNulls) =
+      deriveStatsFor(spark, eqFile, keyFields)
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
@@ -4264,7 +4353,8 @@ object GraftTable {
       val mEq = s"$tableDir/m-upsert-del-$snapId-$attempt.avro"
       ManifestWriter.write(mEq, Seq(ManifestWriter.EntryData(
         1, snapId, eqFile, nKeys, ParquetFiles.length(eqFile),
-        eqLower, eqUpper, content = 2, sequenceNumber = Some(snapId))))
+        eqLower, eqUpper, content = 2, sequenceNumber = Some(snapId),
+        nullValueCounts = eqNulls)))
       val carried = carryForward(base)
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       ManifestListWriter.write(list, carried.map(_.path) ++ Seq(mData, mEq), snapId,

@@ -68,7 +68,29 @@ object ManifestWriter {
       // files, on pre-v3 manifests, and on files that MATERIALIZE their
       // lineage as columns (rewrites: the moved rows keep their ids, so
       // a fresh block must not be claimed)
-      firstRowId: Option[Long] = None)
+      firstRowId: Option[Long] = None,
+      // spec field 110 (null_value_counts): per-field null counts. What
+      // lets a reader PROVE a column null-free — e.g. the partition
+      // sketch bank scopes an equality delete out of partitions whose
+      // key envelope cannot overlap its bounds, which is only sound
+      // when the delete file provably holds no NULL key (null matches
+      // null in equality-delete semantics, and bounds cannot say).
+      // Empty on manifests written before the field — conservative.
+      nullValueCounts: Map[Int, Long] = Map.empty)
+
+  /** Spec map-as-array-of-record with a LONG value — the shape of the
+    * count maps (109/110/137); int keys per the spec's field-id rule. */
+  private def countsSchema(keyId: Int, valueId: Int): Schema = {
+    val kv = SchemaBuilder.record(s"ck${keyId}_v$valueId").fields()
+      .name("key").prop(AvroConversions.FieldIdKey, keyId.toString)
+      .`type`().intType().noDefault()
+      .name("value").prop(AvroConversions.FieldIdKey, valueId.toString)
+      .`type`().longType().noDefault()
+      .endRecord()
+    val arr = Schema.createArray(kv)
+    arr.addProp("logicalType", "map")
+    arr
+  }
 
   private def boundsSchema(name: String, keyId: Int, valueId: Int): Schema = {
     val kv = SchemaBuilder.record(s"k${keyId}_v$valueId").fields()
@@ -99,6 +121,9 @@ object ManifestWriter {
         .`type`().stringType().stringDefault("PARQUET")
         .name("record_count").prop(AvroConversions.FieldIdKey, "103").`type`().longType().noDefault()
         .name("file_size_in_bytes").prop(AvroConversions.FieldIdKey, "104").`type`().longType().noDefault()
+        .name("null_value_counts").prop(AvroConversions.FieldIdKey, "110")
+        .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), countsSchema(121, 122)))
+        .withDefault(null)
         .name("lower_bounds").prop(AvroConversions.FieldIdKey, "125")
         .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), boundsSchema("lower", 126, 127)))
         .withDefault(null)
@@ -143,6 +168,11 @@ object ManifestWriter {
               val arr = new Array[Byte](bb.remaining()); bb.get(arr)
               kv.get("key").asInstanceOf[Int] -> arr
             }.toMap).getOrElse(Map.empty)
+        val nullCounts = Option(df.get("null_value_counts"))
+          .map(_.asInstanceOf[java.util.Collection[GenericRecord]]
+            .asScala.map(kv => kv.get("key").asInstanceOf[Int] ->
+              kv.get("value").asInstanceOf[Long]).toMap)
+          .getOrElse(Map.empty[Int, Long])
         buf += EntryData(
           r.get("status").asInstanceOf[Int],
           Option(r.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
@@ -156,7 +186,8 @@ object ManifestWriter {
           Option(df.get("referenced_data_file")).map(_.toString),
           Option(df.get("content_offset")).map(_.asInstanceOf[Long]),
           Option(df.get("content_size_in_bytes")).map(_.asInstanceOf[Long]),
-          Option(df.get("first_row_id")).map(_.asInstanceOf[Long]))
+          Option(df.get("first_row_id")).map(_.asInstanceOf[Long]),
+          nullValueCounts = nullCounts)
       }
       buf.result()
     } finally { stream.close(); in.close() }
@@ -174,6 +205,17 @@ object ManifestWriter {
     arr
   }
 
+  private def countsArray(schema: Schema, m: Map[Int, Long]): GenericData.Array[GenericRecord] = {
+    val arr = new GenericData.Array[GenericRecord](schema, java.util.Collections.emptyList[GenericRecord]())
+    m.toSeq.sortBy(_._1).foreach { case (id, n) =>
+      val rec = new GenericData.Record(schema.getElementType)
+      rec.put("key", id)
+      rec.put("value", n)
+      arr.add(rec)
+    }
+    arr
+  }
+
   /** Writes one manifest container. `codec` is any Avro container codec
     * name — "null", "deflate" (default, matching Iceberg's own manifest
     * default), "snappy", "zstandard" — the reference wires the same codec
@@ -184,6 +226,7 @@ object ManifestWriter {
     val dfSchema = entrySchema.getField("data_file").schema()
     val lower = dfSchema.getField("lower_bounds").schema().getTypes.get(1)
     val upper = dfSchema.getField("upper_bounds").schema().getTypes.get(1)
+    val counts = dfSchema.getField("null_value_counts").schema().getTypes.get(1)
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
     w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
     w.create(entrySchema, HadoopConfs.fileSystemFor(path)
@@ -195,6 +238,7 @@ object ManifestWriter {
       df.put("file_format", e.fileFormat)
       df.put("record_count", e.recordCount)
       df.put("file_size_in_bytes", e.fileSizeInBytes)
+      df.put("null_value_counts", countsArray(counts, e.nullValueCounts))
       df.put("lower_bounds", boundsArray(lower, e.lowerBounds))
       df.put("upper_bounds", boundsArray(upper, e.upperBounds))
       df.put("referenced_data_file", e.referencedDataFile.orNull)

@@ -1019,4 +1019,68 @@ class TableStatsSpec extends SparkSpec {
     val kId = meta2.currentSchema.fields.find(_.name == "k").get.id
     assert(sk2.doc.columns(kId).ndv == 29L, sk2.doc.columns(kId).toString)
   }
+
+  test("PARTITION SKETCH BANK scopes EQUALITY deletes by null-free key " +
+      "bounds: a CDC-shaped eq delete dirties only the overlapping partition") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-be").toString
+    spark.conf.set("spark.sql.catalog.gbeq", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbeq.warehouse", wh)
+    spark.sql("CREATE TABLE gbeq.db.t (k BIGINT, r BIGINT) PARTITIONED BY (r)")
+    // key ranges ALIGN with partitions: r0 holds k 0..9, r1 10..19, r2 20..29
+    spark.sql("INSERT INTO gbeq.db.t SELECT id, CAST(id / 10 AS BIGINT) FROM RANGE(30)")
+    val dir = s"$wh/db/t"
+    spark.sql("CALL gbeq.system.compute_table_stats(table => 'db.t')")
+    // a foreign-CDC-shaped equality delete lands: keys 10..12, manifest
+    // entry carrying the key-column bounds AND the spec field-110
+    // null-free proof — the shape a Flink/upsert CDC writer produces
+    val meta0 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val kId = meta0.currentSchema.fields.find(_.name == "k").get.id
+    val head0 = meta0.currentSnapshot.get
+    val carried = ManifestListReader.read(head0.manifestList.get)
+    val snapId = meta0.snapshots.map(_.snapshotId).max + 1
+    val eqF = s"$dir/data/eq-cdc.parquet"
+    graft.iceberg.ParquetFiles.writeOne(
+      spark.range(10, 13).selectExpr("id AS k"), eqF)
+    val mEq = s"$dir/m-eq-cdc.avro"
+    ManifestWriter.write(mEq, Seq(ManifestWriter.EntryData(
+      1, snapId, eqF, 3L, graft.iceberg.ParquetFiles.length(eqF),
+      Map(kId -> SingleValueCodec.encode(IcebergTypes.TLong, 10L)),
+      Map(kId -> SingleValueCodec.encode(IcebergTypes.TLong, 12L)),
+      content = 2, sequenceNumber = Some(snapId),
+      nullValueCounts = Map(kId -> 0L))))
+    val list = s"$dir/snap-$snapId-cdc-list.avro"
+    ManifestListWriter.write(list, carried.map(_.path) :+ mEq, snapId,
+      contents = carried.map(i => i.path -> i.content).toMap + (mEq -> 1),
+      specIds = carried.map(i => i.path -> i.specId).toMap,
+      summaries = carried.flatMap(i => i.summaries.map(ss => i.path -> ss.map(
+        s => ManifestListWriter.FieldSummary(s.containsNull,
+          s.lower.getOrElse(Array.empty), s.upper.getOrElse(Array.empty))))).toMap,
+      addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
+      addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
+      seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
+      minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
+    OptimisticCommit.commit(dir, (base, basePath) =>
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some("overwrite"), Map("added-delete-files" -> "1"),
+          Some(list), base.currentSchemaId), Some(basePath)))
+    assert(spark.sql("SELECT COUNT(*) FROM gbeq.db.t").head.getLong(0) == 27L,
+      "the eq delete must apply through the MOR read")
+    // the delete's key interval [10,12] can only overlap r=1's envelope
+    // [10,19] — r=0 and r=2 must stay CLEAN: destroy their bytes
+    (partFiles("gbeq", "r", 0) ++ partFiles("gbeq", "r", 2))
+      .foreach(corruptFile)
+    val out = spark.sql(
+      "CALL gbeq.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out.getString(4) == "incremental", out.toString)
+    assert(out.getLong(1) == 27L, out.toString)
+    val meta2 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val sk2 = TableStats.readWithSketches(
+      meta2.statistics.find(_.snapshotId == out.getLong(0)).get.path)
+    assert(sk2.bank("{r_id=1}").rowCount == 7L,
+      sk2.bank.view.mapValues(_.rowCount).toMap)
+    assert(sk2.bank("{r_id=0}").rowCount == 10L &&
+      sk2.bank("{r_id=2}").rowCount == 10L)
+    assert(sk2.doc.columns(kId).ndv == 27L, sk2.doc.columns(kId).toString)
+  }
 }

@@ -4320,7 +4320,14 @@ object GraftTable {
     * no rewrite — an upsert is pure O(input) write I/O, which is why this
     * shape (not COW merge) is what a high-frequency CDC stream uses.
     * Readers on every route (native, pruned, DSv2 task-local) already
-    * implement the scoping. */
+    * implement the scoping. The eq-delete entry records key bounds AND
+    * spec field-110 null counts, so the partition sketch bank can scope
+    * it by key range. Honest bound: the upsert's DATA file is a single
+    * untupled file — on a partitioned table its manifest pins no tuple,
+    * which parks the sketch bank until the next compaction re-lays the
+    * rows into per-tuple files; a partition-splitting upsert writer is
+    * the refinement if banked ANALYZE under continuous upserts matters
+    * before the nightly compact. */
   def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
       keyCols: Seq[String]): OptimisticCommit.CommitResult = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")

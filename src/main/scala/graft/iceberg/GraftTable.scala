@@ -2012,17 +2012,52 @@ object GraftTable {
           }
         }.collect().toSeq
       }
-    // bin-pack by cumulative REAL file size; each bin is one rewrite task
-    val bins =
-      if (sortedMsgs.nonEmpty) Nil
-      else selected.sortBy(_.filePath)
+    // bin-pack by cumulative REAL file size; each bin is one rewrite
+    // task. Bins NEVER span partition tuples (upstream RewriteDataFiles
+    // groups per partition): merging partitions into shared output
+    // files would kill list-level pruning for every partition involved
+    // AND park the partition sketch bank — compaction re-lays files
+    // WITHIN partitions. Each tupled bin's output then inherits its
+    // partition's field-507 summary in its own manifest at commit;
+    // files whose manifest pins no tuple (unpartitioned tables, foreign
+    // mixed manifests) bin together exactly as before.
+    val tupleTagOf: Map[String, (String, Int, Seq[ManifestListWriter.FieldSummary])] =
+      meta0.currentSnapshot.toSeq
+        .flatMap(s => ManifestListReader.read(s.manifestList.get))
+        .filter(_.content == 0)
+        .flatMap { i =>
+          (for {
+            t <- MetadataTables.partitionTuple(meta0, i)
+            ss <- i.summaries
+          } yield (t, i.specId, ss.map(s => ManifestListWriter.FieldSummary(
+            s.containsNull, s.lower.getOrElse(Array.empty),
+            s.upper.getOrElse(Array.empty))))).toSeq.flatMap { tag =>
+            ManifestWriter.read(i.path)
+              .filter(e => e.status != 2 && e.content == 0)
+              .map(e => uriPath(e.filePath) -> tag)
+          }
+        }.toMap
+    def binsOf(es: Seq[ManifestWriter.EntryData]): Seq[Seq[ManifestWriter.EntryData]] =
+      es.sortBy(_.filePath)
         .foldLeft(Seq.empty[(Long, Seq[ManifestWriter.EntryData])]) { case (acc, e) =>
           acc.lastOption match {
-            case Some((sz, es)) if sz + e.fileSizeInBytes <= targetBytes =>
-              acc.init :+ (sz + e.fileSizeInBytes, es :+ e)
+            case Some((sz, b)) if sz + e.fileSizeInBytes <= targetBytes =>
+              acc.init :+ (sz + e.fileSizeInBytes, b :+ e)
             case _ => acc :+ (e.fileSizeInBytes, Seq(e))
           }
         }.map(_._2)
+    // group by the tuple STRING — the tag payload carries byte arrays
+    // whose reference equality would split every manifest into its own
+    // group and defeat the binning
+    val tagByTuple = tupleTagOf.values.map(v => v._1 -> v).toMap
+    val binGroups: Seq[(Option[(String, Int, Seq[ManifestListWriter.FieldSummary])],
+        Seq[ManifestWriter.EntryData])] =
+      if (sortedMsgs.nonEmpty) Nil
+      else selected.groupBy(e => tupleTagOf.get(uriPath(e.filePath)).map(_._1))
+        .toSeq.sortBy(_._1)
+        .flatMap { case (tOpt, es) =>
+          binsOf(es).map(b => (tOpt.map(tagByTuple), b)) }
+    val bins = binGroups.map(_._2)
     // one rewrite job per bin, submitted concurrently — at thousands of
     // bins this is the difference between a compaction bounded by the
     // biggest bin and one bounded by the bin count. Each bin reads ONLY
@@ -2083,11 +2118,28 @@ object GraftTable {
         // the outputs, so the whole previous manifest set (data AND
         // delete) drops; replaced files tombstone as DELETED entries
         // (Iceberg's replace shape) — invisible to scans, visible to
-        // the `entries` table
+        // the `entries` table. Partition-binned outputs each get their
+        // OWN manifest carrying the source partition's field-507
+        // summary (the bins never spanned tuples), so list-level
+        // pruning and the sketch bank survive a full compaction;
+        // untupled outputs and the tombstones share the plain manifest.
         val tombstones = nowEntries.map(_.copy(status = 2, snapshotId = snapId))
-        ManifestWriter.write(manifest, entries ++ tombstones)
-        ManifestListWriter.write(list, Seq(manifest), snapId,
-          addedDataFilesCount = entries.size)
+        val binTags = if (sortedMsgs.nonEmpty) entries.map(_ => None)
+          else binGroups.map(_._1)
+        val tagged = entries.zip(binTags)
+        val perTuple = tagged.zipWithIndex.collect {
+          case ((e, Some((_, specId, fs))), i) =>
+            val m = s"$tableDir/m-compact-$snapId-$attempt-%05d.avro".format(i)
+            ManifestWriter.write(m, Seq(e))
+            (m, specId, fs)
+        }
+        val plain = tagged.collect { case (e, None) => e }
+        ManifestWriter.write(manifest, plain ++ tombstones)
+        ManifestListWriter.write(list, perTuple.map(_._1) :+ manifest, snapId,
+          addedDataFilesCount = plain.size,
+          addedCounts = perTuple.map(m => m._1 -> 1).toMap,
+          specIds = perTuple.map(m => m._1 -> m._2).toMap,
+          summaries = perTuple.map(m => m._1 -> m._3).toMap)
       } else {
         // PARTIAL rewrite: manifests owning NO selected file carry
         // VERBATIM (their field-507 summaries keep list-level pruning);
@@ -2736,16 +2788,22 @@ object GraftTable {
       : Option[Map[String, Seq[ManifestWriter.EntryData]]] = {
     val infos = snap.manifestList.toSeq.flatMap(ManifestListReader.read)
       .filter(_.content == 0)
-    val tagged = infos.map(i => (MetadataTables.partitionTuple(meta, i), i))
-    if (tagged.isEmpty || tagged.exists(_._1.isEmpty)) return None
-    val per = Par.inParallel(tagged) { case (t, i) =>
-      t.get -> ManifestWriter.read(i.path)
-        .map(e => e.copy(sequenceNumber =
-          Some(e.sequenceNumber.getOrElse(i.sequenceNumber))))
-        .filter(e => e.status != 2 && e.content == 0)
+    if (infos.isEmpty) return None
+    val per = Par.inParallel(
+      infos.map(i => (MetadataTables.partitionTuple(meta, i), i))) {
+      case (t, i) =>
+        t -> ManifestWriter.read(i.path)
+          .map(e => e.copy(sequenceNumber =
+            Some(e.sequenceNumber.getOrElse(i.sequenceNumber))))
+          .filter(e => e.status != 2 && e.content == 0)
     }
-    Some(per.groupBy(_._1).map { case (t, xs) => t -> xs.flatMap(_._2) }
-      .filter(_._2.nonEmpty))
+    // an untupled manifest disqualifies the bank only if it holds LIVE
+    // data (unpartitioned tables, foreign mixed manifests) — a
+    // tombstone-only one (full compaction's replace shape) is harmless
+    if (per.exists(p => p._1.isEmpty && p._2.nonEmpty)) return None
+    val grouped = per.collect { case (Some(t), es) if es.nonEmpty => (t, es) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.flatMap(_._2) }
+    if (grouped.isEmpty) None else Some(grouped)
   }
 
   /** A delete entry's clean-test signature with its file_path bounds

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.iceberg.{GraftTable, ManifestListReader, ManifestWriter, TableMetadata}
+import graft.iceberg.{GraftTable, ManifestListReader, ManifestWriter, TableMetadata, TableStats}
 
 /** Partial compaction — `rewrite_data_files(where => ...)` (upstream
   * RewriteDataFiles' filter): only files whose bound stats may contain
@@ -128,6 +128,45 @@ class RewriteWhereSpec extends SparkSpec {
       "CALL grwd.system.compute_table_stats(table => 'db.t', incremental => true)").head
     assert(stats.getString(4) == "incremental", stats.toString)
     assert(stats.getLong(1) == 23L, stats.toString)
+  }
+
+  test("FULL binpack compaction bins WITHIN partitions: per-tuple output " +
+      "manifests keep list pruning and the sketch bank alive") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-rwp").toString
+    spark.conf.set("spark.sql.catalog.grwp", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grwp.warehouse", wh)
+    spark.sql("CREATE TABLE grwp.db.t (k BIGINT, r BIGINT) PARTITIONED BY (r)")
+    spark.sql("INSERT INTO grwp.db.t SELECT id, id % 3 FROM RANGE(30)")
+    spark.sql("INSERT INTO grwp.db.t SELECT id, id % 3 FROM RANGE(30, 60)")
+    val dir = s"$wh/db/t"
+    assert(liveFiles(dir).size == 6) // two files per partition
+    val out = spark.sql(
+      "CALL grwp.system.rewrite_data_files(table => 'db.t')").head
+    // upstream shape: 6 rewritten into ONE output per partition — a bin
+    // never spans tuples, so partitions never merge into shared files
+    assert(out.getInt(0) == 6 && out.getInt(1) == 3, out.toString)
+    val spread = spark.sql(
+      "SELECT _file, COUNT(DISTINCT r) AS nr FROM grwp.db.t GROUP BY _file")
+      .collect()
+    assert(spread.length == 3 && spread.forall(_.getLong(1) == 1L),
+      spread.mkString(";"))
+    // the compacted layout still banks per partition (per-tuple output
+    // manifests carry the field-507 summaries forward)
+    spark.sql("CALL grwp.system.compute_table_stats(table => 'db.t')")
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val sk = TableStats.readWithSketches(meta.statistics
+      .find(_.snapshotId == meta.currentSnapshotId.get).get.path)
+    assert(sk.bank.keySet == Set("{r_id=0}", "{r_id=1}", "{r_id=2}"),
+      sk.bank.keySet)
+    // and list-level pruning survives: destroy the OTHER partitions'
+    // output bytes — the r=1 read plans past them without opening
+    spark.read.format("graft-table")
+      .option("metadata", GraftTable.latestMetadataPath(dir)).load()
+      .filter(col("r") =!= 1).select(col("_file")).distinct()
+      .collect().map(_.getString(0)).foreach(corrupt)
+    val row = spark.sql(
+      "SELECT COUNT(*), CAST(SUM(k) AS BIGINT) FROM grwp.db.t WHERE r = 1").head
+    assert(row.getLong(0) == 20L && row.getLong(1) == 590L, row.toString)
   }
 
   test("no-op on an empty selection; unsupported predicates refuse loudly") {

@@ -1971,57 +1971,17 @@ object GraftTable {
     val v3Lineage = meta0.formatVersion >= 3
     val lineageCols =
       if (v3Lineage) Seq(RowIdCol, LastUpdatedCol) else Nil
-    val sortedMsgs: Seq[graft.sources.GraftFileMessage] =
-      if (sortOrder.isEmpty && zorderCols.isEmpty) Nil
-      else {
-        val df = readFromEntries(spark, meta0,
-            selected.map(e => (e, e.sequenceNumber.get)), posEntries, eqEntries,
-            withLineage = v3Lineage)
-          .select((schema.fieldNames.toSeq ++ lineageCols).map(col): _*)
-        val nFiles = math.max(1, math.ceil(
-          selected.map(_.fileSizeInBytes).sum.toDouble / targetBytes).toInt)
-        val keys: Seq[org.apache.spark.sql.Column] =
-          if (zorderCols.nonEmpty)
-            Seq(graft.functions.GraftFunctions.zorderKey(spark, zorderCols.map(col)))
-          else sortOrder.map { case (n, desc) => if (desc) col(n).desc else col(n).asc }
-        // the key expressions drive the range exchange and the in-file
-        // sort but never materialize as output columns
-        val sorted = df.repartitionByRange(nFiles, keys: _*)
-          .sortWithinPartitions(keys: _*)
-        val writeSchema = StructType(schema.fields.toSeq ++ lineageCols.map(
-          StructField(_, org.apache.spark.sql.types.LongType)))
-        val fields = meta0.currentSchema.fields.flatMap(f =>
-          IcebergTypes.fromStringOpt(f.fieldType).map(t => (f.id, f.name, t)))
-        val taskConf = new SerializableHadoopConf(HadoopConfs.active())
-        sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
-          if (!rows.hasNext) Iterator.empty
-          else {
-            // attempt-unique filename: a retried/zombie task attempt can
-            // never collide with (or overwrite) the first attempt's file —
-            // only the WINNING attempt's message reaches collect() and gets
-            // committed; a loser's leftover is an uncommitted orphan for
-            // the sweep. taskAttemptId is globally unique per attempt.
-            val att = org.apache.spark.TaskContext.get().taskAttemptId()
-            val w = new graft.sources.GraftFileWriter(
-              s"$tableDir/data/sorted-$compactUuid-p%05d-t$att.parquet".format(pid),
-              writeSchema, fields, None, 0, taskConf.value)
-            try {
-              rows.foreach(w.write)
-              Iterator.single(w.finish())
-            } catch { case t: Throwable => w.abort(); throw t }
-          }
-        }.collect().toSeq
-      }
-    // bin-pack by cumulative REAL file size; each bin is one rewrite
-    // task. Bins NEVER span partition tuples (upstream RewriteDataFiles
-    // groups per partition): merging partitions into shared output
-    // files would kill list-level pruning for every partition involved
-    // AND park the partition sketch bank — compaction re-lays files
-    // WITHIN partitions. Each tupled bin's output then inherits its
-    // partition's field-507 summary in its own manifest at commit;
-    // files whose manifest pins no tuple (unpartitioned tables, foreign
-    // mixed manifests) bin together exactly as before.
-    val tupleTagOf: Map[String, (String, Int, Seq[ManifestListWriter.FieldSummary])] =
+    // Rewrites are PARTITION-SCOPED like upstream RewriteDataFiles'
+    // per-partition file groups: neither a bin nor a sort/zorder range
+    // exchange ever spans partition tuples — merging partitions into
+    // shared output files would kill list-level pruning for every
+    // partition involved AND park the partition sketch bank. Each
+    // tupled group's outputs inherit the source partition's field-507
+    // summary in their own manifests at commit; files whose manifest
+    // pins no tuple (unpartitioned tables, foreign mixed manifests)
+    // group together exactly as before.
+    type TupleTag = (String, Int, Seq[ManifestListWriter.FieldSummary])
+    val tupleTagOf: Map[String, TupleTag] =
       meta0.currentSnapshot.toSeq
         .flatMap(s => ManifestListReader.read(s.manifestList.get))
         .filter(_.content == 0)
@@ -2037,6 +1997,66 @@ object GraftTable {
               .map(e => uriPath(e.filePath) -> tag)
           }
         }.toMap
+    // group by the tuple STRING — the tag payload carries byte arrays
+    // whose reference equality would split every manifest into its own
+    // group and defeat the grouping
+    val tagByTuple = tupleTagOf.values.map(v => v._1 -> v).toMap
+    def tupleGroupsOf(es: Seq[ManifestWriter.EntryData])
+        : Seq[(Option[TupleTag], Seq[ManifestWriter.EntryData])] =
+      es.groupBy(e => tupleTagOf.get(uriPath(e.filePath)).map(_._1))
+        .toSeq.sortBy(_._1)
+        .map { case (tOpt, g) => (tOpt.map(tagByTuple), g) }
+    val sortedTagged: Seq[(graft.sources.GraftFileMessage, Option[TupleTag])] =
+      if (sortOrder.isEmpty && zorderCols.isEmpty) Nil
+      else {
+        val keys: Seq[org.apache.spark.sql.Column] =
+          if (zorderCols.nonEmpty)
+            Seq(graft.functions.GraftFunctions.zorderKey(spark, zorderCols.map(col)))
+          else sortOrder.map { case (n, desc) => if (desc) col(n).desc else col(n).asc }
+        val writeSchema = StructType(schema.fields.toSeq ++ lineageCols.map(
+          StructField(_, org.apache.spark.sql.types.LongType)))
+        val fields = meta0.currentSchema.fields.flatMap(f =>
+          IcebergTypes.fromStringOpt(f.fieldType).map(t => (f.id, f.name, t)))
+        val taskConf = new SerializableHadoopConf(HadoopConfs.active())
+        // one clustered-rewrite job per tuple group, submitted
+        // concurrently — total I/O is still one pass over the selection
+        Par.inParallel(tupleGroupsOf(selected).zipWithIndex) {
+          case ((tag, es), gi) =>
+            val df = readFromEntries(spark, meta0,
+                es.map(e => (e, e.sequenceNumber.get)), posEntries, eqEntries,
+                withLineage = v3Lineage)
+              .select((schema.fieldNames.toSeq ++ lineageCols).map(col): _*)
+            val nFiles = math.max(1, math.ceil(
+              es.map(_.fileSizeInBytes).sum.toDouble / targetBytes).toInt)
+            // the key expressions drive the range exchange and the
+            // in-file sort but never materialize as output columns
+            val sorted = df.repartitionByRange(nFiles, keys: _*)
+              .sortWithinPartitions(keys: _*)
+            sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+              if (!rows.hasNext) Iterator.empty
+              else {
+                // attempt-unique filename: a retried/zombie task attempt
+                // can never collide with (or overwrite) the first
+                // attempt's file — only the WINNING attempt's message
+                // reaches collect() and gets committed; a loser's
+                // leftover is an uncommitted orphan for the sweep.
+                // taskAttemptId is globally unique per attempt.
+                val att = org.apache.spark.TaskContext.get().taskAttemptId()
+                val w = new graft.sources.GraftFileWriter(
+                  s"$tableDir/data/sorted-$compactUuid-g%03d-p%05d-t$att.parquet"
+                    .format(gi, pid),
+                  writeSchema, fields, None, 0, taskConf.value)
+                try {
+                  rows.foreach(w.write)
+                  Iterator.single(w.finish())
+                } catch { case t: Throwable => w.abort(); throw t }
+              }
+            }.collect().toSeq.map(m => (m, tag))
+        }.flatten
+      }
+    val sortedMsgs: Seq[graft.sources.GraftFileMessage] = sortedTagged.map(_._1)
+    // bin-pack by cumulative REAL file size within each tuple group;
+    // each bin is one rewrite task
     def binsOf(es: Seq[ManifestWriter.EntryData]): Seq[Seq[ManifestWriter.EntryData]] =
       es.sortBy(_.filePath)
         .foldLeft(Seq.empty[(Long, Seq[ManifestWriter.EntryData])]) { case (acc, e) =>
@@ -2046,17 +2066,10 @@ object GraftTable {
             case _ => acc :+ (e.fileSizeInBytes, Seq(e))
           }
         }.map(_._2)
-    // group by the tuple STRING — the tag payload carries byte arrays
-    // whose reference equality would split every manifest into its own
-    // group and defeat the binning
-    val tagByTuple = tupleTagOf.values.map(v => v._1 -> v).toMap
-    val binGroups: Seq[(Option[(String, Int, Seq[ManifestListWriter.FieldSummary])],
-        Seq[ManifestWriter.EntryData])] =
+    val binGroups: Seq[(Option[TupleTag], Seq[ManifestWriter.EntryData])] =
       if (sortedMsgs.nonEmpty) Nil
-      else selected.groupBy(e => tupleTagOf.get(uriPath(e.filePath)).map(_._1))
-        .toSeq.sortBy(_._1)
-        .flatMap { case (tOpt, es) =>
-          binsOf(es).map(b => (tOpt.map(tagByTuple), b)) }
+      else tupleGroupsOf(selected)
+        .flatMap { case (tag, es) => binsOf(es).map(b => (tag, b)) }
     val bins = binGroups.map(_._2)
     // one rewrite job per bin, submitted concurrently — at thousands of
     // bins this is the difference between a compaction bounded by the
@@ -2124,7 +2137,7 @@ object GraftTable {
         // pruning and the sketch bank survive a full compaction;
         // untupled outputs and the tombstones share the plain manifest.
         val tombstones = nowEntries.map(_.copy(status = 2, snapshotId = snapId))
-        val binTags = if (sortedMsgs.nonEmpty) entries.map(_ => None)
+        val binTags = if (sortedMsgs.nonEmpty) sortedTagged.map(_._2)
           else binGroups.map(_._1)
         val tagged = entries.zip(binTags)
         val perTuple = tagged.zipWithIndex.collect {

@@ -169,6 +169,38 @@ class RewriteWhereSpec extends SparkSpec {
     assert(row.getLong(0) == 20L && row.getLong(1) == 590L, row.toString)
   }
 
+  test("sort/zorder rewrites are partition-scoped too: clustered outputs " +
+      "stay partition-pure and bank-visible") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-rws").toString
+    spark.conf.set("spark.sql.catalog.grws", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grws.warehouse", wh)
+    spark.sql("CREATE TABLE grws.db.t (k BIGINT, v BIGINT, r BIGINT) " +
+      "PARTITIONED BY (r)")
+    spark.sql("INSERT INTO grws.db.t SELECT id, id * 37 % 100, id % 3 FROM RANGE(30)")
+    spark.sql("INSERT INTO grws.db.t SELECT id, id * 37 % 100, id % 3 FROM RANGE(30, 60)")
+    val dir = s"$wh/db/t"
+    // a tiny target forces multiple clustered outputs per partition —
+    // each must still hold exactly one partition's rows
+    spark.sql("CALL grws.system.rewrite_data_files(table => 'db.t', " +
+      "strategy => 'sort', sort_order => 'zorder(k, v)', " +
+      "target_file_size_bytes => 2048)")
+    val spread = spark.sql(
+      "SELECT _file, COUNT(DISTINCT r) AS nr FROM grws.db.t GROUP BY _file")
+      .collect()
+    assert(spread.forall(_.getLong(1) == 1L),
+      s"a clustered output spanning partitions: ${spread.mkString(";")}")
+    assert(spark.sql("SELECT COUNT(*), CAST(SUM(k) AS BIGINT) FROM grws.db.t")
+      .head.toSeq == Seq(60L, 1770L))
+    // the compacted layout still banks per partition — per-tuple output
+    // manifests carried the field-507 summaries through the zorder
+    spark.sql("CALL grws.system.compute_table_stats(table => 'db.t')")
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val sk = TableStats.readWithSketches(meta.statistics
+      .find(_.snapshotId == meta.currentSnapshotId.get).get.path)
+    assert(sk.bank.keySet == Set("{r_id=0}", "{r_id=1}", "{r_id=2}"),
+      sk.bank.keySet)
+  }
+
   test("no-op on an empty selection; unsupported predicates refuse loudly") {
     val wh = java.nio.file.Files.createTempDirectory("graft-rwn").toString
     spark.conf.set("spark.sql.catalog.grwn", classOf[graft.sources.GraftCatalog].getName)

@@ -1936,7 +1936,29 @@ object GraftTable {
     val schema = sparkSchema(meta0)
     (sortOrder.map(_._1) ++ zorderCols).foreach(c =>
       require(schema.fieldNames.contains(c), s"no such column $c"))
-    val preData = currentEntries(meta0, 0).filter(_.content == 0)
+    // ONE concurrent sweep of the data manifests serves BOTH the live
+    // entry set and the partition-tuple tags the partition-scoped
+    // rewrite groups by (the tag = the manifest's rendered tuple, its
+    // spec id and its field-507 summary, carried to the output
+    // manifests) — a second serial metadata sweep at 10^4+ manifests
+    // would cost more than the rewrite's planning itself
+    type TupleTag = (String, Int, Seq[ManifestListWriter.FieldSummary])
+    val perManifest0: Seq[(Option[TupleTag], Seq[ManifestWriter.EntryData])] =
+      Par.inParallel(meta0.currentSnapshot.toSeq
+          .flatMap(s => ManifestListReader.read(s.manifestList.get))
+          .filter(_.content == 0)) { i =>
+        val tag = for {
+          t <- MetadataTables.partitionTuple(meta0, i)
+          ss <- i.summaries
+        } yield (t, i.specId, ss.map(s => ManifestListWriter.FieldSummary(
+          s.containsNull, s.lower.getOrElse(Array.empty),
+          s.upper.getOrElse(Array.empty))))
+        (tag, ManifestWriter.read(i.path)
+          .map(e => e.copy(sequenceNumber =
+            Some(e.sequenceNumber.getOrElse(i.sequenceNumber))))
+          .filter(e => e.status != 2 && e.content == 0))
+      }
+    val preData = perManifest0.flatMap(_._2)
     require(preData.nonEmpty, "compact on a table with no data files")
     val delEntries = currentEntries(meta0, 1)
     val posEntries = delEntries.filter(_.content == 1).map(e => (e, e.sequenceNumber.get))
@@ -1980,32 +2002,24 @@ object GraftTable {
     // summary in their own manifests at commit; files whose manifest
     // pins no tuple (unpartitioned tables, foreign mixed manifests)
     // group together exactly as before.
-    type TupleTag = (String, Int, Seq[ManifestListWriter.FieldSummary])
-    val tupleTagOf: Map[String, TupleTag] =
-      meta0.currentSnapshot.toSeq
-        .flatMap(s => ManifestListReader.read(s.manifestList.get))
-        .filter(_.content == 0)
-        .flatMap { i =>
-          (for {
-            t <- MetadataTables.partitionTuple(meta0, i)
-            ss <- i.summaries
-          } yield (t, i.specId, ss.map(s => ManifestListWriter.FieldSummary(
-            s.containsNull, s.lower.getOrElse(Array.empty),
-            s.upper.getOrElse(Array.empty))))).toSeq.flatMap { tag =>
-            ManifestWriter.read(i.path)
-              .filter(e => e.status != 2 && e.content == 0)
-              .map(e => uriPath(e.filePath) -> tag)
-          }
-        }.toMap
-    // group by the tuple STRING — the tag payload carries byte arrays
-    // whose reference equality would split every manifest into its own
-    // group and defeat the grouping
-    val tagByTuple = tupleTagOf.values.map(v => v._1 -> v).toMap
+    //
+    // The grouping KEY is (specId, tuple string) — not the tag payload
+    // (byte arrays compare by reference, splitting every manifest into
+    // its own group), and not the string alone (two specs can render
+    // the same tuple name while meaning different transform spaces —
+    // stamping one spec's summary on the other's rows would let
+    // list-level pruning silently drop matching rows).
+    val tupleTagOf: Map[String, TupleTag] = perManifest0.collect {
+      case (Some(tag), es) => es.map(e => uriPath(e.filePath) -> tag)
+    }.flatten.toMap
+    val tagByKey: Map[(Int, String), TupleTag] =
+      tupleTagOf.values.map(v => (v._2, v._1) -> v).toMap
+    def keyOf(tag: TupleTag): (Int, String) = (tag._2, tag._1)
     def tupleGroupsOf(es: Seq[ManifestWriter.EntryData])
         : Seq[(Option[TupleTag], Seq[ManifestWriter.EntryData])] =
-      es.groupBy(e => tupleTagOf.get(uriPath(e.filePath)).map(_._1))
+      es.groupBy(e => tupleTagOf.get(uriPath(e.filePath)).map(keyOf))
         .toSeq.sortBy(_._1)
-        .map { case (tOpt, g) => (tOpt.map(tagByTuple), g) }
+        .map { case (kOpt, g) => (kOpt.map(tagByKey), g) }
     val sortedTagged: Seq[(graft.sources.GraftFileMessage, Option[TupleTag])] =
       if (sortOrder.isEmpty && zorderCols.isEmpty) Nil
       else {
@@ -2140,17 +2154,25 @@ object GraftTable {
         val binTags = if (sortedMsgs.nonEmpty) sortedTagged.map(_._2)
           else binGroups.map(_._1)
         val tagged = entries.zip(binTags)
-        val perTuple = tagged.zipWithIndex.collect {
-          case ((e, Some((_, specId, fs))), i) =>
+        // ONE manifest per tuple (never per output file — a sort of a
+        // 100-partition table into 50 files each must commit 100
+        // manifests, not 5000), written concurrently; each list row
+        // carries the tuple's summary and its true added count
+        val perTuple = Par.inParallel(
+          tagged.collect { case (e, Some(tag)) => (keyOf(tag), (e, tag)) }
+            .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex) {
+          case ((_, xs), i) =>
+            val es = xs.map(_._2._1)
+            val (_, specId, fs) = xs.head._2._2
             val m = s"$tableDir/m-compact-$snapId-$attempt-%05d.avro".format(i)
-            ManifestWriter.write(m, Seq(e))
-            (m, specId, fs)
+            ManifestWriter.write(m, es)
+            (m, specId, fs, es.size)
         }
         val plain = tagged.collect { case (e, None) => e }
         ManifestWriter.write(manifest, plain ++ tombstones)
         ManifestListWriter.write(list, perTuple.map(_._1) :+ manifest, snapId,
           addedDataFilesCount = plain.size,
-          addedCounts = perTuple.map(m => m._1 -> 1).toMap,
+          addedCounts = perTuple.map(m => m._1 -> m._4).toMap,
           specIds = perTuple.map(m => m._1 -> m._2).toMap,
           summaries = perTuple.map(m => m._1 -> m._3).toMap)
       } else {
@@ -2172,16 +2194,52 @@ object GraftTable {
         val tombstones = liveAffected
           .filter(e => selectedSet.contains(uriPath(e.filePath)))
           .map(_.copy(status = 2, snapshotId = snapId))
-        ManifestWriter.write(manifest, entries ++ moved ++ tombstones)
+        // the OUTPUTS land per-tuple exactly like the full branch — a
+        // partial rewrite spanning 2+ partitions must not lump them
+        // into one untupled shared manifest (which would park the
+        // sketch bank and blunt pruning until the next full rewrite);
+        // moved EXISTING entries and tombstones keep the union-summary
+        // manifest as before
+        val outTags = if (sortedMsgs.nonEmpty) sortedTagged.map(_._2)
+          else binGroups.map(_._1)
+        val taggedOut = entries.zip(outTags)
+        val perTuple = Par.inParallel(
+          taggedOut.collect { case (e, Some(tag)) => (keyOf(tag), (e, tag)) }
+            .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex) {
+          case ((_, xs), i) =>
+            val es = xs.map(_._2._1)
+            val (_, specId, fs) = xs.head._2._2
+            val m = s"$tableDir/m-compact-$snapId-$attempt-%05d.avro".format(i)
+            ManifestWriter.write(m, es)
+            (m, specId, fs, es.size)
+        }
+        val plainOut = taggedOut.collect { case (e, None) => e }
+        ManifestWriter.write(manifest, plainOut ++ moved ++ tombstones)
         // field 516 must be the true minimum over the carried EXISTING
         // entries, or delete-side sequence pruning would wrongly skip
         // deletes that still apply to them
-        val minSeq = (entries ++ moved).flatMap(_.sequenceNumber)
+        val minSeq = (plainOut ++ moved).flatMap(_.sequenceNumber)
           .foldLeft(snapId)(math.min)
-        writeList(list, untouched.map(_._1) ++ infos.filter(_.content == 1),
-          manifest, entries.size, 0, snapId,
-          ScanPlanning.unionSummaries(base, affected.map(_._1)),
-          Some(minSeq))
+        val carried2 = untouched.map(_._1) ++ infos.filter(_.content == 1)
+        val unionSum = ScanPlanning.unionSummaries(base, affected.map(_._1))
+        ManifestListWriter.write(list,
+          (carried2.map(_.path) ++ perTuple.map(_._1)) :+ manifest, snapId,
+          addedDataFilesCount = plainOut.size,
+          contents = carried2.map(c => c.path -> c.content).toMap,
+          specIds = carried2.map(c => c.path -> c.specId).toMap ++
+            perTuple.map(m => m._1 -> m._2) ++
+            unionSum.map { case (specId, _) => manifest -> specId },
+          addedSnapshotIds =
+            carried2.map(c => c.path -> c.addedSnapshotId).toMap,
+          addedCounts =
+            carried2.map(c => c.path -> c.addedDataFilesCount).toMap ++
+              perTuple.map(m => m._1 -> m._4),
+          summaries = carriedSummaries(carried2) ++
+            perTuple.map(m => m._1 -> m._3) ++
+            unionSum.map { case (_, fs) => manifest -> fs },
+          seqNums = carried2.map(c => c.path -> c.sequenceNumber).toMap,
+          minSeqNums = carried2.map(c => c.path -> c.minSequenceNumber).toMap +
+            (manifest -> minSeq))
       }
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,

@@ -79,9 +79,13 @@ object ManifestWriter {
       nullValueCounts: Map[Int, Long] = Map.empty)
 
   /** Spec map-as-array-of-record with a LONG value — the shape of the
-    * count maps (109/110/137); int keys per the spec's field-id rule. */
+    * count maps (109/110/137); int keys per the spec's field-id rule.
+    * The record NAME must be k<keyId>_v<valueId>: Avro schema resolution
+    * matches union branches by record name, and reference Iceberg
+    * writers name these exactly so — any other name makes every foreign
+    * manifest with a populated counts map unreadable. */
   private def countsSchema(keyId: Int, valueId: Int): Schema = {
-    val kv = SchemaBuilder.record(s"ck${keyId}_v$valueId").fields()
+    val kv = SchemaBuilder.record(s"k${keyId}_v$valueId").fields()
       .name("key").prop(AvroConversions.FieldIdKey, keyId.toString)
       .`type`().intType().noDefault()
       .name("value").prop(AvroConversions.FieldIdKey, valueId.toString)

@@ -152,5 +152,10 @@ class MetadataWriterSpec extends AnyFunSuite {
     assert(fixtureEntries.size === 2)
     assert(fixtureEntries.forall(_.recordCount === 1L))
     assert(fixtureEntries.forall(_.lowerBounds.contains(1)))
+    // spec field 110 resolves against a REFERENCE writer's k121_v122
+    // record name (the null-free proof eq-delete scoping consumes):
+    // single-row files, so every recorded null count is 0
+    assert(fixtureEntries.forall(_.nullValueCounts.nonEmpty))
+    assert(fixtureEntries.forall(_.nullValueCounts.values.forall(_ == 0L)))
   }
 }

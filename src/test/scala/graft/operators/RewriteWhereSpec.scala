@@ -169,6 +169,36 @@ class RewriteWhereSpec extends SparkSpec {
     assert(row.getLong(0) == 20L && row.getLong(1) == 590L, row.toString)
   }
 
+  test("a PARTIAL rewrite spanning partitions lands per-tuple outputs — " +
+      "the sketch bank stays live through a where-scoped sweep") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-rwm").toString
+    spark.conf.set("spark.sql.catalog.grwm", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grwm.warehouse", wh)
+    spark.sql("CREATE TABLE grwm.db.t (k BIGINT, r BIGINT) PARTITIONED BY (r)")
+    spark.sql("INSERT INTO grwm.db.t SELECT id, id % 3 FROM RANGE(30)")
+    spark.sql("INSERT INTO grwm.db.t SELECT id, id % 3 FROM RANGE(30, 60)")
+    val dir = s"$wh/db/t"
+    // the where selects every file (all bounds may contain k < 100) but
+    // routes through the PARTIAL branch — outputs must still be
+    // partition-pure with tupled manifests, never one shared manifest
+    val out = spark.sql("CALL grwm.system.rewrite_data_files(" +
+      "table => 'db.t', where => 'k < 100')").head
+    assert(out.getInt(0) == 6 && out.getInt(1) == 3, out.toString)
+    val spread = spark.sql(
+      "SELECT _file, COUNT(DISTINCT r) AS nr FROM grwm.db.t GROUP BY _file")
+      .collect()
+    assert(spread.length == 3 && spread.forall(_.getLong(1) == 1L),
+      spread.mkString(";"))
+    spark.sql("CALL grwm.system.compute_table_stats(table => 'db.t')")
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val sk = TableStats.readWithSketches(meta.statistics
+      .find(_.snapshotId == meta.currentSnapshotId.get).get.path)
+    assert(sk.bank.keySet == Set("{r_id=0}", "{r_id=1}", "{r_id=2}"),
+      sk.bank.keySet)
+    assert(spark.sql("SELECT COUNT(*), CAST(SUM(k) AS BIGINT) FROM grwm.db.t")
+      .head.toSeq == Seq(60L, 1770L))
+  }
+
   test("sort/zorder rewrites are partition-scoped too: clustered outputs " +
       "stay partition-pure and bank-visible") {
     val wh = java.nio.file.Files.createTempDirectory("graft-rws").toString

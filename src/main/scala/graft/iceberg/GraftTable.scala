@@ -897,18 +897,28 @@ object GraftTable {
       // re-emits carried EXISTING entries must record their true
       // minimum sequence, or delete-side pruning wrongly skips deletes
       // that still apply to them
-      newMinSeq: Option[Long] = None): Unit =
-    ManifestListWriter.write(path, carried.map(_.path) :+ newManifest, snapId,
+      newMinSeq: Option[Long] = None,
+      // per-tuple OUTPUT manifests (partition-scoped rewrites): each a
+      // content-0 manifest added at snapId carrying its partition's
+      // field-507 summary under its spec id — (path, specId, summary,
+      // added count). ONE plumbing site for the carried maps either way.
+      tupleManifests: Seq[(String, Int, Seq[ManifestListWriter.FieldSummary], Int)] = Nil)
+      : Unit =
+    ManifestListWriter.write(path,
+      (carried.map(_.path) ++ tupleManifests.map(_._1)) :+ newManifest, snapId,
       addedDataFilesCount = newCount,
       contents = (carried.map(i => i.path -> i.content) :+ (newManifest -> newContent)).toMap,
       specIds = carried.map(i => i.path -> i.specId).toMap ++
+        tupleManifests.map(m => m._1 -> m._2) ++
         newSummary.map { case (specId, _) => newManifest -> specId },
       addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
-      addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
+      addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap ++
+        tupleManifests.map(m => m._1 -> m._4),
       summaries = carriedSummaries(carried) ++
+        tupleManifests.map(m => m._1 -> m._3) ++
         newSummary.map { case (_, fs) => newManifest -> fs },
       // carried manifests keep their ORIGINAL sequence numbers (515/516);
-      // the new manifest defaults to snapId — this library's sequence
+      // the new manifests default to snapId — this library's sequence
       seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
       minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap ++
         newMinSeq.map(newManifest -> _))
@@ -2003,22 +2013,25 @@ object GraftTable {
     // pins no tuple (unpartitioned tables, foreign mixed manifests)
     // group together exactly as before.
     //
-    // The grouping KEY is (specId, tuple string) — not the tag payload
-    // (byte arrays compare by reference, splitting every manifest into
-    // its own group), and not the string alone (two specs can render
-    // the same tuple name while meaning different transform spaces —
-    // stamping one spec's summary on the other's rows would let
-    // list-level pruning silently drop matching rows).
+    // The grouping KEY is (specId, the summary's raw lower-bound byte
+    // sequences) — not the tag payload (byte ARRAYS compare by
+    // reference, splitting every manifest into its own group), not the
+    // rendered tuple string (NOT injective: two multi-string-field
+    // tuples can render identically, and two specs can render the same
+    // name while meaning different transform spaces — either collision
+    // would stamp one partition's summary onto another's rows and let
+    // list-level pruning silently drop them).
     val tupleTagOf: Map[String, TupleTag] = perManifest0.collect {
       case (Some(tag), es) => es.map(e => uriPath(e.filePath) -> tag)
     }.flatten.toMap
-    val tagByKey: Map[(Int, String), TupleTag] =
-      tupleTagOf.values.map(v => (v._2, v._1) -> v).toMap
-    def keyOf(tag: TupleTag): (Int, String) = (tag._2, tag._1)
+    def keyOf(tag: TupleTag): (Int, Seq[Seq[Byte]]) =
+      (tag._2, tag._3.map(_.lower.toSeq))
+    val tagByKey: Map[(Int, Seq[Seq[Byte]]), TupleTag] =
+      tupleTagOf.values.map(v => keyOf(v) -> v).toMap
     def tupleGroupsOf(es: Seq[ManifestWriter.EntryData])
         : Seq[(Option[TupleTag], Seq[ManifestWriter.EntryData])] =
       es.groupBy(e => tupleTagOf.get(uriPath(e.filePath)).map(keyOf))
-        .toSeq.sortBy(_._1)
+        .toSeq.sortBy(_._1.map(_.toString))
         .map { case (kOpt, g) => (kOpt.map(tagByKey), g) }
     val sortedTagged: Seq[(graft.sources.GraftFileMessage, Option[TupleTag])] =
       if (sortOrder.isEmpty && zorderCols.isEmpty) Nil
@@ -2140,6 +2153,27 @@ object GraftTable {
         }
       val manifest = s"$tableDir/m-compact-$snapId-$attempt.avro"
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
+      // the per-tuple OUTPUT manifests, shared by BOTH branches: ONE
+      // manifest per tuple (never per output file — a sort of a
+      // 100-partition table into 50 files each must commit 100
+      // manifests, not 5000), written concurrently; each list row
+      // carries the tuple's summary and its true added count
+      val outputTags: Seq[Option[TupleTag]] =
+        if (sortedMsgs.nonEmpty) sortedTagged.map(_._2)
+        else binGroups.map(_._1)
+      val taggedOutputs = entries.zip(outputTags)
+      val perTuple: Seq[(String, Int, Seq[ManifestListWriter.FieldSummary], Int)] =
+        Par.inParallel(
+          taggedOutputs.collect { case (e, Some(tag)) => (keyOf(tag), (e, tag)) }
+            .groupBy(_._1).toSeq.sortBy(_._1.toString).zipWithIndex) {
+          case ((_, xs), i) =>
+            val es = xs.map(_._2._1)
+            val (_, specId, fs) = xs.head._2._2
+            val m = s"$tableDir/m-compact-$snapId-$attempt-%05d.avro".format(i)
+            ManifestWriter.write(m, es)
+            (m, specId, fs, es.size)
+        }
+      val plainOutputs = taggedOutputs.collect { case (e, None) => e }
       if (where.isEmpty) {
         // FULL rewrite: every live row was materialized post-MOR into
         // the outputs, so the whole previous manifest set (data AND
@@ -2151,30 +2185,9 @@ object GraftTable {
         // pruning and the sketch bank survive a full compaction;
         // untupled outputs and the tombstones share the plain manifest.
         val tombstones = nowEntries.map(_.copy(status = 2, snapshotId = snapId))
-        val binTags = if (sortedMsgs.nonEmpty) sortedTagged.map(_._2)
-          else binGroups.map(_._1)
-        val tagged = entries.zip(binTags)
-        // ONE manifest per tuple (never per output file — a sort of a
-        // 100-partition table into 50 files each must commit 100
-        // manifests, not 5000), written concurrently; each list row
-        // carries the tuple's summary and its true added count
-        val perTuple = Par.inParallel(
-          tagged.collect { case (e, Some(tag)) => (keyOf(tag), (e, tag)) }
-            .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex) {
-          case ((_, xs), i) =>
-            val es = xs.map(_._2._1)
-            val (_, specId, fs) = xs.head._2._2
-            val m = s"$tableDir/m-compact-$snapId-$attempt-%05d.avro".format(i)
-            ManifestWriter.write(m, es)
-            (m, specId, fs, es.size)
-        }
-        val plain = tagged.collect { case (e, None) => e }
-        ManifestWriter.write(manifest, plain ++ tombstones)
-        ManifestListWriter.write(list, perTuple.map(_._1) :+ manifest, snapId,
-          addedDataFilesCount = plain.size,
-          addedCounts = perTuple.map(m => m._1 -> m._4).toMap,
-          specIds = perTuple.map(m => m._1 -> m._2).toMap,
-          summaries = perTuple.map(m => m._1 -> m._3).toMap)
+        ManifestWriter.write(manifest, plainOutputs ++ tombstones)
+        writeList(list, Seq.empty, manifest, plainOutputs.size, 0, snapId,
+          tupleManifests = perTuple)
       } else {
         // PARTIAL rewrite: manifests owning NO selected file carry
         // VERBATIM (their field-507 summaries keep list-level pruning);
@@ -2199,47 +2212,16 @@ object GraftTable {
         // into one untupled shared manifest (which would park the
         // sketch bank and blunt pruning until the next full rewrite);
         // moved EXISTING entries and tombstones keep the union-summary
-        // manifest as before
-        val outTags = if (sortedMsgs.nonEmpty) sortedTagged.map(_._2)
-          else binGroups.map(_._1)
-        val taggedOut = entries.zip(outTags)
-        val perTuple = Par.inParallel(
-          taggedOut.collect { case (e, Some(tag)) => (keyOf(tag), (e, tag)) }
-            .groupBy(_._1).toSeq.sortBy(_._1).zipWithIndex) {
-          case ((_, xs), i) =>
-            val es = xs.map(_._2._1)
-            val (_, specId, fs) = xs.head._2._2
-            val m = s"$tableDir/m-compact-$snapId-$attempt-%05d.avro".format(i)
-            ManifestWriter.write(m, es)
-            (m, specId, fs, es.size)
-        }
-        val plainOut = taggedOut.collect { case (e, None) => e }
-        ManifestWriter.write(manifest, plainOut ++ moved ++ tombstones)
-        // field 516 must be the true minimum over the carried EXISTING
-        // entries, or delete-side sequence pruning would wrongly skip
-        // deletes that still apply to them
-        val minSeq = (plainOut ++ moved).flatMap(_.sequenceNumber)
+        // manifest. Field 516 must be the true minimum over the carried
+        // EXISTING entries, or delete-side sequence pruning would
+        // wrongly skip deletes that still apply to them.
+        ManifestWriter.write(manifest, plainOutputs ++ moved ++ tombstones)
+        val minSeq = (plainOutputs ++ moved).flatMap(_.sequenceNumber)
           .foldLeft(snapId)(math.min)
-        val carried2 = untouched.map(_._1) ++ infos.filter(_.content == 1)
-        val unionSum = ScanPlanning.unionSummaries(base, affected.map(_._1))
-        ManifestListWriter.write(list,
-          (carried2.map(_.path) ++ perTuple.map(_._1)) :+ manifest, snapId,
-          addedDataFilesCount = plainOut.size,
-          contents = carried2.map(c => c.path -> c.content).toMap,
-          specIds = carried2.map(c => c.path -> c.specId).toMap ++
-            perTuple.map(m => m._1 -> m._2) ++
-            unionSum.map { case (specId, _) => manifest -> specId },
-          addedSnapshotIds =
-            carried2.map(c => c.path -> c.addedSnapshotId).toMap,
-          addedCounts =
-            carried2.map(c => c.path -> c.addedDataFilesCount).toMap ++
-              perTuple.map(m => m._1 -> m._4),
-          summaries = carriedSummaries(carried2) ++
-            perTuple.map(m => m._1 -> m._3) ++
-            unionSum.map { case (_, fs) => manifest -> fs },
-          seqNums = carried2.map(c => c.path -> c.sequenceNumber).toMap,
-          minSeqNums = carried2.map(c => c.path -> c.minSequenceNumber).toMap +
-            (manifest -> minSeq))
+        writeList(list, untouched.map(_._1) ++ infos.filter(_.content == 1),
+          manifest, plainOutputs.size, 0, snapId,
+          ScanPlanning.unionSummaries(base, affected.map(_._1)),
+          Some(minSeq), perTuple)
       }
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,

@@ -199,6 +199,33 @@ class RewriteWhereSpec extends SparkSpec {
       .head.toSeq == Seq(60L, 1770L))
   }
 
+  test("where + sort compose on a partitioned table: clustered PARTIAL " +
+      "outputs stay partition-pure and bank-visible") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-rwz").toString
+    spark.conf.set("spark.sql.catalog.grwz", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grwz.warehouse", wh)
+    spark.sql("CREATE TABLE grwz.db.t (k BIGINT, r BIGINT) PARTITIONED BY (r)")
+    spark.sql("INSERT INTO grwz.db.t SELECT id, id % 3 FROM RANGE(30)")
+    spark.sql("INSERT INTO grwz.db.t SELECT id, id % 3 FROM RANGE(30, 60)")
+    val dir = s"$wh/db/t"
+    // the partial branch with the SORTED tag route: every file selected,
+    // clustered per partition — outputs must be partition-pure
+    spark.sql("CALL grwz.system.rewrite_data_files(table => 'db.t', " +
+      "where => 'k < 100', strategy => 'sort', sort_order => 'k DESC')")
+    val spread = spark.sql(
+      "SELECT _file, COUNT(DISTINCT r) AS nr FROM grwz.db.t GROUP BY _file")
+      .collect()
+    assert(spread.forall(_.getLong(1) == 1L), spread.mkString(";"))
+    assert(spark.sql("SELECT COUNT(*), CAST(SUM(k) AS BIGINT) FROM grwz.db.t")
+      .head.toSeq == Seq(60L, 1770L))
+    spark.sql("CALL grwz.system.compute_table_stats(table => 'db.t')")
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val sk = TableStats.readWithSketches(meta.statistics
+      .find(_.snapshotId == meta.currentSnapshotId.get).get.path)
+    assert(sk.bank.keySet == Set("{r_id=0}", "{r_id=1}", "{r_id=2}"),
+      sk.bank.keySet)
+  }
+
   test("sort/zorder rewrites are partition-scoped too: clustered outputs " +
       "stay partition-pure and bank-visible") {
     val wh = java.nio.file.Files.createTempDirectory("graft-rws").toString

@@ -54,7 +54,15 @@ object Bench {
     * round-9 failure was whole-line degradation quantizing the driver's
     * entire record at once). A front-truncated line is unparseable, so
     * less precision always beats more characters. */
-  def renderLine(results: Seq[(String, Option[Double])], sfDir: String): String = {
+  /** `extras`: run-context diagnostics (host load, warmup total) rendered
+    * verbatim between "unit" and "queries". BENCH_r18's 294 s driver pass
+    * cost two attribution sessions because the line carried no host-load
+    * stamp — a `load_start` near the core count closes a drifted pass on
+    * sight (BENCH_NOTES documents the adjudication rule). They spend
+    * ~45 chars of the 1918 budget; the per-entry decimal degradation
+    * below absorbs it, trading precision for diagnosability. */
+  def renderLine(results: Seq[(String, Option[Double])], sfDir: String,
+      extras: Seq[(String, Double)] = Nil): String = {
     // only the last path segment ("sf0.1") — the full dir costs ~15 chars of
     // the budget and the driver set it itself; escape what remains, or a
     // quote/backslash yields exactly the unparseable line this format avoids
@@ -72,11 +80,12 @@ object Bench {
     }
     val total = results.flatMap(_._2).sum
     val dec = Array.fill(results.size)(2)
+    val ex = extras.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) + "," }.mkString
     def assemble(): String = {
       val qs = results.zipWithIndex.map { case ((k, v), i) =>
         "\"" + shortKey(k) + "\":" + v.map(fmt(_, dec(i))).getOrElse("null")
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$ex"queries":$qs,"sf":"$sf"}"""
     }
     var line = assemble()
     // Budget 1918, measured from the driver's OWN recorded tail
@@ -117,7 +126,8 @@ object Bench {
     * forced the decimal-degradation hack above), so the FILE is the
     * mechanically-parseable record; the line stays the driver contract. */
   def writeFullJson(path: String, results: Seq[(String, Option[Double])],
-      sfDir: String, totalSec: Double): Unit = {
+      sfDir: String, totalSec: Double,
+      extras: Seq[(String, Double)] = Nil): Unit = {
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(d => f"$d%.4f").getOrElse("null")
     }.mkString("{", ",", "}")
@@ -126,14 +136,28 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    val ex = extras.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" + "," }.mkString
     val json =
-      s"""{"metric":"total","value":${f"$totalSec%.4f"},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${f"$totalSec%.4f"},"unit":"sec",$ex"queries":$qs,"sf":"$sf"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** The host's 1-minute loadavg at call time; None off-Linux or on any
+    * read failure — a missing diagnostic must never fail the bench. */
+  def load1(): Option[Double] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")),
+      java.nio.charset.StandardCharsets.UTF_8).split("\\s+")(0).toDouble)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   def main(args: Array[String]): Unit = {
     Scratch.sweepStale()
+    // host-load stamps: load_start is sampled BEFORE Spark spins up its
+    // local[n] threads, so it measures the OTHER tenants of the machine —
+    // the adjudication signal for a drifted total (load_end includes this
+    // process's own 32 threads and only bounds how hot the box ran)
+    val loadStart = load1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -186,9 +210,12 @@ object Bench {
       if (suspects(n)) n -> best(Seq(v, time(n, SparkEntry.queries(n))))
       else n -> v
     }
+    val extras = loadStart.map("load_start" -> _).toSeq ++
+      load1().map("load_end" -> _) ++
+      Seq("warmup" -> warm.values.flatten.sum)
     sys.env.get("SPARK_GRAFT_BENCH_JSON").foreach(p =>
-      writeFullJson(p, results, sfDir, results.flatMap(_._2).sum))
-    emitFinalLine(renderLine(results, sfDir), () => spark.stop())
+      writeFullJson(p, results, sfDir, results.flatMap(_._2).sum, extras))
+    emitFinalLine(renderLine(results, sfDir, extras), () => spark.stop())
   }
 
   /** The line-is-the-LAST-stdout contract (BenchSpec pins the ordering):

@@ -2013,20 +2013,24 @@ object GraftTable {
     // pins no tuple (unpartitioned tables, foreign mixed manifests)
     // group together exactly as before.
     //
-    // The grouping KEY is (specId, the summary's raw lower-bound byte
-    // sequences) — not the tag payload (byte ARRAYS compare by
+    // The grouping KEY is (specId, the summary's raw lower AND upper
+    // byte sequences) — not the tag payload (byte ARRAYS compare by
     // reference, splitting every manifest into its own group), not the
     // rendered tuple string (NOT injective: two multi-string-field
     // tuples can render identically, and two specs can render the same
     // name while meaning different transform spaces — either collision
     // would stamp one partition's summary onto another's rows and let
-    // list-level pruning silently drop them).
+    // list-level pruning silently drop them). Lower bytes alone are
+    // injective for the tuple-pure manifests this engine writes, but a
+    // foreign writer may TRUNCATE string summary bounds: two distinct
+    // tuples can then share a truncated lower while their uppers still
+    // differ, so both sides participate in the key.
     val tupleTagOf: Map[String, TupleTag] = perManifest0.collect {
       case (Some(tag), es) => es.map(e => uriPath(e.filePath) -> tag)
     }.flatten.toMap
-    def keyOf(tag: TupleTag): (Int, Seq[Seq[Byte]]) =
-      (tag._2, tag._3.map(_.lower.toSeq))
-    val tagByKey: Map[(Int, Seq[Seq[Byte]]), TupleTag] =
+    def keyOf(tag: TupleTag): (Int, Seq[(Seq[Byte], Seq[Byte])]) =
+      (tag._2, tag._3.map(s => (s.lower.toSeq, s.upper.toSeq)))
+    val tagByKey: Map[(Int, Seq[(Seq[Byte], Seq[Byte])]), TupleTag] =
       tupleTagOf.values.map(v => keyOf(v) -> v).toMap
     def tupleGroupsOf(es: Seq[ManifestWriter.EntryData])
         : Seq[(Option[TupleTag], Seq[ManifestWriter.EntryData])] =

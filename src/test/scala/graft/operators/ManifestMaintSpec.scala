@@ -48,7 +48,7 @@ class ManifestMaintSpec extends SparkSpec {
     val beforeDel = before.filter(_.content == 1)
     assert(beforeDel.nonEmpty)
 
-    val result = GraftTable.rewriteManifests(dir)
+    val result = GraftTable.rewriteManifests(spark, dir)
     val after = listInfos(dir)
     val dataAfter = after.filter(_.content == 0)
     assert(dataAfter.size == 1, s"expected 1 consolidated manifest, got $after")
@@ -76,7 +76,9 @@ class ManifestMaintSpec extends SparkSpec {
     assert(result.metadata.currentSnapshot.get.operation.contains("replace"))
   }
 
-  test("rewrite_manifests keeps the union partition summary (list-level pruning intact)") {
+  test("rewrite_manifests consolidates PER TUPLE on a partitioned table: " +
+      "exact field-507 summaries survive (one-per-spec would widen them " +
+      "to the whole domain and kill list pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rws").toString
     GraftTable.create(dir, IcebergSchema(0, Seq(
       IcebergField(1, "n_nationkey", required = false, "int"),
@@ -86,16 +88,46 @@ class ManifestMaintSpec extends SparkSpec {
         Seq(PartitionField("n_regionkey_id", "identity", 3, 1000))))
     val nation = graft.Tables.load(spark, sfDir, "nation")
       .select(col("n_nationkey"), col("n_regionkey"))
-    GraftTable.append(spark, dir, nation.filter(col("n_regionkey") <= 1))
-    GraftTable.append(spark, dir, nation.filter(col("n_regionkey") > 1))
-    GraftTable.rewriteManifests(dir)
+    // two appends × 5 regions = 10 tuple-pure manifests
+    GraftTable.append(spark, dir, nation)
+    GraftTable.append(spark, dir, nation)
+    assert(listInfos(dir).count(_.content == 0) == 10)
+    GraftTable.rewriteManifests(spark, dir)
     val dataAfter = listInfos(dir).filter(_.content == 0)
-    assert(dataAfter.size == 1)
-    val sums = dataAfter.head.summaries
-    assert(sums.isDefined && sums.get.nonEmpty, "union summary must survive")
-    val lo = SingleValueCodec.decode(IcebergTypes.TInt, sums.get.head.lower.get)
-    val hi = SingleValueCodec.decode(IcebergTypes.TInt, sums.get.head.upper.get)
-    assert(lo == 0 && hi == 4, s"summary [$lo,$hi] must span both manifests")
+    assert(dataAfter.size == 5, s"one manifest per tuple, got $dataAfter")
+    // each consolidated manifest keeps its EXACT single-region summary
+    val regions = dataAfter.map { i =>
+      val s = i.summaries.get.head
+      val lo = SingleValueCodec.decode(IcebergTypes.TInt, s.lower.get)
+      val hi = SingleValueCodec.decode(IcebergTypes.TInt, s.upper.get)
+      assert(lo == hi, s"tuple summary must stay exact: [$lo,$hi]")
+      lo
+    }
+    assert(regions.toSet == Set(0, 1, 2, 3, 4))
+    // each holds BOTH appends' entries for its region
+    assert(dataAfter.forall(i => ManifestWriter.read(i.path).size == 2))
+    // list-level pruning alive across the consolidation: destroy every
+    // OTHER region's manifest — a scan of the surviving region must not
+    // open them (the first listed manifest survives: the source infers
+    // its Avro schema from it)
+    val keep = dataAfter.head
+    val keepRegion = SingleValueCodec.decode(IcebergTypes.TInt,
+      keep.summaries.get.head.lower.get).asInstanceOf[Int]
+    dataAfter.tail.foreach(i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(i.path).toUri.getPath),
+        "corrupted: pruned manifests must never open".getBytes))
+    val survivors = spark.read.format("graft-manifest")
+      .option("metadata", GraftTable.latestMetadataPath(dir))
+      .option("manifest-list", TableMetadata
+        .parseFile(GraftTable.latestMetadataPath(dir))
+        .currentSnapshot.get.manifestList.get)
+      .load()
+      .filter(col("lower_n_regionkey") <= keepRegion &&
+        col("upper_n_regionkey") >= keepRegion)
+      .select(col("data_file.file_path"))
+    assert(survivors.collect().length == 2,
+      "exactly the surviving region's two entries plan past the corrupted manifests")
   }
 
   test("remove_orphan_files deletes only unreachable files; older-than guard holds") {

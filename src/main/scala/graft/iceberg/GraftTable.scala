@@ -3340,13 +3340,36 @@ object GraftTable {
         catch { case scala.util.control.NonFatal(_) => None }
       else Some(statsPass(spark, readDataFiles(spark, meta, paths), typed))
     // per-tuple passes when the bank needs refreshing (same files, same
-    // bytes, P concurrent jobs); one pass otherwise
+    // bytes) — BATCHED B tuples per job like the other two bank writers
+    // ([[partStatsBatch]]): a streaming ingest appending into 10^3
+    // partitions refreshes in ⌈tuples/B⌉ jobs, not 10^3, with the keyed
+    // pass's per-tuple results byte-identical to the per-tuple jobs'
+    def batchPassOf(batch: Seq[(String, Seq[(Option[String], ManifestWriter.EntryData)])])
+        : Seq[(String, Option[(Long, Array[Long], Array[Boolean], Array[Array[Byte]])])] = {
+      if (batch.size == 1)
+        return batch.map { case (t, tes) => t -> passOf(tes.map(_._2.filePath)) }
+      import spark.implicits._
+      val idx = batch.zipWithIndex.flatMap { case ((_, tes), i) =>
+        tes.map(te => uriPath(te._2.filePath) -> i) }
+      def run() = {
+        val df = readDataFiles(spark, meta,
+            batch.flatMap(_._2.map(_._2.filePath)), withAddress = true)
+          .join(broadcast(idx.toDF("_bk_file", "_bk_idx")),
+            normPathCol(col("_file")) === col("_bk_file"))
+        val per = statsPassKeyed(spark, df, batch.size, typed)
+        batch.zipWithIndex.map { case ((t, _), i) => t -> Some(per(i)) }
+      }
+      if (chainHasReplace)
+        try run()
+        catch { case scala.util.control.NonFatal(_) =>
+          batch.map { case (t, _) => t -> None } }
+      else run()
+    }
     val freshPerTupleOpt: Map[String,
         Option[(Long, Array[Long], Array[Boolean], Array[Array[Byte]])]] =
       if (!bankable || newPaths.isEmpty) Map.empty
-      else Par.inParallel(
-        newTagged.groupBy(_._1.get).toSeq.sortBy(_._1)) { case (t, tes) =>
-          t -> passOf(tes.map(_._2.filePath)) }.toMap
+      else Par.inParallel(newTagged.groupBy(_._1.get).toSeq.sortBy(_._1)
+          .grouped(bankBatchTuples(spark)).toSeq)(batchPassOf).flatten.toMap
     if (freshPerTupleOpt.values.exists(_.isEmpty)) return full()
     val freshPerTuple = freshPerTupleOpt.map { case (t, o) => t -> o.get }
     val (newRows, newNulls, newEmpty, newSketches) =

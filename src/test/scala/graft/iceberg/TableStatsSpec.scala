@@ -1017,6 +1017,24 @@ class TableStatsSpec extends SparkSpec {
     assert(sk.bank("{r_id=3}").rowCount == 4L,
       sk.bank.view.mapValues(_.rowCount).toMap)
     assert(sk.doc.columns(idOf("k")).ndv == 58L)
+    // the APPEND-path bank refresh batches too: 6 tuples at B=4 refresh
+    // in 2 batch jobs with exact per-tuple results
+    spark.conf.set("graft.stats.bankBatchTuples", "4")
+    try {
+      spark.sql(
+        "INSERT INTO gbat.db.t SELECT id, CONCAT('w', id), id % 6 FROM RANGE(100, 130)")
+      val out2 = spark.sql(
+        "CALL gbat.system.compute_table_stats(table => 'db.t', incremental => true)").head
+      assert(out2.getString(4) == "incremental", out2.toString)
+      assert(out2.getLong(1) == 88L, out2.toString)
+      val sk2 = TableStats.readWithSketches(
+        TableMetadata.parseFile(GraftTable.latestMetadataPath(dir)).statistics
+          .find(_.snapshotId == out2.getLong(0)).get.path)
+      // r_id=0: 5 original (k%12=0) + 5 appended (k%6=0 in 100..129)
+      assert(sk2.bank("{r_id=0}").rowCount == 10L,
+        sk2.bank.view.mapValues(_.rowCount).toMap)
+      assert(sk2.doc.columns(idOf("k")).ndv == 88L)
+    } finally spark.conf.unset("graft.stats.bankBatchTuples")
   }
 
   test("PARTITION SKETCH BANK survives the append-path refresh: append → " +

@@ -3033,30 +3033,43 @@ object GraftTable {
     val allEntries = batch.flatMap(_._2)
     val idxOfFile: Seq[(String, Int)] = batch.zipWithIndex.flatMap {
       case ((_, es), i) => es.map(e => uriPath(e.filePath) -> i) }
-    val df = readFromEntries(spark, meta,
-        allEntries.map(e => (e, e.sequenceNumber.get)), posE, eqE)
-      .join(broadcast(idxOfFile.toDF("_bk_file", "_bk_idx")),
-        normPathCol(col("_file")) === col("_bk_file"))
-    val per = statsPassKeyed(spark, df, batch.size, typed)
+    val df0 = readFromEntries(spark, meta,
+      allEntries.map(e => (e, e.sequenceNumber.get)), posE, eqE)
+    val (fileCol, idxCol) = bkCols(df0.columns)
+    val df = df0.join(broadcast(idxOfFile.toDF(fileCol, idxCol)),
+      normPathCol(col("_file")) === col(fileCol))
+    val per = statsPassKeyed(spark, df, idxCol, batch.size, typed)
     batch.zipWithIndex.map { case ((t, _), i) =>
       val (rc, nulls, saw, sks) = per(i)
       t -> toPartStats(typed, rc, nulls, saw, sks)
     }
   }
 
-  /** [[statsPass]] with an in-task group-by on the `_bk_idx` tuple-index
+  /** Internal join-column names for the keyed stats pass, picked to
+    * never collide with the table's own columns (a user column literally
+    * named `_bk_idx` must not break batched ANALYZE where the per-tuple
+    * path worked). */
+  private def bkCols(taken: Array[String]): (String, String) = {
+    def fresh(base: String) = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !taken.contains(n)).get
+    (fresh("_bk_file"), fresh("_bk_idx"))
+  }
+
+  /** [[statsPass]] with an in-task group-by on the `idxCol` tuple-index
     * column. Per-key accumulators allocate LAZILY: the engine's data
     * files are partition-pure, so a task usually holds one key and the
     * working set stays one tuple's sketches, not B of them. Only
     * keys-present × cols compact sketches plus counters leave each task. */
-  private def statsPassKeyed(spark: SparkSession, df: DataFrame, nKeys: Int,
+  private def statsPassKeyed(spark: SparkSession, df: DataFrame,
+      idxCol: String, nKeys: Int,
       typed: Seq[(IcebergField, IcebergType)])
       : Array[(Long, Array[Long], Array[Boolean], Array[Array[Byte]])] = {
     import spark.implicits._
     val types = typed.map(_._2).toArray
     val n = types.length
     val partials: Array[(Int, Long, Seq[Long], Seq[Long], Seq[Array[Byte]])] =
-      df.select(col("_bk_idx") +: typed.map { case (f, _) => col(f.name) }: _*)
+      df.select(col(idxCol) +: typed.map { case (f, _) => col(f.name) }: _*)
         .mapPartitions { it =>
           final class Acc {
             var cnt = 0L
@@ -3352,11 +3365,12 @@ object GraftTable {
       val idx = batch.zipWithIndex.flatMap { case ((_, tes), i) =>
         tes.map(te => uriPath(te._2.filePath) -> i) }
       def run() = {
-        val df = readDataFiles(spark, meta,
-            batch.flatMap(_._2.map(_._2.filePath)), withAddress = true)
-          .join(broadcast(idx.toDF("_bk_file", "_bk_idx")),
-            normPathCol(col("_file")) === col("_bk_file"))
-        val per = statsPassKeyed(spark, df, batch.size, typed)
+        val df0 = readDataFiles(spark, meta,
+          batch.flatMap(_._2.map(_._2.filePath)), withAddress = true)
+        val (fileCol, idxCol) = bkCols(df0.columns)
+        val df = df0.join(broadcast(idx.toDF(fileCol, idxCol)),
+          normPathCol(col("_file")) === col(fileCol))
+        val per = statsPassKeyed(spark, df, idxCol, batch.size, typed)
         batch.zipWithIndex.map { case ((t, _), i) => t -> Some(per(i)) }
       }
       if (chainHasReplace)
@@ -3956,11 +3970,16 @@ object GraftTable {
     val backfill: Map[String, Map[Int, Long]] =
       Par.inParallel(legacyEq) { e =>
         // an eq-delete file's schema IS its equality-id list — count the
-        // key columns' nulls from the file itself
-        val names = spark.read.parquet(e.filePath).schema.fieldNames.toSet
-        val fields = meta0.currentSchema.fields.filter(f => names.contains(f.name))
-        uriPath(e.filePath) -> deriveStatsFor(spark, e.filePath, fields)._4
-      }.toMap
+        // key columns' nulls from the file itself. A file the agg cannot
+        // read (foreign non-parquet eq deletes) just stays un-backfilled:
+        // its entry carries verbatim and the bank keeps treating it
+        // conservatively — the rewrite must not fail over a diagnostic.
+        scala.util.Try {
+          val names = spark.read.parquet(e.filePath).schema.fieldNames.toSet
+          val fields = meta0.currentSchema.fields.filter(f => names.contains(f.name))
+          uriPath(e.filePath) -> deriveStatsFor(spark, e.filePath, fields)._4
+        }.toOption
+      }.flatten.toMap
     OptimisticCommit.commit(tableDir, (base, basePath) => {
       val snapId = (base.snapshots.map(_.snapshotId) :+ 0L).max + 1
       val attempt = java.util.UUID.randomUUID()
@@ -3982,11 +4001,17 @@ object GraftTable {
       val (tagged, untagged) = perManifest.partition(_._2.nonEmpty)
       // tuple groups key on RAW summary bytes, never the rendered string
       // (not injective — the dac3de2 rule); lower AND upper both
-      // participate against foreign truncated bounds
+      // participate against foreign truncated bounds. Groups with NO
+      // live entries (a COW-deleted partition whose manifests hold only
+      // tombstones) are DROPPED, not written empty — an empty manifest
+      // stamped with a dead tuple's summary would be re-listed by every
+      // future rewrite, so manifest count would never return to the
+      // live-tuple count.
       val tupleGroups = tagged.groupBy(t => (t._1.specId,
           t._1.summaries.get.map(s =>
             (s.lower.map(_.toSeq), s.upper.map(_.toSeq)))))
         .toSeq.sortBy(_._1.toString)
+        .filter(_._2.exists(_._3.nonEmpty))
       val rewrittenTuple = Par.inParallel(tupleGroups.zipWithIndex) {
         case ((_, g), j) =>
           val entries = g.flatMap(_._3)
@@ -3999,6 +4024,7 @@ object GraftTable {
               s.lower.getOrElse(Array.empty), s.upper.getOrElse(Array.empty)))))
       }
       val bySpec = untagged.groupBy(_._1.specId).toSeq.sortBy(_._1)
+        .filter(_._2.exists(_._3.nonEmpty))
       val rewrittenSpec = bySpec.map { case (specId, g) =>
         val entries = g.flatMap(_._3)
         val m = s"$tableDir/m-rewrite-$snapId-$attempt-spec$specId.avro"
@@ -4008,14 +4034,18 @@ object GraftTable {
           ScanPlanning.unionSummaries(base, g.map(_._1)).map(_._2))
       }
       val rewritten = rewrittenTuple ++ rewrittenSpec
-      // delete manifests: verbatim unless a pre-110 equality entry needs
-      // its null counts backfilled
-      val (delFix, delCarry) = delInfos.partition(i =>
-        ManifestWriter.read(i.path).exists(e =>
-          e.status != 2 && e.content == 2 && e.nullValueCounts.isEmpty &&
-            backfill.contains(uriPath(e.filePath))))
-      val delRewritten = delFix.zipWithIndex.map { case (i, j) =>
-        val entries = ManifestWriter.read(i.path).filter(_.status != 2).map { e =>
+      // delete manifests: ONE concurrent sweep serves both the
+      // needs-backfill test and the rewrite (the same single-read rule
+      // the data side follows) — verbatim unless a pre-110 equality
+      // entry needs its null counts backfilled
+      val perDelManifest = Par.inParallel(delInfos)(i =>
+        (i, ManifestWriter.read(i.path)))
+      val (delFix, delCarry) = perDelManifest.partition { case (_, es) =>
+        es.exists(e => e.status != 2 && e.content == 2 &&
+          e.nullValueCounts.isEmpty && backfill.contains(uriPath(e.filePath)))
+      }
+      val delRewritten = delFix.zipWithIndex.map { case ((i, es), j) =>
+        val entries = es.filter(_.status != 2).map { e =>
           val filled =
             if (e.content == 2 && e.nullValueCounts.isEmpty)
               backfill.getOrElse(uriPath(e.filePath), e.nullValueCounts)
@@ -4029,35 +4059,36 @@ object GraftTable {
         ManifestWriter.write(m, entries)
         (m, i)
       }
+      val delCarryInfos = delCarry.map(_._1)
       val list = s"$tableDir/snap-$snapId-$attempt-list.avro"
       ManifestListWriter.write(list,
-        rewritten.map(_._1) ++ delRewritten.map(_._1) ++ delCarry.map(_.path),
+        rewritten.map(_._1) ++ delRewritten.map(_._1) ++ delCarryInfos.map(_.path),
         snapId,
         addedDataFilesCount = 0,
         contents = (rewritten.map(r => r._1 -> 0) ++
           delRewritten.map(d => d._1 -> 1) ++
-          delCarry.map(i => i.path -> 1)).toMap,
+          delCarryInfos.map(i => i.path -> 1)).toMap,
         specIds = rewritten.map(r => r._1 -> r._2).toMap ++
           delRewritten.map(d => d._1 -> d._2.specId) ++
-          delCarry.map(i => i.path -> i.specId),
+          delCarryInfos.map(i => i.path -> i.specId),
         addedSnapshotIds = (rewritten.map(r => r._1 -> snapId) ++
           // a backfilled delete manifest keeps its ORIGINAL provenance:
           // the deletes were added by their own commit, not this rewrite
           delRewritten.map(d => d._1 -> d._2.addedSnapshotId) ++
-          delCarry.map(i => i.path -> i.addedSnapshotId)).toMap,
+          delCarryInfos.map(i => i.path -> i.addedSnapshotId)).toMap,
         addedCounts = (rewritten.map(r => r._1 -> 0) ++
           delRewritten.map(d => d._1 -> d._2.addedDataFilesCount) ++
-          delCarry.map(i => i.path -> i.addedDataFilesCount)).toMap,
+          delCarryInfos.map(i => i.path -> i.addedDataFilesCount)).toMap,
         summaries = rewritten.flatMap(r => r._4.map(s => r._1 -> s)).toMap ++
           delRewritten.flatMap(d => carriedSummaries(Seq(d._2)).values
             .headOption.map(d._1 -> _)) ++
-          carriedSummaries(delCarry),
+          carriedSummaries(delCarryInfos),
         seqNums = (rewritten.map(r => r._1 -> snapId) ++
           delRewritten.map(d => d._1 -> d._2.sequenceNumber) ++
-          delCarry.map(i => i.path -> i.sequenceNumber)).toMap,
+          delCarryInfos.map(i => i.path -> i.sequenceNumber)).toMap,
         minSeqNums = (rewritten.map(r => r._1 -> r._3) ++
           delRewritten.map(d => d._1 -> d._2.minSequenceNumber) ++
-          delCarry.map(i => i.path -> i.minSequenceNumber)).toMap)
+          delCarryInfos.map(i => i.path -> i.minSequenceNumber)).toMap)
       MetadataWriter.commitSnapshot(base,
         Snapshot(snapId, base.currentSnapshotId, base.lastUpdatedMs + 1000,
           Some("replace"),
@@ -4667,8 +4698,43 @@ object GraftTable {
     val eqFile = s"$tableDir/data/eqdel-$upsertUuid.parquet"
     ParquetFiles.writeOne(projected.select(keyCols.map(col): _*).distinct()
       .orderBy(keyCols.map(col): _*), eqFile)
+    // a spec the write kernels can't split by (a foreign 'void'
+    // transform, exotic source types, transform×type combos only the
+    // task-time kernel would reject) must NOT fail the upsert — it
+    // falls back to the untupled single-file shape, the pre-r19 honest
+    // bound (bank parked until compaction), instead of breaking a
+    // working CDC pipeline on such a table
+    val partInfo = scala.util.Try(
+        graft.sources.GraftTableWrites.partInfoOf(meta0, schema))
+      .toOption.flatten.filter(_._2.forall { case (idx, srcT, transform, _) =>
+        val sparkOk = schema.fields(idx).dataType match {
+          case org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType |
+               org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.BooleanType => true
+          case _: org.apache.spark.sql.types.DecimalType => true
+          case _ => false
+        }
+        val comboOk = transform match {
+          case "identity" | "hour" => true // hour: partInfoOf restricted it
+          case t if t.startsWith("bucket[") =>
+            Set[IcebergType](IcebergTypes.TInt, IcebergTypes.TLong,
+              IcebergTypes.TString)(srcT)
+          case t if t.startsWith("truncate[") => true // partInfoOf restricted
+          case "year" | "month" | "day" =>
+            Set[IcebergType](IcebergTypes.TDate, IcebergTypes.TTimestamp,
+              IcebergTypes.TTimestamptz)(srcT)
+          case _ => false
+        }
+        sparkOk && comboOk
+      })
     val dataMsgs: Seq[graft.sources.GraftFileMessage] =
-      graft.sources.GraftTableWrites.partInfoOf(meta0, schema) match {
+      partInfo match {
         case None =>
           val dataFile = s"$tableDir/data/upsert-$upsertUuid.parquet"
           ParquetFiles.writeOne(projected.orderBy(keyCols.map(col): _*), dataFile)

@@ -961,12 +961,17 @@ class TableStatsSpec extends SparkSpec {
       spark.sparkContext.setJobGroup(group, group)
       try body finally spark.sparkContext.clearJobGroup()
       // the status store is fed asynchronously off the listener bus —
-      // poll until the count is stable
+      // require the count stable across THREE consecutive polls (a
+      // single 300ms-apart pair can straddle a bus stall mid-drain)
       def n() = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
       var prev = -1
-      var cur = n()
-      while (cur != prev) { prev = cur; Thread.sleep(300); cur = n() }
-      cur
+      var stable = 0
+      while (stable < 3) {
+        val cur = n()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        Thread.sleep(250)
+      }
+      prev
     }
     def bankOf(): Map[String, (Long, Map[Int, (Seq[Byte], Long, Boolean)])] = {
       val meta = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))

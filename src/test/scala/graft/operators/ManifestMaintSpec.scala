@@ -130,6 +130,57 @@ class ManifestMaintSpec extends SparkSpec {
       "exactly the surviving region's two entries plan past the corrupted manifests")
   }
 
+  test("rewrite_manifests drops groups with no live entries: a tombstone-" +
+      "only manifest is never re-listed as an empty one forever") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-rwd0").toString
+    spark.conf.set("spark.sql.catalog.grwd0", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grwd0.warehouse", wh)
+    spark.sql("CREATE TABLE grwd0.db.t (k BIGINT, r BIGINT) PARTITIONED BY (r)")
+    spark.sql("INSERT INTO grwd0.db.t SELECT id, id % 3 FROM RANGE(30)")
+    val dir = s"$wh/db/t"
+    // full compaction leaves per-tuple output manifests PLUS a plain
+    // manifest holding only the replaced files' tombstones
+    spark.sql("CALL grwd0.system.rewrite_data_files(table => 'db.t')")
+    val preData = listInfos(dir).filter(_.content == 0)
+    assert(preData.exists(i =>
+      ManifestWriter.read(i.path).forall(_.status == 2)),
+      s"the compaction must leave a tombstone-only manifest: $preData")
+    spark.sql("CALL grwd0.system.rewrite_manifests(table => 'db.t')")
+    def liveDataManifests() = listInfos(dir).filter(_.content == 0)
+    val after = liveDataManifests()
+    assert(after.size == 3, s"one manifest per live tuple, got $after")
+    assert(after.forall(i => ManifestWriter.read(i.path)
+        .exists(_.status != 2)),
+      "no re-listed manifest may be empty or tombstone-only")
+    // idempotent: a second pass neither grows nor shrinks the set
+    spark.sql("CALL grwd0.system.rewrite_manifests(table => 'db.t')")
+    assert(liveDataManifests().size == 3)
+    assert(spark.sql("SELECT COUNT(*), CAST(SUM(k) AS BIGINT) FROM grwd0.db.t")
+      .head.toSeq == Seq(30L, 435L))
+  }
+
+  test("upsert falls back to the untupled shape on a spec the write " +
+      "kernel cannot split (void transform)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upv").toString
+    GraftTable.create(dir, IcebergSchema(0, Seq(
+      IcebergField(1, "k", required = false, "long"),
+      IcebergField(2, "v", required = false, "string"))),
+      tableUuid = java.util.UUID.randomUUID().toString,
+      timestampMs = 1700000000000L,
+      spec = PartitionSpec(0, Seq(PartitionField("k_void", "void", 1, 1000))))
+    // the pre-r19 contract: an upsert on a spec the per-tuple writer
+    // cannot split must still COMMIT (untupled data file), not throw
+    GraftTable.upsert(spark, dir,
+      spark.sql("SELECT CAST(1 AS BIGINT) k, 'a' v " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), 'b'"), Seq("k"))
+    GraftTable.upsert(spark, dir,
+      spark.sql("SELECT CAST(2 AS BIGINT) k, 'B' v"), Seq("k"))
+    val rows = GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+      .orderBy(col("k")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B")))
+  }
+
   test("remove_orphan_files deletes only unreachable files; older-than guard holds") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orph").toString
     mkTable(dir)

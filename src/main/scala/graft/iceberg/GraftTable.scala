@@ -2578,12 +2578,13 @@ object GraftTable {
             val sk = TableStats.readWithSketches(sf.path)
             val path =
               s"$tableDir/stats-${d.snapshotId}-${java.util.UUID.randomUUID()}.puffin"
-            // engine rows keep full fidelity; foreign-only rows keep
-            // their standard theta bodies (the ndv property re-derives
-            // from the sketch — write() requires null counts, which
-            // foreign rows honestly lack)
-            val doc = sk.doc.copy(snapshotId = d.snapshotId,
-              columns = sk.doc.columns.filter(_._2.nullCount.isDefined))
+            // engine rows keep full fidelity; foreign-only rows (no
+            // null count) keep their standard theta bodies AND their
+            // DECLARED ndv — write() carries it on the standard blob's
+            // ndv property instead of re-deriving from the sketch
+            // estimate, so a pure metadata re-key never shifts the NDV
+            // the CBO is served
+            val doc = sk.doc.copy(snapshotId = d.snapshotId)
             // the partition sketch bank re-keys WITH the document — a
             // replace never moves rows between partitions, so every
             // banked entry stays exact at the descendant; dropping it
@@ -3205,7 +3206,8 @@ object GraftTable {
     val (prevDoc, prevBodies, prevEmpty) = (sk.doc, sk.bodies, sk.sawEmpty)
     val ids = typed.map(_._1.id).toSet
     if (prevDoc.columns.keySet != ids || !ids.forall(prevBodies.contains) ||
-        prevDoc.columns.values.exists(_.nullCount.isEmpty)) return full()
+        prevDoc.columns.values.exists(_.nullCount.isEmpty) ||
+        prevDoc.rowCount < 0) return full()
     // the sketch hashes PROMOTED types (int as long, float as double —
     // the Puffin spec's rule), so the legal widenings stay
     // union-compatible by construction; any OTHER recorded-vs-current

@@ -26,18 +26,58 @@ object Puffin {
 
   private val mapper = new ObjectMapper()
 
-  /** One blob to write: `body` bytes plus its footer metadata. */
+  /** One blob to write: `body` bytes plus its footer metadata. `codec`
+    * (spec `compression-codec`: "lz4" frame or "zstd") compresses the
+    * body on write; None writes it raw. */
   final case class Blob(
       blobType: String,
       fields: Seq[Int],
       snapshotId: Long,
       sequenceNumber: Long,
       properties: Map[String, String],
-      body: Array[Byte])
+      body: Array[Byte],
+      codec: Option[String] = None)
 
-  /** A written blob's location inside the file. */
+  /** A written blob's location inside the file. `codec` is the spec's
+    * per-blob `compression-codec` — readers MUST route the sliced bytes
+    * through [[decompress]] before deserializing, or a spec-conformant
+    * compressed foreign blob misparses. */
   final case class BlobRef(blobType: String, fields: Seq[Int],
-      offset: Long, length: Long, properties: Map[String, String])
+      offset: Long, length: Long, properties: Map[String, String],
+      codec: Option[String] = None)
+
+  /** Decode a blob body per its `compression-codec` (puffin-spec): lz4
+    * frame and zstd via the libraries Spark itself bundles. An UNKNOWN
+    * codec throws — callers decide whether that drops one blob or the
+    * whole document. */
+  def decompress(codec: Option[String], bytes: Array[Byte]): Array[Byte] =
+    codec match {
+      case None => bytes
+      case Some("lz4") =>
+        val in = new net.jpountz.lz4.LZ4FrameInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try in.readAllBytes() finally in.close()
+      case Some("zstd") =>
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try in.readAllBytes() finally in.close()
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unsupported Puffin codec $other")
+    }
+
+  private def compress(codec: Option[String], bytes: Array[Byte]): Array[Byte] =
+    codec match {
+      case None => bytes
+      case Some("lz4") =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        try out.write(bytes) finally out.close()
+        bos.toByteArray
+      case Some("zstd") =>
+        com.github.luben.zstd.Zstd.compress(bytes)
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unsupported Puffin codec $other")
+    }
 
   /** Write a Puffin file; returns (refs in input order, file size).
     * `conf` carries the session's fs.* settings when the caller runs on
@@ -47,10 +87,12 @@ object Puffin {
       fileProperties: Map[String, String],
       conf: org.apache.hadoop.conf.Configuration = null): (Seq[BlobRef], Long) = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val encoded = blobs.map(b => compress(b.codec, b.body))
     var offset = Magic.length.toLong
-    val refs = blobs.map { b =>
-      val r = BlobRef(b.blobType, b.fields, offset, b.body.length.toLong, b.properties)
-      offset += b.body.length
+    val refs = blobs.zip(encoded).map { case (b, e) =>
+      val r = BlobRef(b.blobType, b.fields, offset, e.length.toLong,
+        b.properties, b.codec)
+      offset += e.length
       r
     }
     val footer = mapper.createObjectNode()
@@ -64,6 +106,7 @@ object Puffin {
       m.put("sequence-number", b.sequenceNumber)
       m.put("offset", r.offset)
       m.put("length", r.length)
+      r.codec.foreach(m.put("compression-codec", _))
       val props = m.putObject("properties")
       r.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
     }
@@ -78,7 +121,7 @@ object Puffin {
     def emit(b: Array[Byte]): Unit = { out.write(b); size += b.length }
     try {
       emit(Magic)
-      blobs.foreach(b => emit(b.body))
+      encoded.foreach(emit)
       emit(Magic); emit(payload); emit(tail); emit(Magic)
     } finally out.close()
     (refs, size)
@@ -102,8 +145,16 @@ object Puffin {
       s"$path is not a Puffin file")
     val payloadSize = ByteBuffer.wrap(bytes, bytes.length - 12, 4)
       .order(ByteOrder.LITTLE_ENDIAN).getInt
-    val payload = java.util.Arrays.copyOfRange(
+    // flags word (spec): bit 0 = footer payload is lz4-frame compressed;
+    // any OTHER bit is from a future spec revision — refuse loudly
+    // rather than misparse the directory
+    val flags = ByteBuffer.wrap(bytes, bytes.length - 8, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    require((flags & ~1) == 0, s"$path: unsupported Puffin footer flags $flags")
+    val payload0 = java.util.Arrays.copyOfRange(
       bytes, bytes.length - 12 - payloadSize, bytes.length - 12)
+    val payload =
+      if ((flags & 1) == 0) payload0 else decompress(Some("lz4"), payload0)
     val footer = mapper.readTree(
       new String(payload, java.nio.charset.StandardCharsets.UTF_8))
     def propsOf(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
@@ -113,7 +164,8 @@ object Puffin {
         b.get("type").asText,
         Option(b.get("fields")).toSeq.flatMap(_.elements().asScala.map(_.asInt)).toSeq,
         b.get("offset").asLong, b.get("length").asLong,
-        propsOf(b.get("properties")))
+        propsOf(b.get("properties")),
+        Option(b.get("compression-codec")).map(_.asText))
     }.toSeq
     (bytes, refs, propsOf(footer.get("properties")))
   }

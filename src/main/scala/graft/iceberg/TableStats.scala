@@ -144,10 +144,15 @@ object TableStats {
       fieldTypes: Map[Int, String] = Map.empty,
       bank: Map[String, PartStats] = Map.empty): Long = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    val ndvBlobs = doc.columns.toSeq.sortBy(_._1).map { case (fieldId, cs) =>
-      val nulls = cs.nullCount.getOrElse(
-        throw new IllegalArgumentException(
-          "engine-written stats always carry null counts"))
+    // the engine's own record is written ONLY for columns carrying a
+    // null count; a FOREIGN-sourced column (nullCount None — e.g. an
+    // expiry re-key carrying a foreign doc forward) keeps its declared
+    // ndv through the STANDARD blob's property below instead of being
+    // silently re-derived from the sketch estimate
+    val ndvBlobs = doc.columns.toSeq
+      .collect { case (fieldId, cs) if cs.nullCount.isDefined => (fieldId, cs) }
+      .sortBy(_._1).map { case (fieldId, cs) =>
+      val nulls = cs.nullCount.get
       val b = mapper.createObjectNode()
       b.put("ndv", cs.ndv)
       b.put("null-count", nulls)
@@ -212,29 +217,45 @@ object TableStats {
     docFrom(raw, refs, props)
   }
 
+  /** A blob's body bytes, routed through its declared compression codec
+    * (puffin-spec `compression-codec`) — None when the slice or the
+    * decode fails, so one bad/unknown-codec blob costs ITSELF, not the
+    * document. */
+  private def bodyOf(raw: Array[Byte], r: Puffin.BlobRef): Option[Array[Byte]] =
+    scala.util.Try(Puffin.decompress(r.codec, java.util.Arrays.copyOfRange(
+      raw, r.offset.toInt, (r.offset + r.length).toInt))).toOption
+
   private def docFrom(raw: Array[Byte], refs: Seq[Puffin.BlobRef],
       props: Map[String, String]): Doc = {
-    val own = refs.filter(_.blobType == "graft-ndv-v1").map { r =>
-      r.fields.head -> ColumnStats(
-        r.properties("ndv").toLong, Some(r.properties("null-count").toLong))
+    // per-blob recovery on BOTH families: one malformed blob (tampered
+    // file, a third-party tool reusing the blob-type name) must drop
+    // that column only — never throw past the caller's whole-doc Try
+    // and take the healthy columns with it
+    val own = refs.filter(_.blobType == "graft-ndv-v1").flatMap { r =>
+      scala.util.Try(r.fields.head -> ColumnStats(
+        r.properties("ndv").toLong,
+        Some(r.properties("null-count").toLong))).toOption
     }.toMap
     val foreign = refs
       .filter(r => r.blobType == ThetaBlobType && r.fields.length == 1 &&
         !own.contains(r.fields.head))
       .flatMap { r =>
         // a malformed ndv property (e.g. a foreign writer rendering
-        // "1.0E3") must fall to the sketch estimate, not throw past the
-        // caller's whole-doc Try and drop our own blobs with it
+        // "1.0E3") must fall to the sketch estimate
         r.properties.get("ndv").flatMap(v => scala.util.Try(v.toLong).toOption)
-          .orElse(scala.util.Try {
-            val body = java.util.Arrays.copyOfRange(
-              raw, r.offset.toInt, (r.offset + r.length).toInt)
+          .orElse(bodyOf(raw, r).flatMap(body => scala.util.Try(
             Math.round(org.apache.datasketches.theta.Sketches.wrapSketch(
-              org.apache.datasketches.memory.Memory.wrap(body)).getEstimate)
-          }.toOption)
+              org.apache.datasketches.memory.Memory.wrap(body)).getEstimate))
+            .toOption))
           .map(ndv => r.fields.head -> ColumnStats(ndv, None))
       }.toMap
-    Doc(props("snapshot-id").toLong, props("row-count").toLong, foreign ++ own)
+    // a TRULY foreign file (Trino/Iceberg-Java ANALYZE) carries no
+    // engine file-properties: tolerate their absence — the per-column
+    // NDVs are the payload; -1 marks the counters unknown (consumers
+    // that need them — incremental anchoring — reject negatives)
+    def prop(k: String): Long = props.get(k)
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(-1L)
+    Doc(prop("snapshot-id"), prop("row-count"), foreign ++ own)
   }
 
   /** Everything the incremental-ANALYZE union needs from the anchor
@@ -255,13 +276,14 @@ object TableStats {
     * ever applied. */
   def readWithSketches(path: String): SketchDoc = {
     val (raw, refs, props) = Puffin.read(path)
+    // codec-aware: a compressed foreign body decompresses into a
+    // union-ready sketch; an unknown codec drops that body only — the
+    // incremental guard (every id must have a body) then recomputes
     val bodies = refs
       .filter(r => r.blobType == ThetaBlobType && r.fields.length == 1)
-      .map { r =>
-        r.fields.head -> java.util.Arrays.copyOfRange(
-          raw, r.offset.toInt, (r.offset + r.length).toInt)
-      }.toMap
-    val ownRefs = refs.filter(_.blobType == "graft-ndv-v1")
+      .flatMap(r => bodyOf(raw, r).map(r.fields.head -> _)).toMap
+    val ownRefs = refs.filter(r =>
+      r.blobType == "graft-ndv-v1" && r.fields.nonEmpty)
     val sawEmpty = ownRefs.flatMap { r =>
       val fid = r.fields.head
       r.properties.get("empty-adjust") match {
@@ -284,14 +306,19 @@ object TableStats {
     // writer) drops the WHOLE bank rather than serve a partial one —
     // callers then recompute, never under-count
     val bank = scala.util.Try {
-      refs.filter(r => r.blobType == PartBlobType && r.fields.length == 1)
+      refs.filter(_.blobType == PartBlobType)
         .groupBy(_.properties("partition"))
         .map { case (part, rs) =>
           part -> PartStats(rs.head.properties("row-count").toLong,
             rs.map { r =>
+              // STRICT inside the Try: a bank blob with a malformed
+              // field list, body or codec fails the whole bank here —
+              // a silently-skipped blob would hand any consumer a
+              // partial partition and under-count
+              require(r.fields.length == 1, s"bank blob fields ${r.fields}")
               r.fields.head -> PartCol(
-                java.util.Arrays.copyOfRange(
-                  raw, r.offset.toInt, (r.offset + r.length).toInt),
+                Puffin.decompress(r.codec, java.util.Arrays.copyOfRange(
+                  raw, r.offset.toInt, (r.offset + r.length).toInt)),
                 r.properties("null-count").toLong,
                 r.properties("empty-adjust") == "1")
             }.toMap)

@@ -523,6 +523,99 @@ class TableStatsSpec extends SparkSpec {
     assert(doc.columns(2) == TableStats.ColumnStats(7L, None))
   }
 
+  test("TRULY foreign Puffin interop: engine-less file properties, " +
+      "compressed bodies/footer, unknown codecs and malformed blobs " +
+      "each cost only themselves") {
+    def theta(n: Long, step: Long = 1L): Array[Byte] = {
+      val s = org.apache.datasketches.theta.UpdateSketch.builder().build()
+      (0L until n).foreach(v =>
+        s.update(SingleValueCodec.encode(IcebergTypes.TLong, v * step)))
+      s.compact(true, null).toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-foreign2")
+    val path = dir.resolve("foreign2.puffin").toString
+    Puffin.write(path, Seq(
+      // zstd-compressed body, declared ndv (the common Trino shape)
+      Puffin.Blob(TableStats.ThetaBlobType, Seq(1), 42L, 42L,
+        Map("ndv" -> "40"), theta(40), codec = Some("zstd")),
+      // lz4-compressed, property-less: the reader must DECOMPRESS then
+      // fall back to the sketch estimate
+      Puffin.Blob(TableStats.ThetaBlobType, Seq(2), 42L, 42L,
+        Map.empty, theta(7, 3), codec = Some("lz4")),
+      // a malformed blob REUSING the engine's own type name: empty
+      // fields list, junk body — must cost itself only
+      Puffin.Blob("graft-ndv-v1", Seq.empty, 42L, 42L, Map.empty,
+        "{}".getBytes("UTF-8"))),
+      Map.empty) // NO snapshot-id / row-count file properties
+    val doc = TableStats.read(path)
+    assert(doc.snapshotId == -1L && doc.rowCount == -1L,
+      s"engine counters must read as unknown, not throw: $doc")
+    assert(doc.columns(1) == TableStats.ColumnStats(40L, None))
+    assert(doc.columns(2) == TableStats.ColumnStats(7L, None))
+    // the decompressed body is union-ready (byte-identical to the raw
+    // compact sketch)
+    val skd = TableStats.readWithSketches(path)
+    assert(skd.bodies(2).toSeq == theta(7, 3).toSeq)
+    // an UNKNOWN codec (future spec revision) drops only its own blob:
+    // patch the footer's "lz4" to an unknown same-length token
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val patched = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("\"lz4\"", "\"zq4\"")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val path2 = dir.resolve("unknown-codec.puffin").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(path2), patched)
+    val doc2 = TableStats.read(path2)
+    assert(doc2.columns.get(1).map(_.ndv).contains(40L), doc2.toString)
+    assert(!doc2.columns.contains(2),
+      "a body-dependent blob with an unknown codec must drop, not misparse")
+    // lz4-compressed FOOTER (spec flags bit 0): rebuild the file with a
+    // compressed payload and the flag set — the directory must still read
+    val pSize = java.nio.ByteBuffer.wrap(raw, raw.length - 12, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val payload = java.util.Arrays.copyOfRange(
+      raw, raw.length - 12 - pSize, raw.length - 12)
+    val bos = new java.io.ByteArrayOutputStream()
+    val lz = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+    lz.write(payload); lz.close()
+    val cPayload = bos.toByteArray
+    val head = java.util.Arrays.copyOfRange(raw, 0, raw.length - 12 - pSize)
+    val tail = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(cPayload.length).putInt(1).array()
+    val path3 = dir.resolve("compressed-footer.puffin").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(path3),
+      head ++ cPayload ++ tail ++ Array('P'.toByte, 'F'.toByte, 'A'.toByte, '1'.toByte))
+    val doc3 = TableStats.read(path3)
+    assert(doc3.columns(1).ndv == 40L && doc3.columns(2).ndv == 7L, doc3.toString)
+    // an UNDEFINED flag bit refuses loudly rather than misparse
+    val badTail = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(pSize).putInt(4).array()
+    val path4 = dir.resolve("bad-flags.puffin").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(path4),
+      head ++ payload ++ badTail ++ Array('P'.toByte, 'F'.toByte, 'A'.toByte, '1'.toByte))
+    val e = intercept[IllegalArgumentException](TableStats.read(path4))
+    assert(e.getMessage.contains("flags"), e.getMessage)
+  }
+
+  test("write() preserves a foreign column's DECLARED ndv through the " +
+      "standard blob's property — a metadata re-key never shifts the CBO") {
+    val s = org.apache.datasketches.theta.UpdateSketch.builder().build()
+    (0L until 30L).foreach(v =>
+      s.update(SingleValueCodec.encode(IcebergTypes.TLong, v)))
+    val body = s.compact(true, null).toByteArray
+    // a foreign column: declared ndv 1000 (their exact count), sketch
+    // estimate only 30 — the re-written file must serve 1000, not 30
+    val doc = TableStats.Doc(7L, 30L,
+      Map(5 -> TableStats.ColumnStats(1000L, None)))
+    val p = java.nio.file.Files.createTempDirectory("graft-rekey")
+      .resolve("rekeyed.puffin").toString
+    TableStats.write(p, doc, Map(5 -> body))
+    val back = TableStats.read(p)
+    assert(back.columns(5) == TableStats.ColumnStats(1000L, None), back.toString)
+    assert(back.snapshotId == 7L && back.rowCount == 30L)
+  }
+
   test("a FOREIGN-written statistics file ATTACHED to the snapshot serves " +
       "NDV to the CBO through the DSv2 Statistics surface") {
     // the full interop loop: another engine ANALYZEs the table and

@@ -4101,21 +4101,35 @@ object GraftTable {
     })
   }
 
-  /** Delete data-directory files NO snapshot references — failed-write
-    * debris, files stranded by a crash between an expiry commit and its
-    * physical cleanup. The reachable set is the union over EVERY
-    * snapshot still in the metadata (all manifests, INCLUDING deleted
-    * entries — a file dead at the head may be live under time travel),
-    * so the sweep can never reclaim data any read could resolve. Cost is
-    * metadata-proportional (KB-scale manifest reads, one directory
-    * listing) — the same boundary the planner keeps; data files are
-    * never opened. `olderThanMs` guards in-flight writers: only files
-    * whose modification time precedes it are candidates (pass None to
-    * sweep regardless — test/maintenance-window use). Returns the
-    * deleted paths. */
-  def removeOrphanFiles(tableDir: String,
-      olderThanMs: Option[Long] = None,
-      dryRun: Boolean = false): Seq[String] = {
+  /** The orphan set as a DATAFRAME — columns `path` (exact filesystem
+    * form, what a delete addresses) and `mtime`. Both inputs of the
+    * difference are FILE-COUNT-proportional at scale (10⁷–10⁸ paths on a
+    * 100 TB table), so neither ever materializes on the driver:
+    *
+    *   - REFERENCED: every content-file path of every snapshot's every
+    *     manifest (all statuses — a file dead at the head may be live
+    *     under time travel), read as a distributed scan through the
+    *     `graft-manifest` DSv2 source (one task per manifest, nested-
+    *     pruned to `data_file.file_path` alone);
+    *   - ACTUAL: a distributed listing of the data directory — the
+    *     directory TREE walks level-by-level as Spark jobs (driver state
+    *     is directory names only), then each leaf task STREAMS one
+    *     directory's entries through `listStatusIterator` (paged LIST
+    *     calls on an object store; a flat layout degrades to one serial
+    *     listing task but still O(1) memory everywhere);
+    *   - the difference is a LEFT ANTI join Spark shuffles on the
+    *     normalized path component — the same shape Iceberg's own
+    *     DeleteOrphanFilesSparkAction plans.
+    *
+    * Both sides normalize through the SAME function ([[uriPath]], as a
+    * typed map) — a normalization mismatch here would delete live data,
+    * so the two sides must be bit-identical by construction, not by a
+    * pair of independently-maintained expressions. Driver-side state
+    * stays METADATA-proportional: the manifest path list and the
+    * directory tree. */
+  def orphanFileCandidates(spark: SparkSession, tableDir: String,
+      olderThanMs: Option[Long] = None): DataFrame = {
+    import spark.implicits._
     val meta = TableMetadata.parseFile(latestMetadataPath(tableDir))
     require(!meta.properties.get("gc.enabled").contains("false"),
       s"gc.enabled=false on $tableDir (zero-copy snapshot table) — " +
@@ -4123,33 +4137,122 @@ object GraftTable {
     val lists = meta.snapshots.flatMap(_.manifestList).distinct
     val manifests = Par.inParallel(lists)(l =>
       ManifestListReader.read(l).map(_.path)).flatten.distinct
-    val referenced = Par.inParallel(manifests)(m =>
-      ManifestWriter.read(m).map(e => uriPath(e.filePath))).flatten.toSet
     val fs = HadoopConfs.fileSystemFor(tableDir)
     val dataDir = new org.apache.hadoop.fs.Path(s"$tableDir/data")
-    if (!fs.exists(dataDir)) Nil
+    if (!fs.exists(dataDir))
+      return Seq.empty[(String, Long)].toDF("path", "mtime")
+    val referenced =
+      if (manifests.isEmpty) spark.emptyDataset[String].toDF("ref")
+      else spark.read.format("graft-manifest").load(manifests: _*)
+        .select(col("data_file.file_path").as("p"))
+        .as[String].map(uriPath).toDF("ref")
+    // parquet data/delete files, v3 deletion-vector Puffin files — a
+    // crashed DV write (or a CAS retry's abandoned attempt) leaves
+    // dv-*.puffin in data/ that only this sweep can reclaim — AND
+    // engine-written avro/orc task files (write.format.default): their
+    // crash debris lands in data/ exactly like parquet's. IMPORTED
+    // foreign files live outside data/ (referenced in place) and stay
+    // untouched; referenced in-place migrate adoptions survive the
+    // reachability check like any committed file.
+    val exts = Seq(".parquet", ".puffin", ".avro", ".orc")
+    val conf = new SerializableHadoopConf(HadoopConfs.active())
+    val slots = math.max(1, spark.sparkContext.defaultParallelism)
+    // level-by-level tree walk: each job lists the current level's
+    // directories executor-side and returns ONLY subdirectory names
+    var level = Seq(dataDir.toString)
+    val allDirs = Seq.newBuilder[String]
+    while (level.nonEmpty) {
+      allDirs ++= level
+      level = spark.createDataset(level)
+        .repartition(math.min(level.size, slots))
+        .flatMap { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val dfs = HadoopConfs.fileSystemFor(p, conf.value)
+          val it = dfs.listStatusIterator(p)
+          new scala.collection.AbstractIterator[String] {
+            private def fetch(): String = {
+              while (it.hasNext) {
+                val st = it.next()
+                if (st.isDirectory) return st.getPath.toString
+              }
+              null
+            }
+            private var nv = fetch()
+            override def hasNext: Boolean = nv != null
+            override def next(): String = { val v = nv; nv = fetch(); v }
+          }
+        }.collect().toSeq
+    }
+    val dirs = allDirs.result()
+    val actual = spark.createDataset(dirs)
+      .repartition(math.min(dirs.size, slots))
+      .flatMap { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val dfs = HadoopConfs.fileSystemFor(p, conf.value)
+        val it = dfs.listStatusIterator(p)
+        new scala.collection.AbstractIterator[(String, String, Long)] {
+          private def fetch(): (String, String, Long) = {
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile && exts.exists(st.getPath.getName.endsWith)) {
+                val full = st.getPath.toString
+                return (full, uriPath(full), st.getModificationTime)
+              }
+            }
+            null
+          }
+          private var nv = fetch()
+          override def hasNext: Boolean = nv != null
+          override def next(): (String, String, Long) = { val v = nv; nv = fetch(); v }
+        }
+      }.toDF("path", "ref", "mtime")
+    val aged = olderThanMs.map(c => actual.filter(col("mtime") < c)).getOrElse(actual)
+    aged.join(referenced, Seq("ref"), "left_anti").select(col("path"), col("mtime"))
+  }
+
+  /** Delete data-directory files NO snapshot references — failed-write
+    * debris, files stranded by a crash between an expiry commit and its
+    * physical cleanup. The reachable set is the union over EVERY
+    * snapshot still in the metadata (all manifests, INCLUDING deleted
+    * entries), so the sweep can never reclaim data any read could
+    * resolve; data files are never opened. Cost is metadata-proportional
+    * ON THE DRIVER only — the file-count-proportional work (referenced
+    * paths, directory listing, the anti-join difference, the deletes
+    * themselves) runs as Spark jobs ([[orphanFileCandidates]] has the
+    * plan shape). `olderThanMs` guards in-flight writers: only files
+    * whose modification time precedes it are candidates (pass None to
+    * sweep regardless — test/maintenance-window use). Returns the count
+    * of files deleted (dry run: the count that WOULD be) — a path list
+    * would itself be orphan-count-proportional driver state; inspect
+    * candidates through [[orphanFileCandidates]] instead. */
+  def removeOrphanFiles(spark: SparkSession, tableDir: String,
+      olderThanMs: Option[Long] = None,
+      dryRun: Boolean = false): Long = {
+    val cands = orphanFileCandidates(spark, tableDir, olderThanMs)
+    if (dryRun) cands.count()
     else {
-      // parquet data/delete files, v3 deletion-vector Puffin files — a
-      // crashed DV write (or a CAS retry's abandoned attempt) leaves
-      // dv-*.puffin in data/ that only this sweep can reclaim — AND
-      // engine-written avro/orc task files (write.format.default): their
-      // crash debris lands in data/ exactly like parquet's. IMPORTED
-      // foreign files live outside data/ (referenced in place) and stay
-      // untouched; referenced in-place migrate adoptions survive the
-      // reachability check like any committed file.
-      val exts = Seq(".parquet", ".puffin", ".avro", ".orc")
-      val orphans = fs.listStatus(dataDir)
-        .filter(st => exts.exists(st.getPath.getName.endsWith))
-        .filter(st => !referenced.contains(uriPath(st.getPath.toString)))
-        .filter(st => olderThanMs.forall(st.getModificationTime < _))
-      if (!dryRun) orphans.foreach(st => fs.delete(st.getPath, false))
-      orphans.map(_.getPath.toString).toSeq
+      import spark.implicits._
+      val conf = new SerializableHadoopConf(HadoopConfs.active())
+      // executor-side deletes, one task per anti-join partition; count
+      // successful deletes only (a concurrent sweep's winner counts it)
+      cands.select("path").as[String].rdd.mapPartitions { it =>
+        var n = 0L
+        it.foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          if (HadoopConfs.fileSystemFor(hp, conf.value).delete(hp, false)) n += 1
+        }
+        Iterator.single(n)
+      }.fold(0L)(_ + _)
     }
   }
 
-  /** Everything [[deleteReachableFiles]] found, by kind — counts feed
-    * the procedure's result row, paths feed dry-run inspection. */
-  final case class ReachableFiles(contentFiles: Seq[String], manifests: Seq[String],
+  /** Everything [[deleteReachableFiles]] found, by kind. Metadata-tier
+    * paths are listed (metadata-proportional — a few per table version);
+    * content files surface as a COUNT only, because at 100 TB the
+    * content set is 10⁷–10⁸ paths and listing it would be the exact
+    * file-count-proportional driver state the distributed walk exists to
+    * avoid. */
+  final case class ReachableFiles(contentFilesCount: Long, manifests: Seq[String],
       manifestLists: Seq[String], metadataFiles: Seq[String],
       statisticsFiles: Seq[String])
 
@@ -4165,11 +4268,15 @@ object GraftTable {
     * forks reference files the SOURCE owns) refuses, and the document
     * must be its directory's CURRENT version — deleting through a stale
     * document while newer state exists would reclaim files the live
-    * table still references. Only for tables no catalog serves anymore;
-    * cost is metadata-proportional (manifests open in parallel, data
-    * files are never read). */
-  def deleteReachableFiles(metadataFile: String, dryRun: Boolean = false)
-      : ReachableFiles = {
+    * table still references. Only for tables no catalog serves anymore.
+    * Driver cost is metadata-proportional (metadata documents, manifest
+    * lists, manifests — KB-scale each); the CONTENT tier, which is
+    * file-count-proportional, enumerates as a distributed scan of the
+    * manifests through the `graft-manifest` DSv2 source and existence-
+    * probes / deletes per-partition on executors — only its COUNT ever
+    * reaches the driver. Data files are never read. */
+  def deleteReachableFiles(spark: SparkSession, metadataFile: String,
+      dryRun: Boolean = false): ReachableFiles = {
     val meta = TableMetadata.parseHadoop(metadataFile) // root may be cross-scheme too
     require(!meta.properties.get("gc.enabled").contains("false"),
       s"gc.enabled=false on $metadataFile (zero-copy snapshot table) — " +
@@ -4202,15 +4309,35 @@ object GraftTable {
     val lists = existing(metas.flatMap(_.snapshots.flatMap(_.manifestList)).distinct)
     val manifests = existing(Par.inParallel(lists)(l =>
       ManifestListReader.read(l).map(_.path)).flatten.distinct)
-    val content = existing(Par.inParallel(manifests)(m =>
-      ManifestWriter.read(m).map(_.filePath)).flatten.distinct)
     val stats = existing(metas.flatMap(m => m.statistics ++ m.partitionStatistics)
       .map(_.path).distinct)
-    val found = ReachableFiles(content, manifests, lists, metaFiles, stats)
-    if (!dryRun) {
-      // TOCTOU re-check: the parallel enumeration above can run long; a
-      // writer that committed meanwhile (a catalog still serving the
-      // table despite the caller's claim) has a NEWER live document
+    // the content tier is FILE-COUNT-proportional — it never lands on the
+    // driver: every manifest entry's path streams through a distributed
+    // scan, the existence probe / delete is one round trip per file run
+    // PER-PARTITION on executors, and only the count comes back
+    val conf = new SerializableHadoopConf(HadoopConfs.active())
+    def contentTier(delete: Boolean): Long =
+      if (manifests.isEmpty) 0L
+      else {
+        import spark.implicits._
+        spark.read.format("graft-manifest").load(manifests: _*)
+          .select(col("data_file.file_path")).distinct()
+          .as[String].rdd.mapPartitions { it =>
+            var n = 0L
+            it.foreach { p =>
+              val hp = new org.apache.hadoop.fs.Path(p)
+              val pfs = HadoopConfs.fileSystemFor(hp, conf.value)
+              if (if (delete) pfs.delete(hp, false) else pfs.exists(hp)) n += 1
+            }
+            Iterator.single(n)
+          }.fold(0L)(_ + _)
+      }
+    if (dryRun)
+      ReachableFiles(contentTier(delete = false), manifests, lists, metaFiles, stats)
+    else {
+      // TOCTOU re-check: the enumeration above can run long; a writer
+      // that committed meanwhile (a catalog still serving the table
+      // despite the caller's claim) has a NEWER live document
       // referencing files this sweep would reclaim — refuse rather than
       // destroy a live table's state
       val vNow = OptimisticCommit.currentVersion(tableDir)
@@ -4218,14 +4345,17 @@ object GraftTable {
         s"table advanced to version $vNow while enumerating (was $v) — " +
           "a writer still serves this table; re-run against the current " +
           "metadata only once nothing commits to it")
-      // leaf-before-root TIERS (parallel within each): an interrupted run
-      // must leave the tree re-walkable — metadata and manifests go LAST,
-      // so a retry can always re-enumerate whatever content survived
-      Seq(content, manifests, lists, stats, metaFiles).foreach(tier =>
+      // leaf-before-root TIERS: an interrupted run must leave the tree
+      // re-walkable — metadata and manifests go LAST, so a retry can
+      // always re-enumerate whatever content survived. Content deletes
+      // run as the distributed job; the metadata-proportional tiers run
+      // driver-parallel (KB-scale path lists, one RPC each).
+      val n = contentTier(delete = true)
+      Seq(manifests, lists, stats, metaFiles).foreach(tier =>
         Par.inParallel(tier)(p => HadoopConfs.fileSystemFor(p)
           .delete(new org.apache.hadoop.fs.Path(p), false)))
+      ReachableFiles(n, manifests, lists, metaFiles, stats)
     }
-    found
   }
 
   /** Partition-spec evolution through the CAS loop: `partition-specs[]`

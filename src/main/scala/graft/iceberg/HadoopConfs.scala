@@ -14,11 +14,18 @@ object HadoopConfs {
     scala.util.Try(SparkSession.active.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  def fileSystemFor(p: String): org.apache.hadoop.fs.FileSystem = {
-    val path = new org.apache.hadoop.fs.Path(p)
-    org.apache.hadoop.fs.FileSystem.get(path.toUri match {
+  def fileSystemFor(p: String): org.apache.hadoop.fs.FileSystem =
+    fileSystemFor(new org.apache.hadoop.fs.Path(p), active())
+
+  /** Executor-side variant: resolve against a SHIPPED configuration (see
+    * [[SerializableHadoopConf]]) — `SparkSession.active` does not exist on
+    * executors, and a fresh `new Configuration()` there would drop the
+    * session's fs.* settings and credentials. `FileSystem.get` caches per
+    * (scheme, authority, ugi), so per-file calls are cheap. */
+  def fileSystemFor(p: org.apache.hadoop.fs.Path,
+      conf: Configuration): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(p.toUri match {
       case u if u.getScheme == null => new java.net.URI("file:///")
       case u => u
-    }, active())
-  }
+    }, conf)
 }

@@ -836,31 +836,31 @@ object LakehouseExec {
   // ---------------------------------------------------------------- i31
   /** Orphan-file cleanup executed (remove_orphan_files): debris files in
     * the data directory that NO snapshot references — failed-write
-    * leftovers — are found by differencing the directory listing against
-    * the union of every snapshot's reachable file set, then deleted. The
+    * leftovers — are found and deleted by the engine's DISTRIBUTED sweep
+    * (GraftTable.removeOrphanFiles): referenced paths as a Spark scan of
+    * the manifests through the graft-manifest DSv2 source, the directory
+    * listing streamed executor-side, a LEFT ANTI join for the
+    * difference, executor-side deletes — never a file-count-proportional
+    * driver set. The dry run gates the candidate count BEFORE anything
+    * deletes (a path-normalization bug here would delete live data); the
     * read-back proves the table is intact (scan equals nation) and the
     * directory holds exactly the referenced files. */
   val orphanCleanup: Q = (spark, sfDir) => {
     val dir = entryDir("i31", sfDir)
     val orphans = Seq(s"$dir/data/orphan-00000.parquet", s"$dir/data/orphan-00001.parquet")
     graft.TmpOutputs.ensure(dir) {
-      val v1 = buildBase(spark, sfDir, dir)
+      buildBase(spark, sfDir, dir)
       // simulate failed-write debris: parquet in the data dir, never
       // committed to any snapshot
       orphans.foreach(p => writeOneParquet(
         Tables.load(spark, sfDir, "nation").limit(3), p))
-      val meta = TableMetadata.parseFile(v1)
-      def uriPath(p: String): String = new Path(p).toUri.getPath
-      val referenced = meta.snapshots
-        .flatMap(s => filePaths(spark, s)).map(uriPath).toSet
-      val fs = HadoopConfs.fileSystemFor(dir)
-      val listed = fs.listStatus(new Path(s"$dir/data")).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet"))
-      val toDelete = listed.filterNot(p => referenced.contains(uriPath(p.toString)))
-      require(toDelete.length == orphans.size,
-        s"orphan sweep found ${toDelete.length} files, expected ${orphans.size} — " +
+      val wouldDelete = GraftTable.removeOrphanFiles(spark, dir, dryRun = true)
+      require(wouldDelete == orphans.size,
+        s"orphan sweep found $wouldDelete candidates, expected ${orphans.size} — " +
           "a path-normalization bug here would delete live data")
-      toDelete.foreach(p => fs.delete(p, false))
+      val deleted = GraftTable.removeOrphanFiles(spark, dir)
+      require(deleted == orphans.size,
+        s"orphan sweep deleted $deleted files, expected ${orphans.size}")
     }
     val meta = TableMetadata.parseFile(s"$dir/v1.metadata.json")
     val cur = meta.currentSnapshot.get

@@ -685,9 +685,9 @@ object GraftProcedures {
         input => {
           val dir = dirOf(input)
           val olderThan = if (input.isNullAt(1)) None else Some(input.getLong(1))
-          val deleted = GraftTable.removeOrphanFiles(dir, olderThan,
-            dryRun = !input.isNullAt(2) && input.getBoolean(2))
-          Seq(InternalRow(deleted.size))
+          val deleted = GraftTable.removeOrphanFiles(SparkSession.active, dir,
+            olderThan, dryRun = !input.isNullAt(2) && input.getBoolean(2))
+          Seq(InternalRow(deleted.toInt))
         })
       case "delete_reachable_files" => new Proc(
         "delete_reachable_files",
@@ -707,10 +707,10 @@ object GraftProcedures {
           StructField("deleted_metadata_files_count", IntegerType),
           StructField("deleted_statistics_files_count", IntegerType))),
         input => {
-          val r = GraftTable.deleteReachableFiles(
+          val r = GraftTable.deleteReachableFiles(SparkSession.active,
             input.getUTF8String(0).toString,
             dryRun = !input.isNullAt(1) && input.getBoolean(1))
-          Seq(InternalRow(r.contentFiles.size, r.manifests.size,
+          Seq(InternalRow(r.contentFilesCount.toInt, r.manifests.size,
             r.manifestLists.size, r.metadataFiles.size, r.statisticsFiles.size))
         })
       case "fast_forward" => new Proc(

@@ -81,8 +81,33 @@ object PlanDump {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       out ++= s"\n## $name\n\n$why\n\n```\n$formatted```\n"
     }
+    // the orphan sweep's anti-join (not an entry's OUTPUT shape — the
+    // sweep's own internal plan, dumped from a throwaway table): referenced
+    // paths stream from the graft-manifest DSv2 scan, the data-dir listing
+    // streams executor-side, and the difference is a LEFT ANTI join — the
+    // r19-verdict fix replacing the driver-side full-file-inventory Set
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft-plandump-orphan")
+        .toString + "/t"
+      graft.iceberg.GraftTable.create(dir,
+        graft.iceberg.IcebergSchema(0, Seq(
+          graft.iceberg.IcebergField(1, "k", required = false, "int"))),
+        tableUuid = "b6b9a6a1-0000-4000-8000-0000000000aa",
+        timestampMs = 1700000000000L)
+      import spark.implicits._
+      graft.iceberg.GraftTable.append(spark, dir, Seq(1, 2, 3).toDF("k").coalesce(1))
+      val cands = graft.iceberg.GraftTable.orphanFileCandidates(spark, dir)
+      cands.collect()
+      val formatted = cands.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      out ++= s"\n## remove_orphan_files candidate set (internal plan)\n\n" +
+        "distributed orphan sweep: graft-manifest DSv2 scan (referenced) " +
+        "LEFT ANTI joined to the executor-streamed data-dir listing; " +
+        "deletes then run per-partition on the executors — no file-count-" +
+        s"proportional driver state\n\n```\n$formatted```\n"
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), out.toString)
-    println(s"[plandump] wrote PLANS.md (${picks.size} plans)")
+    println(s"[plandump] wrote PLANS.md (${picks.size + 1} plans)")
     spark.stop()
   }
 }

@@ -22,12 +22,12 @@ class DeleteReachableSpec extends SparkSpec {
 
   test("dry run counts without deleting; the real run leaves nothing") {
     val dir = mkTable("a")
-    val dry = GraftTable.deleteReachableFiles(
+    val dry = GraftTable.deleteReachableFiles(spark,
       GraftTable.latestMetadataPath(dir), dryRun = true)
-    assert(dry.contentFiles.size == 1 && dry.manifestLists.size == 1)
+    assert(dry.contentFilesCount == 1 && dry.manifestLists.size == 1)
     assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == 3,
       "dry run must not delete anything")
-    val real = GraftTable.deleteReachableFiles(GraftTable.latestMetadataPath(dir))
+    val real = GraftTable.deleteReachableFiles(spark, GraftTable.latestMetadataPath(dir))
     assert(real == dry)
     val fs = HadoopConfs.fileSystemFor(dir)
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
@@ -39,7 +39,7 @@ class DeleteReachableSpec extends SparkSpec {
     val dst = src.stripSuffix("/t") + "/fork"
     GraftTable.snapshotTable(src, dst)
     val e = intercept[IllegalArgumentException] {
-      GraftTable.deleteReachableFiles(GraftTable.latestMetadataPath(dst))
+      GraftTable.deleteReachableFiles(spark, GraftTable.latestMetadataPath(dst))
     }
     assert(e.getMessage.contains("gc.enabled"), e.getMessage)
     assert(GraftTable.read(spark, GraftTable.latestMetadataPath(src)).count() == 3)
@@ -51,7 +51,7 @@ class DeleteReachableSpec extends SparkSpec {
     import spark.implicits._
     GraftTable.append(spark, dir, Seq(4).toDF("k")) // advances to v3
     val e = intercept[IllegalArgumentException] {
-      GraftTable.deleteReachableFiles(stale)
+      GraftTable.deleteReachableFiles(spark, stale)
     }
     assert(e.getMessage.contains("current metadata"), e.getMessage)
     assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == 4)

@@ -195,10 +195,15 @@ class ManifestMaintSpec extends SparkSpec {
     out.write("not a committed file".getBytes); out.close()
     // age guard: debris was written "now"; an olderThan in the past
     // must protect it (an in-flight writer's file)
-    assert(GraftTable.removeOrphanFiles(dir, Some(1L)).isEmpty)
+    assert(GraftTable.removeOrphanFiles(spark, dir, Some(1L)) == 0L)
     assert(fs.exists(debris))
-    val deleted = GraftTable.removeOrphanFiles(dir)
-    assert(deleted.map(p => new org.apache.hadoop.fs.Path(p).getName) == Seq("zz-debris.parquet"))
+    // the candidate set names exactly the debris (dry-run inspection path)
+    val cands = GraftTable.orphanFileCandidates(spark, dir)
+      .select("path").collect().map(r =>
+        new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSeq
+    assert(cands == Seq("zz-debris.parquet"))
+    val deleted = GraftTable.removeOrphanFiles(spark, dir)
+    assert(deleted == 1L)
     assert(!fs.exists(debris))
     // every committed file survived — both snapshots still read
     assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == 2L)

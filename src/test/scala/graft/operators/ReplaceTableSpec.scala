@@ -130,7 +130,7 @@ class ReplaceTableSpec extends SparkSpec {
     // and therefore the cleanup that would touch the SOURCE's files
     // still refuses
     val e = intercept[IllegalArgumentException] {
-      GraftTable.deleteReachableFiles(GraftTable.latestMetadataPath(forkDir))
+      GraftTable.deleteReachableFiles(spark, GraftTable.latestMetadataPath(forkDir))
     }
     assert(e.getMessage.contains("gc.enabled"), e.getMessage)
     assert(spark.table(s"$cat.db.src").count() == 1, "source intact")

@@ -74,4 +74,25 @@ class ViewCatalogSpec extends SparkSpec {
     // tables don't list as views; views don't satisfy tableExists
     assert(catalog.listViews("db").isEmpty)
   }
+
+  test("TRIPWIRE: Spark still refuses CREATE VIEW SQL against a V2 catalog " +
+      "— when this fails, wire the SQL path to the ViewCatalog") {
+    // Re-verified at Spark 4.1.2 (round 20): ResolveSessionCatalog throws
+    // MISSING_CATALOG_ABILITY for CREATE VIEW on any non-session catalog,
+    // so the engine's ViewCatalog surface stays programmatic-only (the
+    // lifecycle test above). The moment a Spark upgrade routes the SQL,
+    // this test fails and the fix is to DELETE it and spec the SQL route.
+    val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-spec-viewsql-${graft.Scratch.procToken}").toString
+    graft.TmpOutputs.deleteRecursively(java.nio.file.Paths.get(wh))
+    spark.conf.set("spark.sql.catalog.g_vwsql", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g_vwsql.warehouse", wh)
+    spark.sql("CREATE TABLE g_vwsql.db.t (k INT)")
+    val e = intercept[Exception](spark.sql(
+      "CREATE VIEW g_vwsql.db.v AS SELECT k FROM g_vwsql.db.t"))
+    assert(e.getMessage.contains("MISSING_CATALOG_ABILITY") ||
+      e.getMessage.contains("does not support views") ||
+      e.getMessage.contains("Catalog g_vwsql does not support"),
+      s"unexpected failure shape — did Spark wire CREATE VIEW to V2? ${e.getMessage}")
+  }
 }

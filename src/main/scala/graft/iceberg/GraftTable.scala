@@ -2612,22 +2612,62 @@ object GraftTable {
     // tombstone in a retained manifest documents that the file is dead
     // at that snapshot — the snapshot where it was live references it
     // with a live status, and if every such snapshot expired the bytes
-    // are correctly reclaimable
-    def closure(snaps: Seq[Snapshot]): Set[String] = {
-      val lists = snaps.flatMap(_.manifestList)
-      val manifests = lists.flatMap(l => ManifestListReader.read(l).map(_.path))
-      val files = manifests.flatMap(m =>
-        ManifestWriter.read(m).filter(_.status != 2).map(_.filePath))
-      (lists ++ manifests ++ files).toSet
-    }
+    // are correctly reclaimable.
+    //
+    // The LIST and MANIFEST tiers are metadata-proportional and diff on
+    // the driver. The FILE tier is FILE-COUNT-proportional (10⁷–10⁸
+    // paths at 100 TB), so its diff is ADAPTIVE on total manifest bytes
+    // (known from the lists before any manifest opens, the same signal
+    // Iceberg's planner thresholds on): under the threshold the exact
+    // driver-side difference is cheapest; over it, both sides stream
+    // through the graft-manifest DSv2 source into a LEFT ANTI join and
+    // the deletes run per-partition on executors — the orphan-sweep
+    // shape, so expiry never builds a full-file-inventory Set either.
     val oldMeta = TableMetadata.parseFile(
       OptimisticCommit.metadataPath(tableDir, result.version - 1))
-    val doomed = (closure(oldMeta.snapshots.filter(s => expiredIds(s.snapshotId))) ++
+    val expiredSnaps = oldMeta.snapshots.filter(s => expiredIds(s.snapshotId))
+    def manifestsOf(snaps: Seq[Snapshot]): (Seq[String], Seq[(String, Long)]) = {
+      val lists = snaps.flatMap(_.manifestList).distinct
+      val manifests = Par.inParallel(lists)(l =>
+        ManifestListReader.read(l).map(i => (i.path, i.length))).flatten.distinct
+      (lists, manifests)
+    }
+    val (expLists, expManifests) = manifestsOf(expiredSnaps)
+    val (retLists, retManifests) = manifestsOf(result.metadata.snapshots)
+    val doomedMeta = (expLists.toSet -- retLists.toSet) ++
+      (expManifests.map(_._1).toSet -- retManifests.map(_._1).toSet) ++
       oldMeta.statistics.filter(s => expiredIds(s.snapshotId)).map(_.path) ++
-      oldMeta.partitionStatistics.filter(s => expiredIds(s.snapshotId)).map(_.path)) --
-      closure(result.metadata.snapshots)
+      oldMeta.partitionStatistics.filter(s => expiredIds(s.snapshotId)).map(_.path)
+    val manifestBytes = (expManifests ++ retManifests).map(_._2).sum
+    val threshold = spark.conf.get(
+      "graft.expiry.distributedSweepBytes", (64L << 20).toString).toLong
+    val doomedDriverFiles: Set[String] =
+      if (manifestBytes > threshold) Set.empty
+      else {
+        def live(ms: Seq[String]): Set[String] = Par.inParallel(ms)(m =>
+          ManifestWriter.read(m).filter(_.status != 2).map(_.filePath)).flatten.toSet
+        live(expManifests.map(_._1)) -- live(retManifests.map(_._1))
+      }
+    if (manifestBytes > threshold && expManifests.nonEmpty) {
+      import spark.implicits._
+      def live(ms: Seq[String]): DataFrame =
+        spark.read.format("graft-manifest").load(ms: _*)
+          .filter(col("status") =!= 2)
+          .select(col("data_file.file_path").as("path"))
+      val doomedDf =
+        if (retManifests.isEmpty) live(expManifests.map(_._1)).distinct()
+        else live(expManifests.map(_._1)).distinct()
+          .join(live(retManifests.map(_._1)), Seq("path"), "left_anti")
+      val conf = new SerializableHadoopConf(HadoopConfs.active())
+      doomedDf.as[String].rdd.foreachPartition { it =>
+        it.foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          HadoopConfs.fileSystemFor(hp, conf.value).delete(hp, false)
+        }
+      }
+    }
     // deletes are independent FS calls — latency-bound, run concurrently
-    Par.inParallel(doomed.toSeq.sorted)(p =>
+    Par.inParallel((doomedMeta ++ doomedDriverFiles).toSeq.sorted)(p =>
       HadoopConfs.fileSystemFor(p).delete(new org.apache.hadoop.fs.Path(p), false))
     result
   }

@@ -82,6 +82,31 @@ class OrphanSweepSpec extends SparkSpec {
     assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir)).count() == 3)
   }
 
+  test("expiry's file-tier difference runs distributed above the manifest-" +
+      "bytes threshold and reclaims exactly the expired-only files") {
+    val dir = mkTable("4")
+    import spark.implicits._
+    GraftTable.append(spark, dir, Seq(7, 8, 9).toDF("k").coalesce(1))
+    // a replace snapshot tombstones both appended files: once their
+    // append snapshots expire, the pre-compaction files are reclaimable
+    GraftTable.compact(spark, dir)
+    val metaBefore = TableMetadata.parseFile(GraftTable.latestMetadataPath(dir))
+    val preCompactionFiles = metaBefore.snapshots.sortBy(_.snapshotId).init
+      .flatMap(_.manifestList)
+      .flatMap(ManifestListReader.read).map(_.path).distinct
+      .flatMap(m => ManifestWriter.read(m).filter(_.status != 2).map(_.filePath))
+      .distinct
+    assert(preCompactionFiles.size == 2, preCompactionFiles.toString)
+    val fs = HadoopConfs.fileSystemFor(dir)
+    spark.conf.set("graft.expiry.distributedSweepBytes", "0") // force the job path
+    try GraftTable.expireSnapshots(spark, dir, keepLast = 1)
+    finally spark.conf.unset("graft.expiry.distributedSweepBytes")
+    preCompactionFiles.foreach(p => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(p)), s"expired-only file survived: $p"))
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(dir))
+      .orderBy("k").collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 7, 8, 9))
+  }
+
   test("delete_reachable_files' content tier is a distributed job and its " +
       "dry-run count matches the deletion") {
     val dir = mkTable("3")

@@ -674,9 +674,10 @@ object GraftProcedures {
       case "remove_orphan_files" => new Proc(
         "remove_orphan_files",
         "delete data-directory files (parquet + deletion-vector puffin) " +
-          "unreachable from EVERY snapshot still in the metadata; " +
+          "unreachable from EVERY snapshot still in the metadata, as a " +
+          "distributed anti-join with executor-side deletes; " +
           "older_than_ms (default: no age filter) protects in-flight " +
-          "writers; dry_run => true lists without deleting",
+          "writers; dry_run => true counts without deleting",
         Array(in("table", StringType),
           inDefault("older_than_ms", LongType, "NULL"),
           inDefault("dry_run", BooleanType, "false")),

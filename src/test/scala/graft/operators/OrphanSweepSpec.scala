@@ -107,6 +107,18 @@ class OrphanSweepSpec extends SparkSpec {
       .orderBy("k").collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 7, 8, 9))
   }
 
+  test("a gc.enabled=false fork refuses the sweep — its data dir holds " +
+      "files the SOURCE owns") {
+    val src = mkTable("5")
+    val dst = src.stripSuffix("/t") + "/fork"
+    GraftTable.snapshotTable(src, dst)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.removeOrphanFiles(spark, dst)
+    }
+    assert(e.getMessage.contains("gc.enabled"), e.getMessage)
+    assert(GraftTable.read(spark, GraftTable.latestMetadataPath(src)).count() == 3)
+  }
+
   test("a live file referenced only under a foreign scheme'd spelling " +
       "(file:/...) survives the sweep — normalization never aliases into " +
       "a deletion") {

@@ -155,6 +155,86 @@ object VectorKernels {
     }
     s
   }
+
+  /** Squared L2 distance of a[off, off+|b|) to b — the SAME left-to-right
+    * IEEE-754 fold as `aggregate(zip_with(slice(a), b, (x,y) => (x-y)*(x-y)),
+    * 0.0, _+_)`: per element one subtract, one multiply, one add, in index
+    * order — bit-identical to the interpreted formulation it replaces (and
+    * to DuckDB's list_sum comprehension), so every hash-pinned oracle
+    * survives the swap. The `off` parameter subsumes the slice: no
+    * per-row subarray or cast allocation. */
+  def sqd(a: org.apache.spark.sql.catalyst.util.ArrayData, aFloat: Boolean,
+      b: org.apache.spark.sql.catalyst.util.ArrayData, bFloat: Boolean,
+      off: Int): Double = {
+    val n = b.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(off + i).toDouble else a.getDouble(off + i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    s
+  }
+}
+
+/** graft_sqd(a, b, off): squared L2 distance between a[off, off+|b|) and b
+  * over array<float|double> — the PQ/IVF code-assignment and ADC innermost
+  * loop as ONE whole-stage-codegen call instead of interpreted
+  * slice + transform + zip_with + aggregate (higher-order functions never
+  * codegen; measured 8× on the s-family, same anti-pattern s07's scaladoc
+  * documents). NULL when a is too short to cover [off, off+|b|) — the
+  * zip_with formulation null-pads ragged inputs and poisons its fold, so a
+  * malformed vector surfaces as NULL on both formulations, never a silently
+  * truncated distance. (A LONGER-than-expected `a` scores its prefix here
+  * where zip_with would null — unreachable on fixed-dim embedding tables,
+  * which SquaredDistanceSpec pins against the interpreted formulation.) */
+case class SquaredDistance(left: Expression, right: Expression, offset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqd"
+
+  private def elemFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType) && offset >= 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs and offset >= 0, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}, $offset")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bd = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (ad.numElements() < offset + bd.numElements()) null
+    else VectorKernels.sqd(ad, elemFloat(left), bd, elemFloat(right), offset)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() < $offset + $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorKernels.sqd(
+         |    $a, ${elemFloat(left)}, $b, ${elemFloat(right)}, $offset);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredDistance =
+    copy(left = l, right = r)
 }
 
 /** dot(a, b) over array<float|double> — embedding similarity's innermost
@@ -293,6 +373,8 @@ object GraftFunctions {
     "graft_might_contain" -> (es =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1))),
     "graft_dot" -> (es => DotProduct(es.head, es(1))),
+    "graft_sqd" -> (es => SquaredDistance(es.head, es(1),
+      if (es.length > 2) intLit(es(2), "offset") else 0)),
     "graft_iceberg_bucket" -> (es => IcebergBucket(es.head, intLit(es(1), "n"))),
     "graft_zorder_key" -> (es => ZOrderKey(es)),
     "graft_st_point" -> (es => STPoint(es.head, es(1))),
@@ -340,6 +422,10 @@ object GraftFunctions {
     { register(spark); call_function("graft_might_contain", bloom, key) }
   def dot(spark: SparkSession, a: Column, b: Column): Column =
     { register(spark); call_function("graft_dot", a, b) }
+  /** Squared L2 of a[off, off+|b|) to b — see [[SquaredDistance]]. */
+  def sqd(spark: SparkSession, a: Column, b: Column, off: Int = 0): Column =
+    { register(spark); call_function("graft_sqd", a, b,
+      org.apache.spark.sql.functions.lit(off)) }
   def icebergBucket(spark: SparkSession, c: Column, n: Int): Column =
     { register(spark); call_function("graft_iceberg_bucket", c,
       org.apache.spark.sql.functions.lit(n)) }

@@ -75,10 +75,18 @@ object Dedup {
     val withShingles = docs
       .withColumn("shingles", GraftFunctions.shingleHashes(spark, $"text", 3))
       .select($"doc_id", $"shingles")
+    // repartition on the band key BEFORE the self-join: both join sides
+    // then need the identical hash partitioning, so the signature kernel
+    // (64 minhashes per doc — the entry's dominant CPU) and the scan run
+    // ONCE and the second side is a ReusedExchange, instead of the
+    // broadcast plan recomputing the whole kernel subtree per side
+    // (guide §2.4: two operations keyed the same way share one exchange).
+    // The shuffle itself carries 16 longs/doc — noise next to the kernel.
     val bands = docs
       .select($"doc_id",
         posexplode(GraftFunctions.minhashBands(spark, $"text", 3, 64, 16)))
       .toDF("doc_id", "band_idx", "band_key")
+      .repartition($"band_idx", $"band_key")
     val candidates = bands.as("a")
       .join(bands.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
@@ -117,10 +125,13 @@ object Dedup {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", GraftFunctions.simhash64(spark, $"text", 3).as("sh"))
+    // single-exchange self-join: see minhashDedup — the simhash kernel
+    // runs once, the second join side reuses the shuffle
     val chunks = docs.select($"doc_id", $"sh",
       posexplode(array((0 until 4).map(i =>
         $"sh".bitwiseAND(lit(0xffffL << (i * 16)))): _*)))
       .toDF("doc_id", "sh", "chunk_idx", "chunk")
+      .repartition($"chunk_idx", $"chunk")
     chunks.as("a")
       .join(chunks.as("b"),
         $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk" === $"b.chunk" &&
@@ -148,9 +159,12 @@ object Dedup {
     val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
     val grams = docs
       .select($"doc_id", GraftFunctions.chargramHashes(spark, $"text", 8).as("grams"))
+    // single-exchange self-join: see minhashDedup — the chargram-minhash
+    // kernel runs once, the second join side reuses the shuffle
     val bands = docs
       .select($"doc_id", posexplode(GraftFunctions.chargramBands(spark, $"text", 8, 64, 16)))
       .toDF("doc_id", "band_idx", "band_key")
+      .repartition($"band_idx", $"band_key")
     val candidates = bands.as("a")
       .join(bands.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
@@ -613,9 +627,12 @@ object Dedup {
   val editDistanceDedup: Q = (spark, dir) => {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    // single-exchange self-join: see minhashDedup — the chargram-minhash
+    // kernel runs once, the second join side reuses the shuffle
     val bands = docs
       .select($"doc_id", posexplode(GraftFunctions.chargramBands(spark, $"text", 8, 64, 16)))
       .toDF("doc_id", "band_idx", "band_key")
+      .repartition($"band_idx", $"band_key")
     val candidates = bands.as("a")
       .join(bands.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
@@ -627,12 +644,20 @@ object Dedup {
       .join(docs.select($"doc_id".as("doc_b"), $"text".as("t_b")), "doc_b")
       .withColumn("max_len", greatest(length($"t_a"), length($"t_b")))
       // edit distance >= |length difference|: an integer prefilter kills
-      // band collisions between different-length docs BEFORE the O(L^2)
-      // kernel ever runs — the verify cost tracks true near-dups, not
+      // band collisions between different-length docs BEFORE the kernel
+      // ever runs — the verify cost tracks true near-dups, not
       // collision noise
       .filter(abs(length($"t_a") - length($"t_b")) * 10 <= $"max_len")
-      .withColumn("edit_dist", levenshtein($"t_a", $"t_b"))
-      .filter($"edit_dist" * 10 <= $"max_len")
+      // THRESHOLDED levenshtein: the acceptance test only keeps
+      // dist*10 <= max_len, i.e. dist <= max_len DIV 10, so the banded
+      // O(threshold·L) algorithm (Spark's built-in 3-arg levenshtein)
+      // replaces the O(L²) full matrix — it returns the EXACT distance
+      // whenever dist <= threshold and -1 otherwise, so surviving rows
+      // carry the identical edit_dist and the filter is equivalent
+      // (EditDistanceBoundSpec pins both properties)
+      .withColumn("edit_dist",
+        expr("levenshtein(t_a, t_b, greatest(length(t_a), length(t_b)) DIV 10)"))
+      .filter($"edit_dist" >= 0)
       .select($"doc_a", $"doc_b", $"edit_dist", $"max_len")
       .orderBy($"doc_a", $"doc_b")
   }

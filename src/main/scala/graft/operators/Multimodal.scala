@@ -324,7 +324,14 @@ object Multimodal {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select($"doc_id").as[Long]
-      .mapPartitions(_.map { id =>
+      .mapPartitions { it =>
+        // ImageIO's default stream cache backs every write/read call with
+        // a TEMP FILE: two file create+delete round trips per record.
+        // Heap-backed streams produce byte-identical jpegs (the cache only
+        // buffers; it never changes the codec path), so the oracle-pinned
+        // sums are untouched. Idempotent JVM-global — set once per task.
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
         val w = 24 + (id % 9).toInt
         val h = 16 + (id % 7).toInt
         val img = new java.awt.image.BufferedImage(w, h,
@@ -365,7 +372,7 @@ object Multimodal {
         }
         require(maxDelta <= 8, s"doc $id: delta $maxDelta vs imageio decode")
         (id, ours.sumR, ours.sumG, ours.sumB)
-      })
+      } }
       .toDF("doc_id", "r", "g", "b")
       .agg(count(lit(1)).as("n_docs"),
         sum($"r").cast("long").as("sum_r"),
@@ -391,7 +398,10 @@ object Multimodal {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select($"doc_id").as[Long]
-      .mapPartitions(_.map { id =>
+      .mapPartitions { it =>
+        // heap-backed ImageIO streams — see jpegDecode; byte-identical gifs
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
         val w = 8 + (id % 7).toInt
         val h = 6 + (id % 5).toInt
         val n = 64
@@ -428,7 +438,7 @@ object Multimodal {
           y += 1
         }
         (id, w.toLong, h.toLong, ours.sumChannels)
-      })
+      } }
       .toDF("doc_id", "w", "h", "sc")
       .agg(count(lit(1)).as("n_docs"),
         sum($"w").cast("long").as("sum_width"),

@@ -246,19 +246,21 @@ object Similarity {
     * codes, ADC values and ranking — no tolerance. */
   val pqAdc: Q = (spark, dir) => {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val M = 4; val Sub = 16; val K = 8
     val emb = Tables.load(spark, dir, "embeddings").select($"vec_id", $"embedding")
     val anchors: Array[Array[Double]] = emb.filter($"vec_id" < K).orderBy($"vec_id")
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     def subLit(c: Int, m: Int): Column =
       array(anchors(c).slice(m * Sub, (m + 1) * Sub).toIndexedSeq.map(lit): _*)
-    def subCol(v: Column, m: Int): Column =
-      transform(slice(v, m * Sub + 1, Sub), x => x.cast(DoubleType))
-    def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+    // codegen'd squared-L2 kernel with an offset instead of
+    // slice+transform+zip_with+aggregate: same left-to-right IEEE fold
+    // (bit-identical, SquaredDistanceSpec), no interpreter, no per-row
+    // subarray allocation
+    def sqd(a: Column, b: Column, off: Int): Column =
+      call_function("graft_sqd", a, b, lit(off))
     def code(v: Column, m: Int): Column = {
-      val d = array((0 until K).map(c => sqd(subCol(v, m), subLit(c, m))): _*)
+      val d = array((0 until K).map(c => sqd(v, subLit(c, m), m * Sub)): _*)
       (array_position(d, array_min(d)) - 1).cast(IntegerType) // first min = lowest cid
     }
     val coded = emb.select($"vec_id" +:
@@ -267,7 +269,7 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
     def centroidFor(m: Int, codeC: Column): Column =
       element_at(array((0 until K).map(c => subLit(c, m)): _*), codeC + 1)
-    val adc = (0 until M).map(m => sqd(subCol($"q_emb", m), centroidFor(m, col(s"c$m"))))
+    val adc = (0 until M).map(m => sqd($"q_emb", centroidFor(m, col(s"c$m")), m * Sub))
       .reduceLeft(_ + _) // fixed m order: the FP fold the oracle reproduces
     val w = Window.partitionBy($"query_id").orderBy($"adc", $"vec_id")
     coded.crossJoin(broadcast(queries))
@@ -337,6 +339,7 @@ object Similarity {
     * refine stage would break the no-tolerance oracle equality. */
   private final class PqIndex(spark: SparkSession, dir: String,
       codebook: Option[Array[Array[Double]]] = None) {
+    graft.functions.GraftFunctions.register(spark)
     val M = 4; val Sub = 16; val K = 8; val NPROBE = 2
     val emb: DataFrame =
       Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -349,20 +352,21 @@ object Similarity {
     private def subLit(c: Int, m: Int): Column =
       array(anchors(c).slice(m * Sub, (m + 1) * Sub).toIndexedSeq.map(lit): _*)
     private def fullLit(c: Int): Column = array(anchors(c).toIndexedSeq.map(lit): _*)
-    private def subCol(v: Column, m: Int): Column =
-      transform(slice(v, m * Sub + 1, Sub), x => x.cast(DoubleType))
-    private def fullCol(v: Column): Column = transform(v, x => x.cast(DoubleType))
-    private def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+    // codegen'd squared-L2 kernel with an offset instead of interpreted
+    // slice+transform+zip_with+aggregate folds — same left-to-right IEEE
+    // fold (bit-identical, SquaredDistanceSpec pins it), so the
+    // no-tolerance oracles survive; the s-family's innermost loop runs
+    // inside whole-stage codegen with no per-row subarray allocation
+    private def sqd(a: Column, b: Column, off: Int = 0): Column =
+      call_function("graft_sqd", a, b, lit(off))
     /** Exact squared-L2 between two float vectors — the refine metric. */
-    def sqdFull(a: Column, b: Column): Column = sqd(fullCol(a), fullCol(b))
+    def sqdFull(a: Column, b: Column): Column = sqd(a, b)
     private def firstMin(d: Column): Column =
       (array_position(d, array_min(d)) - 1).cast(IntegerType)
     private def code(v: Column, m: Int): Column =
-      firstMin(array((0 until K).map(c => sqd(subCol(v, m), subLit(c, m))): _*))
+      firstMin(array((0 until K).map(c => sqd(v, subLit(c, m), m * Sub)): _*))
     private def cellDists(v: Column): Column =
-      array((0 until K).map(c => sqd(fullCol(v), fullLit(c))): _*)
+      array((0 until K).map(c => sqd(v, fullLit(c))): _*)
     private def centroidFor(m: Int, codeC: Column): Column =
       element_at(array((0 until K).map(c => subLit(c, m)): _*), codeC + 1)
     /** ADC-scored candidates of the probed cells:
@@ -385,7 +389,7 @@ object Similarity {
         .filter(col("pr") <= NPROBE)
         .select(col("query_id"), col("q_emb"), col("cell"))
       val adc = (0 until M)
-        .map(m => sqd(subCol(col("q_emb"), m), centroidFor(m, col(s"c$m"))))
+        .map(m => sqd(col("q_emb"), centroidFor(m, col(s"c$m")), m * Sub))
         .reduceLeft(_ + _) // fixed m order: the FP fold the oracle reproduces
       coded.join(broadcast(probes), Seq("cell")) // only probed cells score
         .filter(col("vec_id") =!= col("query_id"))

@@ -2638,15 +2638,26 @@ object GraftTable {
       (expManifests.map(_._1).toSet -- retManifests.map(_._1).toSet) ++
       oldMeta.statistics.filter(s => expiredIds(s.snapshotId)).map(_.path) ++
       oldMeta.partitionStatistics.filter(s => expiredIds(s.snapshotId)).map(_.path)
-    val manifestBytes = (expManifests ++ retManifests).map(_._2).sum
+    // distinct: a manifest shared between expired and retained snapshots
+    // must not double-count toward the adaptive threshold (they are
+    // (path, length) pairs, so distinct dedups exactly)
+    val manifestBytes = (expManifests ++ retManifests).distinct.map(_._2).sum
     val threshold = spark.conf.get(
       "graft.expiry.distributedSweepBytes", (64L << 20).toString).toLong
+    // Both legs diff on the uriPath-NORMALIZED path component (the same
+    // function the orphan sweep routes both sides through) while deleting
+    // the raw expired spelling: a live file spelled differently in a
+    // retained manifest (file:/p vs /p — foreign writers, add_files
+    // imports) must never alias past the difference and be deleted.
+    // ExpirySpellingSpec pins this with a hand-built mixed-spelling
+    // manifest, mirroring r20's OrphanSweepSpec.
     val doomedDriverFiles: Set[String] =
       if (manifestBytes > threshold) Set.empty
       else {
-        def live(ms: Seq[String]): Set[String] = Par.inParallel(ms)(m =>
-          ManifestWriter.read(m).filter(_.status != 2).map(_.filePath)).flatten.toSet
-        live(expManifests.map(_._1)) -- live(retManifests.map(_._1))
+        def live(ms: Seq[String]): Seq[String] = Par.inParallel(ms)(m =>
+          ManifestWriter.read(m).filter(_.status != 2).map(_.filePath)).flatten
+        val retained = live(retManifests.map(_._1)).map(uriPath).toSet
+        live(expManifests.map(_._1)).filterNot(p => retained(uriPath(p))).toSet
       }
     if (manifestBytes > threshold && expManifests.nonEmpty) {
       import spark.implicits._
@@ -2654,10 +2665,13 @@ object GraftTable {
         spark.read.format("graft-manifest").load(ms: _*)
           .filter(col("status") =!= 2)
           .select(col("data_file.file_path").as("path"))
+      val expired = live(expManifests.map(_._1)).distinct()
+        .as[String].map(p => (p, uriPath(p))).toDF("path", "ref")
       val doomedDf =
-        if (retManifests.isEmpty) live(expManifests.map(_._1)).distinct()
-        else live(expManifests.map(_._1)).distinct()
-          .join(live(retManifests.map(_._1)), Seq("path"), "left_anti")
+        if (retManifests.isEmpty) expired.select(col("path"))
+        else expired.join(
+          live(retManifests.map(_._1)).as[String].map(uriPath).toDF("ref"),
+          Seq("ref"), "left_anti").select(col("path"))
       val conf = new SerializableHadoopConf(HadoopConfs.active())
       doomedDf.as[String].rdd.foreachPartition { it =>
         it.foreach { p =>

@@ -688,7 +688,10 @@ object GraftProcedures {
           val olderThan = if (input.isNullAt(1)) None else Some(input.getLong(1))
           val deleted = GraftTable.removeOrphanFiles(SparkSession.active, dir,
             olderThan, dryRun = !input.isNullAt(2) && input.getBoolean(2))
-          Seq(InternalRow(deleted.toInt))
+          // toIntExact, not toInt: past 2^31 swept files a silent wrap
+          // would report a negative/garbage count — fail loudly instead
+          // (the result schema is oracle-pinned IntegerType)
+          Seq(InternalRow(Math.toIntExact(deleted)))
         })
       case "delete_reachable_files" => new Proc(
         "delete_reachable_files",
@@ -711,7 +714,8 @@ object GraftProcedures {
           val r = GraftTable.deleteReachableFiles(SparkSession.active,
             input.getUTF8String(0).toString,
             dryRun = !input.isNullAt(1) && input.getBoolean(1))
-          Seq(InternalRow(r.contentFilesCount.toInt, r.manifests.size,
+          // toIntExact: see remove_orphan_files — loud overflow, not a wrap
+          Seq(InternalRow(Math.toIntExact(r.contentFilesCount), r.manifests.size,
             r.manifestLists.size, r.metadataFiles.size, r.statisticsFiles.size))
         })
       case "fast_forward" => new Proc(

@@ -203,8 +203,14 @@ object TextPipeline {
       .select($"b.w1", $"b.w2")
       .filter(length($"w1") > 0 && length($"w2") > 0)
     val counts = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
-    val context = counts.groupBy($"w1").agg(sum($"n").as("n_ctx"))
-    counts.join(context, "w1")
+    // r21: continuation counts as an unordered window over the bigram
+    // rollup instead of a groupBy + self-join — the join formulation
+    // recomputed the whole tokenize+count subtree per side (column
+    // pruning makes the two exchanges canonically different, so
+    // ReusedExchange never fires); the window computes the same
+    // SUM(n) per w1 in one pass over the KB-scale rollup
+    counts
+      .withColumn("n_ctx", sum($"n").over(Window.partitionBy($"w1")))
       .select($"w1", $"w2", $"n",
         ($"n".cast(DoubleType) / $"n_ctx".cast(DoubleType)).as("p_cond"))
       .orderBy($"n".desc, $"w1", $"w2")
@@ -281,11 +287,17 @@ object TextPipeline {
       .filter(length($"term") > 0)
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    // df (vocabulary-sized) vs tf: broadcast-vs-shuffle is left to AQE —
-    // a unigram vocab broadcasts; a web-scale vocabulary would shuffle
-    // co-partitioned on term rather than OOM on a forced hint
-    val scored = tf.join(df, "term")
+    // r21: document frequency as an unordered window over the tf rollup
+    // instead of groupBy + join back — the join formulation recomputed
+    // the tokenize+tf subtree per side (column pruning made the two
+    // exchanges canonically different, defeating ReusedExchange), so the
+    // corpus was scanned and exploded twice. The window computes the same
+    // COUNT(*) per term in one pass, shuffling only the (doc, term, tf)
+    // rollup; at web scale the same plan holds — the window sorts rather
+    // than materializes per-term lists, so a pathologically common term
+    // spills instead of OOMing (the d11 argument).
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", ($"tf" * $"n_docs").cast(DoubleType) / $"df")
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")

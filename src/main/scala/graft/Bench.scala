@@ -202,8 +202,15 @@ object Bench {
     }
     // third chance for stolen entries only (see remeasureSet): one more
     // pass each, min taken — a sustained contention window now has to
-    // span warmup AND all three passes to fake a regression
-    val suspects = remeasureSet(warm, timed).toSet
+    // span warmup AND all three passes to fake a regression. On a host
+    // that was ALREADY loaded when the bench started (load_start at a
+    // quarter of the core count — other tenants, not us), the trigger
+    // tightens to 3×: contamination is likelier than JIT wobble there,
+    // and the cap still bounds the extra passes at 5. (r20's 328 s
+    // driver record cost a full adjudication session; the `rm` stamp on
+    // the metric line closes that on sight.)
+    val factor = if (loadStart.exists(_ >= cpus.toDouble / 4)) 3.0 else 4.0
+    val suspects = remeasureSet(warm, timed, factor = factor).toSet
     suspects.foreach(n =>
       System.err.println(s"[bench] $n re-measured: min-of-2 far above its warmup"))
     val results = timed.map { case (n, v) =>
@@ -212,7 +219,12 @@ object Bench {
     }
     val extras = loadStart.map("load_start" -> _).toSeq ++
       load1().map("load_end" -> _) ++
-      Seq("warmup" -> warm.values.flatten.sum)
+      Seq("warmup" -> warm.values.flatten.sum,
+        // how many entries took the anti-steal third pass: a nonzero rm
+        // on a drifted total says the bench already re-measured its
+        // outliers — the adjudicator reads contamination off the line
+        // instead of re-running the movers
+        "rm" -> suspects.size.toDouble)
     sys.env.get("SPARK_GRAFT_BENCH_JSON").foreach(p =>
       writeFullJson(p, results, sfDir, results.flatMap(_._2).sum, extras))
     emitFinalLine(renderLine(results, sfDir, extras), () => spark.stop())

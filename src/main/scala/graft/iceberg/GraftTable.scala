@@ -4182,7 +4182,15 @@ object GraftTable {
     * stays METADATA-proportional: the manifest path list and the
     * directory tree. */
   def orphanFileCandidates(spark: SparkSession, tableDir: String,
-      olderThanMs: Option[Long] = None): DataFrame = {
+      olderThanMs: Option[Long] = None): DataFrame =
+    orphanCandidatesWithCleanup(spark, tableDir, olderThanMs)._1
+
+  /** [[orphanFileCandidates]] plus an explicit cleanup for the walk's
+    * per-level caches — [[removeOrphanFiles]] unpersists them once its
+    * action finishes; the public DataFrame route leaves them to the
+    * ContextCleaner (GC-driven), which is correct but less prompt. */
+  private def orphanCandidatesWithCleanup(spark: SparkSession, tableDir: String,
+      olderThanMs: Option[Long] = None): (DataFrame, () => Unit) = {
     import spark.implicits._
     val meta = TableMetadata.parseFile(latestMetadataPath(tableDir))
     require(!meta.properties.get("gc.enabled").contains("false"),
@@ -4194,7 +4202,7 @@ object GraftTable {
     val fs = HadoopConfs.fileSystemFor(tableDir)
     val dataDir = new org.apache.hadoop.fs.Path(s"$tableDir/data")
     if (!fs.exists(dataDir))
-      return Seq.empty[(String, Long)].toDF("path", "mtime")
+      return (Seq.empty[(String, Long)].toDF("path", "mtime"), () => ())
     val referenced =
       if (manifests.isEmpty) spark.emptyDataset[String].toDF("ref")
       else spark.read.format("graft-manifest").load(manifests: _*)
@@ -4211,57 +4219,60 @@ object GraftTable {
     val exts = Seq(".parquet", ".puffin", ".avro", ".orc")
     val conf = new SerializableHadoopConf(HadoopConfs.active())
     val slots = math.max(1, spark.sparkContext.defaultParallelism)
-    // level-by-level tree walk: each job lists the current level's
-    // directories executor-side and returns ONLY subdirectory names
+    // level-by-level tree walk, ONE listing per directory (r21 — was one
+    // listing for subdirectory discovery plus a second for files,
+    // doubling object-store LIST round trips): each level's job streams
+    // each directory's entries once, emitting subdirectories AND matching
+    // files; the level is CACHED (memory-then-disk, the same rows the
+    // anti-join shuffles anyway — a lost block relists just that
+    // directory slice), subdirectory NAMES come back to the driver to
+    // seed the next level, and the file rows stay distributed for the
+    // anti-join. Driver state is still directory names only.
     var level = Seq(dataDir.toString)
-    val allDirs = Seq.newBuilder[String]
+    val cached = Seq.newBuilder[DataFrame]
+    val fileFrames = Seq.newBuilder[DataFrame]
     while (level.nonEmpty) {
-      allDirs ++= level
-      level = spark.createDataset(level)
+      val listed = spark.createDataset(level)
         .repartition(math.min(level.size, slots))
         .flatMap { d =>
           val p = new org.apache.hadoop.fs.Path(d)
           val dfs = HadoopConfs.fileSystemFor(p, conf.value)
           val it = dfs.listStatusIterator(p)
-          new scala.collection.AbstractIterator[String] {
-            private def fetch(): String = {
+          new scala.collection.AbstractIterator[(String, String, Long, Boolean)] {
+            private def fetch(): (String, String, Long, Boolean) = {
               while (it.hasNext) {
                 val st = it.next()
-                if (st.isDirectory) return st.getPath.toString
+                if (st.isDirectory)
+                  return (st.getPath.toString, "", 0L, true)
+                if (st.isFile && exts.exists(st.getPath.getName.endsWith)) {
+                  val full = st.getPath.toString
+                  return (full, uriPath(full), st.getModificationTime, false)
+                }
               }
               null
             }
             private var nv = fetch()
             override def hasNext: Boolean = nv != null
-            override def next(): String = { val v = nv; nv = fetch(); v }
-          }
-        }.collect().toSeq
-    }
-    val dirs = allDirs.result()
-    val actual = spark.createDataset(dirs)
-      .repartition(math.min(dirs.size, slots))
-      .flatMap { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        val dfs = HadoopConfs.fileSystemFor(p, conf.value)
-        val it = dfs.listStatusIterator(p)
-        new scala.collection.AbstractIterator[(String, String, Long)] {
-          private def fetch(): (String, String, Long) = {
-            while (it.hasNext) {
-              val st = it.next()
-              if (st.isFile && exts.exists(st.getPath.getName.endsWith)) {
-                val full = st.getPath.toString
-                return (full, uriPath(full), st.getModificationTime)
-              }
+            override def next(): (String, String, Long, Boolean) = {
+              val v = nv; nv = fetch(); v
             }
-            null
           }
-          private var nv = fetch()
-          override def hasNext: Boolean = nv != null
-          override def next(): (String, String, Long) = { val v = nv; nv = fetch(); v }
-        }
-      }.toDF("path", "ref", "mtime")
+        }.toDF("path", "ref", "mtime", "is_dir")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += listed
+      // this collect triggers the level's ONE listing job and pins it in
+      // the cache; only subdirectory names reach the driver
+      level = listed.filter(col("is_dir")).select(col("path"))
+        .as[String].collect().toSeq
+      fileFrames += listed.filter(!col("is_dir"))
+        .select(col("path"), col("ref"), col("mtime"))
+    }
+    val actual = fileFrames.result().reduce(_.union(_))
     val aged = olderThanMs.map(c => actual.filter(col("mtime") < c)).getOrElse(actual)
-    aged.join(referenced, Seq("ref"), "left_anti").select(col("path"), col("mtime"))
+    val cands = aged.join(referenced, Seq("ref"), "left_anti")
+      .select(col("path"), col("mtime"))
+    val handles = cached.result()
+    (cands, () => handles.foreach(_.unpersist(blocking = false)))
   }
 
   /** Delete data-directory files NO snapshot references — failed-write
@@ -4282,22 +4293,24 @@ object GraftTable {
   def removeOrphanFiles(spark: SparkSession, tableDir: String,
       olderThanMs: Option[Long] = None,
       dryRun: Boolean = false): Long = {
-    val cands = orphanFileCandidates(spark, tableDir, olderThanMs)
-    if (dryRun) cands.count()
-    else {
-      import spark.implicits._
-      val conf = new SerializableHadoopConf(HadoopConfs.active())
-      // executor-side deletes, one task per anti-join partition; count
-      // successful deletes only (a concurrent sweep's winner counts it)
-      cands.select("path").as[String].rdd.mapPartitions { it =>
-        var n = 0L
-        it.foreach { p =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          if (HadoopConfs.fileSystemFor(hp, conf.value).delete(hp, false)) n += 1
-        }
-        Iterator.single(n)
-      }.fold(0L)(_ + _)
-    }
+    val (cands, cleanup) = orphanCandidatesWithCleanup(spark, tableDir, olderThanMs)
+    try {
+      if (dryRun) cands.count()
+      else {
+        import spark.implicits._
+        val conf = new SerializableHadoopConf(HadoopConfs.active())
+        // executor-side deletes, one task per anti-join partition; count
+        // successful deletes only (a concurrent sweep's winner counts it)
+        cands.select("path").as[String].rdd.mapPartitions { it =>
+          var n = 0L
+          it.foreach { p =>
+            val hp = new org.apache.hadoop.fs.Path(p)
+            if (HadoopConfs.fileSystemFor(hp, conf.value).delete(hp, false)) n += 1
+          }
+          Iterator.single(n)
+        }.fold(0L)(_ + _)
+      }
+    } finally cleanup()
   }
 
   /** Everything [[deleteReachableFiles]] found, by kind. Metadata-tier

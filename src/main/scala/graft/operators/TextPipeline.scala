@@ -445,22 +445,19 @@ object TextPipeline {
         "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
       .select($"doc_id", $"source", $"b.w1", $"b.w2")
       .filter(length($"w1") > 0 && length($"w2") > 0)
-    // r21: roll the raw bigram stream up to per-document (w1, w2) COUNTS
-    // first, and derive both the LM and the scoring probe from that one
-    // rollup — the normalize kernel + split + explode over the corpus
-    // then runs ONCE (the rollup's exchange is reused by both consumers)
-    // instead of once per consumer, and the LM joins shuffle deduplicated
-    // (doc, bigram) rows instead of every occurrence. Score algebra is
-    // unchanged: every occurrence of a bigram contributes the same
-    // integer, so Σ_occ q = Σ_bigram c·q and nb = Σ c — bit-identical to
-    // the oracle's per-occurrence formulation.
-    val perDoc = bg.groupBy($"doc_id", $"source", $"w1", $"w2")
-      .agg(count(lit(1)).as("c"))
-    val counts = perDoc.groupBy($"w1", $"w2").agg(sum($"c").as("n"))
+    // r21 note: a per-document (doc, w1, w2) pre-rollup (so the kernel
+    // runs once via exchange reuse) was measured WARM-SLOWER here — the
+    // bigram stream is near-unique per document, so the 4-column
+    // pre-shuffle of the whole occurrence stream costs more than the
+    // second kernel pass it saves, and at 100 TB a full-stream shuffle
+    // loses to a second scan+kernel outright (guide §2.3: shuffle fewer
+    // bytes; the LM side joins stay broadcastable so this formulation
+    // shuffles only per-doc partial aggregates). Kept as-is, measured.
+    val counts = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
     val ctx = counts.groupBy($"w1").agg(sum($"n").as("n_ctx"))
-    val scored = perDoc.join(counts, Seq("w1", "w2")).join(ctx, Seq("w1"))
+    val scored = bg.join(counts, Seq("w1", "w2")).join(ctx, Seq("w1"))
       .groupBy($"doc_id", $"source")
-      .agg(sum($"c" * expr("(n * 1000000) DIV n_ctx")).as("s"), sum($"c").as("nb"))
+      .agg(sum(expr("(n * 1000000) DIV n_ctx")).as("s"), count(lit(1)).as("nb"))
       .withColumn("score", expr("s DIV nb"))
     scored.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),

@@ -97,9 +97,19 @@ object Dedup {
       .join(withShingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
       .join(withShingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
       .withColumn("n_inter", size(array_intersect($"sh_a", $"sh_b")))
+      // integer cross-multiplied acceptance (r21): i/(sa+sb-i) >= 0.8
+      // ⟺ 9i >= 4(sa+sb) in exact integers, and the double-division
+      // compare agrees at EVERY reachable cardinality (the only rational
+      // within an ulp of 0.8 is 4/5 itself, which divides to the 0.8
+      // literal exactly — checked exhaustively to |sa|+|sb| = 300k).
+      // Filtering on the single n_inter reference keeps the pushed-down
+      // join condition at ONE array_intersect evaluation; the old
+      // jaccard-column filter substituted the intersect TWICE into the
+      // condition plus once in the projection. Output values unchanged —
+      // jaccard is still the same double division.
+      .filter($"n_inter" * 9 >= (size($"sh_a") + size($"sh_b")) * 4)
       .withColumn("jaccard",
         $"n_inter".cast(DoubleType) / (size($"sh_a") + size($"sh_b") - $"n_inter"))
-      .filter($"jaccard" >= 0.8)
       .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -175,8 +185,11 @@ object Dedup {
       .join(grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "g_a"), "doc_a")
       .join(grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "g_b"), "doc_b")
       .withColumn("i", size(array_intersect($"g_a", $"g_b")))
+      // integer cross-multiplied acceptance — see minhashDedup: one
+      // intersect evaluation in the pushed-down condition instead of two,
+      // provably the same rows, identical jaccard values
+      .filter($"i" * 9 >= (size($"g_a") + size($"g_b")) * 4)
       .withColumn("jaccard", $"i".cast(DoubleType) / (size($"g_a") + size($"g_b") - $"i"))
-      .filter($"jaccard" >= 0.8)
       .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -351,8 +364,14 @@ object Dedup {
     val pairs = minhashDedup(spark, dir).select($"doc_a", $"doc_b")
     val edges = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .toDF("src", "dst").cache()
-    var labels = edges.select($"src".as("doc_id")).distinct()
-      .withColumn("lbl", $"doc_id")
+    // r21: round 1 fused into the seed — with identity labels, the first
+    // propagation round reduces to min-over-direct-neighbors, which is
+    // one groupBy over the edge list instead of a join round (every node
+    // appears as src: the edge set is symmetrized above). Result-
+    // identical: min-label propagation converges to the same fixpoint
+    // from any monotone prefix of itself.
+    var labels = edges.groupBy($"src").agg(min($"dst").as("n0"))
+      .select($"src".as("doc_id"), least($"src", $"n0").as("lbl"))
     // min-label propagation is monotone non-increasing, so the label sum
     // is a fixpoint detector: one cheap aggregate per round instead of a
     // join-based diff.

@@ -372,6 +372,7 @@ object Dedup {
     // from any monotone prefix of itself.
     var labels = edges.groupBy($"src").agg(min($"dst").as("n0"))
       .select($"src".as("doc_id"), least($"src", $"n0").as("lbl"))
+      .cache()
     // min-label propagation is monotone non-increasing, so the label sum
     // is a fixpoint detector: one cheap aggregate per round instead of a
     // join-based diff.
@@ -384,23 +385,36 @@ object Dedup {
     val shufKey = "spark.sql.shuffle.partitions"
     val prevShuf = spark.conf.get(shufKey)
     spark.conf.set(shufKey, "4")
-    var prevSum = Long.MaxValue
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long = {
+      val row = df.agg(org.apache.spark.sql.functions.sum($"lbl")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0) // null ⟺ no pairs at this sf
+    }
     var converged = false
     var rounds = 0
-    try while (!converged && rounds < 20) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("lbl", "n_lbl"), "dst")
-        .groupBy($"src".as("doc_id")).agg(min($"n_lbl").as("n_lbl"))
-      val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
-        .select($"doc_id", least($"lbl", coalesce($"n_lbl", $"lbl")).as("lbl"))
-        .cache()
-      val sumRow = next.agg(org.apache.spark.sql.functions.sum($"lbl")).head()
-      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0) // null ⟺ no pairs at this sf
-      if (rounds > 0) labels.unpersist() // previous round's cache
-      labels = next
-      converged = sum == prevSum
-      prevSum = sum
-      rounds += 1
+    try {
+      // r21 (session 2): the convergence baseline is the SEED's label sum —
+      // one cheap aggregate whose action also materializes the edge cache
+      // and the (now cached) seed labels exactly once. Labels are monotone
+      // non-increasing under min-propagation, so sum-unchanged ⟺ no node
+      // changed; comparing round 1 against the seed detects the (typical:
+      // pair/triple components) already-converged case after ONE join round
+      // instead of two, and the cached seed keeps the kernel pipeline out
+      // of round 1's twice-referencing join plan.
+      var prevSum = labelSum(labels)
+      while (!converged && rounds < 20) {
+        val viaNeighbor = edges
+          .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("lbl", "n_lbl"), "dst")
+          .groupBy($"src".as("doc_id")).agg(min($"n_lbl").as("n_lbl"))
+        val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
+          .select($"doc_id", least($"lbl", coalesce($"n_lbl", $"lbl")).as("lbl"))
+          .cache()
+        val sum = labelSum(next)
+        labels.unpersist()
+        labels = next
+        converged = sum == prevSum
+        prevSum = sum
+        rounds += 1
+      }
     } finally spark.conf.set(shufKey, prevShuf)
     // propagation covers one hop per round: a component with diameter
     // beyond the cap would emit wrong labels — fail loudly instead

@@ -194,6 +194,13 @@ object VectorKernels {
 case class SquaredDistance(left: Expression, right: Expression, offset: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def nullIntolerant: Boolean = true
+  // can return NULL from NON-NULL inputs (a too short to cover the slice),
+  // so nullable must not collapse to the children's nullability: with
+  // non-null children BinaryExpression would report nullable=false, Spark's
+  // nullSafeCodeGen then drops the isNull declaration, and the template
+  // below assigns an UNDECLARED variable — the whole stage falls back to
+  // interpreter mode (observed on s07's isnotnull-filtered scan).
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_sqd"
 
@@ -243,6 +250,11 @@ case class SquaredDistance(left: Expression, right: Expression, offset: Int)
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def nullIntolerant: Boolean = true
+  // NULL on ragged inputs even when both children are non-null — see the
+  // SquaredDistance note: without this override the codegen template's
+  // isNull assignment references an undeclared variable under non-null
+  // children and the stage (s07's Lloyd assignment) runs interpreted.
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 

@@ -595,7 +595,7 @@ object Similarity {
     * lambda calls per row. ‖c_j‖² folds left-to-right in Scala — the
     * same fold DuckDB's list_sum replays, so the literal equals the
     * oracle's computed value. */
-  private def lloydScores(cents: Array[Array[Double]]): Column =
+  private[graft] def lloydScores(cents: Array[Array[Double]]): Column =
     array(cents.toIndexedSeq.map { c =>
       val nc = c.map(x => x * x).sum
       lit(-2.0) * call_function("graft_dot", col("embedding"),

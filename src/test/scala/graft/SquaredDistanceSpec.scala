@@ -71,4 +71,45 @@ class SquaredDistanceSpec extends AnyFunSuite {
       array(lit(1.0), lit(2.0)), lit(0)).as("n")).collect().head
     assert(r.isNullAt(0))
   }
+
+  /** Regression for the s07 interpreter fallback: graft_dot/graft_sqd can
+    * return NULL from NON-NULL inputs (ragged arrays), so their `nullable`
+    * must not collapse to the children's nullability. With non-null
+    * children (array literals below), BinaryExpression's default reported
+    * nullable=false, Spark's nullSafeCodeGen dropped the isNull declaration
+    * and the codegen template assigned an undeclared variable — Janino
+    * failed ("is not an rvalue") and the whole stage (s07's Lloyd
+    * assignment) silently ran interpreted. The fix declares nullable=true;
+    * this spec pins BOTH halves: the expression stays nullable under
+    * non-null children, and codegen-only mode (no interpreter fallback
+    * allowed) produces the right values and the ragged NULL. */
+  test("non-null children: nullable stays true and codegen compiles (no fallback)") {
+    import spark.implicits._
+    import graft.functions.{DotProduct, SquaredDistance}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, CreateArray}
+    val arr3 = CreateArray(Seq(Literal(1.0), Literal(2.0), Literal(3.0)))
+    val arr2 = CreateArray(Seq(Literal(1.0), Literal(2.0)))
+    assert(!arr3.nullable && !arr2.nullable, "precondition: non-null children")
+    assert(DotProduct(arr3, arr2).nullable, "graft_dot must stay nullable")
+    assert(SquaredDistance(arr3, arr2, 2).nullable, "graft_sqd must stay nullable")
+
+    // CODEGEN_ONLY forbids the interpreter fallback that masked the bug
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      graft.functions.GraftFunctions.register(spark)
+      val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0, 1.0))).toDF("a", "b")
+        .filter($"a".isNotNull && $"b".isNotNull) // non-null attributes
+      val row = df.select(
+        call_function("graft_dot", $"a", array(lit(1.0), lit(2.0), lit(3.0))).as("dot"),
+        call_function("graft_sqd", $"a", $"b", lit(1)).as("sqd"),
+        call_function("graft_dot", $"a", $"b").as("ragged")).collect().head
+      assert(row.getDouble(0) == 14.0)
+      assert(row.getDouble(1) == 1.0 + 4.0) // (2-1)^2 + (3-1)^2
+      assert(row.isNullAt(2), "ragged non-null inputs must yield NULL")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }

@@ -156,6 +156,38 @@ object VectorKernels {
     s
   }
 
+  /** All k Lloyd assignment scores in ONE pass: score_j = −2·(x·c_j) + n_j
+    * where n_j is the precomputed ‖c_j‖². Per element j this is EXACTLY
+    * `Multiply(Literal(-2.0), DotProduct(x, lit(c_j))) + Literal(n_j)` —
+    * the same IEEE-754 ops in the same order as the literal-array
+    * formulation it replaces (LloydScoresSpec pins bit-equality), and a
+    * length-mismatched x yields a NULL element exactly as the nullable
+    * graft_dot did. Boxed Double elements match CreateArray's output. */
+  def lloydScores(x: org.apache.spark.sql.catalyst.util.ArrayData, xFloat: Boolean,
+      cents: Array[Array[Double]], norms: Array[Double])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = cents.length
+    val out = new Array[Any](k)
+    val n = x.numElements()
+    var j = 0
+    while (j < k) {
+      val c = cents(j)
+      if (n != c.length) out(j) = null
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < c.length) {
+          val xv = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          s += xv * c(i)
+          i += 1
+        }
+        out(j) = java.lang.Double.valueOf(-2.0 * s + norms(j))
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Squared L2 distance of a[off, off+|b|) to b — the SAME left-to-right
     * IEEE-754 fold as `aggregate(zip_with(slice(a), b, (x,y) => (x-y)*(x-y)),
     * 0.0, _+_)`: per element one subtract, one multiply, one add, in index
@@ -299,6 +331,63 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
+}
+
+/** lloyd_scores(x): the k-means assignment score array
+  * [−2·(x·c_j) + ‖c_j‖²]_{j<k} with the centroid matrix carried by a
+  * BROADCAST VARIABLE instead of per-centroid array literals. The literal
+  * formulation (`array(lit(-2.0)*graft_dot(x, array(lit…)) + lit(n_j))`)
+  * re-serialized k·dim doubles of plan into EVERY task binary — Spark
+  * logged `Broadcasting large task binary (1 MB)` once per stage on s07's
+  * 11 actions (guide §5: large task closures are driver+scheduler cost
+  * re-paid per stage × per task at scale). Here the task binary carries a
+  * Broadcast stub; executors fetch the centroids once per JVM via the
+  * torrent protocol. Bit-identical scores (LloydScoresSpec): the kernel
+  * replays the exact per-j fold, norms are precomputed on the driver with
+  * the same left-to-right sum, and ragged inputs yield NULL elements as
+  * the nullable graft_dot did.
+  *
+  * Constructed directly (GraftSqlShim.column), not via the function
+  * registry — a Broadcast handle cannot ride a literal argument list. */
+case class LloydScores(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    norms: Array[Double]) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "graft_lloyd_scores"
+
+  private def elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float|double> input, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.lloydScores(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      elemFloat, bc.value, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("lloydBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    val normsRef = ctx.addReferenceObj("lloydNorms", norms, "double[]")
+    // hoist the broadcast deref to instance init: one block-manager lookup
+    // per generated-class instance, not one per row
+    val centsVar = ctx.addMutableState("double[][]", "lloydCents",
+      v => s"$v = (double[][]) $bcRef.value();")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.lloydScores($c, $elemFloat, $centsVar, $normsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LloydScores = copy(child = c)
 }
 
 /** lang_id(text): heuristic language identification. */

@@ -589,18 +589,27 @@ object Similarity {
 
   /** Assignment scores against `cents` as ONE array column:
     * score_j = −2·x·c_j + ‖c_j‖² — argmin-equivalent to squared L2 (the
-    * row's ‖x‖² is constant across j) but running through the CODEGEN'D
-    * DotProduct kernel instead of k interpreted zip_with folds: the
-    * difference between a whole-stage-codegen scan and 8×64 boxed
-    * lambda calls per row. ‖c_j‖² folds left-to-right in Scala — the
-    * same fold DuckDB's list_sum replays, so the literal equals the
-    * oracle's computed value. */
+    * row's ‖x‖² is constant across j), computed by the codegen'd
+    * [[graft.functions.LloydScores]] kernel with the centroid matrix in a
+    * BROADCAST VARIABLE (r22): the previous per-centroid literal arrays
+    * re-shipped k·dim doubles of plan in every task binary (`Broadcasting
+    * large task binary (1 MB)` once per stage across s07's 11 actions —
+    * guide §5); the broadcast ships once per executor. Scores are
+    * bit-identical to the literal formulation (LloydScoresSpec): the
+    * kernel replays −2·dot+‖c‖² per j in the same IEEE order, and ‖c_j‖²
+    * folds left-to-right in Scala — the same fold DuckDB's list_sum
+    * replays. Each call broadcasts one KB-scale matrix; the handles are
+    * GC'd by the ContextCleaner with the plans that reference them. */
   private[graft] def lloydScores(cents: Array[Array[Double]]): Column =
-    array(cents.toIndexedSeq.map { c =>
-      val nc = c.map(x => x * x).sum
-      lit(-2.0) * call_function("graft_dot", col("embedding"),
-        array(c.toIndexedSeq.map(lit): _*)) + lit(nc)
-    }: _*)
+    lloydScoresOf(col("embedding"), cents)
+
+  private[graft] def lloydScoresOf(x: Column, cents: Array[Array[Double]]): Column = {
+    val spark = SparkSession.active
+    val norms = cents.map(c => c.map(v => v * v).sum)
+    val bc = spark.sparkContext.broadcast(cents)
+    org.apache.spark.sql.GraftSqlShim.column(graft.functions.LloydScores(
+      org.apache.spark.sql.GraftSqlShim.expression(x), bc, norms))
+  }
 
   /** Deterministic FARTHEST-POINT (k-center / Gonzalez) seeding: seed 1
     * is the max-norm vector, each next seed the vector maximizing its

@@ -13,4 +13,17 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column over a custom Catalyst expression — needed for expressions
+    * that carry non-Expression state (e.g. a Broadcast handle), which the
+    * function-registry route (literal args only) cannot construct.
+    * `ExpressionUtils.column` is `private[sql]`, same doorway rationale
+    * as [[ofRows]]. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The inverse doorway: a Column's resolved/unresolved Catalyst
+    * expression, for embedding as a child of a custom expression. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

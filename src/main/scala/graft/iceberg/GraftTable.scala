@@ -4187,9 +4187,12 @@ object GraftTable {
 
   /** [[orphanFileCandidates]] plus an explicit cleanup for the walk's
     * per-level caches — [[removeOrphanFiles]] unpersists them once its
-    * action finishes; the public DataFrame route leaves them to the
-    * ContextCleaner (GC-driven), which is correct but less prompt. */
-  private def orphanCandidatesWithCleanup(spark: SparkSession, tableDir: String,
+    * action finishes. PUBLIC (r22) so API callers who materialize the
+    * DataFrame themselves can release the level caches promptly too:
+    * the bare-DataFrame route leaves them to the ContextCleaner
+    * (GC-driven), which is correct but unbounded across repeated
+    * candidate listings in a long-lived session (guide §5). */
+  def orphanCandidatesWithCleanup(spark: SparkSession, tableDir: String,
       olderThanMs: Option[Long] = None): (DataFrame, () => Unit) = {
     import spark.implicits._
     val meta = TableMetadata.parseFile(latestMetadataPath(tableDir))

@@ -107,7 +107,16 @@ object Dedup {
       // jaccard-column filter substituted the intersect TWICE into the
       // condition plus once in the projection. Output values unchanged —
       // jaccard is still the same double division.
-      .filter($"n_inter" * 9 >= (size($"sh_a") + size($"sh_b")) * 4)
+      // The sa+sb > 0 guard (r22) covers the one case where the integer
+      // form diverges from `jaccard >= 0.8`: token-less docs have EMPTY
+      // shingle sets (all-MaxValue minhash signatures ⇒ they collide on
+      // every band and become candidates), where 0 >= 0 would pass the
+      // filter and the jaccard projection's 0/0 then THROWS under ANSI
+      // mode (Spark 4 default) — and the oracle's shingle join produces
+      // no such pair at all, so dropping is the correct and the old
+      // (pre-integer-filter) behavior (EmptyDocGuardSpec).
+      .filter($"n_inter" * 9 >= (size($"sh_a") + size($"sh_b")) * 4 &&
+        size($"sh_a") + size($"sh_b") > 0)
       .withColumn("jaccard",
         $"n_inter".cast(DoubleType) / (size($"sh_a") + size($"sh_b") - $"n_inter"))
       .select($"doc_a", $"doc_b", $"jaccard")
@@ -187,8 +196,12 @@ object Dedup {
       .withColumn("i", size(array_intersect($"g_a", $"g_b")))
       // integer cross-multiplied acceptance — see minhashDedup: one
       // intersect evaluation in the pushed-down condition instead of two,
-      // provably the same rows, identical jaccard values
-      .filter($"i" * 9 >= (size($"g_a") + size($"g_b")) * 4)
+      // provably the same rows, identical jaccard values; the g_a+g_b > 0
+      // guard covers texts shorter than 8 chars (empty gram sets collide
+      // on every band), where the jaccard projection's 0/0 would THROW
+      // under ANSI and the oracle emits no pair — see minhashDedup
+      .filter($"i" * 9 >= (size($"g_a") + size($"g_b")) * 4 &&
+        size($"g_a") + size($"g_b") > 0)
       .withColumn("jaccard", $"i".cast(DoubleType) / (size($"g_a") + size($"g_b") - $"i"))
       .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
@@ -391,7 +404,13 @@ object Dedup {
     }
     var converged = false
     var rounds = 0
+    // r22: BOTH iteration caches release on every exit path — the edge
+    // cache previously survived a convergence-cap throw until session end
+    // (a guide-§5 leak in a long-lived session; the per-round label caches
+    // were already managed). The happy path unpersists only after the
+    // checkpoint below materializes the result.
     try {
+      try {
       // r21 (session 2): the convergence baseline is the SEED's label sum —
       // one cheap aggregate whose action also materializes the edge cache
       // and the (now cached) seed labels exactly once. Labels are monotone
@@ -400,38 +419,36 @@ object Dedup {
       // pair/triple components) already-converged case after ONE join round
       // instead of two, and the cached seed keeps the kernel pipeline out
       // of round 1's twice-referencing join plan.
-      var prevSum = labelSum(labels)
-      while (!converged && rounds < 20) {
-        val viaNeighbor = edges
-          .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("lbl", "n_lbl"), "dst")
-          .groupBy($"src".as("doc_id")).agg(min($"n_lbl").as("n_lbl"))
-        val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
-          .select($"doc_id", least($"lbl", coalesce($"n_lbl", $"lbl")).as("lbl"))
-          .cache()
-        val sum = labelSum(next)
-        labels.unpersist()
-        labels = next
-        converged = sum == prevSum
-        prevSum = sum
-        rounds += 1
-      }
-    } finally spark.conf.set(shufKey, prevShuf)
-    // propagation covers one hop per round: a component with diameter
-    // beyond the cap would emit wrong labels — fail loudly instead
-    if (!converged) throw new IllegalStateException(
-      s"neardup clustering did not converge in $rounds rounds — component diameter exceeds cap")
-    edges.unpersist()
-    // the final labels stay cached only until the plan is consumed; make
-    // the result independent of the iteration caches. On a CLUSTER that
-    // means a RELIABLE checkpoint (session checkpoint dir), not
-    // localCheckpoint: executor-local blocks vanish with a lost executor,
-    // and an iterative result must survive executor churn at scale —
-    // require an explicit shared HDFS/S3 checkpoint dir. In LOCAL mode
-    // there is no executor churn (one JVM, no dynamic allocation), so
-    // localCheckpoint gives the same lineage cut without writing and
-    // re-reading the result through the filesystem.
-    val projected = labels.select($"doc_id", $"lbl".as("cluster_rep")).orderBy($"doc_id")
-    val out =
+        var prevSum = labelSum(labels)
+        while (!converged && rounds < 20) {
+          val viaNeighbor = edges
+            .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("lbl", "n_lbl"), "dst")
+            .groupBy($"src".as("doc_id")).agg(min($"n_lbl").as("n_lbl"))
+          val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
+            .select($"doc_id", least($"lbl", coalesce($"n_lbl", $"lbl")).as("lbl"))
+            .cache()
+          val sum = labelSum(next)
+          labels.unpersist()
+          labels = next
+          converged = sum == prevSum
+          prevSum = sum
+          rounds += 1
+        }
+      } finally spark.conf.set(shufKey, prevShuf)
+      // propagation covers one hop per round: a component with diameter
+      // beyond the cap would emit wrong labels — fail loudly instead
+      if (!converged) throw new IllegalStateException(
+        s"neardup clustering did not converge in $rounds rounds — component diameter exceeds cap")
+      // the final labels stay cached only until the plan is consumed; make
+      // the result independent of the iteration caches. On a CLUSTER that
+      // means a RELIABLE checkpoint (session checkpoint dir), not
+      // localCheckpoint: executor-local blocks vanish with a lost executor,
+      // and an iterative result must survive executor churn at scale —
+      // require an explicit shared HDFS/S3 checkpoint dir. In LOCAL mode
+      // there is no executor churn (one JVM, no dynamic allocation), so
+      // localCheckpoint gives the same lineage cut without writing and
+      // re-reading the result through the filesystem.
+      val projected = labels.select($"doc_id", $"lbl".as("cluster_rep")).orderBy($"doc_id")
       if (spark.sparkContext.isLocal) projected.localCheckpoint()
       else {
         if (spark.sparkContext.getCheckpointDir.isEmpty)
@@ -440,8 +457,10 @@ object Dedup {
               "set spark.sparkContext.setCheckpointDir to an HDFS/S3 path")
         projected.checkpoint()
       }
-    labels.unpersist()
-    out
+    } finally {
+      edges.unpersist()
+      labels.unpersist()
+    }
   }
 
   /** Oracle: transitive closure via recursive CTE over the same

@@ -23,6 +23,70 @@ object Dedup {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Rows one LSH band may contribute to a single self-join block before
+    * [[guardedBandPairs]] grid-splits it (guide §2.5). A band of n docs
+    * yields n(n-1)/2 candidate pairs no matter how the join is laid out —
+    * that work is the candidate-generation contract — but without a split
+    * the whole n² lands on the ONE task owning the band's hash partition
+    * (AQE skew handling never splits a repartition-aligned self-join).
+    * With the cap, per-block work is ≤ (2·cap)² comparisons and a hot
+    * band (boilerplate duplicated across millions of docs at 100 TB)
+    * spreads over ⌈n/cap⌉·(⌈n/cap⌉+1)/2 independent blocks/tasks. */
+  val BandSplitCap = 256
+
+  /** LSH band self-join with a hot-band skew guard: candidate pairs
+    * (doc_a < doc_b) sharing (band_idx, band_key), exactly the classic
+    * `bands ⋈ bands` — but big bands are GRID-SPLIT so no single task owns
+    * a quadratic blob (guide §2.5; r21 verdict task 2).
+    *
+    * Shape: one exchange keyed on the band materializes the signature
+    * kernel ONCE (the r21 single-kernel property — the second join side
+    * stays a ReusedExchange); a window count over that same partitioning
+    * (no extra exchange) sizes each band; every row then fans out to the
+    * ⌈n/cap⌉ grid blocks its deterministic salt participates in, and the
+    * block-keyed exchange spreads the blocks over tasks. g = 1 (the
+    * overwhelmingly common case) degenerates to one block per band —
+    * replication 1, identical candidate set.
+    *
+    * Pair-exactness (BandSkewGuardSpec pins it): a co-banded pair with
+    * salts (sa, sb) meets in block (min,max)(sa,sb) — emitted by both
+    * rows via t = other's salt — and in NO other block when sa ≠ sb
+    * (a block (i,j) holds a row iff its salt ∈ {i,j}); equal salts
+    * co-occur in every block containing sa, so the join keeps only the
+    * diagonal (sa,sa). Each qualifying pair appears EXACTLY once per
+    * shared band — same multiset the unsplit join produced — and the
+    * caller's distinct() collapses cross-band repeats as before.
+    *
+    * `carry` columns ride through to the output as `<c>_a` / `<c>_b`
+    * (d04 carries the simhash so the verify stage needs no re-join). */
+  private[graft] def guardedBandPairs(bands: DataFrame,
+      carry: Seq[String] = Nil, cap: Int = BandSplitCap): DataFrame = {
+    val ss = bands.sparkSession
+    import ss.implicits._
+    val wBand = Window.partitionBy($"band_idx", $"band_key")
+    val split = bands
+      .repartition($"band_idx", $"band_key")
+      .withColumn("_g",
+        ceil(count(lit(1)).over(wBand) / lit(cap.toDouble)).cast("int"))
+      // deterministic salt (guide §2.5: never rand() — a retried task
+      // must re-derive the same placement)
+      .withColumn("_s", pmod(xxhash64($"doc_id"), $"_g".cast("long")).cast("int"))
+      .withColumn("_t", explode(sequence(lit(0), $"_g" - 1)))
+      .select(Seq($"doc_id", $"band_idx", $"band_key", $"_s",
+        least($"_s", $"_t").as("_blo"), greatest($"_s", $"_t").as("_bhi")) ++
+        carry.map(col): _*)
+      .repartition($"band_idx", $"band_key", $"_blo", $"_bhi")
+    split.as("a")
+      .join(split.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
+          $"a._blo" === $"b._blo" && $"a._bhi" === $"b._bhi" &&
+          ($"a._s" =!= $"b._s" || $"a._blo" === $"a._bhi") &&
+          $"a.doc_id" < $"b.doc_id")
+      .select(Seq($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")) ++
+        carry.flatMap(c =>
+          Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))): _*)
+  }
+
   /** Exact dedup: group identical texts, keep the smallest doc_id.
     * A plain hash aggregation — Spark's partial aggregation dedups map-side
     * before the shuffle. */
@@ -75,24 +139,17 @@ object Dedup {
     val withShingles = docs
       .withColumn("shingles", GraftFunctions.shingleHashes(spark, $"text", 3))
       .select($"doc_id", $"shingles")
-    // repartition on the band key BEFORE the self-join: both join sides
-    // then need the identical hash partitioning, so the signature kernel
-    // (64 minhashes per doc — the entry's dominant CPU) and the scan run
-    // ONCE and the second side is a ReusedExchange, instead of the
-    // broadcast plan recomputing the whole kernel subtree per side
-    // (guide §2.4: two operations keyed the same way share one exchange).
-    // The shuffle itself carries 16 longs/doc — noise next to the kernel.
+    // skew-guarded single-kernel band self-join: the signature kernel
+    // (64 minhashes per doc — the entry's dominant CPU) materializes
+    // through guardedBandPairs' first exchange ONCE (second side reuses
+    // it; guide §2.4), and hot bands grid-split so no task owns a
+    // quadratic blob (guide §2.5). Shuffles carry 16 longs/doc — noise
+    // next to the kernel.
     val bands = docs
       .select($"doc_id",
         posexplode(GraftFunctions.minhashBands(spark, $"text", 3, 64, 16)))
       .toDF("doc_id", "band_idx", "band_key")
-      .repartition($"band_idx", $"band_key")
-    val candidates = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
+    val candidates = guardedBandPairs(bands).distinct()
     candidates
       .join(withShingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
       .join(withShingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
@@ -144,19 +201,14 @@ object Dedup {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", GraftFunctions.simhash64(spark, $"text", 3).as("sh"))
-    // single-exchange self-join: see minhashDedup — the simhash kernel
-    // runs once, the second join side reuses the shuffle
+    // skew-guarded single-kernel band self-join (see guardedBandPairs):
+    // the simhash kernel runs once, hot chunks grid-split; the fingerprint
+    // rides through as a carry column so the verify needs no re-join
     val chunks = docs.select($"doc_id", $"sh",
       posexplode(array((0 until 4).map(i =>
         $"sh".bitwiseAND(lit(0xffffL << (i * 16)))): _*)))
-      .toDF("doc_id", "sh", "chunk_idx", "chunk")
-      .repartition($"chunk_idx", $"chunk")
-    chunks.as("a")
-      .join(chunks.as("b"),
-        $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk" === $"b.chunk" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.sh".as("sh_a"), $"b.sh".as("sh_b"))
+      .toDF("doc_id", "sh", "band_idx", "band_key")
+    guardedBandPairs(chunks, carry = Seq("sh"))
       .distinct()
       .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
       .filter($"hamming" <= 3)
@@ -178,18 +230,12 @@ object Dedup {
     val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
     val grams = docs
       .select($"doc_id", GraftFunctions.chargramHashes(spark, $"text", 8).as("grams"))
-    // single-exchange self-join: see minhashDedup — the chargram-minhash
-    // kernel runs once, the second join side reuses the shuffle
+    // skew-guarded single-kernel band self-join (see guardedBandPairs):
+    // the chargram-minhash kernel runs once, hot bands grid-split
     val bands = docs
       .select($"doc_id", posexplode(GraftFunctions.chargramBands(spark, $"text", 8, 64, 16)))
       .toDF("doc_id", "band_idx", "band_key")
-      .repartition($"band_idx", $"band_key")
-    val candidates = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
+    val candidates = guardedBandPairs(bands).distinct()
     candidates
       .join(grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "g_a"), "doc_a")
       .join(grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "g_b"), "doc_b")
@@ -679,18 +725,12 @@ object Dedup {
   val editDistanceDedup: Q = (spark, dir) => {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
-    // single-exchange self-join: see minhashDedup — the chargram-minhash
-    // kernel runs once, the second join side reuses the shuffle
+    // skew-guarded single-kernel band self-join (see guardedBandPairs):
+    // the chargram-minhash kernel runs once, hot bands grid-split
     val bands = docs
       .select($"doc_id", posexplode(GraftFunctions.chargramBands(spark, $"text", 8, 64, 16)))
       .toDF("doc_id", "band_idx", "band_key")
-      .repartition($"band_idx", $"band_key")
-    val candidates = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
+    val candidates = guardedBandPairs(bands).distinct()
     candidates
       .join(docs.select($"doc_id".as("doc_a"), $"text".as("t_a")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"text".as("t_b")), "doc_b")

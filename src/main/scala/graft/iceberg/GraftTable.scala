@@ -451,6 +451,15 @@ object GraftTable {
     }
     val histToCur: Map[String, String] = nameAlternates(meta)
       .flatMap { case (cur2, hists) => hists.map(_ -> cur2) }
+    // r22 (verdict task 5): ALL commits' insert rows come from one
+    // multi-path scan instead of one scan per snapshot. A data file is
+    // ADDED by exactly one snapshot of the chain, so a broadcast
+    // file → (ordinal, snapshot) lookup joined on the scan's
+    // _metadata.file_path replays the per-snapshot tags exactly; the
+    // N-commit timeline that used to plan and run N insert jobs (i82: 4,
+    // i93: 3) now runs ONE. Collected across the chain walk below,
+    // assembled after it.
+    val insertTags = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Long)]
     val tagged = chain.zipWithIndex.flatMap { case (s, ordinal) =>
       if (s.operation.contains("replace")) None
       else {
@@ -475,9 +484,8 @@ object GraftTable {
         val posAdded = entriesOf(1, 1, 1)
         val eqAdded = entriesOf(1, 1, 2)
         val removed = entriesOf(0, 2, 0).map(e => uriPath(e._1.filePath)).toSet
-        val inserts =
-          if (dataAdded.isEmpty) None
-          else Some(tag(readDataFiles(spark, meta, dataAdded.map(_._1.filePath)), "insert"))
+        insertTags ++= dataAdded.map(e =>
+          (e._1.filePath, uriPath(e._1.filePath), ordinal, s.snapshotId))
         // parent-visible rows over a RESTRICTED file set, MOR-resolved
         // (parent's own deletes applied) so only live rows can emit
         def parentVisible(restrict: Seq[(ManifestWriter.EntryData, Long)]
@@ -527,12 +535,32 @@ object GraftTable {
           }.map(tag(_, "delete"))
         // one commit's delete sources are disjoint by construction
         // (tombstoned files leave the table; a pos/eq pair in one commit
-        // addresses different sequences) — plain union, no dedup pass
-        Seq(inserts, removedDeletes, posDeletes, eqDeletes).flatten
+        // addresses different sequences) — plain union, no dedup pass;
+        // inserts ride the chain-wide leg below
+        Seq(removedDeletes, posDeletes, eqDeletes).flatten
           .reduceOption(_ unionByName _)
       }
     }
-    tagged.reduceOption(_ unionByName _).getOrElse(empty)
+    // the chain-wide insert leg: one scan over every commit's added data
+    // files, tagged back per file by the broadcast lookup. If a path were
+    // ever added by TWO chain snapshots, the old per-snapshot plan read it
+    // once per snapshot — the distinct path list plus one lookup row per
+    // (file, snapshot) reproduces exactly that multiset.
+    val insertLeg =
+      if (insertTags.isEmpty) None
+      else {
+        import spark.implicits._
+        val lk = broadcast(insertTags.toSeq.map { case (_, norm, ord, snap) =>
+          (norm, ord, snap) }.toDF("_lk_file", "_lk_ord", "_lk_snap"))
+        Some(readDataFiles(spark, meta,
+            insertTags.toSeq.map(_._1).distinct, withAddress = true)
+          .join(lk, normPathCol(col("_file")) === col("_lk_file"))
+          .select(schema.fieldNames.map(col).toIndexedSeq :+
+            lit("insert").as("_change_type") :+
+            col("_lk_ord").as("_change_ordinal") :+
+            col("_lk_snap").as("_commit_snapshot_id"): _*))
+      }
+    (insertLeg.toSeq ++ tagged).reduceOption(_ unionByName _).getOrElse(empty)
   }
 
   /** Changelog with UPDATE pre/post-image pairing (Iceberg's

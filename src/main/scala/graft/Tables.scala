@@ -33,8 +33,27 @@ object Tables {
       s"unsupported physical type for events.ts: $other")
   }
 
+  /** Inferred schema per (dir, table), cached for the JVM. The testdata
+    * tables are immutable inputs — a production deployment serves this
+    * from the catalog — yet every schemaless `spark.read.parquet` launches
+    * a 1-task schema-inference job (~40-60 ms of fixed driver/scheduler
+    * cost; r22 action audit: q05 paid SIX per run, once per load, ×3
+    * bench passes). Only the StructType is cached, never data or results:
+    * each load still plans and scans the parquet files from scratch. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]
+
+  /** The table's schema exactly as Spark infers it from the file
+    * (pre-`normalizeTs` — the physical form the streaming source needs). */
+  def physicalSchema(spark: SparkSession, dir: String, name: String)
+      : org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet").schema)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.schema(physicalSchema(spark, dir, name))
+      .parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeTs(df) else df
   }
 

@@ -222,6 +222,48 @@ object GraftTable {
     * one multi-file read). `withAddress` appends the (_file, _pos)
     * metadata coordinates inside each group (they must attach to the raw
     * file relation, not the union). */
+  /** The Iceberg v2 position-delete row shape — spec-fixed, so reads of
+    * engine-written pos-delete parquet never need schema inference (each
+    * schemaless `spark.read.parquet` launches a 1-task inference job:
+    * pure fixed cost, 1-6 per i-entry in the r22 action audit). */
+  private val PosDeleteReadSchema = StructType(Seq(
+    StructField("file_path", org.apache.spark.sql.types.StringType),
+    StructField("pos", org.apache.spark.sql.types.LongType)))
+
+  /** A parquet file's Spark schema read from its FOOTER on the driver —
+    * metadata-only (KB-scale), replacing the schema-inference JOB a
+    * schemaless read launches. Prefers the exact StructType Spark
+    * serialized into the footer at write time (what inference itself
+    * prefers); falls back to the standard parquet converter under the
+    * session's conversion flags. `asNullable` matches what file-source
+    * inference returns. */
+  private[graft] def footerSparkSchema(path: String): StructType = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), HadoopConfs.active()))
+    try {
+      val md = r.getFooter.getFileMetaData
+      val raw = Option(md.getKeyValueMetaData.get("org.apache.spark.sql.parquet.row.metadata"))
+        .flatMap(j => scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType]).toOption)
+        .getOrElse(new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(org.apache.spark.sql.internal.SQLConf.get)
+          .convert(md.getSchema))
+      def nullify(dt: org.apache.spark.sql.types.DataType)
+          : org.apache.spark.sql.types.DataType = dt match {
+        case s: StructType => StructType(s.fields.map(f =>
+          f.copy(dataType = nullify(f.dataType), nullable = true)))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          a.copy(elementType = nullify(a.elementType), containsNull = true)
+        case m: org.apache.spark.sql.types.MapType =>
+          m.copy(keyType = nullify(m.keyType),
+            valueType = nullify(m.valueType), valueContainsNull = true)
+        case o => o
+      }
+      nullify(raw).asInstanceOf[StructType]
+    } finally r.close()
+  }
+
   private[graft] def readDataFiles(spark: SparkSession, meta: TableMetadata,
       paths: Seq[String], withAddress: Boolean = false,
       extraCols: Seq[StructField] = Nil): DataFrame = {
@@ -351,7 +393,8 @@ object GraftTable {
       posEntries.partition(_._1.fileFormat == "PUFFIN")
     val pqDeletes =
       if (pqPosEntries.isEmpty) None
-      else Some(spark.read.parquet(pqPosEntries.map(_._1.filePath).sorted: _*)
+      else Some(spark.read.schema(PosDeleteReadSchema)
+        .parquet(pqPosEntries.map(_._1.filePath).sorted: _*)
         .select(col("file_path"), col("pos"),
           col("_metadata.file_path").as("_dfile"))
         .join(seqLookup(pqPosEntries, "_del_seq"),
@@ -374,13 +417,16 @@ object GraftTable {
         case None => data
         case Some(deletes) => Lakehouse.applyPositionDeletesScoped(data, deletes)
       }
-    // column set per delete file: KB-scale footer reads, also concurrent
+    // column set per delete file: KB-scale DRIVER footer reads (concurrent)
+    // — the schema rides along so the grouped read below skips the
+    // per-group schema-inference job
     val eqGroups = Par.inParallel(eqEntries)(e =>
-        (spark.read.parquet(e._1.filePath).schema.fieldNames.toSeq, e))
-      .groupBy(_._1).toSeq.sortBy(_._1.mkString(","))
-      .map { case (_, g) => g.map(_._2) }
-    eqGroups.foldLeft(posApplied) { case (acc, group) =>
-      val dels = spark.read.parquet(group.map(_._1.filePath).sorted: _*)
+        (footerSparkSchema(e._1.filePath), e))
+      .groupBy(_._1.fieldNames.toSeq).toSeq.sortBy(_._1.mkString(","))
+      .map { case (_, g) => (g.minBy(_._2._1.filePath)._1, g.map(_._2)) }
+    eqGroups.foldLeft(posApplied) { case (acc, (groupSchema, group)) =>
+      val dels = spark.read.schema(groupSchema)
+        .parquet(group.map(_._1.filePath).sorted: _*)
         .select(col("*"), col("_metadata.file_path").as("_dfile"))
         .join(seqLookup(group, "_del_seq"),
           normPathCol(col("_dfile")) === col("_lk_file"))
@@ -520,13 +566,15 @@ object GraftTable {
           if (eqAdded.isEmpty) None
           else parentVisible(identity).map { vis =>
             val byCols = Par.inParallel(eqAdded)(e =>
-                (spark.read.parquet(e._1.filePath).schema.fieldNames.toSeq
-                  .map(n => histToCur.getOrElse(n, n)), e._1.filePath))
-              .groupBy(_._1).toSeq.sortBy(_._1.mkString(","))
+                (footerSparkSchema(e._1.filePath), e._1.filePath))
+              .groupBy(_._1.fieldNames.toSeq.map(n => histToCur.getOrElse(n, n)))
+              .toSeq.sortBy(_._1.mkString(","))
             byCols.map { case (cols, g) =>
               // the delete file's own (equality-column) schema, historical
-              // names aliased up to the current generation
-              val raw = spark.read.parquet(g.map(_._2).sorted: _*)
+              // names aliased up to the current generation; driver footer
+              // schema passed through — no inference job per group
+              val raw = spark.read.schema(g.minBy(_._2)._1)
+                .parquet(g.map(_._2).sorted: _*)
               val vals = raw.select(raw.schema.fieldNames.toIndexedSeq
                   .map(n => col(n).as(histToCur.getOrElse(n, n))): _*)
                 .dropDuplicates(cols)
@@ -872,7 +920,10 @@ object GraftTable {
       // count(col) = non-null count → spec field 110 null counts, the
       // null-free proof the eq-delete partition scoping needs
       Seq(min(col(f.name)), max(col(f.name)), count(col(f.name))) }
-    val row = spark.read.parquet(file).agg(aggs.head, aggs.tail: _*).head()
+    // the file's own footer schema, read driver-side: skips the
+    // schema-inference job every stats derivation used to launch
+    val row = spark.read.schema(footerSparkSchema(file)).parquet(file)
+      .agg(aggs.head, aggs.tail: _*).head()
     def enc(t: IcebergType, v: Any): Option[Array[Byte]] = v match {
       case null => None
       case d: java.sql.Date => Some(SingleValueCodec.encode(t, d.toLocalDate))
@@ -1282,7 +1333,8 @@ object GraftTable {
         .toDF("file_path", "pos")
     val oldParquetPositions: DataFrame =
       if (oldParquet.isEmpty) spark.emptyDataset[(String, Long)].toDF("file_path", "pos")
-      else spark.read.parquet(oldParquet.map(_.filePath): _*)
+      else spark.read.schema(PosDeleteReadSchema)
+        .parquet(oldParquet.map(_.filePath): _*)
         .select(normCol(col("file_path")).as("file_path"), col("pos"))
         .filter(col("file_path").isin(covered.toSeq: _*))
     (oldDvEntries, oldDvPositions.unionByName(oldParquetPositions))
@@ -1300,7 +1352,8 @@ object GraftTable {
     val (dvE, pqE) = entries.partition(_.fileFormat == "PUFFIN")
     val pq =
       if (pqE.isEmpty) None
-      else Some(spark.read.parquet(pqE.map(_.filePath).sorted: _*)
+      else Some(spark.read.schema(PosDeleteReadSchema)
+        .parquet(pqE.map(_.filePath).sorted: _*)
         .select(col("file_path"), col("pos")))
     val dv =
       if (dvE.isEmpty) None
@@ -2314,7 +2367,8 @@ object GraftTable {
         // — canonicalize to the current generation before comparing
         val altToCur = nameAlternates(meta0)
           .flatMap { case (cur, as) => as.map(_ -> cur) }
-        val eqVals0 = spark.read.parquet(e.filePath)
+        val eqVals0 = spark.read.schema(footerSparkSchema(e.filePath))
+          .parquet(e.filePath)
         val eqVals = eqVals0.select(eqVals0.columns.toSeq.map(c =>
           col(c).as(altToCur.getOrElse(c, c))): _*)
         // read the addressed files under the TABLE's declared schema,
@@ -2377,7 +2431,7 @@ object GraftTable {
         Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]])
       else {
         ParquetFiles.writeOne(merged.orderBy(col("file_path"), col("pos")), delFile)
-        val statRow = spark.read.parquet(delFile).agg(
+        val statRow = spark.read.schema(PosDeleteReadSchema).parquet(delFile).agg(
           count(lit(1)), min(col("file_path")), max(col("file_path")),
           min(col("pos")), max(col("pos"))).head()
         val n = statRow.getLong(0)
@@ -4059,7 +4113,7 @@ object GraftTable {
         // its entry carries verbatim and the bank keeps treating it
         // conservatively — the rewrite must not fail over a diagnostic.
         scala.util.Try {
-          val names = spark.read.parquet(e.filePath).schema.fieldNames.toSet
+          val names = footerSparkSchema(e.filePath).fieldNames.toSet
           val fields = meta0.currentSchema.fields.filter(f => names.contains(f.name))
           uriPath(e.filePath) -> deriveStatsFor(spark, e.filePath, fields)._4
         }.toOption
@@ -4496,7 +4550,8 @@ object GraftTable {
         def norm(p: String): String = uriPath(p)
         def normCol(c: org.apache.spark.sql.Column) =
           regexp_replace(c, "^[a-z0-9+.-]+:(//)?", "")
-        val newDels = spark.read.parquet(deleteFiles.map(_.path): _*)
+        val newDels = spark.read.schema(PosDeleteReadSchema)
+          .parquet(deleteFiles.map(_.path): _*)
           .select(normCol(col("file_path")).as("file_path"), col("pos"))
         val covered = newDels.select("file_path").distinct()
           .collect().map(_.getString(0)).toSet
@@ -4688,7 +4743,7 @@ object GraftTable {
     // (count, file_path/pos bounds): the bounds land under Iceberg's
     // RESERVED position-delete field ids, so planners can skip this
     // delete file for data files outside its [min,max] file_path range
-    val statRow = spark.read.parquet(delFile).agg(
+    val statRow = spark.read.schema(PosDeleteReadSchema).parquet(delFile).agg(
       count(lit(1)), min(col("file_path")), max(col("file_path")),
       min(col("pos")), max(col("pos"))).head()
     val nDeletes = statRow.getLong(0)
@@ -4712,7 +4767,8 @@ object GraftTable {
     val ownerByFile = scanned.map { case (p, i) => uriPath(p) -> i }.toMap
     val addressedOwners =
       if (nDeletes == 0) Nil
-      else spark.read.parquet(delFile).select("file_path").distinct()
+      else spark.read.schema(PosDeleteReadSchema)
+        .parquet(delFile).select("file_path").distinct()
         .collect().toSeq.flatMap(r => ownerByFile.get(uriPath(r.getString(0))))
         .distinctBy(_.path)
     val delSummary = ScanPlanning.unionSummaries(meta0, addressedOwners)

@@ -31,7 +31,10 @@ object EventStreams {
     * micros TimestampType. Self-describing: no flag or generation
     * assumptions baked into the stream. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val physical = spark.read.parquet(s"$dir/events.parquet").schema
+    // r22: served from Tables' JVM-wide schema cache — the per-drive
+    // schema-inference job (one per streaming entry per bench pass) was
+    // pure fixed cost over an immutable input
+    val physical = graft.Tables.physicalSchema(spark, dir, "events")
     graft.Tables.normalizeTs(
       spark.readStream
         .schema(physical)

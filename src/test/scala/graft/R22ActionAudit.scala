@@ -20,10 +20,28 @@ object R22ActionAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val prefix = args.drop(1).headOption.getOrElse("")
+    val detail = sys.env.contains("GRAFT_AUDIT_DETAIL")
     val spark = Sessions.local("r22actions", "8")
     val jobs = new AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (detail) {
+          import scala.jdk.CollectionConverters._
+          val p = j.properties.asScala
+          val sqlId = p.getOrElse("spark.sql.execution.id", "-")
+          val stage = j.stageInfos.lastOption.map(_.name.linesIterator.next().take(80)).getOrElse("?")
+          println(s"  JOB|${j.jobId}|sql=$sqlId|$stage")
+        }
+        ()
+      }
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart
+              if detail =>
+            println(s"  SQL|${s.executionId}|${s.description.linesIterator.next().take(120)}")
+          case _ => ()
+        }
     })
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith(prefix))
     names.foreach { name =>

@@ -59,6 +59,40 @@ class BenchSpec extends AnyFunSuite {
     assert(capped.size == 5 && capped.head == "e8" && !capped.contains("e3"))
   }
 
+  test("committed band catches contamination the warmup trigger can't see") {
+    // a contention window spanning warmup AND both timed passes defeats
+    // the warmup-relative trigger (BENCH_r21: s7 at 14 s, warm ~14 s too);
+    // the committed quiet-host band still flags it
+    val warm = Map("s07" -> Some(14.0), "q01" -> Some(1.0))
+    val results = Seq("s07" -> Some(14.0), "q01" -> Some(1.0))
+    assert(Bench.remeasureSet(warm, results) == Nil) // old behavior: blind
+    val bands = Map("s07" -> 1.0, "q01" -> 1.0)
+    assert(Bench.remeasureSet(warm, results, bands = bands) == Seq("s07"))
+    // within 3× of band, or absolute excess under 0.5 s → not flagged
+    assert(Bench.remeasureSet(warm, Seq("q01" -> Some(2.9)), bands = bands) == Nil)
+    assert(Bench.remeasureSet(warm, Seq("q01" -> Some(0.35)),
+      bands = Map("q01" -> 0.1)) == Nil)
+    // the cap still bounds band-triggered re-measures
+    val many = (1 to 8).map(i => s"e$i" -> Some(10.0 * i))
+    val manyWarm = many.map { case (n, v) => n -> v }.toMap // warm == best
+    val manyBands = many.map { case (n, _) => n -> 1.0 }.toMap
+    assert(Bench.remeasureSet(manyWarm, many, bands = manyBands).size == 5)
+  }
+
+  test("loadBands parses the writeFullJson record, empty on any failure") {
+    val p = java.nio.file.Files.createTempFile("graft-band", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"metric":"total","value":60.07,"unit":"sec","load_start":1.34,""" +
+        """"queries":{"d03_minhash_dedup":0.8931,"q01_agg":0.2122},"sf":"sf0.1"}""")
+    val bands = Bench.loadBands(p.toString)
+    assert(bands == Map("d03_minhash_dedup" -> 0.8931, "q01_agg" -> 0.2122))
+    // the extras before "queries" (load_start etc.) must not leak in
+    assert(!bands.contains("load_start") && !bands.contains("value"))
+    assert(Bench.loadBands("/nonexistent/band.json").isEmpty)
+    java.nio.file.Files.writeString(p, "not json at all")
+    assert(Bench.loadBands(p.toString).isEmpty)
+  }
+
   test("keys drop leading zeros but stay unique across all entries") {
     assert(Bench.shortKey("q01_agg") === "q1")
     assert(Bench.shortKey("st09_foreach_batch_sink") === "st9")

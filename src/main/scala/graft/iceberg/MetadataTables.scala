@@ -123,7 +123,7 @@ object MetadataTables {
       case Some(f) =>
         // cast to the sweep route's exact schema (file_count is long
         // there; the file stores the spec's int)
-        return spark.read.parquet(f.path)
+        return ParquetFiles.read(spark, Seq(f.path))
           .select(org.apache.spark.sql.functions.col("partition"),
             org.apache.spark.sql.functions.col("spec_id"),
             org.apache.spark.sql.functions.col("data_file_count")

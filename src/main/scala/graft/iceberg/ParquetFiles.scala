@@ -24,4 +24,16 @@ object ParquetFiles {
 
   def length(p: String): Long =
     HadoopConfs.fileSystemFor(p).getFileStatus(new Path(p)).getLen
+
+  /** Read parquet FILES under the footer schema of the first path, probed
+    * on the driver (KB-scale metadata) — skips the 1-task schema-inference
+    * job every schemaless read launches (r22 action audit: 1-6 such jobs
+    * per lakehouse entry). For files written by one route in one entry the
+    * schemas are homogeneous, so the head footer is exact; directory/glob
+    * reads that rely on partition discovery keep the plain reader. */
+  def read(spark: org.apache.spark.sql.SparkSession, paths: Seq[String])
+      : DataFrame = {
+    require(paths.nonEmpty, "ParquetFiles.read needs at least one path")
+    spark.read.schema(GraftTable.footerSparkSchema(paths.head)).parquet(paths: _*)
+  }
 }

@@ -39,7 +39,8 @@ object Lakehouse {
   /** orders + its parquet physical address columns — (file_path, row
     * position), the join key Iceberg position deletes use. */
   private def ordersWithPos(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/orders.parquet")
+    spark.read.schema(graft.Tables.physicalSchema(spark, dir, "orders"))
+      .parquet(s"$dir/orders.parquet")
       .select(col("*"),
         col("_metadata.file_path").as("_file"),
         col("_metadata.row_index").as("_pos"))

@@ -93,7 +93,7 @@ object LakehouseExec {
     * stats of the old i18 fixture path lacked. */
   private[operators] def deriveEntry(spark: SparkSession, file: String,
       snapshotId: Long): ManifestWriter.EntryData = {
-    val row = spark.read.parquet(file).agg(
+    val row = ParquetFiles.read(spark, Seq(file)).agg(
       count(lit(1)),
       min(col("n_nationkey")), max(col("n_nationkey")),
       min(col("n_name")), max(col("n_name")),
@@ -194,7 +194,7 @@ object LakehouseExec {
       // the rewrite itself: a distributed read of the bin's files merged
       // into one sorted output file (the bin IS the parallelism unit)
       writeOneParquet(
-        spark.read.parquet(rows.map(_.getString(1)).toIndexedSeq: _*)
+        ParquetFiles.read(spark, rows.map(_.getString(1)).toIndexedSeq)
           .orderBy(col("n_nationkey")), out)
       deriveEntry(spark, out, snapshotId = 2L)
     }
@@ -233,7 +233,7 @@ object LakehouseExec {
         r.getAs[scala.collection.Map[Int, Array[Byte]]]("lower_bounds")(1)).asInstanceOf[Int]).min
       val maxBound = entries.map(r => SingleValueCodec.decode(TInt,
         r.getAs[scala.collection.Map[Int, Array[Byte]]]("upper_bounds")(1)).asInstanceOf[Int]).max
-      spark.read.parquet(paths: _*)
+      ParquetFiles.read(spark, paths)
         .agg(count(lit(1)).as("n_rows"),
           sum(col("n_nationkey")).cast("long").as("sum_key"),
           countDistinct(col("n_regionkey")).as("n_regions"))
@@ -281,7 +281,7 @@ object LakehouseExec {
       // deterministic (Iceberg requires position deletes sorted by
       // file_path, pos)
       writeOneParquet(
-        spark.read.parquet(paths: _*)
+        ParquetFiles.read(spark, paths)
           .select(col("_metadata.file_path").as("file_path"),
             col("_metadata.row_index").as("pos"), col("n_regionkey"))
           .filter(col("n_regionkey") === 2)
@@ -291,7 +291,7 @@ object LakehouseExec {
       // content=1 (spec field 134): the file IS a position-delete file —
       // entry-level routing must agree with the list-level content=1
       ManifestWriter.write(delManifest, Seq(ManifestWriter.EntryData(
-        1, 2L, delFile, spark.read.parquet(delFile).count(), fileLen(delFile),
+        1, 2L, delFile, ParquetFiles.read(spark, Seq(delFile)).count(), fileLen(delFile),
         Map.empty, Map.empty, content = 1)))
       val list2 = s"$dir/snap-2-list.avro"
       ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", delManifest), 2L,
@@ -309,11 +309,11 @@ object LakehouseExec {
     // resolved through the committed document's manifest-list routing
     val committed = TableMetadata.parseFile(s"$dir/v2.metadata.json")
     val cur = committed.currentSnapshot.get
-    val data = spark.read.parquet(filePaths(spark, cur, content = 0): _*)
+    val data = ParquetFiles.read(spark, filePaths(spark, cur, content = 0))
       .select(col("*"),
         col("_metadata.file_path").as("_file"),
         col("_metadata.row_index").as("_pos"))
-    val deletes = spark.read.parquet(filePaths(spark, cur, content = 1): _*)
+    val deletes = ParquetFiles.read(spark, filePaths(spark, cur, content = 1))
       .select(col("file_path"), col("pos"))
     Lakehouse.applyPositionDeletes(data, deletes)
       .groupBy(col("n_regionkey"))
@@ -366,7 +366,7 @@ object LakehouseExec {
       (0 until 3).map(i => s"$dir/data/nation-0000$i.parquet")
     val nLeft = expiredArtifacts.count(p =>
       HadoopConfs.fileSystemFor(p).exists(new Path(p)))
-    spark.read.parquet(filePaths(spark, cur): _*)
+    ParquetFiles.read(spark, filePaths(spark, cur))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))
       .select(lit(meta.snapshots.size).as("n_snapshots"),
@@ -463,7 +463,7 @@ object LakehouseExec {
     val snap = meta.snapshot(ref.snapshotId).getOrElse(
       throw new IllegalStateException(s"tagged snapshot ${ref.snapshotId} missing"))
     val paths = filePaths(spark, snap)
-    spark.read.parquet(paths: _*)
+    ParquetFiles.read(spark, paths)
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))
       .select(lit(ref.name).as("ref_name"), lit(ref.refType).as("ref_type"),
@@ -502,7 +502,7 @@ object LakehouseExec {
       val inserts = Seq((25, "ATLANTIS", 4), (26, "VALYRIA", 0))
         .toDF("n_nationkey", "n_name", "n_regionkey")
       // COW: which files hold matched keys? (file list is metadata-scale)
-      val withFile = spark.read.parquet(paths: _*)
+      val withFile = ParquetFiles.read(spark, paths)
         .select(col("*"), col("_metadata.file_path").as("_file"))
       val affected = withFile.join(updates, Seq("n_nationkey"), "left_semi")
         .select(col("_file")).distinct().collect().map(_.getString(0)).toSet
@@ -550,7 +550,7 @@ object LakehouseExec {
     val committed = TableMetadata.parseFile(s"$dir/v2.metadata.json")
     val cur = committed.currentSnapshot.get
     val paths = filePaths(spark, cur)
-    spark.read.parquet(paths: _*)
+    ParquetFiles.read(spark, paths)
       .groupBy(col("n_regionkey"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_nationkey")).cast("long").as("sum_key"),
@@ -625,7 +625,7 @@ object LakehouseExec {
     val mainAt = meta.currentSnapshot.get
     val auditAt = meta.refs.find(_.name == "audit").get.snapshotId
     val paths = filePaths(spark, mainAt)
-    spark.read.parquet(paths: _*)
+    ParquetFiles.read(spark, paths)
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))
       .select(lit(mainAt.snapshotId).as("main_at"), lit(auditAt).as("audit_at"),
@@ -657,7 +657,7 @@ object LakehouseExec {
       val base = TableMetadata.parseFile(v1)
       val snap1 = base.currentSnapshot.get
       val paths = filePaths(spark, snap1)
-      val withMeta = spark.read.parquet(paths: _*)
+      val withMeta = ParquetFiles.read(spark, paths)
         .select(col("*"),
           col("_metadata.file_path").as("_file"),
           col("_metadata.row_index").as("_pos"))
@@ -674,10 +674,10 @@ object LakehouseExec {
       val delManifest = s"$dir/m-del.avro"
       ManifestWriter.write(delManifest, Seq(
         ManifestWriter.EntryData(1, 2L, posFile,
-          spark.read.parquet(posFile).count(), fileLen(posFile),
+          ParquetFiles.read(spark, Seq(posFile)).count(), fileLen(posFile),
           Map.empty, Map.empty, content = 1),
         ManifestWriter.EntryData(1, 2L, eqFile,
-          spark.read.parquet(eqFile).count(), fileLen(eqFile),
+          ParquetFiles.read(spark, Seq(eqFile)).count(), fileLen(eqFile),
           Map.empty, Map.empty, content = 2)))
       val list2 = s"$dir/snap-2-list.avro"
       ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", delManifest), 2L,
@@ -697,14 +697,14 @@ object LakehouseExec {
       .select(col("file_path"), col("content")).collect()
     def delPaths(kind: Int): Seq[String] =
       delEntries.filter(_.getInt(1) == kind).map(_.getString(0)).toIndexedSeq
-    val data = spark.read.parquet(filePaths(spark, cur, content = 0): _*)
+    val data = ParquetFiles.read(spark, filePaths(spark, cur, content = 0))
       .select(col("*"),
         col("_metadata.file_path").as("_file"),
         col("_metadata.row_index").as("_pos"))
     val posApplied = Lakehouse.applyPositionDeletes(data,
-      spark.read.parquet(delPaths(1): _*).select(col("file_path"), col("pos")))
+      ParquetFiles.read(spark, delPaths(1)).select(col("file_path"), col("pos")))
     Lakehouse.applyEqualityDeletes(posApplied,
-      spark.read.parquet(delPaths(2): _*))
+      ParquetFiles.read(spark, delPaths(2)))
       .groupBy(col("n_regionkey"))
       .agg(count(lit(1)).as("n_live"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))
@@ -765,7 +765,7 @@ object LakehouseExec {
       .filter(col("lower_n_regionkey") <= 3 && col("upper_n_regionkey") >= 3)
       .select(col("data_file.file_path"))
       .collect().map(_.getString(0)).toIndexedSeq
-    spark.read.parquet(survivors: _*)
+    ParquetFiles.read(spark, survivors)
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))
       .select(lit(survivors.size).as("n_files_scanned"), lit(5).as("n_files_total"),
@@ -819,7 +819,7 @@ object LakehouseExec {
       .filter(col("snapshot_id") === cur.snapshotId && col("status") === 1)
       .select(col("data_file.file_path"))
       .collect().map(_.getString(0)).toIndexedSeq
-    spark.read.parquet(added: _*)
+    ParquetFiles.read(spark, added)
       .agg(count(lit(1)).as("n_rows"),
         min(col("n_nationkey")).as("min_key"), max(col("n_nationkey")).as("max_key"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))
@@ -869,7 +869,7 @@ object LakehouseExec {
     val onDisk = fs.listStatus(new Path(s"$dir/data")).map(_.getPath.getName)
       .count(_.endsWith(".parquet"))
     val orphansLeft = orphans.count(p => fs.exists(new Path(p)))
-    spark.read.parquet(paths: _*)
+    ParquetFiles.read(spark, paths)
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))
       .select(lit(onDisk).as("n_files_on_disk"),
@@ -951,7 +951,7 @@ object LakehouseExec {
         lo <= 3 && 3 <= hi
       }.map(_.filePath)
     }.toIndexedSeq
-    spark.read.parquet(survivors: _*)
+    ParquetFiles.read(spark, survivors)
       .filter(col("n_regionkey") === 3) // residual: the spec-0 file is mixed
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))

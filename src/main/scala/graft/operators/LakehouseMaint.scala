@@ -88,7 +88,7 @@ object LakehouseMaint {
       .select(col("data_file.file_path"))
     val nOpened = survivors.rdd.getNumPartitions
     val files = survivors.collect().map(_.getString(0)).toIndexedSeq
-    spark.read.parquet(files: _*)
+    ParquetFiles.read(spark, files)
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))
       .select(lit(nTotal).as("n_manifests_total"),
@@ -129,7 +129,7 @@ object LakehouseMaint {
         .select(col("n_name")).orderBy(col("n_name")), eqFile)
       val mEq = s"$dir/m-del-eq.avro"
       ManifestWriter.write(mEq, Seq(ManifestWriter.EntryData(
-        1, 2L, eqFile, spark.read.parquet(eqFile).count(), fileLen(eqFile),
+        1, 2L, eqFile, ParquetFiles.read(spark, Seq(eqFile)).count(), fileLen(eqFile),
         Map.empty, Map.empty, content = 2)))
       val list2 = s"$dir/snap-2-list.avro"
       ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", mEq), 2L,
@@ -143,9 +143,9 @@ object LakehouseMaint {
       // the rewrite: resolve equality values to physical row addresses
       // (one distributed semi-join — the cost every SCAN was paying)
       val committed = TableMetadata.parseFile(v2)
-      val eqValues = spark.read.parquet(eqFile)
+      val eqValues = ParquetFiles.read(spark, Seq(eqFile))
       val posFile = s"$dir/data/pos-delete-00000.parquet"
-      writeOneParquet(spark.read.parquet(paths: _*)
+      writeOneParquet(ParquetFiles.read(spark, paths)
         .select(col("n_name"),
           col("_metadata.file_path").as("file_path"),
           col("_metadata.row_index").as("pos"))
@@ -154,7 +154,7 @@ object LakehouseMaint {
         .orderBy(col("file_path"), col("pos")), posFile)
       val mPos = s"$dir/m-del-pos.avro"
       ManifestWriter.write(mPos, Seq(ManifestWriter.EntryData(
-        1, 3L, posFile, spark.read.parquet(posFile).count(), fileLen(posFile),
+        1, 3L, posFile, ParquetFiles.read(spark, Seq(posFile)).count(), fileLen(posFile),
         Map.empty, Map.empty, content = 1)))
       val list3 = s"$dir/snap-3-list.avro"
       ManifestListWriter.write(list3, Seq(s"$dir/m-0.avro", mPos), 3L,
@@ -173,7 +173,7 @@ object LakehouseMaint {
       .select(col("file_path"), col("content")).collect()
     val nEq = delEntries.count(_.getInt(1) == 2)
     val nPos = delEntries.count(_.getInt(1) == 1)
-    val data = spark.read.parquet(filePaths(spark, cur, content = 0): _*)
+    val data = ParquetFiles.read(spark, filePaths(spark, cur, content = 0))
       .select(col("*"),
         col("_metadata.file_path").as("_file"),
         col("_metadata.row_index").as("_pos"))
@@ -234,7 +234,7 @@ object LakehouseMaint {
       // declare the target layout, then make it physical
       val evolved = MetadataWriter.evolveSortOrder(TableMetadata.parseFile(v1),
         SortOrder(1, Seq(SortField("identity", 1, "asc", "nulls-first"))), T0 + 1500)
-      val old = spark.read.parquet(filesA: _*)
+      val old = ParquetFiles.read(spark, filesA)
       val entriesB = inParallel(Seq((0, 10), (10, 20), (20, 25)).zipWithIndex) {
         case ((lo, hi), i) =>
           val f = s"$dir/data/sorted-0000$i.parquet"
@@ -256,7 +256,7 @@ object LakehouseMaint {
     val before = ManifestWriter.read(s"$dir/m-0.avro")
     val after = ManifestWriter.read(s"$dir/m-1.avro")
     val survivors = after.filter(overlap).map(_.filePath)
-    spark.read.parquet(survivors: _*)
+    ParquetFiles.read(spark, survivors)
       .filter(col("n_nationkey").between(5, 9)) // residual within the file
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))
@@ -310,7 +310,7 @@ object LakehouseMaint {
         .select(col("n_name")).orderBy(col("n_name")), eqFile)
       val mDel = s"$dir/m-del.avro"
       ManifestWriter.write(mDel, Seq(ManifestWriter.EntryData(
-        1, 2L, eqFile, spark.read.parquet(eqFile).count(), fileLen(eqFile),
+        1, 2L, eqFile, ParquetFiles.read(spark, Seq(eqFile)).count(), fileLen(eqFile),
         Map.empty, Map.empty, content = 2, sequenceNumber = Some(2L))))
       val list2 = s"$dir/snap-2-list.avro"
       ManifestListWriter.write(list2, Seq(mA, mDel), 2L,
@@ -348,14 +348,14 @@ object LakehouseMaint {
     // one scan per sequence number (= per commit): the file group shares
     // its seq constant, exactly how a scan task carries it at scale
     val data = entriesOf(0).groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, es) =>
-      spark.read.parquet(es.map(_._1): _*)
+      ParquetFiles.read(spark, es.map(_._1))
         .select(col("*"),
           col("_metadata.file_path").as("_file"),
           col("_metadata.row_index").as("_pos"),
           lit(seq).as("_seq"))
     }.reduce(_ unionByName _)
     val eqDeletes = entriesOf(1).groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, es) =>
-      spark.read.parquet(es.map(_._1): _*).withColumn("_del_seq", lit(seq))
+      ParquetFiles.read(spark, es.map(_._1)).withColumn("_del_seq", lit(seq))
     }.reduce(_ unionByName _)
     Lakehouse.applyEqualityDeletesScoped(data, eqDeletes)
       .agg(count(lit(1)).as("n_live"),
@@ -424,7 +424,7 @@ object LakehouseMaint {
     val surviving = ScanPlanning.pruneManifestsByTransform(
       cur.manifestList.get, meta, sourceFieldId = 1, value = 17)
     val files = surviving.flatMap(i => ManifestWriter.read(i.path).map(_.filePath))
-    spark.read.parquet(files: _*)
+    ParquetFiles.read(spark, files)
       .filter(col("n_nationkey") === 17) // residual within the bucket
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))
@@ -462,7 +462,7 @@ object LakehouseMaint {
       // snapshot 2: position-delete DML (the i22 write path)
       val delFile = s"$dir/data/delete-00000.parquet"
       writeOneParquet(
-        spark.read.parquet(paths: _*)
+        ParquetFiles.read(spark, paths)
           .select(col("_metadata.file_path").as("file_path"),
             col("_metadata.row_index").as("pos"), col("n_regionkey"))
           .filter(col("n_regionkey") === 2)
@@ -470,7 +470,7 @@ object LakehouseMaint {
           .orderBy(col("file_path"), col("pos")), delFile)
       val delManifest = s"$dir/m-del.avro"
       ManifestWriter.write(delManifest, Seq(ManifestWriter.EntryData(
-        1, 2L, delFile, spark.read.parquet(delFile).count(), fileLen(delFile),
+        1, 2L, delFile, ParquetFiles.read(spark, Seq(delFile)).count(), fileLen(delFile),
         Map.empty, Map.empty, content = 1, sequenceNumber = Some(2L))))
       val list2 = s"$dir/snap-2-list.avro"
       ManifestListWriter.write(list2, Seq(s"$dir/m-0.avro", delManifest), 2L,
@@ -519,7 +519,7 @@ object LakehouseMaint {
       val posDeletes = entries.filter(_.getInt(1) == 1).map(_.getString(0)).toIndexedSeq
       val inserts =
         if (added.isEmpty) None
-        else Some(spark.read.parquet(added: _*)
+        else Some(ParquetFiles.read(spark, added)
           .select(lit(s.snapshotId).as("snapshot_id"), lit("insert").as("op"),
             col("n_nationkey"), col("n_regionkey")))
       val deletes =
@@ -527,11 +527,11 @@ object LakehouseMaint {
         else {
           // resolve delete addresses against the PRE-snapshot data files
           val preSnap = meta.snapshot(s.parentSnapshotId.get).get
-          val data = spark.read.parquet(filePaths(spark, preSnap): _*)
+          val data = ParquetFiles.read(spark, filePaths(spark, preSnap))
             .select(col("*"),
               col("_metadata.file_path").as("_file"),
               col("_metadata.row_index").as("_pos"))
-          val del = spark.read.parquet(posDeletes: _*)
+          val del = ParquetFiles.read(spark, posDeletes)
           Some(data.join(del,
             data("_file") === del("file_path") && data("_pos") === del("pos"))
             .select(lit(s.snapshotId).as("snapshot_id"), lit("delete").as("op"),
@@ -596,7 +596,7 @@ object LakehouseMaint {
         .select(col("n_name")).orderBy(col("n_name")), eqFile)
       val mEq = s"$dir/m-del-eq.avro"
       ManifestWriter.write(mEq, Seq(ManifestWriter.EntryData(
-        1, 2L, eqFile, spark.read.parquet(eqFile).count(), fileLen(eqFile),
+        1, 2L, eqFile, ParquetFiles.read(spark, Seq(eqFile)).count(), fileLen(eqFile),
         Map.empty, Map.empty, content = 2, sequenceNumber = Some(2L))))
       val list2 = s"$dir/snap-2-list.avro"
       ManifestListWriter.write(list2, Seq(mA, mEq), 2L,
@@ -626,14 +626,14 @@ object LakehouseMaint {
         MetadataWriter.commitSnapshot(TableMetadata.parseFile(v2), snap3, Some(v2)))
       // seq 4: position-delete nation 5's physical row (in the seq-1 file)
       val posFile = s"$dir/data/pos-delete-00000.parquet"
-      writeOneParquet(spark.read.parquet(fA)
+      writeOneParquet(ParquetFiles.read(spark, Seq(fA))
         .select(col("_metadata.file_path").as("file_path"),
           col("_metadata.row_index").as("pos"), col("n_nationkey"))
         .filter(col("n_nationkey") === 5)
         .select(col("file_path"), col("pos")), posFile)
       val mPos = s"$dir/m-del-pos.avro"
       ManifestWriter.write(mPos, Seq(ManifestWriter.EntryData(
-        1, 4L, posFile, spark.read.parquet(posFile).count(), fileLen(posFile),
+        1, 4L, posFile, ParquetFiles.read(spark, Seq(posFile)).count(), fileLen(posFile),
         Map.empty, Map.empty, content = 1, sequenceNumber = Some(4L))))
       val list4 = s"$dir/snap-4-list.avro"
       ManifestListWriter.write(list4, Seq(mA, mEq, mB, mPos), 4L,

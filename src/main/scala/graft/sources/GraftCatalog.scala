@@ -811,7 +811,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(e => map(e.filePath)).distinct.foreach { f =>
         import org.apache.spark.sql.functions.{col, lit, replace}
         val tmp = s"$f.rename-tmp"
-        ParquetFiles.writeOne(spark.read.parquet(f)
+        ParquetFiles.writeOne(ParquetFiles.read(spark, Seq(f))
           .withColumn("file_path", replace(col("file_path"),
             lit(oldPrefix), lit(newPrefix))), tmp)
         fs.delete(new Path(f), false)

@@ -563,7 +563,7 @@ object EventStreams {
     val f = s"$out/data/batch-%05d.parquet".format(id)
     ParquetFiles.writeOne(df.orderBy($"event_id"), f)
     if (cur.snapshots.exists(_.snapshotId == snapId)) return version // replayed
-    val stats = spark.read.parquet(f)
+    val stats = graft.iceberg.ParquetFiles.read(spark, Seq(f))
       .agg(count(lit(1)), min($"event_id"), max($"event_id")).head()
     val manifest = s"$out/m-%05d.avro".format(id)
     ManifestWriter.write(manifest, Seq(ManifestWriter.EntryData(
@@ -657,7 +657,7 @@ object EventStreams {
       case Seq(a, b) => b.parentSnapshotId.contains(a.snapshotId)
       case _ => true
     }
-    val scan = spark.read.parquet(entries.map(_.getString(0)).toIndexedSeq: _*)
+    val scan = graft.iceberg.ParquetFiles.read(spark, entries.map(_.getString(0)).toIndexedSeq)
     val statsOk = scan.count() == entries.map(_.getLong(1)).sum
     scan.groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -705,8 +705,8 @@ object EventStreams {
         .flatMap(m => ManifestWriter.read(m).map(_.filePath)).distinct
       val compacted = s"$out/data/compacted-00000.parquet"
       ParquetFiles.writeOne(
-        spark.read.parquet(preFiles: _*).orderBy($"event_id"), compacted)
-      val stats = spark.read.parquet(compacted)
+        graft.iceberg.ParquetFiles.read(spark, preFiles).orderBy($"event_id"), compacted)
+      val stats = graft.iceberg.ParquetFiles.read(spark, Seq(compacted))
         .agg(count(lit(1)), min($"event_id"), max($"event_id")).head()
       OptimisticCommit.commit(out, (base, basePath) => {
         val snapId = base.snapshots.map(_.snapshotId).max + 1
@@ -749,7 +749,7 @@ object EventStreams {
     val files = MetadataTables.manifests(spark, cur.manifestList.get)
       .select(col("manifest_path")).collect().map(_.getString(0)).toSeq
       .flatMap(m => ManifestWriter.read(m).map(_.filePath)).distinct
-    spark.read.parquet(files: _*)
+    graft.iceberg.ParquetFiles.read(spark, files)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
         sum($"value".cast(DecimalType(12, 2))).cast(DoubleType).as("total_value"))
